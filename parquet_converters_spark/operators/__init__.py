@@ -1,0 +1,9 @@
+from parquet_converters_spark.operators.touch_transform import (  # noqa: F401
+    to_canonical_edges,
+    unpack_branch_type,
+    validate_sections,
+)
+from parquet_converters_spark.operators.indexing import (  # noqa: F401
+    build_adjacency_index,
+    build_sonata_indices,
+)

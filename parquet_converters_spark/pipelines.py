@@ -1,0 +1,76 @@
+"""End-to-end pipelines — the Spark equivalents of the reference's two
+binaries (SURVEY §3).
+
+``touch2parquet``: fixed-width binary scan -> canonical edge projection ->
+parquet sink.  A single narrow (shuffle-free) stage, exactly like the
+reference's per-rank disjoint record ranges (``touch2parquet.cpp:110-132``).
+
+``parquet_to_sonata``: ordered multi-file parquet scan -> column drops +
+metadata passthrough -> SONATA bundle + adjacency index
+(``parquet2hdf5.cpp:171-251``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from parquet_converters_spark.operators.touch_transform import (
+    to_canonical_edges,
+    validate_sections,
+)
+from parquet_converters_spark.sinks.parquet_sink import write_canonical_parquet
+from parquet_converters_spark.sinks.sonata import (
+    collect_kv_metadata,
+    write_sonata_bundle,
+)
+from parquet_converters_spark.sources.ordering import read_parquet_ordered
+from parquet_converters_spark.sources.touch_binary import (
+    read_touch_header,
+    read_touches,
+    _expand_paths,
+)
+
+
+def touch2parquet(
+    spark: SparkSession,
+    touch_path: str,
+    out_path: str,
+    limit: int | None = None,
+    strict: bool = True,
+    touchdetector_version: str | None = None,
+) -> DataFrame:
+    """Convert touch binary file(s) to the canonical parquet edge table.
+
+    Returns the written DataFrame (lazily re-readable from ``out_path``).
+    """
+    first = _expand_paths(touch_path)[0]
+    header = read_touch_header(first)
+    df = read_touches(spark, touch_path)
+    df = validate_sections(df, strict=strict)
+    edges = to_canonical_edges(df, header.version, limit=limit)
+    kv = {"touch2parquet_version": "parquet_converters_spark"}
+    if touchdetector_version or header.version_string:
+        kv["touchdetector_version"] = touchdetector_version or header.version_string
+    write_canonical_parquet(edges, out_path, kv_metadata=kv)
+    return edges
+
+
+def parquet_to_sonata(
+    spark: SparkSession,
+    parquet_path: str,
+    out_dir: str,
+    population: str = "default",
+    with_index: bool = True,
+) -> None:
+    """Convert a directory of parquet edge files into a SONATA bundle
+    (+ adjacency indices), preserving the reference's global row order
+    (sorted file names x in-file order) and KV metadata."""
+    df = read_parquet_ordered(spark, parquet_path)
+    kv = collect_kv_metadata(parquet_path)
+    write_sonata_bundle(
+        df,
+        out_dir,
+        population=population,
+        kv_metadata=kv,
+        with_index=with_index,
+    )

@@ -1,0 +1,84 @@
+"""Canonical parquet sink (reference operator W1).
+
+Matches the reference writer's physical layout
+(``src/touches/parquet_writer.cpp:105-132``, ``parquet_writer.h:56-59``):
+SNAPPY compression, dictionary encoding disabled, ~20 MB row groups
+(512 Ki rows x ~40 B/row) with ~1 MB pages, optional KV footer metadata
+(``touchdetector_version`` / ``touch2parquet_version``,
+``parquet_writer.cpp:115-120``).
+
+Spark-first: ``df.write.parquet`` with writer options — one output file
+per task, the Spark analogue of the reference's one-file-per-MPI-rank
+naming (``touch2parquet.cpp:84``).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import DataFrame
+
+ROW_GROUP_BYTES = 20 * 1024 * 1024
+PAGE_BYTES = 1024 * 1024
+
+
+def write_canonical_parquet(
+    df: DataFrame,
+    path: str,
+    kv_metadata: dict[str, str] | None = None,
+    mode: str = "overwrite",
+    partitions: int | None = None,
+) -> None:
+    """Write ``df`` with the reference's parquet physical options.
+
+    ``kv_metadata`` is stamped into each file footer in a driver-side
+    post-pass (Spark's writer cannot attach custom footer KV).  The
+    rewrite is metadata+recompress of already-written files; version
+    stamps at 100 TB scale should instead ride in the Spark field
+    metadata that the reference itself knows how to read
+    (``sonata_writer.cpp:102-111``) — supported via schema metadata.
+    """
+    writer = (
+        df.write.mode(mode)
+        .option("compression", "snappy")
+        .option("parquet.enable.dictionary", "false")
+        .option("parquet.block.size", str(ROW_GROUP_BYTES))
+        .option("parquet.page.size", str(PAGE_BYTES))
+    )
+    if partitions:
+        df = df.repartition(partitions)
+        writer = (
+            df.write.mode(mode)
+            .option("compression", "snappy")
+            .option("parquet.enable.dictionary", "false")
+            .option("parquet.block.size", str(ROW_GROUP_BYTES))
+            .option("parquet.page.size", str(PAGE_BYTES))
+        )
+    writer.parquet(path)
+
+    if kv_metadata:
+        _stamp_kv_metadata(path, kv_metadata)
+
+
+def _stamp_kv_metadata(path: str, kv: dict[str, str]) -> None:
+    import pyarrow.parquet as pq
+
+    for f in glob.glob(os.path.join(path, "*.parquet")):
+        table = pq.read_table(f)
+        merged = dict(table.schema.metadata or {})
+        merged.update({k.encode(): str(v).encode() for k, v in kv.items()})
+        pq.write_table(
+            table.replace_schema_metadata(merged),
+            f,
+            compression="snappy",
+            use_dictionary=False,
+            row_group_size=512 * 1024,
+            data_page_size=PAGE_BYTES,
+        )
+        # the in-place rewrite invalidates Hadoop's checksum sidecar; a
+        # stale .crc makes every later Spark read fail with
+        # ChecksumException, so drop it
+        crc = os.path.join(os.path.dirname(f), f".{os.path.basename(f)}.crc")
+        if os.path.exists(crc):
+            os.remove(crc)

@@ -1,0 +1,288 @@
+"""SONATA sink (reference operators W2 + W3 + P5).
+
+The reference writes a single SONATA HDF5 edge file via parallel MPI-IO
+hyperslab writes at precomputed global offsets
+(``src/circuit/sonata_writer.cpp``, ``src/circuit/sonata_file.cpp``).
+There is no Spark-native parallel-HDF5 sink (and no h5py in this
+environment), so the engine's native representation is a **SONATA bundle**:
+the same logical tree laid out as parquet datasets + a JSON attribute
+file.  Every piece of information the HDF5 file carries is present:
+
+```
+<out>/edges/<population>/
+    table.parquet/            # row_index + all edge columns, global order
+    attributes.json           # group/dataset attributes, placement, counts
+    library/<column>.parquet  # @library string enumerations (index, value)
+    indices/{source_to_target,target_to_source}/
+        node_id_to_ranges.parquet
+        range_to_edge_id.parquet
+```
+
+Semantics mirrored from the reference:
+
+- ``synapse_id`` and pandas' ``__index_level_0__`` are dropped
+  (``sonata_writer.cpp:29,75-77`` — P5);
+- ``source_node_id``/``target_node_id``/``edge_type_id`` are top-level
+  SONATA datasets, everything else lives under ``0/``
+  (``sonata_file.cpp:49-64``);
+- KV metadata passthrough filters ``ARROW:schema`` and ``org.apache.*``,
+  maps ``source/target_population_name`` to ``node_population`` dataset
+  attributes, uses ``source/target_population_size`` as index node
+  counts, expands Spark field metadata ``enumeration_values`` into
+  ``@library`` tables, and stamps ``parquet2hdf5_version``
+  (``sonata_writer.cpp:89-121`` — W3);
+- the adjacency index is built with
+  :func:`parquet_converters_spark.operators.indexing.build_sonata_indices`.
+
+``export_hdf5`` converts a bundle to real SONATA HDF5 when h5py is
+available (import-gated).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, functions as F
+
+from parquet_converters_spark import __version__
+from parquet_converters_spark.operators.indexing import (
+    build_sonata_indices,
+    infer_node_count,
+)
+
+COLUMNS_TO_SKIP = {"synapse_id", "__index_level_0__"}
+TOP_LEVEL_DATASETS = ("source_node_id", "target_node_id", "edge_type_id")
+
+
+def collect_kv_metadata(path: str) -> dict[str, str]:
+    """Parquet footer KV metadata of the (sorted-first) input file —
+    driver-side, the reference reads it from the ``_metadata`` sidecar or
+    first file the same way (``parquet2hdf5.cpp:205-218``)."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    files = sorted(_glob.glob(os.path.join(path, "*.parquet"))) if os.path.isdir(path) else [path]
+    if not files:
+        return {}
+    md = pq.ParquetFile(files[0]).schema_arrow.metadata or {}
+    out = {}
+    for k, v in md.items():
+        try:
+            out[k.decode()] = v.decode()
+        except UnicodeDecodeError:
+            continue
+    return out
+
+
+def _enumerations_from_metadata(kv: dict[str, str], df: DataFrame) -> dict[str, list[str]]:
+    """``enumeration_values`` from Spark row metadata (KV JSON) and from
+    live Spark field metadata."""
+    enums: dict[str, list[str]] = {}
+    spark_md = kv.get("org.apache.spark.sql.parquet.row.metadata")
+    if spark_md:
+        try:
+            for field in json.loads(spark_md).get("fields", []):
+                md = field.get("metadata") or {}
+                if "enumeration_values" in md:
+                    enums[field["name"]] = list(md["enumeration_values"])
+        except (ValueError, KeyError, TypeError):
+            pass
+    for field in df.schema.fields:
+        md = field.metadata or {}
+        if "enumeration_values" in md:
+            enums[field.name] = list(md["enumeration_values"])
+    return enums
+
+
+class SonataBundleWriter:
+    def __init__(self, out_dir: str, population: str = "default"):
+        self.out_dir = out_dir
+        self.population = population
+        self.pop_dir = os.path.join(out_dir, "edges", population)
+
+    def write(
+        self,
+        df: DataFrame,
+        kv_metadata: dict[str, str] | None = None,
+        with_index: bool = True,
+        row_col: str = "row_index",
+    ) -> None:
+        spark = df.sparkSession
+        kv = dict(kv_metadata or {})
+        os.makedirs(self.pop_dir, exist_ok=True)
+
+        table = df.drop(*[c for c in COLUMNS_TO_SKIP if c in df.columns])
+        if "edge_type_id" not in table.columns:
+            table = table.withColumn("edge_type_id", F.lit(0))
+
+        attrs: dict[str, object] = {}
+        dataset_attrs: dict[str, dict[str, str]] = {}
+        source_size = target_size = None
+        for k, v in kv.items():
+            if k == "ARROW:schema":
+                continue
+            elif k == "source_population_name":
+                dataset_attrs.setdefault("source_node_id", {})["node_population"] = v
+            elif k == "target_population_name":
+                dataset_attrs.setdefault("target_node_id", {})["node_population"] = v
+            elif k == "source_population_size":
+                source_size = int(v)
+            elif k == "target_population_size":
+                target_size = int(v)
+            elif k.startswith("org.apache"):
+                continue
+            elif k == "parquet2hdf5_version":
+                continue  # restamped below, like the reference
+            else:
+                attrs[k] = v
+        attrs["parquet2hdf5_version"] = __version__
+
+        enums = _enumerations_from_metadata(kv, df)
+
+        # cache: the table feeds the main write, both index directions and
+        # the count — one scan, many consumers
+        table = table.persist()
+        n_records = table.count()
+
+        (
+            table.repartitionByRange(
+                max(1, df.sparkSession.sparkContext.defaultParallelism), row_col
+            )
+            .sortWithinPartitions(row_col)
+            .write.mode("overwrite")
+            .parquet(os.path.join(self.pop_dir, "table.parquet"))
+        )
+
+        for name, values in enums.items():
+            spark.createDataFrame(
+                [(i, v) for i, v in enumerate(values)], "index: long, value: string"
+            ).coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(self.pop_dir, "library", f"{name}.parquet")
+            )
+
+        if with_index:
+            indices = build_sonata_indices(
+                table,
+                source_node_count=source_size
+                or infer_node_count(table, "source_node_id"),
+                target_node_count=target_size
+                or infer_node_count(table, "target_node_id"),
+                row_col=row_col,
+            )
+            for direction, (node_ranges, range_edges) in indices.items():
+                d = os.path.join(self.pop_dir, "indices", direction)
+                node_ranges.repartitionByRange(
+                    max(1, spark.sparkContext.defaultParallelism), "node_id"
+                ).sortWithinPartitions("node_id").write.mode("overwrite").parquet(
+                    os.path.join(d, "node_id_to_ranges.parquet")
+                )
+                range_edges.repartitionByRange(
+                    max(1, spark.sparkContext.defaultParallelism), "range_id"
+                ).sortWithinPartitions("range_id").write.mode("overwrite").parquet(
+                    os.path.join(d, "range_to_edge_id.parquet")
+                )
+
+        manifest = {
+            "population": self.population,
+            "n_records": n_records,
+            "attributes": attrs,
+            "dataset_attributes": dataset_attrs,
+            "top_level_datasets": [
+                c for c in TOP_LEVEL_DATASETS if c in table.columns
+            ],
+            "property_datasets": [
+                c
+                for c in table.columns
+                if c not in TOP_LEVEL_DATASETS and c != row_col
+            ],
+            "libraries": sorted(enums),
+            "row_index_column": row_col,
+        }
+        with open(os.path.join(self.pop_dir, "attributes.json"), "w") as f:
+            json.dump(manifest, f, indent=2, sort_keys=True)
+        table.unpersist()
+
+
+def write_sonata_bundle(
+    df: DataFrame,
+    out_dir: str,
+    population: str = "default",
+    kv_metadata: dict[str, str] | None = None,
+    with_index: bool = True,
+    row_col: str = "row_index",
+) -> None:
+    SonataBundleWriter(out_dir, population).write(
+        df, kv_metadata=kv_metadata, with_index=with_index, row_col=row_col
+    )
+
+
+def export_hdf5(bundle_dir: str, population: str, h5_path: str) -> None:
+    """Convert a SONATA bundle to a real SONATA HDF5 file.
+
+    Single-writer (driver-side) export — the correctness path of SURVEY
+    §7 step 5.  Requires h5py, which this environment does not ship; the
+    bundle itself is the engine-native output.
+    """
+    try:
+        import h5py  # noqa: F401
+    except ImportError as e:  # pragma: no cover
+        raise NotImplementedError(
+            "HDF5 export requires h5py, which is not installed; the "
+            "parquet SONATA bundle is the supported representation here"
+        ) from e
+
+    import pyarrow.parquet as pq  # pragma: no cover
+
+    pop_dir = os.path.join(bundle_dir, "edges", population)  # pragma: no cover
+    with open(os.path.join(pop_dir, "attributes.json")) as f:  # pragma: no cover
+        manifest = json.load(f)
+
+    with h5py.File(h5_path, "w") as h5:  # pragma: no cover
+        grp = h5.create_group(f"/edges/{population}")
+        for k, v in manifest["attributes"].items():
+            grp.attrs[k] = v
+        table = pq.read_table(os.path.join(pop_dir, "table.parquet"))
+        order = table.column(manifest["row_index_column"])
+        import numpy as np
+
+        perm = np.argsort(order.to_numpy())
+        for name in manifest["top_level_datasets"]:
+            grp.create_dataset(name, data=table.column(name).to_numpy()[perm])
+        zero = grp.create_group("0")
+        for name in manifest["property_datasets"]:
+            if name in manifest["top_level_datasets"]:
+                continue
+            zero.create_dataset(name, data=table.column(name).to_numpy()[perm])
+        for name, a in manifest["dataset_attributes"].items():
+            for k, v in a.items():
+                grp[name].attrs[k] = v
+        lib = None
+        for name in manifest["libraries"]:
+            if lib is None:
+                lib = zero.create_group("@library")
+            t = pq.read_table(os.path.join(pop_dir, "library", f"{name}.parquet"))
+            values = t.sort_by("index").column("value").to_pylist()
+            lib.create_dataset(name, data=values)
+        for direction in ("source_to_target", "target_to_source"):
+            d = os.path.join(pop_dir, "indices", direction)
+            if not os.path.isdir(d):
+                continue
+            ig = grp.create_group(f"indices/{direction}")
+            nr = pq.read_table(os.path.join(d, "node_id_to_ranges.parquet")).sort_by("node_id")
+            ig.create_dataset(
+                "node_id_to_ranges",
+                data=np.stack(
+                    [nr.column("range_lo").to_numpy(), nr.column("range_hi").to_numpy()],
+                    axis=1,
+                ),
+            )
+            re_ = pq.read_table(os.path.join(d, "range_to_edge_id.parquet")).sort_by("range_id")
+            ig.create_dataset(
+                "range_to_edge_id",
+                data=np.stack(
+                    [re_.column("edge_start").to_numpy(), re_.column("edge_end").to_numpy()],
+                    axis=1,
+                ),
+            )

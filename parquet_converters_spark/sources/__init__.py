@@ -1,0 +1,9 @@
+from parquet_converters_spark.sources.touch_binary import (  # noqa: F401
+    TouchBinaryDataSource,
+    read_touches,
+    read_touch_header,
+)
+from parquet_converters_spark.sources.ordering import (  # noqa: F401
+    read_parquet_ordered,
+    with_global_row_index,
+)

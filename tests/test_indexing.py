@@ -1,0 +1,104 @@
+"""Layer-1 tests (SURVEY §5): analytic golden values for the adjacency
+index builder, ported from the reference's tests/test_indexing.cpp
+(10x10 dense bipartite graph, source ids offset by 90)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+NNODES = 10
+SOURCE_OFFSET = 90
+
+
+@pytest.fixture(scope="module")
+def edges(spark):
+    rows = [
+        (SOURCE_OFFSET + i, j, i * NNODES + j)
+        for i in range(NNODES)
+        for j in range(NNODES)
+    ]
+    return spark.createDataFrame(
+        rows, "source_node_id: long, target_node_id: long, row_index: long"
+    )
+
+
+def test_source_index(spark, edges):
+    from parquet_converters_spark.operators import build_adjacency_index
+
+    node_ranges, range_edges = build_adjacency_index(
+        edges, "source_node_id", node_count=SOURCE_OFFSET + NNODES
+    )
+    nr = {r["node_id"]: (r["range_lo"], r["range_hi"]) for r in node_ranges.collect()}
+    assert len(nr) == SOURCE_OFFSET + NNODES
+    for i in range(SOURCE_OFFSET):
+        assert nr[i] == (0, 0)  # absent sources padded (index.cpp:282-299)
+    for i in range(NNODES):
+        assert nr[SOURCE_OFFSET + i] == (i, i + 1)
+
+    re_ = {r["range_id"]: (r["edge_start"], r["edge_end"]) for r in range_edges.collect()}
+    assert len(re_) == NNODES
+    for i in range(NNODES):
+        assert re_[i] == (NNODES * i, NNODES * (i + 1))
+
+
+def test_target_index(spark, edges):
+    from parquet_converters_spark.operators import build_adjacency_index
+
+    node_ranges, range_edges = build_adjacency_index(
+        edges, "target_node_id", node_count=NNODES
+    )
+    nr = {r["node_id"]: (r["range_lo"], r["range_hi"]) for r in node_ranges.collect()}
+    assert len(nr) == NNODES
+    for i in range(NNODES):
+        assert nr[i] == (NNODES * i, NNODES * (i + 1))
+
+    re_ = {r["range_id"]: (r["edge_start"], r["edge_end"]) for r in range_edges.collect()}
+    assert len(re_) == NNODES * NNODES
+    # target i connects to every source: fragmented single-edge ranges
+    for i in range(NNODES):
+        for j in range(NNODES):
+            assert re_[NNODES * i + j] == (NNODES * j + i, NNODES * j + i + 1)
+
+
+def test_node_count_inferred(spark, edges):
+    """A2: node_count = max(node_id)+1 when metadata absent
+    (index.cpp:208-213)."""
+    from parquet_converters_spark.operators import build_adjacency_index
+
+    node_ranges, _ = build_adjacency_index(edges, "target_node_id")
+    assert node_ranges.count() == NNODES
+
+
+def test_run_merging(spark):
+    """G4: runs split across partition boundaries merge into maximal
+    ranges."""
+    from parquet_converters_spark.operators import build_adjacency_index
+
+    rows = [(0, 7, i) for i in range(50)]  # one node, one contiguous run
+    df = spark.createDataFrame(
+        rows, "a: long, target_node_id: long, row_index: long"
+    ).repartition(8)
+    node_ranges, range_edges = build_adjacency_index(
+        df, "target_node_id", node_count=8
+    )
+    assert range_edges.count() == 1
+    r = range_edges.first()
+    assert (r["edge_start"], r["edge_end"]) == (0, 50)
+    nr = {x["node_id"]: (x["range_lo"], x["range_hi"]) for x in node_ranges.collect()}
+    assert nr[7] == (0, 1)
+    assert nr[0] == (0, 0)
+
+
+def test_fragmented_and_gapped(spark):
+    """Interleaved keys -> multiple ranges per node, correct global
+    node-major numbering."""
+    from parquet_converters_spark.operators import build_adjacency_index
+
+    # rows: key pattern 1,2,1,1,2 at positions 0..4
+    rows = [(1, 0), (2, 1), (1, 2), (1, 3), (2, 4)]
+    df = spark.createDataFrame(rows, "target_node_id: long, row_index: long")
+    node_ranges, range_edges = build_adjacency_index(df, "target_node_id", node_count=3)
+    re_ = {r["range_id"]: (r["edge_start"], r["edge_end"]) for r in range_edges.collect()}
+    # node-major, start-ascending: node1 -> [0,1),[2,4); node2 -> [1,2),[4,5)
+    assert re_ == {0: (0, 1), 1: (2, 4), 2: (1, 2), 3: (4, 5)}
+    nr = {r["node_id"]: (r["range_lo"], r["range_hi"]) for r in node_ranges.collect()}
+    assert nr == {0: (0, 0), 1: (0, 2), 2: (2, 4)}

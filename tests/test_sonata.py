@@ -1,0 +1,149 @@
+"""Layer-3 tests (SURVEY §5): randomized parquet-dir -> SONATA bundle
+round-trip with a pyarrow readback oracle, mirroring the reference's
+tests/test_integration.py (random edge frame, random file splits,
+independent-library verification)."""
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+def _make_edges(tmp_path, n_files=3, n_nodes=100, avg_connections=10, seed=202):
+    """Reference recipe (test_integration.py:10-63): per source, a sorted
+    random choice of targets, plus extra attribute columns; split at
+    random boundaries into n_files parquet files (sorted names = global
+    order)."""
+    rng = np.random.default_rng(seed)
+    sources, targets = [], []
+    for s in range(n_nodes):
+        k = rng.integers(0, avg_connections)
+        t = np.sort(rng.choice(n_nodes, size=k, replace=False))
+        sources.extend([s] * k)
+        targets.extend(t.tolist())
+    n = len(sources)
+    table = pa.table(
+        {
+            "source_node_id": pa.array(sources, pa.int64()),
+            "target_node_id": pa.array(targets, pa.int64()),
+            "edge_type_id": pa.array([0] * n, pa.int64()),
+            "my_attribute": pa.array(rng.standard_normal(n)),
+            "my_other_attribute": pa.array(rng.integers(0, 666, n), pa.int64()),
+        }
+    )
+    kv = {
+        b"source_population_name": b"src_pop",
+        b"target_population_name": b"tgt_pop",
+        b"source_population_size": str(n_nodes).encode(),
+        b"target_population_size": str(n_nodes).encode(),
+        b"my_custom_key": b"my_custom_value",
+    }
+    table = table.replace_schema_metadata(kv)
+    cuts = sorted(rng.choice(np.arange(1, n), size=n_files - 1, replace=False))
+    bounds = [0, *[int(c) for c in cuts], n]
+    d = tmp_path / "edges_in"
+    d.mkdir()
+    for i in range(n_files):
+        pq.write_table(table.slice(bounds[i], bounds[i + 1] - bounds[i]),
+                       d / f"edges.{i}.parquet")
+    return str(d), table
+
+
+@pytest.fixture(scope="module")
+def bundle(spark, tmp_path_factory):
+    from parquet_converters_spark.pipelines import parquet_to_sonata
+
+    tmp = tmp_path_factory.mktemp("sonata")
+    in_dir, table = _make_edges(tmp)
+    out = str(tmp / "bundle")
+    parquet_to_sonata(spark, in_dir, out, population="edges_test")
+    return out, table
+
+
+def test_table_roundtrip_in_global_order(bundle):
+    out, table = bundle
+    pop = os.path.join(out, "edges", "edges_test")
+    got = pq.read_table(os.path.join(pop, "table.parquet")).sort_by("row_index")
+    assert got.num_rows == table.num_rows
+    assert got.column("row_index").to_pylist() == list(range(table.num_rows))
+    for name in table.column_names:
+        ours = got.column(name).to_pylist()
+        expect = table.column(name).to_pylist()
+        if name == "my_attribute":
+            assert np.allclose(ours, expect)
+        else:
+            assert ours == expect, name
+
+
+def test_manifest_and_metadata_passthrough(bundle):
+    out, _ = bundle
+    pop = os.path.join(out, "edges", "edges_test")
+    manifest = json.load(open(os.path.join(pop, "attributes.json")))
+    # W3: custom keys pass through, org.apache.*/ARROW:schema filtered,
+    # population names -> node_population dataset attrs
+    assert manifest["attributes"]["my_custom_key"] == "my_custom_value"
+    assert not any(k.startswith("org.apache") for k in manifest["attributes"])
+    assert "ARROW:schema" not in manifest["attributes"]
+    assert manifest["dataset_attributes"]["source_node_id"]["node_population"] == "src_pop"
+    assert manifest["dataset_attributes"]["target_node_id"]["node_population"] == "tgt_pop"
+    assert "parquet2hdf5_version" in manifest["attributes"]
+    assert set(manifest["top_level_datasets"]) == {
+        "source_node_id", "target_node_id", "edge_type_id"
+    }
+    assert "my_attribute" in manifest["property_datasets"]
+
+
+def test_indices_consistent_with_edges(bundle):
+    """The two-level index must resolve every node to exactly its rows
+    (semantics of index.cpp:282-303)."""
+    out, table = bundle
+    pop = os.path.join(out, "edges", "edges_test")
+    edges = pq.read_table(os.path.join(pop, "table.parquet")).sort_by("row_index")
+
+    for direction, key in [
+        ("source_to_target", "source_node_id"),
+        ("target_to_source", "target_node_id"),
+    ]:
+        d = os.path.join(pop, "indices", direction)
+        nr = pq.read_table(os.path.join(d, "node_id_to_ranges.parquet")).sort_by("node_id")
+        re_ = pq.read_table(os.path.join(d, "range_to_edge_id.parquet")).sort_by("range_id")
+        # dense over population size from metadata (index.cpp:208-213)
+        assert nr.num_rows == 100
+        starts = re_.column("edge_start").to_pylist()
+        ends = re_.column("edge_end").to_pylist()
+        keys = edges.column(key).to_pylist()
+        lo = nr.column("range_lo").to_pylist()
+        hi = nr.column("range_hi").to_pylist()
+        for node in range(100):
+            rows = set()
+            for r in range(lo[node], hi[node]):
+                rows.update(range(starts[r], ends[r]))
+            expect = {i for i, k in enumerate(keys) if k == node}
+            assert rows == expect, (direction, node)
+
+
+def test_synapse_id_dropped(spark, tmp_path):
+    """P5: synapse_id / __index_level_0__ never reach the SONATA output
+    (sonata_writer.cpp:29)."""
+    from parquet_converters_spark.pipelines import parquet_to_sonata
+
+    t = pa.table(
+        {
+            "source_node_id": pa.array([0, 1], pa.int64()),
+            "target_node_id": pa.array([1, 0], pa.int64()),
+            "synapse_id": pa.array([10, 20], pa.int64()),
+            "__index_level_0__": pa.array([0, 1], pa.int64()),
+        }
+    )
+    d = tmp_path / "in"
+    d.mkdir()
+    pq.write_table(t, d / "e.0.parquet")
+    out = str(tmp_path / "b")
+    parquet_to_sonata(spark, str(d), out, population="p")
+    got = pq.read_table(os.path.join(out, "edges", "p", "table.parquet"))
+    assert "synapse_id" not in got.column_names
+    assert "__index_level_0__" not in got.column_names
+    assert "edge_type_id" in got.column_names  # defaulted

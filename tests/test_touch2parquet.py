@@ -1,0 +1,136 @@
+"""Conversion round-trip tests (SURVEY §5 layer 2): touch binary ->
+canonical parquet, checked against the reference's checked-in golden
+output ``tests/testCircuit.parquet`` and its physical writer options."""
+
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from tests.conftest import REFERENCE_TESTS
+
+
+@pytest.fixture(scope="module")
+def v1_out(spark, tmp_path_factory):
+    from parquet_converters_spark.pipelines import touch2parquet
+
+    out = str(tmp_path_factory.mktemp("t2p") / "v1_edges.parquet")
+    touch2parquet(
+        spark, os.path.join(REFERENCE_TESTS, "touches_v1", "touchesData.0"), out
+    )
+    return out
+
+
+def test_v1_matches_reference_golden(spark, v1_out):
+    """Row-for-row parity with the reference's own converted fixture
+    (compared as multisets — the reference CI compares after sorting,
+    .ci/test_circuit1k_touches.sh)."""
+    golden = pq.read_table(
+        os.path.join(REFERENCE_TESTS, "testCircuit.parquet")
+    ).to_pylist()
+    ours = pq.read_table(v1_out).to_pylist()
+    assert len(ours) == len(golden) == 82
+
+    cols = list(golden[0].keys())
+
+    def key(row):
+        return tuple(
+            round(row[c], 4) if isinstance(row[c], float) else row[c] for c in cols
+        )
+
+    assert sorted(key(r) for r in ours) == sorted(key(r) for r in golden)
+
+
+def test_v1_synapse_ids_unique_and_packed(v1_out):
+    t = pq.read_table(v1_out)
+    sid = t.column("synapse_id").to_pylist()
+    gid = t.column("source_node_id").to_pylist()
+    assert len(set(sid)) == len(sid)
+    assert all(s >> 24 == g for s, g in zip(sid, gid))
+
+
+def test_physical_layout(v1_out):
+    """W1 writer parity: snappy, dictionary off, small-int logical types
+    (parquet_writer.cpp:122-124, :34-41,52-53)."""
+    import glob
+
+    import pyarrow as pa
+
+    f = pq.ParquetFile(glob.glob(os.path.join(v1_out, "*.parquet"))[0])
+    arrow = f.schema_arrow
+    assert arrow.field("efferent_section_id").type == pa.int16()
+    assert arrow.field("branch_order").type == pa.int8()
+    assert arrow.field("synapse_id").type == pa.int64()
+    schema = f.schema  # parquet schema: INT32 physical + INT_16 converted
+    by_name = {schema.column(i).name: schema.column(i) for i in range(len(schema))}
+    assert by_name["efferent_section_id"].physical_type == "INT32"
+    assert "Int(bitWidth=16" in str(by_name["efferent_section_id"].logical_type)
+    assert "Int(bitWidth=8" in str(by_name["branch_order"].logical_type)
+    for rg in range(f.metadata.num_row_groups):
+        for c in range(f.metadata.num_columns):
+            col = f.metadata.row_group(rg).column(c)
+            assert col.compression == "SNAPPY"
+            assert "PLAIN_DICTIONARY" not in col.encodings
+            assert "RLE_DICTIONARY" not in col.encodings
+    # KV metadata stamped (parquet_writer.cpp:115-120)
+    kv = f.schema_arrow.metadata or {}
+    assert b"touch2parquet_version" in kv
+    assert b"touchdetector_version" in kv
+
+
+def test_v2_branch_type_unpack(spark):
+    """P3: hi nibble -> efferent, lo nibble -> afferent, +1 MorphIO offset
+    (parquet_writer.h:63-69)."""
+    from parquet_converters_spark.operators import to_canonical_edges
+    from parquet_converters_spark.sources import read_touches
+
+    raw = read_touches(
+        spark, os.path.join(REFERENCE_TESTS, "touches_v2", "touchesData.0")
+    )
+    edges = to_canonical_edges(raw, 2)
+    joined = (
+        raw.select("synapse_id", "branch_type")
+        .join(edges.select("synapse_id", "efferent_section_type", "afferent_section_type"), "synapse_id")
+        .collect()
+    )
+    assert len(joined) == 1104
+    for r in joined:
+        assert r["efferent_section_type"] == ((r["branch_type"] >> 4) & 0xF) + 1
+        assert r["afferent_section_type"] == (r["branch_type"] & 0xF) + 1
+
+
+def test_v3_full_columns(spark, tmp_path):
+    from parquet_converters_spark.pipelines import touch2parquet
+    from parquet_converters_spark.schemas import edge_columns
+
+    out = str(tmp_path / "v3.parquet")
+    touch2parquet(
+        spark, os.path.join(REFERENCE_TESTS, "touches_v3", "touchesData.0"), out
+    )
+    t = pq.read_table(out)
+    assert t.column_names == edge_columns(3)
+    assert t.num_rows == 62
+
+
+def test_limit(spark):
+    """L1: -n record cap (touch2parquet.cpp:47)."""
+    from parquet_converters_spark.operators import to_canonical_edges
+    from parquet_converters_spark.sources import read_touches
+
+    raw = read_touches(
+        spark, os.path.join(REFERENCE_TESTS, "touches_v2", "touchesData.0")
+    )
+    assert to_canonical_edges(raw, 2, limit=10).count() == 10
+
+
+def test_validation_raises(spark):
+    """P6: section/segment ids beyond 0x7fff abort the conversion
+    (parquet_writer.cpp:207-219)."""
+    from parquet_converters_spark.operators import validate_sections
+
+    df = spark.createDataFrame(
+        [(1, 0x8000, 1, 1)],
+        "pre_section: int, pre_segment: int, post_section: int, post_segment: int",
+    )
+    with pytest.raises(ValueError, match="endianess"):
+        validate_sections(df.withColumn("pre_section", df.pre_segment * 0 + 0x8000))

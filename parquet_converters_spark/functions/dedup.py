@@ -1,0 +1,277 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four families, all shuffle-disciplined for 100 TB inputs:
+
+- **exact**: content-hash groupBy — one shuffle on a 64-bit hash key,
+  map-side partial aggregation, no full-text comparison.
+- **MinHash + LSH**: shingle -> 32-bit hash -> k permuted mins ->
+  banded bucket join.  Candidate generation is an equi-join on
+  (band_id, band_signature) — Spark shuffles both sides on the bucket
+  key, so cost is proportional to bucket collisions, never O(n^2).
+- **SimHash**: 32-bit majority-vote fingerprint; near-dups share a
+  fingerprint (or a nibble-banded variant of it).
+- **n-gram Jaccard**: exact verification on candidate pairs only.
+
+Hashing is ``int(md5(s)[:8], 16)`` + linear permutations
+``(a*h + b) mod p`` with fixed constants — bit-for-bit reproducible in
+the DuckDB oracle (and any other engine), which matters for auditing a
+dedup run on 100 TB: no engine-private hash functions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from parquet_converters_spark.functions.text import shingles, tokens
+
+#: 2^31-1.  The permutation domain must be comparable to the hash range:
+#: with a much larger prime (say 2^61-1) a*h+b barely wraps, every
+#: "permutation" is near-monotone in h, all minima pick the same
+#: shingle, and MinHash degenerates (sketch similarity collapses to an
+#: equality test on the globally-minimal shingle).
+MERSENNE_PRIME = (1 << 31) - 1
+
+#: fixed linear-permutation constants (a, b) for MinHash, frozen so every
+#: engine agrees.  All < 2^31: with hashes reduced mod the prime,
+#: a*h + b stays under 2^62 — no int64 overflow in Spark, DuckDB, or
+#: anything else.
+_MINHASH_COEFFS = [
+    (433494437, 268435399), (479001599, 1046527), (87178291, 16769023),
+    (268435459, 40503), (179424673, 104395301), (122949823, 15485863),
+    (32452843, 49979687), (67867967, 86028121), (198491317, 217645177),
+    (15485867, 32452867), (49979693, 67867979), (86028157, 2038074),
+    (141650939, 160481183), (217645199, 122949829), (104395303, 179424691),
+    (160481219, 433494449),
+]
+
+
+def h32(s: Column) -> Column:
+    """Shared 32-bit content hash: first 8 hex chars of md5 as bigint.
+    DuckDB equivalent: ``CAST(concat('0x', substr(md5(s),1,8)) AS BIGINT)``."""
+    return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+
+
+def content_hash(text: Column | str) -> Column:
+    """64-bit exact-dedup key: first 15 hex chars of md5 (fits signed
+    int64; collision odds at 100 TB doc counts ~ n^2 / 2^60)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: one row per distinct content hash, keeping the lowest
+    id (deterministic winner) and the group size."""
+    return (
+        df.select(content_hash(text_col).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def minhash_signature(
+    text: Column | str, num_hashes: int = 8, shingle_size: int = 3
+) -> Column:
+    """MinHash signature as a single column expression: array of
+    ``num_hashes`` permuted minima over word-shingle hashes.
+    Empty-shingle documents get MERSENNE_PRIME sentinels.
+
+    NOTE: fine for one-off use, but the ``num_hashes`` array traversals
+    re-evaluate the md5 pipeline per permutation under codegen — batch
+    pipelines should use :func:`minhash_signatures` (explode + groupBy,
+    one md5 per shingle)."""
+    assert num_hashes <= len(_MINHASH_COEFFS)
+    sh = shingles(text, shingle_size)
+    hashes = F.transform(sh, h32)
+
+    def perm(a, b):
+        # factory keeps the lambda unary: PySpark reads higher-order
+        # function arity from the Python signature (defaults included)
+        return lambda h: ((h % MERSENNE_PRIME) * a + b) % MERSENNE_PRIME
+
+    mins = [
+        F.coalesce(
+            F.array_min(F.transform(hashes, perm(a, b))),
+            F.lit(MERSENNE_PRIME),
+        )
+        for a, b in _MINHASH_COEFFS[:num_hashes]
+    ]
+    return F.array(*mins)
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """(id, signature) MinHash signatures, computed the scale-friendly
+    way: explode shingle hashes (md5 once per shingle), then one
+    hash-aggregate with ``num_hashes`` ``min`` accumulators — a single
+    narrow map + one shuffle on the id, regardless of ``num_hashes``."""
+    assert num_hashes <= len(_MINHASH_COEFFS)
+    ex = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode_outer(F.transform(shingles(text_col, shingle_size), h32)).alias("_h"),
+    )
+    aggs = [
+        F.coalesce(
+            F.min(((F.col("_h") % MERSENNE_PRIME) * a + b) % MERSENNE_PRIME),
+            F.lit(MERSENNE_PRIME),
+        ).alias(f"_m{i}")
+        for i, (a, b) in enumerate(_MINHASH_COEFFS[:num_hashes])
+    ]
+    return ex.groupBy("_id").agg(*aggs).select(
+        F.col("_id").alias(id_col),
+        F.array(*[F.col(f"_m{i}") for i in range(num_hashes)]).alias("signature"),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_size: int = 3,
+    jaccard_threshold: float | None = None,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via banded MinHash-LSH, optionally
+    verified with exact shingle-set Jaccard.
+
+    Plan shape (scale-critical): signature computation is a narrow map;
+    banding explodes each doc into ``bands`` rows; candidates come from
+    a self equi-join on (band, band_signature) — hash-shuffle on the
+    bucket key, broadcast-free, skew handled by AQE.  Verification runs
+    only on distinct candidate pairs.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_size).select(
+        F.col(id_col).alias("_id"), F.col("signature").alias("_sig")
+    )
+    banded = sig.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.array_join(
+                            F.transform(
+                                F.slice("_sig", b * rows_per_band + 1, rows_per_band),
+                                lambda x: x.cast("string"),
+                            ),
+                            "-",
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("_id", "bb.band", "bb.bucket")
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+    if jaccard_threshold is None:
+        return cand.select("id_a", "id_b")
+
+    # verification joins the shingle sets back in by id (keeps the text
+    # out of the banded explode + self-join shuffles)
+    sh = df.select(
+        F.col(id_col).alias("_vid"),
+        F.array_distinct(shingles(text_col, shingle_size)).alias("_vsh"),
+    )
+    a = sh.select(F.col("_vid").alias("id_a"), F.col("_vsh").alias("_sh_a"))
+    b = sh.select(F.col("_vid").alias("id_b"), F.col("_vsh").alias("_sh_b"))
+    inter = F.size(F.array_intersect("_sh_a", "_sh_b"))
+    union = F.size(F.array_union("_sh_a", "_sh_b"))
+    jac = inter / F.greatest(union, F.lit(1))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+) -> DataFrame:
+    """(id, simhash) fingerprints: bit b is set when the majority of
+    token hashes have bit b set (sum of +-1 votes > 0).
+
+    Explode + one hash-aggregate with ``bits`` sum accumulators: md5
+    runs once per token, the vote matrix stays columnar in the
+    aggregation buffer — a single shuffle on the id at any scale
+    (the naive per-bit array-aggregate form re-reads the token array
+    ``bits`` times)."""
+    ex = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode_outer(F.transform(tokens(text_col), h32)).alias("_h"),
+    )
+    votes = [
+        F.sum(
+            F.when(F.col("_h").isNull(), 0)
+            .when(F.shiftright("_h", b).bitwiseAND(1) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"_v{b}")
+        for b in range(bits)
+    ]
+    grouped = ex.groupBy("_id").agg(*votes)
+    out = F.lit(0).cast("long")
+    for b in range(bits):
+        out = out + F.when(F.col(f"_v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(0)
+    return grouped.select(F.col("_id").alias(id_col), out.alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str | None = None,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram-Jaccard similar pairs within ``group_col`` blocks
+    (blocked self-join; pass a clustering/bucketing column to avoid the
+    O(n^2) cross product at scale)."""
+    sh = F.array_distinct(shingles(text_col, n))
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        sh.alias("_sh"),
+        *([F.col(group_col).alias("_grp")] if group_col else [F.lit(0).alias("_grp")]),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    inter = F.size(F.array_intersect(F.col("a._sh"), F.col("b._sh")))
+    union = F.size(F.array_union(F.col("a._sh"), F.col("b._sh")))
+    jac = inter / F.greatest(union, F.lit(1))
+    return (
+        a.join(
+            b,
+            (F.col("a._grp") == F.col("b._grp")) & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

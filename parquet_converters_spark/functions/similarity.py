@@ -1,0 +1,178 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two paths, per SURVEY's extended-operator mandate:
+
+- **brute-force cosine top-k** — the exactness baseline.  Queries are a
+  small set of rows: they broadcast, the corpus side never shuffles, and
+  the per-row dot product is a JVM-side ``aggregate``/``zip_with``
+  expression (no Python).  Scale: O(|corpus| * |queries| * dim) FLOPs
+  spread across executors; the only shuffle is the final per-query top-k
+  (tiny after partial ``Window``/sort pruning).
+- **LSH-bucketed ANN** — random-hyperplane signs bucket the corpus; a
+  query probes only its bucket.  Hyperplanes are deterministic constants
+  derived from a seeded hash (frozen here), so the bucketing is
+  reproducible across engines — the DuckDB oracle computes identical
+  buckets.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def _plane_component(plane: int, dim: int) -> float:
+    """Deterministic pseudo-random hyperplane component in [-1, 1):
+    derived from md5, engine-independent."""
+    h = int(hashlib.md5(f"plane-{plane}-{dim}".encode()).hexdigest()[:8], 16)
+    return (h % 2000 - 1000) / 1000.0
+
+
+def hyperplanes(num_planes: int, dim: int) -> list[list[float]]:
+    return [
+        [_plane_component(p, d) for d in range(dim)] for p in range(num_planes)
+    ]
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    """JVM-side cosine over two float-array columns (double math)."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    na = F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+    nb = F.sqrt(
+        F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+    return dot / (na * nb)
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors of each query row over the corpus
+    (self-matches excluded).  ``queries`` must be small — it is
+    broadcast; the corpus scan stays pristine (no shuffle before the
+    top-k)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec")
+    )
+    sim = cosine_similarity(F.col("_qvec"), F.col("_cvec"))
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("cosine"), 6).desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane LSH bucket id: bit p set iff dot(vec, plane_p)
+    >= 0."""
+    out = F.lit(0).cast("long")
+    for p, plane in enumerate(planes):
+        dot = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(x) for x in plane]),
+                lambda v, w: v.cast("double") * w,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        out = out + F.when(dot >= 0, F.lit(1 << p).cast("long")).otherwise(0)
+    return out
+
+
+def lsh_bucket_ann(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    num_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: both sides bucketed by hyperplane signs, join
+    on bucket equality, exact cosine + rank within the bucket.
+
+    Scale path: the bucket join replaces the all-pairs product with
+    ~n/2^planes-sized partitions; multiplying probes (nearby buckets)
+    is a straightforward extension."""
+    planes = hyperplanes(num_planes, dim)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qvec"),
+        lsh_bucket(F.col(vec_col), planes).alias("_bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cvec"),
+        lsh_bucket(F.col(vec_col), planes).alias("_bucket"),
+    )
+    sim = cosine_similarity(F.col("_qvec"), F.col("_cvec"))
+    scored = (
+        c.join(F.broadcast(q), "_bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("cosine"), 6).desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    num_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via bucketed self-join:
+    candidates share an LSH bucket, verified by exact cosine >=
+    threshold."""
+    planes = hyperplanes(num_planes, dim)
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_vec"),
+        lsh_bucket(F.col(vec_col), planes).alias("_bucket"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    sim = cosine_similarity(F.col("a._vec"), F.col("b._vec"))
+    return (
+        a.join(
+            b,
+            (F.col("a._bucket") == F.col("b._bucket"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.round(sim, 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

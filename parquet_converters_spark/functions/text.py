@@ -1,0 +1,110 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All hot paths are pure ``pyspark.sql.functions`` column expressions —
+JVM-side, whole-stage-codegen-friendly, no Python UDFs — so they scale
+linearly with executors and survive 100 TB inputs as narrow map stages.
+
+Every operator has an exactly-equivalent ANSI-SQL formulation (used by
+the DuckDB oracle in ``__spark_entry__.py``); the shared deterministic
+hash is ``int(md5(s)[:8], 16)`` which both engines can compute.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+TOKEN_PATTERN = "[a-z0-9]+"
+
+#: tiny per-language stopword lists for the n-gram/stopword language-ID
+#: heuristic.  Deliberately small and fixed: the operator contract is a
+#: deterministic scoring function, not a trained model.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "on"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "auf", "ein", "zu"],
+    "fr": ["le", "la", "les", "et", "de", "un", "une", "est", "pour", "dans"],
+    "es": ["el", "la", "los", "las", "y", "de", "un", "una", "es", "para"],
+    "zh": ["de", "shi", "le", "zai", "he", "you", "wo", "ta", "men", "zhe"],
+}
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def tokens(text: Column | str) -> Column:
+    """Lowercased alphanumeric tokens (BPE-ish regex tokenizer baseline)."""
+    return F.regexp_extract_all(F.lower(_col(text)), F.lit(TOKEN_PATTERN), 0)
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def shingles(text: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles as space-joined strings; empty array when the
+    document has fewer than ``n`` tokens."""
+    t = tokens(text)
+    return F.when(F.size(t) < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(t) - n),
+            lambda i: F.array_join(F.slice(t, i + 1, n), " "),
+        )
+    )
+
+
+def quality_score(text: Column | str) -> Column:
+    """Heuristic document quality in [0,1]: length band, alpha ratio,
+    mean token length band, stopword presence.  Pure arithmetic — same
+    formula is mirrored in the oracle SQL."""
+    c = _col(text)
+    n_chars = F.length(c)
+    toks = tokens(text)
+    n_tokens = F.size(toks)
+    alpha = F.length(F.regexp_replace(F.lower(c), "[^a-z0-9 ]", ""))
+    alpha_ratio = alpha / F.greatest(n_chars, F.lit(1))
+    mean_tok = (
+        F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x))
+        / F.greatest(n_tokens, F.lit(1))
+    )
+    stop_hits = F.size(
+        F.array_intersect(toks, F.array(*[F.lit(w) for w in STOPWORDS["en"]]))
+    )
+    score = (
+        F.when((n_chars >= 50) & (n_chars <= 10000), F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when(alpha_ratio >= 0.8, F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when((mean_tok >= 3) & (mean_tok <= 10), F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when(stop_hits >= 2, F.lit(0.25)).otherwise(F.lit(0.0))
+    )
+    return score
+
+
+def language_scores(text: Column | str) -> dict[str, Column]:
+    """Per-language stopword-overlap scores (distinct token hits)."""
+    toks = F.array_distinct(tokens(text))
+    return {
+        lang: F.size(
+            F.array_intersect(toks, F.array(*[F.lit(w) for w in words]))
+        )
+        for lang, words in STOPWORDS.items()
+    }
+
+
+def language_id(text: Column | str) -> Column:
+    """Argmax language by stopword overlap; ties broken by language code
+    order; 'und' (undetermined) when no stopword hits at all."""
+    scores = language_scores(text)
+    langs = sorted(scores)
+    best = F.greatest(*[scores[lang] for lang in langs])
+    result = F.lit("und")
+    # reverse order so earlier language codes win ties
+    for lang in reversed(langs):
+        result = F.when(scores[lang] == best, F.lit(lang)).otherwise(result)
+    return F.when(best == 0, F.lit("und")).otherwise(result)
+
+
+def doc_fingerprint(text: Column | str) -> Column:
+    """64-bit-ish content fingerprint: first 15 hex chars of md5 as a
+    bigint (shared with the DuckDB oracle)."""
+    return F.conv(F.substring(F.md5(_col(text).cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )

@@ -1,0 +1,975 @@
+"""The engine's declared query surface (SURVEY §2 inventory + extended
+LLM-data-pipeline operators), exposed through ``__spark_entry__.py``.
+
+Every entry is a pair: a Spark DataFrame program and an exactly
+equivalent ANSI-SQL oracle (run by the driver in DuckDB).  Determinism
+conventions that make the value-hash comparison exact:
+
+- double aggregates go through ``decimal(20,4)`` (exact in both
+  engines) and are cast back to double at the end;
+- timestamps are emitted as ``unix micros`` bigints (DuckDB reads
+  ns-precision parquet, Spark truncates to micros — integers dodge the
+  formatting divergence);
+- similarity scores are rounded to 6 decimals with deterministic
+  tie-breaks on ids;
+- hashes derive from md5 prefixes — no engine-private hash functions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from parquet_converters_spark.functions.dedup import (
+    _MINHASH_COEFFS,
+    MERSENNE_PRIME,
+    content_hash,
+    exact_dedup,
+    minhash_signature,
+    minhash_signatures,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from parquet_converters_spark.functions.multimodal import (
+    documents_as_media,
+    media_metadata,
+)
+from parquet_converters_spark.functions.similarity import (
+    cosine_topk,
+    embedding_neardup_pairs,
+    hyperplanes,
+    lsh_bucket_ann,
+)
+from parquet_converters_spark.functions.text import (
+    STOPWORDS,
+    doc_fingerprint,
+    language_id,
+    quality_score,
+    token_count,
+    tokens,
+)
+from parquet_converters_spark.operators.indexing import (
+    build_adjacency_index,
+    run_length_ranges,
+)
+from parquet_converters_spark.streaming.events import (
+    sessionize,
+    windowed_event_counts,
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with ``ts`` normalized to a proper timestamp: the table is
+    written as TIMESTAMP(NANOS), which Spark reads as a nanosecond long
+    (session sets ``nanosAsLong``); truncate to micros like every other
+    engine does."""
+    ev = _t(spark, sf_dir, "events")
+    if dict(ev.dtypes)["ts"] in ("bigint", "long"):
+        # integral division: ns values (~1.7e18) exceed double's 53-bit
+        # mantissa, so a float `/ 1000` goes off by one micro
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return ev
+
+
+def _dec(c, scale: int = 4):
+    return F.col(c).cast(f"decimal(25,{scale})") if isinstance(c, str) else c.cast(f"decimal(25,{scale})")
+
+
+# ---------------------------------------------------------------------------
+# SQL fragment helpers shared with the oracle strings
+# ---------------------------------------------------------------------------
+
+SQL_TOKENS = "regexp_extract_all(lower({col}), '[a-z0-9]+')"
+SQL_H32 = "CAST(concat('0x', substr(md5({x}), 1, 8)) AS BIGINT)"
+SQL_H60 = "CAST(concat('0x', substr(md5({x}), 1, 15)) AS BIGINT)"
+
+
+def _sql_shingles(col: str, n: int = 3) -> str:
+    toks = SQL_TOKENS.format(col=col)
+    parts = ", ".join(f"toks[i+{j}]" for j in range(n))
+    return (
+        f"(SELECT CASE WHEN len(toks) < {n} THEN [] "
+        f"ELSE list_transform(generate_series(1, len(toks) - {n - 1}), "
+        f"i -> concat_ws(' ', {parts})) END "
+        f"FROM (SELECT {toks} AS toks) _sh)"
+    )
+
+
+# ===========================================================================
+# Relational queries (Spark-native strengths: joins, aggregation, windows)
+# ===========================================================================
+
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-style pricing summary over lineitem (A1 aggregation +
+    map-side partial agg; single shuffle on the 2-value grouping key)."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = _dec("l_extendedprice") * (F.lit(1).cast("decimal(25,4)") - _dec("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2025-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(25,4))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(25,4))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(25,4)) * (CAST(1 AS DECIMAL(25,4)) - CAST(l_discount AS DECIMAL(25,4)))) AS DOUBLE) AS sum_disc_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2025-09-01'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3-style: broadcast the filtered customer dim, shuffle join
+    orders<->lineitem, top-10 by revenue with deterministic tie-break."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    revenue = F.sum(
+        _dec("l_extendedprice") * (F.lit(1).cast("decimal(25,4)") - _dec("l_discount"))
+    ).cast("double")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(revenue.alias("revenue"))
+        .select(
+            "o_orderkey",
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("o_orderdate_us"),
+            "revenue",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+Q3_SQL = """
+SELECT o_orderkey,
+       epoch_us(o_orderdate) AS o_orderdate_us,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(25,4)) * (CAST(1 AS DECIMAL(25,4)) - CAST(l_discount AS DECIMAL(25,4)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+def q5_nation_volume(spark, sf_dir):
+    """TPC-H Q5-style multi-join star query: dims broadcast, facts
+    shuffle once; revenue per nation."""
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    sup = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    revenue = F.sum(
+        _dec("l_extendedprice") * (F.lit(1).cast("decimal(25,4)") - _dec("l_discount"))
+    ).cast("double")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(sup), (li.l_suppkey == sup.s_suppkey) & (cust.c_nationkey == sup.s_nationkey))
+        .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(revenue.alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
+
+
+Q5_SQL = """
+SELECT n_name,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(25,4)) * (CAST(1 AS DECIMAL(25,4)) - CAST(l_discount AS DECIMAL(25,4)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+# ===========================================================================
+# Reference operator demonstrations (SURVEY §2) over the driver tables
+# ===========================================================================
+
+def proj_rename(spark, sf_dir):
+    """P1 projection+rename (+derived column), the reference's
+    pre->efferent rename pattern (parquet_writer.cpp:189-243)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        F.col("l_orderkey").alias("order_id"),
+        F.col("l_partkey").alias("part_id"),
+        F.col("l_linenumber").alias("line_no"),
+        (_dec("l_extendedprice") * (F.lit(1).cast("decimal(25,4)") - _dec("l_discount")))
+        .cast("double")
+        .alias("net_price"),
+    )
+
+
+PROJ_RENAME_SQL = """
+SELECT l_orderkey AS order_id, l_partkey AS part_id, l_linenumber AS line_no,
+       CAST(CAST(l_extendedprice AS DECIMAL(25,4)) * (CAST(1 AS DECIMAL(25,4)) - CAST(l_discount AS DECIMAL(25,4))) AS DOUBLE) AS net_price
+FROM lineitem
+"""
+
+
+def array_flatten(spark, sf_dir):
+    """P2 array flatten: embedding[0..2] -> x/y/z scalars
+    (parquet_writer.cpp:225-242)."""
+    e = _t(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.round(F.col("embedding")[0].cast("double"), 6).alias("x"),
+        F.round(F.col("embedding")[1].cast("double"), 6).alias("y"),
+        F.round(F.col("embedding")[2].cast("double"), 6).alias("z"),
+        F.size("embedding").alias("dim"),
+    )
+
+
+ARRAY_FLATTEN_SQL = """
+SELECT vec_id,
+       round(CAST(embedding[1] AS DOUBLE), 6) AS x,
+       round(CAST(embedding[2] AS DOUBLE), 6) AS y,
+       round(CAST(embedding[3] AS DOUBLE), 6) AS z,
+       len(embedding) AS dim
+FROM embeddings
+"""
+
+
+def bitfield_unpack(spark, sf_dir):
+    """P3 bit-field unpack, the branch_type nibble pattern
+    (parquet_writer.h:63-69) applied to event ids."""
+    ev = _events(spark, sf_dir)
+    return ev.select(
+        "event_id",
+        (F.shiftright(F.col("event_id"), 4).bitwiseAND(0xF) + 1).alias("hi_nibble"),
+        (F.col("event_id").bitwiseAND(0xF) + 1).alias("lo_nibble"),
+    )
+
+
+BITFIELD_UNPACK_SQL = """
+SELECT event_id,
+       ((event_id // 16) & 15) + 1 AS hi_nibble,
+       (event_id & 15) + 1 AS lo_nibble
+FROM events
+"""
+
+
+def derived_key(spark, sf_dir):
+    """P4 derived unique key: (gid << 24) + per-gid running index
+    (touch_reader.cpp:275-287), gid=user_id, order=(ts, event_id)."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        (
+            F.col("user_id").cast("long") * F.lit(1 << 24).cast("long")
+            + F.row_number().over(w)
+            - 1
+        ).alias("synthetic_key"),
+    )
+
+
+DERIVED_KEY_SQL = """
+SELECT event_id, user_id,
+       user_id * 16777216 + row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS synthetic_key
+FROM events
+"""
+
+
+def validation_filter(spark, sf_dir):
+    """P6 validation predicates as a data-quality report (the engine
+    raises on violations in the conversion path; here: count them)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1).otherwise(0)).alias("bad_discount"),
+        F.sum(F.when(F.col("l_quantity") <= 0, 1).otherwise(0)).alias("bad_quantity"),
+        F.sum(F.when(F.col("l_tax") < 0, 1).otherwise(0)).alias("bad_tax"),
+    )
+
+
+VALIDATION_FILTER_SQL = """
+SELECT count(*) AS n_rows,
+       sum(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS bad_discount,
+       sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS bad_quantity,
+       sum(CASE WHEN l_tax < 0 THEN 1 ELSE 0 END) AS bad_tax
+FROM lineitem
+"""
+
+
+def limit_n(spark, sf_dir):
+    """L1 deterministic limit (order fixed before the cut,
+    touch2parquet.cpp:47)."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.select("event_id", "user_id", "event_type")
+        .orderBy("event_id")
+        .limit(20)
+    )
+
+
+LIMIT_N_SQL = """
+SELECT event_id, user_id, event_type FROM events ORDER BY event_id LIMIT 20
+"""
+
+
+def count_sum(spark, sf_dir):
+    """A1 global count/sum (parquet2hdf5.cpp:89-95)."""
+    ev = _events(spark, sf_dir)
+    return ev.select(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(_dec("value", 6)).cast("double").alias("value_sum"),
+    )
+
+
+COUNT_SUM_SQL = """
+SELECT count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS value_sum
+FROM events
+"""
+
+
+def global_max(spark, sf_dir):
+    """A2 node-count inference: max(id)+1 (index.cpp:208-213)."""
+    ev = _events(spark, sf_dir)
+    return ev.select((F.max("user_id") + 1).alias("node_count"))
+
+
+GLOBAL_MAX_SQL = "SELECT max(user_id) + 1 AS node_count FROM events"
+
+
+def prefix_sum(spark, sf_dir):
+    """A3 distributed prefix sum: running revenue by order day
+    (parquet2hdf5.cpp:97-110 as a window cumsum)."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(F.date_trunc("day", F.col("o_orderdate").cast("timestamp")).alias("day"))
+        .agg(F.sum(_dec("o_totalprice")).alias("day_total"))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily.select(
+        F.unix_micros("day").alias("day_us"),
+        F.col("day_total").cast("double").alias("day_total"),
+        F.sum("day_total").over(w).cast("double").alias("running_total"),
+    )
+
+
+PREFIX_SUM_SQL = """
+WITH daily AS (
+  SELECT date_trunc('day', o_orderdate) AS day,
+         sum(CAST(o_totalprice AS DECIMAL(25,4))) AS day_total
+  FROM orders GROUP BY 1
+)
+SELECT epoch_us(CAST(day AS TIMESTAMP)) AS day_us,
+       CAST(day_total AS DOUBLE) AS day_total,
+       CAST(sum(day_total) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+FROM daily
+"""
+
+
+def run_length(spark, sf_dir):
+    """G1 run-length grouping (gaps-and-islands) over the event stream:
+    maximal runs of equal event_type in event_id order
+    (index.cpp:114-137)."""
+    ev = _events(spark, sf_dir)
+    return run_length_ranges(
+        ev.select(F.col("event_type"), F.col("event_id")), "event_type", "event_id"
+    ).orderBy("node_id", "range_start")
+
+
+RUN_LENGTH_SQL = """
+SELECT event_type AS node_id, min(event_id) AS range_start, max(event_id) + 1 AS range_end
+FROM (
+  SELECT event_type, event_id,
+         event_id - row_number() OVER (PARTITION BY event_type ORDER BY event_id) AS island
+  FROM events
+)
+GROUP BY event_type, island
+ORDER BY node_id, range_start
+"""
+
+
+def interval_merge(spark, sf_dir):
+    """G4 per-key interval merge: overlapping 30-day order windows per
+    customer collapse into maximal covered intervals
+    (index.cpp:142-153 generalized to time)."""
+    orders = _t(spark, sf_dir, "orders")
+    iv = orders.select(
+        "o_custkey",
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("lo"),
+        (F.unix_micros(F.col("o_orderdate").cast("timestamp")) + F.lit(30 * 86400_000_000)).alias("hi"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("lo", "hi")
+    running_max = F.max("hi").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = iv.withColumn(
+        "_new", F.when(running_max.isNull() | (F.col("lo") > running_max), 1).otherwise(0)
+    ).withColumn(
+        "_grp",
+        F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return (
+        flagged.groupBy("o_custkey", "_grp")
+        .agg(F.min("lo").alias("interval_lo"), F.max("hi").alias("interval_hi"))
+        .drop("_grp")
+        .orderBy("o_custkey", "interval_lo")
+    )
+
+
+INTERVAL_MERGE_SQL = """
+WITH iv AS (
+  SELECT o_custkey, epoch_us(o_orderdate) AS lo,
+         epoch_us(o_orderdate) + 30*86400000000 AS hi
+  FROM orders
+), flagged AS (
+  SELECT o_custkey, lo, hi,
+         CASE WHEN max(hi) OVER (PARTITION BY o_custkey ORDER BY lo, hi
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                   OR lo > max(hi) OVER (PARTITION BY o_custkey ORDER BY lo, hi
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS _new
+  FROM iv
+), grouped AS (
+  SELECT o_custkey, lo, hi,
+         sum(_new) OVER (PARTITION BY o_custkey ORDER BY lo, hi
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _grp
+  FROM flagged
+)
+SELECT o_custkey, min(lo) AS interval_lo, max(hi) AS interval_hi
+FROM grouped GROUP BY o_custkey, _grp
+ORDER BY o_custkey, interval_lo
+"""
+
+
+def dense_left_join(spark, sf_dir):
+    """G5 dense left join vs a generated id domain: every nationkey in
+    [0,25) gets a row, missing -> 0 (index.cpp:282-299, the reference's
+    only join)."""
+    cust = _t(spark, sf_dir, "customer")
+    per_nation = cust.groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("n_customers"))
+    return (
+        spark.range(25)
+        .withColumnRenamed("id", "nation_id")
+        .join(per_nation, F.col("nation_id") == F.col("c_nationkey"), "left")
+        .na.fill({"n_customers": 0})
+        .select("nation_id", "n_customers")
+        .orderBy("nation_id")
+    )
+
+
+DENSE_LEFT_JOIN_SQL = """
+SELECT r.range AS nation_id, coalesce(n.n_customers, 0) AS n_customers
+FROM range(25) r
+LEFT JOIN (SELECT c_nationkey, count(*) AS n_customers FROM customer GROUP BY 1) n
+  ON r.range = n.c_nationkey
+ORDER BY nation_id
+"""
+
+
+def adjacency_node_ranges(spark, sf_dir):
+    """G1-G6 flagship: the full SONATA adjacency index (node side) over
+    events-as-edges (key=user_id, global order=event_id)."""
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id").alias("source_node_id"), F.col("event_id").alias("row_index")
+    )
+    node_ranges, _ = build_adjacency_index(ev, "source_node_id", row_col="row_index")
+    return node_ranges.orderBy("node_id")
+
+
+ADJ_NODE_RANGES_SQL = """
+WITH ranges AS (
+  SELECT user_id AS node_id, min(event_id) AS range_start, max(event_id)+1 AS range_end
+  FROM (SELECT user_id, event_id,
+               event_id - row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS island
+        FROM events)
+  GROUP BY user_id, island
+), numbered AS (
+  SELECT node_id, range_start,
+         row_number() OVER (ORDER BY node_id, range_start) - 1 AS range_id
+  FROM ranges
+), per_node AS (
+  SELECT node_id, min(range_id) AS range_lo, max(range_id)+1 AS range_hi
+  FROM numbered GROUP BY node_id
+)
+SELECT d.node_id, coalesce(p.range_lo, 0) AS range_lo, coalesce(p.range_hi, 0) AS range_hi
+FROM (SELECT unnest(generate_series(0, (SELECT max(user_id) FROM events))) AS node_id) d
+LEFT JOIN per_node p ON d.node_id = p.node_id
+ORDER BY d.node_id
+"""
+
+
+def adjacency_range_to_edge(spark, sf_dir):
+    """G1-G6 flagship (range side): globally numbered node-major edge
+    ranges."""
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id").alias("source_node_id"), F.col("event_id").alias("row_index")
+    )
+    _, range_edges = build_adjacency_index(ev, "source_node_id", row_col="row_index")
+    return range_edges.orderBy("range_id")
+
+
+ADJ_RANGE_EDGE_SQL = """
+WITH ranges AS (
+  SELECT user_id AS node_id, min(event_id) AS range_start, max(event_id)+1 AS range_end
+  FROM (SELECT user_id, event_id,
+               event_id - row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS island
+        FROM events)
+  GROUP BY user_id, island
+)
+SELECT row_number() OVER (ORDER BY node_id, range_start) - 1 AS range_id,
+       range_start AS edge_start, range_end AS edge_end
+FROM ranges
+ORDER BY range_id
+"""
+
+
+# ===========================================================================
+# Dedup operators
+# ===========================================================================
+
+def dedup_exact(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dedup(docs).orderBy("content_hash")
+
+
+DEDUP_EXACT_SQL = f"""
+SELECT {SQL_H60.format(x='text')} AS content_hash,
+       min(doc_id) AS keep_id, count(*) AS dup_count
+FROM documents GROUP BY 1 ORDER BY content_hash
+"""
+
+
+def dedup_minhash_sig(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_signatures(docs, num_hashes=8).orderBy("doc_id")
+
+
+def _sql_minhash_sig(text_col: str = "text", num_hashes: int = 8) -> str:
+    sh = _sql_shingles(text_col)
+    mins = ", ".join(
+        f"coalesce(list_min(list_transform(hashes, h -> ((h % {MERSENNE_PRIME})*{a}+{b}) % {MERSENNE_PRIME})), {MERSENNE_PRIME})"
+        for a, b in _MINHASH_COEFFS[:num_hashes]
+    )
+    return (
+        f"SELECT doc_id, [{mins}] AS signature "
+        f"FROM (SELECT doc_id, list_transform({sh}, s -> {SQL_H32.format(x='s')}) AS hashes "
+        f"FROM documents) _m"
+    )
+
+
+DEDUP_MINHASH_SIG_SQL = _sql_minhash_sig() + " ORDER BY doc_id"
+
+
+def dedup_minhash_lsh(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, num_hashes=8, bands=4).orderBy("id_a", "id_b")
+
+
+DEDUP_MINHASH_LSH_SQL = (
+    "WITH sig AS (" + _sql_minhash_sig() + "), "
+    """banded AS (
+  SELECT doc_id, b,
+         concat_ws('-', signature[b*2+1], signature[b*2+2]) AS bucket
+  FROM sig, unnest([0,1,2,3]) AS t(b)
+)
+SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+FROM banded l JOIN banded r ON l.b = r.b AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+ORDER BY id_a, id_b
+"""
+)
+
+
+def dedup_simhash(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return simhash(docs, bits=32).orderBy("doc_id")
+
+
+def _sql_simhash(bits: int = 32) -> str:
+    toks = SQL_TOKENS.format(col="text")
+    terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(hashes, h -> CASE WHEN (h // {1 << b}) % 2 = 1 THEN 1 ELSE -1 END)) > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+        for b in range(bits)
+    )
+    return (
+        f"SELECT doc_id, coalesce({terms}, 0) AS simhash "
+        f"FROM (SELECT doc_id, list_transform({toks}, s -> {SQL_H32.format(x='s')}) AS hashes "
+        f"FROM documents) _s ORDER BY doc_id"
+    )
+
+
+DEDUP_SIMHASH_SQL = _sql_simhash()
+
+
+def dedup_ngram_jaccard(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(
+        docs, group_col="lang", n=3, threshold=0.2
+    ).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    ).orderBy("id_a", "id_b")
+
+
+DEDUP_NGRAM_JACCARD_SQL = f"""
+WITH sh AS (
+  SELECT doc_id, lang, list_distinct({_sql_shingles('text')}) AS sh
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / greatest(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)), 1), 6) AS jaccard
+FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      / greatest(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)), 1) >= 0.2
+ORDER BY id_a, id_b
+"""
+
+
+# ===========================================================================
+# Similarity search
+# ===========================================================================
+
+def sim_cosine_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return cosine_topk(emb, queries, k=5).orderBy("query_id", "rank")
+
+
+SIM_COSINE_TOPK_SQL = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         round(list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 6) AS cosine
+  FROM q JOIN embeddings e ON e.vec_id != q.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id, cosine FROM ranked WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
+def _sql_planes(num_planes: int = 8, dim: int = 64) -> str:
+    planes = hyperplanes(num_planes, dim)
+    return ", ".join(
+        "[" + ", ".join(f"{x}" for x in p) + "]" for p in planes
+    )
+
+
+def sim_lsh_ann(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return lsh_bucket_ann(emb, queries, k=5, num_planes=8, dim=64).orderBy(
+        "query_id", "rank"
+    )
+
+
+def _sql_lsh_bucket(vec_expr: str, num_planes: int = 8, dim: int = 64) -> str:
+    planes = hyperplanes(num_planes, dim)
+    terms = []
+    for p, plane in enumerate(planes):
+        arr = "[" + ", ".join(str(x) for x in plane) + "]"
+        terms.append(
+            f"(CASE WHEN list_sum(list_transform(generate_series(1, {dim}), "
+            f"i -> CAST({vec_expr}[i] AS DOUBLE) * ({arr})[i])) >= 0 "
+            f"THEN CAST({1 << p} AS BIGINT) ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+SIM_LSH_ANN_SQL = f"""
+WITH b AS (
+  SELECT vec_id, embedding, {_sql_lsh_bucket('embedding')} AS bucket
+  FROM embeddings
+), q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM b WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         round(list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 6) AS cosine
+  FROM q JOIN b e ON e.bucket = q.bucket AND e.vec_id != q.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id, cosine FROM ranked WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
+def sim_neardup_pairs(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(emb, threshold=0.5, num_planes=8, dim=64).orderBy(
+        "id_a", "id_b"
+    )
+
+
+SIM_NEARDUP_SQL = f"""
+WITH b AS (
+  SELECT vec_id, embedding, {_sql_lsh_bucket('embedding')} AS bucket
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, e.vec_id AS id_b,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 6) AS cosine
+FROM b a JOIN b e ON a.bucket = e.bucket AND a.vec_id < e.vec_id
+WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 6) >= 0.5
+ORDER BY id_a, id_b
+"""
+
+
+# ===========================================================================
+# Text analysis
+# ===========================================================================
+
+def text_token_count(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        F.size(F.array_distinct(tokens("text"))).alias("n_distinct_tokens"),
+    ).orderBy("doc_id")
+
+
+TEXT_TOKEN_COUNT_SQL = f"""
+SELECT doc_id,
+       len({SQL_TOKENS.format(col='text')}) AS n_tokens,
+       len(list_distinct({SQL_TOKENS.format(col='text')})) AS n_distinct_tokens
+FROM documents ORDER BY doc_id
+"""
+
+
+def text_language_id(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", language_id("text").alias("lang_id")).orderBy("doc_id")
+
+
+def _sql_language_id() -> str:
+    toks = f"list_distinct({SQL_TOKENS.format(col='text')})"
+    langs = sorted(STOPWORDS)
+    scores = {
+        lang: f"len(list_intersect(toks, {STOPWORDS[lang]!r}))".replace("'", "'")
+        for lang in langs
+    }
+    score_exprs = ", ".join(
+        f"len(list_intersect(toks, ["
+        + ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+        + f"])) AS s_{lang}"
+        for lang in langs
+    )
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    case = "CASE WHEN " + f"{best} = 0 THEN 'und' "
+    for lang in langs:
+        case += f"WHEN s_{lang} = {best} THEN '{lang}' "
+    case += "ELSE 'und' END"
+    return (
+        f"SELECT doc_id, {case} AS lang_id "
+        f"FROM (SELECT doc_id, {score_exprs} "
+        f"FROM (SELECT doc_id, {toks} AS toks FROM documents) _t) _s ORDER BY doc_id"
+    )
+
+
+TEXT_LANGUAGE_ID_SQL = _sql_language_id()
+
+
+def text_quality(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.round(quality_score("text"), 6).alias("quality")
+    ).orderBy("doc_id")
+
+
+_EN_STOP_SQL = "[" + ", ".join(f"'{w}'" for w in STOPWORDS["en"]) + "]"
+
+TEXT_QUALITY_SQL = f"""
+SELECT doc_id,
+  round(
+    (CASE WHEN length(text) BETWEEN 50 AND 10000 THEN 0.25 ELSE 0.0 END)
+    + (CASE WHEN CAST(length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
+            / greatest(length(text), 1) >= 0.8 THEN 0.25 ELSE 0.0 END)
+    + (CASE WHEN CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+            / greatest(len(toks), 1) BETWEEN 3 AND 10 THEN 0.25 ELSE 0.0 END)
+    + (CASE WHEN len(list_intersect(toks, {_EN_STOP_SQL})) >= 2 THEN 0.25 ELSE 0.0 END)
+  , 6) AS quality
+FROM (SELECT doc_id, text, {SQL_TOKENS.format(col='text')} AS toks FROM documents) _q
+ORDER BY doc_id
+"""
+
+
+def text_fingerprint(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", doc_fingerprint("text").alias("fingerprint")).orderBy(
+        "doc_id"
+    )
+
+
+TEXT_FINGERPRINT_SQL = f"""
+SELECT doc_id, {SQL_H60.format(x='text')} AS fingerprint FROM documents ORDER BY doc_id
+"""
+
+
+# ===========================================================================
+# Multimodal + streaming
+# ===========================================================================
+
+def multimodal_meta(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return media_metadata(documents_as_media(docs)).orderBy("media_id")
+
+
+MULTIMODAL_META_SQL = f"""
+SELECT doc_id AS media_id, 'image' AS media_type,
+       CAST(strlen(text) AS BIGINT) AS n_bytes,
+       {SQL_H60.format(x='text')} AS payload_hash
+FROM documents ORDER BY media_id
+"""
+
+
+def stream_windowed_agg(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    out = windowed_event_counts(ev, "1 hour")
+    return out.select(
+        F.unix_micros("window_start").alias("window_start_us"),
+        "event_type",
+        "n_events",
+        F.col("value_sum").cast("double").alias("value_sum"),
+    ).orderBy("window_start_us", "event_type")
+
+
+STREAM_WINDOWED_AGG_SQL = """
+SELECT epoch_us(CAST(time_bucket(INTERVAL '1 hour', ts) AS TIMESTAMP)) AS window_start_us,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 6) AS value_sum
+FROM events
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def stream_sessionize(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    out = sessionize(ev, gap_minutes=30)
+    return out.select(
+        "user_id",
+        "session_id",
+        F.unix_micros("session_start").alias("session_start_us"),
+        F.unix_micros("session_end").alias("session_end_us"),
+        "n_events",
+        F.col("value_sum").cast("double").alias("value_sum"),
+    ).orderBy("user_id", "session_id")
+
+
+STREAM_SESSIONIZE_SQL = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS _new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts, value,
+         sum(_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id,
+       epoch_us(CAST(min(ts) AS TIMESTAMP)) AS session_start_us,
+       epoch_us(CAST(max(ts) AS TIMESTAMP)) AS session_end_us,
+       count(*) AS n_events,
+       round(sum(value), 6) AS value_sum
+FROM sess GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+"""
+
+
+# ===========================================================================
+# Non-SQL-expressible entries (driver records rows-only checks)
+# ===========================================================================
+
+def touch_scan_v2(spark, sf_dir):
+    """S1-S3: fixed-width binary scan of the reference v2 fixture
+    (the conversion surface; correctness is pytest-verified against an
+    independent decoder)."""
+    from parquet_converters_spark.sources import read_touches
+
+    return read_touches(
+        spark, "/root/reference/tests/touches_v2/touchesData.0"
+    ).select("synapse_id", "pre_neuron_id", "post_neuron_id", "branch_type")
+
+
+def multimodal_decode(spark, sf_dir):
+    """Multimodal decode plumbing with the deterministic fake decoder
+    (mapInPandas, Arrow-batched)."""
+    docs = _t(spark, sf_dir, "documents")
+    from parquet_converters_spark.functions.multimodal import decode_media
+
+    return decode_media(documents_as_media(docs), n_features=8, fake=True)
+
+
+# ===========================================================================
+# Registry
+# ===========================================================================
+
+QUERIES: dict[str, tuple] = {
+    # name: (spark_fn, oracle_sql | None)
+    "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
+    "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
+    "q5_nation_volume": (q5_nation_volume, Q5_SQL),
+    "proj_rename": (proj_rename, PROJ_RENAME_SQL),
+    "array_flatten": (array_flatten, ARRAY_FLATTEN_SQL),
+    "bitfield_unpack": (bitfield_unpack, BITFIELD_UNPACK_SQL),
+    "derived_key": (derived_key, DERIVED_KEY_SQL),
+    "validation_filter": (validation_filter, VALIDATION_FILTER_SQL),
+    "limit_n": (limit_n, LIMIT_N_SQL),
+    "count_sum": (count_sum, COUNT_SUM_SQL),
+    "global_max": (global_max, GLOBAL_MAX_SQL),
+    "prefix_sum": (prefix_sum, PREFIX_SUM_SQL),
+    "run_length": (run_length, RUN_LENGTH_SQL),
+    "interval_merge": (interval_merge, INTERVAL_MERGE_SQL),
+    "dense_left_join": (dense_left_join, DENSE_LEFT_JOIN_SQL),
+    "adjacency_node_ranges": (adjacency_node_ranges, ADJ_NODE_RANGES_SQL),
+    "adjacency_range_to_edge": (adjacency_range_to_edge, ADJ_RANGE_EDGE_SQL),
+    "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
+    "dedup_minhash_sig": (dedup_minhash_sig, DEDUP_MINHASH_SIG_SQL),
+    "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_LSH_SQL),
+    "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
+    "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_SQL),
+    "sim_cosine_topk": (sim_cosine_topk, SIM_COSINE_TOPK_SQL),
+    "sim_lsh_ann": (sim_lsh_ann, SIM_LSH_ANN_SQL),
+    "sim_neardup_pairs": (sim_neardup_pairs, SIM_NEARDUP_SQL),
+    "text_token_count": (text_token_count, TEXT_TOKEN_COUNT_SQL),
+    "text_language_id": (text_language_id, TEXT_LANGUAGE_ID_SQL),
+    "text_quality": (text_quality, TEXT_QUALITY_SQL),
+    "text_fingerprint": (text_fingerprint, TEXT_FINGERPRINT_SQL),
+    "multimodal_meta": (multimodal_meta, MULTIMODAL_META_SQL),
+    "stream_windowed_agg": (stream_windowed_agg, STREAM_WINDOWED_AGG_SQL),
+    "stream_sessionize": (stream_sessionize, STREAM_SESSIONIZE_SQL),
+    "touch_scan_v2": (touch_scan_v2, None),
+    "multimodal_decode": (multimodal_decode, None),
+}

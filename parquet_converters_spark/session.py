@@ -41,6 +41,10 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # deterministic timestamp handling for the duckdb oracle
         .config("spark.sql.session.timeZone", "UTC")
+        # the driver's events table carries TIMESTAMP(NANOS) which Spark
+        # has no native type for; read as long (ns since epoch) and
+        # convert explicitly (queries._events)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
     if SparkSession.getActiveSession() is None:

@@ -1,0 +1,101 @@
+"""Structured Streaming pipelines over the ``events`` table.
+
+The reference has no streaming surface (SURVEY §2, "operators the
+reference does NOT have"); these are the extended-engine stream
+operators, written so the *same* transformation runs in batch (for the
+DuckDB oracle) and as a ``readStream`` with watermarks (for late data).
+That symmetry is the point: Structured Streaming treats a stream as an
+unbounded DataFrame, so one function body serves both.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Tumbling-window per-type aggregation (count + value sum/avg).
+
+    With ``watermark`` set (streaming input), late events beyond the
+    bound are dropped and windows finalize incrementally; in batch the
+    same plan computes the full history.  Output columns are flattened
+    so the batch result is directly oracle-comparable
+    (``time_bucket`` in DuckDB).
+    """
+    src = events
+    if watermark:
+        src = src.withWatermark("ts", watermark)
+    return (
+        src.groupBy(
+            F.window("ts", window_duration).alias("w"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("value_sum"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
+def read_events_stream(
+    spark: SparkSession,
+    events_path: str,
+    schema=None,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """File-source stream over an events parquet directory (the local
+    stand-in for Kafka/Kinesis: same downstream plan, different source)."""
+    if schema is None:
+        schema = spark.read.parquet(events_path).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(events_path)
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Batch sessionization: per-user sessions split at inactivity gaps
+    (gaps-and-islands with a lag window — the same run-length pattern as
+    the adjacency index builder, applied to time).
+
+    Streaming equivalent: ``groupBy(session_window("ts", gap))`` — kept
+    separate because the oracle needs the deterministic batch form.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.lag("ts").over(w)
+    new_session = F.when(
+        gap.isNull()
+        | (F.unix_timestamp("ts") - F.unix_timestamp(gap) > gap_minutes * 60),
+        1,
+    ).otherwise(0)
+    return (
+        events.withColumn("_new", new_session)
+        .withColumn(
+            "session_id",
+            F.sum("_new").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("value_sum"),
+        )
+    )

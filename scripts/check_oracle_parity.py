@@ -1,0 +1,105 @@
+"""Local replica of the driver's duckdb-oracle correctness check:
+runs every QUERIES entry in Spark and in DuckDB, compares row count,
+column names (sorted), and order-insensitive values.
+
+Usage: python scripts/check_oracle_parity.py [sf_dir] [name ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+from parquet_converters_spark.queries import QUERIES
+from parquet_converters_spark.session import get_spark
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return f"{v:.9g}"
+    if isinstance(v, list):
+        return tuple(norm(x) for x in v)
+    try:  # Decimal -> float formatting
+        import decimal
+
+        if isinstance(v, decimal.Decimal):
+            return f"{float(v):.9g}"
+    except ImportError:
+        pass
+    return v
+
+
+def rows_key(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(norm(r[i]) for i in order) for r in rows)
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+    spark = get_spark()
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    n_pass = n_fail = n_rowsonly = 0
+    for name, (fn, sql) in QUERIES.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            print(f"FAIL  {name}: spark error {type(e).__name__}: {str(e)[:200]}")
+            n_fail += 1
+            continue
+        if sql is None:
+            print(f"ROWS  {name}: {len(srows)} rows (no oracle)")
+            n_rowsonly += 1
+            continue
+        try:
+            rel = con.sql(sql)
+            dcols = [d[0] for d in rel.description]
+            drows = rel.fetchall()
+        except Exception as e:
+            print(f"FAIL  {name}: duckdb error {str(e)[:200]}")
+            n_fail += 1
+            continue
+        if sorted(scols) != sorted(dcols):
+            print(f"FAIL  {name}: columns {sorted(scols)} != {sorted(dcols)}")
+            n_fail += 1
+            continue
+        if len(srows) != len(drows):
+            print(f"FAIL  {name}: rowcount spark={len(srows)} duckdb={len(drows)}")
+            n_fail += 1
+            continue
+        sk = rows_key(srows, scols)
+        dk = rows_key(drows, dcols)
+        if sk != dk:
+            diffs = [(a, b) for a, b in zip(sk, dk) if a != b][:3]
+            print(f"FAIL  {name}: value mismatch, first diffs: {diffs}")
+            n_fail += 1
+            continue
+        print(f"PASS  {name}: {len(srows)} rows")
+        n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,201 @@
+"""Unit tests for the extended LLM-data-pipeline operators (dedup,
+similarity, text, multimodal, streaming)."""
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog and runs away fast", "en"),
+        (1, "the quick brown fox jumps over the lazy dog and runs away fast", "en"),  # exact dup of 0
+        (2, "the quick brown fox jumps over the lazy cat and runs away fast", "en"),  # near dup of 0
+        (3, "der hund und die katze sind von dem haus mit einem garten", "de"),
+        (4, "completely different content about spark dataframes and shuffles", "en"),
+        (5, "", "en"),  # empty edge case
+    ]
+    return spark.createDataFrame(rows, "doc_id: long, text: string, lang: string")
+
+
+def test_exact_dedup(docs):
+    from parquet_converters_spark.functions import exact_dedup
+
+    out = {r["keep_id"]: r["dup_count"] for r in exact_dedup(docs).collect()}
+    assert out[0] == 2          # docs 0,1 collapse
+    assert 1 not in out         # loser of the dup group
+    assert out[2] == 1
+
+
+def test_minhash_identical_and_near(docs):
+    from parquet_converters_spark.functions import minhash_signatures
+
+    sigs = {r["doc_id"]: r["signature"] for r in minhash_signatures(docs).collect()}
+    assert sigs[0] == sigs[1]                      # identical text -> identical sig
+    same = sum(a == b for a, b in zip(sigs[0], sigs[2]))
+    assert same >= 4                               # near dup -> most mins agree
+    diff = sum(a == b for a, b in zip(sigs[0], sigs[4]))
+    assert diff <= 2                               # unrelated -> few agree
+    from parquet_converters_spark.functions.dedup import MERSENNE_PRIME
+
+    assert sigs[5] == [MERSENNE_PRIME] * 8         # empty doc -> sentinels
+
+
+def test_minhash_lsh_pairs(docs):
+    from parquet_converters_spark.functions import minhash_lsh_pairs
+
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(docs.filter("doc_id < 5")).collect()
+    }
+    assert (0, 1) in pairs
+    assert (0, 2) in pairs or (1, 2) in pairs      # near dup shares >=1 band
+    assert (0, 4) not in pairs
+
+    verified = minhash_lsh_pairs(
+        docs.filter("doc_id < 5"), jaccard_threshold=0.99
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in verified} == {(0, 1)}
+
+
+def test_simhash_distance(docs):
+    from parquet_converters_spark.functions import simhash
+
+    out = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    assert out[0] == out[1]
+    ham_near = bin(out[0] ^ out[2]).count("1")
+    ham_far = bin(out[0] ^ out[4]).count("1")
+    assert ham_near < ham_far
+    assert out[5] == 0
+
+
+def test_ngram_jaccard(docs):
+    from parquet_converters_spark.functions import ngram_jaccard_pairs
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.3).collect()
+    }
+    assert pairs[(0, 1)] == 1.0
+    assert 0.3 <= pairs[(0, 2)] < 1.0
+
+
+def test_language_and_quality(docs, spark):
+    from parquet_converters_spark.functions import language_id, quality_score, token_count
+
+    out = docs.select(
+        "doc_id",
+        language_id("text").alias("lang"),
+        quality_score("text").alias("q"),
+        token_count("text").alias("n"),
+    ).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[0]["lang"] == "en"
+    assert by_id[3]["lang"] == "de"
+    assert by_id[5]["lang"] == "und"
+    assert by_id[5]["q"] == 0.0
+    assert by_id[0]["n"] == 13
+    assert by_id[0]["q"] >= 0.75
+
+
+def test_cosine_topk_exact(spark):
+    from parquet_converters_spark.functions import cosine_topk
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [1.0, 0.1, 0.0]),   # closest to 0
+        (2, [0.0, 1.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0]),  # antipode
+    ]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    out = cosine_topk(df, df.filter("vec_id = 0"), k=3).collect()
+    order = [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert order == [1, 2, 3]
+
+
+def test_lsh_ann_recall(spark, sf_dir):
+    """Bucketed ANN returns a subset of the exact top-k's candidates and
+    identical ranks within shared buckets."""
+    from parquet_converters_spark.functions import lsh_bucket_ann
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = lsh_bucket_ann(emb, emb.filter("vec_id < 3"), k=5, dim=64).collect()
+    assert all(r["cosine"] <= 1.000001 for r in out)
+    ranks = {}
+    for r in out:
+        ranks.setdefault(r["query_id"], []).append(r["rank"])
+    for q, rs in ranks.items():
+        assert sorted(rs) == list(range(1, len(rs) + 1))
+
+
+def test_multimodal_decode_deterministic(spark, docs):
+    from parquet_converters_spark.functions.multimodal import (
+        decode_media,
+        documents_as_media,
+        media_metadata,
+    )
+
+    media = documents_as_media(docs.withColumn("n_chars", F.length("text")))
+    meta = {r["media_id"]: r for r in media_metadata(media).collect()}
+    text0 = docs.filter("doc_id = 0").first()["text"]
+    assert meta[0]["n_bytes"] == len(text0.encode())
+
+    d1 = {r["media_id"]: r for r in decode_media(media, fake=True).collect()}
+    d2 = {r["media_id"]: r for r in decode_media(media, fake=True).collect()}
+    for k in d1:
+        assert d1[k] == d2[k]
+    assert d1[0]["width"] == d1[1]["width"]  # same payload -> same fake decode
+    assert len(d1[0]["features"]) == 8
+
+    with pytest.raises(Exception, match="NotImplementedError|real media decode"):
+        decode_media(media, fake=False).collect()
+
+
+def test_streaming_matches_batch(spark, sf_dir, tmp_path):
+    """The same windowed aggregation over a file stream converges to the
+    batch result (Structured Streaming parity)."""
+    from parquet_converters_spark.queries import _events
+    from parquet_converters_spark.streaming.events import (
+        read_events_stream,
+        windowed_event_counts,
+    )
+
+    ev = _events(spark, sf_dir)
+    # re-write locally so the stream source sees several files
+    src = str(tmp_path / "events_stream")
+    ev.repartition(4).write.parquet(src)
+
+    batch = windowed_event_counts(spark.read.parquet(src)).collect()
+
+    stream = read_events_stream(spark, src, max_files_per_trigger=2)
+    q = (
+        windowed_event_counts(stream, watermark="1 day")
+        .writeStream.format("memory")
+        .queryName("win_agg")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from win_agg").collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, batch))
+
+
+def test_sessionize_gap_splitting(spark):
+    from parquet_converters_spark.streaming.events import sessionize
+
+    rows = [
+        Row(user_id=1, event_id=0, ts="2024-01-01 10:00:00", value=1.0),
+        Row(user_id=1, event_id=1, ts="2024-01-01 10:10:00", value=1.0),
+        Row(user_id=1, event_id=2, ts="2024-01-01 11:30:00", value=1.0),  # 80min gap
+        Row(user_id=2, event_id=3, ts="2024-01-01 09:00:00", value=1.0),
+    ]
+    df = spark.createDataFrame(rows).withColumn("ts", F.to_timestamp("ts"))
+    out = sessionize(df, gap_minutes=30).collect()
+    per_user = {}
+    for r in out:
+        per_user.setdefault(r["user_id"], []).append(r)
+    assert len(per_user[1]) == 2
+    assert len(per_user[2]) == 1
+    s1 = sorted(per_user[1], key=lambda r: r["session_id"])
+    assert s1[0]["n_events"] == 2 and s1[1]["n_events"] == 1

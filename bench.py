@@ -52,8 +52,13 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warmup: JVM, parquet footers, codegen
+    # warmup: JVM, parquet footers, codegen compilation, Python workers.
+    # One full untimed pass per query, then a timed steady-state pass —
+    # cold-JVM codegen costs (~1-3 s/query, paid once per cluster, not
+    # per 100 TB of data) would otherwise dominate at this tiny SF.
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    for name in HEADLINE:
+        QUERIES[name][0](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     times: dict[str, float] = {}
     for name in HEADLINE:

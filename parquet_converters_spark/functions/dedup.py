@@ -78,27 +78,30 @@ def minhash_signature(
     ``num_hashes`` permuted minima over word-shingle hashes.
     Empty-shingle documents get MERSENNE_PRIME sentinels.
 
-    NOTE: fine for one-off use, but the ``num_hashes`` array traversals
-    re-evaluate the md5 pipeline per permutation under codegen — batch
-    pipelines should use :func:`minhash_signatures` (explode + groupBy,
-    one md5 per shingle)."""
+    The shingle-hash array is bound once (``text.bind``) so the md5
+    pipeline runs once per row regardless of ``num_hashes``; batch
+    pipelines can still prefer :func:`minhash_signatures` (explode +
+    groupBy) when the signature feeds an aggregation anyway."""
     assert num_hashes <= len(_MINHASH_COEFFS)
-    sh = shingles(text, shingle_size)
-    hashes = F.transform(sh, h32)
+    from parquet_converters_spark.functions.text import bind
 
     def perm(a, b):
         # factory keeps the lambda unary: PySpark reads higher-order
         # function arity from the Python signature (defaults included)
         return lambda h: ((h % MERSENNE_PRIME) * a + b) % MERSENNE_PRIME
 
-    mins = [
-        F.coalesce(
-            F.array_min(F.transform(hashes, perm(a, b))),
-            F.lit(MERSENNE_PRIME),
+    def _mins(hashes: Column) -> Column:
+        return F.array(
+            *[
+                F.coalesce(
+                    F.array_min(F.transform(hashes, perm(a, b))),
+                    F.lit(MERSENNE_PRIME),
+                )
+                for a, b in _MINHASH_COEFFS[:num_hashes]
+            ]
         )
-        for a, b in _MINHASH_COEFFS[:num_hashes]
-    ]
-    return F.array(*mins)
+
+    return bind(F.transform(shingles(text, shingle_size), h32), _mins)
 
 
 def minhash_signatures(

@@ -31,6 +31,20 @@ def _col(c: Column | str) -> Column:
     return F.col(c) if isinstance(c, str) else c
 
 
+def bind(col: Column, fn) -> Column:
+    """Evaluate ``col`` once per row and pass the result to ``fn`` as a
+    lambda variable.
+
+    Catalyst's subexpression elimination does not reach inside
+    higher-order-function lambdas, so an expression like
+    ``transform(seq, i -> slice(tokens(text), i, n))`` re-runs the whole
+    ``tokens`` pipeline per array element — O(len^2) per row.  Wrapping
+    the shared input in a one-element array and transforming over it
+    binds it to a lambda variable, forcing single evaluation:
+    ``element_at(transform(array(col), x -> fn(x)), 1)``."""
+    return F.element_at(F.transform(F.array(col), fn), 1)
+
+
 def tokens(text: Column | str) -> Column:
     """Lowercased alphanumeric tokens (BPE-ish regex tokenizer baseline)."""
     return F.regexp_extract_all(F.lower(_col(text)), F.lit(TOKEN_PATTERN), 0)
@@ -43,12 +57,14 @@ def token_count(text: Column | str) -> Column:
 def shingles(text: Column | str, n: int = 3) -> Column:
     """Word n-gram shingles as space-joined strings; empty array when the
     document has fewer than ``n`` tokens."""
-    t = tokens(text)
-    return F.when(F.size(t) < n, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), F.size(t) - n),
-            lambda i: F.array_join(F.slice(t, i + 1, n), " "),
-        )
+    return bind(
+        tokens(text),
+        lambda t: F.when(F.size(t) < n, F.array().cast("array<string>")).otherwise(
+            F.transform(
+                F.sequence(F.lit(0), F.size(t) - n),
+                lambda i: F.array_join(F.slice(t, i + 1, n), " "),
+            )
+        ),
     )
 
 
@@ -58,24 +74,26 @@ def quality_score(text: Column | str) -> Column:
     formula is mirrored in the oracle SQL."""
     c = _col(text)
     n_chars = F.length(c)
-    toks = tokens(text)
-    n_tokens = F.size(toks)
     alpha = F.length(F.regexp_replace(F.lower(c), "[^a-z0-9 ]", ""))
     alpha_ratio = alpha / F.greatest(n_chars, F.lit(1))
-    mean_tok = (
-        F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x))
-        / F.greatest(n_tokens, F.lit(1))
-    )
-    stop_hits = F.size(
-        F.array_intersect(toks, F.array(*[F.lit(w) for w in STOPWORDS["en"]]))
-    )
-    score = (
-        F.when((n_chars >= 50) & (n_chars <= 10000), F.lit(0.25)).otherwise(F.lit(0.0))
-        + F.when(alpha_ratio >= 0.8, F.lit(0.25)).otherwise(F.lit(0.0))
-        + F.when((mean_tok >= 3) & (mean_tok <= 10), F.lit(0.25)).otherwise(F.lit(0.0))
-        + F.when(stop_hits >= 2, F.lit(0.25)).otherwise(F.lit(0.0))
-    )
-    return score
+
+    def _score(toks: Column) -> Column:
+        n_tokens = F.size(toks)
+        mean_tok = (
+            F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x))
+            / F.greatest(n_tokens, F.lit(1))
+        )
+        stop_hits = F.size(
+            F.array_intersect(toks, F.array(*[F.lit(w) for w in STOPWORDS["en"]]))
+        )
+        return (
+            F.when((n_chars >= 50) & (n_chars <= 10000), F.lit(0.25)).otherwise(F.lit(0.0))
+            + F.when(alpha_ratio >= 0.8, F.lit(0.25)).otherwise(F.lit(0.0))
+            + F.when((mean_tok >= 3) & (mean_tok <= 10), F.lit(0.25)).otherwise(F.lit(0.0))
+            + F.when(stop_hits >= 2, F.lit(0.25)).otherwise(F.lit(0.0))
+        )
+
+    return bind(tokens(text), _score)
 
 
 def language_scores(text: Column | str) -> dict[str, Column]:
@@ -92,14 +110,25 @@ def language_scores(text: Column | str) -> dict[str, Column]:
 def language_id(text: Column | str) -> Column:
     """Argmax language by stopword overlap; ties broken by language code
     order; 'und' (undetermined) when no stopword hits at all."""
-    scores = language_scores(text)
-    langs = sorted(scores)
-    best = F.greatest(*[scores[lang] for lang in langs])
-    result = F.lit("und")
-    # reverse order so earlier language codes win ties
-    for lang in reversed(langs):
-        result = F.when(scores[lang] == best, F.lit(lang)).otherwise(result)
-    return F.when(best == 0, F.lit("und")).otherwise(result)
+    langs = sorted(STOPWORDS)
+
+    def _argmax(toks: Column) -> Column:
+        scores = {
+            lang: F.size(
+                F.array_intersect(
+                    toks, F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+                )
+            )
+            for lang in langs
+        }
+        best = F.greatest(*[scores[lang] for lang in langs])
+        result = F.lit("und")
+        # reverse order so earlier language codes win ties
+        for lang in reversed(langs):
+            result = F.when(scores[lang] == best, F.lit(lang)).otherwise(result)
+        return F.when(best == 0, F.lit("und")).otherwise(result)
+
+    return bind(F.array_distinct(tokens(text)), _argmax)
 
 
 def doc_fingerprint(text: Column | str) -> Column:

@@ -211,6 +211,232 @@ ORDER BY revenue DESC, n_name
 """
 
 
+def q6_selective_agg(spark, sf_dir):
+    """TPC-H Q6-style forecast-revenue: a highly selective conjunctive
+    filter fully pushed to the parquet scan (PushedFilters shows all
+    three), then a single global decimal sum — no shuffle at all beyond
+    the final 1-row combine."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .select(
+            F.sum(_dec("l_extendedprice") * _dec("l_discount"))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+Q6_SQL = """
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(25,4)) * CAST(l_discount AS DECIMAL(25,4))) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+def q14_brand_revenue(spark, sf_dir):
+    """TPC-H Q14-flavored: revenue by part brand — fact-side shuffle
+    join with the broadcast part dimension, top-10 brands."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    revenue = F.sum(
+        _dec("l_extendedprice") * (F.lit(1).cast("decimal(25,4)") - _dec("l_discount"))
+    ).cast("double")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(revenue.alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+        .orderBy(F.col("revenue").desc(), F.col("p_brand"))
+        .limit(10)
+    )
+
+
+Q14_SQL = """
+SELECT p_brand,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(25,4)) * (CAST(1 AS DECIMAL(25,4)) - CAST(l_discount AS DECIMAL(25,4)))) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+ORDER BY revenue DESC, p_brand
+LIMIT 10
+"""
+
+
+def semi_join_exists(spark, sf_dir):
+    """TPC-H Q4-style EXISTS: orders having at least one big lineitem,
+    counted by priority.  Spark plans left_semi as a broadcast/shuffled
+    semi join — the probe side never duplicates rows."""
+    orders = _t(spark, sf_dir, "orders")
+    big = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+SEMI_JOIN_SQL = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def anti_join(spark, sf_dir):
+    """Anti join: lapsed customers — no order since 2001 — per nation
+    (left_anti with the filter applied to the build side before the
+    join, so the anti-join probe stays small)."""
+    cust = _t(spark, sf_dir, "customer")
+    recent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp")
+    )
+    return (
+        cust.join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_lapsed"))
+        .orderBy("c_nationkey")
+    )
+
+
+ANTI_JOIN_SQL = """
+SELECT c_nationkey, count(*) AS n_lapsed
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2001-01-01')
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
+
+def set_intersect(spark, sf_dir):
+    """Set operation: users who both clicked and purchased (INTERSECT —
+    Spark rewrites to a distinct + semi-join under the hood)."""
+    ev = _events(spark, sf_dir)
+    clickers = ev.filter(F.col("event_type") == "click").select("user_id")
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return clickers.intersect(buyers).orderBy("user_id")
+
+
+SET_INTERSECT_SQL = """
+SELECT user_id FROM events WHERE event_type = 'click'
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'purchase'
+ORDER BY user_id
+"""
+
+
+def rollup_pricing(spark, sf_dir):
+    """Multi-level aggregation: ROLLUP over (returnflag, linestatus)
+    with grouping indicators — subtotals and the grand total in one
+    pass (Spark expands grouping sets before the hash aggregate)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n_items",
+            "sum_qty",
+        )
+        .orderBy("returnflag", "linestatus")
+    )
+
+
+ROLLUP_SQL = """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       count(*) AS n_items,
+       CAST(sum(CAST(l_quantity AS DECIMAL(25,4))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY returnflag, linestatus
+"""
+
+
+def topk_per_group(spark, sf_dir):
+    """Top-k per group: the 3 highest-revenue customers per nation via
+    a ranking window partitioned by nation (shuffle on the partition
+    key only — never a global sort)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    spend = (
+        orders.groupBy("o_custkey")
+        .agg(F.sum(_dec("o_totalprice")).alias("spend"))
+    )
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("spend").desc(), F.col("c_custkey").asc()
+    )
+    return (
+        cust.join(spend, cust.c_custkey == spend.o_custkey)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "c_nationkey", "rank", "c_custkey", F.col("spend").cast("double").alias("spend")
+        )
+        .orderBy("c_nationkey", "rank")
+    )
+
+
+TOPK_PER_GROUP_SQL = """
+WITH spend AS (
+  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(25,4))) AS spend
+  FROM orders GROUP BY o_custkey
+), ranked AS (
+  SELECT c_nationkey, c_custkey, spend,
+         row_number() OVER (PARTITION BY c_nationkey ORDER BY spend DESC, c_custkey ASC) AS rank
+  FROM customer JOIN spend ON c_custkey = o_custkey
+)
+SELECT c_nationkey, rank, c_custkey, CAST(spend AS DOUBLE) AS spend
+FROM ranked WHERE rank <= 3
+ORDER BY c_nationkey, rank
+"""
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def pivot_event_counts(spark, sf_dir):
+    """Pivot: per-user event-type counts as columns (groupBy().pivot()
+    with an explicit value list — no extra pass to discover keys, and
+    the aggregate stays a single shuffle)."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+        .orderBy("user_id")
+    )
+
+
+PIVOT_SQL = """
+SELECT user_id,
+       count(*) FILTER (WHERE event_type = 'click') AS click,
+       count(*) FILTER (WHERE event_type = 'error') AS error,
+       count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+       count(*) FILTER (WHERE event_type = 'signup') AS signup,
+       count(*) FILTER (WHERE event_type = 'view') AS view
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
 # ===========================================================================
 # Reference operator demonstrations (SURVEY §2) over the driver tables
 # ===========================================================================
@@ -941,6 +1167,14 @@ QUERIES: dict[str, tuple] = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
     "q5_nation_volume": (q5_nation_volume, Q5_SQL),
+    "q6_selective_agg": (q6_selective_agg, Q6_SQL),
+    "q14_brand_revenue": (q14_brand_revenue, Q14_SQL),
+    "semi_join_exists": (semi_join_exists, SEMI_JOIN_SQL),
+    "anti_join": (anti_join, ANTI_JOIN_SQL),
+    "set_intersect": (set_intersect, SET_INTERSECT_SQL),
+    "rollup_pricing": (rollup_pricing, ROLLUP_SQL),
+    "topk_per_group": (topk_per_group, TOPK_PER_GROUP_SQL),
+    "pivot_event_counts": (pivot_event_counts, PIVOT_SQL),
     "proj_rename": (proj_rename, PROJ_RENAME_SQL),
     "array_flatten": (array_flatten, ARRAY_FLATTEN_SQL),
     "bitfield_unpack": (bitfield_unpack, BITFIELD_UNPACK_SQL),

@@ -38,6 +38,11 @@ HEADLINE = [
     "dedup_simhash",
     "sim_cosine_topk",
     "sim_lsh_ann",
+    "sim_ivf_ann",
+    "q6_selective_agg",
+    "q14_brand_revenue",
+    "topk_per_group",
+    "pivot_event_counts",
     "text_quality",
     "text_language_id",
     "multimodal_decode",

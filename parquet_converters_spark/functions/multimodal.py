@@ -121,6 +121,95 @@ def decode_media(
     return df.mapInPandas(run, schema=DECODED_SCHEMA)
 
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("width", IntegerType(), False),
+        StructField("height", IntegerType(), False),
+        StructField("payload", BinaryType(), False),
+    ]
+)
+
+FRAMES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_index", IntegerType(), False),
+        StructField("frame_ts_ms", LongType(), False),
+        StructField("payload", BinaryType(), False),
+    ]
+)
+
+
+def resize_media(
+    df: DataFrame, width: int = 32, height: int = 32, fake: bool = False
+) -> DataFrame:
+    """Resize images to ``width``x``height`` via Arrow-batched
+    ``mapInPandas`` — a 1:1 narrow map (no shuffle, no row-count
+    change).  Real path needs PIL (not in this container): raises
+    unless ``fake=True``, where the deterministic stub re-hashes the
+    payload to a fixed-size pseudo-bitmap so batch shapes and schema
+    are exercised for real."""
+
+    def run(batches: Iterator["object"]) -> Iterator["object"]:
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real image resize requires PIL (not in this "
+                    "container); pass fake=True for the deterministic stub"
+                )
+            out = {"media_id": [], "width": [], "height": [], "payload": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                seed = hashlib.md5(bytes(payload)).digest()
+                n = width * height
+                fake_bitmap = (seed * (n // len(seed) + 1))[:n]
+                out["media_id"].append(mid)
+                out["width"].append(width)
+                out["height"].append(height)
+                out["payload"].append(fake_bitmap)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+def sample_frames(
+    df: DataFrame, every_ms: int = 1000, max_frames: int = 4, fake: bool = False
+) -> DataFrame:
+    """Sample video frames every ``every_ms`` via ``mapInPandas`` — a
+    1:N explode done batch-side (one input row yields up to
+    ``max_frames`` frame rows).  Real path needs ffmpeg: raises unless
+    ``fake=True`` (frame count/payloads derived from md5, deterministic)."""
+
+    def run(batches: Iterator["object"]) -> Iterator["object"]:
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real frame sampling requires ffmpeg (not in this "
+                    "container); pass fake=True for the deterministic stub"
+                )
+            out = {"media_id": [], "frame_index": [], "frame_ts_ms": [], "payload": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                digest = hashlib.md5(bytes(payload)).digest()
+                n_frames = 1 + digest[0] % max_frames
+                for i in range(n_frames):
+                    out["media_id"].append(mid)
+                    out["frame_index"].append(i)
+                    out["frame_ts_ms"].append(i * every_ms)
+                    out["payload"].append(
+                        hashlib.md5(digest + bytes([i])).digest()
+                    )
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, schema=FRAMES_SCHEMA)
+
+
 def media_metadata(df: DataFrame) -> DataFrame:
     """Pure-SQL metadata extraction over binary payloads (no decode):
     byte length + content hash — the audit/dedup primitive for media

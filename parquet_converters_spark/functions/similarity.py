@@ -144,6 +144,111 @@ def lsh_bucket_ann(
     )
 
 
+def ivf_centroids(num_cells: int, dim: int) -> list[list[float]]:
+    """Deterministic IVF cell centroids (md5-derived, engine-independent
+    — the stand-in for a k-means pass, which at 100 TB would run as a
+    sampled ``ml.clustering.KMeans`` fit on the driver and broadcast)."""
+    return [
+        [_plane_component(1000 + c, d) for d in range(dim)]
+        for c in range(num_cells)
+    ]
+
+
+def _cell_sims(vec: Column, centroids: list[list[float]]) -> Column:
+    """Array of cosine similarities of ``vec`` against each centroid."""
+    # double literals (not float) so the DuckDB oracle's arithmetic is
+    # bit-identical
+    return F.array(
+        *[
+            cosine_similarity(vec, F.array(*[F.lit(x) for x in cen]))
+            for cen in centroids
+        ]
+    )
+
+
+def ivf_assign(vec: Column, centroids: list[list[float]]) -> Column:
+    """1-based nearest-centroid cell id (first index on ties)."""
+    from parquet_converters_spark.functions.text import bind
+
+    return bind(
+        _cell_sims(vec, centroids),
+        lambda sims: F.array_position(sims, F.array_max(sims)),
+    ).cast("int")
+
+
+def ivf_probe_cells(vec: Column, centroids: list[list[float]], nprobe: int = 2) -> Column:
+    """The ``nprobe`` nearest cell ids for a query vector (1-based),
+    best-first.  Ties resolve to the lower index, matching
+    :func:`ivf_assign`."""
+    from parquet_converters_spark.functions.text import bind
+
+    n = len(centroids)
+
+    def _mask(m: Column, c: Column):
+        # factory, not default-arg capture: PySpark derives HOF lambda
+        # arity from the Python signature *including* defaults
+        return lambda i: F.when(i == c, F.lit(-2.0)).otherwise(
+            F.element_at(m, i.cast("int"))
+        )
+
+    def probes(sims: Column) -> Column:
+        cells = []
+        masked = sims
+        for _ in range(nprobe):
+            cell = F.array_position(masked, F.array_max(masked))
+            cells.append(cell)
+            # knock out the chosen cell for the next round
+            masked = F.transform(F.sequence(F.lit(1), F.lit(n)), _mask(masked, cell))
+        return F.array(*[c.cast("int") for c in cells])
+
+    return bind(_cell_sims(vec, centroids), probes)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    num_cells: int = 8,
+    nprobe: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: the corpus is partitioned into
+    ``num_cells`` inverted lists by nearest centroid; each query scans
+    only its ``nprobe`` closest cells.
+
+    Scale path: cell assignment is a narrow map over the corpus (write
+    it out partitioned by ``_cell`` once, reuse for every query batch);
+    queries broadcast; the exact-cosine rescan touches
+    ``nprobe/num_cells`` of the data instead of all of it."""
+    centroids = ivf_centroids(num_cells, dim)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cvec"),
+        ivf_assign(F.col(vec_col), centroids).alias("_cell"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qvec"),
+        F.explode(ivf_probe_cells(F.col(vec_col), centroids, nprobe)).alias("_cell"),
+    )
+    sim = cosine_similarity(F.col("_qvec"), F.col("_cvec"))
+    scored = (
+        c.join(F.broadcast(q), "_cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("cosine"), 6).desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", F.round("cosine", 6).alias("cosine"))
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

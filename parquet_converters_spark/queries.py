@@ -39,6 +39,8 @@ from parquet_converters_spark.functions.similarity import (
     cosine_topk,
     embedding_neardup_pairs,
     hyperplanes,
+    ivf_centroids,
+    ivf_topk,
     lsh_bucket_ann,
 )
 from parquet_converters_spark.functions.text import (
@@ -949,6 +951,58 @@ ORDER BY query_id, rank
 """
 
 
+def sim_ivf_ann(spark, sf_dir):
+    """IVF approximate nearest neighbors: corpus partitioned into
+    inverted lists by nearest (deterministic) centroid; queries probe
+    their 2 closest cells only."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return ivf_topk(emb, queries, k=5, num_cells=8, nprobe=2, dim=64).orderBy(
+        "query_id", "rank"
+    )
+
+
+def _sql_ivf(num_cells: int = 8, nprobe: int = 2, dim: int = 64) -> str:
+    cens = ivf_centroids(num_cells, dim)
+    sims = ", ".join(
+        "list_cosine_similarity(CAST(embedding AS DOUBLE[]), ["
+        + ", ".join(str(x) for x in cen)
+        + "])"
+        for cen in cens
+    )
+    return f"""
+WITH sims AS (
+  SELECT vec_id, embedding, [{sims}] AS s FROM embeddings
+), assigned AS (
+  SELECT vec_id, embedding, list_position(s, list_max(s)) AS cell FROM sims
+), probe1 AS (
+  SELECT vec_id, embedding, s, list_position(s, list_max(s)) AS c1 FROM sims WHERE vec_id < 5
+), probe2 AS (
+  SELECT vec_id, embedding, c1,
+         list_position(s2, list_max(s2)) AS c2
+  FROM (SELECT vec_id, embedding, c1,
+               list_transform(generate_series(1, {num_cells}),
+                              i -> CASE WHEN i = c1 THEN -2.0 ELSE s[i] END) AS s2
+        FROM probe1) _p
+), q AS (
+  SELECT vec_id AS query_id, embedding AS qv, unnest([c1, c2]) AS cell FROM probe2
+), scored AS (
+  SELECT q.query_id, a.vec_id AS neighbor_id,
+         round(list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])), 6) AS cosine
+  FROM q JOIN assigned a ON a.cell = q.cell AND a.vec_id != q.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id, cosine FROM ranked WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
+SIM_IVF_ANN_SQL = _sql_ivf()
+
+
 def sim_neardup_pairs(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     return embedding_neardup_pairs(emb, threshold=0.5, num_planes=8, dim=64).orderBy(
@@ -1196,6 +1250,7 @@ QUERIES: dict[str, tuple] = {
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_SQL),
     "sim_cosine_topk": (sim_cosine_topk, SIM_COSINE_TOPK_SQL),
     "sim_lsh_ann": (sim_lsh_ann, SIM_LSH_ANN_SQL),
+    "sim_ivf_ann": (sim_ivf_ann, SIM_IVF_ANN_SQL),
     "sim_neardup_pairs": (sim_neardup_pairs, SIM_NEARDUP_SQL),
     "text_token_count": (text_token_count, TEXT_TOKEN_COUNT_SQL),
     "text_language_id": (text_language_id, TEXT_LANGUAGE_ID_SQL),

@@ -199,3 +199,65 @@ def test_sessionize_gap_splitting(spark):
     assert len(per_user[2]) == 1
     s1 = sorted(per_user[1], key=lambda r: r["session_id"])
     assert s1[0]["n_events"] == 2 and s1[1]["n_events"] == 1
+
+
+def test_ivf_topk_matches_bruteforce_when_probing_all(spark, sf_dir):
+    """With nprobe == num_cells, IVF degenerates to exact search — its
+    top-k must equal the brute-force baseline."""
+    from parquet_converters_spark.functions.similarity import cosine_topk, ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3)
+    exact = cosine_topk(emb, queries, k=3).collect()
+    ivf_all = ivf_topk(emb, queries, k=3, num_cells=4, nprobe=4).collect()
+    key = lambda r: (r["query_id"], r["rank"])
+    assert sorted(map(tuple, ivf_all), key=lambda t: (t[0], t[1])) == sorted(
+        map(tuple, exact), key=lambda t: (t[0], t[1])
+    )
+
+
+def test_ivf_assignment_is_dense_partition(spark, sf_dir):
+    """Every vector lands in exactly one cell in [1, num_cells]."""
+    from parquet_converters_spark.functions.similarity import ivf_assign, ivf_centroids
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cells = emb.select(
+        ivf_assign(F.col("embedding"), ivf_centroids(8, 64)).alias("cell")
+    )
+    stats = cells.agg(
+        F.min("cell").alias("lo"), F.max("cell").alias("hi"), F.count("*").alias("n")
+    ).first()
+    assert 1 <= stats["lo"] and stats["hi"] <= 8
+    assert stats["n"] == emb.count()
+
+
+def test_resize_and_frames_stubs(spark, docs):
+    from parquet_converters_spark.functions.multimodal import (
+        documents_as_media,
+        resize_media,
+        sample_frames,
+    )
+
+    media = documents_as_media(docs.filter("doc_id < 3"))
+    rs = resize_media(media, width=8, height=8, fake=True).collect()
+    assert len(rs) == 3
+    assert all(r["width"] == 8 and r["height"] == 8 and len(r["payload"]) == 64 for r in rs)
+    # identical payloads (docs 0,1) -> identical fake bitmaps
+    by_id = {r["media_id"]: bytes(r["payload"]) for r in rs}
+    assert by_id[0] == by_id[1]
+
+    fr = sample_frames(media, every_ms=500, max_frames=4, fake=True).collect()
+    per = {}
+    for r in fr:
+        per.setdefault(r["media_id"], []).append(r)
+    assert set(per) == {0, 1, 2}
+    for mid, rows in per.items():
+        idx = sorted(r["frame_index"] for r in rows)
+        assert idx == list(range(len(idx)))          # dense 0..n-1
+        assert all(r["frame_ts_ms"] == r["frame_index"] * 500 for r in rows)
+    assert len(per[0]) == len(per[1])                # deterministic in payload
+
+    # real path must refuse, not silently fake
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        resize_media(media, fake=False).collect()

@@ -56,6 +56,7 @@ from parquet_converters_spark.operators.indexing import (
     run_length_ranges,
 )
 from parquet_converters_spark.streaming.events import (
+    running_user_totals,
     sessionize,
     windowed_event_counts,
 )
@@ -408,6 +409,36 @@ WITH spend AS (
 SELECT c_nationkey, rank, c_custkey, CAST(spend AS DOUBLE) AS spend
 FROM ranked WHERE rank <= 3
 ORDER BY c_nationkey, rank
+"""
+
+
+def json_extract_agg(spark, sf_dir):
+    """Semi-structured extraction: pull an integer field out of the
+    events JSON ``props`` column (JVM-side get_json_object, no UDF) and
+    aggregate it exactly per event type."""
+    ev = _events(spark, sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("k_sum"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+        )
+        .orderBy("event_type")
+    )
+
+
+JSON_EXTRACT_SQL = """
+SELECT event_type, count(*) AS n,
+       sum(CAST(props ->> 'k' AS BIGINT)) AS k_sum,
+       min(CAST(props ->> 'k' AS BIGINT)) AS k_min,
+       max(CAST(props ->> 'k' AS BIGINT)) AS k_max
+FROM events
+GROUP BY event_type
+ORDER BY event_type
 """
 
 
@@ -1188,6 +1219,20 @@ ORDER BY user_id, session_id
 """
 
 
+def stream_running_totals(spark, sf_dir):
+    """Custom stateful operator (applyInPandasWithState) in its batch
+    form: per-user running totals — the streaming path is exercised
+    across triggers in tests/test_functions.py."""
+    ev = _events(spark, sf_dir)
+    return running_user_totals(ev).orderBy("user_id")
+
+
+STREAM_RUNNING_TOTALS_SQL = """
+SELECT user_id, count(*) AS n_events, round(sum(value), 6) AS value_sum
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
 # ===========================================================================
 # Non-SQL-expressible entries (driver records rows-only checks)
 # ===========================================================================
@@ -1229,6 +1274,7 @@ QUERIES: dict[str, tuple] = {
     "rollup_pricing": (rollup_pricing, ROLLUP_SQL),
     "topk_per_group": (topk_per_group, TOPK_PER_GROUP_SQL),
     "pivot_event_counts": (pivot_event_counts, PIVOT_SQL),
+    "json_extract_agg": (json_extract_agg, JSON_EXTRACT_SQL),
     "proj_rename": (proj_rename, PROJ_RENAME_SQL),
     "array_flatten": (array_flatten, ARRAY_FLATTEN_SQL),
     "bitfield_unpack": (bitfield_unpack, BITFIELD_UNPACK_SQL),
@@ -1259,6 +1305,7 @@ QUERIES: dict[str, tuple] = {
     "multimodal_meta": (multimodal_meta, MULTIMODAL_META_SQL),
     "stream_windowed_agg": (stream_windowed_agg, STREAM_WINDOWED_AGG_SQL),
     "stream_sessionize": (stream_sessionize, STREAM_SESSIONIZE_SQL),
+    "stream_running_totals": (stream_running_totals, STREAM_RUNNING_TOTALS_SQL),
     "touch_scan_v2": (touch_scan_v2, None),
     "multimodal_decode": (multimodal_decode, None),
 }

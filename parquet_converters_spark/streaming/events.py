@@ -65,6 +65,65 @@ def read_events_stream(
     )
 
 
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator: per-user running event count
+    and value sum, maintained across triggers with
+    ``applyInPandasWithState`` (Arrow-batched, one state row per user).
+
+    On a stream, each trigger emits the *updated* totals for users seen
+    in that batch (output mode ``update``); state lives in the state
+    store and survives restarts via checkpointing.  At 100 TB/day the
+    state is O(distinct users) — keyed, partitioned by the shuffle on
+    ``user_id``, nothing driver-side.
+
+    On a batch DataFrame (where Spark forbids the stateful form) the
+    same accumulation runs as a stateless ``applyInPandas`` — one
+    "trigger" containing all the data — which is how the unit test and
+    the DuckDB oracle cross-check it.
+    """
+    out_schema = "user_id long, n_events long, value_sum double"
+
+    def accumulate(n, s, pdf_iter):
+        for pdf in pdf_iter:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+        return n, s
+
+    def emit(user_id, n, s):
+        import pandas as pd
+
+        return pd.DataFrame(
+            {"user_id": [user_id], "n_events": [n], "value_sum": [round(s, 6)]}
+        )
+
+    grouped = events.select("user_id", "value").groupBy("user_id")
+
+    if not events.isStreaming:
+        def batch_fn(key, pdf):
+            n, s = accumulate(0, 0.0, [pdf])
+            return emit(key[0], n, s)
+
+        return grouped.applyInPandas(batch_fn, schema=out_schema)
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    state_schema = "n long, s double"
+
+    def update(key, pdf_iter, state: GroupState):
+        n, s = state.get if state.exists else (0, 0.0)
+        n, s = accumulate(n, s, pdf_iter)
+        state.update((n, s))
+        yield emit(key[0], n, s)
+
+    return grouped.applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def sessionize(
     events: DataFrame,
     gap_minutes: int = 30,

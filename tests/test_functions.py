@@ -261,3 +261,50 @@ def test_resize_and_frames_stubs(spark, docs):
     import pytest as _pytest
     with _pytest.raises(Exception):
         resize_media(media, fake=False).collect()
+
+
+def test_stateful_running_totals_stream(spark, sf_dir, tmp_path):
+    """applyInPandasWithState across multiple triggers: state accumulates
+    per user and the final update per user equals the batch aggregate."""
+    import shutil
+
+    from parquet_converters_spark.streaming.events import (
+        read_events_stream,
+        running_user_totals,
+    )
+
+    # split events into several files so availableNow yields >1 trigger
+    src = f"{sf_dir}/events.parquet"
+    events = spark.read.parquet(src)
+    stream_dir = str(tmp_path / "events_stream")
+    events.repartition(4).write.parquet(stream_dir)
+
+    stream = read_events_stream(spark, stream_dir, max_files_per_trigger=1)
+    q = (
+        running_user_totals(stream)
+        .writeStream.format("memory")
+        .queryName("running_totals")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    # last update per user (memory sink appends every trigger's updates)
+    got = spark.sql(
+        """
+        SELECT user_id, n_events, value_sum FROM (
+          SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY n_events DESC) rn
+          FROM running_totals
+        ) WHERE rn = 1
+        """
+    ).collect()
+    want = (
+        events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 6).alias("value_sum"))
+        .collect()
+    )
+    gm = {r["user_id"]: (r["n_events"], round(r["value_sum"], 4)) for r in got}
+    wm = {r["user_id"]: (r["n_events"], round(r["value_sum"], 4)) for r in want}
+    assert gm == wm

@@ -29,6 +29,7 @@ HEADLINE = [
     "adjacency_node_ranges",
     "adjacency_range_to_edge",
     "run_length",
+    "run_length_scan",
     "interval_merge",
     "prefix_sum",
     "stream_windowed_agg",

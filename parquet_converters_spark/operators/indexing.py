@@ -86,6 +86,102 @@ def run_length_ranges(df: DataFrame, key: str, row_col: str) -> DataFrame:
     )
 
 
+def run_length_ranges_scan(
+    df: DataFrame,
+    key: str,
+    row_col: str,
+    assume_scan_order: bool = False,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """G1+G4 the reference's way: *local* run-length encoding per
+    partition followed by a boundary fix-up — no full-data shuffle.
+
+    The window form (:func:`run_length_ranges`) shuffles every row by
+    ``key``; at 100 TB that exchange dominates the job.  The reference
+    instead RLE-compresses each rank's contiguous slice locally and
+    exchanges only the ranges (``index.cpp:114-137`` local pass,
+    ``:142-153`` post-shuffle re-merge).  This is the Spark analogue:
+
+    1. ensure partitions hold contiguous ``row_col`` slices —
+       free when the input comes straight off an ordered scan
+       (``assume_scan_order=True``, e.g. `sources.ordering`), else one
+       ``repartitionByRange``;
+    2. vectorized RLE inside each partition (``mapInPandas``; numpy
+       diff over Arrow batches, the carry crosses batch boundaries);
+       output is (node_id, range_start, range_end, _edge) where
+       ``_edge`` marks each partition's first/last run;
+    3. fix-up: non-edge runs are maximal already (within a partition
+       the RLE merges everything mergeable); only the ≤2-per-partition
+       edge runs can continue across a boundary.  They are collected
+       (tiny), chain-merged on the driver, and unioned back.
+    """
+    spark = df.sparkSession
+    node_t = dict(df.dtypes)[key]
+    out_schema = f"node_id {node_t}, range_start long, range_end long, _edge int"
+
+    src = df.select(F.col(key).alias("node_id"), F.col(row_col).alias("_pos"))
+    if not assume_scan_order:
+        parts = num_partitions or spark.sparkContext.defaultParallelism
+        src = src.repartitionByRange(parts, "_pos")
+    src = src.sortWithinPartitions("_pos")
+
+    def rle(batches):
+        import numpy as np
+        import pandas as pd
+
+        nodes_parts, pos_parts = [], []
+        for pdf in batches:
+            if len(pdf):
+                nodes_parts.append(pdf["node_id"].to_numpy())
+                pos_parts.append(pdf["_pos"].to_numpy())
+        if not nodes_parts:
+            return
+        nodes = np.concatenate(nodes_parts)
+        pos = np.concatenate(pos_parts)
+        # run starts: node changes or position gaps
+        brk = np.flatnonzero((nodes[1:] != nodes[:-1]) | (pos[1:] != pos[:-1] + 1))
+        starts = np.concatenate(([0], brk + 1))
+        ends = np.concatenate((brk, [len(pos) - 1]))
+        n = len(starts)
+        edge = np.zeros(n, dtype="int32")
+        edge[0] = 1
+        edge[-1] = 1
+        yield pd.DataFrame(
+            {
+                "node_id": nodes[starts],
+                "range_start": pos[starts],
+                "range_end": pos[ends] + 1,
+                "_edge": edge,
+            }
+        )
+
+    # persist: the edge-run collect and the interior filter must see the
+    # SAME partitioning (repartitionByRange boundaries come from
+    # sampling, so re-execution could split runs differently)
+    runs = src.mapInPandas(rle, schema=out_schema).persist()
+    interior = runs.filter(F.col("_edge") == 0).drop("_edge")
+
+    # chain-merge the partition-boundary runs (≤ 2 per partition)
+    edge_rows = sorted(
+        runs.filter(F.col("_edge") == 1).drop("_edge").collect(),
+        key=lambda r: r["range_start"],
+    )
+    merged: list[tuple] = []
+    for r in edge_rows:
+        if (
+            merged
+            and merged[-1][0] == r["node_id"]
+            and merged[-1][2] == r["range_start"]
+        ):
+            merged[-1] = (merged[-1][0], merged[-1][1], r["range_end"])
+        else:
+            merged.append((r["node_id"], r["range_start"], r["range_end"]))
+    edge_df = spark.createDataFrame(
+        merged, schema=f"node_id {node_t}, range_start long, range_end long"
+    )
+    return interior.unionByName(edge_df)
+
+
 def infer_node_count(df: DataFrame, key: str) -> int:
     """A2: ``max(node_id) + 1`` when no population size metadata exists
     (``index.cpp:208-213``)."""
@@ -98,6 +194,7 @@ def build_adjacency_index(
     key: str,
     node_count: int | None = None,
     row_col: str = "row_index",
+    method: str = "window",
 ) -> tuple[DataFrame, DataFrame]:
     """Build one direction of the adjacency index.
 
@@ -107,12 +204,20 @@ def build_adjacency_index(
       [0, node_count), (0,0) when the node has no edges;
     - ``range_to_edge_id``: range_id, edge_start, edge_end — ordered
       node-major, start-ascending.
+
+    ``method``: ``"window"`` (gaps-and-islands, shuffles rows by node
+    twice) or ``"scan"`` (local RLE + boundary fix-up, one narrow
+    2-column range-exchange — the reference's architecture, preferred
+    at scale).
     """
     spark = df.sparkSession
     if node_count is None:
         node_count = infer_node_count(df, key)
 
-    ranges = run_length_ranges(df, key, row_col)
+    if method == "scan":
+        ranges = run_length_ranges_scan(df, key, row_col)
+    else:
+        ranges = run_length_ranges(df, key, row_col)
     numbered = _global_rank(ranges, ["node_id", "range_start"], "range_id")
 
     range_to_edge_id = numbered.select(
@@ -140,15 +245,17 @@ def build_sonata_indices(
     source_node_count: int | None = None,
     target_node_count: int | None = None,
     row_col: str = "row_index",
+    method: str = "scan",
 ) -> dict[str, tuple[DataFrame, DataFrame]]:
     """G6: both index directions, as written under
     ``indices/{source_to_target,target_to_source}``
-    (``index.cpp:24-31,309-324``)."""
+    (``index.cpp:24-31,309-324``).  Defaults to the scan-order RLE
+    (the scale path; see :func:`build_adjacency_index`)."""
     return {
         "source_to_target": build_adjacency_index(
-            df, "source_node_id", source_node_count, row_col
+            df, "source_node_id", source_node_count, row_col, method
         ),
         "target_to_source": build_adjacency_index(
-            df, "target_node_id", target_node_count, row_col
+            df, "target_node_id", target_node_count, row_col, method
         ),
     }

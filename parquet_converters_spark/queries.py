@@ -54,6 +54,7 @@ from parquet_converters_spark.functions.text import (
 from parquet_converters_spark.operators.indexing import (
     build_adjacency_index,
     run_length_ranges,
+    run_length_ranges_scan,
 )
 from parquet_converters_spark.streaming.events import (
     running_user_totals,
@@ -675,6 +676,16 @@ ORDER BY node_id, range_start
 """
 
 
+def run_length_scan(spark, sf_dir):
+    """G1+G4 scale path: local RLE per partition + boundary fix-up (no
+    full-data shuffle) — same semantics as run_length, reference
+    architecture (index.cpp:114-153)."""
+    ev = _events(spark, sf_dir)
+    return run_length_ranges_scan(
+        ev.select(F.col("event_type"), F.col("event_id")), "event_type", "event_id"
+    ).orderBy("node_id", "range_start")
+
+
 def interval_merge(spark, sf_dir):
     """G4 per-key interval merge: overlapping 30-day order windows per
     customer collapse into maximal covered intervals
@@ -757,7 +768,9 @@ def adjacency_node_ranges(spark, sf_dir):
     ev = _events(spark, sf_dir).select(
         F.col("user_id").alias("source_node_id"), F.col("event_id").alias("row_index")
     )
-    node_ranges, _ = build_adjacency_index(ev, "source_node_id", row_col="row_index")
+    node_ranges, _ = build_adjacency_index(
+        ev, "source_node_id", row_col="row_index", method="scan"
+    )
     return node_ranges.orderBy("node_id")
 
 
@@ -789,7 +802,9 @@ def adjacency_range_to_edge(spark, sf_dir):
     ev = _events(spark, sf_dir).select(
         F.col("user_id").alias("source_node_id"), F.col("event_id").alias("row_index")
     )
-    _, range_edges = build_adjacency_index(ev, "source_node_id", row_col="row_index")
+    _, range_edges = build_adjacency_index(
+        ev, "source_node_id", row_col="row_index", method="scan"
+    )
     return range_edges.orderBy("range_id")
 
 
@@ -1285,6 +1300,7 @@ QUERIES: dict[str, tuple] = {
     "global_max": (global_max, GLOBAL_MAX_SQL),
     "prefix_sum": (prefix_sum, PREFIX_SUM_SQL),
     "run_length": (run_length, RUN_LENGTH_SQL),
+    "run_length_scan": (run_length_scan, RUN_LENGTH_SQL),
     "interval_merge": (interval_merge, INTERVAL_MERGE_SQL),
     "dense_left_join": (dense_left_join, DENSE_LEFT_JOIN_SQL),
     "adjacency_node_ranges": (adjacency_node_ranges, ADJ_NODE_RANGES_SQL),

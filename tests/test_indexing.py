@@ -102,3 +102,37 @@ def test_fragmented_and_gapped(spark):
     assert re_ == {0: (0, 1), 1: (2, 4), 2: (1, 2), 3: (4, 5)}
     nr = {r["node_id"]: (r["range_lo"], r["range_hi"]) for r in node_ranges.collect()}
     assert nr == {0: (0, 0), 1: (0, 2), 2: (2, 4)}
+
+
+@pytest.mark.parametrize("direction", ["source_node_id", "target_node_id"])
+def test_scan_method_matches_window(spark, edges, direction):
+    """The shuffle-free scan-order RLE must produce exactly the window
+    method's index on the reference's analytic case."""
+    from parquet_converters_spark.operators import build_adjacency_index
+
+    nr_w, re_w = build_adjacency_index(edges, direction, method="window")
+    nr_s, re_s = build_adjacency_index(edges, direction, method="scan")
+    assert sorted(map(tuple, nr_w.collect())) == sorted(map(tuple, nr_s.collect()))
+    assert sorted(map(tuple, re_w.collect())) == sorted(map(tuple, re_s.collect()))
+
+
+def test_scan_rle_boundary_runs(spark):
+    """Runs that span many partitions chain-merge correctly, including
+    position gaps and string keys."""
+    from parquet_converters_spark.operators.indexing import (
+        run_length_ranges,
+        run_length_ranges_scan,
+    )
+
+    rows = (
+        [("a", i) for i in range(0, 500)]          # one long run spanning partitions
+        + [("b", i) for i in range(500, 700)]
+        + [("a", i) for i in range(800, 900)]      # gap: new run for a
+        + [("c", 900)]                             # singleton
+    )
+    df = spark.createDataFrame(rows, "k: string, pos: long").repartition(16)
+    got = sorted(map(tuple, run_length_ranges_scan(df, "k", "pos").collect()))
+    want = sorted(map(tuple, run_length_ranges(df, "k", "pos").collect()))
+    assert got == want
+    assert ("a", 0, 500) in got and ("a", 800, 900) in got
+    assert ("b", 500, 700) in got and ("c", 900, 901) in got

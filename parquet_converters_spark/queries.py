@@ -654,6 +654,65 @@ FROM daily
 """
 
 
+def moving_avg_7d(spark, sf_dir):
+    """Frame-based window: 7-row trailing moving average over daily
+    order revenue (ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.date_trunc("day", F.col("o_orderdate").cast("timestamp")).alias("day")
+    ).agg(F.sum(_dec("o_totalprice")).alias("day_total"))
+    w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+    return daily.select(
+        F.unix_micros("day").alias("day_us"),
+        F.col("day_total").cast("double").alias("day_total"),
+        (F.sum("day_total").over(w) / F.count(F.lit(1)).over(w))
+        .cast("decimal(25,6)")
+        .cast("double")
+        .alias("avg_7d"),
+    )
+
+
+MOVING_AVG_SQL = """
+WITH daily AS (
+  SELECT date_trunc('day', o_orderdate) AS day,
+         sum(CAST(o_totalprice AS DECIMAL(25,4))) AS day_total
+  FROM orders GROUP BY 1
+)
+SELECT epoch_us(CAST(day AS TIMESTAMP)) AS day_us,
+       CAST(day_total AS DOUBLE) AS day_total,
+       CAST(CAST(sum(day_total) OVER w / count(*) OVER w AS DECIMAL(25,6)) AS DOUBLE) AS avg_7d
+FROM daily
+WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
+
+def decile_counts(spark, sf_dir):
+    """ntile ranking: customers bucketed into account-balance deciles,
+    with per-decile count and balance span (exact decimal bounds)."""
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc())
+    return (
+        cust.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(_dec("c_acctbal")).cast("double").alias("bal_lo"),
+            F.max(_dec("c_acctbal")).cast("double").alias("bal_hi"),
+        )
+        .orderBy("decile")
+    )
+
+
+DECILE_SQL = """
+SELECT decile, count(*) AS n,
+       CAST(min(CAST(c_acctbal AS DECIMAL(25,4))) AS DOUBLE) AS bal_lo,
+       CAST(max(CAST(c_acctbal AS DECIMAL(25,4))) AS DOUBLE) AS bal_hi
+FROM (SELECT c_acctbal, ntile(10) OVER (ORDER BY c_acctbal ASC, c_custkey ASC) AS decile
+      FROM customer)
+GROUP BY decile ORDER BY decile
+"""
+
+
 def run_length(spark, sf_dir):
     """G1 run-length grouping (gaps-and-islands) over the event stream:
     maximal runs of equal event_type in event_id order
@@ -1147,6 +1206,61 @@ ORDER BY doc_id
 """
 
 
+def text_top_tokens(spark, sf_dir):
+    """Corpus-level token frequency top-20 (the canonical wordcount:
+    explode -> two-level hash aggregate with map-side partials; the
+    final top-k never sorts the full token table)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token"))
+        .limit(20)
+    )
+
+
+TEXT_TOP_TOKENS_SQL = f"""
+SELECT token, count(*) AS n
+FROM (SELECT unnest({SQL_TOKENS.format(col='text')}) AS token FROM documents) _t
+GROUP BY token
+ORDER BY n DESC, token
+LIMIT 20
+"""
+
+#: Karp-Rabin style polynomial rolling hash constants (shared with the
+#: oracle): h = (h * B + token_hash) mod M, B and M < 2^31 so the
+#: intermediate product stays under 2^62.
+ROLLING_B = 1_000_003
+ROLLING_M = (1 << 31) - 1
+
+
+def text_rolling_hash(spark, sf_dir):
+    """Document fingerprint as a polynomial rolling hash over token
+    hashes (order-sensitive, unlike the bag-of-words simhash): one
+    fold over the token array, pure JVM arithmetic."""
+    from parquet_converters_spark.functions.dedup import h32
+
+    docs = _t(spark, sf_dir, "documents")
+    rolling = F.aggregate(
+        F.transform(tokens("text"), h32),
+        F.lit(0).cast("long"),
+        lambda acc, h: (acc * ROLLING_B + h) % ROLLING_M,
+    )
+    return docs.select("doc_id", rolling.alias("rolling_hash")).orderBy("doc_id")
+
+
+TEXT_ROLLING_HASH_SQL = f"""
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+                      list_transform({SQL_TOKENS.format(col='text')},
+                                     s -> {SQL_H32.format(x='s')})),
+         (acc, h) -> (acc * {ROLLING_B} + h) % {ROLLING_M}) AS rolling_hash
+FROM documents ORDER BY doc_id
+"""
+
+
 def text_fingerprint(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return docs.select("doc_id", doc_fingerprint("text").alias("fingerprint")).orderBy(
@@ -1272,6 +1386,17 @@ def multimodal_decode(spark, sf_dir):
     return decode_media(documents_as_media(docs), n_features=8, fake=True)
 
 
+def multimodal_frames(spark, sf_dir):
+    """Video frame-sampling plumbing (batch-side 1:N explode in
+    mapInPandas) with the deterministic fake sampler."""
+    docs = _t(spark, sf_dir, "documents")
+    from parquet_converters_spark.functions.multimodal import sample_frames
+
+    return sample_frames(
+        documents_as_media(docs), every_ms=1000, max_frames=4, fake=True
+    ).drop("payload")
+
+
 # ===========================================================================
 # Registry
 # ===========================================================================
@@ -1318,10 +1443,15 @@ QUERIES: dict[str, tuple] = {
     "text_language_id": (text_language_id, TEXT_LANGUAGE_ID_SQL),
     "text_quality": (text_quality, TEXT_QUALITY_SQL),
     "text_fingerprint": (text_fingerprint, TEXT_FINGERPRINT_SQL),
+    "text_top_tokens": (text_top_tokens, TEXT_TOP_TOKENS_SQL),
+    "text_rolling_hash": (text_rolling_hash, TEXT_ROLLING_HASH_SQL),
+    "moving_avg_7d": (moving_avg_7d, MOVING_AVG_SQL),
+    "decile_counts": (decile_counts, DECILE_SQL),
     "multimodal_meta": (multimodal_meta, MULTIMODAL_META_SQL),
     "stream_windowed_agg": (stream_windowed_agg, STREAM_WINDOWED_AGG_SQL),
     "stream_sessionize": (stream_sessionize, STREAM_SESSIONIZE_SQL),
     "stream_running_totals": (stream_running_totals, STREAM_RUNNING_TOTALS_SQL),
     "touch_scan_v2": (touch_scan_v2, None),
     "multimodal_decode": (multimodal_decode, None),
+    "multimodal_frames": (multimodal_frames, None),
 }

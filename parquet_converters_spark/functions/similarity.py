@@ -36,20 +36,34 @@ def hyperplanes(num_planes: int, dim: int) -> list[list[float]]:
     ]
 
 
-def cosine_similarity(a: Column, b: Column) -> Column:
-    """JVM-side cosine over two float-array columns (double math)."""
-    dot = F.aggregate(
+def vec_norm(a: Column) -> Column:
+    """L2 norm of a float-array column (double math, left-to-right fold
+    — the same IEEE op order every engine's naive loop produces)."""
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+
+
+def dot_product(a: Column, b: Column) -> Column:
+    return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    na = F.sqrt(
-        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
-    )
-    nb = F.sqrt(
-        F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
-    )
-    return dot / (na * nb)
+
+
+def cosine_similarity(
+    a: Column, b: Column, norm_a: Column | None = None, norm_b: Column | None = None
+) -> Column:
+    """JVM-side cosine over two float-array columns (double math).
+
+    Pass precomputed ``norm_a``/``norm_b`` columns on join inputs so the
+    O(dim) norm folds run once per *row* instead of once per *pair* —
+    bit-identical result (``dot / (na * nb)`` either way), 3x less
+    arithmetic in an all-pairs or bucket join."""
+    na = norm_a if norm_a is not None else vec_norm(a)
+    nb = norm_b if norm_b is not None else vec_norm(b)
+    return dot_product(a, b) / (na * nb)
 
 
 def cosine_topk(
@@ -64,12 +78,18 @@ def cosine_topk(
     broadcast; the corpus scan stays pristine (no shuffle before the
     top-k)."""
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qvec"),
+        vec_norm(F.col(vec_col)).alias("_qnorm"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cvec"),
+        vec_norm(F.col(vec_col)).alias("_cnorm"),
     )
-    sim = cosine_similarity(F.col("_qvec"), F.col("_cvec"))
+    sim = cosine_similarity(
+        F.col("_qvec"), F.col("_cvec"), F.col("_qnorm"), F.col("_cnorm")
+    )
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", sim.alias("cosine"))
@@ -121,14 +141,18 @@ def lsh_bucket_ann(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qvec"),
+        vec_norm(F.col(vec_col)).alias("_qnorm"),
         lsh_bucket(F.col(vec_col), planes).alias("_bucket"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cvec"),
+        vec_norm(F.col(vec_col)).alias("_cnorm"),
         lsh_bucket(F.col(vec_col), planes).alias("_bucket"),
     )
-    sim = cosine_similarity(F.col("_qvec"), F.col("_cvec"))
+    sim = cosine_similarity(
+        F.col("_qvec"), F.col("_cvec"), F.col("_qnorm"), F.col("_cnorm")
+    )
     scored = (
         c.join(F.broadcast(q), "_bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -154,16 +178,35 @@ def ivf_centroids(num_cells: int, dim: int) -> list[list[float]]:
     ]
 
 
+def _py_norm(cen: list[float]) -> float:
+    """Driver-side L2 norm with the same left-to-right double fold as
+    :func:`vec_norm` — bit-identical to evaluating it in the engine."""
+    import math
+
+    acc = 0.0
+    for x in cen:
+        acc += x * x
+    return math.sqrt(acc)
+
+
 def _cell_sims(vec: Column, centroids: list[list[float]]) -> Column:
-    """Array of cosine similarities of ``vec`` against each centroid."""
-    # double literals (not float) so the DuckDB oracle's arithmetic is
-    # bit-identical
-    return F.array(
-        *[
-            cosine_similarity(vec, F.array(*[F.lit(x) for x in cen]))
-            for cen in centroids
-        ]
-    )
+    """Array of cosine similarities of ``vec`` against each centroid.
+
+    Centroid norms are Python constants and the vector norm is bound
+    once (not per centroid); double literals (not float) throughout so
+    the DuckDB oracle's arithmetic is bit-identical."""
+    from parquet_converters_spark.functions.text import bind
+
+    def sims(nv: Column) -> Column:
+        return F.array(
+            *[
+                dot_product(vec, F.array(*[F.lit(x) for x in cen]))
+                / (nv * F.lit(_py_norm(cen)))
+                for cen in centroids
+            ]
+        )
+
+    return bind(vec_norm(vec), sims)
 
 
 def ivf_assign(vec: Column, centroids: list[list[float]]) -> Column:
@@ -226,14 +269,18 @@ def ivf_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cvec"),
+        vec_norm(F.col(vec_col)).alias("_cnorm"),
         ivf_assign(F.col(vec_col), centroids).alias("_cell"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qvec"),
+        vec_norm(F.col(vec_col)).alias("_qnorm"),
         F.explode(ivf_probe_cells(F.col(vec_col), centroids, nprobe)).alias("_cell"),
     )
-    sim = cosine_similarity(F.col("_qvec"), F.col("_cvec"))
+    sim = cosine_similarity(
+        F.col("_qvec"), F.col("_cvec"), F.col("_qnorm"), F.col("_cnorm")
+    )
     scored = (
         c.join(F.broadcast(q), "_cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -264,10 +311,13 @@ def embedding_neardup_pairs(
     base = df.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_vec"),
+        vec_norm(F.col(vec_col)).alias("_norm"),
         lsh_bucket(F.col(vec_col), planes).alias("_bucket"),
     )
     a, b = base.alias("a"), base.alias("b")
-    sim = cosine_similarity(F.col("a._vec"), F.col("b._vec"))
+    sim = cosine_similarity(
+        F.col("a._vec"), F.col("b._vec"), F.col("a._norm"), F.col("b._norm")
+    )
     return (
         a.join(
             b,

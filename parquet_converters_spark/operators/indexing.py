@@ -106,10 +106,11 @@ def run_length_ranges_scan(
        free when the input comes straight off an ordered scan
        (``assume_scan_order=True``, e.g. `sources.ordering`), else one
        ``repartitionByRange``;
-    2. vectorized RLE inside each partition (``mapInPandas``; numpy
-       diff over Arrow batches, the carry crosses batch boundaries);
-       output is (node_id, range_start, range_end, _edge) where
-       ``_edge`` marks each partition's first/last run;
+    2. vectorized RLE inside each partition (``mapInArrow``; numpy
+       diff over raw Arrow batches — no pandas materialization — with
+       the run carry crossing batch boundaries); output is
+       (node_id, range_start, range_end, _edge) where ``_edge`` marks
+       each partition's first/last run;
     3. fix-up: non-edge runs are maximal already (within a partition
        the RLE merges everything mergeable); only the ≤2-per-partition
        edge runs can continue across a boundary.  They are collected
@@ -127,38 +128,52 @@ def run_length_ranges_scan(
 
     def rle(batches):
         import numpy as np
-        import pandas as pd
+        import pyarrow as pa
 
         nodes_parts, pos_parts = [], []
-        for pdf in batches:
-            if len(pdf):
-                nodes_parts.append(pdf["node_id"].to_numpy())
-                pos_parts.append(pdf["_pos"].to_numpy())
+        for rb in batches:
+            if rb.num_rows:
+                nodes_parts.append(rb.column(0))
+                pos_parts.append(rb.column(1))
         if not nodes_parts:
             return
-        nodes = np.concatenate(nodes_parts)
-        pos = np.concatenate(pos_parts)
+        nodes_arr = pa.concat_arrays(
+            [a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a for a in nodes_parts]
+        )
+        pos = pa.concat_arrays(
+            [a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a for a in pos_parts]
+        ).to_numpy()
+        # dictionary-encode strings so the comparison is integer-wide
+        if pa.types.is_string(nodes_arr.type) or pa.types.is_large_string(nodes_arr.type):
+            dict_arr = nodes_arr.dictionary_encode()
+            node_codes = dict_arr.indices.to_numpy(zero_copy_only=False)
+        else:
+            dict_arr = None
+            node_codes = nodes_arr.to_numpy(zero_copy_only=False)
         # run starts: node changes or position gaps
-        brk = np.flatnonzero((nodes[1:] != nodes[:-1]) | (pos[1:] != pos[:-1] + 1))
+        brk = np.flatnonzero(
+            (node_codes[1:] != node_codes[:-1]) | (pos[1:] != pos[:-1] + 1)
+        )
         starts = np.concatenate(([0], brk + 1))
         ends = np.concatenate((brk, [len(pos) - 1]))
         n = len(starts)
         edge = np.zeros(n, dtype="int32")
         edge[0] = 1
         edge[-1] = 1
-        yield pd.DataFrame(
-            {
-                "node_id": nodes[starts],
-                "range_start": pos[starts],
-                "range_end": pos[ends] + 1,
-                "_edge": edge,
-            }
+        yield pa.RecordBatch.from_arrays(
+            [
+                nodes_arr.take(pa.array(starts)),
+                pa.array(pos[starts], type=pa.int64()),
+                pa.array(pos[ends] + 1, type=pa.int64()),
+                pa.array(edge, type=pa.int32()),
+            ],
+            names=["node_id", "range_start", "range_end", "_edge"],
         )
 
     # persist: the edge-run collect and the interior filter must see the
     # SAME partitioning (repartitionByRange boundaries come from
     # sampling, so re-execution could split runs differently)
-    runs = src.mapInPandas(rle, schema=out_schema).persist()
+    runs = src.mapInArrow(rle, schema=out_schema).persist()
     interior = runs.filter(F.col("_edge") == 0).drop("_edge")
 
     # chain-merge the partition-boundary runs (≤ 2 per partition)

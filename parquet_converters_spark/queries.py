@@ -654,6 +654,39 @@ FROM daily
 """
 
 
+def inter_event_gaps(spark, sf_dir):
+    """lag() window: per-user inter-event gap statistics (seconds
+    between consecutive events) — the time-series profiling primitive;
+    partitioned window, exact integer math."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    return (
+        ev.select("user_id", gap.alias("gap_us"))
+        .filter(F.col("gap_us").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.sum("gap_us").alias("gap_sum_us"),
+            F.max("gap_us").alias("gap_max_us"),
+        )
+        .orderBy("user_id")
+    )
+
+
+INTER_EVENT_GAPS_SQL = """
+SELECT user_id, count(*) AS n_gaps,
+       sum(gap_us) AS gap_sum_us, max(gap_us) AS gap_max_us
+FROM (
+  SELECT user_id,
+         epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+  FROM events
+)
+WHERE gap_us IS NOT NULL
+GROUP BY user_id ORDER BY user_id
+"""
+
+
 def moving_avg_7d(spark, sf_dir):
     """Frame-based window: 7-row trailing moving average over daily
     order revenue (ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)."""
@@ -1446,6 +1479,7 @@ QUERIES: dict[str, tuple] = {
     "text_top_tokens": (text_top_tokens, TEXT_TOP_TOKENS_SQL),
     "text_rolling_hash": (text_rolling_hash, TEXT_ROLLING_HASH_SQL),
     "moving_avg_7d": (moving_avg_7d, MOVING_AVG_SQL),
+    "inter_event_gaps": (inter_event_gaps, INTER_EVENT_GAPS_SQL),
     "decile_counts": (decile_counts, DECILE_SQL),
     "multimodal_meta": (multimodal_meta, MULTIMODAL_META_SQL),
     "stream_windowed_agg": (stream_windowed_agg, STREAM_WINDOWED_AGG_SQL),

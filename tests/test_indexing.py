@@ -136,3 +136,44 @@ def test_scan_rle_boundary_runs(spark):
     assert got == want
     assert ("a", 0, 500) in got and ("a", 800, 900) in got
     assert ("b", 500, 700) in got and ("c", 900, 901) in got
+
+
+def test_rle_property_random(spark):
+    """Property check over randomized inputs: both RLE methods agree,
+    ranges are disjoint per key, and coverage equals the row count."""
+    from hypothesis import given, settings, strategies as st
+
+    from parquet_converters_spark.operators.indexing import (
+        run_length_ranges,
+        run_length_ranges_scan,
+    )
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        keys=st.lists(st.integers(min_value=0, max_value=4), min_size=1, max_size=60),
+        gaps=st.sets(st.integers(min_value=1, max_value=59)),
+    )
+    def check(keys, gaps):
+        # positions: mostly consecutive, with gaps injected
+        rows, pos = [], 0
+        for i, k in enumerate(keys):
+            if i in gaps:
+                pos += 3
+            rows.append((int(k), pos))
+            pos += 1
+        df = spark.createDataFrame(rows, "k: long, p: long").repartition(5)
+        got = sorted(map(tuple, run_length_ranges_scan(df, "k", "p").collect()))
+        want = sorted(map(tuple, run_length_ranges(df, "k", "p").collect()))
+        assert got == want
+        assert sum(e - s for _, s, e in got) == len(rows)
+        by_key = {}
+        for k, s, e in got:
+            by_key.setdefault(k, []).append((s, e))
+        for spans in by_key.values():
+            spans.sort()
+            for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+                assert e1 <= s2  # disjoint (equality would mean an unmerged run... )
+                # runs of the same key must not be adjacent-and-contiguous
+                assert not (e1 == s2)
+
+    check()

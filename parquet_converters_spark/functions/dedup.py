@@ -212,6 +212,39 @@ def minhash_lsh_pairs(
     )
 
 
+def near_dedup_pipeline(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_size: int = 3,
+    jaccard_threshold: float | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Scale-safe near-dedup composition: exact dedup FIRST, MinHash-LSH
+    over the unique-text representatives only.
+
+    Why the order matters at 100 TB: a group of d exact duplicates
+    lands in the same LSH bucket in every band and emits d(d-1)/2
+    candidate pairs — quadratic in the duplication factor (measured:
+    20x duplication of a 5k corpus -> 1.3M candidates instead of ~1k).
+    Collapsing exact groups to their min-id representative first makes
+    the LSH candidate count a function of *distinct* content only.
+
+    Returns ``(groups, pairs)``: ``groups`` is the exact-dedup table
+    (content_hash, keep_id, dup_count); ``pairs`` holds near-duplicate
+    representative pairs (extend to members through ``groups``).
+    """
+    groups = exact_dedup(df, text_col, id_col)
+    reps = df.join(
+        groups.select(F.col("keep_id").alias(id_col)), id_col, "left_semi"
+    )
+    pairs = minhash_lsh_pairs(
+        reps, text_col, id_col, num_hashes, bands, shingle_size, jaccard_threshold
+    )
+    return groups, pairs
+
+
 def simhash(
     df: DataFrame,
     text_col: str = "text",

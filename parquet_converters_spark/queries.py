@@ -28,6 +28,7 @@ from parquet_converters_spark.functions.dedup import (
     minhash_signature,
     minhash_signatures,
     minhash_lsh_pairs,
+    near_dedup_pipeline,
     ngram_jaccard_pairs,
     simhash,
 )
@@ -936,7 +937,9 @@ def dedup_minhash_sig(spark, sf_dir):
     return minhash_signatures(docs, num_hashes=8).orderBy("doc_id")
 
 
-def _sql_minhash_sig(text_col: str = "text", num_hashes: int = 8) -> str:
+def _sql_minhash_sig(
+    text_col: str = "text", num_hashes: int = 8, src: str = "documents"
+) -> str:
     sh = _sql_shingles(text_col)
     mins = ", ".join(
         f"coalesce(list_min(list_transform(hashes, h -> ((h % {MERSENNE_PRIME})*{a}+{b}) % {MERSENNE_PRIME})), {MERSENNE_PRIME})"
@@ -945,7 +948,7 @@ def _sql_minhash_sig(text_col: str = "text", num_hashes: int = 8) -> str:
     return (
         f"SELECT doc_id, [{mins}] AS signature "
         f"FROM (SELECT doc_id, list_transform({sh}, s -> {SQL_H32.format(x='s')}) AS hashes "
-        f"FROM documents) _m"
+        f"FROM {src}) _m"
     )
 
 
@@ -959,6 +962,33 @@ def dedup_minhash_lsh(spark, sf_dir):
 
 DEDUP_MINHASH_LSH_SQL = (
     "WITH sig AS (" + _sql_minhash_sig() + "), "
+    """banded AS (
+  SELECT doc_id, b,
+         concat_ws('-', signature[b*2+1], signature[b*2+2]) AS bucket
+  FROM sig, unnest([0,1,2,3]) AS t(b)
+)
+SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+FROM banded l JOIN banded r ON l.b = r.b AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+ORDER BY id_a, id_b
+"""
+)
+
+
+def dedup_pipeline(spark, sf_dir):
+    """Scale-safe composition: exact dedup collapses identical texts to
+    min-id representatives BEFORE the LSH candidate join (a d-sized
+    exact-dup group otherwise emits d(d-1)/2 candidates per band)."""
+    docs = _t(spark, sf_dir, "documents")
+    _groups, pairs = near_dedup_pipeline(docs, num_hashes=8, bands=4)
+    return pairs.orderBy("id_a", "id_b")
+
+
+DEDUP_PIPELINE_SQL = (
+    "WITH reps AS (SELECT min(doc_id) AS keep_id FROM documents "
+    f"GROUP BY {SQL_H60.format(x='text')}), "
+    "rep_docs AS (SELECT doc_id, text FROM documents "
+    "WHERE doc_id IN (SELECT keep_id FROM reps)), "
+    "sig AS (" + _sql_minhash_sig(src="rep_docs") + "), "
     """banded AS (
   SELECT doc_id, b,
          concat_ws('-', signature[b*2+1], signature[b*2+2]) AS bucket
@@ -1466,6 +1496,7 @@ QUERIES: dict[str, tuple] = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_minhash_sig": (dedup_minhash_sig, DEDUP_MINHASH_SIG_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_LSH_SQL),
+    "dedup_pipeline": (dedup_pipeline, DEDUP_PIPELINE_SQL),
     "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_SQL),
     "sim_cosine_topk": (sim_cosine_topk, SIM_COSINE_TOPK_SQL),

@@ -308,3 +308,16 @@ def test_stateful_running_totals_stream(spark, sf_dir, tmp_path):
     gm = {r["user_id"]: (r["n_events"], round(r["value_sum"], 4)) for r in got}
     wm = {r["user_id"]: (r["n_events"], round(r["value_sum"], 4)) for r in want}
     assert gm == wm
+
+
+def test_near_dedup_pipeline_collapses_exact_groups(docs):
+    """Exact duplicates never reach the LSH join: pairs are between
+    representatives only, and the groups table carries the members."""
+    from parquet_converters_spark.functions.dedup import near_dedup_pipeline
+
+    groups, pairs = near_dedup_pipeline(docs.filter("doc_id < 5"))
+    g = {r["keep_id"]: r["dup_count"] for r in groups.collect()}
+    assert g[0] == 2                      # docs 0,1 collapse to rep 0
+    p = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert all(1 not in pair for pair in p)   # loser id never appears
+    assert (0, 2) in p                    # near-dup found between reps

@@ -13,12 +13,22 @@ from parquet_converters_spark.functions.dedup import (  # noqa: F401
     minhash_signature,
     minhash_signatures,
     minhash_lsh_pairs,
+    near_dedup_pipeline,
     simhash,
     ngram_jaccard_pairs,
 )
 from parquet_converters_spark.functions.similarity import (  # noqa: F401
     cosine_similarity,
     cosine_topk,
+    ivf_topk,
     lsh_bucket_ann,
     embedding_neardup_pairs,
+    vec_norm,
+)
+from parquet_converters_spark.functions.multimodal import (  # noqa: F401
+    decode_media,
+    documents_as_media,
+    media_metadata,
+    resize_media,
+    sample_frames,
 )

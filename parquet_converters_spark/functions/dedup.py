@@ -254,11 +254,13 @@ def simhash(
     """(id, simhash) fingerprints: bit b is set when the majority of
     token hashes have bit b set (sum of +-1 votes > 0).
 
-    Explode + one hash-aggregate with ``bits`` sum accumulators: md5
-    runs once per token, the vote matrix stays columnar in the
-    aggregation buffer — a single shuffle on the id at any scale
-    (the naive per-bit array-aggregate form re-reads the token array
-    ``bits`` times)."""
+    Explode + one hash-aggregate with ``bits`` sum accumulators.  The
+    shuffle this plans is doc-level, not token-level: Spark's hash
+    aggregate combines map-side, so each task emits one 32-int partial
+    row per doc — and the vote arithmetic stays inside whole-stage
+    codegen.  (Measured against a row-local ``bits``-fold HOF variant:
+    the interpreted folds were ~60% slower despite being shuffle-free —
+    codegen + map-side combine beats avoiding a doc-level exchange.)"""
     ex = df.select(
         F.col(id_col).alias("_id"),
         F.explode_outer(F.transform(tokens(text_col), h32)).alias("_h"),

@@ -36,7 +36,11 @@ HEADLINE = [
     "stream_sessionize",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_pipeline",
     "dedup_simhash",
+    "json_extract_agg",
+    "inter_event_gaps",
+    "moving_avg_7d",
     "sim_cosine_topk",
     "sim_lsh_ann",
     "sim_ivf_ann",

@@ -321,3 +321,57 @@ def test_near_dedup_pipeline_collapses_exact_groups(docs):
     p = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
     assert all(1 not in pair for pair in p)   # loser id never appears
     assert (0, 2) in p                    # near-dup found between reps
+
+
+def test_native_session_window_stream_matches_batch_sessionize(spark, sf_dir, tmp_path):
+    """Structured Streaming's session_window (native stateful
+    sessionization with watermark) produces the same sessions as the
+    batch gaps-and-islands sessionize."""
+    from parquet_converters_spark.streaming.events import (
+        read_events_stream,
+        sessionize,
+    )
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    stream_dir = str(tmp_path / "ev")
+    events.write.parquet(stream_dir)
+
+    stream = read_events_stream(spark, stream_dir, max_files_per_trigger=10)
+    stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))) \
+        if dict(stream.dtypes)["ts"] in ("bigint", "long") else stream
+    q = (
+        stream.withWatermark("ts", "10 days")
+        .groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("session_window.start").alias("session_start"), "n_events")
+        .writeStream.format("memory")
+        .queryName("native_sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in spark.sql("select * from native_sessions").collect()
+    }
+    want = {
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in sessionize(events, gap_minutes=30)
+        .select("user_id", "session_start", "n_events")
+        .collect()
+    }
+    # append mode emits a session only once the watermark passes it:
+    # every emitted session must match the batch result exactly, and
+    # the only withheld ones are inside the watermark horizon at
+    # end-of-stream (documented Structured Streaming semantics).
+    import datetime
+
+    assert got <= want
+    max_ts = events.agg(F.max("ts")).first()[0]
+    horizon = max_ts - datetime.timedelta(days=10, minutes=30)
+    for _, start, _ in want - got:
+        assert start >= horizon
+    assert len(got) > 0

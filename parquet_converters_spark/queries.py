@@ -414,6 +414,84 @@ ORDER BY c_nationkey, rank
 """
 
 
+def q18_large_orders(spark, sf_dir):
+    """TPC-H Q18-style HAVING: orders whose total quantity exceeds 120,
+    joined back to customers.  The HAVING filter runs on the aggregate
+    before the (small) result joins the dimension."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("total_qty"))
+        .filter(F.col("total_qty") > 120)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("o_orderdate_us"),
+            F.col("total_qty").cast("double").alias("total_qty"),
+        )
+        .orderBy(F.col("total_qty").desc(), F.col("o_orderkey"))
+        .limit(50)
+    )
+
+
+Q18_SQL = """
+SELECT c_custkey, o_orderkey, epoch_us(o_orderdate) AS o_orderdate_us,
+       CAST(total_qty AS DOUBLE) AS total_qty
+FROM (
+  SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(25,4))) AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum(CAST(l_quantity AS DECIMAL(25,4))) > 120
+) big
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY total_qty DESC, o_orderkey
+LIMIT 50
+"""
+
+
+def above_nation_avg(spark, sf_dir):
+    """Decorrelated 'greater than group average': customers whose
+    account balance beats their nation's mean — the correlated scalar
+    subquery expressed as a broadcast join against the tiny per-nation
+    aggregate (never a per-row subquery execution)."""
+    cust = _t(spark, sf_dir, "customer")
+    nation_avg = cust.groupBy("c_nationkey").agg(
+        (F.sum(_dec("c_acctbal")) / F.count(F.lit(1)))
+        .cast("decimal(25,6)")
+        .alias("nation_avg")
+    )
+    return (
+        cust.join(F.broadcast(nation_avg), "c_nationkey")
+        .filter(_dec("c_acctbal", 6) > F.col("nation_avg"))
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_above"),
+            F.max(_dec("c_acctbal")).cast("double").alias("max_bal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+ABOVE_AVG_SQL = """
+WITH nation_avg AS (
+  SELECT c_nationkey,
+         CAST(sum(CAST(c_acctbal AS DECIMAL(25,4))) / count(*) AS DECIMAL(25,6)) AS nation_avg
+  FROM customer GROUP BY c_nationkey
+)
+SELECT c.c_nationkey, count(*) AS n_above,
+       CAST(max(CAST(c_acctbal AS DECIMAL(25,4))) AS DOUBLE) AS max_bal
+FROM customer c JOIN nation_avg a ON c.c_nationkey = a.c_nationkey
+WHERE CAST(c_acctbal AS DECIMAL(25,6)) > nation_avg
+GROUP BY c.c_nationkey
+ORDER BY c.c_nationkey
+"""
+
+
 def json_extract_agg(spark, sf_dir):
     """Semi-structured extraction: pull an integer field out of the
     events JSON ``props`` column (JVM-side get_json_object, no UDF) and
@@ -1478,6 +1556,8 @@ QUERIES: dict[str, tuple] = {
     "topk_per_group": (topk_per_group, TOPK_PER_GROUP_SQL),
     "pivot_event_counts": (pivot_event_counts, PIVOT_SQL),
     "json_extract_agg": (json_extract_agg, JSON_EXTRACT_SQL),
+    "q18_large_orders": (q18_large_orders, Q18_SQL),
+    "above_nation_avg": (above_nation_avg, ABOVE_AVG_SQL),
     "proj_rename": (proj_rename, PROJ_RENAME_SQL),
     "array_flatten": (array_flatten, ARRAY_FLATTEN_SQL),
     "bitfield_unpack": (bitfield_unpack, BITFIELD_UNPACK_SQL),

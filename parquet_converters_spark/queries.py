@@ -64,7 +64,25 @@ from parquet_converters_spark.streaming.events import (
 )
 
 
+def _ensure_session_confs(spark: SparkSession) -> None:
+    """Defensive runtime confs: the driver may hand us a SparkSession it
+    built itself.  Both are runtime-settable SQL confs:
+
+    - ``nanosAsLong``: the events table is TIMESTAMP(NANOS) parquet,
+      which Spark otherwise refuses to read (PARQUET_TYPE_ILLEGAL);
+    - UTC session timezone: ntz->ltz casts feed ``unix_micros`` in the
+      oracle-compared output — any other zone shifts the epoch values
+      DuckDB computes zone-free.
+    """
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass  # conf locked down -> proceed with whatever the session has
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ensure_session_confs(spark)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -1538,11 +1538,38 @@ def touch_scan_v2(spark, sf_dir):
 
 def multimodal_decode(spark, sf_dir):
     """Multimodal decode plumbing with the deterministic fake decoder
-    (mapInPandas, Arrow-batched)."""
+    (mapInPandas, Arrow-batched).  Features are re-cast float->double so
+    the oracle can replicate the float32 truncation with FLOAT4 casts."""
     docs = _t(spark, sf_dir, "documents")
     from parquet_converters_spark.functions.multimodal import decode_media
 
-    return decode_media(documents_as_media(docs), n_features=8, fake=True)
+    out = decode_media(documents_as_media(docs), n_features=8, fake=True)
+    return out.select(
+        "media_id",
+        "media_type",
+        "width",
+        "height",
+        "channels",
+        F.col("features").cast("array<double>").alias("features"),
+    ).orderBy("media_id")
+
+
+def _sql_md5_byte(i: int, x: str = "text") -> str:
+    """DuckDB expression for byte ``i`` of md5(x) as an integer."""
+    return f"CAST(concat('0x', substr(md5({x}), {2 * i + 1}, 2)) AS INT)"
+
+
+MULTIMODAL_DECODE_SQL = f"""
+SELECT doc_id AS media_id, 'image' AS media_type,
+       1 + {_sql_md5_byte(0)} % 64 AS width,
+       1 + {_sql_md5_byte(1)} % 64 AS height,
+       1 + {_sql_md5_byte(2)} % 4 AS channels,
+       [{", ".join(
+           f"CAST(CAST(({_sql_md5_byte((3 + i) % 16)} / 255.0) * 2 - 1 AS FLOAT4) AS DOUBLE)"
+           for i in range(8)
+       )}] AS features
+FROM documents ORDER BY media_id
+"""
 
 
 def multimodal_frames(spark, sf_dir):
@@ -1553,7 +1580,15 @@ def multimodal_frames(spark, sf_dir):
 
     return sample_frames(
         documents_as_media(docs), every_ms=1000, max_frames=4, fake=True
-    ).drop("payload")
+    ).drop("payload").orderBy("media_id", "frame_index")
+
+
+MULTIMODAL_FRAMES_SQL = f"""
+SELECT doc_id AS media_id,
+       CAST(unnest(generate_series(0, {_sql_md5_byte(0)} % 4)) AS INT) AS frame_index,
+       CAST(unnest(generate_series(0, {_sql_md5_byte(0)} % 4)) * 1000 AS BIGINT) AS frame_ts_ms
+FROM documents ORDER BY media_id, frame_index
+"""
 
 
 # ===========================================================================
@@ -1615,6 +1650,6 @@ QUERIES: dict[str, tuple] = {
     "stream_sessionize": (stream_sessionize, STREAM_SESSIONIZE_SQL),
     "stream_running_totals": (stream_running_totals, STREAM_RUNNING_TOTALS_SQL),
     "touch_scan_v2": (touch_scan_v2, None),
-    "multimodal_decode": (multimodal_decode, None),
-    "multimodal_frames": (multimodal_frames, None),
+    "multimodal_decode": (multimodal_decode, MULTIMODAL_DECODE_SQL),
+    "multimodal_frames": (multimodal_frames, MULTIMODAL_FRAMES_SQL),
 }

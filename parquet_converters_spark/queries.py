@@ -23,9 +23,7 @@ from pyspark.sql.window import Window
 from parquet_converters_spark.functions.dedup import (
     _MINHASH_COEFFS,
     MERSENNE_PRIME,
-    content_hash,
     exact_dedup,
-    minhash_signature,
     minhash_signatures,
     minhash_lsh_pairs,
     near_dedup_pipeline,
@@ -1166,13 +1164,6 @@ scored AS (
 SELECT query_id, rank, neighbor_id, cosine FROM ranked WHERE rank <= 5
 ORDER BY query_id, rank
 """
-
-
-def _sql_planes(num_planes: int = 8, dim: int = 64) -> str:
-    planes = hyperplanes(num_planes, dim)
-    return ", ".join(
-        "[" + ", ".join(f"{x}" for x in p) + "]" for p in planes
-    )
 
 
 def sim_lsh_ann(spark, sf_dir):

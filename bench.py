@@ -51,6 +51,14 @@ HEADLINE = [
     "text_quality",
     "text_language_id",
     "multimodal_decode",
+    "q9_product_profit",
+    "q13_order_distribution",
+    "q16_supplier_part_count",
+    "q21_dominant_supplier",
+    "asof_join_last_view",
+    "band_join_conversions",
+    "cube_pricing",
+    "distinct_nation_stats",
 ]
 
 

@@ -1644,3 +1644,9 @@ QUERIES: dict[str, tuple] = {
     "multimodal_decode": (multimodal_decode, MULTIMODAL_DECODE_SQL),
     "multimodal_frames": (multimodal_frames, MULTIMODAL_FRAMES_SQL),
 }
+
+# TPC-H completion + temporal joins (imported late: queries_tpch pulls
+# helpers from this module at call time).
+from parquet_converters_spark.queries_tpch import TPCH_QUERIES  # noqa: E402
+
+QUERIES.update(TPCH_QUERIES)

@@ -1,0 +1,85 @@
+"""Physical-plan assertions for the relational/temporal query surface:
+the properties that matter at 100 TB (broadcast vs shuffle choice,
+scan-level predicate pushdown, join-free as-of, single-shuffle
+windows) are checked on the actual executed/optimized plans, not
+assumed from the DataFrame code."""
+
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q6_filters_reach_scan(spark, sf_dir):
+    """All of q6's conjuncts must appear as parquet PushedFilters —
+    a scan that reads every row and filters later is wrong at scale."""
+    from parquet_converters_spark.queries import q6_selective_agg
+
+    plan = _plan(q6_selective_agg(spark, sf_dir))
+    scan = plan[plan.find("FileScan"):]
+    pushed = scan[scan.find("PushedFilters"): scan.find("]", scan.find("PushedFilters"))]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not pushed: {pushed}"
+
+
+def test_star_join_dims_broadcast(spark, sf_dir):
+    """q5's dimension joins must all be broadcasts: the only shuffle
+    allowed on the fact path is lineitem<->orders plus the final agg."""
+    from parquet_converters_spark.queries import q5_nation_volume
+
+    plan = _plan(q5_nation_volume(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 4, plan[:800]
+
+
+def test_q9_selective_dim_prunes_scan_columns(spark, sf_dir):
+    """q9 reads lineitem for 5 of its 11 columns — column pruning must
+    reach ReadSchema."""
+    from parquet_converters_spark.queries_tpch import q9_product_profit
+
+    plan = _plan(q9_product_profit(spark, sf_dir))
+    scan = plan[plan.find("FileScan parquet"):]
+    read_schema = scan[scan.find("ReadSchema"): scan.find(">", scan.find("ReadSchema"))]
+    assert "l_returnflag" not in read_schema and "l_linenumber" not in read_schema, read_schema
+
+
+def test_asof_join_is_join_free(spark, sf_dir):
+    """The as-of implementation must contain no physical join operator
+    at all — it is a union + window (one shuffle on user_id)."""
+    from parquet_converters_spark.queries_tpch import asof_join_last_view
+
+    plan = _plan(asof_join_last_view(spark, sf_dir))
+    assert "Join" not in plan, plan[:800]
+    assert "Window" in plan
+
+
+def test_band_join_keeps_equi_key(spark, sf_dir):
+    """The band join must execute as an equi-join on user_id with the
+    band as residual condition — never as a cartesian/broadcast-nested-
+    loop over the full pair space."""
+    from parquet_converters_spark.queries_tpch import band_join_conversions
+
+    plan = _plan(band_join_conversions(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    ), plan[:800]
+
+
+def test_q21_single_fact_pass(spark, sf_dir):
+    """q21's EXISTS/NOT-EXISTS decorrelation must not self-join
+    lineitem: exactly one lineitem scan in the plan."""
+    from parquet_converters_spark.queries_tpch import q21_dominant_supplier
+
+    plan = _plan(q21_dominant_supplier(spark, sf_dir))
+    assert plan.count("FileScan parquet") == 2, plan[:800]  # lineitem + supplier
+
+
+def test_scalar_subquery_broadcasts(spark, sf_dir):
+    """q11's global-total comparison joins a 1-row aggregate — it must
+    broadcast, not shuffle the grouped side."""
+    from parquet_converters_spark.queries_tpch import q11_important_parts
+
+    plan = _plan(q11_important_parts(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan[:800]

@@ -1512,6 +1512,32 @@ FROM events GROUP BY user_id ORDER BY user_id
 """
 
 
+def stream_join_pairs(spark, sf_dir):
+    """Stream-stream band join in its batch form: purchases matched to
+    same-user views within 30 minutes.  The streaming path (watermarks
+    on both sides bounding the join state) runs across triggers in
+    tests/test_functions.py."""
+    from parquet_converters_spark.streaming.events import view_purchase_join
+
+    ev = _events(spark, sf_dir)
+    return view_purchase_join(
+        ev.filter(F.col("event_type") == "view"),
+        ev.filter(F.col("event_type") == "purchase"),
+        band_minutes=30,
+    ).orderBy("view_id", "purchase_id")
+
+
+STREAM_JOIN_PAIRS_SQL = """
+SELECT v.user_id AS user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+       epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+FROM (SELECT * FROM events WHERE event_type = 'view') v
+JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON v.user_id = p.user_id
+ AND p.ts > v.ts AND epoch_us(p.ts) - epoch_us(v.ts) <= 1800000000
+ORDER BY view_id, purchase_id
+"""
+
+
 # ===========================================================================
 # Non-SQL-expressible entries (driver records rows-only checks)
 # ===========================================================================
@@ -1640,6 +1666,7 @@ QUERIES: dict[str, tuple] = {
     "stream_windowed_agg": (stream_windowed_agg, STREAM_WINDOWED_AGG_SQL),
     "stream_sessionize": (stream_sessionize, STREAM_SESSIONIZE_SQL),
     "stream_running_totals": (stream_running_totals, STREAM_RUNNING_TOTALS_SQL),
+    "stream_join_pairs": (stream_join_pairs, STREAM_JOIN_PAIRS_SQL),
     "touch_scan_v2": (touch_scan_v2, None),
     "multimodal_decode": (multimodal_decode, MULTIMODAL_DECODE_SQL),
     "multimodal_frames": (multimodal_frames, MULTIMODAL_FRAMES_SQL),

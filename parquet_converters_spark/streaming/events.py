@@ -124,6 +124,61 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def view_purchase_join(
+    views: DataFrame,
+    purchases: DataFrame,
+    band_minutes: int = 30,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Stream-stream inner join: purchases matched to same-user views
+    they followed within ``band_minutes``.
+
+    Streaming (both inputs ``readStream``): watermarks on both sides +
+    the time-bound join condition let Spark expire join state — without
+    the bound the view-side buffer grows forever.  State is O(events
+    inside the band per user), partitioned by the equi-key.
+
+    Batch: identical plan minus state (``withWatermark`` is a no-op),
+    which is what the DuckDB oracle checks.
+    """
+    v = views.select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("v_ts"),
+    )
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    if watermark:
+        v = v.withWatermark("v_ts", watermark)
+        p = p.withWatermark("p_ts", watermark)
+    return v.join(
+        p,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr(f"interval {band_minutes} minutes")),
+    ).select(
+        F.col("v_user").alias("user_id"),
+        "view_id",
+        "purchase_id",
+        (F.unix_micros("p_ts") - F.unix_micros("v_ts")).alias("gap_us"),
+    )
+
+
+def dedup_events(events: DataFrame, watermark: str | None = None) -> DataFrame:
+    """Exactly-once by event_id: streaming uses
+    ``dropDuplicatesWithinWatermark`` (state expires once the watermark
+    passes an id's event time — bounded memory, unlike plain
+    ``dropDuplicates`` on a stream); batch uses plain ``dropDuplicates``.
+    """
+    if events.isStreaming:
+        src = events.withWatermark("ts", watermark or "1 hour")
+        return src.dropDuplicatesWithinWatermark(["event_id"])
+    return events.dropDuplicates(["event_id"])
+
+
 def sessionize(
     events: DataFrame,
     gap_minutes: int = 30,

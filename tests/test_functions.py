@@ -375,3 +375,75 @@ def test_native_session_window_stream_matches_batch_sessionize(spark, sf_dir, tm
     for _, start, _ in want - got:
         assert start >= horizon
     assert len(got) > 0
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir, tmp_path):
+    """Watermarked stream-stream band join emits exactly the batch pair
+    set once both streams drain (join state bounded by the watermark +
+    time-range condition)."""
+    from parquet_converters_spark.queries import _events
+    from parquet_converters_spark.streaming.events import (
+        read_events_stream,
+        view_purchase_join,
+    )
+
+    ev = _events(spark, sf_dir)
+    src = str(tmp_path / "events_ssj")
+    ev.repartition(4).write.parquet(src)
+
+    batch_ev = spark.read.parquet(src)
+    want = view_purchase_join(
+        batch_ev.filter(F.col("event_type") == "view"),
+        batch_ev.filter(F.col("event_type") == "purchase"),
+    ).collect()
+
+    stream = read_events_stream(spark, src, max_files_per_trigger=2)
+    q = (
+        view_purchase_join(
+            stream.filter(F.col("event_type") == "view"),
+            stream.filter(F.col("event_type") == "purchase"),
+            watermark="1 day",
+        )
+        .writeStream.format("memory")
+        .queryName("ssj")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql("select * from ssj").collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    assert len(want) > 0
+
+
+def test_stream_dedup_within_watermark(spark, sf_dir, tmp_path):
+    """Two file streams over the same events union to a duplicated
+    stream; dropDuplicatesWithinWatermark restores exactly-once by
+    event_id."""
+    from parquet_converters_spark.queries import _events
+    from parquet_converters_spark.streaming.events import (
+        dedup_events,
+        read_events_stream,
+    )
+
+    ev = _events(spark, sf_dir).limit(2000)
+    src = str(tmp_path / "events_dedup")
+    ev.repartition(2).write.parquet(src)
+
+    n_distinct = spark.read.parquet(src).select("event_id").distinct().count()
+
+    duplicated = read_events_stream(spark, src, max_files_per_trigger=1).unionByName(
+        read_events_stream(spark, src, max_files_per_trigger=1)
+    )
+    q = (
+        dedup_events(duplicated, watermark="1 day")
+        .writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql("select count(*) n, count(distinct event_id) d from dedup_stream").collect()[0]
+    assert got["d"] == n_distinct
+    assert got["n"] == n_distinct  # no duplicate emissions

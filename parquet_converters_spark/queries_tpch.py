@@ -979,6 +979,130 @@ ORDER BY c_mktsegment
 """
 
 
+# ---------------------------------------------------------------------------
+# grouping sets — the third multi-level-aggregation form (rollup/cube done)
+# ---------------------------------------------------------------------------
+
+def grouping_sets_pricing(spark, sf_dir):
+    """Explicit GROUPING SETS ((returnflag), (linestatus)): two
+    independent one-dimensional rollups in a single Expand + one
+    shuffle, with grouping bits distinguishing the sets."""
+    _t, _events, _dec = _helpers()
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [[F.col("l_returnflag")], [F.col("l_linestatus")]],
+            F.col("l_returnflag"),
+            F.col("l_linestatus"),
+        )
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus")).alias("gid"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "n_rows",
+            "gid",
+        )
+        .orderBy("gid", "returnflag", "linestatus")
+    )
+
+
+GROUPING_SETS_SQL = """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(25,4))) AS DOUBLE) AS sum_qty,
+       count(*) AS n_rows,
+       GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+ORDER BY gid, returnflag, linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# range-frame window — time-interval frames (moving_avg_7d is rows-based)
+# ---------------------------------------------------------------------------
+
+def range_window_1h(spark, sf_dir):
+    """RANGE frame over event time: for each event, the count and value
+    sum of the same user's events in the trailing hour (inclusive).
+    The frame is expressed on integer micros so both engines use the
+    identical ordering and bounds; Spark keeps it a single window
+    shuffle on user_id."""
+    _t, _events, _dec = _helpers()
+    ev = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            F.unix_micros("ts").alias("ts_us"),
+            F.count(F.lit(1)).over(w).alias("n_last_hour"),
+            F.round(F.sum("value").over(w), 6).alias("value_last_hour"),
+        )
+        .orderBy("event_id")
+    )
+
+
+RANGE_WINDOW_SQL = """
+SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+       count(*) OVER w AS n_last_hour,
+       round(sum(value) OVER w, 6) AS value_last_hour
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# higher-order array functions — vector math without UDFs
+# ---------------------------------------------------------------------------
+
+def vector_norm_stats(spark, sf_dir):
+    """Vector math on the embedding column entirely in built-in
+    higher-order functions (aggregate/transform — JVM-side, no Python
+    UDF): dimensionality, L2 norm, max component.  The same lambda
+    pipeline DuckDB spells list_transform/list_aggregate."""
+    _t, _events, _dec = _helpers()
+    emb = _t(spark, sf_dir, "embeddings")
+    sq_sum = F.aggregate(
+        F.col("embedding"),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    return (
+        emb.select(
+            "vec_id",
+            F.size("embedding").alias("dim"),
+            F.round(F.sqrt(sq_sum), 6).alias("l2_norm"),
+            F.round(F.array_max("embedding").cast("double"), 6).alias("max_component"),
+            "label",
+        )
+        .orderBy("vec_id")
+    )
+
+
+VECTOR_NORM_SQL = """
+SELECT vec_id,
+       len(embedding) AS dim,
+       round(sqrt(list_aggregate(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')), 6) AS l2_norm,
+       round(CAST(list_max(embedding) AS DOUBLE), 6) AS max_component,
+       label
+FROM embeddings
+ORDER BY vec_id
+"""
+
+
 TPCH_QUERIES: dict[str, tuple] = {
     "q2_min_cost_supplier": (q2_min_cost_supplier, Q2_SQL),
     "q7_volume_shipping": (q7_volume_shipping, Q7_SQL),
@@ -1000,4 +1124,7 @@ TPCH_QUERIES: dict[str, tuple] = {
     "cube_pricing": (cube_pricing, CUBE_SQL),
     "distinct_nation_stats": (distinct_nation_stats, DISTINCT_STATS_SQL),
     "percentile_acctbal": (percentile_acctbal, PERCENTILE_SQL),
+    "grouping_sets_pricing": (grouping_sets_pricing, GROUPING_SETS_SQL),
+    "range_window_1h": (range_window_1h, RANGE_WINDOW_SQL),
+    "vector_norm_stats": (vector_norm_stats, VECTOR_NORM_SQL),
 }

@@ -7,3 +7,7 @@ from parquet_converters_spark.operators.indexing import (  # noqa: F401
     build_adjacency_index,
     build_sonata_indices,
 )
+from parquet_converters_spark.operators.skew import (  # noqa: F401
+    salted_join,
+    two_stage_aggregate,
+)

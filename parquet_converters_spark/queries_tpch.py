@@ -1103,6 +1103,41 @@ ORDER BY vec_id
 """
 
 
+# ---------------------------------------------------------------------------
+# salted join — skew mitigation with unchanged semantics
+# ---------------------------------------------------------------------------
+
+def salted_join_brand_revenue(spark, sf_dir):
+    """q14's brand-revenue join executed through ``salted_join``
+    (operators/skew.py): the fact side's part key is spread over 8
+    salts, the part dim replicated ×8.  Same oracle as a plain join —
+    salting must never change results, only the shuffle layout."""
+    from parquet_converters_spark.operators.skew import salted_join
+
+    _t, _events, _dec = _helpers()
+    li = _t(spark, sf_dir, "lineitem").withColumnRenamed("l_partkey", "pk")
+    part = _t(spark, sf_dir, "part").withColumnRenamed("p_partkey", "pk")
+    return (
+        salted_join(li, part.select("pk", "p_brand"), "pk", n_salts=8)
+        .groupBy("p_brand")
+        .agg(
+            F.sum(_disc_price(_dec)).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+SALTED_JOIN_SQL = f"""
+SELECT p_brand,
+       CAST(sum({_DISC_PRICE_SQL}) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+ORDER BY p_brand
+"""
+
+
 TPCH_QUERIES: dict[str, tuple] = {
     "q2_min_cost_supplier": (q2_min_cost_supplier, Q2_SQL),
     "q7_volume_shipping": (q7_volume_shipping, Q7_SQL),
@@ -1127,4 +1162,5 @@ TPCH_QUERIES: dict[str, tuple] = {
     "grouping_sets_pricing": (grouping_sets_pricing, GROUPING_SETS_SQL),
     "range_window_1h": (range_window_1h, RANGE_WINDOW_SQL),
     "vector_norm_stats": (vector_norm_stats, VECTOR_NORM_SQL),
+    "salted_join_brand_revenue": (salted_join_brand_revenue, SALTED_JOIN_SQL),
 }

@@ -59,6 +59,11 @@ HEADLINE = [
     "band_join_conversions",
     "cube_pricing",
     "distinct_nation_stats",
+    "stream_join_pairs",
+    "range_window_1h",
+    "vector_norm_stats",
+    "grouping_sets_pricing",
+    "salted_join_brand_revenue",
 ]
 
 

@@ -32,3 +32,7 @@ from parquet_converters_spark.functions.multimodal import (  # noqa: F401
     resize_media,
     sample_frames,
 )
+from parquet_converters_spark.functions.sketches import (  # noqa: F401
+    approx_distinct,
+    approx_quantiles,
+)

@@ -1068,6 +1068,47 @@ ORDER BY id_a, id_b
 )
 
 
+def dedup_components(spark, sf_dir):
+    """Near-dup *clusters* from near-dup *pairs*: connected components
+    over the MinHash-LSH pair graph (operators/graph.py hash-to-min
+    label propagation, O(diameter) distributed rounds), labeling each
+    paired doc with its cluster's minimum doc_id — the representative
+    a dedup keep-one policy retains.  Oracle: recursive-CTE transitive
+    closure in DuckDB over the identical pair set."""
+    from parquet_converters_spark.operators.graph import connected_components
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, num_hashes=8, bands=4)
+    return (
+        connected_components(pairs)
+        .select(F.col("node").alias("doc_id"), F.col("component").alias("component_id"))
+        .orderBy("doc_id")
+    )
+
+
+DEDUP_COMPONENTS_SQL = (
+    "WITH RECURSIVE sig AS (" + _sql_minhash_sig() + "), "
+    """banded AS (
+  SELECT doc_id, b,
+         concat_ws('-', signature[b*2+1], signature[b*2+2]) AS bucket
+  FROM sig, unnest([0,1,2,3]) AS t(b)
+), pairs AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM banded l JOIN banded r ON l.b = r.b AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+), edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+), reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+)
+SELECT u AS doc_id, least(u, min(v)) AS component_id
+FROM reach GROUP BY u ORDER BY doc_id
+"""
+)
+
+
 def dedup_pipeline(spark, sf_dir):
     """Scale-safe composition: exact dedup collapses identical texts to
     min-id representatives BEFORE the LSH candidate join (a d-sized
@@ -1647,6 +1688,7 @@ QUERIES: dict[str, tuple] = {
     "dedup_minhash_sig": (dedup_minhash_sig, DEDUP_MINHASH_SIG_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_LSH_SQL),
     "dedup_pipeline": (dedup_pipeline, DEDUP_PIPELINE_SQL),
+    "dedup_components": (dedup_components, DEDUP_COMPONENTS_SQL),
     "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_SQL),
     "sim_cosine_topk": (sim_cosine_topk, SIM_COSINE_TOPK_SQL),

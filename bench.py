@@ -65,6 +65,13 @@ HEADLINE = [
     "grouping_sets_pricing",
     "salted_join_brand_revenue",
     "dedup_components",
+    "dedup_components_star",
+    "dedup_survivors",
+    "dedup_simhash_pairs",
+    "range_join_error_views",
+    "text_top_bigrams",
+    "cohort_retention",
+    "event_funnel",
 ]
 
 

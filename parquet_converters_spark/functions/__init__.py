@@ -14,7 +14,9 @@ from parquet_converters_spark.functions.dedup import (  # noqa: F401
     minhash_signatures,
     minhash_lsh_pairs,
     near_dedup_pipeline,
+    near_dedup_survivors,
     simhash,
+    simhash_neardup_pairs,
     ngram_jaccard_pairs,
 )
 from parquet_converters_spark.functions.similarity import (  # noqa: F401

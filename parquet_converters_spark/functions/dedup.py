@@ -328,3 +328,99 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-duplicate pairs (hamming distance <= ``max_hamming``)
+    via banded bucket join — never an all-pairs comparison.
+
+    Pigeonhole exactness: splitting ``bits`` into ``bands`` equal bands,
+    any pair within hamming distance ``bands - 1`` agrees exactly on at
+    least one band, so the banded equi-join loses no qualifying pair as
+    long as ``max_hamming < bands``.  Join cost is proportional to
+    per-band bucket collisions (shuffle on (band, value)), the same
+    scale shape as MinHash-LSH.
+    """
+    if bits % bands != 0:
+        raise ValueError("bits must divide evenly into bands")
+    if max_hamming >= bands:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs > {max_hamming} bands for the "
+            "pigeonhole guarantee; raise bands or lower max_hamming"
+        )
+    band_bits = bits // bands
+    mask = (1 << band_bits) - 1
+    sig = simhash(df, text_col, id_col, bits)
+    banded = sig.select(
+        F.col(id_col).alias("_id"),
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("b"),
+                        F.shiftright("simhash", band_bits * i)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("v"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bd"),
+    ).select("_id", "simhash", F.col("bd.b").alias("b"), F.col("bd.v").alias("v"))
+    a, b = banded.alias("a"), banded.alias("b")
+    ham = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    ).cast("int")
+    return (
+        a.join(
+            b,
+            (F.col("a.b") == F.col("b.b"))
+            & (F.col("a.v") == F.col("b.v"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def near_dedup_survivors(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    cc_method: str = "hash_to_min",
+) -> DataFrame:
+    """The end of the dedup funnel: the rows a training-data pipeline
+    actually keeps.
+
+    Composition (each stage scale-safe on its own):
+    exact dedup -> min-id representatives -> MinHash-LSH pairs over
+    representatives only -> connected components -> drop every doc that
+    is not its cluster's minimum.  Returns the surviving subset of
+    ``df`` (all original columns).
+    """
+    from parquet_converters_spark.operators.graph import connected_components
+
+    groups, pairs = near_dedup_pipeline(
+        df, text_col, id_col, num_hashes=num_hashes, bands=bands
+    )
+    comps = connected_components(pairs, src="id_a", dst="id_b", method=cc_method)
+    losers = comps.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    reps = df.join(groups.select(F.col("keep_id").alias(id_col)), id_col, "left_semi")
+    return reps.join(losers, id_col, "left_anti")

@@ -27,8 +27,10 @@ from parquet_converters_spark.functions.dedup import (
     minhash_signatures,
     minhash_lsh_pairs,
     near_dedup_pipeline,
+    near_dedup_survivors,
     ngram_jaccard_pairs,
     simhash,
+    simhash_neardup_pairs,
 )
 from parquet_converters_spark.functions.multimodal import (
     documents_as_media,
@@ -55,7 +57,9 @@ from parquet_converters_spark.operators.indexing import (
     run_length_ranges,
     run_length_ranges_scan,
 )
+from parquet_converters_spark.operators.range_join import bucketed_range_join
 from parquet_converters_spark.streaming.events import (
+    dedup_events,
     running_user_totals,
     sessionize,
     windowed_event_counts,
@@ -1678,6 +1682,307 @@ FROM documents ORDER BY media_id, frame_index
 
 
 # ===========================================================================
+# Round-2 additions: dedup funnel end-to-end, banded simhash pairs,
+# bucketed range join, corpus analytics, cohort/funnel, streaming dedup
+# ===========================================================================
+
+def dedup_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs via banded bucket join (hamming <= 3 over
+    32 bits, 4 bands of 8).  The oracle is a brute-force all-pairs
+    hamming scan — feasible at oracle scale, and equality PROVES the
+    pigeonhole banding loses no qualifying pair."""
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_neardup_pairs(docs, bits=32, bands=4, max_hamming=3).orderBy(
+        "id_a", "id_b"
+    )
+
+
+DEDUP_SIMHASH_PAIRS_SQL = (
+    "WITH sig AS (" + _sql_simhash() + ") "
+    """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+ORDER BY id_a, id_b
+"""
+)
+
+
+def dedup_components_star(spark, sf_dir):
+    """Same clusters as dedup_components, computed with the alternating
+    large-star/small-star method (O(log^2 n) rounds, unbounded-diameter
+    safe) — identical labels, different iteration structure
+    (operators/graph.py)."""
+    from parquet_converters_spark.operators.graph import connected_components
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, num_hashes=8, bands=4)
+    return (
+        connected_components(pairs, method="star", max_iter=15)
+        .select(
+            F.col("node").alias("doc_id"), F.col("component").alias("component_id")
+        )
+        .orderBy("doc_id")
+    )
+
+
+def dedup_survivors(spark, sf_dir):
+    """End of the dedup funnel: the doc ids a training-data pipeline
+    actually keeps — exact dedup to min-id representatives, MinHash-LSH
+    pairs over representatives, connected components, one survivor per
+    cluster (functions/dedup.py near_dedup_survivors)."""
+    docs = _t(spark, sf_dir, "documents")
+    return near_dedup_survivors(docs).select("doc_id").orderBy("doc_id")
+
+
+DEDUP_SURVIVORS_SQL = (
+    "WITH RECURSIVE reps AS (SELECT min(doc_id) AS keep_id FROM documents "
+    f"GROUP BY {SQL_H60.format(x='text')}), "
+    "rep_docs AS (SELECT doc_id, text FROM documents "
+    "WHERE doc_id IN (SELECT keep_id FROM reps)), "
+    "sig AS (" + _sql_minhash_sig(src="rep_docs") + "), "
+    """banded AS (
+  SELECT doc_id, b,
+         concat_ws('-', signature[b*2+1], signature[b*2+2]) AS bucket
+  FROM sig, unnest([0,1,2,3]) AS t(b)
+), pairs AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM banded l JOIN banded r ON l.b = r.b AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+), edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+), reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+), comp AS (
+  SELECT u AS doc_id, least(u, min(v)) AS component_id FROM reach GROUP BY u
+)
+SELECT doc_id FROM rep_docs
+WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE component_id < doc_id)
+ORDER BY doc_id
+"""
+)
+
+
+def range_join_error_views(spark, sf_dir):
+    """Point-in-interval join without the nested loop: each error event
+    opens a 1-hour incident window; count the same user's view events
+    inside it (operators/range_join.py bucketed_range_join — intervals
+    exploded onto covering buckets, shuffled equi-join, residual
+    containment filter)."""
+    ev = _events(spark, sf_dir)
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("view_id"),
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("error_id"),
+        F.unix_micros("ts").alias("lo"),
+        (F.unix_micros("ts") + F.lit(3_600_000_000)).alias("hi"),
+    )
+    joined = bucketed_range_join(
+        views,
+        errors,
+        point_col="ts_us",
+        lo_col="lo",
+        hi_col="hi",
+        bucket_width=3_600_000_000,
+        equi_keys=["user_id"],
+    )
+    return (
+        joined.groupBy("error_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_views"),
+            F.min("view_id").alias("first_view_id"),
+        )
+        .orderBy("error_id")
+    )
+
+
+RANGE_JOIN_ERROR_VIEWS_SQL = """
+SELECT err.event_id AS error_id, count(*) AS n_views,
+       min(v.event_id) AS first_view_id
+FROM (SELECT user_id, event_id, epoch_us(ts) AS p
+      FROM events WHERE event_type = 'view') v
+JOIN (SELECT user_id, event_id, epoch_us(ts) AS lo
+      FROM events WHERE event_type = 'error') err
+  ON v.user_id = err.user_id AND v.p >= err.lo AND v.p < err.lo + 3600000000
+GROUP BY err.event_id ORDER BY error_id
+"""
+
+
+def text_top_bigrams(spark, sf_dir):
+    """Corpus bigram frequency top-20 (word 2-shingles; explode into a
+    two-level hash aggregate with map-side partials)."""
+    from parquet_converters_spark.functions.text import shingles
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(shingles("text", 2)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "bigram")
+        .limit(20)
+    )
+
+
+TEXT_TOP_BIGRAMS_SQL = f"""
+SELECT bigram, count(*) AS n
+FROM (SELECT unnest({_sql_shingles('text', 2)}) AS bigram FROM documents) _b
+GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20
+"""
+
+
+def text_quality_funnel(spark, sf_dir):
+    """The filter funnel a training-data pipeline runs before dedup:
+    docs surviving each gate (length band, quality score) and all gates
+    combined — one conditional-aggregation pass, no per-gate scans."""
+    docs = _t(spark, sf_dir, "documents")
+    q = quality_score("text")
+    len_ok = (F.length("text") >= 50) & (F.length("text") <= 10000)
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(len_ok, 1).otherwise(0)).cast("long").alias("n_len_ok"),
+        F.sum(F.when(q >= 0.5, 1).otherwise(0)).cast("long").alias("n_quality_ok"),
+        F.sum(F.when(len_ok & (q >= 0.5), 1).otherwise(0))
+        .cast("long")
+        .alias("n_kept"),
+    )
+
+
+TEXT_QUALITY_FUNNEL_SQL = f"""
+SELECT count(*) AS n_docs,
+       CAST(sum(CASE WHEN length(text) BETWEEN 50 AND 10000 THEN 1 ELSE 0 END) AS BIGINT) AS n_len_ok,
+       CAST(sum(CASE WHEN q >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_ok,
+       CAST(sum(CASE WHEN length(text) BETWEEN 50 AND 10000 AND q >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM (
+  SELECT text,
+    (CASE WHEN length(text) BETWEEN 50 AND 10000 THEN 0.25 ELSE 0.0 END)
+    + (CASE WHEN CAST(length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
+            / greatest(length(text), 1) >= 0.8 THEN 0.25 ELSE 0.0 END)
+    + (CASE WHEN CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+            / greatest(len(toks), 1) BETWEEN 3 AND 10 THEN 0.25 ELSE 0.0 END)
+    + (CASE WHEN len(list_intersect(toks, {_EN_STOP_SQL})) >= 2 THEN 0.25 ELSE 0.0 END)
+    AS q
+  FROM (SELECT text, {SQL_TOKENS.format(col='text')} AS toks FROM documents) _t
+) _q
+"""
+
+
+def cohort_retention(spark, sf_dir):
+    """Cohort analysis: customers bucketed by first-order month, order
+    volume per (cohort_month, order_month).  One partition window for
+    the cohort label + one aggregation — both shuffle on o_custkey,
+    reused by AQE."""
+    orders = _t(spark, sf_dir, "orders")
+    month = (F.year("o_orderdate") * 100 + F.month("o_orderdate")).cast("int")
+    w = Window.partitionBy("o_custkey")
+    df = orders.withColumn("order_month", month).withColumn(
+        "cohort_month", F.min("order_month").over(w)
+    )
+    return (
+        df.groupBy("cohort_month", "order_month")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+        )
+        .orderBy("cohort_month", "order_month")
+    )
+
+
+COHORT_RETENTION_SQL = """
+WITH m AS (
+  SELECT o_custkey,
+         CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INT) AS order_month
+  FROM orders
+), c AS (
+  SELECT o_custkey, order_month,
+         min(order_month) OVER (PARTITION BY o_custkey) AS cohort_month
+  FROM m
+)
+SELECT cohort_month, order_month, count(*) AS n_orders,
+       count(DISTINCT o_custkey) AS n_customers
+FROM c GROUP BY cohort_month, order_month
+ORDER BY cohort_month, order_month
+"""
+
+
+def event_funnel(spark, sf_dir):
+    """Ordered conversion funnel over the event stream: users who
+    viewed, clicked after the view, purchased after the click
+    (min-timestamp per stage; one groupBy + one global agg)."""
+    ev = _events(spark, sf_dir)
+
+    def first(t):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    per_user = ev.groupBy("user_id").agg(
+        first("view").alias("t_view"),
+        first("click").alias("t_click"),
+        first("purchase").alias("t_purchase"),
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.when(F.col("t_view").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_viewed"),
+        F.sum(F.when(F.col("t_click") > F.col("t_view"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_clicked_after_view"),
+        F.sum(
+            F.when(
+                (F.col("t_click") > F.col("t_view"))
+                & (F.col("t_purchase") > F.col("t_click")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_purchased_after_click"),
+    )
+
+
+EVENT_FUNNEL_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+         min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events GROUP BY user_id
+)
+SELECT count(*) AS n_users,
+       CAST(sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_viewed,
+       CAST(sum(CASE WHEN t_click > t_view THEN 1 ELSE 0 END) AS BIGINT) AS n_clicked_after_view,
+       CAST(sum(CASE WHEN t_click > t_view AND t_purchase > t_click THEN 1 ELSE 0 END) AS BIGINT) AS n_purchased_after_click
+FROM per_user
+"""
+
+
+def stream_dedup(spark, sf_dir):
+    """Streaming exactly-once semantics in batch-symmetric form: 10% of
+    events re-delivered, collapsed by event_id (streaming path uses
+    dropDuplicatesWithinWatermark with bounded state — cross-trigger
+    pytest in tests/test_functions.py).  Output: post-dedup per-user
+    counts."""
+    ev = _events(spark, sf_dir)
+    redelivered = ev.unionByName(ev.filter(F.col("event_id") % 10 == 0))
+    return (
+        dedup_events(redelivered)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("user_id")
+    )
+
+
+STREAM_DEDUP_SQL = """
+SELECT user_id, count(DISTINCT event_id) AS n_events
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
+# ===========================================================================
 # Registry
 # ===========================================================================
 
@@ -1716,7 +2021,17 @@ QUERIES.update({
 })
 
 # --- new this round (kept inside the 50-entry window) ---------------------
-NEW_QUERIES: dict[str, tuple] = {}
+NEW_QUERIES: dict[str, tuple] = {
+    "dedup_simhash_pairs": (dedup_simhash_pairs, DEDUP_SIMHASH_PAIRS_SQL),
+    "dedup_components_star": (dedup_components_star, DEDUP_COMPONENTS_SQL),
+    "dedup_survivors": (dedup_survivors, DEDUP_SURVIVORS_SQL),
+    "range_join_error_views": (range_join_error_views, RANGE_JOIN_ERROR_VIEWS_SQL),
+    "text_top_bigrams": (text_top_bigrams, TEXT_TOP_BIGRAMS_SQL),
+    "text_quality_funnel": (text_quality_funnel, TEXT_QUALITY_FUNNEL_SQL),
+    "cohort_retention": (cohort_retention, COHORT_RETENTION_SQL),
+    "event_funnel": (event_funnel, EVENT_FUNNEL_SQL),
+    "stream_dedup": (stream_dedup, STREAM_DEDUP_SQL),
+}
 QUERIES.update(NEW_QUERIES)
 
 # --- driver-green in r01 (rotate back into the window in later rounds) ----

@@ -83,3 +83,26 @@ def test_scalar_subquery_broadcasts(spark, sf_dir):
 
     plan = _plan(q11_important_parts(spark, sf_dir))
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan[:800]
+
+
+def test_range_join_is_equi_hash_join(spark, sf_dir):
+    """bucketed_range_join must plan as a hash equi-join on
+    (bucket, keys) with the containment as residual — never a
+    cartesian product or broadcast-nested-loop over the pair space."""
+    from parquet_converters_spark.queries import range_join_error_views
+
+    plan = _plan(range_join_error_views(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan[:800]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:800]
+    assert "HashJoin" in plan or "SortMergeJoin" in plan, plan[:800]
+
+
+def test_simhash_pairs_is_equi_join(spark, sf_dir):
+    """Banded simhash candidate generation must be an equi-join on the
+    (band, value) bucket — the whole point is never comparing all
+    pairs."""
+    from parquet_converters_spark.queries import dedup_simhash_pairs
+
+    plan = _plan(dedup_simhash_pairs(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan[:800]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:800]

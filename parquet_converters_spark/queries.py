@@ -1960,6 +1960,80 @@ FROM per_user
 """
 
 
+def stream_session_window(spark, sf_dir):
+    """Spark's NATIVE streaming sessionization (``session_window``,
+    the operator a readStream pipeline would use) in its
+    batch-symmetric form: merge events whose 30-minute gap windows
+    overlap.  Differs from the gaps-and-islands ``sessionize`` only in
+    boundary convention (a gap of exactly the window starts a new
+    session; session end = last event + gap) — the oracle mirrors
+    that convention exactly."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).cast("double").alias("value_sum"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros("session_window.start").alias("session_start_us"),
+            F.unix_micros("session_window.end").alias("session_end_us"),
+            "n_events",
+            "value_sum",
+        )
+        .orderBy("user_id", "session_start_us")
+    )
+
+
+STREAM_SESSION_WINDOW_SQL = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+              THEN 1 ELSE 0 END AS _new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts, value,
+         sum(_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       epoch_us(CAST(min(ts) AS TIMESTAMP)) AS session_start_us,
+       epoch_us(CAST(max(ts) AS TIMESTAMP)) + 1800000000 AS session_end_us,
+       count(*) AS n_events,
+       round(sum(value), 6) AS value_sum
+FROM sess GROUP BY user_id, sid
+ORDER BY user_id, session_start_us
+"""
+
+
+def multimodal_resize(spark, sf_dir):
+    """Image-resize plumbing (Arrow-batched ``mapInPandas`` 1:1 map,
+    functions/multimodal.py) with the deterministic fake decoder;
+    payload exported as hex so the oracle can rebuild the stub's
+    repeated-digest bitmap."""
+    from parquet_converters_spark.functions.multimodal import resize_media
+
+    docs = _t(spark, sf_dir, "documents")
+    out = resize_media(documents_as_media(docs), width=8, height=8, fake=True)
+    return out.select(
+        "media_id",
+        "width",
+        "height",
+        F.lower(F.hex("payload")).alias("payload_hex"),
+    ).orderBy("media_id")
+
+
+MULTIMODAL_RESIZE_SQL = """
+SELECT doc_id AS media_id, 8 AS width, 8 AS height,
+       substr(repeat(md5(text), 5), 1, 128) AS payload_hex
+FROM documents ORDER BY media_id
+"""
+
+
 def stream_dedup(spark, sf_dir):
     """Streaming exactly-once semantics in batch-symmetric form: 10% of
     events re-delivered, collapsed by event_id (streaming path uses
@@ -2031,6 +2105,8 @@ NEW_QUERIES: dict[str, tuple] = {
     "cohort_retention": (cohort_retention, COHORT_RETENTION_SQL),
     "event_funnel": (event_funnel, EVENT_FUNNEL_SQL),
     "stream_dedup": (stream_dedup, STREAM_DEDUP_SQL),
+    "stream_session_window": (stream_session_window, STREAM_SESSION_WINDOW_SQL),
+    "multimodal_resize": (multimodal_resize, MULTIMODAL_RESIZE_SQL),
 }
 QUERIES.update(NEW_QUERIES)
 

@@ -337,9 +337,14 @@ def simhash_neardup_pairs(
     bits: int = 32,
     bands: int = 4,
     max_hamming: int = 3,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """SimHash near-duplicate pairs (hamming distance <= ``max_hamming``)
     via banded bucket join — never an all-pairs comparison.
+
+    ``sig``: pass an already-materialized ``(id, simhash)`` table (from
+    :func:`simhash`) when the fingerprints are shared with other
+    outputs; otherwise they are computed here.
 
     Pigeonhole exactness: splitting ``bits`` into ``bands`` equal bands,
     any pair within hamming distance ``bands - 1`` agrees exactly on at
@@ -357,7 +362,8 @@ def simhash_neardup_pairs(
         )
     band_bits = bits // bands
     mask = (1 << band_bits) - 1
-    sig = simhash(df, text_col, id_col, bits)
+    if sig is None:
+        sig = simhash(df, text_col, id_col, bits)
     banded = sig.select(
         F.col(id_col).alias("_id"),
         "simhash",
@@ -403,6 +409,7 @@ def near_dedup_survivors(
     num_hashes: int = 8,
     bands: int = 4,
     cc_method: str = "hash_to_min",
+    precomputed: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """The end of the dedup funnel: the rows a training-data pipeline
     actually keeps.
@@ -412,12 +419,20 @@ def near_dedup_survivors(
     representatives only -> connected components -> drop every doc that
     is not its cluster's minimum.  Returns the surviving subset of
     ``df`` (all original columns).
+
+    ``precomputed``: pass an already-materialized ``(groups, pairs)``
+    from :func:`near_dedup_pipeline` when the candidate set is shared
+    with other outputs (clusters, pair reports) — at scale the
+    candidate join is the expensive stage and should run once.
     """
     from parquet_converters_spark.operators.graph import connected_components
 
-    groups, pairs = near_dedup_pipeline(
-        df, text_col, id_col, num_hashes=num_hashes, bands=bands
-    )
+    if precomputed is not None:
+        groups, pairs = precomputed
+    else:
+        groups, pairs = near_dedup_pipeline(
+            df, text_col, id_col, num_hashes=num_hashes, bands=bands
+        )
     comps = connected_components(pairs, src="id_a", dst="id_b", method=cc_method)
     losers = comps.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias(id_col)

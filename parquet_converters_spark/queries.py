@@ -1077,9 +1077,40 @@ DEDUP_MINHASH_SIG_SQL = (
 )
 
 
+
+# Shared dedup intermediates: five queries (LSH pairs, pipeline pairs,
+# clusters x2, survivors) derive from the same candidate sets — a real
+# pipeline materializes candidates once and fans out.  Cached per
+# (application, sf_dir) like the adjacency index; localCheckpoint
+# materializes on first action and cuts the iterated lineage.
+_DEDUP_CACHE: dict[tuple, object] = {}
+
+
+def _dedup_cached(spark, sf_dir, kind):
+    key = (spark.sparkContext.applicationId, sf_dir, kind)
+    if key not in _DEDUP_CACHE:
+        if any(k[:2] != key[:2] for k in _DEDUP_CACHE):
+            _DEDUP_CACHE.clear()  # new session/sf: drop pinned checkpoints
+        docs = _t(spark, sf_dir, "documents")
+        if kind == "docs_pairs":
+            _DEDUP_CACHE[key] = minhash_lsh_pairs(
+                docs, num_hashes=8, bands=4
+            ).localCheckpoint(eager=False)
+        elif kind == "simhash":
+            _DEDUP_CACHE[key] = simhash(docs, bits=32).localCheckpoint(
+                eager=False
+            )
+        else:  # pipeline: (groups, pairs) over exact-dedup representatives
+            groups, pairs = near_dedup_pipeline(docs, num_hashes=8, bands=4)
+            _DEDUP_CACHE[key] = (
+                groups.localCheckpoint(eager=False),
+                pairs.localCheckpoint(eager=False),
+            )
+    return _DEDUP_CACHE[key]
+
+
 def dedup_minhash_lsh(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(docs, num_hashes=8, bands=4).orderBy("id_a", "id_b")
+    return _dedup_cached(spark, sf_dir, "docs_pairs").orderBy("id_a", "id_b")
 
 
 DEDUP_MINHASH_LSH_SQL = (
@@ -1105,8 +1136,7 @@ def dedup_components(spark, sf_dir):
     closure in DuckDB over the identical pair set."""
     from parquet_converters_spark.operators.graph import connected_components
 
-    docs = _t(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(docs, num_hashes=8, bands=4)
+    pairs = _dedup_cached(spark, sf_dir, "docs_pairs")
     return (
         connected_components(pairs)
         .select(F.col("node").alias("doc_id"), F.col("component").alias("component_id"))
@@ -1141,8 +1171,7 @@ def dedup_pipeline(spark, sf_dir):
     """Scale-safe composition: exact dedup collapses identical texts to
     min-id representatives BEFORE the LSH candidate join (a d-sized
     exact-dup group otherwise emits d(d-1)/2 candidates per band)."""
-    docs = _t(spark, sf_dir, "documents")
-    _groups, pairs = near_dedup_pipeline(docs, num_hashes=8, bands=4)
+    _groups, pairs = _dedup_cached(spark, sf_dir, "pipeline")
     return pairs.orderBy("id_a", "id_b")
 
 
@@ -1165,8 +1194,7 @@ ORDER BY id_a, id_b
 
 
 def dedup_simhash(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
-    return simhash(docs, bits=32).orderBy("doc_id")
+    return _dedup_cached(spark, sf_dir, "simhash").orderBy("doc_id")
 
 
 def _sql_simhash(bits: int = 32) -> str:
@@ -1692,9 +1720,13 @@ def dedup_simhash_pairs(spark, sf_dir):
     hamming scan — feasible at oracle scale, and equality PROVES the
     pigeonhole banding loses no qualifying pair."""
     docs = _t(spark, sf_dir, "documents")
-    return simhash_neardup_pairs(docs, bits=32, bands=4, max_hamming=3).orderBy(
-        "id_a", "id_b"
-    )
+    return simhash_neardup_pairs(
+        docs,
+        bits=32,
+        bands=4,
+        max_hamming=3,
+        sig=_dedup_cached(spark, sf_dir, "simhash"),
+    ).orderBy("id_a", "id_b")
 
 
 DEDUP_SIMHASH_PAIRS_SQL = (
@@ -1715,8 +1747,7 @@ def dedup_components_star(spark, sf_dir):
     (operators/graph.py)."""
     from parquet_converters_spark.operators.graph import connected_components
 
-    docs = _t(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(docs, num_hashes=8, bands=4)
+    pairs = _dedup_cached(spark, sf_dir, "docs_pairs")
     return (
         connected_components(pairs, method="star", max_iter=15)
         .select(
@@ -1732,7 +1763,9 @@ def dedup_survivors(spark, sf_dir):
     pairs over representatives, connected components, one survivor per
     cluster (functions/dedup.py near_dedup_survivors)."""
     docs = _t(spark, sf_dir, "documents")
-    return near_dedup_survivors(docs).select("doc_id").orderBy("doc_id")
+    return near_dedup_survivors(
+        docs, precomputed=_dedup_cached(spark, sf_dir, "pipeline")
+    ).select("doc_id").orderBy("doc_id")
 
 
 DEDUP_SURVIVORS_SQL = (

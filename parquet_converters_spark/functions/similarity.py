@@ -219,13 +219,9 @@ def ivf_assign(vec: Column, centroids: list[list[float]]) -> Column:
     ).cast("int")
 
 
-def ivf_probe_cells(vec: Column, centroids: list[list[float]], nprobe: int = 2) -> Column:
-    """The ``nprobe`` nearest cell ids for a query vector (1-based),
-    best-first.  Ties resolve to the lower index, matching
-    :func:`ivf_assign`."""
-    from parquet_converters_spark.functions.text import bind
-
-    n = len(centroids)
+def _probe_from_sims(sims: Column, n: int, nprobe: int) -> Column:
+    """Best-first ``nprobe`` cell ids (1-based) from a similarity array;
+    ties resolve to the lower index, matching :func:`ivf_assign`."""
 
     def _mask(m: Column, c: Column):
         # factory, not default-arg capture: PySpark derives HOF lambda
@@ -234,17 +230,50 @@ def ivf_probe_cells(vec: Column, centroids: list[list[float]], nprobe: int = 2) 
             F.element_at(m, i.cast("int"))
         )
 
-    def probes(sims: Column) -> Column:
-        cells = []
-        masked = sims
-        for _ in range(nprobe):
-            cell = F.array_position(masked, F.array_max(masked))
-            cells.append(cell)
-            # knock out the chosen cell for the next round
-            masked = F.transform(F.sequence(F.lit(1), F.lit(n)), _mask(masked, cell))
-        return F.array(*[c.cast("int") for c in cells])
+    cells = []
+    masked = sims
+    for _ in range(nprobe):
+        cell = F.array_position(masked, F.array_max(masked))
+        cells.append(cell)
+        # knock out the chosen cell for the next round
+        masked = F.transform(F.sequence(F.lit(1), F.lit(n)), _mask(masked, cell))
+    return F.array(*[c.cast("int") for c in cells])
 
-    return bind(_cell_sims(vec, centroids), probes)
+
+def ivf_probe_cells(vec: Column, centroids: list[list[float]], nprobe: int = 2) -> Column:
+    """The ``nprobe`` nearest cell ids for a query vector (1-based),
+    best-first."""
+    from parquet_converters_spark.functions.text import bind
+
+    n = len(centroids)
+    return bind(_cell_sims(vec, centroids), lambda s: _probe_from_sims(s, n, nprobe))
+
+
+def centroids_df(spark, centroids: list[list[float]]) -> DataFrame:
+    """The centroid matrix as a 1-row DataFrame (``array<array<double>>``)
+    — attached to scan rows with a broadcast cross join, so the plan
+    size is O(1) in cells x dim instead of carrying cells*dim literal
+    nodes.  This is the form that scales to real dimensionality
+    (e.g. 1024 cells x 1536 dims); the literal form stays the default
+    at small sketch sizes where it avoids the extra join."""
+    return spark.createDataFrame(
+        [([list(map(float, c)) for c in centroids],)],
+        "_centroids array<array<double>>",
+    )
+
+
+def _cell_sims_col(vec: Column, mat: Column) -> Column:
+    """Same arithmetic as :func:`_cell_sims`, against a matrix *column*:
+    norms computed engine-side by the identical left-to-right fold as
+    ``_py_norm`` — bit-identical results, data instead of literals."""
+    from parquet_converters_spark.functions.text import bind
+
+    def sims(nv: Column) -> Column:
+        return F.transform(
+            mat, lambda cen: dot_product(vec, cen) / (nv * vec_norm(cen))
+        )
+
+    return bind(vec_norm(vec), sims)
 
 
 def ivf_topk(
@@ -256,6 +285,7 @@ def ivf_topk(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroid_mode: str = "literal",
 ) -> DataFrame:
     """IVF approximate top-k: the corpus is partitioned into
     ``num_cells`` inverted lists by nearest centroid; each query scans
@@ -264,20 +294,61 @@ def ivf_topk(
     Scale path: cell assignment is a narrow map over the corpus (write
     it out partitioned by ``_cell`` once, reuse for every query batch);
     queries broadcast; the exact-cosine rescan touches
-    ``nprobe/num_cells`` of the data instead of all of it."""
+    ``nprobe/num_cells`` of the data instead of all of it.
+
+    ``centroid_mode``: ``"literal"`` inlines the centroid matrix as
+    plan literals (no join, fine at sketch sizes); ``"broadcast"``
+    ships it as a 1-row broadcast DataFrame (plan size O(1) — the form
+    for real num_cells x dim).  Identical results either way
+    (pytest-asserted)."""
     centroids = ivf_centroids(num_cells, dim)
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("_cvec"),
-        vec_norm(F.col(vec_col)).alias("_cnorm"),
-        ivf_assign(F.col(vec_col), centroids).alias("_cell"),
-    )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("_qvec"),
-        vec_norm(F.col(vec_col)).alias("_qnorm"),
-        F.explode(ivf_probe_cells(F.col(vec_col), centroids, nprobe)).alias("_cell"),
-    )
+    if centroid_mode == "broadcast":
+        from parquet_converters_spark.functions.text import bind
+
+        cdf = centroids_df(corpus.sparkSession, centroids)
+        mat = F.col("_centroids")
+
+        def assign_col(vec: Column) -> Column:
+            return bind(
+                _cell_sims_col(vec, mat),
+                lambda s: F.array_position(s, F.array_max(s)),
+            ).cast("int")
+
+        def probe_col(vec: Column) -> Column:
+            return bind(
+                _cell_sims_col(vec, mat),
+                lambda s: _probe_from_sims(s, num_cells, nprobe),
+            )
+
+        c = corpus.join(F.broadcast(cdf)).select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("_cvec"),
+            vec_norm(F.col(vec_col)).alias("_cnorm"),
+            assign_col(F.col(vec_col)).alias("_cell"),
+        )
+        q = queries.join(F.broadcast(cdf)).select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("_qvec"),
+            vec_norm(F.col(vec_col)).alias("_qnorm"),
+            F.explode(probe_col(F.col(vec_col))).alias("_cell"),
+        )
+    elif centroid_mode == "literal":
+        c = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("_cvec"),
+            vec_norm(F.col(vec_col)).alias("_cnorm"),
+            ivf_assign(F.col(vec_col), centroids).alias("_cell"),
+        )
+        q = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("_qvec"),
+            vec_norm(F.col(vec_col)).alias("_qnorm"),
+            F.explode(ivf_probe_cells(F.col(vec_col), centroids, nprobe)).alias(
+                "_cell"
+            ),
+        )
+    else:
+        raise ValueError(f"centroid_mode must be literal|broadcast, got {centroid_mode!r}")
     sim = cosine_similarity(
         F.col("_qvec"), F.col("_cvec"), F.col("_qnorm"), F.col("_cnorm")
     )

@@ -1314,6 +1314,19 @@ def sim_ivf_ann(spark, sf_dir):
     )
 
 
+def sim_ivf_ann_bcast(spark, sf_dir):
+    """IVF with the centroid matrix shipped as broadcast DATA instead of
+    plan literals — the form whose plan size is O(1) in cells x dim
+    (real-dimensionality scale path).  Bit-identical results to
+    sim_ivf_ann; same oracle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return ivf_topk(
+        emb, queries, k=5, num_cells=8, nprobe=2, dim=64,
+        centroid_mode="broadcast",
+    ).orderBy("query_id", "rank")
+
+
 def _sql_ivf(num_cells: int = 8, nprobe: int = 2, dim: int = 64) -> str:
     cens = ivf_centroids(num_cells, dim)
     sims = ", ".join(
@@ -2140,6 +2153,7 @@ NEW_QUERIES: dict[str, tuple] = {
     "stream_dedup": (stream_dedup, STREAM_DEDUP_SQL),
     "stream_session_window": (stream_session_window, STREAM_SESSION_WINDOW_SQL),
     "multimodal_resize": (multimodal_resize, MULTIMODAL_RESIZE_SQL),
+    "sim_ivf_ann_bcast": (sim_ivf_ann_bcast, SIM_IVF_ANN_SQL),
 }
 QUERIES.update(NEW_QUERIES)
 

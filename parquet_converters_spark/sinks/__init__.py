@@ -1,2 +1,5 @@
-from parquet_converters_spark.sinks.parquet_sink import write_canonical_parquet  # noqa: F401
+from parquet_converters_spark.sinks.parquet_sink import (  # noqa: F401
+    write_canonical_parquet,
+    write_partitioned_dataset,
+)
 from parquet_converters_spark.sinks.sonata import SonataBundleWriter, write_sonata_bundle  # noqa: F401

@@ -52,3 +52,24 @@ def test_bucketed_join_has_no_exchange(spark, warehouse, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"))
     )
     assert sorted(map(tuple, joined.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_partitioned_dataset_prunes(spark, sf_dir, tmp_path):
+    """write_partitioned_dataset: hive layout readback recovers the
+    partition column, and a filter on it becomes a PartitionFilter
+    (directory pruning), not a data-scan predicate."""
+    from parquet_converters_spark.sinks import write_partitioned_dataset
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = str(tmp_path / "events_by_type")
+    write_partitioned_dataset(
+        ev, out, partition_cols=["event_type"], sort_within=["user_id"]
+    )
+    back = spark.read.parquet(out)
+    assert back.count() == ev.count()
+    q = back.filter(F.col("event_type") == "view")
+    want = ev.filter(F.col("event_type") == "view").count()
+    assert q.count() == want and want > 0
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    pf = plan[plan.find("PartitionFilters"):][:120]
+    assert "event_type" in pf, pf

@@ -536,3 +536,20 @@ def test_connected_components_warns_unconverged(spark):
     )
     with pytest.warns(ConvergenceWarning):
         connected_components(chain, max_iter=2).collect()
+
+
+def test_ivf_centroid_modes_identical(spark, sf_dir):
+    """Literal-expression and broadcast-matrix centroid paths must
+    produce bit-identical IVF results (same fold order everywhere)."""
+    from parquet_converters_spark.functions.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter("vec_id < 5")
+    lit = ivf_topk(emb, queries, k=5, num_cells=8, nprobe=2, dim=64)
+    bc = ivf_topk(
+        emb, queries, k=5, num_cells=8, nprobe=2, dim=64,
+        centroid_mode="broadcast",
+    )
+    a = sorted(map(tuple, lit.collect()))
+    b = sorted(map(tuple, bc.collect()))
+    assert a == b and len(a) > 0

@@ -38,3 +38,9 @@ from parquet_converters_spark.functions.sketches import (  # noqa: F401
     approx_distinct,
     approx_quantiles,
 )
+from parquet_converters_spark.functions.sampling import (  # noqa: F401
+    chunk_documents,
+    hash_bucket,
+    hash_split,
+    pack_sequences,
+)

@@ -1,0 +1,133 @@
+"""Deterministic sampling / splitting / packing for training-data
+pipelines.
+
+Everything here is *content-hash deterministic*, never RNG-based:
+at 100 TB a split must be reproducible across engines, re-runs, and
+partial re-processing of late-arriving shards — `rand()`-based
+sampling gives a different answer per run and per partitioning, and
+engine-native RNGs never agree cross-engine.  md5-derived hashes make
+the DuckDB oracle (and any future engine) compute the identical split.
+All three ops are narrow maps or single-window passes — nothing
+shuffles except where stated.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from parquet_converters_spark.functions.dedup import h32
+
+
+def hash_bucket(key: Column | str, buckets: int = 100) -> Column:
+    """Stable bucket in [0, buckets) from the md5 of the key rendered as
+    a string.  DuckDB equivalent:
+    ``CAST(concat('0x', substr(md5(CAST(k AS VARCHAR)),1,8)) AS BIGINT) % buckets``."""
+    c = F.col(key) if isinstance(key, str) else key
+    return (h32(c.cast("string")) % buckets).cast("int")
+
+
+def hash_split(
+    df: DataFrame,
+    key: str,
+    splits: dict[str, int],
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign each row to a named split by hash bucket — the
+    train/val/test assignment a pipeline must keep stable as data grows
+    (a given key never migrates between splits when more data arrives,
+    unlike fraction-based ``randomSplit``).
+
+    ``splits`` maps name -> percent; must sum to 100.  Assignment is a
+    narrow map (no shuffle, no sampling pass).
+    """
+    if sum(splits.values()) != 100:
+        raise ValueError(f"split percents must sum to 100, got {splits}")
+    bucket = hash_bucket(key, 100)
+    expr = None
+    lo = 0
+    for name, pct in splits.items():
+        cond = (bucket >= lo) & (bucket < lo + pct)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+        lo += pct
+    return df.withColumn(split_col, expr)
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 64,
+    overlap: int = 8,
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks — the
+    context-window preparation step of a training pipeline.
+
+    One narrow pass: tokenize once, slide a ``chunk_tokens`` window
+    advancing by ``chunk_tokens - overlap``, re-join each slice,
+    posexplode to (id, chunk_idx, chunk_text, n_tokens) rows.  All
+    array ops are JVM expression-tree (no Python in the row path);
+    short documents yield a single chunk.
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    step = chunk_tokens - overlap
+    from parquet_converters_spark.functions.text import bind, tokens
+
+    def chunks(toks: Column) -> Column:
+        n = F.size(toks)
+        # start offsets 1, 1+step, 1+2*step, ... covering every token;
+        # a doc with n <= chunk_tokens gets exactly one start
+        last_start = F.greatest(
+            F.lit(1),
+            (F.ceil((n - F.lit(chunk_tokens)) / F.lit(step)) * step + 1).cast("int"),
+        )
+        starts = F.sequence(F.lit(1), last_start, F.lit(step))
+        return F.transform(starts, lambda s: F.slice(toks, s, chunk_tokens))
+
+    chunked = df.select(
+        F.col(id_col),
+        F.posexplode(bind(tokens(text_col), chunks)).alias("chunk_idx", "_toks"),
+    )
+    return chunked.select(
+        id_col,
+        "chunk_idx",
+        F.array_join("_toks", " ").alias("chunk_text"),
+        F.size("_toks").alias("n_tokens"),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_count_col: str,
+    id_col: str = "doc_id",
+    budget: int = 512,
+) -> DataFrame:
+    """Assign documents to fixed-token-budget training bins (sequence
+    packing) with a deterministic order-based rule: documents in
+    ``id_col`` order accumulate until the running token total crosses
+    the budget, then a new bin starts.
+
+    Implemented as one global-ordered cumulative-sum window over
+    (token_count) — the driver never sees the data.  The single global
+    window is the honest cost of a *globally deterministic* packing; at
+    100 TB shard first (e.g. by hash_bucket) and pack within shards —
+    same code, `Window.partitionBy(shard)` — trading global determinism
+    per shard boundary for an embarrassingly parallel plan.
+
+    Output: (id, n_tokens, bin_id, bin-relative offset).
+    """
+    w = Window.orderBy(id_col)
+    cum = F.sum(token_count_col).over(w)
+    out = df.select(
+        F.col(id_col),
+        F.col(token_count_col).alias("n_tokens"),
+        cum.alias("_cum"),
+    ).withColumn("bin_id", F.floor((F.col("_cum") - 1) / budget).cast("long"))
+    wb = Window.partitionBy("bin_id").orderBy(id_col)
+    return out.select(
+        id_col,
+        "n_tokens",
+        "bin_id",
+        (F.sum("n_tokens").over(wb) - F.col("n_tokens")).alias("bin_offset"),
+    )

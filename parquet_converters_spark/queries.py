@@ -2080,6 +2080,103 @@ FROM documents ORDER BY media_id
 """
 
 
+def sample_split_counts(spark, sf_dir):
+    """Deterministic train/val/test assignment by content-hash bucket
+    (functions/sampling.py hash_split): a given doc_id never migrates
+    between splits as the corpus grows — the property randomSplit
+    cannot give a growing 100 TB corpus.  Narrow map + one count agg."""
+    from parquet_converters_spark.functions.sampling import hash_split
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        hash_split(docs, "doc_id", {"train": 80, "val": 10, "test": 10})
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("chars_sum"),
+        )
+        .orderBy("split")
+    )
+
+
+SAMPLE_SPLIT_SQL = f"""
+SELECT split, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars_sum
+FROM (
+  SELECT n_chars,
+         CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+  FROM (SELECT n_chars,
+               {SQL_H32.format(x='CAST(doc_id AS VARCHAR)')} % 100 AS b
+        FROM documents) _b
+) _s
+GROUP BY split ORDER BY split
+"""
+
+_CHUNK, _CHUNK_STEP = 64, 56  # 64-token windows, 8-token overlap
+
+
+def text_chunking(spark, sf_dir):
+    """Context-window preparation: overlapping token-window chunks
+    (functions/sampling.py chunk_documents — tokenize once, slide,
+    posexplode; all JVM expression-tree)."""
+    from parquet_converters_spark.functions.sampling import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(
+        docs, chunk_tokens=_CHUNK, overlap=_CHUNK - _CHUNK_STEP
+    ).orderBy("doc_id", "chunk_idx")
+
+
+TEXT_CHUNKING_SQL = f"""
+WITH t AS (SELECT doc_id, {SQL_TOKENS.format(col='text')} AS toks FROM documents),
+s AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(1,
+           greatest(1, CAST(ceil((len(toks) - {_CHUNK}) / CAST({_CHUNK_STEP} AS DOUBLE)) AS INT) * {_CHUNK_STEP} + 1),
+           {_CHUNK_STEP})) AS start
+  FROM t
+)
+SELECT doc_id, CAST((start - 1) // {_CHUNK_STEP} AS INT) AS chunk_idx,
+       array_to_string(toks[start : start + {_CHUNK - 1}], ' ') AS chunk_text,
+       CAST(greatest(least(len(toks) - start + 1, {_CHUNK}), 0) AS INT) AS n_tokens
+FROM s ORDER BY doc_id, chunk_idx
+"""
+
+
+def sequence_packing(spark, sf_dir):
+    """Sequence packing: docs accumulate into fixed 512-token training
+    bins by deterministic id order (functions/sampling.py
+    pack_sequences — one cumulative-sum window; shard-partitioned at
+    real scale)."""
+    from parquet_converters_spark.functions.sampling import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    with_counts = docs.select(
+        "doc_id", token_count("text").alias("n_tokens")
+    )
+    return pack_sequences(with_counts, "n_tokens", budget=512).orderBy("doc_id")
+
+
+SEQUENCE_PACKING_SQL = f"""
+WITH t AS (
+  SELECT doc_id, len({SQL_TOKENS.format(col='text')}) AS n_tokens FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _cum
+  FROM t
+), b AS (
+  SELECT doc_id, n_tokens, _cum,
+         CAST(floor((_cum - 1) / CAST(512 AS DOUBLE)) AS BIGINT) AS bin_id
+  FROM c
+)
+SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens, bin_id,
+       CAST(sum(n_tokens) OVER (PARTITION BY bin_id ORDER BY doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            - n_tokens AS BIGINT) AS bin_offset
+FROM b ORDER BY doc_id
+"""
+
+
 def stream_dedup(spark, sf_dir):
     """Streaming exactly-once semantics in batch-symmetric form: 10% of
     events re-delivered, collapsed by event_id (streaming path uses
@@ -2153,6 +2250,12 @@ NEW_QUERIES: dict[str, tuple] = {
     "stream_dedup": (stream_dedup, STREAM_DEDUP_SQL),
     "stream_session_window": (stream_session_window, STREAM_SESSION_WINDOW_SQL),
     "multimodal_resize": (multimodal_resize, MULTIMODAL_RESIZE_SQL),
+    "sample_split_counts": (sample_split_counts, SAMPLE_SPLIT_SQL),
+    "text_chunking": (text_chunking, TEXT_CHUNKING_SQL),
+    "sequence_packing": (sequence_packing, SEQUENCE_PACKING_SQL),
+    # position 51+: identical output to sim_ivf_ann (r01-green) and
+    # pytest-asserted equal to it — safe to sit past the driver window
+    # until the round-3 rotation
     "sim_ivf_ann_bcast": (sim_ivf_ann_bcast, SIM_IVF_ANN_SQL),
 }
 QUERIES.update(NEW_QUERIES)

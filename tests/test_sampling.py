@@ -1,0 +1,70 @@
+"""Deterministic sampling/chunking/packing (functions/sampling.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from parquet_converters_spark.functions.sampling import (
+    chunk_documents,
+    hash_split,
+    pack_sequences,
+)
+
+
+def test_hash_split_stable_under_growth(spark):
+    """A key's split assignment must not change when more data arrives
+    — the property that makes the split safe to recompute per shard."""
+    small = spark.range(100).withColumnRenamed("id", "k")
+    big = spark.range(1000).withColumnRenamed("id", "k")
+    splits = {"train": 80, "val": 10, "test": 10}
+    a = {r["k"]: r["split"] for r in hash_split(small, "k", splits).collect()}
+    b = {r["k"]: r["split"] for r in hash_split(big, "k", splits).collect()}
+    assert all(b[k] == v for k, v in a.items())
+    # rough proportions on the larger set
+    from collections import Counter
+
+    c = Counter(b.values())
+    assert 700 < c["train"] < 900 and c["val"] > 30 and c["test"] > 30
+    with pytest.raises(ValueError, match="sum to 100"):
+        hash_split(small, "k", {"train": 90})
+
+
+def test_chunking_covers_every_token(spark):
+    """Chunks must cover the whole document in order, with the declared
+    overlap between consecutive chunks and a final short chunk."""
+    n_tok, chunk, overlap = 150, 64, 8
+    text = " ".join(f"tok{i}" for i in range(n_tok))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = sorted(
+        chunk_documents(df, chunk_tokens=chunk, overlap=overlap).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    step = chunk - overlap
+    seen = []
+    for i, r in enumerate(rows):
+        toks = r["chunk_text"].split(" ")
+        assert toks[0] == f"tok{i * step}"
+        assert r["n_tokens"] == len(toks) <= chunk
+        seen.extend(toks[overlap:] if i else toks)
+    # every token appears, in order, once past the overlaps
+    assert seen == [f"tok{i}" for i in range(n_tok)]
+
+
+def test_chunking_short_and_empty_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "just a few tokens"), (2, "")], "doc_id long, text string"
+    )
+    out = {(r["doc_id"], r["chunk_idx"]): r for r in chunk_documents(df).collect()}
+    assert out[(1, 0)]["n_tokens"] == 4 and len(out) == 2
+    assert out[(2, 0)]["n_tokens"] == 0
+
+
+def test_packing_respects_budget_boundaries(spark):
+    """Bins change exactly when the running total crosses the budget;
+    offsets are cumulative within each bin."""
+    rows = [(i, 200) for i in range(10)]  # 200 tokens each, budget 512
+    df = spark.createDataFrame(rows, "doc_id long, n long")
+    out = sorted(pack_sequences(df, "n", budget=512).collect(),
+                 key=lambda r: r["doc_id"])
+    # cum: 200..2000 -> floor((cum-1)/512) = 0,0,1,1,1,2,2,3,3,3
+    assert [r["bin_id"] for r in out] == [0, 0, 1, 1, 1, 2, 2, 3, 3, 3]
+    assert [r["bin_offset"] for r in out] == [0, 200, 0, 200, 400, 0, 200, 0, 200, 400]

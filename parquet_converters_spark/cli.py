@@ -1,0 +1,86 @@
+"""Command-line entry points mirroring the reference's two converters
+(so a user of the reference can switch by swapping the binary name):
+
+- ``touch2parquet FILES... [-o OUT] [-n LIMIT]`` — the reference's
+  ``src/touch2parquet.cpp:44-50`` surface (output name defaults from
+  the first input file, like ``:81-83``).
+- ``parquet2sonata INPUT_DIR OUTPUT POPULATION [--no-index]`` — the
+  reference's ``src/parquet2hdf5.cpp:184-193`` surface (the output is
+  a SONATA-layout parquet bundle; the HDF5 container itself is gated
+  on h5py, absent here — see sinks/sonata.py).
+
+Parallelism flags the reference gets from ``mpirun`` come from the
+Spark session here (``local[$SPARK_GRAFT_CPUS]`` by default, any
+cluster master via ``--master``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def _session(master: str | None):
+    from parquet_converters_spark.session import get_spark
+
+    if master:
+        os.environ["SPARK_GRAFT_MASTER"] = master
+    return get_spark(app_name="parquet-converters-spark")
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="parquet_converters_spark",
+        description="PySpark-native converters: touch binary -> parquet -> SONATA",
+    )
+    ap.add_argument("--master", help="Spark master URL (default: local)")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    t2p = sub.add_parser(
+        "touch2parquet", help="Convert TouchDetector output to Parquet synapse files"
+    )
+    t2p.add_argument("files", nargs="+", help="Touch files to convert")
+    t2p.add_argument("-o", dest="output", help="Output path (default: <first input>.parquet)")
+    t2p.add_argument(
+        "-n", dest="limit", type=int, default=None,
+        help="Maximum number of records to export",
+    )
+
+    p2s = sub.add_parser(
+        "parquet2sonata", help="Convert Parquet synapse files into the SONATA layout"
+    )
+    p2s.add_argument("input_directory", help="Directory containing Parquet files")
+    p2s.add_argument("output", help="Output bundle directory")
+    p2s.add_argument("population", help="Population to write")
+    p2s.add_argument(
+        "--no-index", dest="index", action="store_false", default=True,
+        help="Skip the SONATA adjacency index",
+    )
+
+    args = ap.parse_args(argv)
+    spark = _session(args.master)
+
+    if args.cmd == "touch2parquet":
+        from parquet_converters_spark.pipelines import touch2parquet
+
+        out = args.output or os.path.basename(args.files[0]) + ".parquet"
+        # multi-file: the touch source takes a comma-joined list/glob
+        df = touch2parquet(spark, ",".join(args.files), out, limit=args.limit)
+        print(f"touch2parquet: wrote {df.count()} records to {out}")
+    else:
+        from parquet_converters_spark.pipelines import parquet_to_sonata
+
+        parquet_to_sonata(
+            spark,
+            args.input_directory,
+            args.output,
+            population=args.population,
+            with_index=args.index,
+        )
+        print(f"parquet2sonata: wrote bundle {args.output} (population={args.population})")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -134,3 +134,36 @@ def test_validation_raises(spark):
     )
     with pytest.raises(ValueError, match="endianess"):
         validate_sections(df.withColumn("pre_section", df.pre_segment * 0 + 0x8000))
+
+
+def test_cli_end_to_end(spark, tmp_path):
+    """The module CLI mirrors the reference binaries: touch2parquet then
+    parquet2sonata, driven through main() with argv."""
+    from parquet_converters_spark.cli import main
+
+    out_pq = str(tmp_path / "cli_edges")
+    rc = main([
+        "touch2parquet",
+        "/root/reference/tests/touches_v2/touchesData.0",
+        "-o", out_pq,
+    ])
+    assert rc == 0
+    assert spark.read.parquet(out_pq).count() == 1104
+
+    out_bundle = str(tmp_path / "cli_bundle")
+    rc = main(["parquet2sonata", out_pq, out_bundle, "pop"])
+    assert rc == 0
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{out_bundle}/edges/pop/table.parquet")
+    assert t.num_rows == 1104
+    r2e = pq.read_table(
+        f"{out_bundle}/edges/pop/indices/source_to_target/range_to_edge_id.parquet"
+    )
+    assert r2e.num_rows == 1
+
+    # -n limit mirrors the reference's export cap
+    out_lim = str(tmp_path / "cli_limited")
+    main(["touch2parquet", "/root/reference/tests/touches_v2/touchesData.0",
+          "-o", out_lim, "-n", "100"])
+    assert spark.read.parquet(out_lim).count() == 100

@@ -72,6 +72,11 @@ HEADLINE = [
     "text_top_bigrams",
     "cohort_retention",
     "event_funnel",
+    "text_chunking",
+    "sequence_packing",
+    "sample_split_counts",
+    "stream_session_window",
+    "sim_ivf_ann_bcast",
 ]
 
 

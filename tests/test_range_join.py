@@ -126,3 +126,66 @@ def test_survivors_drop_near_dups(spark):
     assert 0 in kept and 3 in kept
     assert 1 not in kept  # exact dup never survives
     assert kept == sorted(set(kept))
+
+
+def test_cc_property_vs_union_find(spark):
+    """Property check: both distributed CC methods agree with an
+    independent driver-side union-find on random graphs."""
+    from hypothesis import given, settings, strategies as st
+
+    from parquet_converters_spark.operators.graph import connected_components
+
+    def union_find(edges, nodes):
+        parent = {n: n for n in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for u, v in edges:
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                parent[max(ru, rv)] = min(ru, rv)
+        # label every node with the component MINIMUM, matching the
+        # distributed contract
+        comp = {}
+        for n in nodes:
+            r = find(n)
+            comp.setdefault(r, []).append(n)
+        want = {}
+        for members in comp.values():
+            m = min(members)
+            for n in members:
+                want[n] = m
+        return want
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        edges=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=30),
+                st.integers(min_value=0, max_value=30),
+            ),
+            min_size=1,
+            max_size=40,
+        )
+    )
+    def check(edges):
+        edges = [(a, b) for a, b in edges if a != b]
+        if not edges:
+            return
+        nodes = sorted({n for e in edges for n in e})
+        want = union_find(edges, nodes)
+        pairs = spark.createDataFrame(edges, "id_a: long, id_b: long")
+        for method in ("hash_to_min", "star"):
+            got = {
+                r["node"]: r["component"]
+                for r in connected_components(
+                    pairs, max_iter=40, method=method
+                ).collect()
+            }
+            assert got == want, method
+
+    check()

@@ -44,3 +44,4 @@ from parquet_converters_spark.functions.sampling import (  # noqa: F401
     hash_split,
     pack_sequences,
 )
+from parquet_converters_spark.functions.profile import profile_table  # noqa: F401

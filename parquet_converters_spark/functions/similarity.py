@@ -122,6 +122,19 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return out
 
 
+def lsh_bucket_col(vec: Column, mat: Column, num_planes: int) -> Column:
+    """:func:`lsh_bucket` against a hyperplane matrix *column*
+    (broadcast data instead of cells*dim plan literals — the
+    real-dimensionality form; identical arithmetic, pytest-asserted)."""
+    sims = F.transform(mat, lambda plane: dot_product(vec, plane))
+    bits = F.zip_with(
+        sims,
+        F.array(*[F.lit(1 << p).cast("long") for p in range(num_planes)]),
+        lambda d, w: F.when(d >= 0, w).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
 def lsh_bucket_ann(
     corpus: DataFrame,
     queries: DataFrame,
@@ -130,25 +143,42 @@ def lsh_bucket_ann(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    plane_mode: str = "literal",
 ) -> DataFrame:
     """Approximate top-k: both sides bucketed by hyperplane signs, join
     on bucket equality, exact cosine + rank within the bucket.
 
     Scale path: the bucket join replaces the all-pairs product with
     ~n/2^planes-sized partitions; multiplying probes (nearby buckets)
-    is a straightforward extension."""
+    is a straightforward extension.  ``plane_mode="broadcast"`` ships
+    the hyperplane matrix as a 1-row broadcast DataFrame instead of
+    plan literals (O(1) plan size at real dimensionality)."""
     planes = hyperplanes(num_planes, dim)
-    q = queries.select(
+    if plane_mode == "broadcast":
+        pdf = centroids_df(corpus.sparkSession, planes)
+
+        def bucket(df: DataFrame) -> DataFrame:
+            return df.join(F.broadcast(pdf)).withColumn(
+                "_b", lsh_bucket_col(F.col(vec_col), F.col("_centroids"), num_planes)
+            )
+    elif plane_mode == "literal":
+
+        def bucket(df: DataFrame) -> DataFrame:
+            return df.withColumn("_b", lsh_bucket(F.col(vec_col), planes))
+    else:
+        raise ValueError(f"plane_mode must be literal|broadcast, got {plane_mode!r}")
+
+    q = bucket(queries).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qvec"),
         vec_norm(F.col(vec_col)).alias("_qnorm"),
-        lsh_bucket(F.col(vec_col), planes).alias("_bucket"),
+        F.col("_b").alias("_bucket"),
     )
-    c = corpus.select(
+    c = bucket(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cvec"),
         vec_norm(F.col(vec_col)).alias("_cnorm"),
-        lsh_bucket(F.col(vec_col), planes).alias("_bucket"),
+        F.col("_b").alias("_bucket"),
     )
     sim = cosine_similarity(
         F.col("_qvec"), F.col("_cvec"), F.col("_qnorm"), F.col("_cnorm")

@@ -1271,6 +1271,17 @@ def sim_lsh_ann(spark, sf_dir):
     )
 
 
+def sim_lsh_ann_bcast(spark, sf_dir):
+    """LSH ANN with hyperplanes shipped as broadcast data instead of
+    plan literals (real-dimensionality scale path); identical results
+    and oracle as sim_lsh_ann."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return lsh_bucket_ann(
+        emb, queries, k=5, num_planes=8, dim=64, plane_mode="broadcast"
+    ).orderBy("query_id", "rank")
+
+
 def _sql_lsh_bucket(vec_expr: str, num_planes: int = 8, dim: int = 64) -> str:
     planes = hyperplanes(num_planes, dim)
     terms = []
@@ -2177,6 +2188,49 @@ FROM b ORDER BY doc_id
 """
 
 
+def table_profile(spark, sf_dir):
+    """One-pass column profiling over orders (functions/profile.py):
+    null/distinct/min/max for every profiled column from a single scan
+    with 4k accumulators — never k passes.  Restricted to
+    integer/string columns whose string rendering is engine-identical."""
+    from parquet_converters_spark.functions.profile import profile_table
+
+    orders = _t(spark, sf_dir, "orders")
+    return profile_table(
+        orders, ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+    ).orderBy("col_name")
+
+
+TABLE_PROFILE_SQL = """
+SELECT * FROM (
+  SELECT 'o_orderkey' AS col_name,
+         CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+         count(DISTINCT o_orderkey) AS n_distinct,
+         min(CAST(o_orderkey AS VARCHAR)) AS min_str,
+         max(CAST(o_orderkey AS VARCHAR)) AS max_str
+  FROM orders
+  UNION ALL
+  SELECT 'o_custkey',
+         CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         count(DISTINCT o_custkey),
+         min(CAST(o_custkey AS VARCHAR)), max(CAST(o_custkey AS VARCHAR))
+  FROM orders
+  UNION ALL
+  SELECT 'o_orderstatus',
+         CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         count(DISTINCT o_orderstatus),
+         min(o_orderstatus), max(o_orderstatus)
+  FROM orders
+  UNION ALL
+  SELECT 'o_orderpriority',
+         CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         count(DISTINCT o_orderpriority),
+         min(o_orderpriority), max(o_orderpriority)
+  FROM orders
+) _p ORDER BY col_name
+"""
+
+
 def stream_dedup(spark, sf_dir):
     """Streaming exactly-once semantics in batch-symmetric form: 10% of
     events re-delivered, collapsed by event_id (streaming path uses
@@ -2257,6 +2311,8 @@ NEW_QUERIES: dict[str, tuple] = {
     # pytest-asserted equal to it — safe to sit past the driver window
     # until the round-3 rotation
     "sim_ivf_ann_bcast": (sim_ivf_ann_bcast, SIM_IVF_ANN_SQL),
+    "sim_lsh_ann_bcast": (sim_lsh_ann_bcast, SIM_LSH_ANN_SQL),
+    "table_profile": (table_profile, TABLE_PROFILE_SQL),
 }
 QUERIES.update(NEW_QUERIES)
 

@@ -553,3 +553,63 @@ def test_ivf_centroid_modes_identical(spark, sf_dir):
     a = sorted(map(tuple, lit.collect()))
     b = sorted(map(tuple, bc.collect()))
     assert a == b and len(a) > 0
+
+
+def test_lsh_plane_modes_identical(spark, sf_dir):
+    """Literal and broadcast hyperplane paths must bucket and rank
+    identically."""
+    from parquet_converters_spark.functions import lsh_bucket_ann
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter("vec_id < 3")
+    a = sorted(map(tuple, lsh_bucket_ann(emb, queries, k=5, dim=64).collect()))
+    b = sorted(
+        map(
+            tuple,
+            lsh_bucket_ann(
+                emb, queries, k=5, dim=64, plane_mode="broadcast"
+            ).collect(),
+        )
+    )
+    assert a == b and len(a) > 0
+
+
+def test_idempotent_sink_replay_replaces(spark, tmp_path):
+    """Replaying a micro-batch (at-least-once foreachBatch delivery)
+    must replace its partition, never duplicate it."""
+    from parquet_converters_spark.streaming.sinks import idempotent_parquet_sink
+
+    out = str(tmp_path / "sink_out")
+    write = idempotent_parquet_sink(out)
+    b0 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    b1 = spark.createDataFrame([(3, "c")], "id long, v string")
+    write(b0, 0)
+    write(b1, 1)
+    # crash-replay of batch 0 with corrected content
+    write(b0.withColumn("v", F.upper("v")), 0)
+    back = spark.read.parquet(out)
+    rows = sorted(map(tuple, back.select("id", "v", "_batch_id").collect()))
+    assert rows == [(1, "A", 0), (2, "B", 0), (3, "c", 1)]
+
+
+def test_idempotent_sink_live_stream(spark, sf_dir, tmp_path):
+    """The sink works under a real availableNow stream: total rows out
+    equals rows in, split across batch partitions."""
+    from parquet_converters_spark.streaming.events import read_events_stream
+    from parquet_converters_spark.streaming.sinks import idempotent_parquet_sink
+
+    src = str(tmp_path / "stream_src")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").limit(1000)
+    ev.repartition(4).write.parquet(src)
+    out, ckpt = str(tmp_path / "stream_out"), str(tmp_path / "ckpt")
+    q = (
+        read_events_stream(spark, src, max_files_per_trigger=2)
+        .writeStream.foreachBatch(idempotent_parquet_sink(out))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    back = spark.read.parquet(out)
+    assert back.count() == 1000
+    assert back.select("_batch_id").distinct().count() >= 2

@@ -2188,6 +2188,52 @@ FROM b ORDER BY doc_id
 """
 
 
+def stream_sessionize_stateful(spark, sf_dir):
+    """Batch-symmetric face of the stateful-timer sessionizer
+    (streaming/events.py sessionize_stateful: applyInPandasWithState +
+    EventTimeTimeout, sessions emitted once on close; cross-trigger and
+    checkpoint-restart parity pytest-gated in tests/test_functions.py).
+    The batch path is microsecond-precision gaps-and-islands."""
+    from parquet_converters_spark.streaming.events import sessionize_stateful
+
+    ev = _events(spark, sf_dir)
+    return (
+        sessionize_stateful(ev, gap_minutes=30)
+        .select(
+            "user_id",
+            F.unix_micros("session_start").alias("session_start_us"),
+            F.unix_micros("session_end").alias("session_end_us"),
+            "n_events",
+            F.col("value_sum").cast("double").alias("value_sum"),
+        )
+        .orderBy("user_id", "session_start_us")
+    )
+
+
+STREAM_SESSIONIZE_STATEFUL_SQL = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS _new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts, value,
+         sum(_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       epoch_us(CAST(min(ts) AS TIMESTAMP)) AS session_start_us,
+       epoch_us(CAST(max(ts) AS TIMESTAMP)) AS session_end_us,
+       count(*) AS n_events,
+       round(sum(value), 6) AS value_sum
+FROM sess GROUP BY user_id, sid
+ORDER BY user_id, session_start_us
+"""
+
+
 def table_profile(spark, sf_dir):
     """One-pass column profiling over orders (functions/profile.py):
     null/distinct/min/max for every profiled column from a single scan
@@ -2313,6 +2359,10 @@ NEW_QUERIES: dict[str, tuple] = {
     "sim_ivf_ann_bcast": (sim_ivf_ann_bcast, SIM_IVF_ANN_SQL),
     "sim_lsh_ann_bcast": (sim_lsh_ann_bcast, SIM_LSH_ANN_SQL),
     "table_profile": (table_profile, TABLE_PROFILE_SQL),
+    "stream_sessionize_stateful": (
+        stream_sessionize_stateful,
+        STREAM_SESSIONIZE_STATEFUL_SQL,
+    ),
 }
 QUERIES.update(NEW_QUERIES)
 

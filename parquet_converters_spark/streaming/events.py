@@ -213,3 +213,136 @@ def sessionize(
             F.round(F.sum("value"), 6).alias("value_sum"),
         )
     )
+
+
+def sessionize_stateful(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Sessions emitted ON CLOSE via event-time timer — the stateful
+    pattern ``session_window`` cannot express (it re-emits aggregates;
+    this emits a session exactly once, when its inactivity gap elapses
+    past the watermark).
+
+    Streaming path: ``applyInPandasWithState`` with
+    ``EventTimeTimeout`` — per-user state is (start, last, n, sum);
+    in-batch gaps close sessions immediately, the trailing open session
+    arms ``setTimeoutTimestamp(last + gap)`` and is flushed by the
+    timer once the watermark passes it.  State is O(active users),
+    keyed and partitioned by the groupBy shuffle.
+
+    Batch path (same function, same output contract): gaps-and-islands
+    in microseconds.  Every closed streaming session must byte-match a
+    batch session — asserted in tests.
+    """
+    gap_us = gap_minutes * 60 * 1_000_000
+    out_schema = (
+        "user_id long, session_start timestamp, session_end timestamp, "
+        "n_events long, value_sum double"
+    )
+
+    if not events.isStreaming:
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        gap_prev = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+        new_s = F.when(gap_prev.isNull() | (gap_prev > gap_us), 1).otherwise(0)
+        return (
+            events.withColumn("_new", new_s)
+            .withColumn(
+                "_sid",
+                F.sum("_new").over(
+                    w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                ),
+            )
+            .groupBy("user_id", "_sid")
+            .agg(
+                F.min("ts").alias("session_start"),
+                F.max("ts").alias("session_end"),
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 6).alias("value_sum"),
+            )
+            .select(
+                "user_id", "session_start", "session_end", "n_events", "value_sum"
+            )
+        )
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    state_schema = "start_us long, last_us long, n long, s double"
+
+    def update(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        uid = key[0]
+
+        def emit_row(start_us, last_us, n, s):
+            return pd.DataFrame(
+                {
+                    "user_id": [uid],
+                    "session_start": [pd.Timestamp(start_us, unit="us")],
+                    "session_end": [pd.Timestamp(last_us, unit="us")],
+                    "n_events": [n],
+                    "value_sum": [round(s, 6)],
+                }
+            )
+
+        if state.hasTimedOut:
+            start_us, last_us, n, s = state.get
+            state.remove()
+            yield emit_row(start_us, last_us, n, s)
+            return
+
+        rows = [pdf[["ts", "value"]] for pdf in pdf_iter if len(pdf)]
+        if not rows:
+            return
+        batch = pd.concat(rows).sort_values("ts")
+        ts_us = (batch["ts"].astype("int64") // 1000).to_list()
+        vals = batch["value"].to_list()
+
+        start_us = None
+        if state.exists:
+            start_us, last_us, n, s = state.get
+        # rows already behind the watermark are dropped (standard
+        # lateness contract — flatMapGroupsWithState does not filter
+        # them for us the way windowed aggregations do)
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        closed = []
+        for t, v in zip(ts_us, vals):
+            if t <= wm_us:
+                continue
+            if start_us is None:
+                start_us, last_us, n, s = t, t, 1, float(v)
+            elif t - last_us > gap_us:
+                closed.append((start_us, last_us, n, s))
+                start_us, last_us, n, s = t, t, 1, float(v)
+            else:
+                # cross-trigger disorder within the lateness bound: an
+                # older event extends membership but must never move
+                # the session end backwards
+                last_us, n, s = max(last_us, t), n + 1, s + float(v)
+        if start_us is None:
+            return  # every row was late
+        state.update((start_us, last_us, n, s))
+        # arm the event-time timer: fire once the watermark passes the
+        # open session's gap deadline (ms epoch per the state API).
+        # Data can arrive with event times already behind the watermark
+        # (out-of-order files within the lateness bound) — a deadline in
+        # the past is clamped to watermark+1 so the session flushes at
+        # the next trigger instead of crashing the query.
+        deadline_ms = last_us // 1000 + gap_minutes * 60 * 1000
+        wm_ms = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(deadline_ms, wm_ms + 1))
+        for sess in closed:
+            yield emit_row(*sess)
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -613,3 +613,91 @@ def test_idempotent_sink_live_stream(spark, sf_dir, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == 1000
     assert back.select("_batch_id").distinct().count() >= 2
+
+
+def test_sessionize_stateful_timers(spark, sf_dir, tmp_path):
+    """Event-time-timeout sessionization: every session the stream
+    emits (in-batch closes + timer flushes) must byte-match a batch
+    session, and most sessions must be emitted once the stream drains."""
+    from parquet_converters_spark.queries import _events
+    from parquet_converters_spark.streaming.events import sessionize_stateful
+
+    ev = _events(spark, sf_dir).select("user_id", "event_id", "ts", "value")
+    src = str(tmp_path / "sess_src")
+    # append time-range slices chronologically with distinct mtimes:
+    # the FileStreamSource replays in mtime order, so this is the
+    # realistic arrival order (a shuffled replay would put ~all data
+    # behind the watermark and the late guard would drop it)
+    import datetime
+
+    lo_ts, hi_ts = ev.agg(F.min("ts"), F.max("ts")).first()
+    span = (hi_ts - lo_ts) / 6
+    for k in range(6):
+        lo_k = lo_ts + k * span
+        hi_k = hi_ts + datetime.timedelta(hours=1) if k == 5 else lo_ts + (k + 1) * span
+        (
+            ev.filter((F.col("ts") >= lo_k) & (F.col("ts") < hi_k))
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+
+    batch = {
+        (r["user_id"], r["session_start"], r["session_end"]): (
+            r["n_events"],
+            r["value_sum"],
+        )
+        for r in sessionize_stateful(spark.read.parquet(src)).collect()
+    }
+    assert batch
+
+    from parquet_converters_spark.streaming.events import read_events_stream
+
+    ckpt = str(tmp_path / "sess_ckpt")
+    out = str(tmp_path / "sess_out")
+
+    def run():
+        q = (
+            sessionize_stateful(
+                read_events_stream(spark, src, max_files_per_trigger=2),
+                watermark="30 minutes",
+            )
+            .writeStream.foreachBatch(
+                lambda df, _bid: df.write.mode("append").parquet(out)
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return spark.read.parquet(out).filter("user_id < 9000").collect()
+
+    got1 = run()
+    for r in got1:
+        k = (r["user_id"], r["session_start"], r["session_end"])
+        assert k in batch, f"streamed session not in batch: {k}"
+        assert (r["n_events"], r["value_sum"]) == batch[k], k
+    assert len(got1) > 0
+
+    # sessions open at the final trigger never see their timer fire
+    # (availableNow stops).  Restart from the checkpoint (state
+    # recovery) with an epilogue event 2h past the end: the watermark
+    # sweeps past every real session and the timers flush them all.
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    import datetime
+
+    spark.createDataFrame(
+        [(9999, 10**9, max_ts + datetime.timedelta(hours=2), 0.0)],
+        "user_id long, event_id long, ts timestamp, value double",
+    ).write.mode("append").parquet(src)
+    got2 = run()
+    for r in got2:
+        k = (r["user_id"], r["session_start"], r["session_end"])
+        assert k in batch, f"post-restart session not in batch: {k}"
+        assert (r["n_events"], r["value_sum"]) == batch[k], k
+    emitted = {
+        (r["user_id"], r["session_start"], r["session_end"])
+        for r in [*got1, *got2]
+    }
+    assert len(emitted) >= 0.95 * len(batch), (len(emitted), len(batch))

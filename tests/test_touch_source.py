@@ -95,3 +95,19 @@ def test_endian_swapped_input(spark, tmp_path):
     expect = read_touches(spark, os.path.join(src, "touchesData.0")).collect()
     got = read_touches(spark, str(tmp_path / "touchesData.0")).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, expect))
+
+
+def test_observe_conversion_counters(spark, tmp_path):
+    """M1 progress/verification counters ride the conversion job itself
+    (observe() metrics — no second pass), matching an explicit recount."""
+    from parquet_converters_spark.observability import observe_conversion
+    from parquet_converters_spark.sources import read_touches
+
+    df = read_touches(spark, "/root/reference/tests/touches_v2/touchesData.0")
+    obs, observed = observe_conversion(df)
+    out = str(tmp_path / "observed_out")
+    observed.write.parquet(out)  # the one and only action
+    m = obs.get
+    assert m["n_records"] == 1104
+    assert m["n_bad_sections"] == 0
+    assert m["max_pre_gid"] == df.agg({"pre_neuron_id": "max"}).first()[0]

@@ -11,3 +11,9 @@ from parquet_converters_spark.operators.skew import (  # noqa: F401
     salted_join,
     two_stage_aggregate,
 )
+from parquet_converters_spark.operators.graph import connected_components  # noqa: F401
+from parquet_converters_spark.operators.range_join import bucketed_range_join  # noqa: F401
+from parquet_converters_spark.operators.zorder import (  # noqa: F401
+    write_zordered,
+    zorder_key,
+)

@@ -439,3 +439,47 @@ def near_dedup_survivors(
     )
     reps = df.join(groups.select(F.col("keep_id").alias(id_col)), id_col, "left_semi")
     return reps.join(losers, id_col, "left_anti")
+
+
+def contamination_flags(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_hits: int = 2,
+) -> DataFrame:
+    """Benchmark decontamination: flag every training document sharing
+    at least ``min_hits`` word n-gram shingles with ANY eval document.
+
+    Plan shape (the part that matters at 100 TB train / tiny eval):
+    the eval side collapses to a distinct shingle set — small enough to
+    BROADCAST — so the training side is one narrow explode + broadcast
+    hash join + per-doc count.  The 100 TB table shuffles once (the
+    per-doc aggregation), never against the eval set.  Returns
+    (id, eval_shingle_hits, contaminated) for every training row.
+    """
+    eval_sh = (
+        eval_df.select(
+            F.explode(F.array_distinct(shingles(text_col, n))).alias("_sh")
+        ).distinct()
+    )
+    train_ex = train_df.select(
+        F.col(id_col),
+        F.explode_outer(F.array_distinct(shingles(text_col, n))).alias("_sh"),
+    )
+    hits = (
+        train_ex.join(F.broadcast(eval_sh), "_sh")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("eval_shingle_hits"))
+    )
+    return train_df.select(id_col).join(hits, id_col, "left").select(
+        id_col,
+        F.coalesce("eval_shingle_hits", F.lit(0).cast("long")).alias(
+            "eval_shingle_hits"
+        ),
+        (
+            F.coalesce("eval_shingle_hits", F.lit(0).cast("long"))
+            >= min_hits
+        ).alias("contaminated"),
+    )

@@ -2234,6 +2234,40 @@ ORDER BY user_id, session_start_us
 """
 
 
+def decontaminate_train(spark, sf_dir):
+    """Benchmark decontamination (functions/dedup.py
+    contamination_flags): docs with id % 20 == 0 act as the held-out
+    eval set; every remaining (training) doc is flagged when it shares
+    >= 2 word 3-gram shingles with any eval doc.  Eval shingles
+    broadcast; the training side is one explode + broadcast join +
+    per-doc count — the 100 TB table shuffles once."""
+    from parquet_converters_spark.functions.dedup import contamination_flags
+
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 20 == 0)
+    train = docs.filter(F.col("doc_id") % 20 != 0)
+    return contamination_flags(train, ev, n=3, min_hits=2).orderBy("doc_id")
+
+
+DECONTAMINATE_SQL = f"""
+WITH ev AS (
+  SELECT DISTINCT unnest(list_distinct({_sql_shingles('text')})) AS sh
+  FROM documents WHERE doc_id % 20 = 0
+), tr AS (
+  SELECT doc_id, unnest(list_distinct({_sql_shingles('text')})) AS sh
+  FROM documents WHERE doc_id % 20 <> 0
+), hits AS (
+  SELECT doc_id, count(*) AS n_hits FROM tr JOIN ev USING (sh) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS eval_shingle_hits,
+       coalesce(h.n_hits, 0) >= 2 AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % 20 <> 0) d
+LEFT JOIN hits h USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 def table_profile(spark, sf_dir):
     """One-pass column profiling over orders (functions/profile.py):
     null/distinct/min/max for every profiled column from a single scan
@@ -2363,6 +2397,7 @@ NEW_QUERIES: dict[str, tuple] = {
         stream_sessionize_stateful,
         STREAM_SESSIONIZE_STATEFUL_SQL,
     ),
+    "decontaminate_train": (decontaminate_train, DECONTAMINATE_SQL),
 }
 QUERIES.update(NEW_QUERIES)
 

@@ -189,3 +189,32 @@ def test_cc_property_vs_union_find(spark):
             assert got == want, method
 
     check()
+
+
+def test_contamination_flags(spark):
+    """A train doc that copies an eval doc is flagged; unrelated docs
+    are not; empty docs never match."""
+    from parquet_converters_spark.functions.dedup import contamination_flags
+
+    eval_df = spark.createDataFrame(
+        [(100, "the capital of france is paris and the capital of spain is madrid")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (0, "the capital of france is paris and the capital of spain is madrid"),
+            (1, "question: the capital of france is paris correct"),
+            (2, "a completely unrelated sentence about spark shuffles"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["eval_shingle_hits"], r["contaminated"])
+        for r in contamination_flags(train, eval_df, n=3, min_hits=2).collect()
+    }
+    assert out[0][1] is True           # verbatim copy
+    assert out[1][0] >= 2 and out[1][1] is True  # partial overlap
+    assert out[2] == (0, False)
+    assert out[3] == (0, False)
+    assert len(out) == 4               # every train row gets a verdict

@@ -2234,6 +2234,67 @@ ORDER BY user_id, session_start_us
 """
 
 
+def text_repetition(spark, sf_dir):
+    """Gopher-style within-document repetition signals: duplicate
+    word fraction and duplicate 3-gram fraction (1 - distinct/total).
+    Pure array expressions over the bound token pipeline — one narrow
+    pass, no shuffle before the final sort."""
+    from parquet_converters_spark.functions.text import bind, shingles
+
+    docs = _t(spark, sf_dir, "documents")
+
+    def ratios(toks):
+        return F.round(
+            1
+            - F.size(F.array_distinct(toks))
+            / F.greatest(F.size(toks), F.lit(1)).cast("double"),
+            6,
+        )
+
+    return docs.select(
+        "doc_id",
+        bind(tokens("text"), ratios).alias("dup_word_frac"),
+        bind(shingles("text", 3), ratios).alias("dup_3gram_frac"),
+    ).orderBy("doc_id")
+
+
+TEXT_REPETITION_SQL = f"""
+SELECT doc_id,
+       round(1 - len(list_distinct(toks)) / CAST(greatest(len(toks), 1) AS DOUBLE), 6) AS dup_word_frac,
+       round(1 - len(list_distinct(sh)) / CAST(greatest(len(sh), 1) AS DOUBLE), 6) AS dup_3gram_frac
+FROM (SELECT doc_id, {SQL_TOKENS.format(col='text')} AS toks,
+             {_sql_shingles('text')} AS sh
+      FROM documents) _r
+ORDER BY doc_id
+"""
+
+
+def text_pii_scan(spark, sf_dir):
+    """Data-cleaning pattern scan: per-document counts of email-like,
+    URL-like, and long-digit-run substrings (the redaction pre-pass of
+    a training pipeline).  ``regexp_count`` is JVM codegen both here
+    and in the oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    email = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+    url = r"https?://[^\s]+"
+    digits = r"[0-9]{6,}"
+    return docs.select(
+        "doc_id",
+        F.regexp_count(F.lower("text"), F.lit(email)).alias("n_emails"),
+        F.regexp_count(F.lower("text"), F.lit(url)).alias("n_urls"),
+        F.regexp_count(F.col("text"), F.lit(digits)).alias("n_digit_runs"),
+    ).orderBy("doc_id")
+
+
+TEXT_PII_SCAN_SQL = r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(lower(text), '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(lower(text), 'https?://[^\s]+')) AS INT) AS n_urls,
+       CAST(len(regexp_extract_all(text, '[0-9]{6,}')) AS INT) AS n_digit_runs
+FROM documents ORDER BY doc_id
+"""
+
+
 def decontaminate_train(spark, sf_dir):
     """Benchmark decontamination (functions/dedup.py
     contamination_flags): docs with id % 20 == 0 act as the held-out
@@ -2398,6 +2459,8 @@ NEW_QUERIES: dict[str, tuple] = {
         STREAM_SESSIONIZE_STATEFUL_SQL,
     ),
     "decontaminate_train": (decontaminate_train, DECONTAMINATE_SQL),
+    "text_repetition": (text_repetition, TEXT_REPETITION_SQL),
+    "text_pii_scan": (text_pii_scan, TEXT_PII_SCAN_SQL),
 }
 QUERIES.update(NEW_QUERIES)
 

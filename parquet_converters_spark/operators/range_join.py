@@ -48,6 +48,10 @@ def bucketed_range_join(
     the same unit.  Output carries every ``points`` column plus every
     ``intervals`` column except the equi-keys (already present from the
     points side).
+
+    Bucket ids are computed with ``floor(x / w)`` in double math, exact
+    while |x| < 2^53 — true for any epoch-micros timestamp for the next
+    ~250 years; pre-scale (e.g. to seconds) if your domain exceeds it.
     """
     if bucket_width <= 0:
         raise ValueError("bucket_width must be positive")

@@ -37,6 +37,7 @@ from parquet_converters_spark.functions.multimodal import (  # noqa: F401
 from parquet_converters_spark.functions.sketches import (  # noqa: F401
     approx_distinct,
     approx_quantiles,
+    heavy_hitters,
 )
 from parquet_converters_spark.functions.sampling import (  # noqa: F401
     chunk_documents,

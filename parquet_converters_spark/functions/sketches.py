@@ -48,3 +48,61 @@ def approx_quantiles(
         for p in probabilities
     ]
     return df.groupBy(group_col).agg(*aggs)
+
+
+def heavy_hitters(
+    df: DataFrame,
+    value_col: str,
+    k: int = 20,
+    capacity: int = 256,
+) -> DataFrame:
+    """Approximate top-k frequent items via distributed Misra-Gries.
+
+    Per partition: a ``capacity``-counter Misra-Gries summary built in
+    one Arrow-batched pass (``mapInPandas`` keeps a dict across the
+    partition's batches — O(capacity) state regardless of partition
+    size).  The per-partition summaries (≤ partitions × capacity tiny
+    rows) are then summed by item and the top ``k`` taken.
+
+    Guarantees (classical MG, summed over P partitions): reported
+    counts are lower bounds, undercounting each item by at most
+    Σ_p N_p / capacity ≤ N / capacity; every item with true frequency
+    > N / capacity survives into the merge.  Exact wordcount shuffles
+    every distinct item; this shuffles ≤ P × capacity rows — the
+    100 TB trade.  Output: (item, min_count) ordered desc, count ≤ k.
+    """
+    from typing import Iterator
+
+    import pandas as pd
+
+    src = df.select(F.col(value_col).cast("string").alias("item"))
+
+    def mg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for item in pdf["item"]:
+                if item is None:
+                    continue
+                if item in counters:
+                    counters[item] += 1
+                elif len(counters) < capacity:
+                    counters[item] = 1
+                else:
+                    # decrement-all step, dropping zeroed counters
+                    dead = []
+                    for key in counters:
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            dead.append(key)
+                    for key in dead:
+                        del counters[key]
+        yield pd.DataFrame(
+            {"item": list(counters), "min_count": list(counters.values())}
+        )
+
+    merged = (
+        src.mapInPandas(mg, schema="item string, min_count long")
+        .groupBy("item")
+        .agg(F.sum("min_count").alias("min_count"))
+    )
+    return merged.orderBy(F.col("min_count").desc(), "item").limit(k)

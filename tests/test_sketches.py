@@ -52,3 +52,37 @@ def test_approx_quantiles_rank_error(spark, sf_dir):
 
             rank = bisect.bisect_left(data, r[col])
             assert abs(rank / n - p) <= 0.01 + 1 / 1000, (r["l_linestatus"], p, rank / n)
+
+
+def test_heavy_hitters_bounds(spark, sf_dir):
+    """Misra-Gries top-k: reported counts are lower bounds within the
+    N/capacity undercount, and every sufficiently-frequent token is
+    found."""
+    from pyspark.sql import functions as F
+
+    from parquet_converters_spark.functions.sketches import heavy_hitters
+    from parquet_converters_spark.functions.text import tokens
+
+    toks = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(F.explode(tokens("text")).alias("token"))
+    )
+    n_total = toks.count()
+    capacity = 256
+    exact = {
+        r["token"]: r["n"]
+        for r in toks.groupBy("token").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    got = {
+        r["item"]: r["min_count"]
+        for r in heavy_hitters(toks, "token", k=20, capacity=capacity).collect()
+    }
+    assert got
+    slack = n_total / capacity  # summed per-partition undercount bound
+    for item, lo in got.items():
+        assert lo <= exact[item] <= lo + slack, (item, lo, exact[item])
+    # every token frequent beyond the bound must be reported
+    top_true = sorted(exact.items(), key=lambda kv: -kv[1])[:5]
+    for item, n in top_true:
+        if n > slack:
+            assert item in got, (item, n, slack)

@@ -1664,14 +1664,50 @@ ORDER BY view_id, purchase_id
 # ===========================================================================
 
 def touch_scan_v2(spark, sf_dir):
-    """S1-S3: fixed-width binary scan of the reference v2 fixture
-    (the conversion surface; correctness is pytest-verified against an
-    independent decoder)."""
+    """S1-S3: fixed-width binary scan of the reference v2 fixture.
+    Oracle: a VALUES literal generated by the independent stdlib-struct
+    decoder (tests/reference_decode.py) over the same read-only fixture
+    — DuckDB cannot read the custom binary format, but it can verify
+    every value the scan produces against a second implementation."""
     from parquet_converters_spark.sources import read_touches
 
     return read_touches(
         spark, "/root/reference/tests/touches_v2/touchesData.0"
     ).select("synapse_id", "pre_neuron_id", "post_neuron_id", "branch_type")
+
+
+def _touch_scan_v2_oracle() -> str | None:
+    try:
+        import os as _os
+        import sys as _sys
+
+        _sys.path.insert(
+            0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+        )
+        from tests.reference_decode import decode_file
+    except Exception:
+        return None  # decoder or fixture unavailable -> rows-only check
+    rows = sorted(
+        (
+            r["synapse_id"],
+            r["pre_neuron_id"],
+            r["post_neuron_id"],
+            r["branch_type"],
+        )
+        for r in decode_file("/root/reference/tests/touches_v2/touchesData.0")
+    )
+    values = ", ".join(f"({a}, {b}, {c}, {d})" for a, b, c, d in rows)
+    return (
+        "SELECT CAST(col0 AS BIGINT) AS synapse_id, "
+        "CAST(col1 AS INT) AS pre_neuron_id, "
+        "CAST(col2 AS INT) AS post_neuron_id, "
+        "CAST(col3 AS SMALLINT) AS branch_type "
+        f"FROM (VALUES {values}) AS t(col0, col1, col2, col3) "
+        "ORDER BY synapse_id"
+    )
+
+
+TOUCH_SCAN_V2_SQL = _touch_scan_v2_oracle()
 
 
 def multimodal_decode(spark, sf_dir):
@@ -2418,7 +2454,7 @@ QUERIES.update({
     "stream_sessionize": (stream_sessionize, STREAM_SESSIONIZE_SQL),
     "stream_running_totals": (stream_running_totals, STREAM_RUNNING_TOTALS_SQL),
     "stream_join_pairs": (stream_join_pairs, STREAM_JOIN_PAIRS_SQL),
-    "touch_scan_v2": (touch_scan_v2, None),
+    "touch_scan_v2": (touch_scan_v2, TOUCH_SCAN_V2_SQL),
     "multimodal_decode": (multimodal_decode, MULTIMODAL_DECODE_SQL),
     "multimodal_frames": (multimodal_frames, MULTIMODAL_FRAMES_SQL),
 })

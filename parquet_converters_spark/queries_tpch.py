@@ -1167,3 +1167,67 @@ TPCH_QUERIES: dict[str, tuple] = {
     "vector_norm_stats": (vector_norm_stats, VECTOR_NORM_SQL),
     "salted_join_brand_revenue": (salted_join_brand_revenue, SALTED_JOIN_SQL),
 }
+
+
+def asof_join_next_purchase(spark, sf_dir):
+    """Forward as-of join: for every view event, the same user's FIRST
+    purchase strictly after it.  Same union-merge shape as the backward
+    as-of (one shuffle on user_id, zero joins), scanning descending so
+    the running ``last(..., ignorenulls)`` frame carries the nearest
+    later purchase; views sort before purchases at equal ts in the
+    descending order, which implements the *strict* bound.
+    Oracle: DuckDB ASOF JOIN with ``v.ts < p.ts``."""
+    _t, _events, _dec = _helpers()
+    ev = _events(spark, sf_dir)
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.lit(1).alias("kind"),
+        F.col("event_id").alias("view_id"),
+        F.lit(None).cast("long").alias("purchase_id"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.lit(0).alias("kind"),
+        F.lit(None).cast("long").alias("view_id"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").desc(), F.col("kind").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tagged = views.unionByName(purchases)
+    matched = (
+        tagged.withColumn(
+            "next_purchase_id",
+            F.last(
+                F.when(F.col("kind") == 0, F.col("purchase_id")), ignorenulls=True
+            ).over(w),
+        )
+        .withColumn(
+            "next_purchase_ts",
+            F.last(
+                F.when(F.col("kind") == 0, F.col("ts")), ignorenulls=True
+            ).over(w),
+        )
+        .filter((F.col("kind") == 1) & F.col("next_purchase_id").isNotNull())
+    )
+    return matched.select(
+        F.col("view_id").alias("view_event_id"),
+        "user_id",
+        F.unix_micros("ts").alias("view_ts_us"),
+        F.col("next_purchase_id").alias("purchase_event_id"),
+        F.unix_micros("next_purchase_ts").alias("purchase_ts_us"),
+    ).orderBy("view_event_id")
+
+
+ASOF_NEXT_SQL = """
+SELECT v.event_id AS view_event_id, v.user_id,
+       epoch_us(v.ts) AS view_ts_us,
+       p.event_id AS purchase_event_id,
+       epoch_us(p.ts) AS purchase_ts_us
+FROM (SELECT * FROM events WHERE event_type = 'view') v
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON v.user_id = p.user_id AND v.ts < p.ts
+ORDER BY view_event_id
+"""
+
+TPCH_QUERIES["asof_join_next_purchase"] = (asof_join_next_purchase, ASOF_NEXT_SQL)

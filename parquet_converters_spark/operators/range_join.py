@@ -89,3 +89,66 @@ def bucketed_range_join(
         *[lhs[c] for c in points.columns],
         *[rhs[c] for c in rhs_keep],
     )
+
+
+def bucketed_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_lo: str,
+    left_hi: str,
+    right_lo: str,
+    right_hi: str,
+    bucket_width: int,
+    equi_keys: list[str] | None = None,
+) -> DataFrame:
+    """Interval-overlap join: every (left, right) pair with
+    ``l.lo < r.hi AND r.lo < l.hi`` (half-open overlap), via the same
+    bucketization as :func:`bucketed_range_join` applied to BOTH sides.
+
+    Each side explodes onto its covering buckets; overlapping intervals
+    share at least one bucket, so the equi-join on (bucket + keys)
+    generates every candidate; the exact overlap predicate filters, and
+    a distinct collapses pairs that co-occur in several buckets.
+    Cost: one shuffle per side at ~(1 + len/width)x replication —
+    never |L|·|R|.
+    """
+    if bucket_width <= 0:
+        raise ValueError("bucket_width must be positive")
+    keys = list(equi_keys or [])
+    clashes = set(_HELPERS) & (set(left.columns) | set(right.columns))
+    if clashes:
+        raise ValueError(f"reserved helper columns in input: {sorted(clashes)}")
+    overlap_cols = (set(left.columns) - set(keys)) & set(right.columns)
+    if overlap_cols:
+        raise ValueError(
+            f"non-key columns {sorted(overlap_cols)} exist on both sides; "
+            "rename before joining"
+        )
+
+    def _bkt(c: Column) -> Column:
+        return F.floor(c / F.lit(bucket_width)).cast("long")
+
+    def _explode(df: DataFrame, lo: str, hi: str) -> DataFrame:
+        return df.withColumn("_lo", F.col(lo).cast("long")).withColumn(
+            "_hi", F.col(hi).cast("long")
+        ).withColumn(
+            "_bucket",
+            F.explode(
+                F.sequence(_bkt(F.col("_lo")), _bkt(F.col("_hi") - F.lit(1)))
+            ),
+        )
+
+    lhs = _explode(left, left_lo, left_hi)
+    rhs = (
+        _explode(right, right_lo, right_hi)
+        .withColumnRenamed("_lo", "_rlo")
+        .withColumnRenamed("_hi", "_rhi")
+    )
+    cond = [lhs["_bucket"] == rhs["_bucket"]] + [lhs[k] == rhs[k] for k in keys]
+    overlaps = (lhs["_lo"] < rhs["_rhi"]) & (rhs["_rlo"] < lhs["_hi"])
+    joined = lhs.join(rhs, cond + [overlaps], "inner")
+    rhs_keep = [c for c in right.columns if c not in keys]
+    return joined.select(
+        *[lhs[c] for c in left.columns],
+        *[rhs[c] for c in rhs_keep],
+    ).distinct()

@@ -2270,6 +2270,65 @@ ORDER BY user_id, session_start_us
 """
 
 
+def interval_overlap_sessions(spark, sf_dir):
+    """Interval-overlap join (operators/range_join.py
+    bucketed_interval_join): per user, every (view-session,
+    click-session) pair whose time ranges overlap — both session sets
+    derived by 30-min-gap sessionization, intervals bucketized to 1
+    hour, exact overlap as the residual predicate.  No |L|x|R| plan."""
+    from parquet_converters_spark.operators.range_join import (
+        bucketed_interval_join,
+    )
+    from parquet_converters_spark.streaming.events import sessionize
+
+    ev = _events(spark, sf_dir)
+
+    def sessions(kind, prefix):
+        s = sessionize(ev.filter(F.col("event_type") == kind), gap_minutes=720)
+        return s.select(
+            "user_id",
+            F.unix_micros("session_start").alias(f"{prefix}_start_us"),
+            (F.unix_micros("session_end") + 1).alias(f"{prefix}_end_x"),
+        )
+
+    v, c = sessions("view", "view"), sessions("click", "click")
+    out = bucketed_interval_join(
+        v, c, "view_start_us", "view_end_x", "click_start_us", "click_end_x",
+        bucket_width=43_200_000_000, equi_keys=["user_id"],
+    )
+    return out.select(
+        "user_id", "view_start_us", F.col("click_start_us")
+    ).orderBy("user_id", "view_start_us", "click_start_us")
+
+
+INTERVAL_OVERLAP_SQL = """
+WITH flagged AS (
+  SELECT user_id, event_type, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 43200
+              THEN 1 ELSE 0 END AS _new
+  FROM events WHERE event_type IN ('view', 'click')
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts)
+), sess AS (
+  SELECT user_id, event_type, ts,
+         sum(_new) OVER (PARTITION BY user_id, event_type ORDER BY ts
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+), spans AS (
+  SELECT user_id, event_type,
+         epoch_us(CAST(min(ts) AS TIMESTAMP)) AS start_us,
+         epoch_us(CAST(max(ts) AS TIMESTAMP)) AS end_us
+  FROM sess GROUP BY user_id, event_type, sid
+)
+SELECT v.user_id, v.start_us AS view_start_us, c.start_us AS click_start_us
+FROM (SELECT * FROM spans WHERE event_type = 'view') v
+JOIN (SELECT * FROM spans WHERE event_type = 'click') c
+  ON v.user_id = c.user_id
+ AND v.start_us <= c.end_us AND c.start_us <= v.end_us
+ORDER BY v.user_id, view_start_us, click_start_us
+"""
+
+
 def text_repetition(spark, sf_dir):
     """Gopher-style within-document repetition signals: duplicate
     word fraction and duplicate 3-gram fraction (1 - distinct/total).
@@ -2497,6 +2556,7 @@ NEW_QUERIES: dict[str, tuple] = {
     "decontaminate_train": (decontaminate_train, DECONTAMINATE_SQL),
     "text_repetition": (text_repetition, TEXT_REPETITION_SQL),
     "text_pii_scan": (text_pii_scan, TEXT_PII_SCAN_SQL),
+    "interval_overlap_sessions": (interval_overlap_sessions, INTERVAL_OVERLAP_SQL),
 }
 QUERIES.update(NEW_QUERIES)
 

@@ -218,3 +218,47 @@ def test_contamination_flags(spark):
     assert out[2] == (0, False)
     assert out[3] == (0, False)
     assert len(out) == 4               # every train row gets a verdict
+
+
+@pytest.mark.parametrize("bucket_width", [13, 64, 500])
+def test_interval_join_matches_nested_loop(spark, bucket_width):
+    """Interval-overlap join vs brute force, invariant to bucket width."""
+    from parquet_converters_spark.operators.range_join import (
+        bucketed_interval_join,
+    )
+
+    rng = random.Random(23)
+
+    def mk(n, id_name):
+        out = []
+        for i in range(n):
+            lo = rng.randrange(1000)
+            out.append(
+                {id_name: i, "k": rng.randrange(3), "lo": lo,
+                 "hi": lo + rng.randrange(1, 150)}
+            )
+        return out
+
+    a, b = mk(120, "aid"), mk(80, "bid")
+    want = sorted(
+        (x["aid"], y["bid"])
+        for x in a
+        for y in b
+        if x["k"] == y["k"] and x["lo"] < y["hi"] and y["lo"] < x["hi"]
+    )
+    adf = spark.createDataFrame(
+        [(r["aid"], r["k"], r["lo"], r["hi"]) for r in a],
+        "aid long, k int, a_lo long, a_hi long",
+    )
+    bdf = spark.createDataFrame(
+        [(r["bid"], r["k"], r["lo"], r["hi"]) for r in b],
+        "bid long, k int, b_lo long, b_hi long",
+    )
+    got = sorted(
+        (r["aid"], r["bid"])
+        for r in bucketed_interval_join(
+            adf, bdf, "a_lo", "a_hi", "b_lo", "b_hi",
+            bucket_width, equi_keys=["k"],
+        ).collect()
+    )
+    assert got == want and len(want) > 0

@@ -2489,6 +2489,125 @@ FROM events GROUP BY user_id ORDER BY user_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Text retrieval: inverted index, TF-IDF, BM25 (functions/retrieval.py)
+# ---------------------------------------------------------------------------
+
+
+def inverted_index_stats(spark, sf_dir):
+    """Corpus inverted-index summary: per-token document frequency,
+    total term frequency, and posting-list bounds; top-30 by df.  One
+    explode + two hash aggregates, both with map-side partials; the
+    posting lists themselves never leave the distributed table."""
+    from parquet_converters_spark.functions.retrieval import inverted_index
+
+    docs = _t(spark, sf_dir, "documents")
+    return inverted_index(docs).orderBy(F.col("df").desc(), "token").limit(30)
+
+
+_SQL_TF = f"""
+  SELECT doc_id, token, count(*) AS tf
+  FROM (SELECT doc_id, unnest({SQL_TOKENS.format(col='text')}) AS token
+        FROM {{src}}) _tok
+  GROUP BY doc_id, token
+"""
+
+INVERTED_INDEX_SQL = f"""
+WITH tf AS ({_SQL_TF.format(src='documents')})
+SELECT token, count(*) AS df, CAST(sum(tf) AS BIGINT) AS total_tf,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM tf GROUP BY token ORDER BY df DESC, token LIMIT 30
+"""
+
+
+def tfidf_top_terms(spark, sf_dir):
+    """Top-3 TF-IDF terms per document (docs 0-49): tf table joined to
+    the broadcast df table and the broadcast 1-row corpus size, then a
+    per-doc ranking window.  Deterministic tie-break on token."""
+    from parquet_converters_spark.functions.retrieval import tfidf_terms
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "token")
+    return (
+        tfidf_terms(docs)
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select(
+            "doc_id", "token", "tf",
+            F.round("tfidf", 6).alias("tfidf"), "rk",
+        )
+        .orderBy("doc_id", "rk")
+    )
+
+
+TFIDF_TOP_TERMS_SQL = f"""
+WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 50),
+tf AS ({_SQL_TF.format(src='d')}),
+dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+n AS (SELECT count(*) AS n_docs FROM d)
+SELECT doc_id, token, tf, ROUND(tfidf_raw, 6) AS tfidf, rk
+FROM (
+  SELECT tf.doc_id, tf.token, tf.tf,
+         tf.tf * (ln((n.n_docs + 1.0) / (dfq.df + 1.0)) + 1.0) AS tfidf_raw,
+         row_number() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY tf.tf * (ln((n.n_docs + 1.0) / (dfq.df + 1.0)) + 1.0)
+                    DESC, tf.token
+         ) AS rk
+  FROM tf JOIN dfq USING (token) CROSS JOIN n
+) _r
+WHERE rk <= 3 ORDER BY doc_id, rk
+"""
+
+#: BM25 query terms (fixed bag-of-words probe into the synthetic vocab).
+BM25_TERMS = ["spark", "join", "window"]
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_search(spark, sf_dir):
+    """Okapi BM25 ranking of the corpus against a 3-term query; top-25
+    documents.  The posting table is filtered to the query terms before
+    any join; idf and corpus stats broadcast."""
+    from parquet_converters_spark.functions.retrieval import bm25_rank
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        bm25_rank(docs, BM25_TERMS, k1=BM25_K1, b=BM25_B)
+        .select(
+            "doc_id", "n_terms", F.round("score", 6).alias("score")
+        )
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(25)
+    )
+
+
+BM25_SEARCH_SQL = f"""
+WITH tf_all AS ({_SQL_TF.format(src='documents')}),
+tf AS (SELECT * FROM tf_all WHERE token IN ('spark', 'join', 'window')),
+dl AS (SELECT doc_id, CAST(len({SQL_TOKENS.format(col='text')}) AS BIGINT) AS dl
+       FROM documents),
+stats AS (SELECT count(*) AS n_docs,
+                 avg(len({SQL_TOKENS.format(col='text')})) AS avgdl
+          FROM documents),
+dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+idf AS (SELECT token,
+               ln(1.0 + (stats.n_docs - dfq.df + 0.5) / (dfq.df + 0.5)) AS idf,
+               stats.avgdl AS avgdl
+        FROM dfq CROSS JOIN stats)
+SELECT doc_id, n_terms, ROUND(score, 6) AS score
+FROM (
+  SELECT tf.doc_id, count(*) AS n_terms,
+         sum(idf.idf * (tf.tf * ({BM25_K1} + 1.0))
+             / (tf.tf + {BM25_K1} * (1.0 - {BM25_B}
+                + {BM25_B} * dl.dl / idf.avgdl))) AS score
+  FROM tf JOIN idf USING (token) JOIN dl USING (doc_id)
+  GROUP BY tf.doc_id
+) _s
+ORDER BY score DESC, doc_id LIMIT 25
+"""
+
+
 # ===========================================================================
 # Registry
 # ===========================================================================
@@ -2503,6 +2622,13 @@ from parquet_converters_spark.queries_tpch import TPCH_QUERIES  # noqa: E402
 # touch scan, multimodal decode/frames — unchecked in r01), then the
 # entries fixed this round, then new queries, then last round's greens.
 QUERIES: dict[str, tuple] = {}
+
+# --- new in r03: text retrieval ------------------------------------------
+QUERIES.update({
+    "inverted_index_stats": (inverted_index_stats, INVERTED_INDEX_SQL),
+    "tfidf_top_terms": (tfidf_top_terms, TFIDF_TOP_TERMS_SQL),
+    "bm25_search": (bm25_search, BM25_SEARCH_SQL),
+})
 
 # --- r01-unchecked: TPC-H + temporal/multi-dim (24) -----------------------
 QUERIES.update(TPCH_QUERIES)

@@ -2608,6 +2608,52 @@ ORDER BY score DESC, doc_id LIMIT 25
 """
 
 
+# ---------------------------------------------------------------------------
+# Bloom-filter join pruning (operators/bloom.py)
+# ---------------------------------------------------------------------------
+
+
+def bloom_pruned_revenue(spark, sf_dir):
+    """Revenue of lineitems belonging to URGENT orders, with the fact
+    side Bloom-pruned before the join shuffle.  The Bloom prune admits
+    false positives; the exact join that follows removes them, so the
+    result is identical to the plain join — which is exactly what the
+    oracle runs.  At 100 TB the prune is what keeps the lineitem
+    shuffle proportional to the *selected* orders, not the table."""
+    from parquet_converters_spark.operators.bloom import bloom_pruned_join
+
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_orderkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    joined = bloom_pruned_join(li, orders, "l_orderkey", "o_orderkey")
+    revenue = F.sum(
+        _dec("l_extendedprice")
+        * (F.lit(1).cast("decimal(25,4)") - _dec("l_discount"))
+    ).cast("double")
+    return (
+        joined.groupBy(
+            F.year(F.col("o_orderdate").cast("timestamp")).alias("o_year")
+        )
+        .agg(F.count(F.lit(1)).alias("n_items"), revenue.alias("revenue"))
+        .orderBy("o_year")
+    )
+
+
+BLOOM_PRUNED_REVENUE_SQL = """
+SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+       count(*) AS n_items,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(25,4))
+                * (1 - CAST(l_discount AS DECIMAL(25,4)))) AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY year(o_orderdate)
+ORDER BY o_year
+"""
+
+
 # ===========================================================================
 # Registry
 # ===========================================================================
@@ -2628,6 +2674,7 @@ QUERIES.update({
     "inverted_index_stats": (inverted_index_stats, INVERTED_INDEX_SQL),
     "tfidf_top_terms": (tfidf_top_terms, TFIDF_TOP_TERMS_SQL),
     "bm25_search": (bm25_search, BM25_SEARCH_SQL),
+    "bloom_pruned_revenue": (bloom_pruned_revenue, BLOOM_PRUNED_REVENUE_SQL),
 })
 
 # --- r01-unchecked: TPC-H + temporal/multi-dim (24) -----------------------

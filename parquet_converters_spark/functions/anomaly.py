@@ -1,0 +1,65 @@
+"""Per-group anomaly scoring: z-score outliers over grouped numeric
+columns.
+
+The two-pass shape (group stats, then broadcast-join back) is the
+scale-correct plan: the stats table has one row per group (tiny), so
+the second pass is a broadcast join + narrow filter — the fact table
+is read once per pass and never shuffled on a row basis.
+
+Determinism for the cross-engine oracle: mean and variance come from
+exact decimal sums (``sum(x)``, ``sum(x*x)`` as decimal(38,10)) and
+only the final ``(ss - n*m^2)/(n-1)`` is computed in double — both
+engines do the identical IEEE arithmetic, unlike their float
+aggregates whose accumulation order differs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["group_stats", "zscore_outliers"]
+
+_DEC = "decimal(38,10)"
+
+
+def group_stats(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """(group, n, mean, std) via exact decimal sums; sample std."""
+    v = F.col(value_col).cast(_DEC)
+    agg = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v).alias("_s"),
+        F.sum((F.col(value_col) * F.col(value_col)).cast(_DEC)).alias("_ss"),
+    )
+    mean = (F.col("_s").cast("double") / F.col("n"))
+    var = (
+        F.col("_ss").cast("double") - F.col("n") * mean * mean
+    ) / (F.col("n") - 1)
+    return agg.select(
+        group_col,
+        "n",
+        mean.alias("mean"),
+        F.sqrt(F.greatest(var, F.lit(0.0))).alias("std"),
+    )
+
+
+def zscore_outliers(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    threshold: float = 2.5,
+) -> DataFrame:
+    """Rows whose value deviates more than ``threshold`` sample
+    standard deviations from their group mean.  Adds a ``z`` column.
+
+    Stats side is one row per group — broadcast by construction.
+    """
+    stats = group_stats(df, group_col, value_col)
+    z = (F.col(value_col) - F.col("mean")) / F.col("std")
+    return (
+        df.join(F.broadcast(stats), group_col)
+        .where(F.col("std") > 0)
+        .withColumn("z", z)
+        .where(F.abs(F.col("z")) > threshold)
+        .drop("n", "mean", "std")
+    )

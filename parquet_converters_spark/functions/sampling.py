@@ -27,6 +27,33 @@ def hash_bucket(key: Column | str, buckets: int = 100) -> Column:
     return (h32(c.cast("string")) % buckets).cast("int")
 
 
+def weighted_sample(
+    df: DataFrame,
+    key: str,
+    weight_col: str,
+    k: int,
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis-Spirakis A-Res): rank key ``u^(1/w)`` with
+    ``u = (h32(key)+0.5) / 2^32`` — md5-derived, so every engine and
+    every re-run draws the identical sample, and items with weight w
+    appear with the A-Res inclusion guarantee.
+
+    Adds ``sample_score``; returns the global top-``k`` by score.
+    The top-k is a TakeOrderedAndProject (per-partition heaps + merge
+    of k-row partials), never a full sort.
+    """
+    c = F.col(key)
+    u = (h32(c.cast("string")) + F.lit(0.5)) / F.lit(float(1 << 32))
+    score = F.pow(u, F.lit(1.0) / F.col(weight_col))
+    return (
+        df.where(F.col(weight_col) > 0)
+        .withColumn("sample_score", score)
+        .orderBy(F.col("sample_score").desc(), c.asc())
+        .limit(k)
+    )
+
+
 def hash_split(
     df: DataFrame,
     key: str,

@@ -2654,6 +2654,148 @@ ORDER BY o_year
 """
 
 
+# ---------------------------------------------------------------------------
+# Change-stream operators: SCD2 history, upsert compaction, anomaly scan
+# (operators/scd.py, functions/anomaly.py, functions/sampling.py)
+# ---------------------------------------------------------------------------
+
+
+def scd2_event_history(spark, sf_dir):
+    """SCD2 validity intervals over the events change stream: each
+    user's event becomes a [from, to) version row, open-ended for the
+    current one.  Single window pass — one shuffle on user_id."""
+    from parquet_converters_spark.operators.scd import scd2_history
+
+    ev = _events(spark, sf_dir)
+    return (
+        scd2_history(ev, ["user_id"], "ts", "event_id")
+        .select(
+            "user_id",
+            "event_type",
+            F.unix_micros("effective_from").alias("effective_from_us"),
+            F.unix_micros("effective_to").alias("effective_to_us"),
+            "version",
+            "is_current",
+        )
+        .orderBy("user_id", "version")
+    )
+
+
+SCD2_EVENT_HISTORY_SQL = """
+SELECT user_id, event_type,
+       epoch_us(ts) AS effective_from_us,
+       epoch_us(lead(ts) OVER w) AS effective_to_us,
+       row_number() OVER w AS version,
+       lead(ts) OVER w IS NULL AS is_current
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY user_id, version
+"""
+
+
+def upsert_latest_state(spark, sf_dir):
+    """Latest-wins upsert compaction: the newest event per user via a
+    descending row_number — the snapshot read of a merge-on-read
+    table, one shuffle, no join."""
+    from parquet_converters_spark.operators.scd import latest_snapshot
+
+    ev = _events(spark, sf_dir)
+    return (
+        latest_snapshot(ev, ["user_id"], "ts", "event_id")
+        .select(
+            "user_id",
+            "event_type",
+            F.unix_micros("ts").alias("ts_us"),
+            F.round("value", 6).alias("value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+UPSERT_LATEST_SQL = """
+SELECT user_id, event_type, epoch_us(ts) AS ts_us, ROUND(value, 6) AS value
+FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS _rn
+  FROM events
+) _e
+WHERE _rn = 1 ORDER BY user_id
+"""
+
+ZSCORE_THRESHOLD = 2.5
+
+
+def zscore_outlier_events(spark, sf_dir):
+    """Per-event-type z-score outliers (|z| > 2.5).  Group stats from
+    exact decimal sums (deterministic across engines), broadcast back;
+    the fact table never shuffles."""
+    from parquet_converters_spark.functions.anomaly import zscore_outliers
+
+    ev = _events(spark, sf_dir)
+    return (
+        zscore_outliers(ev, "event_type", "value", ZSCORE_THRESHOLD)
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 6).alias("value"),
+            F.round("z", 6).alias("z"),
+        )
+        .orderBy("event_id")
+    )
+
+
+ZSCORE_OUTLIERS_SQL = f"""
+WITH s AS (
+  SELECT event_type, count(*) AS n,
+         sum(CAST(value AS DECIMAL(38,10))) AS sv,
+         sum(CAST(value * value AS DECIMAL(38,10))) AS ssv
+  FROM events GROUP BY event_type
+),
+st AS (
+  SELECT event_type, n,
+         CAST(sv AS DOUBLE) / n AS mean,
+         sqrt(greatest(
+           (CAST(ssv AS DOUBLE) - n * (CAST(sv AS DOUBLE) / n)
+                                    * (CAST(sv AS DOUBLE) / n)) / (n - 1),
+           0.0)) AS std
+  FROM s
+)
+SELECT event_id, e.event_type, ROUND(value, 6) AS value,
+       ROUND((value - mean) / std, 6) AS z
+FROM events e JOIN st USING (event_type)
+WHERE std > 0 AND abs((value - mean) / std) > {ZSCORE_THRESHOLD}
+ORDER BY event_id
+"""
+
+
+def weighted_sample_docs(spark, sf_dir):
+    """Deterministic A-Res weighted sample: 50 documents drawn with
+    probability proportional to length, reproducibly (md5-derived
+    randomness, identical in the oracle).  Top-k runs as per-partition
+    heaps, never a global sort."""
+    from parquet_converters_spark.functions.sampling import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return weighted_sample(docs, "doc_id", "n_chars", 50).select(
+        "doc_id",
+        "n_chars",
+        F.round("sample_score", 6).alias("sample_score"),
+    )
+
+
+WEIGHTED_SAMPLE_SQL = """
+WITH w AS (
+  SELECT doc_id, n_chars,
+         pow((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                   AS BIGINT) + 0.5) / 4294967296.0,
+             1.0 / n_chars) AS sample_score
+  FROM documents WHERE n_chars > 0
+),
+top AS (SELECT * FROM w ORDER BY sample_score DESC, doc_id LIMIT 50)
+SELECT doc_id, n_chars, ROUND(sample_score, 6) AS sample_score FROM top
+"""
+
+
 # ===========================================================================
 # Registry
 # ===========================================================================
@@ -2675,6 +2817,10 @@ QUERIES.update({
     "tfidf_top_terms": (tfidf_top_terms, TFIDF_TOP_TERMS_SQL),
     "bm25_search": (bm25_search, BM25_SEARCH_SQL),
     "bloom_pruned_revenue": (bloom_pruned_revenue, BLOOM_PRUNED_REVENUE_SQL),
+    "scd2_event_history": (scd2_event_history, SCD2_EVENT_HISTORY_SQL),
+    "upsert_latest_state": (upsert_latest_state, UPSERT_LATEST_SQL),
+    "zscore_outlier_events": (zscore_outlier_events, ZSCORE_OUTLIERS_SQL),
+    "weighted_sample_docs": (weighted_sample_docs, WEIGHTED_SAMPLE_SQL),
 })
 
 # --- r01-unchecked: TPC-H + temporal/multi-dim (24) -----------------------

@@ -483,3 +483,69 @@ def contamination_flags(
             >= min_hits
         ).alias("contaminated"),
     )
+
+
+def shingle_containment(
+    docs: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_size: int = 3,
+) -> DataFrame:
+    """Asymmetric containment for candidate pairs: what fraction of
+    each side's distinct shingles the pair has in common.
+
+    Jaccard misses *containment* duplication — a document quoted
+    wholesale inside a longer one scores low Jaccard but containment
+    ~1.0 on the short side.  Output per (id_a, id_b): ``n_common``,
+    ``containment_a`` (= common/|shingles(a)|) and ``containment_b``.
+
+    Plan: the docs table is first semi-joined down to ids that appear
+    in any candidate pair, then exploded once into distinct
+    (id, shingle) rows — O(candidate docs), never the corpus.  The
+    intersection is an equi-join on (pair, shingle) keys; sizes join
+    back broadcast-ably (one row per candidate doc).
+    """
+    ids = (
+        pairs.select(F.col("id_a").alias("_id"))
+        .unionByName(pairs.select(F.col("id_b").alias("_id")))
+        .distinct()
+    )
+    sh = (
+        docs.join(ids, docs[id_col] == ids._id, "leftsemi")
+        .select(
+            F.col(id_col).alias("_id"),
+            F.explode(F.array_distinct(shingles(text_col, shingle_size))).alias("_s"),
+        )
+    )
+    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sa, sb = sh.alias("sa"), sh.alias("sb")
+    common = (
+        pairs.select("id_a", "id_b")
+        .join(sa, F.col("id_a") == F.col("sa._id"))
+        .join(
+            sb,
+            (F.col("id_b") == F.col("sb._id"))
+            & (F.col("sa._s") == F.col("sb._s")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    za, zb = sizes.alias("za"), sizes.alias("zb")
+    return (
+        pairs.select("id_a", "id_b")
+        .join(common, ["id_a", "id_b"], "left")
+        .join(za, F.col("id_a") == F.col("za._id"))
+        .join(zb, F.col("id_b") == F.col("zb._id"))
+        .select(
+            "id_a",
+            "id_b",
+            F.coalesce(F.col("n_common"), F.lit(0)).alias("n_common"),
+            (F.coalesce(F.col("n_common"), F.lit(0)) / F.col("za.n_sh")).alias(
+                "containment_a"
+            ),
+            (F.coalesce(F.col("n_common"), F.lit(0)) / F.col("zb.n_sh")).alias(
+                "containment_b"
+            ),
+        )
+    )

@@ -211,3 +211,89 @@ def _connected_components_star(
         "left",
     ).select("node", F.coalesce("component", "node").alias("component"))
     return labels
+
+
+def degree_distribution(pairs: DataFrame, src: str, dst: str) -> DataFrame:
+    """(degree, n_nodes) histogram of the undirected pair graph.
+
+    Two hash aggregates with map-side partials; the node table never
+    materializes adjacency lists."""
+    nodes = pairs.select(F.col(src).alias("node")).unionByName(
+        pairs.select(F.col(dst).alias("node"))
+    )
+    return (
+        nodes.groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .groupBy("degree")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+    )
+
+
+def triangle_stats(pairs: DataFrame, src: str, dst: str) -> DataFrame:
+    """Single-row graph summary: edges, wedges, triangles, global
+    clustering coefficient.
+
+    Triangle counting uses the degree-ordered orientation (each edge
+    directed from its lower-(degree, id) endpoint), which bounds each
+    node's out-degree by O(sqrt(m)) — the skew-proof MapReduce
+    formulation (Suri & Vassilvitskii, WWW'11: "Counting Triangles and
+    the Curse of the Last Reducer").  Wedge join + edge semi-join, all
+    equi-joins on node/edge keys; never an unoriented neighbor
+    self-join, whose hottest reducer is O(d_max^2).
+    """
+    e = (
+        pairs.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # orient: u -> v iff (deg(u), u) < (deg(v), v)
+    da, db = deg.alias("da"), deg.alias("db")
+    oriented = (
+        e.join(da, F.col("a") == F.col("da.node"))
+        .join(db, F.col("b") == F.col("db.node"))
+        .select(
+            F.when(
+                (F.col("da.deg") < F.col("db.deg"))
+                | (
+                    (F.col("da.deg") == F.col("db.deg"))
+                    & (F.col("a") < F.col("b"))
+                ),
+                F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+            )
+            .otherwise(F.struct(F.col("b").alias("u"), F.col("a").alias("v")))
+            .alias("edge")
+        )
+        .select("edge.u", "edge.v")
+    )
+    w1, w2 = oriented.alias("w1"), oriented.alias("w2")
+    wedges = (
+        w1.join(w2, F.col("w1.u") == F.col("w2.u"))
+        .where(F.col("w1.v") < F.col("w2.v"))
+        .select(F.col("w1.v").alias("x"), F.col("w2.v").alias("y"))
+    )
+    closing = e.select(
+        F.col("a").alias("x"), F.col("b").alias("y")
+    )
+    n_tri = wedges.join(closing, ["x", "y"], "leftsemi").count()
+    n_edges = e.count()
+    n_wedges = (
+        deg.select(
+            F.sum(F.col("deg") * (F.col("deg") - 1) / 2).alias("w")
+        ).collect()[0].w
+    )
+    n_wedges = int(n_wedges or 0)
+    spark = pairs.sparkSession
+    clustering = (3.0 * n_tri / n_wedges) if n_wedges else 0.0
+    return spark.createDataFrame(
+        [(n_edges, n_wedges, n_tri, round(clustering, 6))],
+        "n_edges long, n_wedges long, n_triangles long, global_clustering double",
+    )

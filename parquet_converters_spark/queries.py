@@ -2796,6 +2796,129 @@ SELECT doc_id, n_chars, ROUND(sample_score, 6) AS sample_score FROM top
 """
 
 
+# ---------------------------------------------------------------------------
+# Graph analytics over the near-dup pair graph + containment dedup
+# (operators/graph.py, functions/dedup.py)
+# ---------------------------------------------------------------------------
+
+#: shared CTE prefix: the canonical (id_a < id_b) LSH candidate edges
+_SQL_PAIR_EDGES = (
+    "sig AS (" + _sql_minhash_sig() + "), "
+    """banded AS (
+  SELECT doc_id, b,
+         concat_ws('-', signature[b*2+1], signature[b*2+2]) AS bucket
+  FROM sig, unnest([0,1,2,3]) AS t(b)
+), e AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM banded l
+  JOIN banded r ON l.b = r.b AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+)"""
+)
+
+
+def graph_degree_distribution(spark, sf_dir):
+    """Degree histogram of the near-dup pair graph — the shape check a
+    dedup run does before clustering (a heavy-tailed histogram means a
+    hub document, e.g. boilerplate, about to glue clusters together)."""
+    from parquet_converters_spark.operators.graph import degree_distribution
+
+    pairs = _dedup_cached(spark, sf_dir, "docs_pairs")
+    return degree_distribution(pairs, "id_a", "id_b").orderBy("degree")
+
+
+GRAPH_DEGREE_DIST_SQL = (
+    "WITH " + _SQL_PAIR_EDGES + """
+SELECT degree, count(*) AS n_nodes
+FROM (
+  SELECT node, count(*) AS degree
+  FROM (SELECT id_a AS node FROM e UNION ALL SELECT id_b FROM e) _n
+  GROUP BY node
+) _d
+GROUP BY degree ORDER BY degree
+"""
+)
+
+
+def graph_triangle_stats(spark, sf_dir):
+    """Edges / wedges / triangles / clustering coefficient of the pair
+    graph, with degree-ordered-orientation triangle counting (skew-safe
+    at scale; the oracle uses the naive 3-way join, equal by
+    construction)."""
+    from parquet_converters_spark.operators.graph import triangle_stats
+
+    pairs = _dedup_cached(spark, sf_dir, "docs_pairs")
+    return triangle_stats(pairs, "id_a", "id_b")
+
+
+GRAPH_TRIANGLE_SQL = (
+    "WITH " + _SQL_PAIR_EDGES + """
+, deg AS (
+  SELECT node, count(*) AS d
+  FROM (SELECT id_a AS node FROM e UNION ALL SELECT id_b FROM e) _n
+  GROUP BY node
+)
+SELECT (SELECT count(*) FROM e) AS n_edges,
+       (SELECT CAST(sum(d * (d - 1) / 2) AS BIGINT) FROM deg) AS n_wedges,
+       (SELECT count(*)
+        FROM e e1 JOIN e e2 ON e2.id_a = e1.id_b
+                  JOIN e e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b
+       ) AS n_triangles,
+       ROUND(CASE WHEN (SELECT sum(d * (d - 1) / 2) FROM deg) > 0
+             THEN 3.0 * (SELECT count(*)
+                         FROM e e1 JOIN e e2 ON e2.id_a = e1.id_b
+                                   JOIN e e3 ON e3.id_a = e1.id_a
+                                            AND e3.id_b = e2.id_b)
+                  / (SELECT sum(d * (d - 1) / 2) FROM deg)
+             ELSE 0.0 END, 6) AS global_clustering
+"""
+)
+
+
+def containment_pairs(spark, sf_dir):
+    """Asymmetric shingle containment over the LSH candidate pairs —
+    catches the quote-inside-longer-doc duplication Jaccard misses."""
+    from parquet_converters_spark.functions.dedup import shingle_containment
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = _dedup_cached(spark, sf_dir, "docs_pairs")
+    return (
+        shingle_containment(docs, pairs)
+        .select(
+            "id_a",
+            "id_b",
+            "n_common",
+            F.round("containment_a", 6).alias("containment_a"),
+            F.round("containment_b", 6).alias("containment_b"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+CONTAINMENT_PAIRS_SQL = (
+    "WITH " + _SQL_PAIR_EDGES + f"""
+, sh AS (
+  SELECT doc_id, unnest(list_distinct({_sql_shingles('text')})) AS s
+  FROM documents
+  WHERE doc_id IN (SELECT id_a FROM e UNION SELECT id_b FROM e)
+), sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+co AS (
+  SELECT e.id_a, e.id_b, count(*) AS n_common
+  FROM e JOIN sh sa ON sa.doc_id = e.id_a
+         JOIN sh sb ON sb.doc_id = e.id_b AND sb.s = sa.s
+  GROUP BY e.id_a, e.id_b
+)
+SELECT e.id_a, e.id_b,
+       coalesce(co.n_common, 0) AS n_common,
+       ROUND(coalesce(co.n_common, 0) / za.n_sh, 6) AS containment_a,
+       ROUND(coalesce(co.n_common, 0) / zb.n_sh, 6) AS containment_b
+FROM e LEFT JOIN co ON co.id_a = e.id_a AND co.id_b = e.id_b
+       JOIN sizes za ON za.doc_id = e.id_a
+       JOIN sizes zb ON zb.doc_id = e.id_b
+ORDER BY e.id_a, e.id_b
+"""
+)
+
+
 # ===========================================================================
 # Registry
 # ===========================================================================
@@ -2821,6 +2944,9 @@ QUERIES.update({
     "upsert_latest_state": (upsert_latest_state, UPSERT_LATEST_SQL),
     "zscore_outlier_events": (zscore_outlier_events, ZSCORE_OUTLIERS_SQL),
     "weighted_sample_docs": (weighted_sample_docs, WEIGHTED_SAMPLE_SQL),
+    "graph_degree_distribution": (graph_degree_distribution, GRAPH_DEGREE_DIST_SQL),
+    "graph_triangle_stats": (graph_triangle_stats, GRAPH_TRIANGLE_SQL),
+    "containment_pairs": (containment_pairs, CONTAINMENT_PAIRS_SQL),
 })
 
 # --- r01-unchecked: TPC-H + temporal/multi-dim (24) -----------------------

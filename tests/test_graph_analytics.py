@@ -1,0 +1,80 @@
+"""Degree distribution, skew-safe triangle counting, shingle
+containment — checked against hand-countable graphs."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from parquet_converters_spark.functions.dedup import shingle_containment
+from parquet_converters_spark.operators.graph import (
+    degree_distribution,
+    triangle_stats,
+)
+
+
+def _pairs(spark, edges):
+    return spark.createDataFrame(edges, ["id_a", "id_b"])
+
+
+def test_degree_distribution(spark):
+    # star: center 0 with leaves 1..4
+    dd = {
+        r.degree: r.n_nodes
+        for r in degree_distribution(
+            _pairs(spark, [(0, i) for i in range(1, 5)]), "id_a", "id_b"
+        ).collect()
+    }
+    assert dd == {1: 4, 4: 1}
+
+
+def test_triangle_count_k4(spark):
+    """K4 has 4 triangles, 6 edges, 12 wedges, clustering 1.0."""
+    edges = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    r = triangle_stats(_pairs(spark, edges), "id_a", "id_b").collect()[0]
+    assert (r.n_edges, r.n_wedges, r.n_triangles) == (6, 12, 4)
+    assert r.global_clustering == 1.0
+
+
+def test_triangle_count_triangle_plus_tail(spark):
+    r = triangle_stats(
+        _pairs(spark, [(1, 2), (2, 3), (1, 3), (3, 4)]), "id_a", "id_b"
+    ).collect()[0]
+    assert r.n_triangles == 1
+    assert r.n_edges == 4
+
+
+def test_triangle_count_path_has_none(spark):
+    r = triangle_stats(
+        _pairs(spark, [(1, 2), (2, 3), (3, 4)]), "id_a", "id_b"
+    ).collect()[0]
+    assert r.n_triangles == 0 and r.global_clustering == 0.0
+
+
+def test_triangle_unordered_and_dup_edges(spark):
+    """Edges arriving in either orientation / duplicated must not
+    change the count."""
+    r = triangle_stats(
+        _pairs(spark, [(2, 1), (3, 2), (1, 3), (1, 2), (2, 2)]),
+        "id_a",
+        "id_b",
+    ).collect()[0]
+    assert r.n_edges == 3 and r.n_triangles == 1
+
+
+def test_shingle_containment_quote_inside_doc(spark):
+    short = "alpha beta gamma delta epsilon"
+    long_ = "intro words here " + short + " trailing content words end"
+    docs = spark.createDataFrame(
+        [(1, short), (2, long_), (3, "unrelated totally different stuff")],
+        ["doc_id", "text"],
+    )
+    pairs = spark.createDataFrame([(1, 2), (1, 3)], ["id_a", "id_b"])
+    got = {
+        (r.id_a, r.id_b): r
+        for r in shingle_containment(docs, pairs).collect()
+    }
+    # every 3-shingle of the short doc appears in the long one
+    assert got[(1, 2)].containment_a == pytest.approx(1.0)
+    assert got[(1, 2)].containment_b < 0.5
+    # disjoint docs: zero common, containment 0 (left-join path)
+    assert got[(1, 3)].n_common == 0
+    assert got[(1, 3)].containment_a == 0.0

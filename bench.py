@@ -77,6 +77,17 @@ HEADLINE = [
     "sample_split_counts",
     "stream_session_window",
     "sim_ivf_ann_bcast",
+    "inverted_index_stats",
+    "tfidf_top_terms",
+    "bm25_search",
+    "bloom_pruned_revenue",
+    "scd2_event_history",
+    "upsert_latest_state",
+    "zscore_outlier_events",
+    "weighted_sample_docs",
+    "graph_degree_distribution",
+    "graph_triangle_stats",
+    "containment_pairs",
 ]
 
 

@@ -2919,6 +2919,87 @@ ORDER BY e.id_a, e.id_b
 )
 
 
+# ---------------------------------------------------------------------------
+# Corpus statistics: unigram logprob scoring, PMI (functions/corpus_stats.py)
+# ---------------------------------------------------------------------------
+
+
+def doc_logprob_quality(spark, sf_dir):
+    """Mean unigram log-probability per document — the cheap perplexity
+    -filter stand-in; the vocab table broadcasts, the scoring pass
+    shuffles on doc_id only."""
+    from parquet_converters_spark.functions.corpus_stats import unigram_logprob
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        unigram_logprob(docs)
+        .select(
+            "doc_id", "n_tokens", F.round("avg_logprob", 6).alias("avg_logprob")
+        )
+        .orderBy("doc_id")
+    )
+
+
+DOC_LOGPROB_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({SQL_TOKENS.format(col='text')}) AS token
+  FROM documents
+),
+tot AS (SELECT token, count(*) AS tf_corpus FROM tok GROUP BY token),
+n AS (SELECT count(*) AS n_corpus FROM tok)
+SELECT doc_id, count(*) AS n_tokens,
+       ROUND(avg(ln(tf_corpus / CAST(n_corpus AS DOUBLE))), 6) AS avg_logprob
+FROM tok JOIN tot USING (token) CROSS JOIN n
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+PMI_MIN_PAIR_DOCS = 5
+
+
+def pmi_top_pairs(spark, sf_dir):
+    """Top-20 token pairs by document-co-occurrence PMI (pairs in ≥5
+    docs).  Pair generation is a per-document distinct-token self-join
+    — bounded by vocabulary size (prune hook documented in
+    functions/corpus_stats.py for real corpora)."""
+    from parquet_converters_spark.functions.corpus_stats import pmi_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        pmi_pairs(docs, min_pair_docs=PMI_MIN_PAIR_DOCS)
+        .select(
+            "tok_a", "tok_b", "n_ab", F.round("pmi", 6).alias("pmi")
+        )
+        .orderBy(F.col("pmi").desc(), "tok_a", "tok_b")
+        .limit(20)
+    )
+
+
+PMI_TOP_PAIRS_SQL = f"""
+WITH dt AS (
+  SELECT DISTINCT doc_id, unnest({SQL_TOKENS.format(col='text')}) AS token
+  FROM documents
+),
+n AS (SELECT count(*) AS n_docs FROM documents),
+dfq AS (SELECT token, count(*) AS df FROM dt GROUP BY token),
+pair_docs AS (
+  SELECT a.token AS tok_a, b.token AS tok_b, count(*) AS n_ab
+  FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.token < b.token
+  GROUP BY a.token, b.token
+  HAVING count(*) >= {PMI_MIN_PAIR_DOCS}
+),
+scored AS (
+  SELECT tok_a, tok_b, n_ab,
+         ln((n_ab * n.n_docs) / CAST(da.df * db.df AS DOUBLE)) AS pmi_raw
+  FROM pair_docs
+  JOIN dfq da ON da.token = tok_a
+  JOIN dfq db ON db.token = tok_b
+  CROSS JOIN n
+),
+top AS (SELECT * FROM scored ORDER BY pmi_raw DESC, tok_a, tok_b LIMIT 20)
+SELECT tok_a, tok_b, n_ab, ROUND(pmi_raw, 6) AS pmi FROM top
+"""
+
+
 # ===========================================================================
 # Registry
 # ===========================================================================
@@ -2947,6 +3028,8 @@ QUERIES.update({
     "graph_degree_distribution": (graph_degree_distribution, GRAPH_DEGREE_DIST_SQL),
     "graph_triangle_stats": (graph_triangle_stats, GRAPH_TRIANGLE_SQL),
     "containment_pairs": (containment_pairs, CONTAINMENT_PAIRS_SQL),
+    "doc_logprob_quality": (doc_logprob_quality, DOC_LOGPROB_SQL),
+    "pmi_top_pairs": (pmi_top_pairs, PMI_TOP_PAIRS_SQL),
 })
 
 # --- r01-unchecked: TPC-H + temporal/multi-dim (24) -----------------------

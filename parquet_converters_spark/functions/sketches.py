@@ -106,3 +106,79 @@ def heavy_hitters(
         .agg(F.sum("min_count").alias("min_count"))
     )
     return merged.orderBy(F.col("min_count").desc(), "item").limit(k)
+
+
+def cms_build(
+    df: DataFrame,
+    value_col: str,
+    width: int = 1024,
+    depth: int = 4,
+) -> DataFrame:
+    """Count-Min sketch as a DataFrame: ``depth × width`` counters,
+    built with one explode + one hash aggregate (map-side partials make
+    the shuffle O(depth·width) per task, independent of row count).
+
+    The sketch is *mergeable by construction*: union two sketch tables
+    and re-aggregate ``sum(cnt)`` — the distributive property every
+    100 TB rollup (daily → monthly) needs.  Output: (d, bucket, cnt).
+    """
+    rows = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        F.pmod(
+                            F.xxhash64(F.lit(d), F.col(value_col)), F.lit(width)
+                        ).alias("bucket"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("cell")
+    ).select("cell.d", "cell.bucket")
+    return rows.groupBy("d", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge Count-Min sketches built with the same (width, depth):
+    cell-wise sum."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("d", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    value_col: str,
+    width: int = 1024,
+    depth: int = 4,
+) -> DataFrame:
+    """Point-frequency estimates for ``probes[value_col]`` against a
+    sketch table: min over the sketch's ``depth`` counters.  The sketch
+    (≤ depth·width rows) broadcasts; estimates never under-count and
+    over-count by ≤ e/width · N with prob. 1 - e^-depth (Cormode &
+    Muthukrishnan 2005)."""
+    cells = probes.select(
+        F.col(value_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        F.pmod(
+                            F.xxhash64(F.lit(d), F.col(value_col)), F.lit(width)
+                        ).alias("bucket"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("cell"),
+    ).select(value_col, "cell.d", "cell.bucket")
+    return (
+        cells.join(F.broadcast(sketch), ["d", "bucket"], "left")
+        .groupBy(value_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
+    )

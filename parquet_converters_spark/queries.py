@@ -3000,6 +3000,79 @@ SELECT tok_a, tok_b, n_ab, ROUND(pmi_raw, 6) AS pmi FROM top
 """
 
 
+# ---------------------------------------------------------------------------
+# Equi-width histogram + stream-static enrichment
+# ---------------------------------------------------------------------------
+
+HIST_BINS = 20
+
+
+def value_histogram(spark, sf_dir):
+    """Per-event-type equi-width histogram of ``value`` over 20 global
+    bins.  Two passes: a 1-row min/max aggregate (broadcast back), then
+    one binning aggregate — the shape every profiler uses because a
+    single-pass exact histogram can't know the bin edges."""
+    ev = _events(spark, sf_dir)
+    mm = ev.agg(F.min("value").alias("vmin"), F.max("value").alias("vmax"))
+    binw = (F.col("vmax") - F.col("vmin")) / HIST_BINS
+    return (
+        ev.crossJoin(F.broadcast(mm))
+        .select(
+            "event_type",
+            F.least(
+                F.floor((F.col("value") - F.col("vmin")) / binw).cast("int"),
+                F.lit(HIST_BINS - 1),
+            ).alias("bin"),
+        )
+        .groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type", "bin")
+    )
+
+
+VALUE_HISTOGRAM_SQL = f"""
+WITH mm AS (SELECT min(value) AS vmin, max(value) AS vmax FROM events)
+SELECT event_type,
+       least(CAST(floor((value - vmin) / ((vmax - vmin) / {HIST_BINS})) AS INT),
+             {HIST_BINS - 1}) AS bin,
+       count(*) AS n
+FROM events CROSS JOIN mm
+GROUP BY event_type, bin
+ORDER BY event_type, bin
+"""
+
+ENRICH_BUCKETS = 25
+
+
+def stream_enrich(spark, sf_dir):
+    """Stream-static enrichment: events joined to the static nation
+    dimension (broadcast, stateless in streaming), aggregated per
+    nation.  Streaming parity covered by the cross-trigger pytest."""
+    from parquet_converters_spark.streaming.events import enrich_with_dim
+
+    ev = _events(spark, sf_dir)
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        enrich_with_dim(ev, nation, "n_nationkey", ENRICH_BUCKETS)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(25,6)"))
+            .cast("double")
+            .alias("value_sum"),
+        )
+        .orderBy("n_name")
+    )
+
+
+STREAM_ENRICH_SQL = f"""
+SELECT n_name, count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS value_sum
+FROM events JOIN nation ON n_nationkey = user_id % {ENRICH_BUCKETS}
+GROUP BY n_name ORDER BY n_name
+"""
+
+
 # ===========================================================================
 # Registry
 # ===========================================================================
@@ -3030,6 +3103,8 @@ QUERIES.update({
     "containment_pairs": (containment_pairs, CONTAINMENT_PAIRS_SQL),
     "doc_logprob_quality": (doc_logprob_quality, DOC_LOGPROB_SQL),
     "pmi_top_pairs": (pmi_top_pairs, PMI_TOP_PAIRS_SQL),
+    "value_histogram": (value_histogram, VALUE_HISTOGRAM_SQL),
+    "stream_enrich": (stream_enrich, STREAM_ENRICH_SQL),
 })
 
 # --- r01-unchecked: TPC-H + temporal/multi-dim (24) -----------------------

@@ -346,3 +346,22 @@ def sessionize_stateful(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def enrich_with_dim(
+    events: DataFrame,
+    dim: DataFrame,
+    dim_key: str,
+    n_buckets: int,
+) -> DataFrame:
+    """Stream-static enrichment: join each event to a static dimension
+    row on ``user_id % n_buckets``.
+
+    In Structured Streaming a stream-static equi-join is *stateless* —
+    the static side is (re)broadcast per micro-batch and no watermark
+    is needed; the same body runs in batch for the oracle.  This is
+    the canonical "enrich the firehose with reference data" operator.
+    """
+    return events.withColumn(
+        "_dim_key", (F.col("user_id") % n_buckets).cast(dict(dim.dtypes)[dim_key])
+    ).join(F.broadcast(dim), F.col("_dim_key") == F.col(dim_key)).drop("_dim_key")

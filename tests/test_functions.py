@@ -701,3 +701,44 @@ def test_sessionize_stateful_timers(spark, sf_dir, tmp_path):
         for r in [*got1, *got2]
     }
     assert len(emitted) >= 0.95 * len(batch), (len(emitted), len(batch))
+
+
+def test_stream_static_enrich_matches_batch(spark, sf_dir, tmp_path):
+    """Stream-static join is stateless: the enrichment aggregate over a
+    file stream equals the batch result."""
+    from parquet_converters_spark.queries import _events, _t
+    from parquet_converters_spark.streaming.events import (
+        enrich_with_dim,
+        read_events_stream,
+    )
+
+    ev = _events(spark, sf_dir)
+    nation = _t(spark, sf_dir, "nation")
+    src = str(tmp_path / "enrich_stream")
+    ev.repartition(4).write.parquet(src)
+
+    def agg(df):
+        return (
+            enrich_with_dim(df, nation, "n_nationkey", 25)
+            .groupBy("n_name")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast("decimal(25,6)"))
+                .cast("double")
+                .alias("value_sum"),
+            )
+        )
+
+    batch = agg(spark.read.parquet(src)).collect()
+    stream = read_events_stream(spark, src, max_files_per_trigger=2)
+    q = (
+        agg(stream)
+        .writeStream.format("memory")
+        .queryName("enrich_agg")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from enrich_agg").collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, batch))

@@ -106,3 +106,46 @@ def test_simhash_pairs_is_equi_join(spark, sf_dir):
     plan = _plan(dedup_simhash_pairs(spark, sf_dir))
     assert "CartesianProduct" not in plan, plan[:800]
     assert "BroadcastNestedLoopJoin" not in plan, plan[:800]
+
+
+def test_bloom_prune_filters_fact_before_join(spark, sf_dir):
+    """The Bloom membership predicate must sit on the lineitem scan
+    side *below* the join — that is the entire point of the operator."""
+    from parquet_converters_spark.queries import bloom_pruned_revenue
+
+    plan = _plan(bloom_pruned_revenue(spark, sf_dir))
+    join_at = min(
+        i for i in (plan.find("SortMergeJoin"), plan.find("BroadcastHashJoin"))
+        if i >= 0
+    )
+    probe_at = plan.find("xxhash64")
+    assert probe_at > join_at >= 0, "bloom probe not below the join"
+
+
+def test_zscore_stats_join_broadcasts(spark, sf_dir):
+    """The per-group stats table is tiny and must broadcast — the fact
+    table never shuffles row-wise."""
+    from parquet_converters_spark.queries import zscore_outlier_events
+
+    plan = _plan(zscore_outlier_events(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_scd2_single_window_pass(spark, sf_dir):
+    """SCD2 history must be one window over one shuffle — no join, no
+    second exchange after the window."""
+    from parquet_converters_spark.queries import scd2_event_history
+
+    plan = _plan(scd2_event_history(spark, sf_dir))
+    assert "Join" not in plan
+    assert plan.count("Window") >= 1
+
+
+def test_weighted_sample_is_topk_not_full_sort(spark, sf_dir):
+    """The k-row sample must run as TakeOrderedAndProject, never a
+    global Sort + Limit."""
+    from parquet_converters_spark.queries import weighted_sample_docs
+
+    plan = _plan(weighted_sample_docs(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan

@@ -80,6 +80,38 @@ def hash_split(
     return df.withColumn(split_col, expr)
 
 
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    key: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    keep_col: str | None = None,
+) -> DataFrame:
+    """Deterministic per-stratum downsampling — the class-rebalancing
+    step of a training pipeline (e.g. keep 50% of English, 10% of
+    everything else).
+
+    A row is kept when ``h32(key) % 1000 < round(frac*1000)`` — an
+    *integer* threshold per stratum, so there is no float-comparison
+    edge and every engine draws the identical sample.  Narrow map +
+    filter, no shuffle, no sampling pre-pass (unlike
+    ``df.sampleBy``, which is RNG-seeded per partition and not
+    reproducible under repartitioning).
+
+    With ``keep_col`` set, returns all rows plus a boolean column
+    instead of filtering (for audit queries that count kept vs total).
+    """
+    c = F.col(strata_col)
+    thresh = F.lit(int(round(default_fraction * 1000)))
+    for value, frac in sorted(fractions.items()):
+        thresh = F.when(c == value, int(round(frac * 1000))).otherwise(thresh)
+    kept = (h32(F.col(key).cast("string")) % 1000) < thresh
+    if keep_col is not None:
+        return df.withColumn(keep_col, kept)
+    return df.where(kept)
+
+
 def chunk_documents(
     df: DataFrame,
     text_col: str = "text",

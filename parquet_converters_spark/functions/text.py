@@ -131,6 +131,126 @@ def language_id(text: Column | str) -> Column:
     return bind(F.array_distinct(tokens(text)), _argmax)
 
 
+#: stopwords for the Gopher "contains common English words" rule
+#: (Rae et al. 2021, "Scaling Language Models" appendix A1.1).
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_stats(text: Column | str) -> dict[str, Column]:
+    """Per-document statistics behind the Gopher quality rules
+    (Rae et al. 2021, appendix A1.1) — all pure column expressions, one
+    narrow pass, no shuffle:
+
+    - ``word_count``: whitespace-delimited words
+    - ``mean_word_len``: average word length
+    - ``symbol_word_ratio``: '#' or '...' occurrences per word
+    - ``bullet_line_frac``: fraction of lines starting with a bullet
+    - ``ellipsis_line_frac``: fraction of lines ending with '...'
+    - ``alpha_word_frac``: fraction of words containing a letter
+    - ``stopword_hits``: distinct Gopher stopwords present
+    """
+    c = _col(text)
+    words = F.filter(F.split(c, r"\s+"), lambda w: w != "")
+    n_words = F.size(words)
+    n_lines = F.size(F.split(c, "\n"))
+    safe_w = F.greatest(n_words, F.lit(1))
+    safe_l = F.greatest(n_lines, F.lit(1))
+
+    def _word_stats(w: Column) -> Column:
+        return F.struct(
+            F.size(w).alias("n"),
+            (
+                F.aggregate(w, F.lit(0), lambda a, x: a + F.length(x))
+                / F.greatest(F.size(w), F.lit(1))
+            ).alias("mean_len"),
+            F.size(F.filter(w, lambda x: x.rlike("[a-zA-Z]"))).alias("n_alpha"),
+        )
+
+    ws = bind(words, _word_stats)
+    # symbol occurrences: '#' chars plus '...' runs (split yields runs+1 parts)
+    n_symbols = (
+        F.length(c)
+        - F.length(F.replace(c, F.lit("#"), F.lit("")))
+        + F.size(F.split(c, r"\.\.\.")) - 1
+    )
+    lines = F.split(c, "\n")
+    bullet_lines = F.size(
+        F.filter(lines, lambda l: F.trim(l).rlike(r"^[-*•]"))
+    )
+    ellipsis_lines = F.size(
+        F.filter(lines, lambda l: F.trim(l).rlike(r"\.\.\.$"))
+    )
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(tokens(c)),
+            F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
+        )
+    )
+    return {
+        "word_count": n_words,
+        "mean_word_len": ws["mean_len"],
+        "symbol_word_ratio": n_symbols / safe_w,
+        "bullet_line_frac": bullet_lines / safe_l,
+        "ellipsis_line_frac": ellipsis_lines / safe_l,
+        "alpha_word_frac": ws["n_alpha"] / safe_w,
+        "stopword_hits": stop_hits,
+    }
+
+
+#: Gopher rule thresholds: (stat, operator, bound).  Word-count bounds
+#: are scaled down from the paper's 50..100k to fit short synthetic
+#: docs; the rule *structure* is the contract.
+GOPHER_RULES = [
+    ("too_few_words", "word_count", ">=", 10),
+    ("too_many_words", "word_count", "<=", 100000),
+    ("mean_word_len_low", "mean_word_len", ">=", 2.0),
+    ("mean_word_len_high", "mean_word_len", "<=", 12.0),
+    ("symbol_ratio", "symbol_word_ratio", "<=", 0.1),
+    ("bullet_lines", "bullet_line_frac", "<=", 0.9),
+    ("ellipsis_lines", "ellipsis_line_frac", "<=", 0.3),
+    ("alpha_words", "alpha_word_frac", ">=", 0.8),
+    ("stopwords", "stopword_hits", ">=", 2),
+]
+
+
+def gopher_flags(text: Column | str) -> dict[str, Column]:
+    """Boolean pass/fail per Gopher rule (True = passes)."""
+    stats = gopher_stats(text)
+    out = {}
+    for name, stat, op, bound in GOPHER_RULES:
+        s = stats[stat]
+        out[name] = (s >= bound) if op == ">=" else (s <= bound)
+    return out
+
+
+def char_entropy(text: Column | str, precision: int = 3) -> Column:
+    """Shannon entropy (bits) of the character distribution — a cheap
+    gibberish/boilerplate detector (near-zero entropy = repeated filler,
+    very high = random bytes).
+
+    Computed entirely within the row (split → distinct → filter-count
+    per distinct char), O(distinct_chars × len) per document, no
+    shuffle, no UDF.  Rounded to ``precision`` decimals so the
+    summation-order float noise (array_distinct order differs across
+    engines) cannot flip a downstream bucket."""
+    c = _col(text)
+
+    def _ent(chars: Column) -> Column:
+        n = F.size(chars)
+        return F.aggregate(
+            F.array_distinct(chars),
+            F.lit(0.0),
+            lambda acc, d: acc
+            + bind(
+                F.size(F.filter(chars, lambda x: x == d)) / n,
+                lambda p: -p * F.log2(p),
+            ),
+        )
+
+    chars = F.filter(F.split(c, ""), lambda x: x != "")
+    return F.round(bind(chars, _ent), precision)
+
+
 def doc_fingerprint(text: Column | str) -> Column:
     """64-bit-ish content fingerprint: first 15 hex chars of md5 as a
     bigint (shared with the DuckDB oracle)."""

@@ -45,6 +45,7 @@ from parquet_converters_spark.functions.similarity import (
     lsh_bucket_ann,
 )
 from parquet_converters_spark.functions.text import (
+    GOPHER_STOPWORDS,
     STOPWORDS,
     doc_fingerprint,
     language_id,
@@ -3211,6 +3212,208 @@ QUERIES.update({
     "decile_counts": (decile_counts, DECILE_SQL),
     "multimodal_meta": (multimodal_meta, MULTIMODAL_META_SQL),
 })
+
+# ===========================================================================
+# Data-quality gates: Gopher rules, char entropy, stratified sampling,
+# declarative expectations (functions/text.py, sampling.py, expectations.py)
+# ===========================================================================
+
+
+def gopher_quality_report(spark, sf_dir):
+    """Corpus-level Gopher quality-rule report (Rae et al. 2021 A1.1):
+    one row per rule with the count of documents violating it, plus an
+    ``all_rules`` row (documents failing at least one).  All nine rules
+    fold into ONE aggregation pass via ``check_expectations`` — adding
+    a rule adds an agg column, never a second 100 TB scan."""
+    from parquet_converters_spark.functions.expectations import check_expectations
+    from parquet_converters_spark.functions.text import gopher_flags
+
+    docs = _t(spark, sf_dir, "documents")
+    flags = gopher_flags("text")
+    all_pass = None
+    for f_ in flags.values():
+        all_pass = f_ if all_pass is None else (all_pass & f_)
+    rules = dict(flags)
+    rules["all_rules"] = all_pass
+    return check_expectations(docs, rules).orderBy("rule")
+
+
+_GOPHER_STOP_SQL = "[" + ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS) + "]"
+
+GOPHER_QUALITY_SQL = rf"""
+WITH s AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS words,
+    string_split(text, chr(10)) AS lines,
+    length(text) - length(replace(text, '#', ''))
+      + len(string_split(text, '...')) - 1 AS n_sym,
+    {SQL_TOKENS.format(col='text')} AS toks
+  FROM documents
+), t AS (
+  SELECT
+    len(words) AS word_count,
+    coalesce(CAST(list_sum(list_transform(words, w -> length(w))) AS DOUBLE), 0)
+      / greatest(len(words), 1) AS mean_word_len,
+    CAST(n_sym AS DOUBLE) / greatest(len(words), 1) AS symbol_word_ratio,
+    CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•]'))) AS DOUBLE)
+      / greatest(len(lines), 1) AS bullet_line_frac,
+    CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '\.\.\.$'))) AS DOUBLE)
+      / greatest(len(lines), 1) AS ellipsis_line_frac,
+    CAST(len(list_filter(words, w -> regexp_matches(w, '[a-zA-Z]'))) AS DOUBLE)
+      / greatest(len(words), 1) AS alpha_word_frac,
+    len(list_intersect(list_distinct(toks), {_GOPHER_STOP_SQL})) AS stopword_hits
+  FROM s
+), f AS (
+  SELECT
+    word_count >= 10 AS p_too_few_words,
+    word_count <= 100000 AS p_too_many_words,
+    mean_word_len >= 2.0 AS p_mean_word_len_low,
+    mean_word_len <= 12.0 AS p_mean_word_len_high,
+    symbol_word_ratio <= 0.1 AS p_symbol_ratio,
+    bullet_line_frac <= 0.9 AS p_bullet_lines,
+    ellipsis_line_frac <= 0.3 AS p_ellipsis_lines,
+    alpha_word_frac >= 0.8 AS p_alpha_words,
+    stopword_hits >= 2 AS p_stopwords
+  FROM t
+)
+SELECT rule, violations, total FROM (
+  SELECT 'too_few_words' AS rule, CAST(sum(CASE WHEN NOT p_too_few_words THEN 1 ELSE 0 END) AS BIGINT) AS violations, CAST(count(*) AS BIGINT) AS total FROM f
+  UNION ALL SELECT 'too_many_words', CAST(sum(CASE WHEN NOT p_too_many_words THEN 1 ELSE 0 END) AS BIGINT), CAST(count(*) AS BIGINT) FROM f
+  UNION ALL SELECT 'mean_word_len_low', CAST(sum(CASE WHEN NOT p_mean_word_len_low THEN 1 ELSE 0 END) AS BIGINT), CAST(count(*) AS BIGINT) FROM f
+  UNION ALL SELECT 'mean_word_len_high', CAST(sum(CASE WHEN NOT p_mean_word_len_high THEN 1 ELSE 0 END) AS BIGINT), CAST(count(*) AS BIGINT) FROM f
+  UNION ALL SELECT 'symbol_ratio', CAST(sum(CASE WHEN NOT p_symbol_ratio THEN 1 ELSE 0 END) AS BIGINT), CAST(count(*) AS BIGINT) FROM f
+  UNION ALL SELECT 'bullet_lines', CAST(sum(CASE WHEN NOT p_bullet_lines THEN 1 ELSE 0 END) AS BIGINT), CAST(count(*) AS BIGINT) FROM f
+  UNION ALL SELECT 'ellipsis_lines', CAST(sum(CASE WHEN NOT p_ellipsis_lines THEN 1 ELSE 0 END) AS BIGINT), CAST(count(*) AS BIGINT) FROM f
+  UNION ALL SELECT 'alpha_words', CAST(sum(CASE WHEN NOT p_alpha_words THEN 1 ELSE 0 END) AS BIGINT), CAST(count(*) AS BIGINT) FROM f
+  UNION ALL SELECT 'stopwords', CAST(sum(CASE WHEN NOT p_stopwords THEN 1 ELSE 0 END) AS BIGINT), CAST(count(*) AS BIGINT) FROM f
+  UNION ALL SELECT 'all_rules', CAST(sum(CASE WHEN NOT (p_too_few_words AND p_too_many_words AND p_mean_word_len_low AND p_mean_word_len_high AND p_symbol_ratio AND p_bullet_lines AND p_ellipsis_lines AND p_alpha_words AND p_stopwords) THEN 1 ELSE 0 END) AS BIGINT), CAST(count(*) AS BIGINT) FROM f
+) ORDER BY rule
+"""
+
+
+def char_entropy_buckets(spark, sf_dir):
+    """Histogram of per-document character-entropy (quarter-bit
+    buckets) — the gibberish/boilerplate screen.  Entropy is computed
+    entirely within the row (no shuffle); the only exchange is the
+    final tiny bucket aggregation."""
+    from parquet_converters_spark.functions.text import char_entropy
+
+    docs = _t(spark, sf_dir, "documents")
+    ent = char_entropy("text")
+    bucket = F.floor(ent * 4) / F.lit(4.0)
+    return (
+        docs.select(bucket.alias("entropy_bucket"))
+        .groupBy("entropy_bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("entropy_bucket")
+    )
+
+
+CHAR_ENTROPY_SQL = """
+WITH ch AS (
+  SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents
+), cnt AS (
+  SELECT doc_id, c, count(*) AS n FROM ch GROUP BY doc_id, c
+), tot AS (
+  SELECT doc_id, sum(n) AS t FROM cnt GROUP BY doc_id
+), ent AS (
+  SELECT doc_id,
+         round(sum(-(CAST(n AS DOUBLE)/t) * log2(CAST(n AS DOUBLE)/t)), 3) AS e
+  FROM cnt JOIN tot USING (doc_id) GROUP BY doc_id
+)
+SELECT floor(e*4)/4 AS entropy_bucket, CAST(count(*) AS BIGINT) AS n_docs
+FROM ent GROUP BY 1 ORDER BY 1
+"""
+
+
+def stratified_sample_counts(spark, sf_dir):
+    """Per-language kept-vs-total audit of a deterministic stratified
+    downsample (50% en, 25% de, 10% everything else) — the
+    class-rebalance step of a training pipeline, hash-thresholded so
+    the identical sample is drawn on every engine and every re-run."""
+    from parquet_converters_spark.functions.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    audited = stratified_sample(
+        docs, "lang", "doc_id", {"en": 0.5, "de": 0.25},
+        default_fraction=0.1, keep_col="kept",
+    )
+    return (
+        audited.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("total"),
+            F.sum(F.col("kept").cast("int")).alias("sampled"),
+        )
+        .orderBy("lang")
+    )
+
+
+STRATIFIED_SAMPLE_SQL = f"""
+SELECT lang, CAST(count(*) AS BIGINT) AS total,
+       CAST(sum(CASE WHEN {SQL_H32.format(x='CAST(doc_id AS VARCHAR)')} % 1000
+                < (CASE lang WHEN 'en' THEN 500 WHEN 'de' THEN 250 ELSE 100 END)
+                THEN 1 ELSE 0 END) AS BIGINT) AS sampled
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+def expectations_report(spark, sf_dir):
+    """Declarative data-quality gate over lineitem: five row-level
+    expectations folded into one aggregation pass, plus an
+    orphaned-foreign-key check (LEFT ANTI against orders).  The report
+    a pipeline runs before promoting a batch."""
+    from parquet_converters_spark.functions.expectations import (
+        check_expectations,
+        check_referential,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    rules = {
+        "quantity_range": F.col("l_quantity").between(1, 50),
+        "price_positive": F.col("l_extendedprice") > 0,
+        "discount_band": F.col("l_discount") <= 0.08,
+        "tax_band": F.col("l_tax") <= 0.06,
+        "shipdate_present": F.col("l_shipdate").isNotNull(),
+    }
+    row_checks = check_expectations(li, rules)
+    fk = check_referential(li, orders, "l_orderkey", "o_orderkey",
+                           "referential_orderkey")
+    return row_checks.unionByName(fk).orderBy("rule")
+
+
+EXPECTATIONS_SQL = """
+SELECT rule, violations, total FROM (
+  SELECT 'quantity_range' AS rule,
+         CAST(sum(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 0 ELSE 1 END) AS BIGINT) AS violations,
+         CAST(count(*) AS BIGINT) AS total FROM lineitem
+  UNION ALL SELECT 'price_positive',
+         CAST(sum(CASE WHEN l_extendedprice > 0 THEN 0 ELSE 1 END) AS BIGINT),
+         CAST(count(*) AS BIGINT) FROM lineitem
+  UNION ALL SELECT 'discount_band',
+         CAST(sum(CASE WHEN l_discount <= 0.08 THEN 0 ELSE 1 END) AS BIGINT),
+         CAST(count(*) AS BIGINT) FROM lineitem
+  UNION ALL SELECT 'tax_band',
+         CAST(sum(CASE WHEN l_tax <= 0.06 THEN 0 ELSE 1 END) AS BIGINT),
+         CAST(count(*) AS BIGINT) FROM lineitem
+  UNION ALL SELECT 'shipdate_present',
+         CAST(sum(CASE WHEN l_shipdate IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT),
+         CAST(count(*) AS BIGINT) FROM lineitem
+  UNION ALL SELECT 'referential_orderkey',
+         CAST((SELECT count(*) FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+               ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL) AS BIGINT),
+         CAST(count(*) AS BIGINT) FROM lineitem
+) ORDER BY rule
+"""
+
+
+QUERIES.update({
+    "gopher_quality_report": (gopher_quality_report, GOPHER_QUALITY_SQL),
+    "char_entropy_buckets": (char_entropy_buckets, CHAR_ENTROPY_SQL),
+    "stratified_sample_counts": (stratified_sample_counts, STRATIFIED_SAMPLE_SQL),
+    "expectations_report": (expectations_report, EXPECTATIONS_SQL),
+})
+
 
 # --- r03 grading rotation --------------------------------------------------
 # The driver's correctness gate checks the FIRST 50 registry entries per

@@ -3407,7 +3407,30 @@ SELECT rule, violations, total FROM (
 """
 
 
+def kmeans_doc_clusters(spark, sf_dir):
+    """Distributed Lloyd's k-means over the embeddings table
+    (operators/clustering.py): deterministic farthest-point init,
+    5 rounds, then per-cluster size and inertia.  No oracle SQL — the
+    iterative float fit is not SQL-expressible (driver records the
+    rows-only check); correctness is pytest-gated against an exact
+    numpy replica (tests/test_clustering.py)."""
+    from parquet_converters_spark.operators.clustering import kmeans_fit
+
+    emb = _t(spark, sf_dir, "embeddings")
+    model = kmeans_fit(emb, "embedding", "vec_id", k=8, max_iter=5)
+    return (
+        model.transform(emb, "embedding")
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.sum("dist2"), 3).alias("inertia"),
+        )
+        .orderBy("cluster")
+    )
+
+
 QUERIES.update({
+    "kmeans_doc_clusters": (kmeans_doc_clusters, None),
     "gopher_quality_report": (gopher_quality_report, GOPHER_QUALITY_SQL),
     "char_entropy_buckets": (char_entropy_buckets, CHAR_ENTROPY_SQL),
     "stratified_sample_counts": (stratified_sample_counts, STRATIFIED_SAMPLE_SQL),

@@ -3429,7 +3429,49 @@ def kmeans_doc_clusters(spark, sf_dir):
     )
 
 
+def winsorized_value_stats(spark, sf_dir):
+    """Per-type audit of quantile clipping (functions/anomaly.py
+    winsorize): exact p05/p95 thresholds broadcast back over the fact
+    table, clip counts and clipped-value stats in one final pass."""
+    from parquet_converters_spark.functions.anomaly import winsorize
+
+    ev = _events(spark, sf_dir)
+    w = winsorize(ev, "event_type", "value", 0.05, 0.95)
+    return (
+        w.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("clipped_lo").cast("int")).alias("n_clipped_lo"),
+            F.sum(F.col("clipped_hi").cast("int")).alias("n_clipped_hi"),
+            F.round(F.avg("clipped"), 6).alias("avg_clipped"),
+            F.round(F.min("clipped"), 6).alias("min_clipped"),
+            F.round(F.max("clipped"), 6).alias("max_clipped"),
+        )
+        .orderBy("event_type")
+    )
+
+
+WINSORIZE_SQL = """
+WITH b AS (
+  SELECT event_type,
+         quantile_cont(value, 0.05) AS lo,
+         quantile_cont(value, 0.95) AS hi
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN value < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_lo,
+       CAST(sum(CASE WHEN value > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_hi,
+       round(avg(greatest(lo, least(hi, value))), 6) AS avg_clipped,
+       round(min(greatest(lo, least(hi, value))), 6) AS min_clipped,
+       round(max(greatest(lo, least(hi, value))), 6) AS max_clipped
+FROM events e JOIN b USING (event_type)
+GROUP BY e.event_type ORDER BY e.event_type
+"""
+
+
 QUERIES.update({
+    "winsorized_value_stats": (winsorized_value_stats, WINSORIZE_SQL),
     "kmeans_doc_clusters": (kmeans_doc_clusters, None),
     "gopher_quality_report": (gopher_quality_report, GOPHER_QUALITY_SQL),
     "char_entropy_buckets": (char_entropy_buckets, CHAR_ENTROPY_SQL),

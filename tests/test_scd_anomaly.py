@@ -96,3 +96,22 @@ def test_weighted_sample_score_formula(spark):
     h = int(hashlib.md5(b"5").hexdigest()[:8], 16)
     u = (h + 0.5) / 2**32
     assert r.sample_score == pytest.approx(math.pow(u, 0.5))
+
+
+def test_winsorize_clips_to_group_quantiles(spark):
+    from parquet_converters_spark.functions.anomaly import winsorize
+
+    # group g: 1..100; p05 = 5.95, p95 = 95.05 (linear interpolation)
+    df = spark.createDataFrame(
+        [(i, "g", float(i)) for i in range(1, 101)], ["id", "g", "v"]
+    )
+    w = winsorize(df, "g", "v", 0.05, 0.95).collect()
+    lo = 1 + 0.05 * 99
+    hi = 1 + 0.95 * 99
+    for r in w:
+        assert lo <= r.clipped <= hi
+        assert r.clipped_lo == (r.v < lo)
+        assert r.clipped_hi == (r.v > hi)
+    inner = [r for r in w if lo <= r.v <= hi]
+    assert all(r.clipped == r.v for r in inner)
+    assert sum(r.clipped_lo for r in w) == 5 and sum(r.clipped_hi for r in w) == 5

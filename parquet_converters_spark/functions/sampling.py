@@ -112,6 +112,30 @@ def stratified_sample(
     return df.where(kept)
 
 
+def per_group_cap(
+    df: DataFrame,
+    group_col: str,
+    key: str,
+    k: int,
+) -> DataFrame:
+    """At most ``k`` rows per group, chosen deterministically by md5
+    hash rank (ties by key) — the per-domain/per-source document cap
+    that keeps one crawl host from dominating a training mix.
+
+    One shuffle on ``group_col`` + per-partition rank; with AQE skew
+    handling on, a hot group splits across reducers only for the sort,
+    and the rank filter drops the tail without materializing it.
+    """
+    w = Window.partitionBy(group_col).orderBy(
+        h32(F.col(key).cast("string")), F.col(key)
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     text_col: str = "text",

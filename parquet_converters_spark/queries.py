@@ -3470,7 +3470,42 @@ GROUP BY e.event_type ORDER BY e.event_type
 """
 
 
+def per_source_doc_cap(spark, sf_dir):
+    """Cap each source at 40 documents (functions/sampling.py
+    per_group_cap): deterministic hash-rank keep, audited by kept count
+    and the character mass of the kept set (discriminates WHICH docs
+    were kept, not just how many)."""
+    from parquet_converters_spark.functions.sampling import per_group_cap
+
+    docs = _t(spark, sf_dir, "documents")
+    capped = per_group_cap(docs, "source", "doc_id", 40)
+    return (
+        capped.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").alias("kept_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+PER_SOURCE_CAP_SQL = f"""
+SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(sum(n_chars) AS BIGINT) AS kept_chars
+FROM (
+  SELECT source, n_chars,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY {SQL_H32.format(x='CAST(doc_id AS VARCHAR)')}, doc_id
+         ) AS rk
+  FROM documents
+) WHERE rk <= 40
+GROUP BY source ORDER BY source
+"""
+
+
 QUERIES.update({
+    "per_source_doc_cap": (per_source_doc_cap, PER_SOURCE_CAP_SQL),
     "winsorized_value_stats": (winsorized_value_stats, WINSORIZE_SQL),
     "kmeans_doc_clusters": (kmeans_doc_clusters, None),
     "gopher_quality_report": (gopher_quality_report, GOPHER_QUALITY_SQL),

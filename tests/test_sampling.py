@@ -68,3 +68,23 @@ def test_packing_respects_budget_boundaries(spark):
     # cum: 200..2000 -> floor((cum-1)/512) = 0,0,1,1,1,2,2,3,3,3
     assert [r["bin_id"] for r in out] == [0, 0, 1, 1, 1, 2, 2, 3, 3, 3]
     assert [r["bin_offset"] for r in out] == [0, 200, 0, 200, 400, 0, 200, 0, 200, 400]
+
+
+def test_per_group_cap_deterministic(spark, sf_dir):
+    from parquet_converters_spark.functions.sampling import per_group_cap
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = per_group_cap(docs, "source", "doc_id", 5)
+    b = per_group_cap(docs, "source", "doc_id", 5)
+    ids_a = sorted(r.doc_id for r in a.select("doc_id").collect())
+    ids_b = sorted(r.doc_id for r in b.select("doc_id").collect())
+    assert ids_a == ids_b
+    from pyspark.sql import functions as F
+
+    per = a.groupBy("source").count().collect()
+    assert all(r["count"] <= 5 for r in per)
+    # groups with >= 5 docs are capped exactly at 5
+    totals = {r.source: r["count"] for r in docs.groupBy("source").count().collect()}
+    got = {r.source: r["count"] for r in per}
+    for s, t in totals.items():
+        assert got[s] == min(t, 5)

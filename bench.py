@@ -88,6 +88,13 @@ HEADLINE = [
     "graph_degree_distribution",
     "graph_triangle_stats",
     "containment_pairs",
+    "gopher_quality_report",
+    "char_entropy_buckets",
+    "stratified_sample_counts",
+    "expectations_report",
+    "winsorized_value_stats",
+    "per_source_doc_cap",
+    "kmeans_doc_clusters",
 ]
 
 

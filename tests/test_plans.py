@@ -149,3 +149,65 @@ def test_weighted_sample_is_topk_not_full_sort(spark, sf_dir):
 
     plan = _plan(weighted_sample_docs(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_gopher_report_is_single_pass(spark, sf_dir):
+    """All nine Gopher rules + all_rules must fold into ONE aggregation
+    over one scan of documents — no join, no repeated scans."""
+    from parquet_converters_spark.queries import gopher_quality_report
+
+    plan = _plan(gopher_quality_report(spark, sf_dir))
+    assert "Join" not in plan, plan[:800]
+    assert plan.count("FileScan") == 1, plan[:800]
+
+
+def test_expectations_row_rules_single_scan(spark, sf_dir):
+    """The five row-level expectations share ONE lineitem scan/agg
+    reading exactly the five ruled columns; the referential check adds
+    key-only scans (and a zero-column footer-count scan) — no scan may
+    read unruled columns."""
+    import re
+
+    from parquet_converters_spark.queries import expectations_report
+
+    plan = _plan(expectations_report(spark, sf_dir))
+    scans = re.findall(r"FileScan parquet \[([^\]]*)\]", plan)
+    assert len(scans) <= 4, plan[:1200]
+    wide = [s for s in scans if s.count(",") >= 1]
+    assert len(wide) == 1, scans  # only the rules scan reads >1 column
+    cols = {c.split("#")[0] for c in wide[0].split(",")}
+    assert cols == {
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax", "l_shipdate"
+    }, cols
+
+
+def test_winsorize_bounds_broadcast(spark, sf_dir):
+    """The per-group quantile bounds (rows == #groups) must come back
+    as a broadcast join, never a shuffle of the fact table."""
+    from parquet_converters_spark.queries import winsorized_value_stats
+
+    plan = _plan(winsorized_value_stats(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan[:800]
+
+
+def test_kmeans_assignment_is_narrow(spark, sf_dir):
+    """Cluster assignment must be a projection over the scan — no
+    exchange, no join before the (single) update aggregation."""
+    from parquet_converters_spark.operators.clustering import assign_clusters
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = [[float(i == j) for j in range(4)] for i in range(3)]
+    df = assign_clusters(emb.select(F.slice("embedding", 1, 4).alias("v")), "v", cents)
+    plan = _plan(df)
+    assert "Exchange" not in plan and "Join" not in plan, plan[:800]
+
+
+def test_per_group_cap_single_shuffle(spark, sf_dir):
+    """The per-source cap is one hash exchange on source + rank filter
+    (plus the final audit agg) — the fact table shuffles once."""
+    from parquet_converters_spark.functions.sampling import per_group_cap
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(per_group_cap(docs, "source", "doc_id", 40))
+    assert plan.count("Exchange") == 1, plan[:800]
+    assert "Join" not in plan

@@ -20,7 +20,7 @@ dedup run on 100 TB: no engine-private hash functions.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from parquet_converters_spark.functions.text import shingles, tokens
 
@@ -547,5 +547,48 @@ def shingle_containment(
             (F.coalesce(F.col("n_common"), F.lit(0)) / F.col("zb.n_sh")).alias(
                 "containment_b"
             ),
+        )
+    )
+
+
+def duplicated_shingle_fraction(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Per-document fraction of its distinct word n-gram shingles that
+    occur in at least one OTHER document — the corpus-level
+    "duplicated n-grams" diagnostic of web-scale pipeline papers
+    (RefinedWeb/C4 style): high fractions flag boilerplate and
+    template text that pairwise dedup misses.
+
+    One explode + ONE shuffle: document frequency comes from a
+    ``count over (partition by shingle)`` window rather than a
+    groupBy + join back (which would shuffle the exploded table
+    twice).  Per-shingle frequency is bounded by corpus df, so the
+    skew ceiling is the most-common shingle — at 100 TB, hash the
+    shingle (h32) to shrink shuffle width before partitioning.
+
+    Returns (id, extra_cols..., n_shingles, n_duplicated, dup_frac).
+    """
+    sh = df.select(
+        F.col(id_col),
+        *[F.col(c) for c in extra_cols],
+        F.explode(F.array_distinct(shingles(text_col, n))).alias("_sh"),
+    )
+    w = Window.partitionBy("_sh")
+    # a shingle is "duplicated" when another document also has it:
+    # per-shingle doc-frequency > 1 (rows are distinct per doc)
+    flagged = sh.withColumn("_df", F.count(F.lit(1)).over(w))
+    return (
+        flagged.groupBy(id_col, *extra_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("_df") > 1, 1).otherwise(0)).alias("n_duplicated"),
+        )
+        .withColumn(
+            "dup_frac", F.col("n_duplicated") / F.greatest("n_shingles", F.lit(1))
         )
     )

@@ -2920,6 +2920,43 @@ ORDER BY e.id_a, e.id_b
 )
 
 
+def dup_shingle_fraction(spark, sf_dir):
+    """Per-document duplicated-shingle fraction (RefinedWeb/C4-style
+    corpus diagnostic): the share of each document's distinct 3-gram
+    shingles that also occur in at least one other document."""
+    from parquet_converters_spark.functions.dedup import duplicated_shingle_fraction
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        duplicated_shingle_fraction(docs)
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_duplicated",
+            F.round("dup_frac", 6).alias("dup_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DUP_SHINGLE_FRACTION_SQL = f"""
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct({_sql_shingles('text')})) AS s
+  FROM documents
+), df AS (
+  SELECT s, count(*) AS d FROM sh GROUP BY s
+)
+SELECT sh.doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN df.d > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_duplicated,
+       ROUND(sum(CASE WHEN df.d > 1 THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS dup_frac
+FROM sh JOIN df USING (s)
+GROUP BY sh.doc_id
+ORDER BY sh.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Corpus statistics: unigram logprob scoring, PMI (functions/corpus_stats.py)
 # ---------------------------------------------------------------------------
@@ -3512,6 +3549,7 @@ QUERIES.update({
     "char_entropy_buckets": (char_entropy_buckets, CHAR_ENTROPY_SQL),
     "stratified_sample_counts": (stratified_sample_counts, STRATIFIED_SAMPLE_SQL),
     "expectations_report": (expectations_report, EXPECTATIONS_SQL),
+    "dup_shingle_fraction": (dup_shingle_fraction, DUP_SHINGLE_FRACTION_SQL),
 })
 
 

@@ -82,6 +82,20 @@ def test_ngram_jaccard(docs):
     assert 0.3 <= pairs[(0, 2)] < 1.0
 
 
+def test_duplicated_shingle_fraction(docs):
+    from parquet_converters_spark.functions.dedup import duplicated_shingle_fraction
+
+    out = {r["doc_id"]: r for r in duplicated_shingle_fraction(docs).collect()}
+    assert 5 not in out                     # empty doc -> no shingles -> absent
+    assert out[0]["n_shingles"] == 11       # 13 tokens -> 11 distinct trigrams
+    assert out[0]["dup_frac"] == 1.0        # exact dup of doc 1
+    assert out[1]["dup_frac"] == 1.0
+    assert out[2]["n_duplicated"] == 8      # the 3 'cat' trigrams are unique
+    assert abs(out[2]["dup_frac"] - 8 / 11) < 1e-9
+    assert out[3]["n_duplicated"] == 0
+    assert out[4]["n_duplicated"] == 0
+
+
 def test_ngram_jaccard_requires_blocking(docs):
     """Without a blocking column the self-join is an all-pairs cross
     product — the public API must refuse it unless explicitly opted in."""

@@ -90,15 +90,23 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events with ``ts`` normalized to a proper timestamp: the table is
-    written as TIMESTAMP(NANOS), which Spark reads as a nanosecond long
-    (session sets ``nanosAsLong``); truncate to micros like every other
-    engine does."""
+    """events with ``ts`` normalized to a TIMESTAMP (instant).
+
+    The generator has shipped the column two ways across rounds:
+    TIMESTAMP(NANOS) (read as a nanosecond long under ``nanosAsLong``)
+    and naive micros (read as TIMESTAMP_NTZ in Spark 4).  Normalize
+    both to LTZ micros: watermarks and ``unix_micros`` require an
+    instant type, and with the session timezone pinned to UTC the
+    NTZ->LTZ cast preserves the epoch values DuckDB computes zone-free.
+    """
     ev = _t(spark, sf_dir, "events")
-    if dict(ev.dtypes)["ts"] in ("bigint", "long"):
+    dt = dict(ev.dtypes)["ts"]
+    if dt in ("bigint", "long"):
         # integral division: ns values (~1.7e18) exceed double's 53-bit
         # mantissa, so a float `/ 1000` goes off by one micro
         ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dt == "timestamp_ntz":
+        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
     return ev
 
 
@@ -3553,71 +3561,52 @@ QUERIES.update({
 })
 
 
-# --- r03 grading rotation --------------------------------------------------
+# --- r02 grading rotation --------------------------------------------------
 # The driver's correctness gate checks the FIRST 50 registry entries per
-# round.  Window policy: (a) everything that has never had a driver
-# correctness row (the 9 entries that sat at positions 51-59 in r02's
-# ordering, plus all 15 queries new this round), then (b) a rotation of
-# r01-green entries whose last driver row is two rounds old.  Everything
-# else (checked in r02) follows after position 50.
-_R03_WINDOW = [
-    # (a1) unchecked at r02 positions 51-59
-    "sequence_packing",
-    "sim_ivf_ann_bcast",
-    "sim_lsh_ann_bcast",
-    "table_profile",
+# round (CORRECTNESS_r01 covered exactly r01's first 50).  Window policy
+# for r02, per VERDICT.md item 1: lead with every query that had NO
+# driver correctness row in r01 — all of TPC-H/temporal (25), the batch
+# -form streaming queries, the touch binary scan, multimodal
+# decode/frames — then the five entries whose r01 rows were repaired
+# this round (HUGEINT casts, scalarized list outputs, de-vacuized
+# threshold), then a breadth slice of the never-checked r02 additions.
+# Everything r01-green rotates past position 50 and re-enters in later
+# rounds.
+_R02_WINDOW = [
+    # (a) r01-unchecked: TPC-H + temporal/multi-dim (25)
+    *TPCH_QUERIES,
+    # (b) r01-unchecked: streaming batch forms, touch binary, multimodal
+    "stream_windowed_agg",
+    "stream_sessionize",
+    "stream_running_totals",
+    "stream_join_pairs",
+    "touch_scan_v2",
+    "multimodal_decode",
+    "multimodal_frames",
+    # (c) repaired this round — need fresh driver rows to register
+    "json_extract_agg",
+    "validation_filter",
+    "inter_event_gaps",
+    "dedup_minhash_sig",
+    "sim_neardup_pairs",
+    # (d) never-checked r02 additions: streaming/multimodal/LLM-pipeline
+    "stream_dedup",
+    "stream_session_window",
     "stream_sessionize_stateful",
-    "decontaminate_train",
-    "text_repetition",
-    "text_pii_scan",
-    "interval_overlap_sessions",
-    # (a2) new in r03
-    "inverted_index_stats",
-    "tfidf_top_terms",
-    "bm25_search",
-    "bloom_pruned_revenue",
-    "scd2_event_history",
-    "upsert_latest_state",
-    "zscore_outlier_events",
-    "weighted_sample_docs",
-    "graph_degree_distribution",
-    "graph_triangle_stats",
-    "containment_pairs",
-    "doc_logprob_quality",
-    "pmi_top_pairs",
-    "value_histogram",
     "stream_enrich",
-    # (b) r01-green rotation (last driver row: round 1)
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_nation_volume",
-    "q6_selective_agg",
-    "q14_brand_revenue",
-    "semi_join_exists",
-    "anti_join",
-    "set_intersect",
-    "rollup_pricing",
-    "topk_per_group",
-    "pivot_event_counts",
-    "q18_large_orders",
-    "above_nation_avg",
-    "prefix_sum",
-    "run_length",
-    "run_length_scan",
-    "interval_merge",
-    "dense_left_join",
-    "adjacency_node_ranges",
-    "adjacency_range_to_edge",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_pipeline",
-    "dedup_components",
-    "sim_cosine_topk",
-    "text_quality",
+    "multimodal_resize",
+    "table_profile",
+    "sequence_packing",
+    "decontaminate_train",
+    "gopher_quality_report",
+    "per_source_doc_cap",
+    "winsorized_value_stats",
+    "bm25_search",
+    "graph_triangle_stats",
 ]
-assert len(_R03_WINDOW) == 50, len(_R03_WINDOW)
-assert set(_R03_WINDOW) <= set(QUERIES), sorted(set(_R03_WINDOW) - set(QUERIES))
+assert len(_R02_WINDOW) == 50, len(_R02_WINDOW)
+assert set(_R02_WINDOW) <= set(QUERIES), sorted(set(_R02_WINDOW) - set(QUERIES))
 QUERIES = {
-    **{name: QUERIES[name] for name in _R03_WINDOW},
-    **{name: v for name, v in QUERIES.items() if name not in _R03_WINDOW},
+    **{name: QUERIES[name] for name in _R02_WINDOW},
+    **{name: v for name, v in QUERIES.items() if name not in _R02_WINDOW},
 }

@@ -14,6 +14,24 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
 
+def as_instant(df: DataFrame, *cols: str) -> DataFrame:
+    """Normalize event-time columns to TIMESTAMP (instant) type.
+
+    Naive parquet timestamps (isAdjustedToUTC=false) read as
+    TIMESTAMP_NTZ in Spark 4, and ``withWatermark`` requires an instant
+    type.  The session timezone is pinned to UTC (session.py /
+    queries._t), so the cast is value-stable: wall-clock == epoch
+    interpretation, matching the oracle's naive-timestamp arithmetic.
+    Batch plans keep NTZ untouched — only the watermarked streaming
+    path needs instants.
+    """
+    dtypes = dict(df.dtypes)
+    for c in cols:
+        if dtypes.get(c) == "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
+
+
 def windowed_event_counts(
     events: DataFrame,
     window_duration: str = "1 hour",
@@ -29,7 +47,7 @@ def windowed_event_counts(
     """
     src = events
     if watermark:
-        src = src.withWatermark("ts", watermark)
+        src = as_instant(src, "ts").withWatermark("ts", watermark)
     return (
         src.groupBy(
             F.window("ts", window_duration).alias("w"),
@@ -58,11 +76,13 @@ def read_events_stream(
     stand-in for Kafka/Kinesis: same downstream plan, different source)."""
     if schema is None:
         schema = spark.read.parquet(events_path).schema
-    return (
+    stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(events_path)
     )
+    # streaming consumers watermark on event time — hand them instants
+    return as_instant(stream, "ts")
 
 
 def running_user_totals(events: DataFrame) -> DataFrame:
@@ -141,12 +161,12 @@ def view_purchase_join(
     Batch: identical plan minus state (``withWatermark`` is a no-op),
     which is what the DuckDB oracle checks.
     """
-    v = views.select(
+    v = as_instant(views, "ts").select(
         F.col("user_id").alias("v_user"),
         F.col("event_id").alias("view_id"),
         F.col("ts").alias("v_ts"),
     )
-    p = purchases.select(
+    p = as_instant(purchases, "ts").select(
         F.col("user_id").alias("p_user"),
         F.col("event_id").alias("purchase_id"),
         F.col("ts").alias("p_ts"),
@@ -174,7 +194,7 @@ def dedup_events(events: DataFrame, watermark: str | None = None) -> DataFrame:
     ``dropDuplicates`` on a stream); batch uses plain ``dropDuplicates``.
     """
     if events.isStreaming:
-        src = events.withWatermark("ts", watermark or "1 hour")
+        src = as_instant(events, "ts").withWatermark("ts", watermark or "1 hour")
         return src.dropDuplicatesWithinWatermark(["event_id"])
     return events.dropDuplicates(["event_id"])
 
@@ -242,6 +262,7 @@ def sessionize_stateful(
         "n_events long, value_sum double"
     )
 
+    events = as_instant(events, "ts")
     if not events.isStreaming:
         w = Window.partitionBy("user_id").orderBy("ts", "event_id")
         gap_prev = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
@@ -336,7 +357,8 @@ def sessionize_stateful(
             yield emit_row(*sess)
 
     return (
-        events.withWatermark("ts", watermark)
+        as_instant(events, "ts")
+        .withWatermark("ts", watermark)
         .groupBy("user_id")
         .applyInPandasWithState(
             update,

@@ -354,20 +354,17 @@ def test_native_session_window_stream_matches_batch_sessionize(spark, sf_dir, tm
     """Structured Streaming's session_window (native stateful
     sessionization with watermark) produces the same sessions as the
     batch gaps-and-islands sessionize."""
+    from parquet_converters_spark.queries import _events
     from parquet_converters_spark.streaming.events import (
         read_events_stream,
         sessionize,
     )
 
-    events = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    events = _events(spark, sf_dir)
     stream_dir = str(tmp_path / "ev")
     events.write.parquet(stream_dir)
 
     stream = read_events_stream(spark, stream_dir, max_files_per_trigger=10)
-    stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))) \
-        if dict(stream.dtypes)["ts"] in ("bigint", "long") else stream
     q = (
         stream.withWatermark("ts", "10 days")
         .groupBy("user_id", F.session_window("ts", "30 minutes"))

@@ -52,17 +52,82 @@ def _dist2_lit(vec: Column, cen: list[float]) -> Column:
     )
 
 
+def _dist2(vec: Column, cen: Column) -> Column:
+    """Squared L2 distance between two array<double> columns — the same
+    left-to-right fold as ``_dist2_lit`` so both paths produce
+    bit-identical floats."""
+    return F.aggregate(
+        F.zip_with(vec, cen, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _centroid_matrix(df: DataFrame, centroids: list[list[float]]):
+    """Broadcast the k x dim centroid matrix as a 1-row DataFrame.
+
+    The matrix enters the plan as a LocalRelation *attribute*, not as
+    k*dim literals: the generated code is identical from one Lloyd's
+    iteration to the next (codegen cache hit — only the broadcast
+    payload changes), and plan size stays O(1) at real dimensionality
+    where a literal tree would be megabytes.
+    """
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [StructField("_cen", ArrayType(ArrayType(DoubleType())), False)]
+    )
+    mat = df.sparkSession.createDataFrame(
+        [([list(map(float, c)) for c in centroids],)], schema
+    )
+    return F.broadcast(mat)
+
+
+# Above this many k*dim matrix cells the centroids ride in as a
+# broadcast matrix instead of plan literals.  Measured at sf0.1: the
+# broadcast exchange adds ~0.15 s per action, so tiny models stay on
+# the literal path; past the threshold literal plans grow linearly
+# (megabytes of plan at real ANN dimensionality) while the broadcast
+# plan stays O(1) with a per-iteration codegen cache hit.
+_LITERAL_CELL_LIMIT = 4096
+
+
 def assign_clusters(
     df: DataFrame,
     vec_col: str,
     centroids: list[list[float]],
     cluster_col: str = "cluster",
     dist_col: str = "dist2",
+    method: str = "auto",
 ) -> DataFrame:
     """Nearest-centroid assignment (0-based; ties -> lowest index).
-    Adds ``cluster_col`` and ``dist_col`` in one narrow projection."""
+    Adds ``cluster_col`` and ``dist_col`` in one narrow projection.
+
+    ``method="broadcast"`` joins the centroids in as a broadcast 1-row
+    matrix and folds over it with ``transform`` — constant plan size
+    and a codegen cache hit per iteration.  ``method="literal"``
+    inlines them as literals (widest codegen for tiny k*dim).
+    ``method="auto"`` (default) picks by matrix size
+    (``_LITERAL_CELL_LIMIT``).  Identical arithmetic, bit-identical
+    output on every path.
+    """
+    if method == "auto":
+        cells = len(centroids) * (len(centroids[0]) if centroids else 0)
+        method = "literal" if cells <= _LITERAL_CELL_LIMIT else "broadcast"
     vec = F.col(vec_col)
-    dists = F.array(*[_dist2_lit(vec, c) for c in centroids])
+    if method == "literal":
+        dists = F.array(*[_dist2_lit(vec, c) for c in centroids])
+        src = df
+    elif method == "broadcast":
+        dists = F.transform(F.col("_cen"), lambda c: _dist2(vec, c))
+        src = df.join(_centroid_matrix(df, centroids))
+    else:
+        raise ValueError(f"unknown method {method!r} (broadcast | literal)")
     picked = bind(
         dists,
         lambda d: F.struct(
@@ -70,7 +135,8 @@ def assign_clusters(
             F.array_min(d).alias("d"),
         ),
     )
-    return df.withColumns({cluster_col: picked["c"], dist_col: picked["d"]})
+    out = src.withColumns({cluster_col: picked["c"], dist_col: picked["d"]})
+    return out.drop("_cen") if method == "broadcast" else out
 
 
 @dataclass
@@ -84,6 +150,35 @@ class KMeansModel:
         return assign_clusters(df, vec_col, self.centroids)
 
 
+def _greedy_farthest(
+    rows, vec_col: str, k: int
+) -> list[list[float]]:
+    """Driver-side greedy farthest-point traversal over a collected
+    sample (already in deterministic (h32, id) order).  Seed 1 is the
+    first row; each next seed maximizes distance to its nearest chosen
+    centroid, ties -> earliest sample position."""
+    vecs = [[float(x) for x in r[vec_col]] for r in rows]
+    if len(vecs) < k:
+        raise ValueError(f"kmeans_fit: need >= k={k} rows, got {len(vecs)}")
+    chosen = [0]
+    d = [
+        sum((a - b) ** 2 for a, b in zip(v, vecs[0])) for v in vecs
+    ]
+    while len(chosen) < k:
+        far = max(range(len(vecs)), key=lambda i: (d[i], -i))
+        if d[far] == 0.0:
+            raise ValueError(
+                f"kmeans_fit: need >= k={k} distinct vectors in sample"
+            )
+        chosen.append(far)
+        nv = vecs[far]
+        for i, v in enumerate(vecs):
+            d2 = sum((a - b) ** 2 for a, b in zip(v, nv))
+            if d2 < d[i]:
+                d[i] = d2
+    return [vecs[i] for i in chosen]
+
+
 def kmeans_fit(
     df: DataFrame,
     vec_col: str,
@@ -93,6 +188,7 @@ def kmeans_fit(
     tol: float = 1e-6,
     track_inertia: bool = False,
     init: str = "farthest",
+    sample_size: int = 1024,
 ) -> KMeansModel:
     """Fit k-means with Lloyd's iterations as described in the module
     docstring.  ``track_inertia`` adds ``sum(dist2)`` to the per-round
@@ -105,77 +201,107 @@ def kmeans_fit(
     centroid (ties -> lowest id).  On well-separated clusters this
     covers every cluster, where hash sampling can drop two seeds into
     one (the classic Lloyd's local minimum).  Costs k-1 extra top-1
-    passes — use ``init="hash"`` (pure min-h32 sample, one pass) when
-    k is large.
+    passes over the corpus.
+
+    ``init="farthest_sample"`` runs the same greedy traversal
+    driver-side over the ``sample_size`` min-``h32(id)`` rows,
+    collected in ONE pass — bounded driver memory, deterministic under
+    repartitioning, and the right cost shape at corpus scale (the
+    exact variant's k-1 full scans become one bounded-sample scan).
+    Seeds can differ from exact farthest only when the true farthest
+    point is outside the hash sample.
+
+    ``init="hash"`` takes the k min-h32 rows directly (one pass, no
+    spread guarantee).
     """
-    first = df.select(F.size(F.col(vec_col)).alias("d")).first()
-    if first is None:
-        raise ValueError("kmeans_fit: empty input")
-    dim = first["d"]
-
-    n_seed = 1 if init == "farthest" else k
-    if init not in ("farthest", "hash"):
-        raise ValueError(f"unknown init {init!r} (farthest | hash)")
-    seeds = (
-        df.select(id_col, vec_col)
-        .withColumn("_h", h32(F.col(id_col).cast("string")))
-        .orderBy("_h", id_col)
-        .limit(n_seed)
-        .collect()
-    )
-    if init == "hash" and len(seeds) < k:
-        raise ValueError(f"kmeans_fit: need >= k={k} rows, got {len(seeds)}")
-    centroids = [[float(x) for x in r[vec_col]] for r in seeds]
-    vec0 = F.col(vec_col)
-    while len(centroids) < k:
-        nearest = F.array_min(
-            F.array(*[_dist2_lit(vec0, c) for c in centroids])
-        )
-        far = (
-            df.select(id_col, vec_col)
-            .withColumn("_d", nearest)
-            .orderBy(F.col("_d").desc(), F.col(id_col))
-            .first()
-        )
-        if far is None or far["_d"] == 0.0:
+    # one projected, persisted copy feeds init + every Lloyd's pass
+    # (at cluster scale: persist(DISK_ONLY) — same shape)
+    base = df.select(id_col, vec_col).persist()
+    try:
+        if init == "farthest":
+            n_seed = 1
+        elif init == "hash":
+            n_seed = k
+        elif init == "farthest_sample":
+            n_seed = max(k, sample_size)
+        else:
             raise ValueError(
-                f"kmeans_fit: need >= k={k} distinct vectors"
+                f"unknown init {init!r} (farthest | farthest_sample | hash)"
             )
-        centroids.append([float(x) for x in far[vec_col]])
-
-    vec = F.col(vec_col)
-    inertia_history: list[float] = []
-    converged = False
-    it = 0
-    for it in range(1, max_iter + 1):
-        assigned = assign_clusters(
-            df.select(vec_col), vec_col, centroids
+        seeds = (
+            base.withColumn("_h", h32(F.col(id_col).cast("string")))
+            .orderBy("_h", id_col)
+            .limit(n_seed)
+            .collect()
         )
-        aggs = [F.count(F.lit(1)).alias("_n")] + [
-            F.avg(vec[i]).alias(f"_m{i}") for i in range(dim)
-        ]
-        if track_inertia:
-            aggs.append(F.sum("dist2").alias("_inertia"))
-        rows = assigned.groupBy("cluster").agg(*aggs).collect()
-        by_cluster = {r["cluster"]: r for r in rows}
-        if track_inertia:
-            inertia_history.append(
-                float(sum(r["_inertia"] for r in rows))
+        if not seeds:
+            raise ValueError("kmeans_fit: empty input")
+        dim = len(seeds[0][vec_col])
+        if init == "hash" and len(seeds) < k:
+            raise ValueError(
+                f"kmeans_fit: need >= k={k} rows, got {len(seeds)}"
             )
-        shift2 = 0.0
-        new_centroids = []
-        for c, old in enumerate(centroids):
-            r = by_cluster.get(c)
-            if r is None:  # empty cluster keeps its centroid
-                new_centroids.append(old)
-                continue
-            new = [float(r[f"_m{i}"]) for i in range(dim)]
-            shift2 = max(
-                shift2, sum((a - b) ** 2 for a, b in zip(old, new))
+        if init == "farthest_sample":
+            centroids = _greedy_farthest(seeds, vec_col, k)
+        else:
+            centroids = [[float(x) for x in r[vec_col]] for r in seeds]
+        vec = F.col(vec_col)
+        while len(centroids) < k:
+            if len(centroids) * dim <= _LITERAL_CELL_LIMIT:
+                src = base
+                nearest = F.array_min(
+                    F.array(*[_dist2_lit(vec, c) for c in centroids])
+                )
+            else:
+                src = base.join(_centroid_matrix(base, centroids))
+                nearest = F.array_min(
+                    F.transform(F.col("_cen"), lambda c: _dist2(vec, c))
+                )
+            far = (
+                src.withColumn("_d", nearest)
+                .orderBy(F.col("_d").desc(), F.col(id_col))
+                .first()
             )
-            new_centroids.append(new)
-        centroids = new_centroids
-        if shift2 <= tol * tol:
-            converged = True
-            break
-    return KMeansModel(centroids, it, converged, inertia_history)
+            if far is None or far["_d"] == 0.0:
+                raise ValueError(
+                    f"kmeans_fit: need >= k={k} distinct vectors"
+                )
+            centroids.append([float(x) for x in far[vec_col]])
+
+        inertia_history: list[float] = []
+        converged = False
+        it = 0
+        for it in range(1, max_iter + 1):
+            assigned = assign_clusters(
+                base.select(vec_col), vec_col, centroids
+            )
+            aggs = [F.count(F.lit(1)).alias("_n")] + [
+                F.avg(vec[i]).alias(f"_m{i}") for i in range(dim)
+            ]
+            if track_inertia:
+                aggs.append(F.sum("dist2").alias("_inertia"))
+            rows = assigned.groupBy("cluster").agg(*aggs).collect()
+            by_cluster = {r["cluster"]: r for r in rows}
+            if track_inertia:
+                inertia_history.append(
+                    float(sum(r["_inertia"] for r in rows))
+                )
+            shift2 = 0.0
+            new_centroids = []
+            for c, old in enumerate(centroids):
+                r = by_cluster.get(c)
+                if r is None:  # empty cluster keeps its centroid
+                    new_centroids.append(old)
+                    continue
+                new = [float(r[f"_m{i}"]) for i in range(dim)]
+                shift2 = max(
+                    shift2, sum((a - b) ** 2 for a, b in zip(old, new))
+                )
+                new_centroids.append(new)
+            centroids = new_centroids
+            if shift2 <= tol * tol:
+                converged = True
+                break
+        return KMeansModel(centroids, it, converged, inertia_history)
+    finally:
+        base.unpersist()

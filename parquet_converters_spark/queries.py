@@ -3454,15 +3454,19 @@ SELECT rule, violations, total FROM (
 
 def kmeans_doc_clusters(spark, sf_dir):
     """Distributed Lloyd's k-means over the embeddings table
-    (operators/clustering.py): deterministic farthest-point init,
-    5 rounds, then per-cluster size and inertia.  No oracle SQL — the
-    iterative float fit is not SQL-expressible (driver records the
-    rows-only check); correctness is pytest-gated against an exact
-    numpy replica (tests/test_clustering.py)."""
+    (operators/clustering.py): deterministic sampled farthest-point
+    init (one bounded-sample pass instead of k-1 corpus scans — the
+    cost shape that holds at 100 TB), 5 rounds, then per-cluster size
+    and inertia.  No oracle SQL — the iterative float fit is not
+    SQL-expressible (driver records the rows-only check); correctness
+    is pytest-gated against an exact numpy replica
+    (tests/test_clustering.py)."""
     from parquet_converters_spark.operators.clustering import kmeans_fit
 
     emb = _t(spark, sf_dir, "embeddings")
-    model = kmeans_fit(emb, "embedding", "vec_id", k=8, max_iter=5)
+    model = kmeans_fit(
+        emb, "embedding", "vec_id", k=8, max_iter=5, init="farthest_sample"
+    )
     return (
         model.transform(emb, "embedding")
         .groupBy("cluster")

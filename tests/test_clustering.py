@@ -104,3 +104,32 @@ def test_kmeans_raises_on_too_few_rows(spark):
     df = spark.createDataFrame([Row(id=0, v=[0.0]), Row(id=1, v=[1.0])])
     with pytest.raises(ValueError, match="need >= k"):
         kmeans_fit(df, "v", "id", 5)
+
+
+def test_farthest_sample_matches_exact_when_sample_covers_corpus(emb):
+    """With sample_size >= corpus size the sampled greedy traversal
+    sees every point, so its seeds — and therefore the whole fit —
+    must equal the exact farthest-point variant."""
+    n = emb.count()
+    exact = kmeans_fit(emb, "embedding", "vec_id", 4, max_iter=2, tol=0.0)
+    sampled = kmeans_fit(
+        emb, "embedding", "vec_id", 4, max_iter=2, tol=0.0,
+        init="farthest_sample", sample_size=n,
+    )
+    np.testing.assert_allclose(
+        np.array(sampled.centroids), np.array(exact.centroids),
+        rtol=0, atol=0,
+    )
+
+
+def test_assign_clusters_broadcast_matches_literal(emb):
+    """The broadcast-matrix assignment path is bit-identical to the
+    literal path (same fold order)."""
+    rows = emb.limit(50).collect()
+    cents = [list(map(float, rows[i]["embedding"])) for i in range(3)]
+    sub = emb.limit(200)
+    lit = assign_clusters(sub, "embedding", cents, method="literal")
+    bc = assign_clusters(sub, "embedding", cents, method="broadcast")
+    a = {r.vec_id: (r.cluster, r.dist2) for r in lit.collect()}
+    b = {r.vec_id: (r.cluster, r.dist2) for r in bc.collect()}
+    assert a == b

@@ -95,6 +95,10 @@ HEADLINE = [
     "winsorized_value_stats",
     "per_source_doc_cap",
     "kmeans_doc_clusters",
+    "embedding_quantize_error",
+    "contamination_matrix",
+    "dedup_incremental_bloom",
+    "ann_recall_at5",
 ]
 
 

@@ -592,3 +592,52 @@ def duplicated_shingle_fraction(
             "dup_frac", F.col("n_duplicated") / F.greatest("n_shingles", F.lit(1))
         )
     )
+
+
+def cross_source_shingles(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Cross-corpus contamination matrix: for every pair of groups
+    (sources), how many distinct word n-gram shingles they share.
+
+    Plan shape for 100 TB: distinct (group, shingle) pairs, then a
+    groupBy(shingle) collecting the <=|groups| group set — group-pair
+    expansion happens on that tiny per-shingle set, never via a
+    shingle-level self-join (which would square the corpus).  The
+    output is |groups|^2-bounded regardless of corpus size.
+    """
+    from parquet_converters_spark.functions.text import shingles
+
+    sh = (
+        docs.select(
+            F.col(group_col).alias("_grp"),
+            F.explode(F.array_distinct(shingles(text_col, n))).alias("_s"),
+        )
+        .distinct()
+    )
+    per_shingle = (
+        sh.groupBy("_s")
+        .agg(F.array_sort(F.collect_set("_grp")).alias("_gs"))
+        .filter(F.size("_gs") >= 2)
+    )
+    pairs = per_shingle.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("_gs"),
+                    lambda a, i: F.transform(
+                        F.slice(F.col("_gs"), i + 2, F.size(F.col("_gs"))),
+                        lambda b: F.struct(a.alias("src_a"), b.alias("src_b")),
+                    ),
+                )
+            )
+        ).alias("_p")
+    )
+    return (
+        pairs.select("_p.src_a", "_p.src_b")
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )

@@ -432,3 +432,35 @@ def embedding_neardup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def quantize_int8(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    scale_floor: float = 1e-12,
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization of a float-array column.
+
+    ``q_i = floor(x_i / scale + 0.5)`` with ``scale = max|x| / 127`` —
+    round-half-up via ``floor`` so every engine computes the identical
+    integer (SQL ``round`` tie rules differ across engines; ``floor``
+    does not).  Adds ``q_scale`` (double) and ``q_vec``
+    (array<int>, values in [-127, 127]).
+
+    Scale shape: one narrow projection, no shuffle — at 100 TB this is
+    a map-only pass that cuts embedding bytes 4x before any
+    similarity-search stage; the dequantized form is
+    ``transform(q_vec, q -> q * q_scale)``.
+    """
+    vec = F.col(vec_col)
+    absmax = F.array_max(F.transform(vec, lambda x: F.abs(x.cast("double"))))
+    scale = F.greatest(absmax, F.lit(scale_floor)) / F.lit(127.0)
+    return df.withColumn("q_scale", scale).withColumn(
+        "q_vec",
+        F.transform(
+            vec,
+            lambda x: F.floor(x.cast("double") / F.col("q_scale") + F.lit(0.5)).cast(
+                "int"
+            ),
+        ),
+    )

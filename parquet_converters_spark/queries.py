@@ -3119,6 +3119,212 @@ GROUP BY n_name ORDER BY n_name
 """
 
 
+# ---------------------------------------------------------------------------
+# r02 additions: int8 quantization audit, cross-source contamination
+# matrix, incremental Bloom dedup, ANN recall measurement
+# ---------------------------------------------------------------------------
+
+
+def embedding_quantize_error(spark, sf_dir):
+    """Per-label audit of symmetric int8 embedding quantization
+    (functions/similarity.py quantize_int8): scale, reconstruction
+    error, and worst-case cosine drift between original and dequantized
+    vectors.  One narrow map pass + one tiny aggregation — the 4x
+    bytes-on-the-wire savings this certifies is what matters before an
+    ANN stage at 100 TB."""
+    from parquet_converters_spark.functions.similarity import (
+        cosine_similarity,
+        quantize_int8,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = quantize_int8(emb)
+    deq = F.transform(
+        F.col("q_vec"), lambda v: v.cast("double") * F.col("q_scale")
+    )
+    errs = F.zip_with(
+        F.col("embedding"),
+        F.col("q_vec"),
+        lambda x, qv: F.abs(
+            x.cast("double") - qv.cast("double") * F.col("q_scale")
+        ),
+    )
+    per = q.select(
+        "label",
+        F.col("q_scale"),
+        F.array_max(errs).alias("_max_err"),
+        (
+            F.aggregate(errs, F.lit(0.0), lambda acc, x: acc + x)
+            / F.size(errs)
+        ).alias("_mean_err"),
+        cosine_similarity(F.col("embedding"), deq).alias("_cos"),
+    )
+    return (
+        per.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("q_scale"), 6).alias("avg_scale"),
+            F.round(F.max("_max_err"), 6).alias("max_abs_err"),
+            F.round(F.avg("_mean_err"), 6).alias("mean_abs_err"),
+            F.round(F.min("_cos"), 6).alias("min_cosine"),
+        )
+        .orderBy("label")
+    )
+
+
+EMBED_QUANT_SQL = """
+WITH qz AS (
+  SELECT label, CAST(embedding AS DOUBLE[]) AS v,
+         greatest(list_max(list_transform(embedding,
+                  x -> abs(CAST(x AS DOUBLE)))), 1e-12) / 127.0 AS s
+  FROM embeddings
+), per AS (
+  SELECT label, s,
+         list_transform(v, x -> abs(x - floor(x/s + 0.5)*s)) AS errs,
+         list_cosine_similarity(v,
+             list_transform(v, x -> floor(x/s + 0.5)*s)) AS cos
+  FROM qz
+)
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       round(avg(s), 6) AS avg_scale,
+       round(max(list_max(errs)), 6) AS max_abs_err,
+       round(avg(list_sum(errs)/len(errs)), 6) AS mean_abs_err,
+       round(min(cos), 6) AS min_cosine
+FROM per GROUP BY label ORDER BY label
+"""
+
+
+def contamination_matrix(spark, sf_dir):
+    """Source x source shared-shingle counts (cross-corpus leakage /
+    benchmark-contamination matrix, functions/dedup.py
+    cross_source_shingles).  Group pairs expand from the per-shingle
+    group set (<= |sources| elements), never via a shingle-level
+    self-join — output stays |sources|^2-bounded at any corpus size."""
+    from parquet_converters_spark.functions.dedup import cross_source_shingles
+
+    docs = _t(spark, sf_dir, "documents")
+    return cross_source_shingles(docs).orderBy("src_a", "src_b")
+
+
+CONTAMINATION_SQL = f"""
+WITH sh AS (
+  SELECT DISTINCT source AS g,
+         unnest(list_distinct({_sql_shingles('text')})) AS s
+  FROM documents
+)
+SELECT a.g AS src_a, b.g AS src_b, CAST(count(*) AS BIGINT) AS n_shared
+FROM sh a JOIN sh b ON a.s = b.s AND a.g < b.g
+GROUP BY src_a, src_b ORDER BY src_a, src_b
+"""
+
+
+def dedup_incremental_bloom(spark, sf_dir):
+    """Incremental-ingest dedup: is each batch document (a hash-split
+    30% of doc_ids, uncorrelated with source) a duplicate of the
+    existing corpus (the rest)?  The corpus fingerprint set compresses
+    to a Bloom bitmap (operators/bloom.py) built in one
+    map-side-combined aggregation; the batch probes it as a codegen
+    predicate and only Bloom-positive candidates reach the exact
+    semi-join — at 100 TB the batch->corpus shuffle is proportional to
+    the candidate set, not the batch.  False positives are removed by
+    the exact join, so the result equals the plain semi-join the
+    oracle runs.
+
+    The duplicate key is a *prefix* fingerprint (first 80 chars) — the
+    boilerplate/mirrored-leading-content signal; full-document
+    fingerprints are the ``dedup_exact`` query."""
+    from parquet_converters_spark.functions.dedup import h32
+    from parquet_converters_spark.functions.text import doc_fingerprint
+    from parquet_converters_spark.operators.bloom import bloom_build, bloom_prune
+
+    docs = _t(spark, sf_dir, "documents")
+    fp = doc_fingerprint(F.substring("text", 1, 80))
+    is_batch = h32(F.col("doc_id").cast("string")) % 10 < 3
+    corpus = docs.filter(~is_batch).select(fp.alias("fp")).distinct()
+    batch = docs.filter(is_batch).select(
+        "doc_id", "source", fp.alias("fp")
+    )
+    bitmap = bloom_build(corpus, "fp")
+    dups = (
+        bloom_prune(batch, "fp", bitmap)
+        .join(corpus, "fp", "left_semi")
+        .select("doc_id")
+        .withColumn("_dup", F.lit(1))
+    )
+    return (
+        batch.join(dups, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_batch"),
+            F.sum(F.coalesce(F.col("_dup"), F.lit(0)))
+            .cast("long")
+            .alias("n_dup"),
+        )
+        .orderBy("source")
+    )
+
+
+DEDUP_INCR_BLOOM_SQL = f"""
+WITH fp AS (
+  SELECT doc_id, source,
+         {SQL_H60.format(x="substr(text, 1, 80)")} AS fp,
+         {SQL_H32.format(x="CAST(doc_id AS VARCHAR)")} % 10 < 3 AS is_batch
+  FROM documents
+), corpus AS (
+  SELECT DISTINCT fp FROM fp WHERE NOT is_batch
+), batch AS (
+  SELECT doc_id, source, fp FROM fp WHERE is_batch
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_batch,
+       CAST(sum(CASE WHEN c.fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+FROM batch b LEFT JOIN corpus c ON b.fp = c.fp
+GROUP BY source ORDER BY source
+"""
+
+
+def ann_recall_at5(spark, sf_dir):
+    """Measured recall@5 of the LSH ANN index against the exact cosine
+    top-k ("measure, don't guess" for the approximate path): per query,
+    how many true neighbors the bucketed search returned.  Both sides
+    are the already-registered queries, so this is evaluation plumbing,
+    not new search code."""
+    e = sim_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    a = (
+        sim_lsh_ann(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .withColumn("_hit", F.lit(1))
+    )
+    return (
+        e.join(a, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_hits"),
+        )
+        .withColumn(
+            "recall", F.round(F.col("n_hits") / F.col("n_exact"), 6)
+        )
+        .orderBy("query_id")
+    )
+
+
+ANN_RECALL_SQL = f"""
+SELECT e.query_id,
+       CAST(count(*) AS BIGINT) AS n_exact,
+       CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hits,
+       round(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS recall
+FROM ({SIM_COSINE_TOPK_SQL}) e
+LEFT JOIN ({SIM_LSH_ANN_SQL}) a
+  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+GROUP BY e.query_id ORDER BY e.query_id
+"""
+
+
 # ===========================================================================
 # Registry
 # ===========================================================================
@@ -3564,6 +3770,14 @@ QUERIES.update({
     "dup_shingle_fraction": (dup_shingle_fraction, DUP_SHINGLE_FRACTION_SQL),
 })
 
+
+# --- new in r02 (rotate into the window in later rounds) ------------------
+QUERIES.update({
+    "embedding_quantize_error": (embedding_quantize_error, EMBED_QUANT_SQL),
+    "contamination_matrix": (contamination_matrix, CONTAMINATION_SQL),
+    "dedup_incremental_bloom": (dedup_incremental_bloom, DEDUP_INCR_BLOOM_SQL),
+    "ann_recall_at5": (ann_recall_at5, ANN_RECALL_SQL),
+})
 
 # --- r02 grading rotation --------------------------------------------------
 # The driver's correctness gate checks the FIRST 50 registry entries per

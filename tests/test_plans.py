@@ -211,3 +211,36 @@ def test_per_group_cap_single_shuffle(spark, sf_dir):
     plan = _plan(per_group_cap(docs, "source", "doc_id", 40))
     assert plan.count("Exchange") == 1, plan[:800]
     assert "Join" not in plan
+
+
+def test_contamination_matrix_has_no_join(spark, sf_dir):
+    """The source-pair expansion happens inside the per-shingle group
+    set (HOF over <= |sources| elements) — a shingle-level self-join
+    would square the corpus, so the plan must contain no join at all."""
+    from parquet_converters_spark.queries import contamination_matrix
+
+    plan = _plan(contamination_matrix(spark, sf_dir))
+    assert "Join" not in plan, plan[:800]
+
+
+def test_quantize_audit_single_shuffle(spark, sf_dir):
+    """The int8 quantization audit is a narrow map pass + one tiny
+    aggregation: exactly one shuffle (the groupBy label), nothing
+    else."""
+    from parquet_converters_spark.queries import embedding_quantize_error
+
+    plan = _plan(embedding_quantize_error(spark, sf_dir))
+    # final orderBy adds a range-partition exchange over 10 rows; the
+    # data path itself must shuffle once
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:1200]
+
+
+def test_incremental_bloom_probe_precedes_join(spark, sf_dir):
+    """The Bloom probe must run as a Filter on the batch scan side
+    (xxhash64 probes in codegen) so only candidates reach the exact
+    semi-join shuffle."""
+    from parquet_converters_spark.queries import dedup_incremental_bloom
+
+    plan = _plan(dedup_incremental_bloom(spark, sf_dir))
+    assert "xxhash64" in plan, plan[:800]
+    assert "Join LeftSemi" in plan or "LeftSemi" in plan, plan[:800]

@@ -257,3 +257,52 @@ def doc_fingerprint(text: Column | str) -> Column:
     return F.conv(F.substring(F.md5(_col(text).cast("string")), 1, 15), 16, 10).cast(
         "long"
     )
+
+
+def with_char_entropy_arrow(
+    df,
+    text_col: str = "text",
+    out_col: str = "entropy",
+    precision: int = 3,
+):
+    """Arrow-batched counterpart of :func:`char_entropy` (same rounded
+    values): one ``mapInPandas`` pass computing each document's
+    character histogram in Python.
+
+    Measured at sf0.1 (5000 docs, ~10 MB text): the interpreted
+    higher-order-function form pays ~distinct_chars x len lambda
+    invocations per document (HOFs run outside whole-stage codegen),
+    while this path is one Arrow transfer + a Counter per doc —
+    use it when char-level stats dominate a pipeline stage.  Rounding
+    to ``precision`` absorbs the summation-order float noise between
+    the two paths (asserted equal in tests).
+    """
+    from collections import Counter
+    from math import log2
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    # NB: StructType.add mutates in place — never call it on df.schema
+    # (that corrupts the input DataFrame's cached schema object)
+    schema = StructType(
+        list(df.schema.fields) + [StructField(out_col, DoubleType())]
+    )
+
+    def fn(batches):
+        for pdf in batches:
+            ents = []
+            for t in pdf[text_col]:
+                t = t or ""
+                n = len(t)
+                if n == 0:
+                    ents.append(0.0)
+                    continue
+                e = -sum(
+                    (v / n) * log2(v / n) for v in Counter(t).values()
+                )
+                ents.append(round(e, precision))
+            pdf = pdf.copy()
+            pdf[out_col] = ents
+            yield pdf
+
+    return df.mapInPandas(fn, schema)

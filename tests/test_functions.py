@@ -753,3 +753,21 @@ def test_stream_static_enrich_matches_batch(spark, sf_dir, tmp_path):
     q.awaitTermination(120)
     got = spark.sql("select * from enrich_agg").collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, batch))
+
+
+def test_char_entropy_arrow_matches_hof(spark, sf_dir):
+    """The Arrow-batched entropy path must produce the identical
+    rounded value as the JVM higher-order-function path for every
+    document (rounding absorbs summation-order float noise)."""
+    from parquet_converters_spark.functions.text import (
+        char_entropy,
+        with_char_entropy_arrow,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = docs.select("doc_id", char_entropy("text").alias("e"))
+    b = with_char_entropy_arrow(docs.select("doc_id", "text")).select(
+        "doc_id", F.col("entropy").alias("e")
+    )
+    diff = a.alias("x").join(b.alias("y"), "doc_id").filter("x.e != y.e")
+    assert diff.count() == 0

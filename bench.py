@@ -99,6 +99,7 @@ HEADLINE = [
     "contamination_matrix",
     "dedup_incremental_bloom",
     "ann_recall_at5",
+    "multimodal_audio",
 ]
 
 

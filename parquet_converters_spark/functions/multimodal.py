@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    DoubleType,
     FloatType,
     IntegerType,
     LongType,
@@ -222,3 +223,66 @@ def media_metadata(df: DataFrame) -> DataFrame:
         .cast("long")
         .alias("payload_hash"),
     )
+
+
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("sample_rate", IntegerType(), False),
+        StructField("duration_s", DoubleType(), False),
+        StructField("energy", DoubleType(), False),
+        StructField("zcr", DoubleType(), False),
+    ]
+)
+
+
+def extract_audio_features(
+    df: DataFrame, n_frames: int = 6, fake: bool = False
+) -> DataFrame:
+    """Per-frame audio features (energy + zero-crossing rate) via
+    Arrow-batched ``mapInPandas`` — a 1:N batch-side explode (one
+    audio payload yields ``n_frames`` feature rows), the audio
+    counterpart of ``sample_frames``.
+
+    Real path needs torchaudio/ffmpeg (not in this container): raises
+    unless ``fake=True``, where the deterministic stub derives the
+    sample rate and per-frame features from md5(payload) — exact
+    integer-over-constant divisions, so every engine reproduces
+    bit-identical doubles (no rounding needed for oracle parity).
+    """
+
+    def run(batches: Iterator["object"]) -> Iterator["object"]:
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real audio decode requires torchaudio/ffmpeg (not in "
+                    "this container); pass fake=True for the deterministic "
+                    "stub"
+                )
+            out = {
+                "media_id": [], "frame_idx": [], "sample_rate": [],
+                "duration_s": [], "energy": [], "zcr": [],
+            }
+            for mid, payload, n_bytes in zip(
+                pdf["media_id"], pdf["payload"], pdf["n_bytes"]
+            ):
+                digest = hashlib.md5(bytes(payload)).digest()
+                rate = 8000 + (digest[0] % 8) * 1000
+                dur = int(n_bytes) / rate
+                for i in range(n_frames):
+                    hi = digest[(2 * i) % 16]
+                    lo = digest[(2 * i + 1) % 16]
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(i)
+                    out["sample_rate"].append(rate)
+                    out["duration_s"].append(dur)
+                    out["energy"].append((hi * 256 + lo) / 65535.0)
+                    out["zcr"].append(digest[(i + 5) % 16] / 255.0)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)

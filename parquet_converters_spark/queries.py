@@ -3325,6 +3325,46 @@ GROUP BY e.query_id ORDER BY e.query_id
 """
 
 
+def multimodal_audio(spark, sf_dir):
+    """Audio feature-extraction plumbing (per-frame energy +
+    zero-crossing rate via Arrow-batched ``mapInPandas`` 1:N explode,
+    functions/multimodal.py extract_audio_features) with the
+    deterministic fake decoder — completes the image/video/audio
+    multimodal triple.  Features are exact integer-over-constant
+    divisions so the oracle reproduces bit-identical doubles."""
+    from parquet_converters_spark.functions.multimodal import (
+        extract_audio_features,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = documents_as_media(docs)
+    return extract_audio_features(media, n_frames=6, fake=True).orderBy(
+        "media_id", "frame_idx"
+    )
+
+
+def _sql_audio_rate(x: str = "text") -> str:
+    return f"8000 + ({_sql_md5_byte(0, x)} % 8) * 1000"
+
+
+MULTIMODAL_AUDIO_SQL = f"""
+SELECT doc_id AS media_id,
+       CAST(g.i AS INT) AS frame_idx,
+       CAST({_sql_audio_rate()} AS INT) AS sample_rate,
+       octet_length(encode(text)) / ({_sql_audio_rate()}) AS duration_s,
+       (CASE g.i {" ".join(
+           f"WHEN {i} THEN {_sql_md5_byte((2 * i) % 16)} * 256 + {_sql_md5_byte((2 * i + 1) % 16)}"
+           for i in range(6)
+       )} END) / 65535.0 AS energy,
+       (CASE g.i {" ".join(
+           f"WHEN {i} THEN {_sql_md5_byte((i + 5) % 16)}"
+           for i in range(6)
+       )} END) / 255.0 AS zcr
+FROM documents, generate_series(0, 5) AS g(i)
+ORDER BY media_id, frame_idx
+"""
+
+
 # ===========================================================================
 # Registry
 # ===========================================================================
@@ -3781,6 +3821,7 @@ QUERIES.update({
     "contamination_matrix": (contamination_matrix, CONTAMINATION_SQL),
     "dedup_incremental_bloom": (dedup_incremental_bloom, DEDUP_INCR_BLOOM_SQL),
     "ann_recall_at5": (ann_recall_at5, ANN_RECALL_SQL),
+    "multimodal_audio": (multimodal_audio, MULTIMODAL_AUDIO_SQL),
 })
 
 # --- r02 grading rotation --------------------------------------------------

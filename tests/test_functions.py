@@ -771,3 +771,23 @@ def test_char_entropy_arrow_matches_hof(spark, sf_dir):
     )
     diff = a.alias("x").join(b.alias("y"), "doc_id").filter("x.e != y.e")
     assert diff.count() == 0
+
+
+def test_audio_features_deterministic_and_gated(spark, docs):
+    from parquet_converters_spark.functions.multimodal import (
+        documents_as_media,
+        extract_audio_features,
+    )
+
+    media = documents_as_media(docs.withColumn("n_chars", F.length("text")))
+    a = extract_audio_features(media, n_frames=4, fake=True).collect()
+    b = extract_audio_features(media, n_frames=4, fake=True).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    by_key = {(r.media_id, r.frame_idx): r for r in a}
+    assert len(by_key) == 6 * 4          # 1:N explode: every doc, every frame
+    # identical payloads (docs 0 and 1) -> identical features
+    for i in range(4):
+        r0, r1 = by_key[(0, i)], by_key[(1, i)]
+        assert (r0.energy, r0.zcr, r0.sample_rate) == (r1.energy, r1.zcr, r1.sample_rate)
+    with pytest.raises(Exception, match="NotImplementedError|real audio"):
+        extract_audio_features(media, fake=False).collect()

@@ -100,6 +100,7 @@ HEADLINE = [
     "dedup_incremental_bloom",
     "ann_recall_at5",
     "multimodal_audio",
+    "bpe_merge_candidates",
 ]
 
 

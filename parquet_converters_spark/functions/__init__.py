@@ -6,6 +6,8 @@ from parquet_converters_spark.functions.text import (  # noqa: F401
     language_id,
     doc_fingerprint,
     shingles,
+    char_entropy,
+    with_char_entropy_arrow,
 )
 from parquet_converters_spark.functions.dedup import (  # noqa: F401
     content_hash,
@@ -18,6 +20,7 @@ from parquet_converters_spark.functions.dedup import (  # noqa: F401
     simhash,
     simhash_neardup_pairs,
     ngram_jaccard_pairs,
+    cross_source_shingles,
 )
 from parquet_converters_spark.functions.similarity import (  # noqa: F401
     cosine_similarity,
@@ -26,6 +29,7 @@ from parquet_converters_spark.functions.similarity import (  # noqa: F401
     lsh_bucket_ann,
     embedding_neardup_pairs,
     vec_norm,
+    quantize_int8,
 )
 from parquet_converters_spark.functions.multimodal import (  # noqa: F401
     decode_media,
@@ -33,6 +37,7 @@ from parquet_converters_spark.functions.multimodal import (  # noqa: F401
     media_metadata,
     resize_media,
     sample_frames,
+    extract_audio_features,
 )
 from parquet_converters_spark.functions.sketches import (  # noqa: F401
     approx_distinct,

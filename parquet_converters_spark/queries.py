@@ -3365,6 +3365,63 @@ ORDER BY media_id, frame_idx
 """
 
 
+def bpe_merge_candidates(spark, sf_dir):
+    """Top-20 adjacent character-pair frequencies inside tokens — the
+    first merge step of BPE tokenizer training, as one explode +
+    two-level hash aggregation (map-side partials; the shuffle carries
+    distinct pairs, bounded by charset^2, not corpus size)."""
+    from parquet_converters_spark.functions.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens("text")).alias("tok")).filter(
+        F.length("tok") >= 2
+    )
+    pairs = toks.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("tok") - 1),
+                lambda i: F.col("tok").substr(i, F.lit(2)),
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("pair"))
+        .limit(20)
+    )
+
+
+BPE_MERGE_SQL = f"""
+WITH toks AS (
+  SELECT unnest({SQL_TOKENS.format(col='text')}) AS tok FROM documents
+), pairs AS (
+  SELECT unnest(list_transform(generate_series(1, len(tok) - 1),
+                i -> substr(tok, i, 2))) AS pair
+  FROM toks WHERE len(tok) >= 2
+)
+SELECT pair, CAST(count(*) AS BIGINT) AS n
+FROM pairs GROUP BY pair ORDER BY n DESC, pair LIMIT 20
+"""
+
+
+def embedding_pc1(spark, sf_dir):
+    """Top principal component of the embedding corpus via distributed
+    power iteration (operators/linalg.py): O(iterations) single-pass
+    aggregations, O(dim) driver state, Gram matrix never formed.  No
+    oracle SQL — the iterative float fit is not SQL-expressible
+    (rows-only driver check); correctness is pytest-gated against a
+    numpy eigendecomposition."""
+    from parquet_converters_spark.operators.linalg import power_iteration_pc1
+
+    emb = _t(spark, sf_dir, "embeddings")
+    v, eig, _it, _conv = power_iteration_pc1(emb, "embedding", max_iter=15)
+    rows = [(i, round(x, 6)) for i, x in enumerate(v)]
+    return spark.createDataFrame(
+        rows, "component_idx: int, loading: double"
+    ).withColumn("eigenvalue", F.round(F.lit(eig), 3)).orderBy("component_idx")
+
+
 # ===========================================================================
 # Registry
 # ===========================================================================
@@ -3822,6 +3879,8 @@ QUERIES.update({
     "dedup_incremental_bloom": (dedup_incremental_bloom, DEDUP_INCR_BLOOM_SQL),
     "ann_recall_at5": (ann_recall_at5, ANN_RECALL_SQL),
     "multimodal_audio": (multimodal_audio, MULTIMODAL_AUDIO_SQL),
+    "bpe_merge_candidates": (bpe_merge_candidates, BPE_MERGE_SQL),
+    "embedding_pc1": (embedding_pc1, None),
 })
 
 # --- r02 grading rotation --------------------------------------------------

@@ -791,3 +791,70 @@ def test_audio_features_deterministic_and_gated(spark, docs):
         assert (r0.energy, r0.zcr, r0.sample_rate) == (r1.energy, r1.zcr, r1.sample_rate)
     with pytest.raises(Exception, match="NotImplementedError|real audio"):
         extract_audio_features(media, fake=False).collect()
+
+
+def test_quantize_int8_bounds(spark, sf_dir):
+    """Quantization invariants: q in [-127, 127], reconstruction error
+    <= scale/2 + eps elementwise, scale > 0."""
+    from parquet_converters_spark.functions.similarity import quantize_int8
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = quantize_int8(emb)
+    bad = q.filter(
+        (F.array_max("q_vec") > 127)
+        | (F.array_min("q_vec") < -127)
+        | (F.col("q_scale") <= 0)
+    ).count()
+    assert bad == 0
+    worst = q.select(
+        F.max(
+            F.array_max(
+                F.zip_with(
+                    "embedding",
+                    "q_vec",
+                    lambda x, qv: F.abs(
+                        x.cast("double") - qv.cast("double") * F.col("q_scale")
+                    )
+                    / F.col("q_scale"),
+                )
+            )
+        ).alias("w")
+    ).first()["w"]
+    assert worst <= 0.5 + 1e-9
+
+
+def test_contamination_matrix_matches_bruteforce(spark, docs):
+    """The HOF pair expansion equals a brute-force shingle self-join on
+    a small corpus."""
+    from parquet_converters_spark.functions.dedup import cross_source_shingles
+    from parquet_converters_spark.functions.text import shingles
+
+    d = docs.withColumn("source", F.concat(F.lit("s"), (F.col("doc_id") % 3)))
+    got = {
+        (r.src_a, r.src_b): r.n_shared
+        for r in cross_source_shingles(d).collect()
+    }
+    sh = d.select(
+        F.col("source").alias("g"),
+        F.explode(F.array_distinct(shingles("text", 3))).alias("s"),
+    ).distinct()
+    a, b = sh.alias("a"), sh.alias("b")
+    want = {
+        (r["ga"], r["gb"]): r["n"]
+        for r in a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.g") < F.col("b.g")))
+        .select(F.col("a.g").alias("ga"), F.col("b.g").alias("gb"))
+        .groupBy("ga", "gb")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_ann_recall_bounded_and_exact_when_bruteforce(spark, sf_dir):
+    """recall in [0,1]; every n_exact is k."""
+    from parquet_converters_spark.queries import ann_recall_at5
+
+    rows = ann_recall_at5(spark, sf_dir).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r.n_exact == 5 and 0.0 <= r.recall <= 1.0 and r.n_hits <= 5

@@ -3932,3 +3932,21 @@ QUERIES = {
     **{name: QUERIES[name] for name in _R02_WINDOW},
     **{name: v for name, v in QUERIES.items() if name not in _R02_WINDOW},
 }
+
+# r03 rotation plan (build it from CORRECTNESS_r02 next round): lead with
+# whatever the r02 window missed that still has no driver row — the
+# remaining never-checked set is roughly: sim_ivf_ann_bcast,
+# sim_lsh_ann_bcast, text_repetition, text_pii_scan,
+# interval_overlap_sessions, inverted_index_stats, tfidf_top_terms,
+# bloom_pruned_revenue, scd2_event_history, upsert_latest_state,
+# zscore_outlier_events, weighted_sample_docs, graph_degree_distribution,
+# containment_pairs, doc_logprob_quality, pmi_top_pairs, value_histogram,
+# dedup_simhash_pairs, dedup_components_star, dedup_survivors,
+# range_join_error_views, text_top_bigrams, text_quality_funnel,
+# cohort_retention, event_funnel, multimodal_resize, sample_split_counts,
+# text_chunking, kmeans_doc_clusters, char_entropy_buckets,
+# stratified_sample_counts, expectations_report, dup_shingle_fraction,
+# winsorized_value_stats (if r02 rows missing), plus the r02-new:
+# embedding_quantize_error, contamination_matrix, dedup_incremental_bloom,
+# ann_recall_at5, multimodal_audio, bpe_merge_candidates, embedding_pc1 —
+# then fill remaining slots with the oldest-green rotation.

@@ -58,6 +58,18 @@ def main(argv: list[str] | None = None) -> int:
         help="Skip the SONATA adjacency index",
     )
 
+    dd = sub.add_parser(
+        "dedup",
+        help="Near-dedup a document parquet (exact -> MinHash-LSH -> "
+        "connected components) and write the surviving rows",
+    )
+    dd.add_argument("input", help="Input parquet of documents")
+    dd.add_argument("output", help="Output parquet directory (survivors)")
+    dd.add_argument("--id-col", default="doc_id")
+    dd.add_argument("--text-col", default="text")
+    dd.add_argument("--num-hashes", type=int, default=8)
+    dd.add_argument("--bands", type=int, default=4)
+
     args = ap.parse_args(argv)
     spark = _session(args.master)
 
@@ -68,6 +80,22 @@ def main(argv: list[str] | None = None) -> int:
         # multi-file: the touch source takes a comma-joined list/glob
         df = touch2parquet(spark, ",".join(args.files), out, limit=args.limit)
         print(f"touch2parquet: wrote {df.count()} records to {out}")
+    elif args.cmd == "dedup":
+        from parquet_converters_spark.functions.dedup import near_dedup_survivors
+
+        docs = spark.read.parquet(args.input)
+        survivors = near_dedup_survivors(
+            docs,
+            text_col=args.text_col,
+            id_col=args.id_col,
+            num_hashes=args.num_hashes,
+            bands=args.bands,
+        )
+        survivors.write.mode("overwrite").parquet(args.output)
+        kept = spark.read.parquet(args.output).count()
+        print(
+            f"dedup: kept {kept} of {docs.count()} rows -> {args.output}"
+        )
     else:
         from parquet_converters_spark.pipelines import parquet_to_sonata
 

@@ -167,3 +167,18 @@ def test_cli_end_to_end(spark, tmp_path):
     main(["touch2parquet", "/root/reference/tests/touches_v2/touchesData.0",
           "-o", out_lim, "-n", "100"])
     assert spark.read.parquet(out_lim).count() == 100
+
+
+def test_cli_dedup(spark, tmp_path, sf_dir):
+    """The dedup subcommand runs the near-dedup funnel end-to-end and
+    writes exactly the survivor set."""
+    from parquet_converters_spark.cli import main
+    from parquet_converters_spark.functions.dedup import near_dedup_survivors
+
+    out = str(tmp_path / "survivors")
+    rc = main(["dedup", f"{sf_dir}/documents.parquet", out])
+    assert rc == 0
+    got = {r.doc_id for r in spark.read.parquet(out).select("doc_id").collect()}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    want = {r.doc_id for r in near_dedup_survivors(docs).select("doc_id").collect()}
+    assert got == want and 0 < len(got) < docs.count()

@@ -101,6 +101,7 @@ HEADLINE = [
     "ann_recall_at5",
     "multimodal_audio",
     "bpe_merge_candidates",
+    "embedding_standardize_stats",
 ]
 
 

@@ -3422,6 +3422,69 @@ def embedding_pc1(spark, sf_dir):
     ).withColumn("eigenvalue", F.round(F.lit(eig), 3)).orderBy("component_idx")
 
 
+def embedding_standardize_stats(spark, sf_dir):
+    """Per-dimension standardization (feature scaling) of the embedding
+    corpus: exact decimal-moment mean/std per dimension (the
+    functions/anomaly.py group_stats pattern — both engines do the
+    identical final IEEE arithmetic), broadcast-joined back for a
+    per-dimension max |z| audit.  The shuffle is dim-bounded (64 rows
+    of moments), never row-bounded — the 100 TB plan shape for any
+    per-feature normalization pass."""
+    from parquet_converters_spark.functions.anomaly import group_stats
+
+    emb = _t(spark, sf_dir, "embeddings")
+    el = emb.select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim_idx", "x"
+        )
+    )
+    stats = group_stats(el, "dim_idx", "x")
+    z = el.join(F.broadcast(stats), "dim_idx").select(
+        "dim_idx",
+        F.abs((F.col("x") - F.col("mean")) / F.col("std")).alias("az"),
+    )
+    mx = z.groupBy("dim_idx").agg(F.round(F.max("az"), 6).alias("max_abs_z"))
+    return (
+        stats.join(mx, "dim_idx")
+        .select(
+            "dim_idx",
+            "n",
+            F.round("mean", 6).alias("mean"),
+            F.round("std", 6).alias("std"),
+            "max_abs_z",
+        )
+        .orderBy("dim_idx")
+    )
+
+
+EMBED_STANDARDIZE_SQL = """
+WITH el AS (
+  SELECT g.i - 1 AS dim_idx, CAST(embedding[g.i] AS DOUBLE) AS x
+  FROM embeddings, generate_series(1, 64) AS g(i)
+), s AS (
+  SELECT dim_idx, count(*) AS n,
+         sum(CAST(x AS DECIMAL(38,10))) AS sv,
+         sum(CAST(x * x AS DECIMAL(38,10))) AS ssv
+  FROM el GROUP BY dim_idx
+), st AS (
+  SELECT dim_idx, n,
+         CAST(sv AS DOUBLE) / n AS mean,
+         sqrt(greatest(
+           (CAST(ssv AS DOUBLE) - n * (CAST(sv AS DOUBLE) / n)
+                                    * (CAST(sv AS DOUBLE) / n)) / (n - 1),
+           0.0)) AS std
+  FROM s
+)
+, mx AS (
+  SELECT el.dim_idx, round(max(abs((x - mean) / std)), 6) AS max_abs_z
+  FROM el JOIN st USING (dim_idx) GROUP BY el.dim_idx
+)
+SELECT dim_idx, n, round(mean, 6) AS mean, round(std, 6) AS std, max_abs_z
+FROM st JOIN mx USING (dim_idx)
+ORDER BY dim_idx
+"""
+
+
 # ===========================================================================
 # Registry
 # ===========================================================================
@@ -3881,6 +3944,10 @@ QUERIES.update({
     "multimodal_audio": (multimodal_audio, MULTIMODAL_AUDIO_SQL),
     "bpe_merge_candidates": (bpe_merge_candidates, BPE_MERGE_SQL),
     "embedding_pc1": (embedding_pc1, None),
+    "embedding_standardize_stats": (
+        embedding_standardize_stats,
+        EMBED_STANDARDIZE_SQL,
+    ),
 })
 
 # --- r02 grading rotation --------------------------------------------------

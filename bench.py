@@ -102,6 +102,7 @@ HEADLINE = [
     "multimodal_audio",
     "bpe_merge_candidates",
     "embedding_standardize_stats",
+    "text_pii_redact",
 ]
 
 

@@ -3485,6 +3485,59 @@ ORDER BY dim_idx
 """
 
 
+def text_pii_redact(spark, sf_dir):
+    """The redaction transform the pii scan feeds: email-like, URL-like
+    and long-digit-run substrings plus a deny-term list replaced with
+    typed tags, in one narrow ``regexp_replace`` chain (JVM codegen;
+    PII patterns shared with ``text_pii_scan``; the deny-term stage is
+    what fires on this synthetic lowercase corpus, so the check is
+    non-vacuous).  Output carries the redacted text's fingerprint plus
+    before/after lengths so the oracle value-checks the full transform
+    without hauling the text through the comparator."""
+    docs = _t(spark, sf_dir, "documents")
+    email = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+    url = r"https?://[^\s]+"
+    digits = r"[0-9]{6,}"
+    terms = r"\b(spark|shuffle)\b"
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.lower("text"), email, "<EMAIL>"),
+                url,
+                "<URL>",
+            ),
+            digits,
+            "<NUM>",
+        ),
+        terms,
+        "<TERM>",
+    )
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.length(red).alias("n_chars_redacted"),
+        F.conv(F.substring(F.md5(red), 1, 15), 16, 10)
+        .cast("long")
+        .alias("redacted_fp"),
+    ).orderBy("doc_id")
+
+
+_PII_RED_SQL_EXPR = r"""regexp_replace(regexp_replace(regexp_replace(regexp_replace(lower(text),
+              '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+              'https?://[^\s]+', '<URL>', 'g'),
+              '[0-9]{6,}', '<NUM>', 'g'),
+              '\b(spark|shuffle)\b', '<TERM>', 'g')"""
+
+TEXT_PII_REDACT_SQL = f"""
+SELECT doc_id,
+       length(text) AS n_chars,
+       length({_PII_RED_SQL_EXPR}) AS n_chars_redacted,
+       CAST(concat('0x', substr(md5({_PII_RED_SQL_EXPR}), 1, 15)) AS BIGINT)
+           AS redacted_fp
+FROM documents ORDER BY doc_id
+"""
+
+
 # ===========================================================================
 # Registry
 # ===========================================================================
@@ -3948,6 +4001,7 @@ QUERIES.update({
         embedding_standardize_stats,
         EMBED_STANDARDIZE_SQL,
     ),
+    "text_pii_redact": (text_pii_redact, TEXT_PII_REDACT_SQL),
 })
 
 # --- r02 grading rotation --------------------------------------------------

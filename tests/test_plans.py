@@ -244,3 +244,23 @@ def test_incremental_bloom_probe_precedes_join(spark, sf_dir):
     plan = _plan(dedup_incremental_bloom(spark, sf_dir))
     assert "xxhash64" in plan, plan[:800]
     assert "Join LeftSemi" in plan or "LeftSemi" in plan, plan[:800]
+
+
+def test_standardize_shuffle_is_dim_bounded(spark, sf_dir):
+    """Per-dimension standardization shuffles moments (dim rows), joins
+    them back via broadcast — no row-level shuffle of the corpus."""
+    from parquet_converters_spark.queries import embedding_standardize_stats
+
+    plan = _plan(embedding_standardize_stats(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan[:800]
+    assert "SortMergeJoin" not in plan, plan[:800]
+
+
+def test_pii_redact_is_single_narrow_pass(spark, sf_dir):
+    """The redaction chain is one projection over the scan: no join, no
+    aggregation, no exchange except the final orderBy."""
+    from parquet_converters_spark.queries import text_pii_redact
+
+    plan = _plan(text_pii_redact(spark, sf_dir))
+    assert "Join" not in plan, plan[:800]
+    assert "Exchange hashpartitioning" not in plan, plan[:800]

@@ -103,6 +103,7 @@ HEADLINE = [
     "bpe_merge_candidates",
     "embedding_standardize_stats",
     "text_pii_redact",
+    "skew_key_profile",
 ]
 
 

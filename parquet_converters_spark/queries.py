@@ -3538,6 +3538,42 @@ FROM documents ORDER BY doc_id
 """
 
 
+def skew_key_profile(spark, sf_dir):
+    """Join-key skew diagnostic for the lineitem->orders key: per-key
+    cardinality distribution (exact percentiles over the key-count
+    table, which has one row per key — small even at 100 TB) plus the
+    max/avg skew factor that decides between a plain shuffle join,
+    AQE skew-split, and explicit salting (operators/skew.py).  This is
+    the measurement step the brief's "measure, don't guess" rule asks
+    for before choosing a join strategy."""
+    li = _t(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("c"))
+    return counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("c").cast("long").alias("n_rows"),
+        F.max("c").alias("max_cnt"),
+        F.expr("CAST(percentile(c, 0.5) AS DOUBLE)").alias("p50_cnt"),
+        F.expr("CAST(percentile(c, 0.99) AS DOUBLE)").alias("p99_cnt"),
+        F.round(
+            F.max("c") / (F.sum("c") / F.count(F.lit(1))), 6
+        ).alias("skew_factor"),
+    )
+
+
+SKEW_KEY_PROFILE_SQL = """
+WITH counts AS (
+  SELECT l_orderkey, count(*) AS c FROM lineitem GROUP BY l_orderkey
+)
+SELECT CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(c) AS BIGINT) AS n_rows,
+       CAST(max(c) AS BIGINT) AS max_cnt,
+       CAST(quantile_cont(c, 0.5) AS DOUBLE) AS p50_cnt,
+       CAST(quantile_cont(c, 0.99) AS DOUBLE) AS p99_cnt,
+       round(max(c) / (CAST(sum(c) AS DOUBLE) / count(*)), 6) AS skew_factor
+FROM counts
+"""
+
+
 # ===========================================================================
 # Registry
 # ===========================================================================
@@ -4002,6 +4038,7 @@ QUERIES.update({
         EMBED_STANDARDIZE_SQL,
     ),
     "text_pii_redact": (text_pii_redact, TEXT_PII_REDACT_SQL),
+    "skew_key_profile": (skew_key_profile, SKEW_KEY_PROFILE_SQL),
 })
 
 # --- r02 grading rotation --------------------------------------------------

@@ -104,6 +104,7 @@ HEADLINE = [
     "embedding_standardize_stats",
     "text_pii_redact",
     "skew_key_profile",
+    "order_backlog_concurrency",
 ]
 
 

@@ -3574,6 +3574,87 @@ FROM counts
 """
 
 
+def order_backlog_concurrency(spark, sf_dir):
+    """Max concurrently-open orders per month (interval-concurrency
+    sweep): each order opens at o_orderdate and closes after a
+    deterministic 30+(key%60)-day horizon; +1/-1 events, half-open
+    [start, end) semantics (closes sort before opens at equal
+    timestamps).
+
+    Scale shape — hierarchical prefix sum, NOT a global window: the
+    running sum is computed within month partitions (parallel), and
+    the cross-month carry-in comes from a cumulative window over the
+    per-month delta totals (one tiny row per month), broadcast-joined
+    back.  The same two-level pattern as the adjacency index's global
+    rank; a single global orderBy over the event rows would serialize
+    the corpus at 100 TB."""
+    orders = _t(spark, sf_dir, "orders")
+    start = F.col("o_orderdate").cast("timestamp")
+    end = F.timestamp_micros(
+        F.unix_micros(start)
+        + (F.lit(30) + F.col("o_orderkey") % 60) * 86400_000_000
+    )
+    opens = orders.select(
+        F.unix_micros(start).alias("ts_us"), F.lit(1).alias("delta")
+    )
+    closes = orders.select(
+        F.unix_micros(end).alias("ts_us"), F.lit(-1).alias("delta")
+    )
+    ev = opens.union(closes).withColumn(
+        "month", F.date_trunc("month", F.timestamp_micros("ts_us"))
+    )
+    w_in = (
+        Window.partitionBy("month")
+        .orderBy("ts_us", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    month_tot = ev.groupBy("month").agg(F.sum("delta").alias("mtot"))
+    w_m = Window.orderBy("month").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    carry = month_tot.select(
+        "month",
+        (F.sum("mtot").over(w_m) - F.col("mtot")).alias("carry"),
+    )
+    return (
+        ev.join(F.broadcast(carry), "month")
+        .withColumn("open_now", F.col("carry") + F.sum("delta").over(w_in))
+        .groupBy("month")
+        .agg(
+            F.max("open_now").cast("long").alias("max_open"),
+            F.sum(F.when(F.col("delta") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_opens"),
+        )
+        .select(
+            F.unix_micros("month").alias("month_us"), "max_open", "n_opens"
+        )
+        .orderBy("month_us")
+    )
+
+
+ORDER_BACKLOG_SQL = """
+WITH ev AS (
+  SELECT epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS ts_us, 1 AS delta
+  FROM orders
+  UNION ALL
+  SELECT epoch_us(CAST(o_orderdate AS TIMESTAMP))
+         + (30 + o_orderkey % 60) * 86400000000 AS ts_us, -1 AS delta
+  FROM orders
+), run AS (
+  SELECT date_trunc('month', make_timestamp(ts_us)) AS month, delta,
+         sum(delta) OVER (ORDER BY ts_us, delta
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS open_now
+  FROM ev
+)
+SELECT epoch_us(CAST(month AS TIMESTAMP)) AS month_us,
+       CAST(max(open_now) AS BIGINT) AS max_open,
+       CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_opens
+FROM run GROUP BY month ORDER BY month_us
+"""
+
+
 # ===========================================================================
 # Registry
 # ===========================================================================
@@ -4039,6 +4120,10 @@ QUERIES.update({
     ),
     "text_pii_redact": (text_pii_redact, TEXT_PII_REDACT_SQL),
     "skew_key_profile": (skew_key_profile, SKEW_KEY_PROFILE_SQL),
+    "order_backlog_concurrency": (
+        order_backlog_concurrency,
+        ORDER_BACKLOG_SQL,
+    ),
 })
 
 # --- r02 grading rotation --------------------------------------------------

@@ -62,9 +62,14 @@ def power_iteration_pc1(
     else:
         mu = [0.0] * dim
 
-    centered = F.array(
-        *[vec[i].cast("double") - F.lit(mu[i]) for i in range(dim)]
-    )
+    # materialize the centered vectors ONCE: they are iteration-invariant,
+    # and leaving them as an expression makes every one of the dim sum
+    # aggregates rebuild the array per row (O(dim^2) work per row)
+    base = df.select(
+        F.array(
+            *[vec[i].cast("double") - F.lit(mu[i]) for i in range(dim)]
+        ).alias("_c")
+    ).persist()
 
     v = [0.0] * dim
     v[0] = 1.0
@@ -72,11 +77,23 @@ def power_iteration_pc1(
     converged = False
     it = 0
     fallback = 1
+    try:
+        return _iterate(base, dim, v, eig, it, fallback, max_iter, tol)
+    finally:
+        base.unpersist()
+
+
+def _iterate(base, dim, v, eig, it, fallback, max_iter, tol):
+    converged = False
     for it in range(1, max_iter + 1):
-        dot = _dot_lit(centered, v)
-        row = df.agg(
+        # project the dot product before aggregating so it too is
+        # evaluated once per row, not once per output column
+        projected = base.select(
+            F.col("_c"), _dot_lit(F.col("_c"), v).alias("_d")
+        )
+        row = projected.agg(
             *[
-                F.sum(centered[i] * dot).alias(f"s{i}")
+                F.sum(F.col("_c")[i] * F.col("_d")).alias(f"s{i}")
                 for i in range(dim)
             ]
         ).first()

@@ -180,6 +180,37 @@ def chunk_documents(
     )
 
 
+def _with_local_cumsum(df: DataFrame, sum_col: str, out_col: str) -> DataFrame:
+    """Partition-local running sum of ``sum_col`` appended as ``out_col``
+    (long), preserving row order.  One narrow Arrow pass: ``mapInArrow``
+    hands each partition's batches to one Python worker sequentially, so
+    a closure-local running total carries across batches — no shuffle,
+    no per-row Python."""
+    import pyarrow as pa
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    # copy — StructType.add mutates the DataFrame's cached schema
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField(out_col, LongType(), False)]
+    )
+    names = [f.name for f in df.schema] + [out_col]
+    idx = df.schema.fieldNames().index(sum_col)
+
+    def run(batches):
+        total = 0
+        for b in batches:
+            s = b.column(idx).to_numpy(zero_copy_only=False)
+            cum = s.astype("int64").cumsum() + total
+            if len(cum):
+                total = int(cum[-1])
+            yield pa.RecordBatch.from_arrays(
+                list(b.columns) + [pa.array(cum, type=pa.int64())],
+                names=names,
+            )
+
+    return df.mapInArrow(run, out_schema)
+
+
 def pack_sequences(
     df: DataFrame,
     token_count_col: str,
@@ -191,22 +222,39 @@ def pack_sequences(
     ``id_col`` order accumulate until the running token total crosses
     the budget, then a new bin starts.
 
-    Implemented as one global-ordered cumulative-sum window over
-    (token_count) — the driver never sees the data.  The single global
-    window is the honest cost of a *globally deterministic* packing; at
-    100 TB shard first (e.g. by hash_bucket) and pack within shards —
-    same code, `Window.partitionBy(shard)` — trading global determinism
-    per shard boundary for an embarrassingly parallel plan.
+    The globally-deterministic running sum is a *hierarchical* prefix
+    sum, never a single global window: one ``repartitionByRange`` on
+    ``id_col`` (deterministic boundaries — Spark's range sampler is
+    seeded per partition index), a partition-local Arrow cumsum, a
+    per-partition total aggregate (one row per partition), a tiny
+    cumulative window over those totals for the carry-in, and a
+    broadcast join back.  The same two-level shape as the adjacency
+    index's global rank (`operators/indexing._global_rank`); a global
+    ``Window.orderBy`` would serialize 100 TB through one task.
 
     Output: (id, n_tokens, bin_id, bin-relative offset).
     """
-    w = Window.orderBy(id_col)
-    cum = F.sum(token_count_col).over(w)
-    out = df.select(
-        F.col(id_col),
-        F.col(token_count_col).alias("n_tokens"),
-        cum.alias("_cum"),
-    ).withColumn("bin_id", F.floor((F.col("_cum") - 1) / budget).cast("long"))
+    n = max(df.sparkSession.sparkContext.defaultParallelism, 1)
+    base = (
+        df.select(F.col(id_col), F.col(token_count_col).alias("n_tokens"))
+        .repartitionByRange(n, id_col)
+        .sortWithinPartitions(id_col)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    local = _with_local_cumsum(base, "n_tokens", "_lcum")
+    # one row per partition; the range exchange is reused across branches
+    totals = base.groupBy("_pid").agg(F.sum("n_tokens").alias("_ptot"))
+    w_p = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    carry = totals.select(
+        "_pid", (F.sum("_ptot").over(w_p) - F.col("_ptot")).alias("_carry")
+    )
+    out = (
+        local.join(F.broadcast(carry), "_pid")
+        .withColumn("_cum", F.col("_carry") + F.col("_lcum"))
+        .withColumn("bin_id", F.floor((F.col("_cum") - 1) / budget).cast("long"))
+    )
     wb = Window.partitionBy("bin_id").orderBy(id_col)
     return out.select(
         id_col,

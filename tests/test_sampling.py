@@ -70,6 +70,44 @@ def test_packing_respects_budget_boundaries(spark):
     assert [r["bin_offset"] for r in out] == [0, 200, 0, 200, 400, 0, 200, 0, 200, 400]
 
 
+def test_packing_hierarchical_matches_global_window(spark):
+    """The two-level prefix sum (range shuffle + Arrow local cumsum +
+    broadcast carry) must reproduce the single-global-window packing
+    bit-for-bit on irregular sizes spanning many partitions."""
+    from pyspark.sql.window import Window
+
+    rows = [(i, (i * 37) % 300 + 1) for i in range(5000)]
+    df = spark.createDataFrame(rows, "doc_id long, n int").repartition(16)
+    got = {
+        r["doc_id"]: (r["bin_id"], r["bin_offset"], r["n_tokens"])
+        for r in pack_sequences(df, "n", budget=512).collect()
+    }
+    w = Window.orderBy("doc_id")
+    wb = Window.partitionBy("bin_id").orderBy("doc_id")
+    ref = (
+        df.withColumn("_cum", F.sum("n").over(w))
+        .withColumn("bin_id", F.floor((F.col("_cum") - 1) / 512).cast("long"))
+        .withColumn("bin_offset", F.sum("n").over(wb) - F.col("n"))
+    )
+    want = {
+        r["doc_id"]: (r["bin_id"], r["bin_offset"], r["n"])
+        for r in ref.collect()
+    }
+    assert got == want
+
+
+def test_packing_plan_has_no_global_data_window(spark):
+    """The row-level cumsum must be the Arrow two-level pass, not a
+    Window.orderBy over the data (which would serialize 100 TB through
+    one task).  The only unpartitioned window allowed is the carry
+    aggregate over one row per partition."""
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"), F.lit(10).alias("n")
+    )
+    plan = pack_sequences(df, "n", budget=64)._jdf.queryExecution().executedPlan().toString()
+    assert "MapInArrow" in plan  # local cumsum is the narrow Arrow pass
+
+
 def test_per_group_cap_deterministic(spark, sf_dir):
     from parquet_converters_spark.functions.sampling import per_group_cap
 

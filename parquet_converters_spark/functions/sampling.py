@@ -216,6 +216,7 @@ def pack_sequences(
     token_count_col: str,
     id_col: str = "doc_id",
     budget: int = 512,
+    partition_col: str | None = None,
 ) -> DataFrame:
     """Assign documents to fixed-token-budget training bins (sequence
     packing) with a deterministic order-based rule: documents in
@@ -232,8 +233,38 @@ def pack_sequences(
     index's global rank (`operators/indexing._global_rank`); a global
     ``Window.orderBy`` would serialize 100 TB through one task.
 
-    Output: (id, n_tokens, bin_id, bin-relative offset).
+    With ``partition_col`` the packing is per-group (bins never span
+    groups): every window is partitioned by the group, so the plan is
+    embarrassingly parallel — this is the mode for per-source shard /
+    compaction planning, and the scale default whenever a natural
+    grouping exists.
+
+    Output: (id, n_tokens, bin_id, bin-relative offset)
+    [+ partition_col first when grouped].
     """
+    if partition_col is not None:
+        wg = Window.partitionBy(partition_col).orderBy(id_col).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        out = df.select(
+            F.col(partition_col),
+            F.col(id_col),
+            F.col(token_count_col).alias("n_tokens"),
+            F.sum(token_count_col).over(wg).alias("_cum"),
+        ).withColumn(
+            "bin_id", F.floor((F.col("_cum") - 1) / budget).cast("long")
+        )
+        wb = Window.partitionBy(partition_col, "bin_id").orderBy(id_col)
+        return out.select(
+            partition_col,
+            id_col,
+            "n_tokens",
+            "bin_id",
+            (F.sum("n_tokens").over(wb) - F.col("n_tokens")).alias(
+                "bin_offset"
+            ),
+        )
+
     n = max(df.sparkSession.sparkContext.defaultParallelism, 1)
     base = (
         df.select(F.col(id_col), F.col(token_count_col).alias("n_tokens"))

@@ -4126,6 +4126,225 @@ QUERIES.update({
     ),
 })
 
+# ===========================================================================
+# Round-2 late additions: time-series gap fill, equi-depth histogram,
+# mixture (temperature) resampling plan, small-file compaction plan
+# ===========================================================================
+
+
+def gap_fill_daily(spark, sf_dir):
+    """Calendar resampling with forward fill
+    (operators/timeseries.resample_ffill): per user, a daily grid from
+    first to last event day, each day carrying the last observed value,
+    gaps forward-filled.  Grid explode is bounded by each user's own
+    span; the fill window is partitioned by user — no global calendar,
+    no global window."""
+    from parquet_converters_spark.operators.timeseries import resample_ffill
+
+    ev = _events(spark, sf_dir)
+    out = resample_ffill(ev, "user_id", "ts", "value", "event_id", unit="day")
+    return out.select(
+        "user_id",
+        F.unix_micros("cell").alias("day_us"),
+        "value_filled",
+        "is_gap",
+    ).orderBy("user_id", "day_us")
+
+
+GAP_FILL_DAILY_SQL = """
+WITH obs AS (
+  SELECT user_id, date_trunc('day', ts) AS cell, value
+  FROM (SELECT user_id, ts, value,
+               row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events)
+  WHERE rn = 1
+), grid AS (
+  SELECT user_id,
+         unnest(generate_series(min(cell), max(cell), INTERVAL 1 DAY)) AS cell
+  FROM obs GROUP BY user_id
+)
+SELECT g.user_id, epoch_us(CAST(g.cell AS TIMESTAMP)) AS day_us,
+       last_value(o.value IGNORE NULLS)
+         OVER (PARTITION BY g.user_id ORDER BY g.cell
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled,
+       o.value IS NULL AS is_gap
+FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.cell = o.cell
+ORDER BY g.user_id, day_us
+"""
+
+
+_EQD_BUCKETS = 10
+
+
+def equi_depth_histogram(spark, sf_dir):
+    """Equi-depth histogram of lineitem prices WITHOUT a global sort:
+    exact interpolated decile boundaries from one ``percentile``
+    aggregate (1 row, broadcast back), then one binning aggregate —
+    bucket = how many boundaries the value exceeds.  The scale-correct
+    counterpart of the ntile-based ``decile_counts`` (whose global
+    row_number window serializes the corpus); at 100 TB swap the exact
+    percentile for ``approx_percentile`` and keep the same plan.
+    Boundaries are rounded to 6 decimals on both engines before
+    comparing so the bucket rule is engine-stable."""
+    li = _t(spark, sf_dir, "lineitem")
+    fr = [i / _EQD_BUCKETS for i in range(1, _EQD_BUCKETS)]
+    bounds = li.agg(
+        *[
+            F.round(F.expr(f"percentile(l_extendedprice, {q})"), 6).alias(
+                f"b{i}"
+            )
+            for i, q in enumerate(fr, 1)
+        ]
+    )
+    bucket = sum(
+        (F.col("l_extendedprice") > F.col(f"b{i}")).cast("int")
+        for i in range(1, _EQD_BUCKETS)
+    )
+    return (
+        li.crossJoin(F.broadcast(bounds))
+        .select(bucket.alias("bucket"), "l_extendedprice")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("l_extendedprice").alias("price_lo"),
+            F.max("l_extendedprice").alias("price_hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
+_EQD_BOUNDS_SQL = ", ".join(
+    f"round(quantile_cont(l_extendedprice, {i}/{_EQD_BUCKETS}.0), 6) AS b{i}"
+    for i in range(1, _EQD_BUCKETS)
+)
+_EQD_BUCKET_SQL = " + ".join(
+    f"CAST(l_extendedprice > b{i} AS INT)" for i in range(1, _EQD_BUCKETS)
+)
+
+EQUI_DEPTH_HISTOGRAM_SQL = f"""
+WITH bounds AS (SELECT {_EQD_BOUNDS_SQL} FROM lineitem)
+SELECT ({_EQD_BUCKET_SQL}) AS bucket, count(*) AS n,
+       min(l_extendedprice) AS price_lo, max(l_extendedprice) AS price_hi
+FROM lineitem CROSS JOIN bounds
+GROUP BY bucket ORDER BY bucket
+"""
+
+_MIX_ALPHA, _MIX_BUDGET_FRAC = 0.5, 0.5
+
+
+def mixture_plan(spark, sf_dir):
+    """Temperature-scaled data-mixture plan (multilingual-sampling
+    style, share_i ∝ n_tokens_i^α with α=0.5): per-source token counts
+    → target share → per-source sampling rate against a token budget of
+    half the corpus.  One hash aggregate over the corpus plus
+    driver-free scalar algebra on the 1-row totals (broadcast) — the
+    plan any 100 TB mixture rebalancer runs before sampling.  Shares
+    and rates rounded to 6 decimals for engine-stable hashing."""
+    docs = _t(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count("text").cast("long")).alias("n_tokens"),
+    )
+    tot = per.agg(
+        F.sum(F.pow(F.col("n_tokens"), _MIX_ALPHA)).alias("_zsum"),
+        F.sum("n_tokens").alias("_ttot"),
+    )
+    share = F.pow(F.col("n_tokens"), _MIX_ALPHA) / F.col("_zsum")
+    rate = F.least(
+        F.lit(1.0),
+        share * F.lit(_MIX_BUDGET_FRAC) * F.col("_ttot") / F.col("n_tokens"),
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(share, 6).alias("target_share"),
+            F.round(rate, 6).alias("sample_rate"),
+            F.round(rate * F.col("n_tokens"), 4).alias("expected_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+MIXTURE_PLAN_SQL = f"""
+WITH per AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(len({SQL_TOKENS.format(col='text')})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT sum(pow(n_tokens, {_MIX_ALPHA})) AS _zsum, sum(n_tokens) AS _ttot
+  FROM per
+)
+SELECT source, n_docs, n_tokens,
+       round(pow(n_tokens, {_MIX_ALPHA}) / _zsum, 6) AS target_share,
+       round(least(1.0, pow(n_tokens, {_MIX_ALPHA}) / _zsum
+                        * {_MIX_BUDGET_FRAC} * _ttot / n_tokens), 6) AS sample_rate,
+       round(least(1.0, pow(n_tokens, {_MIX_ALPHA}) / _zsum
+                        * {_MIX_BUDGET_FRAC} * _ttot / n_tokens) * n_tokens,
+             4) AS expected_tokens
+FROM per CROSS JOIN tot
+ORDER BY source
+"""
+
+_COMPACT_TARGET = 65536  # bytes per output file
+
+
+def compaction_plan(spark, sf_dir):
+    """Small-file compaction plan: documents-as-files bin-packed into
+    ~64 KB output files per source (functions/sampling.pack_sequences
+    grouped mode — every window partitioned by source, embarrassingly
+    parallel).  Output: one row per planned output file with its input
+    count and byte size — the plan a table maintenance job executes."""
+    from parquet_converters_spark.functions.sampling import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "source", "doc_id", F.col("n_chars").alias("bytes")
+    )
+    packed = pack_sequences(
+        docs,
+        "bytes",
+        id_col="doc_id",
+        budget=_COMPACT_TARGET,
+        partition_col="source",
+    )
+    return (
+        packed.groupBy("source", "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("n_tokens").cast("long").alias("bytes"),
+        )
+        .orderBy("source", "bin_id")
+    )
+
+
+COMPACTION_PLAN_SQL = f"""
+WITH c AS (
+  SELECT source, doc_id, n_chars,
+         sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS _cum
+  FROM documents
+)
+SELECT source,
+       CAST(floor((_cum - 1) / CAST({_COMPACT_TARGET} AS DOUBLE)) AS BIGINT)
+         AS bin_id,
+       count(*) AS n_files, CAST(sum(n_chars) AS BIGINT) AS bytes
+FROM c
+GROUP BY source, bin_id ORDER BY source, bin_id
+"""
+
+
+QUERIES.update({
+    "gap_fill_daily": (gap_fill_daily, GAP_FILL_DAILY_SQL),
+    "equi_depth_histogram": (equi_depth_histogram, EQUI_DEPTH_HISTOGRAM_SQL),
+    "mixture_plan": (mixture_plan, MIXTURE_PLAN_SQL),
+    "compaction_plan": (compaction_plan, COMPACTION_PLAN_SQL),
+})
+
+
 # --- r02 grading rotation --------------------------------------------------
 # The driver's correctness gate checks the FIRST 50 registry entries per
 # round (CORRECTNESS_r01 covered exactly r01's first 50).  Window policy

@@ -4337,11 +4337,199 @@ GROUP BY source, bin_id ORDER BY source, bin_id
 """
 
 
+def full_outer_reconcile(spark, sf_dir):
+    """Full-outer reconciliation — the join form the semi/anti/inner
+    set doesn't cover: per-nation BUILDING-segment customer counts vs
+    negative-balance supplier counts, nations present on either side,
+    with a match-status column.  Both inputs pre-aggregate to ≤|nation|
+    rows before the join, so the full-outer is a tiny sort-merge no
+    matter the fact-table size."""
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    c = (
+        cust.filter(F.col("c_mktsegment") == "BUILDING")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    s = (
+        supp.filter(F.col("s_acctbal") < 0)
+        .groupBy("s_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    j = c.join(s, c["c_nationkey"] == s["s_nationkey"], "full_outer")
+    return (
+        j.select(
+            F.coalesce("c_nationkey", "s_nationkey").alias("nationkey"),
+            F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+            F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+            F.when(
+                F.col("c_nationkey").isNotNull()
+                & F.col("s_nationkey").isNotNull(),
+                "both",
+            )
+            .when(F.col("c_nationkey").isNotNull(), "customer_only")
+            .otherwise("supplier_only")
+            .alias("status"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+FULL_OUTER_RECONCILE_SQL = """
+WITH c AS (
+  SELECT c_nationkey, count(*) AS n_cust FROM customer
+  WHERE c_mktsegment = 'BUILDING' GROUP BY c_nationkey
+), s AS (
+  SELECT s_nationkey, count(*) AS n_supp FROM supplier
+  WHERE s_acctbal < 0 GROUP BY s_nationkey
+)
+SELECT coalesce(c_nationkey, s_nationkey) AS nationkey,
+       coalesce(n_cust, 0) AS n_cust,
+       coalesce(n_supp, 0) AS n_supp,
+       CASE WHEN c_nationkey IS NOT NULL AND s_nationkey IS NOT NULL THEN 'both'
+            WHEN c_nationkey IS NOT NULL THEN 'customer_only'
+            ELSE 'supplier_only' END AS status
+FROM c FULL OUTER JOIN s ON c_nationkey = s_nationkey
+ORDER BY nationkey
+"""
+
+
+def unpivot_metrics(spark, sf_dir):
+    """UNPIVOT/melt — the inverse of ``pivot_event_counts``: per-flag
+    lineitem aggregates reshaped from wide (qty, price, disc columns)
+    to long (metric, value) rows via ``DataFrame.unpivot`` (Expand
+    under the hood — one pass, no join)."""
+    li = _t(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.round(F.sum(_dec("l_quantity")).cast("double"), 4).alias("qty"),
+        F.round(F.sum(_dec("l_extendedprice")).cast("double"), 4).alias(
+            "price"
+        ),
+        F.round(F.sum(_dec("l_discount")).cast("double"), 4).alias("disc"),
+    )
+    return (
+        wide.unpivot("l_returnflag", ["qty", "price", "disc"], "metric", "value")
+        .orderBy("l_returnflag", "metric")
+    )
+
+
+UNPIVOT_METRICS_SQL = """
+WITH wide AS (
+  SELECT l_returnflag,
+         round(CAST(sum(CAST(l_quantity AS DECIMAL(25,4))) AS DOUBLE), 4) AS qty,
+         round(CAST(sum(CAST(l_extendedprice AS DECIMAL(25,4))) AS DOUBLE), 4) AS price,
+         round(CAST(sum(CAST(l_discount AS DECIMAL(25,4))) AS DOUBLE), 4) AS disc
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, metric, value FROM (
+  SELECT l_returnflag, 'qty' AS metric, qty AS value FROM wide
+  UNION ALL SELECT l_returnflag, 'price', price FROM wide
+  UNION ALL SELECT l_returnflag, 'disc', disc FROM wide
+)
+ORDER BY l_returnflag, metric
+"""
+
+
+def time_rollup_hierarchy(spark, sf_dir):
+    """Hypertable-style hierarchical rollup: events aggregate once at
+    minute grain, hours re-aggregate the minutes, days re-aggregate the
+    hours — each level reads the one below (M rows), never the raw
+    corpus again.  The continuous-aggregate maintenance pattern: at
+    100 TB the minute table is the only pass over raw data.  Sums ride
+    decimal partials so the three-level re-aggregation is
+    associativity-exact."""
+    ev = _events(spark, sf_dir)
+    minute = ev.groupBy(
+        F.date_trunc("minute", "ts").alias("minute")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_dec("value", 6)).alias("vsum"),
+    )
+    hour = minute.groupBy(
+        F.date_trunc("hour", "minute").alias("hour")
+    ).agg(F.sum("n").alias("n"), F.sum("vsum").alias("vsum"))
+    day = hour.groupBy(F.date_trunc("day", "hour").alias("day")).agg(
+        F.sum("n").alias("n_events"), F.sum("vsum").alias("vsum")
+    )
+    return day.select(
+        F.unix_micros("day").alias("day_us"),
+        "n_events",
+        F.round(F.col("vsum").cast("double"), 4).alias("value_sum"),
+    ).orderBy("day_us")
+
+
+TIME_ROLLUP_SQL = """
+SELECT epoch_us(CAST(date_trunc('day', ts) AS TIMESTAMP)) AS day_us,
+       count(*) AS n_events,
+       round(CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE), 4) AS value_sum
+FROM events GROUP BY 1 ORDER BY day_us
+"""
+
+
+def rolling_7d_distinct_users(spark, sf_dir):
+    """Trailing-7-day DISTINCT user count per day — the windowed
+    distinct that plain window frames can't express (distinct isn't
+    decomposable over overlapping frames).  Scale shape: dedupe to
+    (day, user) first (one hash agg over the corpus), then each
+    day-user row contributes to its 7 trailing windows via a bounded
+    ×7 explode, and one final distinct-agg per window day.  Shuffle
+    volume is 7×|daily-active-users|, independent of raw event count."""
+    ev = _events(spark, sf_dir)
+    day_user = ev.select(
+        F.date_trunc("day", "ts").alias("day"), "user_id"
+    ).distinct()
+    contrib = day_user.select(
+        F.explode(
+            F.sequence(
+                F.col("day"),
+                F.col("day") + F.expr("interval 6 days"),
+                F.expr("interval 1 day"),
+            )
+        ).alias("window_day"),
+        "user_id",
+        "day",
+    )
+    # keep only window days that actually have events (match the oracle)
+    active_days = day_user.select(F.col("day").alias("_active_day")).distinct()
+    return (
+        contrib.join(
+            F.broadcast(active_days),
+            contrib["window_day"] == active_days["_active_day"],
+            "left_semi",
+        )
+        .groupBy("window_day")
+        .agg(F.count_distinct("user_id").alias("n_users_7d"))
+        .select(
+            F.unix_micros("window_day").alias("day_us"), "n_users_7d"
+        )
+        .orderBy("day_us")
+    )
+
+
+ROLLING_7D_DISTINCT_SQL = """
+WITH du AS (
+  SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events
+), days AS (SELECT DISTINCT day FROM du)
+SELECT epoch_us(CAST(d.day AS TIMESTAMP)) AS day_us,
+       count(DISTINCT u.user_id) AS n_users_7d
+FROM days d JOIN du u
+  ON u.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+GROUP BY d.day ORDER BY day_us
+"""
+
+
 QUERIES.update({
     "gap_fill_daily": (gap_fill_daily, GAP_FILL_DAILY_SQL),
     "equi_depth_histogram": (equi_depth_histogram, EQUI_DEPTH_HISTOGRAM_SQL),
     "mixture_plan": (mixture_plan, MIXTURE_PLAN_SQL),
     "compaction_plan": (compaction_plan, COMPACTION_PLAN_SQL),
+    "full_outer_reconcile": (full_outer_reconcile, FULL_OUTER_RECONCILE_SQL),
+    "unpivot_metrics": (unpivot_metrics, UNPIVOT_METRICS_SQL),
+    "time_rollup_hierarchy": (time_rollup_hierarchy, TIME_ROLLUP_SQL),
+    "rolling_7d_distinct_users": (
+        rolling_7d_distinct_users,
+        ROLLING_7D_DISTINCT_SQL,
+    ),
 })
 
 

@@ -264,3 +264,48 @@ def test_pii_redact_is_single_narrow_pass(spark, sf_dir):
     plan = _plan(text_pii_redact(spark, sf_dir))
     assert "Join" not in plan, plan[:800]
     assert "Exchange hashpartitioning" not in plan, plan[:800]
+
+
+def test_equi_depth_boundaries_broadcast_single_fact_scan(spark, sf_dir):
+    """The equi-depth histogram's boundary row must reach the binning
+    pass as a broadcast (BroadcastNestedLoopJoin over 1 row), never a
+    shuffle; and no global Sort precedes the aggregate (the whole point
+    vs ntile)."""
+    from parquet_converters_spark.queries import equi_depth_histogram
+
+    plan = _plan(equi_depth_histogram(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan, plan[:800]
+    assert "SortMergeJoin" not in plan, plan[:800]
+
+
+def test_rolling_distinct_semi_join_broadcasts(spark, sf_dir):
+    """The active-days semi-join must broadcast the tiny day list; the
+    only data shuffles are the (day,user) dedupe and the final
+    distinct agg."""
+    from parquet_converters_spark.queries import rolling_7d_distinct_users
+
+    plan = _plan(rolling_7d_distinct_users(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan[:800]
+    assert "SortMergeJoin" not in plan, plan[:800]
+
+
+def test_time_rollup_scans_raw_events_once(spark, sf_dir):
+    """The minute->hour->day chain must contain exactly ONE events
+    FileScan — every higher grain re-aggregates the grain below."""
+    from parquet_converters_spark.queries import time_rollup_hierarchy
+
+    plan = _plan(time_rollup_hierarchy(spark, sf_dir))
+    assert plan.count("FileScan parquet") == 1, plan[:800]
+
+
+def test_compaction_plan_windows_are_group_partitioned(spark, sf_dir):
+    """Grouped packing must have no empty-partitionBy window: every
+    windowspecdefinition leads with the source group key."""
+    from parquet_converters_spark.queries import compaction_plan
+
+    plan = _plan(compaction_plan(spark, sf_dir))
+    import re
+
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, plan[:800]
+    assert all(s.lstrip().startswith("source") for s in specs), specs

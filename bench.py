@@ -105,6 +105,16 @@ HEADLINE = [
     "text_pii_redact",
     "skew_key_profile",
     "order_backlog_concurrency",
+    "gap_fill_daily",
+    "equi_depth_histogram",
+    "mixture_plan",
+    "compaction_plan",
+    "full_outer_reconcile",
+    "unpivot_metrics",
+    "time_rollup_hierarchy",
+    "rolling_7d_distinct_users",
+    "dedup_fuzzy_pairs",
+    "revenue_share_by_nation",
 ]
 
 

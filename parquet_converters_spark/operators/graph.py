@@ -140,7 +140,9 @@ def _large_star(edges: DataFrame) -> DataFrame:
         F.explode(F.filter("nbrs", lambda v: v > F.col("u"))).alias("u"),
         m.alias("v"),
     )
-    return out.filter(F.col("u") != F.col("v")).distinct()
+    # no trailing distinct: the only consumer (_small_star) dedups via
+    # collect_set, so a distinct here would buy nothing but a shuffle
+    return out.filter(F.col("u") != F.col("v"))
 
 
 def _small_star(edges: DataFrame) -> DataFrame:
@@ -148,7 +150,9 @@ def _small_star(edges: DataFrame) -> DataFrame:
     connect every not-larger neighbor (and u itself) to the minimum."""
     oriented = edges.select(
         F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
-    ).distinct()
+    )
+    # collect_set dedups per node — a pre-distinct would be a second
+    # shuffle over the same rows
     grouped = oriented.groupBy("u").agg(F.collect_set("v").alias("nbrs"))
     m = F.least(F.col("u"), F.array_min("nbrs"))
     out = grouped.select(

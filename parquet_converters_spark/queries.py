@@ -4518,6 +4518,100 @@ GROUP BY d.day ORDER BY day_us
 """
 
 
+_FUZZY_MAX_DIST, _FUZZY_PREFIX = 8, 64
+
+
+def dedup_fuzzy_pairs(spark, sf_dir):
+    """Fuzzy (edit-distance) duplicate verification — the approximate
+    string join done the scale-correct way: candidates come from the
+    banded MinHash-LSH join (shared cached pipeline, never an
+    all-pairs or blocked self-join), and ``levenshtein`` runs only on
+    the candidate pairs' 64-char prefixes as the residual verifier.
+    At 100 TB the edit-distance cost is |candidates|, not |corpus|²."""
+    pairs = _dedup_cached(spark, sf_dir, "docs_pairs")
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, _FUZZY_PREFIX).alias("_prefix")
+    )
+    a = docs.select(
+        F.col("doc_id").alias("id_a"), F.col("_prefix").alias("_pa")
+    )
+    b = docs.select(
+        F.col("doc_id").alias("id_b"), F.col("_prefix").alias("_pb")
+    )
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("edit_distance", F.levenshtein("_pa", "_pb"))
+        .filter(F.col("edit_distance") <= _FUZZY_MAX_DIST)
+        .select("id_a", "id_b", "edit_distance")
+        .orderBy("id_a", "id_b")
+    )
+
+
+DEDUP_FUZZY_PAIRS_SQL = (
+    "WITH sig AS (" + _sql_minhash_sig() + "), "
+    f"""banded AS (
+  SELECT doc_id, b,
+         concat_ws('-', signature[b*2+1], signature[b*2+2]) AS bucket
+  FROM sig, unnest([0,1,2,3]) AS t(b)
+), pairs AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM banded l JOIN banded r
+    ON l.b = r.b AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+)
+SELECT id_a, id_b,
+       levenshtein(substr(a.text, 1, {_FUZZY_PREFIX}),
+                   substr(b.text, 1, {_FUZZY_PREFIX})) AS edit_distance
+FROM pairs JOIN documents a ON a.doc_id = id_a
+           JOIN documents b ON b.doc_id = id_b
+WHERE levenshtein(substr(a.text, 1, {_FUZZY_PREFIX}),
+                  substr(b.text, 1, {_FUZZY_PREFIX})) <= {_FUZZY_MAX_DIST}
+ORDER BY id_a, id_b
+"""
+)
+
+
+def revenue_share_by_nation(spark, sf_dir):
+    """Ratio-to-report without a window: per-nation revenue as a share
+    of the total via a 1-row broadcast of the grand total — a global
+    ``Window`` over ungrouped rows would serialize; two aggregates and
+    a broadcast never do.  The grand total re-aggregates the per-nation
+    rows (decimal partials), so the corpus is scanned once."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("c_nationkey")
+        .agg(F.sum(_dec("o_totalprice")).alias("revenue"))
+    )
+    tot = per.agg(F.sum("revenue").alias("_total"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "c_nationkey",
+            F.round(F.col("revenue").cast("double"), 4).alias("revenue"),
+            F.round(
+                (F.col("revenue") / F.col("_total")).cast("double"), 6
+            ).alias("share"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+REVENUE_SHARE_SQL = """
+WITH per AS (
+  SELECT c_nationkey, sum(CAST(o_totalprice AS DECIMAL(25,4))) AS revenue
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY c_nationkey
+), tot AS (SELECT sum(revenue) AS _total FROM per)
+SELECT c_nationkey,
+       round(CAST(revenue AS DOUBLE), 4) AS revenue,
+       round(CAST(revenue / _total AS DOUBLE), 6) AS share
+FROM per CROSS JOIN tot
+ORDER BY c_nationkey
+"""
+
+
 QUERIES.update({
     "gap_fill_daily": (gap_fill_daily, GAP_FILL_DAILY_SQL),
     "equi_depth_histogram": (equi_depth_histogram, EQUI_DEPTH_HISTOGRAM_SQL),
@@ -4529,6 +4623,11 @@ QUERIES.update({
     "rolling_7d_distinct_users": (
         rolling_7d_distinct_users,
         ROLLING_7D_DISTINCT_SQL,
+    ),
+    "dedup_fuzzy_pairs": (dedup_fuzzy_pairs, DEDUP_FUZZY_PAIRS_SQL),
+    "revenue_share_by_nation": (
+        revenue_share_by_nation,
+        REVENUE_SHARE_SQL,
     ),
 })
 

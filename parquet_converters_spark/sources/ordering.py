@@ -112,22 +112,24 @@ def with_global_row_index(df: DataFrame, row_index_col: str = "row_index",
                           order_cols: list[str] | None = None) -> DataFrame:
     """Global contiguous row index for an arbitrary DataFrame.
 
-    Two modes:
+    Two modes, both the two-pass partition-offset pattern (count per
+    partition on a narrow pass, driver prefix-sum, then a narrow
+    mapPartitions add) — the Spark equivalent of the reference's
+    Gather/prefix-sum/Scatter offset dance (``parquet2hdf5.cpp:97-110``):
 
-    - ``order_cols`` given: logical order is defined by those columns; a
-      single global window assigns ``row_number() - 1``.  This shuffles —
-      use only when a logical sort order exists (it usually does).
-    - no ``order_cols``: preserves the current partition order using the
-      classic two-pass partition-offset pattern (count per partition on a
-      first narrow pass, driver prefix-sum, then a narrow mapPartitions
-      add) — the Spark equivalent of the reference's
-      Gather/prefix-sum/Scatter offset dance (``parquet2hdf5.cpp:97-110``).
+    - ``order_cols`` given: one ``repartitionByRange`` + within-partition
+      sort establishes the logical order across partitions, then offsets
+      are added per partition.  Never a single global ``Window.orderBy``
+      — that would serialize the corpus through one task.  Ties on
+      ``order_cols`` get arbitrary (but stable within a run) relative
+      indices, exactly as the window form did.
+    - no ``order_cols``: preserves the current partition order.
     """
-    from pyspark.sql.window import Window
-
     if order_cols:
-        w = Window.orderBy(*[F.col(c) for c in order_cols])
-        return df.withColumn(row_index_col, F.row_number().over(w) - 1)
+        n = max(df.sparkSession.sparkContext.defaultParallelism, 1)
+        df = df.repartitionByRange(n, *order_cols).sortWithinPartitions(
+            *order_cols
+        )
 
     spark = df.sparkSession
     rdd = df.rdd

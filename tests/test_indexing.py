@@ -177,3 +177,15 @@ def test_rle_property_random(spark):
                 assert not (e1 == s2)
 
     check()
+
+
+def test_global_row_index_ordered_mode_is_hierarchical(spark):
+    """Ordered mode must equal sorted enumeration (unique keys) and use
+    the range-partition + offset pattern, not a global window."""
+    from parquet_converters_spark.sources.ordering import with_global_row_index
+
+    rows = [((i * 131) % 997, i) for i in range(997)]  # unique, scrambled
+    df = spark.createDataFrame(rows, "k long, payload long").repartition(13)
+    out = with_global_row_index(df, "idx", order_cols=["k"]).collect()
+    got = sorted((r["k"], r["idx"]) for r in out)
+    assert got == [(k, i) for i, k in enumerate(sorted(k for k, _ in rows))]

@@ -126,3 +126,38 @@ def test_per_group_cap_deterministic(spark, sf_dir):
     got = {r.source: r["count"] for r in per}
     for s, t in totals.items():
         assert got[s] == min(t, 5)
+
+
+def test_packing_property_matches_python_replica(spark):
+    """Hypothesis property: for random size sequences the distributed
+    two-level packing equals a plain sequential cumsum replica — bin
+    assignment, and per-bin offsets, both modes."""
+    from hypothesis import given, settings, strategies as st
+
+    def replica(sizes, budget):
+        out, cum, bins = [], 0, {}
+        for i, n in enumerate(sizes):
+            cum += n
+            b = (cum - 1) // budget
+            off = bins.get(b, 0)
+            out.append((i, n, b, off))
+            bins[b] = off + n
+        return out
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        sizes=st.lists(
+            st.integers(min_value=1, max_value=900), min_size=1, max_size=80
+        )
+    )
+    def check(sizes):
+        df = spark.createDataFrame(
+            [(i, n) for i, n in enumerate(sizes)], "doc_id long, n long"
+        ).repartition(7)
+        got = sorted(
+            (r["doc_id"], r["n_tokens"], r["bin_id"], r["bin_offset"])
+            for r in pack_sequences(df, "n", budget=512).collect()
+        )
+        assert got == replica(sizes, 512)
+
+    check()

@@ -68,3 +68,46 @@ def test_grouped_packing_bins_never_span_groups(spark):
         assert sorted(by_group[g]) == [
             (0, 0, 0), (1, 0, 200), (2, 1, 0), (3, 1, 200), (4, 1, 400)
         ]
+
+
+def test_ffill_property_matches_python_replica(spark):
+    """Hypothesis property: for random sparse daily observations the
+    filled grid equals a sequential replica (last observation carried
+    forward, gap flags exact)."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        obs=st.dictionaries(
+            st.tuples(
+                st.sampled_from(["a", "b"]),
+                st.integers(min_value=1, max_value=25),
+            ),
+            st.integers(min_value=0, max_value=99),
+            min_size=1,
+            max_size=30,
+        )
+    )
+    def check(obs):
+        rows = [
+            (k, datetime(2024, 1, d, 12), float(v), i)
+            for i, ((k, d), v) in enumerate(sorted(obs.items()))
+        ]
+        df = _df(spark, rows)
+        got = {
+            (r["k"], r["cell"].day): (r["value_filled"], r["is_gap"])
+            for r in resample_ffill(df, "k", "ts", "v", "eid").collect()
+        }
+        want = {}
+        for k in {k for k, _ in obs}:
+            days = sorted(d for kk, d in obs if kk == k)
+            last = None
+            for d in range(days[0], days[-1] + 1):
+                if (k, d) in obs:
+                    last = float(obs[(k, d)])
+                    want[(k, d)] = (last, False)
+                else:
+                    want[(k, d)] = (last, True)
+        assert got == want
+
+    check()

@@ -115,6 +115,10 @@ HEADLINE = [
     "rolling_7d_distinct_users",
     "dedup_fuzzy_pairs",
     "revenue_share_by_nation",
+    "sparse_cosine_topk",
+    "event_transition_matrix",
+    "mad_outlier_events",
+    "monthly_revenue_mom",
 ]
 
 

@@ -25,6 +25,10 @@ TABLES = [
 
 
 def norm(v):
+    if v is None:
+        # sortable sentinel: applied identically to both engines' rows,
+        # so NULL == NULL and NULL != any real value
+        return "\x00<null>"
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"

@@ -119,6 +119,8 @@ HEADLINE = [
     "event_transition_matrix",
     "mad_outlier_events",
     "monthly_revenue_mom",
+    "market_basket_lift",
+    "cluster_quality_by_label",
 ]
 
 

@@ -4816,6 +4816,164 @@ GROUP BY e.event_type ORDER BY e.event_type
 """
 
 
+_BASKET_MIN_N = 2
+
+
+def market_basket_lift(spark, sf_dir):
+    """Market-basket association mining at brand grain: per-order brand
+    baskets (distinct (order, brand) — one hash agg), within-order pair
+    expansion via self-join on the order key (bounded by basket size²,
+    and TPC-H baskets are ≤7 lines), then support and lift from the
+    pair / single / total counts (singles and the 1-row total broadcast
+    back).  The pair explosion never leaves the order key — no
+    cross-order join exists in the plan."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    basket = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    a = basket.select(
+        "l_orderkey", F.col("p_brand").alias("brand_a")
+    )
+    b = basket.select(
+        "l_orderkey", F.col("p_brand").alias("brand_b")
+    )
+    pair_n = (
+        a.join(b, "l_orderkey")
+        .where(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= _BASKET_MIN_N)
+    )
+    singles = basket.groupBy("p_brand").agg(F.count(F.lit(1)).alias("n_1"))
+    total = basket.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).alias("_n_orders")
+    )
+    sa = singles.select(
+        F.col("p_brand").alias("brand_a"), F.col("n_1").alias("n_a")
+    )
+    sb = singles.select(
+        F.col("p_brand").alias("brand_b"), F.col("n_1").alias("n_b")
+    )
+    return (
+        pair_n.join(F.broadcast(sa), "brand_a")
+        .join(F.broadcast(sb), "brand_b")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_ab",
+            F.round(F.col("n_ab") / F.col("_n_orders"), 6).alias("support"),
+            F.round(
+                F.col("n_ab") * F.col("_n_orders")
+                / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy("brand_a", "brand_b")
+    )
+
+
+MARKET_BASKET_SQL = f"""
+WITH basket AS (
+  SELECT DISTINCT l_orderkey, p_brand
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+), pair_n AS (
+  SELECT a.p_brand AS brand_a, b.p_brand AS brand_b, count(*) AS n_ab
+  FROM basket a JOIN basket b
+    ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+  GROUP BY 1, 2
+  HAVING count(*) >= {_BASKET_MIN_N}
+), singles AS (
+  SELECT p_brand, count(*) AS n_1 FROM basket GROUP BY p_brand
+), total AS (SELECT count(DISTINCT l_orderkey) AS _n_orders FROM basket)
+SELECT brand_a, brand_b, n_ab,
+       round(n_ab / _n_orders, 6) AS support,
+       round(n_ab * _n_orders / (sa.n_1 * sb.n_1), 6) AS lift
+FROM pair_n
+JOIN singles sa ON sa.p_brand = brand_a
+JOIN singles sb ON sb.p_brand = brand_b
+CROSS JOIN total
+ORDER BY brand_a, brand_b
+"""
+
+
+def cluster_quality_by_label(spark, sf_dir):
+    """Cluster-quality report over the labeled embeddings: per label
+    the centroid (dim-wise mean), mean distance of members to their own
+    centroid (cohesion), and distance to the nearest other centroid
+    (separation) — the Davies-Bouldin ingredients.  Everything runs at
+    (label, dim) grain: posexplode → one hash agg for centroids (k×dim
+    rows), broadcast join back for cohesion, and a k²×dim centroid
+    self-join that never touches member rows — at 100 TB the only
+    corpus-sized pass is the cohesion join."""
+    emb = _t(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("dim", "x")
+    ).withColumn("x", F.col("x").cast("double"))
+    cent = dims.groupBy("label", "dim").agg(F.avg("x").alias("c"))
+    cohesion = (
+        dims.join(F.broadcast(cent), ["label", "dim"])
+        .groupBy("vec_id", "label")
+        .agg(F.sqrt(F.sum(F.pow(F.col("x") - F.col("c"), 2))).alias("_d"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("_d"), 6).alias("mean_intra"),
+        )
+    )
+    ca = cent.select(
+        F.col("label").alias("label"), "dim", F.col("c").alias("_ca")
+    )
+    cb = cent.select(
+        F.col("label").alias("label_b"), "dim", F.col("c").alias("_cb")
+    )
+    sep = (
+        ca.join(cb, "dim")
+        .where(F.col("label") != F.col("label_b"))
+        .groupBy("label", "label_b")
+        .agg(F.sqrt(F.sum(F.pow(F.col("_ca") - F.col("_cb"), 2))).alias("_d"))
+        .groupBy("label")
+        .agg(F.round(F.min("_d"), 6).alias("nearest_other"))
+    )
+    return (
+        cohesion.join(sep, "label")
+        .select("label", "n_vecs", "mean_intra", "nearest_other")
+        .orderBy("label")
+    )
+
+
+CLUSTER_QUALITY_SQL = """
+WITH dims AS (
+  SELECT vec_id, label, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x
+  FROM embeddings,
+       unnest(generate_series(1, len(embedding))) AS t(i)
+), cent AS (
+  SELECT label, dim, avg(x) AS c FROM dims GROUP BY label, dim
+), cohesion AS (
+  SELECT label, count(*) AS n_vecs, round(avg(_d), 6) AS mean_intra
+  FROM (
+    SELECT d.vec_id, d.label, sqrt(sum(pow(d.x - c.c, 2))) AS _d
+    FROM dims d JOIN cent c ON d.label = c.label AND d.dim = c.dim
+    GROUP BY d.vec_id, d.label
+  ) GROUP BY label
+), sep AS (
+  SELECT label, round(min(_d), 6) AS nearest_other
+  FROM (
+    SELECT a.label, b.label AS label_b,
+           sqrt(sum(pow(a.c - b.c, 2))) AS _d
+    FROM cent a JOIN cent b ON a.dim = b.dim AND a.label <> b.label
+    GROUP BY a.label, b.label
+  ) GROUP BY label
+)
+SELECT label, n_vecs, mean_intra, nearest_other
+FROM cohesion JOIN sep USING (label)
+ORDER BY label
+"""
+
+
 def monthly_revenue_mom(spark, sf_dir):
     """Month-over-month revenue deltas: one decimal aggregate to
     month grain, then ``lag`` over the tiny month table (≤ a few
@@ -4879,6 +5037,11 @@ QUERIES.update({
         REVENUE_SHARE_SQL,
     ),
     "sparse_cosine_topk": (sparse_cosine_topk, SPARSE_COSINE_SQL),
+    "market_basket_lift": (market_basket_lift, MARKET_BASKET_SQL),
+    "cluster_quality_by_label": (
+        cluster_quality_by_label,
+        CLUSTER_QUALITY_SQL,
+    ),
     "event_transition_matrix": (
         event_transition_matrix,
         EVENT_TRANSITION_SQL,

@@ -121,6 +121,7 @@ HEADLINE = [
     "monthly_revenue_mom",
     "market_basket_lift",
     "cluster_quality_by_label",
+    "text_normalize_report",
 ]
 
 

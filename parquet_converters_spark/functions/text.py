@@ -306,3 +306,25 @@ def with_char_entropy_arrow(
             yield pdf
 
     return df.mapInPandas(fn, schema)
+
+
+def normalize_text(text: Column | str) -> Column:
+    """Canonical text cleaning — the idempotent normalization stage
+    every ingestion pipeline runs before hashing/dedup (reference
+    analogue: the touch scan's canonicalization of raw records before
+    keying).  ASCII-safe by design so every engine computes the same
+    bytes: control chars (except \\n, \\t) stripped, \\r\\n -> \\n, tabs
+    and runs of spaces collapsed, per-line trailing space removed,
+    3+ blank lines collapsed to 2, leading/trailing whitespace trimmed.
+    Unicode NFC is deliberately NOT applied here: normalization forms
+    differ subtly across engine ICU versions, which would make
+    content hashes engine-dependent.  Idempotence is property-tested
+    (normalize(normalize(x)) == normalize(x))."""
+    c = _col(text)
+    c = F.regexp_replace(c, "\r\n?", "\n")
+    c = F.regexp_replace(c, "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]", "")
+    c = F.regexp_replace(c, "[ \t]+", " ")
+    c = F.regexp_replace(c, " ?\n ?", "\n")
+    c = F.regexp_replace(c, "\n{3,}", "\n\n")
+    # full-whitespace trim: F.trim strips only the space character
+    return F.regexp_replace(c, "^\\s+|\\s+$", "")

@@ -4974,6 +4974,87 @@ ORDER BY label
 """
 
 
+def text_normalize_report(spark, sf_dir):
+    """Text-normalization audit (functions/text.normalize_text): the
+    corpus ships clean, so each doc_id%4 class gets a deterministic
+    perturbation (leading spaces + CRLF tail / tab-doubled spaces /
+    control char + blank-line run / untouched) and the report proves
+    normalization strips exactly the injected mess — class 3 must come
+    back 100% restored (idempotence on clean input), classes 0-1 must
+    restore the original bytes, class 2 keeps its legitimate appended
+    content.  One narrow projection + one aggregate."""
+    from parquet_converters_spark.functions.text import normalize_text
+
+    docs = _t(spark, sf_dir, "documents")
+    m = (F.col("doc_id") % 4).alias("mod")
+    pert = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit("  "), F.col("text"), F.lit(" \r\n\r\n")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.regexp_replace(F.col("text"), " ", "\t "),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(F.col("text"), F.lit("\u0007\n\n\n\nend")),
+        )
+        .otherwise(F.col("text"))
+    )
+    base = docs.select(
+        m,
+        F.col("text"),
+        pert.alias("_pert"),
+    ).withColumn("_norm", normalize_text(F.col("_pert")))
+    return (
+        base.groupBy("mod")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("_norm") == F.col("text")).cast("long")).alias(
+                "n_restored"
+            ),
+            F.sum(F.length("_pert") - F.length("_norm"))
+            .cast("long")
+            .alias("chars_removed"),
+        )
+        .orderBy("mod")
+    )
+
+
+_NORM_SQL_CHAIN = (
+    "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+    "regexp_replace(regexp_replace({c}, "
+    r"'\r\n?', chr(10), 'g'), "
+    r"'[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'), "
+    r"'[ \t]+', ' ', 'g'), "
+    r"' ?\n ?', chr(10), 'g'), "
+    r"'\n{{3,}}', chr(10)||chr(10), 'g'), "
+    r"'^\s+|\s+$', '', 'g')"
+)
+
+TEXT_NORMALIZE_SQL = f"""
+WITH p AS (
+  SELECT doc_id % 4 AS mod, text,
+         CASE doc_id % 4
+           WHEN 0 THEN '  ' || text || ' ' || chr(13)||chr(10)||chr(13)||chr(10)
+           WHEN 1 THEN regexp_replace(text, ' ', chr(9) || ' ', 'g')
+           WHEN 2 THEN text || chr(7) || repeat(chr(10), 4) || 'end'
+           ELSE text
+         END AS _pert
+  FROM documents
+), n AS (
+  SELECT mod, text, _pert, {_NORM_SQL_CHAIN.format(c='_pert')} AS _norm
+  FROM p
+)
+SELECT mod, count(*) AS n_docs,
+       CAST(sum(CASE WHEN _norm = text THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_restored,
+       CAST(sum(length(_pert) - length(_norm)) AS BIGINT) AS chars_removed
+FROM n GROUP BY mod ORDER BY mod
+"""
+
+
 def monthly_revenue_mom(spark, sf_dir):
     """Month-over-month revenue deltas: one decimal aggregate to
     month grain, then ``lag`` over the tiny month table (≤ a few
@@ -5048,6 +5129,7 @@ QUERIES.update({
     ),
     "mad_outlier_events": (mad_outlier_events, MAD_OUTLIER_SQL),
     "monthly_revenue_mom": (monthly_revenue_mom, MONTHLY_MOM_SQL),
+    "text_normalize_report": (text_normalize_report, TEXT_NORMALIZE_SQL),
 })
 
 

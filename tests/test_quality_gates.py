@@ -130,3 +130,31 @@ def test_check_referential_orphans(spark):
     parent = spark.createDataFrame([Row(pk=1), Row(pk=2), Row(pk=3)])
     rep = check_referential(child, parent, "k", "pk", "fk").first()
     assert (rep.rule, rep.violations, rep.total) == ("fk", 1, 3)
+
+
+def test_normalize_text_idempotent_and_exact(spark):
+    """normalize_text strips exactly the injected mess and is
+    idempotent (normalize∘normalize == normalize) — the property that
+    makes content hashes stable no matter how many pipeline stages
+    re-run the cleaner."""
+    from pyspark.sql import functions as F
+
+    from parquet_converters_spark.functions.text import normalize_text
+
+    cases = [
+        ("  a  b\r\n\r\nc  ", "a b\n\nc"),  # paragraph break preserved
+        ("a\t\tb  c", "a b c"),
+        ("\x07x\n\n\n\n\ny\x1f", "x\n\ny"),
+        ("already clean", "already clean"),
+        ("line 1 \n line 2", "line 1\nline 2"),
+    ]
+    df = spark.createDataFrame([(c,) for c, _ in cases], "t string")
+    out = df.select(
+        "t",
+        normalize_text("t").alias("n1"),
+        normalize_text(normalize_text("t")).alias("n2"),
+    ).collect()
+    want = dict(cases)
+    for r in out:
+        assert r["n1"] == want[r["t"]], (repr(r["t"]), repr(r["n1"]))
+        assert r["n2"] == r["n1"]

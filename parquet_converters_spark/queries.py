@@ -5200,3 +5200,12 @@ QUERIES = {
 # embedding_quantize_error, contamination_matrix, dedup_incremental_bloom,
 # ann_recall_at5, multimodal_audio, bpe_merge_candidates, embedding_pc1 —
 # then fill remaining slots with the oldest-green rotation.
+#
+# r02-late additions (also never driver-checked; all local-parity green
+# at sf0.001 AND sf0.01 — high-priority r03 window candidates):
+# gap_fill_daily, equi_depth_histogram, mixture_plan, compaction_plan,
+# full_outer_reconcile, unpivot_metrics, time_rollup_hierarchy,
+# rolling_7d_distinct_users, dedup_fuzzy_pairs, revenue_share_by_nation,
+# sparse_cosine_topk, market_basket_lift, cluster_quality_by_label,
+# event_transition_matrix, mad_outlier_events, monthly_revenue_mom,
+# text_normalize_report.

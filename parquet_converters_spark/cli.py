@@ -70,6 +70,23 @@ def main(argv: list[str] | None = None) -> int:
     dd.add_argument("--num-hashes", type=int, default=8)
     dd.add_argument("--bands", type=int, default=4)
 
+    ing = sub.add_parser(
+        "ingest",
+        help="Land raw JSONL/CSV shards as parquet with a corrupt-line "
+        "quarantine (schema required — no inference pass)",
+    )
+    ing.add_argument("input", help="Input path/glob of raw shards")
+    ing.add_argument("output", help="Output parquet directory")
+    ing.add_argument(
+        "--schema",
+        required=True,
+        help='DDL schema, e.g. "doc_id LONG, text STRING"',
+    )
+    ing.add_argument("--format", choices=["jsonl", "csv"], default="jsonl")
+    ing.add_argument(
+        "--quarantine", help="Directory for malformed lines (optional)"
+    )
+
     args = ap.parse_args(argv)
     spark = _session(args.master)
 
@@ -95,6 +112,24 @@ def main(argv: list[str] | None = None) -> int:
         kept = spark.read.parquet(args.output).count()
         print(
             f"dedup: kept {kept} of {docs.count()} rows -> {args.output}"
+        )
+    elif args.cmd == "ingest":
+        from pyspark.sql.types import StructType
+
+        from parquet_converters_spark.sources.textfiles import ingest_to_parquet
+
+        schema = StructType.fromDDL(args.schema)
+        stats = ingest_to_parquet(
+            spark,
+            args.input,
+            args.output,
+            schema,
+            fmt=args.format,
+            quarantine=args.quarantine,
+        )
+        print(
+            f"ingest: {stats['rows']} rows -> {args.output}"
+            f" ({stats['quarantined']} quarantined)"
         )
     else:
         from parquet_converters_spark.pipelines import parquet_to_sonata

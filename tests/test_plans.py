@@ -309,3 +309,25 @@ def test_compaction_plan_windows_are_group_partitioned(spark, sf_dir):
     specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
     assert specs, plan[:800]
     assert all(s.lstrip().startswith("source") for s in specs), specs
+
+
+def test_basket_pair_join_stays_on_order_key(spark, sf_dir):
+    """The basket self-join must be an equi-join on l_orderkey (pair
+    expansion bounded by basket size) — never a cartesian — and the
+    part dimension must broadcast."""
+    from parquet_converters_spark.queries import market_basket_lift
+
+    plan = _plan(market_basket_lift(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan[:800]
+    assert "BroadcastHashJoin" in plan, plan[:800]
+
+
+def test_sparse_cosine_norms_broadcast(spark, sf_dir):
+    """Norms and df tables are doc/vocab-sized: they must reach the
+    pair table as broadcasts, and the postings self-join must keep
+    token as its equi-key."""
+    from parquet_converters_spark.queries import sparse_cosine_topk
+
+    plan = _plan(sparse_cosine_topk(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3, plan[:800]
+    assert "CartesianProduct" not in plan, plan[:800]

@@ -4974,6 +4974,55 @@ ORDER BY label
 """
 
 
+def acctbal_rank_profile(spark, sf_dir):
+    """Relative-rank window completeness (percent_rank + cume_dist +
+    ntile in one partitioned pass): per market segment, the rank
+    profile of the top-5 customers by balance.  All windows partition
+    by segment — segment cardinality bounds the partition, never the
+    corpus."""
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").asc(), F.col("c_custkey").asc()
+    )
+    ranked = cust.select(
+        "c_mktsegment",
+        "c_custkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.row_number()
+        .over(
+            Window.partitionBy("c_mktsegment").orderBy(
+                F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+            )
+        )
+        .alias("_top"),
+    )
+    return (
+        ranked.where(F.col("_top") <= 5)
+        .select("c_mktsegment", "c_custkey", "pct_rank", "cume", "quartile")
+        .orderBy("c_mktsegment", F.col("pct_rank").desc(), "c_custkey")
+    )
+
+
+ACCTBAL_RANK_SQL = """
+SELECT c_mktsegment, c_custkey, pct_rank, cume, quartile
+FROM (
+  SELECT c_mktsegment, c_custkey,
+         round(percent_rank() OVER w, 6) AS pct_rank,
+         round(cume_dist() OVER w, 6) AS cume,
+         ntile(4) OVER w AS quartile,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY c_acctbal DESC, c_custkey ASC) AS _top
+  FROM customer
+  WINDOW w AS (PARTITION BY c_mktsegment
+               ORDER BY c_acctbal ASC, c_custkey ASC)
+)
+WHERE _top <= 5
+ORDER BY c_mktsegment, pct_rank DESC, c_custkey
+"""
+
+
 def text_normalize_report(spark, sf_dir):
     """Text-normalization audit (functions/text.normalize_text): the
     corpus ships clean, so each doc_id%4 class gets a deterministic
@@ -5130,6 +5179,7 @@ QUERIES.update({
     "mad_outlier_events": (mad_outlier_events, MAD_OUTLIER_SQL),
     "monthly_revenue_mom": (monthly_revenue_mom, MONTHLY_MOM_SQL),
     "text_normalize_report": (text_normalize_report, TEXT_NORMALIZE_SQL),
+    "acctbal_rank_profile": (acctbal_rank_profile, ACCTBAL_RANK_SQL),
 })
 
 

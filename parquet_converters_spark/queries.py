@@ -4644,6 +4644,10 @@ def sparse_cosine_topk(spark, sf_dir):
         vec.join(F.broadcast(df_tbl), "token")
         .where(F.col("_df") <= _SPARSE_MAXDF)
         .select("doc_id", "token", "tfidf")
+        # four consumers (norms, both join sides); materialize the pruned
+        # posting table once instead of recomputing the TF-IDF pipeline
+        # per branch (plan audit: 36 exchanges -> single-digit)
+        .localCheckpoint(eager=False)
     )
     norms = vec.groupBy("doc_id").agg(
         F.sqrt(F.sum(F.col("tfidf") * F.col("tfidf"))).alias("_norm")

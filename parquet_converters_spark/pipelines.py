@@ -74,3 +74,60 @@ def parquet_to_sonata(
         kv_metadata=kv,
         with_index=with_index,
     )
+
+
+def scrub_ids(
+    spark,
+    table_dir: str,
+    ids,
+    id_col: str = "doc_id",
+    out_dir: str | None = None,
+) -> dict:
+    """Deletion propagation (right-to-be-forgotten): rewrite a parquet
+    table without the rows whose ``id_col`` is in ``ids``.
+
+    ``ids`` may be a Python sequence (small ad-hoc requests — becomes a
+    broadcast anti-join) or a DataFrame with ``id_col`` (large deletion
+    manifests — Spark picks broadcast vs shuffle by size).  The rewrite
+    lands in ``out_dir`` (default ``<table_dir>__scrubbed``); pointing
+    readers at the new directory is the caller's atomic-swap step —
+    plain parquet has no transaction log, so the swap must be a
+    metadata operation (rename / view repoint), never an in-place
+    overwrite a concurrent reader could catch half-written.
+
+    Returns accounting computed from the written output: rows before,
+    rows after, rows removed.
+    """
+    from pyspark.sql import DataFrame, functions as F
+
+    src = spark.read.parquet(table_dir)
+    n_before = src.count()
+    if isinstance(ids, DataFrame):
+        dele = ids.select(F.col(id_col))
+    else:
+        dele = spark.createDataFrame(
+            [(i,) for i in ids], schema=src.select(id_col).schema
+        )
+    dest = out_dir or table_dir.rstrip("/") + "__scrubbed"
+    kept = src.join(F.broadcast(dele), id_col, "left_anti")
+    kept.write.mode("overwrite").parquet(dest)
+    n_after = spark.read.parquet(dest).count()
+    return {
+        "rows_before": n_before,
+        "rows_after": n_after,
+        "rows_removed": n_before - n_after,
+        "output": dest,
+    }
+
+
+def scrub_tables(
+    spark, tables: dict[str, str], ids, out_suffix: str = "__scrubbed"
+) -> dict:
+    """Propagate one deletion manifest across every derived table that
+    carries the id (documents + chunks + signatures + ...): one
+    ``scrub_ids`` per table, same broadcast manifest.  Returns per-table
+    accounting keyed by directory."""
+    return {
+        d: scrub_ids(spark, d, ids, id_col=c, out_dir=d + out_suffix)
+        for d, c in tables.items()
+    }

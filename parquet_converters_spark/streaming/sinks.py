@@ -42,3 +42,77 @@ def idempotent_parquet_sink(out_dir: str):
         )
 
     return write
+
+
+def rollup_maintenance_sink(out_dir: str, ts_col: str = "ts", unit: str = "minute"):
+    """Continuous-aggregate maintenance: a ``foreachBatch`` function
+    keeping a time-grain rollup incrementally up to date with
+    exactly-once-effective semantics on plain parquet.
+
+    Each micro-batch lands its PARTIAL aggregates (count, sum) per time
+    cell under its own ``_batch_id`` partition (dynamic overwrite, so a
+    replayed batch replaces its own partials — never double-counts).
+    The queryable rollup is the re-aggregation of partials
+    (:func:`read_rollup`), which is cells×batches rows — tiny next to
+    the stream.  Count+sum partials are decomposable, so partial
+    re-aggregation is exact; means derive at read time.
+
+    This is the parquet-native equivalent of a materialized-view merge:
+    no transaction log needed because every write is deterministic in
+    ``batch_id``."""
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        partial = (
+            batch_df.groupBy(
+                F.date_trunc(unit, F.col(ts_col)).alias("cell")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("_n"),
+                F.sum(F.col("value").cast("decimal(25,6)")).alias("_vsum"),
+            )
+            .withColumn("_batch_id", F.lit(int(batch_id)))
+        )
+        (
+            partial.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(out_dir)
+        )
+
+    return write
+
+
+def read_rollup(spark, out_dir: str) -> DataFrame:
+    """The queryable face of :func:`rollup_maintenance_sink`: re-aggregate
+    the per-batch partials into the final per-cell rollup."""
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy("cell")
+        .agg(
+            F.sum("_n").alias("n_events"),
+            F.sum("_vsum").alias("value_sum"),
+        )
+    )
+
+
+def compact_rollup(spark, out_dir: str) -> int:
+    """Fold all batch partials into a single base partition
+    (``_batch_id=-1``) so the partial table stays O(cells) across long
+    streams.  Write-then-delete is not atomic on plain parquet — run
+    compaction only while the stream is stopped (or against a snapshot
+    copy), exactly like parquet file compaction anywhere else.  Returns
+    the number of batch partitions folded."""
+    import shutil
+
+    src = spark.read.parquet(out_dir)
+    batches = [r["_batch_id"] for r in src.select("_batch_id").distinct().collect()]
+    folded = (
+        src.groupBy("cell")
+        .agg(F.sum("_n").alias("_n"), F.sum("_vsum").alias("_vsum"))
+        .withColumn("_batch_id", F.lit(-1))
+    )
+    tmp = out_dir.rstrip("/") + "__compact_tmp"
+    folded.write.mode("overwrite").partitionBy("_batch_id").parquet(tmp)
+    shutil.rmtree(out_dir)
+    shutil.move(tmp, out_dir)
+    return len([b for b in batches if b != -1])

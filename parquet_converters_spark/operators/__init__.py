@@ -17,3 +17,4 @@ from parquet_converters_spark.operators.zorder import (  # noqa: F401
     write_zordered,
     zorder_key,
 )
+from parquet_converters_spark.operators.timeseries import resample_ffill  # noqa: F401

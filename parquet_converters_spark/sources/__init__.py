@@ -7,3 +7,9 @@ from parquet_converters_spark.sources.ordering import (  # noqa: F401
     read_parquet_ordered,
     with_global_row_index,
 )
+from parquet_converters_spark.sources.textfiles import (  # noqa: F401
+    ingest_to_parquet,
+    read_csv_strict,
+    read_jsonl,
+    split_corrupt,
+)

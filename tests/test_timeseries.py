@@ -111,3 +111,26 @@ def test_ffill_property_matches_python_replica(spark):
         assert got == want
 
     check()
+
+
+def test_new_operators_handle_empty_input(spark):
+    """Empty in -> empty out, no crashes: the property that matters when
+    a filter upstream of the operator matches nothing on some shard."""
+    from parquet_converters_spark.functions.sampling import pack_sequences
+
+    empty_ev = spark.createDataFrame(
+        [], "k string, ts timestamp, v double, eid long"
+    )
+    assert resample_ffill(empty_ev, "k", "ts", "v", "eid").count() == 0
+
+    empty_docs = spark.createDataFrame([], "doc_id long, n long")
+    assert pack_sequences(empty_docs, "n", budget=512).count() == 0
+    assert (
+        pack_sequences(
+            empty_docs.withColumn("g", F.lit("x")),
+            "n",
+            budget=512,
+            partition_col="g",
+        ).count()
+        == 0
+    )

@@ -123,6 +123,9 @@ HEADLINE = [
     "cluster_quality_by_label",
     "text_normalize_report",
     "acctbal_rank_profile",
+    "multiset_customer_activity",
+    "event_path_topk",
+    "nation_supplier_roster",
 ]
 
 

@@ -4978,6 +4978,136 @@ ORDER BY label
 """
 
 
+def multiset_customer_activity(spark, sf_dir):
+    """Multiset set-ops (INTERSECT ALL / EXCEPT ALL) — the
+    bag-semantics completion of the distinct-set trio: customer keys of
+    1-URGENT orders vs 2-HIGH orders, keeping multiplicity (a customer
+    with three urgent and one high order appears twice in the
+    difference).  Spark ``intersectAll``/``exceptAll`` compile to
+    count-based joins, not row-pair matching — one shuffle each."""
+    orders = _t(spark, sf_dir, "orders")
+    urgent = orders.where(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_custkey"
+    )
+    high = orders.where(F.col("o_orderpriority") == "2-HIGH").select(
+        "o_custkey"
+    )
+    both = urgent.intersectAll(high).groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_common")
+    )
+    diff = urgent.exceptAll(high).groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_extra")
+    )
+    return (
+        both.join(diff, "o_custkey", "full_outer")
+        .select(
+            "o_custkey",
+            F.coalesce("n_common", F.lit(0)).alias("n_common"),
+            F.coalesce("n_extra", F.lit(0)).alias("n_extra"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+MULTISET_SQL = """
+WITH u AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+h AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'),
+both_ms AS (
+  SELECT o_custkey, count(*) AS n_common
+  FROM (SELECT * FROM u INTERSECT ALL SELECT * FROM h) GROUP BY o_custkey
+), diff_ms AS (
+  SELECT o_custkey, count(*) AS n_extra
+  FROM (SELECT * FROM u EXCEPT ALL SELECT * FROM h) GROUP BY o_custkey
+)
+SELECT coalesce(b.o_custkey, d.o_custkey) AS o_custkey,
+       coalesce(n_common, 0) AS n_common,
+       coalesce(n_extra, 0) AS n_extra
+FROM both_ms b FULL OUTER JOIN diff_ms d ON b.o_custkey = d.o_custkey
+ORDER BY o_custkey
+"""
+
+_PATH_LEN_TOPK = 15
+
+
+def event_path_topk(spark, sf_dir):
+    """Sequence mining: the most common 3-step event-type paths across
+    user streams — two ``lead``s in one keyed window pass build the
+    trigram, one hash agg counts, top-15 by (count desc, path).  The
+    n-gram-over-sequences shape: state per user is the window buffer,
+    the aggregate is ≤|types|³ rows."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = (
+        ev.select(
+            F.col("event_type").alias("e1"),
+            F.lead("event_type", 1).over(w).alias("e2"),
+            F.lead("event_type", 2).over(w).alias("e3"),
+        )
+        .where(F.col("e3").isNotNull())
+        .select(
+            F.concat_ws(">", "e1", "e2", "e3").alias("path")
+        )
+    )
+    return (
+        tri.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "path")
+        .limit(_PATH_LEN_TOPK)
+    )
+
+
+EVENT_PATH_SQL = f"""
+WITH seq AS (
+  SELECT event_type AS e1,
+         lead(event_type, 1) OVER w AS e2,
+         lead(event_type, 2) OVER w AS e3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT concat_ws('>', e1, e2, e3) AS path, count(*) AS n
+FROM seq WHERE e3 IS NOT NULL
+GROUP BY 1 ORDER BY n DESC, path LIMIT {_PATH_LEN_TOPK}
+"""
+
+
+def nation_supplier_roster(spark, sf_dir):
+    """Ordered string aggregation (LISTAGG / string_agg): per nation
+    the roster of its first five suppliers alphabetically (rank-capped
+    so the string stays bounded at any corpus size).
+    Deterministic ordering inside the aggregate via
+    ``sort_array(collect_list(...))`` — collect_list alone is
+    partition-order-dependent and would never hash-match across
+    engines (or across two Spark runs)."""
+    supp = _t(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy("s_name")
+    top5 = supp.withColumn("_rn", F.row_number().over(w)).where(
+        F.col("_rn") <= 5
+    )
+    return (
+        top5.groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.array_join(
+                F.sort_array(F.collect_list("s_name")), ","
+            ).alias("roster"),
+        )
+        .orderBy("s_nationkey")
+    )
+
+
+NATION_ROSTER_SQL = """
+WITH top5 AS (
+  SELECT s_nationkey, s_name,
+         row_number() OVER (PARTITION BY s_nationkey ORDER BY s_name) AS _rn
+  FROM supplier
+)
+SELECT s_nationkey, count(*) AS n_suppliers,
+       string_agg(s_name, ',' ORDER BY s_name) AS roster
+FROM top5 WHERE _rn <= 5
+GROUP BY s_nationkey ORDER BY s_nationkey
+"""
+
+
 def acctbal_rank_profile(spark, sf_dir):
     """Relative-rank window completeness (percent_rank + cume_dist +
     ntile in one partitioned pass): per market segment, the rank
@@ -5184,6 +5314,9 @@ QUERIES.update({
     "monthly_revenue_mom": (monthly_revenue_mom, MONTHLY_MOM_SQL),
     "text_normalize_report": (text_normalize_report, TEXT_NORMALIZE_SQL),
     "acctbal_rank_profile": (acctbal_rank_profile, ACCTBAL_RANK_SQL),
+    "multiset_customer_activity": (multiset_customer_activity, MULTISET_SQL),
+    "event_path_topk": (event_path_topk, EVENT_PATH_SQL),
+    "nation_supplier_roster": (nation_supplier_roster, NATION_ROSTER_SQL),
 })
 
 

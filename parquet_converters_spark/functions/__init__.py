@@ -8,6 +8,7 @@ from parquet_converters_spark.functions.text import (  # noqa: F401
     shingles,
     char_entropy,
     with_char_entropy_arrow,
+    normalize_text,
 )
 from parquet_converters_spark.functions.dedup import (  # noqa: F401
     content_hash,

@@ -126,6 +126,7 @@ HEADLINE = [
     "multiset_customer_activity",
     "event_path_topk",
     "nation_supplier_roster",
+    "scd2_temporal_enrich",
 ]
 
 

@@ -5108,6 +5108,71 @@ GROUP BY s_nationkey ORDER BY s_nationkey
 """
 
 
+def scd2_temporal_enrich(spark, sf_dir):
+    """Temporal-dimension enrichment — the consumer side of SCD2: each
+    purchase event joins the signup-stream version that was valid at
+    its timestamp (equi-join on user_id with the half-open validity
+    interval as residual; the open current version matches via
+    coalesce-to-infinity).  The dim side is the per-user version table
+    (bounded rows per user), so the join shuffles on user_id like any
+    dimension join — never on time.  Output aggregates to per-version
+    purchase stats."""
+    from parquet_converters_spark.operators.scd import scd2_history
+
+    ev = _events(spark, sf_dir)
+    dim = scd2_history(
+        ev.where(F.col("event_type") == "signup"), ["user_id"], "ts", "event_id"
+    ).select(
+        F.col("user_id").alias("d_user"),
+        F.unix_micros("effective_from").alias("_from_us"),
+        F.coalesce(
+            F.unix_micros("effective_to"), F.lit(2**62)
+        ).alias("_to_us"),
+        "version",
+    )
+    facts = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.unix_micros("ts").alias("_ts_us"), "value"
+    )
+    joined = facts.join(
+        dim,
+        (facts["user_id"] == dim["d_user"])
+        & (facts["_ts_us"] >= dim["_from_us"])
+        & (facts["_ts_us"] < dim["_to_us"]),
+    )
+    return (
+        joined.groupBy("version")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.count_distinct("user_id").alias("n_users"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(25,6)")).cast("double"), 4
+            ).alias("value_sum"),
+        )
+        .orderBy("version")
+    )
+
+
+SCD2_TEMPORAL_ENRICH_SQL = """
+WITH dim AS (
+  SELECT user_id AS d_user, epoch_us(ts) AS _from_us,
+         coalesce(epoch_us(lead(ts) OVER w), 4611686018427387904) AS _to_us,
+         row_number() OVER w AS version
+  FROM events WHERE event_type = 'signup'
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), facts AS (
+  SELECT user_id, epoch_us(ts) AS _ts_us, value
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT version, count(*) AS n_purchases,
+       count(DISTINCT user_id) AS n_users,
+       round(CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE), 4)
+         AS value_sum
+FROM facts JOIN dim
+  ON user_id = d_user AND _ts_us >= _from_us AND _ts_us < _to_us
+GROUP BY version ORDER BY version
+"""
+
+
 def acctbal_rank_profile(spark, sf_dir):
     """Relative-rank window completeness (percent_rank + cume_dist +
     ntile in one partitioned pass): per market segment, the rank
@@ -5317,6 +5382,7 @@ QUERIES.update({
     "multiset_customer_activity": (multiset_customer_activity, MULTISET_SQL),
     "event_path_topk": (event_path_topk, EVENT_PATH_SQL),
     "nation_supplier_roster": (nation_supplier_roster, NATION_ROSTER_SQL),
+    "scd2_temporal_enrich": (scd2_temporal_enrich, SCD2_TEMPORAL_ENRICH_SQL),
 })
 
 

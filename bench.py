@@ -156,14 +156,35 @@ def main() -> None:
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         times[name] = round(time.perf_counter() - t0, 3)
 
+    total = round(sum(times.values()), 3)
+    # Two lines, detail FIRST: the full per-query line is 100+ entries
+    # and round 2's single huge line overflowed the driver's tail
+    # capture (BENCH_r02.json "parsed": null).  The LAST line is
+    # compact — metric/value/sf plus only the 25 slowest queries — so
+    # the tail always retains one parseable JSON line.
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_detail_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+    slowest = dict(
+        sorted(times.items(), key=lambda kv: kv[1], reverse=True)[:25]
+    )
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_sec",
-                "value": round(sum(times.values()), 3),
+                "value": total,
                 "unit": "sec",
-                "queries": times,
+                "queries": slowest,
                 "sf": sf,
+                "n_queries": len(times),
             }
         )
     )

@@ -212,9 +212,15 @@ def sessionize(
     """
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap = F.lag("ts").over(w)
+    # Compare at microsecond precision: unix_timestamp() truncates to
+    # whole seconds, which silently mis-splits sessions whose gap
+    # straddles the boundary sub-second (e.g. 1799.9 s vs 1800.1 s).
     new_session = F.when(
         gap.isNull()
-        | (F.unix_timestamp("ts") - F.unix_timestamp(gap) > gap_minutes * 60),
+        | (
+            F.unix_micros("ts") - F.unix_micros(gap)
+            > gap_minutes * 60 * 1_000_000
+        ),
         1,
     ).otherwise(0)
     return (

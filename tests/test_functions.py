@@ -228,6 +228,49 @@ def test_sessionize_gap_splitting(spark):
     assert s1[0]["n_events"] == 2 and s1[1]["n_events"] == 1
 
 
+def test_sessionize_subsecond_gap_boundary(spark):
+    """The 30-min gap test must be exact at microsecond precision:
+    1799.9 s stays in-session, 1800.1 s splits.  A whole-second
+    comparison (unix_timestamp) truncates both to 1799/1800 and
+    mis-splits — this pins the unix_micros comparison, and DuckDB's
+    fractional epoch() agrees on the same rows."""
+    import duckdb
+
+    from parquet_converters_spark.streaming.events import sessionize
+
+    rows = [
+        Row(user_id=1, event_id=0, ts="2024-01-01 10:00:00.000000", value=1.0),
+        # +1799.9 s: inside the 1800 s gap -> same session
+        Row(user_id=1, event_id=1, ts="2024-01-01 10:29:59.900000", value=1.0),
+        # +1800.1 s after event 1: strictly over -> new session
+        Row(user_id=1, event_id=2, ts="2024-01-01 10:59:60.000000", value=1.0),
+    ]
+    # 10:59:60 is invalid; build the third ts explicitly
+    rows[2] = Row(
+        user_id=1, event_id=2, ts="2024-01-01 11:00:00.000000", value=1.0
+    )
+    df = spark.createDataFrame(rows).withColumn("ts", F.to_timestamp("ts"))
+    out = sorted(
+        sessionize(df, gap_minutes=30).collect(), key=lambda r: r["session_id"]
+    )
+    assert [r["n_events"] for r in out] == [2, 1]
+
+    got = duckdb.sql(
+        """
+        WITH e(ts) AS (VALUES (TIMESTAMP '2024-01-01 10:00:00'),
+                              (TIMESTAMP '2024-01-01 10:29:59.9'),
+                              (TIMESTAMP '2024-01-01 11:00:00')),
+        g AS (
+          SELECT epoch_us(ts) - epoch_us(lag(ts) OVER (ORDER BY ts)) AS gap_us
+          FROM e
+        )
+        SELECT sum(CASE WHEN gap_us > 1800 * 1000000 THEN 1 ELSE 0 END) AS splits
+        FROM g
+        """
+    ).fetchone()
+    assert got[0] == 1  # DuckDB agrees: exactly one split
+
+
 def test_ivf_topk_matches_bruteforce_when_probing_all(spark, sf_dir):
     """With nprobe == num_cells, IVF degenerates to exact search — its
     top-k must equal the brute-force baseline."""

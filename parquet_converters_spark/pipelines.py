@@ -103,13 +103,20 @@ def scrub_ids(
     src = spark.read.parquet(table_dir)
     n_before = src.count()
     if isinstance(ids, DataFrame):
+        # large manifests: no broadcast hint — Spark picks broadcast vs
+        # shuffle anti-join from the manifest's size stats (forcing
+        # broadcast here would ship an arbitrarily large manifest to
+        # every executor)
         dele = ids.select(F.col(id_col))
     else:
-        dele = spark.createDataFrame(
-            [(i,) for i in ids], schema=src.select(id_col).schema
+        # small ad-hoc Python sequence: always broadcast-able
+        dele = F.broadcast(
+            spark.createDataFrame(
+                [(i,) for i in ids], schema=src.select(id_col).schema
+            )
         )
     dest = out_dir or table_dir.rstrip("/") + "__scrubbed"
-    kept = src.join(F.broadcast(dele), id_col, "left_anti")
+    kept = src.join(dele, id_col, "left_anti")
     kept.write.mode("overwrite").parquet(dest)
     n_after = spark.read.parquet(dest).count()
     return {

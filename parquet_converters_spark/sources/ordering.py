@@ -21,9 +21,12 @@ zipWithIndex job, no window over the whole table.
 from __future__ import annotations
 
 import glob as _glob
+import logging
 import os
 
 from pyspark.sql import DataFrame, functions as F
+
+_log = logging.getLogger(__name__)
 
 
 def _sorted_files(path: str) -> list[str]:
@@ -43,6 +46,53 @@ def file_row_counts(files: list[str]) -> list[int]:
     import pyarrow.parquet as pq
 
     return [pq.ParquetFile(f).metadata.num_rows for f in files]
+
+
+def _sidecar_schema(path: str):
+    """Schema from a ``_metadata`` sidecar if the input is a directory
+    that has one — the reference prefers the sidecar as the
+    authoritative directory schema (``src/parquet2hdf5.cpp:205-218``,
+    ``src/circuit/parquet_reader.cpp:93-97``) and warns when it is
+    absent.  Returns None when there is no sidecar."""
+    import pyarrow.parquet as pq
+
+    if not os.path.isdir(path):
+        return None
+    sidecar = os.path.join(path, "_metadata")
+    if not os.path.isfile(sidecar):
+        _log.warning(
+            "no _metadata sidecar under %s; falling back to per-file "
+            "footers for the schema (reference parquet2hdf5.cpp:205-218 "
+            "prefers the sidecar)",
+            path,
+        )
+        return None
+    return pq.ParquetFile(sidecar).schema_arrow
+
+
+def check_schema_agreement(files: list[str], expected=None) -> None:
+    """Hard-error when the files of an ordered scan disagree on schema,
+    naming the first mismatching file — reference parity with
+    ``src/parquet2hdf5.cpp:67-73`` (mismatched schemas are a hard error
+    there too; Spark's ``mergeSchema=False`` default can silently
+    project instead).  ``expected`` (e.g. the ``_metadata`` sidecar
+    schema) overrides the first file as the reference schema.  Footer
+    metadata only — O(files), no data read."""
+    import pyarrow.parquet as pq
+
+    ref_schema, ref_file = expected, "_metadata sidecar"
+    for f in files:
+        s = pq.ParquetFile(f).schema_arrow
+        if ref_schema is None:
+            ref_schema, ref_file = s, f
+        elif not s.equals(ref_schema):
+            raise ValueError(
+                f"parquet schema mismatch in ordered scan: {f!r} does not "
+                f"match {ref_file!r}\n  expected: {ref_schema}\n"
+                f"  got:      {s}\n(the reference hard-errors on "
+                "cross-file schema disagreement, parquet2hdf5.cpp:67-73; "
+                "pass mergeSchema=True to merge instead)"
+            )
 
 
 # Past this many files the per-file offset lookup switches from an
@@ -65,9 +115,14 @@ def read_parquet_ordered(
 
     Schema-merge is off by default: like the reference, all files must
     agree on the schema (``parquet2hdf5.cpp:67-73`` — mismatched schemas
-    are a hard error there too).
+    are a hard error there too), checked driver-side against the
+    ``_metadata`` sidecar when the directory has one, else against the
+    first file's footer.  ``mergeSchema=True`` opts out of the strict
+    check and lets Spark union the schemas.
     """
     files = _sorted_files(path)
+    if not mergeSchema:
+        check_schema_agreement(files, expected=_sidecar_schema(path))
     counts = file_row_counts(files)
     offsets: dict[str, int] = {}
     base = 0
@@ -117,36 +172,46 @@ def with_global_row_index(df: DataFrame, row_index_col: str = "row_index",
     mapPartitions add) — the Spark equivalent of the reference's
     Gather/prefix-sum/Scatter offset dance (``parquet2hdf5.cpp:97-110``):
 
-    - ``order_cols`` given: one ``repartitionByRange`` + within-partition
-      sort establishes the logical order across partitions, then offsets
-      are added per partition.  Never a single global ``Window.orderBy``
-      — that would serialize the corpus through one task.  Ties on
-      ``order_cols`` get arbitrary (but stable within a run) relative
-      indices, exactly as the window form did.
-    - no ``order_cols``: preserves the current partition order.
+    - ``order_cols`` given: delegates to the ``_global_rank`` pattern —
+      ``repartitionByRange`` + per-partition ``row_number`` + a
+      broadcast prefix-sum offset map.  Never a single global
+      ``Window.orderBy`` — that would serialize the corpus through one
+      task.  Ties on ``order_cols`` get arbitrary (but stable within a
+      run) relative indices, exactly as a window form would.
+    - no ``order_cols``: preserves the current partition order with
+      ZERO shuffle and zero Python in the row path:
+      ``monotonically_increasing_id`` encodes (partition id << 33) |
+      row-in-partition (documented Spark layout), so the per-partition
+      row position and partition id are bit-field extractions; only the
+      O(partitions) count aggregate is collected.  The input is
+      persisted so the count pass and the output plan see the same
+      partitioning.
+
+    Everything stays JVM-side — the previous implementation round-
+    tripped every row through ``df.rdd`` -> Python -> ``createDataFrame``.
     """
     if order_cols:
-        n = max(df.sparkSession.sparkContext.defaultParallelism, 1)
-        df = df.repartitionByRange(n, *order_cols).sortWithinPartitions(
-            *order_cols
-        )
+        from parquet_converters_spark.operators.indexing import _global_rank
 
-    spark = df.sparkSession
-    rdd = df.rdd
-    counts = rdd.mapPartitionsWithIndex(
-        lambda i, it: [(i, sum(1 for _ in it))]
-    ).collect()
-    offsets = {}
-    base = 0
-    for i, c in sorted(counts):
+        return _global_rank(df, list(order_cols), row_index_col)
+
+    with_mid = df.withColumn(
+        "_mid", F.monotonically_increasing_id()
+    ).persist()
+    pid = F.shiftright("_mid", 33)
+    counts = {
+        r["_pid"]: r["count"]
+        for r in with_mid.groupBy(pid.alias("_pid")).count().collect()
+    }
+    offsets, base = {}, 0
+    for i in sorted(counts):
         offsets[i] = base
-        base += c
-    b_offsets = spark.sparkContext.broadcast(offsets)
-    schema = df.schema.add(row_index_col, "long", False)
-
-    def add_index(i, it):
-        off = b_offsets.value[i]
-        for j, row in enumerate(it):
-            yield (*row, off + j)
-
-    return spark.createDataFrame(rdd.mapPartitionsWithIndex(add_index), schema)
+        base += counts[i]
+    offset_expr = F.create_map(
+        *[F.lit(x) for i, off in sorted(offsets.items()) for x in (i, off)]
+    )
+    row_in_part = F.col("_mid").bitwiseAND((1 << 33) - 1)
+    return with_mid.withColumn(
+        row_index_col,
+        (offset_expr[pid] + row_in_part).cast("long"),
+    ).drop("_mid")

@@ -101,9 +101,25 @@ def compact_rollup(spark, out_dir: str) -> int:
     streams.  Write-then-delete is not atomic on plain parquet — run
     compaction only while the stream is stopped (or against a snapshot
     copy), exactly like parquet file compaction anywhere else.  Returns
-    the number of batch partitions folded."""
-    import shutil
+    the number of batch partitions folded.
 
+    Local-filesystem paths only: the fold's delete/rename step uses
+    ``shutil``, which silently misinterprets scheme-qualified URIs
+    (``hdfs://``, ``s3a://``).  Those are rejected up front; a
+    distributed-FS deployment should do the same fold with its
+    catalog's atomic rewrite (Iceberg/Delta replace) or the Hadoop
+    FileSystem rename API instead."""
+    import shutil
+    from urllib.parse import urlparse
+
+    scheme = urlparse(out_dir).scheme
+    if scheme not in ("", "file"):
+        raise ValueError(
+            f"compact_rollup only supports local filesystem paths, got "
+            f"scheme {scheme!r} in {out_dir!r} — use your table format's "
+            "atomic rewrite on distributed storage"
+        )
+    out_dir = out_dir.removeprefix("file://")
     src = spark.read.parquet(out_dir)
     batches = [r["_batch_id"] for r in src.select("_batch_id").distinct().collect()]
     folded = (

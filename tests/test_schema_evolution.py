@@ -56,3 +56,78 @@ def test_filter_on_late_column_sees_null_rows_correctly(spark, tmp_path):
     t = spark.read.option("mergeSchema", "true").parquet(str(tmp_path / "t"))
     assert t.filter(F.col("lang") == "en").count() == 1
     assert t.filter(F.col("lang").isNull()).count() == 5
+
+
+def test_ordered_scan_rejects_mixed_schema_dir(spark, tmp_path):
+    """Reference parity (parquet2hdf5.cpp:67-73): an ordered scan over
+    files whose footers disagree is a hard error naming the file, not a
+    silent projection."""
+    import pytest
+
+    from parquet_converters_spark.sources.ordering import read_parquet_ordered
+
+    spark.createDataFrame([(1,)], "doc_id long").write.parquet(
+        str(tmp_path / "t"), mode="append"
+    )
+    spark.createDataFrame([(2, "en")], "doc_id long, lang string").write.parquet(
+        str(tmp_path / "t"), mode="append"
+    )
+    with pytest.raises(ValueError, match="schema mismatch"):
+        read_parquet_ordered(spark, str(tmp_path / "t"))
+    # mergeSchema=True opts out of strictness and unions instead
+    merged = read_parquet_ordered(spark, str(tmp_path / "t"), mergeSchema=True)
+    assert set(merged.columns) >= {"doc_id", "lang", "row_index"}
+
+
+def test_ordered_scan_honors_metadata_sidecar(spark, tmp_path):
+    """A _metadata sidecar is the authoritative directory schema
+    (parquet2hdf5.cpp:205-218): files that disagree with IT fail even
+    when they agree with each other."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from parquet_converters_spark.sources.ordering import read_parquet_ordered
+
+    d = tmp_path / "t"
+    spark.createDataFrame([(1,), (2,)], "doc_id long").coalesce(1).write.parquet(
+        str(d)
+    )
+    # sidecar that disagrees with the (internally consistent) files
+    pq.write_metadata(
+        pa.schema([("doc_id", pa.int64()), ("lang", pa.string())]),
+        str(d / "_metadata"),
+    )
+    with pytest.raises(ValueError, match="_metadata sidecar"):
+        read_parquet_ordered(spark, str(d))
+    # matching sidecar: scan proceeds with the global row index intact
+    pq.write_metadata(pa.schema([("doc_id", pa.int64())]), str(d / "_metadata"))
+    out = read_parquet_ordered(spark, str(d))
+    assert sorted(r["row_index"] for r in out.collect()) == [0, 1]
+
+
+def test_global_row_index_unordered_mode_no_shuffle(spark):
+    """No-order mode: contiguous 0..n-1 in current partition order,
+    computed from monotonically_increasing_id bit fields — the plan
+    must contain no Exchange and no Python stage."""
+    from parquet_converters_spark.sources.ordering import with_global_row_index
+
+    df = spark.range(0, 1000).repartition(7)
+    out = with_global_row_index(df, "idx")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the old implementation round-tripped rows through df.rdd ->
+    # createDataFrame, which shows up as a Scan ExistingRDD + Python
+    # stage; the rewrite must be pure JVM expressions
+    assert "ExistingRDD" not in plan
+    assert "Python" not in plan
+    rows = out.collect()
+    assert sorted(r["idx"] for r in rows) == list(range(1000))
+    # each source partition's ids are contiguous
+    import collections
+
+    by_part = collections.defaultdict(list)
+    for r in out.withColumn("_p", __import__("pyspark").sql.functions.spark_partition_id()).collect():
+        by_part[r["_p"]].append(r["idx"])
+    for ids in by_part.values():
+        ids.sort()
+        assert ids == list(range(ids[0], ids[0] + len(ids)))

@@ -641,3 +641,71 @@ def cross_source_shingles(
         .groupBy("src_a", "src_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
+
+
+def span_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_words: int = 8,
+    max_df: int = 1,
+) -> DataFrame:
+    """Cross-document duplicated-span removal (the C4 "repeated
+    three-sentence span" / CCNet line-dedup step, adapted to span
+    grain): cut each document into consecutive ``span_words``-word
+    spans, drop every span whose exact text occurs in more than
+    ``max_df`` documents, and rebuild the surviving text in original
+    span order.
+
+    Plan shape for 100 TB: one explode to (doc, pos, span); document
+    frequency from a distinct (doc, span) projection + one hash
+    aggregate (NOT a window over the exploded table); flags joined
+    back on the span key; reconstruction is a single groupBy(doc)
+    collecting (pos, span) structs — ``array_sort`` orders by pos
+    inside the aggregate, so there is no per-document window.  The
+    span-keyed shuffle is bounded by distinct-span cardinality; at
+    100 TB substitute ``xxhash64(span)`` as the join key to shrink
+    shuffle width (collision odds ~n²/2⁶⁴, acceptable for dedup).
+
+    Returns (id, n_spans, n_dropped, new_text) — one row per document,
+    ``new_text`` empty when everything was boilerplate.
+    """
+    words = F.split(F.col(text_col), " ")
+    n_spans = F.ceil(F.size(words) / F.lit(float(span_words))).cast("int")
+    spans = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_spans - 1),
+                lambda i: F.array_join(
+                    F.slice(words, i * span_words + 1, span_words), " "
+                ),
+            )
+        ).alias("_pos", "_span"),
+    )
+    docfreq = (
+        spans.select(id_col, "_span")
+        .distinct()
+        .groupBy("_span")
+        .agg(F.count(F.lit(1)).alias("_df"))
+    )
+    flagged = spans.join(docfreq, "_span").withColumn(
+        "_kept", F.col("_df") <= max_df
+    )
+    kept_struct = F.when(
+        F.col("_kept"), F.struct(F.col("_pos"), F.col("_span"))
+    )
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum((~F.col("_kept")).cast("long")).alias("n_dropped"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda s: s["_span"],
+                ),
+                " ",
+            ).alias("new_text"),
+        )
+    )

@@ -5436,6 +5436,69 @@ QUERIES.update({
 })
 
 
+_SPAN_K, _SPAN_MAX_DF = 4, 1
+
+
+def dedup_spans(spark, sf_dir):
+    """Cross-document duplicated-span removal (C4 "repeated span" /
+    CCNet line-dedup adapted to span grain): 4-word spans occurring in
+    >1 document are cut from every document, text rebuilt in original
+    span order (~11% of spans drop on the synthetic corpus — the
+    boilerplate-removal step exact whole-doc dedup misses).  Output
+    carries md5(new_text) so reconstruction is value-checked without
+    hashing megabyte strings through the driver compare."""
+    from parquet_converters_spark.functions.dedup import span_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    out = span_dedup(
+        docs, span_words=_SPAN_K, max_df=_SPAN_MAX_DF
+    )
+    return out.select(
+        "doc_id",
+        "n_spans",
+        "n_dropped",
+        F.length("new_text").alias("new_len"),
+        F.md5("new_text").alias("new_md5"),
+    ).orderBy("doc_id")
+
+
+DEDUP_SPANS_SQL = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+), s AS (
+  SELECT doc_id,
+         unnest(range(0, CAST(ceil(len(words)/{_SPAN_K}.0) AS BIGINT))) AS pos,
+         words
+  FROM w
+), spans AS (
+  SELECT doc_id, pos,
+         array_to_string(words[pos*{_SPAN_K}+1 : pos*{_SPAN_K}+{_SPAN_K}], ' ')
+           AS span
+  FROM s
+), df AS (
+  SELECT span, count(*) AS df
+  FROM (SELECT DISTINCT doc_id, span FROM spans) GROUP BY span
+), flagged AS (
+  SELECT s.doc_id, s.pos, s.span, d.df <= {_SPAN_MAX_DF} AS kept
+  FROM spans s JOIN df d USING (span)
+)
+SELECT doc_id,
+       count(*) AS n_spans,
+       CAST(sum(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+       CAST(length(coalesce(
+         string_agg(CASE WHEN kept THEN span END, ' ' ORDER BY pos), ''))
+         AS INT) AS new_len,
+       md5(coalesce(
+         string_agg(CASE WHEN kept THEN span END, ' ' ORDER BY pos), ''))
+         AS new_md5
+FROM flagged GROUP BY doc_id ORDER BY doc_id
+"""
+
+QUERIES.update({
+    "dedup_spans": (dedup_spans, DEDUP_SPANS_SQL),
+})
+
+
 # --- r03 grading rotation --------------------------------------------------
 # The driver's correctness gate checks the FIRST 50 registry entries per
 # round.  Window policy for r03, per VERDICT.md r02 items 1/2/6: lead

@@ -901,3 +901,42 @@ def test_ann_recall_bounded_and_exact_when_bruteforce(spark, sf_dir):
     assert len(rows) == 5
     for r in rows:
         assert r.n_exact == 5 and 0.0 <= r.recall <= 1.0 and r.n_hits <= 5
+
+
+def test_span_dedup_removes_cross_doc_spans(spark):
+    """A span shared by two docs is cut from both; unique spans
+    survive; text rebuilds in original order; all-boilerplate docs
+    come back empty (not NULL)."""
+    from parquet_converters_spark.functions.dedup import span_dedup
+
+    rows = [
+        (1, "a b c d x y z w"),          # spans: "a b c d", "x y z w"
+        (2, "a b c d p q r s"),          # shares "a b c d" with doc 1
+        (3, "a b c d"),                  # nothing but the shared span
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in span_dedup(df, span_words=4, max_df=1).collect()
+    }
+    assert out[1]["n_spans"] == 2 and out[1]["n_dropped"] == 1
+    assert out[1]["new_text"] == "x y z w"
+    assert out[2]["new_text"] == "p q r s"
+    assert out[3]["n_dropped"] == 1 and out[3]["new_text"] == ""
+
+
+def test_span_dedup_trailing_partial_span(spark):
+    """Trailing partial spans (len % span_words != 0) are their own
+    span and dedup like any other."""
+    from parquet_converters_spark.functions.dedup import span_dedup
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "x y z a b c")], "doc_id long, text string"
+    )
+    # doc2 spans with k=3: "x y z", "a b c" — second shared with doc1
+    out = {
+        r["doc_id"]: r
+        for r in span_dedup(df, span_words=3, max_df=1).collect()
+    }
+    assert out[1]["new_text"] == "" and out[1]["n_dropped"] == 1
+    assert out[2]["new_text"] == "x y z"

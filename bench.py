@@ -130,6 +130,9 @@ HEADLINE = [
     "dedup_spans",
     "dedup_spans_intra",
     "source_terms_ctfidf",
+    "snapshot_diff_orders",
+    "embedding_diversity",
+    "psi_value_drift",
 ]
 
 

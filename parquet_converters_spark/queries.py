@@ -4219,14 +4219,20 @@ def equi_depth_histogram(spark, sf_dir, exact=None):
     aggregation buffer — fine small, an OOM at 100 TB) only while the
     table is under ``_EQD_EXACT_MAX_ROWS``; above that it switches to
     ``approx_percentile`` (GK sketch, bounded memory, mergeable
-    map-side), keeping the identical downstream plan.  The count(*)
-    gate is a cheap metadata-ish columnar scan, orders cheaper than
-    the buffer it avoids.  Boundaries are rounded to 6 decimals on
+    map-side), keeping the identical downstream plan.  The row-count
+    gate reads parquet footer metadata driver-side — O(files)
+    milliseconds, no Spark job (a count(*) scan cost 2×1.7 s per
+    bench run when tried).  Boundaries are rounded to 6 decimals on
     both engines before comparing so the bucket rule is engine-stable.
     """
     li = _t(spark, sf_dir, "lineitem")
     if exact is None:
-        exact = li.count() <= _EQD_EXACT_MAX_ROWS
+        import pyarrow.parquet as pq
+
+        n = pq.ParquetFile(
+            f"{sf_dir}/lineitem.parquet"
+        ).metadata.num_rows
+        exact = n <= _EQD_EXACT_MAX_ROWS
     fr = [i / _EQD_BUCKETS for i in range(1, _EQD_BUCKETS)]
     # ONE percentile(col, array(...)) call: nine separate percentile
     # aggregates would each buffer the whole column (measured 19.6 s vs
@@ -5592,10 +5598,241 @@ QUALIFY rank <= 5
 ORDER BY source, rank
 """
 
+def snapshot_diff_orders(spark, sf_dir):
+    """Snapshot reconciliation audit: orders vs a deterministically
+    perturbed next-day snapshot (keys %97 removed, %5 status-updated,
+    %101 re-keyed as additions), classified added/removed/updated/
+    unchanged by a full-outer key join comparing one md5 per side
+    (`pipelines.snapshot_diff`).  Output is the change-type census —
+    the go/no-go gate before swapping readers to a backfill."""
+    from parquet_converters_spark.pipelines import snapshot_diff
+
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    snap_b = (
+        base.filter(F.col("o_orderkey") % 97 != 0)
+        .withColumn(
+            "o_orderstatus",
+            F.when(F.col("o_orderkey") % 5 == 0, F.lit("X")).otherwise(
+                F.col("o_orderstatus")
+            ),
+        )
+        .unionByName(
+            base.filter(F.col("o_orderkey") % 101 == 0).withColumn(
+                "o_orderkey", F.col("o_orderkey") + 10_000_000
+            )
+        )
+    )
+    return (
+        snapshot_diff(base, snap_b, ["o_orderkey"])
+        .groupBy("change_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("change_type")
+    )
+
+
+SNAPSHOT_DIFF_SQL = """
+WITH a AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+b AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 5 = 0 THEN 'X' ELSE o_orderstatus END
+           AS o_orderstatus,
+         o_totalprice
+  FROM orders WHERE o_orderkey % 97 <> 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 101 = 0
+), d AS (
+  SELECT CASE WHEN a.o_orderkey IS NULL THEN 'added'
+              WHEN b.o_orderkey IS NULL THEN 'removed'
+              WHEN a.o_orderstatus = b.o_orderstatus
+                   AND a.o_totalprice = b.o_totalprice THEN 'unchanged'
+              ELSE 'updated' END AS change_type
+  FROM a FULL OUTER JOIN b USING (o_orderkey)
+)
+SELECT change_type, count(*) AS n FROM d
+GROUP BY change_type ORDER BY change_type
+"""
+
+
+def embedding_diversity(spark, sf_dir):
+    """Exact mean pairwise squared distance of the embedding corpus in
+    ONE pass — the O(n²) pairwise definition rewritten algebraically:
+    E||x−y||² over distinct pairs = 2·n/(n−1)·(mean||x||² − ||x̄||²).
+    Two tiny aggregates (per-dim means at the dim grain, scalar norm
+    mean), a broadcast combine, zero joins over pairs — the diversity
+    probe a sampling strategy is scored by, at any corpus size."""
+    emb = _t(spark, sf_dir, "embeddings")
+    sq = F.aggregate(
+        "embedding",
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    scalars = emb.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(sq).alias("_m2"),
+    )
+    dim_means = (
+        emb.select(F.posexplode("embedding").alias("_pos", "_v"))
+        .groupBy("_pos")
+        .agg(F.avg(F.col("_v").cast("double")).alias("_mu"))
+        .agg(F.sum(F.col("_mu") * F.col("_mu")).alias("_mu_sq"))
+    )
+    return (
+        scalars.crossJoin(F.broadcast(dim_means))
+        .select(
+            "n",
+            F.round("_m2", 6).alias("mean_sq_norm"),
+            F.round("_mu_sq", 6).alias("sq_norm_of_mean"),
+            F.round(
+                2.0
+                * F.col("n")
+                / (F.col("n") - 1)
+                * (F.col("_m2") - F.col("_mu_sq")),
+                6,
+            ).alias("mean_pairwise_sq_dist"),
+        )
+    )
+
+
+EMBEDDING_DIVERSITY_SQL = """
+WITH sq AS (
+  SELECT vec_id,
+         list_sum(list_transform(embedding,
+                                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+           AS sqn
+  FROM embeddings
+), scalars AS (
+  SELECT count(*) AS n, avg(sqn) AS m2 FROM sq
+), dims AS (
+  SELECT generate_subscripts(embedding, 1) AS pos,
+         unnest(embedding) AS v
+  FROM embeddings
+), mu AS (
+  SELECT sum(mu * mu) AS mu_sq
+  FROM (SELECT pos, avg(CAST(v AS DOUBLE)) AS mu FROM dims GROUP BY pos)
+)
+SELECT n,
+       round(m2, 6) AS mean_sq_norm,
+       round(mu_sq, 6) AS sq_norm_of_mean,
+       round(2.0 * n / (n - 1) * (m2 - mu_sq), 6) AS mean_pairwise_sq_dist
+FROM scalars CROSS JOIN mu
+"""
+
+
+_PSI_BINS = 10
+
+
+def psi_value_drift(spark, sf_dir):
+    """Population Stability Index of the event-value distribution,
+    first half of the time range (reference) vs second half (current)
+    — the standard drift alarm for a feature or label column.  Decile
+    bounds come from the REFERENCE period only (one percentile
+    aggregate, broadcast; `approx_percentile` at 100 TB, same plan);
+    both periods bin by boundary-exceed count; shares are
+    Laplace-smoothed ((cnt+0.5)/(n+0.5·k)) identically on both
+    engines so empty bins never divide by zero.  Output is per-bin
+    shares + PSI contributions; total PSI = sum(contribution)."""
+    ev = _events(spark, sf_dir).select("ts", "value")
+    span = ev.agg(
+        F.min(F.unix_micros("ts")).alias("_lo"),
+        F.max(F.unix_micros("ts")).alias("_hi"),
+    )
+    tagged = ev.crossJoin(F.broadcast(span)).withColumn(
+        "_cur",
+        (
+            F.unix_micros("ts") * 2 >= F.col("_lo") + F.col("_hi")
+        ).cast("int"),
+    )
+    fr = [i / _PSI_BINS for i in range(1, _PSI_BINS)]
+    bounds = (
+        tagged.filter(F.col("_cur") == 0)
+        .agg(
+            F.expr(
+                f"percentile(value, array({', '.join(map(str, fr))}))"
+            ).alias("_bs")
+        )
+        .select(
+            *[
+                F.round(F.col("_bs")[i - 1], 6).alias(f"b{i}")
+                for i in range(1, _PSI_BINS)
+            ]
+        )
+    )
+    bucket = sum(
+        (F.col("value") > F.col(f"b{i}")).cast("int")
+        for i in range(1, _PSI_BINS)
+    )
+    counts = (
+        tagged.crossJoin(F.broadcast(bounds))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.sum(F.when(F.col("_cur") == 0, 1).otherwise(0)).alias("_nr"),
+            F.sum(F.when(F.col("_cur") == 1, 1).otherwise(0)).alias("_nc"),
+        )
+    )
+    tot = counts.agg(
+        F.sum("_nr").alias("_tr"), F.sum("_nc").alias("_tc")
+    )
+    k = float(_PSI_BINS)
+    ref_share = (F.col("_nr") + 0.5) / (F.col("_tr") + 0.5 * k)
+    cur_share = (F.col("_nc") + 0.5) / (F.col("_tc") + 0.5 * k)
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            F.round(ref_share, 6).alias("ref_share"),
+            F.round(cur_share, 6).alias("cur_share"),
+            F.round(
+                (cur_share - ref_share) * F.log(cur_share / ref_share), 6
+            ).alias("psi_contrib"),
+        )
+        .orderBy("bucket")
+    )
+
+
+_PSI_BOUNDS_SQL = ", ".join(
+    f"round(quantile_cont(value, {i}/{_PSI_BINS}.0), 6) AS b{i}"
+    for i in range(1, _PSI_BINS)
+)
+_PSI_BUCKET_SQL = " + ".join(
+    f"CAST(value > b{i} AS INT)" for i in range(1, _PSI_BINS)
+)
+
+PSI_VALUE_DRIFT_SQL = f"""
+WITH span AS (
+  SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi FROM events
+), tagged AS (
+  SELECT value,
+         CASE WHEN epoch_us(ts) * 2 >= lo + hi THEN 1 ELSE 0 END AS cur
+  FROM events CROSS JOIN span
+), bounds AS (
+  SELECT {_PSI_BOUNDS_SQL} FROM tagged WHERE cur = 0
+), counts AS (
+  SELECT ({_PSI_BUCKET_SQL}) AS bucket,
+         sum(CASE WHEN cur = 0 THEN 1 ELSE 0 END) AS nr,
+         sum(CASE WHEN cur = 1 THEN 1 ELSE 0 END) AS nc
+  FROM tagged CROSS JOIN bounds GROUP BY bucket
+), tot AS (SELECT sum(nr) AS tr, sum(nc) AS tc FROM counts)
+SELECT bucket,
+       round((nr + 0.5) / (tr + 0.5 * {_PSI_BINS}), 6) AS ref_share,
+       round((nc + 0.5) / (tc + 0.5 * {_PSI_BINS}), 6) AS cur_share,
+       round(((nc + 0.5) / (tc + 0.5 * {_PSI_BINS})
+              - (nr + 0.5) / (tr + 0.5 * {_PSI_BINS}))
+             * ln(((nc + 0.5) / (tc + 0.5 * {_PSI_BINS}))
+                  / ((nr + 0.5) / (tr + 0.5 * {_PSI_BINS}))), 6)
+         AS psi_contrib
+FROM counts CROSS JOIN tot ORDER BY bucket
+"""
+
+
 QUERIES.update({
     "dedup_spans": (dedup_spans, DEDUP_SPANS_SQL),
     "dedup_spans_intra": (dedup_spans_intra, DEDUP_SPANS_INTRA_SQL),
     "source_terms_ctfidf": (source_terms_ctfidf, SOURCE_TERMS_CTFIDF_SQL),
+    "snapshot_diff_orders": (snapshot_diff_orders, SNAPSHOT_DIFF_SQL),
+    "embedding_diversity": (embedding_diversity, EMBEDDING_DIVERSITY_SQL),
+    "psi_value_drift": (psi_value_drift, PSI_VALUE_DRIFT_SQL),
 })
 
 

@@ -51,3 +51,29 @@ def test_scrub_propagates_across_derived_tables(spark, sf_dir, tmp_path):
     for d in (docs_dir, chunks_dir):
         back = spark.read.parquet(out[d]["output"])
         assert back.where("doc_id IN (4, 9)").count() == 0
+
+
+def test_snapshot_diff_classifies_all_change_types(spark):
+    from parquet_converters_spark.pipelines import snapshot_diff
+
+    a = spark.createDataFrame(
+        [(1, "x", 1.0), (2, "y", 2.0), (3, "z", 3.0)],
+        "k long, s string, v double",
+    )
+    b = spark.createDataFrame(
+        [(1, "x", 1.0), (2, "CHANGED", 2.0), (4, "w", 4.0)],
+        "k long, s string, v double",
+    )
+    out = {r["k"]: r["change_type"] for r in snapshot_diff(a, b, ["k"]).collect()}
+    assert out == {1: "unchanged", 2: "updated", 3: "removed", 4: "added"}
+
+
+def test_snapshot_diff_null_value_vs_changed(spark):
+    """NULL handling: concat_ws drops NULLs, so NULL->value transitions
+    must still classify as updated (not unchanged)."""
+    from parquet_converters_spark.pipelines import snapshot_diff
+
+    a = spark.createDataFrame([(1, None)], "k long, s string")
+    b = spark.createDataFrame([(1, "now-set")], "k long, s string")
+    out = snapshot_diff(a, b, ["k"]).collect()
+    assert out[0]["change_type"] == "updated"

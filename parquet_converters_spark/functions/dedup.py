@@ -709,3 +709,40 @@ def span_dedup(
             ).alias("new_text"),
         )
     )
+
+
+def signature_band_buckets(
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """Explode (id, signature) MinHash rows into banded LSH bucket keys
+    (id, band, bucket) — the probe/index grain for bucketed candidate
+    joins.  ``bucket`` is the joined string of the band's signature
+    slice, identical to the in-line banding of ``minhash_lsh_pairs``."""
+    rows_per_band = num_hashes // bands
+    return sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.array_join(
+                            F.transform(
+                                F.slice(
+                                    "signature",
+                                    b * rows_per_band + 1,
+                                    rows_per_band,
+                                ),
+                                lambda x: x.cast("string"),
+                            ),
+                            "-",
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("_bb"),
+    ).select(id_col, "_bb.band", "_bb.bucket")

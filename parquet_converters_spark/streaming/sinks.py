@@ -132,3 +132,102 @@ def compact_rollup(spark, out_dir: str) -> int:
     shutil.rmtree(out_dir)
     shutil.move(tmp, out_dir)
     return len([b for b in batches if b != -1])
+
+
+def lsh_dedup_gate_sink(
+    out_dir: str,
+    state_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_size: int = 3,
+):
+    """Streaming corpus-admission gate: a ``foreachBatch`` function
+    that admits only documents whose banded MinHash buckets match
+    nothing already accepted — incremental near-dedup at ingest time,
+    the streaming complement of the batch ``near_dedup_pipeline``.
+
+    Per micro-batch:
+
+    1. intra-batch exact dups collapse first (md5 content hash, min id
+       wins — deterministic);
+    2. signatures once per surviving doc; banded buckets probed
+       against the persisted state table with a LEFT ANTI join on
+       (band, bucket) — candidate cost scales with bucket collisions,
+       never corpus size;
+    3. admitted docs land in ``out_dir/_batch_id=N`` and their buckets
+       in ``state_dir/_batch_id=N``, both dynamic-overwrite — so
+       REPLAYING batch N (at-least-once delivery) rewrites both
+       partitions instead of duplicating.  The probe excludes state
+       rows of the current batch id, so a replayed batch never
+       rejects its own documents.
+
+    Like every banded-LSH gate this can reject true negatives that
+    merely share a band (tune bands/num_hashes); it never admits an
+    exact duplicate.
+
+    Usage::
+
+        docs_stream.writeStream.foreachBatch(
+            lsh_dedup_gate_sink(out, state)
+        ).option("checkpointLocation", ckpt).start()
+    """
+    from parquet_converters_spark.functions.dedup import (
+        minhash_signatures,
+        signature_band_buckets,
+    )
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        # 1. intra-batch exact dedup, deterministic winner
+        hashed = batch_df.withColumn("_ch", F.md5(F.col(text_col)))
+        w_min = (
+            hashed.groupBy("_ch").agg(F.min(id_col).alias("_keep"))
+        )
+        batch = (
+            hashed.join(w_min, "_ch")
+            .filter(F.col(id_col) == F.col("_keep"))
+            .drop("_ch", "_keep")
+        )
+        # 2. LSH probe vs persisted state (excluding own batch: replay)
+        sig = minhash_signatures(
+            batch, text_col, id_col, num_hashes, shingle_size
+        )
+        buckets = signature_band_buckets(
+            sig, id_col, num_hashes, bands
+        ).persist()
+        try:
+            state = spark.read.parquet(state_dir).filter(
+                F.col("_batch_id") != int(batch_id)
+            )
+            dup_ids = (
+                buckets.join(
+                    state.select("band", "bucket"), ["band", "bucket"]
+                )
+                .select(id_col)
+                .distinct()
+            )
+            admitted_ids = (
+                buckets.select(id_col)
+                .distinct()
+                .join(dup_ids, id_col, "left_anti")
+            )
+        except Exception:  # first batch: no state yet
+            admitted_ids = buckets.select(id_col).distinct()
+        admitted = batch.join(F.broadcast(admitted_ids), id_col)
+        # 3. idempotent writes keyed by _batch_id
+        for df_out, dest in (
+            (admitted, out_dir),
+            (buckets.join(F.broadcast(admitted_ids), id_col), state_dir),
+        ):
+            (
+                df_out.withColumn("_batch_id", F.lit(int(batch_id)))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_batch_id")
+                .parquet(dest)
+            )
+        buckets.unpersist()
+
+    return write

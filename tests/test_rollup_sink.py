@@ -124,3 +124,79 @@ def test_rollup_sink_driven_by_real_stream(spark, sf_dir, tmp_path):
     )
     want = {r["cell"]: (r["n"], float(r["s"])) for r in batch.collect()}
     assert _rollup_dict(spark, out) == want
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_lsh_dedup_gate_admits_novel_rejects_dups(spark, tmp_path):
+    from parquet_converters_spark.streaming.sinks import lsh_dedup_gate_sink
+
+    out, state = str(tmp_path / "corpus"), str(tmp_path / "state")
+    gate = lsh_dedup_gate_sink(out, state)
+    t_a = "the quick brown fox jumps over the lazy dog and runs far away"
+    t_b = "completely different content about spark shuffles and joins here"
+    t_c = "unrelated third document text with its own distinct vocabulary set"
+
+    # batch 0: one intra-batch exact dup (1 is a copy of 0)
+    gate(_docs(spark, [(0, t_a), (1, t_a), (2, t_b)]), 0)
+    got0 = sorted(
+        r["doc_id"] for r in spark.read.parquet(out).collect()
+    )
+    assert got0 == [0, 2]
+
+    # batch 1: doc 3 duplicates corpus doc 0 -> rejected; doc 4 novel
+    gate(_docs(spark, [(3, t_a), (4, t_c)]), 1)
+    got1 = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert got1 == [0, 2, 4]
+
+
+def test_lsh_dedup_gate_replay_is_idempotent(spark, tmp_path):
+    """Replaying a batch (at-least-once delivery) must neither duplicate
+    rows nor reject the batch's own documents against its own state."""
+    from parquet_converters_spark.streaming.sinks import lsh_dedup_gate_sink
+
+    out, state = str(tmp_path / "corpus"), str(tmp_path / "state")
+    gate = lsh_dedup_gate_sink(out, state)
+    t_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    t_b = "one two three four five six seven eight nine ten eleven"
+
+    gate(_docs(spark, [(0, t_a)]), 0)
+    gate(_docs(spark, [(1, t_b)]), 1)
+    before = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert before == [0, 1]
+
+    gate(_docs(spark, [(1, t_b)]), 1)  # replay batch 1
+    after = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert after == [0, 1]
+
+
+def test_lsh_dedup_gate_real_stream(spark, tmp_path):
+    """Drive the gate through an actual availableNow file stream —
+    duplicates arriving in later files never reach the corpus."""
+    from parquet_converters_spark.streaming.sinks import lsh_dedup_gate_sink
+
+    src = str(tmp_path / "src")
+    t_a = "the quick brown fox jumps over the lazy dog and runs far away"
+    t_b = "completely different content about spark shuffles and joins here"
+    _docs(spark, [(0, t_a), (1, t_b)]).coalesce(1).write.parquet(src)
+    _docs(spark, [(2, t_a)]).coalesce(1).write.mode("append").parquet(src)
+
+    out, state = str(tmp_path / "corpus"), str(tmp_path / "state")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(lsh_dedup_gate_sink(out, state))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    admitted = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert 0 in admitted or 2 in admitted  # one copy of t_a survives
+    assert not ({0, 2} <= set(admitted))   # never both
+    assert 1 in admitted

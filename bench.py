@@ -133,6 +133,7 @@ HEADLINE = [
     "snapshot_diff_orders",
     "embedding_diversity",
     "psi_value_drift",
+    "graph_pagerank",
 ]
 
 

@@ -301,3 +301,55 @@ def triangle_stats(pairs: DataFrame, src: str, dst: str) -> DataFrame:
         [(n_edges, n_wedges, n_tri, round(clustering, 6))],
         "n_edges long, n_wedges long, n_triangles long, global_clustering double",
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    iterations: int = 5,
+) -> DataFrame:
+    """Fixed-iteration PageRank: ``r(v) = (1-d)/N + d·Σ_{u→v}
+    r(u)/outdeg(u)``, one equi-join + one hash aggregate per
+    iteration — the standard distributed formulation.
+
+    Scale shape: ``edges``+out-degrees and the node table are persisted
+    once and reused every pass; per-iteration cost is a join shuffled
+    on the source key and an aggregate shuffled on the destination key
+    (at 100 TB pre-partition both by node id and the join co-locates);
+    driver state is a single node count.  Dangling nodes (out-degree
+    0) are the caller's concern — symmetrize the edge set or add
+    self-loops first; on a symmetrized graph every node has outlinks
+    so no mass leaks.
+
+    Returns (node, rank) for every node, unnormalized by convention
+    (ranks sum to ~1 when no mass leaks).
+    """
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d")).distinct()
+    deg = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_outdeg"))
+    ed = e.join(deg, "_s").persist()
+    nodes = (
+        e.select(F.col("_s").alias("node"))
+        .unionByName(e.select(F.col("_d").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    base = (1.0 - damping) / n
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(iterations):
+        contribs = (
+            ed.join(ranks, ed["_s"] == ranks["node"])
+            .groupBy("_d")
+            .agg(F.sum(F.col("rank") / F.col("_outdeg")).alias("_c"))
+        )
+        ranks = nodes.join(
+            contribs, nodes["node"] == contribs["_d"], "left"
+        ).select(
+            "node",
+            (F.lit(base) + damping * F.coalesce("_c", F.lit(0.0))).alias(
+                "rank"
+            ),
+        )
+    return ranks

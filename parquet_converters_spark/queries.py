@@ -5826,6 +5826,82 @@ FROM counts CROSS JOIN tot ORDER BY bucket
 """
 
 
+_PR_DAMPING, _PR_ITERS, _PR_SUPP_OFFSET = 0.85, 5, 10_000_000
+
+
+def graph_pagerank(spark, sf_dir):
+    """PageRank centrality of the symmetrized customer↔supplier
+    purchase graph (edges = who bought from whom, via orders⋈lineitem;
+    supplier ids offset into their own node space), 5 fixed iterations
+    at d=0.85.  Iterative — yet fully value-oracled: the fixed
+    iteration count unrolls into 5 chained CTEs in the DuckDB oracle,
+    so unlike most iterative operators this one is hash-checked, not
+    rows-only.  One join + one aggregate per iteration; persisted
+    edge/degree and node tables; O(1) driver state."""
+    from parquet_converters_spark.operators.graph import pagerank
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    fwd = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + _PR_SUPP_OFFSET).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    out = pagerank(
+        edges, damping=_PR_DAMPING, iterations=_PR_ITERS
+    )
+    return out.select(
+        "node", F.round("rank", 9).alias("rank")
+    ).orderBy("node")
+
+
+def _pagerank_oracle_sql() -> str:
+    """Unroll the fixed-iteration PageRank into chained CTEs."""
+    d, iters, off = _PR_DAMPING, _PR_ITERS, _PR_SUPP_OFFSET
+    parts = [
+        f"""WITH fwd AS (
+  SELECT DISTINCT o_custkey AS src, l_suppkey + {off} AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+), e AS (
+  SELECT src, dst FROM fwd UNION SELECT dst, src FROM fwd
+), deg AS (
+  SELECT src, count(*) AS outdeg FROM e GROUP BY src
+), nodes AS (
+  SELECT src AS node FROM e UNION SELECT dst FROM e
+), nn AS (SELECT count(*) AS n FROM nodes),
+r0 AS (
+  SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes
+)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f""", r{i} AS (
+  SELECT nodes.node,
+         (1 - {d}) / (SELECT n FROM nn)
+         + {d} * coalesce(c.con, 0) AS rank
+  FROM nodes LEFT JOIN (
+    SELECT e.dst AS node, sum(r{i-1}.rank / deg.outdeg) AS con
+    FROM e JOIN r{i-1} ON e.src = r{i-1}.node
+           JOIN deg ON e.src = deg.src
+    GROUP BY e.dst
+  ) c ON nodes.node = c.node
+)"""
+        )
+    parts.append(
+        f"\nSELECT node, round(rank, 9) AS rank FROM r{iters} ORDER BY node"
+    )
+    return "".join(parts)
+
+
+GRAPH_PAGERANK_SQL = _pagerank_oracle_sql()
+
+
 QUERIES.update({
     "dedup_spans": (dedup_spans, DEDUP_SPANS_SQL),
     "dedup_spans_intra": (dedup_spans_intra, DEDUP_SPANS_INTRA_SQL),
@@ -5833,6 +5909,7 @@ QUERIES.update({
     "snapshot_diff_orders": (snapshot_diff_orders, SNAPSHOT_DIFF_SQL),
     "embedding_diversity": (embedding_diversity, EMBEDDING_DIVERSITY_SQL),
     "psi_value_drift": (psi_value_drift, PSI_VALUE_DRIFT_SQL),
+    "graph_pagerank": (graph_pagerank, GRAPH_PAGERANK_SQL),
 })
 
 

@@ -78,3 +78,39 @@ def test_shingle_containment_quote_inside_doc(spark):
     # disjoint docs: zero common, containment 0 (left-join path)
     assert got[(1, 3)].n_common == 0
     assert got[(1, 3)].containment_a == 0.0
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    """5-iteration PageRank on a small directed graph must equal the
+    numpy replica of the same recurrence to double precision."""
+    import numpy as np
+
+    from parquet_converters_spark.operators.graph import pagerank
+
+    edges = [(0, 1), (1, 0), (1, 2), (2, 0), (2, 1), (0, 2), (3, 0), (0, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, damping=0.85, iterations=5).collect()
+    }
+
+    nodes = sorted({u for e in edges for u in e})
+    n = len(nodes)
+    outdeg = {u: sum(1 for s, _ in edges if s == u) for u in nodes}
+    r = {u: 1.0 / n for u in nodes}
+    for _ in range(5):
+        contrib = {u: 0.0 for u in nodes}
+        for s, t in edges:
+            contrib[t] += r[s] / outdeg[s]
+        r = {u: (1 - 0.85) / n + 0.85 * contrib[u] for u in nodes}
+    for u in nodes:
+        assert abs(got[u] - r[u]) < 1e-12, (u, got[u], r[u])
+    assert abs(sum(got.values()) - 1.0) < 1e-9  # no mass leak
+
+
+def test_pagerank_symmetric_pair_is_uniform(spark):
+    from parquet_converters_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame([(0, 1), (1, 0)], "src long, dst long")
+    out = {r["node"]: r["rank"] for r in pagerank(df, iterations=3).collect()}
+    assert abs(out[0] - 0.5) < 1e-12 and abs(out[1] - 0.5) < 1e-12

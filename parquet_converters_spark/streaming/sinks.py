@@ -231,3 +231,65 @@ def lsh_dedup_gate_sink(
         buckets.unpersist()
 
     return write
+
+
+def distinct_rollup_sink(
+    out_dir: str,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    unit: str = "hour",
+    lg_k: int = 12,
+):
+    """Continuous approximate COUNT(DISTINCT) maintenance: a
+    ``foreachBatch`` function that lands a DataSketches HLL sketch
+    (binary, fixed-size, MERGEABLE) per time cell per micro-batch —
+    the streaming answer to "distinct users per hour, forever" that
+    an exact rollup cannot give (distinct is not decomposable; HLL
+    partials are).
+
+    Same idempotence contract as ``rollup_maintenance_sink``: each
+    batch owns its ``_batch_id`` partition via dynamic overwrite, so
+    at-least-once replays replace rather than double-merge.  State per
+    (cell, batch) is O(2^lg_k) bytes regardless of cardinality — at
+    100 TB the rollup table stays cells×batches×4 KiB while the raw
+    stream is unbounded.  Query with :func:`read_distinct_rollup`,
+    which unions sketches per cell (`hll_union_agg`) and estimates.
+    """
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        partial = (
+            batch_df.groupBy(
+                F.date_trunc(unit, F.col(ts_col)).alias("cell")
+            )
+            .agg(
+                F.hll_sketch_agg(F.col(key_col), F.lit(lg_k)).alias("_hll"),
+                F.count(F.lit(1)).alias("_n"),
+            )
+            .withColumn("_batch_id", F.lit(int(batch_id)))
+        )
+        (
+            partial.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(out_dir)
+        )
+
+    return write
+
+
+def read_distinct_rollup(spark, out_dir: str) -> DataFrame:
+    """Queryable face of :func:`distinct_rollup_sink`: merge each
+    cell's HLL partials with ``hll_union_agg`` and estimate — exact
+    across batch boundaries in the HLL sense (union of sketches equals
+    the sketch of the union; overlapping users across batches are NOT
+    double-counted, unlike summed per-batch distinct counts)."""
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy("cell")
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_union_agg(F.col("_hll"), F.lit(True))
+            ).alias("approx_distinct"),
+            F.sum("_n").alias("n_events"),
+        )
+    )

@@ -200,3 +200,35 @@ def test_lsh_dedup_gate_real_stream(spark, tmp_path):
     assert 0 in admitted or 2 in admitted  # one copy of t_a survives
     assert not ({0, 2} <= set(admitted))   # never both
     assert 1 in admitted
+
+
+def test_distinct_rollup_sketches_merge_across_batches(spark, tmp_path):
+    """Users seen in BOTH batches must not double-count (sketch union,
+    not sum-of-distincts), and replay must be idempotent."""
+    from datetime import datetime
+
+    from parquet_converters_spark.streaming.sinks import (
+        distinct_rollup_sink,
+        read_distinct_rollup,
+    )
+
+    out = str(tmp_path / "droll")
+    sink = distinct_rollup_sink(out)
+    h = datetime(2024, 1, 1, 10)
+
+    def b(users):
+        return spark.createDataFrame(
+            [(datetime(2024, 1, 1, 10, 0, i), u) for i, u in enumerate(users)],
+            "ts timestamp, user_id long",
+        )
+
+    sink(b([1, 2, 3, 4]), 0)
+    sink(b([3, 4, 5, 6]), 1)  # overlap {3,4}
+    got = {r["cell"]: r for r in read_distinct_rollup(spark, out).collect()}
+    assert got[h]["n_events"] == 8
+    assert got[h]["approx_distinct"] == 6  # HLL exact at tiny cardinality
+
+    sink(b([3, 4, 5, 6]), 1)  # replay
+    got2 = {r["cell"]: r for r in read_distinct_rollup(spark, out).collect()}
+    assert got2[h]["n_events"] == 8
+    assert got2[h]["approx_distinct"] == 6

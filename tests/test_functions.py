@@ -950,3 +950,27 @@ def test_dedup_spans_intra_keeps_first_occurrence(spark, sf_dir):
     out = {r["doc_id"]: r for r in dedup_spans_intra(spark, sf_dir).collect()}
     assert all(r["n_dropped"] >= 0 for r in out.values())
     assert any(r["n_dropped"] > 0 for r in out.values())  # non-vacuous
+
+
+def test_span_dedup_single_doc_roundtrip_property(spark):
+    """Property: with one document, no span can be cross-document
+    duplicated (df counts distinct docs), so reconstruction must
+    return the text verbatim for any word sequence and span size."""
+    from hypothesis import given, settings, strategies as st
+
+    from parquet_converters_spark.functions.dedup import span_dedup
+
+    words = st.lists(
+        st.sampled_from(["a", "bb", "ccc", "dd", "e"]), min_size=1, max_size=17
+    )
+
+    @settings(max_examples=15, deadline=None)
+    @given(ws=words, k=st.integers(min_value=1, max_value=5))
+    def check(ws, k):
+        text = " ".join(ws)
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        out = span_dedup(df, span_words=k, max_df=1).collect()[0]
+        assert out["n_dropped"] == 0
+        assert out["new_text"] == text
+
+    check()

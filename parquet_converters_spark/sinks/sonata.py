@@ -219,70 +219,96 @@ def write_sonata_bundle(
 
 
 def export_hdf5(bundle_dir: str, population: str, h5_path: str) -> None:
-    """Convert a SONATA bundle to a real SONATA HDF5 file.
+    """Convert a SONATA bundle to a real SONATA HDF5 file — the
+    correctness path of SURVEY §7 step 5, mirroring the reference's
+    layout (``src/circuit/sonata_file.cpp:45-143``): top-level
+    ``source_node_id``/``target_node_id``/``edge_type_id`` datasets,
+    per-edge properties under ``0/``, enumerations under
+    ``0/@library/``, adjacency under ``indices/``.
 
-    Single-writer (driver-side) export — the correctness path of SURVEY
-    §7 step 5.  Requires h5py, which this environment does not ship; the
-    bundle itself is the engine-native output.
+    Single-writer (driver-side) export.  Uses h5py/libhdf5 when
+    installed; in environments without it (like this container) it
+    falls back to the built-in classic-format writer
+    (:mod:`parquet_converters_spark.sinks.hdf5_minimal`), which covers
+    exactly the structures this layout needs and is round-trip-tested
+    against its independent reader.
     """
+    import numpy as np
+    import pyarrow.parquet as pq
+
     try:
-        import h5py  # noqa: F401
-    except ImportError as e:  # pragma: no cover
-        raise NotImplementedError(
-            "HDF5 export requires h5py, which is not installed; the "
-            "parquet SONATA bundle is the supported representation here"
-        ) from e
+        import h5py
+    except ImportError:
+        h5py = None
 
-    import pyarrow.parquet as pq  # pragma: no cover
-
-    pop_dir = os.path.join(bundle_dir, "edges", population)  # pragma: no cover
-    with open(os.path.join(pop_dir, "attributes.json")) as f:  # pragma: no cover
+    pop_dir = os.path.join(bundle_dir, "edges", population)
+    with open(os.path.join(pop_dir, "attributes.json")) as f:
         manifest = json.load(f)
+    base = f"/edges/{population}"
 
-    with h5py.File(h5_path, "w") as h5:  # pragma: no cover
-        grp = h5.create_group(f"/edges/{population}")
-        for k, v in manifest["attributes"].items():
-            grp.attrs[k] = v
-        table = pq.read_table(os.path.join(pop_dir, "table.parquet"))
-        order = table.column(manifest["row_index_column"])
-        import numpy as np
+    # gather the whole file as (path -> array) + (path -> attrs) first;
+    # both backends then apply the same plan
+    table = pq.read_table(os.path.join(pop_dir, "table.parquet"))
+    perm = np.argsort(
+        table.column(manifest["row_index_column"]).to_numpy()
+    )
+    datasets: dict[str, np.ndarray] = {}
+    attrs: dict[str, dict] = {base: dict(manifest["attributes"])}
+    for name in manifest["top_level_datasets"]:
+        datasets[f"{base}/{name}"] = table.column(name).to_numpy()[perm]
+    for name in manifest["property_datasets"]:
+        if name in manifest["top_level_datasets"]:
+            continue
+        datasets[f"{base}/0/{name}"] = table.column(name).to_numpy()[perm]
+    for name, a in manifest["dataset_attributes"].items():
+        attrs[f"{base}/{name}"] = dict(a)
+    for name in manifest["libraries"]:
+        t = pq.read_table(
+            os.path.join(pop_dir, "library", f"{name}.parquet")
+        )
+        values = t.sort_by("index").column("value").to_pylist()
+        datasets[f"{base}/0/@library/{name}"] = np.asarray(values, dtype="S")
+    for direction in ("source_to_target", "target_to_source"):
+        d = os.path.join(pop_dir, "indices", direction)
+        if not os.path.isdir(d):
+            continue
+        nr = pq.read_table(
+            os.path.join(d, "node_id_to_ranges.parquet")
+        ).sort_by("node_id")
+        datasets[f"{base}/indices/{direction}/node_id_to_ranges"] = np.stack(
+            [
+                nr.column("range_lo").to_numpy(),
+                nr.column("range_hi").to_numpy(),
+            ],
+            axis=1,
+        )
+        re_ = pq.read_table(
+            os.path.join(d, "range_to_edge_id.parquet")
+        ).sort_by("range_id")
+        datasets[f"{base}/indices/{direction}/range_to_edge_id"] = np.stack(
+            [
+                re_.column("edge_start").to_numpy(),
+                re_.column("edge_end").to_numpy(),
+            ],
+            axis=1,
+        )
 
-        perm = np.argsort(order.to_numpy())
-        for name in manifest["top_level_datasets"]:
-            grp.create_dataset(name, data=table.column(name).to_numpy()[perm])
-        zero = grp.create_group("0")
-        for name in manifest["property_datasets"]:
-            if name in manifest["top_level_datasets"]:
-                continue
-            zero.create_dataset(name, data=table.column(name).to_numpy()[perm])
-        for name, a in manifest["dataset_attributes"].items():
+    if h5py is not None:  # pragma: no cover - h5py absent in CI image
+        with h5py.File(h5_path, "w") as h5:
+            for path, arr in datasets.items():
+                h5.create_dataset(path, data=arr)
+            for path, a in attrs.items():
+                target = h5.require_group(path) if path not in h5 else h5[path]
+                for k, v in a.items():
+                    target.attrs[k] = v
+    else:
+        from parquet_converters_spark.sinks.hdf5_minimal import MiniH5Writer
+
+        w = MiniH5Writer()
+        w.create_group(base)
+        for path, arr in datasets.items():
+            w.create_dataset(path, arr)
+        for path, a in attrs.items():
             for k, v in a.items():
-                grp[name].attrs[k] = v
-        lib = None
-        for name in manifest["libraries"]:
-            if lib is None:
-                lib = zero.create_group("@library")
-            t = pq.read_table(os.path.join(pop_dir, "library", f"{name}.parquet"))
-            values = t.sort_by("index").column("value").to_pylist()
-            lib.create_dataset(name, data=values)
-        for direction in ("source_to_target", "target_to_source"):
-            d = os.path.join(pop_dir, "indices", direction)
-            if not os.path.isdir(d):
-                continue
-            ig = grp.create_group(f"indices/{direction}")
-            nr = pq.read_table(os.path.join(d, "node_id_to_ranges.parquet")).sort_by("node_id")
-            ig.create_dataset(
-                "node_id_to_ranges",
-                data=np.stack(
-                    [nr.column("range_lo").to_numpy(), nr.column("range_hi").to_numpy()],
-                    axis=1,
-                ),
-            )
-            re_ = pq.read_table(os.path.join(d, "range_to_edge_id.parquet")).sort_by("range_id")
-            ig.create_dataset(
-                "range_to_edge_id",
-                data=np.stack(
-                    [re_.column("edge_start").to_numpy(), re_.column("edge_end").to_numpy()],
-                    axis=1,
-                ),
-            )
+                w.set_attr(path, k, v)
+        w.write(h5_path)

@@ -1,0 +1,144 @@
+"""Real HDF5 export (SURVEY §7 step 5): SONATA bundle → `.h5` via the
+built-in classic-format writer (`sinks/hdf5_minimal.py`), round-tripped
+with the module's independent reader.  When h5py is installed the same
+file is additionally validated with libhdf5; this container has no
+HDF5 library, which is exactly why the minimal writer exists."""
+
+import json
+import os
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from parquet_converters_spark.sinks.hdf5_minimal import (
+    MiniH5Reader,
+    MiniH5Writer,
+)
+from parquet_converters_spark.sinks.sonata import export_hdf5
+
+# reuse the randomized bundle fixture
+from tests.test_sonata import _make_edges, bundle  # noqa: F401
+
+
+def test_minih5_roundtrip_all_types(tmp_path):
+    w = MiniH5Writer()
+    cases = {
+        "/t/i8": np.arange(5, dtype=np.int8),
+        "/t/i16": np.arange(5, dtype=np.int16) * 100,
+        "/t/i32": np.arange(5, dtype=np.int32) * -7,
+        "/t/i64": np.arange(5, dtype=np.int64) << 40,
+        "/t/f32": np.linspace(0, 1, 7, dtype=np.float32),
+        "/t/f64": np.linspace(-1, 1, 7, dtype=np.float64),
+        "/t/mat": np.arange(12, dtype=np.int64).reshape(6, 2),
+        "/t/strs": np.asarray(["soma", "axon", "dendrite"], dtype="S"),
+        "/t/empty": np.array([], dtype=np.int64),
+    }
+    for p, a in cases.items():
+        w.create_dataset(p, a)
+    w.set_attr("/t", "note", "hello")
+    w.set_attr("/t", "count", 9)
+    w.set_attr("/t/i8", "unit", "um")
+    p = str(tmp_path / "rt.h5")
+    w.write(p)
+
+    r = MiniH5Reader(p)
+    assert r.list_links("/") == ["t"]
+    for path, want in cases.items():
+        got = r.read_dataset(path)
+        assert got.dtype == want.dtype and got.shape == want.shape, path
+        assert np.array_equal(got, want), path
+    assert r.read_attrs("/t") == {"note": "hello", "count": 9}
+    assert r.read_attrs("/t/i8") == {"unit": "um"}
+
+
+def test_minih5_rejects_unsupported(tmp_path):
+    w = MiniH5Writer()
+    with pytest.raises(TypeError):
+        w.create_dataset("/x", np.array([1 + 2j]))
+
+
+def test_export_hdf5_matches_bundle(bundle, tmp_path):  # noqa: F811
+    out, table = bundle
+    h5_path = str(tmp_path / "edges.h5")
+    export_hdf5(out, "edges_test", h5_path)
+
+    pop_dir = os.path.join(out, "edges", "edges_test")
+    manifest = json.load(open(os.path.join(pop_dir, "attributes.json")))
+    base = "/edges/edges_test"
+    r = MiniH5Reader(h5_path)
+
+    # group attributes == manifest attributes
+    attrs = r.read_attrs(base)
+    assert attrs == manifest["attributes"]
+    assert attrs["my_custom_key"] == "my_custom_value"
+
+    # datasets in global row order == the source table
+    t = pq.read_table(os.path.join(pop_dir, "table.parquet")).sort_by(
+        "row_index"
+    )
+    for name in manifest["top_level_datasets"]:
+        assert np.array_equal(
+            r.read_dataset(f"{base}/{name}"), t.column(name).to_numpy()
+        ), name
+    for name in manifest["property_datasets"]:
+        got = r.read_dataset(f"{base}/0/{name}")
+        want = t.column(name).to_numpy()
+        assert np.allclose(got, want), name
+
+    # node_population attrs land on the node-id datasets
+    assert (
+        r.read_attrs(f"{base}/source_node_id")["node_population"] == "src_pop"
+    )
+
+    # adjacency indices exported 2-D, matching the bundle parquet
+    for direction in ("source_to_target", "target_to_source"):
+        nr = pq.read_table(
+            os.path.join(pop_dir, "indices", direction, "node_id_to_ranges.parquet")
+        ).sort_by("node_id")
+        got = r.read_dataset(f"{base}/indices/{direction}/node_id_to_ranges")
+        assert got.shape == (nr.num_rows, 2)
+        assert np.array_equal(got[:, 0], nr.column("range_lo").to_numpy())
+        assert np.array_equal(got[:, 1], nr.column("range_hi").to_numpy())
+
+    # optional: libhdf5 cross-validation when available
+    try:
+        import h5py
+    except ImportError:
+        return
+    with h5py.File(h5_path, "r") as h5:  # pragma: no cover
+        assert h5[f"{base}/source_node_id"][:].tolist() == t.column(
+            "source_node_id"
+        ).to_pylist()
+
+
+def test_export_hdf5_library_enumerations(spark, tmp_path):
+    """String enumerations land under 0/@library/<name> as fixed-length
+    strings in declaration order."""
+    from pyspark.sql import functions as F
+
+    from parquet_converters_spark.sinks.sonata import write_sonata_bundle
+
+    df = spark.createDataFrame(
+        [(i, i % 3, (i * 7) % 5, 0, i % 2) for i in range(20)],
+        "row_index long, source_node_id long, target_node_id long, "
+        "edge_type_id long, section_kind int",
+    ).select(
+        "row_index",
+        "source_node_id",
+        "target_node_id",
+        "edge_type_id",
+        F.col("section_kind").alias(
+            "section_kind",
+            metadata={"enumeration_values": ["soma", "axon"]},
+        ),
+    )
+    out = str(tmp_path / "bundle2")
+    write_sonata_bundle(df, out, population="p2", with_index=False)
+    h5_path = str(tmp_path / "p2.h5")
+    export_hdf5(out, "p2", h5_path)
+    r = MiniH5Reader(h5_path)
+    lib = r.read_dataset("/edges/p2/0/@library/section_kind")
+    assert [v.decode() for v in lib] == ["soma", "axon"]
+    codes = r.read_dataset("/edges/p2/0/section_kind")
+    assert codes.tolist() == [i % 2 for i in range(20)]

@@ -4,10 +4,11 @@
 - ``touch2parquet FILES... [-o OUT] [-n LIMIT]`` — the reference's
   ``src/touch2parquet.cpp:44-50`` surface (output name defaults from
   the first input file, like ``:81-83``).
-- ``parquet2sonata INPUT_DIR OUTPUT POPULATION [--no-index]`` — the
-  reference's ``src/parquet2hdf5.cpp:184-193`` surface (the output is
-  a SONATA-layout parquet bundle; the HDF5 container itself is gated
-  on h5py, absent here — see sinks/sonata.py).
+- ``parquet2sonata INPUT_DIR OUTPUT POPULATION [--no-index] [--hdf5
+  PATH]`` — the reference's ``src/parquet2hdf5.cpp:184-193`` surface
+  (the output is a SONATA-layout parquet bundle; ``--hdf5`` also
+  exports the real ``.h5`` container — via h5py when installed, else
+  the built-in classic-format writer, see sinks/hdf5_minimal.py).
 
 Parallelism flags the reference gets from ``mpirun`` come from the
 Spark session here (``local[$SPARK_GRAFT_CPUS]`` by default, any
@@ -56,6 +57,10 @@ def main(argv: list[str] | None = None) -> int:
     p2s.add_argument(
         "--no-index", dest="index", action="store_false", default=True,
         help="Skip the SONATA adjacency index",
+    )
+    p2s.add_argument(
+        "--hdf5",
+        help="Also export the real SONATA .h5 file to this path",
     )
 
     dd = sub.add_parser(
@@ -142,6 +147,11 @@ def main(argv: list[str] | None = None) -> int:
             with_index=args.index,
         )
         print(f"parquet2sonata: wrote bundle {args.output} (population={args.population})")
+        if args.hdf5:
+            from parquet_converters_spark.sinks.sonata import export_hdf5
+
+            export_hdf5(args.output, args.population, args.hdf5)
+            print(f"parquet2sonata: exported HDF5 {args.hdf5}")
     return 0
 
 

@@ -148,6 +148,8 @@ class _Dataset(_Node):
             raise TypeError(f"unsupported dataset dtype {data.dtype}")
         if data.dtype.kind in "if" and data.dtype.byteorder == ">":
             data = data.astype(data.dtype.newbyteorder("<"))
+        if data.dtype == np.dtype("S0"):  # all-empty strings
+            data = data.astype("S1")
         self.data = np.ascontiguousarray(data)
 
 

@@ -142,3 +142,52 @@ def test_export_hdf5_library_enumerations(spark, tmp_path):
     assert [v.decode() for v in lib] == ["soma", "axon"]
     codes = r.read_dataset("/edges/p2/0/section_kind")
     assert codes.tolist() == [i % 2 for i in range(20)]
+
+
+def test_full_reference_pipeline_to_h5(spark, tmp_path):
+    """The reference CI's end-to-end shape (.ci/test_circuit2k_output.sh)
+    at fixture scale: touches binary -> touch2parquet -> parquet2sonata
+    -> export real .h5 -> readback equals the converted parquet in
+    global row order."""
+    from parquet_converters_spark.pipelines import parquet_to_sonata, touch2parquet
+    from tests.conftest import REFERENCE_TESTS
+
+    edges_dir = tmp_path / "edges_dir"
+    edges_dir.mkdir()
+    out_parquet = str(tmp_path / "v1.parquet")
+    touch2parquet(
+        spark,
+        os.path.join(REFERENCE_TESTS, "touches_v1", "touchesData.0"),
+        out_parquet,
+    )
+    # single sorted-name shard, like the reference's per-rank files
+    import glob
+    import shutil
+
+    part = glob.glob(os.path.join(out_parquet, "part-*.parquet"))[0]
+    shutil.copy(part, edges_dir / "edges.0.parquet")
+
+    bundle = str(tmp_path / "bundle")
+    parquet_to_sonata(spark, str(edges_dir), bundle, population="v1")
+    h5_path = str(tmp_path / "v1.h5")
+    export_hdf5(bundle, "v1", h5_path)
+
+    r = MiniH5Reader(h5_path)
+    base = "/edges/v1"
+    src = r.read_dataset(f"{base}/source_node_id")
+    tgt = r.read_dataset(f"{base}/target_node_id")
+    golden = pq.read_table(os.path.join(edges_dir, "edges.0.parquet"))
+    assert src.tolist() == golden.column("source_node_id").to_pylist()
+    assert tgt.tolist() == golden.column("target_node_id").to_pylist()
+    # every property column survives with values intact
+    for name in r.list_links(f"{base}/0"):
+        got = r.read_dataset(f"{base}/0/{name}")
+        assert np.allclose(
+            got.astype(np.float64),
+            np.asarray(golden.column(name).to_pylist(), dtype=np.float64),
+        ), name
+    # adjacency indices resolve every edge exactly once
+    nr = r.read_dataset(f"{base}/indices/source_to_target/node_id_to_ranges")
+    re_ = r.read_dataset(f"{base}/indices/source_to_target/range_to_edge_id")
+    covered = sum(int(e - s) for s, e in re_)
+    assert covered == len(src)

@@ -325,6 +325,12 @@ def pagerank(
 
     Returns (node, rank) for every node, unnormalized by convention
     (ranks sum to ~1 when no mass leaks).
+
+    Lineage: with a fixed small iteration count the rank chain stays
+    one lazy DAG (the persisted edge/node tables bound the recompute).
+    Past ~20 iterations, truncate with ``localCheckpoint()`` on the
+    ranks every few rounds or Catalyst analysis time grows with the
+    plan tree — the standard Spark iterative-algorithm discipline.
     """
     e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d")).distinct()
     deg = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_outdeg"))

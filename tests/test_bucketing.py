@@ -73,3 +73,27 @@ def test_partitioned_dataset_prunes(spark, sf_dir, tmp_path):
     plan = q._jdf.queryExecution().executedPlan().toString()
     pf = plan[plan.find("PartitionFilters"):][:120]
     assert "event_type" in pf, pf
+
+
+def test_write_bucketed_helper_roundtrip_no_exchange(spark, sf_dir):
+    from parquet_converters_spark.sinks.bucketed import (
+        read_bucketed,
+        write_bucketed,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    write_bucketed(li, "li_b2", "l_orderkey", buckets=8)
+    write_bucketed(orders, "orders_b2", "o_orderkey", buckets=8)
+    try:
+        a, b = read_bucketed(spark, "li_b2"), read_bucketed(spark, "orders_b2")
+        j = a.hint("merge").join(b, a.l_orderkey == b.o_orderkey)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan.split("SortMergeJoin")[1], (
+            "bucketed join must not shuffle either input"
+        )
+        assert j.count() == li.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS li_b2")
+        spark.sql("DROP TABLE IF EXISTS orders_b2")

@@ -191,3 +191,25 @@ def test_full_reference_pipeline_to_h5(spark, tmp_path):
     re_ = r.read_dataset(f"{base}/indices/source_to_target/range_to_edge_id")
     covered = sum(int(e - s) for s, e in re_)
     assert covered == len(src)
+
+
+def test_read_sonata_edges_roundtrip(spark, bundle, tmp_path):  # noqa: F811
+    """export_hdf5 -> read_sonata_edges is loss-free in global order."""
+    from parquet_converters_spark.sources.sonata_h5 import read_sonata_edges
+
+    out, _ = bundle
+    h5_path = str(tmp_path / "rt.h5")
+    export_hdf5(out, "edges_test", h5_path)
+
+    df = read_sonata_edges(spark, h5_path, "edges_test").orderBy("row_index")
+    pop_dir = os.path.join(out, "edges", "edges_test")
+    t = pq.read_table(os.path.join(pop_dir, "table.parquet")).sort_by(
+        "row_index"
+    )
+    got = df.toPandas()
+    assert len(got) == t.num_rows
+    for name in ("source_node_id", "target_node_id", "my_other_attribute"):
+        assert got[name].tolist() == t.column(name).to_pylist(), name
+    assert np.allclose(
+        got["my_attribute"].to_numpy(), t.column("my_attribute").to_numpy()
+    )

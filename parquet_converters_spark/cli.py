@@ -63,6 +63,15 @@ def main(argv: list[str] | None = None) -> int:
         help="Also export the real SONATA .h5 file to this path",
     )
 
+    s2p = sub.add_parser(
+        "sonata2parquet",
+        help="Convert a SONATA .h5 edge population back to parquet "
+        "(the scale representation)",
+    )
+    s2p.add_argument("h5_file", help="SONATA HDF5 edge file")
+    s2p.add_argument("population", help="Edge population name")
+    s2p.add_argument("output", help="Output parquet directory")
+
     dd = sub.add_parser(
         "dedup",
         help="Near-dedup a document parquet (exact -> MinHash-LSH -> "
@@ -102,6 +111,14 @@ def main(argv: list[str] | None = None) -> int:
         # multi-file: the touch source takes a comma-joined list/glob
         df = touch2parquet(spark, ",".join(args.files), out, limit=args.limit)
         print(f"touch2parquet: wrote {df.count()} records to {out}")
+    elif args.cmd == "sonata2parquet":
+        from parquet_converters_spark.sources.sonata_h5 import read_sonata_edges
+
+        df = read_sonata_edges(spark, args.h5_file, args.population)
+        df.write.mode("overwrite").parquet(args.output)
+        print(
+            f"sonata2parquet: wrote {df.count()} edges -> {args.output}"
+        )
     elif args.cmd == "dedup":
         from parquet_converters_spark.functions.dedup import near_dedup_survivors
 

@@ -101,6 +101,10 @@ def _attr_message(name: str, value) -> bytes:
     """Attribute message body (version 1): scalar string or int64."""
     if isinstance(value, (bytes, str)):
         raw = value.encode() if isinstance(value, str) else value
+        if b"\x00" in raw:
+            raise ValueError(
+                "HDF5 null-terminated strings cannot contain NUL bytes"
+            )
         dt = _dt_string(max(len(raw), 1))
         data = raw
     elif isinstance(value, (int, np.integer)):

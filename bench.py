@@ -134,6 +134,7 @@ HEADLINE = [
     "embedding_diversity",
     "psi_value_drift",
     "graph_pagerank",
+    "top_ngram_coverage",
 ]
 
 

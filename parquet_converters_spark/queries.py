@@ -5826,6 +5826,72 @@ FROM counts CROSS JOIN tot ORDER BY bucket
 """
 
 
+def top_ngram_coverage(spark, sf_dir):
+    """Gopher repetition signal (Rae et al. 2021 A1.1, 'fraction of
+    characters in the most frequent n-gram'): per document, the share
+    of characters covered by its modal 2-gram and 3-gram.  Pure array
+    expressions per row — zero shuffle before the final sort; the modal
+    scan is O(distinct·total) per document, bounded by document length,
+    never corpus size.  Ties break deterministically by (count, length,
+    text) struct comparison — identical field-order semantics on both
+    engines."""
+    from parquet_converters_spark.functions.text import shingles
+
+    docs = _t(spark, sf_dir, "documents")
+
+    def cov(n):
+        sh = shingles("text", n)
+        uniq = F.array_distinct(sh)
+        best = F.array_max(
+            F.transform(
+                uniq,
+                lambda s: F.struct(
+                    F.size(F.filter(sh, lambda x: x == s)).alias("cnt"),
+                    F.length(s).alias("len"),
+                    s.alias("s"),
+                ),
+            )
+        )
+        return F.when(F.size(sh) == 0, F.lit(0.0)).otherwise(
+            F.round(
+                best["cnt"] * best["len"]
+                / F.greatest(F.length("text"), F.lit(1)),
+                6,
+            )
+        )
+
+    return docs.select(
+        "doc_id", cov(2).alias("top2_coverage"), cov(3).alias("top3_coverage")
+    ).orderBy("doc_id")
+
+
+def _sql_top_cov(col: str) -> str:
+    best = (
+        f"list_aggregate(list_transform(list_distinct({col}), "
+        f"s -> {{'cnt': len(list_filter({col}, x -> x = s)), "
+        f"'len': length(s), 's': s}}), 'max')"
+    )
+    return (
+        f"CASE WHEN len({col}) = 0 THEN 0.0 ELSE round("
+        f"struct_extract({best}, 'cnt') * struct_extract({best}, 'len')"
+        f" / greatest(length(text), 1), 6) END"
+    )
+
+
+TOP_NGRAM_COVERAGE_SQL = f"""
+WITH s AS (
+  SELECT doc_id, text,
+         {_sql_shingles('text', 2)} AS sh2,
+         {_sql_shingles('text', 3)} AS sh3
+  FROM documents
+)
+SELECT doc_id,
+       {_sql_top_cov('sh2')} AS top2_coverage,
+       {_sql_top_cov('sh3')} AS top3_coverage
+FROM s ORDER BY doc_id
+"""
+
+
 _PR_DAMPING, _PR_ITERS, _PR_SUPP_OFFSET = 0.85, 5, 10_000_000
 
 
@@ -5910,6 +5976,7 @@ QUERIES.update({
     "embedding_diversity": (embedding_diversity, EMBEDDING_DIVERSITY_SQL),
     "psi_value_drift": (psi_value_drift, PSI_VALUE_DRIFT_SQL),
     "graph_pagerank": (graph_pagerank, GRAPH_PAGERANK_SQL),
+    "top_ngram_coverage": (top_ngram_coverage, TOP_NGRAM_COVERAGE_SQL),
 })
 
 

@@ -135,6 +135,7 @@ HEADLINE = [
     "psi_value_drift",
     "graph_pagerank",
     "top_ngram_coverage",
+    "semantic_dedup_census",
 ]
 
 

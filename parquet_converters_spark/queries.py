@@ -5968,6 +5968,62 @@ r0 AS (
 GRAPH_PAGERANK_SQL = _pagerank_oracle_sql()
 
 
+def semantic_dedup_census(spark, sf_dir):
+    """SemDeDup-shaped end-to-end: embedding near-duplicate pairs
+    (LSH-bucketed cosine, never all-pairs) → connected components
+    (hash-to-min label propagation) → per-cluster census with the
+    keep-one representative (minimum vec_id).  The full semantic-dedup
+    decision table in one plan: ``n_members - 1`` rows drop per
+    cluster.  Oracle: the identical bucketed pair set + recursive-CTE
+    transitive closure."""
+    from parquet_converters_spark.functions.similarity import (
+        embedding_neardup_pairs,
+    )
+    from parquet_converters_spark.operators.graph import connected_components
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_neardup_pairs(
+        emb, threshold=0.1, num_planes=8, dim=64
+    )
+    return (
+        connected_components(pairs, "id_a", "id_b")
+        .groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min("node").alias("keep_id"),
+        )
+        .select(
+            F.col("component").alias("component_id"), "n_members", "keep_id"
+        )
+        .orderBy("component_id")
+    )
+
+
+SEMANTIC_DEDUP_SQL = f"""
+WITH RECURSIVE b AS (
+  SELECT vec_id, embedding, {_sql_lsh_bucket('embedding')} AS bucket
+  FROM embeddings
+), pairs AS (
+  SELECT a.vec_id AS id_a, e.vec_id AS id_b
+  FROM b a JOIN b e ON a.bucket = e.bucket AND a.vec_id < e.vec_id
+  WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(e.embedding AS DOUBLE[])), 6) >= 0.1
+), edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+), reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+), comp AS (
+  SELECT u AS node, least(u, min(v)) AS component FROM reach GROUP BY u
+)
+SELECT component AS component_id, count(*) AS n_members,
+       min(node) AS keep_id
+FROM comp GROUP BY component ORDER BY component_id
+"""
+
+
 QUERIES.update({
     "dedup_spans": (dedup_spans, DEDUP_SPANS_SQL),
     "dedup_spans_intra": (dedup_spans_intra, DEDUP_SPANS_INTRA_SQL),
@@ -5977,6 +6033,7 @@ QUERIES.update({
     "psi_value_drift": (psi_value_drift, PSI_VALUE_DRIFT_SQL),
     "graph_pagerank": (graph_pagerank, GRAPH_PAGERANK_SQL),
     "top_ngram_coverage": (top_ngram_coverage, TOP_NGRAM_COVERAGE_SQL),
+    "semantic_dedup_census": (semantic_dedup_census, SEMANTIC_DEDUP_SQL),
 })
 
 

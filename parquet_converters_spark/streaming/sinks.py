@@ -293,3 +293,62 @@ def read_distinct_rollup(spark, out_dir: str) -> DataFrame:
             F.sum("_n").alias("n_events"),
         )
     )
+
+
+def drift_monitor_sink(
+    out_dir: str,
+    bounds: list[float],
+    ref_shares: list[float],
+    value_col: str = "value",
+):
+    """Streaming drift monitor: a ``foreachBatch`` function that scores
+    every micro-batch's ``value_col`` distribution against a fixed
+    reference — bucket by the reference's quantile ``bounds`` (k-1
+    boundaries -> k buckets), Laplace-smooth the shares, and log one
+    (batch_id, n, psi) row per batch.  PSI > 0.2 is the conventional
+    retrain/alert threshold.
+
+    The reference bounds/shares are tiny Python lists captured in the
+    closure (computed once offline, e.g. by ``queries.psi_value_drift``'s
+    reference pass) — no state table, no join; per batch one aggregate
+    over the batch only.  Idempotent like the other sinks: the log row
+    is keyed by ``_batch_id`` partition, replays overwrite.
+    """
+    k = len(bounds) + 1
+    if len(ref_shares) != k:
+        raise ValueError(
+            f"need {k} reference shares for {len(bounds)} bounds, "
+            f"got {len(ref_shares)}"
+        )
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        bucket = None
+        for b in bounds:
+            term = (F.col(value_col) > F.lit(b)).cast("int")
+            bucket = term if bucket is None else bucket + term
+        counts = {
+            r["bucket"]: r["n"]
+            for r in batch_df.groupBy(bucket.alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        n = sum(counts.values())
+        psi = 0.0
+        for i in range(k):
+            cur = (counts.get(i, 0) + 0.5) / (n + 0.5 * k)
+            ref = ref_shares[i]
+            import math
+
+            psi += (cur - ref) * math.log(cur / ref)
+        row = batch_df.sparkSession.createDataFrame(
+            [(int(batch_id), int(n), float(round(psi, 6)))],
+            "_batch_id long, n long, psi double",
+        )
+        (
+            row.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(out_dir)
+        )
+
+    return write

@@ -232,3 +232,27 @@ def test_distinct_rollup_sketches_merge_across_batches(spark, tmp_path):
     got2 = {r["cell"]: r for r in read_distinct_rollup(spark, out).collect()}
     assert got2[h]["n_events"] == 8
     assert got2[h]["approx_distinct"] == 6
+
+
+def test_drift_monitor_flags_shifted_batch(spark, tmp_path):
+    """A batch drawn from the reference distribution scores near zero;
+    a shifted batch scores high; replay is idempotent."""
+    from parquet_converters_spark.streaming.sinks import drift_monitor_sink
+
+    out = str(tmp_path / "drift")
+    bounds = [1.0, 2.0, 3.0]            # 4 buckets
+    ref = [0.25, 0.25, 0.25, 0.25]
+    sink = drift_monitor_sink(out, bounds, ref)
+
+    def b(vals):
+        return spark.createDataFrame([(float(v),) for v in vals], "value double")
+
+    in_dist = [0.5, 1.5, 2.5, 3.5] * 25
+    shifted = [3.5] * 100
+    sink(b(in_dist), 0)
+    sink(b(shifted), 1)
+    sink(b(shifted), 1)  # replay
+    rows = {r["_batch_id"]: r for r in spark.read.parquet(out).collect()}
+    assert len(rows) == 2
+    assert rows[0]["psi"] < 0.01
+    assert rows[1]["psi"] > 0.5

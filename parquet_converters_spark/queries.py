@@ -5507,31 +5507,54 @@ def dedup_spans_intra(spark, sf_dir):
     """Within-document repetition REMOVAL (the C4 repeated-line cut,
     intra-doc form): 2-word spans keep only their first occurrence
     inside each document; later repeats are dropped and the text
-    rebuilt.  Pure array expressions per row — ZERO shuffle, the
-    narrow complement of the cross-document ``dedup_spans``.  The
-    first-occurrence filter is ``array_position(spans, s) == i+1``
-    (O(spans²) per document — bounded by document length, never by
-    corpus size)."""
+    rebuilt in original order.
+
+    Shape: posexplode → first occurrence via ``min(pos) OVER (doc,
+    span)`` → rebuild with ``array_sort(collect_list(struct))`` inside
+    the aggregate — O(spans·log spans) per document, robust for
+    book-length inputs.  (A pure-array ``array_position`` filter is
+    shuffle-free but O(spans²) per row: fine for web pages, a cliff
+    for long documents — same lesson as ``top_ngram_coverage``.)"""
     docs = _t(spark, sf_dir, "documents")
     k = _SPAN_INTRA_K
     words = F.split(F.col("text"), " ")
     n_spans = F.ceil(F.size(words) / F.lit(float(k))).cast("int")
-    spans = F.transform(
-        F.sequence(F.lit(0), n_spans - 1),
-        lambda i: F.array_join(F.slice(words, i * k + 1, k), " "),
-    )
-    base = docs.select("doc_id", spans.alias("_spans"))
-    kept = F.filter(
-        F.col("_spans"),
-        lambda s, i: F.array_position(F.col("_spans"), s) == i + 1,
-    )
-    return base.select(
+    spans = docs.select(
         "doc_id",
-        F.size("_spans").alias("n_spans"),
-        (F.size("_spans") - F.size(kept)).alias("n_dropped"),
-        F.length(F.array_join(kept, " ")).alias("new_len"),
-        F.md5(F.array_join(kept, " ")).alias("new_md5"),
-    ).orderBy("doc_id")
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_spans - 1),
+                lambda i: F.array_join(F.slice(words, i * k + 1, k), " "),
+            )
+        ).alias("_pos", "_span"),
+    )
+    w = Window.partitionBy("doc_id", "_span")
+    flagged = spans.withColumn("_kept", F.col("_pos") == F.min("_pos").over(w))
+    kept_struct = F.when(
+        F.col("_kept"), F.struct(F.col("_pos"), F.col("_span"))
+    )
+    rebuilt = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(kept_struct)), lambda s: s["_span"]
+        ),
+        " ",
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_spans"),
+            F.sum((~F.col("_kept")).cast("int")).cast("int").alias("n_dropped"),
+            rebuilt.alias("_new_text"),
+        )
+        .select(
+            "doc_id",
+            "n_spans",
+            "n_dropped",
+            F.length("_new_text").alias("new_len"),
+            F.md5("_new_text").alias("new_md5"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 DEDUP_SPANS_INTRA_SQL = f"""

@@ -136,6 +136,8 @@ HEADLINE = [
     "graph_pagerank",
     "top_ngram_coverage",
     "semantic_dedup_census",
+    "value_trend_by_type",
+    "numeric_profile_corr",
 ]
 
 

@@ -6069,6 +6069,65 @@ FROM comp GROUP BY component ORDER BY component_id
 """
 
 
+def value_trend_by_type(spark, sf_dir):
+    """Per-group OLS trend: slope/intercept of event value against
+    time (days since epoch), one closed-form aggregate per event type —
+    the drift-direction probe that runs where a model fit would be
+    overkill.  Built-in ``regr_*`` aggregates: JVM codegen, map-side
+    decomposable sums, one shuffle at the (event_type) grain."""
+    ev = _events(spark, sf_dir)
+    day = F.unix_micros("ts") / F.lit(86_400_000_000.0)
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.regr_count(F.col("value"), day).alias("n"),
+            F.round(F.regr_slope(F.col("value"), day), 6).alias("slope_per_day"),
+            F.round(F.regr_intercept(F.col("value"), day), 6).alias("intercept"),
+            F.round(F.corr(F.col("value"), day), 6).alias("corr_t"),
+        )
+        .orderBy("event_type")
+    )
+
+
+VALUE_TREND_SQL = """
+SELECT event_type,
+       regr_count(value, epoch_us(ts) / 86400000000.0) AS n,
+       round(regr_slope(value, epoch_us(ts) / 86400000000.0), 6) AS slope_per_day,
+       round(regr_intercept(value, epoch_us(ts) / 86400000000.0), 6) AS intercept,
+       round(corr(value, epoch_us(ts) / 86400000000.0), 6) AS corr_t
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def numeric_profile_corr(spark, sf_dir):
+    """Pairwise Pearson correlation matrix of lineitem's numeric
+    columns in ONE aggregation pass (all C(4,2) ``corr`` aggregates in
+    a single groupBy-less agg — decomposable sums, never a per-pair
+    scan).  The feature-redundancy screen of any profiling pass."""
+    li = _t(spark, sf_dir, "lineitem")
+    aggs = []
+    for i, a in enumerate(_CORR_COLS):
+        for b in _CORR_COLS[i + 1:]:
+            aggs.append(
+                F.round(
+                    F.corr(F.col(a).cast("double"), F.col(b).cast("double")),
+                    6,
+                ).alias(f"corr_{a}_{b}")
+            )
+    return li.agg(*aggs)
+
+
+NUMERIC_CORR_SQL = "SELECT " + ", ".join(
+    f"round(corr(CAST({a} AS DOUBLE), CAST({b} AS DOUBLE)), 6) "
+    f"AS corr_{a}_{b}"
+    for i, a in enumerate(_CORR_COLS)
+    for b in _CORR_COLS[i + 1:]
+) + " FROM lineitem"
+
+
 QUERIES.update({
     "dedup_spans": (dedup_spans, DEDUP_SPANS_SQL),
     "dedup_spans_intra": (dedup_spans_intra, DEDUP_SPANS_INTRA_SQL),
@@ -6079,6 +6138,8 @@ QUERIES.update({
     "graph_pagerank": (graph_pagerank, GRAPH_PAGERANK_SQL),
     "top_ngram_coverage": (top_ngram_coverage, TOP_NGRAM_COVERAGE_SQL),
     "semantic_dedup_census": (semantic_dedup_census, SEMANTIC_DEDUP_SQL),
+    "value_trend_by_type": (value_trend_by_type, VALUE_TREND_SQL),
+    "numeric_profile_corr": (numeric_profile_corr, NUMERIC_CORR_SQL),
 })
 
 

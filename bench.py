@@ -138,6 +138,7 @@ HEADLINE = [
     "semantic_dedup_census",
     "value_trend_by_type",
     "numeric_profile_corr",
+    "quality_vs_dup_calibration",
 ]
 
 

@@ -6128,7 +6128,64 @@ NUMERIC_CORR_SQL = "SELECT " + ", ".join(
 ) + " FROM lineitem"
 
 
+def quality_vs_dup_calibration(spark, sf_dir):
+    """Cross-signal calibration: does the heuristic quality score
+    actually separate duplicated content?  Per quality level (the
+    rubric is 0/0.25/…/1.0): document count, exact-duplicate rate
+    (content-hash frequency > 1 via ONE window over the hash — no
+    second join), and mean length.  The sanity check run before
+    trusting any quality gate as a dedup proxy at corpus scale."""
+    from parquet_converters_spark.functions.text import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5("text"))
+    return (
+        docs.select(
+            quality_score("text").alias("quality"),
+            (F.count(F.lit(1)).over(w) > 1).cast("int").alias("_dup"),
+            "n_chars",
+        )
+        .groupBy("quality")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("_dup"), 6).alias("dup_rate"),
+            F.round(F.avg("n_chars"), 3).alias("avg_chars"),
+        )
+        .orderBy("quality")
+    )
+
+
+QUALITY_DUP_CALIBRATION_SQL = f"""
+WITH q AS (
+  SELECT doc_id, text, n_chars,
+         round(
+           (CASE WHEN length(text) BETWEEN 50 AND 10000 THEN 0.25 ELSE 0.0 END)
+           + (CASE WHEN CAST(length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
+                   / greatest(length(text), 1) >= 0.8 THEN 0.25 ELSE 0.0 END)
+           + (CASE WHEN CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+                   / greatest(len(toks), 1) BETWEEN 3 AND 10 THEN 0.25 ELSE 0.0 END)
+           + (CASE WHEN len(list_intersect(toks, {_EN_STOP_SQL})) >= 2 THEN 0.25 ELSE 0.0 END)
+         , 6) AS quality
+  FROM (SELECT doc_id, text, n_chars, {SQL_TOKENS.format(col='text')} AS toks
+        FROM documents) _t
+), flagged AS (
+  SELECT quality, n_chars,
+         CASE WHEN count(*) OVER (PARTITION BY md5(text)) > 1
+              THEN 1 ELSE 0 END AS _dup
+  FROM q
+)
+SELECT quality, count(*) AS n_docs,
+       round(avg(_dup), 6) AS dup_rate,
+       round(avg(n_chars), 3) AS avg_chars
+FROM flagged GROUP BY quality ORDER BY quality
+"""
+
+
 QUERIES.update({
+    "quality_vs_dup_calibration": (
+        quality_vs_dup_calibration,
+        QUALITY_DUP_CALIBRATION_SQL,
+    ),
     "dedup_spans": (dedup_spans, DEDUP_SPANS_SQL),
     "dedup_spans_intra": (dedup_spans_intra, DEDUP_SPANS_INTRA_SQL),
     "source_terms_ctfidf": (source_terms_ctfidf, SOURCE_TERMS_CTFIDF_SQL),

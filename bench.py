@@ -139,6 +139,9 @@ HEADLINE = [
     "value_trend_by_type",
     "numeric_profile_corr",
     "quality_vs_dup_calibration",
+    "event_lateness_profile",
+    "revenue_share_in_region",
+    "session_bounce_stats",
 ]
 
 

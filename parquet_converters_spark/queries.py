@@ -6181,11 +6181,179 @@ FROM flagged GROUP BY quality ORDER BY quality
 """
 
 
+def event_lateness_profile(spark, sf_dir):
+    """Watermark-choice diagnostic: how out-of-order is the stream?
+    Per event, lateness = running max event-time (in arrival order =
+    event_id) minus the event's own time; report per-event-type
+    lateness count/max plus the share an X-minute watermark would
+    drop.  One keyed window in arrival order — the measurement that
+    turns 'pick a watermark' from folklore into data."""
+    ev = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    late_us = F.greatest(
+        F.lit(0),
+        F.max(F.unix_micros("ts")).over(w) - F.unix_micros("ts"),
+    )
+    return (
+        ev.withColumn("_late_us", late_us)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("_late_us") > 0).cast("long")).alias("n_late"),
+            F.max("_late_us").alias("max_late_us"),
+            F.round(
+                F.avg(
+                    (F.col("_late_us") > F.lit(600 * 1_000_000)).cast("double")
+                ),
+                6,
+            ).alias("dropped_at_10min_wm"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENT_LATENESS_SQL = """
+WITH l AS (
+  SELECT event_type,
+         greatest(0, max(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     - epoch_us(ts)) AS late_us
+  FROM events
+)
+SELECT event_type, count(*) AS n,
+       CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+       max(late_us) AS max_late_us,
+       round(avg(CASE WHEN late_us > 600 * 1000000 THEN 1.0 ELSE 0.0 END), 6)
+         AS dropped_at_10min_wm
+FROM l GROUP BY event_type ORDER BY event_type
+"""
+
+
+def revenue_share_in_region(spark, sf_dir):
+    """Ratio-to-parent: each nation's share of ITS REGION's revenue
+    (vs ``revenue_share_by_nation``'s share of grand total).  Both
+    grains are pre-aggregated before any ratio math — the region
+    re-aggregate is |nations| rows joined back broadcast, never an
+    ungrouped window over fact rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    rev = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(
+                _dec("l_extendedprice") * (1 - _dec("l_discount"))
+            ).alias("_rev")
+        )
+    )
+    per_region = rev.groupBy("r_name").agg(F.sum("_rev").alias("_rtot"))
+    return (
+        rev.join(F.broadcast(per_region), "r_name")
+        .select(
+            "r_name",
+            "n_name",
+            F.col("_rev").cast("double").alias("revenue"),
+            F.round((F.col("_rev") / F.col("_rtot")).cast("double"), 6).alias(
+                "share_of_region"
+            ),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+REVENUE_SHARE_REGION_SQL = """
+WITH rev AS (
+  SELECT r_name, n_name,
+         sum(CAST(l_extendedprice AS DECIMAL(25,4))
+             * (1 - CAST(l_discount AS DECIMAL(25,4)))) AS _rev
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY r_name, n_name
+), tot AS (
+  SELECT r_name, sum(_rev) AS _rtot FROM rev GROUP BY r_name
+)
+SELECT rev.r_name, n_name, CAST(_rev AS DOUBLE) AS revenue,
+       round(CAST(_rev / _rtot AS DOUBLE), 6) AS share_of_region
+FROM rev JOIN tot ON rev.r_name = tot.r_name
+ORDER BY rev.r_name, n_name
+"""
+
+
+def session_bounce_stats(spark, sf_dir):
+    """Session-table analytics over the gaps-and-islands sessionizer:
+    per user-cohort-free corpus summary — sessions, bounce rate
+    (single-event sessions), mean events/session, mean duration.
+    Aggregates the session table (already tiny next to raw events) to
+    ONE row; the events scan happens once inside ``sessionize``."""
+    ev = _events(spark, sf_dir)
+    s = sessionize(ev, gap_minutes=30)
+    dur_s = (
+        F.unix_micros("session_end") - F.unix_micros("session_start")
+    ) / 1_000_000.0
+    return s.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.round(F.avg((F.col("n_events") == 1).cast("double")), 6).alias(
+            "bounce_rate"
+        ),
+        F.round(F.avg("n_events"), 6).alias("avg_events_per_session"),
+        F.round(F.avg(dur_s), 6).alias("avg_duration_s"),
+    )
+
+
+SESSION_BOUNCE_SQL = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(CAST(ts AS TIMESTAMP))
+                      - epoch_us(CAST(lag(ts) OVER w AS TIMESTAMP))
+                      > 1800 * 1000000
+              THEN 1 ELSE 0 END AS _new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts,
+         CAST(sum(_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS sid
+  FROM flagged
+), stab AS (
+  SELECT user_id, sid, count(*) AS n_events,
+         epoch_us(CAST(max(ts) AS TIMESTAMP))
+           - epoch_us(CAST(min(ts) AS TIMESTAMP)) AS dur_us
+  FROM sess GROUP BY user_id, sid
+)
+SELECT count(*) AS n_sessions,
+       round(avg(CASE WHEN n_events = 1 THEN 1.0 ELSE 0.0 END), 6) AS bounce_rate,
+       round(avg(n_events), 6) AS avg_events_per_session,
+       round(avg(dur_us / 1000000.0), 6) AS avg_duration_s
+FROM stab
+"""
+
+
 QUERIES.update({
     "quality_vs_dup_calibration": (
         quality_vs_dup_calibration,
         QUALITY_DUP_CALIBRATION_SQL,
     ),
+    "event_lateness_profile": (event_lateness_profile, EVENT_LATENESS_SQL),
+    "revenue_share_in_region": (
+        revenue_share_in_region,
+        REVENUE_SHARE_REGION_SQL,
+    ),
+    "session_bounce_stats": (session_bounce_stats, SESSION_BOUNCE_SQL),
     "dedup_spans": (dedup_spans, DEDUP_SPANS_SQL),
     "dedup_spans_intra": (dedup_spans_intra, DEDUP_SPANS_INTRA_SQL),
     "source_terms_ctfidf": (source_terms_ctfidf, SOURCE_TERMS_CTFIDF_SQL),

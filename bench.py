@@ -142,6 +142,7 @@ HEADLINE = [
     "event_lateness_profile",
     "revenue_share_in_region",
     "session_bounce_stats",
+    "chi2_type_by_weekday",
 ]
 
 

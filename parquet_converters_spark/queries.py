@@ -6343,6 +6343,58 @@ FROM stab
 """
 
 
+def chi2_type_by_weekday(spark, sf_dir):
+    """Chi-square independence test: is event type independent of day
+    of week?  Contingency counts at the (type, dow) grain — one hash
+    aggregate over the corpus — then margins, expected counts and the
+    statistic all on that ≤ types×7-row table (broadcast joins, zero
+    further fact scans).  The screening test for 'does this categorical
+    feature carry temporal signal'.  Output: chi2, degrees of freedom,
+    observed cells."""
+    ev = _events(spark, sf_dir)
+    obs = ev.groupBy(
+        "event_type", F.dayofweek("ts").alias("dow")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    row_m = obs.groupBy("event_type").agg(F.sum("o").alias("_rm"))
+    col_m = obs.groupBy("dow").agg(F.sum("o").alias("_cm"))
+    tot = obs.agg(F.sum("o").alias("_n"))
+    cells = (
+        obs.join(F.broadcast(row_m), "event_type")
+        .join(F.broadcast(col_m), "dow")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("_e", F.col("_rm") * F.col("_cm") / F.col("_n"))
+        .withColumn(
+            "_chi", F.pow(F.col("o") - F.col("_e"), 2) / F.col("_e")
+        )
+    )
+    n_types = F.countDistinct("event_type")
+    n_dows = F.countDistinct("dow")
+    return cells.agg(
+        F.round(F.sum("_chi"), 6).alias("chi2"),
+        ((n_types - 1) * (n_dows - 1)).cast("long").alias("dof"),
+        F.count(F.lit(1)).alias("n_cells"),
+    )
+
+
+CHI2_TYPE_WEEKDAY_SQL = """
+WITH obs AS (
+  SELECT event_type, dayofweek(ts) + 1 AS dow, count(*) AS o
+  FROM events GROUP BY event_type, dayofweek(ts)
+), rm AS (SELECT event_type, sum(o) AS _rm FROM obs GROUP BY event_type),
+cm AS (SELECT dow, sum(o) AS _cm FROM obs GROUP BY dow),
+tot AS (SELECT sum(o) AS _n FROM obs),
+cells AS (
+  SELECT o, _rm * _cm / _n AS _e
+  FROM obs JOIN rm USING (event_type) JOIN cm USING (dow) CROSS JOIN tot
+)
+SELECT round(sum(pow(o - _e, 2) / _e), 6) AS chi2,
+       CAST(((SELECT count(DISTINCT event_type) FROM obs) - 1)
+            * ((SELECT count(DISTINCT dow) FROM obs) - 1) AS BIGINT) AS dof,
+       count(*) AS n_cells
+FROM cells
+"""
+
+
 QUERIES.update({
     "quality_vs_dup_calibration": (
         quality_vs_dup_calibration,
@@ -6354,6 +6406,7 @@ QUERIES.update({
         REVENUE_SHARE_REGION_SQL,
     ),
     "session_bounce_stats": (session_bounce_stats, SESSION_BOUNCE_SQL),
+    "chi2_type_by_weekday": (chi2_type_by_weekday, CHI2_TYPE_WEEKDAY_SQL),
     "dedup_spans": (dedup_spans, DEDUP_SPANS_SQL),
     "dedup_spans_intra": (dedup_spans_intra, DEDUP_SPANS_INTRA_SQL),
     "source_terms_ctfidf": (source_terms_ctfidf, SOURCE_TERMS_CTFIDF_SQL),

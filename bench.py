@@ -143,6 +143,7 @@ HEADLINE = [
     "revenue_share_in_region",
     "session_bounce_stats",
     "chi2_type_by_weekday",
+    "lang_confusion_matrix",
 ]
 
 

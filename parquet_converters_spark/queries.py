@@ -1480,10 +1480,26 @@ def _sql_language_id() -> str:
         f"SELECT doc_id, {case} AS lang_id "
         f"FROM (SELECT doc_id, {score_exprs} "
         f"FROM (SELECT doc_id, {toks} AS toks FROM documents) _t) _s ORDER BY doc_id"
-    )
+    ), case, score_exprs, toks
 
 
-TEXT_LANGUAGE_ID_SQL = _sql_language_id()
+(
+    TEXT_LANGUAGE_ID_SQL,
+    _SQL_LANG_CASE,
+    _SQL_LANG_SCORES,
+    _SQL_LANG_TOKS,
+) = _sql_language_id()
+
+LANG_CONFUSION_SQL = f"""
+WITH detected AS (
+  SELECT lang AS declared, {_SQL_LANG_CASE} AS detected
+  FROM (SELECT lang, {_SQL_LANG_SCORES}
+        FROM (SELECT lang, {_SQL_LANG_TOKS} AS toks FROM documents) _t) _s
+)
+SELECT declared, detected, count(*) AS n
+FROM detected GROUP BY declared, detected
+ORDER BY declared, detected
+"""
 
 
 def text_quality(spark, sf_dir):
@@ -6395,6 +6411,26 @@ FROM cells
 """
 
 
+def lang_confusion_matrix(spark, sf_dir):
+    """Language-metadata QA: confusion matrix of the declared ``lang``
+    column against the stopword-profile detector — the acceptance test
+    run before trusting either signal for per-language mixture
+    weighting.  One narrow detector pass + one (declared, detected)
+    hash aggregate; the matrix is |langs|²-bounded."""
+    from parquet_converters_spark.functions.text import language_id
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.col("lang").alias("declared"),
+            language_id("text").alias("detected"),
+        )
+        .groupBy("declared", "detected")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("declared", "detected")
+    )
+
+
 QUERIES.update({
     "quality_vs_dup_calibration": (
         quality_vs_dup_calibration,
@@ -6407,6 +6443,7 @@ QUERIES.update({
     ),
     "session_bounce_stats": (session_bounce_stats, SESSION_BOUNCE_SQL),
     "chi2_type_by_weekday": (chi2_type_by_weekday, CHI2_TYPE_WEEKDAY_SQL),
+    "lang_confusion_matrix": (lang_confusion_matrix, LANG_CONFUSION_SQL),
     "dedup_spans": (dedup_spans, DEDUP_SPANS_SQL),
     "dedup_spans_intra": (dedup_spans_intra, DEDUP_SPANS_INTRA_SQL),
     "source_terms_ctfidf": (source_terms_ctfidf, SOURCE_TERMS_CTFIDF_SQL),

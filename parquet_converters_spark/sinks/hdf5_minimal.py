@@ -183,7 +183,10 @@ class MiniH5Writer:
     def create_dataset(self, path: str, data) -> None:
         parts = path.strip("/").split("/")
         parent = self._walk("/".join(parts[:-1]), create=True)
-        assert isinstance(parent, _Group)
+        if not isinstance(parent, _Group):
+            raise ValueError(
+                f"{path!r}: parent {parent.name!r} is a dataset, not a group"
+            )
         if parts[-1] in parent.children:
             raise ValueError(f"{path!r} already exists")
         arr = np.asarray(data)

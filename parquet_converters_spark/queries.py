@@ -4243,11 +4243,12 @@ def equi_depth_histogram(spark, sf_dir, exact=None):
     """
     li = _t(spark, sf_dir, "lineitem")
     if exact is None:
-        import pyarrow.parquet as pq
+        # Directory-safe footer count: at 100 TB "lineitem.parquet" is
+        # a directory of part files, so sum per-file footer row counts
+        # (still driver-side metadata-only, O(files)).
+        from .sources.ordering import _sorted_files, file_row_counts
 
-        n = pq.ParquetFile(
-            f"{sf_dir}/lineitem.parquet"
-        ).metadata.num_rows
+        n = sum(file_row_counts(_sorted_files(f"{sf_dir}/lineitem.parquet")))
         exact = n <= _EQD_EXACT_MAX_ROWS
     fr = [i / _EQD_BUCKETS for i in range(1, _EQD_BUCKETS)]
     # ONE percentile(col, array(...)) call: nine separate percentile
@@ -6532,16 +6533,84 @@ QUERIES = {
     **{name: v for name, v in QUERIES.items() if name not in _R03_WINDOW},
 }
 
-# r04 rotation plan: the 14 oracled queries deferred from r03's window —
-# text_top_bigrams, text_quality_funnel, text_chunking, text_repetition,
-# text_pii_scan, text_pii_redact, char_entropy_buckets, value_histogram,
-# pmi_top_pairs, doc_logprob_quality, bpe_merge_candidates,
-# expectations_report, unpivot_metrics, sample_split_counts — plus the
-# 8 round-3 additions (dedup_spans, dedup_spans_intra,
-# source_terms_ctfidf, snapshot_diff_orders, embedding_diversity,
-# psi_value_drift, graph_pagerank and any later ones), plus any red
-# rows from CORRECTNESS_r03; fill the remaining slots with the
-# oldest-green rotation.  After r04 every oracled query has at least
-# one driver correctness row.  (Local pre-validation this round:
-# scripts/check_oracle_parity.py over ALL 165 oracled queries at
-# sf0.01 — 165 pass, 0 fail.)
+# --- r04 grading rotation --------------------------------------------------
+# Window policy for r04, per VERDICT.md r03 item 1: lead with the 31
+# oracled queries that have NO driver row across r01-r03 (the 14
+# deferred from r03's window plus the round-3 additions that landed
+# after the window was frozen), so that after this round every oracled
+# query in the registry has at least one driver correctness row.  The
+# remaining 19 slots re-verify oldest-green queries (r01-only rows),
+# prioritising decile_counts (rewritten in r03 — the distributed
+# _global_rank form has never been driver-graded) and the reference's
+# core touch/indexing/dedup/ANN operators.
+_R04_WINDOW = [
+    # (a) never driver-checked: text analysis / quality
+    "doc_logprob_quality",
+    "pmi_top_pairs",
+    "value_histogram",
+    "text_top_bigrams",
+    "text_quality_funnel",
+    "sample_split_counts",
+    "text_chunking",
+    "text_repetition",
+    "text_pii_scan",
+    "char_entropy_buckets",
+    "expectations_report",
+    "bpe_merge_candidates",
+    "text_pii_redact",
+    "unpivot_metrics",
+    "quality_vs_dup_calibration",
+    "top_ngram_coverage",
+    "lang_confusion_matrix",
+    # (b) never driver-checked: events / relational / stats
+    "event_lateness_profile",
+    "revenue_share_in_region",
+    "session_bounce_stats",
+    "chi2_type_by_weekday",
+    "value_trend_by_type",
+    "numeric_profile_corr",
+    "snapshot_diff_orders",
+    "psi_value_drift",
+    # (c) never driver-checked: dedup / embeddings / graph (r03 additions)
+    "dedup_spans",
+    "dedup_spans_intra",
+    "source_terms_ctfidf",
+    "embedding_diversity",
+    "graph_pagerank",
+    "semantic_dedup_census",
+    # (d) oldest-green re-verification (r01-only rows; decile_counts was
+    # rewritten in r03 and its new form has never been driver-graded)
+    "decile_counts",
+    "q1_pricing_summary",
+    "moving_avg_7d",
+    "prefix_sum",
+    "run_length",
+    "run_length_scan",
+    "interval_merge",
+    "dense_left_join",
+    "adjacency_node_ranges",
+    "adjacency_range_to_edge",
+    "derived_key",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_pipeline",
+    "dedup_components",
+    "dedup_simhash",
+    "sim_cosine_topk",
+    "sim_lsh_ann",
+    "sim_ivf_ann",
+]
+assert len(_R04_WINDOW) == 50, len(_R04_WINDOW)
+assert set(_R04_WINDOW) <= set(QUERIES), sorted(set(_R04_WINDOW) - set(QUERIES))
+QUERIES = {
+    **{name: QUERIES[name] for name in _R04_WINDOW},
+    **{name: v for name, v in QUERIES.items() if name not in _R04_WINDOW},
+}
+
+# r05 rotation plan: all oracled queries will have >=1 driver row after
+# r04.  Fill r05's window with the next-oldest-green cohort (the
+# remaining 26 r01-only rows: q3/q5/q6/q14/q18, semi/anti/set ops,
+# rollup_pricing, topk_per_group, pivot_event_counts, above_nation_avg,
+# proj_rename, array_flatten, bitfield_unpack, limit_n, count_sum,
+# global_max, dedup_ngram_jaccard, text_* r01 cohort, multimodal_meta)
+# plus any red rows from CORRECTNESS_r04, then rotate r02 greens.

@@ -1,0 +1,69 @@
+"""The equi-depth histogram's exact/approx auto-gate must work when the
+table is a DIRECTORY of part files — which is exactly what lineitem is
+at 100 TB — not only a single parquet file (VERDICT r03 "What's wrong"
+item 1: ``pq.ParquetFile(dir)`` raises on directories)."""
+
+import os
+import shutil
+
+import pyarrow.parquet as pq
+import pytest
+
+import parquet_converters_spark.queries as q
+
+
+@pytest.fixture(scope="module")
+def lineitem_dir(sf_dir, tmp_path_factory):
+    """An sf_dir clone whose lineitem.parquet is a directory of two
+    part files (plus symlinks for every other table)."""
+    root = tmp_path_factory.mktemp("eqd_dir_sf")
+    src = os.path.join(sf_dir, "lineitem.parquet")
+    tbl = pq.read_table(src)
+    li_dir = root / "lineitem.parquet"
+    li_dir.mkdir()
+    half = tbl.num_rows // 2
+    pq.write_table(tbl.slice(0, half), li_dir / "part-00000.parquet")
+    pq.write_table(tbl.slice(half), li_dir / "part-00001.parquet")
+    for name in os.listdir(sf_dir):
+        if name != "lineitem.parquet" and name.endswith(".parquet"):
+            os.symlink(os.path.join(sf_dir, name), root / name)
+    return str(root)
+
+
+def _rows(df):
+    return [tuple(r) for r in df.collect()]
+
+
+def test_auto_gate_on_directory_exact_side(spark, lineitem_dir, monkeypatch):
+    """Under the cutoff the auto-gate must pick the exact percentile and
+    match an explicit exact=True run bit-for-bit."""
+    monkeypatch.setattr(q, "_EQD_EXACT_MAX_ROWS", 10_000_000)
+    auto = _rows(q.equi_depth_histogram(spark, lineitem_dir, exact=None))
+    exact = _rows(q.equi_depth_histogram(spark, lineitem_dir, exact=True))
+    assert auto == exact
+    assert sum(r[1] for r in auto) == pq.ParquetDataset(
+        os.path.join(lineitem_dir, "lineitem.parquet")
+    ).read(columns=[]).num_rows
+
+
+def test_auto_gate_on_directory_approx_side(spark, lineitem_dir, monkeypatch):
+    """Above the (monkeypatched) cutoff the gate must flip to the
+    GK-sketch path and still produce a full, consistent histogram."""
+    monkeypatch.setattr(q, "_EQD_EXACT_MAX_ROWS", 1)  # force approx
+    auto = _rows(q.equi_depth_histogram(spark, lineitem_dir, exact=None))
+    approx = _rows(q.equi_depth_histogram(spark, lineitem_dir, exact=False))
+    assert auto == approx
+    n_total = sum(r[1] for r in auto)
+    assert n_total == pq.ParquetDataset(
+        os.path.join(lineitem_dir, "lineitem.parquet")
+    ).read(columns=[]).num_rows
+    # equi-depth: every bucket within 2x of the ideal depth even approx
+    ideal = n_total / q._EQD_BUCKETS
+    assert all(r[1] < 2 * ideal for r in auto), auto
+
+
+def test_gate_still_works_on_single_file(spark, sf_dir):
+    """The original single-file layout keeps working through the same
+    directory-safe footer-count path."""
+    df = q.equi_depth_histogram(spark, sf_dir, exact=None)
+    assert df.count() == q._EQD_BUCKETS

@@ -170,13 +170,22 @@ def main() -> None:
     # 100 TB) stays out of the numbers either way.
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
+    # min-of-2 timed runs after the untimed warmup: on a shared box one
+    # stolen CPU slice fabricated 10x phantom "regressions" in r03's
+    # numbers (bpe_merge_candidates logged 7.33 s vs 1.22 s re-measured
+    # on idle hardware — VERDICT r03 item 5).  The min is the right
+    # statistic for a deterministic workload: noise only ever adds.
+    timed_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     times: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name][0]
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        times[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(timed_runs):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        times[name] = round(best, 3)
 
     total = round(sum(times.values()), 3)
     # Two lines, detail FIRST: the full per-query line is 100+ entries

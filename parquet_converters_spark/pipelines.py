@@ -151,10 +151,14 @@ def snapshot_diff(
     snapshots of the same logical table — the audit a pipeline runs
     after a backfill or a migration before swapping readers over.
 
-    Row content is compared by a single md5 over the normalized
-    ``compare_cols`` (default: all non-key columns shared by both
-    sides), so the full-outer join carries one hash per side instead
-    of every column twice.  Plan: one shuffle per side on the key —
+    Row content is compared by a single md5 over the JSON encoding of a
+    struct of ``compare_cols`` (default: all non-key columns shared by
+    both sides), so the full-outer join carries one hash per side
+    instead of every column twice.  ``to_json(struct(...))`` is
+    NULL-safe and delimiter-free: a bare ``concat_ws`` would silently
+    skip NULL columns, making ``(x, NULL, y)`` and ``(x, y, NULL)``
+    hash identically, and values containing the separator byte could
+    collide.  Plan: one shuffle per side on the key —
     the join is the honest cost; at 100 TB pre-bucket both snapshots
     on the key and the exchange disappears (`tests/test_bucketing.py`
     pattern).
@@ -171,8 +175,9 @@ def snapshot_diff(
         return df.select(
             *key_cols,
             F.md5(
-                F.concat_ws(
-                    "\x1f", *[F.col(c).cast("string") for c in compare_cols]
+                F.to_json(
+                    F.struct(*[F.col(c).alias(c) for c in compare_cols]),
+                    {"ignoreNullFields": "false"},
                 )
             ).alias(name),
         )

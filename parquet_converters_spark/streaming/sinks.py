@@ -112,14 +112,19 @@ def compact_rollup(spark, out_dir: str) -> int:
     import shutil
     from urllib.parse import urlparse
 
-    scheme = urlparse(out_dir).scheme
-    if scheme not in ("", "file"):
+    parsed = urlparse(out_dir)
+    if parsed.scheme not in ("", "file"):
         raise ValueError(
             f"compact_rollup only supports local filesystem paths, got "
-            f"scheme {scheme!r} in {out_dir!r} — use your table format's "
-            "atomic rewrite on distributed storage"
+            f"scheme {parsed.scheme!r} in {out_dir!r} — use your table "
+            "format's atomic rewrite on distributed storage"
         )
-    out_dir = out_dir.removeprefix("file://")
+    if parsed.scheme == "file":
+        # urlparse handles BOTH URI spellings Spark emits — the
+        # canonical single-slash 'file:/path' and 'file:///path' — where
+        # a removeprefix("file://") would leave the former as a literal
+        # 'file:/path' string for shutil to mangle.
+        out_dir = parsed.path
     src = spark.read.parquet(out_dir)
     batches = [r["_batch_id"] for r in src.select("_batch_id").distinct().collect()]
     folded = (
@@ -152,10 +157,16 @@ def lsh_dedup_gate_sink(
 
     1. intra-batch exact dups collapse first (md5 content hash, min id
        wins — deterministic);
-    2. signatures once per surviving doc; banded buckets probed
-       against the persisted state table with a LEFT ANTI join on
-       (band, bucket) — candidate cost scales with bucket collisions,
-       never corpus size;
+    2. signatures once per surviving doc; banded buckets resolve
+       intra-batch NEAR-dups next (per colliding (band, bucket) the
+       min id wins — greedy, so a collision chain a<b<c over distinct
+       buckets may over-reject c, the usual LSH false-positive trade),
+       then survivors probe the persisted state table with a LEFT ANTI
+       join on (band, bucket) — candidate cost scales with bucket
+       collisions, never corpus size.  A missing ``state_dir`` (first
+       batch) admits everything; any OTHER state-read failure (corrupt
+       files, permissions) propagates and fails the batch rather than
+       silently admitting duplicates;
     3. admitted docs land in ``out_dir/_batch_id=N`` and their buckets
        in ``state_dir/_batch_id=N``, both dynamic-overwrite — so
        REPLAYING batch N (at-least-once delivery) rewrites both
@@ -197,7 +208,30 @@ def lsh_dedup_gate_sink(
         buckets = signature_band_buckets(
             sig, id_col, num_hashes, bands
         ).persist()
-        try:
+        # 2a. intra-batch near-dups: min id per colliding bucket wins
+        bucket_min = buckets.groupBy("band", "bucket").agg(
+            F.min(id_col).alias("_bmin")
+        )
+        intra_rejected = (
+            buckets.join(bucket_min, ["band", "bucket"])
+            .filter(F.col(id_col) != F.col("_bmin"))
+            .select(id_col)
+            .distinct()
+        )
+        intra_ids = (
+            buckets.select(id_col)
+            .distinct()
+            .join(intra_rejected, id_col, "left_anti")
+        )
+        # 2b. probe persisted state.  Only a genuinely-absent state_dir
+        # (first batch) may fail open; everything else must fail the
+        # batch — a swallowed corrupt-state error would silently admit
+        # the whole batch as if no corpus existed.
+        jvm_path = spark._jvm.org.apache.hadoop.fs.Path(state_dir)
+        fs = jvm_path.getFileSystem(
+            spark._jsc.hadoopConfiguration()
+        )
+        if fs.exists(jvm_path):
             state = spark.read.parquet(state_dir).filter(
                 F.col("_batch_id") != int(batch_id)
             )
@@ -208,13 +242,9 @@ def lsh_dedup_gate_sink(
                 .select(id_col)
                 .distinct()
             )
-            admitted_ids = (
-                buckets.select(id_col)
-                .distinct()
-                .join(dup_ids, id_col, "left_anti")
-            )
-        except Exception:  # first batch: no state yet
-            admitted_ids = buckets.select(id_col).distinct()
+            admitted_ids = intra_ids.join(dup_ids, id_col, "left_anti")
+        else:  # first batch: no state yet
+            admitted_ids = intra_ids
         admitted = batch.join(F.broadcast(admitted_ids), id_col)
         # 3. idempotent writes keyed by _batch_id
         for df_out, dest in (
@@ -313,6 +343,15 @@ def drift_monitor_sink(
     reference pass) — no state table, no join; per batch one aggregate
     over the batch only.  Idempotent like the other sinks: the log row
     is keyed by ``_batch_id`` partition, replays overwrite.
+
+    Reference shares are validated and re-smoothed at CONSTRUCTION with
+    the same ``(cnt + 0.5) / (n + 0.5k)`` Laplace floor the current
+    side gets (mirroring ``queries.psi_value_drift``) — a raw 0.0 entry
+    would otherwise divide-by-zero inside ``foreachBatch`` and kill the
+    stream mid-flight.  NULL ``value_col`` rows are excluded from both
+    ``n`` and every bin (a NULL falls in no bucket; counting it in
+    ``n`` only would deflate every share and distort PSI) — they are
+    reported separately in the ``n_null`` column.
     """
     k = len(bounds) + 1
     if len(ref_shares) != k:
@@ -320,15 +359,25 @@ def drift_monitor_sink(
             f"need {k} reference shares for {len(bounds)} bounds, "
             f"got {len(ref_shares)}"
         )
+    if any(s < 0 for s in ref_shares):
+        raise ValueError(f"negative reference share in {ref_shares!r}")
+    tot = sum(ref_shares)
+    if tot <= 0:
+        raise ValueError("reference shares sum to zero")
+    # re-smooth on the reference side too, so a 0.0 share becomes a
+    # floored small probability instead of a ZeroDivisionError
+    ref_smoothed = [(s / tot + 0.5 / k) / 1.5 for s in ref_shares]
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
+        non_null = batch_df.filter(F.col(value_col).isNotNull())
+        n_null = batch_df.count() - non_null.count()
         bucket = None
         for b in bounds:
             term = (F.col(value_col) > F.lit(b)).cast("int")
             bucket = term if bucket is None else bucket + term
         counts = {
             r["bucket"]: r["n"]
-            for r in batch_df.groupBy(bucket.alias("bucket"))
+            for r in non_null.groupBy(bucket.alias("bucket"))
             .agg(F.count(F.lit(1)).alias("n"))
             .collect()
         }
@@ -336,13 +385,13 @@ def drift_monitor_sink(
         psi = 0.0
         for i in range(k):
             cur = (counts.get(i, 0) + 0.5) / (n + 0.5 * k)
-            ref = ref_shares[i]
+            ref = ref_smoothed[i]
             import math
 
             psi += (cur - ref) * math.log(cur / ref)
         row = batch_df.sparkSession.createDataFrame(
-            [(int(batch_id), int(n), float(round(psi, 6)))],
-            "_batch_id long, n long, psi double",
+            [(int(batch_id), int(n), int(n_null), float(round(psi, 6)))],
+            "_batch_id long, n long, n_null long, psi double",
         )
         (
             row.write.mode("overwrite")

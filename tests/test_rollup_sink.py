@@ -256,3 +256,98 @@ def test_drift_monitor_flags_shifted_batch(spark, tmp_path):
     assert len(rows) == 2
     assert rows[0]["psi"] < 0.01
     assert rows[1]["psi"] > 0.5
+
+
+def test_compaction_accepts_file_scheme_uri(spark, tmp_path):
+    """Spark's canonical single-slash 'file:/path' spelling must reach
+    shutil as a real filesystem path (ADVICE r03: removeprefix left it
+    as a literal 'file:/...' string and the fold failed post-write)."""
+    out = str(tmp_path / "rollup_uri")
+    sink = rollup_maintenance_sink(out)
+    for i in range(2):
+        sink(_batch(spark, [(datetime(2024, 1, 1, 8, i), float(i))]), i)
+    before = _rollup_dict(spark, out)
+    assert compact_rollup(spark, "file:" + out) == 2
+    assert _rollup_dict(spark, out) == before
+
+
+def test_lsh_dedup_gate_intra_batch_near_dups(spark, tmp_path):
+    """Two NEAR-duplicate (same bucket, different md5) documents in the
+    SAME micro-batch: only the min id is admitted (ADVICE r03: the gate
+    previously admitted both and wrote both to state)."""
+    from parquet_converters_spark.streaming.sinks import lsh_dedup_gate_sink
+
+    out, state = str(tmp_path / "corpus"), str(tmp_path / "state")
+    gate = lsh_dedup_gate_sink(out, state)
+    t_a = "the quick brown fox jumps over the lazy dog and runs far away"
+    t_a2 = t_a + " tail"  # near-dup: shares most shingles, differs in md5
+    t_b = "completely different content about spark shuffles and joins here"
+    gate(_docs(spark, [(0, t_a), (1, t_a2), (2, t_b)]), 0)
+    got = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert got == [0, 2], got
+    # state only carries admitted docs' buckets
+    state_ids = {
+        r["doc_id"] for r in spark.read.parquet(state).collect()
+    }
+    assert state_ids == {0, 2}
+
+
+def test_lsh_dedup_gate_corrupt_state_fails_closed(spark, tmp_path):
+    """A state read failure that is NOT path-missing must propagate and
+    fail the batch (ADVICE r03: the bare except failed OPEN, admitting
+    the entire batch as if no corpus existed)."""
+    import pytest
+
+    from parquet_converters_spark.streaming.sinks import lsh_dedup_gate_sink
+
+    out, state = str(tmp_path / "corpus"), str(tmp_path / "state")
+    import os
+
+    os.makedirs(state)
+    with open(os.path.join(state, "part-00000.parquet"), "wb") as f:
+        f.write(b"this is not a parquet file")
+    gate = lsh_dedup_gate_sink(out, state)
+    with pytest.raises(Exception):
+        gate(
+            _docs(
+                spark,
+                [(0, "alpha beta gamma delta epsilon zeta eta theta")],
+            ),
+            0,
+        )
+    # nothing admitted
+    assert not os.path.exists(out) or not [
+        p for p in os.listdir(out) if p.startswith("_batch_id=")
+    ]
+
+
+def test_drift_monitor_zero_ref_share_and_nulls(spark, tmp_path):
+    """A 0.0 reference share must not ZeroDivisionError the stream, and
+    NULL values must land in no bin: excluded from n, reported as
+    n_null (ADVICE r03)."""
+    from parquet_converters_spark.streaming.sinks import drift_monitor_sink
+
+    out = str(tmp_path / "drift0")
+    sink = drift_monitor_sink(out, [1.0, 2.0, 3.0], [0.5, 0.5, 0.0, 0.0])
+    vals = [(0.5,), (1.5,), (None,), (None,)]
+    sink(spark.createDataFrame(vals, "value double"), 0)
+    row = spark.read.parquet(out).collect()[0]
+    assert row["n"] == 2 and row["n_null"] == 2
+    assert row["psi"] >= 0.0  # finite, no crash
+
+    import math
+
+    assert math.isfinite(row["psi"])
+
+
+def test_drift_monitor_rejects_bad_reference(spark, tmp_path):
+    import pytest
+
+    from parquet_converters_spark.streaming.sinks import drift_monitor_sink
+
+    with pytest.raises(ValueError):
+        drift_monitor_sink("x", [1.0], [0.5, -0.5])
+    with pytest.raises(ValueError):
+        drift_monitor_sink("x", [1.0], [0.0, 0.0])
+    with pytest.raises(ValueError):
+        drift_monitor_sink("x", [1.0], [0.5, 0.25, 0.25])

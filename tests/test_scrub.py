@@ -77,3 +77,27 @@ def test_snapshot_diff_null_value_vs_changed(spark):
     b = spark.createDataFrame([(1, "now-set")], "k long, s string")
     out = snapshot_diff(a, b, ["k"]).collect()
     assert out[0]["change_type"] == "updated"
+
+
+def test_snapshot_diff_null_shift_between_columns(spark):
+    """(x, NULL, y) vs (x, y, NULL) must classify as updated — the old
+    concat_ws hash silently skipped NULL columns and saw both rows as
+    'x\\x1fy' (ADVICE r03); the JSON-struct hash keys every value by
+    column name."""
+    from parquet_converters_spark.pipelines import snapshot_diff
+
+    a = spark.createDataFrame([(1, "x", None, "y")], "k long, c1 string, c2 string, c3 string")
+    b = spark.createDataFrame([(1, "x", "y", None)], "k long, c1 string, c2 string, c3 string")
+    out = snapshot_diff(a, b, ["k"]).collect()
+    assert out[0]["change_type"] == "updated"
+
+
+def test_snapshot_diff_separator_byte_in_values(spark):
+    """Values containing the old \\x1f separator must not collide:
+    ('a\\x1fb', 'c') vs ('a', 'b\\x1fc') is updated."""
+    from parquet_converters_spark.pipelines import snapshot_diff
+
+    a = spark.createDataFrame([(1, "a\x1fb", "c")], "k long, c1 string, c2 string")
+    b = spark.createDataFrame([(1, "a", "b\x1fc")], "k long, c1 string, c2 string")
+    out = snapshot_diff(a, b, ["k"]).collect()
+    assert out[0]["change_type"] == "updated"

@@ -309,6 +309,7 @@ def pagerank(
     dst: str = "dst",
     damping: float = 0.85,
     iterations: int = 5,
+    checkpoint_every: int | None = 10,
 ) -> DataFrame:
     """Fixed-iteration PageRank: ``r(v) = (1-d)/N + d·Σ_{u→v}
     r(u)/outdeg(u)``, one equi-join + one hash aggregate per
@@ -326,11 +327,15 @@ def pagerank(
     Returns (node, rank) for every node, unnormalized by convention
     (ranks sum to ~1 when no mass leaks).
 
-    Lineage: with a fixed small iteration count the rank chain stays
-    one lazy DAG (the persisted edge/node tables bound the recompute).
-    Past ~20 iterations, truncate with ``localCheckpoint()`` on the
-    ranks every few rounds or Catalyst analysis time grows with the
-    plan tree — the standard Spark iterative-algorithm discipline.
+    Lineage: the rank chain would otherwise accumulate into one lazy
+    DAG whose Catalyst analysis time grows with the plan tree (the
+    5-iteration unroll already shows 122 exchanges in PLANS.md), so
+    every ``checkpoint_every`` iterations the ranks are truncated with
+    ``localCheckpoint(eager=True)`` — the standard Spark
+    iterative-algorithm discipline, now code rather than advice
+    (VERDICT r03 item 4).  Pass ``None`` to disable (e.g. when the
+    caller wants the full unrolled plan for a value-hashable oracle
+    comparison, as ``queries.graph_pagerank`` does at 5 iterations).
     """
     e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d")).distinct()
     deg = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_outdeg"))
@@ -344,7 +349,7 @@ def pagerank(
     n = nodes.count()
     base = (1.0 - damping) / n
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
-    for _ in range(iterations):
+    for it in range(1, iterations + 1):
         contribs = (
             ed.join(ranks, ed["_s"] == ranks["node"])
             .groupBy("_d")
@@ -358,4 +363,14 @@ def pagerank(
                 "rank"
             ),
         )
+        if (
+            checkpoint_every
+            and it % checkpoint_every == 0
+            and it < iterations
+        ):
+            # eager localCheckpoint: materializes the ranks on the
+            # executors and cuts the lineage, so plan depth (and
+            # Catalyst analysis time) stays bounded by checkpoint_every
+            # instead of growing with the total iteration count
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks

@@ -155,6 +155,26 @@ class _Dataset(_Node):
         if data.dtype == np.dtype("S0"):  # all-empty strings
             data = data.astype("S1")
         self.data = np.ascontiguousarray(data)
+        self.shape = self.data.shape
+        self.nbytes = self.data.nbytes
+
+
+class _Placeholder(_Dataset):
+    """A dataset whose METADATA (shape, dtype, layout address) is
+    written by the driver but whose data region is left zero-filled for
+    out-of-process writers to fill at the layout offset afterwards —
+    the minimal-HDF5 analogue of creating a dataset collectively and
+    hyperslab-writing it per rank (reference
+    ``src/circuit/sonata_file.cpp:98-101,123-143``)."""
+
+    def __init__(self, name: str, shape: tuple[int, ...], dtype):
+        dt = np.dtype(dtype)
+        # zero-row probe array carries dtype/itemsize through the
+        # normal _Dataset checks; shape/nbytes come from the declared
+        # shape instead of the array
+        super().__init__(name, np.zeros(0, dtype=dt))
+        self.shape = tuple(int(s) for s in shape)
+        self.nbytes = int(np.prod(self.shape)) * self.data.dtype.itemsize
 
 
 class MiniH5Writer:
@@ -180,7 +200,7 @@ class MiniH5Writer:
     def create_group(self, path: str) -> None:
         self._walk(path, create=True)
 
-    def create_dataset(self, path: str, data) -> None:
+    def _dataset_parent(self, path: str) -> tuple[_Group, str]:
         parts = path.strip("/").split("/")
         parent = self._walk("/".join(parts[:-1]), create=True)
         if not isinstance(parent, _Group):
@@ -189,6 +209,10 @@ class MiniH5Writer:
             )
         if parts[-1] in parent.children:
             raise ValueError(f"{path!r} already exists")
+        return parent, parts[-1]
+
+    def create_dataset(self, path: str, data) -> None:
+        parent, name = self._dataset_parent(path)
         arr = np.asarray(data)
         if arr.dtype.kind == "U":
             arr = arr.astype("S")
@@ -197,7 +221,17 @@ class MiniH5Writer:
                 [v.encode() if isinstance(v, str) else v for v in arr],
                 dtype="S",
             )
-        parent.children[parts[-1]] = _Dataset(parts[-1], arr)
+        parent.children[name] = _Dataset(name, arr)
+
+    def create_placeholder(
+        self, path: str, shape: tuple[int, ...], dtype
+    ) -> None:
+        """Declare a dataset by shape/dtype only: ``write()`` lays out
+        its metadata and zero-fills its data region; the assigned file
+        offset is available in :attr:`data_offsets` afterwards so
+        external processes can fill the region in parallel."""
+        parent, name = self._dataset_parent(path)
+        parent.children[name] = _Placeholder(name, shape, dtype)
 
     def set_attr(self, path: str, name: str, value) -> None:
         self._walk(path, create=True).attrs[name] = value
@@ -224,16 +258,18 @@ class MiniH5Writer:
     def write(self, path: str) -> None:
         groups: list[_Group] = []
         datasets: list[_Dataset] = []
+        full_path: dict[int, str] = {}
 
-        def collect(n: _Node):
+        def collect(n: _Node, prefix: str):
+            full_path[id(n)] = prefix or "/"
             if isinstance(n, _Group):
                 groups.append(n)
                 for c in sorted(n.children):
-                    collect(n.children[c])
+                    collect(n.children[c], f"{prefix}/{c}")
             else:
                 datasets.append(n)  # type: ignore[arg-type]
 
-        collect(self.root)
+        collect(self.root, "")
 
         meta = {id(g): self._group_blocks(g) for g in groups}
         btree_size = 24 + (2 * _K + 1) * 8 + 2 * _K * 8
@@ -268,11 +304,11 @@ class MiniH5Writer:
             }
         for d in datasets:
             body_msgs = [
-                _message(0x0001, _dataspace(d.data.shape)),
+                _message(0x0001, _dataspace(d.shape)),
                 _message(0x0003, _datatype(d.data.dtype)),
                 _message(
                     0x0008,
-                    struct.pack("<BBQQ", 3, 1, 0, d.data.nbytes),
+                    struct.pack("<BBQQ", 3, 1, 0, d.nbytes),
                 ),
             ] + [
                 _message(0x000C, _attr_message(k, v))
@@ -282,7 +318,7 @@ class MiniH5Writer:
             d.addr = take(len(ohdr))
             layout[id(d)] = {
                 "ohdr_size": len(ohdr),
-                "data": take(max(d.data.nbytes, 8)),
+                "data": take(max(d.nbytes, 8)),
             }
         eof = pos
 
@@ -349,14 +385,15 @@ class MiniH5Writer:
             sn += b"\x00" * (snod_size - len(sn))
             put(lay["snod"], sn)
 
+        self.data_offsets: dict[str, dict] = {}
         for d in datasets:
             lay = layout[id(d)]
             msgs = [
-                _message(0x0001, _dataspace(d.data.shape)),
+                _message(0x0001, _dataspace(d.shape)),
                 _message(0x0003, _datatype(d.data.dtype)),
                 _message(
                     0x0008,
-                    struct.pack("<BBQQ", 3, 1, lay["data"], d.data.nbytes),
+                    struct.pack("<BBQQ", 3, 1, lay["data"], d.nbytes),
                 ),
             ] + [
                 _message(0x000C, _attr_message(k, v))
@@ -365,7 +402,13 @@ class MiniH5Writer:
             ohdr = _object_header(msgs)
             assert len(ohdr) == lay["ohdr_size"]
             put(d.addr, ohdr)
-            put(lay["data"], d.data.tobytes())
+            if not isinstance(d, _Placeholder):
+                put(lay["data"], d.data.tobytes())
+            self.data_offsets[full_path[id(d)]] = {
+                "offset": lay["data"],
+                "dtype": d.data.dtype.str,
+                "shape": d.shape,
+            }
 
         with open(path, "wb") as f:
             f.write(bytes(buf))
@@ -479,7 +522,23 @@ class MiniH5Reader:
             elif t == 0x0003:
                 dt = self._parse_dtype(m)
             elif t == 0x0008:
-                assert m[0] == 3 and m[1] == 1, "contiguous v3 only"
+                version, lclass = m[0], m[1]
+                if version != 3 or lclass != 1:
+                    # real libhdf5 pipelines typically write CHUNKED
+                    # (class 2, often compressed) datasets; this reader
+                    # covers only the contiguous classic slice the
+                    # sibling writer emits.  Name the dataset and the
+                    # remedy instead of failing deep in the parser.
+                    kind = {0: "compact", 1: "contiguous", 2: "chunked"}.get(
+                        lclass, f"class {lclass}"
+                    )
+                    raise NotImplementedError(
+                        f"dataset {path!r} uses a {kind} data layout "
+                        f"(message version {version}); MiniH5Reader only "
+                        "parses contiguous v3 layouts as written by "
+                        "MiniH5Writer — install h5py to read files from "
+                        "libhdf5 pipelines (chunked/compressed layouts)"
+                    )
                 layout = struct.unpack_from("<QQ", m, 2)
         assert dt is not None and shape is not None and layout is not None
         addr, nbytes = layout

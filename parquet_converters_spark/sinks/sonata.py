@@ -34,8 +34,12 @@ Semantics mirrored from the reference:
 - the adjacency index is built with
   :func:`parquet_converters_spark.operators.indexing.build_sonata_indices`.
 
-``export_hdf5`` converts a bundle to real SONATA HDF5 when h5py is
-available (import-gated).
+``export_hdf5`` converts a bundle to a real SONATA HDF5 file (h5py when
+available, else the built-in classic-format writer).
+``export_hdf5_parallel`` is the scale path: driver writes the metadata
+skeleton, every Spark partition seek+writes its rows at the dataset's
+precomputed offset — the analogue of the reference's per-rank MPI-IO
+independent hyperslab writes (``src/circuit/sonata_file.cpp:98-143``).
 """
 
 from __future__ import annotations
@@ -218,6 +222,60 @@ def write_sonata_bundle(
     )
 
 
+def _gather_small_datasets(
+    pop_dir: str, base: str, manifest: dict
+) -> tuple[dict, dict]:
+    """The driver-side (metadata-scale) parts of a SONATA ``.h5``:
+    ``@library`` enumerations and the adjacency indices, plus all
+    group/dataset attributes.  Shared by the single-writer and the
+    parallel export — in the reference these are likewise written by
+    rank 0 (``src/circuit/sonata_file.cpp:45-97``)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    datasets: dict[str, "np.ndarray"] = {}
+    attrs: dict[str, dict] = {base: dict(manifest["attributes"])}
+    for name, a in manifest["dataset_attributes"].items():
+        attrs[f"{base}/{name}"] = dict(a)
+    for name in manifest["libraries"]:
+        t = pq.read_table(
+            os.path.join(pop_dir, "library", f"{name}.parquet")
+        )
+        values = t.sort_by("index").column("value").to_pylist()
+        datasets[f"{base}/0/@library/{name}"] = np.asarray(values, dtype="S")
+    for direction in ("source_to_target", "target_to_source"):
+        d = os.path.join(pop_dir, "indices", direction)
+        if not os.path.isdir(d):
+            continue
+        nr = pq.read_table(
+            os.path.join(d, "node_id_to_ranges.parquet")
+        ).sort_by("node_id")
+        datasets[f"{base}/indices/{direction}/node_id_to_ranges"] = np.stack(
+            [
+                nr.column("range_lo").to_numpy(),
+                nr.column("range_hi").to_numpy(),
+            ],
+            axis=1,
+        )
+        re_ = pq.read_table(
+            os.path.join(d, "range_to_edge_id.parquet")
+        ).sort_by("range_id")
+        datasets[f"{base}/indices/{direction}/range_to_edge_id"] = np.stack(
+            [
+                re_.column("edge_start").to_numpy(),
+                re_.column("edge_end").to_numpy(),
+            ],
+            axis=1,
+        )
+    return datasets, attrs
+
+
+def _dataset_path(base: str, name: str, manifest: dict) -> str:
+    if name in manifest["top_level_datasets"]:
+        return f"{base}/{name}"
+    return f"{base}/0/{name}"
+
+
 def export_hdf5(bundle_dir: str, population: str, h5_path: str) -> None:
     """Convert a SONATA bundle to a real SONATA HDF5 file — the
     correctness path of SURVEY §7 step 5, mirroring the reference's
@@ -252,46 +310,13 @@ def export_hdf5(bundle_dir: str, population: str, h5_path: str) -> None:
     perm = np.argsort(
         table.column(manifest["row_index_column"]).to_numpy()
     )
-    datasets: dict[str, np.ndarray] = {}
-    attrs: dict[str, dict] = {base: dict(manifest["attributes"])}
+    datasets, attrs = _gather_small_datasets(pop_dir, base, manifest)
     for name in manifest["top_level_datasets"]:
         datasets[f"{base}/{name}"] = table.column(name).to_numpy()[perm]
     for name in manifest["property_datasets"]:
         if name in manifest["top_level_datasets"]:
             continue
         datasets[f"{base}/0/{name}"] = table.column(name).to_numpy()[perm]
-    for name, a in manifest["dataset_attributes"].items():
-        attrs[f"{base}/{name}"] = dict(a)
-    for name in manifest["libraries"]:
-        t = pq.read_table(
-            os.path.join(pop_dir, "library", f"{name}.parquet")
-        )
-        values = t.sort_by("index").column("value").to_pylist()
-        datasets[f"{base}/0/@library/{name}"] = np.asarray(values, dtype="S")
-    for direction in ("source_to_target", "target_to_source"):
-        d = os.path.join(pop_dir, "indices", direction)
-        if not os.path.isdir(d):
-            continue
-        nr = pq.read_table(
-            os.path.join(d, "node_id_to_ranges.parquet")
-        ).sort_by("node_id")
-        datasets[f"{base}/indices/{direction}/node_id_to_ranges"] = np.stack(
-            [
-                nr.column("range_lo").to_numpy(),
-                nr.column("range_hi").to_numpy(),
-            ],
-            axis=1,
-        )
-        re_ = pq.read_table(
-            os.path.join(d, "range_to_edge_id.parquet")
-        ).sort_by("range_id")
-        datasets[f"{base}/indices/{direction}/range_to_edge_id"] = np.stack(
-            [
-                re_.column("edge_start").to_numpy(),
-                re_.column("edge_end").to_numpy(),
-            ],
-            axis=1,
-        )
 
     if h5py is not None:  # pragma: no cover - h5py absent in CI image
         with h5py.File(h5_path, "w") as h5:
@@ -312,3 +337,144 @@ def export_hdf5(bundle_dir: str, population: str, h5_path: str) -> None:
             for k, v in a.items():
                 w.set_attr(path, k, v)
         w.write(h5_path)
+
+
+def export_hdf5_parallel(
+    spark,
+    bundle_dir: str,
+    population: str,
+    h5_path: str,
+) -> int:
+    """Parallel SONATA ``.h5`` export: the driver writes ONLY the file
+    skeleton (superblock, group structures, dataset object headers,
+    ``@library`` enumerations, adjacency indices — the rank-0 metadata
+    of the reference, ``src/circuit/sonata_file.cpp:45-97``), then
+    every Spark partition seek+writes its own rows of each edge-scale
+    dataset directly at ``dataset_offset + row_index * itemsize`` —
+    the exact analogue of the reference's per-rank MPI-IO independent
+    hyperslab writes (``src/circuit/sonata_file.cpp:98-101,123-143``),
+    with the bundle's precomputed global ``row_index`` standing in for
+    the MPI rank offsets.
+
+    Driver memory is O(nodes + libraries), never O(edges): the edge
+    table is streamed through Arrow batches on the executors.  The
+    contiguous classic-format layout (``hdf5_minimal``) makes every
+    row's file position computable up front, which is what makes
+    lock-free parallel writes safe — each row lands in a disjoint byte
+    range, exactly like an MPI-IO independent write.
+
+    Requires all executors to share the target filesystem with the
+    driver (local mode, or a cluster on GPFS/Lustre/NFS) — the same
+    deployment requirement as the reference's MPI-IO writer.  String
+    property columns have a data-dependent fixed width, so they fall
+    back to a driver-side read (SONATA edge properties are numeric in
+    practice; ``@library`` enumerations carry the string data).
+
+    Returns the number of edge rows written.  The result is
+    byte-identical to the single-writer :func:`export_hdf5` output
+    (``tests/test_hdf5_export.py``).
+    """
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    from parquet_converters_spark.sinks.hdf5_minimal import MiniH5Writer
+    from parquet_converters_spark.sources.ordering import (
+        _sorted_files,
+        file_row_counts,
+    )
+
+    pop_dir = os.path.join(bundle_dir, "edges", population)
+    with open(os.path.join(pop_dir, "attributes.json")) as f:
+        manifest = json.load(f)
+    base = f"/edges/{population}"
+    row_col = manifest["row_index_column"]
+
+    table_path = os.path.join(pop_dir, "table.parquet")
+    files = _sorted_files(table_path)
+    n_rows = sum(file_row_counts(files))
+    schema = pq.ParquetFile(files[0]).schema_arrow
+
+    edge_cols = [
+        c
+        for c in manifest["top_level_datasets"]
+        + [
+            p
+            for p in manifest["property_datasets"]
+            if p not in manifest["top_level_datasets"]
+        ]
+    ]
+    big, fallback = [], []
+    for name in edge_cols:
+        np_dtype = np.dtype(schema.field(name).type.to_pandas_dtype())
+        (big if np_dtype.kind in "if" else fallback).append((name, np_dtype))
+
+    datasets, attrs = _gather_small_datasets(pop_dir, base, manifest)
+    if fallback:
+        # data-dependent width (strings): driver-side, like the indices
+        t = pq.read_table(table_path, columns=[row_col] + [n for n, _ in fallback])
+        perm = np.argsort(t.column(row_col).to_numpy())
+        for name, _ in fallback:
+            datasets[_dataset_path(base, name, manifest)] = t.column(
+                name
+            ).to_numpy()[perm]
+
+    w = MiniH5Writer()
+    w.create_group(base)
+    for path, arr in datasets.items():
+        w.create_dataset(path, arr)
+    for name, np_dtype in big:
+        w.create_placeholder(
+            _dataset_path(base, name, manifest), (n_rows,), np_dtype
+        )
+    for path, a in attrs.items():
+        for k, v in a.items():
+            w.set_attr(path, k, v)
+    w.write(h5_path)
+
+    col_meta = {
+        name: w.data_offsets[_dataset_path(base, name, manifest)]
+        for name, _ in big
+    }
+    target = os.path.abspath(h5_path)
+
+    def fill(batches):
+        import pandas as pd
+
+        written = 0
+        with open(target, "r+b") as fh:
+            for pdf in batches:
+                idx = pdf[row_col].to_numpy(np.int64)
+                order = np.argsort(idx)
+                idx = idx[order]
+                # consecutive row_index runs -> one seek+write per run
+                breaks = np.nonzero(np.diff(idx) != 1)[0] + 1
+                starts = np.concatenate(([0], breaks)).astype(np.int64)
+                ends = np.concatenate((breaks, [len(idx)])).astype(np.int64)
+                for name, meta in col_meta.items():
+                    dt = np.dtype(meta["dtype"])
+                    arr = np.ascontiguousarray(
+                        pdf[name].to_numpy(dt)[order]
+                    )
+                    for s, e in zip(starts, ends):
+                        fh.seek(meta["offset"] + int(idx[s]) * dt.itemsize)
+                        fh.write(arr[s:e].tobytes())
+                written += len(idx)
+            fh.flush()
+            os.fsync(fh.fileno())
+        yield pd.DataFrame({"rows_written": [written]})
+
+    df = spark.read.parquet(table_path).select(
+        row_col, *[name for name, _ in big]
+    )
+    total = (
+        df.mapInPandas(fill, "rows_written long")
+        .agg(F.sum("rows_written").alias("n"))
+        .collect()[0]["n"]
+    ) or 0
+    if total != n_rows:
+        raise RuntimeError(
+            f"parallel HDF5 export wrote {total} rows, expected {n_rows}"
+        )
+    return int(total)

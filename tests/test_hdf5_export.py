@@ -265,3 +265,99 @@ def test_minih5_random_tree_property(tmp_path):
         assert a == attr_val or (attr_val == "" and a == "")
 
     check()
+
+
+def test_parallel_export_byte_identical(spark, bundle, tmp_path):  # noqa: F811
+    """export_hdf5_parallel (driver skeleton + per-partition pwrite at
+    row_index offsets, the MPI-IO independent-write analogue of
+    sonata_file.cpp:98-143) must produce a file BYTE-identical to the
+    single-writer export."""
+    from parquet_converters_spark.sinks.sonata import export_hdf5_parallel
+
+    out, table = bundle
+    single = str(tmp_path / "single.h5")
+    par = str(tmp_path / "parallel.h5")
+    export_hdf5(out, "edges_test", single)
+    n = export_hdf5_parallel(spark, out, "edges_test", par)
+    assert n == table.num_rows
+    with open(single, "rb") as a, open(par, "rb") as b:
+        assert a.read() == b.read()
+
+
+def test_parallel_export_all_fixture_versions(spark, tmp_path):
+    """Byte-identity on all three reference touch fixture versions
+    (v1/v2/v3), end-to-end through touch2parquet -> parquet_to_sonata."""
+    from parquet_converters_spark.pipelines import parquet_to_sonata, touch2parquet
+    from parquet_converters_spark.sinks.sonata import export_hdf5_parallel
+    from tests.conftest import REFERENCE_TESTS
+
+    for ver in ("touches_v1", "touches_v2", "touches_v3"):
+        out_parquet = str(tmp_path / f"{ver}.parquet")
+        touch2parquet(
+            spark,
+            os.path.join(REFERENCE_TESTS, ver, "touchesData.0"),
+            out_parquet,
+        )
+        bundle_dir = str(tmp_path / f"{ver}_bundle")
+        parquet_to_sonata(spark, out_parquet, bundle_dir, population="p")
+        single = str(tmp_path / f"{ver}_single.h5")
+        par = str(tmp_path / f"{ver}_par.h5")
+        export_hdf5(bundle_dir, "p", single)
+        export_hdf5_parallel(spark, bundle_dir, "p", par)
+        with open(single, "rb") as a, open(par, "rb") as b:
+            assert a.read() == b.read(), ver
+        # and the parallel file parses with the independent reader
+        r = MiniH5Reader(par)
+        assert len(r.read_dataset("/edges/p/source_node_id")) > 0
+
+
+def test_placeholder_offsets_roundtrip(tmp_path):
+    """MiniH5Writer placeholders: metadata written, region zero-filled,
+    data_offsets lets an external writer fill it afterwards."""
+    w = MiniH5Writer()
+    w.create_dataset("/g/small", np.arange(3, dtype=np.int32))
+    w.create_placeholder("/g/big", (10,), np.float64)
+    p = str(tmp_path / "ph.h5")
+    w.write(p)
+
+    r = MiniH5Reader(p)
+    assert np.array_equal(
+        r.read_dataset("/g/big"), np.zeros(10, dtype=np.float64)
+    )
+    meta = w.data_offsets["/g/big"]
+    want = np.linspace(0, 1, 10)
+    with open(p, "r+b") as f:
+        f.seek(meta["offset"])
+        f.write(want.tobytes())
+    assert np.array_equal(MiniH5Reader(p).read_dataset("/g/big"), want)
+    assert np.array_equal(
+        MiniH5Reader(p).read_dataset("/g/small"),
+        np.arange(3, dtype=np.int32),
+    )
+
+
+def test_reader_names_chunked_layout_clearly(tmp_path):
+    """Files from real libhdf5 pipelines are typically CHUNKED; the
+    reader must name the dataset and the h5py remedy instead of dying
+    deep in the parser (VERDICT r03 item 6)."""
+    import struct
+
+    w = MiniH5Writer()
+    w.create_dataset("/edges/p/source_node_id", np.arange(4, dtype=np.int64))
+    p = str(tmp_path / "chunked.h5")
+    w.write(p)
+    meta = w.data_offsets["/edges/p/source_node_id"]
+    # rewrite the layout message in place: class 1 (contiguous) -> 2
+    # (chunked), located by its unique (version, class, addr, size) body
+    blob = bytearray(open(p, "rb").read())
+    body = struct.pack("<BBQQ", 3, 1, meta["offset"], 4 * 8)
+    at = blob.find(body)
+    assert at > 0
+    blob[at + 1] = 2
+    open(p, "wb").write(bytes(blob))
+
+    r = MiniH5Reader(p)
+    with pytest.raises(NotImplementedError) as exc:
+        r.read_dataset("/edges/p/source_node_id")
+    msg = str(exc.value)
+    assert "chunked" in msg and "source_node_id" in msg and "h5py" in msg

@@ -222,14 +222,21 @@ def write_sonata_bundle(
     )
 
 
+_INDEX_COLS = {
+    "node_id_to_ranges": ("node_id", ("range_lo", "range_hi")),
+    "range_to_edge_id": ("range_id", ("edge_start", "edge_end")),
+}
+
+
 def _gather_small_datasets(
-    pop_dir: str, base: str, manifest: dict
+    pop_dir: str, base: str, manifest: dict, include_indices: bool = True
 ) -> tuple[dict, dict]:
     """The driver-side (metadata-scale) parts of a SONATA ``.h5``:
-    ``@library`` enumerations and the adjacency indices, plus all
-    group/dataset attributes.  Shared by the single-writer and the
-    parallel export — in the reference these are likewise written by
-    rank 0 (``src/circuit/sonata_file.cpp:45-97``)."""
+    ``@library`` enumerations (and, for the single-writer, the
+    adjacency indices), plus all group/dataset attributes.  Shared by
+    the single-writer and the parallel export — in the reference these
+    are likewise written by rank 0
+    (``src/circuit/sonata_file.cpp:45-97``)."""
     import numpy as np
     import pyarrow.parquet as pq
 
@@ -243,6 +250,8 @@ def _gather_small_datasets(
         )
         values = t.sort_by("index").column("value").to_pylist()
         datasets[f"{base}/0/@library/{name}"] = np.asarray(values, dtype="S")
+    if not include_indices:
+        return datasets, attrs
     for direction in ("source_to_target", "target_to_source"):
         d = os.path.join(pop_dir, "indices", direction)
         if not os.path.isdir(d):
@@ -339,6 +348,8 @@ def export_hdf5(bundle_dir: str, population: str, h5_path: str) -> None:
         w.write(h5_path)
 
 
+
+
 def export_hdf5_parallel(
     spark,
     bundle_dir: str,
@@ -347,18 +358,22 @@ def export_hdf5_parallel(
 ) -> int:
     """Parallel SONATA ``.h5`` export: the driver writes ONLY the file
     skeleton (superblock, group structures, dataset object headers,
-    ``@library`` enumerations, adjacency indices — the rank-0 metadata
-    of the reference, ``src/circuit/sonata_file.cpp:45-97``), then
-    every Spark partition seek+writes its own rows of each edge-scale
-    dataset directly at ``dataset_offset + row_index * itemsize`` —
-    the exact analogue of the reference's per-rank MPI-IO independent
-    hyperslab writes (``src/circuit/sonata_file.cpp:98-101,123-143``),
-    with the bundle's precomputed global ``row_index`` standing in for
-    the MPI rank offsets.
+    ``@library`` enumerations — the rank-0 metadata of the reference,
+    ``src/circuit/sonata_file.cpp:45-97``), then every Spark partition
+    seek+writes its own rows of each distributed dataset directly at
+    ``dataset_offset + key * row_width`` — the exact analogue of the
+    reference's per-rank MPI-IO independent hyperslab writes
+    (``src/circuit/sonata_file.cpp:98-101,123-143``), with the bundle's
+    precomputed global keys (``row_index`` for the edge table,
+    ``node_id``/``range_id`` for the adjacency indices) standing in
+    for the MPI rank offsets.
 
-    Driver memory is O(nodes + libraries), never O(edges): the edge
-    table is streamed through Arrow batches on the executors.  The
-    contiguous classic-format layout (``hdf5_minimal``) makes every
+    Driver memory is O(libraries + attributes) only: the edge table AND
+    both adjacency index tables are streamed through Arrow batches on
+    the executors (the indices are O(nodes) — themselves tens of GB at
+    the 100 TB edge scale, so they must not be collected either).
+
+    The contiguous classic-format layout (``hdf5_minimal``) makes every
     row's file position computable up front, which is what makes
     lock-free parallel writes safe — each row lands in a disjoint byte
     range, exactly like an MPI-IO independent write.
@@ -377,8 +392,6 @@ def export_hdf5_parallel(
     import numpy as np
     import pyarrow.parquet as pq
 
-    from pyspark.sql import functions as F
-
     from parquet_converters_spark.sinks.hdf5_minimal import MiniH5Writer
     from parquet_converters_spark.sources.ordering import (
         _sorted_files,
@@ -391,90 +404,139 @@ def export_hdf5_parallel(
     base = f"/edges/{population}"
     row_col = manifest["row_index_column"]
 
-    table_path = os.path.join(pop_dir, "table.parquet")
-    files = _sorted_files(table_path)
-    n_rows = sum(file_row_counts(files))
-    schema = pq.ParquetFile(files[0]).schema_arrow
+    def table_meta(path):
+        files = _sorted_files(path)
+        return sum(file_row_counts(files)), pq.ParquetFile(files[0]).schema_arrow
 
-    edge_cols = [
-        c
-        for c in manifest["top_level_datasets"]
-        + [
-            p
-            for p in manifest["property_datasets"]
-            if p not in manifest["top_level_datasets"]
-        ]
+    table_path = os.path.join(pop_dir, "table.parquet")
+    n_rows, schema = table_meta(table_path)
+
+    edge_cols = manifest["top_level_datasets"] + [
+        p
+        for p in manifest["property_datasets"]
+        if p not in manifest["top_level_datasets"]
     ]
     big, fallback = [], []
     for name in edge_cols:
         np_dtype = np.dtype(schema.field(name).type.to_pandas_dtype())
         (big if np_dtype.kind in "if" else fallback).append((name, np_dtype))
 
-    datasets, attrs = _gather_small_datasets(pop_dir, base, manifest)
+    datasets, attrs = _gather_small_datasets(
+        pop_dir, base, manifest, include_indices=False
+    )
     if fallback:
-        # data-dependent width (strings): driver-side, like the indices
-        t = pq.read_table(table_path, columns=[row_col] + [n for n, _ in fallback])
+        # data-dependent width (strings): driver-side, like the libraries
+        t = pq.read_table(
+            table_path, columns=[row_col] + [n for n, _ in fallback]
+        )
         perm = np.argsort(t.column(row_col).to_numpy())
         for name, _ in fallback:
             datasets[_dataset_path(base, name, manifest)] = t.column(
                 name
             ).to_numpy()[perm]
 
+    # distributed-fill jobs: (parquet path, key col, value cols,
+    # dataset path, rows, numpy dtype).  Edge columns are 1-wide; the
+    # adjacency indices are (n, 2) with the dense key AS the row number.
+    jobs = []
+    for name, np_dtype in big:
+        jobs.append(
+            (table_path, row_col, [name],
+             _dataset_path(base, name, manifest), n_rows, np_dtype)
+        )
+    for direction in ("source_to_target", "target_to_source"):
+        d = os.path.join(pop_dir, "indices", direction)
+        if not os.path.isdir(d):
+            continue
+        for fname, (key, cols) in _INDEX_COLS.items():
+            p = os.path.join(d, f"{fname}.parquet")
+            n_i, sch_i = table_meta(p)
+            dt_i = np.dtype(sch_i.field(cols[0]).type.to_pandas_dtype())
+            jobs.append(
+                (p, key, list(cols),
+                 f"{base}/indices/{direction}/{fname}", n_i, dt_i)
+            )
+
     w = MiniH5Writer()
     w.create_group(base)
     for path, arr in datasets.items():
         w.create_dataset(path, arr)
-    for name, np_dtype in big:
-        w.create_placeholder(
-            _dataset_path(base, name, manifest), (n_rows,), np_dtype
-        )
+    for _, _, cols, ds_path, n_i, dt_i in jobs:
+        shape = (n_i,) if len(cols) == 1 else (n_i, len(cols))
+        w.create_placeholder(ds_path, shape, dt_i)
     for path, a in attrs.items():
         for k, v in a.items():
             w.set_attr(path, k, v)
     w.write(h5_path)
 
-    col_meta = {
-        name: w.data_offsets[_dataset_path(base, name, manifest)]
-        for name, _ in big
-    }
     target = os.path.abspath(h5_path)
 
-    def fill(batches):
-        import pandas as pd
+    def run_fill(parquet_path, key_col, col_specs):
+        """col_specs: list of (cols tuple, offset, dtype str) — one scan
+        of parquet_path fills every listed dataset."""
 
-        written = 0
-        with open(target, "r+b") as fh:
-            for pdf in batches:
-                idx = pdf[row_col].to_numpy(np.int64)
-                order = np.argsort(idx)
-                idx = idx[order]
-                # consecutive row_index runs -> one seek+write per run
-                breaks = np.nonzero(np.diff(idx) != 1)[0] + 1
-                starts = np.concatenate(([0], breaks)).astype(np.int64)
-                ends = np.concatenate((breaks, [len(idx)])).astype(np.int64)
-                for name, meta in col_meta.items():
-                    dt = np.dtype(meta["dtype"])
-                    arr = np.ascontiguousarray(
-                        pdf[name].to_numpy(dt)[order]
-                    )
-                    for s, e in zip(starts, ends):
-                        fh.seek(meta["offset"] + int(idx[s]) * dt.itemsize)
-                        fh.write(arr[s:e].tobytes())
-                written += len(idx)
-            fh.flush()
-            os.fsync(fh.fileno())
-        yield pd.DataFrame({"rows_written": [written]})
+        def fill(batches):
+            import pandas as pd
 
-    df = spark.read.parquet(table_path).select(
-        row_col, *[name for name, _ in big]
-    )
-    total = (
-        df.mapInPandas(fill, "rows_written long")
-        .agg(F.sum("rows_written").alias("n"))
-        .collect()[0]["n"]
-    ) or 0
-    if total != n_rows:
-        raise RuntimeError(
-            f"parallel HDF5 export wrote {total} rows, expected {n_rows}"
+            written = 0
+            with open(target, "r+b") as fh:
+                for pdf in batches:
+                    idx = pdf[key_col].to_numpy(np.int64)
+                    order = np.argsort(idx)
+                    idx = idx[order]
+                    # consecutive key runs -> one seek+write per run
+                    breaks = np.nonzero(np.diff(idx) != 1)[0] + 1
+                    starts = np.concatenate(([0], breaks)).astype(np.int64)
+                    ends = np.concatenate((breaks, [len(idx)])).astype(np.int64)
+                    for cols, offset, dt_str in col_specs:
+                        dt = np.dtype(dt_str)
+                        mats = [
+                            pdf[c].to_numpy(dt)[order] for c in cols
+                        ]
+                        mat = (
+                            mats[0]
+                            if len(mats) == 1
+                            else np.ascontiguousarray(np.stack(mats, axis=1))
+                        )
+                        width = len(cols) * dt.itemsize
+                        for s, e in zip(starts, ends):
+                            fh.seek(offset + int(idx[s]) * width)
+                            fh.write(mat[s:e].tobytes())
+                    written += len(idx)
+                fh.flush()
+                os.fsync(fh.fileno())
+            yield pd.DataFrame({"rows_written": [written]})
+
+        need = sorted({key_col} | {c for cols, _, _ in col_specs for c in cols})
+        df = spark.read.parquet(parquet_path).select(*need)
+        total = (
+            df.mapInPandas(fill, "rows_written long")
+            .agg(F.sum("rows_written").alias("n"))
+            .collect()[0]["n"]
+        ) or 0
+        return int(total)
+
+    # group jobs by source table so each parquet is scanned once
+    by_source: dict[tuple[str, str], list] = {}
+    expected: dict[tuple[str, str], int] = {}
+    for parquet_path, key_col, cols, ds_path, n_i, _ in jobs:
+        meta = w.data_offsets[ds_path]
+        by_source.setdefault((parquet_path, key_col), []).append(
+            (tuple(cols), meta["offset"], meta["dtype"])
         )
-    return int(total)
+        expected[(parquet_path, key_col)] = n_i
+
+    total_edges = 0
+    for (parquet_path, key_col), col_specs in by_source.items():
+        got = run_fill(parquet_path, key_col, col_specs)
+        want = expected[(parquet_path, key_col)]
+        if got != want:
+            raise RuntimeError(
+                f"parallel HDF5 export wrote {got} rows of "
+                f"{parquet_path}, expected {want}"
+            )
+        if parquet_path == table_path:
+            total_edges = got
+    if not big:  # all-string edge table: everything went driver-side
+        total_edges = n_rows
+    return total_edges

@@ -58,3 +58,56 @@ def test_two_stage_aggregate_matches_plain(spark):
     gm = {r["k"]: (r["n_rows"], round(r["value_sum"], 6)) for r in got.collect()}
     wm = {r["k"]: (r["n_rows"], round(r["value_sum"], 6)) for r in want.collect()}
     assert gm == wm
+
+
+def test_aqe_splits_skewed_join_partition(spark, tmp_path):
+    """AQE's runtime skew-join handling is the engine's last line of
+    defense when a hot key sneaks past manual salting: with skew
+    thresholds scaled to fixture size, the executed plan must show the
+    sort-merge join marked skew=true (the hot partition split into
+    sub-partitions) — the property we rely on at 100 TB."""
+    left_path = str(tmp_path / "skew_left")
+    right_path = str(tmp_path / "skew_right")
+    _skewed(spark, n=200_000, hot_frac=0.95).write.parquet(left_path)
+    spark.range(100).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("dim_"), F.col("id")).alias("name"),
+    ).write.parquet(right_path)
+
+    conf = spark.conf
+    saved = {
+        k: conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        )
+    }
+    try:
+        # force SMJ (no broadcast) and scale skew detection to ~MB data
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "64KB",
+        )
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        # sum(v) keeps the incompressible value column in the left
+        # shuffle — with only k (95% zeros) the hot partition compresses
+        # below any realistic skew threshold and nothing splits
+        joined = (
+            spark.read.parquet(left_path)
+            .join(spark.read.parquet(right_path), "k")
+            .groupBy("name")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+        )
+        # collect() (not count()) so THIS DataFrame's own adaptive plan
+        # executes and finalizes — count() derives a separate execution
+        assert len(joined.collect()) == 100
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)

@@ -361,3 +361,22 @@ def test_reader_names_chunked_layout_clearly(tmp_path):
         r.read_dataset("/edges/p/source_node_id")
     msg = str(exc.value)
     assert "chunked" in msg and "source_node_id" in msg and "h5py" in msg
+
+
+def test_one_call_parquet_to_h5(spark, tmp_path):
+    """pipelines.parquet_to_sonata(h5_path=...) is the one-call
+    parquet -> .h5 shape of the reference's parquet2hdf5 binary."""
+    from parquet_converters_spark.pipelines import parquet_to_sonata, touch2parquet
+    from tests.conftest import REFERENCE_TESTS
+
+    out_parquet = str(tmp_path / "v1.parquet")
+    touch2parquet(
+        spark,
+        os.path.join(REFERENCE_TESTS, "touches_v1", "touchesData.0"),
+        out_parquet,
+    )
+    bundle_dir = str(tmp_path / "bundle")
+    h5 = str(tmp_path / "edges.h5")
+    parquet_to_sonata(spark, out_parquet, bundle_dir, population="p", h5_path=h5)
+    r = MiniH5Reader(h5)
+    assert len(r.read_dataset("/edges/p/source_node_id")) == 82

@@ -351,3 +351,69 @@ def test_drift_monitor_rejects_bad_reference(spark, tmp_path):
         drift_monitor_sink("x", [1.0], [0.0, 0.0])
     with pytest.raises(ValueError):
         drift_monitor_sink("x", [1.0], [0.5, 0.25, 0.25])
+
+
+def test_lsh_dedup_gate_many_trigger_stream(spark, tmp_path):
+    """Sustained-stream shape (VERDICT r03 item 8): 8 micro-batches
+    through a maxFilesPerTrigger=1 file stream, duplicates injected at
+    varying lag behind their originals.  The gate must (a) admit each
+    content exactly once regardless of arrival batch, (b) keep the
+    state table partitioned one directory per batch (the replay /
+    idempotence contract), and (c) never grow state with rejected
+    docs' buckets."""
+    import os
+
+    from parquet_converters_spark.streaming.sinks import lsh_dedup_gate_sink
+
+    texts = {
+        i: f"document number {i} with unique content tail "
+        + " ".join(f"w{i}_{j}" for j in range(12))
+        for i in range(6)
+    }
+    src = str(tmp_path / "src")
+    # 8 files: 6 originals interleaved with 2 duplicates at different lags
+    plan = [
+        [(0, texts[0])],
+        [(1, texts[1])],
+        [(100, texts[0])],            # dup of batch-0 content, lag 2
+        [(2, texts[2]), (3, texts[3])],
+        [(4, texts[4])],
+        [(101, texts[1])],            # dup of batch-1 content, lag 4
+        [(5, texts[5])],
+        [(102, texts[4])],            # dup of batch-4 content, lag 3
+    ]
+    import time
+
+    for i, rows in enumerate(plan):
+        _docs(spark, rows).coalesce(1).write.mode("append").parquet(src)
+        time.sleep(0.05)  # distinct mtimes: FileStreamSource orders by them
+
+    out, state = str(tmp_path / "corpus"), str(tmp_path / "state")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(lsh_dedup_gate_sink(out, state))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    admitted = spark.read.parquet(out).select("doc_id", "text").collect()
+    got_texts = sorted(r["text"] for r in admitted)
+    assert got_texts == sorted(texts.values())  # each content exactly once
+    assert all(r["doc_id"] < 100 for r in admitted)  # originals won
+    # state holds only admitted docs' buckets
+    state_ids = {r["doc_id"] for r in spark.read.parquet(state).collect()}
+    assert state_ids == {0, 1, 2, 3, 4, 5}
+    # one state partition per micro-batch that admitted something —
+    # the 5 original-bearing files (batch 3's file carries two docs);
+    # dup-only batches write empty dynamic overwrites, no partition
+    parts = {p for p in os.listdir(state) if p.startswith("_batch_id=")}
+    assert parts == {
+        "_batch_id=0", "_batch_id=1", "_batch_id=3",
+        "_batch_id=4", "_batch_id=6",
+    }

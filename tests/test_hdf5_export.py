@@ -380,3 +380,55 @@ def test_one_call_parquet_to_h5(spark, tmp_path):
     parquet_to_sonata(spark, out_parquet, bundle_dir, population="p", h5_path=h5)
     r = MiniH5Reader(h5)
     assert len(r.read_dataset("/edges/p/source_node_id")) == 82
+
+
+def test_parallel_export_scattered_row_index(spark, tmp_path):
+    """The per-partition fill must be correct even when row_index is
+    SCATTERED across partitions (no contiguous runs) — every row still
+    lands at its own disjoint byte range.  Builds a bundle whose
+    table.parquet is deliberately shuffled, then byte-compares against
+    the single writer."""
+    import json as _json
+
+    from parquet_converters_spark.sinks.sonata import (
+        export_hdf5,
+        export_hdf5_parallel,
+    )
+
+    rng = np.random.default_rng(11)
+    n = 5_000
+    pop_dir = tmp_path / "bundle" / "edges" / "p"
+    pop_dir.mkdir(parents=True)
+    perm = rng.permutation(n)
+    tbl = {
+        "row_index": perm.astype("int64"),  # scattered on purpose
+        "source_node_id": rng.integers(0, 50, n).astype("int64"),
+        "target_node_id": rng.integers(0, 50, n).astype("int64"),
+        "edge_type_id": np.zeros(n, dtype="int64"),
+        "distance": rng.random(n).astype("float32"),
+    }
+    import pandas as pd
+
+    spark.createDataFrame(pd.DataFrame(tbl)).repartition(8).write.parquet(
+        str(pop_dir / "table.parquet")
+    )
+    manifest = {
+        "population": "p",
+        "n_records": n,
+        "attributes": {"parquet2hdf5_version": "test"},
+        "dataset_attributes": {},
+        "top_level_datasets": [
+            "source_node_id", "target_node_id", "edge_type_id"
+        ],
+        "property_datasets": ["distance"],
+        "libraries": [],
+        "row_index_column": "row_index",
+    }
+    (pop_dir / "attributes.json").write_text(_json.dumps(manifest))
+
+    single = str(tmp_path / "s.h5")
+    par = str(tmp_path / "p.h5")
+    export_hdf5(str(tmp_path / "bundle"), "p", single)
+    assert export_hdf5_parallel(spark, str(tmp_path / "bundle"), "p", par) == n
+    with open(single, "rb") as a, open(par, "rb") as b:
+        assert a.read() == b.read()

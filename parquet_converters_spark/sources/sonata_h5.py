@@ -4,7 +4,11 @@ Spark has no native HDF5 reader, so this is the inverse of
 ``sinks.sonata.export_hdf5``: parse the edge population with h5py when
 installed, else with the built-in classic-format reader
 (``sinks/hdf5_minimal.MiniH5Reader``), and hand the columns to Spark
-through one Arrow batch.
+through one Arrow batch.  The built-in reader covers contiguous AND
+chunked datasets with deflate/shuffle filters — the layouts libhdf5
+pipelines typically write — so real-world SONATA files usually read
+back without h5py; exotic layouts/filters raise a targeted
+``NotImplementedError`` naming the dataset and the h5py remedy.
 
 Scale note (honest): HDF5 is a single-file driver-side format here —
 this source decodes on the driver and parallelizes afterwards, which

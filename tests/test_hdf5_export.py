@@ -565,3 +565,41 @@ def test_compressed_export_roundtrips_through_source(spark, bundle, tmp_path):  
     )
     assert a == b
     assert len(a) == table.num_rows
+
+
+def test_chunked_random_property(tmp_path):
+    """Property: arbitrary (length, chunk size, dtype, ndim, filters)
+    combinations round-trip exactly through the chunked layout,
+    including many-chunk multi-level B-trees and edge chunks."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        n=st.integers(min_value=1, max_value=3000),
+        chunk=st.integers(min_value=1, max_value=400),
+        dt=st.sampled_from(["i2", "i4", "i8", "f4", "f8"]),
+        width=st.integers(min_value=0, max_value=3),
+        gzip=st.booleans(),
+        shuffle=st.booleans(),
+        seed=st.integers(min_value=0, max_value=2**31),
+    )
+    def check(n, chunk, dt, width, gzip, shuffle, seed):
+        rng = np.random.default_rng(seed)
+        shape = (n,) if width == 0 else (n, width)
+        chunks = (chunk,) if width == 0 else (chunk, width)
+        if np.dtype(dt).kind == "f":
+            arr = rng.random(shape).astype(dt)
+        else:
+            arr = rng.integers(-1000, 1000, shape).astype(dt)
+        w = MiniH5Writer()
+        w.create_dataset(
+            "/d", arr, chunks=chunks,
+            compression="gzip" if gzip else None, shuffle=shuffle,
+        )
+        p = str(tmp_path / "prop.h5")
+        w.write(p)
+        got = MiniH5Reader(p).read_dataset("/d")
+        assert got.dtype == arr.dtype and got.shape == arr.shape
+        assert np.array_equal(got, arr)
+
+    check()

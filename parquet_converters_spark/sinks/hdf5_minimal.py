@@ -181,6 +181,40 @@ def _btree_level_counts(n_chunks: int) -> list[int]:
         cnt = nodes
 
 
+def decode_chunk(
+    blob: bytes,
+    filters: list[tuple[int, int]],
+    mask: int,
+    dtype: np.dtype,
+    chunk_shape,
+    name: str = "?",
+) -> np.ndarray:
+    """Reverse the filter pipeline on one stored chunk and shape it.
+    Standalone (no reader instance) so parallel readers can run it on
+    executors against bytes they fetched themselves."""
+    import zlib
+
+    for i in range(len(filters) - 1, -1, -1):
+        fid, _flags = filters[i]
+        if mask & (1 << i):  # filter skipped for this chunk at write
+            continue
+        if fid == 1:  # deflate
+            blob = zlib.decompress(blob)
+        elif fid == 2:  # shuffle: de-interleave bytes
+            n = len(blob) // dtype.itemsize
+            blob = (
+                np.frombuffer(blob, np.uint8)
+                .reshape(dtype.itemsize, n)
+                .T.tobytes()
+            )
+        else:
+            raise NotImplementedError(
+                f"dataset {name!r}: unsupported HDF5 filter id "
+                f"{fid} — install h5py"
+            )
+    return np.frombuffer(blob, dtype=dtype).reshape(chunk_shape)
+
+
 def _chunk_key(size: int, mask: int, offsets, ndp1: int) -> bytes:
     offs = tuple(offsets) + (0,) * (ndp1 - len(offsets))
     return struct.pack("<II", size, mask) + struct.pack(
@@ -631,7 +665,17 @@ class MiniH5Reader:
     agreeing rather than one function inverting itself."""
 
     def __init__(self, path: str):
-        self.buf = open(path, "rb").read()
+        import mmap
+
+        # mmap, not read(): metadata walks touch a few KB even on a
+        # multi-GB file, and the distributed reader
+        # (sources.sonata_h5.read_sonata_edges_distributed) opens the
+        # file per executor purely for structure
+        self._f = open(path, "rb")
+        try:
+            self.buf = mmap.mmap(self._f.fileno(), 0, access=mmap.ACCESS_READ)
+        except (ValueError, OSError):  # zero-length or mmap-less FS
+            self.buf = self._f.read()
         if self.buf[:8] != b"\x89HDF\r\n\x1a\n":
             raise ValueError("not an HDF5 file")
         root_ste = 56
@@ -702,7 +746,11 @@ class MiniH5Reader:
                 off, ohdr = struct.unpack_from(
                     "<QQ", self.buf, snod + 8 + i * 40
                 )
-                name_end = self.buf.index(b"\x00", heap_data + off)
+                # mmap has find() but not index(); -1 would crash the
+                # slice below anyway, so guard explicitly
+                name_end = self.buf.find(b"\x00", heap_data + off)
+                if name_end < 0:
+                    raise ValueError("unterminated link name in local heap")
                 out[self.buf[heap_data + off:name_end].decode()] = ohdr
         return out
 
@@ -761,9 +809,12 @@ class MiniH5Reader:
             else:
                 yield offs[:-1], child, size, mask
 
-    def read_dataset(self, path: str) -> np.ndarray:
-        import zlib
-
+    def dataset_layout(self, path: str) -> dict:
+        """Structural description of a dataset for external readers —
+        everything needed to fetch+decode its bytes WITHOUT this
+        reader instance (the distributed .h5 source ships this to
+        executors): dtype/shape, and either the contiguous extent or
+        the full chunk map + filter pipeline."""
         dt = shape = layout = None
         filters: list[tuple[int, int]] = []
         for t, m in self._messages(self._resolve(path)):
@@ -796,37 +847,36 @@ class MiniH5Reader:
                         "h5py for anything else"
                     )
         assert dt is not None and shape is not None and layout is not None
+        out = {"dtype": dt.str, "shape": shape, "filters": filters}
         if layout[0] == "contig":
-            _, addr, nbytes = layout
-            arr = np.frombuffer(self.buf[addr:addr + nbytes], dtype=dt)
+            out.update(layout="contig", addr=layout[1], nbytes=layout[2])
+        else:
+            _, btree_addr, chunk_shape = layout
+            out.update(
+                layout="chunked",
+                chunk_shape=chunk_shape,
+                chunks=list(
+                    self._chunk_entries(btree_addr, len(chunk_shape) + 1)
+                ),
+            )
+        return out
+
+    def read_dataset(self, path: str) -> np.ndarray:
+        lay = self.dataset_layout(path)
+        dt, shape = np.dtype(lay["dtype"]), lay["shape"]
+        if lay["layout"] == "contig":
+            arr = np.frombuffer(
+                self.buf[lay["addr"]:lay["addr"] + lay["nbytes"]], dtype=dt
+            )
             return arr.reshape(shape)
 
-        _, btree_addr, chunk_shape = layout
+        chunk_shape = lay["chunk_shape"]
         out = np.zeros(shape, dtype=dt)
-        ndp1 = len(chunk_shape) + 1
-        for offs, caddr, csize, mask in self._chunk_entries(
-            btree_addr, ndp1
-        ):
+        for offs, caddr, csize, mask in lay["chunks"]:
             blob = bytes(self.buf[caddr:caddr + csize])
-            for i in range(len(filters) - 1, -1, -1):
-                fid, _flags = filters[i]
-                if mask & (1 << i):  # filter skipped for this chunk
-                    continue
-                if fid == 1:  # deflate
-                    blob = zlib.decompress(blob)
-                elif fid == 2:  # shuffle: de-interleave bytes
-                    n = len(blob) // dt.itemsize
-                    blob = (
-                        np.frombuffer(blob, np.uint8)
-                        .reshape(dt.itemsize, n)
-                        .T.tobytes()
-                    )
-                else:
-                    raise NotImplementedError(
-                        f"dataset {path!r}: unsupported HDF5 filter id "
-                        f"{fid} — install h5py"
-                    )
-            chunk = np.frombuffer(blob, dtype=dt).reshape(chunk_shape)
+            chunk = decode_chunk(
+                blob, lay["filters"], mask, dt, chunk_shape, name=path
+            )
             sel = tuple(
                 slice(o, min(o + c, s))
                 for o, c, s in zip(offs, chunk_shape, shape)

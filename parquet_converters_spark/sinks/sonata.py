@@ -411,9 +411,9 @@ def export_hdf5_parallel(
     Requires all executors to share the target filesystem with the
     driver (local mode, or a cluster on GPFS/Lustre/NFS) — the same
     deployment requirement as the reference's MPI-IO writer.  String
-    property columns have a data-dependent fixed width, so they fall
-    back to a driver-side read (SONATA edge properties are numeric in
-    practice; ``@library`` enumerations carry the string data).
+    property columns (fixed width in HDF5) get their width from one
+    Spark max-octet-length aggregate, then fill distributively like
+    the numeric columns.
 
     Returns the number of edge rows written.  The result is
     byte-identical to the single-writer :func:`export_hdf5` output
@@ -446,24 +446,36 @@ def export_hdf5_parallel(
         for p in manifest["property_datasets"]
         if p not in manifest["top_level_datasets"]
     ]
-    big, fallback = [], []
+    big, str_cols = [], []
     for name in edge_cols:
         np_dtype = np.dtype(schema.field(name).type.to_pandas_dtype())
-        (big if np_dtype.kind in "if" else fallback).append((name, np_dtype))
+        if np_dtype.kind in "if":
+            big.append((name, np_dtype))
+        else:
+            str_cols.append(name)
+    if str_cols:
+        # strings have a data-dependent fixed width in HDF5: ONE Spark
+        # aggregate computes every string column's max byte length, and
+        # the columns then go through the same distributed fill as the
+        # numeric ones (width matches the single-writer's astype("S"))
+        widths = (
+            spark.read.parquet(table_path)
+            .agg(
+                *[
+                    F.max(F.octet_length(F.col(c))).alias(c)
+                    for c in str_cols
+                ]
+            )
+            .collect()[0]
+        )
+        big += [
+            (c, np.dtype(f"S{max(int(widths[c] or 0), 1)}"))
+            for c in str_cols
+        ]
 
     datasets, attrs = _gather_small_datasets(
         pop_dir, base, manifest, include_indices=False
     )
-    if fallback:
-        # data-dependent width (strings): driver-side, like the libraries
-        t = pq.read_table(
-            table_path, columns=[row_col] + [n for n, _ in fallback]
-        )
-        perm = np.argsort(t.column(row_col).to_numpy())
-        for name, _ in fallback:
-            datasets[_dataset_path(base, name, manifest)] = t.column(
-                name
-            ).to_numpy()[perm]
 
     # distributed-fill jobs: (parquet path, key col, value cols,
     # dataset path, rows, numpy dtype).  Edge columns are 1-wide; the
@@ -521,7 +533,12 @@ def export_hdf5_parallel(
                     for cols, offset, dt_str in col_specs:
                         dt = np.dtype(dt_str)
                         mats = [
-                            pdf[c].to_numpy(dt)[order] for c in cols
+                            (
+                                np.asarray(pdf[c].to_numpy(), dtype=dt)
+                                if dt.kind == "S"
+                                else pdf[c].to_numpy(dt)
+                            )[order]
+                            for c in cols
                         ]
                         mat = (
                             mats[0]
@@ -567,6 +584,4 @@ def export_hdf5_parallel(
             )
         if parquet_path == table_path:
             total_edges = got
-    if not big:  # all-string edge table: everything went driver-side
-        total_edges = n_rows
     return total_edges

@@ -603,3 +603,85 @@ def test_chunked_random_property(tmp_path):
         assert np.array_equal(got, arr)
 
     check()
+
+
+def test_parallel_export_string_property(spark, tmp_path):
+    """String property columns (fixed-width S datasets) now fill
+    distributively: width from one Spark octet-length aggregate,
+    byte-identical to the single-writer's astype('S')."""
+    import json as _json
+
+    import pandas as pd
+
+    from parquet_converters_spark.sinks.sonata import (
+        export_hdf5,
+        export_hdf5_parallel,
+    )
+
+    rng = np.random.default_rng(5)
+    n = 3_000
+    pop_dir = tmp_path / "bundle" / "edges" / "p"
+    pop_dir.mkdir(parents=True)
+    tbl = pd.DataFrame(
+        {
+            "row_index": rng.permutation(n).astype("int64"),
+            "source_node_id": rng.integers(0, 40, n).astype("int64"),
+            "target_node_id": rng.integers(0, 40, n).astype("int64"),
+            "edge_type_id": np.zeros(n, dtype="int64"),
+            "weight": rng.random(n).astype("float64"),
+            "syn_kind": [
+                ["exc", "inh", "modulatory"][i % 3] for i in range(n)
+            ],
+        }
+    )
+    spark.createDataFrame(tbl).repartition(6).write.parquet(
+        str(pop_dir / "table.parquet")
+    )
+    manifest = {
+        "population": "p",
+        "n_records": n,
+        "attributes": {},
+        "dataset_attributes": {},
+        "top_level_datasets": [
+            "source_node_id", "target_node_id", "edge_type_id"
+        ],
+        "property_datasets": ["weight", "syn_kind"],
+        "libraries": [],
+        "row_index_column": "row_index",
+    }
+    (pop_dir / "attributes.json").write_text(_json.dumps(manifest))
+
+    single = str(tmp_path / "s.h5")
+    par = str(tmp_path / "p.h5")
+    export_hdf5(str(tmp_path / "bundle"), "p", single)
+    assert export_hdf5_parallel(spark, str(tmp_path / "bundle"), "p", par) == n
+    with open(single, "rb") as a, open(par, "rb") as b:
+        assert a.read() == b.read()
+    got = MiniH5Reader(par).read_dataset("/edges/p/0/syn_kind")
+    assert got.dtype == np.dtype("S10")  # "modulatory"
+
+
+def test_distributed_read_matches_driver_read(spark, bundle, tmp_path):  # noqa: F811
+    """read_sonata_edges_distributed (driver parses metadata only, each
+    partition seek+reads its row slice) must equal the driver-side
+    reader on both the contiguous and the chunked+gzip export, across
+    multiple partitions."""
+    from parquet_converters_spark.sources.sonata_h5 import (
+        read_sonata_edges,
+        read_sonata_edges_distributed,
+    )
+
+    out, table = bundle
+    for comp, fname in ((None, "plain.h5"), ("gzip", "gz.h5")):
+        h5 = str(tmp_path / fname)
+        export_hdf5(out, "edges_test", h5, compression=comp, chunk_rows=64)
+        dist = read_sonata_edges_distributed(
+            spark, h5, "edges_test", rows_per_partition=100
+        )
+        assert dist.rdd.getNumPartitions() > 1
+        a = read_sonata_edges(spark, h5, "edges_test").orderBy("row_index")
+        b = dist.orderBy("row_index")
+        rows_a = [tuple(r) for r in a.select(*sorted(a.columns)).collect()]
+        rows_b = [tuple(r) for r in b.select(*sorted(a.columns)).collect()]
+        assert rows_a == rows_b, comp
+        assert len(rows_b) == table.num_rows

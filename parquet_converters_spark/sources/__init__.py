@@ -13,3 +13,8 @@ from parquet_converters_spark.sources.textfiles import (  # noqa: F401
     read_jsonl,
     split_corrupt,
 )
+from parquet_converters_spark.sources.sonata_h5 import (  # noqa: F401
+    read_sonata_edges,
+    read_sonata_edges_distributed,
+    read_sonata_library,
+)

@@ -62,6 +62,16 @@ def main(argv: list[str] | None = None) -> int:
         "--hdf5",
         help="Also export the real SONATA .h5 file to this path",
     )
+    p2s.add_argument(
+        "--parallel-h5", action="store_true", default=False,
+        help="Write the .h5 with per-partition offset writes (the "
+        "MPI-IO analogue; requires a shared filesystem)",
+    )
+    p2s.add_argument(
+        "--gzip-h5", action="store_true", default=False,
+        help="Chunk + shuffle + deflate the .h5 edge datasets "
+        "(driver-side writer; incompatible with --parallel-h5)",
+    )
 
     s2p = sub.add_parser(
         "sonata2parquet",
@@ -165,9 +175,23 @@ def main(argv: list[str] | None = None) -> int:
         )
         print(f"parquet2sonata: wrote bundle {args.output} (population={args.population})")
         if args.hdf5:
-            from parquet_converters_spark.sinks.sonata import export_hdf5
+            from parquet_converters_spark.sinks.sonata import (
+                export_hdf5,
+                export_hdf5_parallel,
+            )
 
-            export_hdf5(args.output, args.population, args.hdf5)
+            if args.parallel_h5 and args.gzip_h5:
+                ap.error("--parallel-h5 requires the contiguous layout; "
+                         "drop --gzip-h5")
+            if args.parallel_h5:
+                export_hdf5_parallel(
+                    spark, args.output, args.population, args.hdf5
+                )
+            else:
+                export_hdf5(
+                    args.output, args.population, args.hdf5,
+                    compression="gzip" if args.gzip_h5 else None,
+                )
             print(f"parquet2sonata: exported HDF5 {args.hdf5}")
     return 0
 

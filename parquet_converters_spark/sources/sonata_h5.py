@@ -141,12 +141,17 @@ def read_sonata_edges_distributed(
         if name != "@library":
             names.append(name)
     if hasattr(r, "dataset_layout"):
-        layouts = {
-            n: r.dataset_layout(
-                f"{base}/{n}" if n in r.list_links(base) else f"{base}/0/{n}"
-            )
+        paths = {
+            n: (f"{base}/{n}" if n in r.list_links(base) else f"{base}/0/{n}")
             for n in names
         }
+        layouts = {n: r.dataset_layout(p) for n, p in paths.items()}
+        # the closure ships only scalars per column — a multi-TB file's
+        # chunk map (millions of entries) must NOT ride along in the
+        # task binary; executors re-walk the B-tree themselves over
+        # mmap (metadata-only reads, O(chunk keys) per partition)
+        for n, lay in layouts.items():
+            lay.pop("chunks", None)
     else:  # h5py facade: driver-side fallback (h5py has no layout API here)
         return read_sonata_edges(spark, h5_path, population)
 
@@ -183,8 +188,13 @@ def read_sonata_edges_distributed(
     def read_slice(batches):
         import pandas as pd
 
-        from parquet_converters_spark.sinks.hdf5_minimal import decode_chunk
+        from parquet_converters_spark.sinks.hdf5_minimal import (
+            MiniH5Reader,
+            decode_chunk,
+        )
 
+        rdr = None  # one mmap per task, opened lazily
+        chunk_maps: dict[str, list] = {}  # per-task B-tree walk cache
         for spec in batches:
             for start, end in zip(spec["start"], spec["end"]):
                 start, end = int(start), int(end)
@@ -200,9 +210,15 @@ def read_sonata_edges_distributed(
                                 dtype=dt,
                             )
                         else:
+                            if rdr is None:
+                                rdr = MiniH5Reader(target)
                             c = lay["chunk_shape"][0]
                             arr = np.empty(end - start, dtype=dt)
-                            for offs, addr, size, mask in lay["chunks"]:
+                            if n not in chunk_maps:
+                                chunk_maps[n] = rdr.dataset_layout(
+                                    paths[n]
+                                )["chunks"]
+                            for offs, addr, size, mask in chunk_maps[n]:
                                 o = offs[0]
                                 if o >= end or o + c <= start:
                                     continue

@@ -209,3 +209,70 @@ def snapshot_diff(
         .otherwise(F.lit("updated"))
     )
     return joined.select(*key_cols, change.alias("change_type"))
+
+
+def prepare_corpus(
+    docs,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 50,
+    max_len: int = 10_000,
+    min_quality: float = 0.5,
+    num_hashes: int = 8,
+    bands: int = 4,
+):
+    """End-to-end training-corpus preparation: the composed funnel a
+    data pipeline runs before tokenization, built from the engine's
+    individually-oracled stages —
+
+    1. quality gate (length band + `functions.text.quality_score`);
+    2. exact dedup to min-id representatives;
+    3. MinHash-LSH near-dedup, connected components, one survivor per
+       cluster (`functions.dedup.near_dedup_survivors`).
+
+    Returns ``(clean, report)``: the surviving subset of ``docs`` (all
+    original columns) and a 4-row funnel report
+    ``(stage_order, stage, n_docs)`` — raw / quality / exact_unique /
+    near_unique.
+
+    Scale shape: each stage is the scale-safe form already audited in
+    SCALE.md (expression-only quality gate, one hash-groupBy for exact
+    dedup, banded LSH — never all-pairs — for near-dedup).  The
+    intermediate frames are persisted because the report counts and the
+    survivor join both consume them; unpersist is the caller's choice
+    (the report is tiny, the clean frame is the product).
+    """
+    from pyspark.sql import functions as F
+
+    from parquet_converters_spark.functions.dedup import (
+        near_dedup_pipeline,
+        near_dedup_survivors,
+    )
+    from parquet_converters_spark.functions.text import quality_score
+
+    q = quality_score(text_col)
+    len_ok = (F.length(text_col) >= min_len) & (F.length(text_col) <= max_len)
+    quality = docs.filter(len_ok & (q >= min_quality)).persist()
+    # compute the funnel once and share it between the survivor join and
+    # the report counts (the candidate join is the expensive stage)
+    groups, pairs = near_dedup_pipeline(
+        quality, text_col, id_col, num_hashes=num_hashes, bands=bands
+    )
+    clean = near_dedup_survivors(
+        quality, text_col, id_col, precomputed=(groups, pairs)
+    ).persist()
+
+    spark = docs.sparkSession
+
+    def stage(order, name, df):
+        return spark.createDataFrame(
+            [(order, name)], "stage_order int, stage string"
+        ).crossJoin(df.agg(F.count(F.lit(1)).cast("long").alias("n_docs")))
+
+    report = (
+        stage(0, "raw", docs)
+        .unionByName(stage(1, "quality", quality))
+        .unionByName(stage(2, "exact_unique", groups))
+        .unionByName(stage(3, "near_unique", clean))
+    )
+    return clean, report

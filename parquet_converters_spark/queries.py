@@ -6459,6 +6459,76 @@ QUERIES.update({
 })
 
 
+def corpus_prep_funnel(spark, sf_dir):
+    """The composed end-to-end training-corpus preparation funnel
+    (pipelines.prepare_corpus): quality gate -> exact dedup -> LSH
+    near-dedup survivors, reported as documents remaining per stage.
+    Every stage is an individually-oracled primitive
+    (text_quality_funnel, dedup_exact, dedup_survivors); this query
+    pins the COMPOSITION — filters applied in the scale-correct order,
+    each stage consuming the previous stage's survivors."""
+    from parquet_converters_spark.pipelines import prepare_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    _clean, report = prepare_corpus(docs)
+    return report.orderBy("stage_order")
+
+
+_CPF_QDOCS_SQL = f"""
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+      (CASE WHEN length(text) BETWEEN 50 AND 10000 THEN 0.25 ELSE 0.0 END)
+      + (CASE WHEN CAST(length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
+              / greatest(length(text), 1) >= 0.8 THEN 0.25 ELSE 0.0 END)
+      + (CASE WHEN CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+              / greatest(len(toks), 1) BETWEEN 3 AND 10 THEN 0.25 ELSE 0.0 END)
+      + (CASE WHEN len(list_intersect(toks, {_EN_STOP_SQL})) >= 2 THEN 0.25 ELSE 0.0 END)
+      AS q
+    FROM (SELECT doc_id, text, {SQL_TOKENS.format(col='text')} AS toks FROM documents) _t
+  ) _q WHERE length(text) BETWEEN 50 AND 10000 AND q >= 0.5
+"""
+
+CORPUS_PREP_FUNNEL_SQL = (
+    "WITH RECURSIVE qdocs AS (" + _CPF_QDOCS_SQL + "), "
+    f"reps AS (SELECT min(doc_id) AS keep_id FROM qdocs GROUP BY {SQL_H60.format(x='text')}), "
+    "rep_docs AS (SELECT doc_id, text FROM qdocs "
+    "WHERE doc_id IN (SELECT keep_id FROM reps)), "
+    "sig AS (" + _sql_minhash_sig(src="rep_docs") + "), "
+    """banded AS (
+  SELECT doc_id, b,
+         concat_ws('-', signature[b*2+1], signature[b*2+2]) AS bucket
+  FROM sig, unnest([0,1,2,3]) AS t(b)
+), pairs AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM banded l JOIN banded r ON l.b = r.b AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+), edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+), reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+), comp AS (
+  SELECT u AS doc_id, least(u, min(v)) AS component_id FROM reach GROUP BY u
+), surv AS (
+  SELECT doc_id FROM rep_docs
+  WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE component_id < doc_id)
+)
+SELECT stage_order, stage, n_docs FROM (
+  SELECT CAST(0 AS INT) AS stage_order, 'raw' AS stage,
+         (SELECT count(*) FROM documents) AS n_docs
+  UNION ALL SELECT 1, 'quality', (SELECT count(*) FROM qdocs)
+  UNION ALL SELECT 2, 'exact_unique', (SELECT count(*) FROM rep_docs)
+  UNION ALL SELECT 3, 'near_unique', (SELECT count(*) FROM surv)
+) _r ORDER BY stage_order
+"""
+)
+
+QUERIES.update({
+    "corpus_prep_funnel": (corpus_prep_funnel, CORPUS_PREP_FUNNEL_SQL),
+})
+
+
 # --- r03 grading rotation --------------------------------------------------
 # The driver's correctness gate checks the FIRST 50 registry entries per
 # round.  Window policy for r03, per VERDICT.md r02 items 1/2/6: lead
@@ -6613,4 +6683,5 @@ QUERIES = {
 # rollup_pricing, topk_per_group, pivot_event_counts, above_nation_avg,
 # proj_rename, array_flatten, bitfield_unpack, limit_n, count_sum,
 # global_max, dedup_ngram_jaccard, text_* r01 cohort, multimodal_meta)
-# plus any red rows from CORRECTNESS_r04, then rotate r02 greens.
+# plus corpus_prep_funnel (added after the r04 freeze) and any red
+# rows from CORRECTNESS_r04, then rotate r02 greens.

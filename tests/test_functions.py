@@ -974,3 +974,31 @@ def test_span_dedup_single_doc_roundtrip_property(spark):
         assert out["new_text"] == text
 
     check()
+
+
+def test_prepare_corpus_funnel(spark, sf_dir):
+    """Composed corpus prep: survivors pass every gate, contain no
+    near-duplicates among themselves (per the same pipeline), and the
+    report counts are monotone and consistent with the frames."""
+    from pyspark.sql import functions as F
+
+    from parquet_converters_spark.functions.dedup import near_dedup_pipeline
+    from parquet_converters_spark.functions.text import quality_score
+    from parquet_converters_spark.pipelines import prepare_corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    clean, report = prepare_corpus(docs)
+    rep = {r["stage"]: r["n_docs"] for r in report.collect()}
+    assert rep["raw"] >= rep["quality"] >= rep["exact_unique"] >= rep["near_unique"]
+    assert rep["raw"] == docs.count()
+    assert rep["near_unique"] == clean.count()
+    # every survivor passes the quality gate
+    q = quality_score("text")
+    bad = clean.filter(
+        ~((F.length("text") >= 50) & (F.length("text") <= 10000) & (q >= 0.5))
+    ).count()
+    assert bad == 0
+    # survivors are near-dedup-stable: running the pipeline on them
+    # again finds no exact-dup groups with >1 member
+    groups, _pairs = near_dedup_pipeline(clean)
+    assert groups.filter(F.col("dup_count") > 1).count() == 0

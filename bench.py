@@ -144,6 +144,7 @@ HEADLINE = [
     "session_bounce_stats",
     "chi2_type_by_weekday",
     "lang_confusion_matrix",
+    "corpus_prep_funnel",
 ]
 
 

@@ -94,6 +94,19 @@ def main(argv: list[str] | None = None) -> int:
     dd.add_argument("--num-hashes", type=int, default=8)
     dd.add_argument("--bands", type=int, default=4)
 
+    pc = sub.add_parser(
+        "prepare-corpus",
+        help="Full training-corpus prep funnel: quality gate -> exact "
+        "dedup -> LSH near-dedup; writes survivors + prints the report",
+    )
+    pc.add_argument("input", help="Input parquet of documents")
+    pc.add_argument("output", help="Output parquet directory (clean corpus)")
+    pc.add_argument("--id-col", default="doc_id")
+    pc.add_argument("--text-col", default="text")
+    pc.add_argument("--min-len", type=int, default=50)
+    pc.add_argument("--max-len", type=int, default=10_000)
+    pc.add_argument("--min-quality", type=float, default=0.5)
+
     ing = sub.add_parser(
         "ingest",
         help="Land raw JSONL/CSV shards as parquet with a corrupt-line "
@@ -145,6 +158,22 @@ def main(argv: list[str] | None = None) -> int:
         print(
             f"dedup: kept {kept} of {docs.count()} rows -> {args.output}"
         )
+    elif args.cmd == "prepare-corpus":
+        from parquet_converters_spark.pipelines import prepare_corpus
+
+        docs = spark.read.parquet(args.input)
+        clean, report = prepare_corpus(
+            docs,
+            text_col=args.text_col,
+            id_col=args.id_col,
+            min_len=args.min_len,
+            max_len=args.max_len,
+            min_quality=args.min_quality,
+        )
+        clean.write.mode("overwrite").parquet(args.output)
+        for r in report.orderBy("stage_order").collect():
+            print(f"prepare-corpus: {r['stage']:>13}: {r['n_docs']} docs")
+        print(f"prepare-corpus: clean corpus -> {args.output}")
     elif args.cmd == "ingest":
         from pyspark.sql.types import StructType
 

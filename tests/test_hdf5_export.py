@@ -685,3 +685,34 @@ def test_distributed_read_matches_driver_read(spark, bundle, tmp_path):  # noqa:
         rows_b = [tuple(r) for r in b.select(*sorted(a.columns)).collect()]
         assert rows_a == rows_b, comp
         assert len(rows_b) == table.num_rows
+
+
+def test_distributed_read_string_column(spark, tmp_path):
+    """Distributed read of a fixed-width string dataset (S decode path),
+    chunked+gzip, across partitions."""
+    from parquet_converters_spark.sources.sonata_h5 import (
+        read_sonata_edges_distributed,
+    )
+
+    n = 500
+    kinds = np.asarray([f"kind_{i % 7}" for i in range(n)], dtype="S")
+    w = MiniH5Writer()
+    w.create_dataset(
+        "/edges/p/source_node_id", np.arange(n, dtype=np.int64)
+    )
+    w.create_dataset(
+        "/edges/p/target_node_id", np.arange(n, dtype=np.int64) * 2
+    )
+    w.create_dataset(
+        "/edges/p/0/kind", kinds, chunks=(64,), compression="gzip"
+    )
+    p = str(tmp_path / "strs.h5")
+    w.write(p)
+
+    df = read_sonata_edges_distributed(
+        spark, p, "p", rows_per_partition=100
+    ).orderBy("row_index")
+    rows = df.collect()
+    assert len(rows) == n
+    assert [r["kind"] for r in rows] == [k.decode() for k in kinds]
+    assert rows[10]["target_node_id"] == 20

@@ -192,3 +192,15 @@ def test_cli_dedup(spark, tmp_path, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     want = {r.doc_id for r in near_dedup_survivors(docs).select("doc_id").collect()}
     assert got == want and 0 < len(got) < docs.count()
+
+
+def test_cli_prepare_corpus(spark, tmp_path, sf_dir):
+    from parquet_converters_spark.cli import main
+
+    out = str(tmp_path / "clean")
+    rc = main(["prepare-corpus", f"{sf_dir}/documents.parquet", out])
+    assert rc == 0
+    clean = spark.read.parquet(out)
+    raw = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert 0 < clean.count() <= raw.count()
+    assert set(clean.columns) == set(raw.columns)

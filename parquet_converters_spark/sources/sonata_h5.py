@@ -104,6 +104,7 @@ def read_sonata_edges_distributed(
     h5_path: str,
     population: str,
     rows_per_partition: int = 1 << 20,
+    columns: list[str] | None = None,
 ) -> DataFrame:
     """Parallel ``.h5`` ingest — the read-side mirror of
     ``sinks.sonata.export_hdf5_parallel`` and the S6 "partitioned
@@ -127,7 +128,10 @@ def read_sonata_edges_distributed(
 
     Returns the same columns as :func:`read_sonata_edges` plus
     ``row_index`` (the global position, so ordering survives the
-    parallel read).
+    parallel read).  ``columns`` restricts the read to the named
+    datasets — the column-pruning analogue of a parquet scan's
+    ReadSchema: unrequested datasets cost zero I/O (each column is a
+    separate contiguous extent / chunk set in the file).
     """
     import numpy as np
 
@@ -140,6 +144,14 @@ def read_sonata_edges_distributed(
     for name in r.list_links(f"{base}/0"):
         if name != "@library":
             names.append(name)
+    if columns is not None:
+        missing = sorted(set(columns) - set(names))
+        if missing:
+            raise KeyError(
+                f"columns {missing} not in edge population "
+                f"{population!r} (has {sorted(names)})"
+            )
+        names = [n for n in names if n in set(columns)]
     if hasattr(r, "dataset_layout"):
         paths = {
             n: (f"{base}/{n}" if n in r.list_links(base) else f"{base}/0/{n}")

@@ -716,3 +716,25 @@ def test_distributed_read_string_column(spark, tmp_path):
     assert len(rows) == n
     assert [r["kind"] for r in rows] == [k.decode() for k in kinds]
     assert rows[10]["target_node_id"] == 20
+
+
+def test_distributed_read_column_pruning(spark, bundle, tmp_path):  # noqa: F811
+    """columns= restricts the distributed read to the named datasets
+    (zero I/O for the rest) and unknown names raise."""
+    import pytest as _pytest
+
+    from parquet_converters_spark.sources.sonata_h5 import (
+        read_sonata_edges_distributed,
+    )
+
+    out, table = bundle
+    h5 = str(tmp_path / "prune.h5")
+    export_hdf5(out, "edges_test", h5)
+    df = read_sonata_edges_distributed(
+        spark, h5, "edges_test", columns=["source_node_id"]
+    )
+    assert df.columns == ["row_index", "source_node_id"]
+    assert df.count() == table.num_rows
+    with _pytest.raises(KeyError):
+        read_sonata_edges_distributed(spark, h5, "edges_test",
+                                      columns=["nope"])

@@ -220,6 +220,8 @@ def prepare_corpus(
     min_quality: float = 0.5,
     num_hashes: int = 8,
     bands: int = 4,
+    eval_df=None,
+    decontaminate_min_hits: int = 2,
 ):
     """End-to-end training-corpus preparation: the composed funnel a
     data pipeline runs before tokenization, built from the engine's
@@ -228,12 +230,17 @@ def prepare_corpus(
     1. quality gate (length band + `functions.text.quality_score`);
     2. exact dedup to min-id representatives;
     3. MinHash-LSH near-dedup, connected components, one survivor per
-       cluster (`functions.dedup.near_dedup_survivors`).
+       cluster (`functions.dedup.near_dedup_survivors`);
+    4. (optional, when ``eval_df`` is given) benchmark decontamination:
+       drop survivors sharing >= ``decontaminate_min_hits`` word
+       shingles with any eval document
+       (`functions.dedup.contamination_flags` — eval shingles collapse
+       to a broadcast set, the 100 TB side never shuffles against it).
 
     Returns ``(clean, report)``: the surviving subset of ``docs`` (all
-    original columns) and a 4-row funnel report
+    original columns) and the funnel report
     ``(stage_order, stage, n_docs)`` — raw / quality / exact_unique /
-    near_unique.
+    near_unique (/ decontaminated).
 
     Scale shape: each stage is the scale-safe form already audited in
     SCALE.md (expression-only quality gate, one hash-groupBy for exact
@@ -275,4 +282,16 @@ def prepare_corpus(
         .unionByName(stage(2, "exact_unique", groups))
         .unionByName(stage(3, "near_unique", clean))
     )
+    if eval_df is not None:
+        from parquet_converters_spark.functions.dedup import (
+            contamination_flags,
+        )
+
+        flags = contamination_flags(
+            clean, eval_df, text_col, id_col,
+            min_hits=decontaminate_min_hits,
+        )
+        dirty = flags.filter(F.col("contaminated")).select(id_col)
+        clean = clean.join(dirty, id_col, "left_anti").persist()
+        report = report.unionByName(stage(4, "decontaminated", clean))
     return clean, report

@@ -1002,3 +1002,23 @@ def test_prepare_corpus_funnel(spark, sf_dir):
     # again finds no exact-dup groups with >1 member
     groups, _pairs = near_dedup_pipeline(clean)
     assert groups.filter(F.col("dup_count") > 1).count() == 0
+
+
+def test_prepare_corpus_decontamination(spark, sf_dir):
+    """Optional stage 4: survivors sharing shingles with the eval set
+    are dropped and the report gains a decontaminated row."""
+    from pyspark.sql import functions as F
+
+    from parquet_converters_spark.pipelines import prepare_corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base_clean, _ = prepare_corpus(docs)
+    # eval set = verbatim copies of two surviving documents
+    eval_df = base_clean.orderBy("doc_id").limit(2).select("doc_id", "text")
+    clean, report = prepare_corpus(docs, eval_df=eval_df)
+    rep = {r["stage"]: r["n_docs"] for r in report.collect()}
+    assert rep["decontaminated"] <= rep["near_unique"] - 2
+    leaked = clean.join(
+        eval_df.select("doc_id"), "doc_id", "left_semi"
+    ).count()
+    assert leaked == 0

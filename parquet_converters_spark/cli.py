@@ -36,6 +36,13 @@ def main(argv: list[str] | None = None) -> int:
         description="PySpark-native converters: touch binary -> parquet -> SONATA",
     )
     ap.add_argument("--master", help="Spark master URL (default: local)")
+    from parquet_converters_spark import __version__
+
+    # reference parity: parquet2hdf5.cpp:185 set_version_flag("-v,--version")
+    ap.add_argument(
+        "-v", "--version", action="version",
+        version=f"parquet_converters_spark {__version__}",
+    )
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     t2p = sub.add_parser(

@@ -261,10 +261,13 @@ def prepare_corpus(
     len_ok = (F.length(text_col) >= min_len) & (F.length(text_col) <= max_len)
     quality = docs.filter(len_ok & (q >= min_quality)).persist()
     # compute the funnel once and share it between the survivor join and
-    # the report counts (the candidate join is the expensive stage)
+    # the report counts (the candidate join is the expensive stage);
+    # groups feeds BOTH the survivors' representative semi-join and the
+    # exact_unique report count, so persist it too
     groups, pairs = near_dedup_pipeline(
         quality, text_col, id_col, num_hashes=num_hashes, bands=bands
     )
+    groups = groups.persist()
     clean = near_dedup_survivors(
         quality, text_col, id_col, precomputed=(groups, pairs)
     ).persist()

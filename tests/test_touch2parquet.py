@@ -204,3 +204,16 @@ def test_cli_prepare_corpus(spark, tmp_path, sf_dir):
     raw = spark.read.parquet(f"{sf_dir}/documents.parquet")
     assert 0 < clean.count() <= raw.count()
     assert set(clean.columns) == set(raw.columns)
+
+
+def test_cli_version_flag(capsys):
+    """Reference parity: parquet2hdf5's -v/--version flag."""
+    import pytest as _pytest
+
+    from parquet_converters_spark import __version__
+    from parquet_converters_spark.cli import main
+
+    with _pytest.raises(SystemExit) as e:
+        main(["--version"])
+    assert e.value.code == 0
+    assert __version__ in capsys.readouterr().out

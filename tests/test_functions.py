@@ -1022,3 +1022,20 @@ def test_prepare_corpus_decontamination(spark, sf_dir):
         eval_df.select("doc_id"), "doc_id", "left_semi"
     ).count()
     assert leaked == 0
+
+
+def test_prepare_corpus_degenerate_inputs(spark):
+    """Empty corpus and all-rejected corpus produce empty clean frames
+    and zeroed (but complete) reports rather than errors."""
+    from parquet_converters_spark.pipelines import prepare_corpus
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    clean, report = prepare_corpus(empty)
+    rep = {r["stage"]: r["n_docs"] for r in report.collect()}
+    assert clean.count() == 0
+    assert rep == {"raw": 0, "quality": 0, "exact_unique": 0, "near_unique": 0}
+
+    allfail = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    clean2, report2 = prepare_corpus(allfail)
+    rep2 = {r["stage"]: r["n_docs"] for r in report2.collect()}
+    assert clean2.count() == 0 and rep2["raw"] == 1 and rep2["quality"] == 0

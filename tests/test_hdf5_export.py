@@ -738,3 +738,187 @@ def test_distributed_read_column_pruning(spark, bundle, tmp_path):  # noqa: F811
     with _pytest.raises(KeyError):
         read_sonata_edges_distributed(spark, h5, "edges_test",
                                       columns=["nope"])
+
+
+def test_distributed_index_read_matches_bundle(spark, bundle, tmp_path):  # noqa: F811
+    """The (n, 2) adjacency index datasets round-trip through the
+    2-D distributed reader (VERDICT r04 item 4 — the reference re-reads
+    its own index datasets rank-parallel, index.cpp:158-179): row for
+    row equal to the bundle's parquet form, on both the contiguous and
+    the chunked+gzip layout."""
+    from parquet_converters_spark.sources.sonata_h5 import (
+        read_sonata_index_distributed,
+    )
+
+    out, _ = bundle
+    for comp, fname in ((None, "plain.h5"), ("gzip", "gz.h5")):
+        h5 = str(tmp_path / fname)
+        export_hdf5(out, "edges_test", h5, compression=comp, chunk_rows=64)
+        for direction in ("source_to_target", "target_to_source"):
+            for dataset, (key, cols) in (
+                ("node_id_to_ranges", ("node_id", ("range_lo", "range_hi"))),
+                ("range_to_edge_id", ("range_id", ("edge_start", "edge_end"))),
+            ):
+                want = (
+                    pq.read_table(
+                        os.path.join(
+                            out, "edges", "edges_test", "indices",
+                            direction, f"{dataset}.parquet",
+                        )
+                    )
+                    .sort_by(key)
+                    .to_pydict()
+                )
+                got = (
+                    read_sonata_index_distributed(
+                        spark, h5, "edges_test", direction, dataset,
+                        rows_per_partition=37,
+                    )
+                    .orderBy(key)
+                    .collect()
+                )
+                assert len(got) == len(want[key]), (comp, direction, dataset)
+                for i, r in enumerate(got):
+                    assert r[key] == want[key][i]
+                    assert r[cols[0]] == want[cols[0]][i]
+                    assert r[cols[1]] == want[cols[1]][i]
+
+
+def test_distributed_index_read_rejects_unknown(spark, bundle, tmp_path):  # noqa: F811
+    from parquet_converters_spark.sources.sonata_h5 import (
+        read_sonata_index_distributed,
+    )
+
+    out, _ = bundle
+    h5 = str(tmp_path / "idx.h5")
+    export_hdf5(out, "edges_test", h5)
+    with pytest.raises(KeyError):
+        read_sonata_index_distributed(
+            spark, h5, "edges_test", "source_to_target", "nope"
+        )
+
+
+def test_parallel_export_rejects_out_of_range_keys(spark, tmp_path):
+    """An out-of-range row_index in a malformed bundle must raise BEFORE
+    any seek — a stray key would otherwise write past the dataset extent
+    into a neighboring dataset (silent corruption the rows-written total
+    cannot catch)."""
+    import json as _json
+
+    import pandas as pd
+
+    from parquet_converters_spark.sinks.sonata import export_hdf5_parallel
+
+    n = 200
+    pop_dir = tmp_path / "bundle" / "edges" / "p"
+    pop_dir.mkdir(parents=True)
+    idx = np.arange(n, dtype="int64")
+    idx[17] = n + 5  # out of range
+    tbl = pd.DataFrame(
+        {
+            "row_index": idx,
+            "source_node_id": np.arange(n, dtype="int64"),
+            "target_node_id": np.arange(n, dtype="int64"),
+            "edge_type_id": np.zeros(n, dtype="int64"),
+        }
+    )
+    spark.createDataFrame(tbl).repartition(4).write.parquet(
+        str(pop_dir / "table.parquet")
+    )
+    manifest = {
+        "population": "p",
+        "n_records": n,
+        "attributes": {},
+        "dataset_attributes": {},
+        "top_level_datasets": [
+            "source_node_id", "target_node_id", "edge_type_id"
+        ],
+        "property_datasets": [],
+        "libraries": [],
+        "row_index_column": "row_index",
+    }
+    (pop_dir / "attributes.json").write_text(_json.dumps(manifest))
+    with pytest.raises(Exception, match="out of range"):
+        export_hdf5_parallel(
+            spark, str(tmp_path / "bundle"), "p", str(tmp_path / "bad.h5")
+        )
+
+
+def test_parallel_export_non_ascii_strings(spark, tmp_path):
+    """Non-ASCII string properties must fill byte-identically to the
+    single writer (per-value UTF-8 encode — np.asarray would
+    ASCII-encode and raise)."""
+    import json as _json
+
+    import pandas as pd
+
+    from parquet_converters_spark.sinks.sonata import (
+        export_hdf5,
+        export_hdf5_parallel,
+    )
+
+    n = 300
+    kinds = ["café", "naïve", "σύναψη"]
+    pop_dir = tmp_path / "bundle" / "edges" / "p"
+    pop_dir.mkdir(parents=True)
+    tbl = pd.DataFrame(
+        {
+            "row_index": np.random.default_rng(7).permutation(n).astype("int64"),
+            "source_node_id": np.arange(n, dtype="int64"),
+            "target_node_id": np.arange(n, dtype="int64"),
+            "edge_type_id": np.zeros(n, dtype="int64"),
+            "kind": [kinds[i % 3] for i in range(n)],
+        }
+    )
+    spark.createDataFrame(tbl).repartition(4).write.parquet(
+        str(pop_dir / "table.parquet")
+    )
+    manifest = {
+        "population": "p",
+        "n_records": n,
+        "attributes": {},
+        "dataset_attributes": {},
+        "top_level_datasets": [
+            "source_node_id", "target_node_id", "edge_type_id"
+        ],
+        "property_datasets": ["kind"],
+        "libraries": [],
+        "row_index_column": "row_index",
+    }
+    (pop_dir / "attributes.json").write_text(_json.dumps(manifest))
+    single = str(tmp_path / "s.h5")
+    par = str(tmp_path / "p.h5")
+    export_hdf5(str(tmp_path / "bundle"), "p", single)
+    assert export_hdf5_parallel(spark, str(tmp_path / "bundle"), "p", par) == n
+    with open(single, "rb") as a, open(par, "rb") as b:
+        assert a.read() == b.read()
+    got = MiniH5Reader(par).read_dataset("/edges/p/0/kind")
+    assert got[0].decode() in kinds
+
+
+def test_distributed_read_fallback_keeps_schema_contract(
+    spark, bundle, tmp_path, monkeypatch
+):  # noqa: F811
+    """When the from-spec reader cannot parse a file (newer-format
+    layouts), the h5py-era fallback must honor the SAME contract as the
+    distributed path — row_index first, columns= pruned and ordered —
+    instead of silently returning a different schema (ADVICE r04)."""
+    from parquet_converters_spark.sources import sonata_h5
+
+    out, table = bundle
+    h5 = str(tmp_path / "fb.h5")
+    export_hdf5(out, "edges_test", h5)
+
+    def boom(r, base):
+        raise ValueError("simulated unparseable layout")
+
+    monkeypatch.setattr(sonata_h5, "_edge_dataset_names", boom)
+    df = sonata_h5.read_sonata_edges_distributed(
+        spark, h5, "edges_test", columns=["target_node_id", "source_node_id"]
+    )
+    assert df.columns == ["row_index", "source_node_id", "target_node_id"]
+    assert df.count() == table.num_rows
+    with pytest.raises(KeyError):
+        sonata_h5.read_sonata_edges_distributed(
+            spark, h5, "edges_test", columns=["nope"]
+        )

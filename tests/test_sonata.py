@@ -147,3 +147,42 @@ def test_synapse_id_dropped(spark, tmp_path):
     assert "synapse_id" not in got.column_names
     assert "__index_level_0__" not in got.column_names
     assert "edge_type_id" in got.column_names  # defaulted
+
+
+def test_bundle_file_count_tracks_rows(spark, tmp_path):
+    """Range-partition counts derive from the DATA, not the cluster
+    (VERDICT r04 item 3): a toy table writes ONE file instead of one
+    near-empty file per core, and shrinking rows_per_file grows the
+    file count proportionally."""
+    import glob as _glob
+
+    from parquet_converters_spark.sinks.sonata import (
+        SonataBundleWriter,
+        _range_partitions,
+    )
+
+    # unit sizing: data-proportional at scale, core-bounded in the middle,
+    # never zero
+    assert _range_partitions(1, 32) == 1
+    assert _range_partitions(1104, 32) == 1
+    assert _range_partitions(10_000_000, 32) == 32
+    assert _range_partitions(10_000_000_000, 32) == 2500
+    assert _range_partitions(10_000_000_000, 32, rows_per_file=1_000_000) == 10_000
+
+    in_dir, table = _make_edges(tmp_path, n_nodes=60, seed=31)
+    from parquet_converters_spark.sources.ordering import with_global_row_index
+
+    df = with_global_row_index(spark.read.parquet(in_dir))
+
+    def n_files(out):
+        return len(_glob.glob(os.path.join(
+            out, "edges", "p", "table.parquet", "*.parquet")))
+
+    out1 = str(tmp_path / "b1")
+    SonataBundleWriter(out1, "p").write(df, with_index=False)
+    assert n_files(out1) == 1  # toy data -> one healthy file
+
+    out2 = str(tmp_path / "b2")
+    SonataBundleWriter(out2, "p").write(df, with_index=False, rows_per_file=50)
+    n = table.num_rows
+    assert n_files(out2) >= max(2, n // 50 // 2)  # tracks rows/rows_per_file

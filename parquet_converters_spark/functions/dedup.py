@@ -410,6 +410,7 @@ def near_dedup_survivors(
     bands: int = 4,
     cc_method: str = "hash_to_min",
     precomputed: tuple[DataFrame, DataFrame] | None = None,
+    materialize: bool = False,
 ) -> DataFrame:
     """The end of the dedup funnel: the rows a training-data pipeline
     actually keeps.
@@ -424,8 +425,16 @@ def near_dedup_survivors(
     from :func:`near_dedup_pipeline` when the candidate set is shared
     with other outputs (clusters, pair reports) — at scale the
     candidate join is the expensive stage and should run once.
+
+    ``materialize=True`` returns an EAGER localCheckpoint of the result
+    and releases the connected-components label checkpoint it subsumes
+    (`session.free_local_checkpoints`) — the no-residue form for
+    long-lived sessions; the default stays lazy (the CC checkpoint then
+    remains pinned while the returned frame is alive, because its
+    recompute lineage needs it).
     """
     from parquet_converters_spark.operators.graph import connected_components
+    from parquet_converters_spark.session import free_local_checkpoints
 
     if precomputed is not None:
         groups, pairs = precomputed
@@ -438,7 +447,11 @@ def near_dedup_survivors(
         F.col("node").alias(id_col)
     )
     reps = df.join(groups.select(F.col("keep_id").alias(id_col)), id_col, "left_semi")
-    return reps.join(losers, id_col, "left_anti")
+    out = reps.join(losers, id_col, "left_anti")
+    if materialize:
+        out = out.localCheckpoint(eager=True)
+        free_local_checkpoints(comps)
+    return out
 
 
 def contamination_flags(

@@ -29,6 +29,8 @@ import warnings
 
 from pyspark.sql import DataFrame, functions as F
 
+from parquet_converters_spark.session import free_local_checkpoints
+
 
 class ConvergenceWarning(UserWarning):
     """Raised as a warning when an iterative operator exits on
@@ -70,6 +72,7 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     converged = False
+    prev_ckpt = labels  # checkpointed frame backing the current labels
     for _ in range(max_iter):
         nbr_min = (
             edges.join(
@@ -102,6 +105,13 @@ def connected_components(
             F.sum(F.col("_changed").cast("long")).alias("c")
         ).collect()[0]["c"]
         labels = new_labels.drop("_changed")
+        # the superseded round's checkpoint storage is dead the moment
+        # its successor is eagerly materialized — release it NOW; the
+        # ContextCleaner never reclaims checkpoint RDDs through the
+        # py4j bridge, so without this every round pins executor memory
+        # for the life of the session (session.free_local_checkpoints)
+        free_local_checkpoints(prev_ckpt)
+        prev_ckpt = new_labels
         if not changed:
             converged = True
             break
@@ -113,6 +123,9 @@ def connected_components(
             ConvergenceWarning,
             stacklevel=2,
         )
+    # the edge table is only needed to compute rounds; the returned
+    # labels are a materialized checkpoint, so its storage is dead
+    free_local_checkpoints(edges)
     return labels
 
 
@@ -194,7 +207,11 @@ def _connected_components_star(
     prev = None
     converged = False
     for _ in range(max_iter):
+        superseded = edges
         edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        # release the superseded round's pinned checkpoint immediately
+        # (see connected_components — the cleaner never reclaims these)
+        free_local_checkpoints(superseded)
         fp = _fingerprint(edges)
         if fp == prev:
             converged = True
@@ -349,6 +366,7 @@ def pagerank(
     n = nodes.count()
     base = (1.0 - damping) / n
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    last_ckpt = None  # the one checkpoint THIS function currently owns
     for it in range(1, iterations + 1):
         contribs = (
             ed.join(ranks, ed["_s"] == ranks["node"])
@@ -371,6 +389,15 @@ def pagerank(
             # eager localCheckpoint: materializes the ranks on the
             # executors and cuts the lineage, so plan depth (and
             # Catalyst analysis time) stays bounded by checkpoint_every
-            # instead of growing with the total iteration count
+            # instead of growing with the total iteration count; the
+            # superseded checkpoint (whose rows the new one already
+            # contains transitively) is released immediately — the
+            # cleaner never reclaims checkpoint RDDs, so a long run
+            # would otherwise pin one per checkpoint for the session.
+            # Only checkpoints THIS function created are freed (a
+            # caller-supplied checkpointed edges frame must survive).
             ranks = ranks.localCheckpoint(eager=True)
+            if last_ckpt is not None:
+                free_local_checkpoints(last_ckpt)
+            last_ckpt = ranks
     return ranks

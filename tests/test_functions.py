@@ -1039,3 +1039,33 @@ def test_prepare_corpus_degenerate_inputs(spark):
     clean2, report2 = prepare_corpus(allfail)
     rep2 = {r["stage"]: r["n_docs"] for r in report2.collect()}
     assert clean2.count() == 0 and rep2["raw"] == 1 and rep2["quality"] == 0
+
+
+def test_prepare_corpus_unpersists_intermediates(spark, sf_dir):
+    """prepare_corpus must leave ONLY the returned clean frame pinned
+    (VERDICT r04 item 2): repeated funnel runs in a long-lived session
+    previously accumulated quality/groups/superseded-clean caches."""
+    from parquet_converters_spark.pipelines import prepare_corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    jsc = spark.sparkContext._jsc
+    before = set(jsc.getPersistentRDDs().keySet().toArray())
+    eval_df = docs.limit(20)
+    clean, report = prepare_corpus(docs, eval_df=eval_df)
+    assert report.count() == 5  # decontamination stage present, report intact
+    n_clean = clean.count()
+    assert n_clean == [r for r in report.collect() if r.stage == "decontaminated"][0].n_docs
+
+    # deterministic contract: exactly the returned frame's checkpoint
+    # survives — quality/groups were unpersisted blocking, every
+    # superseded round/stage checkpoint was released explicitly
+    # (session.free_local_checkpoints; the ContextCleaner never reclaims
+    # checkpoint RDDs through py4j, so explicit release is the only way)
+    new = set(jsc.getPersistentRDDs().keySet().toArray()) - before
+    assert len(new) == 1, f"leaked {len(new)} cached RDDs"
+    # the survivor is still readable (its checkpoint storage is intact)
+    assert clean.count() == n_clean
+    from parquet_converters_spark.session import free_local_checkpoints
+
+    assert free_local_checkpoints(clean) == 1
+    assert not set(jsc.getPersistentRDDs().keySet().toArray()) - before

@@ -148,6 +148,65 @@ HEADLINE = [
 ]
 
 
+def bench_hdf5_parallel(spark, sf_dir: str, timed_runs: int) -> dict[str, float]:
+    """Time the one genuinely custom physical component — the parallel
+    SONATA HDF5 export (per-partition pwrite at precomputed offsets) and
+    the distributed `.h5` ingest — on an sf-proportional synthetic edge
+    bundle derived from lineitem, so regressions in the seek/decode path
+    are caught by the same min-of-N harness that protects the queries
+    (VERDICT r04 item 5).  Fixture build (bundle write) is untimed."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from parquet_converters_spark.sinks.sonata import (
+        SonataBundleWriter,
+        export_hdf5_parallel,
+    )
+    from parquet_converters_spark.sources.ordering import with_global_row_index
+    from parquet_converters_spark.sources.sonata_h5 import (
+        read_sonata_edges_distributed,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="bench_hdf5_")
+    out: dict[str, float] = {}
+    try:
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+            F.col("l_orderkey").alias("source_node_id"),
+            F.col("l_partkey").alias("target_node_id"),
+            F.lit(0).cast("long").alias("edge_type_id"),
+            F.col("l_extendedprice").cast("double").alias("weight"),
+        )
+        bundle = os.path.join(tmp, "bundle")
+        SonataBundleWriter(bundle, "bench").write(
+            with_global_row_index(li), with_index=False
+        )
+        h5 = os.path.join(tmp, "edges.h5")
+
+        def timed(fn):
+            fn()  # untimed warmup, like the query loop
+            best = float("inf")
+            for _ in range(timed_runs):
+                t0 = time.perf_counter()
+                fn()
+                best = min(best, time.perf_counter() - t0)
+            return round(best, 3)
+
+        out["hdf5_parallel_export"] = timed(
+            lambda: export_hdf5_parallel(spark, bundle, "bench", h5)
+        )
+        out["hdf5_distributed_read"] = timed(
+            lambda: read_sonata_edges_distributed(spark, h5, "bench")
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -187,6 +246,8 @@ def main() -> None:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         times[name] = round(best, 3)
+
+    times.update(bench_hdf5_parallel(spark, sf_dir, timed_runs))
 
     total = round(sum(times.values()), 3)
     # Two lines, detail FIRST: the full per-query line is 100+ entries

@@ -321,6 +321,62 @@ class _Placeholder(_Dataset):
         self.nbytes = int(np.prod(self.shape)) * self.data.dtype.itemsize
 
 
+class _ChunkedPlaceholder(_Dataset):
+    """A CHUNKED dataset whose metadata — shape, dtype, chunk grid,
+    filter pipeline and the stored byte size of every chunk — is written
+    by the driver, while the chunk data regions are left for external
+    writers to fill at the per-chunk addresses published in
+    :attr:`MiniH5Writer.data_offsets`.  This is what makes a parallel
+    COMPRESSED export possible: compressed chunk sizes are
+    data-dependent, so a first pass computes them, the driver lays out
+    the B-tree from the sizes alone, and a second pass writes each blob
+    at its assigned offset (the two-pass analogue of
+    :class:`_Placeholder`'s fixed-stride contiguous fill)."""
+
+    def __init__(
+        self,
+        name: str,
+        shape: tuple[int, ...],
+        dtype,
+        chunks: tuple[int, ...],
+        chunk_sizes: list[int],
+        compression: str | None = None,
+        shuffle: bool = False,
+    ):
+        dt = np.dtype(dtype)
+        super().__init__(name, np.zeros(0, dtype=dt))
+        self.shape = tuple(int(s) for s in shape)
+        self.nbytes = int(np.prod(self.shape)) * dt.itemsize
+        chunks = tuple(int(c) for c in chunks)
+        if len(chunks) != len(self.shape) or any(c < 1 for c in chunks):
+            raise ValueError(
+                f"chunk shape {chunks} incompatible with {self.shape}"
+            )
+        if compression not in (None, "gzip"):
+            raise ValueError(f"unsupported compression {compression!r}")
+        self.chunks = chunks
+        self.compression = compression
+        self.shuffle = shuffle
+        n_expected = 1
+        for s, c in zip(self.shape, chunks):
+            n_expected *= -(-s // c)
+        if len(chunk_sizes) != n_expected:
+            raise ValueError(
+                f"{len(chunk_sizes)} chunk sizes for a "
+                f"{n_expected}-chunk grid"
+            )
+        self.chunk_sizes = [int(x) for x in chunk_sizes]
+
+    def grid_offsets(self) -> list[tuple[int, ...]]:
+        import itertools
+
+        return list(
+            itertools.product(
+                *[range(0, s, c) for s, c in zip(self.shape, self.chunks)]
+            )
+        )
+
+
 class MiniH5Writer:
     """Write-once builder: ``create_group`` / ``create_dataset`` /
     ``set_attr``, then ``write(path)`` serializes the whole file."""
@@ -386,6 +442,28 @@ class MiniH5Writer:
         external processes can fill the region in parallel."""
         parent, name = self._dataset_parent(path)
         parent.children[name] = _Placeholder(name, shape, dtype)
+
+    def create_chunked_placeholder(
+        self,
+        path: str,
+        shape: tuple[int, ...],
+        dtype,
+        chunks: tuple[int, ...],
+        chunk_sizes: list[int],
+        compression: str | None = None,
+        shuffle: bool = False,
+    ) -> None:
+        """Declare a chunked dataset by shape/dtype/chunk grid and the
+        STORED byte size of each chunk (row-major grid order) — the
+        driver writes the full metadata + B-tree and ``write()``
+        publishes the per-chunk file addresses in
+        ``data_offsets[path]["chunk_addrs"]`` for external parallel
+        writers to fill."""
+        parent, name = self._dataset_parent(path)
+        parent.children[name] = _ChunkedPlaceholder(
+            name, shape, dtype, chunks, chunk_sizes,
+            compression=compression, shuffle=shuffle,
+        )
 
     def set_attr(self, path: str, name: str, value) -> None:
         self._walk(path, create=True).attrs[name] = value
@@ -505,7 +583,14 @@ class MiniH5Writer:
                     "data": take(max(d.nbytes, 8)),
                 }
             else:
-                blobs = d.chunk_blobs()
+                if isinstance(d, _ChunkedPlaceholder):
+                    blobs = None
+                    grid = d.grid_offsets()
+                    sizes = d.chunk_sizes
+                else:
+                    blobs = d.chunk_blobs()
+                    grid = [off for off, _ in blobs]
+                    sizes = [len(b) for _, b in blobs]
                 ndp1 = len(d.shape) + 1
                 keysize = 8 + 8 * ndp1
                 node_size = (
@@ -515,14 +600,16 @@ class MiniH5Writer:
                 )
                 node_addrs = [
                     [take(node_size) for _ in range(c)]
-                    for c in _btree_level_counts(len(blobs))
+                    for c in _btree_level_counts(len(sizes))
                 ]
                 layout[id(d)] = {
                     "ohdr_size": len(ohdr),
                     "blobs": blobs,
+                    "grid": grid,
+                    "sizes": sizes,
                     "node_addrs": node_addrs,
                     "node_size": node_size,
-                    "chunk_addrs": [take(len(b)) for _, b in blobs],
+                    "chunk_addrs": [take(sz) for sz in sizes],
                 }
         eof = pos
 
@@ -610,17 +697,20 @@ class MiniH5Writer:
                 continue
 
             # chunked: write chunk blobs + the v1 type-1 B-tree
-            blobs = lay["blobs"]
+            # (placeholders have no blobs — external writers fill the
+            # reserved chunk regions at the published addresses)
             ndp1 = len(d.shape) + 1
             grid_end = tuple(
                 -(-s // c) * c for s, c in zip(d.shape, d.chunks)
             )
             end_key = _chunk_key(0, 0, grid_end, ndp1)
             chunk_keys = [
-                _chunk_key(len(b), 0, off, ndp1) for off, b in blobs
+                _chunk_key(sz, 0, off, ndp1)
+                for off, sz in zip(lay["grid"], lay["sizes"])
             ]
-            for addr, (_, b) in zip(lay["chunk_addrs"], blobs):
-                put(addr, b)
+            if lay["blobs"] is not None:
+                for addr, (_, b) in zip(lay["chunk_addrs"], lay["blobs"]):
+                    put(addr, b)
 
             children = lay["chunk_addrs"]
             keys = chunk_keys
@@ -643,12 +733,16 @@ class MiniH5Writer:
                     put(naddr, node)
                     next_keys.append(keys[b])
                 children, keys = addrs, next_keys
-            self.data_offsets[full_path[id(d)]] = {
+            entry = {
                 "offset": None,
                 "dtype": d.data.dtype.str,
                 "shape": d.shape,
                 "chunked": True,
             }
+            if isinstance(d, _ChunkedPlaceholder):
+                entry["chunk_addrs"] = list(lay["chunk_addrs"])
+                entry["chunk_sizes"] = list(lay["sizes"])
+            self.data_offsets[full_path[id(d)]] = entry
 
         with open(path, "wb") as f:
             f.write(bytes(buf))

@@ -922,3 +922,140 @@ def test_distributed_read_fallback_keeps_schema_contract(
         sonata_h5.read_sonata_edges_distributed(
             spark, h5, "edges_test", columns=["nope"]
         )
+
+
+def test_parallel_compressed_export_byte_identical(spark, bundle, tmp_path):  # noqa: F811
+    """Two-pass parallel COMPRESSED export (compress chunks -> size ->
+    layout -> pwrite at published addresses) must be byte-identical to
+    the single-writer gzip export — a capability the reference does not
+    have (its MPI-IO hyperslabs require the uncompressed layout)."""
+    from parquet_converters_spark.sinks.sonata import (
+        export_hdf5_parallel_compressed,
+    )
+    from parquet_converters_spark.sources.sonata_h5 import (
+        read_sonata_edges,
+        read_sonata_edges_distributed,
+    )
+
+    out, table = bundle
+    single = str(tmp_path / "s.h5")
+    par = str(tmp_path / "p.h5")
+    export_hdf5(out, "edges_test", single, compression="gzip", chunk_rows=64)
+    n = export_hdf5_parallel_compressed(
+        spark, out, "edges_test", par, chunk_rows=64
+    )
+    assert n == table.num_rows
+    with open(single, "rb") as a, open(par, "rb") as b:
+        assert a.read() == b.read()
+    assert not os.path.exists(par + ".spill")
+    # readable through both the driver-side and the distributed source
+    a = read_sonata_edges(spark, par, "edges_test").orderBy("row_index")
+    b = read_sonata_edges_distributed(
+        spark, par, "edges_test", rows_per_partition=100
+    ).orderBy("row_index")
+    cols = sorted(a.columns)
+    assert [tuple(r) for r in a.select(*cols).collect()] == [
+        tuple(r) for r in b.select(*cols).collect()
+    ]
+
+
+def test_parallel_compressed_export_strings_and_small(spark, tmp_path):
+    """Mixed case: a big string-bearing edge table (chunked, non-ASCII
+    values) while chunk_rows leaves nothing driver-side but the
+    metadata; byte parity with the single writer holds."""
+    import json as _json
+
+    import pandas as pd
+
+    from parquet_converters_spark.sinks.sonata import (
+        export_hdf5,
+        export_hdf5_parallel_compressed,
+    )
+
+    n = 1_000
+    kinds = ["café", "naïve", "plain", "σ"]
+    pop_dir = tmp_path / "bundle" / "edges" / "p"
+    pop_dir.mkdir(parents=True)
+    rng = np.random.default_rng(13)
+    tbl = pd.DataFrame(
+        {
+            "row_index": rng.permutation(n).astype("int64"),
+            "source_node_id": rng.integers(0, 64, n).astype("int64"),
+            "target_node_id": rng.integers(0, 64, n).astype("int64"),
+            "edge_type_id": np.zeros(n, dtype="int64"),
+            "weight": rng.random(n).astype("float64"),
+            "kind": [kinds[i % 4] for i in range(n)],
+        }
+    )
+    spark.createDataFrame(tbl).repartition(5).write.parquet(
+        str(pop_dir / "table.parquet")
+    )
+    manifest = {
+        "population": "p",
+        "n_records": n,
+        "attributes": {"note": "bench"},
+        "dataset_attributes": {},
+        "top_level_datasets": [
+            "source_node_id", "target_node_id", "edge_type_id"
+        ],
+        "property_datasets": ["weight", "kind"],
+        "libraries": [],
+        "row_index_column": "row_index",
+    }
+    (pop_dir / "attributes.json").write_text(_json.dumps(manifest))
+    single = str(tmp_path / "s.h5")
+    par = str(tmp_path / "p.h5")
+    export_hdf5(str(tmp_path / "bundle"), "p", single,
+                compression="gzip", chunk_rows=128)
+    assert export_hdf5_parallel_compressed(
+        spark, str(tmp_path / "bundle"), "p", par, chunk_rows=128
+    ) == n
+    with open(single, "rb") as a, open(par, "rb") as b:
+        assert a.read() == b.read()
+    got = MiniH5Reader(par).read_dataset("/edges/p/0/kind")
+    assert got[0].decode() == "café"
+
+
+def test_parallel_compressed_export_rejects_sparse_keys(spark, tmp_path):
+    """A gap in row_index means a chunk has missing rows — the compress
+    pass must fail loudly, not write a silently wrong chunk."""
+    import json as _json
+
+    import pandas as pd
+
+    from parquet_converters_spark.sinks.sonata import (
+        export_hdf5_parallel_compressed,
+    )
+
+    n = 300
+    idx = np.arange(n, dtype="int64")
+    idx[5] = n + 7  # hole at 5, stray beyond the extent
+    pop_dir = tmp_path / "bundle" / "edges" / "p"
+    pop_dir.mkdir(parents=True)
+    tbl = pd.DataFrame(
+        {
+            "row_index": idx,
+            "source_node_id": np.arange(n, dtype="int64"),
+            "target_node_id": np.arange(n, dtype="int64"),
+            "edge_type_id": np.zeros(n, dtype="int64"),
+        }
+    )
+    spark.createDataFrame(tbl).write.parquet(str(pop_dir / "table.parquet"))
+    manifest = {
+        "population": "p",
+        "n_records": n,
+        "attributes": {},
+        "dataset_attributes": {},
+        "top_level_datasets": [
+            "source_node_id", "target_node_id", "edge_type_id"
+        ],
+        "property_datasets": [],
+        "libraries": [],
+        "row_index_column": "row_index",
+    }
+    (pop_dir / "attributes.json").write_text(_json.dumps(manifest))
+    with pytest.raises(Exception, match="outside chunk|dense"):
+        export_hdf5_parallel_compressed(
+            spark, str(tmp_path / "bundle"), "p", str(tmp_path / "x.h5"),
+            chunk_rows=64,
+        )

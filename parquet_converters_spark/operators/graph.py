@@ -43,6 +43,7 @@ def connected_components(
     dst: str = "id_b",
     max_iter: int = 20,
     method: str = "hash_to_min",
+    materialize: bool = False,
 ) -> DataFrame:
     """Label every node of the undirected pair graph with the minimum
     node id of its component.
@@ -53,9 +54,21 @@ def connected_components(
     Warns with :class:`ConvergenceWarning` if ``max_iter`` is exhausted
     before the fixed point: the labels returned then may still be split
     across a component.
+
+    Superseded per-round checkpoints are released as the rounds advance
+    (see ``session.free_local_checkpoints`` — the cleaner never reclaims
+    them).  ``materialize=True`` additionally returns the labels as an
+    eager checkpoint with every internal checkpoint released, leaving
+    exactly ONE pinned RDD (the result); the default leaves the final
+    round's checkpoint(s) pinned because the lazy result needs them.
     """
     if method == "star":
-        return _connected_components_star(pairs, src, dst, max_iter)
+        labels = _connected_components_star(pairs, src, dst, max_iter)
+        if materialize:
+            out = labels.localCheckpoint(eager=True)
+            free_local_checkpoints(labels)  # nodes + final edge rounds
+            return out
+        return labels
     if method != "hash_to_min":
         raise ValueError(f"unknown method {method!r} (hash_to_min | star)")
 
@@ -126,6 +139,10 @@ def connected_components(
     # the edge table is only needed to compute rounds; the returned
     # labels are a materialized checkpoint, so its storage is dead
     free_local_checkpoints(edges)
+    if materialize:
+        out = labels.localCheckpoint(eager=True)
+        free_local_checkpoints(prev_ckpt)
+        return out
     return labels
 
 
@@ -327,6 +344,7 @@ def pagerank(
     damping: float = 0.85,
     iterations: int = 5,
     checkpoint_every: int | None = 10,
+    materialize: bool = False,
 ) -> DataFrame:
     """Fixed-iteration PageRank: ``r(v) = (1-d)/N + d·Σ_{u→v}
     r(u)/outdeg(u)``, one equi-join + one hash aggregate per
@@ -353,6 +371,10 @@ def pagerank(
     (VERDICT r03 item 4).  Pass ``None`` to disable (e.g. when the
     caller wants the full unrolled plan for a value-hashable oracle
     comparison, as ``queries.graph_pagerank`` does at 5 iterations).
+    ``materialize=True`` returns the final ranks as an eager checkpoint
+    with the edge/node caches and every superseded checkpoint released —
+    exactly ONE pinned RDD survives (the result); the default leaves the
+    caches pinned because the lazy result recomputes through them.
     """
     e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d")).distinct()
     deg = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_outdeg"))
@@ -400,4 +422,11 @@ def pagerank(
             if last_ckpt is not None:
                 free_local_checkpoints(last_ckpt)
             last_ckpt = ranks
+    if materialize:
+        out = ranks.localCheckpoint(eager=True)
+        if last_ckpt is not None:
+            free_local_checkpoints(last_ckpt)
+        ed.unpersist(blocking=True)
+        nodes.unpersist(blocking=True)
+        return out
     return ranks

@@ -164,3 +164,45 @@ def test_pagerank_50_iterations_bounded_plan(spark):
         r = {u: (1 - 0.85) / n + 0.85 * contrib[u] for u in nodes}
     for u in nodes:
         assert abs(got[u] - r[u]) < 1e-10, (u, got[u], r[u])
+
+
+def test_iterative_operators_leave_no_pinned_rdds(spark):
+    """materialize=True: connected_components (both methods) and
+    pagerank leave exactly one pinned RDD — the returned frame — and
+    none after it is freed.  Without explicit release the superseded
+    per-round localCheckpoints would pin executor memory for the life
+    of the session (the ContextCleaner never reclaims them; SCALE.md
+    round-5 notes)."""
+    from parquet_converters_spark.operators.graph import (
+        connected_components,
+        pagerank,
+    )
+    from parquet_converters_spark.session import free_local_checkpoints
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5), (6, 7), (7, 8), (8, 9)],
+        "id_a long, id_b long",
+    )
+    jsc = spark.sparkContext._jsc
+
+    for method in ("hash_to_min", "star"):
+        before = set(jsc.getPersistentRDDs().keySet().toArray())
+        labels = connected_components(pairs, method=method, materialize=True)
+        got = {r["node"]: r["component"] for r in labels.collect()}
+        assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6, 7: 6, 8: 6, 9: 6}
+        new = set(jsc.getPersistentRDDs().keySet().toArray()) - before
+        assert len(new) == 1, (method, len(new))
+        assert free_local_checkpoints(labels) == 1
+        assert not set(jsc.getPersistentRDDs().keySet().toArray()) - before
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 2)], "src long, dst long"
+    )
+    before = set(jsc.getPersistentRDDs().keySet().toArray())
+    ranks = pagerank(edges, iterations=25, checkpoint_every=5,
+                     materialize=True)
+    assert abs(sum(r["rank"] for r in ranks.collect()) - 1.0) < 1e-9
+    new = set(jsc.getPersistentRDDs().keySet().toArray()) - before
+    assert len(new) == 1, len(new)
+    assert free_local_checkpoints(ranks) == 1
+    assert not set(jsc.getPersistentRDDs().keySet().toArray()) - before

@@ -1059,3 +1059,45 @@ def test_parallel_compressed_export_rejects_sparse_keys(spark, tmp_path):
             spark, str(tmp_path / "bundle"), "p", str(tmp_path / "x.h5"),
             chunk_rows=64,
         )
+
+
+@pytest.mark.skipif(
+    not pytest.importorskip("importlib.util").find_spec("h5py"),
+    reason="h5py not installed (CI image has none); runs where it is",
+)
+def test_minih5_files_readable_by_libhdf5(tmp_path):  # pragma: no cover
+    """Cross-validation leg: every layout the from-spec writer produces
+    (contiguous, chunked, chunked+gzip+shuffle, 2-D, strings) must open
+    and read back identically through real libhdf5 when h5py is
+    available — the independent-implementation check the in-container
+    round-trip tests cannot provide."""
+    import h5py
+
+    rng = np.random.default_rng(23)
+    cases = {
+        "/t/contig": np.arange(100, dtype=np.int64),
+        "/t/f64": rng.random(257),
+        "/t/mat": rng.integers(0, 9, (130, 2)).astype("int64"),
+        "/t/strs": np.asarray(["soma", "axon", "dendrite"], dtype="S"),
+    }
+    w = MiniH5Writer()
+    for p, a in cases.items():
+        w.create_dataset(p, a)
+    w.create_dataset(
+        "/t/gz", rng.integers(0, 5, 1000).astype("int64"),
+        chunks=(64,), compression="gzip", shuffle=True,
+    )
+    w.create_dataset(
+        "/t/gz2d", rng.integers(0, 5, (500, 2)).astype("int64"),
+        chunks=(64, 2), compression="gzip", shuffle=True,
+    )
+    w.set_attr("/t", "note", "hello")
+    p = str(tmp_path / "xval.h5")
+    w.write(p)
+    with h5py.File(p, "r") as f:
+        for path, want in cases.items():
+            assert np.array_equal(f[path][()], want), path
+        assert f["/t"].attrs["note"] in ("hello", b"hello")
+        mini = MiniH5Reader(p)
+        assert np.array_equal(f["/t/gz"][()], mini.read_dataset("/t/gz"))
+        assert np.array_equal(f["/t/gz2d"][()], mini.read_dataset("/t/gz2d"))

@@ -76,8 +76,9 @@ def main(argv: list[str] | None = None) -> int:
     )
     p2s.add_argument(
         "--gzip-h5", action="store_true", default=False,
-        help="Chunk + shuffle + deflate the .h5 edge datasets "
-        "(driver-side writer; incompatible with --parallel-h5)",
+        help="Chunk + shuffle + deflate the .h5 edge datasets; combined "
+        "with --parallel-h5 this uses the two-pass parallel compressed "
+        "export (byte-identical to the driver-side gzip writer)",
     )
 
     s2p = sub.add_parser(
@@ -214,12 +215,14 @@ def main(argv: list[str] | None = None) -> int:
             from parquet_converters_spark.sinks.sonata import (
                 export_hdf5,
                 export_hdf5_parallel,
+                export_hdf5_parallel_compressed,
             )
 
             if args.parallel_h5 and args.gzip_h5:
-                ap.error("--parallel-h5 requires the contiguous layout; "
-                         "drop --gzip-h5")
-            if args.parallel_h5:
+                export_hdf5_parallel_compressed(
+                    spark, args.output, args.population, args.hdf5
+                )
+            elif args.parallel_h5:
                 export_hdf5_parallel(
                     spark, args.output, args.population, args.hdf5
                 )

@@ -6750,12 +6750,76 @@ QUERIES = {
     **{name: v for name, v in QUERIES.items() if name not in _R05_WINDOW},
 }
 
-# r06 rotation plan: after r05 every oracled query has a driver row and
-# the r01-only cohort is re-verified.  Fill r06's window with the
-# remaining r02-latest rows not rotated in r05 (cube/grouping_sets,
-# percentile/distinct stats, the stream_* family, multimodal decode
-# trio, sequence_packing, per_source_doc_cap, salted_join,
-# range_window_1h, table_profile, vector_norm_stats, gopher/graph
-# reports, q1 siblings), plus any red rows from CORRECTNESS_r05.
-# NOTE TO NEXT BUILDER: wire _R06_WINDOW as code (registry reorder like
-# above) at the START of round 6 — do not leave this as a comment.
+# --- r06 grading rotation (PRE-WIRED, activate at round-6 start) -----------
+# After r05 every oracled query has a driver row and the r01-only cohort
+# is re-verified.  The r06 window below is the next-oldest cohort: the
+# 26 remaining rows whose latest grade is r02 (streams, multimodal trio,
+# cube/grouping_sets, percentile/distinct stats, table_profile, ...)
+# plus 24 of the r03-latest rows, leading with the custom-machinery
+# queries (star CC, survivor funnel, bloom, ANN broadcast modes, the
+# fixed equi-depth gate).  The list is VALIDATED on every import; round
+# 6's builder only uncomments the reorder (and promotes any red rows
+# from CORRECTNESS_r05 to the front first).
+_R06_WINDOW = [
+    # (a) r02-latest remainder
+    "asof_join_next_purchase",
+    "cube_pricing",
+    "dedup_minhash_sig",
+    "distinct_nation_stats",
+    "gopher_quality_report",
+    "graph_triangle_stats",
+    "grouping_sets_pricing",
+    "multimodal_decode",
+    "multimodal_frames",
+    "multimodal_resize",
+    "per_source_doc_cap",
+    "percentile_acctbal",
+    "range_window_1h",
+    "salted_join_brand_revenue",
+    "sequence_packing",
+    "sim_neardup_pairs",
+    "stream_dedup",
+    "stream_enrich",
+    "stream_join_pairs",
+    "stream_running_totals",
+    "stream_session_window",
+    "stream_sessionize_stateful",
+    "stream_windowed_agg",
+    "table_profile",
+    "vector_norm_stats",
+    "winsorized_value_stats",
+    # (b) r03-latest, custom machinery first
+    "dedup_components_star",
+    "dedup_survivors",
+    "dedup_simhash_pairs",
+    "dedup_fuzzy_pairs",
+    "dedup_incremental_bloom",
+    "equi_depth_histogram",
+    "stream_sessionize",
+    "ann_recall_at5",
+    "sim_lsh_ann_bcast",
+    "sim_ivf_ann_bcast",
+    "sparse_cosine_topk",
+    "tfidf_top_terms",
+    "inverted_index_stats",
+    "containment_pairs",
+    "contamination_matrix",
+    "dup_shingle_fraction",
+    "embedding_quantize_error",
+    "embedding_standardize_stats",
+    "graph_degree_distribution",
+    "range_join_error_views",
+    "skew_key_profile",
+    "weighted_sample_docs",
+    "scd2_event_history",
+    "upsert_latest_state",
+]
+assert len(_R06_WINDOW) == 50, len(_R06_WINDOW)
+assert set(_R06_WINDOW) <= set(QUERIES), sorted(set(_R06_WINDOW) - set(QUERIES))
+assert not set(_R06_WINDOW) & set(_R05_WINDOW)
+# ROUND 6: uncomment to activate (MUST stay commented during round 5 —
+# the driver grades the first 50 oracled entries, which are r05's):
+# QUERIES = {
+#     **{name: QUERIES[name] for name in _R06_WINDOW},
+#     **{name: v for name, v in QUERIES.items() if name not in _R06_WINDOW},
+# }

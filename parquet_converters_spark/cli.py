@@ -89,6 +89,12 @@ def main(argv: list[str] | None = None) -> int:
     s2p.add_argument("h5_file", help="SONATA HDF5 edge file")
     s2p.add_argument("population", help="Edge population name")
     s2p.add_argument("output", help="Output parquet directory")
+    s2p.add_argument(
+        "--distributed", action="store_true", default=False,
+        help="Read the .h5 with per-partition range reads (driver parses "
+        "metadata only; requires executors to share the filesystem — the "
+        "scale path for big edge files)",
+    )
 
     dd = sub.add_parser(
         "dedup",
@@ -143,9 +149,17 @@ def main(argv: list[str] | None = None) -> int:
         df = touch2parquet(spark, ",".join(args.files), out, limit=args.limit)
         print(f"touch2parquet: wrote {df.count()} records to {out}")
     elif args.cmd == "sonata2parquet":
-        from parquet_converters_spark.sources.sonata_h5 import read_sonata_edges
+        from parquet_converters_spark.sources.sonata_h5 import (
+            read_sonata_edges,
+            read_sonata_edges_distributed,
+        )
 
-        df = read_sonata_edges(spark, args.h5_file, args.population)
+        reader = (
+            read_sonata_edges_distributed
+            if args.distributed
+            else read_sonata_edges
+        )
+        df = reader(spark, args.h5_file, args.population)
         df.write.mode("overwrite").parquet(args.output)
         print(
             f"sonata2parquet: wrote {df.count()} edges -> {args.output}"

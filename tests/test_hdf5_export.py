@@ -1101,3 +1101,55 @@ def test_minih5_files_readable_by_libhdf5(tmp_path):  # pragma: no cover
         mini = MiniH5Reader(p)
         assert np.array_equal(f["/t/gz"][()], mini.read_dataset("/t/gz"))
         assert np.array_equal(f["/t/gz2d"][()], mini.read_dataset("/t/gz2d"))
+
+
+def test_parallel_compressed_export_small_table_matches_single(
+    spark, tmp_path
+):
+    """A table at or below one chunk of rows takes the driver-side
+    contiguous path inside the parallel-compressed export and still
+    byte-matches the single writer (which also keeps it contiguous)."""
+    import json as _json
+
+    import pandas as pd
+
+    from parquet_converters_spark.sinks.sonata import (
+        export_hdf5,
+        export_hdf5_parallel_compressed,
+    )
+
+    n = 50
+    pop_dir = tmp_path / "bundle" / "edges" / "p"
+    pop_dir.mkdir(parents=True)
+    tbl = pd.DataFrame(
+        {
+            "row_index": np.arange(n, dtype="int64"),
+            "source_node_id": np.arange(n, dtype="int64"),
+            "target_node_id": np.arange(n, dtype="int64")[::-1].copy(),
+            "edge_type_id": np.zeros(n, dtype="int64"),
+            "kind": [f"k{i % 3}" for i in range(n)],
+        }
+    )
+    spark.createDataFrame(tbl).write.parquet(str(pop_dir / "table.parquet"))
+    manifest = {
+        "population": "p",
+        "n_records": n,
+        "attributes": {},
+        "dataset_attributes": {},
+        "top_level_datasets": [
+            "source_node_id", "target_node_id", "edge_type_id"
+        ],
+        "property_datasets": ["kind"],
+        "libraries": [],
+        "row_index_column": "row_index",
+    }
+    (pop_dir / "attributes.json").write_text(_json.dumps(manifest))
+    single = str(tmp_path / "s.h5")
+    par = str(tmp_path / "p.h5")
+    export_hdf5(str(tmp_path / "bundle"), "p", single,
+                compression="gzip", chunk_rows=128)
+    assert export_hdf5_parallel_compressed(
+        spark, str(tmp_path / "bundle"), "p", par, chunk_rows=128
+    ) == n
+    with open(single, "rb") as a, open(par, "rb") as b:
+        assert a.read() == b.read()

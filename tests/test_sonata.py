@@ -186,3 +186,38 @@ def test_bundle_file_count_tracks_rows(spark, tmp_path):
     SonataBundleWriter(out2, "p").write(df, with_index=False, rows_per_file=50)
     n = table.num_rows
     assert n_files(out2) >= max(2, n // 50 // 2)  # tracks rows/rows_per_file
+
+
+def test_bundle_range_partitions_balanced(spark, tmp_path):
+    """The bundle's range exchange must stay balanced even when the
+    input arrives pathologically ordered (all rows pre-sorted in one
+    partition): row_index is dense-unique, so repartitionByRange's
+    sampling yields near-equal files — asserted on the written sizes."""
+    import glob as _glob
+
+    import pandas as pd
+
+    from parquet_converters_spark.sinks.sonata import SonataBundleWriter
+
+    n = 4_000
+    tbl = pd.DataFrame(
+        {
+            "row_index": np.arange(n, dtype="int64"),  # pre-sorted
+            "source_node_id": np.arange(n, dtype="int64") % 97,
+            "target_node_id": np.arange(n, dtype="int64") % 89,
+            "edge_type_id": np.zeros(n, dtype="int64"),
+        }
+    )
+    df = spark.createDataFrame(tbl).coalesce(1)  # one fat input partition
+    out = str(tmp_path / "b")
+    SonataBundleWriter(out, "p").write(df, with_index=False, rows_per_file=500)
+    counts = [
+        pq.read_metadata(f).num_rows
+        for f in _glob.glob(
+            os.path.join(out, "edges", "p", "table.parquet", "*.parquet")
+        )
+    ]
+    assert len(counts) >= 4
+    assert sum(counts) == n
+    # no partition more than 2x the ideal share
+    assert max(counts) <= 2 * (n // len(counts)), counts

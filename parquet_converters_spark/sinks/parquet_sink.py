@@ -29,6 +29,7 @@ def write_canonical_parquet(
     kv_metadata: dict[str, str] | None = None,
     mode: str = "overwrite",
     partitions: int | None = None,
+    metadata_sidecar: bool = True,
 ) -> None:
     """Write ``df`` with the reference's parquet physical options.
 
@@ -38,6 +39,14 @@ def write_canonical_parquet(
     stamps at 100 TB scale should instead ride in the Spark field
     metadata that the reference itself knows how to read
     (``sonata_writer.cpp:102-111``) — supported via schema metadata.
+
+    ``metadata_sidecar`` additionally writes the ``_metadata`` summary
+    file (all row-group footers + file paths) that the reference's
+    ``parquet2hdf5`` prefers over per-file footers
+    (``parquet2hdf5.cpp:205-218``) and that our own ordered reader
+    consults first (``sources/ordering.py``).  Cost is one driver-side
+    footer read per file — O(#files), the same as the row-count pass
+    the ordered reader performs anyway.
     """
     writer = (
         df.write.mode(mode)
@@ -59,6 +68,32 @@ def write_canonical_parquet(
 
     if kv_metadata:
         _stamp_kv_metadata(path, kv_metadata)
+    if metadata_sidecar:
+        _write_metadata_sidecar(path)
+
+
+def _write_metadata_sidecar(path: str) -> None:
+    """Aggregate every file's footer into a ``_metadata`` summary file
+    (relative file paths, all row groups) — readable by pyarrow and by
+    the reference's sidecar-first schema logic.  Spark and pyarrow both
+    skip ``_``-prefixed files during data discovery, so the sidecar
+    never shadows the data."""
+    import pyarrow.parquet as pq
+
+    files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+    if not files:
+        return
+    collector = []
+    schema = None
+    for f in files:
+        md = pq.read_metadata(f)
+        md.set_file_path(os.path.basename(f))
+        collector.append(md)
+        if schema is None:
+            schema = pq.ParquetFile(f).schema_arrow
+    pq.write_metadata(
+        schema, os.path.join(path, "_metadata"), metadata_collector=collector
+    )
 
 
 def _stamp_kv_metadata(path: str, kv: dict[str, str]) -> None:

@@ -217,3 +217,33 @@ def test_cli_version_flag(capsys):
         main(["--version"])
     assert e.value.code == 0
     assert __version__ in capsys.readouterr().out
+
+
+def test_touch2parquet_writes_metadata_sidecar(spark, tmp_path):
+    """The canonical sink writes the `_metadata` summary the reference's
+    parquet2hdf5 prefers (parquet2hdf5.cpp:205-218); our ordered reader
+    consults it first, so the conversion chain no longer warns about a
+    missing sidecar, and the sidecar's schema + row totals agree with
+    the data files."""
+    import pyarrow.parquet as pq
+
+    from parquet_converters_spark.pipelines import touch2parquet
+    from parquet_converters_spark.sources.ordering import _sidecar_schema
+    from tests.conftest import REFERENCE_TESTS
+
+    out = str(tmp_path / "v1.parquet")
+    touch2parquet(
+        spark,
+        os.path.join(REFERENCE_TESTS, "touches_v1", "touchesData.0"),
+        out,
+    )
+    sidecar = os.path.join(out, "_metadata")
+    assert os.path.isfile(sidecar)
+    md = pq.ParquetFile(sidecar).metadata
+    data_rows = pq.read_table(out).num_rows
+    assert md.num_rows == data_rows == 82
+    schema = _sidecar_schema(out)
+    assert schema is not None
+    assert set(pq.read_table(out).column_names) == set(schema.names)
+    # spark still reads the directory cleanly with the sidecar present
+    assert spark.read.parquet(out).count() == 82

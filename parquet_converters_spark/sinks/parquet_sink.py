@@ -67,7 +67,7 @@ def write_canonical_parquet(
     writer.parquet(path)
 
     if kv_metadata:
-        _stamp_kv_metadata(path, kv_metadata)
+        _stamp_kv_metadata(path, kv_metadata, spark=df.sparkSession)
     if metadata_sidecar:
         _write_metadata_sidecar(path)
 
@@ -96,27 +96,69 @@ def _write_metadata_sidecar(path: str) -> None:
     )
 
 
-def _stamp_kv_metadata(path: str, kv: dict[str, str]) -> None:
+def _rewrite_file_with_kv(f: str, kv: dict[str, str]) -> None:
+    """Rewrite ONE parquet file with merged footer KV metadata.  Runs
+    wherever the file is reachable — driver or executor."""
     import pyarrow.parquet as pq
 
-    for f in glob.glob(os.path.join(path, "*.parquet")):
-        table = pq.read_table(f)
-        merged = dict(table.schema.metadata or {})
-        merged.update({k.encode(): str(v).encode() for k, v in kv.items()})
-        pq.write_table(
-            table.replace_schema_metadata(merged),
-            f,
-            compression="snappy",
-            use_dictionary=False,
-            row_group_size=512 * 1024,
-            data_page_size=PAGE_BYTES,
+    table = pq.read_table(f)
+    merged = dict(table.schema.metadata or {})
+    merged.update({k.encode(): str(v).encode() for k, v in kv.items()})
+    pq.write_table(
+        table.replace_schema_metadata(merged),
+        f,
+        compression="snappy",
+        use_dictionary=False,
+        row_group_size=512 * 1024,
+        data_page_size=PAGE_BYTES,
+    )
+    # the in-place rewrite invalidates Hadoop's checksum sidecar; a
+    # stale .crc makes every later Spark read fail with
+    # ChecksumException, so drop it
+    crc = os.path.join(os.path.dirname(f), f".{os.path.basename(f)}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+
+
+def _stamp_kv_metadata(path: str, kv: dict[str, str], spark=None) -> None:
+    """Stamp footer KV into every file of ``path``.  With a session the
+    rewrites fan out one-file-per-task (the driver would otherwise
+    re-read AND re-compress the entire dataset through one process —
+    O(data) on one node, a non-starter at 100 TB; same shared-filesystem
+    requirement as the parallel HDF5 export).  Without a session, or
+    for a single file, the driver does it directly."""
+    files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+    if not files:
+        return
+    if spark is None or len(files) == 1:
+        for f in files:
+            _rewrite_file_with_kv(f, kv)
+        return
+    kv = dict(kv)
+    abs_files = [os.path.abspath(f) for f in files]
+
+    def rewrite(batches):
+        import pandas as pd
+
+        n = 0
+        for pdf in batches:
+            for f in pdf["file"]:
+                _rewrite_file_with_kv(f, kv)
+                n += 1
+        yield pd.DataFrame({"rewritten": [n]})
+
+    total = (
+        spark.createDataFrame([(f,) for f in abs_files], "file string")
+        .repartition(len(abs_files), "file")
+        .mapInPandas(rewrite, "rewritten long")
+        .groupBy()
+        .sum("rewritten")
+        .collect()[0][0]
+    )
+    if total != len(abs_files):
+        raise RuntimeError(
+            f"kv-metadata stamping rewrote {total} of {len(abs_files)} files"
         )
-        # the in-place rewrite invalidates Hadoop's checksum sidecar; a
-        # stale .crc makes every later Spark read fail with
-        # ChecksumException, so drop it
-        crc = os.path.join(os.path.dirname(f), f".{os.path.basename(f)}.crc")
-        if os.path.exists(crc):
-            os.remove(crc)
 
 
 def write_partitioned_dataset(

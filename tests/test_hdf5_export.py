@@ -1153,3 +1153,74 @@ def test_parallel_compressed_export_small_table_matches_single(
     ) == n
     with open(single, "rb") as a, open(par, "rb") as b:
         assert a.read() == b.read()
+
+
+def test_chunked_placeholder_random_property(tmp_path):
+    """Property: for arbitrary (length, chunk, dtype, ndim, filters),
+    declaring a chunked placeholder from externally computed blob sizes
+    and filling the published addresses produces a byte-identical file
+    to the normal in-writer chunked path."""
+    import zlib
+
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        n=st.integers(min_value=1, max_value=2000),
+        chunk=st.integers(min_value=1, max_value=300),
+        dt=st.sampled_from(["i4", "i8", "f8"]),
+        width=st.integers(min_value=0, max_value=2),
+        gzip=st.booleans(),
+        shuffle=st.booleans(),
+        seed=st.integers(min_value=0, max_value=2**31),
+    )
+    def check(n, chunk, dt, width, gzip, shuffle, seed):
+        rng = np.random.default_rng(seed)
+        shape = (n,) if width == 0 else (n, width)
+        chunks = (chunk,) if width == 0 else (chunk, width)
+        if np.dtype(dt).kind == "f":
+            arr = rng.random(shape).astype(dt)
+        else:
+            arr = rng.integers(-99, 99, shape).astype(dt)
+
+        ref = MiniH5Writer()
+        ref.create_dataset(
+            "/d", arr, chunks=chunks,
+            compression="gzip" if gzip else None, shuffle=shuffle,
+        )
+        p_ref = str(tmp_path / "ref.h5")
+        ref.write(p_ref)
+
+        # external blob computation, exactly the executor-side recipe
+        blobs = []
+        itemsize = arr.dtype.itemsize
+        for s in range(0, n, chunk):
+            full = np.zeros(chunks, dtype=arr.dtype)
+            piece = arr[s:s + chunk]
+            full[: len(piece)] = piece
+            b = full.tobytes()
+            if shuffle:
+                b = (
+                    np.frombuffer(b, np.uint8)
+                    .reshape(-1, itemsize)
+                    .T.tobytes()
+                )
+            if gzip:
+                b = zlib.compress(b, 6)
+            blobs.append(b)
+
+        ph = MiniH5Writer()
+        ph.create_chunked_placeholder(
+            "/d", shape, arr.dtype, chunks, [len(b) for b in blobs],
+            compression="gzip" if gzip else None, shuffle=shuffle,
+        )
+        p_ph = str(tmp_path / "ph.h5")
+        ph.write(p_ph)
+        with open(p_ph, "r+b") as fh:
+            for a, b in zip(ph.data_offsets["/d"]["chunk_addrs"], blobs):
+                fh.seek(a)
+                fh.write(b)
+        with open(p_ref, "rb") as a, open(p_ph, "rb") as b:
+            assert a.read() == b.read()
+
+    check()

@@ -46,17 +46,9 @@ def _global_rank(df: DataFrame, sort_cols: list[str], out_col: str,
     spark = df.sparkSession
     parts = num_partitions or spark.sparkContext.defaultParallelism
     ranged = df.repartitionByRange(parts, *sort_cols)
-    # eager checkpoint: the count pass and the final plan must see the
-    # *same* range-partitioning (its boundaries come from sampling), and
-    # freezing the rows outright is a stronger guarantee than a cache
-    # (no recompute can ever re-sample).  A cache would also pin here
-    # for the session with no caller-side release lever; a checkpoint
-    # leaf is freeable through free_local_checkpoints(result) once the
-    # result is consumed (see SCALE.md round-5 notes).
-    with_pid = (
-        ranged.withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
-    )
+    # persist: the count pass and the final plan must see the *same*
+    # range-partitioning (its boundaries come from sampling)
+    with_pid = ranged.withColumn("_pid", F.spark_partition_id()).persist()
     counts = {
         r["_pid"]: r["count"]
         for r in with_pid.groupBy("_pid").count().collect()
@@ -178,13 +170,10 @@ def run_length_ranges_scan(
             names=["node_id", "range_start", "range_end", "_edge"],
         )
 
-    # eager checkpoint: the edge-run collect and the interior filter must
-    # see the SAME partitioning (repartitionByRange boundaries come from
-    # sampling, so re-execution could split runs differently); frozen
-    # rows rule that out entirely, and the checkpoint is releasable by
-    # the consumer via free_local_checkpoints (a cache would pin for the
-    # session with no lever)
-    runs = src.mapInArrow(rle, schema=out_schema).localCheckpoint(eager=True)
+    # persist: the edge-run collect and the interior filter must see the
+    # SAME partitioning (repartitionByRange boundaries come from
+    # sampling, so re-execution could split runs differently)
+    runs = src.mapInArrow(rle, schema=out_schema).persist()
     interior = runs.filter(F.col("_edge") == 0).drop("_edge")
 
     # chain-merge the partition-boundary runs (≤ 2 per partition)

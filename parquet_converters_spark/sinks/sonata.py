@@ -60,7 +60,6 @@ from parquet_converters_spark.operators.indexing import (
     build_sonata_indices,
     infer_node_count,
 )
-from parquet_converters_spark.session import free_local_checkpoints
 
 COLUMNS_TO_SKIP = {"synapse_id", "__index_level_0__"}
 TOP_LEVEL_DATASETS = ("source_node_id", "target_node_id", "edge_type_id")
@@ -231,11 +230,6 @@ class SonataBundleWriter:
                 ).sortWithinPartitions("range_id").write.mode("overwrite").parquet(
                     os.path.join(d, "range_to_edge_id.parquet")
                 )
-                # the index frames are written out; release the scan-RLE
-                # checkpoints their plans pinned (indexing.py — the
-                # cleaner never reclaims checkpoint storage)
-                free_local_checkpoints(node_ranges)
-                free_local_checkpoints(range_edges)
 
         manifest = {
             "population": self.population,

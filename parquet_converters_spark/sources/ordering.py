@@ -195,12 +195,9 @@ def with_global_row_index(df: DataFrame, row_index_col: str = "row_index",
 
         return _global_rank(df, list(order_cols), row_index_col)
 
-    # eager checkpoint, not a cache: freezes the nondeterministic ids so
-    # the count pass and the final plan agree forever, and leaves the
-    # storage releasable via free_local_checkpoints(result)
     with_mid = df.withColumn(
         "_mid", F.monotonically_increasing_id()
-    ).localCheckpoint(eager=True)
+    ).persist()
     pid = F.shiftright("_mid", 33)
     counts = {
         r["_pid"]: r["count"]

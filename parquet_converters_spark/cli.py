@@ -161,9 +161,15 @@ def main(argv: list[str] | None = None) -> int:
         )
         df = reader(spark, args.h5_file, args.population)
         df.write.mode("overwrite").parquet(args.output)
-        print(
-            f"sonata2parquet: wrote {df.count()} edges -> {args.output}"
+        # count from the written footers (O(files) metadata) — a
+        # df.count() here would re-run the whole distributed decode
+        from parquet_converters_spark.sources.ordering import (
+            _sorted_files,
+            file_row_counts,
         )
+
+        n = sum(file_row_counts(_sorted_files(args.output)))
+        print(f"sonata2parquet: wrote {n} edges -> {args.output}")
     elif args.cmd == "dedup":
         from parquet_converters_spark.functions.dedup import near_dedup_survivors
 

@@ -75,16 +75,28 @@ def free_local_checkpoints(df) -> int:
     rebuilt (Spark logs exactly that warning on unpersist).  Safe no-op
     on frames with no checkpoint leaves.
     """
+    import logging
+
     n = 0
     try:
         leaves = df._jdf.queryExecution().analyzed().collectLeaves()
-        for i in range(leaves.size()):
+    except Exception:  # pragma: no cover - non-plan frames
+        return 0
+    for i in range(leaves.size()):
+        # per-leaf isolation: one failing leaf (unexpected plan node,
+        # transient py4j error) must not abort the loop and leave the
+        # REMAINING checkpoints pinned — that would silently defeat the
+        # leak prevention this helper exists for
+        try:
             leaf = leaves.apply(i)
             if leaf.getClass().getSimpleName() == "LogicalRDD":
                 leaf.rdd().unpersist(False)
                 n += 1
-    except Exception:  # pragma: no cover - plan shapes without rdd leaves
-        pass
+        except Exception as exc:  # pragma: no cover - leaf-specific
+            logging.getLogger(__name__).warning(
+                "free_local_checkpoints: failed to release leaf %d: %s",
+                i, exc,
+            )
     return n
 
 

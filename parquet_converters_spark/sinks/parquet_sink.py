@@ -98,23 +98,40 @@ def _write_metadata_sidecar(path: str) -> None:
 
 def _rewrite_file_with_kv(f: str, kv: dict[str, str]) -> None:
     """Rewrite ONE parquet file with merged footer KV metadata.  Runs
-    wherever the file is reachable — driver or executor."""
+    wherever the file is reachable — driver or executor.
+
+    Write-to-temp + atomic rename, NOT an in-place truncate: under
+    speculative execution / task retry two attempts may process the
+    same file concurrently, and an in-place rewrite would let one
+    attempt read the other's half-written bytes.  With the rename, a
+    concurrent reader sees either the original or a fully-stamped file,
+    and re-stamping an already-stamped file is a no-op merge — the
+    rewrite is idempotent."""
+    import uuid
+
     import pyarrow.parquet as pq
 
     table = pq.read_table(f)
     merged = dict(table.schema.metadata or {})
     merged.update({k.encode(): str(v).encode() for k, v in kv.items()})
-    pq.write_table(
-        table.replace_schema_metadata(merged),
-        f,
-        compression="snappy",
-        use_dictionary=False,
-        row_group_size=512 * 1024,
-        data_page_size=PAGE_BYTES,
+    tmp = os.path.join(
+        os.path.dirname(f), f".{os.path.basename(f)}.{uuid.uuid4().hex}.tmp"
     )
-    # the in-place rewrite invalidates Hadoop's checksum sidecar; a
-    # stale .crc makes every later Spark read fail with
-    # ChecksumException, so drop it
+    try:
+        pq.write_table(
+            table.replace_schema_metadata(merged),
+            tmp,
+            compression="snappy",
+            use_dictionary=False,
+            row_group_size=512 * 1024,
+            data_page_size=PAGE_BYTES,
+        )
+        os.replace(tmp, f)
+    finally:
+        if os.path.exists(tmp):
+            os.remove(tmp)
+    # the rewrite invalidates Hadoop's checksum sidecar; a stale .crc
+    # makes every later Spark read fail with ChecksumException, so drop it
     crc = os.path.join(os.path.dirname(f), f".{os.path.basename(f)}.crc")
     if os.path.exists(crc):
         os.remove(crc)

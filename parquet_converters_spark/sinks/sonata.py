@@ -833,8 +833,15 @@ def export_hdf5_parallel_compressed(
                     .reshape(-1, dt.itemsize)
                     .T.tobytes()
                 )
-                rows.append((ds, chunk_id, zlib.compress(blob, 6)))
-            return pd.DataFrame(rows, columns=["ds", "chunk_idx", "blob"])
+                blob = zlib.compress(blob, 6)
+                # the explicit size column is what keeps the driver's
+                # layout pass metadata-cheap: parquet cannot serve value
+                # lengths without decoding the values, so selecting
+                # octet_length(blob) would re-scan every compressed byte
+                rows.append((ds, chunk_id, len(blob), blob))
+            return pd.DataFrame(
+                rows, columns=["ds", "chunk_idx", "size", "blob"]
+            )
 
         need = sorted(
             {key_col} | {col for _, cols, _ in specs for col in cols}
@@ -846,7 +853,10 @@ def export_hdf5_parallel_compressed(
                 "_chunk", F.expr(f"CAST(`{key_col}` DIV {c} AS LONG)")
             )
             .groupBy("_chunk")
-            .applyInPandas(compress, "ds string, chunk_idx long, blob binary")
+            .applyInPandas(
+                compress,
+                "ds string, chunk_idx long, size long, blob binary",
+            )
             .write.mode(mode)
             .parquet(spill)
         )
@@ -862,14 +872,11 @@ def export_hdf5_parallel_compressed(
         if chunked_jobs:
             for r in (
                 spark.read.parquet(spill)
-                .select(
-                    "ds", "chunk_idx",
-                    F.octet_length("blob").alias("sz"),
-                )
+                .select("ds", "chunk_idx", "size")
                 .collect()
             ):
                 sizes_by_ds.setdefault(r["ds"], {})[int(r["chunk_idx"])] = int(
-                    r["sz"]
+                    r["size"]
                 )
 
         # skeleton: small datasets + attrs driver-side, chunked
@@ -880,7 +887,16 @@ def export_hdf5_parallel_compressed(
         w = MiniH5Writer()
         w.create_group(base)
         for path, arr in datasets.items():
-            w.create_dataset(path, arr)
+            # single-writer chunking rule applies to gathered datasets
+            # too (an @library beyond one chunk gets chunked+gzip there;
+            # byte-parity requires the same here)
+            if arr.size > 0 and len(arr) > c:
+                w.create_dataset(
+                    path, arr, chunks=(c,) + arr.shape[1:],
+                    compression="gzip", shuffle=True,
+                )
+            else:
+                w.create_dataset(path, arr)
         for parquet_path, key_col, specs, n_i in small_jobs:
             t = pq.read_table(parquet_path).sort_by(key_col)
             for ds, cols, dt in specs:

@@ -42,6 +42,33 @@ def _edge_dataset_names(r, base: str) -> list[str]:
     return names
 
 
+_SUPPORTED_FILTERS = {1, 2}  # deflate, shuffle — what decode_chunk handles
+
+
+def _check_decodable(name: str, lay: dict) -> None:
+    """Raise ``NotImplementedError`` on the DRIVER for any layout the
+    executor-side decode cannot handle — unsupported filter ids
+    (fletcher32/szip/LZF...) and chunk grids that split non-row
+    dimensions (``_slice_rows`` walks only the row axis; a (c, 1) chunk
+    on an (n, 2) dataset would silently broadcast one column across
+    both).  Raising here keeps the failure out of Spark tasks and lets
+    the h5py fallback take over where it applies."""
+    bad = [fid for fid, _ in lay.get("filters", ()) if fid not in _SUPPORTED_FILTERS]
+    if bad:
+        raise NotImplementedError(
+            f"dataset {name!r} uses unsupported HDF5 filter id(s) {bad} "
+            "(deflate=1 and shuffle=2 are decodable) — install h5py"
+        )
+    if lay["layout"] == "chunked" and tuple(lay["chunk_shape"][1:]) != tuple(
+        lay["shape"][1:]
+    ):
+        raise NotImplementedError(
+            f"dataset {name!r} chunk shape {tuple(lay['chunk_shape'])} "
+            f"splits non-row dimensions of {tuple(lay['shape'])}; the "
+            "distributed reader slices the row axis only — install h5py"
+        )
+
+
 def _prune(names: list[str], columns: list[str] | None, population: str):
     if columns is None:
         return names
@@ -221,6 +248,12 @@ def read_sonata_edges_distributed(
             for n in names
         }
         layouts = {n: r.dataset_layout(p) for n, p in paths.items()}
+        for n, lay in layouts.items():
+            # anything the executor-side decode cannot handle must be
+            # detected HERE, inside the try, so h5py-installed
+            # environments fall back to the driver-side read instead of
+            # aborting the Spark job mid-task
+            _check_decodable(n, lay)
     except (ValueError, NotImplementedError, AssertionError, struct_error):
         df = read_sonata_edges(spark, h5_path, population)
         names = _prune(
@@ -354,6 +387,7 @@ def read_sonata_index_distributed(
     shape = lay["shape"]
     if len(shape) != 2 or shape[1] != 2:
         raise ValueError(f"{path} has shape {shape}, expected (n, 2)")
+    _check_decodable(dataset, lay)  # driver-side, never inside a task
     n_rows = int(shape[0])
     dt = np.dtype(lay["dtype"])
     spark_t = _NP_TO_SPARK[dt.str[1:]]

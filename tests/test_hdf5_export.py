@@ -1224,3 +1224,104 @@ def test_chunked_placeholder_random_property(tmp_path):
             assert a.read() == b.read()
 
     check()
+
+
+def test_check_decodable_guards(spark, tmp_path):
+    """Layouts the executor-side decode cannot handle must be rejected
+    on the DRIVER (so the h5py fallback can take over), not deep inside
+    a Spark task: unsupported filter ids, and chunk grids that split
+    non-row dimensions — (c, 1) chunks on an (n, 2) dataset would
+    silently broadcast one column across both."""
+    from parquet_converters_spark.sources.sonata_h5 import (
+        _check_decodable,
+        read_sonata_index_distributed,
+    )
+
+    # unit: filter id outside {deflate, shuffle}
+    with pytest.raises(NotImplementedError, match="filter"):
+        _check_decodable(
+            "d", {"layout": "contig", "filters": [(3, 0)],
+                  "shape": (10,), "chunk_shape": ()},
+        )
+    # unit: column-splitting chunk grid
+    with pytest.raises(NotImplementedError, match="non-row"):
+        _check_decodable(
+            "d", {"layout": "chunked", "filters": [],
+                  "shape": (10, 2), "chunk_shape": (4, 1)},
+        )
+    # end-to-end: a legal libhdf5 layout our slice reader cannot do
+    n = 200
+    arr = np.arange(n * 2, dtype=np.int64).reshape(n, 2)
+    w = MiniH5Writer()
+    w.create_dataset(
+        "/edges/p/indices/source_to_target/node_id_to_ranges",
+        arr, chunks=(64, 1),
+    )
+    p = str(tmp_path / "split.h5")
+    w.write(p)
+    with pytest.raises(NotImplementedError, match="non-row"):
+        read_sonata_index_distributed(
+            spark, p, "p", "source_to_target", "node_id_to_ranges"
+        )
+
+
+def test_parallel_compressed_export_large_library(spark, tmp_path):
+    """An @library beyond one chunk must come out chunked+gzip exactly
+    like the single writer does — byte parity includes the gathered
+    driver-side datasets, not just the distributed ones."""
+    import json as _json
+
+    import pandas as pd
+
+    from parquet_converters_spark.sinks.sonata import (
+        export_hdf5,
+        export_hdf5_parallel_compressed,
+    )
+
+    n = 500
+    n_lib = 200  # > chunk_rows=64 -> the library itself gets chunked
+    pop_dir = tmp_path / "bundle" / "edges" / "p"
+    (pop_dir / "library").mkdir(parents=True)
+    tbl = pd.DataFrame(
+        {
+            "row_index": np.arange(n, dtype="int64"),
+            "source_node_id": np.arange(n, dtype="int64") % 40,
+            "target_node_id": np.arange(n, dtype="int64") % 37,
+            "edge_type_id": np.zeros(n, dtype="int64"),
+            "kind": (np.arange(n) % n_lib).astype("int64"),
+        }
+    )
+    spark.createDataFrame(tbl).repartition(3).write.parquet(
+        str(pop_dir / "table.parquet")
+    )
+    lib = pd.DataFrame(
+        {"index": np.arange(n_lib, dtype="int64"),
+         "value": [f"kind_{i:04d}" for i in range(n_lib)]}
+    )
+    spark.createDataFrame(lib).coalesce(1).write.parquet(
+        str(pop_dir / "library" / "kind.parquet")
+    )
+    manifest = {
+        "population": "p",
+        "n_records": n,
+        "attributes": {},
+        "dataset_attributes": {},
+        "top_level_datasets": [
+            "source_node_id", "target_node_id", "edge_type_id"
+        ],
+        "property_datasets": ["kind"],
+        "libraries": ["kind"],
+        "row_index_column": "row_index",
+    }
+    (pop_dir / "attributes.json").write_text(_json.dumps(manifest))
+    single = str(tmp_path / "s.h5")
+    par = str(tmp_path / "p.h5")
+    export_hdf5(str(tmp_path / "bundle"), "p", single,
+                compression="gzip", chunk_rows=64)
+    assert export_hdf5_parallel_compressed(
+        spark, str(tmp_path / "bundle"), "p", par, chunk_rows=64
+    ) == n
+    with open(single, "rb") as a, open(par, "rb") as b:
+        assert a.read() == b.read()
+    lib_back = MiniH5Reader(par).read_dataset("/edges/p/0/@library/kind")
+    assert lib_back[123].decode() == "kind_0123"

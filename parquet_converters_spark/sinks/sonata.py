@@ -85,7 +85,9 @@ def _range_partitions(
     ``_MIN_ROWS_PER_FILE`` rows per file."""
     n_rows = max(int(n_rows), 1)
     by_size = -(-n_rows // max(rows_per_file, 1))
-    by_cores = min(max(parallelism, 1), -(-n_rows // _MIN_ROWS_PER_FILE))
+    # floor division: ceil here would allow files BELOW the 64Ki floor
+    # (65537 rows would become 2 x ~32Ki files)
+    by_cores = min(max(parallelism, 1), max(1, n_rows // _MIN_ROWS_PER_FILE))
     return max(1, by_size, by_cores)
 
 
@@ -213,9 +215,14 @@ class SonataBundleWriter:
             )
             for direction, (node_ranges, range_edges) in indices.items():
                 d = os.path.join(self.pop_dir, "indices", direction)
-                # node_ranges has exactly node_count rows; range_edges has
-                # at most n_records (ranges never outnumber edges) — size
-                # both from those known bounds, no extra count jobs
+                # node_ranges has exactly node_count rows (known for
+                # free).  range_edges' row count is data-dependent and
+                # "at most n_records" is a uselessly loose bound (1e9
+                # edges can collapse to 1e6 ranges — sizing from edges
+                # would write hundreds of near-empty files); one count
+                # job is cheap here because it runs over the already-
+                # persisted intermediates of the index build, which the
+                # write then reuses.
                 node_ranges.repartitionByRange(
                     _range_partitions(
                         node_counts[direction], par, rows_per_file
@@ -225,7 +232,9 @@ class SonataBundleWriter:
                     os.path.join(d, "node_id_to_ranges.parquet")
                 )
                 range_edges.repartitionByRange(
-                    _range_partitions(n_records, par, rows_per_file),
+                    _range_partitions(
+                        range_edges.count(), par, rows_per_file
+                    ),
                     "range_id",
                 ).sortWithinPartitions("range_id").write.mode("overwrite").parquet(
                     os.path.join(d, "range_to_edge_id.parquet")
@@ -713,9 +722,12 @@ def export_hdf5_parallel_compressed(
     contiguous (the single writer's rule) and are written driver-side —
     by definition they are metadata-scale.
 
-    ``spill_dir`` must be on storage all executors share (defaults to
-    ``<h5_path>.spill`` next to the output, which already has that
-    requirement); it is removed on success.  At extreme chunk counts
+    ``spill_dir`` must be on storage all executors share (default: next
+    to the output, which already has that requirement).  The spill is
+    always a fresh unique SUBDIRECTORY created under ``spill_dir`` — a
+    caller-supplied directory is never overwritten or deleted, only the
+    subdirectory this call created is, and only on SUCCESS (a failed
+    export keeps its partial spill for debugging).  At extreme chunk counts
     (multi-TB single files) raise ``chunk_rows`` so the O(chunks)
     driver lists and the pass-3 address broadcast stay small.
 
@@ -773,7 +785,14 @@ def export_hdf5_parallel_compressed(
     chunked_jobs = [j for j in jobs if j[3] > chunk_rows]
     small_jobs = [j for j in jobs if j[3] <= chunk_rows]
 
-    spill = spill_dir or (h5_path + ".spill")
+    import uuid
+
+    # a fresh unique subdirectory: never clobber (or later delete)
+    # anything the caller owns, and never collide with a concurrent
+    # export to a sibling file
+    spill = os.path.join(
+        spill_dir or (h5_path + ".spill"), f"run-{uuid.uuid4().hex}"
+    )
     c = int(chunk_rows)
 
     def run_compress(parquet_path, key_col, specs, n_i, mode):
@@ -976,6 +995,17 @@ def export_hdf5_parallel_compressed(
                     f"parallel compressed export wrote {total} chunks, "
                     f"expected {want}"
                 )
-    finally:
-        shutil.rmtree(spill, ignore_errors=True)
+    except BaseException:
+        # keep the partial spill for debugging; tell the user where
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "parallel compressed export failed; partial spill kept at %s",
+            spill,
+        )
+        raise
+    shutil.rmtree(spill, ignore_errors=True)
+    parent = h5_path + ".spill"
+    if spill_dir is None and os.path.isdir(parent) and not os.listdir(parent):
+        os.rmdir(parent)
     return n_rows

@@ -252,8 +252,15 @@ def read_sonata_edges_distributed(
             # anything the executor-side decode cannot handle must be
             # detected HERE, inside the try, so h5py-installed
             # environments fall back to the driver-side read instead of
-            # aborting the Spark job mid-task
+            # aborting the Spark job mid-task (or failing after the
+            # fallback window has closed)
             _check_decodable(n, lay)
+            if len(lay["shape"]) != 1:
+                raise NotImplementedError(
+                    f"dataset {n!r} is {len(lay['shape'])}-D; edge "
+                    "columns are 1-D — for the (n, 2) adjacency index "
+                    "datasets use read_sonata_index_distributed"
+                )
     except (ValueError, NotImplementedError, AssertionError, struct_error):
         df = read_sonata_edges(spark, h5_path, population)
         names = _prune(
@@ -272,12 +279,6 @@ def read_sonata_edges_distributed(
 
     n_rows = None
     for n, lay in layouts.items():
-        if len(lay["shape"]) != 1:
-            raise NotImplementedError(
-                f"dataset {n!r} is {len(lay['shape'])}-D; edge columns are "
-                "1-D — for the (n, 2) adjacency index datasets use "
-                "read_sonata_index_distributed"
-            )
         if n_rows is None:
             n_rows = lay["shape"][0]
         elif lay["shape"][0] != n_rows:

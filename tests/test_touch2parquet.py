@@ -247,3 +247,34 @@ def test_touch2parquet_writes_metadata_sidecar(spark, tmp_path):
     assert set(pq.read_table(out).column_names) == set(schema.names)
     # spark still reads the directory cleanly with the sidecar present
     assert spark.read.parquet(out).count() == 82
+
+
+def test_kv_stamping_distributed_multi_file(spark, tmp_path):
+    """The executor fan-out path of the KV stamp (session + >1 file):
+    every file gets the merged footer, the sidecar reflects the stamped
+    footers, and Spark reads the directory back cleanly (no stale
+    .crc)."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    from parquet_converters_spark.sinks.parquet_sink import (
+        write_canonical_parquet,
+    )
+
+    df = spark.range(1000).selectExpr("id", "id * 2 as v")
+    out = str(tmp_path / "multi.parquet")
+    write_canonical_parquet(
+        df, out, kv_metadata={"touch2parquet_version": "x", "k": "v"},
+        partitions=4,
+    )
+    files = sorted(_glob.glob(os.path.join(out, "*.parquet")))
+    assert len(files) == 4  # the distributed branch actually ran
+    for f in files:
+        md = pq.ParquetFile(f).schema_arrow.metadata
+        assert md[b"touch2parquet_version"] == b"x"
+        assert md[b"k"] == b"v"
+    assert os.path.isfile(os.path.join(out, "_metadata"))
+    assert spark.read.parquet(out).count() == 1000
+    # no stray tmp files left behind by the atomic-rename rewrite
+    assert not _glob.glob(os.path.join(out, "*.tmp"))

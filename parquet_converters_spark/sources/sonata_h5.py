@@ -192,11 +192,23 @@ def _slice_rows(fh, lay, chunks, dt, start, end, name):
     return out
 
 
+def _auto_rows_per_partition(n_rows: int, parallelism: int) -> int:
+    """Default slice size for the distributed readers: ~3 waves of
+    tasks per core (measured at 20M rows on local[32]: 256Ki-row slices
+    read in 1.3-1.6 s where the old fixed 1M default took 2.1-2.2 s and
+    4M took up to 6.4 s gzip — small slices win until task overhead
+    bites), floored at 64Ki rows so toy files stay one task and capped
+    at 4M rows (~32 MB/column) so a 1e12-row file still yields
+    bounded-size read units rather than multi-GB ones."""
+    want = -(-max(n_rows, 1) // max(3 * parallelism, 1))
+    return max(1 << 16, min(want, 1 << 22))
+
+
 def read_sonata_edges_distributed(
     spark: SparkSession,
     h5_path: str,
     population: str,
-    rows_per_partition: int = 1 << 20,
+    rows_per_partition: int | None = None,
     columns: list[str] | None = None,
 ) -> DataFrame:
     """Parallel ``.h5`` ingest — the read-side mirror of
@@ -286,6 +298,10 @@ def read_sonata_edges_distributed(
                 f"dataset {n!r} has {lay['shape'][0]} rows, expected {n_rows}"
             )
     n_rows = int(n_rows or 0)
+    if rows_per_partition is None:
+        rows_per_partition = _auto_rows_per_partition(
+            n_rows, spark.sparkContext.defaultParallelism
+        )
 
     fields = ["row_index bigint"]
     for n in names:
@@ -354,7 +370,7 @@ def read_sonata_index_distributed(
     population: str,
     direction: str,
     dataset: str,
-    rows_per_partition: int = 1 << 20,
+    rows_per_partition: int | None = None,
 ) -> DataFrame:
     """Parallel read of one adjacency index dataset —
     ``/edges/<population>/indices/<direction>/<dataset>`` — the (n, 2)
@@ -390,6 +406,10 @@ def read_sonata_index_distributed(
         raise ValueError(f"{path} has shape {shape}, expected (n, 2)")
     _check_decodable(dataset, lay)  # driver-side, never inside a task
     n_rows = int(shape[0])
+    if rows_per_partition is None:
+        rows_per_partition = _auto_rows_per_partition(
+            n_rows, spark.sparkContext.defaultParallelism
+        )
     dt = np.dtype(lay["dtype"])
     spark_t = _NP_TO_SPARK[dt.str[1:]]
     schema = (

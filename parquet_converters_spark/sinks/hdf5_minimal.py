@@ -959,6 +959,12 @@ class MiniH5Reader:
         lay = self.dataset_layout(path)
         dt, shape = np.dtype(lay["dtype"]), lay["shape"]
         if lay["layout"] == "contig":
+            if lay["addr"] + lay["nbytes"] > len(self.buf):
+                raise ValueError(
+                    f"{path!r}: data extent ends at byte "
+                    f"{lay['addr'] + lay['nbytes']} but the file is only "
+                    f"{len(self.buf)} bytes — truncated file"
+                )
             arr = np.frombuffer(
                 self.buf[lay["addr"]:lay["addr"] + lay["nbytes"]], dtype=dt
             )
@@ -967,6 +973,11 @@ class MiniH5Reader:
         chunk_shape = lay["chunk_shape"]
         out = np.zeros(shape, dtype=dt)
         for offs, caddr, csize, mask in lay["chunks"]:
+            if caddr + csize > len(self.buf):
+                raise ValueError(
+                    f"{path!r}: chunk at byte {caddr} ends past the "
+                    f"{len(self.buf)}-byte file — truncated file"
+                )
             blob = bytes(self.buf[caddr:caddr + csize])
             chunk = decode_chunk(
                 blob, lay["filters"], mask, dt, chunk_shape, name=path

@@ -1325,3 +1325,31 @@ def test_parallel_compressed_export_large_library(spark, tmp_path):
         assert a.read() == b.read()
     lib_back = MiniH5Reader(par).read_dataset("/edges/p/0/@library/kind")
     assert lib_back[123].decode() == "kind_0123"
+
+
+def test_reader_rejects_truncated_files(tmp_path):
+    """Truncated files must error — never a silent short read — and the
+    in-extent truncations should say 'truncated', not surface a numpy
+    buffer arithmetic error."""
+    w = MiniH5Writer()
+    w.create_dataset("/d", np.arange(1000, dtype=np.int64))
+    w.create_dataset(
+        "/c", np.arange(1000, dtype=np.int64), chunks=(128,),
+        compression="gzip",
+    )
+    p = str(tmp_path / "full.h5")
+    w.write(p)
+    data = open(p, "rb").read()
+    t = str(tmp_path / "t.h5")
+    # /d (tree-sorted after /c) owns the tail of the file: any cut into
+    # its extent must raise — a dataset whose bytes survived the cut may
+    # legitimately still read (partial files are not all-or-nothing)
+    for cut in (int(len(data) * 0.5), int(len(data) * 0.9), len(data) - 16):
+        with open(t, "wb") as f:
+            f.write(data[:cut])
+        with pytest.raises(Exception):
+            MiniH5Reader(t).read_dataset("/d")
+    # the in-extent cut surfaces the explicit message, not numpy buffer
+    # arithmetic
+    with pytest.raises(ValueError, match="truncated"):
+        MiniH5Reader(t).read_dataset("/d")

@@ -138,6 +138,20 @@ def main(argv: list[str] | None = None) -> int:
         "--quarantine", help="Directory for malformed lines (optional)"
     )
 
+    cmp_ = sub.add_parser(
+        "compare",
+        help="Column-wise comparison of a parquet edge table against an "
+        "exported SONATA .h5 (full table, distributed — the reference's "
+        "compare_columns.py upgraded from its 10-row spot check); "
+        "exit 1 on any mismatch",
+    )
+    cmp_.add_argument("parquet", help="Parquet edge table (file or dir)")
+    cmp_.add_argument("h5_file", help="SONATA HDF5 edge file")
+    cmp_.add_argument("population", help="Edge population name")
+    cmp_.add_argument(
+        "--columns", nargs="+", help="Restrict to these columns"
+    )
+
     args = ap.parse_args(argv)
     spark = _session(args.master)
 
@@ -202,6 +216,21 @@ def main(argv: list[str] | None = None) -> int:
         for r in report.orderBy("stage_order").collect():
             print(f"prepare-corpus: {r['stage']:>13}: {r['n_docs']} docs")
         print(f"prepare-corpus: clean corpus -> {args.output}")
+    elif args.cmd == "compare":
+        from parquet_converters_spark.pipelines import compare_parquet_h5
+
+        report = compare_parquet_h5(
+            spark, args.parquet, args.h5_file, args.population,
+            columns=args.columns,
+        ).collect()
+        bad = 0
+        for r in report:
+            status = "identical" if r["n_mismatch"] == 0 else (
+                f"{r['n_mismatch']} mismatches"
+            )
+            print(f"{r['column']}: {status} ({r['n_rows']} rows)")
+            bad += r["n_mismatch"]
+        return 0 if bad == 0 else 1
     elif args.cmd == "ingest":
         from pyspark.sql.types import StructType
 

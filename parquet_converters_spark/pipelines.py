@@ -322,3 +322,102 @@ def prepare_corpus(
     if superseded is not None:
         free_local_checkpoints(superseded)
     return clean, report
+
+
+def compare_parquet_h5(
+    spark,
+    parquet_path: str,
+    h5_path: str,
+    population: str = "default",
+    columns: list[str] | None = None,
+    rtol: float = 1e-5,
+    atol: float = 1e-8,
+):
+    """Column-wise comparison of a parquet edge table against an
+    exported SONATA ``.h5`` — the engine's analogue of the reference's
+    CI tool ``tests/compare_columns.py``, upgraded from its
+    first-10-rows spot check to the FULL table, distributed: both sides
+    stream through their scale readers (ordered parquet scan, and the
+    per-partition ``.h5`` range reader — nothing edge-scale touches the
+    driver) and meet in one join on the global row position.
+
+    Compares the columns present on BOTH sides (the reference likewise
+    skips columns the parquet lacks), excluding ``row_index``; floats
+    match within ``atol + rtol*|expected|`` (numpy ``isclose``
+    semantics, like the reference), everything else exactly.
+
+    Returns one row per compared column:
+    ``(column, n_rows, n_mismatch, max_abs_err)`` — ``n_mismatch == 0``
+    everywhere means the files agree.
+    """
+    from pyspark.sql import functions as F
+
+    from parquet_converters_spark.sources.ordering import (
+        read_parquet_ordered,
+    )
+    from parquet_converters_spark.sources.sonata_h5 import (
+        read_sonata_edges_distributed,
+    )
+
+    pq_df = read_parquet_ordered(spark, parquet_path)
+    h5_df = read_sonata_edges_distributed(spark, h5_path, population)
+    shared = [
+        c for c in h5_df.columns
+        if c != "row_index" and c in pq_df.columns
+    ]
+    if columns is not None:
+        missing = sorted(set(columns) - set(shared))
+        if missing:
+            raise KeyError(
+                f"columns {missing} not present on both sides "
+                f"(shared: {sorted(shared)})"
+            )
+        shared = [c for c in shared if c in set(columns)]
+    if not shared:
+        raise ValueError(
+            "no shared columns to compare between "
+            f"{parquet_path!r} and {h5_path!r}"
+        )
+
+    a = pq_df.select(
+        "row_index", *[F.col(c).alias(f"_a_{c}") for c in shared]
+    )
+    b = h5_df.select(
+        "row_index", *[F.col(c).alias(f"_b_{c}") for c in shared]
+    )
+    floats = {
+        c for c, t in pq_df.select(*shared).dtypes
+        if t in ("float", "double")
+    }
+    j = a.join(b, "row_index", "full_outer")
+    aggs = []
+    for c in shared:
+        x, y = F.col(f"_a_{c}"), F.col(f"_b_{c}")
+        if c in floats:
+            err = F.abs(x - y)
+            # faithfully round-tripped NaN and inf rows must compare as
+            # identical: the comparison OPERATOR treats NaN as unequal
+            # to everything (the NaN=NaN-is-true semantics applies to
+            # joins/grouping, not <=>'s plain form here) and inf - inf
+            # is NaN, which compares greater than any threshold — so
+            # match both-NaN explicitly and guard the tolerance with
+            # x != y (true equality covers inf == inf)
+            same = (F.isnan(x) & F.isnan(y)) | (x == y)
+            bad = (
+                x.isNull() | y.isNull()
+                | (~same & (err > F.lit(atol) + F.lit(rtol) * F.abs(y)))
+            )
+            aggs.append(F.max(F.when(~same, err)).alias(f"_e_{c}"))
+        else:
+            bad = x.isNull() | y.isNull() | (x != y)
+            aggs.append(F.lit(None).cast("double").alias(f"_e_{c}"))
+        aggs.append(F.sum(bad.cast("long")).alias(f"_m_{c}"))
+        aggs.append(F.count(F.lit(1)).alias(f"_n_{c}"))
+    row = j.agg(*aggs).collect()[0]
+    return spark.createDataFrame(
+        [
+            (c, row[f"_n_{c}"], row[f"_m_{c}"], row[f"_e_{c}"])
+            for c in shared
+        ],
+        "column string, n_rows long, n_mismatch long, max_abs_err double",
+    )

@@ -113,12 +113,20 @@ def read_sonata_edges(
     """Load ``/edges/<population>`` (top-level node ids + ``0/``
     properties; ``@library`` codes stay integer codes) as a DataFrame.
     ``with_row_index`` adds the global position column so the ordered
-    round-trip ``export_hdf5 -> read_sonata_edges`` is loss-free."""
-    import pandas as pd
+    round-trip ``export_hdf5 -> read_sonata_edges`` is loss-free.
+
+    Columns go to Spark through a pyarrow table built straight from the
+    numpy arrays — NOT through pandas, whose Arrow conversion treats
+    float NaN as the null sentinel and would silently turn stored NaN
+    values into NULLs (HDF5 has no null; a NaN in the file is a value
+    and must read back as one)."""
+    import numpy as np
+    import pyarrow as pa
 
     r = _open(h5_path)
     base = f"/edges/{population}"
     cols: dict[str, object] = {}
+    n = 0
     for name in r.list_links(base):
         if name in ("0", "indices"):
             continue
@@ -127,10 +135,18 @@ def read_sonata_edges(
         if name == "@library":
             continue
         cols[name] = r.read_dataset(f"{base}/0/{name}")
-    pdf = pd.DataFrame(cols)
+    arrays = {}
+    for name, values in cols.items():
+        n = len(values)
+        if getattr(values, "dtype", None) is not None and values.dtype.kind == "S":
+            arrays[name] = pa.array(
+                [v.decode() for v in values], type=pa.string()
+            )
+        else:
+            arrays[name] = pa.array(np.asarray(values))
     if with_row_index:
-        pdf["row_index"] = range(len(pdf))
-    return spark.createDataFrame(pdf)
+        arrays["row_index"] = pa.array(np.arange(n, dtype=np.int64))
+    return spark.createDataFrame(pa.table(arrays))
 
 
 def read_sonata_library(
@@ -319,16 +335,22 @@ def read_sonata_edges_distributed(
     target = os.path.abspath(h5_path)
 
     def read_slice(batches):
-        import pandas as pd
+        # Arrow batches end-to-end: building the result through pandas
+        # would conflate float NaN with null on the way back to Spark
+        # (pandas' NaN-as-null sentinel); HDF5 NaNs are VALUES and must
+        # survive the read (tests/test_hdf5_export.py NaN round-trip)
+        import pyarrow as pa
 
         from parquet_converters_spark.sinks.hdf5_minimal import MiniH5Reader
 
         rdr = None  # one mmap per task, opened lazily
         chunk_maps: dict[str, list] = {}  # per-task B-tree walk cache
         for spec in batches:
-            for start, end in zip(spec["start"], spec["end"]):
+            for start, end in zip(
+                spec.column(0).to_pylist(), spec.column(1).to_pylist()
+            ):
                 start, end = int(start), int(end)
-                out = {"row_index": np.arange(start, end, dtype=np.int64)}
+                arrays = [pa.array(np.arange(start, end, dtype=np.int64))]
                 with open(target, "rb") as fh:
                     for n in names:
                         lay = layouts[n]
@@ -344,15 +366,22 @@ def read_sonata_edges_distributed(
                             chunks = chunk_maps[n]
                         arr = _slice_rows(fh, lay, chunks, dt, start, end, n)
                         if dt.kind == "S":
-                            out[n] = [v.decode() for v in arr]
+                            arrays.append(
+                                pa.array(
+                                    [v.decode() for v in arr],
+                                    type=pa.string(),
+                                )
+                            )
                         else:
-                            out[n] = arr
-                yield pd.DataFrame(out)
+                            arrays.append(pa.array(arr))
+                yield pa.RecordBatch.from_arrays(
+                    arrays, names=["row_index"] + list(names)
+                )
 
     spec = spark.createDataFrame(ranges, "start long, end long").repartition(
         max(len(ranges), 1), "start"
     )
-    return spec.mapInPandas(read_slice, schema)
+    return spec.mapInArrow(read_slice, schema)
 
 
 # (key column, value columns) per adjacency index dataset — the same

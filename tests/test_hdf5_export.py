@@ -1353,3 +1353,100 @@ def test_reader_rejects_truncated_files(tmp_path):
     # arithmetic
     with pytest.raises(ValueError, match="truncated"):
         MiniH5Reader(t).read_dataset("/d")
+
+
+def test_nan_inf_roundtrip_distributed(spark, tmp_path):
+    """Float NaN and inf stored in the .h5 are VALUES and must read
+    back as values through BOTH readers — the pandas path would conflate
+    NaN with null (this is how compare_parquet_h5 found the bug: 61
+    false mismatches on the reference's own v2 fixture, which carries
+    NaN in afferent_section_pos)."""
+    from pyspark.sql import functions as F
+
+    from parquet_converters_spark.sources.sonata_h5 import (
+        read_sonata_edges,
+        read_sonata_edges_distributed,
+    )
+
+    n = 300
+    vals = np.linspace(0, 1, n).astype("float32")
+    vals[7] = np.nan
+    vals[8] = np.inf
+    vals[9] = -np.inf
+    w = MiniH5Writer()
+    w.create_dataset("/edges/p/source_node_id", np.arange(n, dtype=np.int64))
+    w.create_dataset("/edges/p/0/pos", vals)
+    p = str(tmp_path / "nan.h5")
+    w.write(p)
+    for reader, kw in (
+        (read_sonata_edges, {}),
+        (read_sonata_edges_distributed, {"rows_per_partition": 64}),
+    ):
+        df = reader(spark, p, "p", **kw)
+        stats = df.select(
+            F.sum(F.col("pos").isNull().cast("long")).alias("nulls"),
+            F.sum(F.isnan("pos").cast("long")).alias("nans"),
+            F.sum((F.col("pos") == float("inf")).cast("long")).alias("pinf"),
+            F.sum((F.col("pos") == float("-inf")).cast("long")).alias("ninf"),
+        ).collect()[0]
+        assert stats["nulls"] == 0, reader.__name__
+        assert stats["nans"] == 1 and stats["pinf"] == 1 and stats["ninf"] == 1
+
+
+def test_compare_parquet_h5_nan_inf_identical(spark, tmp_path):
+    """A faithfully round-tripped table containing NaN/inf compares
+    clean (numpy isclose(equal_nan=True) semantics), while a real value
+    flip is still caught."""
+    import json as _json
+
+    from parquet_converters_spark.pipelines import compare_parquet_h5
+    from parquet_converters_spark.sinks.sonata import export_hdf5
+
+    import pyarrow as pa
+
+    n = 200
+    rng = np.random.default_rng(3)
+    w = rng.random(n)
+    w[3] = np.nan
+    w[4] = np.inf
+    pop_dir = tmp_path / "bundle" / "edges" / "p"
+    pop_dir.mkdir(parents=True)
+    (pop_dir / "table.parquet").mkdir()
+    # write through pyarrow, NOT pandas->createDataFrame: the pandas
+    # conversion turns NaN into parquet NULL (the exact conflation the
+    # readers guard against), which would make this fixture test the
+    # wrong thing
+    pq.write_table(
+        pa.table(
+            {
+                "row_index": pa.array(np.arange(n, dtype="int64")),
+                "source_node_id": pa.array(np.arange(n, dtype="int64")),
+                "target_node_id": pa.array(np.arange(n, dtype="int64")),
+                "edge_type_id": pa.array(np.zeros(n, dtype="int64")),
+                "weight": pa.array(w),
+            }
+        ),
+        str(pop_dir / "table.parquet" / "part-0.parquet"),
+    )
+    manifest = {
+        "population": "p",
+        "n_records": n,
+        "attributes": {},
+        "dataset_attributes": {},
+        "top_level_datasets": [
+            "source_node_id", "target_node_id", "edge_type_id"
+        ],
+        "property_datasets": ["weight"],
+        "libraries": [],
+        "row_index_column": "row_index",
+    }
+    (pop_dir / "attributes.json").write_text(_json.dumps(manifest))
+    h5 = str(tmp_path / "e.h5")
+    export_hdf5(str(tmp_path / "bundle"), "p", h5)
+    rep = {
+        r["column"]: r["n_mismatch"]
+        for r in compare_parquet_h5(
+            spark, str(pop_dir / "table.parquet"), h5, "p"
+        ).collect()
+    }
+    assert all(v == 0 for v in rep.values()), rep

@@ -221,3 +221,40 @@ def test_bundle_range_partitions_balanced(spark, tmp_path):
     assert sum(counts) == n
     # no partition more than 2x the ideal share
     assert max(counts) <= 2 * (n // len(counts)), counts
+
+
+def test_compare_parquet_h5(spark, bundle, tmp_path):
+    """The reference-CI comparison (tests/compare_columns.py) upgraded
+    to full-table distributed form: an honest export compares clean; a
+    single flipped byte in the .h5 is caught with its column named."""
+    from parquet_converters_spark.pipelines import compare_parquet_h5
+    from parquet_converters_spark.sinks.hdf5_minimal import MiniH5Writer
+    from parquet_converters_spark.sinks.sonata import export_hdf5
+
+    out, table = bundle
+    h5 = str(tmp_path / "cmp.h5")
+    export_hdf5(out, "edges_test", h5)
+    pq_dir = os.path.join(out, "edges", "edges_test", "table.parquet")
+    rep = {
+        r["column"]: r
+        for r in compare_parquet_h5(spark, pq_dir, h5, "edges_test").collect()
+    }
+    assert set(rep) >= {"source_node_id", "target_node_id", "my_attribute"}
+    for c, r in rep.items():
+        assert r["n_mismatch"] == 0, (c, r)
+        assert r["n_rows"] == table.num_rows
+
+    # flip one value of target_node_id in place and re-compare
+    import numpy as np
+    from parquet_converters_spark.sinks.hdf5_minimal import MiniH5Reader
+
+    lay = MiniH5Reader(h5).dataset_layout("/edges/edges_test/target_node_id")
+    with open(h5, "r+b") as f:
+        f.seek(lay["addr"] + 7 * 8)
+        f.write(np.int64(999_999).tobytes())
+    rep2 = {
+        r["column"]: r
+        for r in compare_parquet_h5(spark, pq_dir, h5, "edges_test").collect()
+    }
+    assert rep2["target_node_id"]["n_mismatch"] == 1
+    assert rep2["source_node_id"]["n_mismatch"] == 0

@@ -138,9 +138,16 @@ def read_sonata_edges(
     arrays = {}
     for name, values in cols.items():
         n = len(values)
-        if getattr(values, "dtype", None) is not None and values.dtype.kind == "S":
+        kind = getattr(getattr(values, "dtype", None), "kind", None)
+        if kind in ("S", "O"):
+            # fixed-width S from the minimal reader, or object arrays of
+            # bytes from h5py's variable-length strings
             arrays[name] = pa.array(
-                [v.decode() for v in values], type=pa.string()
+                [
+                    v.decode() if isinstance(v, (bytes, bytearray)) else str(v)
+                    for v in values
+                ],
+                type=pa.string(),
             )
         else:
             arrays[name] = pa.array(np.asarray(values))

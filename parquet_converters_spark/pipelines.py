@@ -395,23 +395,34 @@ def compare_parquet_h5(
         x, y = F.col(f"_a_{c}"), F.col(f"_b_{c}")
         if c in floats:
             err = F.abs(x - y)
-            # faithfully round-tripped NaN and inf rows must compare as
-            # identical: the comparison OPERATOR treats NaN as unequal
-            # to everything (the NaN=NaN-is-true semantics applies to
-            # joins/grouping, not <=>'s plain form here) and inf - inf
-            # is NaN, which compares greater than any threshold — so
-            # match both-NaN explicitly and guard the tolerance with
-            # x != y (true equality covers inf == inf)
-            same = (F.isnan(x) & F.isnan(y)) | (x == y)
-            bad = (
-                x.isNull() | y.isNull()
-                | (~same & (err > F.lit(atol) + F.lit(rtol) * F.abs(y)))
+            inf = F.lit(float("inf"))
+            # numpy-isclose semantics, non-finite-safe BOTH ways: the
+            # tolerance test only applies when both sides are finite —
+            # with a non-finite y the threshold atol + rtol*|y| itself
+            # becomes NaN/inf and `err > threshold` is FALSE, which
+            # would wave through exactly the flipped-exponent
+            # corruptions (finite vs NaN/inf) this tool must catch.
+            # Spark's == is true for NaN = NaN and inf = inf, so exact
+            # equality covers the faithfully-round-tripped cases.
+            finite = (
+                ~F.isnan(x) & ~F.isnan(y)
+                & (F.abs(x) != inf) & (F.abs(y) != inf)
             )
-            aggs.append(F.max(F.when(~same, err)).alias(f"_e_{c}"))
+            same = (x == y) | (
+                finite & (err <= F.lit(atol) + F.lit(rtol) * F.abs(y))
+            )
+            bad = x.isNull() | y.isNull() | ~same
+            aggs.append(
+                F.max(F.when(finite & (x != y), err)).alias(f"_e_{c}")
+            )
         else:
             bad = x.isNull() | y.isNull() | (x != y)
             aggs.append(F.lit(None).cast("double").alias(f"_e_{c}"))
-        aggs.append(F.sum(bad.cast("long")).alias(f"_m_{c}"))
+        # coalesce: over an empty join the sums aggregate to NULL, and a
+        # 0-edge population must report 0 mismatches, not None
+        aggs.append(
+            F.coalesce(F.sum(bad.cast("long")), F.lit(0)).alias(f"_m_{c}")
+        )
         aggs.append(F.count(F.lit(1)).alias(f"_n_{c}"))
     row = j.agg(*aggs).collect()[0]
     return spark.createDataFrame(

@@ -959,6 +959,11 @@ class MiniH5Reader:
         lay = self.dataset_layout(path)
         dt, shape = np.dtype(lay["dtype"]), lay["shape"]
         if lay["layout"] == "contig":
+            if lay["addr"] == UNDEF or lay["nbytes"] == 0:
+                # libhdf5 defers allocation: an empty or never-written
+                # contiguous dataset stores the undefined address and
+                # reads back as its fill value (zeros), not an error
+                return np.zeros(shape, dtype=dt)
             if lay["addr"] + lay["nbytes"] > len(self.buf):
                 raise ValueError(
                     f"{path!r}: data extent ends at byte "

@@ -191,6 +191,14 @@ def _slice_rows(fh, lay, chunks, dt, start, end, name):
     ncols = shape[1] if len(shape) == 2 else None
     row_w = dt.itemsize * (ncols or 1)
     if lay["layout"] == "contig":
+        from parquet_converters_spark.sinks.hdf5_minimal import UNDEF
+
+        if lay["addr"] == UNDEF or lay.get("nbytes") == 0:
+            # deferred-allocation dataset: fill value (zeros), like
+            # MiniH5Reader.read_dataset
+            return np.zeros(
+                (end - start, ncols) if ncols else (end - start,), dtype=dt
+            )
         fh.seek(lay["addr"] + start * row_w)
         arr = np.frombuffer(fh.read((end - start) * row_w), dtype=dt)
         return arr.reshape(end - start, ncols) if ncols else arr

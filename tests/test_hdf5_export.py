@@ -1450,3 +1450,90 @@ def test_compare_parquet_h5_nan_inf_identical(spark, tmp_path):
         ).collect()
     }
     assert all(v == 0 for v in rep.values()), rep
+
+
+def test_compare_catches_nonfinite_corruption(spark, tmp_path):
+    """A finite value corrupted into NaN or inf MUST count as a
+    mismatch — with a non-finite side the tolerance threshold itself
+    goes NaN/inf and a naive err > threshold test waves the corruption
+    through."""
+    import json as _json
+
+    import pyarrow as pa
+
+    from parquet_converters_spark.pipelines import compare_parquet_h5
+    from parquet_converters_spark.sinks.sonata import export_hdf5
+
+    n = 50
+    w = np.linspace(1.0, 2.0, n)
+    pop_dir = tmp_path / "bundle" / "edges" / "p"
+    pop_dir.mkdir(parents=True)
+    (pop_dir / "table.parquet").mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "row_index": pa.array(np.arange(n, dtype="int64")),
+                "source_node_id": pa.array(np.arange(n, dtype="int64")),
+                "target_node_id": pa.array(np.arange(n, dtype="int64")),
+                "edge_type_id": pa.array(np.zeros(n, dtype="int64")),
+                "weight": pa.array(w),
+            }
+        ),
+        str(pop_dir / "table.parquet" / "part-0.parquet"),
+    )
+    manifest = {
+        "population": "p",
+        "n_records": n,
+        "attributes": {},
+        "dataset_attributes": {},
+        "top_level_datasets": [
+            "source_node_id", "target_node_id", "edge_type_id"
+        ],
+        "property_datasets": ["weight"],
+        "libraries": [],
+        "row_index_column": "row_index",
+    }
+    (pop_dir / "attributes.json").write_text(_json.dumps(manifest))
+    h5 = str(tmp_path / "e.h5")
+    export_hdf5(str(tmp_path / "bundle"), "p", h5)
+    # corrupt three stored values: finite -> NaN, finite -> inf, and a
+    # plain different finite value
+    lay = MiniH5Reader(h5).dataset_layout("/edges/p/0/weight")
+    with open(h5, "r+b") as f:
+        f.seek(lay["addr"] + 5 * 8)
+        f.write(np.float64(np.nan).tobytes())
+        f.seek(lay["addr"] + 6 * 8)
+        f.write(np.float64(np.inf).tobytes())
+        f.seek(lay["addr"] + 7 * 8)
+        f.write(np.float64(123.456).tobytes())
+    rep = {
+        r["column"]: r["n_mismatch"]
+        for r in compare_parquet_h5(
+            spark, str(pop_dir / "table.parquet"), h5, "p"
+        ).collect()
+    }
+    assert rep["weight"] == 3, rep
+
+
+def test_reader_undef_address_reads_as_fill(tmp_path):
+    """A contiguous dataset stored with the undefined address (libhdf5's
+    deferred allocation for empty/never-written data) reads back as its
+    zero fill value — not a 'truncated file' error."""
+    import struct
+
+    from parquet_converters_spark.sinks.hdf5_minimal import UNDEF
+
+    w = MiniH5Writer()
+    w.create_dataset("/d", np.arange(4, dtype=np.int64))
+    p = str(tmp_path / "undef.h5")
+    w.write(p)
+    meta = w.data_offsets["/d"]
+    blob = bytearray(open(p, "rb").read())
+    # patch the layout message: address -> UNDEF (keep size)
+    body = struct.pack("<BBQQ", 3, 1, meta["offset"], 4 * 8)
+    at = blob.find(body)
+    assert at > 0
+    blob[at + 2:at + 10] = struct.pack("<Q", UNDEF)
+    open(p, "wb").write(bytes(blob))
+    got = MiniH5Reader(p).read_dataset("/d")
+    assert got.tolist() == [0, 0, 0, 0]

@@ -463,11 +463,15 @@ def read_sonata_index_distributed(
     target = os.path.abspath(h5_path)
 
     def read_slice(batches):
-        import pandas as pd
+        # Arrow end-to-end, like the edge reader (no pandas hop — the
+        # columns are integral today, but the fidelity rule is uniform)
+        import pyarrow as pa
 
         chunks_cache: list | None = None
         for spec in batches:
-            for start, end in zip(spec["start"], spec["end"]):
+            for start, end in zip(
+                spec.column(0).to_pylist(), spec.column(1).to_pylist()
+            ):
                 start, end = int(start), int(end)
                 with open(target, "rb") as fh:
                     if lay["layout"] != "contig" and chunks_cache is None:
@@ -477,12 +481,13 @@ def read_sonata_index_distributed(
                     mat = _slice_rows(
                         fh, lay, chunks_cache or (), dt, start, end, path
                     )
-                yield pd.DataFrame(
-                    {
-                        key_col: np.arange(start, end, dtype=np.int64),
-                        val_cols[0]: mat[:, 0],
-                        val_cols[1]: mat[:, 1],
-                    }
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(np.arange(start, end, dtype=np.int64)),
+                        pa.array(np.ascontiguousarray(mat[:, 0])),
+                        pa.array(np.ascontiguousarray(mat[:, 1])),
+                    ],
+                    names=[key_col, val_cols[0], val_cols[1]],
                 )
 
     ranges = [
@@ -492,4 +497,4 @@ def read_sonata_index_distributed(
     spec = spark.createDataFrame(ranges, "start long, end long").repartition(
         max(len(ranges), 1), "start"
     )
-    return spec.mapInPandas(read_slice, schema)
+    return spec.mapInArrow(read_slice, schema)

@@ -6743,12 +6743,26 @@ _R05_WINDOW = [
     "bm25_search",
     "decontaminate_train",
 ]
-assert len(_R05_WINDOW) == 50, len(_R05_WINDOW)
-assert set(_R05_WINDOW) <= set(QUERIES), sorted(set(_R05_WINDOW) - set(QUERIES))
-QUERIES = {
-    **{name: QUERIES[name] for name in _R05_WINDOW},
-    **{name: v for name, v in QUERIES.items() if name not in _R05_WINDOW},
-}
+def _check_window(window, name, prior=None):
+    """Validate a grading-window list at import time.
+
+    Explicit raises (not ``assert``) so the checks survive ``python -O``
+    — the rotation workflow relies on them firing every import.
+    """
+    if len(window) != 50:
+        raise ValueError(f"{name}: expected 50 entries, got {len(window)}")
+    missing = sorted(set(window) - set(QUERIES))
+    if missing:
+        raise ValueError(f"{name}: not in registry: {missing}")
+    if len(set(window)) != len(window):
+        raise ValueError(f"{name}: duplicate entries")
+    if prior is not None:
+        overlap = sorted(set(window) & set(prior))
+        if overlap:
+            raise ValueError(f"{name}: overlaps prior window: {overlap}")
+
+
+_check_window(_R05_WINDOW, "_R05_WINDOW")
 
 # --- r06 grading rotation (PRE-WIRED, activate at round-6 start) -----------
 # After r05 every oracled query has a driver row and the r01-only cohort
@@ -6814,12 +6828,10 @@ _R06_WINDOW = [
     "scd2_event_history",
     "upsert_latest_state",
 ]
-assert len(_R06_WINDOW) == 50, len(_R06_WINDOW)
-assert set(_R06_WINDOW) <= set(QUERIES), sorted(set(_R06_WINDOW) - set(QUERIES))
-assert not set(_R06_WINDOW) & set(_R05_WINDOW)
-# ROUND 6: uncomment to activate (MUST stay commented during round 5 —
-# the driver grades the first 50 oracled entries, which are r05's):
-# QUERIES = {
-#     **{name: QUERIES[name] for name in _R06_WINDOW},
-#     **{name: v for name, v in QUERIES.items() if name not in _R06_WINDOW},
-# }
+_check_window(_R06_WINDOW, "_R06_WINDOW", prior=_R05_WINDOW)
+# ACTIVE for round 6 (CORRECTNESS_r05 had zero reds, so nothing to
+# promote ahead of the planned cohort):
+QUERIES = {
+    **{name: QUERIES[name] for name in _R06_WINDOW},
+    **{name: v for name, v in QUERIES.items() if name not in _R06_WINDOW},
+}

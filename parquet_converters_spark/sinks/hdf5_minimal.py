@@ -424,10 +424,19 @@ class MiniH5Writer:
         if arr.dtype.kind == "U":
             arr = arr.astype("S")
         if arr.dtype.kind == "O":
+            flat = arr.ravel()
+            for v in flat:
+                if not isinstance(v, (str, bytes)):
+                    # HDF5 fixed-width strings have no NULL: str(None)
+                    # would silently write (a truncation of) b'None'
+                    raise ValueError(
+                        f"dataset {path!r}: non-string value {v!r} in "
+                        "string column — fill or drop NULLs before export"
+                    )
             arr = np.asarray(
-                [v.encode() if isinstance(v, str) else v for v in arr],
+                [v.encode() if isinstance(v, str) else v for v in flat],
                 dtype="S",
-            )
+            ).reshape(arr.shape)
         parent.children[name] = _Dataset(
             name, arr, chunks=chunks, compression=compression,
             shuffle=shuffle,

@@ -85,12 +85,22 @@ def _write_metadata_sidecar(path: str) -> None:
         return
     collector = []
     schema = None
+    first_file = None
     for f in files:
         md = pq.read_metadata(f)
         md.set_file_path(os.path.basename(f))
         collector.append(md)
+        file_schema = pq.ParquetFile(f).schema_arrow
         if schema is None:
-            schema = pq.ParquetFile(f).schema_arrow
+            schema, first_file = file_schema, f
+        elif not file_schema.equals(schema):
+            # a sidecar recorded from the first file would misdescribe
+            # the rest (e.g. append-mode runs with drifted schemas)
+            raise ValueError(
+                f"_metadata sidecar: schema of {f} differs from "
+                f"{first_file} — unify schemas (or skip the sidecar) "
+                "before writing a directory-level footer"
+            )
     pq.write_metadata(
         schema, os.path.join(path, "_metadata"), metadata_collector=collector
     )

@@ -64,6 +64,26 @@ from parquet_converters_spark.operators.indexing import (
 COLUMNS_TO_SKIP = {"synapse_id", "__index_level_0__"}
 TOP_LEVEL_DATASETS = ("source_node_id", "target_node_id", "edge_type_id")
 
+
+def _encode_str_values(values, column: str) -> list:
+    """UTF-8 encode one string column for a fixed-width ``S`` dataset.
+
+    HDF5 fixed-width strings have no NULL representation, and a silent
+    ``str(None)`` would write (a truncation of) ``b'None'`` — and the
+    octet-length width aggregate ignores NULLs, so the garbage could
+    even be cut to ``b'N'``.  Raise instead; callers that want a
+    convention must fill NULLs upstream."""
+    out = []
+    for v in values:
+        if v is None or (isinstance(v, float) and v != v):
+            raise ValueError(
+                f"column {column!r}: NULL string value cannot be "
+                "represented in a fixed-width HDF5 string dataset — "
+                "fill or drop NULLs before export"
+            )
+        out.append(v if isinstance(v, bytes) else str(v).encode())
+    return out
+
 # bundle range-partition sizing: ~4M edge rows is ~100-200 MB of parquet
 # at typical edge-row widths (the healthy HDFS/S3 object size), and no
 # file should drop below ~64Ki rows just to keep every core busy
@@ -331,6 +351,28 @@ def _gather_small_datasets(
     return datasets, attrs
 
 
+_CHUNK_ROWS_BASE = 1 << 16
+_MAX_CHUNKS_PER_DATASET = 1 << 20
+
+
+def _auto_chunk_rows(n_rows: int) -> int:
+    """Default HDF5 chunk length scaled from the DATA (VERDICT r05
+    item 2): a fixed 64Ki-row chunk is right up to tens of billions of
+    rows (512 KiB chunks for an int64 column), but at 1e12 rows it
+    would hand the compressed export's driver ~15M (dataset, chunk,
+    size) entries per column.  Cap chunks-per-dataset at ~1M by growing
+    the chunk length in powers of two past ``64Ki * 1M`` rows; the
+    driver's layout lists and the fill pass's address broadcast then
+    stay O(1M) regardless of table size.  Both the single writer and
+    the parallel compressed export derive the SAME value from the same
+    row count, preserving their byte-identity under default arguments.
+    """
+    rows = _CHUNK_ROWS_BASE
+    while rows * _MAX_CHUNKS_PER_DATASET < n_rows:
+        rows <<= 1
+    return rows
+
+
 def _dataset_path(base: str, name: str, manifest: dict) -> str:
     if name in manifest["top_level_datasets"]:
         return f"{base}/{name}"
@@ -342,7 +384,7 @@ def export_hdf5(
     population: str,
     h5_path: str,
     compression: str | None = None,
-    chunk_rows: int = 1 << 16,
+    chunk_rows: int | None = None,
 ) -> None:
     """Convert a SONATA bundle to a real SONATA HDF5 file — the
     correctness path of SURVEY §7 step 5, mirroring the reference's
@@ -380,6 +422,8 @@ def export_hdf5(
     # gather the whole file as (path -> array) + (path -> attrs) first;
     # both backends then apply the same plan
     table = pq.read_table(os.path.join(pop_dir, "table.parquet"))
+    if chunk_rows is None:
+        chunk_rows = _auto_chunk_rows(table.num_rows)
     perm = np.argsort(
         table.column(manifest["row_index_column"]).to_numpy()
     )
@@ -609,11 +653,7 @@ def export_hdf5_parallel(
                                 # ASCII-encode and raise on non-ASCII);
                                 # widths come from octet_length = UTF-8 bytes
                                 np.array(
-                                    [
-                                        v if isinstance(v, bytes) else str(v).encode()
-                                        for v in pdf[c]
-                                    ],
-                                    dtype=dt,
+                                    _encode_str_values(pdf[c], c), dtype=dt
                                 )
                                 if dt.kind == "S"
                                 else pdf[c].to_numpy(dt)
@@ -688,7 +728,7 @@ def export_hdf5_parallel_compressed(
     bundle_dir: str,
     population: str,
     h5_path: str,
-    chunk_rows: int = 1 << 16,
+    chunk_rows: int | None = None,
     spill_dir: str | None = None,
 ) -> int:
     """Parallel COMPRESSED SONATA ``.h5`` export — the two-pass variant
@@ -727,9 +767,11 @@ def export_hdf5_parallel_compressed(
     always a fresh unique SUBDIRECTORY created under ``spill_dir`` — a
     caller-supplied directory is never overwritten or deleted, only the
     subdirectory this call created is, and only on SUCCESS (a failed
-    export keeps its partial spill for debugging).  At extreme chunk counts
-    (multi-TB single files) raise ``chunk_rows`` so the O(chunks)
-    driver lists and the pass-3 address broadcast stay small.
+    export keeps its partial spill for debugging).  ``chunk_rows``
+    defaults to :func:`_auto_chunk_rows` (64Ki, doubling past 64Ki·1M
+    rows), which caps the O(chunks) driver lists and the pass-3 address
+    broadcast at ~1M entries per dataset regardless of table size; pass
+    an explicit value only to match a foreign file's layout.
 
     Returns the number of edge rows written.
     """
@@ -756,6 +798,8 @@ def export_hdf5_parallel_compressed(
 
     table_path = os.path.join(pop_dir, "table.parquet")
     n_rows, schema = table_meta(table_path)
+    if chunk_rows is None:
+        chunk_rows = _auto_chunk_rows(n_rows)
     big = _edge_column_dtypes(spark, table_path, schema, manifest)
 
     # jobs: (parquet path, key col, [(ds_path, cols, dtype)], n_rows)
@@ -821,6 +865,17 @@ def export_hdf5_parallel_compressed(
                     f"rows, expected {min(lo + c, n_i) - lo} — keys are "
                     "not dense/unique"
                 )
+            # bounds + count alone can't catch a duplicate paired with
+            # an interior hole (e.g. [0,1,1,3]): the dup position would
+            # be written twice and the hole silently stay zero.  Check
+            # density explicitly.
+            if not np.array_equal(
+                np.sort(idx), np.arange(lo, min(lo + c, n_i))
+            ):
+                raise ValueError(
+                    f"{parquet_path}: chunk {chunk_id} keys are not "
+                    f"dense/unique over [{lo}, {min(lo + c, n_i)})"
+                )
             pos = idx - lo
             rows = []
             for ds, cols, dt_str in specs_ser:
@@ -830,13 +885,7 @@ def export_hdf5_parallel_compressed(
                 )
                 for j, col in enumerate(cols):
                     vals = (
-                        np.array(
-                            [
-                                v if isinstance(v, bytes) else str(v).encode()
-                                for v in pdf[col]
-                            ],
-                            dtype=dt,
-                        )
+                        np.array(_encode_str_values(pdf[col], col), dtype=dt)
                         if dt.kind == "S"
                         else pdf[col].to_numpy(dt)
                     )
@@ -921,10 +970,7 @@ def export_hdf5_parallel_compressed(
             for ds, cols, dt in specs:
                 mats = [
                     np.asarray(
-                        [
-                            v if isinstance(v, bytes) else str(v).encode()
-                            for v in t.column(col).to_pylist()
-                        ],
+                        _encode_str_values(t.column(col).to_pylist(), col),
                         dtype=dt,
                     )
                     if dt.kind == "S"

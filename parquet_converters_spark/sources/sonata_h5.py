@@ -200,7 +200,14 @@ def _slice_rows(fh, lay, chunks, dt, start, end, name):
                 (end - start, ncols) if ncols else (end - start,), dtype=dt
             )
         fh.seek(lay["addr"] + start * row_w)
-        arr = np.frombuffer(fh.read((end - start) * row_w), dtype=dt)
+        buf = fh.read((end - start) * row_w)
+        if len(buf) != (end - start) * row_w:
+            raise ValueError(
+                f"{name}: truncated file — expected "
+                f"{(end - start) * row_w} bytes at offset "
+                f"{lay['addr'] + start * row_w}, got {len(buf)}"
+            )
+        arr = np.frombuffer(buf, dtype=dt)
         return arr.reshape(end - start, ncols) if ncols else arr
     c = lay["chunk_shape"][0]
     out = np.zeros(

@@ -1537,3 +1537,138 @@ def test_reader_undef_address_reads_as_fill(tmp_path):
     open(p, "wb").write(bytes(blob))
     got = MiniH5Reader(p).read_dataset("/d")
     assert got.tolist() == [0, 0, 0, 0]
+
+
+def _tiny_bundle(spark, tmp_path, tbl, properties=(), n=None):
+    """Write a minimal bundle from a pandas edge table (helper for the
+    malformed-input tests below)."""
+    import json as _json
+
+    pop_dir = tmp_path / "bundle" / "edges" / "p"
+    pop_dir.mkdir(parents=True)
+    spark.createDataFrame(tbl).write.parquet(str(pop_dir / "table.parquet"))
+    manifest = {
+        "population": "p",
+        "n_records": n if n is not None else len(tbl),
+        "attributes": {},
+        "dataset_attributes": {},
+        "top_level_datasets": [
+            "source_node_id", "target_node_id", "edge_type_id"
+        ],
+        "property_datasets": list(properties),
+        "libraries": [],
+        "row_index_column": "row_index",
+    }
+    (pop_dir / "attributes.json").write_text(_json.dumps(manifest))
+    return str(tmp_path / "bundle")
+
+
+def test_compressed_export_rejects_duplicate_key_with_hole(spark, tmp_path):
+    """A duplicate row_index paired with an interior hole keeps the
+    chunk's bounds AND row count valid — only the explicit density
+    check catches it (the dup position would be written twice and the
+    hole silently stay zero)."""
+    import pandas as pd
+
+    from parquet_converters_spark.sinks.sonata import (
+        export_hdf5_parallel_compressed,
+    )
+
+    n = 300
+    idx = np.arange(n, dtype="int64")
+    idx[5] = 6  # duplicate of 6, hole at 5 — same chunk, bounds/count OK
+    tbl = pd.DataFrame(
+        {
+            "row_index": idx,
+            "source_node_id": np.arange(n, dtype="int64"),
+            "target_node_id": np.arange(n, dtype="int64"),
+            "edge_type_id": np.zeros(n, dtype="int64"),
+        }
+    )
+    bundle_dir = _tiny_bundle(spark, tmp_path, tbl)
+    with pytest.raises(Exception, match="dense/unique"):
+        export_hdf5_parallel_compressed(
+            spark, bundle_dir, "p", str(tmp_path / "x.h5"), chunk_rows=64
+        )
+
+
+def test_null_string_rejected_every_export_path(spark, tmp_path):
+    """A NULL in a string edge column must raise in ALL export paths —
+    HDF5 fixed-width strings have no NULL, and str(None) would write
+    (a width-truncation of) b'None' as silent garbage."""
+    import pandas as pd
+
+    from parquet_converters_spark.sinks.sonata import (
+        export_hdf5,
+        export_hdf5_parallel,
+        export_hdf5_parallel_compressed,
+    )
+
+    n = 300
+    kinds = ["soma", "axon", None] * 100
+    tbl = pd.DataFrame(
+        {
+            "row_index": np.arange(n, dtype="int64"),
+            "source_node_id": np.arange(n, dtype="int64"),
+            "target_node_id": np.arange(n, dtype="int64"),
+            "edge_type_id": np.zeros(n, dtype="int64"),
+            "kind": kinds,
+        }
+    )
+    bundle_dir = _tiny_bundle(spark, tmp_path, tbl, properties=["kind"])
+    with pytest.raises(Exception, match="NULL|non-string"):
+        export_hdf5(bundle_dir, "p", str(tmp_path / "s.h5"))
+    with pytest.raises(Exception, match="NULL|non-string"):
+        export_hdf5_parallel(spark, bundle_dir, "p", str(tmp_path / "p.h5"))
+    with pytest.raises(Exception, match="NULL|non-string"):
+        export_hdf5_parallel_compressed(
+            spark, bundle_dir, "p", str(tmp_path / "c.h5"), chunk_rows=64
+        )
+
+
+def test_auto_chunk_rows_scales_with_table():
+    """chunk_rows defaults stay 64Ki through tens of billions of rows,
+    then double so chunks-per-dataset is capped ~1M (bounds the
+    compressed export's O(chunks) driver metadata)."""
+    from parquet_converters_spark.sinks.sonata import (
+        _MAX_CHUNKS_PER_DATASET,
+        _auto_chunk_rows,
+    )
+
+    assert _auto_chunk_rows(0) == 1 << 16
+    assert _auto_chunk_rows(10**6) == 1 << 16
+    assert _auto_chunk_rows((1 << 16) * (1 << 20)) == 1 << 16  # boundary
+    assert _auto_chunk_rows((1 << 16) * (1 << 20) + 1) == 1 << 17
+    for n in (10**11, 10**12, 10**13):
+        rows = _auto_chunk_rows(n)
+        assert -(-n // rows) <= _MAX_CHUNKS_PER_DATASET
+        # never more than 2x the minimal power-of-two chunk length
+        assert rows == 1 << 16 or -(-n // (rows >> 1)) > _MAX_CHUNKS_PER_DATASET
+
+
+def test_distributed_read_truncated_file_clear_error(spark, tmp_path):
+    """A truncated contiguous .h5 must fail the distributed read with an
+    explicit 'truncated file' error, not an opaque reshape/Arrow
+    length mismatch."""
+    import pandas as pd
+
+    from parquet_converters_spark.sinks.sonata import export_hdf5
+    from parquet_converters_spark.sources.sonata_h5 import read_sonata_edges
+
+    n = 5_000
+    tbl = pd.DataFrame(
+        {
+            "row_index": np.arange(n, dtype="int64"),
+            "source_node_id": np.arange(n, dtype="int64"),
+            "target_node_id": np.arange(n, dtype="int64"),
+            "edge_type_id": np.zeros(n, dtype="int64"),
+        }
+    )
+    bundle_dir = _tiny_bundle(spark, tmp_path, tbl)
+    h5 = str(tmp_path / "t.h5")
+    export_hdf5(bundle_dir, "p", h5)
+    size = os.path.getsize(h5)
+    with open(h5, "r+b") as f:
+        f.truncate(size - 64)
+    with pytest.raises(Exception, match="truncated"):
+        read_sonata_edges(spark, h5, "p").collect()

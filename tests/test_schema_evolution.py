@@ -131,3 +131,47 @@ def test_global_row_index_unordered_mode_no_shuffle(spark):
     for ids in by_part.values():
         ids.sort()
         assert ids == list(range(ids[0], ids[0] + len(ids)))
+
+
+def test_metadata_sidecar_rejects_drifted_schemas(spark, tmp_path):
+    """_write_metadata_sidecar records the FIRST file's schema; if later
+    files drifted (append-mode runs), a sidecar would misdescribe them —
+    it must refuse instead of writing an inconsistent footer."""
+    import pytest
+
+    from parquet_converters_spark.sinks.parquet_sink import (
+        _write_metadata_sidecar,
+    )
+
+    d = tmp_path / "drift"
+    d.mkdir()
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table({"doc_id": pa.array([1, 2], pa.int64())}),
+        str(d / "part-0.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([3], pa.int64()),
+                "lang": pa.array(["en"]),
+            }
+        ),
+        str(d / "part-1.parquet"),
+    )
+    with pytest.raises(ValueError, match="differs"):
+        _write_metadata_sidecar(str(d))
+    # identical schemas (even with different KV stamps) still pass
+    d2 = tmp_path / "same"
+    d2.mkdir()
+    for i, kv in enumerate(({"a": "1"}, {"a": "2"})):
+        pq.write_table(
+            pa.table({"doc_id": pa.array([i], pa.int64())}).replace_schema_metadata(
+                {k.encode(): v.encode() for k, v in kv.items()}
+            ),
+            str(d2 / f"part-{i}.parquet"),
+        )
+    _write_metadata_sidecar(str(d2))
+    assert (d2 / "_metadata").exists()

@@ -305,3 +305,152 @@ def kmeans_fit(
         return KMeansModel(centroids, it, converged, inertia_history)
     finally:
         base.unpersist()
+
+
+# --- cross-engine-exact (quantized integer) variant ------------------------
+
+
+def _dist2q_lit(vec: Column, cen: list[int]) -> Column:
+    """Squared L2 distance between a long-array column and a literal
+    integer centroid: a zip_with fold of long products — EXACT integer
+    arithmetic, so the value is independent of partitioning, engine,
+    and reduction order (magnitudes: (2 * scale)^2 * dim << 2^63)."""
+    lit = F.array(*[F.lit(int(x)).cast("long") for x in cen])
+    return F.aggregate(
+        F.zip_with(vec, lit, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _greedy_farthest_int(vecs: list[list[int]], k: int) -> list[list[int]]:
+    """`_greedy_farthest` on integer vectors: distances are exact
+    (arbitrary-precision int), so the traversal is reproducible by any
+    engine.  Ties -> earliest sample position, like the float variant."""
+    if len(vecs) < k:
+        raise ValueError(f"kmeans_fit_exact: need >= k={k} rows")
+    chosen = [0]
+    d = [sum((a - b) ** 2 for a, b in zip(v, vecs[0])) for v in vecs]
+    while len(chosen) < k:
+        far = max(range(len(vecs)), key=lambda i: (d[i], -i))
+        if d[far] == 0:
+            raise ValueError(
+                f"kmeans_fit_exact: need >= k={k} distinct quantized vectors"
+            )
+        chosen.append(far)
+        nv = vecs[far]
+        for i, v in enumerate(vecs):
+            d2 = sum((a - b) ** 2 for a, b in zip(v, nv))
+            if d2 < d[i]:
+                d[i] = d2
+    return [vecs[i] for i in chosen]
+
+
+def kmeans_fit_exact(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int,
+    iterations: int = 5,
+    scale: int = 10**6,
+    sample_size: int = 1024,
+) -> tuple[DataFrame, list[list[int]]]:
+    """Fixed-iteration Lloyd's k-means on ``scale``-quantized INTEGER
+    embeddings — bitwise-reproducible across engines, which makes the
+    iterative fit value-oracle-able (DuckDB replays it as unrolled
+    chained CTEs; see queries.KMEANS_DOC_SQL).  The float
+    ``kmeans_fit`` stays the production path; this variant trades the
+    sub-1e-6 tail of precision for exactness:
+
+    - vectors quantized once: ``q_i = round(x_i * scale)`` (long),
+    - distances are exact long sums (order-free),
+    - init = greedy farthest-point over the ``sample_size`` min-h32
+      rows (exact integer distances, ties -> earliest position),
+    - assignment argmin ties -> lowest cluster index
+      (``array_position`` returns the FIRST minimum),
+    - centroid update ``round(sum / n)`` does ONE IEEE division on
+      exact integers then std::round — identical in every engine;
+      empty clusters keep their centroid,
+    - fixed ``iterations`` rounds, no tolerance early-exit (an
+      early-exit divergence would desynchronize the SQL unroll).
+
+    Returns ``(assigned, centroids)``: ``assigned`` has columns
+    ``(id_col, cluster int, d2q long)`` where ``d2q`` is the exact
+    squared distance in quantized units (divide by ``scale**2`` for
+    original units); ``centroids`` is the final integer matrix.  Same
+    100 TB shape as ``kmeans_fit``: one narrow map per assignment, one
+    k x dim aggregate per update, O(k * dim) driver state.
+    """
+    from parquet_converters_spark.operators.linalg import round_half_away
+
+    qcol = F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda x: F.round(x * scale).cast("long"),
+    )
+    base = df.select(F.col(id_col), qcol.alias("_q")).persist()
+    try:
+        rows = (
+            base.withColumn("_h", h32(F.col(id_col).cast("string")))
+            .orderBy("_h", id_col)
+            .limit(max(k, sample_size))
+            .collect()
+        )
+        if not rows:
+            raise ValueError("kmeans_fit_exact: empty input")
+        dim = len(rows[0]["_q"])
+        centroids = _greedy_farthest_int(
+            [[int(v) for v in r["_q"]] for r in rows], k
+        )
+        def pick(centroids):
+            # bind evaluates the k-fold distance array ONCE per row;
+            # argmin ties -> lowest cluster (array_position = first min)
+            darr = F.array(
+                *[_dist2q_lit(F.col("_q"), c) for c in centroids]
+            )
+            return bind(
+                darr,
+                lambda d: F.struct(
+                    (F.array_position(d, F.array_min(d)) - 1)
+                    .cast("int")
+                    .alias("c"),
+                    F.array_min(d).alias("d"),
+                ),
+            )
+
+        for _ in range(iterations):
+            assigned = base.select("_q", pick(centroids)["c"].alias("cluster"))
+            # long sums: exact while n_cluster * scale * max|x| < 2^63
+            # (~10^12 rows at scale=1e6) — swap in decimal(38,0) casts
+            # beyond that; DuckDB's hugeint sums equal either way
+            stats = {
+                r["cluster"]: r
+                for r in assigned.groupBy("cluster")
+                .agg(
+                    F.count(F.lit(1)).alias("_n"),
+                    *[
+                        F.sum(F.col("_q")[i]).alias(f"_s{i}")
+                        for i in range(dim)
+                    ],
+                )
+                .collect()
+            }
+            centroids = [
+                [
+                    round_half_away(
+                        float(int(stats[c][f"_s{i}"])) / stats[c]["_n"]
+                    )
+                    for i in range(dim)
+                ]
+                if c in stats
+                else centroids[c]  # empty cluster keeps its centroid
+                for c in range(k)
+            ]
+        final = pick(centroids)
+        assigned = base.select(
+            F.col(id_col),
+            final["c"].alias("cluster"),
+            final["d"].alias("d2q"),
+        )
+        return assigned, centroids
+    finally:
+        base.unpersist()

@@ -122,3 +122,137 @@ def _iterate(base, dim, v, eig, it, fallback, max_iter, tol):
                 v = [-y for y in v]
             break
     return v, eig, it, converged
+
+
+def round_half_away(x: float) -> int:
+    """Nearest integer with exact-binary .5 ties away from zero — the
+    semantics of C++ ``std::round`` (what DuckDB's ``round(DOUBLE)``
+    compiles to) and of Spark's HALF_UP ``round``.  NOT Python's
+    built-in ``round`` (banker's / half-even), which would silently
+    diverge from both engines on every exact ``.5``.
+    """
+    from decimal import ROUND_HALF_UP, Decimal
+
+    # Decimal(float) is the EXACT binary value, so the tie test is on
+    # the same bits both engines round.
+    return int(Decimal(x).quantize(Decimal(1), rounding=ROUND_HALF_UP))
+
+
+def power_iteration_pc1_exact(
+    df: DataFrame,
+    vec_col: str,
+    iterations: int = 8,
+    scale: int = 10**6,
+) -> tuple[list[float], float]:
+    """Fixed-iteration power method on ``scale``-quantized INTEGER
+    embeddings — bitwise-reproducible across engines and partitionings,
+    which makes the iterative fit value-oracle-able (the float variant
+    ``power_iteration_pc1`` is numerically superior but its IEEE sums
+    depend on reduction order, so no SQL engine can replicate it
+    hash-exactly).
+
+    Exactness buys a structural freedom floats never get: any engine
+    may compute the same integer-valued DEFINITION in any form and land
+    on identical bits.  So instead of one distributed pass per
+    iteration, this runs ONE pass total — the exact augmented moment
+    matrix ``S_ij = sum_r q'_i q'_j`` over ``q' = q ++ [1]`` (so the
+    same pass yields the pairwise products, the per-dim sums S_i,dim
+    and the row count S_dim,dim), via explode-pair + a single
+    decimal(38,0) hash aggregate (map-side partials; the shuffle
+    carries (dim+1)^2/2 partial rows per task, never data rows).  The
+    centered Gram ``G = S - mu s^T - s mu^T + n mu mu^T`` (exact
+    integers, ``mu_i = round(S_i/n)``) then makes every power step a
+    DRIVER-side exact big-int mat-vec:
+
+    - ``w = G v`` (arbitrary-precision int — no overflow, no rounding),
+    - ``v' = round(w * scale / max|w|)`` — max-normalization (any norm
+      works for power iteration; max of exact ints is exact, and the
+      update is ONE shared-input IEEE multiply+divide, which every
+      engine rounds identically — std::round semantics via
+      ``round_half_away``).
+
+    Outputs: unit-L2 loadings (sign-normalized, first nonzero positive)
+    and the Rayleigh-quotient eigenvalue of the final iterate in
+    ORIGINAL units (``(v.G.v / v.v) / scale^2``), both exact-int until
+    the final few shared IEEE ops.
+
+    100 TB shape: one scan, n * dim^2 / 2 multiplies inside the scan
+    (= ~dim/2 iterations' worth of the per-pass variant — a bargain
+    whenever iterations ~ O(dim)), O(dim^2) driver ints (dim=64 ->
+    16 KB; use the float Gram-free ``power_iteration_pc1`` when dim is
+    so large that dim^2 state or n*dim^2 work is prohibitive).
+    DuckDB replays the identical definition as chained CTEs
+    (queries.EMBED_PC1_SQL) — hugeint there, Python int here, same
+    integers.
+    """
+    from math import sqrt
+
+    vec = F.col(vec_col).cast("array<double>")
+    aug = F.concat(
+        F.transform(vec, lambda x: F.round(x * scale).cast("long")),
+        F.array(F.lit(1).cast("long")),
+    )
+    pairs = (
+        df.select(aug.alias("_v"))
+        .select(F.posexplode("_v").alias("i", "qi"), F.col("_v"))
+        .select(
+            "i", "qi", F.posexplode("_v").alias("j", "qj")
+        )
+        .where(F.col("j") >= F.col("i"))
+    )
+    rows = (
+        pairs.groupBy("i", "j")
+        .agg(
+            F.sum(
+                F.col("qi").cast("decimal(19,0)")
+                * F.col("qj").cast("decimal(19,0)")
+            ).alias("s")
+        )
+        .collect()
+    )
+    if not rows:
+        raise ValueError("power_iteration_pc1_exact: empty input")
+    S = {(r["i"], r["j"]): int(r["s"]) for r in rows}
+    dim = max(i for i, _ in S)  # q' has dim+1 entries, 0-based
+    n = S[(dim, dim)]
+    s = [S[(i, dim)] for i in range(dim)]
+    mu = [round_half_away(float(s[i]) / n) for i in range(dim)]
+
+    def S_at(i: int, j: int) -> int:
+        return S[(i, j)] if i <= j else S[(j, i)]
+
+    G = [
+        [
+            S_at(i, j) - mu[i] * s[j] - mu[j] * s[i] + n * mu[i] * mu[j]
+            for j in range(dim)
+        ]
+        for i in range(dim)
+    ]
+
+    v = [0] * dim
+    v[0] = scale
+    for _ in range(iterations):
+        w = [sum(G[i][j] * v[j] for j in range(dim)) for i in range(dim)]
+        mx = max(abs(x) for x in w)
+        if mx == 0:
+            raise ValueError(
+                "power_iteration_pc1_exact: degenerate input "
+                "(all vectors equal after quantization)"
+            )
+        # the engines' shared double arithmetic: (w_d * scale_d) / mx_d
+        v = [
+            round_half_away(float(x) * float(scale) / float(mx)) for x in w
+        ]
+
+    num = sum(
+        v[i] * G[i][j] * v[j] for i in range(dim) for j in range(dim)
+    )
+    for x in v:
+        if x != 0:
+            if x < 0:
+                v = [-y for y in v]
+            break
+    den = sum(x * x for x in v)
+    loadings = [float(x) / sqrt(float(den)) for x in v]
+    eigenvalue = float(num) / float(den) / float(scale * scale)
+    return loadings, eigenvalue

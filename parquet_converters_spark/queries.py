@@ -3448,21 +3448,120 @@ FROM pairs GROUP BY pair ORDER BY n DESC, pair LIMIT 20
 """
 
 
+_PC1_ITERS = 8
+_PC1_SCALE = 10**6
+_PC1_DIM = 64
+
+
 def embedding_pc1(spark, sf_dir):
-    """Top principal component of the embedding corpus via distributed
-    power iteration (operators/linalg.py): O(iterations) single-pass
-    aggregations, O(dim) driver state, Gram matrix never formed.  No
-    oracle SQL — the iterative float fit is not SQL-expressible
-    (rows-only driver check); correctness is pytest-gated against a
-    numpy eigendecomposition."""
-    from parquet_converters_spark.operators.linalg import power_iteration_pc1
+    """Top principal component of the embedding corpus via the
+    cross-engine-EXACT fixed-iteration power method
+    (operators/linalg.py power_iteration_pc1_exact): vectors quantized
+    to 1e-6, every aggregate an exact integer sum, max-normalized
+    iterates — bitwise-reproducible, so the iterative fit is fully
+    value-oracled by unrolling the 8 iterations into chained CTEs
+    (the graph_pagerank technique).  The float production fit
+    (power_iteration_pc1) stays pytest-gated against numpy.
+    O(iterations) scans, O(dim) driver state, Gram matrix never
+    formed."""
+    from parquet_converters_spark.operators.linalg import (
+        power_iteration_pc1_exact,
+    )
 
     emb = _t(spark, sf_dir, "embeddings")
-    v, eig, _it, _conv = power_iteration_pc1(emb, "embedding", max_iter=15)
-    rows = [(i, round(x, 6)) for i, x in enumerate(v)]
-    return spark.createDataFrame(
-        rows, "component_idx: int, loading: double"
-    ).withColumn("eigenvalue", F.round(F.lit(eig), 3)).orderBy("component_idx")
+    loadings, eig = power_iteration_pc1_exact(
+        emb, "embedding", iterations=_PC1_ITERS, scale=_PC1_SCALE
+    )
+    rows = list(enumerate(loadings))
+    return (
+        spark.createDataFrame(rows, "component_idx: int, loading: double")
+        .select(
+            "component_idx",
+            F.round("loading", 6).alias("loading"),
+            F.round(F.lit(eig), 3).alias("eigenvalue"),
+        )
+        .orderBy("component_idx")
+    )
+
+
+def _pc1_oracle_sql() -> str:
+    """Replay power_iteration_pc1_exact in DuckDB: the SAME integer
+    definition (augmented moment matrix -> centered Gram -> unrolled
+    max-normalized power steps), hugeint there / Python int in Spark's
+    driver — exact arithmetic makes the two forms bit-identical, so the
+    unrolled CTEs hash-match without mirroring the execution shape."""
+    iters, dim, scale = _PC1_ITERS, _PC1_DIM, _PC1_SCALE
+    p = [
+        f"""WITH qa AS MATERIALIZED (
+  SELECT vec_id, g.i AS i,
+         CASE WHEN g.i <= {dim}
+              THEN CAST(round(CAST(embedding[g.i] AS DOUBLE) * {scale}.0)
+                   AS BIGINT)
+              ELSE CAST(1 AS BIGINT) END AS q
+  FROM embeddings, generate_series(1, {dim + 1}) AS g(i)
+), s AS MATERIALIZED (
+  SELECT a.i, b.i AS j, sum(CAST(a.q AS HUGEINT) * b.q) AS s
+  FROM qa a JOIN qa b ON a.vec_id = b.vec_id AND b.i >= a.i
+  GROUP BY a.i, b.i
+), nn AS (SELECT s AS n FROM s WHERE i = {dim + 1} AND j = {dim + 1}),
+sv AS MATERIALIZED (SELECT i, s FROM s WHERE j = {dim + 1} AND i <= {dim}),
+mu AS MATERIALIZED (
+  SELECT i, CAST(round(CAST(s AS DOUBLE)
+                 / CAST((SELECT n FROM nn) AS DOUBLE)) AS BIGINT) AS m
+  FROM sv
+), sf AS MATERIALIZED (
+  SELECT i, j, s FROM s WHERE j <= {dim}
+  UNION ALL
+  SELECT j AS i, i AS j, s FROM s WHERE i < j AND j <= {dim}
+), g AS MATERIALIZED (
+  SELECT sf.i, sf.j,
+         sf.s - mi.m * svj.s - mj.m * svi.s
+              + (SELECT n FROM nn) * mi.m * mj.m AS g
+  FROM sf
+  JOIN mu mi ON mi.i = sf.i
+  JOIN mu mj ON mj.i = sf.j
+  JOIN sv svi ON svi.i = sf.i
+  JOIN sv svj ON svj.i = sf.j
+), v0 AS MATERIALIZED (
+  SELECT g.i AS i,
+         CAST(CASE WHEN g.i = 1 THEN {scale} ELSE 0 END AS BIGINT) AS val
+  FROM generate_series(1, {dim}) AS g(i)
+)"""
+    ]
+    for t in range(1, iters + 1):
+        p.append(
+            f""", w{t} AS MATERIALIZED (
+  SELECT g.i, sum(g.g * v.val) AS w
+  FROM g JOIN v{t-1} v ON g.j = v.i GROUP BY g.i
+), v{t} AS MATERIALIZED (
+  SELECT i, CAST(round(CAST(w AS DOUBLE) * {scale}.0
+                 / CAST((SELECT max(abs(w)) FROM w{t}) AS DOUBLE))
+            AS BIGINT) AS val
+  FROM w{t}
+)"""
+        )
+    p.append(
+        f""", nm AS (
+  SELECT sum(a.val * g.g * b.val) AS num
+  FROM g JOIN v{iters} a ON g.i = a.i JOIN v{iters} b ON g.j = b.i
+), dn AS MATERIALIZED (
+  SELECT sum(CAST(val AS HUGEINT) * val) AS den FROM v{iters}
+), sg AS (
+  SELECT CASE WHEN (SELECT val FROM v{iters} WHERE val <> 0
+                    ORDER BY i LIMIT 1) < 0 THEN -1 ELSE 1 END AS s
+)
+SELECT CAST(v.i - 1 AS INTEGER) AS component_idx,
+       round(CAST(v.val * (SELECT s FROM sg) AS DOUBLE)
+             / sqrt(CAST((SELECT den FROM dn) AS DOUBLE)), 6) AS loading,
+       round(CAST((SELECT num FROM nm) AS DOUBLE)
+             / CAST((SELECT den FROM dn) AS DOUBLE)
+             / {float(scale) ** 2:.1f}, 3) AS eigenvalue
+FROM v{iters} v ORDER BY component_idx"""
+    )
+    return "".join(p)
+
+
+EMBED_PC1_SQL = _pc1_oracle_sql()
 
 
 def embedding_standardize_stats(spark, sf_dir):
@@ -4035,30 +4134,141 @@ SELECT rule, violations, total FROM (
 """
 
 
+_KM_K = 8
+_KM_ITERS = 4  # 4 update rounds + the final assignment census = 5 passes
+_KM_SCALE = 10**6
+_KM_SAMPLE = 1024
+_KM_DIM = 64
+
+
 def kmeans_doc_clusters(spark, sf_dir):
-    """Distributed Lloyd's k-means over the embeddings table
-    (operators/clustering.py): deterministic sampled farthest-point
-    init (one bounded-sample pass instead of k-1 corpus scans — the
-    cost shape that holds at 100 TB), 5 rounds, then per-cluster size
-    and inertia.  No oracle SQL — the iterative float fit is not
-    SQL-expressible (driver records the rows-only check); correctness
-    is pytest-gated against an exact numpy replica
+    """Distributed Lloyd's k-means over the embeddings table via the
+    cross-engine-EXACT quantized-integer variant
+    (operators/clustering.py kmeans_fit_exact): deterministic sampled
+    farthest-point init (one bounded-sample pass instead of k-1 corpus
+    scans — the cost shape that holds at 100 TB), 5 fixed rounds, then
+    per-cluster size and inertia.  All distances/sums are exact
+    integers, so the iterative fit is fully value-oracled by unrolling
+    init + iterations into chained CTEs (the graph_pagerank
+    technique).  The float production fit (kmeans_fit) stays
+    pytest-gated against an exact numpy replica
     (tests/test_clustering.py)."""
-    from parquet_converters_spark.operators.clustering import kmeans_fit
+    from parquet_converters_spark.operators.clustering import kmeans_fit_exact
 
     emb = _t(spark, sf_dir, "embeddings")
-    model = kmeans_fit(
-        emb, "embedding", "vec_id", k=8, max_iter=5, init="farthest_sample"
+    assigned, _cen = kmeans_fit_exact(
+        emb,
+        "embedding",
+        "vec_id",
+        k=_KM_K,
+        iterations=_KM_ITERS,
+        scale=_KM_SCALE,
+        sample_size=_KM_SAMPLE,
     )
     return (
-        model.transform(emb, "embedding")
-        .groupBy("cluster")
+        assigned.groupBy("cluster")
         .agg(
             F.count(F.lit(1)).alias("n_vecs"),
-            F.round(F.sum("dist2"), 3).alias("inertia"),
+            F.round(
+                F.sum(F.col("d2q").cast("decimal(38,0)")).cast("double")
+                / float(_KM_SCALE) ** 2,
+                3,
+            ).alias("inertia"),
         )
         .orderBy("cluster")
     )
+
+
+def _kmeans_oracle_sql() -> str:
+    """Unroll kmeans_fit_exact into chained CTEs: the same 1e-6
+    quantization, the greedy farthest-point init over the min-h32
+    sample (ties -> earliest position), 5 Lloyd's rounds with exact
+    integer distances (argmin ties -> lowest cluster), and the same
+    one-IEEE-division centroid update — hash-exact vs Spark."""
+    k, iters, dim = _KM_K, _KM_ITERS, _KM_DIM
+    scale, sample = _KM_SCALE, _KM_SAMPLE
+    h = SQL_H32.format(x="CAST(vec_id AS VARCHAR)")
+    p = [
+        f"""WITH ql AS MATERIALIZED (
+  SELECT vec_id, g.i AS i,
+         CAST(round(CAST(embedding[g.i] AS DOUBLE) * {scale}.0) AS BIGINT) AS q
+  FROM embeddings, generate_series(1, {dim}) AS g(i)
+), samp AS MATERIALIZED (
+  SELECT vec_id, pos FROM (
+    SELECT vec_id, row_number() OVER (ORDER BY h, vec_id) - 1 AS pos
+    FROM (SELECT vec_id, {h} AS h FROM embeddings)
+  ) WHERE pos < {sample}
+), sq AS MATERIALIZED (
+  SELECT s.pos, ql.i, ql.q FROM samp s JOIN ql USING (vec_id)
+), d0 AS MATERIALIZED (
+  SELECT sq.pos, sum((sq.q - c.q) * (sq.q - c.q)) AS d
+  FROM sq JOIN (SELECT i, q FROM sq WHERE pos = 0) c USING (i)
+  GROUP BY sq.pos
+)"""
+    ]
+    for s in range(1, k):
+        p.append(
+            f""", p{s} AS MATERIALIZED (SELECT pos FROM d{s-1} ORDER BY d DESC, pos LIMIT 1)"""
+        )
+        if s < k - 1:
+            p.append(
+                f""", d{s} AS MATERIALIZED (
+  SELECT d{s-1}.pos, least(d{s-1}.d, x.d) AS d
+  FROM d{s-1} JOIN (
+    SELECT sq.pos, sum((sq.q - c.q) * (sq.q - c.q)) AS d
+    FROM sq JOIN (SELECT i, q FROM sq
+                  WHERE pos = (SELECT pos FROM p{s})) c USING (i)
+    GROUP BY sq.pos
+  ) x USING (pos)
+)"""
+            )
+    cen_rows = ["  SELECT 0 AS cluster, i, q FROM sq WHERE pos = 0"] + [
+        f"  SELECT {s}, i, q FROM sq WHERE pos = (SELECT pos FROM p{s})"
+        for s in range(1, k)
+    ]
+    p.append(", cen0 AS MATERIALIZED (\n" + "\n  UNION ALL\n".join(cen_rows) + "\n)")
+    for t in range(1, iters + 1):
+        p.append(
+            f""", dist{t} AS MATERIALIZED (
+  SELECT ql.vec_id, c.cluster, sum((ql.q - c.q) * (ql.q - c.q)) AS d2
+  FROM ql JOIN cen{t-1} c USING (i)
+  GROUP BY ql.vec_id, c.cluster
+), asg{t} AS MATERIALIZED (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rk
+    FROM dist{t}
+  ) WHERE rk = 1
+), cen{t} AS MATERIALIZED (
+  SELECT c.cluster, c.i,
+         coalesce(CAST(round(CAST(m.s AS DOUBLE) / m.n) AS BIGINT), c.q) AS q
+  FROM cen{t-1} c LEFT JOIN (
+    SELECT a.cluster, ql.i, sum(ql.q) AS s, count(*) AS n
+    FROM asg{t} a JOIN ql USING (vec_id)
+    GROUP BY a.cluster, ql.i
+  ) m ON m.cluster = c.cluster AND m.i = c.i
+)"""
+        )
+    p.append(
+        f""", distF AS MATERIALIZED (
+  SELECT ql.vec_id, c.cluster, sum((ql.q - c.q) * (ql.q - c.q)) AS d2
+  FROM ql JOIN cen{iters} c USING (i)
+  GROUP BY ql.vec_id, c.cluster
+), asgF AS (
+  SELECT vec_id, cluster, d2 FROM (
+    SELECT vec_id, cluster, d2,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rk
+    FROM distF
+  ) WHERE rk = 1
+)
+SELECT cluster, CAST(count(*) AS BIGINT) AS n_vecs,
+       round(CAST(sum(d2) AS DOUBLE) / {float(scale) ** 2:.1f}, 3) AS inertia
+FROM asgF GROUP BY cluster ORDER BY cluster"""
+    )
+    return "".join(p)
+
+
+KMEANS_DOC_SQL = _kmeans_oracle_sql()
 
 
 def winsorized_value_stats(spark, sf_dir):
@@ -4139,7 +4349,7 @@ GROUP BY source ORDER BY source
 QUERIES.update({
     "per_source_doc_cap": (per_source_doc_cap, PER_SOURCE_CAP_SQL),
     "winsorized_value_stats": (winsorized_value_stats, WINSORIZE_SQL),
-    "kmeans_doc_clusters": (kmeans_doc_clusters, None),
+    "kmeans_doc_clusters": (kmeans_doc_clusters, KMEANS_DOC_SQL),
     "gopher_quality_report": (gopher_quality_report, GOPHER_QUALITY_SQL),
     "char_entropy_buckets": (char_entropy_buckets, CHAR_ENTROPY_SQL),
     "stratified_sample_counts": (stratified_sample_counts, STRATIFIED_SAMPLE_SQL),
@@ -4156,7 +4366,7 @@ QUERIES.update({
     "ann_recall_at5": (ann_recall_at5, ANN_RECALL_SQL),
     "multimodal_audio": (multimodal_audio, MULTIMODAL_AUDIO_SQL),
     "bpe_merge_candidates": (bpe_merge_candidates, BPE_MERGE_SQL),
-    "embedding_pc1": (embedding_pc1, None),
+    "embedding_pc1": (embedding_pc1, EMBED_PC1_SQL),
     "embedding_standardize_stats": (
         embedding_standardize_stats,
         EMBED_STANDARDIZE_SQL,
@@ -6802,9 +7012,15 @@ _R06_WINDOW = [
     "table_profile",
     "vector_norm_stats",
     "winsorized_value_stats",
-    # (b) r03-latest, custom machinery first
+    # (b) r03-latest, custom machinery first — plus the two iteratives
+    # that gained value oracles in r06 (kmeans_doc_clusters,
+    # embedding_pc1: first-ever driver rows; they displace
+    # dedup_survivors and graph_degree_distribution, which the r05
+    # judge's independent sf0.01 sweep re-verified PASS this cycle —
+    # both lead _R07_WINDOW instead)
+    "kmeans_doc_clusters",
+    "embedding_pc1",
     "dedup_components_star",
-    "dedup_survivors",
     "dedup_simhash_pairs",
     "dedup_fuzzy_pairs",
     "dedup_incremental_bloom",
@@ -6821,7 +7037,6 @@ _R06_WINDOW = [
     "dup_shingle_fraction",
     "embedding_quantize_error",
     "embedding_standardize_stats",
-    "graph_degree_distribution",
     "range_join_error_views",
     "skew_key_profile",
     "weighted_sample_docs",
@@ -6835,3 +7050,69 @@ QUERIES = {
     **{name: QUERIES[name] for name in _R06_WINDOW},
     **{name: v for name, v in QUERIES.items() if name not in _R06_WINDOW},
 }
+
+# --- r07 grading rotation (PRE-WIRED, activate at round-7 start) -----------
+# Next-oldest cohort after the r06 re-grade: the two rows the r06
+# swap displaced (dedup_survivors, graph_degree_distribution — judge
+# re-verified r05, but their last DRIVER row is r03), then the 26
+# remaining r03-latest rows, then the 22 alphabetically-first
+# r04-latest rows (the other 28 r04-latest rows are round 8's
+# cohort).  VALIDATED on every import; round 7's builder promotes any
+# red rows from CORRECTNESS_r06 to the front, then replaces the
+# _R06_WINDOW reorder above with the same two lines over _R07_WINDOW.
+_R07_WINDOW = [
+    # (a) displaced from the r06 window (last driver row r03)
+    "dedup_survivors",
+    "graph_degree_distribution",
+    # (b) r03-latest remainder
+    "acctbal_rank_profile",
+    "bloom_pruned_revenue",
+    "cluster_quality_by_label",
+    "cohort_retention",
+    "compaction_plan",
+    "event_funnel",
+    "event_path_topk",
+    "event_transition_matrix",
+    "full_outer_reconcile",
+    "gap_fill_daily",
+    "interval_overlap_sessions",
+    "mad_outlier_events",
+    "market_basket_lift",
+    "mixture_plan",
+    "monthly_revenue_mom",
+    "multimodal_audio",
+    "multiset_customer_activity",
+    "nation_supplier_roster",
+    "order_backlog_concurrency",
+    "revenue_share_by_nation",
+    "rolling_7d_distinct_users",
+    "scd2_temporal_enrich",
+    "stratified_sample_counts",
+    "text_normalize_report",
+    "time_rollup_hierarchy",
+    "zscore_outlier_events",
+    # (c) r04-latest, alphabetical head
+    "adjacency_node_ranges",
+    "adjacency_range_to_edge",
+    "bpe_merge_candidates",
+    "char_entropy_buckets",
+    "chi2_type_by_weekday",
+    "decile_counts",
+    "dedup_components",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_pipeline",
+    "dedup_simhash",
+    "dedup_spans",
+    "dedup_spans_intra",
+    "dense_left_join",
+    "derived_key",
+    "doc_logprob_quality",
+    "embedding_diversity",
+    "event_lateness_profile",
+    "expectations_report",
+    "graph_pagerank",
+    "interval_merge",
+    "lang_confusion_matrix",
+]
+_check_window(_R07_WINDOW, "_R07_WINDOW", prior=_R06_WINDOW)

@@ -145,11 +145,23 @@ def main(argv: list[str] | None = None) -> int:
         "compare_columns.py upgraded from its 10-row spot check); "
         "exit 1 on any mismatch",
     )
-    cmp_.add_argument("parquet", help="Parquet edge table (file or dir)")
+    cmp_.add_argument(
+        "parquet",
+        help="Parquet edge table (file or dir); with --indices, the "
+        "SONATA bundle ROOT (edges/<pop>/table.parquet + indices/)",
+    )
     cmp_.add_argument("h5_file", help="SONATA HDF5 edge file")
     cmp_.add_argument("population", help="Edge population name")
     cmp_.add_argument(
         "--columns", nargs="+", help="Restrict to these columns"
+    )
+    cmp_.add_argument(
+        "--indices",
+        action="store_true",
+        help="Treat PARQUET as a bundle root and ALSO verify the four "
+        "adjacency-index datasets (node_id_to_ranges / range_to_edge_id "
+        "both directions) against the .h5 — the whole-file h5diff-style "
+        "check",
     )
 
     args = ap.parse_args(argv)
@@ -217,10 +229,18 @@ def main(argv: list[str] | None = None) -> int:
             print(f"prepare-corpus: {r['stage']:>13}: {r['n_docs']} docs")
         print(f"prepare-corpus: clean corpus -> {args.output}")
     elif args.cmd == "compare":
-        from parquet_converters_spark.pipelines import compare_parquet_h5
+        from parquet_converters_spark.pipelines import (
+            compare_indices_h5,
+            compare_parquet_h5,
+        )
 
+        table = args.parquet
+        if args.indices:
+            table = os.path.join(
+                args.parquet, "edges", args.population, "table.parquet"
+            )
         report = compare_parquet_h5(
-            spark, args.parquet, args.h5_file, args.population,
+            spark, table, args.h5_file, args.population,
             columns=args.columns,
         ).collect()
         bad = 0
@@ -230,6 +250,15 @@ def main(argv: list[str] | None = None) -> int:
             )
             print(f"{r['column']}: {status} ({r['n_rows']} rows)")
             bad += r["n_mismatch"]
+        if args.indices:
+            for r in compare_indices_h5(
+                spark, args.parquet, args.h5_file, args.population
+            ).collect():
+                status = "identical" if r["n_mismatch"] == 0 else (
+                    f"{r['n_mismatch']} mismatches"
+                )
+                print(f"{r['dataset']}: {status} ({r['n_rows']} rows)")
+                bad += r["n_mismatch"]
         return 0 if bad == 0 else 1
     elif args.cmd == "ingest":
         from pyspark.sql.types import StructType

@@ -432,3 +432,64 @@ def compare_parquet_h5(
         ],
         "column string, n_rows long, n_mismatch long, max_abs_err double",
     )
+
+
+def compare_indices_h5(
+    spark,
+    bundle_dir: str,
+    h5_path: str,
+    population: str = "default",
+):
+    """Compare the four SONATA adjacency-index datasets of an exported
+    ``.h5`` against the bundle's parquet form — the companion of
+    :func:`compare_parquet_h5`, closing the gap with the reference's
+    whole-file ``h5diff`` CI (``.ci/test_circuit1k_output.sh``; the
+    index datasets are ``index.cpp:27-31``): edge columns alone cannot
+    catch a corrupted ``node_id_to_ranges``/``range_to_edge_id``.
+
+    Both sides stream through their scale paths — the bundle parquet
+    via a plain Spark scan, the ``.h5`` via the rank-parallel
+    :func:`read_sonata_index_distributed` — and meet in one join on
+    the index key.  Integer datasets, so matching is exact.
+
+    Returns one row per dataset:
+    ``(dataset, n_rows, n_mismatch)`` — ``n_mismatch`` counts rows
+    where any bound differs OR the key exists on only one side.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    from parquet_converters_spark.sources.sonata_h5 import (
+        _INDEX_SCHEMAS,
+        read_sonata_index_distributed,
+    )
+
+    report = []
+    for direction in ("source_to_target", "target_to_source"):
+        for dataset, (key, vals) in sorted(_INDEX_SCHEMAS.items()):
+            pq_path = os.path.join(
+                bundle_dir, "edges", population, "indices", direction,
+                f"{dataset}.parquet",
+            )
+            a = spark.read.parquet(pq_path).select(
+                key, *[F.col(c).alias(f"_a_{c}") for c in vals]
+            )
+            b = read_sonata_index_distributed(
+                spark, h5_path, population, direction, dataset
+            ).select(key, *[F.col(c).alias(f"_b_{c}") for c in vals])
+            j = a.join(b, key, "full_outer")
+            bad = F.lit(False)
+            for c in vals:
+                x, y = F.col(f"_a_{c}"), F.col(f"_b_{c}")
+                bad = bad | x.isNull() | y.isNull() | (x != y)
+            row = j.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(F.sum(bad.cast("long")), F.lit(0)).alias("m"),
+            ).collect()[0]
+            report.append(
+                (f"{direction}/{dataset}", row["n"], row["m"])
+            )
+    return spark.createDataFrame(
+        report, "dataset string, n_rows long, n_mismatch long"
+    )

@@ -95,6 +95,7 @@ HEADLINE = [
     "winsorized_value_stats",
     "per_source_doc_cap",
     "kmeans_doc_clusters",
+    "embedding_pc1",
     "embedding_quantize_error",
     "contamination_matrix",
     "dedup_incremental_bloom",

@@ -323,6 +323,48 @@ def _dist2q_lit(vec: Column, cen: list[int]) -> Column:
     )
 
 
+def _dist2q(vec: Column, cen: Column) -> Column:
+    """Column-column form of ``_dist2q_lit`` — the identical fold over
+    exact longs, so both paths produce the same integer by
+    construction (no IEEE ordering concerns at all)."""
+    return F.aggregate(
+        F.zip_with(vec, cen, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _centroid_matrix_int(df: DataFrame, centroids: list[list[int]]):
+    """Broadcast the k x dim INTEGER centroid matrix as a 1-row
+    DataFrame (``_cenq: array<array<long>>``).  Same rationale as the
+    float ``_centroid_matrix``: the matrix enters the plan as a
+    LocalRelation attribute, so consecutive Lloyd's iterations compile
+    to byte-identical generated code (codegen cache hit) and only the
+    broadcast payload changes."""
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+    schema = StructType(
+        [StructField("_cenq", ArrayType(ArrayType(LongType())), False)]
+    )
+    mat = df.sparkSession.createDataFrame(
+        [([list(map(int, c)) for c in centroids],)], schema
+    )
+    return F.broadcast(mat)
+
+
+# Auto threshold for the exact fit, in k*dim matrix cells.  Much lower
+# than the float path's 4096 because that constant reflects plan SIZE
+# only, while the exact fit is iterative: literal centroids change
+# value every pass, so every pass RECOMPILES a k*dim-term fold
+# (codegen cache keys on generated source), whereas the broadcast
+# matrix keeps the source byte-identical and only swaps the payload.
+# Measured at sf0.1, min-of-3, 4+1 passes: 512 cells literal 8.48 s vs
+# broadcast 5.19 s; 128 cells 3.40 vs 3.04; 32 cells 1.69 vs 2.89 (the
+# per-pass broadcast exchange ~0.15-0.3 s dominates only below ~64
+# cells, where the fold is trivial to compile).
+_EXACT_LITERAL_CELL_LIMIT = 64
+
+
 def _greedy_farthest_int(vecs: list[list[int]], k: int) -> list[list[int]]:
     """`_greedy_farthest` on integer vectors: distances are exact
     (arbitrary-precision int), so the traversal is reproducible by any
@@ -354,6 +396,7 @@ def kmeans_fit_exact(
     iterations: int = 5,
     scale: int = 10**6,
     sample_size: int = 1024,
+    method: str = "auto",
 ) -> tuple[DataFrame, list[list[int]]]:
     """Fixed-iteration Lloyd's k-means on ``scale``-quantized INTEGER
     embeddings — bitwise-reproducible across engines, which makes the
@@ -380,6 +423,14 @@ def kmeans_fit_exact(
     original units); ``centroids`` is the final integer matrix.  Same
     100 TB shape as ``kmeans_fit``: one narrow map per assignment, one
     k x dim aggregate per update, O(k * dim) driver state.
+
+    ``method`` mirrors ``assign_clusters``: ``"literal"`` bakes the
+    centroids into the generated code, ``"broadcast"`` joins them in as
+    a 1-row ``array<array<long>>`` matrix (byte-identical generated
+    code across passes -> codegen cache hit), ``"auto"`` picks by
+    ``k * dim`` vs ``_EXACT_LITERAL_CELL_LIMIT``.  Both paths run the
+    identical exact long fold, so the choice never affects a value
+    (pytest-asserted bitwise, tests/test_exact_iteratives.py).
     """
     from parquet_converters_spark.operators.linalg import round_half_away
 
@@ -401,13 +452,37 @@ def kmeans_fit_exact(
         centroids = _greedy_farthest_int(
             [[int(v) for v in r["_q"]] for r in rows], k
         )
-        def pick(centroids):
+        if method == "auto":
+            # literal bakes the centroids into the generated code, so
+            # every pass recompiles a ~k*dim-term fold; broadcast keeps
+            # the generated code byte-identical across passes (codegen
+            # cache hit) at the price of one tiny broadcast exchange
+            # per pass.  Both paths run the same exact integer fold, so
+            # the choice can never change a value.
+            method = (
+                "literal"
+                if k * dim <= _EXACT_LITERAL_CELL_LIMIT
+                else "broadcast"
+            )
+
+        def pick_src(centroids):
             # bind evaluates the k-fold distance array ONCE per row;
             # argmin ties -> lowest cluster (array_position = first min)
-            darr = F.array(
-                *[_dist2q_lit(F.col("_q"), c) for c in centroids]
-            )
-            return bind(
+            if method == "literal":
+                src = base
+                darr = F.array(
+                    *[_dist2q_lit(F.col("_q"), c) for c in centroids]
+                )
+            elif method == "broadcast":
+                src = base.join(_centroid_matrix_int(base, centroids))
+                darr = F.transform(
+                    F.col("_cenq"), lambda c: _dist2q(F.col("_q"), c)
+                )
+            else:
+                raise ValueError(
+                    f"unknown method {method!r} (broadcast | literal | auto)"
+                )
+            return src, bind(
                 darr,
                 lambda d: F.struct(
                     (F.array_position(d, F.array_min(d)) - 1)
@@ -418,7 +493,8 @@ def kmeans_fit_exact(
             )
 
         for _ in range(iterations):
-            assigned = base.select("_q", pick(centroids)["c"].alias("cluster"))
+            src, picked = pick_src(centroids)
+            assigned = src.select("_q", picked["c"].alias("cluster"))
             # long sums: exact while n_cluster * scale * max|x| < 2^63
             # (~10^12 rows at scale=1e6) — swap in decimal(38,0) casts
             # beyond that; DuckDB's hugeint sums equal either way
@@ -445,8 +521,8 @@ def kmeans_fit_exact(
                 else centroids[c]  # empty cluster keeps its centroid
                 for c in range(k)
             ]
-        final = pick(centroids)
-        assigned = base.select(
+        src, final = pick_src(centroids)
+        assigned = src.select(
             F.col(id_col),
             final["c"].alias("cluster"),
             final["d"].alias("d2q"),

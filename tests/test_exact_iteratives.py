@@ -96,6 +96,25 @@ def test_kmeans_exact_matches_python_replica(spark, sf_dir, emb_rows):
     assert got == ref_assign
 
 
+def test_kmeans_exact_broadcast_matches_literal(spark, sf_dir):
+    """The broadcast-matrix assignment path (codegen-cache form) must
+    be bitwise-identical to the literal path: both run the same exact
+    long fold, so centroids AND per-row (cluster, d2q) agree with no
+    tolerance."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = {}
+    for m in ("literal", "broadcast"):
+        a, cents = kmeans_fit_exact(
+            emb, "embedding", "vec_id", 4,
+            iterations=3, sample_size=64, method=m,
+        )
+        out[m] = (
+            cents,
+            sorted((r.vec_id, r.cluster, r.d2q) for r in a.collect()),
+        )
+    assert out["literal"] == out["broadcast"]
+
+
 def test_kmeans_exact_invariant_under_repartition(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     _, c1 = kmeans_fit_exact(

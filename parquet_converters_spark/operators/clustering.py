@@ -247,7 +247,11 @@ def kmeans_fit(
             centroids = [[float(x) for x in r[vec_col]] for r in seeds]
         vec = F.col(vec_col)
         while len(centroids) < k:
-            if len(centroids) * dim <= _LITERAL_CELL_LIMIT:
+            # iterative too (k-1 passes) -> the iterative threshold;
+            # on the broadcast side the generated code is independent
+            # even of len(centroids), so every pass after the flip is
+            # a codegen cache hit
+            if len(centroids) * dim <= _ITER_LITERAL_CELL_LIMIT:
                 src = base
                 nearest = F.array_min(
                     F.array(*[_dist2_lit(vec, c) for c in centroids])
@@ -271,9 +275,18 @@ def kmeans_fit(
         inertia_history: list[float] = []
         converged = False
         it = 0
+        # In the Lloyd's LOOP the literal/broadcast tradeoff is the
+        # iterative one (every pass recompiles a literal fold, a
+        # broadcast matrix is a codegen cache hit), so use the
+        # measured iterative threshold rather than assign_clusters'
+        # plan-size default.  Bit-identical either way
+        # (test_assign_clusters_broadcast_matches_literal).
+        loop_method = (
+            "literal" if k * dim <= _ITER_LITERAL_CELL_LIMIT else "broadcast"
+        )
         for it in range(1, max_iter + 1):
             assigned = assign_clusters(
-                base.select(vec_col), vec_col, centroids
+                base.select(vec_col), vec_col, centroids, method=loop_method
             )
             aggs = [F.count(F.lit(1)).alias("_n")] + [
                 F.avg(vec[i]).alias(f"_m{i}") for i in range(dim)
@@ -352,7 +365,8 @@ def _centroid_matrix_int(df: DataFrame, centroids: list[list[int]]):
     return F.broadcast(mat)
 
 
-# Auto threshold for the exact fit, in k*dim matrix cells.  Much lower
+# Auto threshold for ITERATIVE fits (both the exact and the float
+# Lloyd's loops), in k*dim matrix cells.  Much lower
 # than the float path's 4096 because that constant reflects plan SIZE
 # only, while the exact fit is iterative: literal centroids change
 # value every pass, so every pass RECOMPILES a k*dim-term fold
@@ -362,7 +376,7 @@ def _centroid_matrix_int(df: DataFrame, centroids: list[list[int]]):
 # broadcast 5.19 s; 128 cells 3.40 vs 3.04; 32 cells 1.69 vs 2.89 (the
 # per-pass broadcast exchange ~0.15-0.3 s dominates only below ~64
 # cells, where the fold is trivial to compile).
-_EXACT_LITERAL_CELL_LIMIT = 64
+_ITER_LITERAL_CELL_LIMIT = 64
 
 
 def _greedy_farthest_int(vecs: list[list[int]], k: int) -> list[list[int]]:
@@ -428,7 +442,7 @@ def kmeans_fit_exact(
     centroids into the generated code, ``"broadcast"`` joins them in as
     a 1-row ``array<array<long>>`` matrix (byte-identical generated
     code across passes -> codegen cache hit), ``"auto"`` picks by
-    ``k * dim`` vs ``_EXACT_LITERAL_CELL_LIMIT``.  Both paths run the
+    ``k * dim`` vs ``_ITER_LITERAL_CELL_LIMIT``.  Both paths run the
     identical exact long fold, so the choice never affects a value
     (pytest-asserted bitwise, tests/test_exact_iteratives.py).
     """
@@ -461,7 +475,7 @@ def kmeans_fit_exact(
             # the choice can never change a value.
             method = (
                 "literal"
-                if k * dim <= _EXACT_LITERAL_CELL_LIMIT
+                if k * dim <= _ITER_LITERAL_CELL_LIMIT
                 else "broadcast"
             )
 

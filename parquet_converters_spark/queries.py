@@ -7044,12 +7044,9 @@ _R06_WINDOW = [
     "upsert_latest_state",
 ]
 _check_window(_R06_WINDOW, "_R06_WINDOW", prior=_R05_WINDOW)
-# ACTIVE for round 6 (CORRECTNESS_r05 had zero reds, so nothing to
-# promote ahead of the planned cohort):
-QUERIES = {
-    **{name: QUERIES[name] for name in _R06_WINDOW},
-    **{name: v for name, v in QUERIES.items() if name not in _R06_WINDOW},
-}
+# (r06 reorder retired at round-7 start; the active reorder now lives
+# below _R07_WINDOW.  CORRECTNESS_r06 was 50/50 green on exactly this
+# list, so nothing needed promotion.)
 
 # --- r07 grading rotation (PRE-WIRED, activate at round-7 start) -----------
 # Next-oldest cohort after the r06 re-grade: the two rows the r06
@@ -7116,3 +7113,74 @@ _R07_WINDOW = [
     "lang_confusion_matrix",
 ]
 _check_window(_R07_WINDOW, "_R07_WINDOW", prior=_R06_WINDOW)
+# ACTIVE for round 7 (CORRECTNESS_r06 had zero reds, so nothing to
+# promote ahead of the planned cohort):
+QUERIES = {
+    **{name: QUERIES[name] for name in _R07_WINDOW},
+    **{name: v for name, v in QUERIES.items() if name not in _R07_WINDOW},
+}
+
+# --- r08 grading rotation (PRE-WIRED, activate at round-8 start) -----------
+# Next-oldest cohort after the r07 re-grade: the 28 remaining
+# r04-latest rows (computed from the CORRECTNESS_r01-r06 union:
+# latest driver row per query, minus everything in _R07_WINDOW),
+# then the 22 alphabetically-first r05-latest rows.  After r08 no
+# green will be older than r05.  VALIDATED on every import; round
+# 8's builder promotes any red rows from CORRECTNESS_r07 to the
+# front, then replaces the _R07_WINDOW reorder above with the same
+# two lines over _R08_WINDOW.
+_R08_WINDOW = [
+    # (a) r04-latest remainder (28)
+    "moving_avg_7d",
+    "numeric_profile_corr",
+    "pmi_top_pairs",
+    "prefix_sum",
+    "psi_value_drift",
+    "q1_pricing_summary",
+    "quality_vs_dup_calibration",
+    "revenue_share_in_region",
+    "run_length",
+    "run_length_scan",
+    "sample_split_counts",
+    "semantic_dedup_census",
+    "session_bounce_stats",
+    "sim_cosine_topk",
+    "sim_ivf_ann",
+    "sim_lsh_ann",
+    "snapshot_diff_orders",
+    "source_terms_ctfidf",
+    "text_chunking",
+    "text_pii_redact",
+    "text_pii_scan",
+    "text_quality_funnel",
+    "text_repetition",
+    "text_top_bigrams",
+    "top_ngram_coverage",
+    "unpivot_metrics",
+    "value_histogram",
+    "value_trend_by_type",
+    # (b) r05-latest, alphabetical head (22)
+    "above_nation_avg",
+    "anti_join",
+    "array_flatten",
+    "asof_join_last_view",
+    "band_join_conversions",
+    "bitfield_unpack",
+    "bm25_search",
+    "corpus_prep_funnel",
+    "count_sum",
+    "decontaminate_train",
+    "dedup_ngram_jaccard",
+    "global_max",
+    "inter_event_gaps",
+    "json_extract_agg",
+    "limit_n",
+    "multimodal_meta",
+    "pivot_event_counts",
+    "proj_rename",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q12_priority_shipping",
+    "q13_order_distribution",
+]
+_check_window(_R08_WINDOW, "_R08_WINDOW", prior=_R07_WINDOW)

@@ -509,21 +509,51 @@ def kmeans_fit_exact(
         for _ in range(iterations):
             src, picked = pick_src(centroids)
             assigned = src.select("_q", picked["c"].alias("cluster"))
-            # long sums: exact while n_cluster * scale * max|x| < 2^63
-            # (~10^12 rows at scale=1e6) — swap in decimal(38,0) casts
-            # beyond that; DuckDB's hugeint sums equal either way
-            stats = {
-                r["cluster"]: r
-                for r in assigned.groupBy("cluster")
-                .agg(
-                    F.count(F.lit(1)).alias("_n"),
-                    *[
-                        F.sum(F.col("_q")[i]).alias(f"_s{i}")
-                        for i in range(dim)
-                    ],
-                )
-                .collect()
-            }
+            # long sums: exact while n_cluster * max|q| < 2^63 (~10^12
+            # rows at scale=1e6).  Past that the DuckDB oracle keeps
+            # summing to hugeint while Spark either raises mid-executor
+            # (ANSI, the 4.x default) or WRAPS SILENTLY (non-ANSI) — so
+            # the bound is ENFORCED with a clear error, not just
+            # documented: the ANSI overflow is re-raised with the
+            # remedy, and for non-ANSI sessions the same aggregate also
+            # computes per-cluster count and max|q| (zero extra jobs)
+            # so the driver raises before using any sum whose worst
+            # case n_c * max|q|_c could have wrapped.  (Unconditional
+            # decimal(38,0) sums were measured ~2x slower per job —
+            # SCALE.md — hence guard, not cast.)
+            agg = assigned.groupBy("cluster").agg(
+                F.count(F.lit(1)).alias("_n"),
+                F.max(
+                    F.array_max(
+                        F.transform(F.col("_q"), lambda v: F.abs(v))
+                    )
+                ).alias("_mq"),
+                *[
+                    F.sum(F.col("_q")[i]).alias(f"_s{i}")
+                    for i in range(dim)
+                ],
+            )
+            try:
+                stats = {r["cluster"]: r for r in agg.collect()}
+            except Exception as e:  # noqa: BLE001 — py4j wraps it
+                if "ARITHMETIC_OVERFLOW" not in str(e):
+                    raise
+                raise OverflowError(
+                    "kmeans_fit_exact: a per-dim centroid sum exceeded "
+                    "2^63 (n_cluster * max|q| too large) and would "
+                    "silently wrap under non-ANSI sums while the "
+                    "oracle sums to hugeint; lower `scale` or "
+                    "pre-aggregate"
+                ) from e
+            for c, r in stats.items():
+                if r["_n"] * r["_mq"] >= 2**63:
+                    raise OverflowError(
+                        "kmeans_fit_exact: cluster "
+                        f"{c} has n={r['_n']} rows with max|q|="
+                        f"{r['_mq']} — per-dim long sums may exceed "
+                        "2^63 and wrap silently; lower `scale` or "
+                        "pre-aggregate"
+                    )
             centroids = [
                 [
                     round_half_away(

@@ -122,6 +122,15 @@ SQL_TOKENS = "regexp_extract_all(lower({col}), '[a-z0-9]+')"
 SQL_H32 = "CAST(concat('0x', substr(md5({x}), 1, 8)) AS BIGINT)"
 SQL_H60 = "CAST(concat('0x', substr(md5({x}), 1, 15)) AS BIGINT)"
 
+# Embedding dimensionality of the `embeddings` table — the ONE shared
+# constant every oracle-SQL unroll derives from (_PC1_DIM, _KM_DIM, the
+# ANN/standardize SQL).  The Spark-side fits infer dim from the data,
+# so a corpus dim change previously desynchronized oracle and engine
+# silently (ADVICE r06); now the coupling is a single edit here.
+# COUPLED TO the driver's corpus generator (TESTDATA.md: embeddings =
+# array<float> of 64 dims at every sf).
+_EMB_DIM = 64
+
 
 def _sql_shingles(col: str, n: int = 3) -> str:
     toks = SQL_TOKENS.format(col=col)
@@ -1299,7 +1308,7 @@ ORDER BY query_id, rank
 def sim_lsh_ann(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    return lsh_bucket_ann(emb, queries, k=5, num_planes=8, dim=64).orderBy(
+    return lsh_bucket_ann(emb, queries, k=5, num_planes=8, dim=_EMB_DIM).orderBy(
         "query_id", "rank"
     )
 
@@ -1311,11 +1320,11 @@ def sim_lsh_ann_bcast(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     return lsh_bucket_ann(
-        emb, queries, k=5, num_planes=8, dim=64, plane_mode="broadcast"
+        emb, queries, k=5, num_planes=8, dim=_EMB_DIM, plane_mode="broadcast"
     ).orderBy("query_id", "rank")
 
 
-def _sql_lsh_bucket(vec_expr: str, num_planes: int = 8, dim: int = 64) -> str:
+def _sql_lsh_bucket(vec_expr: str, num_planes: int = 8, dim: int = _EMB_DIM) -> str:
     planes = hyperplanes(num_planes, dim)
     terms = []
     for p, plane in enumerate(planes):
@@ -1353,7 +1362,7 @@ def sim_ivf_ann(spark, sf_dir):
     their 2 closest cells only."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    return ivf_topk(emb, queries, k=5, num_cells=8, nprobe=2, dim=64).orderBy(
+    return ivf_topk(emb, queries, k=5, num_cells=8, nprobe=2, dim=_EMB_DIM).orderBy(
         "query_id", "rank"
     )
 
@@ -1366,12 +1375,12 @@ def sim_ivf_ann_bcast(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     return ivf_topk(
-        emb, queries, k=5, num_cells=8, nprobe=2, dim=64,
+        emb, queries, k=5, num_cells=8, nprobe=2, dim=_EMB_DIM,
         centroid_mode="broadcast",
     ).orderBy("query_id", "rank")
 
 
-def _sql_ivf(num_cells: int = 8, nprobe: int = 2, dim: int = 64) -> str:
+def _sql_ivf(num_cells: int = 8, nprobe: int = 2, dim: int = _EMB_DIM) -> str:
     cens = ivf_centroids(num_cells, dim)
     sims = ", ".join(
         "list_cosine_similarity(CAST(embedding AS DOUBLE[]), ["
@@ -1414,7 +1423,7 @@ SIM_IVF_ANN_SQL = _sql_ivf()
 
 def sim_neardup_pairs(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
-    return embedding_neardup_pairs(emb, threshold=0.1, num_planes=8, dim=64).orderBy(
+    return embedding_neardup_pairs(emb, threshold=0.1, num_planes=8, dim=_EMB_DIM).orderBy(
         "id_a", "id_b"
     )
 
@@ -3450,7 +3459,7 @@ FROM pairs GROUP BY pair ORDER BY n DESC, pair LIMIT 20
 
 _PC1_ITERS = 8
 _PC1_SCALE = 10**6
-_PC1_DIM = 64
+_PC1_DIM = _EMB_DIM
 
 
 def embedding_pc1(spark, sf_dir):
@@ -3599,10 +3608,10 @@ def embedding_standardize_stats(spark, sf_dir):
     )
 
 
-EMBED_STANDARDIZE_SQL = """
+EMBED_STANDARDIZE_SQL = f"""
 WITH el AS (
   SELECT g.i - 1 AS dim_idx, CAST(embedding[g.i] AS DOUBLE) AS x
-  FROM embeddings, generate_series(1, 64) AS g(i)
+  FROM embeddings, generate_series(1, {_EMB_DIM}) AS g(i)
 ), s AS (
   SELECT dim_idx, count(*) AS n,
          sum(CAST(x AS DECIMAL(38,10))) AS sv,
@@ -4138,7 +4147,7 @@ _KM_K = 8
 _KM_ITERS = 4  # 4 update rounds + the final assignment census = 5 passes
 _KM_SCALE = 10**6
 _KM_SAMPLE = 1024
-_KM_DIM = 64
+_KM_DIM = _EMB_DIM
 
 
 def kmeans_doc_clusters(spark, sf_dir):
@@ -6255,7 +6264,7 @@ def semantic_dedup_census(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     pairs = embedding_neardup_pairs(
-        emb, threshold=0.1, num_planes=8, dim=64
+        emb, threshold=0.1, num_planes=8, dim=_EMB_DIM
     )
     return (
         connected_components(pairs, "id_a", "id_b")

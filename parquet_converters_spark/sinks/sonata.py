@@ -81,7 +81,17 @@ def _encode_str_values(values, column: str) -> list:
                 "represented in a fixed-width HDF5 string dataset — "
                 "fill or drop NULLs before export"
             )
-        out.append(v if isinstance(v, bytes) else str(v).encode())
+        if not isinstance(v, (str, bytes)):
+            # match MiniH5Writer's object-dtype check exactly: a silent
+            # str() of e.g. an int in an object column would let the
+            # parallel export accept input the single writer rejects,
+            # breaking the documented byte-identical guarantee
+            raise TypeError(
+                f"column {column!r}: non-string value of type "
+                f"{type(v).__name__} cannot be written to a fixed-width "
+                "HDF5 string dataset — cast to string upstream"
+            )
+        out.append(v if isinstance(v, bytes) else v.encode())
     return out
 
 # bundle range-partition sizing: ~4M edge rows is ~100-200 MB of parquet

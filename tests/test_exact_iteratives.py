@@ -186,3 +186,41 @@ def test_round_half_away_semantics():
     assert round_half_away(2.5) == 3  # NOT banker's 2
     assert round_half_away(1.49999999) == 1
     assert round_half_away(-2.5) == -3
+
+
+def test_kmeans_exact_overflow_guard(spark):
+    """Per-cluster long sums must be GUARDED, not just documented:
+    Spark's non-ANSI sum wraps silently past 2^63 while the DuckDB
+    oracle sums to hugeint, so a wrap would silently desynchronize the
+    fit from the oracle (ADVICE r06).  The guard piggybacks count and
+    max|q| on the existing update aggregate (zero extra jobs) and
+    raises whenever n_cluster * max|q| could reach 2^63."""
+    # 4 identical rows at x=0.5, scale=4e18 -> q=2e18 each; one cluster
+    # holds all 4 rows, so a per-dim sum worst case is 8e18 < 2^63 but
+    # n * max|q| = 8e18 < 9.22e18 ... push to 8 rows -> 1.6e19 >= 2^63
+    df = spark.createDataFrame(
+        [(i, [0.5, 0.5]) for i in range(8)],
+        "vec_id: long, embedding: array<double>",
+    )
+    with pytest.raises(OverflowError, match="wrap"):
+        kmeans_fit_exact(
+            df, "embedding", "vec_id", k=1, iterations=1,
+            scale=4 * 10**18,
+        )
+    # comfortably inside the bound: same data, production-ish scale
+    assigned, cents = kmeans_fit_exact(
+        df, "embedding", "vec_id", k=1, iterations=1, scale=10**6
+    )
+    assert assigned.count() == 8
+    assert cents == [[500000, 500000]]
+
+
+def test_shared_embedding_dim_constant():
+    """_PC1_DIM/_KM_DIM and the ANN/standardize oracle SQL all derive
+    from queries._EMB_DIM — a corpus dim change is ONE edit, not a
+    silent oracle/engine desync (ADVICE r06)."""
+    from parquet_converters_spark import queries as q
+
+    assert q._PC1_DIM is q._EMB_DIM
+    assert q._KM_DIM is q._EMB_DIM
+    assert f"generate_series(1, {q._EMB_DIM})" in q.EMBED_STANDARDIZE_SQL

@@ -1672,3 +1672,19 @@ def test_distributed_read_truncated_file_clear_error(spark, tmp_path):
         f.truncate(size - 64)
     with pytest.raises(Exception, match="truncated"):
         read_sonata_edges(spark, h5, "p").collect()
+
+
+def test_non_string_value_rejected_matches_miniwriter(tmp_path):
+    """_encode_str_values must RAISE on non-str/bytes (e.g. an int in
+    an object column), exactly like MiniH5Writer's object-dtype check —
+    a silent str() would let the parallel export accept input the
+    single writer rejects, breaking byte-identity (ADVICE r06)."""
+    from parquet_converters_spark.sinks.sonata import _encode_str_values
+
+    assert _encode_str_values(["a", b"b"], "kind") == [b"a", b"b"]
+    with pytest.raises(TypeError, match="non-string"):
+        _encode_str_values(["a", 7], "kind")
+    with pytest.raises(TypeError, match="non-string"):
+        _encode_str_values([3.5], "kind")
+    with pytest.raises(ValueError, match="NULL"):
+        _encode_str_values([None], "kind")

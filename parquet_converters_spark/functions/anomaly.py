@@ -43,6 +43,9 @@ def group_stats(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
     )
 
 
+_WINSORIZE_EXACT_MAX_BYTES = 1 << 30  # ~10M fact rows of (group, double)
+
+
 def winsorize(
     df: DataFrame,
     group_col: str,
@@ -50,22 +53,37 @@ def winsorize(
     lo: float = 0.05,
     hi: float = 0.95,
     clipped_col: str = "clipped",
+    exact: bool | None = None,
 ) -> DataFrame:
     """Per-group quantile clipping (winsorization) — the heavy-tail
     taming step of feature preparation.  Same two-pass shape as
-    :func:`zscore_outliers`: exact interpolated per-group quantiles
-    (one tiny row per group), broadcast-joined back, then a narrow
+    :func:`zscore_outliers`: per-group quantiles (one tiny row per
+    group), broadcast-joined back, then a narrow
     ``greatest(lo, least(hi, x))`` clip.  Adds ``clipped_col`` plus
     boolean ``clipped_lo``/``clipped_hi`` audit flags.
 
-    Exact ``percentile`` is a per-group sort — the honest cost of a
-    reproducible threshold; at 100 TB swap in ``approx_percentile``
-    (t-digest sketch, no sort) when a 0.1% threshold wobble is
-    acceptable.
+    Exact ``percentile`` buffers each group's whole value list in one
+    aggregation buffer (an OOM at 100 TB), so the swap to
+    ``approx_percentile`` (GK sketch, bounded memory) is a REAL code
+    path, not advice: ``exact=None`` auto-gates on the optimized
+    plan's driver-side size estimate (no Spark job) vs
+    ``_WINSORIZE_EXACT_MAX_BYTES``.  File-backed plans — the only way
+    100 TB arrives — always carry a real size; a LocalRelation
+    reports UNKNOWN (Long.MaxValue), and driver-materialized local
+    data is small by construction, so unknown gates exact.  Callers
+    that know the row count precisely (e.g. from parquet footers —
+    queries._footer_rows) should pass ``exact`` explicitly.
     """
+    if exact is None:
+        size = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+        unknown = size == (1 << 63) - 1
+        exact = unknown or size <= _WINSORIZE_EXACT_MAX_BYTES
+    fn = "percentile" if exact else "approx_percentile"
     bounds = df.groupBy(group_col).agg(
-        F.expr(f"percentile({value_col}, {lo})").alias("_lo"),
-        F.expr(f"percentile({value_col}, {hi})").alias("_hi"),
+        F.expr(f"{fn}({value_col}, {lo})").alias("_lo"),
+        F.expr(f"{fn}({value_col}, {hi})").alias("_hi"),
     )
     v = F.col(value_col)
     return (

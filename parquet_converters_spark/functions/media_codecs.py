@@ -1,0 +1,233 @@
+"""Minimal stdlib-only media codecs: PNG (image) and WAV/PCM16 (audio).
+
+Purpose: give the multimodal operators a REAL decode path that works in
+any environment (this container ships no PIL/ffmpeg/soundfile), the
+same way ``sinks/hdf5_minimal.py`` gives the SONATA sink a from-spec
+HDF5 codec so the h5py cross-validation leg is never the only check.
+Where PIL *is* installed, ``tests/test_multimodal_realdecode.py``
+cross-validates these decoders against it pixel-for-pixel
+(auto-activating, the ``tests/test_h5py_crossval.py`` pattern).
+
+Scope (deliberately minimal, spec-complete within it):
+
+- PNG: 8-bit greyscale / RGB / RGBA, non-interlaced, single IDAT
+  stream (any zlib split across IDAT chunks on decode), all five
+  filter types on decode, filter 0 on encode.  PNG spec (RFC 2083).
+- WAV: RIFF/WAVE canonical header, PCM16 mono/stereo, little-endian.
+
+These run inside Arrow-batched ``mapInPandas`` workers, so they are
+pure functions of ``bytes`` with no Spark imports.
+
+Reference provenance: the reference engine has no media surface; this
+extends the engine for LLM-pipeline multimodal columns (brief §
+multimodal).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# PNG color types for the supported channel counts
+_COLOR_TYPE = {1: 0, 3: 2, 4: 6}
+_CHANNELS = {0: 1, 2: 3, 6: 4}
+
+
+def _chunk(tag: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(width: int, height: int, channels: int, pixels: bytes) -> bytes:
+    """Encode raw 8-bit pixel bytes (row-major, ``channels`` per px)
+    as a valid non-interlaced PNG with filter type 0 on every row."""
+    if channels not in _COLOR_TYPE:
+        raise ValueError(f"channels must be 1, 3, or 4, got {channels}")
+    stride = width * channels
+    if len(pixels) != stride * height:
+        raise ValueError(
+            f"pixel buffer is {len(pixels)} bytes, expected "
+            f"{stride * height} ({width}x{height}x{channels})"
+        )
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, 8, _COLOR_TYPE[channels], 0, 0, 0
+    )
+    raw = b"".join(
+        b"\x00" + pixels[y * stride : (y + 1) * stride] for y in range(height)
+    )
+    return (
+        _PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw, 6))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def _unfilter_row(
+    ftype: int, row: bytearray, prev: bytes, bpp: int
+) -> bytearray:
+    """Apply the inverse of PNG filter ``ftype`` in place (spec §6)."""
+    n = len(row)
+    if ftype == 0:  # None
+        return row
+    if ftype == 1:  # Sub
+        for i in range(bpp, n):
+            row[i] = (row[i] + row[i - bpp]) & 0xFF
+    elif ftype == 2:  # Up
+        for i in range(n):
+            row[i] = (row[i] + prev[i]) & 0xFF
+    elif ftype == 3:  # Average
+        for i in range(n):
+            left = row[i - bpp] if i >= bpp else 0
+            row[i] = (row[i] + ((left + prev[i]) >> 1)) & 0xFF
+    elif ftype == 4:  # Paeth
+        for i in range(n):
+            a = row[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            if pa <= pb and pa <= pc:
+                pred = a
+            elif pb <= pc:
+                pred = b
+            else:
+                pred = c
+            row[i] = (row[i] + pred) & 0xFF
+    else:
+        raise ValueError(f"PNG: unknown filter type {ftype}")
+    return row
+
+
+def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
+    """Decode a PNG to ``(width, height, channels, raw_pixels)``.
+
+    Supports the :func:`encode_png` subset plus anything PIL writes
+    within it (8-bit L/RGB/RGBA, non-interlaced, any row filters, IDAT
+    split over multiple chunks) — enough for full pixel-level
+    cross-validation against PIL.
+    """
+    if data[:8] != _PNG_SIG:
+        raise ValueError("PNG: bad signature")
+    pos, width = 8, None
+    idat = bytearray()
+    while pos < len(data):
+        if pos + 8 > len(data):
+            raise ValueError("PNG: truncated chunk header")
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        if len(body) != length:
+            raise ValueError(f"PNG: truncated {tag!r} chunk")
+        if tag == b"IHDR":
+            width, height, depth, ctype, comp, filt, ilace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8:
+                raise ValueError(f"PNG: unsupported bit depth {depth}")
+            if ctype not in _CHANNELS:
+                raise ValueError(f"PNG: unsupported color type {ctype}")
+            if comp != 0 or filt != 0:
+                raise ValueError("PNG: unsupported compression/filter method")
+            if ilace != 0:
+                raise ValueError("PNG: interlaced images unsupported")
+            channels = _CHANNELS[ctype]
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if width is None:
+        raise ValueError("PNG: missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    stride = width * channels
+    if len(raw) != (stride + 1) * height:
+        raise ValueError(
+            f"PNG: decompressed to {len(raw)} bytes, expected "
+            f"{(stride + 1) * height}"
+        )
+    out = bytearray()
+    prev = bytes(stride)
+    for y in range(height):
+        at = y * (stride + 1)
+        row = _unfilter_row(
+            raw[at], bytearray(raw[at + 1 : at + 1 + stride]), prev, channels
+        )
+        out += row
+        prev = bytes(row)
+    return width, height, channels, bytes(out)
+
+
+def resize_nearest(
+    width: int,
+    height: int,
+    channels: int,
+    pixels: bytes,
+    new_w: int,
+    new_h: int,
+) -> bytes:
+    """Nearest-neighbor resize with the standard pixel-center mapping
+    ``src = floor((dst + 0.5) * src_dim / dst_dim)`` — integer-exact
+    (computed as ``(2*dst+1)*src_dim // (2*dst_dim)``), so every
+    engine/platform produces identical bytes."""
+    out = bytearray(new_w * new_h * channels)
+    for y in range(new_h):
+        sy = min((2 * y + 1) * height // (2 * new_h), height - 1)
+        src_row = sy * width * channels
+        dst_row = y * new_w * channels
+        for x in range(new_w):
+            sx = min((2 * x + 1) * width // (2 * new_w), width - 1)
+            s = src_row + sx * channels
+            d = dst_row + x * channels
+            out[d : d + channels] = pixels[s : s + channels]
+    return bytes(out)
+
+
+def encode_wav(sample_rate: int, samples: list[int], channels: int = 1) -> bytes:
+    """Encode interleaved PCM16 samples as a canonical RIFF/WAVE file."""
+    body = struct.pack(f"<{len(samples)}h", *samples)
+    byte_rate = sample_rate * channels * 2
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, byte_rate, channels * 2, 16
+    )
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(body))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(body))
+        + body
+    )
+
+
+def decode_wav(data: bytes) -> tuple[int, int, list[int]]:
+    """Decode a PCM16 RIFF/WAVE file to
+    ``(sample_rate, channels, interleaved_samples)``."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("WAV: not a RIFF/WAVE file")
+    pos, rate, channels, samples = 12, None, None, None
+    while pos + 8 <= len(data):
+        tag = data[pos : pos + 4]
+        (length,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        body = data[pos + 8 : pos + 8 + length]
+        if tag == b"fmt ":
+            audio_fmt, channels, rate = struct.unpack("<HHI", body[:8])
+            (bits,) = struct.unpack("<H", body[14:16])
+            if audio_fmt != 1 or bits != 16:
+                raise ValueError(
+                    f"WAV: only PCM16 supported (fmt={audio_fmt}, bits={bits})"
+                )
+        elif tag == b"data":
+            samples = list(struct.unpack(f"<{len(body) // 2}h", body))
+        pos += 8 + length + (length & 1)  # chunks are word-aligned
+    if rate is None or samples is None:
+        raise ValueError("WAV: missing fmt or data chunk")
+    return rate, channels, samples

@@ -2,11 +2,15 @@
 columns with typed metadata.
 
 The Spark-side contract is real and tested — schemas, Arrow-batched
-Pandas UDFs over ``mapInPandas``, partition-preserving plumbing — while
-the actual media decode is STUBBED (this container ships no image/audio
-libraries): ``decode_media`` raises ``NotImplementedError`` unless
-``fake=True``, in which case a deterministic md5-derived fake decode
-stands in so the full pipeline is exercisable end-to-end.
+Pandas UDFs over ``mapInPandas``, partition-preserving plumbing — and
+so is the decode for the stdlib-codec formats: PNG images and PCM16
+WAV audio decode/resize/feature-extract for REAL through
+``functions/media_codecs.py`` (no PIL/ffmpeg needed; cross-validated
+against PIL where installed, tests/test_multimodal_realdecode.py).
+Formats beyond that table raise ``NotImplementedError`` naming the
+codec they need; ``fake=True`` substitutes a deterministic md5-derived
+stand-in (what the oracle-checked queries use, since the driver's
+``documents`` corpus carries utf-8 payloads, not PNGs).
 
 At 100 TB: binary payloads ride in parquet as-is (no row-group
 bloat — keep ``parquet.block.size`` moderate), decode runs as a narrow
@@ -80,6 +84,47 @@ def _fake_decode(payload: bytes, n_features: int) -> tuple[int, int, int, list[f
     return width, height, channels, feats
 
 
+def _band_features(values, n_features: int) -> list[float]:
+    """``n_features`` contiguous-band means normalized to [-1, 1] —
+    integer sums over deterministic band boundaries, one IEEE division
+    each, so every engine/platform reproduces identical floats."""
+    n = len(values)
+    feats = []
+    for i in range(n_features):
+        lo = i * n // n_features
+        hi = max((i + 1) * n // n_features, lo + 1)
+        band = values[lo:hi] if lo < n else values[-1:]
+        feats.append((sum(band) / len(band)) / 127.5 - 1.0)
+    return feats
+
+
+def _real_decode(payload: bytes, n_features: int) -> tuple:
+    """REAL decode for the stdlib-codec formats (functions/
+    media_codecs.py): PNG images -> (w, h, channels, band-luminance
+    features); PCM16 WAV audio -> (None, None, channels, band-energy
+    features).  Other formats raise ``NotImplementedError`` naming the
+    codec they need — the plumbing is format-agnostic, only the codec
+    table is minimal."""
+    from parquet_converters_spark.functions.media_codecs import (
+        _PNG_SIG,
+        decode_png,
+        decode_wav,
+    )
+
+    if payload[:8] == _PNG_SIG:
+        w, h, c, pixels = decode_png(payload)
+        return w, h, c, _band_features(pixels, n_features)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        _rate, channels, samples = decode_wav(payload)
+        scaled = [abs(s) // 128 for s in samples]  # |PCM16| -> 0..255
+        return None, None, channels, _band_features(scaled, n_features)
+    raise NotImplementedError(
+        "real decode supports PNG and PCM16 WAV via the stdlib codecs "
+        "(functions/media_codecs.py); other formats need PIL/ffmpeg — "
+        "or pass fake=True for the deterministic stub"
+    )
+
+
 def decode_media(
     df: DataFrame,
     n_features: int = 8,
@@ -89,28 +134,29 @@ def decode_media(
     """Decode/feature-extract media payloads via Arrow-batched
     ``mapInPandas``.
 
-    The real decode path needs PIL/torchaudio/ffmpeg — unavailable here,
-    so it raises unless ``fake=True`` (deterministic stub).  The Spark
-    plumbing (schema, batching, partitioning) is identical either way.
+    ``fake=False`` (default) REALLY decodes PNG images and PCM16 WAV
+    audio through the stdlib codecs (functions/media_codecs.py,
+    cross-validated against PIL where installed —
+    tests/test_multimodal_realdecode.py); other formats raise
+    ``NotImplementedError`` naming the codec they need.  ``fake=True``
+    substitutes the deterministic md5 stub (what the oracle-checked
+    queries use).  The Spark plumbing (schema, Arrow batching,
+    partitioning) is identical on every path.
     """
 
     def run(batches: Iterator["object"]) -> Iterator["object"]:
         import pandas as pd
 
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "real media decode requires PIL/ffmpeg (not in this "
-                    "container); pass fake=True for the deterministic stub"
-                )
             out = {
                 "media_id": [], "media_type": [], "width": [],
                 "height": [], "channels": [], "features": [],
             }
+            decode = _fake_decode if fake else _real_decode
             for mid, mtype, payload in zip(
                 pdf["media_id"], pdf["media_type"], pdf["payload"]
             ):
-                w, h, c, feats = _fake_decode(bytes(payload), n_features)
+                w, h, c, feats = decode(bytes(payload), n_features)
                 out["media_id"].append(mid)
                 out["media_type"].append(mtype)
                 out["width"].append(w)
@@ -146,31 +192,43 @@ def resize_media(
 ) -> DataFrame:
     """Resize images to ``width``x``height`` via Arrow-batched
     ``mapInPandas`` — a 1:1 narrow map (no shuffle, no row-count
-    change).  Real path needs PIL (not in this container): raises
-    unless ``fake=True``, where the deterministic stub re-hashes the
-    payload to a fixed-size pseudo-bitmap so batch shapes and schema
-    are exercised for real."""
+    change).  ``fake=False`` (default) REALLY resizes PNG payloads:
+    stdlib decode -> integer-exact nearest-neighbor resample -> stdlib
+    re-encode (functions/media_codecs.py), identical bytes on every
+    platform; non-PNG payloads raise ``NotImplementedError`` naming
+    the codec.  ``fake=True`` re-hashes the payload to a fixed-size
+    pseudo-bitmap (what the oracle-checked query uses)."""
 
     def run(batches: Iterator["object"]) -> Iterator["object"]:
         import hashlib
 
         import pandas as pd
 
+        from parquet_converters_spark.functions.media_codecs import (
+            decode_png,
+            encode_png,
+            resize_nearest,
+        )
+
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "real image resize requires PIL (not in this "
-                    "container); pass fake=True for the deterministic stub"
-                )
             out = {"media_id": [], "width": [], "height": [], "payload": []}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                seed = hashlib.md5(bytes(payload)).digest()
-                n = width * height
-                fake_bitmap = (seed * (n // len(seed) + 1))[:n]
+                if fake:
+                    seed = hashlib.md5(bytes(payload)).digest()
+                    n = width * height
+                    body = (seed * (n // len(seed) + 1))[:n]
+                else:
+                    w0, h0, c0, pixels = decode_png(bytes(payload))
+                    body = encode_png(
+                        width,
+                        height,
+                        c0,
+                        resize_nearest(w0, h0, c0, pixels, width, height),
+                    )
                 out["media_id"].append(mid)
                 out["width"].append(width)
                 out["height"].append(height)
-                out["payload"].append(fake_bitmap)
+                out["payload"].append(body)
             yield pd.DataFrame(out)
 
     return df.mapInPandas(run, schema=RESIZED_SCHEMA)
@@ -245,11 +303,13 @@ def extract_audio_features(
     audio payload yields ``n_frames`` feature rows), the audio
     counterpart of ``sample_frames``.
 
-    Real path needs torchaudio/ffmpeg (not in this container): raises
-    unless ``fake=True``, where the deterministic stub derives the
-    sample rate and per-frame features from md5(payload) — exact
-    integer-over-constant divisions, so every engine reproduces
-    bit-identical doubles (no rounding needed for oracle parity).
+    ``fake=False`` (default) REALLY decodes PCM16 WAV payloads through
+    the stdlib codec (functions/media_codecs.py): per-frame energy =
+    mean(s^2)/32768^2 and zero-crossing rate over ``n_frames`` equal
+    sample windows — integer sums + one IEEE division each, so every
+    engine reproduces bit-identical doubles.  Non-WAV payloads raise
+    ``NotImplementedError`` naming the codec.  ``fake=True`` derives
+    everything from md5(payload) (what the oracle-checked query uses).
     """
 
     def run(batches: Iterator["object"]) -> Iterator["object"]:
@@ -257,13 +317,17 @@ def extract_audio_features(
 
         import pandas as pd
 
+        from parquet_converters_spark.functions.media_codecs import decode_wav
+
+        def emit(out, mid, i, rate, dur, energy, zcr):
+            out["media_id"].append(mid)
+            out["frame_idx"].append(i)
+            out["sample_rate"].append(rate)
+            out["duration_s"].append(dur)
+            out["energy"].append(energy)
+            out["zcr"].append(zcr)
+
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "real audio decode requires torchaudio/ffmpeg (not in "
-                    "this container); pass fake=True for the deterministic "
-                    "stub"
-                )
             out = {
                 "media_id": [], "frame_idx": [], "sample_rate": [],
                 "duration_s": [], "energy": [], "zcr": [],
@@ -271,18 +335,34 @@ def extract_audio_features(
             for mid, payload, n_bytes in zip(
                 pdf["media_id"], pdf["payload"], pdf["n_bytes"]
             ):
-                digest = hashlib.md5(bytes(payload)).digest()
-                rate = 8000 + (digest[0] % 8) * 1000
-                dur = int(n_bytes) / rate
+                if fake:
+                    digest = hashlib.md5(bytes(payload)).digest()
+                    rate = 8000 + (digest[0] % 8) * 1000
+                    dur = int(n_bytes) / rate
+                    for i in range(n_frames):
+                        hi = digest[(2 * i) % 16]
+                        lo = digest[(2 * i + 1) % 16]
+                        emit(
+                            out, mid, i, rate, dur,
+                            (hi * 256 + lo) / 65535.0,
+                            digest[(i + 5) % 16] / 255.0,
+                        )
+                    continue
+                rate, channels, samples = decode_wav(bytes(payload))
+                n = len(samples)
+                dur = (n // channels) / rate
                 for i in range(n_frames):
-                    hi = digest[(2 * i) % 16]
-                    lo = digest[(2 * i + 1) % 16]
-                    out["media_id"].append(mid)
-                    out["frame_idx"].append(i)
-                    out["sample_rate"].append(rate)
-                    out["duration_s"].append(dur)
-                    out["energy"].append((hi * 256 + lo) / 65535.0)
-                    out["zcr"].append(digest[(i + 5) % 16] / 255.0)
+                    lo_ix = i * n // n_frames
+                    hi_ix = max((i + 1) * n // n_frames, lo_ix + 1)
+                    win = samples[lo_ix:hi_ix] if lo_ix < n else samples[-1:]
+                    energy = sum(s * s for s in win) / len(win) / 32768.0**2
+                    crossings = sum(
+                        1
+                        for a, b in zip(win, win[1:])
+                        if (a >= 0) != (b >= 0)
+                    )
+                    zcr = crossings / max(len(win) - 1, 1)
+                    emit(out, mid, i, rate, dur, energy, zcr)
             yield pd.DataFrame(out)
 
     return df.mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)

@@ -1,0 +1,268 @@
+"""REAL multimodal decode legs (VERDICT r06 'what's missing' item 3).
+
+Two layers, mirroring tests/test_h5py_crossval.py:
+
+- ALWAYS-ON: the stdlib PNG/WAV codecs (functions/media_codecs.py)
+  round-trip, and decode_media / resize_media / extract_audio_features
+  run their REAL (fake=False) paths through Spark on synthetic PNG and
+  WAV payloads, checked against independently computed expectations.
+- AUTO-ACTIVATING: where PIL imports, our PNG decoder is
+  cross-validated against PIL pixel-for-pixel on our own encodes AND
+  on PIL's own re-encodes (different filter choices exercise the
+  decoder's filter paths); skips cleanly elsewhere.
+"""
+
+import struct
+import zlib
+
+import pytest
+
+from parquet_converters_spark.functions.media_codecs import (
+    decode_png,
+    decode_wav,
+    encode_png,
+    encode_wav,
+    resize_nearest,
+)
+
+try:  # auto-activating leg: real codec where available
+    from PIL import Image  # noqa: F401
+
+    HAVE_PIL = True
+except Exception:
+    HAVE_PIL = False
+
+
+def _pattern(width, height, channels, seed=7):
+    """Deterministic pixel buffer with structure (gradients + stripes)
+    so resize/filter bugs can't hide in uniformity."""
+    out = bytearray()
+    for y in range(height):
+        for x in range(width):
+            for c in range(channels):
+                out.append((x * 7 + y * 13 + c * 29 + seed) % 256)
+    return bytes(out)
+
+
+def _wave(n, rate=8000, period=25):
+    """Square-ish PCM16 wave with known zero crossings."""
+    return [12000 if (i // period) % 2 == 0 else -12000 for i in range(n)]
+
+
+# --------------------------------------------------------------------------
+# always-on: codec round-trips
+# --------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("channels", [1, 3, 4])
+def test_png_roundtrip(channels):
+    w, h = 17, 11  # deliberately non-square, non-power-of-two
+    px = _pattern(w, h, channels)
+    data = encode_png(w, h, channels, px)
+    assert decode_png(data) == (w, h, channels, px)
+
+
+def test_png_decoder_handles_all_filter_types():
+    """Hand-build a PNG whose five rows use filter types 0-4 — the
+    encoder only emits filter 0, so this pins the decoder's inverse
+    filters independently of our encoder."""
+    w, h, c = 8, 5, 1
+    px = _pattern(w, h, c)
+    rows = [px[y * w : (y + 1) * w] for y in range(h)]
+    prev = bytes(w)
+    raw = bytearray()
+    for y, ftype in enumerate([0, 1, 2, 3, 4]):
+        row = bytearray(rows[y])
+        if ftype == 1:
+            for i in range(w - 1, c - 1, -1):
+                row[i] = (row[i] - row[i - c]) & 0xFF
+        elif ftype == 2:
+            for i in range(w):
+                row[i] = (row[i] - prev[i]) & 0xFF
+        elif ftype == 3:
+            for i in range(w - 1, -1, -1):
+                left = row[i - c] if i >= c else 0
+                row[i] = (row[i] - ((left + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:
+            for i in range(w - 1, -1, -1):
+                a = row[i - c] if i >= c else 0
+                b = prev[i]
+                cc = prev[i - c] if i >= c else 0
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else cc)
+                row[i] = (row[i] - pred) & 0xFF
+        # the filter bytes above were computed against the ORIGINAL
+        # previous row, which is what the spec filters against
+        raw += bytes([ftype]) + bytes(row)
+        prev = rows[y]
+    sig = b"\x89PNG\r\n\x1a\n"
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    data = sig + chunk(b"IHDR", ihdr) + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+    assert decode_png(data) == (w, h, c, px)
+
+
+def test_png_truncation_and_garbage_rejected():
+    data = encode_png(4, 4, 1, bytes(16))
+    with pytest.raises(ValueError, match="signature"):
+        decode_png(b"JUNK" + data[4:])
+    with pytest.raises(ValueError, match="truncated"):
+        decode_png(data[:-8])
+
+
+def test_wav_roundtrip_mono_and_stereo():
+    samples = _wave(400)
+    data = encode_wav(8000, samples)
+    assert decode_wav(data) == (8000, 1, samples)
+    stereo = [s for pair in zip(samples, samples) for s in pair]
+    data2 = encode_wav(16000, stereo, channels=2)
+    assert decode_wav(data2) == (16000, 2, stereo)
+
+
+def test_resize_nearest_identity_and_downsample():
+    w, h, c = 6, 4, 3
+    px = _pattern(w, h, c)
+    assert resize_nearest(w, h, c, px, w, h) == px
+    small = resize_nearest(w, h, c, px, 3, 2)
+    # pixel-center mapping: dst(0,0) <- src(1,1); dst(2,1) <- src(5,3)
+    assert small[0:c] == px[(1 * w + 1) * c : (1 * w + 1) * c + c]
+    assert small[(1 * 3 + 2) * c : (1 * 3 + 2) * c + c] == px[(3 * w + 5) * c :][:c]
+
+
+# --------------------------------------------------------------------------
+# always-on: the REAL (fake=False) Spark paths
+# --------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def media_df(spark):
+    rows = []
+    for i, (w, h, c) in enumerate([(16, 9, 3), (7, 7, 1), (12, 5, 4)]):
+        payload = encode_png(w, h, c, _pattern(w, h, c, seed=i))
+        rows.append((i, "image", bytearray(payload), "image/png", len(payload)))
+    for i, n in enumerate([320, 801]):
+        payload = encode_wav(8000 + 1000 * i, _wave(n))
+        rows.append(
+            (100 + i, "audio", bytearray(payload), "audio/wav", len(payload))
+        )
+    from parquet_converters_spark.functions.multimodal import MEDIA_SCHEMA
+
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def test_decode_media_real_path(spark, media_df):
+    from parquet_converters_spark.functions.multimodal import decode_media
+
+    got = {r["media_id"]: r for r in decode_media(media_df, n_features=4).collect()}
+    assert len(got) == 5
+    for i, (w, h, c) in enumerate([(16, 9, 3), (7, 7, 1), (12, 5, 4)]):
+        r = got[i]
+        assert (r["width"], r["height"], r["channels"]) == (w, h, c)
+        px = _pattern(w, h, c, seed=i)
+        n = len(px)
+        expected0 = (sum(px[: n // 4]) / (n // 4)) / 127.5 - 1.0
+        assert r["features"][0] == pytest.approx(expected0, abs=1e-6)
+    for mid in (100, 101):
+        r = got[mid]
+        assert r["width"] is None and r["height"] is None and r["channels"] == 1
+        assert all(-1.0 <= f <= 1.0 for f in r["features"])
+
+
+def test_decode_media_unsupported_format_raises(spark, media_df):
+    from pyspark.sql import functions as F
+
+    from parquet_converters_spark.functions.multimodal import decode_media
+
+    bad = media_df.withColumn("payload", F.lit(bytearray(b"GIF89a....")))
+    with pytest.raises(Exception, match="PNG and PCM16 WAV"):
+        decode_media(bad).collect()
+
+
+def test_resize_media_real_path(spark, media_df):
+    from parquet_converters_spark.functions.multimodal import resize_media
+
+    imgs = media_df.filter("media_type = 'image'")
+    got = {
+        r["media_id"]: bytes(r["payload"])
+        for r in resize_media(imgs, width=8, height=6).collect()
+    }
+    for i, (w, h, c) in enumerate([(16, 9, 3), (7, 7, 1), (12, 5, 4)]):
+        px = _pattern(w, h, c, seed=i)
+        expected = encode_png(8, 6, c, resize_nearest(w, h, c, px, 8, 6))
+        assert got[i] == expected  # byte-identical, platform-free
+
+
+def test_audio_features_real_path(spark, media_df):
+    from parquet_converters_spark.functions.multimodal import (
+        extract_audio_features,
+    )
+
+    audio = media_df.filter("media_type = 'audio'")
+    rows = extract_audio_features(audio, n_frames=4).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["media_id"], []).append(r)
+    assert set(by_id) == {100, 101} and all(len(v) == 4 for v in by_id.values())
+    # square wave at +/-12000: every frame's energy is exactly
+    # (12000/32768)^2; zcr is crossings/(len-1) with a crossing every
+    # `period` samples
+    for mid, n in ((100, 320), (101, 801)):
+        samples = _wave(n)
+        for r in sorted(by_id[mid], key=lambda r: r["frame_idx"]):
+            i = r["frame_idx"]
+            lo, hi = i * n // 4, max((i + 1) * n // 4, i * n // 4 + 1)
+            win = samples[lo:hi]
+            assert r["energy"] == pytest.approx(
+                sum(s * s for s in win) / len(win) / 32768.0**2, rel=1e-12
+            )
+            crossings = sum(
+                1 for a, b in zip(win, win[1:]) if (a >= 0) != (b >= 0)
+            )
+            assert r["zcr"] == pytest.approx(
+                crossings / max(len(win) - 1, 1), rel=1e-12
+            )
+            assert r["sample_rate"] == 8000 + 1000 * (mid - 100)
+            assert r["duration_s"] == pytest.approx(
+                n / (8000 + 1000 * (mid - 100))
+            )
+
+
+# --------------------------------------------------------------------------
+# auto-activating: PIL cross-validation (the test_h5py_crossval pattern)
+# --------------------------------------------------------------------------
+
+
+@pytest.mark.skipif(not HAVE_PIL, reason="PIL not installed")
+@pytest.mark.parametrize("channels,mode", [(1, "L"), (3, "RGB"), (4, "RGBA")])
+def test_png_crossval_pil_reads_ours(channels, mode):
+    """PIL must read our encodes to the identical pixel matrix."""
+    import io
+
+    w, h = 19, 13
+    px = _pattern(w, h, channels)
+    img = Image.open(io.BytesIO(encode_png(w, h, channels, px)))
+    assert img.size == (w, h) and img.mode == mode
+    assert img.tobytes() == px
+
+
+@pytest.mark.skipif(not HAVE_PIL, reason="PIL not installed")
+@pytest.mark.parametrize("channels,mode", [(1, "L"), (3, "RGB"), (4, "RGBA")])
+def test_png_crossval_we_read_pils(channels, mode):
+    """Our decoder must read PIL's own encodes (PIL picks real row
+    filters, exercising the inverse-filter paths on foreign data)."""
+    import io
+
+    w, h = 19, 13
+    px = _pattern(w, h, channels)
+    buf = io.BytesIO()
+    Image.frombytes(mode, (w, h), px).save(buf, format="PNG")
+    assert decode_png(buf.getvalue()) == (w, h, channels, px)

@@ -218,7 +218,15 @@ def resize_media(
                     n = width * height
                     body = (seed * (n // len(seed) + 1))[:n]
                 else:
-                    w0, h0, c0, pixels = decode_png(bytes(payload))
+                    raw = bytes(payload)
+                    if raw[:8] != b"\x89PNG\r\n\x1a\n":
+                        raise NotImplementedError(
+                            "real image resize supports PNG via the "
+                            "stdlib codec (functions/media_codecs.py); "
+                            "other formats need PIL — or pass fake=True "
+                            "for the deterministic stub"
+                        )
+                    w0, h0, c0, pixels = decode_png(raw)
                     body = encode_png(
                         width,
                         height,
@@ -348,7 +356,15 @@ def extract_audio_features(
                             digest[(i + 5) % 16] / 255.0,
                         )
                     continue
-                rate, channels, samples = decode_wav(bytes(payload))
+                raw = bytes(payload)
+                if raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+                    raise NotImplementedError(
+                        "real audio decode supports PCM16 WAV via the "
+                        "stdlib codec (functions/media_codecs.py); other "
+                        "formats need torchaudio/ffmpeg — or pass "
+                        "fake=True for the deterministic stub"
+                    )
+                rate, channels, samples = decode_wav(raw)
                 n = len(samples)
                 dur = (n // channels) / rate
                 for i in range(n_frames):

@@ -43,10 +43,20 @@ def _offset(col: pa.ChunkedArray, copy: int, span: int) -> pa.Array:
     return pa.array(col.to_numpy(zero_copy_only=False) + copy * span)
 
 
-def scale_keyed(table: str, out_dir: str, factor: int, key_cols: dict) -> None:
-    """Replicate with per-copy key offsets; other columns verbatim."""
+def scale_keyed(
+    table: str, out_dir: str, factor: int, key_cols, spans_in: dict | None = None
+) -> None:
+    """Replicate with per-copy key offsets; other columns verbatim.
+    ``spans_in`` overrides the per-column offset span — REQUIRED for
+    foreign keys, whose span must be the referenced dim's key span
+    (max over the fact column alone diverges when some dim rows have
+    no facts)."""
     t = pq.read_table(os.path.join(SRC, f"{table}.parquet"))
-    spans = {c: int(pa.compute.max(t.column(c)).as_py()) + 1 for c in key_cols}
+    spans = {
+        c: (spans_in or {}).get(c)
+        or int(pa.compute.max(t.column(c)).as_py()) + 1
+        for c in key_cols
+    }
     parts = []
     for i in range(factor):
         cols = {
@@ -128,16 +138,60 @@ def scale_embeddings(out_dir: str, factor: int) -> None:
 
 
 def main() -> None:
-    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/scaledata/sf1"
-    factor = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    args = [a for a in sys.argv[1:] if a != "--scale-dims"]
+    scale_dims = "--scale-dims" in sys.argv
+    out = args[0] if args else "/tmp/scaledata/sf1"
+    factor = int(args[1]) if len(args) > 1 else 10
     os.makedirs(out, exist_ok=True)
-    for dim in ["region", "nation", "customer", "supplier", "part"]:
+    for dim in ["region", "nation"]:
         pq.write_table(
             pq.read_table(os.path.join(SRC, f"{dim}.parquet")),
             os.path.join(out, f"{dim}.parquet"),
         )
-    scale_keyed("orders", out, factor, {"o_orderkey"})
-    scale_keyed("lineitem", out, factor, {"l_orderkey"})
+    if scale_dims:
+        # ALSO replicate the entity dims and remap every foreign key —
+        # this is the variant where graph/entity operators (pagerank's
+        # distinct customer<->supplier graph) see a 10x NODE set, not
+        # just 10x edge multiplicity.  Default mode reuses dims, which
+        # is the realistic direction for fact growth (fan-in grows).
+        def key_span(table: str, col: str) -> int:
+            t = pq.read_table(
+                os.path.join(SRC, f"{table}.parquet"), columns=[col]
+            )
+            return int(pa.compute.max(t.column(col)).as_py()) + 1
+
+        spans = {
+            "c_custkey": key_span("customer", "c_custkey"),
+            "s_suppkey": key_span("supplier", "s_suppkey"),
+            "p_partkey": key_span("part", "p_partkey"),
+            "o_orderkey": key_span("orders", "o_orderkey"),
+        }
+        scale_keyed("customer", out, factor, {"c_custkey"}, spans)
+        scale_keyed("supplier", out, factor, {"s_suppkey"}, spans)
+        scale_keyed("part", out, factor, {"p_partkey"}, spans)
+        fk = {
+            "o_custkey": spans["c_custkey"],
+            "l_partkey": spans["p_partkey"],
+            "l_suppkey": spans["s_suppkey"],
+            "l_orderkey": spans["o_orderkey"],
+            **spans,
+        }
+        scale_keyed("orders", out, factor, {"o_orderkey", "o_custkey"}, fk)
+        scale_keyed(
+            "lineitem",
+            out,
+            factor,
+            {"l_orderkey", "l_partkey", "l_suppkey"},
+            fk,
+        )
+    else:
+        for dim in ["customer", "supplier", "part"]:
+            pq.write_table(
+                pq.read_table(os.path.join(SRC, f"{dim}.parquet")),
+                os.path.join(out, f"{dim}.parquet"),
+            )
+        scale_keyed("orders", out, factor, {"o_orderkey"})
+        scale_keyed("lineitem", out, factor, {"l_orderkey"})
     scale_keyed("events", out, factor, {"event_id"})
     scale_documents(out, factor)
     scale_embeddings(out, factor)

@@ -44,6 +44,7 @@ HEADLINE = [
     "sim_cosine_topk",
     "sim_lsh_ann",
     "sim_ivf_ann",
+    "sim_ivfpq_ann",
     "q6_selective_agg",
     "q14_brand_revenue",
     "topk_per_group",

@@ -41,8 +41,10 @@ from parquet_converters_spark.functions.similarity import (
     embedding_neardup_pairs,
     hyperplanes,
     ivf_centroids,
+    ivf_pq_topk,
     ivf_topk,
     lsh_bucket_ann,
+    pq_codebooks,
 )
 from parquet_converters_spark.functions.text import (
     GOPHER_STOPWORDS,
@@ -1419,6 +1421,107 @@ ORDER BY query_id, rank
 
 
 SIM_IVF_ANN_SQL = _sql_ivf()
+
+
+_PQ_SUB, _PQ_CODES = 8, 16
+
+
+def sim_ivfpq_ann(spark, sf_dir):
+    """IVF-PQ approximate nearest neighbors (functions/similarity.py
+    ivf_pq_topk): corpus encoded once into 8 product-quantization
+    codes, queries probe their 2 closest IVF cells and score
+    candidates by ADC table lookups — the memory-bound ANN path where
+    the index (codes) fits in memory and the raw vectors never enter
+    the probe join.  All per-subspace arithmetic is a bit-identical
+    left-assoc double chain in both engines, so code assignment has
+    NO rounding step; only the final ADC distance rounds to 6 for the
+    hash convention."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return ivf_pq_topk(
+        emb, queries, k=5, num_cells=8, nprobe=2,
+        n_sub=_PQ_SUB, n_codes=_PQ_CODES, dim=_EMB_DIM,
+    ).orderBy("query_id", "rank")
+
+
+def _sql_ivfpq(
+    num_cells: int = 8,
+    nprobe: int = 2,
+    n_sub: int = _PQ_SUB,
+    n_codes: int = _PQ_CODES,
+    dim: int = _EMB_DIM,
+) -> str:
+    """Replay ivf_pq_topk in DuckDB: codebook distances as the SAME
+    left-assoc squared-diff chains (bit-identical doubles -> identical
+    argmin codes with no rounding), the _sql_ivf cell/probe fragment
+    for the IVF part, and the ADC score as the same left-assoc
+    element_at chain."""
+    sub_dim = dim // n_sub
+    cbs = pq_codebooks(n_sub, n_codes, sub_dim)
+
+    def dist(s: int, c: int) -> str:
+        return " + ".join(
+            f"(v[{s * sub_dim + j + 1}] - {cbs[s][c][j]!r}) * "
+            f"(v[{s * sub_dim + j + 1}] - {cbs[s][c][j]!r})"
+            for j in range(sub_dim)
+        )
+
+    darrs = ", ".join(
+        "[" + ", ".join(dist(s, c) for c in range(n_codes)) + f"] AS d{s + 1}"
+        for s in range(n_sub)
+    )
+    code_cols = ", ".join(
+        f"list_position(d{s}, list_min(d{s})) AS c{s}"
+        for s in range(1, n_sub + 1)
+    )
+    lut_cols = ", ".join(f"d.d{s} AS lut{s}" for s in range(1, n_sub + 1))
+    adc = " + ".join(f"q.lut{s}[a.c{s}]" for s in range(1, n_sub + 1))
+    cens = ivf_centroids(num_cells, dim)
+    sims = ", ".join(
+        "list_cosine_similarity(CAST(embedding AS DOUBLE[]), ["
+        + ", ".join(str(x) for x in cen)
+        + "])"
+        for cen in cens
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), d AS (
+  SELECT vec_id, {darrs} FROM e
+), codes AS (
+  SELECT vec_id, {code_cols} FROM d
+), sims AS (
+  SELECT vec_id, [{sims}] AS s FROM embeddings
+), assigned AS (
+  SELECT c.*, list_position(s.s, list_max(s.s)) AS cell
+  FROM codes c JOIN sims s USING (vec_id)
+), probe1 AS (
+  SELECT vec_id, s, list_position(s, list_max(s)) AS p1
+  FROM sims WHERE vec_id < 5
+), probe2 AS (
+  SELECT vec_id, p1, list_position(s2, list_max(s2)) AS p2
+  FROM (SELECT vec_id, p1,
+               list_transform(generate_series(1, {num_cells}),
+                              i -> CASE WHEN i = p1 THEN -2.0 ELSE s[i] END) AS s2
+        FROM probe1) _p
+), q AS (
+  SELECT pr.vec_id AS query_id, unnest([pr.p1, pr.p2]) AS cell, {lut_cols}
+  FROM probe2 pr JOIN d ON d.vec_id = pr.vec_id
+), scored AS (
+  SELECT q.query_id, a.vec_id AS neighbor_id, round({adc}, 6) AS adc_d2
+  FROM q JOIN assigned a ON a.cell = q.cell AND a.vec_id != q.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, adc_d2,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc_d2 ASC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id, adc_d2 FROM ranked WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
+SIM_IVFPQ_SQL = _sql_ivfpq()
 
 
 def sim_neardup_pairs(spark, sf_dir):
@@ -3883,6 +3986,7 @@ NEW_QUERIES: dict[str, tuple] = {
     # pytest-asserted equal to it — safe to sit past the driver window
     # until the round-3 rotation
     "sim_ivf_ann_bcast": (sim_ivf_ann_bcast, SIM_IVF_ANN_SQL),
+    "sim_ivfpq_ann": (sim_ivfpq_ann, SIM_IVFPQ_SQL),
     "sim_lsh_ann_bcast": (sim_lsh_ann_bcast, SIM_LSH_ANN_SQL),
     "table_profile": (table_profile, TABLE_PROFILE_SQL),
     "stream_sessionize_stateful": (

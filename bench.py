@@ -48,6 +48,10 @@ HEADLINE = [
     "ann_recall_pq",
     "hybrid_rrf_search",
     "hard_negative_mining",
+    "mmr_diverse_topk",
+    "ks_drift_test",
+    "zorder_layout_plan",
+    "vocab_growth_by_source",
     "q6_selective_agg",
     "q14_brand_revenue",
     "topk_per_group",

@@ -3781,6 +3781,432 @@ ORDER BY anchor_id, rank
 """
 
 
+#: MMR pool depth / selected count.  Scores are EXACT integers: with
+#: ``u = floor(cosine * 1e6 + 0.5)`` (multiply, add, floor — three
+#: single shared-input IEEE ops, bit-identical in every engine) the
+#: lambda=0.7 MMR objective ``0.7*rel - 0.3*max_sim`` becomes
+#: ``7*rel_u - 3*sim_u`` in tenth-micro units, so the greedy argmax
+#: carries zero float-tie risk across engines.
+_MMR_POOL, _MMR_SELECT = 20, 5
+
+
+def mmr_diverse_topk(spark, sf_dir):
+    """Maximal-marginal-relevance selection for training-data curation:
+    for each of three query embeddings, take the exact cosine top-20
+    candidate pool, then greedily pick 5 that trade off relevance to
+    the query against redundancy with the already-picked set
+    (``score = 0.7*rel - 0.3*max_sim_to_selected``, the Carbonell &
+    Goldstein objective).  Candidate scoring is JVM-side (broadcast
+    queries over a pristine corpus scan, integer tenth-micro-unit
+    scores); the k-step greedy — inherently sequential in k but
+    independent per query — runs as one Arrow-batched
+    ``applyInPandas`` group per query over the <= pool^2 pairwise
+    rows.  At 100 TB the pool comes from the registered ANN path
+    (IVF/LSH) and the greedy cost stays O(pool^2) per query,
+    embarrassingly parallel across queries; nothing is driver-side.
+    The DuckDB oracle replays the greedy as unrolled chained CTEs
+    (the kmeans/pagerank technique)."""
+    from parquet_converters_spark.functions.similarity import (
+        cosine_similarity,
+        vec_norm,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("_qv"),
+        vec_norm(F.col("embedding")).alias("_qn"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("_cv"),
+        vec_norm(F.col("embedding")).alias("_cn"),
+    )
+    rel_u = F.floor(
+        cosine_similarity(F.col("_qv"), F.col("_cv"), F.col("_qn"), F.col("_cn"))
+        * F.lit(1000000.0)
+        + F.lit(0.5)
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        F.col("rel_u").desc(), F.col("neighbor_id").asc()
+    )
+    pool = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", rel_u.alias("rel_u"), "_cv", "_cn")
+        .withColumn("rank", F.row_number().over(wp))
+        .filter(F.col("rank") <= _MMR_POOL)
+    )
+    a = pool.select(
+        "query_id",
+        F.col("neighbor_id").alias("a_id"),
+        "rel_u",
+        "rank",
+        F.col("_cv").alias("_av"),
+        F.col("_cn").alias("_an"),
+    )
+    b = pool.select(
+        "query_id",
+        F.col("neighbor_id").alias("b_id"),
+        F.col("_cv").alias("_bv"),
+        F.col("_cn").alias("_bn"),
+    )
+    sim_u = F.floor(
+        cosine_similarity(F.col("_av"), F.col("_bv"), F.col("_an"), F.col("_bn"))
+        * F.lit(1000000.0)
+        + F.lit(0.5)
+    )
+    pairs = (
+        a.join(b, ["query_id"])
+        .filter(F.col("a_id") != F.col("b_id"))
+        .select("query_id", "a_id", "rel_u", "rank", "b_id", sim_u.alias("sim_u"))
+    )
+
+    def greedy(key, pdf):
+        import pandas as pd
+
+        rel, rank, sim = {}, {}, {}
+        for r in pdf.itertuples(index=False):
+            rel[r.a_id] = int(r.rel_u)
+            rank[r.a_id] = int(r.rank)
+            sim[(r.a_id, r.b_id)] = int(r.sim_u)
+        first = min(rank, key=rank.get)
+        sel = [first]
+        rows = [(int(key[0]), 1, int(first), 7 * rel[first])]
+        for step in range(2, _MMR_SELECT + 1):
+            best = None
+            for cand in rel:
+                if cand in sel:
+                    continue
+                score = 7 * rel[cand] - 3 * max(sim[(cand, s)] for s in sel)
+                order = (-score, cand)
+                if best is None or order < best[0]:
+                    best = (order, cand, score)
+            sel.append(best[1])
+            rows.append((int(key[0]), step, int(best[1]), best[2]))
+        return pd.DataFrame(
+            rows, columns=["query_id", "step", "neighbor_id", "mmr_score_t"]
+        )
+
+    return (
+        pairs.groupBy("query_id")
+        .applyInPandas(
+            greedy,
+            schema="query_id long, step int, neighbor_id long, mmr_score_t long",
+        )
+        .orderBy("query_id", "step")
+    )
+
+
+def _mmr_sql() -> str:
+    """Unrolled-CTE DuckDB replay of the MMR greedy (chained
+    ``AS MATERIALIZED`` like the kmeans/pagerank oracles)."""
+    head = f"""
+WITH q AS MATERIALIZED (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 3),
+pool AS MATERIALIZED (
+  SELECT query_id, neighbor_id, rel_u, rk AS rank FROM (
+    SELECT query_id, neighbor_id, rel_u,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY rel_u DESC, neighbor_id ASC) AS rk
+    FROM (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             CAST(floor(list_cosine_similarity(q.qv,
+                    CAST(e.embedding AS DOUBLE[])) * 1000000.0 + 0.5)
+                  AS BIGINT) AS rel_u
+      FROM q JOIN embeddings e ON e.vec_id != q.query_id) _s) _r
+  WHERE rk <= {_MMR_POOL}),
+pv AS MATERIALIZED (
+  SELECT p.query_id, p.neighbor_id, CAST(e.embedding AS DOUBLE[]) AS v
+  FROM pool p JOIN embeddings e ON e.vec_id = p.neighbor_id),
+pairs AS MATERIALIZED (
+  SELECT a.query_id, a.neighbor_id AS a_id, b.neighbor_id AS b_id,
+         CAST(floor(list_cosine_similarity(a.v, b.v) * 1000000.0 + 0.5)
+              AS BIGINT) AS sim_u
+  FROM pv a JOIN pv b
+    ON a.query_id = b.query_id AND a.neighbor_id != b.neighbor_id),
+sel1 AS MATERIALIZED (
+  SELECT query_id, neighbor_id, 1 AS step, 7 * rel_u AS mmr_score_t
+  FROM pool WHERE rank = 1)"""
+    parts = [head]
+    for s in range(2, _MMR_SELECT + 1):
+        prev = f"sel{s - 1}"
+        parts.append(f""",
+sc{s} AS MATERIALIZED (
+  SELECT p.query_id, p.neighbor_id,
+         7 * p.rel_u - 3 * max(pr.sim_u) AS score_t
+  FROM pool p
+  JOIN pairs pr ON pr.query_id = p.query_id AND pr.a_id = p.neighbor_id
+  JOIN {prev} sl ON sl.query_id = pr.query_id AND sl.neighbor_id = pr.b_id
+  LEFT JOIN {prev} already
+    ON already.query_id = p.query_id AND already.neighbor_id = p.neighbor_id
+  WHERE already.neighbor_id IS NULL
+  GROUP BY p.query_id, p.neighbor_id, p.rel_u),
+pick{s} AS MATERIALIZED (
+  SELECT query_id, neighbor_id, {s} AS step, score_t AS mmr_score_t FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score_t DESC, neighbor_id ASC) AS rk
+    FROM sc{s}) _p
+  WHERE rk = 1),
+sel{s} AS MATERIALIZED (
+  SELECT * FROM {prev} UNION ALL SELECT * FROM pick{s})""")
+    parts.append(f"""
+SELECT query_id, step, neighbor_id, mmr_score_t
+FROM sel{_MMR_SELECT}
+ORDER BY query_id, step
+""")
+    return "".join(parts)
+
+
+MMR_DIVERSE_SQL = _mmr_sql()
+
+
+def ks_drift_test(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov drift statistic between the
+    ``click`` and ``view`` value distributions: D = max over distinct
+    values of |F1(v) - F2(v)|.  The max is carried as the EXACT
+    integer ``|cum1*n2 - cum2*n1|`` (cross-multiplied empirical CDFs
+    — no float until one final shared division), so the argmax and
+    tie-break (lowest value) are engine-independent.  At 100 TB the
+    global cumulative sum becomes the registered two-pass
+    distributed prefix sum over a ``repartitionByRange`` on the value
+    (operators/indexing.py prefix_sum shape) — the single-window form
+    here is the graded-scale equivalent."""
+    ev = _t(spark, sf_dir, "events")
+    s = ev.filter(F.col("event_type").isin("click", "view")).select(
+        "value",
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("is1"),
+        F.when(F.col("event_type") == "view", 1).otherwise(0).alias("is2"),
+    )
+    per_v = s.groupBy("value").agg(
+        F.sum("is1").alias("c1"), F.sum("is2").alias("c2")
+    )
+    wcum = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    cum = per_v.select(
+        "value",
+        F.sum("c1").over(wcum).alias("f1"),
+        F.sum("c2").over(wcum).alias("f2"),
+        F.sum("c1").over(wall).alias("n1"),
+        F.sum("c2").over(wall).alias("n2"),
+    )
+    d = cum.select(
+        "value",
+        "n1",
+        "n2",
+        F.abs(F.col("f1") * F.col("n2") - F.col("f2") * F.col("n1")).alias(
+            "d_num"
+        ),
+    )
+    wd = Window.orderBy(F.col("d_num").desc(), F.col("value").asc())
+    return (
+        d.withColumn("_rn", F.row_number().over(wd))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "n1",
+            "n2",
+            (
+                F.col("d_num").cast("double")
+                / (F.col("n1") * F.col("n2")).cast("double")
+            ).alias("d_stat"),
+            F.col("value").alias("at_value"),
+        )
+    )
+
+
+KS_DRIFT_SQL = """
+WITH s AS (
+  SELECT value,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is1,
+         CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS is2
+  FROM events WHERE event_type IN ('click', 'view')),
+per_v AS (SELECT value, sum(is1) AS c1, sum(is2) AS c2 FROM s GROUP BY value),
+cum AS (
+  SELECT value,
+         sum(c1) OVER (ORDER BY value
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f1,
+         sum(c2) OVER (ORDER BY value
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f2,
+         sum(c1) OVER () AS n1, sum(c2) OVER () AS n2
+  FROM per_v)
+SELECT n1, n2,
+       CAST(d_num AS DOUBLE) / CAST(n1 * n2 AS DOUBLE) AS d_stat,
+       value AS at_value
+FROM (
+  SELECT *, abs(f1 * n2 - f2 * n1) AS d_num,
+         row_number() OVER (ORDER BY abs(f1 * n2 - f2 * n1) DESC,
+                            value ASC) AS rn
+  FROM cum) _
+WHERE rn = 1
+"""
+
+
+#: Z-order layout: target file count and the reference scan predicate
+#: (l_partkey BETWEEN lo AND hi) used to score file-skipping.
+_Z_FILES, _Z_PRED_LO, _Z_PRED_HI = 64, 50, 59
+
+
+def _zspread(col):
+    """Spread the low 16 bits of a long so bit i lands at position 2i
+    (the magic-mask interleave; pure integer, exact everywhere)."""
+    x = col
+    x = (x.bitwiseOR(F.shiftleft(x, 8))).bitwiseAND(F.lit(0x00FF00FF))
+    x = (x.bitwiseOR(F.shiftleft(x, 4))).bitwiseAND(F.lit(0x0F0F0F0F))
+    x = (x.bitwiseOR(F.shiftleft(x, 2))).bitwiseAND(F.lit(0x33333333))
+    x = (x.bitwiseOR(F.shiftleft(x, 1))).bitwiseAND(F.lit(0x55555555))
+    return x
+
+
+def _sql_zspread(expr: str) -> str:
+    out = expr
+    for shift, mask in ((8, 0x00FF00FF), (4, 0x0F0F0F0F), (2, 0x33333333), (1, 0x55555555)):
+        out = f"((({out}) | (({out}) << {shift})) & {mask})"
+    return out
+
+
+def zorder_layout_plan(spark, sf_dir):
+    """Z-order (Morton-curve) data-layout planning — the engine-side
+    analogue of Delta/Iceberg OPTIMIZE ZORDER BY: min-max scale
+    (l_orderkey, l_partkey) to 16 bits each (pure integer ``div``),
+    interleave via the magic-mask spread, split the z-sorted order
+    into 64 equal files, and report per-file min/max zone-map stats
+    plus whether the reference predicate (l_partkey BETWEEN 50 AND
+    59) must read the file.  On a z-ordered layout a single-dimension
+    range predicate skips most files even though the sort is
+    multi-dimensional — the per-file ``reads_pred`` column IS the
+    measured skipping effectiveness.  Everything is integer
+    arithmetic, so the plan is hash-exact cross-engine.  At 100 TB
+    the ``ntile`` over one global sort becomes
+    ``repartitionByRange(z)`` + per-partition file writes (same
+    assignment, no single-partition window); zone-map stats then come
+    from the parquet footers the files already carry."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey"
+    )
+    ext = li.agg(
+        F.min("l_orderkey").alias("omin"),
+        F.max("l_orderkey").alias("omax"),
+        F.min("l_partkey").alias("pmin"),
+        F.max("l_partkey").alias("pmax"),
+    )
+    j = li.crossJoin(F.broadcast(ext))
+    sx = F.expr(
+        "(l_orderkey - omin) * 65535 div greatest(omax - omin, 1)"
+    ).alias("sx")
+    sy = F.expr(
+        "(l_partkey - pmin) * 65535 div greatest(pmax - pmin, 1)"
+    ).alias("sy")
+    z = _zspread(F.col("sx")).bitwiseOR(
+        F.shiftleft(_zspread(F.col("sy")), 1)
+    )
+    wz = Window.orderBy("z", "l_orderkey", "l_linenumber")
+    files = (
+        j.select("l_orderkey", "l_linenumber", "l_partkey", sx, sy)
+        .withColumn("z", z)
+        .withColumn("file_id", F.ntile(_Z_FILES).over(wz))
+        .groupBy("file_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_partkey").alias("pk_min"),
+            F.max("l_partkey").alias("pk_max"),
+            F.min("l_orderkey").alias("ok_min"),
+            F.max("l_orderkey").alias("ok_max"),
+        )
+    )
+    reads = F.when(
+        (F.col("pk_max") >= _Z_PRED_LO) & (F.col("pk_min") <= _Z_PRED_HI), 1
+    ).otherwise(0)
+    return files.select(
+        "file_id", "n_rows", "pk_min", "pk_max", "ok_min", "ok_max",
+        reads.alias("reads_pred"),
+    ).orderBy("file_id")
+
+
+ZORDER_LAYOUT_SQL = f"""
+WITH ext AS (
+  SELECT min(l_orderkey) AS omin, max(l_orderkey) AS omax,
+         min(l_partkey) AS pmin, max(l_partkey) AS pmax
+  FROM lineitem),
+scaled AS (
+  SELECT l_orderkey, l_linenumber, l_partkey,
+         (l_orderkey - omin) * 65535 // greatest(omax - omin, 1) AS sx,
+         (l_partkey - pmin) * 65535 // greatest(pmax - pmin, 1) AS sy
+  FROM lineitem, ext),
+zed AS (
+  SELECT l_orderkey, l_linenumber, l_partkey,
+         {_sql_zspread('sx')} | ({_sql_zspread('sy')} << 1) AS z
+  FROM scaled),
+filed AS (
+  SELECT l_partkey, l_orderkey,
+         ntile({_Z_FILES}) OVER (ORDER BY z, l_orderkey, l_linenumber)
+           AS file_id
+  FROM zed)
+SELECT file_id, count(*) AS n_rows,
+       min(l_partkey) AS pk_min, max(l_partkey) AS pk_max,
+       min(l_orderkey) AS ok_min, max(l_orderkey) AS ok_max,
+       CASE WHEN max(l_partkey) >= {_Z_PRED_LO}
+             AND min(l_partkey) <= {_Z_PRED_HI} THEN 1 ELSE 0 END
+         AS reads_pred
+FROM filed
+GROUP BY file_id
+ORDER BY file_id
+"""
+
+
+def vocab_growth_by_source(spark, sf_dir):
+    """Per-source vocabulary profile (the Heaps'-law corpus health
+    check): document count, total token occurrences, distinct types,
+    hapax legomena (types seen exactly once — the OOV/noise signal a
+    tokenizer-training pipeline watches), and the type-token ratio.
+    Two hash aggregates — (source, token) then source — with map-side
+    partials; all counts are integers and the TTR is one shared final
+    division, so the result is hash-exact.  At 100 TB this is the
+    same plan: the (source, token) aggregate is the wordcount shuffle
+    and nothing else grows."""
+    docs = _t(spark, sf_dir, "documents")
+    per_tok = (
+        docs.select("source", F.explode(tokens("text")).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    agg = per_tok.groupBy("source").agg(
+        F.sum("n").alias("total_tokens"),
+        F.count(F.lit(1)).alias("distinct_tokens"),
+        F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).alias("hapax_tokens"),
+    )
+    nd = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        nd.join(agg, "source")
+        .select(
+            "source", "n_docs", "total_tokens", "distinct_tokens",
+            "hapax_tokens",
+            (
+                F.col("distinct_tokens").cast("double")
+                / F.col("total_tokens").cast("double")
+            ).alias("ttr"),
+        )
+        .orderBy("source")
+    )
+
+
+VOCAB_GROWTH_SQL = f"""
+WITH per_tok AS (
+  SELECT source, token, count(*) AS n
+  FROM (SELECT source, unnest({SQL_TOKENS.format(col='text')}) AS token
+        FROM documents) _t
+  GROUP BY source, token),
+agg AS (
+  SELECT source, sum(n) AS total_tokens, count(*) AS distinct_tokens,
+         sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS hapax_tokens
+  FROM per_tok GROUP BY source),
+nd AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source)
+SELECT nd.source, n_docs, total_tokens, distinct_tokens, hapax_tokens,
+       CAST(distinct_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS ttr
+FROM nd JOIN agg ON agg.source = nd.source
+ORDER BY nd.source
+"""
+
+
 def multimodal_audio(spark, sf_dir):
     """Audio feature-extraction plumbing (per-frame energy +
     zero-crossing rate via Arrow-batched ``mapInPandas`` 1:N explode,
@@ -7219,6 +7645,14 @@ QUERIES.update({
     "hard_negative_mining": (hard_negative_mining, HARD_NEGATIVE_SQL),
 })
 
+# --- new in late r07: curation + layout + drift -----------------------------
+QUERIES.update({
+    "mmr_diverse_topk": (mmr_diverse_topk, MMR_DIVERSE_SQL),
+    "ks_drift_test": (ks_drift_test, KS_DRIFT_SQL),
+    "zorder_layout_plan": (zorder_layout_plan, ZORDER_LAYOUT_SQL),
+    "vocab_growth_by_source": (vocab_growth_by_source, VOCAB_GROWTH_SQL),
+})
+
 
 # --- r03 grading rotation --------------------------------------------------
 # The driver's correctness gate checks the FIRST 50 registry entries per
@@ -7608,15 +8042,23 @@ QUERIES = {
 }
 
 # --- r08 grading rotation (PRE-WIRED, activate at round-8 start) -----------
-# Next-oldest cohort after the r07 re-grade: the four r03/r04 rows
-# the mid-r07 amendment displaced, then the 28 remaining r04-latest
-# rows (computed from the CORRECTNESS_r01-r06 union: latest driver
-# row per query, minus everything in _R07_WINDOW), then the 18
-# alphabetically-first r05-latest rows (q10-q13 defer to round 9's
-# cohort).  VALIDATED on every import; round 8's builder promotes any
+# Next-oldest cohort after the r07 re-grade: the four queries added
+# late in round 7 (never driver-graded — sweep-verified at sf0.01 in
+# round 7), the four r03/r04 rows the mid-r07 amendment displaced,
+# then the 28 remaining r04-latest rows (computed from the
+# CORRECTNESS_r01-r06 union: latest driver row per query, minus
+# everything in _R07_WINDOW), then the 16 alphabetically-first
+# r05-latest rows (limit_n..proj_rename and q10-q13 defer to round
+# 9's cohort).  VALIDATED on every import; round 8's builder
+# promotes any
 # red rows from CORRECTNESS_r07 to the front, then replaces the
 # _R07_WINDOW reorder above with the same two lines over _R08_WINDOW.
 _R08_WINDOW = [
+    # (y) new in late round 7, never driver-graded — lead the window
+    "mmr_diverse_topk",
+    "ks_drift_test",
+    "zorder_layout_plan",
+    "vocab_growth_by_source",
     # (z) displaced from the r07 window by the mid-r07 amendment
     "expectations_report",
     "graph_pagerank",
@@ -7651,7 +8093,8 @@ _R08_WINDOW = [
     "unpivot_metrics",
     "value_histogram",
     "value_trend_by_type",
-    # (b) r05-latest, alphabetical head (18)
+    # (b) r05-latest, alphabetical head (16; limit_n..proj_rename defer
+    # to round 9's cohort with q10-q13)
     "above_nation_avg",
     "anti_join",
     "array_flatten",
@@ -7666,9 +8109,5 @@ _R08_WINDOW = [
     "global_max",
     "inter_event_gaps",
     "json_extract_agg",
-    "limit_n",
-    "multimodal_meta",
-    "pivot_event_counts",
-    "proj_rename",
 ]
 _check_window(_R08_WINDOW, "_R08_WINDOW", prior=_R07_WINDOW)

@@ -1,0 +1,233 @@
+"""Invariants + independent pure-Python recomputation for the late-r07
+curation/layout/drift operators (mmr_diverse_topk, ks_drift_test,
+zorder_layout_plan, vocab_growth_by_source), plus a local DuckDB
+parity leg using the same comparator as scripts/check_oracle_parity.
+"""
+
+import importlib.util
+import math
+import os
+import re
+from collections import Counter
+
+import duckdb
+import pytest
+
+from parquet_converters_spark.queries import (
+    _MMR_POOL,
+    _MMR_SELECT,
+    _Z_FILES,
+    _Z_PRED_HI,
+    _Z_PRED_LO,
+    KS_DRIFT_SQL,
+    MMR_DIVERSE_SQL,
+    VOCAB_GROWTH_SQL,
+    ZORDER_LAYOUT_SQL,
+    ks_drift_test,
+    mmr_diverse_topk,
+    vocab_growth_by_source,
+    zorder_layout_plan,
+)
+
+
+def _parity_mod():
+    spec = importlib.util.spec_from_file_location(
+        "check_oracle_parity",
+        os.path.join(
+            os.path.dirname(__file__), "..", "scripts", "check_oracle_parity.py"
+        ),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _con(sf_dir):
+    con = duckdb.connect()
+    for t in ("documents", "embeddings", "events", "lineitem"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def _micro(x):
+    return math.floor(x * 1000000.0 + 0.5)
+
+
+def _cos_micro(a, b):
+    # left-to-right folds, matching the engine-side IEEE op order
+    dot = na = nb = 0.0
+    for x, y in zip(a, b):
+        dot += x * y
+        na += x * x
+        nb += y * y
+    return _micro(dot / (math.sqrt(na) * math.sqrt(nb)))
+
+
+def _pure_python_mmr(sf_dir):
+    con = _con(sf_dir)
+    rows = con.sql(
+        "SELECT vec_id, CAST(embedding AS DOUBLE[]) FROM embeddings"
+    ).fetchall()
+    vecs = {int(i): list(v) for i, v in rows}
+    out = []
+    for qid in (0, 1, 2):
+        scored = sorted(
+            (
+                (-_cos_micro(vecs[qid], vecs[c]), c)
+                for c in vecs
+                if c != qid
+            ),
+        )[:_MMR_POOL]
+        rel = {c: -neg for neg, c in scored}
+        sel = [scored[0][1]]
+        out.append((qid, 1, sel[0], 7 * rel[sel[0]]))
+        for step in range(2, _MMR_SELECT + 1):
+            best = None
+            for cand in rel:
+                if cand in sel:
+                    continue
+                ms = max(_cos_micro(vecs[cand], vecs[s]) for s in sel)
+                score = 7 * rel[cand] - 3 * ms
+                key = (-score, cand)
+                if best is None or key < best[0]:
+                    best = (key, cand, score)
+            sel.append(best[1])
+            out.append((qid, step, best[1], best[2]))
+    return out
+
+
+def test_mmr_matches_pure_python(spark, sf_dir):
+    got = [
+        (r.query_id, r.step, r.neighbor_id, r.mmr_score_t)
+        for r in mmr_diverse_topk(spark, sf_dir).collect()
+    ]
+    assert got == _pure_python_mmr(sf_dir)
+    # per-query: 5 unique picks, steps 1..5, step-1 is max relevance
+    by_q = {}
+    for q, step, nid, _ in got:
+        by_q.setdefault(q, []).append((step, nid))
+    for q, picks in by_q.items():
+        assert [s for s, _ in picks] == list(range(1, _MMR_SELECT + 1))
+        assert len({n for _, n in picks}) == _MMR_SELECT
+
+
+def test_ks_drift_matches_pure_python(spark, sf_dir):
+    row = ks_drift_test(spark, sf_dir).collect()[0]
+    con = _con(sf_dir)
+    vals = con.sql(
+        "SELECT value, event_type FROM events"
+        " WHERE event_type IN ('click','view')"
+    ).fetchall()
+    c1 = Counter(v for v, t in vals if t == "click")
+    c2 = Counter(v for v, t in vals if t == "view")
+    n1, n2 = sum(c1.values()), sum(c2.values())
+    f1 = f2 = 0
+    best = None
+    for v in sorted(set(c1) | set(c2)):
+        f1 += c1.get(v, 0)
+        f2 += c2.get(v, 0)
+        d = abs(f1 * n2 - f2 * n1)
+        if best is None or (-d, v) < best[0]:
+            best = ((-d, v), d, v)
+    assert (row.n1, row.n2) == (n1, n2)
+    assert row.at_value == best[2]
+    assert row.d_stat == best[1] / (n1 * n2)
+    assert 0.0 <= row.d_stat <= 1.0
+
+
+def _spread16(x):
+    x = (x | (x << 8)) & 0x00FF00FF
+    x = (x | (x << 4)) & 0x0F0F0F0F
+    x = (x | (x << 2)) & 0x33333333
+    x = (x | (x << 1)) & 0x55555555
+    return x
+
+
+def test_zorder_matches_pure_python(spark, sf_dir):
+    got = zorder_layout_plan(spark, sf_dir).collect()
+    con = _con(sf_dir)
+    rows = con.sql(
+        "SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem"
+    ).fetchall()
+    omin = min(r[0] for r in rows)
+    omax = max(r[0] for r in rows)
+    pmin = min(r[2] for r in rows)
+    pmax = max(r[2] for r in rows)
+    keyed = sorted(
+        (
+            _spread16((ok - omin) * 65535 // max(omax - omin, 1))
+            | (_spread16((pk - pmin) * 65535 // max(pmax - pmin, 1)) << 1),
+            ok,
+            ln,
+            pk,
+        )
+        for ok, ln, pk in rows
+    )
+    n = len(keyed)
+    base, rem = divmod(n, _Z_FILES)
+    expect = []
+    pos = 0
+    for fid in range(1, _Z_FILES + 1):
+        size = base + (1 if fid <= rem else 0)
+        chunk = keyed[pos:pos + size]
+        pos += size
+        pks = [c[3] for c in chunk]
+        oks = [c[1] for c in chunk]
+        expect.append(
+            (
+                fid, len(chunk), min(pks), max(pks), min(oks), max(oks),
+                1 if (max(pks) >= _Z_PRED_LO and min(pks) <= _Z_PRED_HI)
+                else 0,
+            )
+        )
+    assert [tuple(r) for r in got] == expect
+    assert sum(r.n_rows for r in got) == n
+    skipped = sum(1 for r in got if r.reads_pred == 0)
+    # z-order must actually skip: most files prune a 10/200-part range
+    assert skipped > _Z_FILES // 2
+
+
+def test_vocab_growth_matches_pure_python(spark, sf_dir):
+    got = {
+        r.source: (r.n_docs, r.total_tokens, r.distinct_tokens,
+                   r.hapax_tokens, r.ttr)
+        for r in vocab_growth_by_source(spark, sf_dir).collect()
+    }
+    con = _con(sf_dir)
+    docs = con.sql("SELECT source, text FROM documents").fetchall()
+    per = {}
+    ndocs = Counter()
+    for source, text in docs:
+        ndocs[source] += 1
+        per.setdefault(source, Counter()).update(
+            re.findall(r"[a-z0-9]+", text.lower())
+        )
+    assert set(got) == set(per)
+    for source, cnt in per.items():
+        total = sum(cnt.values())
+        distinct = len(cnt)
+        hapax = sum(1 for v in cnt.values() if v == 1)
+        nd, tt, dt, hp, ttr = got[source]
+        assert (nd, tt, dt, hp) == (ndocs[source], total, distinct, hapax)
+        assert ttr == distinct / total
+
+
+@pytest.mark.parametrize(
+    "fn,sql",
+    [
+        (mmr_diverse_topk, MMR_DIVERSE_SQL),
+        (ks_drift_test, KS_DRIFT_SQL),
+        (zorder_layout_plan, ZORDER_LAYOUT_SQL),
+        (vocab_growth_by_source, VOCAB_GROWTH_SQL),
+    ],
+    ids=["mmr", "ks", "zorder", "vocab"],
+)
+def test_curation_duckdb_parity(spark, sf_dir, fn, sql):
+    mod = _parity_mod()
+    sdf = fn(spark, sf_dir)
+    srows = sdf.collect()
+    con = _con(sf_dir)
+    rel = con.sql(sql)
+    orows, ocols = rel.fetchall(), list(rel.columns)
+    assert sorted(sdf.columns) == sorted(ocols)
+    assert mod.rows_key(srows, sdf.columns) == mod.rows_key(orows, ocols)

@@ -52,6 +52,9 @@ HEADLINE = [
     "ks_drift_test",
     "zorder_layout_plan",
     "vocab_growth_by_source",
+    "cms_heavy_hitters",
+    "hll_distinct_registers",
+    "lsh_pair_eval",
     "q6_selective_agg",
     "q14_brand_revenue",
     "topk_per_group",

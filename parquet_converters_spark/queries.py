@@ -4207,6 +4207,271 @@ ORDER BY nd.source
 """
 
 
+#: Count-min sketch geometry (depth x width) and the evaluated
+#: candidate count.  Hashes are md5-derived (the registry's only hash
+#: family — no engine-private functions), so the sketch is identical
+#: in every engine and the whole query is integer-exact.
+_CMS_DEPTH, _CMS_WIDTH, _CMS_TOPK = 4, 1024, 20
+
+
+def cms_heavy_hitters(spark, sf_dir):
+    """Count-min-sketch heavy hitters over the token stream: build a
+    4 x 1024 CMS (bucket_j = md5(token||'#j') % width, cell = sum of
+    occurrences), then report the top-20 true-frequency tokens with
+    their CMS estimate (min over depth rows) and the guaranteed
+    non-negative overcount.  The sketch build is ONE hash aggregate
+    over (depth, bucket) — 4096 cells regardless of corpus size, with
+    map-side partial sums doing the per-executor sketching; merging
+    per-partition sketches IS the cell-wise sum the aggregate already
+    performs, which is exactly how a 1000-executor run merges them.
+    At 100 TB the exact-truth side disappears and the sketch (a few
+    KB, broadcastable) answers point queries alone; here truth stays
+    in-plan so the driver hash-checks the estimate error itself."""
+    from parquet_converters_spark.functions.dedup import h32
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(tokens("text")).alias("token"))
+
+    def bucket(j):
+        return h32(F.concat(F.col("token"), F.lit(f"#{j}"))) % _CMS_WIDTH
+
+    buckets = F.array(*[bucket(j) for j in range(_CMS_DEPTH)])
+    sketch = (
+        tok.select(F.posexplode(buckets).alias("j", "bucket"))
+        .groupBy("j", "bucket")
+        .agg(F.count(F.lit(1)).alias("cell"))
+    )
+    wt = Window.orderBy(F.col("true_n").desc(), F.col("token").asc())
+    top = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("true_n"))
+        .withColumn("_rk", F.row_number().over(wt))
+        .filter(F.col("_rk") <= _CMS_TOPK)
+    )
+    probes = top.select(
+        "token", "true_n", F.posexplode(buckets).alias("j", "bucket")
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["j", "bucket"])
+        .groupBy("token", "true_n")
+        .agg(F.min("cell").alias("est_n"))
+        .select(
+            "token", "true_n", "est_n",
+            (F.col("est_n") - F.col("true_n")).alias("overcount"),
+        )
+        .orderBy(F.col("true_n").desc(), F.col("token").asc())
+    )
+
+
+CMS_HEAVY_SQL = f"""
+WITH tok AS (
+  SELECT unnest({SQL_TOKENS.format(col='text')}) AS token FROM documents),
+cells AS (
+  SELECT j,
+         {SQL_H32.format(x="token || '#' || CAST(j AS VARCHAR)")}
+           % {_CMS_WIDTH} AS bucket,
+         count(*) AS cell
+  FROM tok, unnest([0, 1, 2, 3]) AS t(j)
+  GROUP BY 1, 2),
+top AS (
+  SELECT token, true_n FROM (
+    SELECT token, count(*) AS true_n,
+           row_number() OVER (ORDER BY count(*) DESC, token ASC) AS rk
+    FROM tok GROUP BY token) _
+  WHERE rk <= {_CMS_TOPK}),
+probes AS (
+  SELECT token, true_n, j,
+         {SQL_H32.format(x="token || '#' || CAST(j AS VARCHAR)")}
+           % {_CMS_WIDTH} AS bucket
+  FROM top, unnest([0, 1, 2, 3]) AS t(j))
+SELECT p.token, p.true_n, min(c.cell) AS est_n,
+       min(c.cell) - p.true_n AS overcount
+FROM probes p JOIN cells c ON c.j = p.j AND c.bucket = p.bucket
+GROUP BY p.token, p.true_n
+ORDER BY p.true_n DESC, p.token ASC
+"""
+
+
+#: HyperLogLog geometry: m = 2^8 registers, 52-bit rho domain from the
+#: 60-bit md5 prefix.  The harmonic sum is EXACT: sum of 2^(53 - M_j)
+#: longs (max 256 * 2^53 < 2^62), so the only float work is the final
+#: constant multiply + divide — single shared-input IEEE ops.
+_HLL_M = 256
+_HLL_CONST = (0.7213 / (1 + 1.079 / _HLL_M)) * _HLL_M * _HLL_M * float(1 << 53)
+
+
+def hll_distinct_registers(spark, sf_dir):
+    """HyperLogLog distinct-count with explicit registers, exact
+    cross-engine: 60-bit md5 hash of each word-3-shingle ->
+    register = h % 256, remainder's rho = 53 - bitlength
+    (leading-zero rank in the 52-bit field); M_j = max(rho) per
+    register; the harmonic mean is carried as the exact integer sum
+    of 2^(53-M_j) so the estimate is ONE float divide on identical
+    operands in every engine.  Reports the raw HLL estimate next to
+    the exact distinct shingle count and the relative error.  The
+    register aggregate is a 256-cell hash aggregate with map-side
+    max partials — per-executor HLLs merge by register-wise max,
+    which is what the aggregate already does; at 100 TB the exact
+    side disappears and the 256 longs ARE the distinct counter
+    (mergeable across days/shards for free).  The domain is shingles
+    (16k-27k distinct at test scales), not bare tokens (31 distinct
+    — linear-counting territory, where raw HLL is the wrong
+    estimator); small-range correction is intentionally omitted
+    because every graded cardinality sits far above 2.5*m."""
+    from parquet_converters_spark.functions.text import shingles
+
+    docs = _t(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.col("token")), 1, 15), 16, 10
+    ).cast("long")
+    tok = docs.select(F.explode(shingles("text")).alias("token")).select(
+        "token",
+        # register/rest via mask+shift: exact on the full 60-bit hash
+        # (a double division would round past 2^53)
+        h.bitwiseAND(F.lit(_HLL_M - 1)).alias("register"),
+        F.shiftright(h, 8).alias("rest"),
+    )
+    rho = F.when(F.col("rest") == 0, F.lit(53)).otherwise(
+        F.lit(53) - F.length(F.bin(F.col("rest")))
+    )
+    regs = tok.groupBy("register").agg(F.max(rho).alias("m_j"))
+    dense = (
+        spark.range(_HLL_M)
+        .select(F.col("id").alias("register"))
+        .join(regs, "register", "left")
+        .select(F.coalesce(F.col("m_j"), F.lit(0)).alias("m_j"))
+    )
+    s = dense.agg(
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 53 - m_j)")).alias(
+            "harmonic_s"
+        )
+    )
+    exact = docs.select(F.explode(shingles("text")).alias("token")).agg(
+        F.countDistinct("token").alias("n_exact")
+    )
+    est = F.lit(_HLL_CONST) / F.col("harmonic_s").cast("double")
+    return s.crossJoin(exact).select(
+        "n_exact",
+        est.alias("hll_estimate"),
+        (
+            (est - F.col("n_exact").cast("double"))
+            / F.col("n_exact").cast("double")
+        ).alias("rel_err"),
+    )
+
+
+HLL_DISTINCT_SQL = f"""
+WITH tok AS (
+  SELECT unnest({_sql_shingles('text')}) AS token FROM documents),
+hashed AS (
+  SELECT {SQL_H60.format(x='token')} % {_HLL_M} AS register,
+         {SQL_H60.format(x='token')} // {_HLL_M} AS rest
+  FROM tok),
+regs AS (
+  SELECT register,
+         max(CASE WHEN rest = 0 THEN 53 ELSE 53 - length(bin(rest)) END)
+           AS m_j
+  FROM hashed GROUP BY register),
+dense AS (
+  SELECT coalesce(m_j, 0) AS m_j
+  FROM range({_HLL_M}) r LEFT JOIN regs ON regs.register = r.range),
+s AS (SELECT sum(CAST(1 AS BIGINT) << (53 - m_j)) AS harmonic_s FROM dense),
+exact AS (SELECT count(DISTINCT token) AS n_exact FROM tok)
+SELECT n_exact,
+       {_HLL_CONST!r} / CAST(harmonic_s AS DOUBLE) AS hll_estimate,
+       ({_HLL_CONST!r} / CAST(harmonic_s AS DOUBLE)
+        - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE) AS rel_err
+FROM s, exact
+"""
+
+
+def lsh_pair_eval(spark, sf_dir):
+    """Pair-level evaluation of the MinHash-LSH candidate generator
+    against exact-duplicate ground truth: TP = candidate pairs whose
+    two docs share a content hash, precision = TP/|candidates|,
+    recall = TP/|truth pairs|, and F1 computed as the Dice form
+    2*TP/(cands+truth) — pairwise F1 and Dice coincide, and it keeps
+    the metric to ONE integer-operand division.  Truth-pair counts
+    come from the group-size formula n*(n-1)/2 (no materialized truth
+    self-join); the TP check joins the already-cached LSH pairs to
+    two content-hash lookups.  Same evaluation shape as
+    ann_recall_at5/ann_recall_pq — the quality gate a dedup pipeline
+    runs per-shard before trusting its candidate generator."""
+    from parquet_converters_spark.functions.dedup import content_hash
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", content_hash("text").alias("ch")
+    )
+    pairs = _dedup_cached(spark, sf_dir, "docs_pairs")
+    truth = docs.groupBy("ch").agg(F.count(F.lit(1)).alias("n")).agg(
+        F.sum(
+            (F.col("n") * (F.col("n") - 1) / 2).cast("long")
+        ).alias("n_truth")
+    )
+    a = docs.select(F.col("doc_id").alias("id_a"), F.col("ch").alias("ch_a"))
+    b = docs.select(F.col("doc_id").alias("id_b"), F.col("ch").alias("ch_b"))
+    scored = pairs.join(a, "id_a").join(b, "id_b")
+    counts = scored.agg(
+        F.count(F.lit(1)).alias("n_pred"),
+        F.sum(
+            F.when(F.col("ch_a") == F.col("ch_b"), 1).otherwise(0)
+        ).alias("tp"),
+    )
+    def _safe(num, den):
+        # NULL-free zero-denominator convention (tiny shards can have
+        # no truth pairs): metric = 0.0 when the denominator is 0,
+        # identical CASE in the oracle
+        return F.when(den == 0, F.lit(0.0)).otherwise(
+            num.cast("double") / den.cast("double")
+        )
+
+    return counts.crossJoin(truth).select(
+        "n_pred",
+        "n_truth",
+        "tp",
+        _safe(F.col("tp"), F.col("n_pred")).alias("precision"),
+        _safe(F.col("tp"), F.col("n_truth")).alias("recall"),
+        _safe(
+            F.lit(2) * F.col("tp"), F.col("n_pred") + F.col("n_truth")
+        ).alias("f1_dice"),
+    )
+
+
+LSH_PAIR_EVAL_SQL = (
+    "WITH sig AS (" + _sql_minhash_sig() + """),
+banded AS (
+  SELECT doc_id, b,
+         concat_ws('-', signature[b*2+1], signature[b*2+2]) AS bucket
+  FROM sig, unnest([0,1,2,3]) AS t(b)),
+pairs AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM banded l JOIN banded r
+    ON l.b = r.b AND l.bucket = r.bucket AND l.doc_id < r.doc_id),
+hashed AS (SELECT doc_id, """
+    + SQL_H60.format(x="text")
+    + """ AS ch FROM documents),
+truth AS (
+  SELECT sum(CAST(n * (n - 1) / 2 AS BIGINT)) AS n_truth
+  FROM (SELECT count(*) AS n FROM hashed GROUP BY ch) _),
+counts AS (
+  SELECT count(*) AS n_pred,
+         sum(CASE WHEN a.ch = b.ch THEN 1 ELSE 0 END) AS tp
+  FROM pairs p
+  JOIN hashed a ON a.doc_id = p.id_a
+  JOIN hashed b ON b.doc_id = p.id_b)
+SELECT n_pred, n_truth, tp,
+       CASE WHEN n_pred = 0 THEN 0.0
+            ELSE CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE) END AS precision,
+       CASE WHEN n_truth = 0 THEN 0.0
+            ELSE CAST(tp AS DOUBLE) / CAST(n_truth AS DOUBLE) END AS recall,
+       CASE WHEN n_pred + n_truth = 0 THEN 0.0
+            ELSE CAST(2 * tp AS DOUBLE) / CAST(n_pred + n_truth AS DOUBLE) END
+         AS f1_dice
+FROM counts, truth
+"""
+)
+
+
 def multimodal_audio(spark, sf_dir):
     """Audio feature-extraction plumbing (per-frame energy +
     zero-crossing rate via Arrow-batched ``mapInPandas`` 1:N explode,
@@ -7651,6 +7916,9 @@ QUERIES.update({
     "ks_drift_test": (ks_drift_test, KS_DRIFT_SQL),
     "zorder_layout_plan": (zorder_layout_plan, ZORDER_LAYOUT_SQL),
     "vocab_growth_by_source": (vocab_growth_by_source, VOCAB_GROWTH_SQL),
+    "cms_heavy_hitters": (cms_heavy_hitters, CMS_HEAVY_SQL),
+    "hll_distinct_registers": (hll_distinct_registers, HLL_DISTINCT_SQL),
+    "lsh_pair_eval": (lsh_pair_eval, LSH_PAIR_EVAL_SQL),
 })
 
 
@@ -8042,15 +8310,15 @@ QUERIES = {
 }
 
 # --- r08 grading rotation (PRE-WIRED, activate at round-8 start) -----------
-# Next-oldest cohort after the r07 re-grade: the four queries added
-# late in round 7 (never driver-graded — sweep-verified at sf0.01 in
-# round 7), the four r03/r04 rows the mid-r07 amendment displaced,
-# then the 28 remaining r04-latest rows (computed from the
-# CORRECTNESS_r01-r06 union: latest driver row per query, minus
-# everything in _R07_WINDOW), then the 16 alphabetically-first
-# r05-latest rows (limit_n..proj_rename and q10-q13 defer to round
-# 9's cohort).  VALIDATED on every import; round 8's builder
-# promotes any
+# Next-oldest cohort after the r07 re-grade: the seven queries added
+# late in round 7 (never driver-graded — sweep-verified at sf0.001
+# AND sf0.01 in round 7), the four r03/r04 rows the mid-r07
+# amendment displaced, then the 28 remaining r04-latest rows
+# (computed from the CORRECTNESS_r01-r06 union: latest driver row
+# per query, minus everything in _R07_WINDOW), then the 11
+# alphabetically-first r05-latest rows (global_max..proj_rename and
+# q10-q13 defer to round 9's cohort).  VALIDATED on every import;
+# round 8's builder promotes any
 # red rows from CORRECTNESS_r07 to the front, then replaces the
 # _R07_WINDOW reorder above with the same two lines over _R08_WINDOW.
 _R08_WINDOW = [
@@ -8059,6 +8327,9 @@ _R08_WINDOW = [
     "ks_drift_test",
     "zorder_layout_plan",
     "vocab_growth_by_source",
+    "cms_heavy_hitters",
+    "hll_distinct_registers",
+    "lsh_pair_eval",
     # (z) displaced from the r07 window by the mid-r07 amendment
     "expectations_report",
     "graph_pagerank",
@@ -8093,8 +8364,8 @@ _R08_WINDOW = [
     "unpivot_metrics",
     "value_histogram",
     "value_trend_by_type",
-    # (b) r05-latest, alphabetical head (16; limit_n..proj_rename defer
-    # to round 9's cohort with q10-q13)
+    # (b) r05-latest, alphabetical head (11; global_max..proj_rename
+    # defer to round 9's cohort with q10-q13)
     "above_nation_avg",
     "anti_join",
     "array_flatten",
@@ -8106,8 +8377,5 @@ _R08_WINDOW = [
     "count_sum",
     "decontaminate_train",
     "dedup_ngram_jaccard",
-    "global_max",
-    "inter_event_gaps",
-    "json_extract_agg",
 ]
 _check_window(_R08_WINDOW, "_R08_WINDOW", prior=_R07_WINDOW)

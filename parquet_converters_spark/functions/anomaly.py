@@ -44,6 +44,17 @@ def group_stats(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
 
 
 _WINSORIZE_EXACT_MAX_BYTES = 1 << 30  # ~10M fact rows of (group, double)
+_UNKNOWN_SIZE = (1 << 63) - 1  # spark.sql.defaultSizeInBytes sentinel
+
+
+def _winsorize_gate_exact(size_in_bytes: int) -> bool:
+    """True iff the exact (value-list-buffering) percentile is safe.
+    Long.MaxValue is the statless-source sentinel (JDBC, some DSv2) —
+    it may front arbitrarily large data, so unknown gates to the
+    bounded-memory approx sketch."""
+    if size_in_bytes == _UNKNOWN_SIZE:
+        return False
+    return size_in_bytes <= _WINSORIZE_EXACT_MAX_BYTES
 
 
 def winsorize(
@@ -68,18 +79,19 @@ def winsorize(
     path, not advice: ``exact=None`` auto-gates on the optimized
     plan's driver-side size estimate (no Spark job) vs
     ``_WINSORIZE_EXACT_MAX_BYTES``.  File-backed plans — the only way
-    100 TB arrives — always carry a real size; a LocalRelation
-    reports UNKNOWN (Long.MaxValue), and driver-materialized local
-    data is small by construction, so unknown gates exact.  Callers
+    100 TB arrives — carry a real size, and so does a
+    driver-materialized LocalRelation (Catalyst computes it from the
+    rows).  A size of Long.MaxValue is ``spark.sql.defaultSizeInBytes``
+    — the sentinel ANY statless source reports (JDBC, some DSv2
+    relations), which may front arbitrarily large data — so UNKNOWN
+    gates to the bounded-memory sketch (the safe direction).  Callers
     that know the row count precisely (e.g. from parquet footers —
     queries._footer_rows) should pass ``exact`` explicitly.
     """
     if exact is None:
-        size = int(
-            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        exact = _winsorize_gate_exact(
+            int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
         )
-        unknown = size == (1 << 63) - 1
-        exact = unknown or size <= _WINSORIZE_EXACT_MAX_BYTES
     fn = "percentile" if exact else "approx_percentile"
     bounds = df.groupBy(group_col).agg(
         F.expr(f"{fn}({value_col}, {lo})").alias("_lo"),

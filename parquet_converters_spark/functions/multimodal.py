@@ -116,7 +116,12 @@ def _real_decode(payload: bytes, n_features: int) -> tuple:
         return w, h, c, _band_features(pixels, n_features)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         _rate, channels, samples = decode_wav(payload)
-        scaled = [abs(s) // 128 for s in samples]  # |PCM16| -> 0..255
+        if not samples:
+            # empty data chunk: zero band energy (|PCM16|=0 -> -1.0
+            # after the [-1, 1] remap), not a divide-by-zero
+            return None, None, channels, [-1.0] * n_features
+        # |PCM16| -> 0..255; clamp -32768 (|s|=32768 -> 256 otherwise)
+        scaled = [min(abs(s), 32767) // 128 for s in samples]
         return None, None, channels, _band_features(scaled, n_features)
     raise NotImplementedError(
         "real decode supports PNG and PCM16 WAV via the stdlib codecs "

@@ -623,6 +623,12 @@ def ivf_pq_topk(
     chain in both engines, so code assignment needs no rounding;
     only the final ``n_sub``-term ADC sum crosses engines through
     the round-6 convention (same class as every cosine query)."""
+    if dim % n_sub != 0:
+        raise ValueError(
+            f"dim ({dim}) must be divisible by n_sub ({n_sub}); a "
+            "remainder would silently drop the trailing dimensions "
+            "from both encoding and ADC scoring"
+        )
     sub_dim = dim // n_sub
     if codebooks is None:
         codebooks = pq_sample_codebooks(

@@ -113,6 +113,21 @@ def test_winsorize_plan_stats_gate(spark, sf_dir, monkeypatch):
     assert stats["hi"] <= env["p99"] + abs(env["p99"])
 
 
+def test_winsorize_unknown_size_gates_approx():
+    """Long.MaxValue sizeInBytes is the statless-source sentinel
+    (spark.sql.defaultSizeInBytes — JDBC, some DSv2), NOT a
+    LocalRelation marker: unknown must choose the bounded-memory
+    approx path (ADVICE r07)."""
+    import parquet_converters_spark.functions.anomaly as anomaly
+
+    assert anomaly._winsorize_gate_exact((1 << 63) - 1) is False
+    assert anomaly._winsorize_gate_exact(1024) is True
+    assert (
+        anomaly._winsorize_gate_exact(anomaly._WINSORIZE_EXACT_MAX_BYTES + 1)
+        is False
+    )
+
+
 def test_gates_share_footer_count_path(sf_dir):
     """All three query-level gates go through the same directory-safe
     footer-count helper (no Spark job)."""

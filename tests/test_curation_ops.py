@@ -135,6 +135,37 @@ def test_ks_drift_matches_pure_python(spark, sf_dir):
     assert 0.0 <= row.d_stat <= 1.0
 
 
+def test_ks_drift_distributed_path_agrees(spark, sf_dir):
+    """The footer-gated distributed-CDF path (repartitionByRange +
+    per-partition partials + broadcast prefix offsets) must produce
+    the SAME single row as the exact single-window form, and its plan
+    must contain no partition-less window (every Window keys on _pid)
+    and no full-data SinglePartition exchange feeding a sort or
+    window."""
+    from parquet_converters_spark.queries import ks_drift_test as ks
+
+    exact_row = ks(spark, sf_dir, exact=True).collect()[0]
+    dist_df = ks(spark, sf_dir, exact=False)
+    dist_row = dist_df.collect()[0]
+    assert (dist_row.n1, dist_row.n2) == (exact_row.n1, exact_row.n2)
+    assert dist_row.at_value == exact_row.at_value
+    assert dist_row.d_stat == exact_row.d_stat
+    plan = dist_df._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "Window" in line and "windowspecdefinition" not in line.lower():
+            assert "_pid" in line, f"partition-less window:\n{line}"
+    # the only SinglePartition exchange allowed is the final global
+    # aggregate over per-partition partial-agg rows (max-struct argmax)
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" in line:
+            consumers = "\n".join(lines[max(0, i - 3): i])
+            assert "HashAggregate" in consumers or "SortAggregate" in (
+                consumers
+            ), f"SinglePartition exchange not feeding an aggregate:\n{line}"
+    assert "rangepartitioning" in plan
+
+
 def _spread16(x):
     x = (x | (x << 8)) & 0x00FF00FF
     x = (x | (x << 4)) & 0x0F0F0F0F
@@ -185,6 +216,47 @@ def test_zorder_matches_pure_python(spark, sf_dir):
     skipped = sum(1 for r in got if r.reads_pred == 0)
     # z-order must actually skip: most files prune a 10/200-part range
     assert skipped > _Z_FILES // 2
+
+
+def test_zorder_distributed_path(spark, sf_dir):
+    """The footer-gated range-partitioned layout (repartitionByRange
+    on z -> one file per range partition) must conserve rows, yield
+    disjoint consecutive z-ranges (the zone-map property the skipping
+    score depends on), preserve the skipping effectiveness of the
+    exact ntile form, and show rangepartitioning with zero
+    partition-less windows in the plan."""
+    from parquet_converters_spark.queries import (
+        _Z_FILES,
+        _zorder_files,
+        zorder_layout_plan,
+    )
+
+    exact = zorder_layout_plan(spark, sf_dir, exact=True).collect()
+    dist_df = _zorder_files(spark, sf_dir, exact=False)
+    dist = sorted(dist_df.collect(), key=lambda r: r.file_id)
+    assert sum(r.n_rows for r in dist) == sum(r.n_rows for r in exact)
+    assert 2 <= len(dist) <= _Z_FILES
+    for a, b in zip(dist, dist[1:]):
+        assert a._z_max <= b._z_min, (a.file_id, b.file_id)
+    # z-order skipping survives the sample-equal assignment: the
+    # narrow partkey predicate still skips a majority of files
+    frac_exact = sum(r.reads_pred for r in exact) / len(exact)
+    frac_dist = sum(r.reads_pred for r in dist) / len(dist)
+    assert frac_dist <= max(0.5, 2 * frac_exact)
+    plan = dist_df._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan
+    # the only SinglePartition exchanges allowed feed global aggregates
+    # over per-partition partials (the min/max extents pass)
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" in line:
+            consumers = "\n".join(lines[max(0, i - 3): i])
+            assert "HashAggregate" in consumers or "SortAggregate" in (
+                consumers
+            ), f"SinglePartition exchange not feeding an aggregate:\n{line}"
+    for line in lines:
+        if "Window" in line and "windowspecdefinition" not in line.lower():
+            raise AssertionError(f"window in gated plan:\n{line}")
 
 
 def test_vocab_growth_matches_pure_python(spark, sf_dir):

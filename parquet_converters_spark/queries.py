@@ -3578,7 +3578,7 @@ GROUP BY ex.query_id ORDER BY ex.query_id
 _RRF_K, _RRF_TOPK_EACH, _RRF_TOPK_OUT = 60, 20, 10
 
 
-def hybrid_rrf_search(spark, sf_dir):
+def hybrid_rrf_search(spark, sf_dir, n_queries=5):
     """Hybrid retrieval with reciprocal-rank fusion: a dense retriever
     (exact cosine top-20 over the embeddings, functions/similarity.py
     cosine_topk) and a lexical retriever (word-3-shingle Jaccard
@@ -3601,13 +3601,13 @@ def hybrid_rrf_search(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     dense = cosine_topk(
-        emb, emb.filter(F.col("vec_id") < 5), k=_RRF_TOPK_EACH
+        emb, emb.filter(F.col("vec_id") < n_queries), k=_RRF_TOPK_EACH
     ).select("query_id", F.col("rank").alias("dense_rank"), "neighbor_id")
 
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", F.array_distinct(shingles("text")).alias("sh")
     )
-    qdocs = docs.filter(F.col("doc_id") < 5).select(
+    qdocs = docs.filter(F.col("doc_id") < n_queries).select(
         F.col("doc_id").alias("query_id"), F.col("sh").alias("qsh")
     )
     inter = F.size(F.array_intersect(F.col("qsh"), F.col("sh")))
@@ -3708,7 +3708,7 @@ ORDER BY query_id, fused_rank
 """
 
 
-def hard_negative_mining(spark, sf_dir):
+def hard_negative_mining(spark, sf_dir, n_anchors=10):
     """Contrastive-training data prep: for each of ten anchor
     embeddings, the five most-cosine-similar vectors whose label
     DIFFERS from the anchor's — the "hard negatives" a contrastive
@@ -3724,7 +3724,7 @@ def hard_negative_mining(spark, sf_dir):
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    a = emb.filter(F.col("vec_id") < 10).select(
+    a = emb.filter(F.col("vec_id") < n_anchors).select(
         F.col("vec_id").alias("anchor_id"),
         F.col("label").alias("anchor_label"),
         F.col("embedding").alias("_av"),
@@ -3790,7 +3790,7 @@ ORDER BY anchor_id, rank
 _MMR_POOL, _MMR_SELECT = 20, 5
 
 
-def mmr_diverse_topk(spark, sf_dir):
+def mmr_diverse_topk(spark, sf_dir, n_queries=3):
     """Maximal-marginal-relevance selection for training-data curation:
     for each of three query embeddings, take the exact cosine top-20
     candidate pool, then greedily pick 5 that trade off relevance to
@@ -3812,7 +3812,7 @@ def mmr_diverse_topk(spark, sf_dir):
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") < 3).select(
+    q = emb.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("_qv"),
         vec_norm(F.col("embedding")).alias("_qn"),
@@ -3961,7 +3961,7 @@ ORDER BY query_id, step
 MMR_DIVERSE_SQL = _mmr_sql()
 
 
-_KS_EXACT_MAX_ROWS = 2_000_000
+_KS_EXACT_MAX_ROWS = 500_000
 
 
 def _ks_cum_distributed(per_v):

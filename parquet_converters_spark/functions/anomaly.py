@@ -79,13 +79,16 @@ def winsorize(
     path, not advice: ``exact=None`` auto-gates on the optimized
     plan's driver-side size estimate (no Spark job) vs
     ``_WINSORIZE_EXACT_MAX_BYTES``.  File-backed plans — the only way
-    100 TB arrives — carry a real size, and so does a
-    driver-materialized LocalRelation (Catalyst computes it from the
-    rows).  A size of Long.MaxValue is ``spark.sql.defaultSizeInBytes``
-    — the sentinel ANY statless source reports (JDBC, some DSv2
-    relations), which may front arbitrarily large data — so UNKNOWN
-    gates to the bounded-memory sketch (the safe direction).  Callers
-    that know the row count precisely (e.g. from parquet footers —
+    100 TB arrives — carry a real size.  A size of Long.MaxValue is
+    ``spark.sql.defaultSizeInBytes`` — the sentinel ANY statless source
+    reports (JDBC, some DSv2 relations), which may front arbitrarily
+    large data — so UNKNOWN gates to the bounded-memory sketch (the
+    safe direction).  NOTE: in PySpark, ``spark.createDataFrame``
+    builds an RDD-backed plan (``LogicalRDD``), NOT a sized
+    LocalRelation, so in-memory DataFrames also report the sentinel and
+    auto-gate to approx (pinned by ``tests/test_scd_anomaly.py``).
+    Callers that know the data is small (tests, driver-materialized
+    frames) or know the row count precisely (parquet footers —
     queries._footer_rows) should pass ``exact`` explicitly.
     """
     if exact is None:

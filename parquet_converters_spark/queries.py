@@ -3963,6 +3963,10 @@ MMR_DIVERSE_SQL = _mmr_sql()
 
 _KS_EXACT_MAX_ROWS = 500_000
 
+#: Most recent _ks_cum_distributed persist; freed on the NEXT call so a
+#: long-lived session never accumulates more than one cached copy.
+_KS_PERSIST_PREV: list = []
+
 
 def _ks_cum_distributed(per_v):
     """Distributed cumulative CDF counts over distinct values WITHOUT
@@ -3978,8 +3982,16 @@ def _ks_cum_distributed(per_v):
     parts = spark.sparkContext.defaultParallelism
     ranged = per_v.repartitionByRange(parts, "value")
     # persist: the partials pass and the final plan must see the SAME
-    # sampled range boundaries
+    # sampled range boundaries.  The persist must OUTLIVE this call —
+    # the returned plan still reads with_pid, and unpersisting before
+    # the caller consumes it would let repartitionByRange re-sample
+    # boundaries, invalidating the broadcast offsets.  Repeated calls
+    # in one session (tests hit both gate paths) are bounded to ONE
+    # live cache: each call frees the previous call's persist.
+    while _KS_PERSIST_PREV:
+        _KS_PERSIST_PREV.pop().unpersist(blocking=False)
     with_pid = ranged.withColumn("_pid", F.spark_partition_id()).persist()
+    _KS_PERSIST_PREV.append(with_pid)
     partials = {
         r["_pid"]: (r["s1"], r["s2"])
         for r in with_pid.groupBy("_pid")
@@ -4105,7 +4117,8 @@ cum AS (
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f1,
          sum(c2) OVER (ORDER BY value
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f2,
-         sum(c1) OVER () AS n1, sum(c2) OVER () AS n2
+         CAST(sum(c1) OVER () AS BIGINT) AS n1,
+         CAST(sum(c2) OVER () AS BIGINT) AS n2
   FROM per_v)
 SELECT n1, n2,
        CAST(d_num AS DOUBLE) / CAST(n1 * n2 AS DOUBLE) AS d_stat,
@@ -4308,8 +4321,10 @@ WITH per_tok AS (
         FROM documents) _t
   GROUP BY source, token),
 agg AS (
-  SELECT source, sum(n) AS total_tokens, count(*) AS distinct_tokens,
-         sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS hapax_tokens
+  SELECT source, CAST(sum(n) AS BIGINT) AS total_tokens,
+         count(*) AS distinct_tokens,
+         CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS hapax_tokens
   FROM per_tok GROUP BY source),
 nd AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source)
 SELECT nd.source, n_docs, total_tokens, distinct_tokens, hapax_tokens,
@@ -4409,7 +4424,18 @@ ORDER BY p.true_n DESC, p.token ASC
 #: longs (max 256 * 2^53 < 2^62), so the only float work is the final
 #: constant multiply + divide — single shared-input IEEE ops.
 _HLL_M = 256
-_HLL_CONST = (0.7213 / (1 + 1.079 / _HLL_M)) * _HLL_M * _HLL_M * float(1 << 53)
+#: Derived geometry — everything below follows from _HLL_M and the
+#: 60-bit hash width, so changing _HLL_M keeps register shift, rho
+#: ceiling, and the alpha*m^2 constant in lockstep (Spark AND oracle).
+_HLL_P = _HLL_M.bit_length() - 1  # register-index bits (8)
+_HLL_REST_BITS = 60 - _HLL_P  # rho domain width (52)
+_HLL_RHO_MAX = _HLL_REST_BITS + 1  # rho when rest == 0 (53)
+_HLL_CONST = (
+    (0.7213 / (1 + 1.079 / _HLL_M))
+    * _HLL_M
+    * _HLL_M
+    * float(1 << _HLL_RHO_MAX)
+)
 
 
 def hll_distinct_registers(spark, sf_dir):
@@ -4441,10 +4467,10 @@ def hll_distinct_registers(spark, sf_dir):
         # register/rest via mask+shift: exact on the full 60-bit hash
         # (a double division would round past 2^53)
         h.bitwiseAND(F.lit(_HLL_M - 1)).alias("register"),
-        F.shiftright(h, _HLL_M.bit_length() - 1).alias("rest"),
+        F.shiftright(h, _HLL_P).alias("rest"),
     )
-    rho = F.when(F.col("rest") == 0, F.lit(53)).otherwise(
-        F.lit(53) - F.length(F.bin(F.col("rest")))
+    rho = F.when(F.col("rest") == 0, F.lit(_HLL_RHO_MAX)).otherwise(
+        F.lit(_HLL_RHO_MAX) - F.length(F.bin(F.col("rest")))
     )
     regs = tok.groupBy("register").agg(F.max(rho).alias("m_j"))
     dense = (
@@ -4454,9 +4480,9 @@ def hll_distinct_registers(spark, sf_dir):
         .select(F.coalesce(F.col("m_j"), F.lit(0)).alias("m_j"))
     )
     s = dense.agg(
-        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 53 - m_j)")).alias(
-            "harmonic_s"
-        )
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_RHO_MAX} - m_j)")
+        ).alias("harmonic_s")
     )
     exact = docs.select(F.explode(shingles("text")).alias("token")).agg(
         F.countDistinct("token").alias("n_exact")
@@ -4481,13 +4507,15 @@ hashed AS (
   FROM tok),
 regs AS (
   SELECT register,
-         max(CASE WHEN rest = 0 THEN 53 ELSE 53 - length(bin(rest)) END)
+         max(CASE WHEN rest = 0 THEN {_HLL_RHO_MAX}
+                  ELSE {_HLL_RHO_MAX} - length(bin(rest)) END)
            AS m_j
   FROM hashed GROUP BY register),
 dense AS (
   SELECT coalesce(m_j, 0) AS m_j
   FROM range({_HLL_M}) r LEFT JOIN regs ON regs.register = r.range),
-s AS (SELECT sum(CAST(1 AS BIGINT) << (53 - m_j)) AS harmonic_s FROM dense),
+s AS (SELECT sum(CAST(1 AS BIGINT) << ({_HLL_RHO_MAX} - m_j))
+      AS harmonic_s FROM dense),
 exact AS (SELECT count(DISTINCT token) AS n_exact FROM tok)
 SELECT n_exact,
        {_HLL_CONST!r} / CAST(harmonic_s AS DOUBLE) AS hll_estimate,
@@ -4563,11 +4591,11 @@ hashed AS (SELECT doc_id, """
     + SQL_H60.format(x="text")
     + """ AS ch FROM documents),
 truth AS (
-  SELECT sum(CAST(n * (n - 1) / 2 AS BIGINT)) AS n_truth
+  SELECT CAST(sum(CAST(n * (n - 1) / 2 AS BIGINT)) AS BIGINT) AS n_truth
   FROM (SELECT count(*) AS n FROM hashed GROUP BY ch) _),
 counts AS (
   SELECT count(*) AS n_pred,
-         sum(CASE WHEN a.ch = b.ch THEN 1 ELSE 0 END) AS tp
+         CAST(sum(CASE WHEN a.ch = b.ch THEN 1 ELSE 0 END) AS BIGINT) AS tp
   FROM pairs p
   JOIN hashed a ON a.doc_id = p.id_a
   JOIN hashed b ON b.doc_id = p.id_b)
@@ -8517,7 +8545,22 @@ QUERIES = {
 # Round 9's builder promotes any red rows from CORRECTNESS_r08 to the
 # front, then replaces the _R08_WINDOW reorder above with the same
 # two lines over _R09_WINDOW.
-_R09_WINDOW = [
+#
+# AMENDED at round-9 start (the r07 mid-round-amendment precedent):
+# CORRECTNESS_r08 red-flagged ks_drift_test / vocab_growth_by_source /
+# lsh_pair_eval — all three hash-only fails from uncast DuckDB sum()
+# typing the output column HUGEINT (Spark values verified bit-identical
+# at sf0.01; same class as the round-1 b583a26 fix).  Their oracle SQLs
+# now carry CAST(... AS BIGINT) wraps; they lead the window so the fix
+# is driver-re-graded this round.  The three displaced tail entries
+# (dedup_minhash_sig, dedup_simhash_pairs, distinct_nation_stats)
+# defer to the r10 cohort.
+_R09_PROMOTED_REDS = [
+    "ks_drift_test",
+    "lsh_pair_eval",
+    "vocab_growth_by_source",
+]
+_R09_WINDOW = _R09_PROMOTED_REDS + [
     # (a) r05-latest remainder (39)
     "global_max",
     "inter_event_gaps",
@@ -8567,8 +8610,17 @@ _R09_WINDOW = [
     "dedup_components_star",
     "dedup_fuzzy_pairs",
     "dedup_incremental_bloom",
-    "dedup_minhash_sig",
-    "dedup_simhash_pairs",
-    "distinct_nation_stats",
 ]
-_check_window(_R09_WINDOW, "_R09_WINDOW", prior=_R08_WINDOW)
+# Promoted reds are exempt from the no-overlap-with-prior rule: they
+# WERE graded (red) in r08 and must be re-graded after the oracle fix.
+_check_window(
+    _R09_WINDOW,
+    "_R09_WINDOW",
+    prior=[n for n in _R08_WINDOW if n not in _R09_PROMOTED_REDS],
+)
+# ACTIVE for round 9 (CORRECTNESS_r08 was 47/50 — the three HUGEINT
+# reds above lead the window for re-grade):
+QUERIES = {
+    **{name: QUERIES[name] for name in _R09_WINDOW},
+    **{name: v for name, v in QUERIES.items() if name not in _R09_WINDOW},
+}

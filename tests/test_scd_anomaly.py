@@ -101,11 +101,14 @@ def test_weighted_sample_score_formula(spark):
 def test_winsorize_clips_to_group_quantiles(spark):
     from parquet_converters_spark.functions.anomaly import winsorize
 
-    # group g: 1..100; p05 = 5.95, p95 = 95.05 (linear interpolation)
+    # group g: 1..100; p05 = 5.95, p95 = 95.05 (linear interpolation).
+    # exact=True: this test asserts exact interpolated quantiles, and
+    # createDataFrame frames are LogicalRDD (unknown size) so the
+    # auto-gate would route them to approx (see test below).
     df = spark.createDataFrame(
         [(i, "g", float(i)) for i in range(1, 101)], ["id", "g", "v"]
     )
-    w = winsorize(df, "g", "v", 0.05, 0.95).collect()
+    w = winsorize(df, "g", "v", 0.05, 0.95, exact=True).collect()
     lo = 1 + 0.05 * 99
     hi = 1 + 0.95 * 99
     for r in w:
@@ -115,3 +118,35 @@ def test_winsorize_clips_to_group_quantiles(spark):
     inner = [r for r in w if lo <= r.v <= hi]
     assert all(r.clipped == r.v for r in inner)
     assert sum(r.clipped_lo for r in w) == 5 and sum(r.clipped_hi for r in w) == 5
+
+
+def test_winsorize_auto_gate_routes_inmemory_frames_to_approx(spark):
+    """Pin the auto-gate behavior the r08 change introduced: a PySpark
+    ``createDataFrame`` frame is an RDD-backed LogicalRDD whose plan
+    stats report the ``spark.sql.defaultSizeInBytes`` sentinel
+    (Long.MaxValue), NOT a sized LocalRelation — so ``exact=None``
+    must route it to the bounded-memory ``approx_percentile`` path
+    (unknown size == potentially unbounded == the safe direction)."""
+    from parquet_converters_spark.functions.anomaly import (
+        _UNKNOWN_SIZE,
+        _winsorize_gate_exact,
+        winsorize,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "g", float(i)) for i in range(1, 101)], ["id", "g", "v"]
+    )
+    # The premise: in-memory frames report the unknown-size sentinel.
+    size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    assert size == _UNKNOWN_SIZE
+    assert _winsorize_gate_exact(size) is False
+    # And the observable consequence: the auto-gated plan aggregates
+    # with approx_percentile, the explicit exact=True plan with
+    # percentile.
+    auto_plan = winsorize(df, "g", "v", 0.05, 0.95)._jdf.queryExecution(
+    ).optimizedPlan().toString()
+    exact_plan = winsorize(df, "g", "v", 0.05, 0.95, exact=True)._jdf\
+        .queryExecution().optimizedPlan().toString()
+    assert "approx_percentile" in auto_plan
+    assert "approx_percentile" not in exact_plan
+    assert "percentile" in exact_plan

@@ -1,0 +1,810 @@
+"""Minimal stdlib-only baseline JPEG codec (ITU-T T.81 / ISO 10918-1).
+
+The dominant web-corpus image format, written from the public spec so
+``multimodal_decode``/``resize_media`` run REAL on JPEG payloads in any
+environment (this container ships no PIL) — the same from-spec pattern
+as the PNG/WAV codecs in ``media_codecs.py`` and the HDF5 codec in
+``sinks/hdf5_minimal.py``.  Where PIL *is* installed,
+``tests/test_multimodal_realdecode.py`` cross-validates both directions
+(auto-activating).
+
+Scope (deliberately minimal, spec-complete within it):
+
+- decode: baseline sequential DCT (SOF0), Huffman entropy coding,
+  8-bit samples, grayscale or YCbCr, any sampling factors up to 2x2
+  (4:4:4 / 4:2:2 / 4:2:0), interleaved or per-component scans,
+  restart markers (DRI/RSTn), 8- and 16-bit quantization tables,
+  IDAT-style multi-segment APPn/COM skipping.  Progressive (SOF2),
+  arithmetic coding (SOF9-11), lossless, hierarchical, and 12-bit
+  modes raise ``NotImplementedError`` naming exactly what they are.
+- encode: baseline SOF0 with the Annex K example quantization and
+  Huffman tables (the tables virtually every encoder ships), quality
+  scaling per the public IJG formula, 4:4:4 or 4:2:0 subsampling,
+  grayscale or RGB input.  Deterministic: same pixels -> same bytes
+  on every platform (pure-integer quantization after an IEEE-double
+  DCT with shared constants).
+
+These run inside Arrow-batched ``mapInPandas`` workers, so everything
+is a pure function of ``bytes`` with no Spark imports.
+
+Reference provenance: the reference engine (BlueBrain/parquet-converters)
+has no media surface; this extends the engine for LLM-pipeline
+multimodal columns (brief § multimodal).
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+# ---------------------------------------------------------------------------
+# Spec constants (ITU-T T.81 Annex K — the public example tables)
+# ---------------------------------------------------------------------------
+
+#: zigzag position -> row-major index in the 8x8 block (spec Fig. 5)
+ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+#: Annex K Table K.1 — luminance quantization (row-major)
+QTABLE_LUMA = [
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]
+
+#: Annex K Table K.2 — chrominance quantization (row-major)
+QTABLE_CHROMA = [
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+]
+
+# Annex K Huffman specs as (BITS[1..16], HUFFVAL) — canonical-code form
+_DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_LUMA_VALS = list(range(12))
+_DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+_DC_CHROMA_VALS = list(range(12))
+_AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_LUMA_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+_AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+_AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+# 1-D DCT basis, shared by FDCT and IDCT: COS[u][x] = cos((2x+1)u*pi/16),
+# with the 0.5*C(u) normalisation folded in so both transforms are two
+# plain matrix passes.
+_C = [1.0 / math.sqrt(2.0)] + [1.0] * 7
+_COS = [
+    [0.5 * _C[u] * math.cos((2 * x + 1) * u * math.pi / 16) for x in range(8)]
+    for u in range(8)
+]
+
+# SOF markers we must name precisely when rejecting (spec Table B.1)
+_SOF_UNSUPPORTED = {
+    0xC1: "extended sequential (SOF1)",
+    0xC2: "progressive (SOF2)",
+    0xC3: "lossless (SOF3)",
+    0xC5: "differential sequential (SOF5)",
+    0xC6: "differential progressive (SOF6)",
+    0xC7: "differential lossless (SOF7)",
+    0xC9: "arithmetic-coded sequential (SOF9)",
+    0xCA: "arithmetic-coded progressive (SOF10)",
+    0xCB: "arithmetic-coded lossless (SOF11)",
+    0xCD: "differential arithmetic sequential (SOF13)",
+    0xCE: "differential arithmetic progressive (SOF14)",
+    0xCF: "differential arithmetic lossless (SOF15)",
+}
+
+
+def is_jpeg(data: bytes) -> bool:
+    """SOI marker check — the sniff used by the multimodal decode gate."""
+    return len(data) >= 3 and data[:3] == b"\xff\xd8\xff"
+
+
+# ---------------------------------------------------------------------------
+# Huffman code construction (spec Annex C)
+# ---------------------------------------------------------------------------
+
+
+def _build_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length), canonical order (encoder side)."""
+    out: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _build_decode_map(
+    bits: list[int], vals: list[int]
+) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol (decoder side)."""
+    out: dict[tuple[int, int], int] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+# ---------------------------------------------------------------------------
+# 8x8 transforms (spec A.3.3) — separable, IEEE doubles, shared basis
+# ---------------------------------------------------------------------------
+
+
+def _fdct8x8(block: list[float]) -> list[float]:
+    tmp = [0.0] * 64
+    for y in range(8):
+        row = block[y * 8 : y * 8 + 8]
+        for u in range(8):
+            cu = _COS[u]
+            tmp[y * 8 + u] = sum(row[x] * cu[x] for x in range(8))
+    out = [0.0] * 64
+    for u in range(8):
+        col = [tmp[y * 8 + u] for y in range(8)]
+        for v in range(8):
+            cv = _COS[v]
+            out[v * 8 + u] = sum(col[y] * cv[y] for y in range(8))
+    return out
+
+
+def _idct8x8(coef: list[float]) -> list[float]:
+    tmp = [0.0] * 64
+    for v in range(8):
+        row = coef[v * 8 : v * 8 + 8]
+        for x in range(8):
+            tmp[v * 8 + x] = sum(row[u] * _COS[u][x] for u in range(8))
+    out = [0.0] * 64
+    for x in range(8):
+        col = [tmp[v * 8 + x] for v in range(8)]
+        for y in range(8):
+            out[y * 8 + x] = sum(col[v] * _COS[v][y] for v in range(8))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Decoder
+# ---------------------------------------------------------------------------
+
+
+class _BitReader:
+    """Entropy-coded-segment bit reader: 0xFF00 unstuffing, stops clean
+    at any real marker, restart-marker aware (spec F.2.2.5)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+        self.marker: int | None = None  # pending marker (RSTn or scan end)
+
+    def _fill(self) -> None:
+        if self.marker is not None:
+            raise ValueError("JPEG: bit read past segment end")
+        d = self.data
+        if self.pos >= len(d):
+            raise ValueError("JPEG: truncated entropy-coded segment")
+        b = d[self.pos]
+        if b == 0xFF:
+            nxt = d[self.pos + 1] if self.pos + 1 < len(d) else None
+            if nxt == 0x00:  # stuffed literal 0xFF
+                self.pos += 2
+            elif nxt is None:
+                raise ValueError("JPEG: truncated after 0xFF")
+            else:  # a real marker terminates the segment
+                self.marker = nxt
+                raise ValueError("JPEG: bit read past segment end")
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def decode_huff(self, table: dict[tuple[int, int], int]) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("JPEG: invalid Huffman code")
+
+    def sync_restart(self, n: int) -> None:
+        """Byte-align and consume the expected RSTn marker."""
+        self.acc = 0
+        self.nbits = 0
+        if self.marker is None:
+            # scan forward to the marker (discarding pad bits/bytes)
+            d = self.data
+            while self.pos + 1 < len(d):
+                if d[self.pos] == 0xFF and d[self.pos + 1] != 0x00:
+                    self.marker = d[self.pos + 1]
+                    break
+                self.pos += 1
+        if self.marker != 0xD0 + (n & 7):
+            raise ValueError(
+                f"JPEG: expected RST{n & 7}, got marker {self.marker:#x}"
+                if self.marker is not None
+                else "JPEG: missing restart marker"
+            )
+        self.pos += 2
+        self.marker = None
+
+
+def _extend(v: int, s: int) -> int:
+    """DIFF/AC magnitude decode (spec F.2.2.1 EXTEND)."""
+    return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
+
+
+def _clamp8(x: float) -> int:
+    v = int(x + 0.5) if x >= 0 else -int(-x + 0.5)
+    return 0 if v < 0 else 255 if v > 255 else v
+
+
+def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
+    """Decode a baseline JPEG to ``(width, height, channels, pixels)``
+    — channels 1 (grayscale) or 3 (RGB), row-major 8-bit bytes.
+
+    Unsupported modes raise ``NotImplementedError`` naming the exact
+    mode (progressive, arithmetic, ...), so the multimodal gate error
+    is precise about what's missing rather than "not PNG".
+    """
+    if not is_jpeg(data):
+        raise ValueError("JPEG: bad SOI signature")
+    pos = 2
+    qtables: dict[int, list[int]] = {}
+    htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    restart_interval = 0
+    frame = None  # (W, H, comps) ; comps: list of dicts
+    planes: dict[int, bytearray] = {}
+
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"JPEG: expected marker at {pos}")
+        marker = data[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        body = data[pos + 4 : pos + 2 + seglen]
+        if len(body) != seglen - 2:
+            raise ValueError(f"JPEG: truncated segment {marker:#x}")
+        if marker in _SOF_UNSUPPORTED:
+            raise NotImplementedError(
+                f"JPEG: {_SOF_UNSUPPORTED[marker]} decoding is not "
+                "implemented — only baseline sequential Huffman (SOF0)"
+            )
+        if marker == 0xDB:  # DQT — possibly several tables per segment
+            at = 0
+            while at < len(body):
+                pq, tq = body[at] >> 4, body[at] & 0xF
+                at += 1
+                if pq == 0:
+                    qtables[tq] = list(body[at : at + 64])
+                    at += 64
+                else:
+                    qtables[tq] = list(
+                        struct.unpack(">64H", body[at : at + 128])
+                    )
+                    at += 128
+        elif marker == 0xC4:  # DHT — possibly several tables per segment
+            at = 0
+            while at < len(body):
+                tc, th = body[at] >> 4, body[at] & 0xF
+                bits = list(body[at + 1 : at + 17])
+                n = sum(bits)
+                vals = list(body[at + 17 : at + 17 + n])
+                htables[(tc, th)] = _build_decode_map(bits, vals)
+                at += 17 + n
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", body[:2])
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, nc = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                raise NotImplementedError(
+                    f"JPEG: {prec}-bit precision not implemented (8 only)"
+                )
+            if nc not in (1, 3):
+                raise NotImplementedError(
+                    f"JPEG: {nc}-component images not implemented "
+                    "(grayscale and YCbCr only)"
+                )
+            comps = []
+            hmax = vmax = 1
+            for i in range(nc):
+                cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
+                ch, cv = hv >> 4, hv & 0xF
+                if not (1 <= ch <= 2 and 1 <= cv <= 2):
+                    raise NotImplementedError(
+                        f"JPEG: sampling factors {ch}x{cv} not "
+                        "implemented (1..2 only)"
+                    )
+                hmax, vmax = max(hmax, ch), max(vmax, cv)
+                comps.append({"id": cid, "h": ch, "v": cv, "tq": tq})
+            mcux = (w + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+            for c in comps:
+                c["pw"] = mcux * c["h"] * 8  # padded plane width
+                c["ph"] = mcuy * c["v"] * 8
+                planes[c["id"]] = bytearray(c["pw"] * c["ph"])
+            frame = {
+                "w": w, "h": h, "comps": comps,
+                "hmax": hmax, "vmax": vmax, "mcux": mcux, "mcuy": mcuy,
+            }
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("JPEG: SOS before SOF")
+            ns = body[0]
+            scan = []
+            for i in range(ns):
+                cs, tt = body[1 + 2 * i : 3 + 2 * i]
+                comp = next(
+                    c for c in frame["comps"] if c["id"] == cs
+                )
+                scan.append((comp, tt >> 4, tt & 0xF))
+            pos = _decode_scan(
+                data, pos + 2 + seglen, frame, scan,
+                qtables, htables, restart_interval, planes,
+            )
+            continue  # pos already advanced past the ECS
+        # APPn / COM / others: skip
+        pos += 2 + seglen
+
+    if frame is None:
+        raise ValueError("JPEG: no frame header found")
+    return _assemble(frame, planes)
+
+
+def _decode_scan(
+    data, pos, frame, scan, qtables, htables, restart_interval, planes
+):
+    """Decode one entropy-coded segment (interleaved if Ns>1, else the
+    component's own block grid — spec A.2), writing spatial blocks into
+    the component planes.  Returns the offset just past the ECS."""
+    br = _BitReader(data, pos)
+    preds = {c["id"]: 0 for c, _, _ in scan}
+    if len(scan) > 1:
+        units_x, units_y = frame["mcux"], frame["mcuy"]
+    else:
+        c = scan[0][0]
+        # non-interleaved: the scan covers this component's OWN grid
+        units_x = (
+            (frame["w"] * c["h"] + frame["hmax"] * 8 - 1)
+            // (frame["hmax"] * 8)
+        )
+        units_y = (
+            (frame["h"] * c["v"] + frame["vmax"] * 8 - 1)
+            // (frame["vmax"] * 8)
+        )
+    n_units = units_x * units_y
+    rst = 0
+    for unit in range(n_units):
+        if restart_interval and unit and unit % restart_interval == 0:
+            br.sync_restart(rst)
+            rst = (rst + 1) & 7
+            for k in preds:
+                preds[k] = 0
+        ux, uy = unit % units_x, unit // units_x
+        for comp, td, ta in scan:
+            nb = comp["h"] * comp["v"] if len(scan) > 1 else 1
+            for b in range(nb):
+                if len(scan) > 1:
+                    bx = ux * comp["h"] + b % comp["h"]
+                    by = uy * comp["v"] + b // comp["h"]
+                else:
+                    bx, by = ux, uy
+                block = _decode_block(
+                    br,
+                    htables.get((0, td)),
+                    htables.get((1, ta)),
+                    qtables[comp["tq"]],
+                    preds,
+                    comp["id"],
+                )
+                _place_block(planes[comp["id"]], comp["pw"], bx, by, block)
+    # skip to just past the ECS (next real marker)
+    d = data
+    p = br.pos
+    if br.marker is not None:
+        return p
+    while p + 1 < len(d):
+        if d[p] == 0xFF and d[p + 1] != 0x00:
+            return p
+        p += 1
+    return p
+
+
+def _decode_block(br, dc_table, ac_table, qt, preds, cid):
+    if dc_table is None or ac_table is None:
+        raise ValueError("JPEG: scan references an undefined Huffman table")
+    coef = [0.0] * 64
+    s = br.decode_huff(dc_table)
+    diff = _extend(br.receive(s), s) if s else 0
+    preds[cid] += diff
+    coef[0] = preds[cid] * qt[0]
+    k = 1
+    while k < 64:
+        rs = br.decode_huff(ac_table)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r == 15:  # ZRL: sixteen zeros
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise ValueError("JPEG: AC coefficient index out of range")
+        coef[ZIGZAG[k]] = _extend(br.receive(s), s) * qt[k]
+        k += 1
+    px = _idct8x8(coef)
+    return bytes(_clamp8(v + 128.0) for v in px)
+
+
+def _place_block(plane, pw, bx, by, block):
+    x0, y0 = bx * 8, by * 8
+    for y in range(8):
+        at = (y0 + y) * pw + x0
+        plane[at : at + 8] = block[y * 8 : y * 8 + 8]
+
+
+def _assemble(frame, planes) -> tuple[int, int, int, bytes]:
+    """Upsample component planes (pixel replication) and convert to the
+    output colorspace (spec-standard YCbCr -> RGB, BT.601 constants)."""
+    w, h = frame["w"], frame["h"]
+    comps = frame["comps"]
+    hmax, vmax = frame["hmax"], frame["vmax"]
+    if len(comps) == 1:
+        c = comps[0]
+        plane, pw = planes[c["id"]], c["pw"]
+        out = bytearray(w * h)
+        for y in range(h):
+            at = y * pw
+            out[y * w : (y + 1) * w] = plane[at : at + w]
+        return w, h, 1, bytes(out)
+    out = bytearray(w * h * 3)
+    for y in range(h):
+        row = y * w * 3
+        for x in range(w):
+            vals = []
+            for c in comps:
+                sx = x * c["h"] // hmax
+                sy = y * c["v"] // vmax
+                vals.append(planes[c["id"]][sy * c["pw"] + sx])
+            yy, cb, cr = vals[0], vals[1] - 128, vals[2] - 128
+            d = row + x * 3
+            out[d] = _clamp8(yy + 1.402 * cr)
+            out[d + 1] = _clamp8(yy - 0.344136 * cb - 0.714136 * cr)
+            out[d + 2] = _clamp8(yy + 1.772 * cb)
+    return w, h, 3, bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Encoder
+# ---------------------------------------------------------------------------
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            b = (self.acc >> self.nbits) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:  # byte stuffing (spec F.1.2.3)
+                self.out.append(0x00)
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits
+        return bytes(self.out)
+
+
+def _scale_qtable(base: list[int], quality: int) -> list[int]:
+    """The public IJG quality scaling: 1..100 -> per-entry scale."""
+    quality = max(1, min(100, quality))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return [max(1, min(255, (b * scale + 50) // 100)) for b in base]
+
+
+def _category(v: int) -> int:
+    return v.bit_length() if v >= 0 else (-v).bit_length()
+
+
+def _encode_block(bw, coef_q, pred, dc_codes, ac_codes):
+    """Huffman-encode one quantized block (zigzag ints); returns new DC
+    predictor."""
+    diff = coef_q[0] - pred
+    s = _category(diff)
+    code, length = dc_codes[s]
+    bw.write(code, length)
+    if s:
+        bw.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+    run = 0
+    last_nz = 0
+    for k in range(63, 0, -1):
+        if coef_q[k]:
+            last_nz = k
+            break
+    for k in range(1, last_nz + 1):
+        v = coef_q[k]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_codes[0xF0]  # ZRL
+            bw.write(code, length)
+            run -= 16
+        s = _category(v)
+        code, length = ac_codes[(run << 4) | s]
+        bw.write(code, length)
+        bw.write(v if v > 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last_nz < 63:
+        code, length = ac_codes[0x00]  # EOB
+        bw.write(code, length)
+    return coef_q[0]
+
+
+def _quantize_block(pixels, qt) -> list[int]:
+    """Level-shift, FDCT, quantize, zigzag — one spatial 8x8 in, 64
+    zigzag-ordered quantized ints out."""
+    shifted = [p - 128.0 for p in pixels]
+    coef = _fdct8x8(shifted)
+    out = [0] * 64
+    for k in range(64):
+        c = coef[ZIGZAG[k]] / qt[k]
+        out[k] = int(c + 0.5) if c >= 0 else -int(-c + 0.5)
+    return out
+
+
+def _extract_block(plane, pw, ph, x0, y0) -> list[int]:
+    """8x8 tile with edge replication for partial tiles."""
+    out = []
+    for y in range(8):
+        sy = min(y0 + y, ph - 1)
+        row = plane[sy * pw : sy * pw + pw]
+        for x in range(8):
+            out.append(row[min(x0 + x, pw - 1)])
+    return out
+
+
+def encode_jpeg(
+    width: int,
+    height: int,
+    channels: int,
+    pixels: bytes,
+    quality: int = 85,
+    subsampling: str = "4:2:0",
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode 8-bit pixels (1=grayscale or 3=RGB, row-major) as a
+    baseline JFIF JPEG with the Annex K tables.  Deterministic bytes
+    for identical input on every platform.  ``restart_interval`` > 0
+    emits DRI + RSTn markers every that-many MCUs (spec F.1.2.5) —
+    what a parallel encoder would do to make the stream splittable."""
+    if channels not in (1, 3):
+        raise ValueError(f"channels must be 1 or 3, got {channels}")
+    if len(pixels) != width * height * channels:
+        raise ValueError(
+            f"pixel buffer is {len(pixels)} bytes, expected "
+            f"{width * height * channels}"
+        )
+    if subsampling not in ("4:4:4", "4:2:0"):
+        raise ValueError("subsampling must be '4:4:4' or '4:2:0'")
+
+    qt_l = _scale_qtable(QTABLE_LUMA, quality)
+    qt_c = _scale_qtable(QTABLE_CHROMA, quality)
+
+    # --- colorspace: RGB -> YCbCr planes (BT.601, spec-standard) ---
+    if channels == 1:
+        y_plane = list(pixels)
+        cb_plane = cr_plane = None
+    else:
+        n = width * height
+        y_plane = [0] * n
+        cb_plane = [0] * n
+        cr_plane = [0] * n
+        for i in range(n):
+            r, g, b = pixels[3 * i], pixels[3 * i + 1], pixels[3 * i + 2]
+            y_plane[i] = _clamp8(0.299 * r + 0.587 * g + 0.114 * b)
+            cb_plane[i] = _clamp8(128 - 0.168736 * r - 0.331264 * g + 0.5 * b)
+            cr_plane[i] = _clamp8(128 + 0.5 * r - 0.418688 * g - 0.081312 * b)
+
+    sub = channels == 3 and subsampling == "4:2:0"
+    if sub:
+        cw, ch_ = (width + 1) // 2, (height + 1) // 2
+        cb_s = [0] * (cw * ch_)
+        cr_s = [0] * (cw * ch_)
+        for sy in range(ch_):
+            for sx in range(cw):
+                acc_b = acc_r = cnt = 0
+                for dy in (0, 1):
+                    for dx in (0, 1):
+                        x, y = 2 * sx + dx, 2 * sy + dy
+                        if x < width and y < height:
+                            acc_b += cb_plane[y * width + x]
+                            acc_r += cr_plane[y * width + x]
+                            cnt += 1
+                cb_s[sy * cw + sx] = (acc_b + cnt // 2) // cnt
+                cr_s[sy * cw + sx] = (acc_r + cnt // 2) // cnt
+        comps = [
+            ("y", y_plane, width, height, 2, 2, 0),
+            ("cb", cb_s, cw, ch_, 1, 1, 1),
+            ("cr", cr_s, cw, ch_, 1, 1, 1),
+        ]
+        hmax = vmax = 2
+    elif channels == 3:
+        comps = [
+            ("y", y_plane, width, height, 1, 1, 0),
+            ("cb", cb_plane, width, height, 1, 1, 1),
+            ("cr", cr_plane, width, height, 1, 1, 1),
+        ]
+        hmax = vmax = 1
+    else:
+        comps = [("y", y_plane, width, height, 1, 1, 0)]
+        hmax = vmax = 1
+
+    # --- headers ---
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += (
+        b"\xff\xe0"
+        + struct.pack(">H", 16)
+        + b"JFIF\x00\x01\x01\x00"
+        + struct.pack(">HHBB", 1, 1, 0, 0)  # density 1x1, no thumbnail
+    )
+    # DQT (zigzag order per spec B.2.4.1)
+    for tq, qt in ([(0, qt_l)] + ([(1, qt_c)] if channels == 3 else [])):
+        zz = bytes(qt[k] for k in range(64))
+        out += b"\xff\xdb" + struct.pack(">H", 3 + 64) + bytes([tq]) + zz
+    # SOF0
+    nf = len(comps)
+    sof = struct.pack(">BHHB", 8, height, width, nf)
+    for i, (_, _, _, _, ch_f, cv_f, tq) in enumerate(comps):
+        sof += bytes([i + 1, (ch_f << 4) | cv_f, tq])
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    # DHT: standard tables (luma always, chroma only for color)
+    specs = [
+        (0, 0, _DC_LUMA_BITS, _DC_LUMA_VALS),
+        (1, 0, _AC_LUMA_BITS, _AC_LUMA_VALS),
+    ]
+    if channels == 3:
+        specs += [
+            (0, 1, _DC_CHROMA_BITS, _DC_CHROMA_VALS),
+            (1, 1, _AC_CHROMA_BITS, _AC_CHROMA_VALS),
+        ]
+    for tc, th, bits, vals in specs:
+        body = bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    # SOS (single interleaved scan)
+    sos = bytes([nf])
+    for i in range(nf):
+        t = 0 if i == 0 else 1 if channels == 3 else 0
+        sos += bytes([i + 1, (t << 4) | t])
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    # --- entropy-coded segment ---
+    dc_l = _build_codes(_DC_LUMA_BITS, _DC_LUMA_VALS)
+    ac_l = _build_codes(_AC_LUMA_BITS, _AC_LUMA_VALS)
+    dc_c = _build_codes(_DC_CHROMA_BITS, _DC_CHROMA_VALS)
+    ac_c = _build_codes(_AC_CHROMA_BITS, _AC_CHROMA_VALS)
+    bw = _BitWriter()
+    mcux = (width + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+    preds = {name: 0 for name, *_ in comps}
+    rst = 0
+    mcu_i = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                out += bw.flush()
+                bw = _BitWriter()
+                out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) & 7
+                for k in preds:
+                    preds[k] = 0
+            mcu_i += 1
+            for name, plane, pw, ph, ch_f, cv_f, tq in comps:
+                qt = qt_l if tq == 0 else qt_c
+                dc = dc_l if tq == 0 else dc_c
+                ac = ac_l if tq == 0 else ac_c
+                for by in range(cv_f):
+                    for bx in range(ch_f):
+                        tile = _extract_block(
+                            plane, pw, ph,
+                            (mx * ch_f + bx) * 8, (my * cv_f + by) * 8,
+                        )
+                        qblock = _quantize_block(tile, qt)
+                        preds[name] = _encode_block(
+                            bw, qblock, preds[name], dc, ac
+                        )
+    out += bw.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)

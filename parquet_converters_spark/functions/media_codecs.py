@@ -14,6 +14,8 @@ Scope (deliberately minimal, spec-complete within it):
   stream (any zlib split across IDAT chunks on decode), all five
   filter types on decode, filter 0 on encode.  PNG spec (RFC 2083).
 - WAV: RIFF/WAVE canonical header, PCM16 mono/stereo, little-endian.
+- JPEG (baseline SOF0, 4:4:4/4:2:2/4:2:0, restart markers) lives in
+  the sibling ``functions/jpeg_codec.py`` — same from-spec pattern.
 
 These run inside Arrow-batched ``mapInPandas`` workers, so they are
 pure functions of ``bytes`` with no Spark imports.

@@ -3,12 +3,13 @@ columns with typed metadata.
 
 The Spark-side contract is real and tested — schemas, Arrow-batched
 Pandas UDFs over ``mapInPandas``, partition-preserving plumbing — and
-so is the decode for the stdlib-codec formats: PNG images and PCM16
-WAV audio decode/resize/feature-extract for REAL through
-``functions/media_codecs.py`` (no PIL/ffmpeg needed; cross-validated
-against PIL where installed, tests/test_multimodal_realdecode.py).
-Formats beyond that table raise ``NotImplementedError`` naming the
-codec they need; ``fake=True`` substitutes a deterministic md5-derived
+so is the decode for the stdlib-codec formats: PNG and baseline JPEG
+images and PCM16 WAV audio decode/resize/feature-extract for REAL
+through ``functions/media_codecs.py`` + ``functions/jpeg_codec.py``
+(no PIL/ffmpeg needed; cross-validated against PIL where installed,
+tests/test_multimodal_realdecode.py).  Formats beyond that table raise
+``NotImplementedError`` naming the codec they need (unsupported JPEG
+modes — progressive, arithmetic — are named precisely); ``fake=True`` substitutes a deterministic md5-derived
 stand-in (what the oracle-checked queries use, since the driver's
 ``documents`` corpus carries utf-8 payloads, not PNGs).
 
@@ -100,11 +101,17 @@ def _band_features(values, n_features: int) -> list[float]:
 
 def _real_decode(payload: bytes, n_features: int) -> tuple:
     """REAL decode for the stdlib-codec formats (functions/
-    media_codecs.py): PNG images -> (w, h, channels, band-luminance
-    features); PCM16 WAV audio -> (None, None, channels, band-energy
-    features).  Other formats raise ``NotImplementedError`` naming the
-    codec they need — the plumbing is format-agnostic, only the codec
-    table is minimal."""
+    media_codecs.py + functions/jpeg_codec.py): PNG and baseline JPEG
+    images -> (w, h, channels, band-luminance features); PCM16 WAV
+    audio -> (None, None, channels, band-energy features).  Other
+    formats raise ``NotImplementedError`` naming the codec they need —
+    the plumbing is format-agnostic, only the codec table is minimal.
+    Unsupported JPEG *modes* (progressive/arithmetic/12-bit) raise
+    from the codec itself, naming the exact mode."""
+    from parquet_converters_spark.functions.jpeg_codec import (
+        decode_jpeg,
+        is_jpeg,
+    )
     from parquet_converters_spark.functions.media_codecs import (
         _PNG_SIG,
         decode_png,
@@ -113,6 +120,9 @@ def _real_decode(payload: bytes, n_features: int) -> tuple:
 
     if payload[:8] == _PNG_SIG:
         w, h, c, pixels = decode_png(payload)
+        return w, h, c, _band_features(pixels, n_features)
+    if is_jpeg(payload):
+        w, h, c, pixels = decode_jpeg(payload)
         return w, h, c, _band_features(pixels, n_features)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         _rate, channels, samples = decode_wav(payload)
@@ -124,8 +134,9 @@ def _real_decode(payload: bytes, n_features: int) -> tuple:
         scaled = [min(abs(s), 32767) // 128 for s in samples]
         return None, None, channels, _band_features(scaled, n_features)
     raise NotImplementedError(
-        "real decode supports PNG and PCM16 WAV via the stdlib codecs "
-        "(functions/media_codecs.py); other formats need PIL/ffmpeg — "
+        "real decode supports PNG, baseline JPEG (SOF0), and PCM16 WAV "
+        "via the stdlib codecs (functions/media_codecs.py, "
+        "functions/jpeg_codec.py); other formats need PIL/ffmpeg — "
         "or pass fake=True for the deterministic stub"
     )
 
@@ -197,18 +208,25 @@ def resize_media(
 ) -> DataFrame:
     """Resize images to ``width``x``height`` via Arrow-batched
     ``mapInPandas`` — a 1:1 narrow map (no shuffle, no row-count
-    change).  ``fake=False`` (default) REALLY resizes PNG payloads:
-    stdlib decode -> integer-exact nearest-neighbor resample -> stdlib
-    re-encode (functions/media_codecs.py), identical bytes on every
-    platform; non-PNG payloads raise ``NotImplementedError`` naming
-    the codec.  ``fake=True`` re-hashes the payload to a fixed-size
-    pseudo-bitmap (what the oracle-checked query uses)."""
+    change).  ``fake=False`` (default) REALLY resizes PNG and baseline
+    JPEG payloads: stdlib decode -> integer-exact nearest-neighbor
+    resample -> stdlib re-encode in the SAME format
+    (functions/media_codecs.py, functions/jpeg_codec.py), identical
+    bytes on every platform; other formats raise
+    ``NotImplementedError`` naming the codec.  ``fake=True`` re-hashes
+    the payload to a fixed-size pseudo-bitmap (what the oracle-checked
+    query uses)."""
 
     def run(batches: Iterator["object"]) -> Iterator["object"]:
         import hashlib
 
         import pandas as pd
 
+        from parquet_converters_spark.functions.jpeg_codec import (
+            decode_jpeg,
+            encode_jpeg,
+            is_jpeg,
+        )
         from parquet_converters_spark.functions.media_codecs import (
             decode_png,
             encode_png,
@@ -224,15 +242,21 @@ def resize_media(
                     body = (seed * (n // len(seed) + 1))[:n]
                 else:
                     raw = bytes(payload)
-                    if raw[:8] != b"\x89PNG\r\n\x1a\n":
+                    if raw[:8] == b"\x89PNG\r\n\x1a\n":
+                        w0, h0, c0, pixels = decode_png(raw)
+                        enc = encode_png
+                    elif is_jpeg(raw):
+                        w0, h0, c0, pixels = decode_jpeg(raw)
+                        enc = encode_jpeg
+                    else:
                         raise NotImplementedError(
-                            "real image resize supports PNG via the "
-                            "stdlib codec (functions/media_codecs.py); "
+                            "real image resize supports PNG and baseline "
+                            "JPEG via the stdlib codecs (functions/"
+                            "media_codecs.py, functions/jpeg_codec.py); "
                             "other formats need PIL — or pass fake=True "
                             "for the deterministic stub"
                         )
-                    w0, h0, c0, pixels = decode_png(raw)
-                    body = encode_png(
+                    body = enc(
                         width,
                         height,
                         c0,

@@ -183,7 +183,7 @@ def test_decode_media_unsupported_format_raises(spark, media_df):
     from parquet_converters_spark.functions.multimodal import decode_media
 
     bad = media_df.withColumn("payload", F.lit(bytearray(b"GIF89a....")))
-    with pytest.raises(Exception, match="PNG and PCM16 WAV"):
+    with pytest.raises(Exception, match="PNG, baseline JPEG"):
         decode_media(bad).collect()
 
 
@@ -239,6 +239,281 @@ def test_audio_features_real_path(spark, media_df):
 # --------------------------------------------------------------------------
 # auto-activating: PIL cross-validation (the test_h5py_crossval pattern)
 # --------------------------------------------------------------------------
+
+
+# --------------------------------------------------------------------------
+# always-on: baseline JPEG codec (functions/jpeg_codec.py, VERDICT r07
+# item 5 / r08 item 6 — the dominant web-corpus image format)
+# --------------------------------------------------------------------------
+
+
+def _psnr(a, b):
+    import math
+
+    mse = sum((x - y) ** 2 for x, y in zip(a, b)) / len(a)
+    return 99.0 if mse == 0 else 10 * math.log10(255.0**2 / mse)
+
+
+def _smooth(w, h, channels):
+    """Wrap-free gradient (natural-image-like): the right fixture for
+    PSNR floors — _pattern's mod-256 sawtooth has full-amplitude chroma
+    edges that any 4:2:0 codec legitimately blurs."""
+    out = bytearray()
+    for y in range(h):
+        for x in range(w):
+            for c in range(channels):
+                out.append(
+                    min(
+                        255,
+                        (x * 200) // max(w - 1, 1)
+                        + (y * 55) // max(h - 1, 1)
+                        + c * 17,
+                    )
+                )
+    return bytes(out)
+
+
+def test_jpeg_roundtrip_quality():
+    """Lossy round-trips at sane PSNR — grayscale, 4:4:4 on a hard
+    sawtooth, 4:2:0 on a smooth gradient (chroma loss expected on
+    edges, tight on natural-image-like content)."""
+    from parquet_converters_spark.functions.jpeg_codec import (
+        decode_jpeg,
+        encode_jpeg,
+        is_jpeg,
+    )
+
+    w, h = 37, 23  # non-multiple-of-16: exercises edge replication
+    gray = _pattern(w, h, 1)
+    data = encode_jpeg(w, h, 1, gray, quality=90)
+    assert is_jpeg(data)
+    W, H, C, out = decode_jpeg(data)
+    assert (W, H, C) == (w, h, 1)
+    assert _psnr(gray, out) > 30.0
+    rgb = _pattern(w, h, 3)
+    W, H, C, out = decode_jpeg(
+        encode_jpeg(w, h, 3, rgb, quality=90, subsampling="4:4:4")
+    )
+    assert (W, H, C) == (w, h, 3)
+    assert _psnr(rgb, out) > 30.0
+    smooth = _smooth(w, h, 3)
+    W, H, C, out = decode_jpeg(
+        encode_jpeg(w, h, 3, smooth, quality=90, subsampling="4:2:0")
+    )
+    assert (W, H, C) == (w, h, 3)
+    assert _psnr(smooth, out) > 30.0
+
+
+def test_jpeg_flat_color_nearly_exact():
+    """A uniform block is DC-only — quantization cannot move it more
+    than rounding, so round-trip error must be <= 1 count/channel."""
+    from parquet_converters_spark.functions.jpeg_codec import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    w, h = 16, 16
+    px = bytes([120, 64, 200]) * (w * h)
+    _, _, _, out = decode_jpeg(encode_jpeg(w, h, 3, px, quality=90))
+    assert max(abs(a - b) for a, b in zip(px, out)) <= 1
+
+
+def test_jpeg_restart_markers_do_not_change_pixels():
+    """DRI/RSTn segmentation changes the byte stream (predictor resets,
+    byte alignment) but NOT the quantized coefficients — decoded pixels
+    must be identical with and without restarts."""
+    from parquet_converters_spark.functions.jpeg_codec import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    w, h = 40, 24
+    px = _pattern(w, h, 3)
+    plain = encode_jpeg(w, h, 3, px, quality=85, subsampling="4:2:0")
+    rst = encode_jpeg(
+        w, h, 3, px, quality=85, subsampling="4:2:0", restart_interval=2
+    )
+    assert plain != rst and b"\xff\xdd" in rst  # DRI present
+    assert decode_jpeg(plain) == decode_jpeg(rst)
+
+
+def test_jpeg_unsupported_modes_named_precisely():
+    """The gate error names the exact unsupported mode (VERDICT r08
+    item 6: 'gate error narrowed to progressive/arithmetic')."""
+    import struct as _s
+
+    from parquet_converters_spark.functions.jpeg_codec import decode_jpeg
+
+    def sof(marker):
+        body = _s.pack(">BHHB", 8, 16, 16, 1) + bytes([1, 0x11, 0])
+        return (
+            b"\xff\xd8"
+            + bytes([0xFF, marker])
+            + _s.pack(">H", 2 + len(body))
+            + body
+        )
+
+    with pytest.raises(NotImplementedError, match="progressive"):
+        decode_jpeg(sof(0xC2))
+    with pytest.raises(NotImplementedError, match="arithmetic"):
+        decode_jpeg(sof(0xC9))
+    with pytest.raises(NotImplementedError, match="lossless"):
+        decode_jpeg(sof(0xC3))
+
+
+def test_jpeg_16bit_quant_tables_decode():
+    """Rewrite a valid stream's 8-bit DQT as the equivalent 16-bit
+    (Pq=1) table — decoded pixels must be identical (spec B.2.4.1)."""
+    from parquet_converters_spark.functions.jpeg_codec import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    w, h = 24, 16
+    px = _pattern(w, h, 1)
+    data = encode_jpeg(w, h, 1, px, quality=85)
+    at = data.index(b"\xff\xdb")
+    (seglen,) = struct.unpack(">H", data[at + 2 : at + 4])
+    assert seglen == 3 + 64  # one 8-bit table
+    tq = data[at + 4]
+    vals = data[at + 5 : at + 5 + 64]
+    wide = b"\xff\xdb" + struct.pack(">H", 3 + 128) + bytes([(1 << 4) | tq])
+    wide += b"".join(struct.pack(">H", v) for v in vals)
+    patched = data[:at] + wide + data[at + 2 + seglen :]
+    assert decode_jpeg(patched) == decode_jpeg(data)
+
+
+def test_jpeg_truncation_and_garbage_rejected():
+    from parquet_converters_spark.functions.jpeg_codec import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    data = encode_jpeg(16, 16, 1, bytes(256), quality=85)
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"JUNK" + data[4:])
+    with pytest.raises(ValueError):
+        decode_jpeg(data[: len(data) // 2])
+
+
+@pytest.fixture(scope="module")
+def jpeg_media_df(spark):
+    from parquet_converters_spark.functions.jpeg_codec import encode_jpeg
+    from parquet_converters_spark.functions.multimodal import MEDIA_SCHEMA
+
+    rows = []
+    specs = [(32, 20, 3, "4:2:0"), (17, 9, 3, "4:4:4"), (16, 16, 1, "4:4:4")]
+    for i, (w, h, c, sub) in enumerate(specs):
+        payload = encode_jpeg(
+            w, h, c, _pattern(w, h, c, seed=i), quality=88, subsampling=sub
+        )
+        rows.append(
+            (200 + i, "image", bytearray(payload), "image/jpeg", len(payload))
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA), specs
+
+
+def test_decode_media_real_path_jpeg(spark, jpeg_media_df):
+    """The Spark fake=False decode path runs REAL on JPEG payloads:
+    dimensions from the frame header, features = band-luminance means
+    over the decoded pixels (bit-identical to a local decode)."""
+    from parquet_converters_spark.functions.jpeg_codec import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+    from parquet_converters_spark.functions.multimodal import (
+        _band_features,
+        decode_media,
+    )
+
+    df, specs = jpeg_media_df
+    got = {r["media_id"]: r for r in decode_media(df, n_features=4).collect()}
+    assert len(got) == 3
+    for i, (w, h, c, sub) in enumerate(specs):
+        r = got[200 + i]
+        assert (r["width"], r["height"], r["channels"]) == (w, h, c)
+        payload = encode_jpeg(
+            w, h, c, _pattern(w, h, c, seed=i), quality=88, subsampling=sub
+        )
+        _, _, _, pixels = decode_jpeg(payload)
+        expected = _band_features(pixels, 4)
+        assert r["features"] == pytest.approx(expected, abs=1e-6)
+
+
+def test_resize_media_real_path_jpeg(spark, jpeg_media_df):
+    """resize_media on JPEG payloads: decode -> integer-exact nearest
+    resample -> re-encode as JPEG — byte-identical to a local run."""
+    from parquet_converters_spark.functions.jpeg_codec import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+    from parquet_converters_spark.functions.multimodal import resize_media
+
+    df, specs = jpeg_media_df
+    got = {
+        r["media_id"]: bytes(r["payload"])
+        for r in resize_media(df, width=8, height=6).collect()
+    }
+    for i, (w, h, c, sub) in enumerate(specs):
+        payload = encode_jpeg(
+            w, h, c, _pattern(w, h, c, seed=i), quality=88, subsampling=sub
+        )
+        w0, h0, c0, pixels = decode_jpeg(payload)
+        expected = encode_jpeg(
+            8, 6, c0, resize_nearest(w0, h0, c0, pixels, 8, 6)
+        )
+        assert got[200 + i] == expected
+        assert decode_jpeg(got[200 + i])[:3] == (8, 6, c0)
+
+
+# --------------------------------------------------------------------------
+# auto-activating: PIL cross-validation (the test_h5py_crossval pattern)
+# --------------------------------------------------------------------------
+
+
+@pytest.mark.skipif(not HAVE_PIL, reason="PIL not installed")
+@pytest.mark.parametrize("channels,mode", [(1, "L"), (3, "RGB")])
+def test_jpeg_crossval_pil_reads_ours(channels, mode):
+    """PIL/libjpeg must decode our encodes to nearly the same pixels
+    (tolerance: libjpeg's integer islow IDCT vs our float IDCT; 4:4:4
+    so no upsampling-filter divergence)."""
+    import io
+
+    from parquet_converters_spark.functions.jpeg_codec import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    w, h = 24, 16
+    px = _pattern(w, h, channels)
+    data = encode_jpeg(w, h, channels, px, quality=90, subsampling="4:4:4")
+    img = Image.open(io.BytesIO(data))
+    assert img.size == (w, h) and img.mode == mode
+    theirs = img.tobytes()
+    _, _, _, ours = decode_jpeg(data)
+    assert max(abs(a - b) for a, b in zip(theirs, ours)) <= 2
+
+
+@pytest.mark.skipif(not HAVE_PIL, reason="PIL not installed")
+@pytest.mark.parametrize("channels,mode", [(1, "L"), (3, "RGB")])
+def test_jpeg_crossval_we_read_pils(channels, mode):
+    """Our decoder must read PIL's own encodes (real libjpeg streams:
+    optimized tables off, 4:4:4) to nearly PIL's own decode."""
+    import io
+
+    from parquet_converters_spark.functions.jpeg_codec import decode_jpeg
+
+    w, h = 24, 16
+    px = _pattern(w, h, channels)
+    buf = io.BytesIO()
+    Image.frombytes(mode, (w, h), px).save(
+        buf, format="JPEG", quality=90, subsampling=0
+    )
+    data = buf.getvalue()
+    theirs = Image.open(io.BytesIO(data)).tobytes()
+    W, H, C, ours = decode_jpeg(data)
+    assert (W, H, C) == (w, h, channels)
+    assert max(abs(a - b) for a, b in zip(theirs, ours)) <= 2
 
 
 @pytest.mark.skipif(not HAVE_PIL, reason="PIL not installed")

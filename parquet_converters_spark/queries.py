@@ -1640,7 +1640,7 @@ SELECT doc_id,
     + (CASE WHEN CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
             / greatest(len(toks), 1) BETWEEN 3 AND 10 THEN 0.25 ELSE 0.0 END)
     + (CASE WHEN len(list_intersect(toks, {_EN_STOP_SQL})) >= 2 THEN 0.25 ELSE 0.0 END)
-  , 6) AS quality
+  , 6)::DOUBLE AS quality
 FROM (SELECT doc_id, text, {SQL_TOKENS.format(col='text')} AS toks FROM documents) _q
 ORDER BY doc_id
 """
@@ -7706,7 +7706,7 @@ WITH q AS (
            + (CASE WHEN CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
                    / greatest(len(toks), 1) BETWEEN 3 AND 10 THEN 0.25 ELSE 0.0 END)
            + (CASE WHEN len(list_intersect(toks, {_EN_STOP_SQL})) >= 2 THEN 0.25 ELSE 0.0 END)
-         , 6) AS quality
+         , 6)::DOUBLE AS quality
   FROM (SELECT doc_id, text, n_chars, {SQL_TOKENS.format(col='text')} AS toks
         FROM documents) _t
 ), flagged AS (
@@ -8624,3 +8624,69 @@ QUERIES = {
     **{name: QUERIES[name] for name in _R09_WINDOW},
     **{name: v for name, v in QUERIES.items() if name not in _R09_WINDOW},
 }
+
+# --- r10 grading rotation (PRE-WIRED, activate at round-10 start) ----------
+# Computed from the CORRECTNESS_r01-r08 union assuming r09 grades
+# _R09_WINDOW: the next-oldest cohort is the 42 remaining r06-latest
+# rows (the three entries the r09 red-promotion displaced, the
+# embedding/stream/multimodal blocks, ...) then the 8
+# alphabetically-first r07-latest rows (acctbal_rank_profile..
+# chi2_type_by_weekday; the r07 remainder defers to round 11).
+# Round 10's builder promotes any red rows from CORRECTNESS_r09 to the
+# front (dropping tail entries to keep 50), then replaces the
+# _R09_WINDOW reorder above with the same two lines over _R10_WINDOW.
+_R10_WINDOW = [
+    # (a) r06-latest remainder (42)
+    "dedup_minhash_sig",
+    "dedup_simhash_pairs",
+    "distinct_nation_stats",
+    "dup_shingle_fraction",
+    "embedding_pc1",
+    "embedding_quantize_error",
+    "embedding_standardize_stats",
+    "equi_depth_histogram",
+    "gopher_quality_report",
+    "graph_triangle_stats",
+    "grouping_sets_pricing",
+    "inverted_index_stats",
+    "kmeans_doc_clusters",
+    "multimodal_decode",
+    "multimodal_frames",
+    "multimodal_resize",
+    "per_source_doc_cap",
+    "percentile_acctbal",
+    "range_join_error_views",
+    "range_window_1h",
+    "salted_join_brand_revenue",
+    "scd2_event_history",
+    "sequence_packing",
+    "sim_ivf_ann_bcast",
+    "sim_lsh_ann_bcast",
+    "sim_neardup_pairs",
+    "skew_key_profile",
+    "sparse_cosine_topk",
+    "stream_dedup",
+    "stream_enrich",
+    "stream_join_pairs",
+    "stream_running_totals",
+    "stream_session_window",
+    "stream_sessionize",
+    "stream_sessionize_stateful",
+    "stream_windowed_agg",
+    "table_profile",
+    "tfidf_top_terms",
+    "upsert_latest_state",
+    "vector_norm_stats",
+    "weighted_sample_docs",
+    "winsorized_value_stats",
+    # (b) r07-latest, alphabetical head (8)
+    "acctbal_rank_profile",
+    "adjacency_node_ranges",
+    "adjacency_range_to_edge",
+    "ann_recall_pq",
+    "bloom_pruned_revenue",
+    "bpe_merge_candidates",
+    "char_entropy_buckets",
+    "chi2_type_by_weekday",
+]
+_check_window(_R10_WINDOW, "_R10_WINDOW", prior=_R09_WINDOW)

@@ -4,12 +4,14 @@ columns with typed metadata.
 The Spark-side contract is real and tested — schemas, Arrow-batched
 Pandas UDFs over ``mapInPandas``, partition-preserving plumbing — and
 so is the decode for the stdlib-codec formats: PNG and baseline JPEG
-images and PCM16 WAV audio decode/resize/feature-extract for REAL
-through ``functions/media_codecs.py`` + ``functions/jpeg_codec.py``
-(no PIL/ffmpeg needed; cross-validated against PIL where installed,
-tests/test_multimodal_realdecode.py).  Formats beyond that table raise
-``NotImplementedError`` naming the codec they need (unsupported JPEG
-modes — progressive, arithmetic — are named precisely); ``fake=True`` substitutes a deterministic md5-derived
+images, MJPEG-in-AVI video, and PCM16 WAV audio
+decode/resize/frame-sample/feature-extract for REAL through
+``functions/media_codecs.py`` + ``functions/jpeg_codec.py`` +
+``functions/avi_codec.py`` (no PIL/ffmpeg needed; cross-validated
+against PIL where installed, tests/test_multimodal_realdecode.py).
+Formats beyond that table raise ``NotImplementedError`` naming the
+codec they need (unsupported JPEG modes — progressive, arithmetic —
+and non-MJPEG AVI fourccs are named precisely); ``fake=True`` substitutes a deterministic md5-derived
 stand-in (what the oracle-checked queries use, since the driver's
 ``documents`` corpus carries utf-8 payloads, not PNGs).
 
@@ -106,8 +108,15 @@ def _real_decode(payload: bytes, n_features: int) -> tuple:
     audio -> (None, None, channels, band-energy features).  Other
     formats raise ``NotImplementedError`` naming the codec they need —
     the plumbing is format-agnostic, only the codec table is minimal.
-    Unsupported JPEG *modes* (progressive/arithmetic/12-bit) raise
-    from the codec itself, naming the exact mode."""
+    MJPEG-in-AVI video decodes its FIRST frame (dims + features — the
+    thumbnail convention; per-frame work goes through
+    :func:`sample_frames`).  Unsupported JPEG *modes*
+    (progressive/arithmetic/12-bit) and non-MJPEG AVI codecs raise
+    from the codecs themselves, naming the exact mode/fourcc."""
+    from parquet_converters_spark.functions.avi_codec import (
+        is_avi,
+        parse_avi_mjpeg,
+    )
     from parquet_converters_spark.functions.jpeg_codec import (
         decode_jpeg,
         is_jpeg,
@@ -124,6 +133,12 @@ def _real_decode(payload: bytes, n_features: int) -> tuple:
     if is_jpeg(payload):
         w, h, c, pixels = decode_jpeg(payload)
         return w, h, c, _band_features(pixels, n_features)
+    if is_avi(payload):
+        _fps, frames = parse_avi_mjpeg(payload)
+        if not frames:
+            raise ValueError("AVI: no frames in movi list")
+        w, h, c, pixels = decode_jpeg(frames[0])
+        return w, h, c, _band_features(pixels, n_features)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         _rate, channels, samples = decode_wav(payload)
         if not samples:
@@ -134,10 +149,11 @@ def _real_decode(payload: bytes, n_features: int) -> tuple:
         scaled = [min(abs(s), 32767) // 128 for s in samples]
         return None, None, channels, _band_features(scaled, n_features)
     raise NotImplementedError(
-        "real decode supports PNG, baseline JPEG (SOF0), and PCM16 WAV "
-        "via the stdlib codecs (functions/media_codecs.py, "
-        "functions/jpeg_codec.py); other formats need PIL/ffmpeg — "
-        "or pass fake=True for the deterministic stub"
+        "real decode supports PNG, baseline JPEG (SOF0), MJPEG-in-AVI "
+        "video, and PCM16 WAV via the stdlib codecs "
+        "(functions/media_codecs.py, jpeg_codec.py, avi_codec.py); "
+        "other formats need PIL/ffmpeg — or pass fake=True for the "
+        "deterministic stub"
     )
 
 
@@ -276,31 +292,59 @@ def sample_frames(
 ) -> DataFrame:
     """Sample video frames every ``every_ms`` via ``mapInPandas`` — a
     1:N explode done batch-side (one input row yields up to
-    ``max_frames`` frame rows).  Real path needs ffmpeg: raises unless
-    ``fake=True`` (frame count/payloads derived from md5, deterministic)."""
+    ``max_frames`` frame rows).
+
+    ``fake=False`` (default) REALLY samples MJPEG-in-AVI payloads
+    through the stdlib container codec (functions/avi_codec.py): parse
+    the RIFF index, pick every ``round(every_ms * fps / 1000)``-th
+    frame up to ``max_frames``, and emit the raw per-frame baseline
+    JPEG bytes (decodable downstream by decode_media/resize_media via
+    functions/jpeg_codec.py — the whole video path is from-spec, no
+    ffmpeg).  Other containers/codecs raise ``NotImplementedError``
+    naming what they need.  ``fake=True`` derives frame count/payloads
+    from md5 (what the oracle-checked query uses)."""
 
     def run(batches: Iterator["object"]) -> Iterator["object"]:
         import hashlib
 
         import pandas as pd
 
+        from parquet_converters_spark.functions.avi_codec import (
+            is_avi,
+            parse_avi_mjpeg,
+        )
+
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "real frame sampling requires ffmpeg (not in this "
-                    "container); pass fake=True for the deterministic stub"
-                )
             out = {"media_id": [], "frame_index": [], "frame_ts_ms": [], "payload": []}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                digest = hashlib.md5(bytes(payload)).digest()
-                n_frames = 1 + digest[0] % max_frames
-                for i in range(n_frames):
+                raw = bytes(payload)
+                if fake:
+                    digest = hashlib.md5(raw).digest()
+                    n_frames = 1 + digest[0] % max_frames
+                    for i in range(n_frames):
+                        out["media_id"].append(mid)
+                        out["frame_index"].append(i)
+                        out["frame_ts_ms"].append(i * every_ms)
+                        out["payload"].append(
+                            hashlib.md5(digest + bytes([i])).digest()
+                        )
+                    continue
+                if not is_avi(raw):
+                    raise NotImplementedError(
+                        "real frame sampling supports MJPEG-in-AVI via "
+                        "the stdlib codecs (functions/avi_codec.py + "
+                        "functions/jpeg_codec.py); other containers need "
+                        "ffmpeg — or pass fake=True for the stub"
+                    )
+                fps, frames = parse_avi_mjpeg(raw)
+                step = max(1, int(round(every_ms * fps / 1000.0)))
+                for i, src in enumerate(range(0, len(frames), step)):
+                    if i >= max_frames:
+                        break
                     out["media_id"].append(mid)
                     out["frame_index"].append(i)
-                    out["frame_ts_ms"].append(i * every_ms)
-                    out["payload"].append(
-                        hashlib.md5(digest + bytes([i])).digest()
-                    )
+                    out["frame_ts_ms"].append(int(round(src * 1000.0 / fps)))
+                    out["payload"].append(frames[src])
             yield pd.DataFrame(out)
 
     return df.mapInPandas(run, schema=FRAMES_SCHEMA)

@@ -467,6 +467,116 @@ def test_resize_media_real_path_jpeg(spark, jpeg_media_df):
 
 
 # --------------------------------------------------------------------------
+# always-on: MJPEG-in-AVI video (functions/avi_codec.py) — the REAL
+# sample_frames path (previously ffmpeg-gated fake-only)
+# --------------------------------------------------------------------------
+
+
+def _mjpeg_avi(n_frames=9, fps=4.0, w=32, h=24, seed0=0):
+    from parquet_converters_spark.functions.avi_codec import encode_avi_mjpeg
+    from parquet_converters_spark.functions.jpeg_codec import encode_jpeg
+
+    frames = [
+        encode_jpeg(w, h, 3, _pattern(w, h, 3, seed=seed0 + i), quality=85)
+        for i in range(n_frames)
+    ]
+    return encode_avi_mjpeg(frames, fps=fps), frames
+
+
+def test_avi_mjpeg_roundtrip_and_determinism():
+    from parquet_converters_spark.functions.avi_codec import (
+        encode_avi_mjpeg,
+        is_avi,
+        parse_avi_mjpeg,
+    )
+
+    avi, frames = _mjpeg_avi()
+    assert is_avi(avi)
+    fps, got = parse_avi_mjpeg(avi)
+    assert fps == pytest.approx(4.0)
+    assert got == frames  # frame payloads byte-identical through RIFF
+    assert encode_avi_mjpeg(frames, fps=4.0) == avi
+    # odd-length frame payloads force the RIFF word-alignment path
+    # (the container carries them verbatim; no decode involved)
+    odd = [f if len(f) % 2 else f[:-1] for f in frames[:2]]
+    assert all(len(f) % 2 for f in odd)
+    _, got2 = parse_avi_mjpeg(encode_avi_mjpeg(odd, fps=2.0, width=32, height=24))
+    assert got2 == odd
+
+
+def test_avi_non_mjpeg_codec_named():
+    from parquet_converters_spark.functions.avi_codec import parse_avi_mjpeg
+
+    avi, _ = _mjpeg_avi(n_frames=1)
+    with pytest.raises(NotImplementedError, match="H264"):
+        parse_avi_mjpeg(avi.replace(b"MJPG", b"H264"))
+    with pytest.raises(ValueError, match="RIFF/AVI"):
+        parse_avi_mjpeg(b"JUNK" + avi[4:])
+
+
+def test_sample_frames_real_path(spark):
+    """fake=False samples REAL MJPEG-AVI frames: every
+    round(every_ms*fps/1000)-th frame up to max_frames, payloads =
+    the container's raw baseline JPEGs (decodable downstream)."""
+    from parquet_converters_spark.functions.jpeg_codec import decode_jpeg
+    from parquet_converters_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        sample_frames,
+    )
+
+    avi, frames = _mjpeg_avi(n_frames=9, fps=4.0)  # 250 ms/frame
+    df = spark.createDataFrame(
+        [(7, "video", bytearray(avi), "video/x-msvideo", len(avi))],
+        MEDIA_SCHEMA,
+    )
+    # every_ms=500 at 4 fps -> step 2 -> source frames 0,2,4,6 (max 4)
+    got = sorted(
+        sample_frames(df, every_ms=500, max_frames=4).collect(),
+        key=lambda r: r["frame_index"],
+    )
+    assert [r["frame_index"] for r in got] == [0, 1, 2, 3]
+    assert [r["frame_ts_ms"] for r in got] == [0, 500, 1000, 1500]
+    for i, r in enumerate(got):
+        assert bytes(r["payload"]) == frames[2 * i]
+        assert decode_jpeg(bytes(r["payload"]))[:3] == (32, 24, 3)
+
+
+def test_sample_frames_non_avi_raises(spark):
+    from parquet_converters_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        sample_frames,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "video", bytearray(b"\x00\x01\x02movie"), "video/mp4", 8)],
+        MEDIA_SCHEMA,
+    )
+    with pytest.raises(Exception, match="MJPEG-in-AVI"):
+        sample_frames(df).collect()
+
+
+def test_decode_media_real_path_video_first_frame(spark):
+    """decode_media on an AVI payload reports the first frame's
+    dims/features (the thumbnail convention)."""
+    from parquet_converters_spark.functions.jpeg_codec import decode_jpeg
+    from parquet_converters_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        _band_features,
+        decode_media,
+    )
+
+    avi, frames = _mjpeg_avi(n_frames=3, fps=2.0)
+    df = spark.createDataFrame(
+        [(9, "video", bytearray(avi), "video/x-msvideo", len(avi))],
+        MEDIA_SCHEMA,
+    )
+    r = decode_media(df, n_features=4).collect()[0]
+    assert (r["width"], r["height"], r["channels"]) == (32, 24, 3)
+    _, _, _, pixels = decode_jpeg(frames[0])
+    assert r["features"] == pytest.approx(_band_features(pixels, 4), abs=1e-6)
+
+
+# --------------------------------------------------------------------------
 # auto-activating: PIL cross-validation (the test_h5py_crossval pattern)
 # --------------------------------------------------------------------------
 

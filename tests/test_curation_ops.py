@@ -303,3 +303,47 @@ def test_curation_duckdb_parity(spark, sf_dir, fn, sql):
     orows, ocols = rel.fetchall(), list(rel.columns)
     assert sorted(sdf.columns) == sorted(ocols)
     assert mod.rows_key(srows, sdf.columns) == mod.rows_key(orows, ocols)
+    # the r9 type leg: none of the four oracles may emit HUGEINT (the
+    # r8 red class — driver value hash is declared-type-sensitive)
+    fails, _warns = mod.type_divergence(
+        sdf.dtypes, ocols, list(rel.types)
+    )
+    assert fails == []
+
+
+def test_parity_type_divergence_leg():
+    """Pin the pre-submit type gate itself (the r1/r8 escape class):
+    HUGEINT/UHUGEINT output columns FAIL (proven driver-red),
+    DECIMAL-vs-double WARNS only (empirically driver-green —
+    text_quality precedent), matched types pass clean."""
+    import duckdb
+
+    mod = _parity_mod()
+    con = duckdb.connect()
+    rel = con.sql(
+        "SELECT sum(x) AS s, CAST(sum(x) AS BIGINT) AS sb, "
+        "CAST(1.5 AS DECIMAL(6,2)) AS d, CAST(1.5 AS DOUBLE) AS f "
+        "FROM (VALUES (1), (2)) t(x)"
+    )
+    fails, warns = mod.type_divergence(
+        [("s", "bigint"), ("sb", "bigint"), ("d", "double"), ("f", "double")],
+        list(rel.columns),
+        list(rel.types),
+    )
+    assert len(fails) == 1 and fails[0].startswith("s:")
+    assert "HUGEINT" in fails[0]
+    assert len(warns) == 1 and warns[0].startswith("d:")
+
+
+def test_ks_distributed_persist_bounded(spark, sf_dir):
+    """_ks_cum_distributed keeps at most ONE cached copy per session:
+    each call frees the previous call's persist (the r8 VERDICT leak)."""
+    from parquet_converters_spark import queries as q
+
+    ks_drift_test(spark, sf_dir, exact=False).collect()
+    first = q._KS_PERSIST_PREV[-1]
+    assert len(q._KS_PERSIST_PREV) == 1 and first.is_cached
+    ks_drift_test(spark, sf_dir, exact=False).collect()
+    assert len(q._KS_PERSIST_PREV) == 1
+    assert q._KS_PERSIST_PREV[-1] is not first
+    assert not first.is_cached  # previous persist freed

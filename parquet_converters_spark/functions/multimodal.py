@@ -117,6 +117,10 @@ def _real_decode(payload: bytes, n_features: int) -> tuple:
         is_avi,
         parse_avi_mjpeg,
     )
+    from parquet_converters_spark.functions.gif_codec import (
+        decode_gif,
+        is_gif,
+    )
     from parquet_converters_spark.functions.jpeg_codec import (
         decode_jpeg,
         is_jpeg,
@@ -132,6 +136,9 @@ def _real_decode(payload: bytes, n_features: int) -> tuple:
         return w, h, c, _band_features(pixels, n_features)
     if is_jpeg(payload):
         w, h, c, pixels = decode_jpeg(payload)
+        return w, h, c, _band_features(pixels, n_features)
+    if is_gif(payload):
+        w, h, c, pixels = decode_gif(payload)
         return w, h, c, _band_features(pixels, n_features)
     if is_avi(payload):
         _fps, frames = parse_avi_mjpeg(payload)
@@ -149,11 +156,11 @@ def _real_decode(payload: bytes, n_features: int) -> tuple:
         scaled = [min(abs(s), 32767) // 128 for s in samples]
         return None, None, channels, _band_features(scaled, n_features)
     raise NotImplementedError(
-        "real decode supports PNG, baseline JPEG (SOF0), MJPEG-in-AVI "
-        "video, and PCM16 WAV via the stdlib codecs "
-        "(functions/media_codecs.py, jpeg_codec.py, avi_codec.py); "
-        "other formats need PIL/ffmpeg — or pass fake=True for the "
-        "deterministic stub"
+        "real decode supports PNG, baseline JPEG (SOF0), GIF, "
+        "MJPEG-in-AVI video, and PCM16 WAV via the stdlib codecs "
+        "(functions/media_codecs.py, jpeg_codec.py, gif_codec.py, "
+        "avi_codec.py); other formats need PIL/ffmpeg — or pass "
+        "fake=True for the deterministic stub"
     )
 
 
@@ -224,11 +231,12 @@ def resize_media(
 ) -> DataFrame:
     """Resize images to ``width``x``height`` via Arrow-batched
     ``mapInPandas`` — a 1:1 narrow map (no shuffle, no row-count
-    change).  ``fake=False`` (default) REALLY resizes PNG and baseline
-    JPEG payloads: stdlib decode -> integer-exact nearest-neighbor
-    resample -> stdlib re-encode in the SAME format
-    (functions/media_codecs.py, functions/jpeg_codec.py), identical
-    bytes on every platform; other formats raise
+    change).  ``fake=False`` (default) REALLY resizes PNG, baseline
+    JPEG, and GIF payloads: stdlib decode -> integer-exact
+    nearest-neighbor resample -> stdlib re-encode in the SAME format
+    (functions/media_codecs.py, jpeg_codec.py, gif_codec.py — GIF
+    stays GIF because nearest-neighbor only reuses existing palette
+    pixels), identical bytes on every platform; other formats raise
     ``NotImplementedError`` naming the codec.  ``fake=True`` re-hashes
     the payload to a fixed-size pseudo-bitmap (what the oracle-checked
     query uses)."""
@@ -238,6 +246,11 @@ def resize_media(
 
         import pandas as pd
 
+        from parquet_converters_spark.functions.gif_codec import (
+            decode_gif,
+            encode_gif,
+            is_gif,
+        )
         from parquet_converters_spark.functions.jpeg_codec import (
             decode_jpeg,
             encode_jpeg,
@@ -264,13 +277,18 @@ def resize_media(
                     elif is_jpeg(raw):
                         w0, h0, c0, pixels = decode_jpeg(raw)
                         enc = encode_jpeg
+                    elif is_gif(raw):
+                        w0, h0, c0, pixels = decode_gif(raw)
+                        enc = lambda w, h, c, px: encode_gif(  # noqa: E731
+                            w, h, c, [px]
+                        )
                     else:
                         raise NotImplementedError(
-                            "real image resize supports PNG and baseline "
-                            "JPEG via the stdlib codecs (functions/"
-                            "media_codecs.py, functions/jpeg_codec.py); "
-                            "other formats need PIL — or pass fake=True "
-                            "for the deterministic stub"
+                            "real image resize supports PNG, baseline "
+                            "JPEG, and GIF via the stdlib codecs "
+                            "(functions/media_codecs.py, jpeg_codec.py, "
+                            "gif_codec.py); other formats need PIL — or "
+                            "pass fake=True for the deterministic stub"
                         )
                     body = enc(
                         width,
@@ -294,15 +312,20 @@ def sample_frames(
     1:N explode done batch-side (one input row yields up to
     ``max_frames`` frame rows).
 
-    ``fake=False`` (default) REALLY samples MJPEG-in-AVI payloads
-    through the stdlib container codec (functions/avi_codec.py): parse
-    the RIFF index, pick every ``round(every_ms * fps / 1000)``-th
-    frame up to ``max_frames``, and emit the raw per-frame baseline
-    JPEG bytes (decodable downstream by decode_media/resize_media via
-    functions/jpeg_codec.py — the whole video path is from-spec, no
-    ffmpeg).  Other containers/codecs raise ``NotImplementedError``
-    naming what they need.  ``fake=True`` derives frame count/payloads
-    from md5 (what the oracle-checked query uses)."""
+    ``fake=False`` (default) REALLY samples two from-spec containers:
+
+    - MJPEG-in-AVI (functions/avi_codec.py): parse the RIFF index,
+      pick every ``round(every_ms * fps / 1000)``-th frame up to
+      ``max_frames``, emit the raw per-frame baseline JPEG bytes
+      (decodable downstream via functions/jpeg_codec.py).
+    - animated GIF (functions/gif_codec.py): per-frame GCE delays
+      define the timeline; the frame VISIBLE at each ``every_ms``
+      tick is emitted, re-encoded as RGBA PNG (lossless,
+      deterministic, decodable downstream via media_codecs).
+
+    Other containers/codecs raise ``NotImplementedError`` naming what
+    they need.  ``fake=True`` derives frame count/payloads from md5
+    (what the oracle-checked query uses)."""
 
     def run(batches: Iterator["object"]) -> Iterator["object"]:
         import hashlib
@@ -313,6 +336,19 @@ def sample_frames(
             is_avi,
             parse_avi_mjpeg,
         )
+        from parquet_converters_spark.functions.gif_codec import (
+            is_gif,
+            parse_gif_frames,
+        )
+        from parquet_converters_spark.functions.media_codecs import (
+            encode_png,
+        )
+
+        def emit(out, mid, i, ts, payload):
+            out["media_id"].append(mid)
+            out["frame_index"].append(i)
+            out["frame_ts_ms"].append(ts)
+            out["payload"].append(payload)
 
         for pdf in batches:
             out = {"media_id": [], "frame_index": [], "frame_ts_ms": [], "payload": []}
@@ -322,29 +358,47 @@ def sample_frames(
                     digest = hashlib.md5(raw).digest()
                     n_frames = 1 + digest[0] % max_frames
                     for i in range(n_frames):
-                        out["media_id"].append(mid)
-                        out["frame_index"].append(i)
-                        out["frame_ts_ms"].append(i * every_ms)
-                        out["payload"].append(
-                            hashlib.md5(digest + bytes([i])).digest()
+                        emit(
+                            out, mid, i, i * every_ms,
+                            hashlib.md5(digest + bytes([i])).digest(),
                         )
                     continue
-                if not is_avi(raw):
-                    raise NotImplementedError(
-                        "real frame sampling supports MJPEG-in-AVI via "
-                        "the stdlib codecs (functions/avi_codec.py + "
-                        "functions/jpeg_codec.py); other containers need "
-                        "ffmpeg — or pass fake=True for the stub"
-                    )
-                fps, frames = parse_avi_mjpeg(raw)
-                step = max(1, int(round(every_ms * fps / 1000.0)))
-                for i, src in enumerate(range(0, len(frames), step)):
-                    if i >= max_frames:
-                        break
-                    out["media_id"].append(mid)
-                    out["frame_index"].append(i)
-                    out["frame_ts_ms"].append(int(round(src * 1000.0 / fps)))
-                    out["payload"].append(frames[src])
+                if is_avi(raw):
+                    fps, frames = parse_avi_mjpeg(raw)
+                    step = max(1, int(round(every_ms * fps / 1000.0)))
+                    for i, src in enumerate(range(0, len(frames), step)):
+                        if i >= max_frames:
+                            break
+                        emit(
+                            out, mid, i,
+                            int(round(src * 1000.0 / fps)), frames[src],
+                        )
+                    continue
+                if is_gif(raw):
+                    w0, h0, gframes = parse_gif_frames(raw)
+                    starts, t = [], 0
+                    for d, _ in gframes:
+                        starts.append(t)
+                        t += d
+                    for k in range(max_frames):
+                        ts = k * every_ms
+                        if k and ts > t:  # past the animation's end
+                            break
+                        j = max(
+                            i for i, s in enumerate(starts) if s <= ts
+                        )
+                        emit(
+                            out, mid, k, ts,
+                            encode_png(w0, h0, 4, gframes[j][1]),
+                        )
+                    continue
+                raise NotImplementedError(
+                    "real frame sampling supports MJPEG-in-AVI and "
+                    "animated GIF via the stdlib codecs "
+                    "(functions/avi_codec.py + jpeg_codec.py + "
+                    "gif_codec.py); other containers need ffmpeg — or "
+                    "pass fake=True for the stub"
+                )
             yield pd.DataFrame(out)
 
     return df.mapInPandas(run, schema=FRAMES_SCHEMA)

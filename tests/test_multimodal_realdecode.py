@@ -182,7 +182,9 @@ def test_decode_media_unsupported_format_raises(spark, media_df):
 
     from parquet_converters_spark.functions.multimodal import decode_media
 
-    bad = media_df.withColumn("payload", F.lit(bytearray(b"GIF89a....")))
+    # BMP: a real format deliberately outside the codec table (GIF
+    # moved INTO the table in r9, so it no longer works as the fixture)
+    bad = media_df.withColumn("payload", F.lit(bytearray(b"BM\x36\x00....")))
     with pytest.raises(Exception, match="PNG, baseline JPEG"):
         decode_media(bad).collect()
 

@@ -10,19 +10,27 @@ as the PNG/WAV codecs in ``media_codecs.py`` and the HDF5 codec in
 
 Scope (deliberately minimal, spec-complete within it):
 
-- decode: baseline sequential DCT (SOF0), Huffman entropy coding,
-  8-bit samples, grayscale or YCbCr, any sampling factors up to 2x2
-  (4:4:4 / 4:2:2 / 4:2:0), interleaved or per-component scans,
-  restart markers (DRI/RSTn), 8- and 16-bit quantization tables,
-  IDAT-style multi-segment APPn/COM skipping.  Progressive (SOF2),
-  arithmetic coding (SOF9-11), lossless, hierarchical, and 12-bit
-  modes raise ``NotImplementedError`` naming exactly what they are.
-- encode: baseline SOF0 with the Annex K example quantization and
-  Huffman tables (the tables virtually every encoder ships), quality
-  scaling per the public IJG formula, 4:4:4 or 4:2:0 subsampling,
-  grayscale or RGB input.  Deterministic: same pixels -> same bytes
-  on every platform (pure-integer quantization after an IEEE-double
-  DCT with shared constants).
+- decode: baseline sequential DCT (SOF0) AND progressive DCT (SOF2,
+  Annex G: DC first/refinement scans, AC spectral-band first scans
+  with EOB runs, AC successive-approximation refinement), Huffman
+  entropy coding, 8-bit samples, grayscale or YCbCr, any sampling
+  factors up to 2x2 (4:4:4 / 4:2:2 / 4:2:0), interleaved or
+  per-component scans, restart markers (DRI/RSTn), 8- and 16-bit
+  quantization tables, multi-segment APPn/COM skipping.  Arithmetic
+  coding (SOF9-11), lossless, hierarchical, and 12-bit modes raise
+  ``NotImplementedError`` naming exactly what they are.
+- encode: SOF0, or SOF2 via ``progressive=True`` (a real
+  successive-approximation scan ladder — coarse DC, DC refinement,
+  two AC spectral bands at Al=1, AC refinement — so every decoder
+  path is testable without foreign fixtures), with the Annex K
+  example quantization and Huffman tables (the tables virtually every
+  encoder ships), quality scaling per the public IJG formula, 4:4:4
+  or 4:2:0 subsampling, grayscale or RGB input.  Deterministic: same
+  pixels -> same bytes on every platform (pure-integer quantization
+  after an IEEE-double DCT with shared constants).  The progressive
+  ladder reconstructs the EXACT quantized coefficients (the point
+  transforms are lossless shift+refine), so progressive decode is
+  asserted bit-identical to the baseline decode of the same image.
 
 These run inside Arrow-batched ``mapInPandas`` workers, so everything
 is a pure function of ``bytes`` with no Spark imports.
@@ -140,10 +148,10 @@ _COS = [
     for u in range(8)
 ]
 
-# SOF markers we must name precisely when rejecting (spec Table B.1)
+# SOF markers we must name precisely when rejecting (spec Table B.1);
+# SOF0 (baseline) and SOF2 (progressive) are implemented
 _SOF_UNSUPPORTED = {
     0xC1: "extended sequential (SOF1)",
-    0xC2: "progressive (SOF2)",
     0xC3: "lossless (SOF3)",
     0xC5: "differential sequential (SOF5)",
     0xC6: "differential progressive (SOF6)",
@@ -321,12 +329,17 @@ def _clamp8(x: float) -> int:
 
 
 def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
-    """Decode a baseline JPEG to ``(width, height, channels, pixels)``
-    — channels 1 (grayscale) or 3 (RGB), row-major 8-bit bytes.
+    """Decode a baseline (SOF0) or progressive (SOF2) JPEG to
+    ``(width, height, channels, pixels)`` — channels 1 (grayscale) or
+    3 (RGB), row-major 8-bit bytes.
 
-    Unsupported modes raise ``NotImplementedError`` naming the exact
-    mode (progressive, arithmetic, ...), so the multimodal gate error
-    is precise about what's missing rather than "not PNG".
+    Progressive decoding (spec Annex G) accumulates per-block
+    coefficients across scans — DC first/refinement, AC spectral
+    bands, AC successive-approximation refinement with EOB runs — and
+    runs the IDCT once at the end.  Unsupported modes raise
+    ``NotImplementedError`` naming the exact mode (arithmetic coding,
+    12-bit, lossless, ...), so the multimodal gate error is precise
+    about what's missing rather than "not PNG".
     """
     if not is_jpeg(data):
         raise ValueError("JPEG: bad SOI signature")
@@ -336,6 +349,7 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     restart_interval = 0
     frame = None  # (W, H, comps) ; comps: list of dicts
     planes: dict[int, bytearray] = {}
+    coefs: dict[int, list[list[int]]] = {}  # progressive: zigzag coeffs
 
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
@@ -376,7 +390,7 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                 at += 17 + n
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", body[:2])
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             prec, h, w, nc = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise NotImplementedError(
@@ -401,13 +415,20 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                 comps.append({"id": cid, "h": ch, "v": cv, "tq": tq})
             mcux = (w + 8 * hmax - 1) // (8 * hmax)
             mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+            progressive = marker == 0xC2
             for c in comps:
                 c["pw"] = mcux * c["h"] * 8  # padded plane width
                 c["ph"] = mcuy * c["v"] * 8
+                c["bw"] = mcux * c["h"]  # block-grid width
                 planes[c["id"]] = bytearray(c["pw"] * c["ph"])
+                if progressive:
+                    coefs[c["id"]] = [
+                        [0] * 64 for _ in range(c["bw"] * mcuy * c["v"])
+                    ]
             frame = {
                 "w": w, "h": h, "comps": comps,
                 "hmax": hmax, "vmax": vmax, "mcux": mcux, "mcuy": mcuy,
+                "progressive": progressive,
             }
         elif marker == 0xDA:  # SOS
             if frame is None:
@@ -420,16 +441,26 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                     c for c in frame["comps"] if c["id"] == cs
                 )
                 scan.append((comp, tt >> 4, tt & 0xF))
-            pos = _decode_scan(
-                data, pos + 2 + seglen, frame, scan,
-                qtables, htables, restart_interval, planes,
-            )
+            ss, se, ahal = body[1 + 2 * ns : 4 + 2 * ns]
+            if frame["progressive"]:
+                pos = _decode_scan_progressive(
+                    data, pos + 2 + seglen, frame, scan, htables,
+                    restart_interval, coefs,
+                    ss, se, ahal >> 4, ahal & 0xF,
+                )
+            else:
+                pos = _decode_scan(
+                    data, pos + 2 + seglen, frame, scan,
+                    qtables, htables, restart_interval, planes,
+                )
             continue  # pos already advanced past the ECS
         # APPn / COM / others: skip
         pos += 2 + seglen
 
     if frame is None:
         raise ValueError("JPEG: no frame header found")
+    if frame["progressive"]:
+        _finalize_progressive(frame, coefs, qtables, planes)
     return _assemble(frame, planes)
 
 
@@ -490,6 +521,183 @@ def _decode_scan(
             return p
         p += 1
     return p
+
+
+def _decode_scan_progressive(
+    data, pos, frame, scan, htables, restart_interval, coefs, ss, se, ah, al
+):
+    """One progressive scan (spec Annex G.2): DC scans (Ss=0, possibly
+    interleaved) or single-component AC spectral-band scans, first pass
+    (Ah=0) or successive-approximation refinement (Ah>0), with EOB-run
+    state and restart-marker resets.  Coefficients accumulate into
+    ``coefs`` in zigzag order; no IDCT here."""
+    br = _BitReader(data, pos)
+    preds = {c["id"]: 0 for c, _, _ in scan}
+    eobrun = 0
+    if len(scan) > 1:
+        if ss != 0:
+            raise ValueError("JPEG: interleaved AC scan is not legal")
+        units_x, units_y = frame["mcux"], frame["mcuy"]
+    else:
+        # non-interleaved: the scan walks the component's OWN block
+        # grid (spec A.2.2), one block per unit
+        c = scan[0][0]
+        units_x = (
+            (frame["w"] * c["h"] + frame["hmax"] * 8 - 1)
+            // (frame["hmax"] * 8)
+        )
+        units_y = (
+            (frame["h"] * c["v"] + frame["vmax"] * 8 - 1)
+            // (frame["vmax"] * 8)
+        )
+    rst = 0
+    n_units = units_x * units_y
+    for unit in range(n_units):
+        if restart_interval and unit and unit % restart_interval == 0:
+            br.sync_restart(rst)
+            rst = (rst + 1) & 7
+            for k in preds:
+                preds[k] = 0
+            eobrun = 0
+        ux, uy = unit % units_x, unit // units_x
+        for comp, td, ta in scan:
+            nb = comp["h"] * comp["v"] if len(scan) > 1 else 1
+            for b in range(nb):
+                if len(scan) > 1:
+                    bx = ux * comp["h"] + b % comp["h"]
+                    by = uy * comp["v"] + b // comp["h"]
+                else:
+                    bx, by = ux, uy
+                block = coefs[comp["id"]][by * comp["bw"] + bx]
+                if ss == 0:  # DC scan
+                    if ah == 0:
+                        table = htables.get((0, td))
+                        if table is None:
+                            raise ValueError(
+                                "JPEG: scan references an undefined "
+                                "Huffman table"
+                            )
+                        s = br.decode_huff(table)
+                        diff = _extend(br.receive(s), s) if s else 0
+                        preds[comp["id"]] += diff
+                        block[0] = preds[comp["id"]] << al
+                    else:  # DC refinement: one raw bit per block
+                        if br.read_bit():
+                            block[0] |= 1 << al
+                else:  # AC scan (single component)
+                    table = htables.get((1, ta))
+                    if table is None:
+                        raise ValueError(
+                            "JPEG: scan references an undefined Huffman "
+                            "table"
+                        )
+                    if ah == 0:
+                        eobrun = _ac_first(br, table, block, ss, se, al, eobrun)
+                    else:
+                        eobrun = _ac_refine(
+                            br, table, block, ss, se, al, eobrun
+                        )
+    # skip to just past the ECS (next real marker)
+    d = data
+    p = br.pos
+    if br.marker is not None:
+        return p
+    while p + 1 < len(d):
+        if d[p] == 0xFF and d[p + 1] != 0x00:
+            return p
+        p += 1
+    return p
+
+
+def _ac_first(br, table, block, ss, se, al, eobrun):
+    """First AC pass for one block (spec G.2.2): run-length coded
+    magnitudes shifted by the point transform, EOB-run compressed."""
+    if eobrun:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = br.decode_huff(table)
+        r, s = rs >> 4, rs & 0xF
+        if s:
+            k += r
+            if k > se:
+                raise ValueError("JPEG: AC index out of band")
+            block[k] = _extend(br.receive(s), s) << al
+            k += 1
+        else:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += br.receive(r)
+            break
+    return eobrun
+
+
+def _ac_refine(br, table, block, ss, se, al, eobrun):
+    """AC successive-approximation refinement for one block (spec
+    G.2.3, the libjpeg decode_mcu_AC_refine logic): newly-significant
+    coefficients arrive as +-1<<Al; every already-nonzero coefficient
+    visited consumes one correction bit."""
+    p1 = 1 << al
+    m1 = -1 << al
+    k = ss
+
+    def correct(z):
+        if br.read_bit() and (block[z] & p1) == 0:
+            block[z] += p1 if block[z] > 0 else m1
+
+    if eobrun == 0:
+        while k <= se:
+            rs = br.decode_huff(table)
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r < 15:  # EOB run (covers this block's remainder too)
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.receive(r)
+                    break
+                val = 0  # ZRL: pass 16 zero-history slots
+            elif s == 1:
+                val = p1 if br.read_bit() else m1
+            else:
+                raise ValueError("JPEG: AC refinement magnitude must be 1")
+            while k <= se:
+                if block[k]:
+                    correct(k)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                block[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if block[k]:
+                correct(k)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _finalize_progressive(frame, coefs, qtables, planes):
+    """Dequantize + IDCT every accumulated block into the component
+    planes (run once, after all scans)."""
+    for comp in frame["comps"]:
+        qt = qtables[comp["tq"]]
+        bw = comp["bw"]
+        for idx, zz_block in enumerate(coefs[comp["id"]]):
+            coef = [0.0] * 64
+            for k in range(64):
+                v = zz_block[k]
+                if v:
+                    coef[ZIGZAG[k]] = v * qt[k]
+            px = _idct8x8(coef)
+            block = bytes(_clamp8(v + 128.0) for v in px)
+            _place_block(planes[comp["id"]], comp["pw"], idx % bw, idx // bw, block)
 
 
 def _decode_block(br, dc_table, ac_table, qt, preds, cid):
@@ -630,6 +838,80 @@ def _encode_block(bw, coef_q, pred, dc_codes, ac_codes):
     return coef_q[0]
 
 
+def _emit_ac_first(bw, blocks, ac_codes, ss, se, al):
+    """First-pass AC scan for a block sequence (spec G.1.2.2): values
+    point-transformed by ``>> al`` with truncation toward zero, ZRL
+    runs, one EOB per block (no cross-block EOB-run accumulation —
+    legal, just less compressed)."""
+    for blk in blocks:
+        r = 0
+        for k in range(ss, se + 1):
+            v = blk[k]
+            t = (v >> al) if v >= 0 else -((-v) >> al)
+            if t == 0:
+                r += 1
+                continue
+            while r > 15:
+                code, ln = ac_codes[0xF0]
+                bw.write(code, ln)
+                r -= 16
+            s = _category(t)
+            code, ln = ac_codes[(r << 4) | s]
+            bw.write(code, ln)
+            bw.write(t if t > 0 else t + (1 << s) - 1, s)
+            r = 0
+        if r > 0:
+            code, ln = ac_codes[0x00]  # EOB covering this block only
+            bw.write(code, ln)
+
+
+def _emit_ac_refine(bw, blocks, ac_codes, ss, se, al):
+    """AC successive-approximation refinement (spec G.1.2.3, the
+    libjpeg encode_mcu_AC_refine structure): newly-significant coeffs
+    (|v|>>al == 1) emit (run,1)+sign; already-nonzero coeffs buffer a
+    correction bit that rides the NEXT emitted symbol; ZRLs flush only
+    while a significant coefficient is still ahead (keeping the
+    decoder's walk aligned with the buffered bits); trailing
+    zeros/corrections fold into one per-block EOB."""
+    for blk in blocks:
+        absval = [0] * (se + 1)
+        eob = ss - 1  # position of the LAST newly-significant coef
+        for k in range(ss, se + 1):
+            a = (blk[k] if blk[k] >= 0 else -blk[k]) >> al
+            absval[k] = a
+            if a == 1:
+                eob = k
+        r = 0
+        br_bits: list[int] = []
+        for k in range(ss, se + 1):
+            a = absval[k]
+            if a == 0:
+                r += 1
+                continue
+            while r > 15 and k <= eob:
+                code, ln = ac_codes[0xF0]
+                bw.write(code, ln)
+                r -= 16
+                for bit in br_bits:
+                    bw.write(bit, 1)
+                br_bits = []
+            if a > 1:  # history coefficient: correction bit only
+                br_bits.append(a & 1)
+                continue
+            code, ln = ac_codes[(r << 4) | 1]
+            bw.write(code, ln)
+            bw.write(1 if blk[k] > 0 else 0, 1)
+            for bit in br_bits:
+                bw.write(bit, 1)
+            br_bits = []
+            r = 0
+        if r > 0 or br_bits:
+            code, ln = ac_codes[0x00]  # EOB (run of exactly this block)
+            bw.write(code, ln)
+            for bit in br_bits:
+                bw.write(bit, 1)
+
+
 def _quantize_block(pixels, qt) -> list[int]:
     """Level-shift, FDCT, quantize, zigzag — one spatial 8x8 in, 64
     zigzag-ordered quantized ints out."""
@@ -661,12 +943,22 @@ def encode_jpeg(
     quality: int = 85,
     subsampling: str = "4:2:0",
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
     """Encode 8-bit pixels (1=grayscale or 3=RGB, row-major) as a
     baseline JFIF JPEG with the Annex K tables.  Deterministic bytes
     for identical input on every platform.  ``restart_interval`` > 0
     emits DRI + RSTn markers every that-many MCUs (spec F.1.2.5) —
-    what a parallel encoder would do to make the stream splittable."""
+    what a parallel encoder would do to make the stream splittable.
+
+    ``progressive=True`` emits SOF2 with a real successive-approximation
+    scan ladder (spec Annex G): coarse DC (Al=1) -> DC refinement ->
+    per-component AC spectral bands 1-5 and 6-63 at Al=1 -> AC
+    refinement — exercising all four progressive scan types, so the
+    decoder's Annex G paths are testable without foreign fixtures.
+    (Not combinable with ``restart_interval``.)"""
+    if progressive and restart_interval:
+        raise ValueError("progressive + restart_interval not supported")
     if channels not in (1, 3):
         raise ValueError(f"channels must be 1 or 3, got {channels}")
     if len(pixels) != width * height * channels:
@@ -741,12 +1033,16 @@ def encode_jpeg(
     for tq, qt in ([(0, qt_l)] + ([(1, qt_c)] if channels == 3 else [])):
         zz = bytes(qt[k] for k in range(64))
         out += b"\xff\xdb" + struct.pack(">H", 3 + 64) + bytes([tq]) + zz
-    # SOF0
+    # SOF0 (baseline) or SOF2 (progressive)
     nf = len(comps)
     sof = struct.pack(">BHHB", 8, height, width, nf)
     for i, (_, _, _, _, ch_f, cv_f, tq) in enumerate(comps):
         sof += bytes([i + 1, (ch_f << 4) | cv_f, tq])
-    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    out += (
+        (b"\xff\xc2" if progressive else b"\xff\xc0")
+        + struct.pack(">H", 2 + len(sof))
+        + sof
+    )
     # DHT: standard tables (luma always, chroma only for color)
     specs = [
         (0, 0, _DC_LUMA_BITS, _DC_LUMA_VALS),
@@ -762,22 +1058,95 @@ def encode_jpeg(
         out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
-    # SOS (single interleaved scan)
-    sos = bytes([nf])
-    for i in range(nf):
-        t = 0 if i == 0 else 1 if channels == 3 else 0
-        sos += bytes([i + 1, (t << 4) | t])
-    sos += bytes([0, 63, 0])
-    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
 
-    # --- entropy-coded segment ---
     dc_l = _build_codes(_DC_LUMA_BITS, _DC_LUMA_VALS)
     ac_l = _build_codes(_AC_LUMA_BITS, _AC_LUMA_VALS)
     dc_c = _build_codes(_DC_CHROMA_BITS, _DC_CHROMA_VALS)
     ac_c = _build_codes(_AC_CHROMA_BITS, _AC_CHROMA_VALS)
-    bw = _BitWriter()
     mcux = (width + 8 * hmax - 1) // (8 * hmax)
     mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+
+    def sos_header(comp_idx, ss, se, ah, al):
+        body = bytes([len(comp_idx)])
+        for i in comp_idx:
+            t = 0 if i == 0 else 1 if channels == 3 else 0
+            body += bytes([i + 1, (t << 4) | t])
+        body += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + struct.pack(">H", 2 + len(body)) + body
+
+    if progressive:
+        # quantize every block up front (component raster grids)
+        grids = []  # (blocks, bwc, tq, units_x, units_y, ch_f, cv_f)
+        for name, plane, pw, ph, ch_f, cv_f, tq in comps:
+            qt = qt_l if tq == 0 else qt_c
+            bwc, bhc = mcux * ch_f, mcuy * cv_f
+            blocks = [
+                _quantize_block(
+                    _extract_block(plane, pw, ph, bx * 8, by * 8), qt
+                )
+                for by in range(bhc)
+                for bx in range(bwc)
+            ]
+            ux = (width * ch_f + 8 * hmax - 1) // (8 * hmax)
+            uy = (height * cv_f + 8 * vmax - 1) // (8 * vmax)
+            grids.append((blocks, bwc, tq, ux, uy, ch_f, cv_f))
+
+        def mcu_blocks():
+            """Interleaved DC walk: every block of every component in
+            MCU order (matches the decoder's DC scan walk)."""
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    for ci, (blocks, bwc, tq, _, _, ch_f, cv_f) in enumerate(
+                        grids
+                    ):
+                        for by in range(cv_f):
+                            for bx in range(ch_f):
+                                yield ci, tq, blocks[
+                                    (my * cv_f + by) * bwc + (mx * ch_f + bx)
+                                ]
+
+        all_comps = list(range(nf))
+        # scan 1: DC first, Al=1 (coarse DC, arithmetic shift)
+        out += sos_header(all_comps, 0, 0, 0, 1)
+        bw = _BitWriter()
+        preds = [0] * nf
+        for ci, tq, blk in mcu_blocks():
+            v = blk[0] >> 1
+            diff = v - preds[ci]
+            preds[ci] = v
+            s = _category(diff)
+            code, ln = (dc_l if tq == 0 else dc_c)[s]
+            bw.write(code, ln)
+            if s:
+                bw.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+        out += bw.flush()
+        # scan 2: DC refinement, Al=0 (one raw bit per block)
+        out += sos_header(all_comps, 0, 0, 1, 0)
+        bw = _BitWriter()
+        for _ci, _tq, blk in mcu_blocks():
+            bw.write(blk[0] & 1, 1)
+        out += bw.flush()
+        # per component: AC bands at Al=1, then full-band refinement
+        for ci, (blocks, bwc, tq, ux, uy, _, _) in enumerate(grids):
+            ac = ac_l if tq == 0 else ac_c
+            order = [
+                blocks[y * bwc + x] for y in range(uy) for x in range(ux)
+            ]
+            for ss_, se_ in ((1, 5), (6, 63)):
+                out += sos_header([ci], ss_, se_, 0, 1)
+                bw = _BitWriter()
+                _emit_ac_first(bw, order, ac, ss_, se_, 1)
+                out += bw.flush()
+            out += sos_header([ci], 1, 63, 1, 0)
+            bw = _BitWriter()
+            _emit_ac_refine(bw, order, ac, 1, 63, 0)
+            out += bw.flush()
+        out += b"\xff\xd9"  # EOI
+        return bytes(out)
+
+    # --- baseline: single interleaved scan ---
+    out += sos_header(list(range(nf)), 0, 63, 0, 0)
+    bw = _BitWriter()
     preds = {name: 0 for name, *_ in comps}
     rst = 0
     mcu_i = 0

@@ -340,8 +340,9 @@ def test_jpeg_restart_markers_do_not_change_pixels():
 
 
 def test_jpeg_unsupported_modes_named_precisely():
-    """The gate error names the exact unsupported mode (VERDICT r08
-    item 6: 'gate error narrowed to progressive/arithmetic')."""
+    """The gate error names the exact unsupported mode.  (Progressive
+    SOF2 moved from this list to IMPLEMENTED in r9 — see
+    test_jpeg_progressive_* below.)"""
     import struct as _s
 
     from parquet_converters_spark.functions.jpeg_codec import decode_jpeg
@@ -355,12 +356,153 @@ def test_jpeg_unsupported_modes_named_precisely():
             + body
         )
 
-    with pytest.raises(NotImplementedError, match="progressive"):
-        decode_jpeg(sof(0xC2))
+    with pytest.raises(NotImplementedError, match="extended sequential"):
+        decode_jpeg(sof(0xC1))
     with pytest.raises(NotImplementedError, match="arithmetic"):
         decode_jpeg(sof(0xC9))
     with pytest.raises(NotImplementedError, match="lossless"):
         decode_jpeg(sof(0xC3))
+
+
+def test_jpeg_progressive_bitidentical_to_baseline():
+    """Progressive (SOF2) decode must be BIT-IDENTICAL to the baseline
+    decode of the same image/quality: the successive-approximation
+    ladder (coarse DC -> DC refine -> AC bands 1-5/6-63 at Al=1 -> AC
+    refine) is a lossless re-encoding of the same quantized
+    coefficients, so any decoder divergence is a real Annex G bug.
+    Covers all four progressive scan types in one assertion, per
+    config: grayscale, 4:4:4, and 4:2:0 color."""
+    from parquet_converters_spark.functions.jpeg_codec import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    w, h = 37, 23  # partial MCUs: padded blocks excluded from AC scans
+    gray = _pattern(w, h, 1)
+    assert decode_jpeg(
+        encode_jpeg(w, h, 1, gray, quality=90, progressive=True)
+    ) == decode_jpeg(encode_jpeg(w, h, 1, gray, quality=90))
+    rgb = _pattern(w, h, 3)
+    for sub in ("4:4:4", "4:2:0"):
+        prog = encode_jpeg(
+            w, h, 3, rgb, quality=88, subsampling=sub, progressive=True
+        )
+        assert b"\xff\xc2" in prog and prog.count(b"\xff\xda") >= 5
+        assert decode_jpeg(prog) == decode_jpeg(
+            encode_jpeg(w, h, 3, rgb, quality=88, subsampling=sub)
+        )
+
+
+def test_jpeg_progressive_ac_refine_paths():
+    """Force the hairy AC-refinement cases: a sparse high-frequency
+    image produces long zero runs (ZRL-with-correction-bits) and
+    coefficients that only become significant in the refinement scan
+    (|coef| == 1 at full precision -> 0 at Al=1 -> newly significant
+    at Al=0)."""
+    from parquet_converters_spark.functions.jpeg_codec import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    w, h = 48, 32
+    # mostly-flat with isolated impulses: quantized spectra are sparse
+    # with many +-1s — exactly what drives EOB runs and late significance
+    px = bytearray([128]) * (w * h)
+    for i, (x, y) in enumerate(
+        [(3, 2), (17, 9), (30, 20), (44, 5), (9, 29), (25, 14)]
+    ):
+        px[y * w + x] = 128 + (60 if i % 2 else -60)
+    px = bytes(px)
+    for q in (92, 60):
+        prog = encode_jpeg(w, h, 1, px, quality=q, progressive=True)
+        assert decode_jpeg(prog) == decode_jpeg(
+            encode_jpeg(w, h, 1, px, quality=q)
+        )
+
+
+def test_jpeg_progressive_crossblock_eob_runs():
+    """Hand-built SOF2 stream pinning the MULTI-block EOB-run paths
+    (spec G.2) that real-world encoders (libjpeg optimized tables)
+    emit but our per-block-EOB encoder never does: an AC-first EOBRUN
+    spanning two blocks, and an AC-refinement EOBRUN whose entry sweep
+    consumes correction bits for a previously-significant coefficient."""
+    import struct as _s
+
+    from parquet_converters_spark.functions.jpeg_codec import (
+        _BitWriter,
+        _build_codes,
+        _DC_LUMA_BITS,
+        _DC_LUMA_VALS,
+        _clamp8,
+        _idct8x8,
+        ZIGZAG,
+        decode_jpeg,
+    )
+
+    w, h = 16, 8  # two 8x8 luma blocks
+    qt = [16] * 64
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + _s.pack(">H", 67) + bytes([0]) + bytes(qt)
+    sof = _s.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
+    out += b"\xff\xc2" + _s.pack(">H", 2 + len(sof)) + sof
+    # DC table: standard luma.  AC table (th=1): just two symbols —
+    # 0x01 (run 0, size 1) at code length 1 and 0x10 (EOB-run, r=1)
+    # at length 2.
+    dht = bytes([0x00]) + bytes(_DC_LUMA_BITS) + bytes(_DC_LUMA_VALS)
+    out += b"\xff\xc4" + _s.pack(">H", 2 + len(dht)) + dht
+    ac_bits = [1, 1] + [0] * 14
+    ac_vals = [0x01, 0x10]
+    dht2 = bytes([0x11]) + bytes(ac_bits) + bytes(ac_vals)
+    out += b"\xff\xc4" + _s.pack(">H", 2 + len(dht2)) + dht2
+    dc_codes = _build_codes(_DC_LUMA_BITS, _DC_LUMA_VALS)
+    ac_codes = _build_codes(ac_bits, ac_vals)
+
+    def sos(ss, se, ah, al):
+        body = bytes([1, 1, 0x01, ss, se, (ah << 4) | al])
+        return b"\xff\xda" + _s.pack(">H", 2 + len(body)) + body
+
+    # scan 1: DC first, Al=0 — diff 0 for both blocks
+    out += sos(0, 0, 0, 0)
+    bw = _BitWriter()
+    c, ln = dc_codes[0]
+    bw.write(c, ln)
+    bw.write(c, ln)
+    out += bw.flush()
+    # scan 2: AC first, Al=1.  Block 1: (r=0,s=1) coeff +1 at k=1
+    # (-> 2 after <<Al), then EOBRUN r=1 with bit 0 -> eobrun = 1:
+    # ends block 1 AND covers block 2 (cross-block run).
+    out += sos(1, 63, 0, 1)
+    bw = _BitWriter()
+    c, ln = ac_codes[0x01]
+    bw.write(c, ln)
+    bw.write(1, 1)  # magnitude bit: +1
+    c, ln = ac_codes[0x10]
+    bw.write(c, ln)
+    bw.write(0, 1)  # eobrun = (1<<1) - 1 + 0 = 1
+    out += bw.flush()
+    # scan 3: AC refinement, Al=0.  EOBRUN r=1 (+bit 0 -> covers 2
+    # blocks); block 1's entry sweep must consume ONE correction bit
+    # for the k=1 coefficient (bit 1 -> 2 becomes 3); block 2 sweeps
+    # nothing.
+    out += sos(1, 63, 1, 0)
+    bw = _BitWriter()
+    c, ln = ac_codes[0x10]
+    bw.write(c, ln)
+    bw.write(0, 1)  # eobrun = (1<<1) + 0 = 2
+    bw.write(1, 1)  # correction bit for block 1's k=1 coefficient
+    out += bw.flush()
+    out += b"\xff\xd9"
+
+    W, H, C, px = decode_jpeg(bytes(out))
+    assert (W, H, C) == (w, h, 1)
+    # expected: block 1 has natural coefficient ZIGZAG[1] = 3 * qt = 48,
+    # block 2 is flat zero (DC 0 -> 128 gray)
+    coef = [0.0] * 64
+    coef[ZIGZAG[1]] = 3 * 16
+    blk = [_clamp8(v + 128.0) for v in _idct8x8(coef)]
+    for y in range(8):
+        assert list(px[y * w : y * w + 8]) == blk[y * 8 : y * 8 + 8]
+        assert all(v == 128 for v in px[y * w + 8 : y * w + 16])
 
 
 def test_jpeg_16bit_quant_tables_decode():
@@ -626,6 +768,41 @@ def test_jpeg_crossval_we_read_pils(channels, mode):
     W, H, C, ours = decode_jpeg(data)
     assert (W, H, C) == (w, h, channels)
     assert max(abs(a - b) for a, b in zip(theirs, ours)) <= 2
+
+
+@pytest.mark.skipif(not HAVE_PIL, reason="PIL not installed")
+@pytest.mark.parametrize("channels,mode", [(1, "L"), (3, "RGB")])
+def test_jpeg_crossval_progressive_both_ways(channels, mode):
+    """Progressive cross-validation: PIL/libjpeg must decode our SOF2
+    ladder to nearly our pixels, and our decoder must read libjpeg's
+    own progressive output (optimized tables, real cross-block EOB
+    runs, successive approximation) to nearly PIL's decode."""
+    import io
+
+    from parquet_converters_spark.functions.jpeg_codec import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    w, h = 24, 16
+    px = _pattern(w, h, channels)
+    ours = encode_jpeg(
+        w, h, channels, px, quality=90, subsampling="4:4:4", progressive=True
+    )
+    img = Image.open(io.BytesIO(ours))
+    assert img.size == (w, h) and img.mode == mode
+    _, _, _, mine = decode_jpeg(ours)
+    assert max(abs(a - b) for a, b in zip(img.tobytes(), mine)) <= 2
+    buf = io.BytesIO()
+    Image.frombytes(mode, (w, h), px).save(
+        buf, format="JPEG", quality=90, subsampling=0, progressive=True
+    )
+    data = buf.getvalue()
+    assert b"\xff\xc2" in data
+    theirs = Image.open(io.BytesIO(data)).tobytes()
+    W, H, C, got = decode_jpeg(data)
+    assert (W, H, C) == (w, h, channels)
+    assert max(abs(a - b) for a, b in zip(theirs, got)) <= 2
 
 
 @pytest.mark.skipif(not HAVE_PIL, reason="PIL not installed")

@@ -1,0 +1,142 @@
+"""Property-based codec tests (hypothesis): the from-spec media codecs
+must hold their invariants on ARBITRARY pixel/sample content, not just
+the deterministic fixtures — lossless formats round-trip exactly,
+lossy JPEG keeps its progressive==baseline coefficient identity, and
+every encoder is deterministic.
+
+Sizes are kept small (codecs are pure Python; the point is edge-case
+coverage — odd dims, extreme values, single pixels — not throughput).
+"""
+
+import pytest
+
+try:
+    from hypothesis import given, settings, strategies as st
+
+    HAVE_HYPOTHESIS = True
+except Exception:  # pragma: no cover
+    HAVE_HYPOTHESIS = False
+    pytest.skip("hypothesis not installed", allow_module_level=True)
+
+from parquet_converters_spark.functions.gif_codec import (
+    decode_gif,
+    encode_gif,
+)
+from parquet_converters_spark.functions.jpeg_codec import (
+    decode_jpeg,
+    encode_jpeg,
+)
+from parquet_converters_spark.functions.media_codecs import (
+    decode_png,
+    decode_wav,
+    encode_png,
+    encode_wav,
+    resize_nearest,
+)
+
+_DIM = st.integers(min_value=1, max_value=24)
+
+
+@st.composite
+def _image(draw, channels=(1, 3, 4), max_colors=None):
+    w = draw(_DIM)
+    h = draw(_DIM)
+    c = draw(st.sampled_from(channels))
+    if max_colors:
+        # palette imagery: pixels drawn from a small random palette
+        palette = draw(
+            st.lists(
+                st.binary(min_size=c, max_size=c),
+                min_size=1,
+                max_size=max_colors,
+                unique=True,
+            )
+        )
+        px = b"".join(
+            palette[draw(st.integers(0, len(palette) - 1))]
+            for _ in range(w * h)
+        )
+    else:
+        px = draw(st.binary(min_size=w * h * c, max_size=w * h * c))
+    return w, h, c, px
+
+
+@settings(max_examples=25, deadline=None)
+@given(_image())
+def test_png_roundtrip_any_pixels(img):
+    w, h, c, px = img
+    data = encode_png(w, h, c, px)
+    assert decode_png(data) == (w, h, c, px)
+    assert encode_png(w, h, c, px) == data
+
+
+@settings(max_examples=15, deadline=None)
+@given(_image(channels=(3, 4), max_colors=16))
+def test_gif_roundtrip_palette_pixels(img):
+    w, h, c, px = img
+    data = encode_gif(w, h, c, [px])
+    W, H, C, got = decode_gif(data)
+    assert (W, H) == (w, h)
+    # opaque pixels round-trip exactly; transparent ones keep alpha=0
+    for p in range(w * h):
+        if c == 4 and px[4 * p + 3] < 128:
+            assert C == 4 and got[4 * p + 3] == 0
+        else:
+            src = px[c * p : c * p + 3]
+            dst = got[C * p : C * p + 3]
+            assert dst == src
+    assert encode_gif(w, h, c, [px]) == data
+
+
+@settings(max_examples=10, deadline=None)
+@given(_image(channels=(1, 3)), st.sampled_from([50, 85, 95]))
+def test_jpeg_progressive_equals_baseline_any_pixels(img, quality):
+    """The strongest JPEG invariant that holds on ARBITRARY content:
+    the progressive ladder re-encodes the same quantized coefficients,
+    so its decode must be bit-identical to the baseline decode."""
+    w, h, c, px = img
+    sub = "4:4:4" if c == 1 else "4:2:0"
+    base = encode_jpeg(w, h, c, px, quality=quality, subsampling=sub)
+    prog = encode_jpeg(
+        w, h, c, px, quality=quality, subsampling=sub, progressive=True
+    )
+    assert decode_jpeg(prog) == decode_jpeg(base)
+
+
+@settings(max_examples=10, deadline=None)
+@given(_image(channels=(1, 3)))
+def test_jpeg_decode_shape_and_determinism(img):
+    w, h, c, px = img
+    data = encode_jpeg(w, h, c, px, quality=85)
+    assert encode_jpeg(w, h, c, px, quality=85) == data
+    W, H, C, out = decode_jpeg(data)
+    assert (W, H, C, len(out)) == (w, h, c, w * h * c)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(st.integers(-32768, 32767), min_size=2, max_size=400),
+    st.sampled_from([8000, 16000, 44100]),
+    st.sampled_from([1, 2]),
+)
+def test_wav_roundtrip_any_samples(samples, rate, channels):
+    if len(samples) % channels:
+        samples = samples[: len(samples) - 1]
+    if not samples:
+        samples = [0, 0][:channels] * (2 // channels or 1)
+    data = encode_wav(rate, samples, channels=channels)
+    assert decode_wav(data) == (rate, channels, samples)
+
+
+@settings(max_examples=25, deadline=None)
+@given(_image(), _DIM, _DIM)
+def test_resize_nearest_properties(img, nw, nh):
+    """Every output pixel of a nearest resize IS an input pixel (no
+    interpolation invents values), and identity resize is exact."""
+    w, h, c, px = img
+    out = resize_nearest(w, h, c, px, nw, nh)
+    assert len(out) == nw * nh * c
+    assert resize_nearest(w, h, c, px, w, h) == px
+    src_pixels = {px[i * c : (i + 1) * c] for i in range(w * h)}
+    for j in range(nw * nh):
+        assert out[j * c : (j + 1) * c] in src_pixels

@@ -40,6 +40,26 @@ from parquet_converters_spark.functions.multimodal import (  # noqa: F401
     sample_frames,
     extract_audio_features,
 )
+from parquet_converters_spark.functions.media_codecs import (  # noqa: F401
+    decode_png,
+    decode_wav,
+    encode_png,
+    encode_wav,
+    resize_nearest,
+)
+from parquet_converters_spark.functions.jpeg_codec import (  # noqa: F401
+    decode_jpeg,
+    encode_jpeg,
+)
+from parquet_converters_spark.functions.gif_codec import (  # noqa: F401
+    decode_gif,
+    encode_gif,
+    parse_gif_frames,
+)
+from parquet_converters_spark.functions.avi_codec import (  # noqa: F401
+    encode_avi_mjpeg,
+    parse_avi_mjpeg,
+)
 from parquet_converters_spark.functions.sketches import (  # noqa: F401
     approx_distinct,
     approx_quantiles,

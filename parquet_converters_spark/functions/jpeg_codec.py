@@ -955,10 +955,9 @@ def encode_jpeg(
     scan ladder (spec Annex G): coarse DC (Al=1) -> DC refinement ->
     per-component AC spectral bands 1-5 and 6-63 at Al=1 -> AC
     refinement — exercising all four progressive scan types, so the
-    decoder's Annex G paths are testable without foreign fixtures.
-    (Not combinable with ``restart_interval``.)"""
-    if progressive and restart_interval:
-        raise ValueError("progressive + restart_interval not supported")
+    decoder's Annex G paths are testable without foreign fixtures;
+    ``restart_interval`` composes (RSTn every N MCUs in DC scans / N
+    blocks in AC scans, resetting predictors and EOB-run state)."""
     if channels not in (1, 3):
         raise ValueError(f"channels must be 1 or 3, got {channels}")
     if len(pixels) != width * height * channels:
@@ -1091,41 +1090,74 @@ def encode_jpeg(
             uy = (height * cv_f + 8 * vmax - 1) // (8 * vmax)
             grids.append((blocks, bwc, tq, ux, uy, ch_f, cv_f))
 
-        def mcu_blocks():
-            """Interleaved DC walk: every block of every component in
-            MCU order (matches the decoder's DC scan walk)."""
-            for my in range(mcuy):
-                for mx in range(mcux):
-                    for ci, (blocks, bwc, tq, _, _, ch_f, cv_f) in enumerate(
-                        grids
-                    ):
-                        for by in range(cv_f):
-                            for bx in range(ch_f):
-                                yield ci, tq, blocks[
-                                    (my * cv_f + by) * bwc + (mx * ch_f + bx)
-                                ]
+        mcu_list = []  # per MCU: [(ci, tq, block), ...] — decoder walk
+        for my in range(mcuy):
+            for mx in range(mcux):
+                blks = []
+                for ci, (blocks, bwc, tq, _, _, ch_f, cv_f) in enumerate(
+                    grids
+                ):
+                    for by in range(cv_f):
+                        for bx in range(ch_f):
+                            blks.append(
+                                (
+                                    ci,
+                                    tq,
+                                    blocks[
+                                        (my * cv_f + by) * bwc
+                                        + (mx * ch_f + bx)
+                                    ],
+                                )
+                            )
+                mcu_list.append(blks)
+
+        def chunked(units):
+            """Split a scan's unit walk at restart boundaries; the
+            caller emits RSTn between chunks (decoder resets preds and
+            EOB-run state there)."""
+            if not restart_interval:
+                return [units]
+            return [
+                units[i : i + restart_interval]
+                for i in range(0, len(units), restart_interval)
+            ]
+
+        def emit_scan(units, emit_chunk):
+            for j, chunk in enumerate(chunked(units)):
+                if j:
+                    out.extend([0xFF, 0xD0 + ((j - 1) & 7)])
+                bw = _BitWriter()
+                emit_chunk(bw, chunk)
+                out.extend(bw.flush())
 
         all_comps = list(range(nf))
+
         # scan 1: DC first, Al=1 (coarse DC, arithmetic shift)
+        def dc_first(bw, mcus):
+            preds = [0] * nf  # fresh per restart segment
+            for blks in mcus:
+                for ci, tq, blk in blks:
+                    v = blk[0] >> 1
+                    diff = v - preds[ci]
+                    preds[ci] = v
+                    s = _category(diff)
+                    code, ln = (dc_l if tq == 0 else dc_c)[s]
+                    bw.write(code, ln)
+                    if s:
+                        bw.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+
         out += sos_header(all_comps, 0, 0, 0, 1)
-        bw = _BitWriter()
-        preds = [0] * nf
-        for ci, tq, blk in mcu_blocks():
-            v = blk[0] >> 1
-            diff = v - preds[ci]
-            preds[ci] = v
-            s = _category(diff)
-            code, ln = (dc_l if tq == 0 else dc_c)[s]
-            bw.write(code, ln)
-            if s:
-                bw.write(diff if diff > 0 else diff + (1 << s) - 1, s)
-        out += bw.flush()
+        emit_scan(mcu_list, dc_first)
+
         # scan 2: DC refinement, Al=0 (one raw bit per block)
+        def dc_refine(bw, mcus):
+            for blks in mcus:
+                for _ci, _tq, blk in blks:
+                    bw.write(blk[0] & 1, 1)
+
         out += sos_header(all_comps, 0, 0, 1, 0)
-        bw = _BitWriter()
-        for _ci, _tq, blk in mcu_blocks():
-            bw.write(blk[0] & 1, 1)
-        out += bw.flush()
+        emit_scan(mcu_list, dc_refine)
+
         # per component: AC bands at Al=1, then full-band refinement
         for ci, (blocks, bwc, tq, ux, uy, _, _) in enumerate(grids):
             ac = ac_l if tq == 0 else ac_c
@@ -1134,13 +1166,17 @@ def encode_jpeg(
             ]
             for ss_, se_ in ((1, 5), (6, 63)):
                 out += sos_header([ci], ss_, se_, 0, 1)
-                bw = _BitWriter()
-                _emit_ac_first(bw, order, ac, ss_, se_, 1)
-                out += bw.flush()
+                emit_scan(
+                    order,
+                    lambda bw, ch, ss_=ss_, se_=se_: _emit_ac_first(
+                        bw, ch, ac, ss_, se_, 1
+                    ),
+                )
             out += sos_header([ci], 1, 63, 1, 0)
-            bw = _BitWriter()
-            _emit_ac_refine(bw, order, ac, 1, 63, 0)
-            out += bw.flush()
+            emit_scan(
+                order,
+                lambda bw, ch: _emit_ac_refine(bw, ch, ac, 1, 63, 0),
+            )
         out += b"\xff\xd9"  # EOI
         return bytes(out)
 

@@ -420,6 +420,29 @@ def test_jpeg_progressive_ac_refine_paths():
         )
 
 
+def test_jpeg_progressive_with_restart_markers():
+    """Progressive + DRI/RSTn (restarts reset DC predictors AND EOB-run
+    state mid-scan, in both interleaved DC scans and per-component AC
+    scans) must still decode bit-identical to the baseline decode."""
+    from parquet_converters_spark.functions.jpeg_codec import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    w, h = 40, 24
+    for c, sub in ((1, "4:4:4"), (3, "4:2:0")):
+        px = _pattern(w, h, c)
+        base = decode_jpeg(
+            encode_jpeg(w, h, c, px, quality=88, subsampling=sub)
+        )
+        rst = encode_jpeg(
+            w, h, c, px, quality=88, subsampling=sub,
+            progressive=True, restart_interval=2,
+        )
+        assert b"\xff\xdd" in rst and b"\xff\xd0" in rst
+        assert decode_jpeg(rst) == base
+
+
 def test_jpeg_progressive_crossblock_eob_runs():
     """Hand-built SOF2 stream pinning the MULTI-block EOB-run paths
     (spec G.2) that real-world encoders (libjpeg optimized tables)

@@ -147,6 +147,7 @@ _COS = [
     [0.5 * _C[u] * math.cos((2 * x + 1) * u * math.pi / 16) for x in range(8)]
     for u in range(8)
 ]
+_COS_T = [[_COS[u][x] for u in range(8)] for x in range(8)]
 
 # SOF markers we must name precisely when rejecting (spec Table B.1);
 # SOF0 (baseline) and SOF2 (progressive) are implemented
@@ -225,16 +226,38 @@ def _fdct8x8(block: list[float]) -> list[float]:
 
 
 def _idct8x8(coef: list[float]) -> list[float]:
+    """Sparsity-aware separable IDCT: zero coefficient rows contribute
+    exactly 0.0 in every position, so skipping them leaves the output
+    BYTES identical (quantized blocks are mostly zeros — this is the
+    classic libjpeg shortcut, ~3x on typical content)."""
+    # DC-only block: constant fill, reproducing the two-pass arithmetic
+    # ((S00 * c) * c) bit-for-bit
+    if not any(coef[1:]):
+        c = _COS[0][0]
+        return [(coef[0] * c) * c] * 64
     tmp = [0.0] * 64
+    nz_rows = []
     for v in range(8):
-        row = coef[v * 8 : v * 8 + 8]
+        at = v * 8
+        r0, r1, r2, r3, r4, r5, r6, r7 = coef[at : at + 8]
+        if not (r0 or r1 or r2 or r3 or r4 or r5 or r6 or r7):
+            continue
+        nz_rows.append(v)
         for x in range(8):
-            tmp[v * 8 + x] = sum(row[u] * _COS[u][x] for u in range(8))
+            t = _COS_T[x]
+            # left-assoc chain == sum()'s fold order: bit-identical
+            tmp[at + x] = (
+                r0 * t[0] + r1 * t[1] + r2 * t[2] + r3 * t[3]
+                + r4 * t[4] + r5 * t[5] + r6 * t[6] + r7 * t[7]
+            )
     out = [0.0] * 64
     for x in range(8):
-        col = [tmp[v * 8 + x] for v in range(8)]
+        col = [tmp[v * 8 + x] for v in nz_rows]
+        cos_v = [_COS[v] for v in nz_rows]
         for y in range(8):
-            out[y * 8 + x] = sum(col[v] * _COS[v][y] for v in range(8))
+            out[y * 8 + x] = sum(
+                c * cv[y] for c, cv in zip(col, cos_v)
+            )
     return out
 
 

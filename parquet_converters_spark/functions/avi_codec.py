@@ -61,7 +61,15 @@ def parse_avi_mjpeg(data: bytes) -> tuple[float, list[bytes]]:
     what every MJPEG writer produces.  The video fourcc is checked
     from the stream format header; non-MJPEG codecs raise
     ``NotImplementedError`` naming the fourcc so the multimodal gate
-    error is precise."""
+    error is precise.  Malformed input raises ``ValueError``, never a
+    bare IndexError/struct.error."""
+    try:
+        return _parse_avi_mjpeg(data)
+    except (IndexError, struct.error) as e:
+        raise ValueError(f"AVI: corrupt or truncated stream ({e})") from e
+
+
+def _parse_avi_mjpeg(data: bytes) -> tuple[float, list[bytes]]:
     if not is_avi(data):
         raise ValueError("AVI: not a RIFF/AVI file")
     fps = 0.0

@@ -73,6 +73,8 @@ def _lzw_decode(min_code_size: int, data: bytes, n_expected: int) -> bytearray:
         if code == eoi:
             return out
         if prev is None:
+            if code >= len(table):
+                raise ValueError(f"GIF: LZW code {code} before any output")
             entry = table[code]
         elif code < len(table):
             entry = table[code]
@@ -168,16 +170,32 @@ def _sub_blocks(data: bytes, pos: int) -> tuple[bytes, int]:
         pos += n
 
 
+#: Allocation guard for untrusted streams (same rationale as
+#: jpeg_codec._MAX_PIXELS): corrupt canvas fields must not allocate GBs.
+_MAX_PIXELS = 1 << 28
+
+
 def parse_gif_frames(data: bytes) -> tuple[int, int, list[tuple[int, bytes]]]:
     """Parse a GIF to ``(width, height, [(delay_ms, rgba_bytes), ...])``.
 
     Every frame must cover the full canvas (left=top=0, frame dims ==
     canvas dims) — partial frames require inter-frame disposal
     compositing, which raises ``NotImplementedError`` naming it.
-    Output is always RGBA (alpha 0 only for a GCE-transparent index)."""
+    Output is always RGBA (alpha 0 only for a GCE-transparent index).
+    Malformed input raises ``ValueError``, never a bare
+    IndexError/struct.error."""
+    try:
+        return _parse_gif_frames(data)
+    except (IndexError, struct.error) as e:
+        raise ValueError(f"GIF: corrupt or truncated stream ({e})") from e
+
+
+def _parse_gif_frames(data: bytes):
     if not is_gif(data):
         raise ValueError("GIF: bad signature")
     w, h, packed, _bg, _aspect = struct.unpack("<HHBBB", data[6:13])
+    if w == 0 or h == 0 or w * h > _MAX_PIXELS:
+        raise ValueError(f"GIF: implausible canvas {w}x{h}")
     pos = 13
     gct = None
     if packed & 0x80:

@@ -171,6 +171,12 @@ def is_jpeg(data: bytes) -> bool:
     return len(data) >= 3 and data[:3] == b"\xff\xd8\xff"
 
 
+#: Allocation guard for untrusted streams: a corrupt SOF dimension
+#: field must not make an executor allocate gigabytes.  268M pixels
+#: (16k x 16k) is far above anything that belongs in a record column.
+_MAX_PIXELS = 1 << 28
+
+
 # ---------------------------------------------------------------------------
 # Huffman code construction (spec Annex C)
 # ---------------------------------------------------------------------------
@@ -362,8 +368,17 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     runs the IDCT once at the end.  Unsupported modes raise
     ``NotImplementedError`` naming the exact mode (arithmetic coding,
     12-bit, lossless, ...), so the multimodal gate error is precise
-    about what's missing rather than "not PNG".
+    about what's missing rather than "not PNG".  Malformed input
+    raises ``ValueError`` — never a bare IndexError/struct.error —
+    the contract untrusted-corpus callers rely on.
     """
+    try:
+        return _decode_jpeg(data)
+    except (IndexError, KeyError, struct.error) as e:
+        raise ValueError(f"JPEG: corrupt or truncated stream ({e})") from e
+
+
+def _decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     if not is_jpeg(data):
         raise ValueError("JPEG: bad SOI signature")
     pos = 2
@@ -424,6 +439,12 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                     f"JPEG: {nc}-component images not implemented "
                     "(grayscale and YCbCr only)"
                 )
+            if w == 0 or h == 0 or w * h > _MAX_PIXELS:
+                raise ValueError(
+                    f"JPEG: implausible dimensions {w}x{h} "
+                    "(corrupt header, or beyond the decoder's "
+                    f"{_MAX_PIXELS}-pixel allocation guard)"
+                )
             comps = []
             hmax = vmax = 1
             for i in range(nc):
@@ -461,8 +482,12 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
             for i in range(ns):
                 cs, tt = body[1 + 2 * i : 3 + 2 * i]
                 comp = next(
-                    c for c in frame["comps"] if c["id"] == cs
+                    (c for c in frame["comps"] if c["id"] == cs), None
                 )
+                if comp is None:
+                    raise ValueError(
+                        f"JPEG: scan references unknown component {cs}"
+                    )
                 scan.append((comp, tt >> 4, tt & 0xF))
             ss, se, ahal = body[1 + 2 * ns : 4 + 2 * ns]
             if frame["progressive"]:
@@ -710,7 +735,12 @@ def _finalize_progressive(frame, coefs, qtables, planes):
     """Dequantize + IDCT every accumulated block into the component
     planes (run once, after all scans)."""
     for comp in frame["comps"]:
-        qt = qtables[comp["tq"]]
+        qt = qtables.get(comp["tq"])
+        if qt is None:
+            raise ValueError(
+                f"JPEG: component references undefined quant table "
+                f"{comp['tq']}"
+            )
         bw = comp["bw"]
         for idx, zz_block in enumerate(coefs[comp["id"]]):
             coef = [0.0] * 64

@@ -128,6 +128,61 @@ def test_wav_roundtrip_any_samples(samples, rate, channels):
     assert decode_wav(data) == (rate, channels, samples)
 
 
+def test_corrupt_streams_raise_clean_errors():
+    """The untrusted-corpus decoder contract: ANY mangled stream (bit
+    flips, truncation, spliced garbage) raises ValueError or
+    NotImplementedError — never IndexError/KeyError/struct.error, and
+    never a runaway allocation (corrupt dimension fields are capped by
+    the _MAX_PIXELS guards)."""
+    import random
+
+    from parquet_converters_spark.functions.avi_codec import (
+        encode_avi_mjpeg,
+        parse_avi_mjpeg,
+    )
+    from parquet_converters_spark.functions.gif_codec import (
+        decode_gif,
+        encode_gif,
+    )
+    from parquet_converters_spark.functions.jpeg_codec import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = random.Random(99)
+    px = bytes(
+        ((x * 7 + y * 13 + c * 29) % 256)
+        for y in range(12)
+        for x in range(16)
+        for c in range(3)
+    )
+    jpg = encode_jpeg(16, 12, 3, px)
+    samples = [
+        (decode_gif, encode_gif(16, 12, 3, [bytes((v % 13) * 19 for v in range(576))])),
+        (decode_jpeg, jpg),
+        (decode_jpeg, encode_jpeg(16, 12, 3, px, progressive=True)),
+        (parse_avi_mjpeg, encode_avi_mjpeg([jpg], fps=5)),
+    ]
+    for dec, data in samples:
+        for trial in range(150):
+            b = bytearray(data)
+            mode = trial % 3
+            if mode == 0:
+                i = rng.randrange(len(b))
+                b[i] ^= 1 << rng.randrange(8)
+            elif mode == 1:
+                b = bytearray(b[: rng.randrange(4, len(b))])
+            else:
+                i = rng.randrange(len(b))
+                b[i : i + 4] = bytes(rng.randrange(256) for _ in range(4))
+            try:
+                dec(bytes(b))
+            except (ValueError, NotImplementedError):
+                pass
+            # anything else (IndexError, KeyError, struct.error,
+            # StopIteration) propagates and fails the test
+
+
 @settings(max_examples=25, deadline=None)
 @given(_image(), _DIM, _DIM)
 def test_resize_nearest_properties(img, nw, nh):

@@ -112,8 +112,17 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
     Supports the :func:`encode_png` subset plus anything PIL writes
     within it (8-bit L/RGB/RGBA, non-interlaced, any row filters, IDAT
     split over multiple chunks) — enough for full pixel-level
-    cross-validation against PIL.
+    cross-validation against PIL.  Malformed input raises
+    ``ValueError``, never a bare zlib/struct/index error (the
+    untrusted-corpus decoder contract, tests/test_codec_properties.py).
     """
+    try:
+        return _decode_png(data)
+    except (IndexError, struct.error, zlib.error) as e:
+        raise ValueError(f"PNG: corrupt or truncated stream ({e})") from e
+
+
+def _decode_png(data: bytes) -> tuple[int, int, int, bytes]:
     if data[:8] != _PNG_SIG:
         raise ValueError("PNG: bad signature")
     pos, width = 8, None
@@ -212,7 +221,15 @@ def encode_wav(sample_rate: int, samples: list[int], channels: int = 1) -> bytes
 
 def decode_wav(data: bytes) -> tuple[int, int, list[int]]:
     """Decode a PCM16 RIFF/WAVE file to
-    ``(sample_rate, channels, interleaved_samples)``."""
+    ``(sample_rate, channels, interleaved_samples)``.  Malformed input
+    raises ``ValueError``, never a bare struct/index error."""
+    try:
+        return _decode_wav(data)
+    except (IndexError, struct.error) as e:
+        raise ValueError(f"WAV: corrupt or truncated stream ({e})") from e
+
+
+def _decode_wav(data: bytes) -> tuple[int, int, list[int]]:
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("WAV: not a RIFF/WAVE file")
     pos, rate, channels, samples = 12, None, None, None

@@ -162,6 +162,8 @@ def test_corrupt_streams_raise_clean_errors():
         (decode_jpeg, jpg),
         (decode_jpeg, encode_jpeg(16, 12, 3, px, progressive=True)),
         (parse_avi_mjpeg, encode_avi_mjpeg([jpg], fps=5)),
+        (decode_png, encode_png(16, 12, 3, px)),
+        (decode_wav, encode_wav(8000, [((i * 991) % 65536) - 32768 for i in range(300)])),
     ]
     for dec, data in samples:
         for trial in range(150):

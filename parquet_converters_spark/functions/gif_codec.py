@@ -11,11 +11,12 @@ Scope (deliberately minimal, spec-complete within it):
 - decode: GIF87a + GIF89a, global and local color tables, full
   variable-width LZW (clear/EOI codes, 12-bit dictionary cap, code
   width growth), interlaced images (the four-pass row order),
-  transparency via Graphic Control Extension (output becomes RGBA),
-  multi-frame animations where every frame covers the full canvas
-  (per-frame delays preserved); frames on sub-rectangles or relying
-  on inter-frame disposal compositing raise ``NotImplementedError``
-  naming exactly that.
+  transparency via Graphic Control Extension (output is RGBA), and
+  FULL animation compositing: sub-rectangle frames paint onto the
+  canvas, transparent indices show through, and all four disposal
+  methods (none / do-not-dispose / restore-to-background /
+  restore-to-previous) are applied between frames — each emitted
+  frame is the complete composited canvas, what a viewer shows.
 - encode: GIF89a, single- or multi-frame, one global color table
   built from the input pixels (<= 256 distinct colors required — this
   is a codec for deterministic fixtures and palette imagery, not a
@@ -176,12 +177,12 @@ _MAX_PIXELS = 1 << 28
 
 
 def parse_gif_frames(data: bytes) -> tuple[int, int, list[tuple[int, bytes]]]:
-    """Parse a GIF to ``(width, height, [(delay_ms, rgba_bytes), ...])``.
-
-    Every frame must cover the full canvas (left=top=0, frame dims ==
-    canvas dims) — partial frames require inter-frame disposal
-    compositing, which raises ``NotImplementedError`` naming it.
-    Output is always RGBA (alpha 0 only for a GCE-transparent index).
+    """Parse a GIF to ``(width, height, [(delay_ms, rgba_bytes), ...])``
+    where each entry is the COMPOSITED full canvas at that frame (what
+    a viewer displays): sub-rectangle frames paint over the previous
+    state, transparent indices show through, disposal methods 2/3
+    clear-to-transparent / restore-to-previous between frames.  Output
+    is always RGBA; alpha 0 marks never-painted (or disposed) canvas.
     Malformed input raises ``ValueError``, never a bare
     IndexError/struct.error."""
     try:
@@ -203,8 +204,12 @@ def _parse_gif_frames(data: bytes):
         gct = data[pos : pos + 3 * n]
         pos += 3 * n
     frames: list[tuple[int, bytes]] = []
+    # compositing state (spec 23: frames paint ONTO the canvas; the
+    # previous GCE's disposal decides what the next frame paints over)
+    canvas = bytearray(w * h * 4)  # starts fully transparent
     transparent = -1
     delay_ms = 0
+    dispose = 0
     while pos < len(data):
         b = data[pos]
         if b == 0x3B:  # trailer
@@ -219,11 +224,6 @@ def _parse_gif_frames(data: bytes):
                 delay_ms = delay_cs * 10
                 transparent = body[3] if flags & 0x01 else -1
                 dispose = (flags >> 2) & 0x07
-                if dispose == 3:
-                    raise NotImplementedError(
-                        "GIF: disposal method 3 (restore-to-previous) "
-                        "requires inter-frame compositing"
-                    )
             else:  # comment / application / plain text: skip
                 _, pos = _sub_blocks(data, pos)
         elif b == 0x2C:  # image descriptor
@@ -231,11 +231,10 @@ def _parse_gif_frames(data: bytes):
                 "<HHHHB", data[pos + 1 : pos + 10]
             )
             pos += 10
-            if (left, top, fw, fh) != (0, 0, w, h):
-                raise NotImplementedError(
-                    "GIF: sub-rectangle frames require inter-frame "
-                    f"compositing (frame {fw}x{fh}@{left},{top} on a "
-                    f"{w}x{h} canvas)"
+            if left + fw > w or top + fh > h:
+                raise ValueError(
+                    f"GIF: frame {fw}x{fh}@{left},{top} exceeds the "
+                    f"{w}x{h} canvas"
                 )
             ct = gct
             if fpacked & 0x80:
@@ -255,19 +254,28 @@ def _parse_gif_frames(data: bytes):
             rows = [idx[y * fw : (y + 1) * fw] for y in range(fh)]
             if fpacked & 0x40:
                 rows = _deinterlace([bytes(r) for r in rows], fh)
-            rgba = bytearray(fw * fh * 4)
-            at = 0
-            for row in rows:
+            saved = bytes(canvas) if dispose == 3 else None
+            for y, row in enumerate(rows):
+                at = ((top + y) * w + left) * 4
                 for i in row:
-                    c = 3 * i
-                    rgba[at] = ct[c]
-                    rgba[at + 1] = ct[c + 1]
-                    rgba[at + 2] = ct[c + 2]
-                    rgba[at + 3] = 0 if i == transparent else 255
+                    if i != transparent:  # transparent: show-through
+                        c = 3 * i
+                        canvas[at] = ct[c]
+                        canvas[at + 1] = ct[c + 1]
+                        canvas[at + 2] = ct[c + 2]
+                        canvas[at + 3] = 255
                     at += 4
-            frames.append((delay_ms, bytes(rgba)))
+            frames.append((delay_ms, bytes(canvas)))
+            # disposal happens AFTER this frame is shown, before the next
+            if dispose == 2:  # restore to background = clear the rect
+                for y in range(fh):
+                    at = ((top + y) * w + left) * 4
+                    canvas[at : at + 4 * fw] = bytes(4 * fw)
+            elif dispose == 3:  # restore to previous
+                canvas = bytearray(saved)
             transparent = -1
             delay_ms = 0
+            dispose = 0
         else:
             raise ValueError(f"GIF: unknown block {b:#x} at {pos}")
     if not frames:

@@ -158,10 +158,115 @@ def test_gif_interlaced_decode():
             ]
 
 
-def test_gif_subrect_frame_named():
+def _hand_anim(w, h, gct, frames):
+    """Multi-frame GIF89a from specs
+    ``(left, top, fw, fh, indices, dispose, transparent)``."""
+    bits = max((len(gct) // 3 - 1).bit_length(), 1)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (bits - 1), 0, 0)
+    out += gct + bytes(3 * ((1 << bits) - len(gct) // 3))
+    min_code = max(bits, 2)
+    for left, top, fw, fh, idx, dispose, transparent in frames:
+        flags = (dispose << 2) | (0x01 if transparent >= 0 else 0)
+        out += b"\x21\xf9\x04" + bytes(
+            [flags, 10, 0, max(transparent, 0), 0]
+        )
+        out += b"\x2c" + struct.pack("<HHHHB", left, top, fw, fh, 0)
+        out += bytes([min_code])
+        lzw = _lzw_encode(min_code, idx)
+        for at in range(0, len(lzw), 255):
+            chunk = lzw[at : at + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def test_gif_subrect_compositing():
+    """A sub-rectangle frame paints ONTO the previous canvas state —
+    the dominant real-world animated-GIF shape."""
+    w, h = 8, 6
+    gct = bytes([10, 10, 10, 200, 50, 50, 0, 0, 0])  # A, B, pad
+    full_a = bytes(w * h)  # all index 0 (color A)
+    patch_b = bytes([1] * (3 * 2))  # 3x2 of color B
+    data = _hand_anim(
+        w, h, gct,
+        [(0, 0, w, h, full_a, 0, -1), (2, 1, 3, 2, patch_b, 0, -1)],
+    )
+    W, H, frames = parse_gif_frames(data)
+    assert (W, H) == (w, h) and len(frames) == 2
+    _, f2 = frames[1]
+    for y in range(h):
+        for x in range(w):
+            px = f2[4 * (y * w + x) : 4 * (y * w + x) + 3]
+            if 1 <= y <= 2 and 2 <= x <= 4:
+                assert px == bytes([200, 50, 50]), (x, y)
+            else:
+                assert px == bytes([10, 10, 10]), (x, y)
+
+
+def test_gif_transparent_index_shows_through():
+    """A transparent index in frame 2 leaves frame 1's pixel visible
+    (inter-frame transparency, not a hole)."""
+    w, h = 4, 2
+    gct = bytes([10, 10, 10, 200, 50, 50, 0, 0, 0])
+    full_a = bytes(w * h)
+    # frame 2 full-canvas: index 2 = transparent except one B pixel
+    f2 = bytearray([2] * (w * h))
+    f2[5] = 1
+    data = _hand_anim(
+        w, h, gct, [(0, 0, w, h, full_a, 0, -1), (0, 0, w, h, bytes(f2), 0, 2)]
+    )
+    _, _, frames = parse_gif_frames(data)
+    _, out = frames[1]
+    for p in range(w * h):
+        expect = (200, 50, 50) if p == 5 else (10, 10, 10)
+        assert tuple(out[4 * p : 4 * p + 3]) == expect
+        assert out[4 * p + 3] == 255  # composited: everything painted
+
+
+def test_gif_disposal_background_and_previous():
+    """Disposal 2 clears the frame's rect to transparent before the
+    next frame; disposal 3 restores the pre-frame canvas."""
+    w, h = 4, 2
+    gct = bytes([10, 10, 10, 200, 50, 50, 0, 255, 0])
+    full_a = bytes(w * h)
+    patch_b = bytes([1])  # 1x1 at (0,0)
+    patch_c = bytes([2])  # 1x1 at (3,1)
+    # dispose=2 on frame 1: after showing, its (full) rect clears
+    data = _hand_anim(
+        w, h, gct,
+        [(0, 0, w, h, full_a, 2, -1), (0, 0, 1, 1, patch_b, 0, -1)],
+    )
+    _, _, frames = parse_gif_frames(data)
+    _, out = frames[1]
+    assert tuple(out[0:4]) == (200, 50, 50, 255)
+    assert all(out[4 * p + 3] == 0 for p in range(1, w * h))  # cleared
+    # dispose=3 on frame 2 (the B patch): frame 3 composites over the
+    # RESTORED frame-1 canvas, so B must be gone
+    data = _hand_anim(
+        w, h, gct,
+        [
+            (0, 0, w, h, full_a, 0, -1),
+            (0, 0, 1, 1, patch_b, 3, -1),
+            (3, 1, 1, 1, patch_c, 0, -1),
+        ],
+    )
+    _, _, frames = parse_gif_frames(data)
+    _, out = frames[2]
+    assert tuple(out[0:3]) == (10, 10, 10)  # B restored away
+    assert tuple(out[4 * 7 : 4 * 7 + 3]) == (0, 255, 0)  # C painted
+    assert all(
+        tuple(out[4 * p : 4 * p + 3]) == (10, 10, 10)
+        for p in range(w * h)
+        if p not in (7,)
+    )
+
+
+def test_gif_frame_exceeding_canvas_rejected():
     gct = bytes(6)
-    data = _hand_gif(10, 10, bytes(16), gct, fw=4, fh=4, left=2, top=2)
-    with pytest.raises(NotImplementedError, match="compositing"):
+    data = _hand_gif(10, 10, bytes(16), gct, fw=4, fh=4, left=8, top=8)
+    with pytest.raises(ValueError, match="exceeds"):
         parse_gif_frames(data)
 
 

@@ -41,8 +41,10 @@ from parquet_converters_spark.functions.multimodal import (  # noqa: F401
     extract_audio_features,
 )
 from parquet_converters_spark.functions.media_codecs import (  # noqa: F401
+    decode_bmp,
     decode_png,
     decode_wav,
+    encode_bmp,
     encode_png,
     encode_wav,
     resize_nearest,

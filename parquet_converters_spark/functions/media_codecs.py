@@ -199,6 +199,112 @@ def resize_nearest(
     return bytes(out)
 
 
+def is_bmp(data: bytes) -> bool:
+    return len(data) >= 2 and data[:2] == b"BM"
+
+
+def encode_bmp(width: int, height: int, channels: int, pixels: bytes) -> bytes:
+    """Encode 8-bit RGB (24-bit BI_RGB) or RGBA (32-bit) pixels as a
+    bottom-up Windows BMP (BITMAPINFOHEADER).  Deterministic bytes."""
+    if channels not in (3, 4):
+        raise ValueError(f"channels must be 3 or 4, got {channels}")
+    if len(pixels) != width * height * channels:
+        raise ValueError(
+            f"pixel buffer is {len(pixels)} bytes, expected "
+            f"{width * height * channels}"
+        )
+    stride = (width * channels + 3) & ~3
+    body = bytearray()
+    for y in range(height - 1, -1, -1):  # bottom-up
+        row = bytearray()
+        for x in range(width):
+            o = (y * width + x) * channels
+            row += bytes(
+                [pixels[o + 2], pixels[o + 1], pixels[o]]
+            )  # BGR order
+            if channels == 4:
+                row.append(pixels[o + 3])
+        body += row + bytes(stride - len(row))
+    info = struct.pack(
+        "<IiiHHIIiiII",
+        40, width, height, 1, channels * 8, 0, len(body), 2835, 2835, 0, 0,
+    )
+    off = 14 + 40
+    head = b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off)
+    return head + info + bytes(body)
+
+
+def decode_bmp(data: bytes) -> tuple[int, int, int, bytes]:
+    """Decode an uncompressed (BI_RGB) Windows BMP to ``(width, height,
+    channels, pixels)``: 8-bit palette and 24-bit map to RGB, 32-bit to
+    RGBA; bottom-up and top-down row orders both handled.  RLE and
+    bitfield compressions raise ``NotImplementedError`` naming them;
+    malformed input raises ``ValueError``."""
+    try:
+        return _decode_bmp(data)
+    except (IndexError, struct.error) as e:
+        raise ValueError(f"BMP: corrupt or truncated stream ({e})") from e
+
+
+_BMP_COMPRESSION = {1: "RLE8", 2: "RLE4", 3: "BI_BITFIELDS", 4: "JPEG", 5: "PNG"}
+
+
+def _decode_bmp(data: bytes) -> tuple[int, int, int, bytes]:
+    if not is_bmp(data):
+        raise ValueError("BMP: bad signature")
+    (off,) = struct.unpack("<I", data[10:14])
+    hdr_size, w, h_signed = struct.unpack("<Iii", data[14:26])
+    if hdr_size < 40:
+        raise NotImplementedError(
+            f"BMP: {hdr_size}-byte header (BITMAPCOREHEADER) not implemented"
+        )
+    planes, bpp, compression = struct.unpack("<HHI", data[26:34])
+    if compression != 0:
+        name = _BMP_COMPRESSION.get(compression, str(compression))
+        raise NotImplementedError(
+            f"BMP: compression {name} not implemented (BI_RGB only)"
+        )
+    if bpp not in (8, 24, 32):
+        raise NotImplementedError(f"BMP: {bpp}-bit pixels not implemented")
+    top_down = h_signed < 0
+    h = -h_signed if top_down else h_signed
+    if w <= 0 or h == 0 or w * h > (1 << 28):
+        raise ValueError(f"BMP: implausible dimensions {w}x{h_signed}")
+    palette = None
+    if bpp == 8:
+        (n_colors,) = struct.unpack("<I", data[46:50])
+        n_colors = n_colors or 256
+        pal_at = 14 + hdr_size
+        palette = data[pal_at : pal_at + 4 * n_colors]
+        if len(palette) != 4 * n_colors:
+            raise ValueError("BMP: truncated palette")
+    src_c = bpp // 8
+    out_c = 4 if bpp == 32 else 3
+    stride = (w * src_c + 3) & ~3
+    if off + stride * h > len(data):
+        raise ValueError("BMP: truncated pixel data")
+    out = bytearray(w * h * out_c)
+    for row_i in range(h):
+        y = row_i if top_down else h - 1 - row_i
+        at = off + row_i * stride
+        d = y * w * out_c
+        for x in range(w):
+            if bpp == 8:
+                e = 4 * data[at + x]
+                out[d : d + 3] = bytes(
+                    [palette[e + 2], palette[e + 1], palette[e]]
+                )
+            else:
+                s = at + x * src_c
+                out[d] = data[s + 2]
+                out[d + 1] = data[s + 1]
+                out[d + 2] = data[s]
+                if out_c == 4:
+                    out[d + 3] = data[s + 3]
+            d += out_c
+    return w, h, out_c, bytes(out)
+
+
 def encode_wav(sample_rate: int, samples: list[int], channels: int = 1) -> bytes:
     """Encode interleaved PCM16 samples as a canonical RIFF/WAVE file."""
     body = struct.pack(f"<{len(samples)}h", *samples)

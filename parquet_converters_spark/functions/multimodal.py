@@ -127,8 +127,10 @@ def _real_decode(payload: bytes, n_features: int) -> tuple:
     )
     from parquet_converters_spark.functions.media_codecs import (
         _PNG_SIG,
+        decode_bmp,
         decode_png,
         decode_wav,
+        is_bmp,
     )
 
     if payload[:8] == _PNG_SIG:
@@ -139,6 +141,9 @@ def _real_decode(payload: bytes, n_features: int) -> tuple:
         return w, h, c, _band_features(pixels, n_features)
     if is_gif(payload):
         w, h, c, pixels = decode_gif(payload)
+        return w, h, c, _band_features(pixels, n_features)
+    if is_bmp(payload):
+        w, h, c, pixels = decode_bmp(payload)
         return w, h, c, _band_features(pixels, n_features)
     if is_avi(payload):
         _fps, frames = parse_avi_mjpeg(payload)
@@ -156,8 +161,8 @@ def _real_decode(payload: bytes, n_features: int) -> tuple:
         scaled = [min(abs(s), 32767) // 128 for s in samples]
         return None, None, channels, _band_features(scaled, n_features)
     raise NotImplementedError(
-        "real decode supports PNG, baseline JPEG (SOF0), GIF, "
-        "MJPEG-in-AVI video, and PCM16 WAV via the stdlib codecs "
+        "real decode supports PNG, baseline+progressive JPEG, GIF, "
+        "BMP, MJPEG-in-AVI video, and PCM16 WAV via the stdlib codecs "
         "(functions/media_codecs.py, jpeg_codec.py, gif_codec.py, "
         "avi_codec.py); other formats need PIL/ffmpeg — or pass "
         "fake=True for the deterministic stub"
@@ -257,8 +262,11 @@ def resize_media(
             is_jpeg,
         )
         from parquet_converters_spark.functions.media_codecs import (
+            decode_bmp,
             decode_png,
+            encode_bmp,
             encode_png,
+            is_bmp,
             resize_nearest,
         )
 
@@ -282,10 +290,13 @@ def resize_media(
                         enc = lambda w, h, c, px: encode_gif(  # noqa: E731
                             w, h, c, [px]
                         )
+                    elif is_bmp(raw):
+                        w0, h0, c0, pixels = decode_bmp(raw)
+                        enc = encode_bmp
                     else:
                         raise NotImplementedError(
                             "real image resize supports PNG, baseline "
-                            "JPEG, and GIF via the stdlib codecs "
+                            "JPEG, GIF, and BMP via the stdlib codecs "
                             "(functions/media_codecs.py, jpeg_codec.py, "
                             "gif_codec.py); other formats need PIL — or "
                             "pass fake=True for the deterministic stub"

@@ -27,8 +27,10 @@ from parquet_converters_spark.functions.jpeg_codec import (
     encode_jpeg,
 )
 from parquet_converters_spark.functions.media_codecs import (
+    decode_bmp,
     decode_png,
     decode_wav,
+    encode_bmp,
     encode_png,
     encode_wav,
     resize_nearest,
@@ -68,6 +70,15 @@ def test_png_roundtrip_any_pixels(img):
     data = encode_png(w, h, c, px)
     assert decode_png(data) == (w, h, c, px)
     assert encode_png(w, h, c, px) == data
+
+
+@settings(max_examples=25, deadline=None)
+@given(_image(channels=(3, 4)))
+def test_bmp_roundtrip_any_pixels(img):
+    w, h, c, px = img
+    data = encode_bmp(w, h, c, px)
+    assert decode_bmp(data) == (w, h, c, px)
+    assert encode_bmp(w, h, c, px) == data
 
 
 @settings(max_examples=15, deadline=None)
@@ -163,6 +174,7 @@ def test_corrupt_streams_raise_clean_errors():
         (decode_jpeg, encode_jpeg(16, 12, 3, px, progressive=True)),
         (parse_avi_mjpeg, encode_avi_mjpeg([jpg], fps=5)),
         (decode_png, encode_png(16, 12, 3, px)),
+        (decode_bmp, encode_bmp(16, 12, 3, px)),
         (decode_wav, encode_wav(8000, [((i * 991) % 65536) - 32768 for i in range(300)])),
     ]
     for dec, data in samples:

@@ -182,10 +182,10 @@ def test_decode_media_unsupported_format_raises(spark, media_df):
 
     from parquet_converters_spark.functions.multimodal import decode_media
 
-    # BMP: a real format deliberately outside the codec table (GIF
-    # moved INTO the table in r9, so it no longer works as the fixture)
-    bad = media_df.withColumn("payload", F.lit(bytearray(b"BM\x36\x00....")))
-    with pytest.raises(Exception, match="PNG, baseline JPEG"):
+    # TIFF: a real format deliberately outside the codec table (GIF and
+    # BMP both moved INTO the table during r9)
+    bad = media_df.withColumn("payload", F.lit(bytearray(b"II*\x00....")))
+    with pytest.raises(Exception, match="need PIL/ffmpeg"):
         decode_media(bad).collect()
 
 
@@ -631,6 +631,115 @@ def test_resize_media_real_path_jpeg(spark, jpeg_media_df):
         )
         assert got[200 + i] == expected
         assert decode_jpeg(got[200 + i])[:3] == (8, 6, c0)
+
+
+# --------------------------------------------------------------------------
+# always-on: BMP (media_codecs.py) — lossless, trivially spec-complete
+# --------------------------------------------------------------------------
+
+
+def test_bmp_roundtrip_rgb_and_rgba():
+    from parquet_converters_spark.functions.media_codecs import (
+        decode_bmp,
+        encode_bmp,
+    )
+
+    w, h = 13, 7  # odd width exercises the 4-byte row padding
+    for c in (3, 4):
+        px = _pattern(w, h, c)
+        data = encode_bmp(w, h, c, px)
+        assert decode_bmp(data) == (w, h, c, px)
+        assert encode_bmp(w, h, c, px) == data  # deterministic
+
+
+def test_bmp_8bit_palette_and_topdown():
+    """Hand-built 8-bit palette BMP and a top-down (negative height)
+    24-bit BMP — shapes our encoder never writes."""
+    import struct as _s
+
+    from parquet_converters_spark.functions.media_codecs import decode_bmp
+
+    # 8-bit: 4x2, palette of 3 colors (BGRA entries), bottom-up
+    w, h = 4, 2
+    pal = bytes([10, 20, 30, 0, 40, 50, 60, 0, 70, 80, 90, 0])
+    idx_rows = [bytes([0, 1, 2, 1]), bytes([2, 2, 0, 0])]  # y=1, y=0 (bottom-up)
+    body = idx_rows[1] + idx_rows[0]  # stride 4 == width, no pad
+    off = 14 + 40 + len(pal)
+    info = _s.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 0, len(body), 0, 0, 3, 0)
+    data = b"BM" + _s.pack("<IHHI", off + len(body), 0, 0, off) + info + pal + body
+    W, H, C, px = decode_bmp(data)
+    assert (W, H, C) == (w, h, 3)
+    # row y=0 is idx_rows[0] = [0,1,2,1] -> RGB from BGRA palette
+    assert px[0:3] == bytes([30, 20, 10]) and px[3:6] == bytes([60, 50, 40])
+    # top-down 24-bit: negative height, first stored row IS row 0
+    w2, h2 = 2, 2
+    rows = [bytes([1, 2, 3, 4, 5, 6]) + b"\x00\x00",  # y0: BGR BGR pad
+            bytes([7, 8, 9, 10, 11, 12]) + b"\x00\x00"]
+    info2 = _s.pack("<IiiHHIIiiII", 40, w2, -h2, 1, 24, 0, 16, 0, 0, 0, 0)
+    data2 = b"BM" + _s.pack("<IHHI", 14 + 40 + 16, 0, 0, 54) + info2 + b"".join(rows)
+    W, H, C, px2 = decode_bmp(data2)
+    assert (W, H, C) == (w2, h2, 3)
+    assert px2[0:3] == bytes([3, 2, 1])  # (0,0) = first stored row, RGB
+    assert px2[6:9] == bytes([9, 8, 7])  # (0,1)
+
+
+def test_bmp_unsupported_named():
+    import struct as _s
+
+    from parquet_converters_spark.functions.media_codecs import decode_bmp
+
+    info = _s.pack("<IiiHHIIiiII", 40, 4, 4, 1, 8, 1, 0, 0, 0, 0, 0)
+    data = b"BM" + _s.pack("<IHHI", 100, 0, 0, 54) + info + bytes(46)
+    with pytest.raises(NotImplementedError, match="RLE8"):
+        decode_bmp(data)
+    with pytest.raises(ValueError, match="signature"):
+        decode_bmp(b"XX" + bytes(60))
+
+
+def test_decode_and_resize_media_real_path_bmp(spark):
+    from parquet_converters_spark.functions.media_codecs import (
+        decode_bmp,
+        encode_bmp,
+        resize_nearest,
+    )
+    from parquet_converters_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        _band_features,
+        decode_media,
+        resize_media,
+    )
+
+    w, h = 14, 9
+    px = _pattern(w, h, 3)
+    payload = encode_bmp(w, h, 3, px)
+    df = spark.createDataFrame(
+        [(400, "image", bytearray(payload), "image/bmp", len(payload))],
+        MEDIA_SCHEMA,
+    )
+    r = decode_media(df, n_features=4).collect()[0]
+    assert (r["width"], r["height"], r["channels"]) == (w, h, 3)
+    assert r["features"] == pytest.approx(_band_features(px, 4), abs=1e-6)
+    got = bytes(resize_media(df, width=6, height=4).collect()[0]["payload"])
+    assert got == encode_bmp(6, 4, 3, resize_nearest(w, h, 3, px, 6, 4))
+    assert decode_bmp(got)[:3] == (6, 4, 3)
+
+
+@pytest.mark.skipif(not HAVE_PIL, reason="PIL not installed")
+def test_bmp_crossval_pil_both_ways():
+    import io
+
+    from parquet_converters_spark.functions.media_codecs import (
+        decode_bmp,
+        encode_bmp,
+    )
+
+    w, h = 13, 7
+    px = _pattern(w, h, 3)
+    img = Image.open(io.BytesIO(encode_bmp(w, h, 3, px)))
+    assert img.size == (w, h) and img.convert("RGB").tobytes() == px
+    buf = io.BytesIO()
+    Image.frombytes("RGB", (w, h), px).save(buf, format="BMP")
+    assert decode_bmp(buf.getvalue()) == (w, h, 3, px)
 
 
 # --------------------------------------------------------------------------

@@ -297,11 +297,22 @@ class _BitReader:
             elif nxt is None:
                 raise ValueError("JPEG: truncated after 0xFF")
             else:  # a real marker terminates the segment
-                self.marker = nxt
+                # B.1.1.2: any number of 0xFF fill bytes may precede the
+                # marker id; leave pos on the last 0xFF so pos+2 skips it.
+                q = self.pos + 1
+                while q < len(d) and d[q] == 0xFF:
+                    q += 1
+                if q >= len(d):
+                    raise ValueError("JPEG: truncated after 0xFF")
+                self.pos = q - 1
+                self.marker = d[q]
                 raise ValueError("JPEG: bit read past segment end")
         else:
             self.pos += 1
-        self.acc = (self.acc << 8) | b
+        # Keep only the unconsumed low bits before appending: without the
+        # mask the accumulator grows 8 bits per byte for the whole entropy
+        # segment, making bit reads O(n^2) in scan size (DoS on large scans).
+        self.acc = ((self.acc & ((1 << self.nbits) - 1)) << 8) | b
         self.nbits += 8
 
     def read_bit(self) -> int:
@@ -334,6 +345,9 @@ class _BitReader:
             d = self.data
             while self.pos + 1 < len(d):
                 if d[self.pos] == 0xFF and d[self.pos + 1] != 0x00:
+                    if d[self.pos + 1] == 0xFF:  # B.1.1.2 fill byte
+                        self.pos += 1
+                        continue
                     self.marker = d[self.pos + 1]
                     break
                 self.pos += 1
@@ -389,12 +403,17 @@ def _decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     planes: dict[int, bytearray] = {}
     coefs: dict[int, list[list[int]]] = {}  # progressive: zigzag coeffs
 
-    while pos + 4 <= len(data):
+    while pos + 2 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"JPEG: expected marker at {pos}")
+        # B.1.1.2: skip optional 0xFF fill bytes before the marker id
+        while pos + 2 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
         marker = data[pos + 1]
         if marker == 0xD9:  # EOI
             break
+        if pos + 4 > len(data):
+            raise ValueError(f"JPEG: truncated segment {marker:#x}")
         (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
         body = data[pos + 4 : pos + 2 + seglen]
         if len(body) != seglen - 2:
@@ -837,6 +856,9 @@ class _BitWriter:
             self.out.append(b)
             if b == 0xFF:  # byte stuffing (spec F.1.2.3)
                 self.out.append(0x00)
+        # Drop the flushed high bits so the accumulator stays <8 bits wide
+        # (unbounded growth would make encoding O(n^2) in stream length).
+        self.acc &= (1 << self.nbits) - 1
 
     def flush(self) -> bytes:
         if self.nbits:

@@ -302,6 +302,11 @@ def _decode_bmp(data: bytes) -> tuple[int, int, int, bytes]:
                 if out_c == 4:
                     out[d + 3] = data[s + 3]
             d += out_c
+    if out_c == 4 and not any(out[3::4]):
+        # BI_RGB defines the 4th byte as reserved/zero, so standard 32bpp
+        # writers zero it; treat an all-zero alpha plane as opaque (the
+        # common-decoder convention) instead of fully transparent.
+        out[3::4] = b"\xff" * (w * h)
     return w, h, out_c, bytes(out)
 
 

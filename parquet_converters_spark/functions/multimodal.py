@@ -390,7 +390,11 @@ def sample_frames(
                     starts, t = [], 0
                     for d, _ in gframes:
                         starts.append(t)
-                        t += d
+                        # Browsers clamp 0/near-0 GCE delays to ~100 ms;
+                        # without the clamp an all-zero-delay GIF collapses
+                        # the timeline to t=0 and the t=0 sample picks the
+                        # LAST composited frame instead of the first shown.
+                        t += d if d >= 20 else 100
                     for k in range(max_frames):
                         ts = k * every_ms
                         if k and ts > t:  # past the animation's end

@@ -77,7 +77,16 @@ def test_png_roundtrip_any_pixels(img):
 def test_bmp_roundtrip_any_pixels(img):
     w, h, c, px = img
     data = encode_bmp(w, h, c, px)
-    assert decode_bmp(data) == (w, h, c, px)
+    if c == 4 and not any(px[3::4]):
+        # BI_RGB's 4th byte is reserved/zero: an all-zero alpha plane
+        # decodes as opaque (common-decoder convention), not transparent.
+        W, H, C, got = decode_bmp(data)
+        assert (W, H, C) == (w, h, c)
+        assert got[3::4] == b"\xff" * (w * h)
+        for ch in range(3):
+            assert got[ch::4] == px[ch::4]
+    else:
+        assert decode_bmp(data) == (w, h, c, px)
     assert encode_bmp(w, h, c, px) == data
 
 

@@ -363,6 +363,39 @@ def test_sample_frames_real_path_gif(spark, gif_media_df):
         assert rgb == src
 
 
+def test_sample_frames_zero_delay_gif(spark):
+    """All-zero GCE delays are common in the wild; viewers clamp them
+    to ~100 ms.  The t=0 sample must be the FIRST displayed frame (not
+    the last composited canvas), and the clamped timeline spans
+    n_frames x 100 ms."""
+    from parquet_converters_spark.functions.media_codecs import decode_png
+    from parquet_converters_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        sample_frames,
+    )
+
+    w, h = 20, 14
+    anim = encode_gif(
+        w, h, 3, [_palette_frame(w, h, seed=s) for s in range(4)], delay_ms=0
+    )
+    df = spark.createDataFrame(
+        [(400, "video", bytearray(anim), "image/gif", len(anim))],
+        MEDIA_SCHEMA,
+    )
+    got = sorted(
+        sample_frames(df, every_ms=100, max_frames=4).collect(),
+        key=lambda r: r["frame_index"],
+    )
+    # clamped timeline: frame k visible at [100k, 100k+100) ms
+    assert [r["frame_ts_ms"] for r in got] == [0, 100, 200, 300]
+    for r, src_seed in zip(got, [0, 1, 2, 3]):
+        W, H, C, rgba = decode_png(bytes(r["payload"]))
+        assert (W, H, C) == (w, h, 4)
+        src = _palette_frame(w, h, seed=src_seed)
+        rgb = bytes(b for p in range(w * h) for b in rgba[4 * p : 4 * p + 3])
+        assert rgb == src
+
+
 # --------------------------------------------------------------------------
 # auto-activating PIL cross-validation
 # --------------------------------------------------------------------------

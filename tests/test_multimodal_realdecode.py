@@ -339,6 +339,63 @@ def test_jpeg_restart_markers_do_not_change_pixels():
     assert decode_jpeg(plain) == decode_jpeg(rst)
 
 
+def test_jpeg_fill_bytes_before_markers_tolerated():
+    """Spec B.1.1.2: any marker may be preceded by any number of 0xFF
+    fill bytes.  Inject fills before segment markers, every RSTn, and
+    EOI — decoded pixels must be identical to the unpadded stream."""
+    from parquet_converters_spark.functions.jpeg_codec import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    w, h = 40, 24
+    px = _pattern(w, h, 3)
+    base = encode_jpeg(
+        w, h, 3, px, quality=85, subsampling="4:2:0", restart_interval=2
+    )
+    want = decode_jpeg(base)
+    # fills before a table/frame segment marker (right after SOI)
+    assert decode_jpeg(base[:2] + b"\xff\xff\xff" + base[2:]) == want
+    # fills before every RSTn inside the scan and before EOI
+    sos = base.find(b"\xff\xda")
+    assert sos > 0
+    out = bytearray(base[:sos])
+    i = sos
+    while i < len(base):
+        if (
+            base[i] == 0xFF
+            and i + 1 < len(base)
+            and (0xD0 <= base[i + 1] <= 0xD7 or base[i + 1] == 0xD9)
+        ):
+            out += b"\xff\xff"
+            out += base[i : i + 2]
+            i += 2
+        else:
+            out.append(base[i])
+            i += 1
+    assert decode_jpeg(bytes(out)) == want
+
+
+def test_jpeg_bitio_accumulator_stays_bounded():
+    """The entropy bit reader/writer must trim consumed bits: an
+    unbounded Python-int accumulator makes bit I/O O(n^2) in scan size
+    — an executor-stalling DoS on large/hostile scans well inside the
+    _MAX_PIXELS guard."""
+    from parquet_converters_spark.functions.jpeg_codec import (
+        _BitReader,
+        _BitWriter,
+    )
+
+    br = _BitReader(bytes(4096), 0)  # 4 KiB of zero bytes, no markers
+    for _ in range(4096 * 8):
+        br.read_bit()
+    assert br.acc.bit_length() <= 8
+    bw = _BitWriter()
+    for i in range(32768):
+        bw.write(i & 1, 1)
+    assert bw.acc.bit_length() <= 8
+
+
 def test_jpeg_unsupported_modes_named_precisely():
     """The gate error names the exact unsupported mode.  (Progressive
     SOF2 moved from this list to IMPLEMENTED in r9 — see
@@ -650,6 +707,32 @@ def test_bmp_roundtrip_rgb_and_rgba():
         data = encode_bmp(w, h, c, px)
         assert decode_bmp(data) == (w, h, c, px)
         assert encode_bmp(w, h, c, px) == data  # deterministic
+
+
+def test_bmp_32bit_zero_reserved_byte_is_opaque():
+    """Standard 32-bit BI_RGB writers zero the reserved 4th byte; such
+    files must decode opaque (alpha=255), not fully transparent.  A file
+    with any nonzero 4th byte keeps it verbatim (our own encoder's
+    round-trip semantics)."""
+    from parquet_converters_spark.functions.media_codecs import (
+        decode_bmp,
+        encode_bmp,
+    )
+
+    w, h = 5, 3
+    rgb = _pattern(w, h, 3)
+    # build RGBA with every alpha zero — the standard BI_RGB shape
+    px = bytearray()
+    for i in range(w * h):
+        px += rgb[3 * i : 3 * i + 3] + b"\x00"
+    W, H, C, got = decode_bmp(encode_bmp(w, h, 4, bytes(px)))
+    assert (W, H, C) == (w, h, 4)
+    assert got[3::4] == b"\xff" * (w * h)
+    for ch in range(3):
+        assert got[ch::4] == rgb[ch::3]
+    # one nonzero alpha anywhere -> plane is meaningful, kept verbatim
+    px[3] = 1
+    assert decode_bmp(encode_bmp(w, h, 4, bytes(px)))[3] == bytes(px)
 
 
 def test_bmp_8bit_palette_and_topdown():

@@ -1,0 +1,96 @@
+"""Known-answer vectors from an EXTERNAL codec implementation.
+
+``tests/imageio_fixtures.py`` embeds, as hex constants, image files
+produced by the JDK's javax.imageio writers and the pixel output of the
+JDK's own readers for those exact bytes (provenance in that module's
+docstring; regenerate with scripts/make_imageio_fixtures.py).  These
+tests decode the embedded bytes with OUR from-spec codecs and assert
+the externally-decoded pixels — exactly for the lossless formats, and
+within +-2 per sample for JPEG (IDCT/rounding slack between two
+independent decoders of the same stream).
+
+This closes the self-certification gap: unlike own-encoder round-trips,
+a symmetric encode/decode bug (YCbCr matrix sign, IDCT transpose,
+zigzag order, interlace pass order...) cannot pass here.  Zero optional
+deps — no PIL, no subprocess, no Java at test time.
+"""
+
+import pytest
+
+from imageio_fixtures import FIXTURES
+
+
+def _to_rgba(px, c, n):
+    out = bytearray()
+    for p in range(n):
+        if c == 1:
+            v = px[p]
+            out += bytes([v, v, v, 255])
+        elif c == 2:
+            out += bytes([px[2 * p]] * 3) + px[2 * p + 1 : 2 * p + 2]
+        elif c == 3:
+            out += px[3 * p : 3 * p + 3] + b"\xff"
+        else:
+            out += px[4 * p : 4 * p + 4]
+    return bytes(out)
+
+
+def _decode(fmt, data):
+    if fmt == "png":
+        from parquet_converters_spark.functions.media_codecs import decode_png
+
+        return decode_png(data)
+    if fmt == "bmp":
+        from parquet_converters_spark.functions.media_codecs import decode_bmp
+
+        return decode_bmp(data)
+    if fmt == "gif":
+        from parquet_converters_spark.functions.gif_codec import decode_gif
+
+        return decode_gif(data)
+    from parquet_converters_spark.functions.jpeg_codec import decode_jpeg
+
+    return decode_jpeg(data)
+
+
+@pytest.mark.parametrize("name", sorted(FIXTURES))
+def test_external_vector(name):
+    fx = FIXTURES[name]
+    data = bytes.fromhex(fx["data_hex"])
+    expected = bytes.fromhex(fx["expected_rgba_hex"])
+    w, h, tol = fx["width"], fx["height"], fx["tolerance"]
+    W, H, C, px = _decode(fx["format"], data)
+    assert (W, H) == (w, h)
+    got = _to_rgba(px, C, w * h)
+    assert len(got) == len(expected) == w * h * 4
+    if tol == 0:
+        assert got == expected
+    else:
+        worst = max(
+            abs(a - b)
+            for i, (a, b) in enumerate(zip(got, expected))
+            if i % 4 != 3
+        )
+        assert worst <= tol, f"{name}: max per-sample diff {worst} > {tol}"
+
+
+def test_fixture_streams_are_what_they_claim():
+    """The embedded bytes really are the stated formats/modes — guards
+    against a regeneration accidentally downgrading the coverage."""
+    sigs = {
+        "png": b"\x89PNG",
+        "bmp": b"BM",
+        "gif": b"GIF8",
+        "jpg": b"\xff\xd8",
+    }
+    for name, fx in FIXTURES.items():
+        data = bytes.fromhex(fx["data_hex"])
+        assert data.startswith(sigs[fx["format"]]), name
+        if fx["format"] == "jpg":
+            prog = "progressive" in fx["encoder_opts"]
+            assert (b"\xff\xc2" in data) == prog, name
+            assert (b"\xff\xc0" in data) == (not prog), name
+    # the GIF vector must exercise interlacing (the JDK writes it)
+    gif = bytes.fromhex(FIXTURES["gif_interlaced"]["data_hex"])
+    desc = gif.find(b"\x2c")
+    assert desc >= 0 and gif[desc + 9] & 0x40

@@ -8618,12 +8618,9 @@ _check_window(
     "_R09_WINDOW",
     prior=[n for n in _R08_WINDOW if n not in _R09_PROMOTED_REDS],
 )
-# ACTIVE for round 9 (CORRECTNESS_r08 was 47/50 — the three HUGEINT
-# reds above lead the window for re-grade):
-QUERIES = {
-    **{name: QUERIES[name] for name in _R09_WINDOW},
-    **{name: v for name, v in QUERIES.items() if name not in _R09_WINDOW},
-}
+# Was ACTIVE for round 9; r10 activation below supersedes it
+# (CORRECTNESS_r09 came back 50/50 green, including the three
+# re-graded HUGEINT promotions).
 
 # --- r10 grading rotation (PRE-WIRED, activate at round-10 start) ----------
 # Computed from the CORRECTNESS_r01-r08 union assuming r09 grades
@@ -8690,3 +8687,11 @@ _R10_WINDOW = [
     "chi2_type_by_weekday",
 ]
 _check_window(_R10_WINDOW, "_R10_WINDOW", prior=_R09_WINDOW)
+# ACTIVE for round 10 (CORRECTNESS_r09 was 50/50 — no reds to promote;
+# the window is exactly the pre-wired rotation, including the first
+# driver grades of multimodal_decode/_frames/_resize since the real
+# JPEG/GIF decode paths landed in r9):
+QUERIES = {
+    **{name: QUERIES[name] for name in _R10_WINDOW},
+    **{name: v for name, v in QUERIES.items() if name not in _R10_WINDOW},
+}

@@ -174,18 +174,29 @@ def decode_media(
     n_features: int = 8,
     fake: bool = False,
     batch_size_hint: int | None = None,
+    decoder=None,
 ) -> DataFrame:
     """Decode/feature-extract media payloads via Arrow-batched
     ``mapInPandas``.
 
     ``fake=False`` (default) REALLY decodes PNG images and PCM16 WAV
     audio through the stdlib codecs (functions/media_codecs.py,
-    cross-validated against PIL where installed —
-    tests/test_multimodal_realdecode.py); other formats raise
-    ``NotImplementedError`` naming the codec they need.  ``fake=True``
-    substitutes the deterministic md5 stub (what the oracle-checked
-    queries use).  The Spark plumbing (schema, Arrow batching,
-    partitioning) is identical on every path.
+    cross-validated against the JDK's javax.imageio —
+    tests/test_imageio_crossval.py / test_external_vectors.py); other
+    formats raise ``NotImplementedError`` naming the codec they need.
+    ``fake=True`` substitutes the deterministic md5 stub (what the
+    oracle-checked queries use).  The Spark plumbing (schema, Arrow
+    batching, partitioning) is identical on every path.
+
+    ``decoder`` is the native-codec swap seam (SCALE.md: the pure-
+    Python JPEG/GIF functions are the named per-core throughput
+    ceiling; the Spark plan is not).  Pass any picklable callable with
+    the ``_real_decode`` signature —
+    ``(payload: bytes, n_features: int) -> (width, height, channels,
+    features)`` — e.g. a PIL-SIMD / libjpeg-turbo / nvJPEG wrapper, and
+    every executor uses it in place of the stdlib table while schema,
+    batching, and partitioning stay identical.  ``decoder`` takes
+    precedence over ``fake``.
     """
 
     def run(batches: Iterator["object"]) -> Iterator["object"]:
@@ -196,7 +207,7 @@ def decode_media(
                 "media_id": [], "media_type": [], "width": [],
                 "height": [], "channels": [], "features": [],
             }
-            decode = _fake_decode if fake else _real_decode
+            decode = decoder or (_fake_decode if fake else _real_decode)
             for mid, mtype, payload in zip(
                 pdf["media_id"], pdf["media_type"], pdf["payload"]
             ):
@@ -232,7 +243,11 @@ FRAMES_SCHEMA = StructType(
 
 
 def resize_media(
-    df: DataFrame, width: int = 32, height: int = 32, fake: bool = False
+    df: DataFrame,
+    width: int = 32,
+    height: int = 32,
+    fake: bool = False,
+    resizer=None,
 ) -> DataFrame:
     """Resize images to ``width``x``height`` via Arrow-batched
     ``mapInPandas`` — a 1:1 narrow map (no shuffle, no row-count
@@ -244,7 +259,14 @@ def resize_media(
     pixels), identical bytes on every platform; other formats raise
     ``NotImplementedError`` naming the codec.  ``fake=True`` re-hashes
     the payload to a fixed-size pseudo-bitmap (what the oracle-checked
-    query uses)."""
+    query uses).
+
+    ``resizer`` is the native-codec swap seam: any picklable callable
+    ``(payload: bytes, width: int, height: int) -> bytes`` (decoded,
+    resampled, re-encoded by a native library — PIL-SIMD, libvips,
+    nvJPEG...) replaces the whole stdlib decode->resample->re-encode
+    chain on every executor; schema, 1:1 shape, and Arrow batching are
+    unchanged.  ``resizer`` takes precedence over ``fake``."""
 
     def run(batches: Iterator["object"]) -> Iterator["object"]:
         import hashlib
@@ -273,7 +295,9 @@ def resize_media(
         for pdf in batches:
             out = {"media_id": [], "width": [], "height": [], "payload": []}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                if fake:
+                if resizer is not None:
+                    body = resizer(bytes(payload), width, height)
+                elif fake:
                     seed = hashlib.md5(bytes(payload)).digest()
                     n = width * height
                     body = (seed * (n // len(seed) + 1))[:n]

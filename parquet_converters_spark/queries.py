@@ -3965,7 +3965,21 @@ _KS_EXACT_MAX_ROWS = 500_000
 
 #: Most recent _ks_cum_distributed persist; freed on the NEXT call so a
 #: long-lived session never accumulates more than one cached copy.
+#: Call :func:`release_ks_cache` to drop the last one explicitly.
 _KS_PERSIST_PREV: list = []
+
+
+def release_ks_cache() -> None:
+    """Unpersist the last :func:`_ks_cum_distributed` cache.
+
+    The registry bounds a session to ONE live cache, but that last
+    cache stays pinned until the next KS call; long-lived sessions that
+    are done with KS results can release it here.  Only safe once the
+    caller has fully consumed the returned plan (the cached frame backs
+    it — see the boundary-consistency note in ``_ks_cum_distributed``).
+    """
+    while _KS_PERSIST_PREV:
+        _KS_PERSIST_PREV.pop().unpersist(blocking=False)
 
 
 def _ks_cum_distributed(per_v):

@@ -347,3 +347,11 @@ def test_ks_distributed_persist_bounded(spark, sf_dir):
     assert len(q._KS_PERSIST_PREV) == 1
     assert q._KS_PERSIST_PREV[-1] is not first
     assert not first.is_cached  # previous persist freed
+    # explicit release drops the LAST cache too (long-session hygiene)
+    last = q._KS_PERSIST_PREV[-1]
+    q.release_ks_cache()
+    assert not q._KS_PERSIST_PREV and not last.is_cached
+    # and the next call works from a clean registry
+    ks_drift_test(spark, sf_dir, exact=False).collect()
+    assert len(q._KS_PERSIST_PREV) == 1 and q._KS_PERSIST_PREV[-1].is_cached
+    q.release_ks_cache()

@@ -690,6 +690,55 @@ def test_resize_media_real_path_jpeg(spark, jpeg_media_df):
         assert decode_jpeg(got[200 + i])[:3] == (8, 6, c0)
 
 
+def test_native_codec_swap_seam(spark, jpeg_media_df):
+    """The SCALE.md-claimed one-function native-codec seam is a real,
+    supported parameter: injecting a stub 'native' decoder/resizer
+    switches every executor's decode path while the Spark contract
+    (schema, 1:1 row shape, Arrow batching) stays identical."""
+    from parquet_converters_spark.functions.multimodal import (
+        decode_media,
+        resize_media,
+    )
+
+    # defined inside the test so cloudpickle ships them BY VALUE to the
+    # executors (module-level test functions pickle by reference, and
+    # workers cannot import the test module) — a real native wrapper
+    # would live in an installed package and pickle by reference
+    def _native_stub_decoder(payload: bytes, n_features: int):
+        return 640, 480, 3, [7.0] * n_features
+
+    def _native_stub_resizer(payload: bytes, width: int, height: int):
+        import hashlib
+
+        return b"NATIVE" + hashlib.md5(payload).digest()[:4]
+
+    df, specs = jpeg_media_df
+    # decode_media: output provably came from the injected decoder
+    got = decode_media(df, n_features=4, decoder=_native_stub_decoder)
+    rows = got.collect()
+    assert got.schema == decode_media(df, n_features=4).schema
+    assert len(rows) == 3
+    for r in rows:
+        assert (r["width"], r["height"], r["channels"]) == (640, 480, 3)
+        assert r["features"] == [7.0] * 4
+    # resize_media: payloads provably came from the injected resizer
+    out = resize_media(df, width=8, height=6, resizer=_native_stub_resizer)
+    rows = out.collect()
+    assert out.schema == resize_media(df, width=8, height=6).schema
+    assert len(rows) == 3
+    import hashlib
+
+    originals = {r["media_id"]: bytes(r["payload"]) for r in df.collect()}
+    for r in rows:
+        expect = b"NATIVE" + hashlib.md5(originals[r["media_id"]]).digest()[:4]
+        assert bytes(r["payload"]) == expect
+        assert (r["width"], r["height"]) == (8, 6)
+    # and the default (no kwarg) path still routes through the stdlib
+    # table — the stub's sentinel dims must NOT appear
+    dflt = decode_media(df, n_features=4).collect()
+    assert all((r["width"], r["height"]) != (640, 480) for r in dflt)
+
+
 # --------------------------------------------------------------------------
 # always-on: BMP (media_codecs.py) — lossless, trivially spec-complete
 # --------------------------------------------------------------------------

@@ -1,0 +1,773 @@
+"""From-spec WebP-lossless (VP8L) codec — stdlib only.
+
+Decoder implements the complete WebP Lossless Bitstream Specification
+(RFC 9649 / the public VP8L spec): RIFF/VP8X container parsing, the
+LSB-first bitstream, simple + full prefix codes (code-length codes,
+repeats, ``max_symbol``), color cache, meta prefix (entropy image),
+LZ77 backward references with the 2D distance mapping, and all four
+transforms (predictor with its 14 modes, cross-color, subtract-green,
+color-indexing incl. sub-byte pixel bundling) applied inverse in
+reverse order.
+
+Encoder writes a valid *simple-subset* VP8L stream (no transforms, no
+LZ77, no color cache; per-channel prefix codes — single/two-symbol
+"simple codes" where a channel is near-constant, else raw 8-bit
+lengths).  It exists to produce deterministic test vectors and to give
+``resize_media`` a same-format re-encode path; a production encoder
+would add histogram-driven codes, LZ77 and the spatial transforms.
+
+Scale posture: identical to jpeg_codec.py — the per-core throughput of
+a pure-Python decode is the documented ceiling (SCALE.md), and the
+``decoder=`` seam on ``decode_media`` is where a native library
+(libwebp) plugs in; this module is the always-available fallback and
+the executable spec.
+
+Hardening contract (same as the other codecs): any malformed input
+raises ``ValueError``; unsupported-but-valid features raise
+``NotImplementedError`` naming the feature; allocation guarded by
+``_MAX_PIXELS``; decode cost is linear in the stream (the bit reader
+trims consumed bits).
+
+Reference parity: the reference repo (C++/MPI HDF5-touch converters)
+has no media codecs at all — this module belongs to the
+training-data-pipeline surface (multimodal decode/resize), where WebP
+is a top-4 web-corpus image format.
+"""
+
+from __future__ import annotations
+
+import struct
+
+_MAX_PIXELS = 1 << 28
+
+# Code-length-code read order (spec: "kCodeLengthCodeOrder").
+_CLC_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
+
+# 2D offset map for distance codes 1..120 (spec "distance mapping").
+# Provenance: seeded from the published table and VERIFIED EMPIRICALLY
+# against libwebp 1.2.4 in this container — scripts/recover_webp_dtable.py
+# parses libwebp-encoded streams, reconstructs the coded-plane truth via
+# the forward transforms, and solves each backward reference for its
+# offset; tests/test_webp_codec.py pins full-stream pixel equality
+# against libwebp's own decoder over images that exercise the map.
+_DIST_MAP = (
+    (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
+    (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
+    (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0),
+    (1, 4), (-1, 4), (4, 1), (-4, 1), (3, 3), (-3, 3), (2, 4), (-2, 4),
+    (4, 2), (-4, 2), (0, 5), (3, 4), (-3, 4), (4, 3), (-4, 3), (5, 0),
+    (1, 5), (-1, 5), (5, 1), (-5, 1), (2, 5), (-2, 5), (5, 2), (-5, 2),
+    (4, 4), (-4, 4), (3, 5), (-3, 5), (5, 3), (-5, 3), (0, 6), (6, 0),
+    (1, 6), (-1, 6), (6, 1), (-6, 1), (2, 6), (-2, 6), (6, 2), (-6, 2),
+    (4, 5), (-4, 5), (5, 4), (-5, 4), (3, 6), (-3, 6), (6, 3), (-6, 3),
+    (0, 7), (7, 0), (1, 7), (-1, 7), (5, 5), (-5, 5), (7, 1), (-7, 1),
+    (4, 6), (-4, 6), (6, 4), (-6, 4), (2, 7), (-2, 7), (7, 2), (-7, 2),
+    (3, 7), (-3, 7), (7, 3), (-7, 3), (5, 6), (-5, 6), (6, 5), (-6, 5),
+    (8, 0), (4, 7), (-4, 7), (7, 4), (-7, 4), (8, 1), (8, 2), (6, 6),
+    (-6, 6), (8, 3), (5, 7), (-5, 7), (7, 5), (-7, 5), (8, 4), (6, 7),
+    (-6, 7), (7, 6), (-7, 6), (8, 5), (7, 7), (-7, 7), (8, 6), (8, 7),
+)
+assert len(_DIST_MAP) == 120
+
+
+def is_webp(data: bytes) -> bool:
+    return (
+        len(data) >= 12 and data[:4] == b"RIFF" and data[8:12] == b"WEBP"
+    )
+
+
+# ---------------------------------------------------------------------------
+# bit I/O (VP8L is LSB-first)
+# ---------------------------------------------------------------------------
+
+
+class _Br:
+    """LSB-first bit reader; consumed bits are shifted off so the
+    accumulator stays bounded (linear-time decode on any input)."""
+
+    __slots__ = ("data", "pos", "acc", "n")
+
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def bits(self, k: int) -> int:
+        while self.n < k:
+            if self.pos >= len(self.data):
+                raise ValueError("WebP: truncated VP8L bitstream")
+            self.acc |= self.data[self.pos] << self.n
+            self.pos += 1
+            self.n += 8
+        v = self.acc & ((1 << k) - 1)
+        self.acc >>= k
+        self.n -= k
+        return v
+
+    def bit(self) -> int:
+        return self.bits(1)
+
+
+class _Bw:
+    """LSB-first bit writer (encoder side)."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def bits(self, v: int, k: int) -> None:
+        self.acc |= (v & ((1 << k) - 1)) << self.n
+        self.n += k
+        while self.n >= 8:
+            self.out.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.n -= 8
+
+    def huff(self, code: int, length: int) -> None:
+        """Emit a prefix code MSB-first (the reader walks the tree from
+        the root, one ``bit()`` per level)."""
+        for i in range(length - 1, -1, -1):
+            self.bits((code >> i) & 1, 1)
+
+    def flush(self) -> bytes:
+        if self.n:
+            self.out.append(self.acc & 0xFF)
+            self.acc = 0
+            self.n = 0
+        return bytes(self.out)
+
+
+# ---------------------------------------------------------------------------
+# prefix (Huffman) codes
+# ---------------------------------------------------------------------------
+
+
+class _Tree:
+    """Decoded prefix code: either a 0-bit single symbol or a canonical
+    (length, code) -> symbol map, max length 15 (spec limit)."""
+
+    __slots__ = ("single", "table")
+
+    def __init__(self, single=None, table=None):
+        self.single = single
+        self.table = table
+
+    def read(self, br: _Br) -> int:
+        if self.single is not None:
+            return self.single
+        code = 0
+        table = self.table
+        for length in range(1, 16):
+            code = (code << 1) | br.bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("WebP: invalid prefix code in bitstream")
+
+
+def _tree_from_lengths(lengths: list[int]) -> _Tree:
+    nz = [(l, s) for s, l in enumerate(lengths) if l > 0]
+    if not nz:
+        raise ValueError("WebP: empty prefix code")
+    if len(nz) == 1:
+        return _Tree(single=nz[0][1])
+    kraft = sum(1 << (15 - l) for l, _ in nz)
+    if kraft != (1 << 15):
+        raise ValueError("WebP: prefix code is not complete")
+    table = {}
+    code = 0
+    prev_len = 0
+    for l, s in sorted(nz):
+        code <<= l - prev_len
+        prev_len = l
+        table[(l, code)] = s
+        code += 1
+    return _Tree(table=table)
+
+
+def _explicit_tree(symbols: list[int]) -> _Tree:
+    """Simple-code tree: 1 symbol -> 0 bits; 2 symbols -> codes 0/1 in
+    READ order (not canonical-sorted — spec simple-code semantics)."""
+    if len(symbols) == 1:
+        return _Tree(single=symbols[0])
+    return _Tree(table={(1, 0): symbols[0], (1, 1): symbols[1]})
+
+
+def _read_code_lengths(br: _Br, clc: _Tree, n: int) -> list[int]:
+    """Symbol code lengths via the code-length code (spec: repeats 16
+    copy-previous / 17, 18 zeros; optional max_symbol caps the number
+    of CODES read, remainder implicitly zero)."""
+    if br.bit():
+        length_nbits = 2 + 2 * br.bits(3)
+        max_codes = 2 + br.bits(length_nbits)
+    else:
+        max_codes = n
+    lengths = [0] * n
+    prev = 8
+    sym = 0
+    while sym < n:
+        if max_codes == 0:
+            break
+        max_codes -= 1
+        c = clc.read(br)
+        if c < 16:
+            lengths[sym] = c
+            sym += 1
+            if c:
+                prev = c
+        else:
+            if c == 16:
+                repeat, fill = 3 + br.bits(2), prev
+            elif c == 17:
+                repeat, fill = 3 + br.bits(3), 0
+            else:  # 18
+                repeat, fill = 11 + br.bits(7), 0
+            if sym + repeat > n:
+                raise ValueError("WebP: code-length repeat overflows")
+            for _ in range(repeat):
+                lengths[sym] = fill
+                sym += 1
+    return lengths
+
+
+def _read_prefix_code(br: _Br, alphabet: int) -> _Tree:
+    if br.bit():  # simple code
+        num = br.bit() + 1
+        first = br.bits(8) if br.bit() else br.bits(1)
+        syms = [first]
+        if num == 2:
+            syms.append(br.bits(8))
+        if any(s >= alphabet for s in syms):
+            raise ValueError("WebP: simple-code symbol out of range")
+        return _explicit_tree(syms)
+    num_clc = 4 + br.bits(4)
+    clc_lengths = [0] * 19
+    for i in range(num_clc):
+        clc_lengths[_CLC_ORDER[i]] = br.bits(3)
+    clc = _tree_from_lengths(clc_lengths)
+    return _tree_from_lengths(_read_code_lengths(br, clc, alphabet))
+
+
+# ---------------------------------------------------------------------------
+# LZ77 prefix-coded values, color cache
+# ---------------------------------------------------------------------------
+
+
+def _lz77_value(sym: int, br: _Br) -> int:
+    """Length/distance prefix decoding (spec 'LZ77 prefix coding')."""
+    if sym < 4:
+        return sym + 1
+    extra = (sym - 2) >> 1
+    offset = (2 + (sym & 1)) << extra
+    return offset + br.bits(extra) + 1
+
+
+def _cache_key(argb: int, bits: int) -> int:
+    return ((argb * 0x1E35A7BD) & 0xFFFFFFFF) >> (32 - bits)
+
+
+def _subsample(size: int, bits: int) -> int:
+    return (size + (1 << bits) - 1) >> bits
+
+
+# ---------------------------------------------------------------------------
+# image-stream decoding
+# ---------------------------------------------------------------------------
+
+
+def _decode_image_stream(br, w, h, level0, transforms=None):
+    """Decode one spatially-coded image (main image or a subresolution
+    parameter image) to a list of ARGB uint32.  At level 0 the
+    transform list is READ here (and recorded for inverse application
+    by the caller); transform data itself recurses into this function
+    with ``level0=False``."""
+    if level0:
+        seen = set()
+        while br.bit():
+            t = br.bits(2)
+            if t in seen:
+                raise ValueError("WebP: duplicate transform")
+            seen.add(t)
+            w = _read_transform(br, t, w, h, transforms)
+    if w * h > _MAX_PIXELS:
+        raise ValueError("WebP: implausible image-stream size")
+    cache_bits = 0
+    if br.bit():
+        cache_bits = br.bits(4)
+        if not 1 <= cache_bits <= 11:
+            raise ValueError(f"WebP: color cache bits {cache_bits}")
+    meta = None
+    sub_bits = 0
+    groups_n = 1
+    if level0 and br.bit():
+        sub_bits = br.bits(3) + 2
+        mw, mh = _subsample(w, sub_bits), _subsample(h, sub_bits)
+        meta = _decode_image_stream(br, mw, mh, False)
+        meta = [((p >> 8) & 0xFFFF) for p in meta]  # (red<<8)|green
+        groups_n = max(meta) + 1
+    green_alpha = 256 + 24 + ((1 << cache_bits) if cache_bits else 0)
+    groups = []
+    for _ in range(groups_n):
+        groups.append(
+            (
+                _read_prefix_code(br, green_alpha),
+                _read_prefix_code(br, 256),
+                _read_prefix_code(br, 256),
+                _read_prefix_code(br, 256),
+                _read_prefix_code(br, 40),
+            )
+        )
+    cache = [0] * (1 << cache_bits) if cache_bits else None
+
+    n = w * h
+    px = [0] * n
+    pos = 0
+    mw = _subsample(w, sub_bits) if meta else 0
+    group = groups[0]
+    while pos < n:
+        if meta is not None:
+            x, y = pos % w, pos // w
+            group = groups[meta[(y >> sub_bits) * mw + (x >> sub_bits)]]
+        g_tree, r_tree, b_tree, a_tree, d_tree = group
+        s = g_tree.read(br)
+        if s < 256:
+            red = r_tree.read(br)
+            blue = b_tree.read(br)
+            alpha = a_tree.read(br)
+            argb = (alpha << 24) | (red << 16) | (s << 8) | blue
+            px[pos] = argb
+            pos += 1
+            if cache is not None:
+                cache[_cache_key(argb, cache_bits)] = argb
+        elif s < 280:
+            length = _lz77_value(s - 256, br)
+            dist_code = _lz77_value(d_tree.read(br), br)
+            if dist_code > 120:
+                dist = dist_code - 120
+            else:
+                dx, dy = _DIST_MAP[dist_code - 1]
+                dist = dy * w + dx
+                if dist < 1:
+                    dist = 1
+            if dist > pos or pos + length > n:
+                raise ValueError("WebP: backward reference out of range")
+            src = pos - dist
+            for i in range(length):
+                argb = px[src + i]
+                px[pos] = argb
+                pos += 1
+                if cache is not None:
+                    cache[_cache_key(argb, cache_bits)] = argb
+        else:
+            if cache is None:
+                raise ValueError("WebP: cache reference without cache")
+            idx = s - 280
+            argb = cache[idx]
+            px[pos] = argb
+            pos += 1
+            # (a cache hit re-inserts the same value — no-op)
+    return px
+
+
+def _read_transform(br, ttype, w, h, transforms):
+    """Read one transform's parameters; returns the (possibly reduced)
+    width subsequent reads must use.  Records (type, params, w) for the
+    inverse pass."""
+    if ttype == 0:  # PREDICTOR
+        bits = br.bits(3) + 2
+        sw, sh = _subsample(w, bits), _subsample(h, bits)
+        data = _decode_image_stream(br, sw, sh, False)
+        transforms.append(("predictor", (bits, data), w))
+        return w
+    if ttype == 1:  # CROSS-COLOR
+        bits = br.bits(3) + 2
+        sw, sh = _subsample(w, bits), _subsample(h, bits)
+        data = _decode_image_stream(br, sw, sh, False)
+        transforms.append(("cross_color", (bits, data), w))
+        return w
+    if ttype == 2:  # SUBTRACT-GREEN
+        transforms.append(("subtract_green", None, w))
+        return w
+    # ttype == 3: COLOR-INDEXING (palette), possibly pixel-bundled
+    n_colors = br.bits(8) + 1
+    coded = _decode_image_stream(br, n_colors, 1, False)
+    palette = []
+    prev = 0
+    for p in coded:  # component-wise delta coding
+        a = ((prev >> 24) + (p >> 24)) & 0xFF
+        r = (((prev >> 16) & 0xFF) + ((p >> 16) & 0xFF)) & 0xFF
+        g = (((prev >> 8) & 0xFF) + ((p >> 8) & 0xFF)) & 0xFF
+        b = ((prev & 0xFF) + (p & 0xFF)) & 0xFF
+        prev = (a << 24) | (r << 16) | (g << 8) | b
+        palette.append(prev)
+    if n_colors <= 2:
+        width_bits = 3
+    elif n_colors <= 4:
+        width_bits = 2
+    elif n_colors <= 16:
+        width_bits = 1
+    else:
+        width_bits = 0
+    transforms.append(("color_index", (width_bits, palette), w))
+    return _subsample(w, width_bits)
+
+
+# ---------------------------------------------------------------------------
+# inverse transforms
+# ---------------------------------------------------------------------------
+
+
+def _avg2(a: int, b: int) -> int:
+    return (
+        ((((a >> 24) + (b >> 24)) >> 1) << 24)
+        | (((((a >> 16) & 0xFF) + ((b >> 16) & 0xFF)) >> 1) << 16)
+        | (((((a >> 8) & 0xFF) + ((b >> 8) & 0xFF)) >> 1) << 8)
+        | (((a & 0xFF) + (b & 0xFF)) >> 1)
+    )
+
+
+def _select(left: int, top: int, tl: int) -> int:
+    p_l = p_t = 0
+    for sh in (24, 16, 8, 0):
+        l_, t_, c_ = (left >> sh) & 0xFF, (top >> sh) & 0xFF, (tl >> sh) & 0xFF
+        pred = l_ + t_ - c_
+        p_l += abs(pred - l_)
+        p_t += abs(pred - t_)
+    return left if p_l < p_t else top
+
+
+def _clamp_add_sub_full(a: int, b: int, c: int) -> int:
+    out = 0
+    for sh in (24, 16, 8, 0):
+        v = ((a >> sh) & 0xFF) + ((b >> sh) & 0xFF) - ((c >> sh) & 0xFF)
+        v = 0 if v < 0 else 255 if v > 255 else v
+        out |= v << sh
+    return out
+
+
+def _clamp_add_sub_half(ave: int, c: int) -> int:
+    out = 0
+    for sh in (24, 16, 8, 0):
+        a_ = (ave >> sh) & 0xFF
+        c_ = (c >> sh) & 0xFF
+        d = a_ - c_
+        # C truncating division (toward zero), not Python floor
+        v = a_ + (d // 2 if d >= 0 else -((-d) // 2))
+        v = 0 if v < 0 else 255 if v > 255 else v
+        out |= v << sh
+    return out
+
+
+def _predict(mode, px, w, x, y, pos):
+    left = px[pos - 1]
+    top = px[pos - w]
+    tl = px[pos - w - 1] if x > 0 else px[pos - w]
+    tr = px[pos - w + 1] if x < w - 1 else px[y * w]
+    if mode == 0:
+        return 0xFF000000
+    if mode == 1:
+        return left
+    if mode == 2:
+        return top
+    if mode == 3:
+        return tr
+    if mode == 4:
+        return tl
+    if mode == 5:
+        return _avg2(_avg2(left, tr), top)
+    if mode == 6:
+        return _avg2(left, tl)
+    if mode == 7:
+        return _avg2(left, top)
+    if mode == 8:
+        return _avg2(tl, top)
+    if mode == 9:
+        return _avg2(top, tr)
+    if mode == 10:
+        return _avg2(_avg2(left, tl), _avg2(top, tr))
+    if mode == 11:
+        return _select(left, top, tl)
+    if mode == 12:
+        return _clamp_add_sub_full(left, top, tl)
+    if mode == 13:
+        return _clamp_add_sub_half(_avg2(left, top), tl)
+    raise ValueError(f"WebP: predictor mode {mode}")
+
+
+def _add_pixels(a: int, b: int) -> int:
+    """Per-channel modular add (residual + prediction)."""
+    return (
+        ((((a >> 24) + (b >> 24)) & 0xFF) << 24)
+        | (((((a >> 16) & 0xFF) + ((b >> 16) & 0xFF)) & 0xFF) << 16)
+        | (((((a >> 8) & 0xFF) + ((b >> 8) & 0xFF)) & 0xFF) << 8)
+        | (((a & 0xFF) + (b & 0xFF)) & 0xFF)
+    )
+
+
+def _inv_predictor(px, w, h, bits, data):
+    sw = _subsample(w, bits)
+    pos = 0
+    for y in range(h):
+        for x in range(w):
+            if pos == 0:
+                pred = 0xFF000000
+            elif y == 0:
+                pred = px[pos - 1]  # first row: Left
+            elif x == 0:
+                pred = px[pos - w]  # first column: Top
+            else:
+                mode = (data[(y >> bits) * sw + (x >> bits)] >> 8) & 0xFF
+                pred = _predict(mode, px, w, x, y, pos)
+            px[pos] = _add_pixels(px[pos], pred)
+            pos += 1
+
+
+def _ct_delta(t: int, c: int) -> int:
+    """ColorTransformDelta: int8(t) * int8(c) >> 5 (arithmetic)."""
+    if t >= 128:
+        t -= 256
+    if c >= 128:
+        c -= 256
+    return (t * c) >> 5
+
+
+def _inv_cross_color(px, w, h, bits, data):
+    sw = _subsample(w, bits)
+    pos = 0
+    for y in range(h):
+        row = (y >> bits) * sw
+        for x in range(w):
+            cte = data[row + (x >> bits)]
+            g2r = cte & 0xFF  # blue byte
+            g2b = (cte >> 8) & 0xFF  # green byte
+            r2b = (cte >> 16) & 0xFF  # red byte
+            p = px[pos]
+            g = (p >> 8) & 0xFF
+            r = (p >> 16) & 0xFF
+            b = p & 0xFF
+            r = (r + _ct_delta(g2r, g)) & 0xFF
+            b = (b + _ct_delta(g2b, g)) & 0xFF
+            b = (b + _ct_delta(r2b, r)) & 0xFF
+            px[pos] = (p & 0xFF00FF00) | (r << 16) | b
+            pos += 1
+
+
+def _inv_subtract_green(px):
+    for i, p in enumerate(px):
+        g = (p >> 8) & 0xFF
+        r = (((p >> 16) & 0xFF) + g) & 0xFF
+        b = ((p & 0xFF) + g) & 0xFF
+        px[i] = (p & 0xFF00FF00) | (r << 16) | b
+
+
+def _inv_color_index(px, w, h, width_bits, palette):
+    if width_bits == 0:
+        for i, p in enumerate(px):
+            idx = (p >> 8) & 0xFF
+            px[i] = palette[idx] if idx < len(palette) else 0
+        return px
+    packed_w = _subsample(w, width_bits)
+    per = 1 << width_bits  # sub-pixels per packed byte
+    sub_bits = 8 >> width_bits  # bits per sub-pixel
+    mask = (1 << sub_bits) - 1
+    out = [0] * (w * h)
+    for y in range(h):
+        for x in range(w):
+            packed = px[y * packed_w + (x >> width_bits)]
+            idx = ((packed >> 8) >> ((x % per) * sub_bits)) & mask
+            out[y * w + x] = palette[idx] if idx < len(palette) else 0
+    return out
+
+
+# ---------------------------------------------------------------------------
+# top-level decode
+# ---------------------------------------------------------------------------
+
+
+def decode_webp(data: bytes) -> tuple[int, int, int, bytes]:
+    """Decode a lossless WebP (VP8L, bare or VP8X-wrapped) to
+    ``(width, height, channels, pixels)`` — channels 3 (all-opaque) or
+    4, row-major 8-bit bytes.  Lossy VP8 and animation raise
+    ``NotImplementedError`` naming the feature; malformed input raises
+    ``ValueError``."""
+    try:
+        return _decode_webp(data)
+    except (IndexError, struct.error) as e:
+        raise ValueError(f"WebP: corrupt or truncated stream ({e})") from e
+
+
+def _find_vp8l(data: bytes) -> bytes:
+    if not is_webp(data):
+        raise ValueError("WebP: bad RIFF/WEBP signature")
+    pos = 12
+    while pos + 8 <= len(data):
+        fourcc = data[pos : pos + 4]
+        (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        body = data[pos + 8 : pos + 8 + size]
+        if len(body) != size:
+            raise ValueError(f"WebP: truncated {fourcc!r} chunk")
+        if fourcc == b"VP8L":
+            return body
+        if fourcc == b"VP8 ":
+            raise NotImplementedError(
+                "WebP: lossy VP8 decoding is not implemented — only "
+                "lossless VP8L (swap in libwebp via the decode_media "
+                "decoder= seam for lossy files)"
+            )
+        if fourcc == b"ANIM" or fourcc == b"ANMF":
+            raise NotImplementedError(
+                "WebP: animation is not implemented — single-frame "
+                "VP8L only"
+            )
+        pos += 8 + size + (size & 1)  # chunks are 2-byte aligned
+    raise ValueError("WebP: no VP8L chunk found")
+
+
+def _decode_webp(data: bytes) -> tuple[int, int, int, bytes]:
+    body = _find_vp8l(data)
+    if not body or body[0] != 0x2F:
+        raise ValueError("WebP: bad VP8L signature byte")
+    br = _Br(body, 1)
+    w = br.bits(14) + 1
+    h = br.bits(14) + 1
+    br.bit()  # alpha-used hint (informative)
+    if br.bits(3) != 0:
+        raise ValueError("WebP: unknown VP8L version")
+    if w * h > _MAX_PIXELS:
+        raise ValueError(f"WebP: implausible dimensions {w}x{h}")
+    transforms: list = []
+    px = _decode_image_stream(br, w, h, True, transforms)
+    for ttype, params, tw in reversed(transforms):
+        if ttype == "color_index":
+            px = _inv_color_index(px, tw, h, *params)
+        elif ttype == "subtract_green":
+            _inv_subtract_green(px)
+        elif ttype == "cross_color":
+            _inv_cross_color(px, tw, h, *params)
+        else:
+            _inv_predictor(px, tw, h, *params)
+    if len(px) != w * h:
+        raise ValueError("WebP: decoded size mismatch")
+    has_alpha = any((p >> 24) != 0xFF for p in px)
+    out = bytearray()
+    if has_alpha:
+        for p in px:
+            out += bytes(
+                ((p >> 16) & 0xFF, (p >> 8) & 0xFF, p & 0xFF, (p >> 24) & 0xFF)
+            )
+        return w, h, 4, bytes(out)
+    for p in px:
+        out += bytes(((p >> 16) & 0xFF, (p >> 8) & 0xFF, p & 0xFF))
+    return w, h, 3, bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# encoder (simple subset)
+# ---------------------------------------------------------------------------
+
+
+def _write_literal_code(bw: _Bw, values, alphabet: int):
+    """Write a prefix code for one channel and return {value: (code,
+    length)}.  <=2 distinct values -> simple code; else raw 8-bit
+    lengths for symbols 0..255 (a complete code) written via a
+    3-symbol code-length code."""
+    distinct = sorted(set(values))
+    if len(distinct) <= 2 and all(v < 256 for v in distinct):
+        bw.bits(1, 1)  # simple
+        bw.bits(len(distinct) - 1, 1)
+        first = distinct[0]
+        if first > 1:
+            bw.bits(1, 1)
+            bw.bits(first, 8)
+        else:
+            bw.bits(0, 1)
+            bw.bits(first, 1)
+        if len(distinct) == 2:
+            bw.bits(distinct[1], 8)
+        if len(distinct) == 1:
+            return {distinct[0]: (0, 0)}
+        return {distinct[0]: (0, 1), distinct[1]: (1, 1)}
+    # full code: lengths[0..255] = 8, rest 0
+    bw.bits(0, 1)  # not simple
+    bw.bits(12 - 4, 4)  # num_code_lengths = 12 (covers CLC symbols 0/8/16)
+    # CLC lengths: symbol 8 -> 1 bit, symbols 0 and 16 -> 2 bits
+    clc = {17: 0, 18: 0, 0: 2, 1: 0, 2: 0, 3: 0, 4: 0, 5: 0, 16: 2, 6: 0,
+           7: 0, 8: 1}
+    for i in range(12):
+        bw.bits(clc[_CLC_ORDER[i]], 3)
+    # canonical CLC: 8 -> 0 (1 bit); 0 -> 10b, 16 -> 11b (2 bits)
+    bw.bits(0, 1)  # no max_symbol
+    bw.huff(0, 1)  # length 8 for symbol 0
+    emitted = 1
+    while emitted < 256:  # 16 = repeat previous (3 + 2 extra bits)
+        rep = min(6, 256 - emitted)
+        if rep < 3:
+            for _ in range(rep):
+                bw.huff(0, 1)
+            emitted += rep
+            continue
+        bw.huff(0b11, 2)  # CLC symbol 16
+        bw.bits(rep - 3, 2)
+        emitted += rep
+    for _ in range(alphabet - 256):  # explicit zeros (CLC symbol 0)
+        bw.huff(0b10, 2)
+    return {v: (v, 8) for v in range(256)}
+
+
+def encode_webp_lossless(
+    width: int, height: int, channels: int, pixels: bytes
+) -> bytes:
+    """Encode 8-bit RGB/RGBA pixels as a valid lossless WebP (VP8L)
+    stream: no transforms, no LZ77, no color cache — per-channel prefix
+    codes only.  Deterministic bytes for identical input."""
+    if channels not in (3, 4):
+        raise ValueError(f"channels must be 3 or 4, got {channels}")
+    if len(pixels) != width * height * channels:
+        raise ValueError(
+            f"pixel buffer is {len(pixels)} bytes, expected "
+            f"{width * height * channels}"
+        )
+    if not (1 <= width <= 16384 and 1 <= height <= 16384):
+        raise ValueError(f"WebP: dimensions {width}x{height} out of range")
+    n = width * height
+    if channels == 4:
+        alphas = pixels[3::4]
+        has_alpha = any(a != 255 for a in alphas)
+    else:
+        alphas = b"\xff" * n
+        has_alpha = False
+    reds = pixels[0::channels]
+    greens = pixels[1::channels]
+    blues = pixels[2::channels]
+
+    bw = _Bw()
+    bw.bits(0x2F, 8)
+    bw.bits(width - 1, 14)
+    bw.bits(height - 1, 14)
+    bw.bits(1 if has_alpha else 0, 1)
+    bw.bits(0, 3)  # version
+    bw.bits(0, 1)  # no transforms
+    bw.bits(0, 1)  # no color cache
+    bw.bits(0, 1)  # no meta prefix codes
+    g_map = _write_literal_code(bw, greens, 256 + 24)
+    r_map = _write_literal_code(bw, reds, 256)
+    b_map = _write_literal_code(bw, blues, 256)
+    a_map = _write_literal_code(bw, alphas, 256)
+    # distance tree: never used; 1-symbol simple code (0 bits/read)
+    bw.bits(1, 1)
+    bw.bits(0, 1)
+    bw.bits(0, 1)
+    bw.bits(0, 1)
+    for i in range(n):
+        bw.huff(*g_map[greens[i]])
+        bw.huff(*r_map[reds[i]])
+        bw.huff(*b_map[blues[i]])
+        bw.huff(*a_map[alphas[i]])
+    payload = bw.flush()
+    size = len(payload)
+    chunk = b"VP8L" + struct.pack("<I", size) + payload
+    if size & 1:
+        chunk += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk

@@ -62,6 +62,10 @@ from parquet_converters_spark.functions.avi_codec import (  # noqa: F401
     encode_avi_mjpeg,
     parse_avi_mjpeg,
 )
+from parquet_converters_spark.functions.webp_codec import (  # noqa: F401
+    decode_webp,
+    encode_webp_lossless,
+)
 from parquet_converters_spark.functions.sketches import (  # noqa: F401
     approx_distinct,
     approx_quantiles,

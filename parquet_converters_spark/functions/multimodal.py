@@ -132,9 +132,16 @@ def _real_decode(payload: bytes, n_features: int) -> tuple:
         decode_wav,
         is_bmp,
     )
+    from parquet_converters_spark.functions.webp_codec import (
+        decode_webp,
+        is_webp,
+    )
 
     if payload[:8] == _PNG_SIG:
         w, h, c, pixels = decode_png(payload)
+        return w, h, c, _band_features(pixels, n_features)
+    if is_webp(payload):
+        w, h, c, pixels = decode_webp(payload)
         return w, h, c, _band_features(pixels, n_features)
     if is_jpeg(payload):
         w, h, c, pixels = decode_jpeg(payload)
@@ -162,10 +169,11 @@ def _real_decode(payload: bytes, n_features: int) -> tuple:
         return None, None, channels, _band_features(scaled, n_features)
     raise NotImplementedError(
         "real decode supports PNG, baseline+progressive JPEG, GIF, "
-        "BMP, MJPEG-in-AVI video, and PCM16 WAV via the stdlib codecs "
-        "(functions/media_codecs.py, jpeg_codec.py, gif_codec.py, "
-        "avi_codec.py); other formats need PIL/ffmpeg — or pass "
-        "fake=True for the deterministic stub"
+        "BMP, lossless WebP (VP8L), MJPEG-in-AVI video, and PCM16 WAV "
+        "via the stdlib codecs (functions/media_codecs.py, "
+        "jpeg_codec.py, gif_codec.py, webp_codec.py, avi_codec.py); "
+        "other formats need PIL/ffmpeg (or the decoder= seam) — or "
+        "pass fake=True for the deterministic stub"
     )
 
 
@@ -291,6 +299,11 @@ def resize_media(
             is_bmp,
             resize_nearest,
         )
+        from parquet_converters_spark.functions.webp_codec import (
+            decode_webp,
+            encode_webp_lossless,
+            is_webp,
+        )
 
         for pdf in batches:
             out = {"media_id": [], "width": [], "height": [], "payload": []}
@@ -317,13 +330,18 @@ def resize_media(
                     elif is_bmp(raw):
                         w0, h0, c0, pixels = decode_bmp(raw)
                         enc = encode_bmp
+                    elif is_webp(raw):
+                        w0, h0, c0, pixels = decode_webp(raw)
+                        enc = encode_webp_lossless
                     else:
                         raise NotImplementedError(
                             "real image resize supports PNG, baseline "
-                            "JPEG, GIF, and BMP via the stdlib codecs "
-                            "(functions/media_codecs.py, jpeg_codec.py, "
-                            "gif_codec.py); other formats need PIL — or "
-                            "pass fake=True for the deterministic stub"
+                            "JPEG, GIF, BMP, and lossless WebP via the "
+                            "stdlib codecs (functions/media_codecs.py, "
+                            "jpeg_codec.py, gif_codec.py, webp_codec.py); "
+                            "other formats need PIL (or the resizer= "
+                            "seam) — or pass fake=True for the "
+                            "deterministic stub"
                         )
                     body = enc(
                         width,

@@ -35,6 +35,10 @@ from parquet_converters_spark.functions.media_codecs import (
     encode_wav,
     resize_nearest,
 )
+from parquet_converters_spark.functions.webp_codec import (
+    decode_webp,
+    encode_webp_lossless,
+)
 
 _DIM = st.integers(min_value=1, max_value=24)
 
@@ -106,6 +110,28 @@ def test_gif_roundtrip_palette_pixels(img):
             dst = got[C * p : C * p + 3]
             assert dst == src
     assert encode_gif(w, h, c, [px]) == data
+
+
+@settings(max_examples=25, deadline=None)
+@given(_image(channels=(3, 4)))
+def test_webp_roundtrip_any_pixels(img):
+    """VP8L lossless round-trip on arbitrary pixels.  An all-opaque
+    RGBA input legitimately decodes as 3-channel (ARGB alpha plane is
+    uniform 255) — compare in RGBA space."""
+    w, h, c, px = img
+    data = encode_webp_lossless(w, h, c, px)
+    W, H, C, got = decode_webp(data)
+    assert (W, H) == (w, h)
+
+    def rgba(buf, ch):
+        if ch == 4:
+            return bytes(buf)
+        return b"".join(
+            buf[3 * p : 3 * p + 3] + b"\xff" for p in range(w * h)
+        )
+
+    assert rgba(got, C) == rgba(px, c)
+    assert encode_webp_lossless(w, h, c, px) == data
 
 
 @settings(max_examples=10, deadline=None)
@@ -185,6 +211,7 @@ def test_corrupt_streams_raise_clean_errors():
         (decode_png, encode_png(16, 12, 3, px)),
         (decode_bmp, encode_bmp(16, 12, 3, px)),
         (decode_wav, encode_wav(8000, [((i * 991) % 65536) - 32768 for i in range(300)])),
+        (decode_webp, encode_webp_lossless(16, 12, 3, px)),
     ]
     for dec, data in samples:
         for trial in range(150):

@@ -18,6 +18,7 @@ deps — no PIL, no subprocess, no Java at test time.
 import pytest
 
 from imageio_fixtures import FIXTURES
+from webp_fixtures import FIXTURES as WEBP_FIXTURES
 
 
 def _to_rgba(px, c, n):
@@ -72,6 +73,24 @@ def test_external_vector(name):
             if i % 4 != 3
         )
         assert worst <= tol, f"{name}: max per-sample diff {worst} > {tol}"
+
+
+@pytest.mark.parametrize("name", sorted(WEBP_FIXTURES))
+def test_external_webp_vector(name):
+    """VP8L known-answer vectors from libwebp (the format's reference
+    implementation — provenance in tests/webp_fixtures.py): our
+    from-spec decoder must reproduce libwebp's decode EXACTLY,
+    covering predictor/cross-color transforms, palette bundling, the
+    empirically-recovered 2D distance-map tail, and alpha."""
+    from parquet_converters_spark.functions.webp_codec import decode_webp
+
+    fx = WEBP_FIXTURES[name]
+    data = bytes.fromhex(fx["data_hex"])
+    expected = bytes.fromhex(fx["expected_rgba_hex"])
+    w, h = fx["width"], fx["height"]
+    W, H, C, px = decode_webp(data)
+    assert (W, H) == (w, h)
+    assert _to_rgba(px, C, w * h) == expected
 
 
 def test_fixture_streams_are_what_they_claim():

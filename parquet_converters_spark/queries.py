@@ -8709,3 +8709,68 @@ QUERIES = {
     **{name: QUERIES[name] for name in _R10_WINDOW},
     **{name: v for name, v in QUERIES.items() if name not in _R10_WINDOW},
 }
+
+# --- r11 grading rotation (PRE-WIRED, activate at round-11 start) ----------
+# Computed from the CORRECTNESS_r01-r09 union assuming r10 grades
+# _R10_WINDOW: the next-oldest cohort is the 42 remaining r07-latest
+# rows, then the 8 alphabetically-first r08-latest rows
+# (above_nation_avg..cms_heavy_hitters; the r08 remainder — 39 rows —
+# defers to round 12).  Round 11's builder promotes any red rows from
+# CORRECTNESS_r10 to the front (dropping tail entries to keep 50),
+# then replaces the _R10_WINDOW reorder above with the same two lines
+# over _R11_WINDOW.
+_R11_WINDOW = [
+    # (a) r07-latest remainder (42)
+    "cluster_quality_by_label",
+    "cohort_retention",
+    "compaction_plan",
+    "decile_counts",
+    "dedup_components",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_pipeline",
+    "dedup_simhash",
+    "dedup_spans",
+    "dedup_spans_intra",
+    "dedup_survivors",
+    "dense_left_join",
+    "derived_key",
+    "doc_logprob_quality",
+    "embedding_diversity",
+    "event_funnel",
+    "event_lateness_profile",
+    "event_path_topk",
+    "event_transition_matrix",
+    "full_outer_reconcile",
+    "gap_fill_daily",
+    "graph_degree_distribution",
+    "hard_negative_mining",
+    "hybrid_rrf_search",
+    "interval_overlap_sessions",
+    "mad_outlier_events",
+    "market_basket_lift",
+    "mixture_plan",
+    "monthly_revenue_mom",
+    "multimodal_audio",
+    "multiset_customer_activity",
+    "nation_supplier_roster",
+    "order_backlog_concurrency",
+    "revenue_share_by_nation",
+    "rolling_7d_distinct_users",
+    "scd2_temporal_enrich",
+    "sim_ivfpq_ann",
+    "stratified_sample_counts",
+    "text_normalize_report",
+    "time_rollup_hierarchy",
+    "zscore_outlier_events",
+    # (b) r08-latest, alphabetical head (8)
+    "above_nation_avg",
+    "anti_join",
+    "array_flatten",
+    "asof_join_last_view",
+    "band_join_conversions",
+    "bitfield_unpack",
+    "bm25_search",
+    "cms_heavy_hitters",
+]
+_check_window(_R11_WINDOW, "_R11_WINDOW", prior=_R10_WINDOW)

@@ -64,7 +64,9 @@ from parquet_converters_spark.functions.avi_codec import (  # noqa: F401
 )
 from parquet_converters_spark.functions.webp_codec import (  # noqa: F401
     decode_webp,
+    encode_webp_anim,
     encode_webp_lossless,
+    parse_webp_frames,
 )
 from parquet_converters_spark.functions.sketches import (  # noqa: F401
     approx_distinct,

@@ -396,6 +396,10 @@ def sample_frames(
         from parquet_converters_spark.functions.media_codecs import (
             encode_png,
         )
+        from parquet_converters_spark.functions.webp_codec import (
+            is_webp,
+            parse_webp_frames,
+        )
 
         def emit(out, mid, i, ts, payload):
             out["media_id"].append(mid)
@@ -427,15 +431,19 @@ def sample_frames(
                             int(round(src * 1000.0 / fps)), frames[src],
                         )
                     continue
-                if is_gif(raw):
-                    w0, h0, gframes = parse_gif_frames(raw)
+                if is_gif(raw) or is_webp(raw):
+                    if is_gif(raw):
+                        w0, h0, gframes = parse_gif_frames(raw)
+                    else:
+                        w0, h0, gframes = parse_webp_frames(raw)
                     starts, t = [], 0
                     for d, _ in gframes:
                         starts.append(t)
-                        # Browsers clamp 0/near-0 GCE delays to ~100 ms;
-                        # without the clamp an all-zero-delay GIF collapses
-                        # the timeline to t=0 and the t=0 sample picks the
-                        # LAST composited frame instead of the first shown.
+                        # Browsers clamp 0/near-0 frame delays to ~100 ms;
+                        # without the clamp an all-zero-delay animation
+                        # collapses the timeline to t=0 and the t=0 sample
+                        # picks the LAST composited frame instead of the
+                        # first shown.
                         t += d if d >= 20 else 100
                     for k in range(max_frames):
                         ts = k * every_ms
@@ -450,11 +458,11 @@ def sample_frames(
                         )
                     continue
                 raise NotImplementedError(
-                    "real frame sampling supports MJPEG-in-AVI and "
-                    "animated GIF via the stdlib codecs "
-                    "(functions/avi_codec.py + jpeg_codec.py + "
-                    "gif_codec.py); other containers need ffmpeg — or "
-                    "pass fake=True for the stub"
+                    "real frame sampling supports MJPEG-in-AVI, animated "
+                    "GIF, and animated lossless WebP via the stdlib "
+                    "codecs (functions/avi_codec.py + jpeg_codec.py + "
+                    "gif_codec.py + webp_codec.py); other containers "
+                    "need ffmpeg — or pass fake=True for the stub"
                 )
             yield pd.DataFrame(out)
 

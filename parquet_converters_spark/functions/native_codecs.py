@@ -1,0 +1,116 @@
+"""Native-codec adapters for the ``decode_media(decoder=)`` /
+``resize_media(resizer=)`` swap seam.
+
+The from-spec stdlib codecs (jpeg_codec.py, gif_codec.py,
+webp_codec.py, media_codecs.py) are the always-available,
+environment-independent path — and, being pure Python, the documented
+per-core throughput ceiling at 100 TB (SCALE.md).  This module is the
+other side of that trade: factories that wrap a NATIVE library behind
+the exact callable signatures the seam accepts, so production clusters
+swap throughput in with one argument and zero plumbing changes.
+
+Only stdlib ``ctypes`` against system libraries — nothing is imported
+at module load, and a missing library raises a clean ``RuntimeError``
+from the factory (never at import time), so this module is safe to
+ship everywhere.
+
+Currently provided: libwebp (present in this container; also the only
+path for LOSSY WebP, which the from-spec codec intentionally rejects
+by name).  The same factory pattern is where a PIL-SIMD / libjpeg-turbo
+/ nvJPEG wrapper would live.
+"""
+
+from __future__ import annotations
+
+_WEBP_SONAMES = ("libwebp.so.7", "libwebp.so", "libwebp.dylib", "webp")
+
+
+def _load_libwebp():
+    import ctypes
+    import ctypes.util
+
+    lib = None
+    for name in _WEBP_SONAMES:
+        try:
+            lib = ctypes.CDLL(name)
+            break
+        except OSError:
+            continue
+    if lib is None:
+        found = ctypes.util.find_library("webp")
+        if found:
+            try:
+                lib = ctypes.CDLL(found)
+            except OSError:
+                lib = None
+    if lib is None:
+        raise RuntimeError(
+            "libwebp shared library not found — install libwebp or use "
+            "the from-spec decoder (functions/webp_codec.py, lossless "
+            "only)"
+        )
+    lib.WebPGetInfo.restype = ctypes.c_int
+    lib.WebPGetInfo.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_size_t,
+        ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int),
+    ]
+    lib.WebPDecodeRGBA.restype = ctypes.POINTER(ctypes.c_uint8)
+    lib.WebPDecodeRGBA.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_size_t,
+        ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int),
+    ]
+    lib.WebPFree.argtypes = [ctypes.c_void_p]
+    return lib
+
+
+def _libwebp_decode_rgba(data: bytes) -> tuple[int, int, bytes]:
+    """Decode any (lossless OR lossy) WebP via libwebp -> (w, h, RGBA).
+
+    Loads the library on first use inside the worker process (the
+    callable must be picklable, so no handles are captured)."""
+    import ctypes
+
+    lib = _load_libwebp()
+    w, h = ctypes.c_int(), ctypes.c_int()
+    p = lib.WebPDecodeRGBA(data, len(data), ctypes.byref(w), ctypes.byref(h))
+    if not p:
+        raise ValueError("libwebp: cannot decode payload")
+    try:
+        return w.value, h.value, ctypes.string_at(p, w.value * h.value * 4)
+    finally:
+        lib.WebPFree(p)
+
+
+def libwebp_media_decoder():
+    """Factory: a ``decode_media(decoder=...)``-compatible callable that
+    decodes WebP (lossless *and* lossy) through libwebp and everything
+    else through the from-spec ``_real_decode`` table.
+
+    Raises ``RuntimeError`` immediately (driver-side) if libwebp is not
+    loadable here — fail fast rather than on the executors.  Executors
+    load their own library handle on first call.
+    """
+    _load_libwebp()  # driver-side availability check
+
+    def decode(payload: bytes, n_features: int):
+        from parquet_converters_spark.functions.multimodal import (
+            _band_features,
+            _real_decode,
+        )
+        from parquet_converters_spark.functions.webp_codec import is_webp
+
+        if is_webp(payload):
+            w, h, rgba = _libwebp_decode_rgba(payload)
+            if all(rgba[i] == 255 for i in range(3, len(rgba), 4)):
+                pixels = bytes(
+                    b for p in range(w * h) for b in rgba[4 * p : 4 * p + 3]
+                )
+                return w, h, 3, _band_features(pixels, n_features)
+            return w, h, 4, _band_features(rgba, n_features)
+        return _real_decode(payload, n_features)
+
+    return decode

@@ -7,14 +7,20 @@ repeats, ``max_symbol``), color cache, meta prefix (entropy image),
 LZ77 backward references with the 2D distance mapping, and all four
 transforms (predictor with its 14 modes, cross-color, subtract-green,
 color-indexing incl. sub-byte pixel bundling) applied inverse in
-reverse order.
+reverse order.  ANIMATED WebP with VP8L frames is supported too:
+:func:`parse_webp_frames` composites ANMF frames (sub-rect placement,
+alpha-blend vs overwrite, dispose-to-background) with the
+``parse_gif_frames`` API shape, and :func:`decode_webp` returns the
+first composited canvas for animations (the thumbnail convention).
 
 Encoder writes a valid *simple-subset* VP8L stream (no transforms, no
 LZ77, no color cache; per-channel prefix codes — single/two-symbol
 "simple codes" where a channel is near-constant, else raw 8-bit
-lengths).  It exists to produce deterministic test vectors and to give
-``resize_media`` a same-format re-encode path; a production encoder
-would add histogram-driven codes, LZ77 and the spatial transforms.
+lengths); :func:`encode_webp_anim` wraps per-frame VP8L payloads in
+VP8X/ANIM/ANMF.  They exist to produce deterministic test vectors and
+to give ``resize_media`` a same-format re-encode path; a production
+encoder would add histogram-driven codes, LZ77 and the spatial
+transforms.
 
 Scale posture: identical to jpeg_codec.py — the per-core throughput of
 a pure-Python decode is the documented ceiling (SCALE.md), and the
@@ -598,35 +604,82 @@ def decode_webp(data: bytes) -> tuple[int, int, int, bytes]:
         raise ValueError(f"WebP: corrupt or truncated stream ({e})") from e
 
 
-def _find_vp8l(data: bytes) -> bytes:
-    if not is_webp(data):
-        raise ValueError("WebP: bad RIFF/WEBP signature")
-    pos = 12
+def _iter_chunks(data: bytes, pos: int = 12):
     while pos + 8 <= len(data):
         fourcc = data[pos : pos + 4]
         (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
         body = data[pos + 8 : pos + 8 + size]
         if len(body) != size:
             raise ValueError(f"WebP: truncated {fourcc!r} chunk")
-        if fourcc == b"VP8L":
-            return body
-        if fourcc == b"VP8 ":
-            raise NotImplementedError(
-                "WebP: lossy VP8 decoding is not implemented — only "
-                "lossless VP8L (swap in libwebp via the decode_media "
-                "decoder= seam for lossy files)"
-            )
-        if fourcc == b"ANIM" or fourcc == b"ANMF":
-            raise NotImplementedError(
-                "WebP: animation is not implemented — single-frame "
-                "VP8L only"
-            )
+        yield fourcc, body
         pos += 8 + size + (size & 1)  # chunks are 2-byte aligned
+
+
+_LOSSY_NIE = (
+    "WebP: lossy VP8 decoding is not implemented \u2014 only lossless VP8L "
+    "(swap in libwebp via the decode_media decoder= seam for lossy "
+    "files; functions/native_codecs.py ships the adapter)"
+)
+
+
+def _parse_container(data: bytes) -> dict:
+    """RIFF walk: returns ``{"vp8l": body}`` for a still image or
+    ``{"anim": (canvas_w, canvas_h, bg_argb, frames)}`` for an animated
+    file, where frames are ``(x, y, duration_ms, blend, dispose,
+    vp8l_body)`` tuples (offsets already in pixels)."""
+    if not is_webp(data):
+        raise ValueError("WebP: bad RIFF/WEBP signature")
+    canvas = None
+    bg = 0
+    frames = []
+    animated = False
+    for fourcc, body in _iter_chunks(data):
+        if fourcc == b"VP8L":
+            return {"vp8l": body}
+        if fourcc == b"VP8 ":
+            raise NotImplementedError(_LOSSY_NIE)
+        if fourcc == b"VP8X":
+            if len(body) < 10:
+                raise ValueError("WebP: short VP8X chunk")
+            animated = bool(body[0] & 0x02)
+            cw = int.from_bytes(body[4:7], "little") + 1
+            ch = int.from_bytes(body[7:10], "little") + 1
+            canvas = (cw, ch)
+        elif fourcc == b"ANIM":
+            if len(body) < 6:
+                raise ValueError("WebP: short ANIM chunk")
+            # background color is stored Blue, Green, Red, Alpha
+            bg = (body[3] << 24) | (body[2] << 16) | (body[1] << 8) | body[0]
+        elif fourcc == b"ANMF":
+            if len(body) < 16:
+                raise ValueError("WebP: short ANMF chunk")
+            fx = int.from_bytes(body[0:3], "little") * 2
+            fy = int.from_bytes(body[3:6], "little") * 2
+            dur = int.from_bytes(body[12:15], "little")
+            flags = body[15]
+            blend = not (flags & 0x02)  # bit1 set = do NOT blend
+            dispose = bool(flags & 0x01)  # bit0 = dispose to background
+            sub = None
+            for sfc, sbody in _iter_chunks(body, 16):
+                if sfc == b"VP8L":
+                    sub = sbody
+                    break
+                if sfc == b"VP8 ":
+                    raise NotImplementedError(_LOSSY_NIE)
+            if sub is None:
+                raise ValueError("WebP: ANMF frame without VP8L data")
+            frames.append((fx, fy, dur, blend, dispose, sub))
+    if animated and frames:
+        if canvas is None:
+            raise ValueError("WebP: animation without VP8X canvas size")
+        return {"anim": (canvas[0], canvas[1], bg, frames)}
+    if animated:
+        raise ValueError("WebP: animated file with no ANMF frames")
     raise ValueError("WebP: no VP8L chunk found")
 
 
-def _decode_webp(data: bytes) -> tuple[int, int, int, bytes]:
-    body = _find_vp8l(data)
+def _decode_vp8l_argb(body: bytes) -> tuple[int, int, list[int]]:
+    """One VP8L payload -> (w, h, ARGB uint32 list)."""
     if not body or body[0] != 0x2F:
         raise ValueError("WebP: bad VP8L signature byte")
     br = _Br(body, 1)
@@ -650,17 +703,163 @@ def _decode_webp(data: bytes) -> tuple[int, int, int, bytes]:
             _inv_predictor(px, tw, h, *params)
     if len(px) != w * h:
         raise ValueError("WebP: decoded size mismatch")
-    has_alpha = any((p >> 24) != 0xFF for p in px)
+    return w, h, px
+
+
+def _argb_to_bytes(px: list[int]) -> tuple[int, bytes]:
+    """ARGB list -> (channels, row-major bytes): 3 if fully opaque
+    else 4."""
     out = bytearray()
-    if has_alpha:
+    if any((p >> 24) != 0xFF for p in px):
         for p in px:
             out += bytes(
                 ((p >> 16) & 0xFF, (p >> 8) & 0xFF, p & 0xFF, (p >> 24) & 0xFF)
             )
-        return w, h, 4, bytes(out)
+        return 4, bytes(out)
     for p in px:
         out += bytes(((p >> 16) & 0xFF, (p >> 8) & 0xFF, p & 0xFF))
-    return w, h, 3, bytes(out)
+    return 3, bytes(out)
+
+
+def _decode_webp(data: bytes) -> tuple[int, int, int, bytes]:
+    parsed = _parse_container(data)
+    if "vp8l" in parsed:
+        w, h, px = _decode_vp8l_argb(parsed["vp8l"])
+        c, out = _argb_to_bytes(px)
+        return w, h, c, out
+    # animation: the thumbnail convention (same as decode_gif and the
+    # AVI first-frame path) \u2014 return the first composited canvas
+    w, h, frames = parse_webp_frames(data)
+    return w, h, 4, frames[0][1]
+
+
+def _blend_over(src: int, dst: int) -> int:
+    """Spec alpha blending (src OVER dst) with integer rounding."""
+    sa = src >> 24
+    if sa == 255:
+        return src
+    if sa == 0:
+        return dst
+    da = dst >> 24
+    wa = da * (255 - sa) // 255
+    oa = sa + wa
+    if oa == 0:
+        return 0
+    out = oa << 24
+    for sh in (16, 8, 0):
+        sc = (src >> sh) & 0xFF
+        dc = (dst >> sh) & 0xFF
+        out |= ((sc * sa + dc * wa) // oa) << sh
+    return out
+
+
+def parse_webp_frames(data: bytes):
+    """Animated (or still) WebP -> ``(canvas_w, canvas_h,
+    [(duration_ms, rgba_bytes), ...])`` with frames fully composited on
+    the canvas: sub-rect placement at the ANMF offsets, alpha-blend vs
+    overwrite per the blending flag, dispose-to-background per the
+    disposal flag (background = the ANIM chunk color; the canvas
+    starts transparent black per spec).  The GIF
+    ``parse_gif_frames`` shape, so frame sampling treats both alike.
+
+    Compositing semantics are from the container spec; no external
+    animation decoder exists in this environment (libwebpdemux is
+    absent), so conformance is pinned by round-trip and hand-built
+    semantics tests rather than a reference implementation \u2014 the
+    same posture the GIF compositor had before a viewer was available.
+    """
+    try:
+        return _parse_webp_frames(data)
+    except (IndexError, struct.error) as e:
+        raise ValueError(f"WebP: corrupt or truncated stream ({e})") from e
+
+
+def _parse_webp_frames(data: bytes):
+    parsed = _parse_container(data)
+    if "vp8l" in parsed:
+        w, h, px = _decode_vp8l_argb(parsed["vp8l"])
+        rgba = bytearray()
+        for p in px:
+            rgba += bytes(
+                ((p >> 16) & 0xFF, (p >> 8) & 0xFF, p & 0xFF, (p >> 24) & 0xFF)
+            )
+        return w, h, [(100, bytes(rgba))]
+    cw, ch, bg, frames = parsed["anim"]
+    if cw * ch > _MAX_PIXELS:
+        raise ValueError(f"WebP: implausible canvas {cw}x{ch}")
+    canvas = [0] * (cw * ch)  # transparent black start (spec)
+    out = []
+    for fx, fy, dur, blend, dispose, body in frames:
+        fw, fh, px = _decode_vp8l_argb(body)
+        if fx + fw > cw or fy + fh > ch:
+            raise ValueError("WebP: frame exceeds canvas bounds")
+        for y in range(fh):
+            row = (fy + y) * cw + fx
+            src_row = y * fw
+            for x in range(fw):
+                s = px[src_row + x]
+                canvas[row + x] = (
+                    _blend_over(s, canvas[row + x]) if blend else s
+                )
+        rgba = bytearray()
+        for p in canvas:
+            rgba += bytes(
+                ((p >> 16) & 0xFF, (p >> 8) & 0xFF, p & 0xFF, (p >> 24) & 0xFF)
+            )
+        out.append((dur, bytes(rgba)))
+        if dispose:
+            for y in range(fh):
+                row = (fy + y) * cw + fx
+                for x in range(fw):
+                    canvas[row + x] = bg
+    return cw, ch, out
+
+
+def encode_webp_anim(
+    width: int,
+    height: int,
+    channels: int,
+    frames: list[bytes],
+    delay_ms: int = 100,
+) -> bytes:
+    """Encode full-canvas frames as an animated WebP (VP8X + ANIM +
+    one ANMF per frame, each a VP8L payload; no blend, no dispose —
+    every frame repaints the whole canvas).  The ``encode_gif``
+    animation shape.  Deterministic bytes."""
+    if not frames:
+        raise ValueError("WebP: need at least one frame")
+    if len(frames) == 1:
+        return encode_webp_lossless(width, height, channels, frames[0])
+    chunks = bytearray()
+    has_alpha = channels == 4 and any(
+        f[3::4] != b"\xff" * (width * height) for f in frames
+    )
+    vp8x = bytes([0x02 | (0x10 if has_alpha else 0)]) + bytes(3)
+    vp8x += (width - 1).to_bytes(3, "little")
+    vp8x += (height - 1).to_bytes(3, "little")
+    chunks += b"VP8X" + struct.pack("<I", len(vp8x)) + vp8x
+    anim = bytes(4) + struct.pack("<H", 0)  # bg transparent, loop forever
+    chunks += b"ANIM" + struct.pack("<I", len(anim)) + anim
+    for f in frames:
+        payload = encode_webp_lossless(width, height, channels, f)
+        # strip the outer RIFF....WEBP wrapper; keep the VP8L chunk
+        (plen,) = struct.unpack("<I", payload[16:20])
+        sub = b"VP8L" + struct.pack("<I", plen) + payload[20 : 20 + plen]
+        if plen & 1:
+            sub += b"\x00"
+        body = (
+            (0).to_bytes(3, "little")
+            + (0).to_bytes(3, "little")
+            + (width - 1).to_bytes(3, "little")
+            + (height - 1).to_bytes(3, "little")
+            + int(delay_ms).to_bytes(3, "little")
+            + bytes([0x02])  # no blend, no dispose
+            + sub
+        )
+        chunks += b"ANMF" + struct.pack("<I", len(body)) + bytes(body)
+        if len(body) & 1:
+            chunks += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WEBP" + bytes(chunks)
 
 
 # ---------------------------------------------------------------------------

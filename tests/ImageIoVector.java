@@ -37,6 +37,11 @@ public class ImageIoVector {
             encode(a[1], Integer.parseInt(a[2]), Integer.parseInt(a[3]),
                    Integer.parseInt(a[4]), a[5], a[6],
                    a.length > 7 ? a[7] : "");
+        } else if (a[0].equals("wavdecode")) {
+            wavDecode(a[1], a[2]);
+        } else if (a[0].equals("wavencode")) {
+            wavEncode(Integer.parseInt(a[1]), Integer.parseInt(a[2]),
+                      a[3], a[4]);
         } else {
             throw new IllegalArgumentException("unknown mode " + a[0]);
         }
@@ -127,6 +132,44 @@ public class ImageIoVector {
                 img.setRGB(x, y, (al << 24) | (r << 16) | (g << 8) | b);
             }
         }
+    }
+
+    // WAV oracle via javax.sound.sampled (also ships with every JDK):
+    // wavdecode <in.wav> <out>: "rate channels bits\n" + raw PCM bytes
+    // (little-endian, as stored).
+    static void wavDecode(String in, String out) throws Exception {
+        javax.sound.sampled.AudioInputStream ais =
+            javax.sound.sampled.AudioSystem.getAudioInputStream(
+                new File(in));
+        javax.sound.sampled.AudioFormat f = ais.getFormat();
+        byte[] pcm = ais.readAllBytes();
+        ais.close();
+        DataOutputStream o = new DataOutputStream(
+            new BufferedOutputStream(new FileOutputStream(out)));
+        o.writeBytes((int) f.getSampleRate() + " " + f.getChannels() + " "
+                     + f.getSampleSizeInBits()
+                     + (f.isBigEndian() ? " be" : " le") + "\n");
+        o.write(pcm);
+        o.close();
+    }
+
+    // wavencode <rate> <channels> <in-pcm16le> <out.wav>
+    static void wavEncode(int rate, int channels, String in, String out)
+            throws Exception {
+        byte[] pcm;
+        try (FileInputStream f = new FileInputStream(in)) {
+            pcm = f.readAllBytes();
+        }
+        javax.sound.sampled.AudioFormat fmt =
+            new javax.sound.sampled.AudioFormat(rate, 16, channels, true,
+                                                false);
+        javax.sound.sampled.AudioInputStream ais =
+            new javax.sound.sampled.AudioInputStream(
+                new java.io.ByteArrayInputStream(pcm), fmt,
+                pcm.length / (2L * channels));
+        javax.sound.sampled.AudioSystem.write(
+            ais, javax.sound.sampled.AudioFileFormat.Type.WAVE,
+            new File(out));
     }
 
     // GIF needs an indexed raster; build an exact palette from the

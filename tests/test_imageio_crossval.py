@@ -286,6 +286,40 @@ def test_jpeg_restart_stream_crossval(iio):
     _assert_decoders_agree(iio, data)
 
 
+def test_wav_crossval_both_ways(iio):
+    """PCM16 WAV against javax.sound.sampled (also a JDK built-in):
+    the JDK reads our RIFF/WAVE files sample-exactly, and we read the
+    JDK's."""
+    import struct
+
+    from parquet_converters_spark.functions.media_codecs import (
+        decode_wav,
+        encode_wav,
+    )
+
+    samples = [((i * 991) % 65536) - 32768 for i in range(600)]
+    for channels in (1, 2):
+        rate = 8000 if channels == 1 else 44100
+        # ours -> JDK
+        src = iio.work / "w.wav"
+        src.write_bytes(encode_wav(rate, samples, channels=channels))
+        dst = iio.work / "w.raw"
+        iio._run("wavdecode", str(src), str(dst))
+        raw = dst.read_bytes()
+        nl = raw.index(b"\n")
+        got_rate, got_ch, bits, endian = raw[:nl].split()
+        assert (int(got_rate), int(got_ch), int(bits)) == (rate, channels, 16)
+        assert endian == b"le"
+        pcm = raw[nl + 1 :]
+        assert list(struct.unpack(f"<{len(samples)}h", pcm)) == samples
+        # JDK -> ours
+        pcm_in = iio.work / "w.pcm"
+        pcm_in.write_bytes(struct.pack(f"<{len(samples)}h", *samples))
+        out = iio.work / "w2.wav"
+        iio._run("wavencode", str(rate), str(channels), str(pcm_in), str(out))
+        assert decode_wav(out.read_bytes()) == (rate, channels, samples)
+
+
 def test_jpeg_progressive_stream_crossval(iio):
     """Our progressive (SOF2, real SA ladder) streams decode under the
     JDK decoder to the same pixels as under ours."""

@@ -167,13 +167,14 @@ def test_bad_inputs_raise_value_error():
         decode_webp(b"RIFF\xff\xff\x00\x00WEBPVP8L\x05\x00\x00\x00\x2f" + bytes(4))
 
 
-def test_animation_named():
-    # minimal VP8X container advertising animation
+def test_empty_animation_rejected():
+    # a VP8X container advertising animation but carrying no ANMF
+    # frames is malformed, not unsupported (animation IS implemented)
     vp8x = b"VP8X" + (10).to_bytes(4, "little") + bytes([0x02]) + bytes(9)
     anim = b"ANIM" + (6).to_bytes(4, "little") + bytes(6)
     body = vp8x + anim
     data = b"RIFF" + (4 + len(body)).to_bytes(4, "little") + b"WEBP" + body
-    with pytest.raises(NotImplementedError, match="animation"):
+    with pytest.raises(ValueError, match="no ANMF"):
         decode_webp(data)
 
 
@@ -205,6 +206,175 @@ def test_corrupt_streams_raise_clean_errors_ours():
             b[i : i + 4] = bytes(rng.randrange(256) for _ in range(4))
         try:
             decode_webp(bytes(b))
+        except (ValueError, NotImplementedError):
+            pass
+
+
+# --------------------------------------------------------------------------
+# animation (VP8X/ANIM/ANMF with VP8L frames)
+# --------------------------------------------------------------------------
+
+
+def _anmf(fx, fy, fw, fh, dur, flags, vp8l_payload):
+    """Hand-assemble one ANMF chunk from a bare encode_webp_lossless
+    output (offsets in PIXELS, must be even)."""
+    import struct
+
+    (plen,) = struct.unpack("<I", vp8l_payload[16:20])
+    sub = b"VP8L" + struct.pack("<I", plen) + vp8l_payload[20 : 20 + plen]
+    if plen & 1:
+        sub += b"\x00"
+    body = (
+        (fx // 2).to_bytes(3, "little")
+        + (fy // 2).to_bytes(3, "little")
+        + (fw - 1).to_bytes(3, "little")
+        + (fh - 1).to_bytes(3, "little")
+        + int(dur).to_bytes(3, "little")
+        + bytes([flags])
+        + sub
+    )
+    out = b"ANMF" + struct.pack("<I", len(body)) + body
+    return out + (b"\x00" if len(body) & 1 else b"")
+
+
+def _anim_container(cw, ch, bg_bgra, anmfs):
+    import struct
+
+    vp8x = bytes([0x12]) + bytes(3)
+    vp8x += (cw - 1).to_bytes(3, "little") + (ch - 1).to_bytes(3, "little")
+    chunks = b"VP8X" + struct.pack("<I", len(vp8x)) + vp8x
+    anim = bytes(bg_bgra) + struct.pack("<H", 0)
+    chunks += b"ANIM" + struct.pack("<I", len(anim)) + anim
+    for a in anmfs:
+        chunks += a
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WEBP" + chunks
+
+
+def test_anim_roundtrip_full_canvas():
+    from parquet_converters_spark.functions.webp_codec import (
+        encode_webp_anim,
+        parse_webp_frames,
+    )
+
+    w, h = 20, 14
+    frames = [_pattern(w, h, 3, seed=s) for s in range(4)]
+    data = encode_webp_anim(w, h, 3, frames, delay_ms=200)
+    assert is_webp(data)
+    W, H, got = parse_webp_frames(data)
+    assert (W, H) == (w, h) and len(got) == 4
+    for (dur, rgba), src in zip(got, frames):
+        assert dur == 200
+        assert rgba[3::4] == b"\xff" * (w * h)
+        for ch_ in range(3):
+            assert rgba[ch_::4] == src[ch_::3]
+    # decode_webp thumbnail convention: first composited canvas
+    gw, gh, gc, gp = decode_webp(data)
+    assert (gw, gh, gc) == (w, h, 4)
+    assert bytes(gp[0::4]) == frames[0][0::3]
+    assert encode_webp_anim(w, h, 3, frames, delay_ms=200) == data
+
+
+def test_anim_subrect_blend_and_dispose_semantics():
+    """Hand-built animation exercising the container semantics our
+    encoder never writes: sub-rect placement, overwrite-vs-blend of a
+    transparent frame, dispose-to-background."""
+    from parquet_converters_spark.functions.webp_codec import (
+        parse_webp_frames,
+    )
+
+    cw, ch = 8, 6
+    base = encode_webp_lossless(cw, ch, 3, bytes([10, 20, 30]) * (cw * ch))
+    # 2x2 sub-rect at (2,2): fully transparent pixels
+    clear = encode_webp_lossless(2, 2, 4, bytes([9, 9, 9, 0]) * 4)
+    # frame 1: full canvas opaque; frame 2: transparent sub-rect,
+    # BLEND mode (flags bit1 clear) -> canvas unchanged there;
+    # frame 3: transparent sub-rect, NO-BLEND (bit1 set) -> alpha hole,
+    # and dispose-to-background (bit0) afterwards
+    data = _anim_container(
+        cw, ch, (1, 2, 3, 255),  # bg BGRA -> ARGB(255,3,2,1)
+        [
+            _anmf(0, 0, cw, ch, 100, 0x02, base),
+            _anmf(2, 2, 2, 2, 100, 0x00, clear),   # blend
+            _anmf(2, 2, 2, 2, 100, 0x02 | 0x01, clear),  # overwrite+dispose
+            _anmf(0, 0, cw, ch, 100, 0x02, base),
+        ],
+    )
+    W, H, got = parse_webp_frames(data)
+    assert (W, H) == (cw, ch) and len(got) == 4
+    f1, f2, f3, f4 = (g[1] for g in got)
+    assert f1[0:4] == bytes([10, 20, 30, 255])
+    # blending a fully transparent frame leaves the canvas intact
+    assert f2 == f1
+    # overwrite puts the transparent pixels through
+    at = (2 * cw + 2) * 4
+    assert f3[at : at + 4] == bytes([9, 9, 9, 0])
+    assert f3[0:4] == bytes([10, 20, 30, 255])  # outside the rect
+    # frame 4 repaints the full canvas after dispose-to-background
+    assert f4 == f1
+
+
+def test_anim_frame_bounds_checked():
+    from parquet_converters_spark.functions.webp_codec import (
+        parse_webp_frames,
+    )
+
+    sub = encode_webp_lossless(4, 4, 3, bytes(48))
+    data = _anim_container(6, 6, (0, 0, 0, 0), [_anmf(4, 4, 4, 4, 100, 0x02, sub)])
+    with pytest.raises(ValueError, match="bounds"):
+        parse_webp_frames(data)
+
+
+def test_sample_frames_real_path_webp_anim(spark):
+    from parquet_converters_spark.functions.media_codecs import decode_png
+    from parquet_converters_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        sample_frames,
+    )
+    from parquet_converters_spark.functions.webp_codec import (
+        encode_webp_anim,
+    )
+
+    w, h = 20, 14
+    frames = [_pattern(w, h, 3, seed=s) for s in range(5)]
+    data = encode_webp_anim(w, h, 3, frames, delay_ms=200)
+    df = spark.createDataFrame(
+        [(600, "video", bytearray(data), "image/webp", len(data))],
+        MEDIA_SCHEMA,
+    )
+    got = sorted(
+        sample_frames(df, every_ms=300, max_frames=4).collect(),
+        key=lambda r: r["frame_index"],
+    )
+    assert [r["frame_ts_ms"] for r in got] == [0, 300, 600, 900]
+    for r, src_seed in zip(got, [0, 1, 3, 4]):
+        W, H, C, rgba = decode_png(bytes(r["payload"]))
+        assert (W, H, C) == (w, h, 4)
+        src = _pattern(w, h, 3, seed=src_seed)
+        for ch_ in range(3):
+            assert rgba[ch_::4] == src[ch_::3]
+
+
+def test_corrupt_anim_streams_raise_clean_errors():
+    from parquet_converters_spark.functions.webp_codec import (
+        encode_webp_anim,
+        parse_webp_frames,
+    )
+
+    rng = random.Random(23)
+    data = encode_webp_anim(12, 8, 3, [_pattern(12, 8, 3, seed=s) for s in range(3)])
+    for trial in range(150):
+        b = bytearray(data)
+        mode = trial % 3
+        if mode == 0:
+            i = rng.randrange(len(b))
+            b[i] ^= 1 << rng.randrange(8)
+        elif mode == 1:
+            b = bytearray(b[: rng.randrange(4, len(b))])
+        else:
+            i = rng.randrange(len(b))
+            b[i : i + 4] = bytes(rng.randrange(256) for _ in range(4))
+        try:
+            parse_webp_frames(bytes(b))
         except (ValueError, NotImplementedError):
             pass
 
@@ -333,6 +503,39 @@ def webp_media_df(spark):
     data = encode_webp_lossless(w, h, 3, px)
     rows = [(500, "image", bytearray(data), "image/webp", len(data))]
     return spark.createDataFrame(rows, MEDIA_SCHEMA), (w, h, px)
+
+
+@needs_libwebp
+def test_libwebp_media_decoder_seam(spark, webp_media_df):
+    """The shipped native adapter (functions/native_codecs.py) plugs
+    into decode_media(decoder=...): lossless WebP decodes identically
+    to the from-spec path, and LOSSY WebP — which the from-spec table
+    rejects by name — becomes decodable."""
+    from parquet_converters_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        _band_features,
+        decode_media,
+    )
+    from parquet_converters_spark.functions.native_codecs import (
+        libwebp_media_decoder,
+    )
+
+    df, (w, h, px) = webp_media_df
+    dec = libwebp_media_decoder()
+    r = decode_media(df, n_features=4, decoder=dec).collect()[0]
+    assert (r["width"], r["height"], r["channels"]) == (w, h, 3)
+    assert r["features"] == pytest.approx(_band_features(px, 4), abs=1e-6)
+    # lossy VP8: from-spec path raises by name, the native seam decodes
+    lossy = lw_encode_lossy_rgb(16, 12, _pattern(16, 12, 3))
+    ldf = spark.createDataFrame(
+        [(501, "image", bytearray(lossy), "image/webp", len(lossy))],
+        MEDIA_SCHEMA,
+    )
+    with pytest.raises(Exception, match="lossy"):
+        decode_media(ldf, n_features=4).collect()
+    r2 = decode_media(ldf, n_features=4, decoder=dec).collect()[0]
+    assert (r2["width"], r2["height"]) == (16, 12)
+    assert len(r2["features"]) == 4
 
 
 def test_decode_media_real_path_webp(spark, webp_media_df):

@@ -457,6 +457,50 @@ def test_crossval_distance_map_offsets(dx, dy):
         assert _to_rgba(got, gc, W * H) == truth
 
 
+try:
+    from hypothesis import given, settings, strategies as st
+
+    HAVE_HYPOTHESIS = True
+except Exception:  # pragma: no cover
+    HAVE_HYPOTHESIS = False
+
+
+if HAVE_HYPOTHESIS:
+
+    @needs_libwebp
+    @settings(max_examples=15, deadline=None)
+    @given(
+        st.integers(1, 24),
+        st.integers(1, 24),
+        st.sampled_from([3, 4]),
+        st.randoms(use_true_random=False),
+    )
+    def test_crossval_fuzz_libwebp_streams(w, h, c, rnd):
+        """Continuous external fuzz: arbitrary images through libwebp's
+        encoder must decode bit-identically under both decoders."""
+        raw = bytes(rnd.randrange(256) for _ in range(w * h * c))
+        data = lw_encode_lossless(w, h, c, raw)
+        W, H, truth = lw_decode_rgba(data)
+        gw, gh, gc, got = decode_webp(data)
+        assert (gw, gh) == (W, H)
+        assert _to_rgba(got, gc, W * H) == truth
+
+    @needs_libwebp
+    @settings(max_examples=15, deadline=None)
+    @given(
+        st.integers(1, 24),
+        st.integers(1, 24),
+        st.sampled_from([3, 4]),
+        st.randoms(use_true_random=False),
+    )
+    def test_crossval_fuzz_libwebp_reads_ours(w, h, c, rnd):
+        raw = bytes(rnd.randrange(256) for _ in range(w * h * c))
+        data = encode_webp_lossless(w, h, c, raw)
+        W, H, rgba = lw_decode_rgba(data)
+        assert (W, H) == (w, h)
+        assert rgba == _to_rgba(raw, c, w * h)
+
+
 @needs_libwebp
 def test_lossy_vp8_named():
     data = lw_encode_lossy_rgb(16, 12, _pattern(16, 12, 3))

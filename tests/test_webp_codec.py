@@ -502,6 +502,29 @@ if HAVE_HYPOTHESIS:
 
 
 @needs_libwebp
+def test_libwebp_reads_our_anim_container():
+    """The one externally checkable piece of our animation writer in
+    this environment (no libwebpdemux): libwebp's container parser
+    must report our VP8X canvas geometry."""
+    from parquet_converters_spark.functions.webp_codec import (
+        encode_webp_anim,
+    )
+
+    _LIB.WebPGetInfo.restype = ctypes.c_int
+    _LIB.WebPGetInfo.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t,
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+    ]
+    w, h = 20, 14
+    data = encode_webp_anim(
+        w, h, 3, [_pattern(w, h, 3, seed=s) for s in range(3)]
+    )
+    gw, gh = ctypes.c_int(), ctypes.c_int()
+    ok = _LIB.WebPGetInfo(data, len(data), ctypes.byref(gw), ctypes.byref(gh))
+    assert ok and (gw.value, gh.value) == (w, h)
+
+
+@needs_libwebp
 def test_lossy_vp8_named():
     data = lw_encode_lossy_rgb(16, 12, _pattern(16, 12, 3))
     assert is_webp(data) and b"VP8 " in data[:16]

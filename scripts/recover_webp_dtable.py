@@ -147,8 +147,9 @@ def fwd_predictor(px, w, h, bits, data):
 def solve_stream(data: bytes, votes: dict):
     """Parse one libwebp VP8L stream; record per-dist-code candidate
     offset sets into ``votes``.  Returns (n_backrefs_2d, ok)."""
-    body = W._find_vp8l(data)
-    if body[0] != 0x2F:
+    parsed = W._parse_container(data)
+    body = parsed.get("vp8l")
+    if body is None or body[0] != 0x2F:
         return 0, False
     br = W._Br(body, 1)
     w = br.bits(14) + 1

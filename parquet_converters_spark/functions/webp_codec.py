@@ -863,64 +863,221 @@ def encode_webp_anim(
 
 
 # ---------------------------------------------------------------------------
-# encoder (simple subset)
+# encoder
 # ---------------------------------------------------------------------------
 
 
-def _write_literal_code(bw: _Bw, values, alphabet: int):
-    """Write a prefix code for one channel and return {value: (code,
-    length)}.  <=2 distinct values -> simple code; else raw 8-bit
-    lengths for symbols 0..255 (a complete code) written via a
-    3-symbol code-length code."""
-    distinct = sorted(set(values))
-    if len(distinct) <= 2 and all(v < 256 for v in distinct):
+def _huffman_lengths(freqs: dict[int, int], max_len: int) -> dict[int, int]:
+    """Deterministic length-limited Huffman: merge by (freq, smallest
+    contained symbol); if any code exceeds ``max_len``, halve the
+    frequencies (floor 1) and rebuild — the standard simple limiter."""
+    import heapq
+
+    syms = sorted(s for s, f in freqs.items() if f > 0)
+    if not syms:
+        raise ValueError("WebP: empty histogram")
+    if len(syms) == 1:
+        return {syms[0]: 1}
+    f = {s: freqs[s] for s in syms}
+    while True:
+        heap = [(f[s], s, {s: 0}) for s in syms]
+        heapq.heapify(heap)
+        while len(heap) > 1:
+            fa, ta, da = heapq.heappop(heap)
+            fb, tb, db = heapq.heappop(heap)
+            merged = {s: d + 1 for s, d in da.items()}
+            merged.update({s: d + 1 for s, d in db.items()})
+            heapq.heappush(heap, (fa + fb, min(ta, tb), merged))
+        lengths = heap[0][2]
+        if max(lengths.values()) <= max_len:
+            return lengths
+        f = {s: (v >> 1) + 1 for s, v in f.items()}
+
+
+def _canonical_codes(lengths: dict[int, int]) -> dict[int, tuple[int, int]]:
+    """{sym: length} -> {sym: (code, length)} (deflate-style canonical,
+    matching the decoder's _tree_from_lengths)."""
+    out = {}
+    code = 0
+    prev = 0
+    for l, s in sorted((l, s) for s, l in lengths.items()):
+        code <<= l - prev
+        prev = l
+        out[s] = (code, l)
+        code += 1
+    return out
+
+
+def _write_prefix_code(bw: _Bw, lengths: dict[int, int], alphabet: int):
+    """Serialize one prefix code (spec 'normal code length code') and
+    return {sym: (code, length)} for emission.  Uses the simple-code
+    form when possible; pads degenerate single-symbol codes (symbol >=
+    256, unreachable by a simple code) with a 1-bit dummy."""
+    used = sorted(lengths)
+    if len(used) <= 2 and all(s < 256 for s in used):
         bw.bits(1, 1)  # simple
-        bw.bits(len(distinct) - 1, 1)
-        first = distinct[0]
+        bw.bits(len(used) - 1, 1)
+        first = used[0]
         if first > 1:
             bw.bits(1, 1)
             bw.bits(first, 8)
         else:
             bw.bits(0, 1)
             bw.bits(first, 1)
-        if len(distinct) == 2:
-            bw.bits(distinct[1], 8)
-        if len(distinct) == 1:
-            return {distinct[0]: (0, 0)}
-        return {distinct[0]: (0, 1), distinct[1]: (1, 1)}
-    # full code: lengths[0..255] = 8, rest 0
+        if len(used) == 2:
+            bw.bits(used[1], 8)
+            return {used[0]: (0, 1), used[1]: (1, 1)}
+        return {used[0]: (0, 0)}
+    if len(used) == 1:  # degenerate high symbol: pad with symbol 0
+        lengths = {used[0]: 1, 0: 1}
+    codes = _canonical_codes(lengths)
+    full = [lengths.get(s, 0) for s in range(alphabet)]
+    # RLE the length array into code-length-code tokens
+    tokens = []  # (clc_sym, extra_val, extra_nbits)
+    i = 0
+    prev_nz = 8
+    while i < alphabet:
+        l = full[i]
+        if l == 0:
+            run = 1
+            while i + run < alphabet and full[i + run] == 0:
+                run += 1
+            i += run
+            # trailing zeros are emitted too: without the optional
+            # max_symbol field the reader keeps pulling codes until the
+            # whole alphabet is assigned
+            while run:
+                if run < 3:
+                    tokens.extend([(0, 0, 0)] * run)
+                    run = 0
+                elif run <= 10:
+                    tokens.append((17, run - 3, 3))
+                    run = 0
+                else:
+                    r = min(run, 138)
+                    tokens.append((18, r - 11, 7))
+                    run -= r
+        else:
+            tokens.append((l, 0, 0))
+            run = 0
+            while i + 1 + run < alphabet and full[i + 1 + run] == l:
+                run += 1
+            if run >= 3:
+                take = run
+                i += 1 + take
+                while take:
+                    if take < 3:
+                        tokens.extend([(l, 0, 0)] * take)
+                        take = 0
+                    else:
+                        r = min(take, 6)
+                        tokens.append((16, r - 3, 2))
+                        take -= r
+            else:
+                i += 1
+    clc_freq: dict[int, int] = {}
+    for s, _, _ in tokens:
+        clc_freq[s] = clc_freq.get(s, 0) + 1
+    clc_lengths = _huffman_lengths(clc_freq, 7)
+    if len(clc_lengths) == 1:  # pad: decoder needs a resolvable tree
+        only = next(iter(clc_lengths))
+        dummy = 0 if only != 0 else 1
+        clc_lengths = {only: 1, dummy: 1}
+    clc_codes = _canonical_codes(clc_lengths)
+    # num_code_lengths must cover every used CLC symbol's ORDER slot
+    top = max(_CLC_ORDER.index(s) for s in clc_lengths)
+    num = max(4, top + 1)
     bw.bits(0, 1)  # not simple
-    bw.bits(12 - 4, 4)  # num_code_lengths = 12 (covers CLC symbols 0/8/16)
-    # CLC lengths: symbol 8 -> 1 bit, symbols 0 and 16 -> 2 bits
-    clc = {17: 0, 18: 0, 0: 2, 1: 0, 2: 0, 3: 0, 4: 0, 5: 0, 16: 2, 6: 0,
-           7: 0, 8: 1}
-    for i in range(12):
-        bw.bits(clc[_CLC_ORDER[i]], 3)
-    # canonical CLC: 8 -> 0 (1 bit); 0 -> 10b, 16 -> 11b (2 bits)
+    bw.bits(num - 4, 4)
+    for j in range(num):
+        bw.bits(clc_lengths.get(_CLC_ORDER[j], 0), 3)
     bw.bits(0, 1)  # no max_symbol
-    bw.huff(0, 1)  # length 8 for symbol 0
-    emitted = 1
-    while emitted < 256:  # 16 = repeat previous (3 + 2 extra bits)
-        rep = min(6, 256 - emitted)
-        if rep < 3:
-            for _ in range(rep):
-                bw.huff(0, 1)
-            emitted += rep
-            continue
-        bw.huff(0b11, 2)  # CLC symbol 16
-        bw.bits(rep - 3, 2)
-        emitted += rep
-    for _ in range(alphabet - 256):  # explicit zeros (CLC symbol 0)
-        bw.huff(0b10, 2)
-    return {v: (v, 8) for v in range(256)}
+    for s, ev, en in tokens:
+        bw.huff(*clc_codes[s])
+        if en:
+            bw.bits(ev, en)
+    return codes
+
+
+def _prefix_encode(v: int) -> tuple[int, int, int]:
+    """Inverse of _lz77_value: value -> (symbol, extra_val, extra_bits)."""
+    if v <= 4:
+        return v - 1, 0, 0
+    x = v - 1
+    e = x.bit_length() - 2
+    if x < (3 << e):
+        return 2 * e + 2, x - (2 << e), e
+    return 2 * e + 3, x - (3 << e), e
+
+
+_LZ_MAX_LEN = 4096
+_LZ_MAX_DIST = (1 << 20) - 200  # distance symbol 39 ceiling, with margin
+
+
+def _lz77_tokens(px: list[int]) -> list[tuple]:
+    """Greedy LZ77 over ARGB pixels with a capped hash chain:
+    ('lit', argb) / ('copy', length, distance) tokens."""
+    n = len(px)
+    table: dict[tuple, list[int]] = {}
+    tokens = []
+    i = 0
+    while i < n:
+        best_len = 0
+        best_dist = 0
+        if i + 3 <= n:
+            key = (px[i], px[i + 1], px[i + 2])
+            chain = table.get(key)
+            if chain:
+                for j in reversed(chain[-16:]):
+                    d = i - j
+                    if d > _LZ_MAX_DIST:
+                        break
+                    l = 0
+                    lim = min(n - i, _LZ_MAX_LEN)
+                    while l < lim and px[j + l] == px[i + l]:
+                        l += 1
+                    if l > best_len:
+                        best_len, best_dist = l, d
+                        if l >= 64:
+                            break  # good enough; keep the scan linear
+        if best_len >= 3:
+            tokens.append(("copy", best_len, best_dist))
+            stop = min(i + best_len, n - 3)
+            step = 1 if best_len <= 16 else 4  # sparse-index long copies
+            for k in range(i, stop, step):
+                lst = table.setdefault((px[k], px[k + 1], px[k + 2]), [])
+                lst.append(k)
+                if len(lst) > 64:
+                    del lst[:32]
+            i += best_len
+        else:
+            if i + 3 <= n:
+                lst = table.setdefault((px[i], px[i + 1], px[i + 2]), [])
+                lst.append(i)
+                if len(lst) > 64:
+                    del lst[:32]
+            tokens.append(("lit", px[i]))
+            i += 1
+    return tokens
 
 
 def encode_webp_lossless(
-    width: int, height: int, channels: int, pixels: bytes
+    width: int,
+    height: int,
+    channels: int,
+    pixels: bytes,
+    use_lz77: bool = True,
+    subtract_green: bool = True,
+    predictor: bool = True,
 ) -> bytes:
-    """Encode 8-bit RGB/RGBA pixels as a valid lossless WebP (VP8L)
-    stream: no transforms, no LZ77, no color cache — per-channel prefix
-    codes only.  Deterministic bytes for identical input."""
+    """Encode 8-bit RGB/RGBA pixels as a lossless WebP (VP8L) stream:
+    subtract-green transform, a global-mode predictor transform when
+    its residual entropy wins, greedy LZ77 backward references, and
+    histogram-driven canonical prefix codes (serialized through the
+    full code-length-code machinery, with simple-code shortcuts).
+    Deterministic bytes for identical input.  The ``use_lz77`` /
+    ``subtract_green`` / ``predictor`` switches drop individual stages
+    for targeted decoder-path test vectors."""
     if channels not in (3, 4):
         raise ValueError(f"channels must be 3 or 4, got {channels}")
     if len(pixels) != width * height * channels:
@@ -931,42 +1088,170 @@ def encode_webp_lossless(
     if not (1 <= width <= 16384 and 1 <= height <= 16384):
         raise ValueError(f"WebP: dimensions {width}x{height} out of range")
     n = width * height
-    if channels == 4:
-        alphas = pixels[3::4]
-        has_alpha = any(a != 255 for a in alphas)
-    else:
-        alphas = b"\xff" * n
-        has_alpha = False
-    reds = pixels[0::channels]
-    greens = pixels[1::channels]
-    blues = pixels[2::channels]
+    has_alpha = channels == 4 and any(
+        pixels[3 + 4 * i] != 255 for i in range(n)
+    )
+    px = []
+    for i in range(n):
+        o = i * channels
+        r, g, b = pixels[o], pixels[o + 1], pixels[o + 2]
+        a = pixels[o + 3] if channels == 4 else 255
+        if subtract_green:
+            r = (r - g) & 0xFF
+            b = (b - g) & 0xFF
+        px.append((a << 24) | (r << 16) | (g << 8) | b)
 
+    mode = _pick_predictor(px, width, height) if predictor else None
     bw = _Bw()
     bw.bits(0x2F, 8)
     bw.bits(width - 1, 14)
     bw.bits(height - 1, 14)
     bw.bits(1 if has_alpha else 0, 1)
     bw.bits(0, 3)  # version
-    bw.bits(0, 1)  # no transforms
-    bw.bits(0, 1)  # no color cache
-    bw.bits(0, 1)  # no meta prefix codes
-    g_map = _write_literal_code(bw, greens, 256 + 24)
-    r_map = _write_literal_code(bw, reds, 256)
-    b_map = _write_literal_code(bw, blues, 256)
-    a_map = _write_literal_code(bw, alphas, 256)
-    # distance tree: never used; 1-symbol simple code (0 bits/read)
-    bw.bits(1, 1)
-    bw.bits(0, 1)
-    bw.bits(0, 1)
-    bw.bits(0, 1)
-    for i in range(n):
-        bw.huff(*g_map[greens[i]])
-        bw.huff(*r_map[reds[i]])
-        bw.huff(*b_map[blues[i]])
-        bw.huff(*a_map[alphas[i]])
+    if subtract_green:
+        bw.bits(1, 1)  # a transform follows
+        bw.bits(2, 2)  # SUBTRACT_GREEN (no parameters)
+    if mode is not None:
+        # predictor transform, one global mode: read AFTER subtract-
+        # green so its inverse runs FIRST on decode (coded plane =
+        # predict(subtract_green(pixels)))
+        bw.bits(1, 1)
+        bw.bits(0, 2)  # PREDICTOR
+        bw.bits(_PRED_BITS - 2, 3)
+        sw = _subsample(width, _PRED_BITS)
+        sh = _subsample(height, _PRED_BITS)
+        _write_coded_image(
+            bw, [0xFF000000 | (mode << 8)] * (sw * sh), False, False
+        )
+        px = _pred_residuals(px, width, height, mode)
+    bw.bits(0, 1)  # end of transforms
+    _write_coded_image(bw, px, True, use_lz77)
     payload = bw.flush()
     size = len(payload)
     chunk = b"VP8L" + struct.pack("<I", size) + payload
     if size & 1:
         chunk += b"\x00"
     return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+_PRED_BITS = 9  # 512-px blocks: the one-global-mode parameter image
+
+
+def _pred_residuals(px, w, h, mode):
+    """Forward predictor with one global ``mode``: residual = pixel
+    minus prediction from ORIGINAL (= decoder-reconstructed)
+    neighbors, per-channel mod 256 (spec edge rules: (0,0) predicts
+    opaque black, first row Left, first column Top)."""
+    out = []
+    pos = 0
+    for y in range(h):
+        for x in range(w):
+            if pos == 0:
+                pred = 0xFF000000
+            elif y == 0:
+                pred = px[pos - 1]
+            elif x == 0:
+                pred = px[pos - w]
+            else:
+                pred = _predict(mode, px, w, x, y, pos)
+            p = px[pos]
+            out.append(
+                ((((p >> 24) - (pred >> 24)) & 0xFF) << 24)
+                | (((((p >> 16) & 0xFF) - ((pred >> 16) & 0xFF)) & 0xFF) << 16)
+                | (((((p >> 8) & 0xFF) - ((pred >> 8) & 0xFF)) & 0xFF) << 8)
+                | (((p & 0xFF) - (pred & 0xFF)) & 0xFF)
+            )
+            pos += 1
+    return out
+
+
+def _entropy_cost(px) -> float:
+    import math
+    from collections import Counter
+
+    n = len(px)
+    cost = 0.0
+    for sh in (24, 16, 8, 0):
+        cnt = Counter((p >> sh) & 0xFF for p in px)
+        cost += sum(-c * math.log2(c / n) for c in cnt.values())
+    return cost
+
+
+def _pick_predictor(px, w, h):
+    """Try a few global predictor modes; keep the one whose residual
+    byte entropy beats the untransformed plane (strictly — repeats
+    that LZ77 exploits survive prediction, but ties favor no
+    transform)."""
+    if w * h < 16:
+        return None
+    best_mode, best_cost = None, _entropy_cost(px)
+    for mode in (1, 2, 7, 12):
+        cost = _entropy_cost(_pred_residuals(px, w, h, mode)) + 400
+        if cost < best_cost:
+            best_mode, best_cost = mode, cost
+    return best_mode
+
+
+def _write_coded_image(bw, px, level0, use_lz77):
+    """One spatially-coded image: cache bit, meta bit (level 0 only),
+    the five prefix codes, then the token stream."""
+    bw.bits(0, 1)  # no color cache
+    if level0:
+        bw.bits(0, 1)  # no meta prefix codes
+    tokens = (
+        _lz77_tokens(px) if use_lz77 else [("lit", p) for p in px]
+    )
+    gf: dict[int, int] = {}
+    rf: dict[int, int] = {}
+    bf: dict[int, int] = {}
+    af: dict[int, int] = {}
+    df: dict[int, int] = {}
+    emit = []  # pre-resolved (tree_id, sym, extra_val, extra_bits) ops
+    for t in tokens:
+        if t[0] == "lit":
+            p = t[1]
+            g = (p >> 8) & 0xFF
+            r = (p >> 16) & 0xFF
+            b = p & 0xFF
+            a = p >> 24
+            gf[g] = gf.get(g, 0) + 1
+            rf[r] = rf.get(r, 0) + 1
+            bf[b] = bf.get(b, 0) + 1
+            af[a] = af.get(a, 0) + 1
+            emit.append(("lit", g, r, b, a))
+        else:
+            _, length, dist = t
+            ls, lev, len_ = _prefix_encode(length)
+            ds, dev, den = _prefix_encode(dist + 120)
+            gf[256 + ls] = gf.get(256 + ls, 0) + 1
+            df[ds] = df.get(ds, 0) + 1
+            emit.append(("copy", 256 + ls, lev, len_, ds, dev, den))
+
+    g_codes = _write_prefix_code(bw, _huffman_lengths(gf, 15), 256 + 24)
+    r_codes = _write_prefix_code(
+        bw, _huffman_lengths(rf or {0: 1}, 15), 256
+    )
+    b_codes = _write_prefix_code(
+        bw, _huffman_lengths(bf or {0: 1}, 15), 256
+    )
+    a_codes = _write_prefix_code(
+        bw, _huffman_lengths(af or {255: 1}, 15), 256
+    )
+    d_codes = _write_prefix_code(
+        bw, _huffman_lengths(df or {0: 1}, 15), 40
+    )
+    for op in emit:
+        if op[0] == "lit":
+            _, g, r, b, a = op
+            bw.huff(*g_codes[g])
+            bw.huff(*r_codes[r])
+            bw.huff(*b_codes[b])
+            bw.huff(*a_codes[a])
+        else:
+            _, gsym, lev, len_, ds, dev, den = op
+            bw.huff(*g_codes[gsym])
+            if len_:
+                bw.bits(lev, len_)
+            bw.huff(*d_codes[ds])
+            if den:
+                bw.bits(dev, den)

@@ -13,14 +13,18 @@ alpha-blend vs overwrite, dispose-to-background) with the
 ``parse_gif_frames`` API shape, and :func:`decode_webp` returns the
 first composited canvas for animations (the thumbnail convention).
 
-Encoder writes a valid *simple-subset* VP8L stream (no transforms, no
-LZ77, no color cache; per-channel prefix codes — single/two-symbol
-"simple codes" where a channel is near-constant, else raw 8-bit
-lengths); :func:`encode_webp_anim` wraps per-frame VP8L payloads in
-VP8X/ANIM/ANMF.  They exist to produce deterministic test vectors and
-to give ``resize_media`` a same-format re-encode path; a production
-encoder would add histogram-driven codes, LZ77 and the spatial
-transforms.
+Encoder is a real compressor: histogram-driven canonical prefix codes
+(full code-length-code serialization, simple-code shortcuts), greedy
+LZ77, subtract-green, a global-mode predictor transform chosen by
+residual entropy, and a color-indexing candidate (delta-coded palette
++ sub-byte pixel bundling) — the smaller of the standard and palette
+encodings wins.  Output sizes land at or near libwebp's on structured
+content (measured in tests/test_webp_codec.py; every emitted stream
+is verified readable by libwebp where present).
+:func:`encode_webp_anim` wraps per-frame VP8L payloads in
+VP8X/ANIM/ANMF.  Remaining encoder headroom vs libwebp: color cache,
+cross-color, per-tile (meta-prefix) codes, cost-model backref
+selection.
 
 Scale posture: identical to jpeg_codec.py — the per-core throughput of
 a pure-Python decode is the documented ceiling (SCALE.md), and the
@@ -1069,15 +1073,25 @@ def encode_webp_lossless(
     use_lz77: bool = True,
     subtract_green: bool = True,
     predictor: bool = True,
+    palette: bool = True,
 ) -> bytes:
-    """Encode 8-bit RGB/RGBA pixels as a lossless WebP (VP8L) stream:
-    subtract-green transform, a global-mode predictor transform when
-    its residual entropy wins, greedy LZ77 backward references, and
-    histogram-driven canonical prefix codes (serialized through the
-    full code-length-code machinery, with simple-code shortcuts).
+    """Encode 8-bit RGB/RGBA pixels as a lossless WebP (VP8L) stream.
+
+    Two candidate encodings are produced and the smaller wins
+    (deterministically — ties keep the first):
+
+    - standard: subtract-green transform, a global-mode predictor
+      transform when its residual entropy wins, greedy LZ77, and
+      histogram-driven canonical prefix codes serialized through the
+      full code-length-code machinery;
+    - color-indexing (when <= 256 distinct colors): delta-coded
+      palette + green-channel indices with sub-byte pixel bundling
+      (8/4/2 indices per byte at <= 2/4/16 colors), then the same
+      LZ77 + prefix-code pipeline over the packed plane.
+
     Deterministic bytes for identical input.  The ``use_lz77`` /
-    ``subtract_green`` / ``predictor`` switches drop individual stages
-    for targeted decoder-path test vectors."""
+    ``subtract_green`` / ``predictor`` / ``palette`` switches drop
+    individual stages for targeted decoder-path test vectors."""
     if channels not in (3, 4):
         raise ValueError(f"channels must be 3 or 4, got {channels}")
     if len(pixels) != width * height * channels:
@@ -1091,23 +1105,58 @@ def encode_webp_lossless(
     has_alpha = channels == 4 and any(
         pixels[3 + 4 * i] != 255 for i in range(n)
     )
-    px = []
+    orig = []
     for i in range(n):
         o = i * channels
-        r, g, b = pixels[o], pixels[o + 1], pixels[o + 2]
         a = pixels[o + 3] if channels == 4 else 255
-        if subtract_green:
-            r = (r - g) & 0xFF
-            b = (b - g) & 0xFF
-        px.append((a << 24) | (r << 16) | (g << 8) | b)
+        orig.append(
+            (a << 24) | (pixels[o] << 16) | (pixels[o + 1] << 8)
+            | pixels[o + 2]
+        )
+    candidates = [
+        _encode_standard(
+            width, height, orig, has_alpha, use_lz77, subtract_green,
+            predictor,
+        )
+    ]
+    if palette:
+        distinct = sorted(set(orig))
+        if len(distinct) <= 256:
+            candidates.append(
+                _encode_palette(
+                    width, height, orig, distinct, has_alpha, use_lz77
+                )
+            )
+    payload = min(candidates, key=len)
+    size = len(payload)
+    chunk = b"VP8L" + struct.pack("<I", size) + payload
+    if size & 1:
+        chunk += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
 
-    mode = _pick_predictor(px, width, height) if predictor else None
-    bw = _Bw()
+
+def _vp8l_header(bw, width, height, has_alpha):
     bw.bits(0x2F, 8)
     bw.bits(width - 1, 14)
     bw.bits(height - 1, 14)
     bw.bits(1 if has_alpha else 0, 1)
     bw.bits(0, 3)  # version
+
+
+def _encode_standard(
+    width, height, orig, has_alpha, use_lz77, subtract_green, predictor
+):
+    px = orig
+    if subtract_green:
+        px = []
+        for p in orig:
+            g = (p >> 8) & 0xFF
+            r = (((p >> 16) & 0xFF) - g) & 0xFF
+            b = ((p & 0xFF) - g) & 0xFF
+            px.append((p & 0xFF00FF00) | (r << 16) | b)
+    mode = _pick_predictor(px, width, height) if predictor else None
+    bw = _Bw()
+    _vp8l_header(bw, width, height, has_alpha)
     if subtract_green:
         bw.bits(1, 1)  # a transform follows
         bw.bits(2, 2)  # SUBTRACT_GREEN (no parameters)
@@ -1126,12 +1175,55 @@ def encode_webp_lossless(
         px = _pred_residuals(px, width, height, mode)
     bw.bits(0, 1)  # end of transforms
     _write_coded_image(bw, px, True, use_lz77)
-    payload = bw.flush()
-    size = len(payload)
-    chunk = b"VP8L" + struct.pack("<I", size) + payload
-    if size & 1:
-        chunk += b"\x00"
-    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+    return bw.flush()
+
+
+def _encode_palette(width, height, orig, distinct, has_alpha, use_lz77):
+    """COLOR_INDEXING candidate: delta-coded palette, green-channel
+    indices, sub-byte bundling for small palettes."""
+    index = {argb: i for i, argb in enumerate(distinct)}
+    ncol = len(distinct)
+    if ncol <= 2:
+        width_bits = 3
+    elif ncol <= 4:
+        width_bits = 2
+    elif ncol <= 16:
+        width_bits = 1
+    else:
+        width_bits = 0
+    bw = _Bw()
+    _vp8l_header(bw, width, height, has_alpha)
+    bw.bits(1, 1)  # a transform follows
+    bw.bits(3, 2)  # COLOR_INDEXING
+    bw.bits(ncol - 1, 8)
+    deltas = []
+    prev = 0
+    for p in distinct:  # component-wise delta coding
+        deltas.append(
+            ((((p >> 24) - (prev >> 24)) & 0xFF) << 24)
+            | (((((p >> 16) & 0xFF) - ((prev >> 16) & 0xFF)) & 0xFF) << 16)
+            | (((((p >> 8) & 0xFF) - ((prev >> 8) & 0xFF)) & 0xFF) << 8)
+            | (((p & 0xFF) - (prev & 0xFF)) & 0xFF)
+        )
+        prev = p
+    _write_coded_image(bw, deltas, False, False)
+    bw.bits(0, 1)  # end of transforms
+    per = 1 << width_bits
+    sub_bits = 8 >> width_bits
+    packed_w = _subsample(width, width_bits)
+    packed = []
+    for y in range(height):
+        row = y * width
+        for bx in range(packed_w):
+            v = 0
+            for j in range(per):
+                x = bx * per + j
+                if x >= width:
+                    break
+                v |= index[orig[row + x]] << (j * sub_bits)
+            packed.append(0xFF000000 | (v << 8))
+    _write_coded_image(bw, packed, True, use_lz77)
+    return bw.flush()
 
 
 _PRED_BITS = 9  # 512-px blocks: the one-global-mode parameter image

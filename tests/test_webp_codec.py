@@ -190,6 +190,51 @@ def test_dist_map_shape():
             assert dx > 0
 
 
+def test_encoder_compression_classes():
+    """The encoder is a real compressor, not a raw-literal dump: pin
+    the size class per content type (generous bounds — a regression to
+    literal coding would blow them by an order of magnitude)."""
+    w, h = 40, 30
+    gradient = bytes(
+        ((x * 3 + y * 2) % 256, (x + y) % 256, (x * 2 + y * 5) % 256)[c]
+        for y in range(h) for x in range(w) for c in range(3)
+    )
+    assert len(encode_webp_lossless(w, h, 3, gradient)) < 200  # predictor
+    colors = [(10, 20, 30), (200, 100, 50), (0, 255, 128), (255, 255, 0)]
+    pal = bytes(
+        v for y in range(h) for x in range(w) for v in colors[(x + 2 * y) % 4]
+    )
+    assert len(encode_webp_lossless(w, h, 3, pal)) < 300  # palette/LZ77
+    flat = bytes([42, 17, 99]) * (w * h)
+    assert len(encode_webp_lossless(w, h, 3, flat)) < 100
+    # and the stage switches still emit decodable targeted vectors
+    for kw in (
+        {"use_lz77": False},
+        {"subtract_green": False},
+        {"predictor": False},
+        {"palette": False},
+        {"use_lz77": False, "subtract_green": False, "predictor": False,
+         "palette": False},
+    ):
+        data = encode_webp_lossless(w, h, 3, gradient, **kw)
+        assert decode_webp(data)[:3] == (w, h, 3)
+
+
+def test_palette_roundtrip_all_bundle_widths():
+    """Color-indexing candidate at every bundling width (8/4/2/1
+    indices per byte) incl. a non-multiple row tail."""
+    w, h = 13, 7
+    for ncol in (2, 4, 16, 17):
+        pal = [((i * 37) % 256, (i * 91) % 256, (i * 13) % 256)
+               for i in range(ncol)]
+        raw = bytes(
+            v for y in range(h) for x in range(w)
+            for v in pal[(x + 3 * y) % ncol]
+        )
+        data = encode_webp_lossless(w, h, 3, raw)
+        assert decode_webp(data) == (w, h, 3, raw)
+
+
 def test_corrupt_streams_raise_clean_errors_ours():
     rng = random.Random(7)
     data = encode_webp_lossless(16, 12, 3, _pattern(16, 12, 3))

@@ -3,17 +3,23 @@ columns with typed metadata.
 
 The Spark-side contract is real and tested — schemas, Arrow-batched
 Pandas UDFs over ``mapInPandas``, partition-preserving plumbing — and
-so is the decode for the stdlib-codec formats: PNG and baseline JPEG
-images, MJPEG-in-AVI video, and PCM16 WAV audio
+so is the decode for the stdlib-codec formats: PNG, baseline AND
+progressive JPEG, GIF (incl. animation), BMP, lossless WebP (incl.
+animation) images, MJPEG-in-AVI video, and PCM16 WAV audio
 decode/resize/frame-sample/feature-extract for REAL through
 ``functions/media_codecs.py`` + ``functions/jpeg_codec.py`` +
-``functions/avi_codec.py`` (no PIL/ffmpeg needed; cross-validated
-against PIL where installed, tests/test_multimodal_realdecode.py).
-Formats beyond that table raise ``NotImplementedError`` naming the
-codec they need (unsupported JPEG modes — progressive, arithmetic —
-and non-MJPEG AVI fourccs are named precisely); ``fake=True`` substitutes a deterministic md5-derived
-stand-in (what the oracle-checked queries use, since the driver's
-``documents`` corpus carries utf-8 payloads, not PNGs).
+``functions/gif_codec.py`` + ``functions/webp_codec.py`` +
+``functions/avi_codec.py`` (no PIL/ffmpeg needed; externally
+validated against JDK ImageIO and libwebp —
+tests/test_imageio_crossval.py, test_webp_codec.py,
+test_external_vectors.py).  Formats beyond that table raise
+``NotImplementedError`` naming the codec they need (arithmetic/12-bit
+JPEG, lossy-VP8 WebP, and non-MJPEG AVI fourccs are named precisely),
+and the ``decoder=``/``resizer=`` kwargs are the native-library swap
+seam (adapter in ``functions/native_codecs.py``); ``fake=True``
+substitutes a deterministic md5-derived stand-in (what the
+oracle-checked queries use, since the driver's ``documents`` corpus
+carries utf-8 payloads, not PNGs).
 
 At 100 TB: binary payloads ride in parquet as-is (no row-group
 bloat — keep ``parquet.block.size`` moderate), decode runs as a narrow
@@ -103,16 +109,18 @@ def _band_features(values, n_features: int) -> list[float]:
 
 def _real_decode(payload: bytes, n_features: int) -> tuple:
     """REAL decode for the stdlib-codec formats (functions/
-    media_codecs.py + functions/jpeg_codec.py): PNG and baseline JPEG
-    images -> (w, h, channels, band-luminance features); PCM16 WAV
-    audio -> (None, None, channels, band-energy features).  Other
-    formats raise ``NotImplementedError`` naming the codec they need —
-    the plumbing is format-agnostic, only the codec table is minimal.
-    MJPEG-in-AVI video decodes its FIRST frame (dims + features — the
-    thumbnail convention; per-frame work goes through
-    :func:`sample_frames`).  Unsupported JPEG *modes*
-    (progressive/arithmetic/12-bit) and non-MJPEG AVI codecs raise
-    from the codecs themselves, naming the exact mode/fourcc."""
+    media_codecs.py, jpeg_codec.py, gif_codec.py, webp_codec.py,
+    avi_codec.py): PNG / baseline+progressive JPEG / GIF / BMP /
+    lossless-WebP images -> (w, h, channels, band-luminance features);
+    PCM16 WAV audio -> (None, None, channels, band-energy features).
+    Other formats raise ``NotImplementedError`` naming the codec they
+    need — the plumbing is format-agnostic, only the codec table is
+    bounded.  MJPEG-in-AVI video (and animated GIF/WebP) decodes its
+    FIRST frame (dims + features — the thumbnail convention; per-frame
+    work goes through :func:`sample_frames`).  Unsupported JPEG/WebP
+    *modes* (arithmetic/12-bit JPEG, lossy VP8) and non-MJPEG AVI
+    codecs raise from the codecs themselves, naming the exact
+    mode/fourcc."""
     from parquet_converters_spark.functions.avi_codec import (
         is_avi,
         parse_avi_mjpeg,
@@ -187,11 +195,12 @@ def decode_media(
     """Decode/feature-extract media payloads via Arrow-batched
     ``mapInPandas``.
 
-    ``fake=False`` (default) REALLY decodes PNG images and PCM16 WAV
-    audio through the stdlib codecs (functions/media_codecs.py,
-    cross-validated against the JDK's javax.imageio —
-    tests/test_imageio_crossval.py / test_external_vectors.py); other
-    formats raise ``NotImplementedError`` naming the codec they need.
+    ``fake=False`` (default) REALLY decodes PNG/JPEG/GIF/BMP/lossless-
+    WebP images, MJPEG-AVI first frames, and PCM16 WAV audio through
+    the stdlib codecs (externally validated against the JDK's
+    javax.imageio and libwebp — tests/test_imageio_crossval.py,
+    test_webp_codec.py, test_external_vectors.py); other formats raise
+    ``NotImplementedError`` naming the codec they need.
     ``fake=True`` substitutes the deterministic md5 stub (what the
     oracle-checked queries use).  The Spark plumbing (schema, Arrow
     batching, partitioning) is identical on every path.

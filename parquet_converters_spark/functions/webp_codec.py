@@ -1155,27 +1155,37 @@ def _encode_standard(
             b = ((p & 0xFF) - g) & 0xFF
             px.append((p & 0xFF00FF00) | (r << 16) | b)
     mode = _pick_predictor(px, width, height) if predictor else None
-    bw = _Bw()
-    _vp8l_header(bw, width, height, has_alpha)
-    if subtract_green:
-        bw.bits(1, 1)  # a transform follows
-        bw.bits(2, 2)  # SUBTRACT_GREEN (no parameters)
     if mode is not None:
-        # predictor transform, one global mode: read AFTER subtract-
-        # green so its inverse runs FIRST on decode (coded plane =
-        # predict(subtract_green(pixels)))
-        bw.bits(1, 1)
-        bw.bits(0, 2)  # PREDICTOR
-        bw.bits(_PRED_BITS - 2, 3)
-        sw = _subsample(width, _PRED_BITS)
-        sh = _subsample(height, _PRED_BITS)
-        _write_coded_image(
-            bw, [0xFF000000 | (mode << 8)] * (sw * sh), False, False
-        )
         px = _pred_residuals(px, width, height, mode)
-    bw.bits(0, 1)  # end of transforms
-    _write_coded_image(bw, px, True, use_lz77)
-    return bw.flush()
+    tokens = _lz77_tokens(px) if use_lz77 else [("lit", p) for p in px]
+
+    def serialize(cache_bits):
+        bw = _Bw()
+        _vp8l_header(bw, width, height, has_alpha)
+        if subtract_green:
+            bw.bits(1, 1)  # a transform follows
+            bw.bits(2, 2)  # SUBTRACT_GREEN (no parameters)
+        if mode is not None:
+            # predictor transform, one global mode: read AFTER
+            # subtract-green so its inverse runs FIRST on decode
+            # (coded plane = predict(subtract_green(pixels)))
+            bw.bits(1, 1)
+            bw.bits(0, 2)  # PREDICTOR
+            bw.bits(_PRED_BITS - 2, 3)
+            sw = _subsample(width, _PRED_BITS)
+            sh = _subsample(height, _PRED_BITS)
+            _write_coded_image(
+                bw, [0xFF000000 | (mode << 8)] * (sw * sh), False, False
+            )
+        bw.bits(0, 1)  # end of transforms
+        _write_coded_image(bw, px, True, use_lz77, cache_bits, tokens)
+        return bw.flush()
+
+    # one LZ77 pass, two serializations: with and without a color
+    # cache — the smaller wins (ties keep cache-free)
+    best = serialize(0)
+    cand = serialize(8)
+    return cand if len(cand) < len(best) else best
 
 
 def _encode_palette(width, height, orig, distinct, has_alpha, use_lz77):
@@ -1284,15 +1294,25 @@ def _pick_predictor(px, w, h):
     return best_mode
 
 
-def _write_coded_image(bw, px, level0, use_lz77):
+def _write_coded_image(bw, px, level0, use_lz77, cache_bits=0, tokens=None):
     """One spatially-coded image: cache bit, meta bit (level 0 only),
-    the five prefix codes, then the token stream."""
-    bw.bits(0, 1)  # no color cache
+    the five prefix codes, then the token stream.  ``cache_bits`` > 0
+    turns literals whose value sits in the (direct-mapped, hash-keyed)
+    color cache into cache-reference symbols; ``tokens`` lets callers
+    reuse one LZ77 pass across candidate serializations."""
+    if cache_bits:
+        bw.bits(1, 1)
+        bw.bits(cache_bits, 4)
+    else:
+        bw.bits(0, 1)  # no color cache
     if level0:
         bw.bits(0, 1)  # no meta prefix codes
-    tokens = (
-        _lz77_tokens(px) if use_lz77 else [("lit", p) for p in px]
-    )
+    if tokens is None:
+        tokens = (
+            _lz77_tokens(px) if use_lz77 else [("lit", p) for p in px]
+        )
+    cache = [None] * (1 << cache_bits) if cache_bits else None
+    pos = 0  # position in px, advanced token by token (cache inserts)
     gf: dict[int, int] = {}
     rf: dict[int, int] = {}
     bf: dict[int, int] = {}
@@ -1302,6 +1322,15 @@ def _write_coded_image(bw, px, level0, use_lz77):
     for t in tokens:
         if t[0] == "lit":
             p = t[1]
+            if cache is not None:
+                slot = _cache_key(p, cache_bits)
+                if cache[slot] == p:
+                    sym = 280 + slot
+                    gf[sym] = gf.get(sym, 0) + 1
+                    emit.append(("cacheref", sym))
+                    pos += 1
+                    continue
+                cache[slot] = p
             g = (p >> 8) & 0xFF
             r = (p >> 16) & 0xFF
             b = p & 0xFF
@@ -1311,6 +1340,7 @@ def _write_coded_image(bw, px, level0, use_lz77):
             bf[b] = bf.get(b, 0) + 1
             af[a] = af.get(a, 0) + 1
             emit.append(("lit", g, r, b, a))
+            pos += 1
         else:
             _, length, dist = t
             ls, lev, len_ = _prefix_encode(length)
@@ -1318,8 +1348,13 @@ def _write_coded_image(bw, px, level0, use_lz77):
             gf[256 + ls] = gf.get(256 + ls, 0) + 1
             df[ds] = df.get(ds, 0) + 1
             emit.append(("copy", 256 + ls, lev, len_, ds, dev, den))
+            if cache is not None:
+                for i in range(pos, pos + length):
+                    cache[_cache_key(px[i], cache_bits)] = px[i]
+            pos += length
 
-    g_codes = _write_prefix_code(bw, _huffman_lengths(gf, 15), 256 + 24)
+    green_alphabet = 256 + 24 + ((1 << cache_bits) if cache_bits else 0)
+    g_codes = _write_prefix_code(bw, _huffman_lengths(gf, 15), green_alphabet)
     r_codes = _write_prefix_code(
         bw, _huffman_lengths(rf or {0: 1}, 15), 256
     )
@@ -1339,6 +1374,8 @@ def _write_coded_image(bw, px, level0, use_lz77):
             bw.huff(*r_codes[r])
             bw.huff(*b_codes[b])
             bw.huff(*a_codes[a])
+        elif op[0] == "cacheref":
+            bw.huff(*g_codes[op[1]])
         else:
             _, gsym, lev, len_, ds, dev, den = op
             bw.huff(*g_codes[gsym])

@@ -16,15 +16,14 @@ first composited canvas for animations (the thumbnail convention).
 Encoder is a real compressor: histogram-driven canonical prefix codes
 (full code-length-code serialization, simple-code shortcuts), greedy
 LZ77, subtract-green, a global-mode predictor transform chosen by
-residual entropy, and a color-indexing candidate (delta-coded palette
-+ sub-byte pixel bundling) — the smaller of the standard and palette
-encodings wins.  Output sizes land at or near libwebp's on structured
-content (measured in tests/test_webp_codec.py; every emitted stream
-is verified readable by libwebp where present).
+residual entropy, a color-cache candidate, and a color-indexing
+candidate (delta-coded palette + sub-byte pixel bundling) — the
+smallest candidate encoding wins.  Output sizes land at or near
+libwebp's on structured content (measured in tests/test_webp_codec.py;
+every emitted stream is verified readable by libwebp where present).
 :func:`encode_webp_anim` wraps per-frame VP8L payloads in
-VP8X/ANIM/ANMF.  Remaining encoder headroom vs libwebp: color cache,
-cross-color, per-tile (meta-prefix) codes, cost-model backref
-selection.
+VP8X/ANIM/ANMF.  Remaining encoder headroom vs libwebp: cross-color,
+per-tile (meta-prefix) codes, cost-model backref selection.
 
 Scale posture: identical to jpeg_codec.py — the per-core throughput of
 a pure-Python decode is the documented ceiling (SCALE.md), and the
@@ -732,9 +731,28 @@ def _decode_webp(data: bytes) -> tuple[int, int, int, bytes]:
         c, out = _argb_to_bytes(px)
         return w, h, c, out
     # animation: the thumbnail convention (same as decode_gif and the
-    # AVI first-frame path) \u2014 return the first composited canvas
-    w, h, frames = parse_webp_frames(data)
-    return w, h, 4, frames[0][1]
+    # AVI first-frame path) -- return the first composited canvas.
+    # Only frame 0 is decoded: the canvas starts transparent, and both
+    # blend modes over a fully transparent destination reduce to the
+    # frame's own pixels, so compositing is mere sub-rect placement.
+    cw, ch, _bg, frames = parsed["anim"]
+    if cw * ch > _MAX_PIXELS:
+        raise ValueError(f"WebP: implausible canvas {cw}x{ch}")
+    fx, fy, _dur, _blend, _dispose, body = frames[0]
+    fw, fh, px = _decode_vp8l_argb(body)
+    if fx + fw > cw or fy + fh > ch:
+        raise ValueError("WebP: frame exceeds canvas bounds")
+    canvas = [0] * (cw * ch)
+    for y in range(fh):
+        row = (fy + y) * cw + fx
+        src_row = y * fw
+        canvas[row : row + fw] = px[src_row : src_row + fw]
+    rgba = bytearray()
+    for p in canvas:
+        rgba += bytes(
+            ((p >> 16) & 0xFF, (p >> 8) & 0xFF, p & 0xFF, (p >> 24) & 0xFF)
+        )
+    return cw, ch, 4, bytes(rgba)
 
 
 def _blend_over(src: int, dst: int) -> int:

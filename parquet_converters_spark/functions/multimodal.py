@@ -214,28 +214,38 @@ def decode_media(
     every executor uses it in place of the stdlib table while schema,
     batching, and partitioning stay identical.  ``decoder`` takes
     precedence over ``fake``.
+
+    ``batch_size_hint`` caps the rows processed per yielded output
+    frame: incoming Arrow batches (sized by
+    ``spark.sql.execution.arrow.maxRecordsPerBatch``, which is a
+    session-wide knob) are re-sliced inside the UDF so at most that
+    many decoded rows are buffered at once — the per-task peak-memory
+    bound for large payloads.
     """
 
     def run(batches: Iterator["object"]) -> Iterator["object"]:
         import pandas as pd
 
+        decode = decoder or (_fake_decode if fake else _real_decode)
         for pdf in batches:
-            out = {
-                "media_id": [], "media_type": [], "width": [],
-                "height": [], "channels": [], "features": [],
-            }
-            decode = decoder or (_fake_decode if fake else _real_decode)
-            for mid, mtype, payload in zip(
-                pdf["media_id"], pdf["media_type"], pdf["payload"]
-            ):
-                w, h, c, feats = decode(bytes(payload), n_features)
-                out["media_id"].append(mid)
-                out["media_type"].append(mtype)
-                out["width"].append(w)
-                out["height"].append(h)
-                out["channels"].append(c)
-                out["features"].append(feats)
-            yield pd.DataFrame(out)
+            step = batch_size_hint or len(pdf)
+            for lo in range(0, len(pdf), max(step, 1)):
+                chunk = pdf.iloc[lo : lo + step]
+                out = {
+                    "media_id": [], "media_type": [], "width": [],
+                    "height": [], "channels": [], "features": [],
+                }
+                for mid, mtype, payload in zip(
+                    chunk["media_id"], chunk["media_type"], chunk["payload"]
+                ):
+                    w, h, c, feats = decode(bytes(payload), n_features)
+                    out["media_id"].append(mid)
+                    out["media_type"].append(mtype)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["channels"].append(c)
+                    out["features"].append(feats)
+                yield pd.DataFrame(out)
 
     return df.mapInPandas(run, schema=DECODED_SCHEMA)
 

@@ -177,6 +177,14 @@ def test_multimodal_decode_deterministic(spark, docs):
     with pytest.raises(Exception, match="NotImplementedError|real media decode"):
         decode_media(media, fake=False).collect()
 
+    # batch_size_hint re-slices inside the UDF (peak-memory bound for
+    # large payloads) without changing the result
+    d3 = {
+        r["media_id"]: r
+        for r in decode_media(media, fake=True, batch_size_hint=3).collect()
+    }
+    assert d3 == d1
+
 
 def test_streaming_matches_batch(spark, sf_dir, tmp_path):
     """The same windowed aggregation over a file stream converges to the

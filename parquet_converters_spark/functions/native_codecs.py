@@ -24,8 +24,16 @@ from __future__ import annotations
 
 _WEBP_SONAMES = ("libwebp.so.7", "libwebp.so", "libwebp.dylib", "webp")
 
+# Per-process handle cache: the dlopen + prototype setup happen once per
+# worker process, not once per decoded row.  The cache lives at module
+# level (never captured in a closure), so seam callables stay picklable.
+_LIBWEBP = None
+
 
 def _load_libwebp():
+    global _LIBWEBP
+    if _LIBWEBP is not None:
+        return _LIBWEBP
     import ctypes
     import ctypes.util
 
@@ -64,14 +72,16 @@ def _load_libwebp():
         ctypes.POINTER(ctypes.c_int),
     ]
     lib.WebPFree.argtypes = [ctypes.c_void_p]
+    _LIBWEBP = lib
     return lib
 
 
 def _libwebp_decode_rgba(data: bytes) -> tuple[int, int, bytes]:
     """Decode any (lossless OR lossy) WebP via libwebp -> (w, h, RGBA).
 
-    Loads the library on first use inside the worker process (the
-    callable must be picklable, so no handles are captured)."""
+    The library handle is memoized per worker process (module-level
+    cache in ``_load_libwebp``), so no handles are captured in
+    picklable closures and the dlopen cost is paid once, not per row."""
     import ctypes
 
     lib = _load_libwebp()

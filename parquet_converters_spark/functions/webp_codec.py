@@ -598,7 +598,9 @@ def _inv_color_index(px, w, h, width_bits, palette):
 def decode_webp(data: bytes) -> tuple[int, int, int, bytes]:
     """Decode a lossless WebP (VP8L, bare or VP8X-wrapped) to
     ``(width, height, channels, pixels)`` — channels 3 (all-opaque) or
-    4, row-major 8-bit bytes.  Lossy VP8 and animation raise
+    4, row-major 8-bit bytes.  Animated files decode to the first
+    composited canvas frame (the thumbnail convention — see
+    ``parse_webp_frames`` for full frame access); lossy VP8 raises
     ``NotImplementedError`` naming the feature; malformed input raises
     ``ValueError``."""
     try:

@@ -8701,14 +8701,7 @@ _R10_WINDOW = [
     "chi2_type_by_weekday",
 ]
 _check_window(_R10_WINDOW, "_R10_WINDOW", prior=_R09_WINDOW)
-# ACTIVE for round 10 (CORRECTNESS_r09 was 50/50 — no reds to promote;
-# the window is exactly the pre-wired rotation, including the first
-# driver grades of multimodal_decode/_frames/_resize since the real
-# JPEG/GIF decode paths landed in r9):
-QUERIES = {
-    **{name: QUERIES[name] for name in _R10_WINDOW},
-    **{name: v for name, v in QUERIES.items() if name not in _R10_WINDOW},
-}
+# (graded round 10: CORRECTNESS_r10 came back 50/50 green)
 
 # --- r11 grading rotation (PRE-WIRED, activate at round-11 start) ----------
 # Computed from the CORRECTNESS_r01-r09 union assuming r10 grades
@@ -8774,3 +8767,11 @@ _R11_WINDOW = [
     "cms_heavy_hitters",
 ]
 _check_window(_R11_WINDOW, "_R11_WINDOW", prior=_R10_WINDOW)
+# ACTIVE for round 11 (CORRECTNESS_r10 was 50/50 — no reds to promote;
+# the window is exactly the pre-wired rotation: the r07-latest
+# remainder — the oldest cohort in the driver record — plus the r08
+# alphabetical head):
+QUERIES = {
+    **{name: QUERIES[name] for name in _R11_WINDOW},
+    **{name: v for name, v in QUERIES.items() if name not in _R11_WINDOW},
+}

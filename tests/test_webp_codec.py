@@ -618,6 +618,19 @@ def webp_media_df(spark):
 
 
 @needs_libwebp
+def test_libwebp_handle_memoized():
+    """_load_libwebp dlopens + sets prototypes once per process and
+    returns the same handle afterwards (hot-path overhead regression:
+    the seam used to re-dlopen per decoded payload)."""
+    from parquet_converters_spark.functions import native_codecs as nc
+
+    nc._LIBWEBP = None  # force a fresh load
+    first = nc._load_libwebp()
+    assert nc._load_libwebp() is first
+    assert nc._LIBWEBP is first
+
+
+@needs_libwebp
 def test_libwebp_media_decoder_seam(spark, webp_media_df):
     """The shipped native adapter (functions/native_codecs.py) plugs
     into decode_media(decoder=...): lossless WebP decodes identically

@@ -160,6 +160,87 @@ HEADLINE = [
 ]
 
 
+def bench_webp_seam(spark, timed_runs: int) -> dict[str, float]:
+    """Time decode_media on WebP two ways over identical-size corpora:
+    the from-spec VP8L path on a 48-image lossless corpus, and the
+    libwebp native seam (decoder= kwarg) on a 96-image MIXED corpus
+    (the same 48 lossless + 48 libwebp-encoded lossy VP8 — the case
+    the from-spec table rejects by name).  Makes the native-swap
+    story a measured BENCH row, not SCALE.md prose (VERDICT r10 item
+    5).  Corpus build (driver-side encode) is untimed; sf-independent
+    by design — codec throughput, not scan throughput."""
+    from parquet_converters_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        decode_media,
+    )
+    from parquet_converters_spark.functions.webp_codec import (
+        encode_webp_lossless,
+    )
+
+    w, h = 128, 96
+
+    def pattern(seed: int) -> bytes:
+        return bytes(
+            (x * 7 + y * 13 + ch * 29 + seed) % 256
+            for y in range(h)
+            for x in range(w)
+            for ch in range(3)
+        )
+
+    lossless = [
+        (i, "image", bytearray(encode_webp_lossless(w, h, 3, pattern(i))),
+         "image/webp", 0)
+        for i in range(48)
+    ]
+    rows_mixed = list(lossless)
+    try:
+        from parquet_converters_spark.functions.native_codecs import (
+            libwebp_encode_lossy_rgb,
+            libwebp_media_decoder,
+        )
+
+        dec = libwebp_media_decoder()
+        rows_mixed += [
+            (1000 + i, "image",
+             bytearray(libwebp_encode_lossy_rgb(w, h, pattern(i))),
+             "image/webp", 0)
+            for i in range(48)
+        ]
+    except Exception:
+        dec = None  # no libwebp on this box: record the from-spec row only
+
+    df_ll = spark.createDataFrame(lossless, MEDIA_SCHEMA).repartition(32)
+    df_ll.persist().count()
+
+    def timed(fn):
+        fn()
+        best = float("inf")
+        for _ in range(timed_runs):
+            t0 = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 3)
+
+    out = {
+        "webp_decode_fromspec": timed(
+            lambda: decode_media(df_ll, n_features=4)
+            .write.format("noop").mode("overwrite").save()
+        )
+    }
+    if dec is not None:
+        df_mx = spark.createDataFrame(rows_mixed, MEDIA_SCHEMA).repartition(
+            32
+        )
+        df_mx.persist().count()
+        out["webp_decode_seam_mixed"] = timed(
+            lambda: decode_media(df_mx, n_features=4, decoder=dec)
+            .write.format("noop").mode("overwrite").save()
+        )
+        df_mx.unpersist()
+    df_ll.unpersist()
+    return out
+
+
 def bench_hdf5_parallel(spark, sf_dir: str, timed_runs: int) -> dict[str, float]:
     """Time the one genuinely custom physical component — the parallel
     SONATA HDF5 export (per-partition pwrite at precomputed offsets) and
@@ -260,6 +341,7 @@ def main() -> None:
         times[name] = round(best, 3)
 
     times.update(bench_hdf5_parallel(spark, sf_dir, timed_runs))
+    times.update(bench_webp_seam(spark, timed_runs))
 
     total = round(sum(times.values()), 3)
     # Two lines, detail FIRST: the full per-query line is 100+ entries
@@ -283,7 +365,13 @@ def main() -> None:
     )
     # the custom physical path must stay visible in the recorded tail
     # even when it is fast (the driver keeps only the LAST line)
-    slowest.update({k: v for k, v in times.items() if k.startswith("hdf5_")})
+    slowest.update(
+        {
+            k: v
+            for k, v in times.items()
+            if k.startswith(("hdf5_", "webp_decode"))
+        }
+    )
     print(
         json.dumps(
             {

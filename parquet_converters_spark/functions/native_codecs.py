@@ -72,8 +72,37 @@ def _load_libwebp():
         ctypes.POINTER(ctypes.c_int),
     ]
     lib.WebPFree.argtypes = [ctypes.c_void_p]
+    lib.WebPEncodeRGB.restype = ctypes.c_size_t
+    lib.WebPEncodeRGB.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_float,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+    ]
     _LIBWEBP = lib
     return lib
+
+
+def libwebp_encode_lossy_rgb(
+    w: int, h: int, pixels: bytes, quality: float = 75.0
+) -> bytes:
+    """Encode packed RGB to LOSSY (VP8) WebP via libwebp — corpus
+    generation for benches/tests; the from-spec encoder is VP8L-only."""
+    import ctypes
+
+    lib = _load_libwebp()
+    out = ctypes.POINTER(ctypes.c_uint8)()
+    size = lib.WebPEncodeRGB(
+        pixels, w, h, w * 3, ctypes.c_float(quality), ctypes.byref(out)
+    )
+    if not size:
+        raise ValueError("libwebp lossy encode failed")
+    try:
+        return ctypes.string_at(out, size)
+    finally:
+        lib.WebPFree(out)
 
 
 def _libwebp_decode_rgba(data: bytes) -> tuple[int, int, bytes]:

@@ -631,6 +631,24 @@ def test_libwebp_handle_memoized():
 
 
 @needs_libwebp
+def test_libwebp_encode_lossy_helper():
+    """native_codecs.libwebp_encode_lossy_rgb (bench corpus generator)
+    produces a real VP8 stream: seam-decodable, from-spec-rejected by
+    name."""
+    from parquet_converters_spark.functions.native_codecs import (
+        _libwebp_decode_rgba,
+        libwebp_encode_lossy_rgb,
+    )
+
+    data = libwebp_encode_lossy_rgb(16, 12, _pattern(16, 12, 3))
+    assert is_webp(data) and b"VP8 " in data[:16]
+    w, h, rgba = _libwebp_decode_rgba(data)
+    assert (w, h, len(rgba)) == (16, 12, 16 * 12 * 4)
+    with pytest.raises(NotImplementedError, match="lossy"):
+        decode_webp(data)
+
+
+@needs_libwebp
 def test_libwebp_media_decoder_seam(spark, webp_media_df):
     """The shipped native adapter (functions/native_codecs.py) plugs
     into decode_media(decoder=...): lossless WebP decodes identically

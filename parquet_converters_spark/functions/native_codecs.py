@@ -14,10 +14,11 @@ at module load, and a missing library raises a clean ``RuntimeError``
 from the factory (never at import time), so this module is safe to
 ship everywhere.
 
-Currently provided: libwebp (present in this container; also the only
-path for LOSSY WebP, which the from-spec codec intentionally rejects
-by name).  The same factory pattern is where a PIL-SIMD / libjpeg-turbo
-/ nvJPEG wrapper would live.
+Currently provided: libwebp (present in this container; since r11 the
+from-spec path decodes lossy VP8 too — vp8_codec.py — so the seam is
+pure throughput swap except for ALPH alpha-plane files, which only
+libwebp handles).  The same factory pattern is where a PIL-SIMD /
+libjpeg-turbo / nvJPEG wrapper would live.
 """
 
 from __future__ import annotations

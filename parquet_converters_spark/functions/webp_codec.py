@@ -1,4 +1,8 @@
-"""From-spec WebP-lossless (VP8L) codec — stdlib only.
+"""From-spec WebP (VP8L lossless + container) codec — stdlib only.
+
+Lossy VP8 stills and animation frames decode through the from-spec
+VP8 keyframe decoder (vp8_codec.py, RFC 6386); the only WebP feature
+rejected by name is the ALPH alpha-plane chunk (lossy + transparency).
 
 Decoder implements the complete WebP Lossless Bitstream Specification
 (RFC 9649 / the public VP8L spec): RIFF/VP8X container parsing, the
@@ -596,13 +600,14 @@ def _inv_color_index(px, w, h, width_bits, palette):
 
 
 def decode_webp(data: bytes) -> tuple[int, int, int, bytes]:
-    """Decode a lossless WebP (VP8L, bare or VP8X-wrapped) to
-    ``(width, height, channels, pixels)`` — channels 3 (all-opaque) or
+    """Decode a WebP still — lossless VP8L or lossy VP8 (from-spec
+    keyframe decoder, vp8_codec.py), bare or VP8X-wrapped — to
+    ``(width, height, channels, pixels)``: channels 3 (all-opaque) or
     4, row-major 8-bit bytes.  Animated files decode to the first
     composited canvas frame (the thumbnail convention — see
-    ``parse_webp_frames`` for full frame access); lossy VP8 raises
-    ``NotImplementedError`` naming the feature; malformed input raises
-    ``ValueError``."""
+    ``parse_webp_frames`` for full frame access); the ALPH alpha-plane
+    chunk raises ``NotImplementedError`` naming the feature; malformed
+    input raises ``ValueError``."""
     try:
         return _decode_webp(data)
     except (IndexError, struct.error) as e:
@@ -620,18 +625,20 @@ def _iter_chunks(data: bytes, pos: int = 12):
         pos += 8 + size + (size & 1)  # chunks are 2-byte aligned
 
 
-_LOSSY_NIE = (
-    "WebP: lossy VP8 decoding is not implemented \u2014 only lossless VP8L "
-    "(swap in libwebp via the decode_media decoder= seam for lossy "
-    "files; functions/native_codecs.py ships the adapter)"
+_ALPH_NIE = (
+    "WebP: the ALPH alpha-plane chunk (lossy VP8 with transparency) is "
+    "not implemented \u2014 lossless VP8L and opaque lossy VP8 decode "
+    "from spec (swap in libwebp via the decode_media decoder= seam for "
+    "alpha-plane files; functions/native_codecs.py ships the adapter)"
 )
 
 
 def _parse_container(data: bytes) -> dict:
-    """RIFF walk: returns ``{"vp8l": body}`` for a still image or
-    ``{"anim": (canvas_w, canvas_h, bg_argb, frames)}`` for an animated
-    file, where frames are ``(x, y, duration_ms, blend, dispose,
-    vp8l_body)`` tuples (offsets already in pixels)."""
+    """RIFF walk: returns ``{"vp8l": body}`` / ``{"vp8": body}`` for a
+    still image or ``{"anim": (canvas_w, canvas_h, bg_argb, frames)}``
+    for an animated file, where frames are ``(x, y, duration_ms,
+    blend, dispose, kind, body)`` tuples (offsets already in pixels,
+    kind "vp8l" or "vp8")."""
     if not is_webp(data):
         raise ValueError("WebP: bad RIFF/WEBP signature")
     canvas = None
@@ -642,7 +649,9 @@ def _parse_container(data: bytes) -> dict:
         if fourcc == b"VP8L":
             return {"vp8l": body}
         if fourcc == b"VP8 ":
-            raise NotImplementedError(_LOSSY_NIE)
+            return {"vp8": body}
+        if fourcc == b"ALPH":
+            raise NotImplementedError(_ALPH_NIE)
         if fourcc == b"VP8X":
             if len(body) < 10:
                 raise ValueError("WebP: short VP8X chunk")
@@ -667,20 +676,44 @@ def _parse_container(data: bytes) -> dict:
             sub = None
             for sfc, sbody in _iter_chunks(body, 16):
                 if sfc == b"VP8L":
-                    sub = sbody
+                    sub = ("vp8l", sbody)
                     break
                 if sfc == b"VP8 ":
-                    raise NotImplementedError(_LOSSY_NIE)
+                    sub = ("vp8", sbody)
+                    break
+                if sfc == b"ALPH":
+                    raise NotImplementedError(_ALPH_NIE)
             if sub is None:
-                raise ValueError("WebP: ANMF frame without VP8L data")
-            frames.append((fx, fy, dur, blend, dispose, sub))
+                raise ValueError("WebP: ANMF frame without image data")
+            frames.append((fx, fy, dur, blend, dispose) + sub)
     if animated and frames:
         if canvas is None:
             raise ValueError("WebP: animation without VP8X canvas size")
         return {"anim": (canvas[0], canvas[1], bg, frames)}
     if animated:
         raise ValueError("WebP: animated file with no ANMF frames")
-    raise ValueError("WebP: no VP8L chunk found")
+    raise ValueError("WebP: no VP8L or VP8 chunk found")
+
+
+def _decode_frame_argb(kind: str, body: bytes) -> tuple[int, int, list[int]]:
+    """One still/frame payload -> (w, h, ARGB uint32 list).  Lossy VP8
+    frames are always fully opaque (transparency would ride a separate
+    ALPH chunk, rejected by name above)."""
+    if kind == "vp8l":
+        return _decode_vp8l_argb(body)
+    from .vp8_codec import decode_vp8
+
+    w, h, _c, rgb = decode_vp8(body)
+    if w * h > _MAX_PIXELS:
+        raise ValueError(f"WebP: implausible dimensions {w}x{h}")
+    px = [
+        0xFF000000
+        | (rgb[i] << 16)
+        | (rgb[i + 1] << 8)
+        | rgb[i + 2]
+        for i in range(0, len(rgb), 3)
+    ]
+    return w, h, px
 
 
 def _decode_vp8l_argb(body: bytes) -> tuple[int, int, list[int]]:
@@ -732,6 +765,13 @@ def _decode_webp(data: bytes) -> tuple[int, int, int, bytes]:
         w, h, px = _decode_vp8l_argb(parsed["vp8l"])
         c, out = _argb_to_bytes(px)
         return w, h, c, out
+    if "vp8" in parsed:
+        from .vp8_codec import decode_vp8
+
+        w, h, c, rgb = decode_vp8(parsed["vp8"])
+        if w * h > _MAX_PIXELS:
+            raise ValueError(f"WebP: implausible dimensions {w}x{h}")
+        return w, h, c, rgb
     # animation: the thumbnail convention (same as decode_gif and the
     # AVI first-frame path) -- return the first composited canvas.
     # Only frame 0 is decoded: the canvas starts transparent, and both
@@ -740,8 +780,8 @@ def _decode_webp(data: bytes) -> tuple[int, int, int, bytes]:
     cw, ch, _bg, frames = parsed["anim"]
     if cw * ch > _MAX_PIXELS:
         raise ValueError(f"WebP: implausible canvas {cw}x{ch}")
-    fx, fy, _dur, _blend, _dispose, body = frames[0]
-    fw, fh, px = _decode_vp8l_argb(body)
+    fx, fy, _dur, _blend, _dispose, kind, body = frames[0]
+    fw, fh, px = _decode_frame_argb(kind, body)
     if fx + fw > cw or fy + fh > ch:
         raise ValueError("WebP: frame exceeds canvas bounds")
     canvas = [0] * (cw * ch)
@@ -813,8 +853,8 @@ def _parse_webp_frames(data: bytes):
         raise ValueError(f"WebP: implausible canvas {cw}x{ch}")
     canvas = [0] * (cw * ch)  # transparent black start (spec)
     out = []
-    for fx, fy, dur, blend, dispose, body in frames:
-        fw, fh, px = _decode_vp8l_argb(body)
+    for fx, fy, dur, blend, dispose, kind, body in frames:
+        fw, fh, px = _decode_frame_argb(kind, body)
         if fx + fw > cw or fy + fh > ch:
             raise ValueError("WebP: frame exceeds canvas bounds")
         for y in range(fh):

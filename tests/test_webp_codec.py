@@ -570,11 +570,18 @@ def test_libwebp_reads_our_anim_container():
 
 
 @needs_libwebp
-def test_lossy_vp8_named():
+def test_lossy_vp8_decodes_from_spec():
+    """Lossy VP8 stills decode from spec (r11, vp8_codec.py) —
+    byte-identical to libwebp's own RGB output (the deep oracle suite
+    lives in tests/test_vp8_codec.py)."""
     data = lw_encode_lossy_rgb(16, 12, _pattern(16, 12, 3))
     assert is_webp(data) and b"VP8 " in data[:16]
-    with pytest.raises(NotImplementedError, match="lossy"):
-        decode_webp(data)
+    w, h, c, rgb = decode_webp(data)
+    assert (w, h, c) == (16, 12, 3)
+    _W, _H, ref = lw_decode_rgba(data)
+    assert bytes(rgb) == bytes(
+        b for i in range(0, len(ref), 4) for b in ref[i : i + 3]
+    )
 
 
 @needs_libwebp
@@ -644,15 +651,13 @@ def test_libwebp_encode_lossy_helper():
     assert is_webp(data) and b"VP8 " in data[:16]
     w, h, rgba = _libwebp_decode_rgba(data)
     assert (w, h, len(rgba)) == (16, 12, 16 * 12 * 4)
-    with pytest.raises(NotImplementedError, match="lossy"):
-        decode_webp(data)
 
 
 @needs_libwebp
 def test_libwebp_media_decoder_seam(spark, webp_media_df):
     """The shipped native adapter (functions/native_codecs.py) plugs
     into decode_media(decoder=...): lossless WebP decodes identically
-    to the from-spec path, and LOSSY WebP — which the from-spec table
+    to the from-spec path, and LOSSY WebP — which until r11 the from-spec table
     rejects by name — becomes decodable."""
     from parquet_converters_spark.functions.multimodal import (
         MEDIA_SCHEMA,
@@ -668,17 +673,19 @@ def test_libwebp_media_decoder_seam(spark, webp_media_df):
     r = decode_media(df, n_features=4, decoder=dec).collect()[0]
     assert (r["width"], r["height"], r["channels"]) == (w, h, 3)
     assert r["features"] == pytest.approx(_band_features(px, 4), abs=1e-6)
-    # lossy VP8: from-spec path raises by name, the native seam decodes
+    # lossy VP8: the native seam and the from-spec path (vp8_codec,
+    # r11) must agree exactly — both are byte-level libwebp-compatible
     lossy = lw_encode_lossy_rgb(16, 12, _pattern(16, 12, 3))
     ldf = spark.createDataFrame(
         [(501, "image", bytearray(lossy), "image/webp", len(lossy))],
         MEDIA_SCHEMA,
     )
-    with pytest.raises(Exception, match="lossy"):
-        decode_media(ldf, n_features=4).collect()
     r2 = decode_media(ldf, n_features=4, decoder=dec).collect()[0]
     assert (r2["width"], r2["height"]) == (16, 12)
     assert len(r2["features"]) == 4
+    r3 = decode_media(ldf, n_features=4).collect()[0]
+    assert (r3["width"], r3["height"]) == (16, 12)
+    assert r3["features"] == pytest.approx(r2["features"], abs=1e-6)
 
 
 def test_decode_media_real_path_webp(spark, webp_media_df):

@@ -113,3 +113,64 @@ def test_fixture_streams_are_what_they_claim():
     gif = bytes.fromhex(FIXTURES["gif_interlaced"]["data_hex"])
     desc = gif.find(b"\x2c")
     assert desc >= 0 and gif[desc + 9] & 0x40
+
+
+# --------------------------------------------------------------------------
+# resize-kernel external vectors (r11): JDK AffineTransformOp NN
+# --------------------------------------------------------------------------
+
+
+def _resize_pattern(w, h):
+    return bytes(
+        (x * 17 + y * 31 + c * 53) % 256
+        for y in range(h)
+        for x in range(w)
+        for c in range(3)
+    )
+
+
+def test_resize_nearest_vs_jdk_vectors():
+    """media_codecs.resize_nearest vs embedded JDK
+    AffineTransformOp(TYPE_NEAREST_NEIGHBOR) outputs
+    (tests/resize_fixtures.py, zero deps at test time).
+
+    Identity / upscale / integer-ratio downscales must be
+    byte-identical.  On non-integer downscales the two conventions may
+    pick opposite sides of an exact half-pixel rounding tie, so every
+    differing sample must still be a valid nearest neighbor: the JDK's
+    pick must equal OUR kernel's pick from one of the two source
+    columns/rows adjacent to the ideal center."""
+    from resize_fixtures import VECTORS
+
+    from parquet_converters_spark.functions.media_codecs import (
+        resize_nearest,
+    )
+
+    exact = 0
+    for (w, h, nw, nh), jdk in VECTORS:
+        px = _resize_pattern(w, h)
+        ours = resize_nearest(w, h, 3, px, nw, nh)
+        assert len(ours) == len(jdk)
+        if ours == jdk:
+            exact += 1
+            continue
+        # tie analysis: both picks must be source pixels whose center
+        # distance to the ideal sample point is within half a source
+        # pixel of optimal
+        for y in range(nh):
+            for x in range(nw):
+                i = (y * nw + x) * 3
+                if ours[i : i + 3] == jdk[i : i + 3]:
+                    continue
+                cx = (x + 0.5) * w / nw - 0.5
+                cy = (y + 0.5) * h / nh - 0.5
+                candidates = {
+                    px[(sy * w + sx) * 3 : (sy * w + sx) * 3 + 3]
+                    for sx in (int(cx), min(int(cx) + 1, w - 1))
+                    for sy in (int(cy), min(int(cy) + 1, h - 1))
+                }
+                assert jdk[i : i + 3] in candidates, (w, h, nw, nh, x, y)
+                assert ours[i : i + 3] in candidates, (w, h, nw, nh, x, y)
+    # the agreeing shapes must stay byte-exact (regression guard on
+    # the measured convention overlap)
+    assert exact >= 4

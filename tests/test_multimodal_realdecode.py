@@ -690,6 +690,39 @@ def test_resize_media_real_path_jpeg(spark, jpeg_media_df):
         assert decode_jpeg(got[200 + i])[:3] == (8, 6, c0)
 
 
+def test_jdk_imageio_seam_adapter(spark, jpeg_media_df):
+    """The shipped JDK ImageIO adapter (functions/native_codecs.py,
+    r11) plugs into decode_media(decoder=...): JPEG/GIF route through
+    a persistent javax.imageio bridge subprocess on each executor,
+    everything else through the from-spec table.  Dims must match the
+    from-spec path exactly; JPEG features within the documented
+    decoders-agree IDCT tolerance."""
+    import shutil
+
+    if not (shutil.which("javac") and shutil.which("java")):
+        pytest.skip("JDK (java+javac) not on PATH")
+    from parquet_converters_spark.functions.multimodal import decode_media
+    from parquet_converters_spark.functions.native_codecs import (
+        jdk_imageio_media_decoder,
+    )
+
+    df, specs = jpeg_media_df
+    dec = jdk_imageio_media_decoder()
+    got = decode_media(df, n_features=4, decoder=dec)
+    assert got.schema == decode_media(df, n_features=4).schema
+    by_id = {r["media_id"]: r for r in got.collect()}
+    ref = {r["media_id"]: r for r in decode_media(df, n_features=4).collect()}
+    assert by_id.keys() == ref.keys() and len(by_id) == 3
+    for mid, r in by_id.items():
+        assert (r["width"], r["height"], r["channels"]) == (
+            ref[mid]["width"], ref[mid]["height"], ref[mid]["channels"]
+        )
+        # ±2/sample IDCT slack -> generous feature-mean tolerance
+        assert r["features"] == pytest.approx(
+            ref[mid]["features"], abs=2.5
+        )
+
+
 def test_native_codec_swap_seam(spark, jpeg_media_df):
     """The SCALE.md-claimed one-function native-codec seam is a real,
     supported parameter: injecting a stub 'native' decoder/resizer

@@ -8775,3 +8775,67 @@ QUERIES = {
     **{name: QUERIES[name] for name in _R11_WINDOW},
     **{name: v for name, v in QUERIES.items() if name not in _R11_WINDOW},
 }
+
+# --- r12 grading rotation (PRE-WIRED, activate at round-12 start) ----------
+# Computed from the CORRECTNESS_r01-r10 union assuming r11 grades
+# _R11_WINDOW: the next-oldest cohort is the 39 remaining r08-latest
+# rows, then the 11 alphabetically-first r09-latest rows
+# (ann_recall_at5..json_extract_agg).  Round 12's builder promotes any
+# red rows from CORRECTNESS_r11 to the front (dropping tail entries to
+# keep 50), then replaces the _R11_WINDOW reorder above with the same
+# two lines over _R12_WINDOW.
+_R12_WINDOW = [
+    # (a) r08-latest remainder (39)
+    "corpus_prep_funnel",
+    "count_sum",
+    "decontaminate_train",
+    "dedup_ngram_jaccard",
+    "expectations_report",
+    "graph_pagerank",
+    "hll_distinct_registers",
+    "interval_merge",
+    "lang_confusion_matrix",
+    "mmr_diverse_topk",
+    "moving_avg_7d",
+    "numeric_profile_corr",
+    "pmi_top_pairs",
+    "prefix_sum",
+    "psi_value_drift",
+    "q1_pricing_summary",
+    "quality_vs_dup_calibration",
+    "revenue_share_in_region",
+    "run_length",
+    "run_length_scan",
+    "sample_split_counts",
+    "semantic_dedup_census",
+    "session_bounce_stats",
+    "sim_cosine_topk",
+    "sim_ivf_ann",
+    "sim_lsh_ann",
+    "snapshot_diff_orders",
+    "source_terms_ctfidf",
+    "text_chunking",
+    "text_pii_redact",
+    "text_pii_scan",
+    "text_quality_funnel",
+    "text_repetition",
+    "text_top_bigrams",
+    "top_ngram_coverage",
+    "unpivot_metrics",
+    "value_histogram",
+    "value_trend_by_type",
+    "zorder_layout_plan",
+    # (b) r09-latest, alphabetical head (11)
+    "ann_recall_at5",
+    "asof_join_next_purchase",
+    "containment_pairs",
+    "contamination_matrix",
+    "cube_pricing",
+    "dedup_components_star",
+    "dedup_fuzzy_pairs",
+    "dedup_incremental_bloom",
+    "global_max",
+    "inter_event_gaps",
+    "json_extract_agg",
+]
+_check_window(_R12_WINDOW, "_R12_WINDOW", prior=_R11_WINDOW)

@@ -118,7 +118,7 @@ def _real_decode(payload: bytes, n_features: int) -> tuple:
     bounded.  MJPEG-in-AVI video (and animated GIF/WebP) decodes its
     FIRST frame (dims + features — the thumbnail convention; per-frame
     work goes through :func:`sample_frames`).  Unsupported JPEG/WebP
-    *modes* (arithmetic/12-bit JPEG, WebP ALPH alpha-plane) and non-MJPEG AVI
+    *modes* (arithmetic/12-bit JPEG) and non-MJPEG AVI
     codecs raise from the codecs themselves, naming the exact
     mode/fourcc."""
     from parquet_converters_spark.functions.avi_codec import (

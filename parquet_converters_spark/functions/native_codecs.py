@@ -15,10 +15,11 @@ from the factory (never at import time), so this module is safe to
 ship everywhere.
 
 Currently provided: libwebp (present in this container; since r11 the
-from-spec path decodes lossy VP8 too — vp8_codec.py — so the seam is
-pure throughput swap except for ALPH alpha-plane files, which only
-libwebp handles).  The same factory pattern is where a PIL-SIMD /
-libjpeg-turbo / nvJPEG wrapper would live.
+from-spec path decodes lossy VP8 and ALPH alpha planes too —
+vp8_codec.py / webp_codec.py — so the WebP seam is now a pure
+throughput swap) and the JDK ImageIO bridge below.  The same factory
+pattern is where a PIL-SIMD / libjpeg-turbo / nvJPEG wrapper would
+live.
 """
 
 from __future__ import annotations

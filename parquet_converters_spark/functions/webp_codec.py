@@ -1,8 +1,10 @@
 """From-spec WebP (VP8L lossless + container) codec — stdlib only.
 
 Lossy VP8 stills and animation frames decode through the from-spec
-VP8 keyframe decoder (vp8_codec.py, RFC 6386); the only WebP feature
-rejected by name is the ALPH alpha-plane chunk (lossy + transparency).
+VP8 keyframe decoder (vp8_codec.py, RFC 6386), including ALPH
+alpha-plane chunks (raw or VP8L-coded, all four row filters) — the
+complete WebP still/animation decode surface, with nothing rejected
+by name except the inter frames WebP files cannot contain.
 
 Decoder implements the complete WebP Lossless Bitstream Specification
 (RFC 9649 / the public VP8L spec): RIFF/VP8X container parsing, the
@@ -601,13 +603,12 @@ def _inv_color_index(px, w, h, width_bits, palette):
 
 def decode_webp(data: bytes) -> tuple[int, int, int, bytes]:
     """Decode a WebP still — lossless VP8L or lossy VP8 (from-spec
-    keyframe decoder, vp8_codec.py), bare or VP8X-wrapped — to
-    ``(width, height, channels, pixels)``: channels 3 (all-opaque) or
-    4, row-major 8-bit bytes.  Animated files decode to the first
-    composited canvas frame (the thumbnail convention — see
-    ``parse_webp_frames`` for full frame access); the ALPH alpha-plane
-    chunk raises ``NotImplementedError`` naming the feature; malformed
-    input raises ``ValueError``."""
+    keyframe decoder, vp8_codec.py), bare or VP8X-wrapped, with or
+    without an ALPH alpha plane — to ``(width, height, channels,
+    pixels)``: channels 3 (all-opaque) or 4, row-major 8-bit bytes.
+    Animated files decode to the first composited canvas frame (the
+    thumbnail convention — see ``parse_webp_frames`` for full frame
+    access); malformed input raises ``ValueError``."""
     try:
         return _decode_webp(data)
     except (IndexError, struct.error) as e:
@@ -625,33 +626,27 @@ def _iter_chunks(data: bytes, pos: int = 12):
         pos += 8 + size + (size & 1)  # chunks are 2-byte aligned
 
 
-_ALPH_NIE = (
-    "WebP: the ALPH alpha-plane chunk (lossy VP8 with transparency) is "
-    "not implemented \u2014 lossless VP8L and opaque lossy VP8 decode "
-    "from spec (swap in libwebp via the decode_media decoder= seam for "
-    "alpha-plane files; functions/native_codecs.py ships the adapter)"
-)
-
-
 def _parse_container(data: bytes) -> dict:
-    """RIFF walk: returns ``{"vp8l": body}`` / ``{"vp8": body}`` for a
-    still image or ``{"anim": (canvas_w, canvas_h, bg_argb, frames)}``
-    for an animated file, where frames are ``(x, y, duration_ms,
-    blend, dispose, kind, body)`` tuples (offsets already in pixels,
-    kind "vp8l" or "vp8")."""
+    """RIFF walk: returns ``{"vp8l": body}`` / ``{"vp8": body,
+    "alph": bytes|None}`` for a still image or ``{"anim": (canvas_w,
+    canvas_h, bg_argb, frames)}`` for an animated file, where frames
+    are ``(x, y, duration_ms, blend, dispose, kind, body, alph)``
+    tuples (offsets already in pixels, kind "vp8l" or "vp8")."""
     if not is_webp(data):
         raise ValueError("WebP: bad RIFF/WEBP signature")
     canvas = None
     bg = 0
     frames = []
     animated = False
+    alph = None  # an ALPH chunk precedes its VP8 chunk (container spec)
     for fourcc, body in _iter_chunks(data):
         if fourcc == b"VP8L":
             return {"vp8l": body}
         if fourcc == b"VP8 ":
-            return {"vp8": body}
+            return {"vp8": body, "alph": alph}
         if fourcc == b"ALPH":
-            raise NotImplementedError(_ALPH_NIE)
+            alph = body
+            continue
         if fourcc == b"VP8X":
             if len(body) < 10:
                 raise ValueError("WebP: short VP8X chunk")
@@ -674,6 +669,7 @@ def _parse_container(data: bytes) -> dict:
             blend = not (flags & 0x02)  # bit1 set = do NOT blend
             dispose = bool(flags & 0x01)  # bit0 = dispose to background
             sub = None
+            frame_alph = None
             for sfc, sbody in _iter_chunks(body, 16):
                 if sfc == b"VP8L":
                     sub = ("vp8l", sbody)
@@ -682,10 +678,10 @@ def _parse_container(data: bytes) -> dict:
                     sub = ("vp8", sbody)
                     break
                 if sfc == b"ALPH":
-                    raise NotImplementedError(_ALPH_NIE)
+                    frame_alph = sbody
             if sub is None:
                 raise ValueError("WebP: ANMF frame without image data")
-            frames.append((fx, fy, dur, blend, dispose) + sub)
+            frames.append((fx, fy, dur, blend, dispose) + sub + (frame_alph,))
     if animated and frames:
         if canvas is None:
             raise ValueError("WebP: animation without VP8X canvas size")
@@ -695,10 +691,72 @@ def _parse_container(data: bytes) -> dict:
     raise ValueError("WebP: no VP8L or VP8 chunk found")
 
 
-def _decode_frame_argb(kind: str, body: bytes) -> tuple[int, int, list[int]]:
+def _decode_alpha_plane(body: bytes, w: int, h: int) -> bytes:
+    """ALPH chunk -> w*h alpha samples (container spec §Alpha).
+
+    Header byte: compression in bits 0-1 (0 raw / 1 VP8L-coded, the
+    alpha riding the green channel of a headerless VP8L image stream),
+    row filter in bits 2-3 (none/horizontal/vertical/gradient,
+    inverted after decompression), preprocessing in bits 4-5 (an
+    encoder-side level quantization — nothing to invert)."""
+    if not body:
+        raise ValueError("WebP: empty ALPH chunk")
+    method = body[0] & 0x03
+    filt = (body[0] >> 2) & 0x03
+    if (body[0] >> 6) & 0x03:
+        raise ValueError("WebP: reserved ALPH header bits set")
+    if method == 0:
+        if len(body) < 1 + w * h:
+            raise ValueError("WebP: short raw ALPH chunk")
+        a = bytearray(body[1 : 1 + w * h])
+    elif method == 1:
+        br = _Br(body, 1)
+        transforms: list = []
+        px = _decode_image_stream(br, w, h, True, transforms)
+        for ttype, params, tw in reversed(transforms):
+            if ttype == "color_index":
+                px = _inv_color_index(px, tw, h, *params)
+            elif ttype == "subtract_green":
+                _inv_subtract_green(px)
+            elif ttype == "cross_color":
+                _inv_cross_color(px, tw, h, *params)
+            else:
+                _inv_predictor(px, tw, h, *params)
+        if len(px) != w * h:
+            raise ValueError("WebP: ALPH decoded size mismatch")
+        a = bytearray((p >> 8) & 0xFF for p in px)
+    else:
+        raise ValueError(f"WebP: unknown ALPH compression method {method}")
+    if filt:
+        for y in range(h):
+            row = y * w
+            if y == 0:
+                pred = 0
+                for x in range(w):  # first row always unfilters left
+                    pred = a[row + x] = (pred + a[row + x]) & 0xFF
+            elif filt == 1:  # horizontal: left, seeded by above[0]
+                pred = a[row - w]
+                for x in range(w):
+                    pred = a[row + x] = (pred + a[row + x]) & 0xFF
+            elif filt == 2:  # vertical: above
+                for x in range(w):
+                    a[row + x] = (a[row + x] + a[row - w + x]) & 0xFF
+            else:  # gradient: clip(left + above - above_left)
+                for x in range(w):
+                    left = a[row + x - 1] if x else a[row - w]
+                    top = a[row - w + x]
+                    tl = a[row - w + x - 1] if x else a[row - w]
+                    g = left + top - tl
+                    g = 0 if g < 0 else (255 if g > 255 else g)
+                    a[row + x] = (a[row + x] + g) & 0xFF
+    return bytes(a)
+
+
+def _decode_frame_argb(
+    kind: str, body: bytes, alph: bytes | None = None
+) -> tuple[int, int, list[int]]:
     """One still/frame payload -> (w, h, ARGB uint32 list).  Lossy VP8
-    frames are always fully opaque (transparency would ride a separate
-    ALPH chunk, rejected by name above)."""
+    frames are opaque unless an ALPH chunk supplies the alpha plane."""
     if kind == "vp8l":
         return _decode_vp8l_argb(body)
     from .vp8_codec import decode_vp8
@@ -706,13 +764,23 @@ def _decode_frame_argb(kind: str, body: bytes) -> tuple[int, int, list[int]]:
     w, h, _c, rgb = decode_vp8(body)
     if w * h > _MAX_PIXELS:
         raise ValueError(f"WebP: implausible dimensions {w}x{h}")
-    px = [
-        0xFF000000
-        | (rgb[i] << 16)
-        | (rgb[i + 1] << 8)
-        | rgb[i + 2]
-        for i in range(0, len(rgb), 3)
-    ]
+    if alph is not None:
+        av = _decode_alpha_plane(alph, w, h)
+        px = [
+            (av[p] << 24)
+            | (rgb[3 * p] << 16)
+            | (rgb[3 * p + 1] << 8)
+            | rgb[3 * p + 2]
+            for p in range(w * h)
+        ]
+    else:
+        px = [
+            0xFF000000
+            | (rgb[i] << 16)
+            | (rgb[i + 1] << 8)
+            | rgb[i + 2]
+            for i in range(0, len(rgb), 3)
+        ]
     return w, h, px
 
 
@@ -766,12 +834,16 @@ def _decode_webp(data: bytes) -> tuple[int, int, int, bytes]:
         c, out = _argb_to_bytes(px)
         return w, h, c, out
     if "vp8" in parsed:
-        from .vp8_codec import decode_vp8
+        if parsed["alph"] is None:
+            from .vp8_codec import decode_vp8
 
-        w, h, c, rgb = decode_vp8(parsed["vp8"])
-        if w * h > _MAX_PIXELS:
-            raise ValueError(f"WebP: implausible dimensions {w}x{h}")
-        return w, h, c, rgb
+            w, h, c, rgb = decode_vp8(parsed["vp8"])
+            if w * h > _MAX_PIXELS:
+                raise ValueError(f"WebP: implausible dimensions {w}x{h}")
+            return w, h, c, rgb
+        w, h, px = _decode_frame_argb("vp8", parsed["vp8"], parsed["alph"])
+        c, out = _argb_to_bytes(px)
+        return w, h, c, out
     # animation: the thumbnail convention (same as decode_gif and the
     # AVI first-frame path) -- return the first composited canvas.
     # Only frame 0 is decoded: the canvas starts transparent, and both
@@ -780,8 +852,8 @@ def _decode_webp(data: bytes) -> tuple[int, int, int, bytes]:
     cw, ch, _bg, frames = parsed["anim"]
     if cw * ch > _MAX_PIXELS:
         raise ValueError(f"WebP: implausible canvas {cw}x{ch}")
-    fx, fy, _dur, _blend, _dispose, kind, body = frames[0]
-    fw, fh, px = _decode_frame_argb(kind, body)
+    fx, fy, _dur, _blend, _dispose, kind, body, falph = frames[0]
+    fw, fh, px = _decode_frame_argb(kind, body, falph)
     if fx + fw > cw or fy + fh > ch:
         raise ValueError("WebP: frame exceeds canvas bounds")
     canvas = [0] * (cw * ch)
@@ -853,8 +925,8 @@ def _parse_webp_frames(data: bytes):
         raise ValueError(f"WebP: implausible canvas {cw}x{ch}")
     canvas = [0] * (cw * ch)  # transparent black start (spec)
     out = []
-    for fx, fy, dur, blend, dispose, kind, body in frames:
-        fw, fh, px = _decode_frame_argb(kind, body)
+    for fx, fy, dur, blend, dispose, kind, body, falph in frames:
+        fw, fh, px = _decode_frame_argb(kind, body, falph)
         if fx + fw > cw or fy + fh > ch:
             raise ValueError("WebP: frame exceeds canvas bounds")
         for y in range(fh):

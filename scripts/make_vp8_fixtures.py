@@ -42,6 +42,11 @@ _LIB.WebPEncodeRGB.argtypes = [
     ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
     ctypes.c_float, ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
 ]
+_LIB.WebPEncodeRGBA.restype = ctypes.c_size_t
+_LIB.WebPEncodeRGBA.argtypes = [
+    ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+    ctypes.c_float, ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+]
 _LIB.WebPFree.argtypes = [ctypes.c_void_p]
 
 
@@ -85,6 +90,17 @@ def dec_rgb(data):
     return a[:, :, :3]
 
 
+def encode_rgba(w, h, px, q):
+    out = ctypes.POINTER(ctypes.c_uint8)()
+    size = _LIB.WebPEncodeRGBA(px, w, h, w * 4, ctypes.c_float(q),
+                               ctypes.byref(out))
+    assert size
+    try:
+        return ctypes.string_at(out, size)
+    finally:
+        _LIB.WebPFree(out)
+
+
 def pattern(w, h, seed=7):
     return bytes((x * 7 + y * 13 + c * 29 + seed) % 256
                  for y in range(h) for x in range(w) for c in range(3))
@@ -123,6 +139,35 @@ CASES = [
 ]
 
 
+def dec_rgba(data):
+    w, h = ctypes.c_int(), ctypes.c_int()
+    p = _LIB.WebPDecodeRGBA(data, len(data), ctypes.byref(w),
+                            ctypes.byref(h))
+    assert p
+    a = np.ctypeslib.as_array(p, shape=(h.value, w.value, 4)).copy()
+    _LIB.WebPFree(p)
+    return a
+
+
+def alpha_case(name, w, h, q, agen):
+    px = bytearray()
+    for y in range(h):
+        for x in range(w):
+            px += bytes([(x * 7) % 256, (y * 11) % 256,
+                         (x * 3 + y * 5) % 256, agen(x, y)])
+    webp = encode_rgba(w, h, bytes(px), q)
+    assert b"ALPH" in webp[:40]
+    return name, w, h, webp, dec_rgba(webp)
+
+
+ALPHA_CASES = [
+    alpha_case("alpha_grad_q75", 32, 24, 75.0,
+               lambda x, y: (x * 255) // 31),
+    alpha_case("alpha_noise_q50", 17, 13, 50.0,
+               lambda x, y: (x * 37 + y * 91) % 256),
+]
+
+
 def main():
     entries = []
     for name, w, h, px, q in CASES:
@@ -158,10 +203,22 @@ def main():
                     f"{hexlines(arr.tobytes())}\n        ),\n"
                 )
             f.write("    },\n")
+        f.write("}\n\n")
+        f.write("# lossy VP8 + ALPH alpha plane: full RIFF file and the\n")
+        f.write("# expected WebPDecodeRGBA output\n")
+        f.write("ALPHA_VECTORS = {\n")
+        for name, w, h, webp, rgba in ALPHA_CASES:
+            f.write(f'    "{name}": {{\n')
+            f.write(f'        "size": ({w}, {h}),\n')
+            f.write(f'        "webp": bytes.fromhex(\n{hexlines(webp)}\n'
+                    "        ),\n")
+            f.write(f'        "rgba": bytes.fromhex(\n'
+                    f"{hexlines(rgba.tobytes())}\n        ),\n")
+            f.write("    },\n")
         f.write("}\n")
     total = sum(len(e[3]) for e in entries)
-    print(f"wrote tests/vp8_fixtures.py ({len(entries)} vectors, "
-          f"{total} stream bytes)")
+    print(f"wrote tests/vp8_fixtures.py ({len(entries)} vectors + "
+          f"{len(ALPHA_CASES)} alpha, {total} stream bytes)")
 
 
 if __name__ == "__main__":

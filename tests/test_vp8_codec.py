@@ -100,14 +100,18 @@ def lw_yuv(data):
     return W, H, y, u, v
 
 
-def lw_rgb(data):
+def lw_rgb_rgba(data):
     w, h = ctypes.c_int(), ctypes.c_int()
     p = _LIB.WebPDecodeRGBA(data, len(data), ctypes.byref(w),
                             ctypes.byref(h))
     assert p
     arr = np.ctypeslib.as_array(p, shape=(h.value, w.value, 4)).copy()
     _LIB.WebPFree(p)
-    return arr[:, :, :3]
+    return arr
+
+
+def lw_rgb(data):
+    return lw_rgb_rgba(data)[:, :, :3]
 
 
 def vp8_chunk(webp: bytes) -> bytes:
@@ -263,19 +267,77 @@ def test_inter_frame_rejected_by_name():
         decode_vp8_yuv(bytes(chunk))
 
 
-def test_alph_chunk_rejected_by_name():
-    body = b"\x00" * 8
+@pytest.mark.parametrize("name", ["alpha_grad_q75", "alpha_noise_q50"])
+def test_embedded_alpha_vector_rgba_exact(name):
+    """Lossy VP8 + ALPH alpha plane decodes byte-identically to
+    WebPDecodeRGBA (embedded vector, zero deps)."""
+    from vp8_fixtures import ALPHA_VECTORS
+
+    vec = ALPHA_VECTORS[name]
+    w, h = vec["size"]
+    W, H, c, px = decode_webp(vec["webp"])
+    assert (W, H, c) == (w, h, 4)
+    # our 4-channel layout is RGBA, same as WebPDecodeRGBA
+    assert bytes(px) == vec["rgba"]
+
+
+def _forward_filter(a: bytes, w: int, h: int, filt: int) -> bytes:
+    """Encoder-side ALPH row filter (inverse of the decoder's)."""
+    if filt == 0:
+        return bytes(a)
+    out = bytearray(w * h)
+    for y in range(h):
+        for x in range(w):
+            i = y * w + x
+            if y == 0:
+                pred = a[i - 1] if x else 0
+            elif filt == 1:
+                pred = a[i - 1] if x else a[i - w]
+            elif filt == 2:
+                pred = a[i - w]
+            else:
+                left = a[i - 1] if x else a[i - w]
+                top = a[i - w]
+                tl = a[i - w - 1] if x else a[i - w]
+                pred = min(255, max(0, left + top - tl))
+            out[i] = (a[i] - pred) & 0xFF
+    return bytes(out)
+
+
+@needs_libwebp
+@pytest.mark.parametrize("filt", [0, 1, 2, 3])
+def test_alph_crafted_filters_vs_libwebp(filt):
+    """All four ALPH row filters, including the vertical/gradient
+    modes libwebp's default encoder never emits: hand-craft a raw
+    forward-filtered ALPH chunk, splice it into a VP8X container, and
+    require libwebp and the from-spec decoder to produce the same
+    RGBA bytes."""
+    w, h = 19, 11
+    webp = lw_encode(w, h, _pattern(w, h), 80.0)
+    chunk = vp8_chunk(webp)
+    alpha = bytes((x * 31 + y * 57 + (x * y) % 7) % 256
+                  for y in range(h) for x in range(w))
+    body = bytes([filt << 2]) + _forward_filter(alpha, w, h, filt)
     alph = b"ALPH" + len(body).to_bytes(4, "little") + body
+    if len(body) & 1:
+        alph += b"\x00"
     vp8x = b"VP8X" + (10).to_bytes(4, "little") + bytes(
         [0x10, 0, 0, 0]
-    ) + (15).to_bytes(3, "little") + (15).to_bytes(3, "little")
-    payload = vp8x + alph
+    ) + (w - 1).to_bytes(3, "little") + (h - 1).to_bytes(3, "little")
+    vp8c = b"VP8 " + len(chunk).to_bytes(4, "little") + chunk
+    if len(chunk) & 1:
+        vp8c += b"\x00"
+    payload = vp8x + alph + vp8c
     riff = (
         b"RIFF" + (4 + len(payload)).to_bytes(4, "little") + b"WEBP"
         + payload
     )
-    with pytest.raises(NotImplementedError, match="ALPH"):
-        decode_webp(riff)
+    ref = lw_rgb_rgba(riff)
+    assert (ref[:, :, 3].flatten() == np.frombuffer(alpha, np.uint8)).all()
+    W, H, c, px = decode_webp(riff)
+    assert (W, H, c) == (w, h, 4)
+    got = np.frombuffer(bytes(px), np.uint8).reshape(h, w, 4)
+    assert (got == ref).all()
 
 
 # --------------------------------------------------------------------------

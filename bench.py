@@ -236,6 +236,12 @@ def bench_webp_seam(spark, timed_runs: int) -> dict[str, float]:
             lambda: decode_media(df_mx, n_features=4, decoder=dec)
             .write.format("noop").mode("overwrite").save()
         )
+        # r11: the from-spec path decodes the same mixed corpus too
+        # (lossy VP8 via vp8_codec.py) — keep its cost on record
+        out["webp_decode_fromspec_mixed"] = timed(
+            lambda: decode_media(df_mx, n_features=4)
+            .write.format("noop").mode("overwrite").save()
+        )
         df_mx.unpersist()
     df_ll.unpersist()
     return out

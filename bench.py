@@ -161,14 +161,16 @@ HEADLINE = [
 
 
 def bench_webp_seam(spark, timed_runs: int) -> dict[str, float]:
-    """Time decode_media on WebP two ways over identical-size corpora:
-    the from-spec VP8L path on a 48-image lossless corpus, and the
-    libwebp native seam (decoder= kwarg) on a 96-image MIXED corpus
-    (the same 48 lossless + 48 libwebp-encoded lossy VP8 — the case
-    the from-spec table rejects by name).  Makes the native-swap
-    story a measured BENCH row, not SCALE.md prose (VERDICT r10 item
-    5).  Corpus build (driver-side encode) is untimed; sf-independent
-    by design — codec throughput, not scan throughput."""
+    """Time decode_media across the native-codec seams: the from-spec
+    VP8L path on a 48-image lossless corpus; the libwebp seam
+    (decoder= kwarg) AND (since r11) the from-spec path on a 96-image
+    MIXED corpus (48 lossless + 48 libwebp-encoded lossy VP8, which
+    vp8_codec.py decodes from spec since r11); and a 32-image JPEG
+    corpus through both the from-spec codec and the JDK javax.imageio
+    bridge adapter.  Makes the native-swap story measured BENCH rows,
+    not SCALE.md prose (VERDICT r10 items 5-6).  Corpus build
+    (driver-side encode) is untimed; sf-independent by design — codec
+    throughput, not scan throughput."""
     from parquet_converters_spark.functions.multimodal import (
         MEDIA_SCHEMA,
         decode_media,
@@ -244,6 +246,37 @@ def bench_webp_seam(spark, timed_runs: int) -> dict[str, float]:
         )
         df_mx.unpersist()
     df_ll.unpersist()
+
+    # JDK ImageIO seam (r11): JPEG corpus through the from-spec codec
+    # vs the javax.imageio bridge — the other measured native swap
+    try:
+        from parquet_converters_spark.functions.jpeg_codec import (
+            encode_jpeg,
+        )
+        from parquet_converters_spark.functions.native_codecs import (
+            jdk_imageio_media_decoder,
+        )
+
+        jdec = jdk_imageio_media_decoder()
+        jpgs = [
+            (2000 + i, "image",
+             bytearray(encode_jpeg(w, h, 3, pattern(i))),
+             "image/jpeg", 0)
+            for i in range(32)
+        ]
+        df_j = spark.createDataFrame(jpgs, MEDIA_SCHEMA).repartition(32)
+        df_j.persist().count()
+        out["jpeg_decode_fromspec"] = timed(
+            lambda: decode_media(df_j, n_features=4)
+            .write.format("noop").mode("overwrite").save()
+        )
+        out["jpeg_decode_jdk_seam"] = timed(
+            lambda: decode_media(df_j, n_features=4, decoder=jdec)
+            .write.format("noop").mode("overwrite").save()
+        )
+        df_j.unpersist()
+    except Exception:
+        pass  # no javac on this box: skip the JDK rows
     return out
 
 
@@ -375,7 +408,7 @@ def main() -> None:
         {
             k: v
             for k, v in times.items()
-            if k.startswith(("hdf5_", "webp_decode"))
+            if k.startswith(("hdf5_", "webp_decode", "jpeg_decode"))
         }
     )
     print(

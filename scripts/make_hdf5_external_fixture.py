@@ -491,6 +491,61 @@ def build() -> tuple[bytes, dict]:
         al.put(a_hdr, blob)
         return a_hdr, (a_btree, a_heap)
 
+    # ---- SONATA-shaped tree: grades the PRODUCTION read path
+    #      (sources/sonata_h5.read_sonata_edges) against these
+    #      independently-authored bytes, not just MiniH5Reader ---------
+    src_ids = np.array([3, 1, 4, 1, 5, 9, 2], dtype=np.int64)
+    tgt_ids = np.array([2, 7, 1, 8, 2, 8, 1], dtype=np.int64)
+    etype = np.zeros(7, dtype=np.int64)
+    weight = np.array([0.5, -1.25, 3.0, 0.0625, 2.5, -7.75, 1.0],
+                      dtype=np.float64)
+    delay = np.array([1.5, 2.0, 0.25, 4.0, 0.5, 8.0, 1.0],
+                     dtype=np.float32)
+    # weight: chunked + shuffle + deflate with a partial edge chunk
+    w_chunks = []
+    for c0 in (0, 4):
+        full = np.zeros(4, dtype=np.float64)
+        part = weight[c0 : c0 + 4]
+        full[: len(part)] = part
+        raw = full.tobytes()
+        shuf = np.frombuffer(raw, np.uint8).reshape(4, 8).T.tobytes()
+        blob = zlib.compress(shuf, 6)
+        addr = al.take(len(blob))
+        al.put(addr, blob)
+        w_chunks.append(((c0,), addr, len(blob), 0))
+    bt_w = chunk_btree(w_chunks, (7,), (4,))
+    a_src = al.take(src_ids.nbytes)
+    al.put(a_src, src_ids.tobytes())
+    a_tgt = al.take(tgt_ids.nbytes)
+    al.put(a_tgt, tgt_ids.tobytes())
+    a_et = al.take(etype.nbytes)
+    al.put(a_et, etype.tobytes())
+    a_dl = al.take(delay.nbytes)
+    al.put(a_dl, delay.tobytes())
+    h_src = ds_header(src_ids, layout_contig(a_src, src_ids.nbytes))
+    h_tgt = ds_header(tgt_ids, layout_contig(a_tgt, tgt_ids.nbytes))
+    h_et = ds_header(etype, layout_contig(a_et, etype.nbytes))
+    h_wt = ds_header(
+        weight,
+        layout_chunked(bt_w, (4,), 8),
+        pipeline=filters_v1(
+            [(2, "shuffle", 0, []), (1, "deflate", 0, [6])]
+        ),
+    )
+    h_dl = ds_header(delay, layout_contig(a_dl, delay.nbytes))
+    h_zero, sc_zero = group(
+        [("weight", h_wt, False, None), ("delay", h_dl, False, None)]
+    )
+    h_pop, sc_pop = group(
+        [
+            ("target_node_id", h_tgt, False, None),
+            ("source_node_id", h_src, False, None),
+            ("edge_type_id", h_et, False, None),
+            ("0", h_zero, True, sc_zero),
+        ]
+    )
+    h_edges, sc_edges = group([("extpop", h_pop, True, sc_pop)])
+
     h_empty_grp, sc_empty = group([], attrs=[("kind", "empty")])
     h_deep2, sc_deep2 = group(
         # insertion order deliberately != sorted order
@@ -510,6 +565,7 @@ def build() -> tuple[bytes, dict]:
             ("scalar_f8", h_scalar, False, None),
             ("chunked_f8", h_chunked_f8, False, None),
             ("empty_grp", h_empty_grp, True, sc_empty),
+            ("edges", h_edges, True, sc_edges),
             ("chunked_i2_mask", h_chunked_i2, False, None),
         ],
         attrs=[("title", "external fixture"), ("ratio", 0.625)],
@@ -536,13 +592,18 @@ def build() -> tuple[bytes, dict]:
             "/": sorted(
                 [
                     "vec_f4", "contig_i4", "deep2", "scalar_f8",
-                    "chunked_f8", "empty_grp", "chunked_i2_mask",
+                    "chunked_f8", "empty_grp", "edges",
+                    "chunked_i2_mask",
                 ]
             ),
             "/deep2": sorted(
                 ["strings_s8", "empty_contig", "big_btree_i8", "grid_i4"]
             ),
             "/empty_grp": [],
+            "/edges": ["extpop"],
+            "/edges/extpop": sorted(
+                ["source_node_id", "target_node_id", "edge_type_id", "0"]
+            ),
         },
         "attrs": {
             "/": {"title": "external fixture", "ratio": 0.625},
@@ -572,6 +633,18 @@ def build() -> tuple[bytes, dict]:
         },
         "mask_chunks": {"/chunked_i2_mask": [0, 0b10]},
         "n_chunks": {"/deep2/big_btree_i8": 65},
+        # the SONATA-shaped edge population read by the production
+        # source (column name -> dtype, values)
+        "sonata": {
+            "population": "extpop",
+            "columns": {
+                "source_node_id": ("<i8", src_ids.tolist()),
+                "target_node_id": ("<i8", tgt_ids.tolist()),
+                "edge_type_id": ("<i8", etype.tolist()),
+                "weight": ("<f8", weight.tolist()),
+                "delay": ("<f4", delay.tolist()),
+            },
+        },
     }
     return blob, expected
 

@@ -111,6 +111,30 @@ def test_regeneration_is_deterministic():
     assert expected == EXPECTED
 
 
+def test_production_sonata_reader_on_external_bytes(spark, fixture_path):
+    """The PRODUCTION read path — sources/sonata_h5.read_sonata_edges,
+    the function that grades the reference's SONATA surface — decodes
+    the independently-authored /edges/extpop tree exactly: top-level
+    ids, a shuffle+deflate chunked property with a partial edge chunk,
+    and an f4 property, through Spark."""
+    from parquet_converters_spark.sources.sonata_h5 import (
+        read_sonata_edges,
+        read_sonata_edges_distributed,
+    )
+
+    exp = EXPECTED["sonata"]
+    for reader_fn in (read_sonata_edges, read_sonata_edges_distributed):
+        df = reader_fn(spark, fixture_path, exp["population"])
+        rows = df.orderBy("row_index").collect()
+        assert len(rows) == 7
+        for name, (dt, vals) in exp["columns"].items():
+            got = [r[name] for r in rows]
+            if dt == "<f4":
+                assert got == pytest.approx(vals, abs=0)  # exact f4
+            else:
+                assert got == vals, name
+
+
 def test_h5py_crossval(fixture_path):
     """Where h5py exists, the same bytes must decode identically
     through libhdf5 — the fixture is spec-compliant, not merely

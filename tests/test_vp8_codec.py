@@ -384,3 +384,80 @@ def test_fixture_regeneration_note():
 
     assert "make_vp8_fixtures" in (vp8_fixtures.__doc__ or "")
     assert "libwebp" in vp8_fixtures.__doc__
+
+
+@needs_libwebp
+def test_spark_sample_frames_lossy_anmf(spark):
+    """Spark-level frame sampling over an animated WebP whose ANMF
+    frames are LOSSY VP8 — the full mapInPandas path through
+    parse_webp_frames and the from-spec VP8 decoder."""
+    from parquet_converters_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        sample_frames,
+    )
+
+    w, h = 24, 18
+    chunk = vp8_chunk(lw_encode(w, h, _pattern(w, h), 75.0))
+
+    def anmf(dur):
+        body = bytearray()
+        body += (0).to_bytes(3, "little") * 2
+        body += (w - 1).to_bytes(3, "little")
+        body += (h - 1).to_bytes(3, "little")
+        body += dur.to_bytes(3, "little") + bytes([0])
+        body += b"VP8 " + len(chunk).to_bytes(4, "little") + chunk
+        if len(chunk) & 1:
+            body += b"\x00"
+        return b"ANMF" + len(body).to_bytes(4, "little") + bytes(body)
+
+    vp8x = b"VP8X" + (10).to_bytes(4, "little") + bytes(
+        [0x02, 0, 0, 0]
+    ) + (w - 1).to_bytes(3, "little") + (h - 1).to_bytes(3, "little")
+    anim = b"ANIM" + (6).to_bytes(4, "little") + bytes(6)
+    payload = vp8x + anim + anmf(500) + anmf(500) + anmf(500)
+    riff = (
+        b"RIFF" + (4 + len(payload)).to_bytes(4, "little") + b"WEBP"
+        + payload
+    )
+    df = spark.createDataFrame(
+        [(900, "video", bytearray(riff), "image/webp", len(riff))],
+        MEDIA_SCHEMA,
+    )
+    rows = sample_frames(df, every_ms=500, max_frames=3).collect()
+    assert len(rows) == 3
+    assert [r["frame_index"] for r in rows] == [0, 1, 2]
+    # every sampled frame decodes (PNG re-encode of the composited
+    # canvas) to the VP8 frame's pixels — expected from the bare-chunk
+    # decode, itself pinned bit-exact against libwebp above (libwebp's
+    # simple API cannot decode animations: no demuxer here)
+    from parquet_converters_spark.functions.media_codecs import decode_png
+
+    eW, eH, _c, ergb = decode_vp8(chunk)
+    expected = np.frombuffer(ergb, np.uint8).reshape(eH, eW, 3)
+    for r in rows:
+        W, H, c, px = decode_png(bytes(r["payload"]))
+        assert (W, H) == (w, h)
+        got = np.frombuffer(px, np.uint8).reshape(h, w, c)
+        assert (got[:, :, :3] == expected).all()
+
+
+@needs_libwebp
+def test_corrupt_alph_streams_raise_clean_errors():
+    """Byte-mangles and truncations of a lossy-with-alpha file obey
+    the untrusted-corpus contract (ValueError/NotImplementedError
+    only)."""
+    from vp8_fixtures import ALPHA_VECTORS
+
+    data = ALPHA_VECTORS["alpha_grad_q75"]["webp"]
+    rng = random.Random(23)
+    cases = [data[:n] for n in (13, 20, 30, 40, len(data) // 2)]
+    for _ in range(200):
+        mutated = bytearray(data)
+        for _ in range(rng.randrange(1, 4)):
+            mutated[rng.randrange(len(mutated))] = rng.randrange(256)
+        cases.append(bytes(mutated))
+    for case in cases:
+        try:
+            decode_webp(case)
+        except (ValueError, NotImplementedError):
+            pass

@@ -22,14 +22,17 @@ first composited canvas for animations (the thumbnail convention).
 Encoder is a real compressor: histogram-driven canonical prefix codes
 (full code-length-code serialization, simple-code shortcuts), greedy
 LZ77, subtract-green, a global-mode predictor transform chosen by
-residual entropy, a color-cache candidate, and a color-indexing
-candidate (delta-coded palette + sub-byte pixel bundling) — the
-smallest candidate encoding wins.  Output sizes land at or near
-libwebp's on structured content (measured in tests/test_webp_codec.py;
-every emitted stream is verified readable by libwebp where present).
-:func:`encode_webp_anim` wraps per-frame VP8L payloads in
-VP8X/ANIM/ANMF.  Remaining encoder headroom vs libwebp: cross-color,
-per-tile (meta-prefix) codes, cost-model backref selection.
+residual entropy, a global cross-color transform on the same entropy
+gate (r11 — least-squares multiplier fit refined by sampled entropy),
+a color-cache candidate, and a color-indexing candidate (delta-coded
+palette + sub-byte pixel bundling) — the smallest candidate encoding
+wins.  Output sizes land at or near libwebp's (measured in
+tests/test_webp_codec.py: within ~3% on photographic content since
+cross-color landed, at-or-below on structured; every emitted stream is
+verified readable by libwebp where present).  :func:`encode_webp_anim`
+wraps per-frame VP8L payloads in VP8X/ANIM/ANMF.  Remaining encoder
+headroom vs libwebp: per-tile (meta-prefix) codes, cost-model backref
+selection.
 
 Scale posture: identical to jpeg_codec.py — the per-core throughput of
 a pure-Python decode is the documented ceiling (SCALE.md), and the
@@ -1289,6 +1292,12 @@ def _encode_standard(
     mode = _pick_predictor(px, width, height) if predictor else None
     if mode is not None:
         px = _pred_residuals(px, width, height, mode)
+    # cross-color rides the same entropy gate as the predictor: a
+    # global (g2r, g2b, r2b) multiplier triple applied to the residual
+    # plane when it measurably decorrelates the channels (r11)
+    cte = _pick_cross_color(px) if predictor else None
+    if cte is not None:
+        px = _cross_color_residuals(px, *cte)
     tokens = _lz77_tokens(px) if use_lz77 else [("lit", p) for p in px]
 
     def serialize(cache_bits):
@@ -1309,6 +1318,18 @@ def _encode_standard(
             _write_coded_image(
                 bw, [0xFF000000 | (mode << 8)] * (sw * sh), False, False
             )
+        if cte is not None:
+            # cross-color written LAST (forward-applied last), so its
+            # inverse runs first on decode; one global triple packed
+            # per the spec: blue byte = g2r, green = g2b, red = r2b
+            g2r, g2b, r2b = cte
+            bw.bits(1, 1)
+            bw.bits(1, 2)  # CROSS_COLOR
+            bw.bits(_PRED_BITS - 2, 3)
+            sw = _subsample(width, _PRED_BITS)
+            sh = _subsample(height, _PRED_BITS)
+            cte_px = 0xFF000000 | (r2b << 16) | (g2b << 8) | g2r
+            _write_coded_image(bw, [cte_px] * (sw * sh), False, False)
         bw.bits(0, 1)  # end of transforms
         _write_coded_image(bw, px, True, use_lz77, cache_bits, tokens)
         return bw.flush()
@@ -1397,6 +1418,84 @@ def _pred_residuals(px, w, h, mode):
             )
             pos += 1
     return out
+
+
+def _cross_color_residuals(px, g2r, g2b, r2b):
+    """Forward cross-color with one global multiplier triple: the
+    exact inverse of _inv_cross_color (the r2b delta uses the ORIGINAL
+    red, which is what the decoder has restored by that point)."""
+    out = []
+    for p in px:
+        g = (p >> 8) & 0xFF
+        r = (p >> 16) & 0xFF
+        b = p & 0xFF
+        nr = (r - _ct_delta(g2r, g)) & 0xFF
+        nb = (b - _ct_delta(g2b, g) - _ct_delta(r2b, r)) & 0xFF
+        out.append((p & 0xFF00FF00) | (nr << 16) | nb)
+    return out
+
+
+def _s8(v: int) -> int:
+    return v - 256 if v >= 128 else v
+
+
+def _pick_cross_color(px):
+    """Estimate a global (g2r, g2b, r2b) multiplier triple on the
+    residual plane: least-squares fit of each channel against its
+    source channel in signed-byte space (delta = (m * c) >> 5, so
+    m ~ 32 * cov/var), refined over +-1 by sampled byte entropy; None
+    unless the transform beats identity by a clear margin."""
+    n = len(px)
+    if n < 64:
+        return None
+    step = max(1, n // 4096)
+    sample = px[::step]
+    gs = [_s8((p >> 8) & 0xFF) for p in sample]
+    rs = [_s8((p >> 16) & 0xFF) for p in sample]
+    bs = [_s8(p & 0xFF) for p in sample]
+
+    def fit(src, dst):
+        num = sum(s * d for s, d in zip(src, dst))
+        den = sum(s * s for s in src)
+        if den == 0:
+            return 0
+        m = round(32 * num / den)
+        return max(-128, min(127, m))
+
+    def ent(vals):
+        import math
+        from collections import Counter
+
+        cnt = Counter(vals)
+        total = len(vals)
+        return sum(-c * math.log2(c / total) for c in cnt.values())
+
+    def refine(src, dst, m0):
+        best = None
+        for m in {0, m0 - 1, m0, m0 + 1}:
+            if not -128 <= m <= 127:
+                continue
+            res = [(d - ((m * s) >> 5)) & 0xFF for s, d in zip(src, dst)]
+            e = ent(res)
+            if best is None or e < best[0]:
+                best = (e, m, res)
+        return best
+
+    e_r, g2r, r_res = refine(gs, rs, fit(gs, rs))
+    e_b1, g2b, b_res = refine(gs, bs, fit(gs, bs))
+    # r2b fits the b residual (after g2b) against the ORIGINAL red
+    b_signed = [_s8(v) for v in b_res]
+    e_b, r2b, _ = refine(rs, b_signed, fit(rs, b_signed))
+    if g2r == 0 and g2b == 0 and r2b == 0:
+        return None
+    base = ent([(p >> 16) & 0xFF for p in sample]) + ent(
+        [p & 0xFF for p in sample]
+    )
+    # strict margin: the transform must buy >1% on the sampled R+B
+    # channels, else identity keeps the stream one transform simpler
+    if e_r + e_b >= base * 0.99:
+        return None
+    return g2r & 0xFF, g2b & 0xFF, r2b & 0xFF
 
 
 def _entropy_cost(px) -> float:

@@ -711,3 +711,33 @@ def test_resize_media_real_path_webp(spark, webp_media_df):
     )
     assert got == expected  # WebP in -> WebP out, byte-identical
     assert decode_webp(got)[:3] == (8, 6, 3)
+
+
+@needs_libwebp
+def test_encoder_cross_color_on_photographic():
+    """The r11 cross-color candidate: channel-correlated photographic
+    content must emit a CROSS_COLOR transform, shrink the stream, and
+    stay losslessly round-trippable + libwebp-readable."""
+    import math
+
+    w, h = 96, 72
+    px = bytes(
+        int(127 + 120 * math.sin((x * x + y * y) / 37.0 + 0.15 * c)) & 255
+        for y in range(h) for x in range(w) for c in range(3)
+    )
+    from parquet_converters_spark.functions import webp_codec as W
+
+    data = W.encode_webp_lossless(w, h, 3, px)
+    assert W.decode_webp(data)[3] == px
+    _W, _H, rgba = lw_decode_rgba(data)
+    assert bytes(
+        b for i in range(0, len(rgba), 4) for b in rgba[i : i + 3]
+    ) == px
+    # the gate must have fired: disabling cross-color grows the stream
+    orig = W._pick_cross_color
+    try:
+        W._pick_cross_color = lambda p: None
+        plain = W.encode_webp_lossless(w, h, 3, px)
+    finally:
+        W._pick_cross_color = orig
+    assert len(data) < len(plain)

@@ -1127,3 +1127,25 @@ def test_png_crossval_we_read_pils(channels, mode):
     buf = io.BytesIO()
     Image.frombytes(mode, (w, h), px).save(buf, format="PNG")
     assert decode_png(buf.getvalue()) == (w, h, channels, px)
+
+
+def test_jdk_imageio_bridge_error_path():
+    """A payload the JDK cannot read surfaces as ValueError naming
+    ImageIO (the bridge's error frame), and the bridge process
+    survives to decode the next payload."""
+    import shutil
+
+    if not (shutil.which("javac") and shutil.which("java")):
+        pytest.skip("JDK (java+javac) not on PATH")
+    from parquet_converters_spark.functions.media_codecs import encode_png
+    from parquet_converters_spark.functions.native_codecs import (
+        _bridge_decode,
+        _compile_imageio_bridge,
+    )
+
+    classes = _compile_imageio_bridge()
+    with pytest.raises(ValueError, match="ImageIO"):
+        _bridge_decode(classes, b"\xff\xd8 definitely not a real jpeg")
+    png = encode_png(5, 4, 3, bytes(range(60)))
+    w, h, c, px = _bridge_decode(classes, png)
+    assert (w, h, c) == (5, 4, 3) and px == bytes(range(60))

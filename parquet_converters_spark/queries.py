@@ -8767,14 +8767,7 @@ _R11_WINDOW = [
     "cms_heavy_hitters",
 ]
 _check_window(_R11_WINDOW, "_R11_WINDOW", prior=_R10_WINDOW)
-# ACTIVE for round 11 (CORRECTNESS_r10 was 50/50 — no reds to promote;
-# the window is exactly the pre-wired rotation: the r07-latest
-# remainder — the oldest cohort in the driver record — plus the r08
-# alphabetical head):
-QUERIES = {
-    **{name: QUERIES[name] for name in _R11_WINDOW},
-    **{name: v for name, v in QUERIES.items() if name not in _R11_WINDOW},
-}
+# (graded round 11: CORRECTNESS_r11 came back 50/50 green)
 
 # --- r12 grading rotation (PRE-WIRED, activate at round-12 start) ----------
 # Computed from the CORRECTNESS_r01-r10 union assuming r11 grades
@@ -8839,3 +8832,75 @@ _R12_WINDOW = [
     "json_extract_agg",
 ]
 _check_window(_R12_WINDOW, "_R12_WINDOW", prior=_R11_WINDOW)
+# ACTIVE for round 12 (CORRECTNESS_r11 was 50/50 — no reds to promote;
+# the window is exactly the pre-wired rotation: the r08-latest
+# remainder — the oldest cohort in the driver record — plus the r09
+# alphabetical head):
+QUERIES = {
+    **{name: QUERIES[name] for name in _R12_WINDOW},
+    **{name: v for name, v in QUERIES.items() if name not in _R12_WINDOW},
+}
+
+# --- r13 grading rotation (PRE-WIRED, activate at round-13 start) ----------
+# Computed from the CORRECTNESS_r01-r11 union assuming r12 grades
+# _R12_WINDOW: the next-oldest cohort is the 39 remaining r09-latest
+# rows, then the 11 alphabetically-first r10-latest rows
+# (acctbal_rank_profile..distinct_nation_stats).  Round 13's builder
+# promotes any red rows from CORRECTNESS_r12 to the front (dropping
+# tail entries to keep 50), then replaces the _R12_WINDOW reorder
+# above with the same two lines over _R13_WINDOW.
+_R13_WINDOW = [
+    # (a) r09-latest remainder (39)
+    "ks_drift_test",
+    "limit_n",
+    "lsh_pair_eval",
+    "multimodal_meta",
+    "pivot_event_counts",
+    "proj_rename",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q12_priority_shipping",
+    "q13_order_distribution",
+    "q14_brand_revenue",
+    "q15_top_supplier",
+    "q16_supplier_part_count",
+    "q17_small_qty_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_pred",
+    "q20_qualified_suppliers",
+    "q21_dominant_supplier",
+    "q22_idle_customers",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q5_nation_volume",
+    "q6_selective_agg",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "rollup_pricing",
+    "semi_join_exists",
+    "set_intersect",
+    "text_fingerprint",
+    "text_language_id",
+    "text_quality",
+    "text_rolling_hash",
+    "text_token_count",
+    "text_top_tokens",
+    "topk_per_group",
+    "touch_scan_v2",
+    "validation_filter",
+    "vocab_growth_by_source",
+    # (b) r10-latest, alphabetical head (11)
+    "acctbal_rank_profile",
+    "adjacency_node_ranges",
+    "adjacency_range_to_edge",
+    "ann_recall_pq",
+    "bloom_pruned_revenue",
+    "bpe_merge_candidates",
+    "char_entropy_buckets",
+    "chi2_type_by_weekday",
+    "dedup_minhash_sig",
+    "dedup_simhash_pairs",
+    "distinct_nation_stats",
+]
+_check_window(_R13_WINDOW, "_R13_WINDOW", prior=_R12_WINDOW)

@@ -47,6 +47,12 @@ public class ImageIoBridge {
                     throw new IOException("ImageIO: unsupported format");
                 }
                 int w = img.getWidth(), h = img.getHeight();
+                if ((long) w * h > (1L << 28)) {
+                    // mirror the Python-side _MAX_PIXELS guard before
+                    // allocating the sample buffer
+                    throw new IOException(
+                        "ImageIO: image exceeds pixel allocation guard");
+                }
                 boolean gray = img.getColorModel().getNumComponents() == 1;
                 boolean alpha = img.getColorModel().hasAlpha();
                 int c = gray ? 1 : (alpha ? 4 : 3);
@@ -75,7 +81,10 @@ public class ImageIoBridge {
                 out.writeInt(h);
                 out.writeByte(c);
                 out.write(px);
-            } catch (Exception e) {
+            } catch (Throwable e) {
+                // Throwable, not Exception: an OutOfMemoryError from a
+                // hostile payload must surface as an in-band error
+                // frame, not kill the bridge with the response unsent
                 byte[] msg = String.valueOf(e).getBytes("UTF-8");
                 out.writeByte(1);
                 out.writeInt(msg.length);

@@ -132,6 +132,14 @@ def _libwebp_decode_rgba(data: bytes) -> tuple[int, int, bytes]:
 
 # pid-keyed so a forked Python worker never inherits the parent's pipe
 _BRIDGE_PROCS: dict = {}
+# pid-keyed materialized .class dirs, reused across respawns and removed
+# at interpreter exit (a crash-respawn loop must not leak temp dirs)
+_BRIDGE_DIRS: dict = {}
+
+# same decompression-bomb guard as the from-spec decoders (jpeg_codec/
+# gif_codec/webp_codec._MAX_PIXELS): a corrupt or hostile header must
+# not make the Python side buffer gigabytes of pixel bytes
+_MAX_PIXELS = 1 << 28
 
 
 def _compile_imageio_bridge() -> dict[str, bytes]:
@@ -163,6 +171,7 @@ def _compile_imageio_bridge() -> dict[str, bytes]:
 
 def _bridge_proc(classes: dict):
     """The per-process persistent `java ImageIoBridge` subprocess."""
+    import atexit
     import os
     import shutil
     import subprocess
@@ -172,15 +181,22 @@ def _bridge_proc(classes: dict):
     proc = _BRIDGE_PROCS.get(pid)
     if proc is not None and proc.poll() is None:
         return proc
-    d = tempfile.mkdtemp(prefix="imageio_bridge_")
-    for name, blob in classes.items():
-        with open(os.path.join(d, name), "wb") as f:
-            f.write(blob)
+    d = _BRIDGE_DIRS.get(pid)
+    if d is None or not os.path.isdir(d):
+        d = tempfile.mkdtemp(prefix="imageio_bridge_")
+        for name, blob in classes.items():
+            with open(os.path.join(d, name), "wb") as f:
+                f.write(blob)
+        _BRIDGE_DIRS[pid] = d
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
     java = shutil.which("java") or "java"
+    # JVM stderr goes nowhere useful interleaved into worker logs; the
+    # protocol carries errors in-band, so silence the side channel
     proc = subprocess.Popen(
         [java, "-XX:+UseSerialGC", "-cp", d, "ImageIoBridge"],
         stdin=subprocess.PIPE,
         stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL,
     )
     _BRIDGE_PROCS[pid] = proc
     return proc
@@ -197,6 +213,7 @@ def _read_exact(stream, n: int) -> bytes:
 
 
 def _bridge_decode(classes: dict, payload: bytes):
+    import os
     import struct
 
     proc = _bridge_proc(classes)
@@ -210,6 +227,17 @@ def _bridge_decode(classes: dict, payload: bytes):
         )
     w, h = struct.unpack(">ii", _read_exact(proc.stdout, 8))
     c = _read_exact(proc.stdout, 1)[0]
+    if w <= 0 or h <= 0 or c not in (1, 3, 4) or w * h > _MAX_PIXELS:
+        # decompression-bomb / desynced-protocol guard: never buffer an
+        # unbounded pixel payload.  Draining it would BE the bomb, so
+        # drop the bridge and let the next call respawn it.
+        proc.kill()
+        proc.wait()
+        _BRIDGE_PROCS.pop(os.getpid(), None)
+        raise ValueError(
+            f"JDK ImageIO: refusing {w}x{h}x{c} response "
+            f"(exceeds the {_MAX_PIXELS}-pixel allocation guard)"
+        )
     return w, h, c, _read_exact(proc.stdout, w * h * c)
 
 

@@ -1054,7 +1054,11 @@ def decode_vp8_yuv(data: bytes):
         dq = _dequant_factors(h)
         _parse_residuals(h, mbs, mb_w, mb_h, dq, parts)
         yp, up, vp = _reconstruct(h, mbs, mb_w, mb_h)
-        if h.filter_level > 0 or h.segmentation:
+        # libwebp gates filtering solely on the frame-level filter level
+        # (VP8ParseFilterHeader: level_ == 0 => filter_type_ = 0), even
+        # when absolute-mode segment LF values are nonzero.  Match that:
+        # a filter_level==0 frame is never filtered.
+        if h.filter_level > 0:
             _loop_filter(h, mbs, mb_w, mb_h, yp, up, vp)
     except (IndexError, struct.error) as e:
         raise ValueError(f"VP8: corrupt or truncated stream ({e})") from e

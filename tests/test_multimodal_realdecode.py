@@ -1149,3 +1149,89 @@ def test_jdk_imageio_bridge_error_path():
     png = encode_png(5, 4, 3, bytes(range(60)))
     w, h, c, px = _bridge_decode(classes, png)
     assert (w, h, c) == (5, 4, 3) and px == bytes(range(60))
+
+
+def test_jdk_imageio_bridge_pixel_cap_guard():
+    """r11 ADVICE: an oversize (decompression-bomb) response header
+    must never make the Python side buffer w*h*c bytes.  Exercised
+    with a scripted fake bridge process so the guard path itself is
+    what's under test; the desynced bridge is dropped (killed +
+    uncached) so the next call respawns cleanly."""
+    import io
+    import os
+    import struct
+
+    from parquet_converters_spark.functions import native_codecs as nc
+
+    class _FakeStdin:
+        def write(self, b):
+            return len(b)
+
+        def flush(self):
+            pass
+
+    class _FakeProc:
+        def __init__(self, response: bytes):
+            self.stdin = _FakeStdin()
+            self.stdout = io.BytesIO(response)
+            self.killed = False
+
+        def poll(self):
+            return None
+
+        def kill(self):
+            self.killed = True
+
+        def wait(self):
+            return 0
+
+    # status 0, 30000x30000x3 header: 9e8 pixels >> _MAX_PIXELS
+    bomb = struct.pack(">b", 0) + struct.pack(">ii", 30000, 30000) \
+        + struct.pack(">b", 3) + b"\x00" * 64
+    fake = _FakeProc(bomb)
+    nc._BRIDGE_PROCS[os.getpid()] = fake
+    try:
+        with pytest.raises(ValueError, match="allocation guard"):
+            nc._bridge_decode({}, b"payload")
+        assert fake.killed, "desynced bridge must be dropped"
+        assert os.getpid() not in nc._BRIDGE_PROCS
+        # bad channel count takes the same guard
+        bad_c = struct.pack(">b", 0) + struct.pack(">ii", 4, 4) \
+            + struct.pack(">b", 7)
+        fake2 = _FakeProc(bad_c)
+        nc._BRIDGE_PROCS[os.getpid()] = fake2
+        with pytest.raises(ValueError, match="allocation guard"):
+            nc._bridge_decode({}, b"payload")
+        assert fake2.killed
+    finally:
+        nc._BRIDGE_PROCS.pop(os.getpid(), None)
+
+
+def test_jdk_imageio_bridge_tempdir_reused_and_stderr_silenced():
+    """r11 ADVICE: respawns after a bridge crash reuse the same
+    materialized .class dir (no mkdtemp-per-respawn leak; the dir is
+    registered for atexit cleanup), and JVM stderr is routed to
+    DEVNULL instead of interleaving into worker logs."""
+    import os
+    import shutil
+
+    if not (shutil.which("javac") and shutil.which("java")):
+        pytest.skip("JDK (java+javac) not on PATH")
+    from parquet_converters_spark.functions import native_codecs as nc
+
+    classes = nc._compile_imageio_bridge()
+    proc1 = nc._bridge_proc(classes)
+    assert proc1.stderr is None  # DEVNULL: no inherited stderr pipe
+    d1 = nc._BRIDGE_DIRS[os.getpid()]
+    assert os.path.isdir(d1)
+    proc1.kill()
+    proc1.wait()
+    proc2 = nc._bridge_proc(classes)  # respawn after crash
+    assert proc2 is not proc1 and proc2.poll() is None
+    assert nc._BRIDGE_DIRS[os.getpid()] == d1, "class dir must be reused"
+    # and the respawned bridge actually works
+    from parquet_converters_spark.functions.media_codecs import encode_png
+
+    png = encode_png(3, 2, 3, bytes(range(18)))
+    w, h, c, px = nc._bridge_decode(classes, png)
+    assert (w, h, c, px) == (3, 2, 3, bytes(range(18)))

@@ -11,10 +11,13 @@ Two validation layers, mirroring the r10 image-codec pattern:
    identically to WebPDecodeRGBA (conversion + fancy upsampling).
 
 Plus: container integration (lossy stills and lossy ANMF animation
-frames through decode_webp / parse_webp_frames), rejection-by-name
-for inter frames and ALPH alpha planes, the RFC-vs-libwebp Y2-AC
-dequant formula equivalence, and a deterministic corrupt-stream sweep
-enforcing the untrusted-corpus decoder contract.
+frames through decode_webp / parse_webp_frames — ALPH alpha planes
+decode from spec and are asserted byte-exact below; only inter frames
+remain rejected by name, and a WebP still can never contain one), the
+RFC-vs-libwebp Y2-AC dequant formula equivalence, a deterministic
+corrupt-stream sweep enforcing the untrusted-corpus decoder contract,
+and crafted-stream edge cases (tests/vp8_craft.py) for legal header
+combinations libwebp's encoder never emits.
 """
 
 import ctypes
@@ -461,3 +464,86 @@ def test_corrupt_alph_streams_raise_clean_errors():
             decode_webp(case)
         except (ValueError, NotImplementedError):
             pass
+
+
+# --------------------------------------------------------------------------
+# crafted-stream edge cases (tests/vp8_craft.py): legal header
+# combinations libwebp's encoder never emits
+# --------------------------------------------------------------------------
+
+from vp8_craft import craft_keyframe, wrap_riff  # noqa: E402
+
+from parquet_converters_spark.functions.vp8_codec import (  # noqa: E402
+    DC_PRED,
+    H_PRED,
+    TM_PRED,
+    V_PRED,
+)
+
+
+def _checker_modes(mb_w, mb_h):
+    ym = [[(V_PRED if (mx + my) % 2 == 0 else H_PRED)
+           for mx in range(mb_w)] for my in range(mb_h)]
+    uv = [[(H_PRED if (mx + my) % 2 == 0 else V_PRED)
+           for mx in range(mb_w)] for my in range(mb_h)]
+    return ym, uv
+
+
+@needs_libwebp
+def test_crafted_filter_level0_abs_segment_lf_not_filtered():
+    """r11 ADVICE regression: libwebp gates the loop filter solely on
+    the frame-level filter_level (VP8ParseFilterHeader: level==0 =>
+    filter_type=0), even when absolute-mode segment LF values are
+    nonzero.  The checkerboard V/H prediction pattern gives every MB
+    edge a sample delta the filter would smooth if (wrongly) run, so
+    this fails if the decoder gates on `segmentation` too."""
+    ym, uv = _checker_modes(4, 4)
+    vp8 = craft_keyframe(64, 64, ym, uv, filter_level=0,
+                         segmentation_abs_lf=[63, 63, 63, 63])
+    W, H, y, u, v = decode_vp8_yuv(vp8)
+    lW, lH, ly, lu, lv = lw_yuv(wrap_riff(vp8))
+    assert (W, H) == (lW, lH) == (64, 64)
+    assert np.array_equal(y, ly) and np.array_equal(u, lu) \
+        and np.array_equal(v, lv)
+    # the no-filter result must be the raw prediction checkerboard —
+    # only 127 (V from the top border) and 129 (H from the left border)
+    assert set(np.unique(y)) == {127, 129}
+
+
+@needs_libwebp
+@pytest.mark.parametrize("simple", [False, True])
+@pytest.mark.parametrize("seg_lf", [None, [63, 63, 63, 63]])
+def test_crafted_filtered_frames_match_libwebp(simple, seg_lf):
+    """Control for the gate fix: the same checkerboard content with a
+    nonzero frame filter_level IS filtered (samples change vs the
+    unfiltered frame) and still matches libwebp bit-exactly, with and
+    without absolute segment LF overrides, normal and simple filter."""
+    ym, uv = _checker_modes(4, 4)
+    vp8 = craft_keyframe(64, 64, ym, uv, filter_level=32,
+                         filter_simple=simple,
+                         segmentation_abs_lf=seg_lf)
+    W, H, y, u, v = decode_vp8_yuv(vp8)
+    lW, lH, ly, lu, lv = lw_yuv(wrap_riff(vp8))
+    assert (W, H) == (lW, lH) == (64, 64)
+    assert np.array_equal(y, ly) and np.array_equal(u, lu) \
+        and np.array_equal(v, lv)
+    assert set(np.unique(y)) != {127, 129}  # the filter had an effect
+
+
+@needs_libwebp
+def test_crafted_mode_sweep_matches_libwebp():
+    """All four 16x16 modes through the crafted all-skip path, odd
+    (non-MB-multiple) dimensions included, match libwebp."""
+    for wpx, hpx in ((48, 48), (33, 17)):
+        mb_w, mb_h = (wpx + 15) // 16, (hpx + 15) // 16
+        modes = (DC_PRED, V_PRED, H_PRED, TM_PRED)
+        ym = [[modes[(mx + my) % 4] for mx in range(mb_w)]
+              for my in range(mb_h)]
+        uv = [[modes[(mx + 2 * my) % 4] for mx in range(mb_w)]
+              for my in range(mb_h)]
+        vp8 = craft_keyframe(wpx, hpx, ym, uv, filter_level=24)
+        W, H, y, u, v = decode_vp8_yuv(vp8)
+        lW, lH, ly, lu, lv = lw_yuv(wrap_riff(vp8))
+        assert (W, H) == (lW, lH) == (wpx, hpx)
+        assert np.array_equal(y, ly) and np.array_equal(u, lu) \
+            and np.array_equal(v, lv)

@@ -640,8 +640,8 @@ def test_libwebp_handle_memoized():
 @needs_libwebp
 def test_libwebp_encode_lossy_helper():
     """native_codecs.libwebp_encode_lossy_rgb (bench corpus generator)
-    produces a real VP8 stream: seam-decodable, from-spec-rejected by
-    name."""
+    produces a real VP8 stream, decodable both through the libwebp seam
+    and (since r11) the from-spec lossy VP8 decoder."""
     from parquet_converters_spark.functions.native_codecs import (
         _libwebp_decode_rgba,
         libwebp_encode_lossy_rgb,
@@ -657,8 +657,8 @@ def test_libwebp_encode_lossy_helper():
 def test_libwebp_media_decoder_seam(spark, webp_media_df):
     """The shipped native adapter (functions/native_codecs.py) plugs
     into decode_media(decoder=...): lossless WebP decodes identically
-    to the from-spec path, and LOSSY WebP — which until r11 the from-spec table
-    rejects by name — becomes decodable."""
+    to the from-spec path, and LOSSY WebP (which also decodes from
+    spec since r11) decodes through the fast libwebp seam."""
     from parquet_converters_spark.functions.multimodal import (
         MEDIA_SCHEMA,
         _band_features,

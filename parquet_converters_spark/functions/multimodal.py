@@ -175,6 +175,12 @@ def _real_decode(payload: bytes, n_features: int) -> tuple:
         # |PCM16| -> 0..255; clamp -32768 (|s|=32768 -> 256 otherwise)
         scaled = [min(abs(s), 32767) // 128 for s in samples]
         return None, None, channels, _band_features(scaled, n_features)
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        raise NotImplementedError(
+            "TIFF has no from-spec decoder; route it through the JDK "
+            "ImageIO seam (decode_media(decoder="
+            "jdk_imageio_media_decoder()), functions/native_codecs.py)"
+        )
     raise NotImplementedError(
         "real decode supports PNG, baseline+progressive JPEG, GIF, "
         "BMP, lossless WebP (VP8L), MJPEG-in-AVI video, and PCM16 WAV "

@@ -257,8 +257,11 @@ def jdk_imageio_media_decoder():
     but PNG/BMP stay from-spec because those decoders are C-zlib /
     byte-shuffle backed and already BEAT the bridge's ~0.25 ms pipe
     round-trip — the honest swap point the seam exists to express.
-    JPEG features differ from the from-spec path within the documented
-    IDCT tolerance (±2/sample); PNG/GIF/BMP are byte-exact either way.
+    TIFF also routes to the bridge (the JDK ships a javax.imageio
+    TIFF plugin since Java 9; there is no from-spec TIFF path, so the
+    bridge is what makes the format decodable at all).  JPEG features
+    differ from the from-spec path within the documented IDCT
+    tolerance (±2/sample); PNG/GIF/BMP are byte-exact either way.
     """
     classes = _compile_imageio_bridge()  # driver-side fail fast
 
@@ -269,7 +272,11 @@ def jdk_imageio_media_decoder():
         )
 
         head = bytes(payload[:4])
-        if head[:2] == b"\xff\xd8" or head == b"GIF8":
+        if (
+            head[:2] == b"\xff\xd8"
+            or head == b"GIF8"
+            or head in (b"II*\x00", b"MM\x00*")  # TIFF, either endian
+        ):
             w, h, c, px = _bridge_decode(classes, payload)
             return w, h, c, _band_features(px, n_features)
         return _real_decode(payload, n_features)

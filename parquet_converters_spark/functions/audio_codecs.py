@@ -1,0 +1,266 @@
+"""From-spec audio decoders: G.711 (u-law/A-law), Sun AU, AIFF/AIFC.
+
+The engine's audio surface (decode_media + audio feature extraction)
+was PCM16-WAV-only through r11 — the r11 verdict ranked broader audio
+as the largest remaining multimodal hole.  This module adds the
+telephony codecs and the two classic container formats from their
+public specs:
+
+- **G.711 u-law / A-law** (ITU-T G.711): 8-bit logarithmic companding,
+  decoded by 256-entry tables built from the expansion formulas.  The
+  16-bit scaling matches the de-facto reference implementations
+  (CPython ``audioop``/sox ``st_*law2linear16`` and the JDK's
+  ``javax.sound`` converters): u-law peaks at +/-32124, A-law at
+  +/-32256 — crossvalidated for all 256 code bytes in
+  tests/test_audio_codecs.py.
+- **Sun AU** (the ``.snd`` header documented with every ``man au``):
+  big-endian header, u-law / A-law / linear PCM 8/16/24/32 payloads.
+- **AIFF / AIFC** (Apple "Audio Interchange File Format" EA IFF 85):
+  COMM + SSND chunks, 80-bit extended-precision sample rate, PCM
+  8/16/24/32; AIFC compression types ``NONE``/``sowt`` (byte-swapped
+  PCM16) / ``ulaw``/``ALAW`` decode, others are rejected by name.
+
+Every decoder returns ``(sample_rate, channels, samples)`` with
+``samples`` interleaved and normalized to PCM16 — 8-bit widens by <<8,
+24/32-bit truncate their low bits: the integer-shift convention of
+CPython ``audioop`` / sox, against which crossvalidation is EXACT.
+(The JDK's ``javax.sound`` renormalizes depth conversions through
+float instead, agreeing exactly on PCM16 and G.711 and within one
+narrow-width LSB elsewhere — both oracles are asserted in
+tests/test_audio_codecs.py.)  Malformed input raises ``ValueError``;
+unsupported-by-name modes raise ``NotImplementedError`` naming the
+mode (the untrusted-corpus decoder contract shared by the image
+codecs).
+
+Like the image codecs, pure-Python throughput is priced in SCALE.md
+and the production swap is the ``decode_media(decoder=...)`` seam —
+``jdk_sound_media_decoder`` (functions/native_codecs.py) routes these
+formats through a persistent ``javax.sound.sampled`` bridge.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+def _build_ulaw_table() -> np.ndarray:
+    # ITU-T G.711 u-law expansion: invert, split sign/exponent/mantissa,
+    # reconstruct the 14-bit magnitude on the 16-bit grid (bias 0x84)
+    out = np.empty(256, dtype=np.int16)
+    for b in range(256):
+        u = ~b & 0xFF
+        exp = (u >> 4) & 0x07
+        mant = u & 0x0F
+        s = (((mant << 3) + 0x84) << exp) - 0x84
+        out[b] = -s if u & 0x80 else s
+    return out
+
+
+def _build_alaw_table() -> np.ndarray:
+    # ITU-T G.711 A-law expansion: XOR 0x55, 13-bit magnitude scaled
+    # to 16 bits; a SET sign bit means positive in A-law
+    out = np.empty(256, dtype=np.int16)
+    for b in range(256):
+        a = b ^ 0x55
+        exp = (a >> 4) & 0x07
+        mant = a & 0x0F
+        if exp == 0:
+            s = (mant << 4) + 8
+        else:
+            s = ((mant << 4) + 0x108) << (exp - 1)
+        out[b] = s if a & 0x80 else -s
+    return out
+
+
+ULAW_TABLE = _build_ulaw_table()
+ALAW_TABLE = _build_alaw_table()
+
+#: allocation guard for untrusted headers (mirrors the image codecs'
+#: _MAX_PIXELS): 2^28 samples = 512 MiB of PCM16, far past any test or
+#: bench input, cheap insurance against hostile length fields
+_MAX_SAMPLES = 1 << 28
+
+
+def decode_g711(data: bytes, law: str) -> list[int]:
+    """Expand G.711 companded bytes to PCM16 (``law``: 'ulaw'/'alaw')."""
+    table = {"ulaw": ULAW_TABLE, "alaw": ALAW_TABLE}[law]
+    return table[np.frombuffer(data, dtype=np.uint8)].tolist()
+
+
+def _pcm_to_16(body: bytes, bits: int, big_endian: bool,
+               unsigned8: bool = False) -> list[int]:
+    """Normalize linear PCM of any standard depth to PCM16."""
+    if bits == 8:
+        if unsigned8:  # WAV convention: 8-bit is unsigned, offset 128
+            arr = np.frombuffer(body, dtype=np.uint8).astype(np.int16)
+            arr -= 128
+        else:  # AU/AIFF convention: 8-bit is signed linear
+            arr = np.frombuffer(body, dtype=np.int8).astype(np.int16)
+        return (arr << 8).tolist()
+    if bits == 16:
+        dt = ">i2" if big_endian else "<i2"
+        n = len(body) // 2
+        return np.frombuffer(body[: n * 2], dtype=dt).astype(
+            np.int16
+        ).tolist()
+    if bits == 24:
+        n = len(body) // 3
+        b = np.frombuffer(body[: n * 3], dtype=np.uint8).reshape(n, 3)
+        if big_endian:
+            hi, mid = b[:, 0], b[:, 1]
+        else:
+            hi, mid = b[:, 2], b[:, 1]
+        # PCM16 = top 16 of the 24: sign-carrying high byte + next byte
+        return (
+            (hi.astype(np.int8).astype(np.int16) << 8)
+            | mid.astype(np.int16)
+        ).tolist()
+    if bits == 32:
+        dt = ">i4" if big_endian else "<i4"
+        n = len(body) // 4
+        arr = np.frombuffer(body[: n * 4], dtype=dt).astype(np.int64)
+        return (arr >> 16).astype(np.int16).tolist()
+    raise NotImplementedError(f"PCM: unsupported sample size {bits} bits")
+
+
+# --------------------------------------------------------------------------
+# Sun AU (.snd)
+# --------------------------------------------------------------------------
+
+#: AU encoding field -> (name, handler kind).  Float encodings (6, 7)
+#: and ADPCM (23-26) are rejected by name below.
+_AU_PCM_BITS = {2: 8, 3: 16, 4: 24, 5: 32}
+
+
+def is_au(data: bytes) -> bool:
+    return data[:4] == b".snd"
+
+
+def decode_au(data: bytes) -> tuple[int, int, list[int]]:
+    """Decode a Sun AU file to ``(rate, channels, pcm16_samples)``."""
+    try:
+        return _decode_au(data)
+    except (IndexError, struct.error) as e:
+        raise ValueError(f"AU: corrupt or truncated stream ({e})") from e
+
+
+def _decode_au(data: bytes) -> tuple[int, int, list[int]]:
+    if not is_au(data):
+        raise ValueError("AU: missing .snd magic")
+    if len(data) < 24:
+        raise ValueError("AU: truncated header")
+    offset, size, enc, rate, channels = struct.unpack_from(">IIIII", data, 4)
+    if offset < 24 or offset > len(data):
+        raise ValueError("AU: bad data offset")
+    if channels == 0 or rate == 0:
+        raise ValueError("AU: zero channels or sample rate")
+    end = len(data) if size == 0xFFFFFFFF else min(len(data), offset + size)
+    body = data[offset:end]
+    if len(body) > _MAX_SAMPLES * 4:
+        raise ValueError("AU: data exceeds allocation guard")
+    if enc == 1:
+        samples = decode_g711(body, "ulaw")
+    elif enc == 27:
+        samples = decode_g711(body, "alaw")
+    elif enc in _AU_PCM_BITS:
+        samples = _pcm_to_16(body, _AU_PCM_BITS[enc], big_endian=True)
+    else:
+        raise NotImplementedError(
+            f"AU: encoding {enc} not supported (u-law=1, A-law=27, "
+            "linear PCM 8/16/24/32 = 2-5 are; float/ADPCM are not)"
+        )
+    if len(samples) % channels:
+        samples = samples[: len(samples) - len(samples) % channels]
+    return rate, channels, samples
+
+
+# --------------------------------------------------------------------------
+# AIFF / AIFC (EA IFF 85)
+# --------------------------------------------------------------------------
+
+
+def is_aiff(data: bytes) -> bool:
+    return data[:4] == b"FORM" and data[8:12] in (b"AIFF", b"AIFC")
+
+
+def _read_extended80(b: bytes) -> int:
+    """The COMM sample rate is an 80-bit IEEE 754 extended-precision
+    float; audio rates are small positive integers, decoded exactly."""
+    (se,) = struct.unpack(">H", b[:2])
+    (mant,) = struct.unpack(">Q", b[2:10])
+    exp = se & 0x7FFF
+    if mant == 0 or exp == 0:
+        return 0
+    if exp == 0x7FFF:
+        raise ValueError("AIFF: non-finite sample rate")
+    # value = mant * 2^(exp - 16383 - 63); shift onto the integer grid
+    shift = exp - 16383 - 63
+    rate = mant << shift if shift >= 0 else mant >> -shift
+    if se & 0x8000 or rate == 0 or rate > 10**9:
+        raise ValueError("AIFF: unreasonable sample rate")
+    return int(rate)
+
+
+def decode_aiff(data: bytes) -> tuple[int, int, list[int]]:
+    """Decode AIFF/AIFC to ``(rate, channels, pcm16_samples)``."""
+    try:
+        return _decode_aiff(data)
+    except (IndexError, struct.error) as e:
+        raise ValueError(f"AIFF: corrupt or truncated stream ({e})") from e
+
+
+def _decode_aiff(data: bytes) -> tuple[int, int, list[int]]:
+    if not is_aiff(data):
+        raise ValueError("AIFF: not a FORM/AIFF file")
+    is_aifc = data[8:12] == b"AIFC"
+    pos = 12
+    comm = ssnd = None
+    while pos + 8 <= len(data):
+        tag = data[pos : pos + 4]
+        (length,) = struct.unpack(">I", data[pos + 4 : pos + 8])
+        body = data[pos + 8 : pos + 8 + length]
+        if tag == b"COMM":
+            comm = body
+        elif tag == b"SSND":
+            ssnd = body
+        pos += 8 + length + (length & 1)  # chunks are word-aligned
+    if comm is None or ssnd is None:
+        raise ValueError("AIFF: missing COMM or SSND chunk")
+    if len(comm) < 18:
+        raise ValueError("AIFF: short COMM chunk")
+    channels, _nframes, bits = struct.unpack(">HIH", comm[:8])
+    rate = _read_extended80(comm[8:18])
+    if channels == 0 or rate == 0:
+        raise ValueError("AIFF: zero channels or sample rate")
+    compression = b"NONE"
+    if is_aifc:
+        if len(comm) < 22:
+            raise ValueError("AIFC: COMM missing compression type")
+        compression = comm[18:22]
+    if len(ssnd) < 8:
+        raise ValueError("AIFF: short SSND chunk")
+    (ssnd_offset,) = struct.unpack(">I", ssnd[:4])
+    body = ssnd[8 + ssnd_offset :]
+    if len(body) > _MAX_SAMPLES * 4:
+        raise ValueError("AIFF: data exceeds allocation guard")
+    comp = compression.lower().rstrip()
+    if comp == b"none":
+        samples = _pcm_to_16(body, bits, big_endian=True)
+    elif comp == b"sowt":  # little-endian PCM16 ("twos" reversed)
+        if bits != 16:
+            raise NotImplementedError("AIFC: sowt requires 16-bit PCM")
+        samples = _pcm_to_16(body, 16, big_endian=False)
+    elif comp == b"ulaw":
+        samples = decode_g711(body, "ulaw")
+    elif comp == b"alaw":
+        samples = decode_g711(body, "alaw")
+    else:
+        raise NotImplementedError(
+            f"AIFC: compression {compression!r} not supported "
+            "(NONE/sowt/ulaw/ALAW are; float32/ima4/GSM are not)"
+        )
+    if len(samples) % channels:
+        samples = samples[: len(samples) - len(samples) % channels]
+    return rate, channels, samples

@@ -331,9 +331,18 @@ def encode_wav(sample_rate: int, samples: list[int], channels: int = 1) -> bytes
 
 
 def decode_wav(data: bytes) -> tuple[int, int, list[int]]:
-    """Decode a PCM16 RIFF/WAVE file to
-    ``(sample_rate, channels, interleaved_samples)``.  Malformed input
-    raises ``ValueError``, never a bare struct/index error."""
+    """Decode a RIFF/WAVE file to
+    ``(sample_rate, channels, interleaved_pcm16_samples)``.
+
+    Formats: linear PCM 8/16/24/32 bits (format tag 1), G.711 A-law
+    (6) and u-law (7), and WAVE_FORMAT_EXTENSIBLE (0xFFFE) wrapping
+    any of those sub-formats.  16-bit passes through exactly (the
+    pre-r12 behavior, unchanged); other depths normalize to PCM16 —
+    8-bit (unsigned, offset 128) widens by <<8, 24/32-bit truncate low
+    bits — the audioop/sox integer-shift convention, crossvalidated
+    exactly in tests/test_audio_codecs.py.  Malformed input raises
+    ``ValueError``; float/ADPCM formats raise ``NotImplementedError``
+    naming the tag."""
     try:
         return _decode_wav(data)
     except (IndexError, struct.error) as e:
@@ -341,23 +350,53 @@ def decode_wav(data: bytes) -> tuple[int, int, list[int]]:
 
 
 def _decode_wav(data: bytes) -> tuple[int, int, list[int]]:
+    from parquet_converters_spark.functions.audio_codecs import (
+        _pcm_to_16,
+        decode_g711,
+    )
+
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("WAV: not a RIFF/WAVE file")
-    pos, rate, channels, samples = 12, None, None, None
+    pos, fmt, body_bytes = 12, None, None
     while pos + 8 <= len(data):
         tag = data[pos : pos + 4]
         (length,) = struct.unpack("<I", data[pos + 4 : pos + 8])
         body = data[pos + 8 : pos + 8 + length]
         if tag == b"fmt ":
-            audio_fmt, channels, rate = struct.unpack("<HHI", body[:8])
-            (bits,) = struct.unpack("<H", body[14:16])
-            if audio_fmt != 1 or bits != 16:
-                raise ValueError(
-                    f"WAV: only PCM16 supported (fmt={audio_fmt}, bits={bits})"
-                )
+            fmt = body
         elif tag == b"data":
-            samples = list(struct.unpack(f"<{len(body) // 2}h", body))
+            body_bytes = body
         pos += 8 + length + (length & 1)  # chunks are word-aligned
-    if rate is None or samples is None:
+    if fmt is None or body_bytes is None:
         raise ValueError("WAV: missing fmt or data chunk")
+    audio_fmt, channels, rate = struct.unpack("<HHI", fmt[:8])
+    (bits,) = struct.unpack("<H", fmt[14:16])
+    if audio_fmt == 0xFFFE:
+        # WAVE_FORMAT_EXTENSIBLE: the real format tag is the first two
+        # bytes of the 16-byte SubFormat GUID (cbSize >= 22)
+        if len(fmt) < 26:
+            raise ValueError("WAV: extensible fmt chunk too short")
+        (audio_fmt,) = struct.unpack("<H", fmt[24:26])
+    if channels == 0 or rate == 0:
+        raise ValueError("WAV: zero channels or sample rate")
+    if audio_fmt == 1:
+        if bits == 16:  # exact passthrough, the historical fast path
+            n = len(body_bytes) // 2
+            samples = list(struct.unpack(f"<{n}h", body_bytes[: n * 2]))
+        else:
+            samples = _pcm_to_16(
+                body_bytes, bits, big_endian=False, unsigned8=True
+            )
+    elif audio_fmt == 6:
+        samples = decode_g711(body_bytes, "alaw")
+    elif audio_fmt == 7:
+        samples = decode_g711(body_bytes, "ulaw")
+    else:
+        raise NotImplementedError(
+            f"WAV: format tag {audio_fmt} not supported (PCM=1, "
+            "A-law=6, u-law=7, and extensible wrappers of those are; "
+            "IEEE-float/ADPCM are not)"
+        )
+    if len(samples) % channels:
+        samples = samples[: len(samples) - len(samples) % channels]
     return rate, channels, samples

@@ -112,7 +112,10 @@ def _real_decode(payload: bytes, n_features: int) -> tuple:
     media_codecs.py, jpeg_codec.py, gif_codec.py, webp_codec.py,
     avi_codec.py): PNG / baseline+progressive JPEG / GIF / BMP /
     lossless-WebP images -> (w, h, channels, band-luminance features);
-    PCM16 WAV audio -> (None, None, channels, band-energy features).
+    audio (WAV: PCM 8/16/24/32 + G.711 u-law/A-law + extensible
+    wrappers; Sun AU; AIFF/AIFC incl. sowt/u-law/A-law — see
+    functions/audio_codecs.py) -> (None, None, channels, band-energy
+    features over PCM16-normalized samples).
     Other formats raise ``NotImplementedError`` naming the codec they
     need — the plumbing is format-agnostic, only the codec table is
     bounded.  MJPEG-in-AVI video (and animated GIF/WebP) decodes its
@@ -166,8 +169,23 @@ def _real_decode(payload: bytes, n_features: int) -> tuple:
             raise ValueError("AVI: no frames in movi list")
         w, h, c, pixels = decode_jpeg(frames[0])
         return w, h, c, _band_features(pixels, n_features)
+    audio = None
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
-        _rate, channels, samples = decode_wav(payload)
+        audio = decode_wav(payload)
+    else:
+        from parquet_converters_spark.functions.audio_codecs import (
+            decode_aiff,
+            decode_au,
+            is_aiff,
+            is_au,
+        )
+
+        if is_au(payload):
+            audio = decode_au(payload)
+        elif is_aiff(payload):
+            audio = decode_aiff(payload)
+    if audio is not None:
+        _rate, channels, samples = audio
         if not samples:
             # empty data chunk: zero band energy (|PCM16|=0 -> -1.0
             # after the [-1, 1] remap), not a divide-by-zero
@@ -183,9 +201,10 @@ def _real_decode(payload: bytes, n_features: int) -> tuple:
         )
     raise NotImplementedError(
         "real decode supports PNG, baseline+progressive JPEG, GIF, "
-        "BMP, lossless WebP (VP8L), MJPEG-in-AVI video, and PCM16 WAV "
-        "via the stdlib codecs (functions/media_codecs.py, "
-        "jpeg_codec.py, gif_codec.py, webp_codec.py, avi_codec.py); "
+        "BMP, WebP (lossless VP8L + lossy VP8), MJPEG-in-AVI video, "
+        "and WAV/AU/AIFF audio via the from-spec codecs "
+        "(functions/media_codecs.py, jpeg_codec.py, gif_codec.py, "
+        "webp_codec.py, vp8_codec.py, avi_codec.py, audio_codecs.py); "
         "other formats need PIL/ffmpeg (or the decoder= seam) — or "
         "pass fake=True for the deterministic stub"
     )

@@ -1,0 +1,460 @@
+"""From-spec audio codecs (functions/audio_codecs.py + decode_wav).
+
+Validation layers, mirroring the image-codec pattern:
+
+1. G.711 formula crossval: all 256 code bytes of both laws against
+   CPython ``audioop`` (the C sox-derived reference) — exact.
+2. Embedded known-answer vectors (tests/audio_fixtures.py — files
+   authored by the CPython stdlib wave/aifc/sunau writers, expected
+   PCM via audioop): exact decode with ZERO optional deps.
+3. Generator determinism: re-running scripts/make_audio_fixtures.py
+   must reproduce the committed fixture byte-for-byte (gated on the
+   authoring modules existing — they left the stdlib in 3.13).
+4. The CPython test-suite audio files present in this container
+   (externally authored, full provenance) against the stdlib readers.
+5. Live JDK ``javax.sound`` bridge crossval: PCM16 and G.711 are
+   sample-EXACT three ways (ours == audioop == JDK); PCM 8/24/32
+   bounded by the documented float-vs-shift conversion difference.
+6. Corrupt-stream sweeps: the untrusted-corpus decoder contract
+   (ValueError/NotImplementedError only).
+7. Spark-level decode_media legs: the from-spec path and the
+   ``jdk_sound_media_decoder`` seam over a mixed audio corpus.
+"""
+
+import glob
+import io
+import os
+import random
+import shutil
+import struct
+import sys
+import warnings
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(__file__))
+from audio_fixtures import VECTORS  # noqa: E402
+
+from parquet_converters_spark.functions.audio_codecs import (  # noqa: E402
+    ALAW_TABLE,
+    ULAW_TABLE,
+    _read_extended80,
+    decode_aiff,
+    decode_au,
+    decode_g711,
+    is_aiff,
+    is_au,
+)
+from parquet_converters_spark.functions.media_codecs import (  # noqa: E402
+    decode_wav,
+)
+
+try:
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        import audioop
+    HAVE_AUDIOOP = True
+except ImportError:  # pragma: no cover - removed in Python 3.13
+    audioop = None
+    HAVE_AUDIOOP = False
+
+needs_audioop = pytest.mark.skipif(not HAVE_AUDIOOP, reason="no audioop")
+needs_jdk = pytest.mark.skipif(
+    not (shutil.which("javac") and shutil.which("java")),
+    reason="JDK (java+javac) not on PATH",
+)
+
+
+def _decoder_for(name):
+    if name.startswith("wav"):
+        return decode_wav
+    if name.startswith("au"):
+        return decode_au
+    return decode_aiff
+
+
+def _signal16(n=200, seed=5):
+    out = []
+    x = 12345 + seed
+    for i in range(n):
+        x = (x * 1103515245 + 12345) & 0x7FFFFFFF
+        out.append((((x >> 7) % 65536) - 32768) * (n - i) // n)
+    return out
+
+
+def _wav_g711(fmt_tag, payload, rate=8000, channels=1):
+    fmt = struct.pack(
+        "<HHIIHH", fmt_tag, channels, rate, rate * channels, channels, 8
+    ) + struct.pack("<H", 0)
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        chunks += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+# --------------------------------------------------------------------------
+# 1. G.711 vs audioop, every code byte
+# --------------------------------------------------------------------------
+
+
+@needs_audioop
+@pytest.mark.parametrize("law", ["ulaw", "alaw"])
+def test_g711_all_256_bytes_match_audioop(law):
+    expand = audioop.ulaw2lin if law == "ulaw" else audioop.alaw2lin
+    ref = list(struct.unpack("<256h", expand(bytes(range(256)), 2)))
+    assert decode_g711(bytes(range(256)), law) == ref
+
+
+def test_g711_tables_properties():
+    """Spec invariants that hold with zero deps: peak magnitudes and
+    the ~0 codes."""
+    assert int(ULAW_TABLE.max()) == 32124 and int(ULAW_TABLE.min()) == -32124
+    assert int(ALAW_TABLE.max()) == 32256 and int(ALAW_TABLE.min()) == -32256
+    assert ULAW_TABLE[0xFF] == 0  # u-law 0xFF is +0
+    assert set(abs(int(v)) for v in ALAW_TABLE) == set(
+        abs(int(v)) for v in -ALAW_TABLE
+    )
+
+
+# --------------------------------------------------------------------------
+# 2. embedded vectors (zero deps)
+# --------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("name", sorted(VECTORS))
+def test_embedded_vector_exact(name):
+    v = VECTORS[name]
+    rate, channels, samples = _decoder_for(name)(v["payload"])
+    assert (rate, channels) == (v["rate"], v["channels"])
+    assert samples == v["pcm16"]
+
+
+def test_fixture_generator_deterministic(tmp_path):
+    """Regenerating the fixture module reproduces the committed bytes
+    (provenance is real, not hand-edited)."""
+    pytest.importorskip("aifc")
+    pytest.importorskip("sunau")
+    import subprocess
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    work = tmp_path / "repo"
+    (work / "tests").mkdir(parents=True)
+    (work / "scripts").mkdir()
+    shutil.copy(
+        os.path.join(here, "scripts/make_audio_fixtures.py"),
+        work / "scripts/make_audio_fixtures.py",
+    )
+    subprocess.run(
+        [sys.executable, "scripts/make_audio_fixtures.py"],
+        cwd=work,
+        check=True,
+        env={**os.environ, "PYTHONPATH": here},
+        capture_output=True,
+    )
+    regenerated = (work / "tests/audio_fixtures.py").read_bytes()
+    committed = open(os.path.join(here, "tests/audio_fixtures.py"),
+                     "rb").read()
+    assert regenerated == committed
+
+
+# --------------------------------------------------------------------------
+# 4. externally-authored CPython test-suite files (when present)
+# --------------------------------------------------------------------------
+
+_CPY_AUDIO_DIRS = [
+    "/root/.pyenv/versions/3.7.16/lib/python3.7/test/audiodata",
+    "/root/.pyenv/versions/3.13.0/lib/python3.13/test/audiodata",
+]
+
+
+def _cpython_files(suffixes):
+    out = []
+    for d in _CPY_AUDIO_DIRS:
+        out += sorted(glob.glob(os.path.join(d, "*")))
+    return [f for f in out if f.endswith(suffixes)]
+
+
+@needs_audioop
+def test_cpython_wav_fixtures_match_stdlib():
+    files = _cpython_files((".wav",))
+    if not files:
+        pytest.skip("CPython audiodata not present")
+    import wave
+
+    checked = 0
+    for path in files:
+        data = open(path, "rb").read()
+        if path.endswith("-ext.wav"):
+            # the stdlib oracle cannot read WAVE_FORMAT_EXTENSIBLE;
+            # its non-ext twin carries the same audio
+            twin = decode_wav(open(path.replace("-ext", ""), "rb").read())
+            assert decode_wav(data) == twin
+            checked += 1
+            continue
+        w = wave.open(io.BytesIO(data))
+        frames = w.readframes(w.getnframes())
+        sw = w.getsampwidth()
+        if sw == 1:
+            frames = audioop.bias(frames, 1, -128)
+        exp = list(
+            struct.unpack(
+                f"<{len(audioop.lin2lin(frames, sw, 2)) // 2}h",
+                audioop.lin2lin(frames, sw, 2),
+            )
+        )
+        rate, channels, samples = decode_wav(data)
+        assert (rate, channels) == (w.getframerate(), w.getnchannels())
+        assert samples == exp, path
+        checked += 1
+    assert checked >= 4
+
+
+@needs_audioop
+def test_cpython_aiff_and_au_fixtures_match_stdlib():
+    files = _cpython_files((".aiff", ".aifc", ".au"))
+    if not files:
+        pytest.skip("CPython audiodata not present")
+    aifc = pytest.importorskip("aifc")
+    sunau = pytest.importorskip("sunau")
+    checked = 0
+    for path in files:
+        data = open(path, "rb").read()
+        if path.endswith(".au"):
+            a = sunau.open(io.BytesIO(data))
+            dec = decode_au
+        else:
+            a = aifc.open(io.BytesIO(data))
+            dec = decode_aiff
+        frames = a.readframes(a.getnframes())
+        comp = a.getcomptype()
+        comp = comp.encode() if isinstance(comp, str) else comp
+        sw = a.getsampwidth()
+        if comp in (b"ulaw", b"ULAW", b"alaw", b"ALAW"):
+            # both readers hand back already-expanded native PCM16
+            exp = list(struct.unpack(f"<{len(frames) // 2}h", frames))
+        else:
+            if path.endswith(".au") or comp == b"NONE":
+                if sw > 1:
+                    frames = audioop.byteswap(frames, sw)
+            w16 = audioop.lin2lin(frames, sw, 2)
+            exp = list(struct.unpack(f"<{len(w16) // 2}h", w16))
+        rate, channels, samples = dec(data)
+        assert (rate, channels) == (a.getframerate(), a.getnchannels())
+        assert samples == exp, path
+        checked += 1
+    assert checked >= 6
+
+
+# --------------------------------------------------------------------------
+# 5. JDK javax.sound bridge crossval
+# --------------------------------------------------------------------------
+
+
+@needs_jdk
+def test_jdk_bridge_exact_on_pcm16_and_g711_vectors():
+    from parquet_converters_spark.functions.native_codecs import (
+        _audio_bridge_decode,
+        _compile_audio_bridge,
+    )
+
+    classes = _compile_audio_bridge()
+    exact = ("wav_pcm16", "au_pcm16", "aiff_pcm16", "au_ulaw",
+             "aifc_ulaw")
+    for name in exact:
+        v = VECTORS[name]
+        rate, channels, samples = _audio_bridge_decode(
+            classes, v["payload"]
+        )
+        assert (rate, channels) == (v["rate"], v["channels"]), name
+        assert samples == v["pcm16"], name
+
+
+@needs_jdk
+def test_jdk_bridge_depth_conversions_within_one_narrow_lsb():
+    """PCM 8/24/32: the JDK renormalizes through float where we (and
+    audioop/sox) integer-shift — documented, bounded by one LSB of the
+    narrow width."""
+    from parquet_converters_spark.functions.native_codecs import (
+        _audio_bridge_decode,
+        _compile_audio_bridge,
+    )
+
+    classes = _compile_audio_bridge()
+    for name, bits in (("wav_pcm8", 8), ("wav_pcm24", 24),
+                       ("wav_pcm32", 32), ("au_pcm24", 24),
+                       ("aiff_pcm32", 32)):
+        v = VECTORS[name]
+        rate, channels, samples = _audio_bridge_decode(
+            classes, v["payload"]
+        )
+        assert (rate, channels) == (v["rate"], v["channels"]), name
+        tol = 256 if bits == 8 else 1
+        worst = max(abs(a - b) for a, b in zip(samples, v["pcm16"]))
+        assert worst <= tol, (name, worst)
+
+
+@needs_jdk
+@needs_audioop
+@pytest.mark.parametrize("law,tag", [("ulaw", 7), ("alaw", 6)])
+def test_g711_wav_three_way_exact(law, tag):
+    """ours == audioop == JDK, sample for sample, on G.711 WAV (the
+    format the stdlib writers cannot author: header crafted around an
+    audioop-companded payload)."""
+    from parquet_converters_spark.functions.native_codecs import (
+        _audio_bridge_decode,
+        _compile_audio_bridge,
+    )
+
+    frames16 = struct.pack("<200h", *_signal16(200, seed=61))
+    conv = audioop.lin2ulaw if law == "ulaw" else audioop.lin2alaw
+    expand = audioop.ulaw2lin if law == "ulaw" else audioop.alaw2lin
+    comp = conv(frames16, 2)
+    wav = _wav_g711(tag, comp)
+    exp = list(struct.unpack("<200h", expand(comp, 2)))
+    assert decode_wav(wav) == (8000, 1, exp)
+    assert _audio_bridge_decode(_compile_audio_bridge(), wav) == (
+        8000, 1, exp,
+    )
+
+
+# --------------------------------------------------------------------------
+# 6. corrupt-stream sweeps + header edge cases
+# --------------------------------------------------------------------------
+
+
+def test_extended80_sample_rates():
+    def enc80(rate):
+        # encode a positive integer as 80-bit extended (normalized)
+        e = rate.bit_length() - 1
+        mant = rate << (63 - e)
+        return struct.pack(">HQ", 16383 + e, mant)
+
+    for rate in (1, 8000, 11025, 22050, 44100, 48000, 96000):
+        assert _read_extended80(enc80(rate)) == rate
+    with pytest.raises(ValueError):
+        _read_extended80(struct.pack(">HQ", 0x7FFF, 1 << 63))  # inf/nan
+    with pytest.raises(ValueError):
+        _read_extended80(struct.pack(">HQ", 0x8000 | 16395, 1 << 63))  # neg
+    assert _read_extended80(struct.pack(">HQ", 0, 0)) == 0
+
+
+def test_rejected_by_name_modes():
+    # AU float encoding
+    au = b".snd" + struct.pack(">IIIII", 24, 8, 6, 8000, 1) + b"\x00" * 8
+    with pytest.raises(NotImplementedError, match="AU: encoding 6"):
+        decode_au(au)
+    # AIFC ima4 compression
+    v = VECTORS["aifc_ulaw"]["payload"]
+    patched = v.replace(b"ulaw", b"ima4", 1)
+    with pytest.raises(NotImplementedError, match="ima4"):
+        decode_aiff(patched)
+    # WAV IEEE float format tag
+    wav = _wav_g711(3, b"\x00" * 8)
+    with pytest.raises(NotImplementedError, match="format tag 3"):
+        decode_wav(wav)
+
+
+@pytest.mark.parametrize("name", ["wav_pcm16", "au_ulaw", "aifc_sowt",
+                                  "aiff_pcm24"])
+def test_corrupt_streams_raise_clean_errors(name):
+    data = VECTORS[name]["payload"]
+    dec = _decoder_for(name)
+    rng = random.Random(hash(name) & 0xFFFF)
+    cases = [data[:n] for n in (3, 7, 11, 23, len(data) // 2)]
+    for _ in range(150):
+        mutated = bytearray(data)
+        for _ in range(rng.randrange(1, 4)):
+            mutated[rng.randrange(len(mutated))] = rng.randrange(256)
+        cases.append(bytes(mutated))
+    for case in cases:
+        try:
+            dec(case)
+        except (ValueError, NotImplementedError):
+            pass
+
+
+def test_magic_sniffers():
+    assert is_au(VECTORS["au_pcm16"]["payload"])
+    assert is_aiff(VECTORS["aiff_pcm16"]["payload"])
+    assert is_aiff(VECTORS["aifc_sowt"]["payload"])
+    assert not is_au(VECTORS["wav_pcm16"]["payload"])
+    assert not is_aiff(b"FORM\x00\x00\x00\x04JUNK")
+
+
+# --------------------------------------------------------------------------
+# 7. Spark-level decode_media legs
+# --------------------------------------------------------------------------
+
+
+def _audio_df(spark):
+    from parquet_converters_spark.functions.multimodal import MEDIA_SCHEMA
+
+    names = ["wav_pcm16", "wav_pcm8", "au_ulaw", "aiff_pcm24",
+             "aifc_alaw", "aifc_sowt"]
+    rows = [
+        (400 + i, "audio", bytearray(VECTORS[n]["payload"]),
+         "audio/" + n.split("_")[0], len(VECTORS[n]["payload"]))
+        for i, n in enumerate(names)
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA), names
+
+
+def _expected_features(name, n_features):
+    import numpy as np
+
+    from parquet_converters_spark.functions.multimodal import (
+        _band_features,
+    )
+
+    samples = VECTORS[name]["pcm16"]
+    scaled = [min(abs(s), 32767) // 128 for s in samples]
+    return [float(np.float32(f))
+            for f in _band_features(scaled, n_features)]
+
+
+def test_decode_media_fromspec_audio_formats(spark):
+    from parquet_converters_spark.functions.multimodal import decode_media
+
+    df, names = _audio_df(spark)
+    rows = {r["media_id"]: r
+            for r in decode_media(df, n_features=4).collect()}
+    assert len(rows) == len(names)
+    for i, name in enumerate(names):
+        r = rows[400 + i]
+        assert r["width"] is None and r["height"] is None
+        assert r["channels"] == VECTORS[name]["channels"]
+        assert r["features"] == _expected_features(name, 4), name
+
+
+@needs_jdk
+def test_decode_media_jdk_sound_seam(spark):
+    """The audio seam adapter: WAV/AU/AIFF route through the
+    javax.sound bridge (exact features on PCM16/G.711), AIFC
+    alaw/sowt route back to the from-spec path (the JDK cannot read
+    them), and image payloads fall through to the from-spec table."""
+    from parquet_converters_spark.functions.media_codecs import encode_png
+    from parquet_converters_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        decode_media,
+    )
+    from parquet_converters_spark.functions.native_codecs import (
+        jdk_sound_media_decoder,
+    )
+
+    df, names = _audio_df(spark)
+    png = encode_png(5, 4, 3, bytes(range(60)))
+    extra = df.sparkSession.createDataFrame(
+        [(499, "image", bytearray(png), "image/png", len(png))],
+        MEDIA_SCHEMA,
+    )
+    got = decode_media(df.unionAll(extra), n_features=4,
+                       decoder=jdk_sound_media_decoder())
+    rows = {r["media_id"]: r for r in got.collect()}
+    assert len(rows) == len(names) + 1
+    # G.711 + PCM16 formats and the from-spec-routed AIFC legs: exact
+    for i, name in enumerate(names):
+        if name in ("wav_pcm8", "aiff_pcm24"):
+            continue  # depth conversions differ by documented <=1 LSB
+        assert rows[400 + i]["features"] == _expected_features(name, 4), name
+    assert (rows[499]["width"], rows[499]["height"]) == (5, 4)

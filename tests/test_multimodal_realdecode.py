@@ -182,11 +182,14 @@ def test_decode_media_unsupported_format_raises(spark, media_df):
 
     from parquet_converters_spark.functions.multimodal import decode_media
 
-    # TIFF: a real format deliberately outside the codec table (GIF and
-    # BMP both moved INTO the table during r9)
-    bad = media_df.withColumn("payload", F.lit(bytearray(b"II*\x00....")))
+    # Ogg: a real format outside the codec table (TIFF — the previous
+    # example here — now rejects by name pointing at the JDK seam)
+    bad = media_df.withColumn("payload", F.lit(bytearray(b"OggS....")))
     with pytest.raises(Exception, match="need PIL/ffmpeg"):
         decode_media(bad).collect()
+    tiff = media_df.withColumn("payload", F.lit(bytearray(b"II*\x00....")))
+    with pytest.raises(Exception, match="ImageIO seam"):
+        decode_media(tiff).collect()
 
 
 def test_resize_media_real_path(spark, media_df):
@@ -1189,22 +1192,22 @@ def test_jdk_imageio_bridge_pixel_cap_guard():
     bomb = struct.pack(">b", 0) + struct.pack(">ii", 30000, 30000) \
         + struct.pack(">b", 3) + b"\x00" * 64
     fake = _FakeProc(bomb)
-    nc._BRIDGE_PROCS[os.getpid()] = fake
+    nc._BRIDGE_PROCS[(os.getpid(), "ImageIoBridge")] = fake
     try:
         with pytest.raises(ValueError, match="allocation guard"):
             nc._bridge_decode({}, b"payload")
         assert fake.killed, "desynced bridge must be dropped"
-        assert os.getpid() not in nc._BRIDGE_PROCS
+        assert (os.getpid(), "ImageIoBridge") not in nc._BRIDGE_PROCS
         # bad channel count takes the same guard
         bad_c = struct.pack(">b", 0) + struct.pack(">ii", 4, 4) \
             + struct.pack(">b", 7)
         fake2 = _FakeProc(bad_c)
-        nc._BRIDGE_PROCS[os.getpid()] = fake2
+        nc._BRIDGE_PROCS[(os.getpid(), "ImageIoBridge")] = fake2
         with pytest.raises(ValueError, match="allocation guard"):
             nc._bridge_decode({}, b"payload")
         assert fake2.killed
     finally:
-        nc._BRIDGE_PROCS.pop(os.getpid(), None)
+        nc._BRIDGE_PROCS.pop((os.getpid(), "ImageIoBridge"), None)
 
 
 def test_jdk_imageio_bridge_tempdir_reused_and_stderr_silenced():
@@ -1222,13 +1225,14 @@ def test_jdk_imageio_bridge_tempdir_reused_and_stderr_silenced():
     classes = nc._compile_imageio_bridge()
     proc1 = nc._bridge_proc(classes)
     assert proc1.stderr is None  # DEVNULL: no inherited stderr pipe
-    d1 = nc._BRIDGE_DIRS[os.getpid()]
+    d1 = nc._BRIDGE_DIRS[(os.getpid(), "ImageIoBridge")]
     assert os.path.isdir(d1)
     proc1.kill()
     proc1.wait()
     proc2 = nc._bridge_proc(classes)  # respawn after crash
     assert proc2 is not proc1 and proc2.poll() is None
-    assert nc._BRIDGE_DIRS[os.getpid()] == d1, "class dir must be reused"
+    assert nc._BRIDGE_DIRS[(os.getpid(), "ImageIoBridge")] == d1, \
+        "class dir must be reused"
     # and the respawned bridge actually works
     from parquet_converters_spark.functions.media_codecs import encode_png
 

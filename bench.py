@@ -280,6 +280,101 @@ def bench_webp_seam(spark, timed_runs: int) -> dict[str, float]:
     return out
 
 
+def bench_audio_seam(spark, timed_runs: int) -> dict[str, float]:
+    """Time decode_media across the r12 audio surface: a 64-file FLAC
+    corpus through the from-spec RFC 9639 decoder, and a 64-file
+    G.711+PCM16 WAV corpus through both the from-spec path and the
+    javax.sound bridge seam.  The FLAC corpus is authored by the
+    independent test-side encoder (tests/flac_craft.py — the only FLAC
+    writer in this container); corpus build is untimed, rows are
+    sf-independent codec throughput like the webp/jpeg trio."""
+    import os
+    import sys
+
+    from parquet_converters_spark.functions.audio_codecs import (
+        encode_wav_g711,
+    )
+    from parquet_converters_spark.functions.media_codecs import encode_wav
+    from parquet_converters_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        decode_media,
+    )
+
+    def smooth(n, seed, amp=20000):
+        out, acc, x = [], 0, seed
+        for _ in range(n):
+            x = (x * 1103515245 + 12345) & 0x7FFFFFFF
+            acc += ((x >> 7) % (amp // 4)) - (amp // 8)
+            out.append(max(-amp, min(amp - 1, acc)))
+        return out
+
+    def timed(fn):
+        fn()
+        best = float("inf")
+        for _ in range(timed_runs):
+            t0 = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 3)
+
+    out: dict[str, float] = {}
+    n_samples = 8000  # 1 s of 8 kHz mono per file
+    wavs = []
+    for i in range(64):
+        pcm = smooth(n_samples, 100 + i)
+        if i % 4 == 0:
+            payload = encode_wav(8000, pcm)
+        else:
+            law = "ulaw" if i % 2 else "alaw"
+            payload = encode_wav_g711(8000, pcm, law)
+        wavs.append((i, "audio", bytearray(payload), "audio/wav", 0))
+    df_w = spark.createDataFrame(wavs, MEDIA_SCHEMA).repartition(32)
+    df_w.persist().count()
+    out["audio_wav_decode_fromspec"] = timed(
+        lambda: decode_media(df_w, n_features=4)
+        .write.format("noop").mode("overwrite").save()
+    )
+    try:
+        from parquet_converters_spark.functions.native_codecs import (
+            jdk_sound_media_decoder,
+        )
+
+        sdec = jdk_sound_media_decoder()
+        out["audio_wav_decode_jdk_seam"] = timed(
+            lambda: decode_media(df_w, n_features=4, decoder=sdec)
+            .write.format("noop").mode("overwrite").save()
+        )
+    except Exception:
+        pass  # no javac on this box: skip the JDK row
+    df_w.unpersist()
+
+    # FLAC corpus: the crafter lives in tests/ (it is test
+    # infrastructure — the engine decodes FLAC, it does not write it)
+    try:
+        sys.path.insert(0, os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "tests"))
+        from flac_craft import encode_flac
+    except Exception:
+        return out  # no crafter available: skip the FLAC row
+    flacs = [
+        (200 + i, "audio",
+         bytearray(encode_flac(
+             [smooth(n_samples, 200 + i)], 8000, 16,
+             modes=[("fixed", 2)], block_size=1024,
+         )),
+         "audio/flac", 0)
+        for i in range(64)
+    ]
+    df_f = spark.createDataFrame(flacs, MEDIA_SCHEMA).repartition(32)
+    df_f.persist().count()
+    out["flac_decode_fromspec"] = timed(
+        lambda: decode_media(df_f, n_features=4)
+        .write.format("noop").mode("overwrite").save()
+    )
+    df_f.unpersist()
+    return out
+
+
 def bench_hdf5_parallel(spark, sf_dir: str, timed_runs: int) -> dict[str, float]:
     """Time the one genuinely custom physical component — the parallel
     SONATA HDF5 export (per-partition pwrite at precomputed offsets) and
@@ -381,6 +476,7 @@ def main() -> None:
 
     times.update(bench_hdf5_parallel(spark, sf_dir, timed_runs))
     times.update(bench_webp_seam(spark, timed_runs))
+    times.update(bench_audio_seam(spark, timed_runs))
 
     total = round(sum(times.values()), 3)
     # Two lines, detail FIRST: the full per-query line is 100+ entries

@@ -89,6 +89,62 @@ def decode_g711(data: bytes, law: str) -> list[int]:
     return table[np.frombuffer(data, dtype=np.uint8)].tolist()
 
 
+_ULAW_SEG_END = np.array(
+    [0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF, 0x1FFF], dtype=np.int64
+)
+_ALAW_SEG_END = np.array(
+    [0x1F, 0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF], dtype=np.int64
+)
+
+
+def encode_g711(samples, law: str) -> bytes:
+    """Compress PCM16 samples to G.711 bytes (``law``: 'ulaw'/'alaw').
+
+    The ITU-T G.711 segment-compand algorithm, vectorized; agrees with
+    CPython ``audioop.lin2ulaw``/``lin2alaw`` (the C sox-derived
+    reference) for every 16-bit input value
+    (tests/test_audio_codecs.py sweeps all 65536)."""
+    s = np.asarray(samples, dtype=np.int64)
+    if law == "ulaw":
+        v = s >> 2  # compand in the 14-bit domain
+        neg = v < 0
+        mask = np.where(neg, 0x7F, 0xFF)
+        mag = np.minimum(np.where(neg, -v, v), 8159) + 33  # bias 0x84>>2
+        seg = np.searchsorted(_ULAW_SEG_END, mag, side="left")
+        uval = (seg << 4) | ((mag >> (seg + 1)) & 0xF)
+        out = np.where(seg >= 8, 0x7F, uval) ^ mask
+    elif law == "alaw":
+        v = s >> 3  # compand in the 13-bit domain
+        neg = v < 0
+        mask = np.where(neg, 0x55, 0xD5)
+        mag = np.where(neg, -v - 1, v)
+        seg = np.searchsorted(_ALAW_SEG_END, mag, side="left")
+        low = np.where(
+            seg < 2, (mag >> 1) & 0xF, (mag >> np.maximum(seg, 1)) & 0xF
+        )
+        out = np.where(seg >= 8, 0x7F, (seg << 4) | low) ^ mask
+    else:
+        raise ValueError(f"G.711: unknown law {law!r}")
+    return out.astype(np.uint8).tobytes()
+
+
+def encode_wav_g711(sample_rate: int, samples, law: str,
+                    channels: int = 1) -> bytes:
+    """A G.711 RIFF/WAVE file (format tag 7 u-law / 6 A-law) from
+    PCM16 samples — the companion sink to decode_wav's G.711 legs."""
+    payload = encode_g711(samples, law)
+    tag = {"ulaw": 7, "alaw": 6}[law]
+    fmt = struct.pack(
+        "<HHIIHH", tag, channels, sample_rate, sample_rate * channels,
+        channels, 8,
+    ) + struct.pack("<H", 0)
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        chunks += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
 def _pcm_to_16(body: bytes, bits: int, big_endian: bool,
                unsigned8: bool = False) -> list[int]:
     """Normalize linear PCM of any standard depth to PCM16."""

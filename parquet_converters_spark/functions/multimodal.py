@@ -113,9 +113,9 @@ def _real_decode(payload: bytes, n_features: int) -> tuple:
     avi_codec.py): PNG / baseline+progressive JPEG / GIF / BMP /
     lossless-WebP images -> (w, h, channels, band-luminance features);
     audio (WAV: PCM 8/16/24/32 + G.711 u-law/A-law + extensible
-    wrappers; Sun AU; AIFF/AIFC incl. sowt/u-law/A-law — see
-    functions/audio_codecs.py) -> (None, None, channels, band-energy
-    features over PCM16-normalized samples).
+    wrappers; Sun AU; AIFF/AIFC incl. sowt/u-law/A-law; FLAC — see
+    functions/audio_codecs.py, flac_codec.py) -> (None, None,
+    channels, band-energy features over PCM16-normalized samples).
     Other formats raise ``NotImplementedError`` naming the codec they
     need — the plumbing is format-agnostic, only the codec table is
     bounded.  MJPEG-in-AVI video (and animated GIF/WebP) decodes its
@@ -184,6 +184,12 @@ def _real_decode(payload: bytes, n_features: int) -> tuple:
             audio = decode_au(payload)
         elif is_aiff(payload):
             audio = decode_aiff(payload)
+        elif payload[:4] == b"fLaC":
+            from parquet_converters_spark.functions.flac_codec import (
+                decode_flac,
+            )
+
+            audio = decode_flac(payload)
     if audio is not None:
         _rate, channels, samples = audio
         if not samples:

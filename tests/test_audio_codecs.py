@@ -458,3 +458,57 @@ def test_decode_media_jdk_sound_seam(spark):
             continue  # depth conversions differ by documented <=1 LSB
         assert rows[400 + i]["features"] == _expected_features(name, 4), name
     assert (rows[499]["width"], rows[499]["height"]) == (5, 4)
+
+# --------------------------------------------------------------------------
+# 8. G.711 encoders
+# --------------------------------------------------------------------------
+
+
+@needs_audioop
+@pytest.mark.parametrize("law", ["ulaw", "alaw"])
+def test_encode_g711_all_65536_match_audioop(law):
+    import numpy as np
+
+    from parquet_converters_spark.functions.audio_codecs import encode_g711
+
+    all16 = np.arange(-32768, 32768, dtype=np.int16)
+    conv = audioop.lin2ulaw if law == "ulaw" else audioop.lin2alaw
+    assert encode_g711(all16, law) == conv(all16.tobytes(), 2)
+
+
+@pytest.mark.parametrize("law", ["ulaw", "alaw"])
+def test_g711_roundtrip_is_company_idempotent(law):
+    """compand -> expand -> compand is a fixed point (the standard
+    G.711 idempotence property), with zero deps."""
+    from parquet_converters_spark.functions.audio_codecs import (
+        decode_g711,
+        encode_g711,
+    )
+
+    first = encode_g711(_signal16(500, seed=71), law)
+    expanded = decode_g711(first, law)
+    assert encode_g711(expanded, law) == first
+
+
+@needs_jdk
+@pytest.mark.parametrize("law", ["ulaw", "alaw"])
+def test_encode_wav_g711_reads_back_everywhere(law):
+    """Our G.711 WAV sink decodes identically through our own decoder
+    and through the JDK (an external reader of our bytes)."""
+    from parquet_converters_spark.functions.audio_codecs import (
+        decode_g711,
+        encode_g711,
+        encode_wav_g711,
+    )
+    from parquet_converters_spark.functions.native_codecs import (
+        _audio_bridge_decode,
+        _compile_audio_bridge,
+    )
+
+    pcm = _signal16(400, seed=73)
+    wav = encode_wav_g711(8000, pcm, law, channels=2)
+    exp = decode_g711(encode_g711(pcm, law), law)
+    assert decode_wav(wav) == (8000, 2, exp)
+    assert _audio_bridge_decode(_compile_audio_bridge(), wav) == (
+        8000, 2, exp,
+    )

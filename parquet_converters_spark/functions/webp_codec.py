@@ -1300,7 +1300,7 @@ def _encode_standard(
         px = _cross_color_residuals(px, *cte)
     tokens = _lz77_tokens(px) if use_lz77 else [("lit", p) for p in px]
 
-    def serialize(cache_bits):
+    def serialize(cache_bits, meta_bits=None):
         bw = _Bw()
         _vp8l_header(bw, width, height, has_alpha)
         if subtract_green:
@@ -1331,14 +1331,45 @@ def _encode_standard(
             cte_px = 0xFF000000 | (r2b << 16) | (g2b << 8) | g2r
             _write_coded_image(bw, [cte_px] * (sw * sh), False, False)
         bw.bits(0, 1)  # end of transforms
-        _write_coded_image(bw, px, True, use_lz77, cache_bits, tokens)
+        if meta_bits is not None:
+            if not _write_coded_image_meta(
+                bw, px, width, height, meta_bits, cache_bits, tokens
+            ):
+                return None  # clustering collapsed: flat is smaller
+        else:
+            _write_coded_image(bw, px, True, use_lz77, cache_bits, tokens)
         return bw.flush()
 
     # one LZ77 pass, two serializations: with and without a color
     # cache — the smaller wins (ties keep cache-free)
     best = serialize(0)
     cand = serialize(8)
-    return cand if len(cand) < len(best) else best
+    best = cand if len(cand) < len(best) else best
+    # r12: per-tile meta prefix codes — the remaining density headroom
+    # the r11 verdict named.  Candidate tile sizes, capped so the
+    # entropy image stays small; accepted only on a >1% real-size win
+    # (the established transform gate) so existing content stays
+    # byte-identical.
+    if use_lz77 and width * height >= 1024:
+        for meta_bits in _meta_bits_candidates(width, height):
+            for cb in (0, 8):
+                m = serialize(cb, meta_bits=meta_bits)
+                if m is not None and len(m) < 0.99 * len(best):
+                    best = m
+    return best
+
+
+def _meta_bits_candidates(width, height):
+    """Tile-size exponents to try: 16-px and 32-px tiles, raised until
+    the entropy image has at most 256 tiles, deduplicated."""
+    out = []
+    for base in (4, 5):
+        bits = base
+        while _subsample(width, bits) * _subsample(height, bits) > 256:
+            bits += 1
+        if bits <= 9 and bits not in out:
+            out.append(bits)
+    return out
 
 
 def _encode_palette(width, height, orig, distinct, has_alpha, use_lz77):
@@ -1525,6 +1556,101 @@ def _pick_predictor(px, w, h):
     return best_mode
 
 
+def _resolve_ops(px, tokens, cache_bits):
+    """Token stream -> pre-resolved emit ops with their start pixel
+    positions (the position selects the meta-prefix tile, when any)."""
+    cache = [None] * (1 << cache_bits) if cache_bits else None
+    pos = 0  # position in px, advanced token by token (cache inserts)
+    emit = []
+    op_pos = []
+    for t in tokens:
+        if t[0] == "lit":
+            p = t[1]
+            op_pos.append(pos)
+            if cache is not None:
+                slot = _cache_key(p, cache_bits)
+                if cache[slot] == p:
+                    emit.append(("cacheref", 280 + slot))
+                    pos += 1
+                    continue
+                cache[slot] = p
+            g = (p >> 8) & 0xFF
+            r = (p >> 16) & 0xFF
+            b = p & 0xFF
+            a = p >> 24
+            emit.append(("lit", g, r, b, a))
+            pos += 1
+        else:
+            _, length, dist = t
+            ls, lev, len_ = _prefix_encode(length)
+            ds, dev, den = _prefix_encode(dist + 120)
+            op_pos.append(pos)
+            emit.append(("copy", 256 + ls, lev, len_, ds, dev, den))
+            if cache is not None:
+                for i in range(pos, pos + length):
+                    cache[_cache_key(px[i], cache_bits)] = px[i]
+            pos += length
+    return emit, op_pos
+
+
+def _op_histograms(ops):
+    """Accumulate the five per-tree symbol histograms for a set of
+    emit ops."""
+    gf: dict[int, int] = {}
+    rf: dict[int, int] = {}
+    bf: dict[int, int] = {}
+    af: dict[int, int] = {}
+    df: dict[int, int] = {}
+    for op in ops:
+        if op[0] == "lit":
+            _, g, r, b, a = op
+            gf[g] = gf.get(g, 0) + 1
+            rf[r] = rf.get(r, 0) + 1
+            bf[b] = bf.get(b, 0) + 1
+            af[a] = af.get(a, 0) + 1
+        elif op[0] == "cacheref":
+            gf[op[1]] = gf.get(op[1], 0) + 1
+        else:
+            gf[op[1]] = gf.get(op[1], 0) + 1
+            df[op[4]] = df.get(op[4], 0) + 1
+    return [gf, rf, bf, af, df]
+
+
+def _write_group_codes(bw, hists, cache_bits):
+    """Serialize one group's five prefix codes; return the code maps."""
+    gf, rf, bf, af, df = hists
+    green_alphabet = 256 + 24 + ((1 << cache_bits) if cache_bits else 0)
+    return (
+        _write_prefix_code(bw, _huffman_lengths(gf or {0: 1}, 15),
+                           green_alphabet),
+        _write_prefix_code(bw, _huffman_lengths(rf or {0: 1}, 15), 256),
+        _write_prefix_code(bw, _huffman_lengths(bf or {0: 1}, 15), 256),
+        _write_prefix_code(bw, _huffman_lengths(af or {255: 1}, 15), 256),
+        _write_prefix_code(bw, _huffman_lengths(df or {0: 1}, 15), 40),
+    )
+
+
+def _emit_ops(bw, ops, codes_per_op):
+    for op, codes in zip(ops, codes_per_op):
+        g_codes, r_codes, b_codes, a_codes, d_codes = codes
+        if op[0] == "lit":
+            _, g, r, b, a = op
+            bw.huff(*g_codes[g])
+            bw.huff(*r_codes[r])
+            bw.huff(*b_codes[b])
+            bw.huff(*a_codes[a])
+        elif op[0] == "cacheref":
+            bw.huff(*g_codes[op[1]])
+        else:
+            _, gsym, lev, len_, ds, dev, den = op
+            bw.huff(*g_codes[gsym])
+            if len_:
+                bw.bits(lev, len_)
+            bw.huff(*d_codes[ds])
+            if den:
+                bw.bits(dev, den)
+
+
 def _write_coded_image(bw, px, level0, use_lz77, cache_bits=0, tokens=None):
     """One spatially-coded image: cache bit, meta bit (level 0 only),
     the five prefix codes, then the token stream.  ``cache_bits`` > 0
@@ -1542,76 +1668,115 @@ def _write_coded_image(bw, px, level0, use_lz77, cache_bits=0, tokens=None):
         tokens = (
             _lz77_tokens(px) if use_lz77 else [("lit", p) for p in px]
         )
-    cache = [None] * (1 << cache_bits) if cache_bits else None
-    pos = 0  # position in px, advanced token by token (cache inserts)
-    gf: dict[int, int] = {}
-    rf: dict[int, int] = {}
-    bf: dict[int, int] = {}
-    af: dict[int, int] = {}
-    df: dict[int, int] = {}
-    emit = []  # pre-resolved (tree_id, sym, extra_val, extra_bits) ops
-    for t in tokens:
-        if t[0] == "lit":
-            p = t[1]
-            if cache is not None:
-                slot = _cache_key(p, cache_bits)
-                if cache[slot] == p:
-                    sym = 280 + slot
-                    gf[sym] = gf.get(sym, 0) + 1
-                    emit.append(("cacheref", sym))
-                    pos += 1
-                    continue
-                cache[slot] = p
-            g = (p >> 8) & 0xFF
-            r = (p >> 16) & 0xFF
-            b = p & 0xFF
-            a = p >> 24
-            gf[g] = gf.get(g, 0) + 1
-            rf[r] = rf.get(r, 0) + 1
-            bf[b] = bf.get(b, 0) + 1
-            af[a] = af.get(a, 0) + 1
-            emit.append(("lit", g, r, b, a))
-            pos += 1
-        else:
-            _, length, dist = t
-            ls, lev, len_ = _prefix_encode(length)
-            ds, dev, den = _prefix_encode(dist + 120)
-            gf[256 + ls] = gf.get(256 + ls, 0) + 1
-            df[ds] = df.get(ds, 0) + 1
-            emit.append(("copy", 256 + ls, lev, len_, ds, dev, den))
-            if cache is not None:
-                for i in range(pos, pos + length):
-                    cache[_cache_key(px[i], cache_bits)] = px[i]
-            pos += length
+    emit, _ = _resolve_ops(px, tokens, cache_bits)
+    codes = _write_group_codes(bw, _op_histograms(emit), cache_bits)
+    _emit_ops(bw, emit, [codes] * len(emit))
 
-    green_alphabet = 256 + 24 + ((1 << cache_bits) if cache_bits else 0)
-    g_codes = _write_prefix_code(bw, _huffman_lengths(gf, 15), green_alphabet)
-    r_codes = _write_prefix_code(
-        bw, _huffman_lengths(rf or {0: 1}, 15), 256
+
+def _hist_cost(h: dict[int, int]) -> float:
+    """Approximate serialized bits of a histogram: Shannon entropy of
+    the payload plus a small per-distinct-symbol table estimate (the
+    final accept gate compares REAL serialized sizes, so this only has
+    to rank clustering candidates sensibly)."""
+    import math
+
+    total = sum(h.values())
+    if total == 0:
+        return 0.0
+    bits = 0.0
+    for n in h.values():
+        bits += n * math.log2(total / n)
+    return bits + 5.5 * len(h)
+
+
+def _merge_hists(a, b):
+    out = dict(a)
+    for k, v in b.items():
+        out[k] = out.get(k, 0) + v
+    return out
+
+
+def _cluster_tiles(tile_hists, max_groups=16):
+    """Greedy agglomerative clustering of per-tile histogram sets
+    (libwebp's HistogramCombineGreedy shape, independent cost model):
+    repeatedly merge the cluster pair with the largest estimated bit
+    saving until no pair saves bits, then force-merge the cheapest
+    pairs down to ``max_groups``.  Returns (tile -> group, [group
+    histogram sets])."""
+    clusters = [list(hs) for hs in tile_hists]
+    members = [[i] for i in range(len(tile_hists))]
+    costs = [sum(_hist_cost(h) for h in c) for c in clusters]
+
+    def merge_gain(i, j):
+        merged = [_merge_hists(a, b)
+                  for a, b in zip(clusters[i], clusters[j])]
+        mc = sum(_hist_cost(h) for h in merged)
+        return costs[i] + costs[j] - mc, merged, mc
+
+    while len(clusters) > 1:
+        best = None
+        for i in range(len(clusters)):
+            for j in range(i + 1, len(clusters)):
+                gain, merged, mc = merge_gain(i, j)
+                if best is None or gain > best[0]:
+                    best = (gain, i, j, merged, mc)
+        if best[0] <= 0 and len(clusters) <= max_groups:
+            break
+        _, i, j, merged, mc = best
+        clusters[i] = merged
+        costs[i] = mc
+        members[i] += members[j]
+        del clusters[j], costs[j], members[j]
+    assignment = {}
+    for group, tiles in enumerate(members):
+        for t in tiles:
+            assignment[t] = group
+    return assignment, clusters
+
+
+def _write_coded_image_meta(bw, px, w, h, prefix_bits, cache_bits,
+                            tokens):
+    """The level-0 image with PER-TILE meta prefix codes (the entropy
+    image): tiles of 2^prefix_bits px are clustered into symbol-
+    statistics groups, the group map is itself VP8L-coded, and every
+    token is coded with the trees of the tile its first pixel sits in
+    (the same rule the decoder applies).  Returns False (leaving bw
+    untouched) when clustering collapses to one group — the flat path
+    is strictly smaller then."""
+    emit, op_pos = _resolve_ops(px, tokens, cache_bits)
+    mw, mh = _subsample(w, prefix_bits), _subsample(h, prefix_bits)
+    tile_of = [
+        ((p // w) >> prefix_bits) * mw + ((p % w) >> prefix_bits)
+        for p in op_pos
+    ]
+    tile_ops: dict[int, list] = {}
+    for op, t in zip(emit, tile_of):
+        tile_ops.setdefault(t, []).append(op)
+    used = sorted(tile_ops)
+    if len(used) < 2:
+        return False
+    assignment, group_hists = _cluster_tiles(
+        [_op_histograms(tile_ops[t]) for t in used]
     )
-    b_codes = _write_prefix_code(
-        bw, _huffman_lengths(bf or {0: 1}, 15), 256
-    )
-    a_codes = _write_prefix_code(
-        bw, _huffman_lengths(af or {255: 1}, 15), 256
-    )
-    d_codes = _write_prefix_code(
-        bw, _huffman_lengths(df or {0: 1}, 15), 40
-    )
-    for op in emit:
-        if op[0] == "lit":
-            _, g, r, b, a = op
-            bw.huff(*g_codes[g])
-            bw.huff(*r_codes[r])
-            bw.huff(*b_codes[b])
-            bw.huff(*a_codes[a])
-        elif op[0] == "cacheref":
-            bw.huff(*g_codes[op[1]])
-        else:
-            _, gsym, lev, len_, ds, dev, den = op
-            bw.huff(*g_codes[gsym])
-            if len_:
-                bw.bits(lev, len_)
-            bw.huff(*d_codes[ds])
-            if den:
-                bw.bits(dev, den)
+    if len(group_hists) < 2:
+        return False
+    tile_group = {t: assignment[i] for i, t in enumerate(used)}
+    if cache_bits:
+        bw.bits(1, 1)
+        bw.bits(cache_bits, 4)
+    else:
+        bw.bits(0, 1)
+    bw.bits(1, 1)  # meta prefix codes follow
+    bw.bits(prefix_bits - 2, 3)
+    meta_px = [
+        0xFF000000 | (tile_group.get(t, 0) << 8) for t in range(mw * mh)
+    ]
+    _write_coded_image(bw, meta_px, False, True)
+    group_codes = [
+        _write_group_codes(bw, hs, cache_bits) for hs in group_hists
+    ]
+    codes_per_op = [
+        group_codes[tile_group[t]] for t in tile_of
+    ]
+    _emit_ops(bw, emit, codes_per_op)
+    return True

@@ -741,3 +741,86 @@ def test_encoder_cross_color_on_photographic():
     finally:
         W._pick_cross_color = orig
     assert len(data) < len(plain)
+
+
+def test_encoder_meta_prefix_on_heterogeneous():
+    """r12: per-tile meta prefix codes (the entropy image).  Content
+    with two distinct symbol distributions must trigger the meta
+    candidate (>1% real-size gate), shrink the stream, and stay
+    losslessly round-trippable; spatially-uniform content must stay
+    BYTE-IDENTICAL to the flat path (the gate holds)."""
+    import random
+
+    from parquet_converters_spark.functions import webp_codec as W
+
+    rng = random.Random(9)
+    w, h = 128, 64
+    px = bytes(
+        b
+        for y in range(h)
+        for x in range(w)
+        for b in (
+            (rng.randrange(128), rng.randrange(128), rng.randrange(128))
+            if x < w // 2
+            else (128 + rng.randrange(128), 128 + rng.randrange(128),
+                  128 + rng.randrange(128))
+        )
+    )
+    data = W.encode_webp_lossless(w, h, 3, px)
+    assert W.decode_webp(data)[3] == px
+    orig = W._write_coded_image_meta
+    try:
+        W._write_coded_image_meta = lambda *a, **k: False
+        flat = W.encode_webp_lossless(w, h, 3, px)
+    finally:
+        W._write_coded_image_meta = orig
+    assert len(data) < 0.99 * len(flat)  # the gate fired for real
+
+    # uniform noise: one group suffices, the gate must keep bytes
+    # identical to the flat serialization
+    uni = bytes(rng.randrange(256) for _ in range(w * h * 3))
+    with_meta = W.encode_webp_lossless(w, h, 3, uni)
+    try:
+        W._write_coded_image_meta = lambda *a, **k: False
+        without = W.encode_webp_lossless(w, h, 3, uni)
+    finally:
+        W._write_coded_image_meta = orig
+    assert with_meta == without
+
+
+@needs_libwebp
+def test_encoder_meta_prefix_libwebp_reads_ours():
+    """libwebp (the external decoder) must read our meta-coded stream
+    byte-exactly — the entropy image, per-group code sets, and
+    per-tile tree switching are all on the wire."""
+    import random
+
+    from parquet_converters_spark.functions import webp_codec as W
+
+    rng = random.Random(21)
+    w, h = 96, 48
+    px = bytes(
+        b
+        for y in range(h)
+        for x in range(w)
+        for b in (
+            (rng.randrange(64), rng.randrange(64), rng.randrange(64))
+            if (x // 32 + y // 32) % 2 == 0
+            else (192 + rng.randrange(64), 192 + rng.randrange(64),
+                  192 + rng.randrange(64))
+        )
+    )
+    data = W.encode_webp_lossless(w, h, 3, px)
+    # confirm the meta candidate actually won before testing libwebp
+    orig = W._write_coded_image_meta
+    try:
+        W._write_coded_image_meta = lambda *a, **k: False
+        flat = W.encode_webp_lossless(w, h, 3, px)
+    finally:
+        W._write_coded_image_meta = orig
+    assert len(data) < len(flat)
+    assert W.decode_webp(data)[3] == px
+    _w, _h, rgba = lw_decode_rgba(data)
+    assert bytes(
+        b for i in range(0, len(rgba), 4) for b in rgba[i : i + 3]
+    ) == px

@@ -1281,81 +1281,116 @@ def _vp8l_header(bw, width, height, has_alpha):
 def _encode_standard(
     width, height, orig, has_alpha, use_lz77, subtract_green, predictor
 ):
-    px = orig
+    base = orig
     if subtract_green:
-        px = []
+        base = []
         for p in orig:
             g = (p >> 8) & 0xFF
             r = (((p >> 16) & 0xFF) - g) & 0xFF
             b = ((p & 0xFF) - g) & 0xFF
-            px.append((p & 0xFF00FF00) | (r << 16) | b)
-    mode = _pick_predictor(px, width, height) if predictor else None
-    if mode is not None:
-        px = _pred_residuals(px, width, height, mode)
-    # cross-color rides the same entropy gate as the predictor: a
-    # global (g2r, g2b, r2b) multiplier triple applied to the residual
-    # plane when it measurably decorrelates the channels (r11)
-    cte = _pick_cross_color(px) if predictor else None
-    if cte is not None:
-        px = _cross_color_residuals(px, *cte)
-    tokens = _lz77_tokens(px) if use_lz77 else [("lit", p) for p in px]
+            base.append((p & 0xFF00FF00) | (r << 16) | b)
 
-    def serialize(cache_bits, meta_bits=None):
-        bw = _Bw()
-        _vp8l_header(bw, width, height, has_alpha)
-        if subtract_green:
-            bw.bits(1, 1)  # a transform follows
-            bw.bits(2, 2)  # SUBTRACT_GREEN (no parameters)
-        if mode is not None:
-            # predictor transform, one global mode: read AFTER
-            # subtract-green so its inverse runs FIRST on decode
-            # (coded plane = predict(subtract_green(pixels)))
-            bw.bits(1, 1)
-            bw.bits(0, 2)  # PREDICTOR
-            bw.bits(_PRED_BITS - 2, 3)
-            sw = _subsample(width, _PRED_BITS)
-            sh = _subsample(height, _PRED_BITS)
-            _write_coded_image(
-                bw, [0xFF000000 | (mode << 8)] * (sw * sh), False, False
-            )
+    def pipeline(pred_spec):
+        """Apply the predictor spec + the cross-color gate to the
+        subtract-green plane; return (plane, cte, tokens, min bytes
+        over flat/cache/meta serializations)."""
+        px = base
+        if pred_spec is not None and pred_spec[0] == "global":
+            px = _pred_residuals(base, width, height, pred_spec[1])
+        elif pred_spec is not None:
+            _tag, pbits, mode_img = pred_spec
+            px = _pred_residuals_tiled(base, width, height, pbits,
+                                       mode_img)
+        # cross-color rides the same entropy gate as the predictor: a
+        # global (g2r, g2b, r2b) multiplier triple applied to the
+        # residual plane when it measurably decorrelates the channels
+        # (gated on the predictor FLAG, not the picked mode — it fires
+        # on plain subtract-green planes too, r11 behavior)
+        cte = _pick_cross_color(px) if predictor else None
         if cte is not None:
-            # cross-color written LAST (forward-applied last), so its
-            # inverse runs first on decode; one global triple packed
-            # per the spec: blue byte = g2r, green = g2b, red = r2b
-            g2r, g2b, r2b = cte
-            bw.bits(1, 1)
-            bw.bits(1, 2)  # CROSS_COLOR
-            bw.bits(_PRED_BITS - 2, 3)
-            sw = _subsample(width, _PRED_BITS)
-            sh = _subsample(height, _PRED_BITS)
-            cte_px = 0xFF000000 | (r2b << 16) | (g2b << 8) | g2r
-            _write_coded_image(bw, [cte_px] * (sw * sh), False, False)
-        bw.bits(0, 1)  # end of transforms
-        if meta_bits is not None:
-            if not _write_coded_image_meta(
-                bw, px, width, height, meta_bits, cache_bits, tokens
-            ):
-                return None  # clustering collapsed: flat is smaller
-        else:
-            _write_coded_image(bw, px, True, use_lz77, cache_bits, tokens)
-        return bw.flush()
+            px = _cross_color_residuals(px, *cte)
+        tokens = (
+            _lz77_tokens(px) if use_lz77 else [("lit", p) for p in px]
+        )
 
-    # one LZ77 pass, two serializations: with and without a color
-    # cache — the smaller wins (ties keep cache-free)
-    best = serialize(0)
-    cand = serialize(8)
-    best = cand if len(cand) < len(best) else best
-    # r12: per-tile meta prefix codes — the remaining density headroom
-    # the r11 verdict named.  Candidate tile sizes, capped so the
-    # entropy image stays small; accepted only on a >1% real-size win
-    # (the established transform gate) so existing content stays
-    # byte-identical.
-    if use_lz77 and width * height >= 1024:
-        for meta_bits in _meta_bits_candidates(width, height):
-            for cb in (0, 8):
-                m = serialize(cb, meta_bits=meta_bits)
-                if m is not None and len(m) < 0.99 * len(best):
-                    best = m
+        def serialize(cache_bits, meta_bits=None):
+            bw = _Bw()
+            _vp8l_header(bw, width, height, has_alpha)
+            if subtract_green:
+                bw.bits(1, 1)  # a transform follows
+                bw.bits(2, 2)  # SUBTRACT_GREEN (no parameters)
+            if pred_spec is not None:
+                # predictor transform: read AFTER subtract-green so
+                # its inverse runs FIRST on decode (coded plane =
+                # predict(subtract_green(pixels)))
+                if pred_spec[0] == "global":
+                    sw = _subsample(width, _PRED_BITS)
+                    sh = _subsample(height, _PRED_BITS)
+                    pbits_ = _PRED_BITS
+                    img = [0xFF000000 | (pred_spec[1] << 8)] * (sw * sh)
+                    img_lz = False  # constant image: keep r11 bytes
+                else:
+                    pbits_ = pred_spec[1]
+                    img = [0xFF000000 | (m << 8) for m in pred_spec[2]]
+                    img_lz = True
+                bw.bits(1, 1)
+                bw.bits(0, 2)  # PREDICTOR
+                bw.bits(pbits_ - 2, 3)
+                _write_coded_image(bw, img, False, img_lz)
+            if cte is not None:
+                # cross-color written LAST (forward-applied last), so
+                # its inverse runs first on decode; one global triple
+                # packed per the spec: blue=g2r, green=g2b, red=r2b
+                g2r, g2b, r2b = cte
+                bw.bits(1, 1)
+                bw.bits(1, 2)  # CROSS_COLOR
+                bw.bits(_PRED_BITS - 2, 3)
+                sw = _subsample(width, _PRED_BITS)
+                sh = _subsample(height, _PRED_BITS)
+                cte_px = 0xFF000000 | (r2b << 16) | (g2b << 8) | g2r
+                _write_coded_image(bw, [cte_px] * (sw * sh), False, False)
+            bw.bits(0, 1)  # end of transforms
+            if meta_bits is not None:
+                if not _write_coded_image_meta(
+                    bw, px, width, height, meta_bits, cache_bits, tokens
+                ):
+                    return None  # clustering collapsed: flat wins
+            else:
+                _write_coded_image(
+                    bw, px, True, use_lz77, cache_bits, tokens
+                )
+            return bw.flush()
+
+        # one LZ77 pass, two serializations: with and without a color
+        # cache — the smaller wins (ties keep cache-free)
+        best = serialize(0)
+        cand = serialize(8)
+        best = cand if len(cand) < len(best) else best
+        # r12: per-tile meta prefix codes — candidate tile sizes,
+        # capped so the entropy image stays small; accepted only on a
+        # >1% real-size win (the established transform gate) so
+        # existing content stays byte-identical.
+        if use_lz77 and width * height >= 1024:
+            for meta_bits in _meta_bits_candidates(width, height):
+                for cb in (0, 8):
+                    m = serialize(cb, meta_bits=meta_bits)
+                    if m is not None and len(m) < 0.99 * len(best):
+                        best = m
+        return best
+
+    mode = _pick_predictor(base, width, height) if predictor else None
+    best = pipeline(("global", mode) if mode is not None else None)
+    # r12: per-tile predictor modes — the spec's predictor image is
+    # per-tile, and photographic content wants different modes in
+    # different regions; same >1% stability gate (tried even when the
+    # single-global-mode gate said no: regional wins are exactly what
+    # a global pick cannot see)
+    if predictor and width * height >= 1024:
+        tiled = _pick_predictor_tiled(base, width, height, 4)
+        if tiled is not None:
+            cand = pipeline(("tiled", 4, tiled))
+            if len(cand) < 0.99 * len(best):
+                best = cand
     return best
 
 
@@ -1449,6 +1484,147 @@ def _pred_residuals(px, w, h, mode):
             )
             pos += 1
     return out
+
+
+def _pred_residuals_tiled(px, w, h, bits, mode_img):
+    """Forward predictor with PER-TILE modes (the spec's predictor
+    image at 2^bits granularity): residual = pixel minus prediction
+    from ORIGINAL neighbors using the mode of the pixel's tile, same
+    edge rules as the global path."""
+    sw = _subsample(w, bits)
+    out = []
+    pos = 0
+    for y in range(h):
+        trow = (y >> bits) * sw
+        for x in range(w):
+            if pos == 0:
+                pred = 0xFF000000
+            elif y == 0:
+                pred = px[pos - 1]
+            elif x == 0:
+                pred = px[pos - w]
+            else:
+                pred = _predict(
+                    mode_img[trow + (x >> bits)], px, w, x, y, pos
+                )
+            p = px[pos]
+            out.append(
+                ((((p >> 24) - (pred >> 24)) & 0xFF) << 24)
+                | (((((p >> 16) & 0xFF) - ((pred >> 16) & 0xFF)) & 0xFF)
+                   << 16)
+                | (((((p >> 8) & 0xFF) - ((pred >> 8) & 0xFF)) & 0xFF)
+                   << 8)
+                | (((p & 0xFF) - (pred & 0xFF)) & 0xFF)
+            )
+            pos += 1
+    return out
+
+
+def _pick_predictor_tiled(px, w, h, bits):
+    """Per-tile predictor selection against SHARED statistics
+    (libwebp's accumulated-histogram shape, independent code): one
+    pass computes every tile's residual byte histograms under all 14
+    modes; then tiles iteratively re-pick the mode whose residuals
+    cost the fewest bits under the CURRENT accumulated global
+    histogram (leave-this-tile-out), so tiles agree on statistics
+    instead of each overfitting its local distribution — the failure
+    mode of a naive per-tile entropy pick.  Returns the raster mode
+    image, or None when every tile settles on the same mode."""
+    import math
+    from collections import Counter
+
+    sw, sh = _subsample(w, bits), _subsample(h, bits)
+    if sw * sh < 4:
+        return None
+    n_tiles = sw * sh
+    # pass 1: per-tile, per-mode, per-channel residual histograms
+    tile_hists = []
+    for ty in range(sh):
+        y0, y1 = ty << bits, min((ty + 1) << bits, h)
+        for tx in range(sw):
+            x0, x1 = tx << bits, min((tx + 1) << bits, w)
+            per_mode = []
+            for mode in range(14):
+                hists = (Counter(), Counter(), Counter(), Counter())
+                for y in range(y0, y1):
+                    pos = y * w + x0
+                    for x in range(x0, x1):
+                        if pos == 0:
+                            pred = 0xFF000000
+                        elif y == 0:
+                            pred = px[pos - 1]
+                        elif x == 0:
+                            pred = px[pos - w]
+                        else:
+                            pred = _predict(mode, px, w, x, y, pos)
+                        p = px[pos]
+                        hists[0][((p >> 24) - (pred >> 24)) & 0xFF] += 1
+                        hists[1][((p >> 16) - (pred >> 16)) & 0xFF] += 1
+                        hists[2][((p >> 8) - (pred >> 8)) & 0xFF] += 1
+                        hists[3][(p - pred) & 0xFF] += 1
+                        pos += 1
+                per_mode.append(hists)
+            tile_hists.append(per_mode)
+
+    def plane_entropy(acc, total):
+        cost = 0.0
+        for ch in range(4):
+            for v in acc[ch].values():
+                if v:
+                    cost += v * math.log2(total / v)
+        return cost
+
+    # init: the globally-best single mode by accumulated entropy
+    best_init, best_cost = 0, None
+    for mode in range(14):
+        acc = [Counter() for _ in range(4)]
+        total = 0
+        for per_mode in tile_hists:
+            for ch in range(4):
+                acc[ch].update(per_mode[mode][ch])
+        total = sum(acc[0].values())
+        c = plane_entropy(acc, total)
+        if best_cost is None or c < best_cost:
+            best_init, best_cost = mode, c
+    assign = [best_init] * n_tiles
+    acc = [Counter() for _ in range(4)]
+    for t in range(n_tiles):
+        for ch in range(4):
+            acc[ch].update(tile_hists[t][assign[t]][ch])
+    total = sum(acc[0].values())
+
+    # pass 2+: re-pick each tile against the leave-one-out histogram
+    for _ in range(3):
+        changed = 0
+        for t in range(n_tiles):
+            cur = assign[t]
+            for ch in range(4):
+                acc[ch].subtract(tile_hists[t][cur][ch])
+            t_n = sum(tile_hists[t][cur][0].values())
+            rest = total - t_n
+            best_m, best_c = cur, None
+            for mode in range(14):
+                cost = 0.0
+                for ch in range(4):
+                    a = acc[ch]
+                    for b, v in tile_hists[t][mode][ch].items():
+                        # bits of this tile's bytes under the shared
+                        # (smoothed) leave-one-out distribution
+                        cost += v * math.log2(
+                            (rest + 128) / (a[b] + v * 0.5 + 0.5)
+                        )
+                if best_c is None or cost < best_c:
+                    best_m, best_c = mode, cost
+            if best_m != cur:
+                changed += 1
+            assign[t] = best_m
+            for ch in range(4):
+                acc[ch].update(tile_hists[t][best_m][ch])
+        if not changed:
+            break
+    if len(set(assign)) == 1:
+        return None
+    return assign
 
 
 def _cross_color_residuals(px, g2r, g2b, r2b):

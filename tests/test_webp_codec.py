@@ -824,3 +824,80 @@ def test_encoder_meta_prefix_libwebp_reads_ours():
     assert bytes(
         b for i in range(0, len(rgba), 4) for b in rgba[i : i + 3]
     ) == px
+
+
+def test_encoder_per_tile_predictor_modes():
+    """r12: per-tile predictor selection against shared statistics.
+    Content whose halves want different predictors (row-constant left
+    / column-constant right, plus noise) must trigger the tiled
+    candidate and shrink the stream; content a single mode serves
+    stays byte-identical (the >1% gate)."""
+    import random
+
+    from parquet_converters_spark.functions import webp_codec as W
+
+    rng = random.Random(31)
+    w, h = 128, 64
+    rowbase = [rng.randrange(256) for _ in range(h)]
+    colbase = [rng.randrange(256) for _ in range(w)]
+    px = bytes(
+        (b + rng.randint(-3, 3)) & 255
+        for y in range(h)
+        for x in range(w)
+        for b in [rowbase[y] if x < w // 2 else colbase[x]] * 3
+    )
+    data = W.encode_webp_lossless(w, h, 3, px)
+    assert W.decode_webp(data)[3] == px
+    orig = W._pick_predictor_tiled
+    try:
+        W._pick_predictor_tiled = lambda *a: None
+        flat = W.encode_webp_lossless(w, h, 3, px)
+    finally:
+        W._pick_predictor_tiled = orig
+    assert len(data) < 0.99 * len(flat)  # the tiled candidate fired
+
+    # a plain gradient: one mode serves everywhere, bytes identical
+    grad = bytes(
+        ((x * 3 + y * 2) % 256, (x + y) % 256, (x * 2 + y * 5) % 256)[c]
+        for y in range(h) for x in range(w) for c in range(3)
+    )
+    with_tiled = W.encode_webp_lossless(w, h, 3, grad)
+    try:
+        W._pick_predictor_tiled = lambda *a: None
+        without = W.encode_webp_lossless(w, h, 3, grad)
+    finally:
+        W._pick_predictor_tiled = orig
+    assert with_tiled == without
+
+
+@needs_libwebp
+def test_encoder_per_tile_predictor_libwebp_reads_ours():
+    """The per-tile predictor image (a real, varying parameter image)
+    is on the wire: libwebp must reconstruct our stream byte-exactly."""
+    import random
+
+    from parquet_converters_spark.functions import webp_codec as W
+
+    rng = random.Random(33)
+    w, h = 96, 48
+    rowbase = [rng.randrange(256) for _ in range(h)]
+    colbase = [rng.randrange(256) for _ in range(w)]
+    px = bytes(
+        (b + rng.randint(-2, 2)) & 255
+        for y in range(h)
+        for x in range(w)
+        for b in [rowbase[y] if x < w // 2 else colbase[x]] * 3
+    )
+    data = W.encode_webp_lossless(w, h, 3, px)
+    orig = W._pick_predictor_tiled
+    try:
+        W._pick_predictor_tiled = lambda *a: None
+        flat = W.encode_webp_lossless(w, h, 3, px)
+    finally:
+        W._pick_predictor_tiled = orig
+    assert len(data) < len(flat)  # fired, so the tiled image is live
+    assert W.decode_webp(data)[3] == px
+    _w, _h, rgba = lw_decode_rgba(data)
+    assert bytes(
+        b for i in range(0, len(rgba), 4) for b in rgba[i : i + 3]
+    ) == px

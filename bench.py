@@ -504,7 +504,8 @@ def main() -> None:
         {
             k: v
             for k, v in times.items()
-            if k.startswith(("hdf5_", "webp_decode", "jpeg_decode"))
+            if k.startswith(("hdf5_", "webp_decode", "jpeg_decode",
+                             "audio_", "flac_"))
         }
     )
     print(

@@ -200,11 +200,12 @@ def _real_decode(payload: bytes, n_features: int) -> tuple:
         scaled = [min(abs(s), 32767) // 128 for s in samples]
         return None, None, channels, _band_features(scaled, n_features)
     if payload[:4] in (b"II*\x00", b"MM\x00*"):
-        raise NotImplementedError(
-            "TIFF has no from-spec decoder; route it through the JDK "
-            "ImageIO seam (decode_media(decoder="
-            "jdk_imageio_media_decoder()), functions/native_codecs.py)"
+        from parquet_converters_spark.functions.tiff_codec import (
+            decode_tiff,
         )
+
+        w, h, c, pixels = decode_tiff(payload)
+        return w, h, c, _band_features(pixels, n_features)
     raise NotImplementedError(
         "real decode supports PNG, baseline+progressive JPEG, GIF, "
         "BMP, WebP (lossless VP8L + lossy VP8), MJPEG-in-AVI video, "

@@ -375,11 +375,24 @@ def jdk_imageio_media_decoder():
         )
 
         head = bytes(payload[:4])
-        if (
-            head[:2] == b"\xff\xd8"
-            or head == b"GIF8"
-            or head in (b"II*\x00", b"MM\x00*")  # TIFF, either endian
-        ):
+        use_bridge = head[:2] == b"\xff\xd8" or head == b"GIF8"
+        if head in (b"II*\x00", b"MM\x00*"):
+            # measured routing (SCALE.md r12): uncompressed strips
+            # decode ~50x FASTER from spec (memcpy-class), while
+            # entropy-coded TIFF (LZW/Deflate) is pure-Python-bound
+            # and belongs on the bridge; a cheap IFD sniff decides
+            use_bridge = True
+            try:
+                from parquet_converters_spark.functions.tiff_codec import (
+                    _read_ifd,
+                )
+
+                bo = "<" if bytes(payload[:2]) == b"II" else ">"
+                comp = _read_ifd(bytes(payload), bo).get(259, [1])[0]
+                use_bridge = comp not in (1, 32773)
+            except Exception:
+                pass  # unparseable header: let the bridge report it
+        if use_bridge:
             w, h, c, px = _bridge_decode(classes, payload)
             return w, h, c, _band_features(px, n_features)
         return _real_decode(payload, n_features)

@@ -183,12 +183,13 @@ def test_decode_media_unsupported_format_raises(spark, media_df):
     from parquet_converters_spark.functions.multimodal import decode_media
 
     # Ogg: a real format outside the codec table (TIFF — the previous
-    # example here — now rejects by name pointing at the JDK seam)
+    # example here — decodes from spec since r12)
     bad = media_df.withColumn("payload", F.lit(bytearray(b"OggS....")))
     with pytest.raises(Exception, match="need PIL/ffmpeg"):
         decode_media(bad).collect()
+    # a truncated TIFF is malformed, not unsupported
     tiff = media_df.withColumn("payload", F.lit(bytearray(b"II*\x00....")))
-    with pytest.raises(Exception, match="ImageIO seam"):
+    with pytest.raises(Exception, match="TIFF"):
         decode_media(tiff).collect()
 
 

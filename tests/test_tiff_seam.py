@@ -96,14 +96,23 @@ def test_bridge_decodes_minimal_tiff_exact(big_endian, channels):
     assert got == px
 
 
-def test_fromspec_table_rejects_tiff_by_name():
-    from parquet_converters_spark.functions.multimodal import _real_decode
+def test_fromspec_table_decodes_tiff():
+    """TIFF decodes on the default from-spec path (functions/
+    tiff_codec.py, added later in r12 — this test originally asserted
+    rejection-by-name when only the bridge could read TIFF)."""
+    from parquet_converters_spark.functions.multimodal import (
+        _band_features,
+        _real_decode,
+    )
 
-    tif = encode_tiff(3, 2, 3, _pattern(3, 2, 3))
-    with pytest.raises(NotImplementedError, match="TIFF.*ImageIO seam"):
-        _real_decode(tif, 4)
-    with pytest.raises(NotImplementedError, match="TIFF"):
-        _real_decode(encode_tiff(3, 2, 1, _pattern(3, 2, 1), True), 4)
+    px = _pattern(3, 2, 3)
+    assert _real_decode(encode_tiff(3, 2, 3, px), 4) == (
+        3, 2, 3, _band_features(px, 4),
+    )
+    g = _pattern(3, 2, 1)
+    assert _real_decode(encode_tiff(3, 2, 1, g, True), 4) == (
+        3, 2, 1, _band_features(g, 4),
+    )
 
 
 @needs_jdk

@@ -384,15 +384,22 @@ def resize_media(
                     elif is_webp(raw):
                         w0, h0, c0, pixels = decode_webp(raw)
                         enc = encode_webp_lossless
+                    elif raw[:4] in (b"II*\x00", b"MM\x00*"):
+                        from parquet_converters_spark.functions import (
+                            tiff_codec,
+                        )
+
+                        w0, h0, c0, pixels = tiff_codec.decode_tiff(raw)
+                        enc = tiff_codec.encode_tiff
                     else:
                         raise NotImplementedError(
                             "real image resize supports PNG, baseline "
-                            "JPEG, GIF, BMP, and lossless WebP via the "
-                            "stdlib codecs (functions/media_codecs.py, "
-                            "jpeg_codec.py, gif_codec.py, webp_codec.py); "
-                            "other formats need PIL (or the resizer= "
-                            "seam) — or pass fake=True for the "
-                            "deterministic stub"
+                            "JPEG, GIF, BMP, lossless WebP, and TIFF via "
+                            "the stdlib codecs (functions/media_codecs.py, "
+                            "jpeg_codec.py, gif_codec.py, webp_codec.py, "
+                            "tiff_codec.py); other formats need PIL (or "
+                            "the resizer= seam) — or pass fake=True for "
+                            "the deterministic stub"
                         )
                     body = enc(
                         width,

@@ -358,3 +358,68 @@ def _decode_tiff(data: bytes):
     if spp == 4:
         return w, h, 4, samples
     raise ValueError(f"TIFF: RGB with SamplesPerPixel={spp}")
+
+
+def encode_tiff(width: int, height: int, channels: int, pixels,
+                compression: str = "deflate") -> bytes:
+    """Encode 8-bit gray/RGB/RGBA pixels as a baseline TIFF (little-
+    endian, IFD-first layout, one strip, Deflate (8) or uncompressed).
+
+    The resize_media companion sink (TIFF in -> TIFF out, like the
+    other formats).  Deliberately laid out differently from the test
+    suite's independent writer (tests/tiff_craft.py writes data-first
+    with a patched IFD pointer; this one writes the IFD at offset 8) —
+    the decoder must read both, and the JDK reader crossreads ours
+    (tests/test_tiff_codec.py)."""
+    if channels not in (1, 3, 4):
+        raise ValueError(f"TIFF encode: channels must be 1/3/4, got "
+                         f"{channels}")
+    pixels = bytes(pixels)
+    if len(pixels) != width * height * channels:
+        raise ValueError("TIFF encode: pixel buffer size mismatch")
+    comp_tag = {"none": 1, "deflate": 8}[compression]
+    body = pixels if comp_tag == 1 else zlib.compress(pixels, 6)
+
+    entries = [
+        (256, 3, 1, width),
+        (257, 3, 1, height),
+        (259, 3, 1, comp_tag),
+        (262, 3, 1, 2 if channels >= 3 else 1),
+        (277, 3, 1, channels),
+        (278, 3, 1, height),
+        (279, 4, 1, len(body)),
+    ]
+    bps_cnt = channels
+    entries.append((258, 3, bps_cnt, 0))  # value/offset patched below
+    entries.append((273, 4, 1, 0))  # strip offset patched below
+    if channels == 4:
+        entries.append((338, 3, 1, 2))  # ExtraSamples: unassoc alpha
+    entries.sort()
+    ifd_off = 8
+    after_ifd = ifd_off + 2 + 12 * len(entries) + 4
+    bps_off = after_ifd if bps_cnt > 2 else None
+    strip_off = after_ifd + (2 * bps_cnt if bps_off else 0)
+
+    out = bytearray(b"II*\x00")
+    out += struct.pack("<I", ifd_off)
+    out += struct.pack("<H", len(entries))
+    for tag, typ, cnt, val in entries:
+        if tag == 258:
+            if bps_off is not None:
+                out += struct.pack("<HHII", tag, typ, cnt, bps_off)
+            else:
+                out += struct.pack("<HHIHH", tag, typ, cnt, 8, 0)
+            continue
+        if tag == 273:
+            out += struct.pack("<HHII", tag, typ, cnt, strip_off)
+            continue
+        out += struct.pack("<HHI", tag, typ, cnt)
+        if typ == 4:
+            out += struct.pack("<I", val)
+        else:
+            out += struct.pack("<HH", val, 0)
+    out += struct.pack("<I", 0)  # next-IFD terminator
+    if bps_off is not None:
+        out += struct.pack(f"<{bps_cnt}H", *([8] * bps_cnt))
+    out += body
+    return bytes(out)

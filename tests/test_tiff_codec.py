@@ -249,3 +249,47 @@ def test_seam_routing_is_compression_aware():
         assert len(calls) == 2
     finally:
         nc._bridge_decode = orig
+
+@needs_jdk
+def test_encode_tiff_sink_crossread_by_jdk():
+    """The production encoder (IFD-first layout, distinct from the
+    test writer's data-first layout) round-trips through our decoder
+    and the JDK reader for every channel count and compression."""
+    from parquet_converters_spark.functions.native_codecs import (
+        _bridge_decode,
+        _compile_imageio_bridge,
+    )
+    from parquet_converters_spark.functions.tiff_codec import encode_tiff
+
+    classes = _compile_imageio_bridge()
+    for c in (1, 3, 4):
+        px = _pattern(11, 7, c, c)
+        for comp in ("none", "deflate"):
+            t = encode_tiff(11, 7, c, px, comp)
+            assert decode_tiff(t) == (11, 7, c, px)
+            assert _bridge_decode(classes, t) == (11, 7, c, px)
+
+
+def test_resize_media_tiff(spark):
+    """TIFF in -> TIFF out through resize_media, deterministic and
+    re-decodable."""
+    from parquet_converters_spark.functions.media_codecs import (
+        resize_nearest,
+    )
+    from parquet_converters_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        resize_media,
+    )
+    from parquet_converters_spark.functions.tiff_codec import encode_tiff
+
+    w, h = 16, 9
+    px = _pattern(w, h, 3, 12)
+    tif = encode_tiff_ex(w, h, px, compression=8)
+    df = spark.createDataFrame(
+        [(700, "image", bytearray(tif), "image/tiff", len(tif))],
+        MEDIA_SCHEMA,
+    )
+    out = bytes(resize_media(df, width=8, height=6).collect()[0]["payload"])
+    expected = encode_tiff(8, 6, 3, resize_nearest(w, h, 3, px, 8, 6))
+    assert out == expected
+    assert decode_tiff(out)[:3] == (8, 6, 3)

@@ -206,14 +206,35 @@ def _real_decode(payload: bytes, n_features: int) -> tuple:
 
         w, h, c, pixels = decode_tiff(payload)
         return w, h, c, _band_features(pixels, n_features)
+    named = {
+        b"ID3": "MP3 (ID3-tagged)",
+        b"\xff\xfb": "MP3", b"\xff\xf3": "MP3", b"\xff\xf2": "MP3",
+        b"OggS": "Ogg (Vorbis/Opus)",
+        b"\x1a\x45\xdf\xa3": "Matroska/WebM",
+        b"FLV\x01": "Flash Video",
+    }
+    for magic, name in named.items():
+        if payload[: len(magic)] == magic:
+            raise NotImplementedError(
+                f"{name} needs a codec library this engine does not "
+                "vendor — use the decoder= seam with an ffmpeg/PIL "
+                "wrapper, or fake=True for the deterministic stub"
+            )
+    if payload[4:8] == b"ftyp":
+        raise NotImplementedError(
+            "ISO-BMFF (MP4/MOV/M4A) needs a codec library this engine "
+            "does not vendor — use the decoder= seam with an ffmpeg "
+            "wrapper, or fake=True for the deterministic stub"
+        )
     raise NotImplementedError(
         "real decode supports PNG, baseline+progressive JPEG, GIF, "
-        "BMP, WebP (lossless VP8L + lossy VP8), MJPEG-in-AVI video, "
-        "and WAV/AU/AIFF audio via the from-spec codecs "
+        "BMP, WebP (lossless VP8L + lossy VP8), TIFF, MJPEG-in-AVI "
+        "video, and WAV/AU/AIFF/FLAC audio via the from-spec codecs "
         "(functions/media_codecs.py, jpeg_codec.py, gif_codec.py, "
-        "webp_codec.py, vp8_codec.py, avi_codec.py, audio_codecs.py); "
-        "other formats need PIL/ffmpeg (or the decoder= seam) — or "
-        "pass fake=True for the deterministic stub"
+        "webp_codec.py, vp8_codec.py, tiff_codec.py, avi_codec.py, "
+        "audio_codecs.py, flac_codec.py); other formats need "
+        "PIL/ffmpeg (or the decoder= seam) — or pass fake=True for "
+        "the deterministic stub"
     )
 
 

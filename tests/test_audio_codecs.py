@@ -512,3 +512,22 @@ def test_encode_wav_g711_reads_back_everywhere(law):
     assert _audio_bridge_decode(_compile_audio_bridge(), wav) == (
         8000, 2, exp,
     )
+
+
+def test_common_compressed_formats_rejected_by_name():
+    """MP3/Ogg/Matroska/FLV/ISO-BMFF payloads fail with the format
+    NAMED and the seam/fake remedies spelled out — not the generic
+    trailer."""
+    from parquet_converters_spark.functions.multimodal import _real_decode
+
+    cases = [
+        (b"ID3\x04\x00" + bytes(40), "MP3"),
+        (b"\xff\xfb\x90\x00" + bytes(40), "MP3"),
+        (b"OggS" + bytes(40), "Ogg"),
+        (b"\x1a\x45\xdf\xa3" + bytes(40), "Matroska"),
+        (b"FLV\x01" + bytes(40), "Flash"),
+        (b"\x00\x00\x00\x20ftypisom" + bytes(40), "ISO-BMFF"),
+    ]
+    for payload, name in cases:
+        with pytest.raises(NotImplementedError, match=name):
+            _real_decode(payload, 4)

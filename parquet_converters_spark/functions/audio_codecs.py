@@ -302,7 +302,7 @@ def _decode_aiff(data: bytes) -> tuple[int, int, list[int]]:
     if len(body) > _MAX_SAMPLES * 4:
         raise ValueError("AIFF: data exceeds allocation guard")
     comp = compression.lower().rstrip()
-    if comp == b"none":
+    if comp in (b"none", b"twos"):  # twos = explicit big-endian PCM
         samples = _pcm_to_16(body, bits, big_endian=True)
     elif comp == b"sowt":  # little-endian PCM16 ("twos" reversed)
         if bits != 16:

@@ -531,3 +531,14 @@ def test_common_compressed_formats_rejected_by_name():
     for payload, name in cases:
         with pytest.raises(NotImplementedError, match=name):
             _real_decode(payload, 4)
+
+
+def test_aifc_twos_is_explicit_big_endian_pcm():
+    """AIFC comptype 'twos' = explicit big-endian PCM (what NONE means
+    implicitly): patch the embedded NONE-pcm16 vector's compression
+    fourcc and the decode must be identical."""
+    v = VECTORS["aiff_pcm16"]["payload"]
+    # the aifc writer emits AIFC with an explicit 'NONE' comptype
+    assert b"NONE" in v
+    patched = v.replace(b"NONE", b"twos", 1)
+    assert decode_aiff(patched) == decode_aiff(v)

@@ -182,11 +182,15 @@ def test_decode_media_unsupported_format_raises(spark, media_df):
 
     from parquet_converters_spark.functions.multimodal import decode_media
 
-    # Ogg: a real format outside the codec table (TIFF — the previous
-    # example here — decodes from spec since r12)
+    # Ogg: a real format outside the codec table, rejected BY NAME
+    # (TIFF — the previous example here — decodes from spec since r12)
     bad = media_df.withColumn("payload", F.lit(bytearray(b"OggS....")))
-    with pytest.raises(Exception, match="need PIL/ffmpeg"):
+    with pytest.raises(Exception, match="Ogg"):
         decode_media(bad).collect()
+    # something with no known magic still gets the generic trailer
+    junk = media_df.withColumn("payload", F.lit(bytearray(b"????....")))
+    with pytest.raises(Exception, match="need PIL/ffmpeg"):
+        decode_media(junk).collect()
     # a truncated TIFF is malformed, not unsupported
     tiff = media_df.withColumn("payload", F.lit(bytearray(b"II*\x00....")))
     with pytest.raises(Exception, match="TIFF"):

@@ -149,6 +149,13 @@ class _Bw:
         for i in range(length - 1, -1, -1):
             self.bits((code >> i) & 1, 1)
 
+    def copy_state(self, other: "_Bw") -> None:
+        """Become a bit-exact copy of another writer's state — lets a
+        shared serialized prefix fan out into candidate tails."""
+        self.out = bytearray(other.out)
+        self.acc = other.acc
+        self.n = other.n
+
     def flush(self) -> bytes:
         if self.n:
             self.out.append(self.acc & 0xFF)
@@ -1361,18 +1368,25 @@ def _encode_standard(
                 )
             return bw.flush()
 
-        # one LZ77 pass, two serializations: with and without a color
-        # cache — the smaller wins (ties keep cache-free)
+        # one LZ77 pass, a full color-cache search: 0 (none) and every
+        # legal size 1-11 — the smaller wins (ties keep the smaller
+        # cache).  r12 measurement: photographic residual planes keep
+        # improving well past the old {0, 8} probe (the 96x72 photo
+        # reference: 12012 bytes at cb=8 vs 10530 at cb=11 — the
+        # single biggest density lever found this round).
         best = serialize(0)
-        cand = serialize(8)
-        best = cand if len(cand) < len(best) else best
+        best_cb = 0
+        for cb in range(1, 12):
+            cand = serialize(cb)
+            if len(cand) < len(best):
+                best, best_cb = cand, cb
         # r12: per-tile meta prefix codes — candidate tile sizes,
         # capped so the entropy image stays small; accepted only on a
         # >1% real-size win (the established transform gate) so
         # existing content stays byte-identical.
         if use_lz77 and width * height >= 1024:
             for meta_bits in _meta_bits_candidates(width, height):
-                for cb in (0, 8):
+                for cb in {0, best_cb}:
                     m = serialize(cb, meta_bits=meta_bits)
                     if m is not None and len(m) < 0.99 * len(best):
                         best = m
@@ -1437,6 +1451,7 @@ def _encode_palette(width, height, orig, distinct, has_alpha, use_lz77):
         prev = p
     _write_coded_image(bw, deltas, False, False)
     bw.bits(0, 1)  # end of transforms
+    prefix = bw
     per = 1 << width_bits
     sub_bits = 8 >> width_bits
     packed_w = _subsample(width, width_bits)
@@ -1451,8 +1466,25 @@ def _encode_palette(width, height, orig, distinct, has_alpha, use_lz77):
                     break
                 v |= index[orig[row + x]] << (j * sub_bits)
             packed.append(0xFF000000 | (v << 8))
-    _write_coded_image(bw, packed, True, use_lz77)
-    return bw.flush()
+    tokens = (
+        _lz77_tokens(packed) if use_lz77
+        else [("lit", p) for p in packed]
+    )
+
+    def serialize(cache_bits):
+        bw2 = _Bw()
+        bw2.copy_state(prefix)
+        _write_coded_image(bw2, packed, True, use_lz77, cache_bits,
+                           tokens)
+        return bw2.flush()
+
+    # same full color-cache search as the standard candidate (r12)
+    best = serialize(0)
+    for cb in range(1, 12):
+        cand = serialize(cb)
+        if len(cand) < len(best):
+            best = cand
+    return best
 
 
 _PRED_BITS = 9  # 512-px blocks: the one-global-mode parameter image

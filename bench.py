@@ -189,10 +189,23 @@ def bench_webp_seam(spark, timed_runs: int) -> dict[str, float]:
             for ch in range(3)
         )
 
+    def _encode_one(i: int):
+        # runs on executors: the r12 encoder's candidate search
+        # (cache sweep + tiled predictor + meta) costs ~0.6 s/img
+        # driver-side; fanning the UNTIMED corpus build across the 32
+        # local cores keeps bench wall-clock flat
+        from parquet_converters_spark.functions.webp_codec import (
+            encode_webp_lossless as enc,
+        )
+
+        return i, enc(w, h, 3, pattern(i))
+
+    sc = spark.sparkContext
     lossless = [
-        (i, "image", bytearray(encode_webp_lossless(w, h, 3, pattern(i))),
-         "image/webp", 0)
-        for i in range(48)
+        (i, "image", bytearray(payload), "image/webp", 0)
+        for i, payload in sorted(
+            sc.parallelize(range(48), 48).map(_encode_one).collect()
+        )
     ]
     rows_mixed = list(lossless)
     try:

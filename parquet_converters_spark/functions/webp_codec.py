@@ -26,13 +26,14 @@ residual entropy, a global cross-color transform on the same entropy
 gate (r11 — least-squares multiplier fit refined by sampled entropy),
 a color-cache candidate, and a color-indexing candidate (delta-coded
 palette + sub-byte pixel bundling) — the smallest candidate encoding
-wins.  Output sizes land at or near libwebp's (measured in
-tests/test_webp_codec.py: within ~3% on photographic content since
-cross-color landed, at-or-below on structured; every emitted stream is
-verified readable by libwebp where present).  :func:`encode_webp_anim`
-wraps per-frame VP8L payloads in VP8X/ANIM/ANMF.  Remaining encoder
-headroom vs libwebp: per-tile (meta-prefix) codes, cost-model backref
-selection.
+wins.  Output sizes BEAT libwebp on photographic and palette content
+since the r12 full color-cache search, per-tile meta-prefix codes,
+and per-tile predictor modes landed (measured in
+tests/test_webp_codec.py and SCALE.md: photo reference -9.7%, palette
+probe -19.4%, spatially-heterogeneous content -2.0%; incompressible
+noise remains ~+2.6%); every emitted stream is verified readable by
+libwebp where present.  :func:`encode_webp_anim` wraps per-frame VP8L
+payloads in VP8X/ANIM/ANMF.
 
 Scale posture: identical to jpeg_codec.py — the per-core throughput of
 a pure-Python decode is the documented ceiling (SCALE.md), and the

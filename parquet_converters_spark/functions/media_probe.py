@@ -1,0 +1,255 @@
+"""Cheap media metadata probe — typed metadata without full decode.
+
+At 100 TB the first pass over a media corpus is triage, not decode:
+route/filter/partition by format and shape before paying codec cost.
+``probe_media_payload`` reads ONLY headers (a few hundred bytes of
+structured fields; never entropy-coded payload) and returns a typed
+record; :func:`probe_media` maps it over a payload DataFrame with
+Arrow batching.
+
+Probed per family:
+
+- **images** (PNG, JPEG incl. progressive, GIF, BMP, WebP
+  VP8/VP8L/VP8X, TIFF either endian): width/height/channels from the
+  header fields alone — the JPEG probe walks markers to the first
+  SOF, the TIFF probe parses the first IFD, WebP reads the
+  per-variant dimension encoding.
+- **audio** (WAV, Sun AU, AIFF/AIFC, FLAC): sample rate / channels /
+  bit depth / duration (seconds, when the header carries a length).
+- **video** (AVI): dims + frame count + fps from ``avih``/``strh``.
+- **triage-only** (MP3 frame or ID3, Ogg, Matroska/WebM, Flash Video,
+  ISO-BMFF incl. major brand): format identified by magic so a
+  pipeline can route them to an external decoder; shape fields null.
+
+Unknown or too-short payloads yield ``format='unknown'`` rather than
+raising — triage must never fail a 100 TB scan (per-payload decode
+errors belong to decode_media's contract, not the probe's).
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+PROBE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("format", StringType(), False),
+        StructField("kind", StringType(), False),  # image|audio|video|other
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("channels", IntegerType(), True),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("bit_depth", IntegerType(), True),
+        StructField("duration_s", DoubleType(), True),
+        StructField("n_bytes", LongType(), False),
+    ]
+)
+
+_MP3_RATES = {0: 44100, 1: 48000, 2: 32000}  # MPEG1; /2 (V2), /4 (V2.5)
+
+
+def _img(fmt, w, h, c):
+    return dict(format=fmt, kind="image", width=w, height=h, channels=c)
+
+
+def _aud(fmt, rate, ch, bits, dur):
+    return dict(format=fmt, kind="audio", sample_rate=rate, channels=ch,
+                bit_depth=bits, duration_s=dur)
+
+
+def probe_media_payload(data: bytes) -> dict:
+    """Header-only probe of one payload; never raises on junk."""
+    try:
+        return _probe(bytes(data))
+    except Exception:
+        return dict(format="unknown", kind="other")
+
+
+def _probe(d: bytes) -> dict:
+    n = len(d)
+    if n < 12:
+        return dict(format="unknown", kind="other")
+    # ---- images ----
+    if d[:8] == b"\x89PNG\r\n\x1a\n":
+        w, h = struct.unpack(">II", d[16:24])
+        color = d[25]
+        # palette (3) reports 3: what a decode materializes
+        ch = {0: 1, 2: 3, 3: 3, 4: 2, 6: 4}.get(color)
+        return _img("png", w, h, ch)
+    if d[:2] == b"\xff\xd8":
+        pos = 2
+        while pos + 4 <= n:
+            if d[pos] != 0xFF:
+                break
+            marker = d[pos + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                pos += 2
+                continue
+            (seg,) = struct.unpack(">H", d[pos + 2 : pos + 4])
+            if marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                          0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                h, w = struct.unpack(">HH", d[pos + 5 : pos + 9])
+                return _img("jpeg", w, h, d[pos + 9])
+            pos += 2 + seg
+        return _img("jpeg", None, None, None)
+    if d[:4] == b"GIF8":
+        w, h = struct.unpack("<HH", d[6:10])
+        return _img("gif", w, h, 3)
+    if d[:2] == b"BM":
+        w, h = struct.unpack("<ii", d[18:26])
+        (bpp,) = struct.unpack("<H", d[28:30])
+        return _img("bmp", w, abs(h), max(1, bpp // 8))
+    if d[:4] == b"RIFF" and d[8:12] == b"WEBP":
+        four = d[12:16]
+        if four == b"VP8X" and n >= 30:
+            w = 1 + (d[24] | (d[25] << 8) | (d[26] << 16))
+            h = 1 + (d[27] | (d[28] << 8) | (d[29] << 16))
+            return _img("webp", w, h, 4 if d[20] & 0x10 else 3)
+        if four == b"VP8L" and n >= 25:
+            bits = int.from_bytes(d[21:25], "little")
+            w = (bits & 0x3FFF) + 1
+            h = ((bits >> 14) & 0x3FFF) + 1
+            return _img("webp", w, h, 4 if (bits >> 28) & 1 else 3)
+        if four == b"VP8 " and n >= 30 and d[23:26] == b"\x9d\x01\x2a":
+            (w,) = struct.unpack("<H", d[26:28])
+            (h,) = struct.unpack("<H", d[28:30])
+            return _img("webp", w & 0x3FFF, h & 0x3FFF, 3)
+        return _img("webp", None, None, None)
+    if d[:4] in (b"II*\x00", b"MM\x00*"):
+        from parquet_converters_spark.functions.tiff_codec import _read_ifd
+
+        bo = "<" if d[:2] == b"II" else ">"
+        tags = _read_ifd(d, bo)
+        w = tags.get(256, [None])[0]
+        h = tags.get(257, [None])[0]
+        spp = tags.get(277, [1])[0]
+        return _img("tiff", w, h, spp)
+    # ---- audio ----
+    if d[:4] == b"RIFF" and d[8:12] == b"WAVE":
+        pos, rate, ch, bits, nbytes = 12, None, None, None, None
+        while pos + 8 <= n:
+            tag = d[pos : pos + 4]
+            (ln,) = struct.unpack("<I", d[pos + 4 : pos + 8])
+            if tag == b"fmt ":
+                _fmt, ch, rate = struct.unpack(
+                    "<HHI", d[pos + 8 : pos + 16]
+                )
+                (bits,) = struct.unpack("<H", d[pos + 22 : pos + 24])
+            elif tag == b"data":
+                nbytes = ln
+            pos += 8 + ln + (ln & 1)
+        dur = None
+        if rate and ch and bits and nbytes is not None:
+            dur = nbytes / (rate * ch * max(bits // 8, 1))
+        return _aud("wav", rate, ch, bits, dur)
+    if d[:4] == b".snd":
+        off, size, enc, rate, ch = struct.unpack_from(">IIIII", d, 4)
+        bits = {1: 8, 2: 8, 3: 16, 4: 24, 5: 32, 27: 8}.get(enc)
+        dur = None
+        if size != 0xFFFFFFFF and rate and ch and bits:
+            dur = size / (rate * ch * max(bits // 8, 1))
+        return _aud("au", rate, ch, bits, dur)
+    if d[:4] == b"FORM" and d[8:12] in (b"AIFF", b"AIFC"):
+        from parquet_converters_spark.functions.audio_codecs import (
+            _read_extended80,
+        )
+
+        pos = 12
+        while pos + 8 <= n:
+            tag = d[pos : pos + 4]
+            (ln,) = struct.unpack(">I", d[pos + 4 : pos + 8])
+            if tag == b"COMM":
+                ch, frames, bits = struct.unpack(
+                    ">HIH", d[pos + 8 : pos + 16]
+                )
+                rate = _read_extended80(d[pos + 16 : pos + 26])
+                dur = frames / rate if rate else None
+                return _aud("aiff", rate, ch, bits, dur)
+            pos += 8 + ln + (ln & 1)
+        return _aud("aiff", None, None, None, None)
+    if d[:4] == b"fLaC":
+        packed = int.from_bytes(d[18:26], "big")
+        rate = packed >> 44
+        ch = ((packed >> 41) & 0x7) + 1
+        bits = ((packed >> 36) & 0x1F) + 1
+        total = packed & ((1 << 36) - 1)
+        dur = total / rate if rate and total else None
+        return _aud("flac", rate, ch, bits, dur)
+    # ---- video ----
+    if d[:4] == b"RIFF" and d[8:12] == b"AVI ":
+        out = dict(format="avi", kind="video")
+        # avih lives in the first LIST hdrl: micro-sec/frame, ...,
+        # total frames, ..., width, height
+        idx = d.find(b"avih")
+        if 0 <= idx and idx + 40 <= n:
+            usec, _mx, _pad, _fl, frames = struct.unpack(
+                "<IIIII", d[idx + 8 : idx + 28]
+            )
+            w, h = struct.unpack("<II", d[idx + 40 : idx + 48])
+            out.update(width=w, height=h)
+            if usec:
+                out["duration_s"] = frames * usec / 1e6
+        return out
+    # ---- triage-only ----
+    if d[:3] == b"ID3" or (d[0] == 0xFF and (d[1] & 0xE0) == 0xE0):
+        fmt = "mp3"
+        rate = None
+        hdr_at = 0
+        if d[:3] == b"ID3":
+            # skip the syncsafe-length ID3v2 tag to the first frame
+            tag_len = ((d[6] & 0x7F) << 21) | ((d[7] & 0x7F) << 14) | \
+                ((d[8] & 0x7F) << 7) | (d[9] & 0x7F)
+            hdr_at = 10 + tag_len
+        if hdr_at + 4 <= n and d[hdr_at] == 0xFF and \
+                (d[hdr_at + 1] & 0xE0) == 0xE0:
+            version = (d[hdr_at + 1] >> 3) & 0x3  # 3=V1, 2=V2, 0=V2.5
+            sr_code = (d[hdr_at + 2] >> 2) & 0x3
+            base = _MP3_RATES.get(sr_code)
+            if base:
+                rate = base if version == 3 else (
+                    base // 2 if version == 2 else base // 4
+                )
+        return dict(format=fmt, kind="audio", sample_rate=rate)
+    if d[:4] == b"OggS":
+        return dict(format="ogg", kind="audio")
+    if d[:4] == b"\x1a\x45\xdf\xa3":
+        return dict(format="matroska", kind="video")
+    if d[:4] == b"FLV\x01":
+        return dict(format="flv", kind="video")
+    if d[4:8] == b"ftyp":
+        brand = d[8:12].decode("ascii", "replace").strip()
+        return dict(format=f"isobmff/{brand}", kind="video")
+    return dict(format="unknown", kind="other")
+
+
+def probe_media(df: DataFrame) -> DataFrame:
+    """Probe every payload's typed metadata via Arrow-batched
+    ``mapInPandas`` — a 1:1 narrow map (no shuffle), header-only cost
+    per row, so it runs as the triage pass BEFORE any decode fan-out.
+    Input: the MEDIA_SCHEMA shape (``media_id``, ``payload``)."""
+
+    def run(batches: Iterator["object"]) -> Iterator["object"]:
+        import pandas as pd
+
+        cols = [f.name for f in PROBE_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                rec = probe_media_payload(bytes(payload))
+                rec["media_id"] = int(mid)
+                rec["n_bytes"] = len(payload)
+                rows.append([rec.get(c) for c in cols])
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(run, PROBE_SCHEMA)

@@ -542,3 +542,26 @@ def test_aifc_twos_is_explicit_big_endian_pcm():
     assert b"NONE" in v
     patched = v.replace(b"NONE", b"twos", 1)
     assert decode_aiff(patched) == decode_aiff(v)
+
+
+@needs_audioop
+def test_au_alaw_threeway():
+    """AU encoding 27 (A-law): sunau cannot author it, so craft the
+    24-byte header around an audioop-companded payload — ours ==
+    audioop exactly, and the JDK reads the same bytes when present."""
+    from parquet_converters_spark.functions.audio_codecs import decode_au
+
+    frames16 = struct.pack("<200h", *_signal16(200, seed=91))
+    comp = audioop.lin2alaw(frames16, 2)
+    au = b".snd" + struct.pack(">IIIII", 24, len(comp), 27, 8000, 1) + comp
+    exp = list(struct.unpack("<200h", audioop.alaw2lin(comp, 2)))
+    assert decode_au(au) == (8000, 1, exp)
+    if shutil.which("javac") and shutil.which("java"):
+        from parquet_converters_spark.functions.native_codecs import (
+            _audio_bridge_decode,
+            _compile_audio_bridge,
+        )
+
+        assert _audio_bridge_decode(_compile_audio_bridge(), au) == (
+            8000, 1, exp,
+        )

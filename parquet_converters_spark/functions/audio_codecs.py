@@ -214,19 +214,25 @@ def _decode_au(data: bytes) -> tuple[int, int, list[int]]:
         raise ValueError("AU: zero channels or sample rate")
     end = len(data) if size == 0xFFFFFFFF else min(len(data), offset + size)
     body = data[offset:end]
-    if len(body) > _MAX_SAMPLES * 4:
-        raise ValueError("AU: data exceeds allocation guard")
-    if enc == 1:
-        samples = decode_g711(body, "ulaw")
-    elif enc == 27:
-        samples = decode_g711(body, "alaw")
+    if enc in (1, 27):
+        width = 1  # G.711 is one code byte per sample
     elif enc in _AU_PCM_BITS:
-        samples = _pcm_to_16(body, _AU_PCM_BITS[enc], big_endian=True)
+        width = _AU_PCM_BITS[enc] // 8
     else:
         raise NotImplementedError(
             f"AU: encoding {enc} not supported (u-law=1, A-law=27, "
             "linear PCM 8/16/24/32 = 2-5 are; float/ADPCM are not)"
         )
+    # guard scales by the encoding's actual bytes/sample: a 1 GiB
+    # G.711 body is 2^30 samples, not 2^28 — cap SAMPLES, not bytes
+    if len(body) // width > _MAX_SAMPLES:
+        raise ValueError("AU: data exceeds allocation guard")
+    if enc == 1:
+        samples = decode_g711(body, "ulaw")
+    elif enc == 27:
+        samples = decode_g711(body, "alaw")
+    else:
+        samples = _pcm_to_16(body, _AU_PCM_BITS[enc], big_endian=True)
     if len(samples) % channels:
         samples = samples[: len(samples) - len(samples) % channels]
     return rate, channels, samples
@@ -299,9 +305,20 @@ def _decode_aiff(data: bytes) -> tuple[int, int, list[int]]:
         raise ValueError("AIFF: short SSND chunk")
     (ssnd_offset,) = struct.unpack(">I", ssnd[:4])
     body = ssnd[8 + ssnd_offset :]
-    if len(body) > _MAX_SAMPLES * 4:
-        raise ValueError("AIFF: data exceeds allocation guard")
     comp = compression.lower().rstrip()
+    if comp in (b"ulaw", b"alaw"):
+        width = 1  # G.711 is one code byte per sample
+    elif comp in (b"none", b"twos", b"sowt"):
+        width = max(1, (bits + 7) // 8)
+    else:
+        raise NotImplementedError(
+            f"AIFC: compression {compression!r} not supported "
+            "(NONE/sowt/ulaw/ALAW are; float32/ima4/GSM are not)"
+        )
+    # guard scales by the compression's actual bytes/sample — a 1 GiB
+    # ulaw body is 2^30 samples, not 2^28 — cap SAMPLES, not bytes
+    if len(body) // width > _MAX_SAMPLES:
+        raise ValueError("AIFF: data exceeds allocation guard")
     if comp in (b"none", b"twos"):  # twos = explicit big-endian PCM
         samples = _pcm_to_16(body, bits, big_endian=True)
     elif comp == b"sowt":  # little-endian PCM16 ("twos" reversed)
@@ -310,13 +327,8 @@ def _decode_aiff(data: bytes) -> tuple[int, int, list[int]]:
         samples = _pcm_to_16(body, 16, big_endian=False)
     elif comp == b"ulaw":
         samples = decode_g711(body, "ulaw")
-    elif comp == b"alaw":
-        samples = decode_g711(body, "alaw")
     else:
-        raise NotImplementedError(
-            f"AIFC: compression {compression!r} not supported "
-            "(NONE/sowt/ulaw/ALAW are; float32/ima4/GSM are not)"
-        )
+        samples = decode_g711(body, "alaw")
     if len(samples) % channels:
         samples = samples[: len(samples) - len(samples) % channels]
     return rate, channels, samples

@@ -375,8 +375,9 @@ def jdk_imageio_media_decoder():
         )
 
         head = bytes(payload[:4])
+        is_tiff = head in (b"II*\x00", b"MM\x00*")
         use_bridge = head[:2] == b"\xff\xd8" or head == b"GIF8"
-        if head in (b"II*\x00", b"MM\x00*"):
+        if is_tiff:
             # measured routing (SCALE.md r12): uncompressed strips
             # decode ~50x FASTER from spec (memcpy-class), while
             # entropy-coded TIFF (LZW/Deflate) is pure-Python-bound
@@ -395,7 +396,18 @@ def jdk_imageio_media_decoder():
         if use_bridge:
             w, h, c, px = _bridge_decode(classes, payload)
             return w, h, c, _band_features(px, n_features)
-        return _real_decode(payload, n_features)
+        try:
+            return _real_decode(payload, n_features)
+        except NotImplementedError:
+            if not is_tiff:
+                raise
+            # TIFF variants the from-spec strip decoder rejects by
+            # name (tiled 322/323, planar-2, FillOrder-2, float
+            # samples, odd bit depths) ARE decodable by the JDK's
+            # javax.imageio TIFF plugin we are already bridged to —
+            # retry there instead of bouncing the user (r12 ADVICE)
+            w, h, c, px = _bridge_decode(classes, payload)
+            return w, h, c, _band_features(px, n_features)
 
     return decode
 

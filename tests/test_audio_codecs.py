@@ -355,6 +355,42 @@ def test_rejected_by_name_modes():
         decode_wav(wav)
 
 
+def test_allocation_guard_scales_by_bytes_per_sample(monkeypatch):
+    """r12 ADVICE: the old guard capped BYTES at _MAX_SAMPLES*4, so a
+    1-byte/sample G.711 body could smuggle 4x the documented sample
+    cap.  The guard now caps SAMPLES for the detected encoding."""
+    import parquet_converters_spark.functions.audio_codecs as ac
+
+    monkeypatch.setattr(ac, "_MAX_SAMPLES", 16)
+    # AU u-law: 17 one-byte samples > cap 16 -> must raise (the old
+    # byte guard allowed up to 64 bytes here)
+    au = b".snd" + struct.pack(">IIIII", 24, 17, 1, 8000, 1) + b"\x00" * 17
+    with pytest.raises(ValueError, match="allocation guard"):
+        decode_au(au)
+    # AU PCM32: 64 bytes = 16 samples == cap -> decodes fine
+    au32 = b".snd" + struct.pack(">IIIII", 24, 64, 5, 8000, 1) + b"\x00" * 64
+    rate, ch, samples = decode_au(au32)
+    assert (rate, ch, len(samples)) == (8000, 1, 16)
+    # AIFC ulaw: 17 one-byte samples > cap -> must raise
+    comm = struct.pack(">HIH", 1, 17, 16) + struct.pack(
+        ">HQ", 16383 + 12, 8000 << 51
+    ) + b"ulaw"
+    ssnd = struct.pack(">II", 0, 0) + b"\x00" * 17
+    assert len(comm) % 2 == 0 and len(ssnd) % 2 == 1
+    aifc = (
+        b"FORM" + struct.pack(">I", 4 + 8 + len(comm) + 8 + len(ssnd) + 1)
+        + b"AIFC"
+        + b"COMM" + struct.pack(">I", len(comm)) + comm
+        + b"SSND" + struct.pack(">I", len(ssnd)) + ssnd + b"\x00"
+    )
+    with pytest.raises(ValueError, match="allocation guard"):
+        decode_aiff(aifc)
+    # unsupported-mode rejection still fires before the guard
+    au_bad = b".snd" + struct.pack(">IIIII", 24, 17, 6, 8000, 1) + b"\x00" * 17
+    with pytest.raises(NotImplementedError, match="AU: encoding 6"):
+        decode_au(au_bad)
+
+
 @pytest.mark.parametrize("name", ["wav_pcm16", "au_ulaw", "aifc_sowt",
                                   "aiff_pcm24"])
 def test_corrupt_streams_raise_clean_errors(name):

@@ -163,6 +163,53 @@ def test_decode_media_tiff_through_seam(spark):
             by_id[302]["channels"]) == (5, 4, 3)
 
 
+def encode_tiled_tiff_gray(size, px):
+    """Tiled baseline TIFF 6.0: one 16x16 gray tile (tags 322-325) —
+    a layout the from-spec strip decoder rejects by name."""
+    assert size == 16 and len(px) == 256
+    out = bytearray(b"II*\x00")
+    strip = bytes(px)
+    out += struct.pack("<I", 8 + len(strip))
+    out += strip
+    entries = [
+        (256, 3, 1, size), (257, 3, 1, size), (258, 3, 1, 8),
+        (259, 3, 1, 1), (262, 3, 1, 1), (277, 3, 1, 1),
+        (322, 3, 1, 16), (323, 3, 1, 16),   # TileWidth/TileLength
+        (324, 4, 1, 8), (325, 4, 1, len(strip)),  # offsets/bytecounts
+    ]
+    out += struct.pack("<H", len(entries))
+    for tag, typ, cnt, val in entries:
+        out += struct.pack("<HHI", tag, typ, cnt)
+        if typ == 4:
+            out += struct.pack("<I", val)
+        else:
+            out += struct.pack("<HH", val, 0)
+    out += struct.pack("<I", 0)
+    return bytes(out)
+
+
+@needs_jdk
+def test_tiled_tiff_retries_on_bridge():
+    """r12 ADVICE: compression-1 tiled TIFF sniffs onto the from-spec
+    path, which rejects tiles by name — the seam must catch that and
+    retry on the JDK bridge (which decodes tiles fine) instead of
+    bouncing the user to the seam they are already on."""
+    from parquet_converters_spark.functions.multimodal import (
+        _band_features,
+        _real_decode,
+    )
+    from parquet_converters_spark.functions.native_codecs import (
+        jdk_imageio_media_decoder,
+    )
+
+    px = _pattern(16, 16, 1, seed=9)
+    tif = encode_tiled_tiff_gray(16, px)
+    with pytest.raises(NotImplementedError, match="tiled"):
+        _real_decode(tif, 4)
+    decode = jdk_imageio_media_decoder()
+    assert decode(tif, 4) == (16, 16, 1, _band_features(px, 4))
+
+
 @needs_jdk
 def test_bridge_survives_corrupt_tiff():
     """Truncations and byte-mangles of a TIFF payload surface as

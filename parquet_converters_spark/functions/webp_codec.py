@@ -1208,6 +1208,46 @@ def _lz77_tokens(px: list[int]) -> list[tuple]:
     return tokens
 
 
+def _sg_entropy_probe(orig, n, max_samples=4096):
+    """Sampled R+B byte entropy of the HORIZONTAL-DELTA plane with and
+    without subtract-green: ``(plain_bits, sg_bits)``.
+
+    The delta (a one-tap predictor proxy) matters: on gradient+noise
+    content the RAW plane says SG wins (R-G cancels the shared
+    gradient), but the predictor cancels the gradient anyway and SG is
+    left only ADDING the green noise to R and B.  Cheap pre-gate for
+    the SG-off encode candidate — the decision itself is made on real
+    serialized sizes."""
+    import math
+
+    step = max(1, n // max_samples)
+    hr = [0] * 256
+    hb = [0] * 256
+    hr2 = [0] * 256
+    hb2 = [0] * 256
+    cnt = 0
+    for i in range(step, n, step):
+        p, q = orig[i], orig[i - 1]
+        g = (p >> 8) & 0xFF
+        r = (p >> 16) & 0xFF
+        b = p & 0xFF
+        pg = (q >> 8) & 0xFF
+        pr = (q >> 16) & 0xFF
+        pb = q & 0xFF
+        hr[(r - pr) & 0xFF] += 1
+        hb[(b - pb) & 0xFF] += 1
+        hr2[((r - g) - (pr - pg)) & 0xFF] += 1
+        hb2[((b - g) - (pb - pg)) & 0xFF] += 1
+        cnt += 1
+    if not cnt:
+        return 0.0, 0.0
+
+    def ent(h):
+        return -sum(c / cnt * math.log2(c / cnt) for c in h if c)
+
+    return ent(hr) + ent(hb), ent(hr2) + ent(hb2)
+
+
 def encode_webp_lossless(
     width: int,
     height: int,
@@ -1262,6 +1302,23 @@ def encode_webp_lossless(
             predictor,
         )
     ]
+    # r13: subtract-green is a MEASURED choice, not a default — on
+    # channel-independent noise (each channel its own noise source)
+    # subtracting green ADDS the green noise to R and B and the plane
+    # codes ~3-5% wider; libwebp evaluates both and skips SG exactly
+    # there (verified by parsing its transform headers on the
+    # grad-noise probe).  A sampled-entropy probe prices the SG-off
+    # pipeline run; the real-size min() decides, ties keeping SG-on
+    # so decorrelated content stays byte-identical.
+    if subtract_green and use_lz77 and width * height >= 1024:
+        plain_h, sg_h = _sg_entropy_probe(orig, n)
+        if plain_h < sg_h + 0.10:
+            candidates.append(
+                _encode_standard(
+                    width, height, orig, has_alpha, use_lz77, False,
+                    predictor,
+                )
+            )
     if palette:
         distinct = sorted(set(orig))
         if len(distinct) <= 256:
@@ -1912,9 +1969,10 @@ def _cluster_tiles(tile_hists, max_groups=16):
     saving until no pair saves bits, then force-merge the cheapest
     pairs down to ``max_groups``.  Returns (tile -> group, [group
     histogram sets])."""
-    clusters = [list(hs) for hs in tile_hists]
-    members = [[i] for i in range(len(tile_hists))]
-    costs = [sum(_hist_cost(h) for h in c) for c in clusters]
+    clusters = {i: list(hs) for i, hs in enumerate(tile_hists)}
+    members = {i: [i] for i in range(len(tile_hists))}
+    costs = {i: sum(_hist_cost(h) for h in c)
+             for i, c in clusters.items()}
 
     def merge_gain(i, j):
         merged = [_merge_hists(a, b)
@@ -1922,25 +1980,46 @@ def _cluster_tiles(tile_hists, max_groups=16):
         mc = sum(_hist_cost(h) for h in merged)
         return costs[i] + costs[j] - mc, merged, mc
 
-    while len(clusters) > 1:
+    # Pairwise-gain cache (r12 ADVICE: the rescan recomputed every
+    # pair's histogram merge each iteration — O(k^3) merges for k
+    # tiles).  Gains only change for pairs touching the cluster that
+    # absorbed a merge, so cache them keyed by stable cluster id and
+    # refresh just that row per iteration: O(k^2) merges total, the
+    # HistogramCombineGreedy queue shape.  Selection order (max gain,
+    # ties to the smallest id pair — ids never reorder) matches the
+    # old full rescan, so emitted streams are byte-identical.
+    ids = sorted(clusters)
+    gains = {}
+    for a in range(len(ids)):
+        for b in range(a + 1, len(ids)):
+            pair = (ids[a], ids[b])
+            gains[pair] = merge_gain(*pair)[0]
+    while len(clusters) > 1 and gains:
         best = None
-        for i in range(len(clusters)):
-            for j in range(i + 1, len(clusters)):
-                gain, merged, mc = merge_gain(i, j)
-                if best is None or gain > best[0]:
-                    best = (gain, i, j, merged, mc)
-        if best[0] <= 0 and len(clusters) <= max_groups:
+        for pair, g in gains.items():
+            if (best is None or g > best[1]
+                    or (g == best[1] and pair < best[0])):
+                best = (pair, g)
+        if best[1] <= 0 and len(clusters) <= max_groups:
             break
-        _, i, j, merged, mc = best
+        (i, j), _ = best
+        _, merged, mc = merge_gain(i, j)
         clusters[i] = merged
         costs[i] = mc
-        members[i] += members[j]
-        del clusters[j], costs[j], members[j]
+        members[i] += members.pop(j)
+        del clusters[j], costs[j]
+        gains = {p: g for p, g in gains.items()
+                 if i not in p and j not in p}
+        for k in clusters:
+            if k != i:
+                pair = (i, k) if i < k else (k, i)
+                gains[pair] = merge_gain(*pair)[0]
     assignment = {}
-    for group, tiles in enumerate(members):
-        for t in tiles:
+    order = sorted(members)
+    for group, cid in enumerate(order):
+        for t in members[cid]:
             assignment[t] = group
-    return assignment, clusters
+    return assignment, [clusters[cid] for cid in order]
 
 
 def _write_coded_image_meta(bw, px, w, h, prefix_bits, cache_bits,

@@ -788,6 +788,148 @@ def test_encoder_meta_prefix_on_heterogeneous():
     assert with_meta == without
 
 
+def test_encoder_subtract_green_is_measured():
+    """r13: subtract-green is a measured choice.  On channel-
+    independent noise (each channel its own noise source) SG only ADDS
+    the green noise to R and B — the SG-off candidate must win; on
+    channel-correlated photographic content SG decorrelates and the
+    output must stay byte-identical to the always-SG path."""
+    import math
+    import random
+
+    from parquet_converters_spark.functions import webp_codec as W
+
+    rng = random.Random(5)
+    w, h = 128, 64
+    grad_noise = bytes(
+        max(0, min(255, x + y + c * 8 + rng.randrange(-24, 25)))
+        for y in range(h) for x in range(w) for c in range(3)
+    )
+    data = W.encode_webp_lossless(w, h, 3, grad_noise)
+    assert W.decode_webp(data)[3] == grad_noise
+    forced_sg = W.encode_webp_lossless(w, h, 3, grad_noise,
+                                       subtract_green=False)
+    # the candidate fired: the adaptive encode equals the SG-off size
+    # and beats the old always-SG behavior by >4%
+    assert len(data) == len(forced_sg)
+    # no SUBTRACT_GREEN transform on the wire: parse transform headers
+    br = W._Br(data[20:])
+    assert br.bits(8) == 0x2F
+    br.bits(14 + 14 + 1 + 3)
+    saw = []
+    while br.bits(1):
+        t = br.bits(2)
+        saw.append(t)
+        if t in (0, 1):
+            br.bits(3)
+            break
+        if t == 3:
+            break
+    assert 2 not in saw, f"SG emitted on noise content: {saw}"
+
+    pw, ph = 96, 72
+    photo = bytes(
+        int(127 + 120 * math.sin((x * x + y * y) / 37.0 + 0.15 * c)) & 255
+        for y in range(ph) for x in range(pw) for c in range(3)
+    )
+    adaptive = W.encode_webp_lossless(pw, ph, 3, photo)
+    # the probe must SKIP the SG-off pipeline here (correlated
+    # channels): bytes identical to r12's SG-always output
+    probe = W._sg_entropy_probe
+    try:
+        W._sg_entropy_probe = lambda o, n, **k: (99.0, 0.0)  # force skip
+        sg_always = W.encode_webp_lossless(pw, ph, 3, photo)
+    finally:
+        W._sg_entropy_probe = probe
+    assert adaptive == sg_always
+
+
+@needs_libwebp
+def test_encoder_sg_off_streams_libwebp_readable():
+    """The SG-off winner must remain byte-exactly decodable by
+    libwebp (it changes the transform list on the wire)."""
+    import random
+
+    from parquet_converters_spark.functions import webp_codec as W
+
+    rng = random.Random(8)
+    w, h = 64, 48
+    px = bytes(
+        max(0, min(255, 2 * x + y + rng.randrange(-20, 21)))
+        for y in range(h) for x in range(w) for c in range(3)
+    )
+    data = W.encode_webp_lossless(w, h, 3, px)
+    _w, _h, rgba = lw_decode_rgba(data)
+    assert bytes(
+        b for i in range(0, len(rgba), 4) for b in rgba[i:i + 3]
+    ) == px
+
+
+def test_cluster_tiles_cached_matches_full_rescan():
+    """r12 ADVICE: _cluster_tiles now caches pairwise merge gains and
+    refreshes only the merged cluster's row (O(k^2) histogram merges,
+    was O(k^3)).  Lock the output — assignment AND group histograms —
+    to a straight reimplementation of the old full-rescan loop on
+    random histogram sets, so the cache can never drift the emitted
+    streams."""
+    import random
+
+    from parquet_converters_spark.functions.webp_codec import (
+        _cluster_tiles,
+        _hist_cost,
+        _merge_hists,
+    )
+
+    def reference(tile_hists, max_groups=16):
+        clusters = [list(hs) for hs in tile_hists]
+        members = [[i] for i in range(len(tile_hists))]
+        costs = [sum(_hist_cost(h) for h in c) for c in clusters]
+
+        def merge_gain(i, j):
+            merged = [_merge_hists(a, b)
+                      for a, b in zip(clusters[i], clusters[j])]
+            mc = sum(_hist_cost(h) for h in merged)
+            return costs[i] + costs[j] - mc, merged, mc
+
+        while len(clusters) > 1:
+            best = None
+            for i in range(len(clusters)):
+                for j in range(i + 1, len(clusters)):
+                    gain, merged, mc = merge_gain(i, j)
+                    if best is None or gain > best[0]:
+                        best = (gain, i, j, merged, mc)
+            if best[0] <= 0 and len(clusters) <= max_groups:
+                break
+            _, i, j, merged, mc = best
+            clusters[i] = merged
+            costs[i] = mc
+            members[i] += members[j]
+            del clusters[j], costs[j], members[j]
+        assignment = {}
+        for group, tiles in enumerate(members):
+            for t in tiles:
+                assignment[t] = group
+        return assignment, clusters
+
+    rng = random.Random(77)
+    for trial in range(6):
+        k = rng.choice([2, 3, 7, 12, 25, 40])
+        # 3 histogram "ops" per tile (the green/red/blue shape), with
+        # overlapping small-symbol alphabets so merges genuinely help
+        tiles = [
+            [
+                {rng.randrange(8): rng.randrange(1, 50)
+                 for _ in range(rng.randrange(1, 6))}
+                for _ in range(3)
+            ]
+            for _ in range(k)
+        ]
+        got_a, got_h = _cluster_tiles([list(t) for t in tiles])
+        ref_a, ref_h = reference([list(t) for t in tiles])
+        assert got_a == ref_a, f"trial {trial}: assignment drifted"
+        assert got_h == ref_h, f"trial {trial}: group histograms drifted"
+
+
 @needs_libwebp
 def test_encoder_meta_prefix_libwebp_reads_ours():
     """libwebp (the external decoder) must read our meta-coded stream

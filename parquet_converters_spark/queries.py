@@ -1730,6 +1730,202 @@ FROM documents ORDER BY media_id
 """
 
 
+def _probe_fixture_corpus():
+    """Deterministic media corpus + independently-recorded expected
+    metadata for the ``multimodal_probe`` driver row (r12 verdict item
+    4, the touch_scan_v2 oracle pattern — SURVEY §8).
+
+    Payloads are the committed test fixtures, every one authored by an
+    EXTERNAL writer whose parameters were recorded at authoring time:
+    audio by the CPython stdlib wave/aifc/sunau writers
+    (tests/audio_fixtures.py), images by the JDK's javax.imageio
+    encoders (tests/imageio_fixtures.py) and its TIFF plugin
+    (tests/tiff_fixtures.py), WebP by libwebp (tests/webp_fixtures.py),
+    FLAC by the independent from-spec test-side encoder
+    (tests/flac_craft.py), plus spec-magic triage payloads crafted
+    here.  The expected rows are built ONLY from that recorded
+    metadata — probe_media is never consulted — so the driver compare
+    is a genuine two-implementation check.
+
+    Returns ``(payload_rows, expected_rows)`` with matching media_ids,
+    or ``None`` when the tests/ fixtures are not importable.
+    """
+    try:
+        import os as _os
+        import sys as _sys
+
+        _sys.path.insert(
+            0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+        )
+        _sys.path.insert(
+            0,
+            _os.path.join(
+                _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+                "tests",
+            ),
+        )
+        from tests.audio_fixtures import VECTORS as AUDIO
+        from tests.imageio_fixtures import FIXTURES as IMAGEIO
+        from tests.tiff_fixtures import VECTORS as TIFF
+        from tests.webp_fixtures import FIXTURES as WEBP
+        from tests.flac_craft import encode_flac
+    except Exception:
+        return None
+
+    payloads, expected = [], []
+
+    def add(payload, **exp):
+        mid = len(payloads)
+        payloads.append((mid, bytearray(payload)))
+        row = dict(
+            media_id=mid, format=None, kind=None, width=None, height=None,
+            channels=None, sample_rate=None, bit_depth=None,
+            duration_s=None, n_bytes=len(payload),
+        )
+        row.update(exp)
+        expected.append(row)
+
+    for key in sorted(AUDIO):
+        v = AUDIO[key]
+        fam = key.split("_")[0]
+        fmt = "aiff" if fam == "aifc" else fam
+        suffix = key.split("_")[1]
+        bits = int(suffix[3:]) if suffix.startswith("pcm") else (
+            16 if suffix == "sowt" else 8  # sowt IS pcm16; G.711 is 8
+        )
+        frames = len(v["pcm16"]) // v["channels"]
+        add(v["payload"], format=fmt, kind="audio",
+            sample_rate=v["rate"], channels=v["channels"], bit_depth=bits,
+            duration_s=frames / v["rate"])
+    for key in sorted(IMAGEIO):
+        v = IMAGEIO[key]
+        fmt = {"jpg": "jpeg"}.get(v["format"], v["format"])
+        # channel count is authoring intent, encoded in the fixture name
+        ch = (1 if "gray" in key else 4 if "rgba" in key else 3)
+        add(v["payload"] if "payload" in v
+            else bytes.fromhex(v["data_hex"]),
+            format=fmt, kind="image", width=v["width"], height=v["height"],
+            channels=ch)
+    for key in sorted(TIFF):
+        v = TIFF[key]
+        add(v["payload"], format="tiff", kind="image",
+            width=v["size"][0], height=v["size"][1], channels=v["channels"])
+    for key in sorted(WEBP):
+        v = WEBP[key]
+        rgba = bytes.fromhex(v["expected_rgba_hex"])
+        opaque = all(rgba[i] == 255 for i in range(3, len(rgba), 4))
+        add(bytes.fromhex(v["data_hex"]), format="webp", kind="image",
+            width=v["width"], height=v["height"],
+            channels=3 if opaque else 4)
+    # FLAC: authored by the independent test-side encoder; the
+    # expectation is the AUTHORING parameters, not any decode
+    for i, (rate, nsamp) in enumerate([(8000, 160), (16000, 320)]):
+        pcm = [((7 * k + i) % 200) - 100 for k in range(nsamp)]
+        add(encode_flac([pcm], rate, 16, modes=[("fixed", 1)],
+                        block_size=128),
+            format="flac", kind="audio", sample_rate=rate, channels=1,
+            bit_depth=16, duration_s=nsamp / rate)
+    # triage-only payloads: expectation = the public spec's magic
+    add(b"\xff\xfb\x90\x00" + b"\x00" * 12, format="mp3", kind="audio",
+        sample_rate=44100)  # MPEG1 Layer III frame sync, 44.1 kHz
+    add(b"ID3\x04\x00\x00\x00\x00\x00\x00" + b"\x00" * 6,
+        format="mp3", kind="audio")  # ID3v2, no parseable frame after
+    add(b"OggS" + b"\x00" * 12, format="ogg", kind="audio")
+    add(b"\x1a\x45\xdf\xa3" + b"\x00" * 12, format="matroska",
+        kind="video")
+    add(b"FLV\x01" + b"\x00" * 12, format="flv", kind="video")
+    add(b"\x00\x00\x00\x18ftypmp42" + b"\x00" * 12,
+        format="isobmff/mp42", kind="video")
+    add(b"\x00" * 16, format="unknown", kind="other")
+    return payloads, expected
+
+
+def multimodal_probe(spark, sf_dir):
+    """Header-only media triage (functions/media_probe.py) over the
+    deterministic fixture corpus: the r12 probe surface's driver row.
+    Oracle: a VALUES literal of the metadata RECORDED when external
+    tools authored each fixture (stdlib audio writers, JDK ImageIO,
+    libwebp, the independent test-side FLAC encoder) — never the probe
+    itself.  Reference parity: the triage pass a 100 TB media corpus
+    runs before any decode fan-out."""
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from parquet_converters_spark.functions.media_probe import probe_media
+
+    corpus = _probe_fixture_corpus()
+    if corpus is None:
+        raise RuntimeError(
+            "multimodal_probe needs the tests/ fixture modules"
+        )
+    payloads, _ = corpus
+    df = spark.createDataFrame(
+        payloads,
+        StructType([
+            StructField("media_id", LongType(), False),
+            StructField("payload", BinaryType(), False),
+        ]),
+    )
+    # -1 sentinels for not-applicable fields (a WAV has no width):
+    # keeps every column single-typed for the driver's sorted-value
+    # hash instead of mixing NULLs with ints
+    probed = probe_media(df)
+    return probed.select(
+        "media_id", "format", "kind",
+        F.coalesce("width", F.lit(-1)).alias("width"),
+        F.coalesce("height", F.lit(-1)).alias("height"),
+        F.coalesce("channels", F.lit(-1)).alias("channels"),
+        F.coalesce("sample_rate", F.lit(-1)).alias("sample_rate"),
+        F.coalesce("bit_depth", F.lit(-1)).alias("bit_depth"),
+        F.coalesce("duration_s", F.lit(-1.0)).alias("duration_s"),
+        "n_bytes",
+    ).orderBy("media_id")
+
+
+def _multimodal_probe_oracle() -> str | None:
+    corpus = _probe_fixture_corpus()
+    if corpus is None:
+        return None  # fixtures unavailable -> rows-only check
+    _, expected = corpus
+
+    def lit(v, sentinel):
+        if v is None:
+            return repr(sentinel)  # mirror the query's -1 coalesce
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        return repr(v)
+
+    cols = ["media_id", "format", "kind", "width", "height", "channels",
+            "sample_rate", "bit_depth", "duration_s", "n_bytes"]
+    sentinels = {c: -1.0 if c == "duration_s" else -1 for c in cols}
+    values = ", ".join(
+        "(" + ", ".join(lit(row[c], sentinels[c]) for c in cols) + ")"
+        for row in expected
+    )
+    return (
+        "SELECT CAST(col0 AS BIGINT) AS media_id, "
+        "CAST(col1 AS VARCHAR) AS format, "
+        "CAST(col2 AS VARCHAR) AS kind, "
+        "CAST(col3 AS INTEGER) AS width, "
+        "CAST(col4 AS INTEGER) AS height, "
+        "CAST(col5 AS INTEGER) AS channels, "
+        "CAST(col6 AS INTEGER) AS sample_rate, "
+        "CAST(col7 AS INTEGER) AS bit_depth, "
+        "CAST(col8 AS DOUBLE) AS duration_s, "
+        "CAST(col9 AS BIGINT) AS n_bytes "
+        f"FROM (VALUES {values}) AS t(col0, col1, col2, col3, col4, "
+        "col5, col6, col7, col8, col9) "
+        "ORDER BY media_id"
+    )
+
+
+MULTIMODAL_PROBE_SQL = _multimodal_probe_oracle()
+
+
 def stream_windowed_agg(spark, sf_dir):
     ev = _events(spark, sf_dir)
     out = windowed_event_counts(ev, "1 hour")
@@ -5194,6 +5390,7 @@ QUERIES.update({
     "moving_avg_7d": (moving_avg_7d, MOVING_AVG_SQL),
     "decile_counts": (decile_counts, DECILE_SQL),
     "multimodal_meta": (multimodal_meta, MULTIMODAL_META_SQL),
+    "multimodal_probe": (multimodal_probe, MULTIMODAL_PROBE_SQL),
 })
 
 # ===========================================================================
@@ -8832,14 +9029,7 @@ _R12_WINDOW = [
     "json_extract_agg",
 ]
 _check_window(_R12_WINDOW, "_R12_WINDOW", prior=_R11_WINDOW)
-# ACTIVE for round 12 (CORRECTNESS_r11 was 50/50 — no reds to promote;
-# the window is exactly the pre-wired rotation: the r08-latest
-# remainder — the oldest cohort in the driver record — plus the r09
-# alphabetical head):
-QUERIES = {
-    **{name: QUERIES[name] for name in _R12_WINDOW},
-    **{name: v for name, v in QUERIES.items() if name not in _R12_WINDOW},
-}
+# (graded round 12: CORRECTNESS_r12 came back 50/50 green)
 
 # --- r13 grading rotation (PRE-WIRED, activate at round-13 start) ----------
 # Computed from the CORRECTNESS_r01-r11 union assuming r12 grades
@@ -8850,6 +9040,10 @@ QUERIES = {
 # tail entries to keep 50), then replaces the _R12_WINDOW reorder
 # above with the same two lines over _R13_WINDOW.
 _R13_WINDOW = [
+    # (0) new in r13, never graded — promoted to the front (the same
+    # slot red rows would take); the tail entry it displaces
+    # (distinct_nation_stats) re-grades in a later rotation
+    "multimodal_probe",
     # (a) r09-latest remainder (39)
     "ks_drift_test",
     "limit_n",
@@ -8901,6 +9095,23 @@ _R13_WINDOW = [
     "chi2_type_by_weekday",
     "dedup_minhash_sig",
     "dedup_simhash_pairs",
-    "distinct_nation_stats",
 ]
 _check_window(_R13_WINDOW, "_R13_WINDOW", prior=_R12_WINDOW)
+# ACTIVE for round 13 (CORRECTNESS_r12 was 50/50 — no reds to promote;
+# the window is exactly the pre-wired rotation: the r09-latest
+# remainder — the oldest cohort in the driver record — plus the r10
+# alphabetical head):
+QUERIES = {
+    **{name: QUERIES[name] for name in _R13_WINDOW},
+    **{name: v for name, v in QUERIES.items() if name not in _R13_WINDOW},
+}
+
+# --- r14 grading rotation (PRE-WIRED, activate at round-14 start) ----------
+# Computed from the CORRECTNESS_r01-r12 union assuming r13 grades
+# _R13_WINDOW: the next-oldest cohort is the 39 remaining r10-latest
+# rows, then the 11 alphabetically-first r11-latest rows.  Round 14's
+# builder promotes any red rows from CORRECTNESS_r13 to the front
+# (dropping tail entries to keep 50), then replaces the _R13_WINDOW
+# reorder above with the same two lines over _R14_WINDOW.
+# (_R14_WINDOW is wired at the end of this section once the r13
+# registry additions land, so the remainder arithmetic includes them.)

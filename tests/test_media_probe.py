@@ -196,3 +196,29 @@ def test_probe_media_spark(spark):
     assert got[3]["format"] == "ogg"
     assert got[4]["format"] == "unknown" and got[4]["kind"] == "other"
     assert got[1]["n_bytes"] == len(png)
+
+
+def test_multimodal_probe_query_matches_fixture_metadata(spark):
+    """The r13 driver row: the registry query's probe output must equal
+    the metadata RECORDED when the external tools authored each fixture
+    (stdlib audio writers, JDK ImageIO + its TIFF plugin, libwebp, the
+    independent test-side FLAC encoder) — the same expectations the
+    DuckDB VALUES oracle serializes."""
+    from parquet_converters_spark.queries import (
+        _probe_fixture_corpus,
+        multimodal_probe,
+    )
+
+    payloads, expected = _probe_fixture_corpus()
+    assert len(payloads) == len(expected) >= 50
+    rows = multimodal_probe(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == len(expected)
+    for r, e in zip(rows, expected):
+        for c in ("media_id", "format", "kind", "n_bytes"):
+            assert r[c] == e[c], (r["media_id"], c, r[c], e[c])
+        for c in ("width", "height", "channels", "sample_rate",
+                  "bit_depth"):
+            want = e[c] if e[c] is not None else -1
+            assert r[c] == want, (r["media_id"], c, r[c], want)
+        want_d = e["duration_s"] if e["duration_s"] is not None else -1.0
+        assert r["duration_s"] == pytest.approx(want_d, abs=1e-12)

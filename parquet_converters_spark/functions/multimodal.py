@@ -574,6 +574,112 @@ AUDIO_FEATURES_SCHEMA = StructType(
 )
 
 
+def _decode_audio_payload(payload: bytes) -> tuple[int, int, list[int]]:
+    """Dispatch one audio payload to its from-spec decoder:
+    ``(rate, channels, pcm16_samples)`` for WAV / AU / AIFF / FLAC,
+    ``NotImplementedError`` naming the codec otherwise."""
+    from parquet_converters_spark.functions.audio_codecs import (
+        decode_aiff,
+        decode_au,
+        is_aiff,
+        is_au,
+    )
+    from parquet_converters_spark.functions.media_codecs import decode_wav
+
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return decode_wav(payload)
+    if is_au(payload):
+        return decode_au(payload)
+    if is_aiff(payload):
+        return decode_aiff(payload)
+    if payload[:4] == b"fLaC":
+        from parquet_converters_spark.functions.flac_codec import decode_flac
+
+        return decode_flac(payload)
+    raise NotImplementedError(
+        "audio transcode supports WAV/AU/AIFF/FLAC via the from-spec "
+        "codecs (functions/media_codecs.py, audio_codecs.py, "
+        "flac_codec.py); compressed formats (MP3/Ogg/M4A) need an "
+        "external decoder"
+    )
+
+
+TRANSCODED_AUDIO_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("sample_rate", IntegerType(), False),
+        StructField("channels", IntegerType(), False),
+        StructField("n_samples", LongType(), False),
+        StructField("payload", BinaryType(), False),
+    ]
+)
+
+
+def transcode_audio(
+    df: DataFrame, target: str = "flac", block_size: int = 4096
+) -> DataFrame:
+    """Normalize a mixed audio corpus to one container — the audio
+    sink path (r12 verdict item 5), the audio counterpart of
+    ``resize_media``'s image re-encode.
+
+    Decodes WAV (PCM 8/16/24/32 + G.711 + extensible) / Sun AU /
+    AIFF/AIFC / FLAC through the from-spec codecs and re-encodes to
+    ``target``:
+
+    - ``"flac"`` — the production RFC 9639 encoder
+      (functions/flac_encoder.py): per-frame best-of subframes,
+      cost-chosen Rice partitions, per-frame stereo decorrelation.
+    - ``"wav"`` — canonical RIFF/PCM16.
+
+    Samples ride the engine's PCM16 interchange convention (the
+    decode_media audio contract): exact for 16-bit and G.711 sources,
+    integer-shift-normalized for 8/24/32-bit — so wav->flac->wav of
+    PCM16 content round-trips BIT-EXACT (asserted with the decoder's
+    full CRC-8/CRC-16/MD5 ladder in tests/test_flac_encoder.py).
+
+    Arrow-batched ``mapInPandas``, 1:1 narrow map — no shuffle; at
+    100 TB this runs as a partition-parallel rewrite whose output
+    parquet carries the compressed payloads.
+    """
+    if target not in ("flac", "wav"):
+        raise ValueError(f"transcode_audio: unknown target {target!r}")
+
+    def run(batches: Iterator["object"]) -> Iterator["object"]:
+        import pandas as pd
+
+        from parquet_converters_spark.functions.media_codecs import (
+            encode_wav,
+        )
+
+        for pdf in batches:
+            out = {
+                "media_id": [], "sample_rate": [], "channels": [],
+                "n_samples": [], "payload": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                rate, channels, samples = _decode_audio_payload(
+                    bytes(payload)
+                )
+                if target == "flac":
+                    from parquet_converters_spark.functions.flac_encoder import (  # noqa: E501
+                        encode_flac,
+                    )
+
+                    body = encode_flac(
+                        rate, samples, channels, 16, block_size=block_size
+                    )
+                else:
+                    body = encode_wav(rate, samples, channels)
+                out["media_id"].append(int(mid))
+                out["sample_rate"].append(rate)
+                out["channels"].append(channels)
+                out["n_samples"].append(len(samples))
+                out["payload"].append(body)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, schema=TRANSCODED_AUDIO_SCHEMA)
+
+
 def extract_audio_features(
     df: DataFrame, n_frames: int = 6, fake: bool = False
 ) -> DataFrame:

@@ -1,0 +1,236 @@
+"""Production FLAC encoder (functions/flac_encoder.py) + the
+transcode_audio sink surface (r12 verdict item 5).
+
+Validation ladder:
+
+1. Every stream decodes back SAMPLE-EXACT through the from-spec
+   decoder with its full integrity ladder green — frame CRC-8s and
+   CRC-16s are verified by the decoder on every frame, and the
+   STREAMINFO MD5 (computed from the INPUT here, recomputed from the
+   decoder's OUTPUT there) must report True.
+2. Cross-encoder agreement: the same content authored by the
+   INDEPENDENT test-side encoder (tests/flac_craft.py — variable
+   blocking, explicit block-size/rate codes: the opposite syntax fork
+   at every turn) decodes to the same samples as ours.
+3. Real compression on smooth content, graceful verbatim on noise.
+4. Spark-level: transcode_audio normalizes a mixed WAV/AU/AIFF/FLAC
+   corpus to FLAC payloads that decode back to each source's PCM16.
+"""
+
+import os
+import struct
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(__file__))
+
+from parquet_converters_spark.functions.flac_codec import (  # noqa: E402
+    decode_flac_full,
+)
+from parquet_converters_spark.functions.flac_encoder import (  # noqa: E402
+    encode_flac,
+)
+
+
+def smooth(n, seed=7, amp=20000):
+    rng = np.random.RandomState(seed)
+    acc = np.cumsum(rng.randint(-amp // 8, amp // 8, n))
+    return np.clip(acc, -amp, amp - 1).astype(np.int64)
+
+
+@pytest.mark.parametrize("nsamp,bs", [
+    (10000, 4096), (4096, 4096), (4095, 4096), (100, 64),
+    (192, 192), (1, 16), (0, 4096),
+])
+def test_roundtrip_mono16(nsamp, bs):
+    x = smooth(nsamp)
+    data = encode_flac(44100, x, 1, 16, block_size=bs)
+    rate, ch, bits, out, md5_ok = decode_flac_full(data)
+    assert (rate, ch, bits) == (44100, 1, 16)
+    assert np.array_equal(np.asarray(out), x)
+    assert md5_ok is True
+
+
+@pytest.mark.parametrize("bits", [8, 12, 16, 20, 24, 32])
+def test_roundtrip_depths(bits):
+    amp = 1 << (bits - 2)
+    x = np.clip(smooth(3000, seed=bits, amp=amp),
+                -(1 << (bits - 1)), (1 << (bits - 1)) - 1)
+    data = encode_flac(8000, x, 1, bits, block_size=1024)
+    rate, ch, b, out, md5_ok = decode_flac_full(data)
+    assert b == bits
+    assert np.array_equal(np.asarray(out), x)
+    assert md5_ok is True
+
+
+def test_roundtrip_stereo_and_decorrelation_modes():
+    """Correlated stereo content must exercise the decorrelated
+    channel assignments (8/9/10) on the wire, and still round-trip
+    exactly.  The mode is read back from our own frame headers —
+    fixed blocking, so the header layout is ours by construction."""
+    left = smooth(8000, seed=3)
+    rng = np.random.RandomState(4)
+    right = np.clip(left + rng.randint(-40, 40, 8000), -32768, 32767)
+    inter = np.empty(16000, np.int64)
+    inter[0::2], inter[1::2] = left, right
+    data = encode_flac(48000, inter, 2, 16, block_size=1024)
+    rate, ch, bits, out, md5_ok = decode_flac_full(data)
+    assert (rate, ch, md5_ok) == (48000, 2, True)
+    assert np.array_equal(np.asarray(out), inter)
+    # scan frame sync words and collect channel-assignment codes
+    modes = set()
+    pos = data.find(b"\xff\xf8")
+    while pos != -1:
+        ch_code = data[pos + 3] >> 4
+        modes.add(ch_code)
+        pos = data.find(b"\xff\xf8", pos + 2)
+    assert modes & {8, 9, 10}, f"no decorrelated frames: {modes}"
+
+
+def test_compression_real_and_noise_graceful():
+    x = smooth(20000)
+    data = encode_flac(44100, x, 1, 16)
+    assert len(data) < 0.6 * (2 * len(x)), len(data)
+    rng = np.random.RandomState(9)
+    noise = rng.randint(-32768, 32768, 5000).astype(np.int64)
+    nd = encode_flac(8000, noise, 1, 16)
+    assert len(nd) < 2 * 5000 + 256  # verbatim + headers, never blows up
+    assert decode_flac_full(nd)[4] is True
+
+
+def test_constant_collapses():
+    x = np.full(8192, -12345, np.int64)
+    data = encode_flac(8000, x, 1, 16)
+    assert len(data) < 200
+    rate, ch, bits, out, md5_ok = decode_flac_full(data)
+    assert md5_ok is True and set(out) == {-12345}
+
+
+def test_cross_encoder_agreement_with_craft():
+    """flac_craft (variable blocking, explicit codes) and the
+    production encoder (fixed blocking, common codes) author the same
+    content; the decoder must produce identical samples from both —
+    and the streams themselves must differ (different syntax forks)."""
+    from flac_craft import encode_flac as craft_encode
+
+    x = smooth(2000, seed=11)
+    ours = encode_flac(8000, x, 1, 16, block_size=256)
+    theirs = craft_encode([x.tolist()], 8000, 16,
+                          modes=[("fixed", 2)], block_size=256)
+    assert ours != theirs
+    ro = decode_flac_full(ours)
+    rt = decode_flac_full(theirs)
+    assert ro[3] == rt[3] == x.tolist()
+    assert ro[4] is rt[4] is True
+    # blocking-strategy bit: ours fixed (0), craft variable (1)
+    assert not _blocking_bit(ours) and _blocking_bit(theirs)
+
+
+def _blocking_bit(data):
+    pos = data.find(b"\xff\xf8")
+    if pos == -1:
+        pos = data.find(b"\xff\xf9")
+    return data[pos + 1] & 1
+
+
+def test_streaminfo_fields():
+    x = smooth(5000)
+    data = encode_flac(22050, x, 1, 16, block_size=512)
+    assert data[:4] == b"fLaC"
+    min_bs, max_bs = struct.unpack(">HH", data[8:12])
+    assert min_bs == max_bs == 512
+    min_f = int.from_bytes(data[12:15], "big")
+    max_f = int.from_bytes(data[15:18], "big")
+    assert 0 < min_f <= max_f
+    packed = int.from_bytes(data[18:26], "big")
+    assert packed >> 44 == 22050
+    assert packed & ((1 << 36) - 1) == 5000
+
+
+def test_input_validation():
+    with pytest.raises(ValueError, match="bit depth"):
+        encode_flac(8000, [0], 1, 13)
+    with pytest.raises(ValueError, match="block_size"):
+        encode_flac(8000, [0], 1, 16, block_size=8)
+    with pytest.raises(ValueError, match="divisible"):
+        encode_flac(8000, [0, 1, 2], 2, 16)
+    with pytest.raises(ValueError, match="range"):
+        encode_flac(8000, [40000], 1, 16)
+    with pytest.raises(ValueError, match="sample rate"):
+        encode_flac(1 << 20, [0], 1, 16)
+    with pytest.raises(ValueError, match="channels"):
+        encode_flac(8000, [0], 9, 16)
+
+
+def test_transcode_audio_mixed_corpus_to_flac(spark):
+    """Spark sink surface: a mixed WAV/AU/AIFC/FLAC corpus normalized
+    to FLAC; every output payload decodes back (full integrity
+    ladder) to the source's PCM16 interchange samples."""
+    from audio_fixtures import VECTORS
+
+    from parquet_converters_spark.functions.flac_codec import decode_flac
+    from parquet_converters_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        _decode_audio_payload,
+        transcode_audio,
+    )
+
+    names = ["wav_pcm16", "au_ulaw", "aifc_sowt", "aiff_pcm24"]
+    rows = [
+        (i, "audio", bytearray(VECTORS[n]["payload"]), "audio/x", 0)
+        for i, n in enumerate(names)
+    ]
+    ours = encode_flac(8000, smooth(1000, seed=5), 1, 16, block_size=256)
+    rows.append((len(names), "audio", bytearray(ours), "audio/flac", 0))
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in transcode_audio(df).collect()}
+    assert len(got) == 5
+    for i, n in enumerate(names):
+        src_rate, src_ch, src_samples = _decode_audio_payload(
+            VECTORS[n]["payload"]
+        )
+        out = got[i]
+        assert (out["sample_rate"], out["channels"]) == (src_rate, src_ch)
+        rate, ch, flac_samples = decode_flac(bytes(out["payload"]))
+        assert flac_samples == list(src_samples)
+    # FLAC in -> FLAC out stays sample-exact too
+    r5 = got[len(names)]
+    assert decode_flac(bytes(r5["payload"]))[2] == decode_flac(ours)[2]
+
+
+def test_transcode_audio_wav_target_roundtrip(spark):
+    from parquet_converters_spark.functions.media_codecs import (
+        decode_wav,
+        encode_wav,
+    )
+    from parquet_converters_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        transcode_audio,
+    )
+
+    pcm = smooth(500, seed=6).tolist()
+    flac = encode_flac(16000, pcm, 1, 16, block_size=128)
+    df = spark.createDataFrame(
+        [(1, "audio", bytearray(flac), "audio/flac", 0)], MEDIA_SCHEMA
+    )
+    out = transcode_audio(df, target="wav").collect()[0]
+    assert decode_wav(bytes(out["payload"])) == (16000, 1, pcm)
+    assert bytes(out["payload"]) == encode_wav(16000, pcm, 1)
+
+
+def test_transcode_audio_rejects_unknown(spark):
+    from parquet_converters_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        transcode_audio,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "audio", bytearray(b"OggS" + bytes(30)), None, 34)],
+        MEDIA_SCHEMA,
+    )
+    with pytest.raises(Exception, match="transcode supports"):
+        transcode_audio(df).collect()
+    with pytest.raises(ValueError, match="unknown target"):
+        transcode_audio(df, target="mp3")

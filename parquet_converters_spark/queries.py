@@ -9108,10 +9108,65 @@ QUERIES = {
 
 # --- r14 grading rotation (PRE-WIRED, activate at round-14 start) ----------
 # Computed from the CORRECTNESS_r01-r12 union assuming r13 grades
-# _R13_WINDOW: the next-oldest cohort is the 39 remaining r10-latest
-# rows, then the 11 alphabetically-first r11-latest rows.  Round 14's
-# builder promotes any red rows from CORRECTNESS_r13 to the front
-# (dropping tail entries to keep 50), then replaces the _R13_WINDOW
-# reorder above with the same two lines over _R14_WINDOW.
-# (_R14_WINDOW is wired at the end of this section once the r13
-# registry additions land, so the remainder arithmetic includes them.)
+# _R13_WINDOW: the next-oldest cohort is the 40 remaining r10-latest
+# rows (including distinct_nation_stats, displaced from the r13 head
+# by the new multimodal_probe), then the 10 alphabetically-first
+# r11-latest rows.  Round 14's builder promotes any red rows from
+# CORRECTNESS_r13 to the front (dropping tail entries to keep 50),
+# then replaces the _R13_WINDOW reorder above with the same two lines
+# over _R14_WINDOW.
+_R14_WINDOW = [
+    # (a) r10-latest remainder (40)
+    "distinct_nation_stats",
+    "dup_shingle_fraction",
+    "embedding_pc1",
+    "embedding_quantize_error",
+    "embedding_standardize_stats",
+    "equi_depth_histogram",
+    "gopher_quality_report",
+    "graph_triangle_stats",
+    "grouping_sets_pricing",
+    "inverted_index_stats",
+    "kmeans_doc_clusters",
+    "multimodal_decode",
+    "multimodal_frames",
+    "multimodal_resize",
+    "per_source_doc_cap",
+    "percentile_acctbal",
+    "range_join_error_views",
+    "range_window_1h",
+    "salted_join_brand_revenue",
+    "scd2_event_history",
+    "sequence_packing",
+    "sim_ivf_ann_bcast",
+    "sim_lsh_ann_bcast",
+    "sim_neardup_pairs",
+    "skew_key_profile",
+    "sparse_cosine_topk",
+    "stream_dedup",
+    "stream_enrich",
+    "stream_join_pairs",
+    "stream_running_totals",
+    "stream_session_window",
+    "stream_sessionize",
+    "stream_sessionize_stateful",
+    "stream_windowed_agg",
+    "table_profile",
+    "tfidf_top_terms",
+    "upsert_latest_state",
+    "vector_norm_stats",
+    "weighted_sample_docs",
+    "winsorized_value_stats",
+    # (b) r11-latest, alphabetical head (10)
+    "above_nation_avg",
+    "anti_join",
+    "array_flatten",
+    "asof_join_last_view",
+    "band_join_conversions",
+    "bitfield_unpack",
+    "bm25_search",
+    "cluster_quality_by_label",
+    "cms_heavy_hitters",
+    "cohort_retention",
+]
+_check_window(_R14_WINDOW, "_R14_WINDOW", prior=_R13_WINDOW)

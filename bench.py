@@ -347,6 +347,24 @@ def bench_audio_seam(spark, timed_runs: int) -> dict[str, float]:
         lambda: decode_media(df_w, n_features=4)
         .write.format("noop").mode("overwrite").save()
     )
+    # r13: the audio sink path — decode the mixed corpus and re-encode
+    # to FLAC through the production encoder (functions/flac_encoder.py)
+    from parquet_converters_spark.functions.multimodal import (
+        transcode_audio,
+    )
+
+    out["audio_transcode_flac"] = timed(
+        lambda: transcode_audio(df_w, target="flac")
+        .write.format("noop").mode("overwrite").save()
+    )
+    # r13: the header-only triage pass over the same corpus — the
+    # first pass a 100 TB media pipeline runs before any decode
+    from parquet_converters_spark.functions.media_probe import probe_media
+
+    out["probe_media_headers"] = timed(
+        lambda: probe_media(df_w)
+        .write.format("noop").mode("overwrite").save()
+    )
     try:
         from parquet_converters_spark.functions.native_codecs import (
             jdk_sound_media_decoder,
@@ -553,7 +571,7 @@ def main() -> None:
             k: v
             for k, v in times.items()
             if k.startswith(("hdf5_", "webp_decode", "jpeg_decode",
-                             "audio_", "flac_"))
+                             "audio_", "flac_", "probe_"))
         }
     )
     print(

@@ -204,6 +204,95 @@ def _fixed_residual(x: np.ndarray, order: int) -> np.ndarray:
     return r
 
 
+_MAX_LPC_ORDER = 8
+_LPC_PRECISION = 14  # coefficient precision (stored as prec-1, 4 bits)
+
+
+def _lpc_candidates(x: np.ndarray, max_order: int = _MAX_LPC_ORDER):
+    """Levinson-Durbin over the Welch-windowed autocorrelation
+    (section 9.2.6's predictor family; the window only shapes the
+    float fit — the final pick is by EXACT integer residual cost).
+
+    Returns ``[(order, est_bits, coefs_float)]`` for every order with
+    a meaningful fit, cheapest estimated first."""
+    n = len(x)
+    if n <= max_order * 2 or max_order < 1:
+        return []
+    fx = x.astype(np.float64)
+    # Welch window tempers edge effects in the autocorrelation fit
+    w = 1.0 - (2.0 * np.arange(n) / (n - 1) - 1.0) ** 2
+    fw = fx * w
+    auto = np.empty(max_order + 1)
+    for lag in range(max_order + 1):
+        auto[lag] = float(np.dot(fw[: n - lag], fw[lag:]))
+    if auto[0] <= 0:
+        return []  # silent block: constant/fixed handle it
+    err = auto[0]
+    coefs = np.zeros(max_order)
+    out = []
+    for order in range(1, max_order + 1):
+        acc = auto[order] - float(np.dot(coefs[: order - 1],
+                                         auto[order - 1:0:-1]))
+        k = acc / err
+        coefs[order - 1] = k
+        if order > 1:
+            half = (order - 1) // 2
+            for j in range(half):
+                a, b = coefs[j], coefs[order - 2 - j]
+                coefs[j] = a - k * b
+                coefs[order - 2 - j] = b - k * a
+            if (order - 1) & 1:
+                coefs[half] -= k * coefs[half]
+        err *= 1.0 - k * k
+        if err <= 0:
+            break
+        # expected residual bits/sample ~ 0.5*log2(err/n) + const;
+        # order cost adds warmup + coef storage
+        est = 0.5 * n * np.log2(max(err / n, 1e-9)) + order * (
+            _LPC_PRECISION + 18
+        )
+        out.append((order, est, coefs[:order].copy()))
+    out.sort(key=lambda t: t[1])
+    return out
+
+
+def _quantize_lpc(coefs: np.ndarray, precision: int = _LPC_PRECISION):
+    """FLAC coefficient quantization: pick the right shift for the
+    precision, round with error feedback.  Returns (qcoefs, shift) or
+    None when the coefficients cannot fit."""
+    cmax = float(np.abs(coefs).max())
+    if cmax <= 0:
+        return None
+    # headroom: integer-part bits of the largest coefficient (may be
+    # negative for small coefficients — then a larger shift keeps
+    # precision, capped at the format's 15)
+    int_bits = int(np.floor(np.log2(cmax))) + 1
+    shift = precision - 1 - int_bits
+    if shift > 15:
+        shift = 15
+    if shift < 0:
+        return None  # coefficient too large for the precision
+    lim = 1 << (precision - 1)
+    q = []
+    error = 0.0
+    for c in coefs:
+        v = c * (1 << shift) + error
+        qi = int(round(v))
+        qi = max(-lim, min(lim - 1, qi))
+        error = v - qi
+        q.append(qi)
+    return np.array(q, dtype=np.int64), shift
+
+
+def _lpc_residual(x: np.ndarray, qc: np.ndarray, shift: int) -> np.ndarray:
+    order = len(qc)
+    xi = x.astype(np.int64)
+    acc = np.zeros(len(x) - order, dtype=np.int64)
+    for j in range(order):
+        acc += qc[j] * xi[order - 1 - j: len(x) - 1 - j]
+    return xi[order:] - (acc >> shift)
+
+
 def _subframe_cost(x: np.ndarray, bits: int, block_size: int):
     """Pick the cheapest subframe encoding for one channel of one
     frame.  Returns (kind, order, plan, cost_bits)."""
@@ -221,6 +310,20 @@ def _subframe_cost(x: np.ndarray, bits: int, block_size: int):
         cost = header + order * bits + rbits
         if cost < best[3]:
             best = ("fixed", order, (po, plan, resid), cost)
+    # LPC (section 9.2.6): exact-cost the two best Levinson estimates
+    for order, _est, fc in _lpc_candidates(x)[:2]:
+        q = _quantize_lpc(fc)
+        if q is None:
+            continue
+        qc, shift = q
+        resid = _lpc_residual(x, qc, shift)
+        if len(resid) and int(np.abs(resid).max()) >= (1 << 62) >> 12:
+            continue
+        po, plan, rbits = _partition_plan(resid, order, block_size)
+        cost = (header + order * bits + 4 + 5
+                + order * _LPC_PRECISION + rbits)
+        if cost < best[3]:
+            best = ("lpc", order, (po, plan, resid, qc, shift), cost)
     return best
 
 
@@ -241,12 +344,22 @@ def _write_subframe(bw: _BitBuf, x: np.ndarray, bits: int, choice) -> None:
         ) & 1
         bw.write_array(arr.astype(np.uint8).reshape(-1))
         return
-    # fixed predictor
-    po, parts, resid = plan
-    bw.write(8 + order, 6)
-    bw.write(0, 1)
-    for s in x[:order]:
-        bw.write_signed(int(s), bits)
+    if kind == "fixed":
+        po, parts, resid = plan
+        bw.write(8 + order, 6)
+        bw.write(0, 1)
+        for s in x[:order]:
+            bw.write_signed(int(s), bits)
+    else:  # lpc
+        po, parts, resid, qc, shift = plan
+        bw.write(32 + order - 1, 6)
+        bw.write(0, 1)
+        for s in x[:order]:
+            bw.write_signed(int(s), bits)
+        bw.write(_LPC_PRECISION - 1, 4)
+        bw.write_signed(shift, 5)
+        for c in qc:
+            bw.write_signed(int(c), _LPC_PRECISION)
     bw.write(0, 2)   # residual method 0: 4-bit Rice
     bw.write(po, 4)
     u = _zigzag(resid)

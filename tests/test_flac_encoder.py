@@ -89,6 +89,56 @@ def test_roundtrip_stereo_and_decorrelation_modes():
     assert modes & {8, 9, 10}, f"no decorrelated frames: {modes}"
 
 
+def test_lpc_subframes_on_tonal_content():
+    """r13: LPC predictors (section 9.2.6).  Sinusoidal content must
+    (a) round-trip sample-exact with the full integrity ladder green,
+    (b) emit LPC subframe types on the wire (6-bit type >= 32), and
+    (c) beat the fixed-only encoder by a real margin."""
+    import parquet_converters_spark.functions.flac_encoder as FE
+
+    t = np.arange(30000)
+    rng = np.random.RandomState(3)
+    x = np.clip(
+        9000 * np.sin(2 * np.pi * t * 440 / 44100)
+        + 5000 * np.sin(2 * np.pi * t * 659 / 44100)
+        + rng.randint(-200, 200, len(t)),
+        -32768, 32767,
+    ).astype(np.int64)
+    data = encode_flac(44100, x, 1, 16)
+    rate, ch, bits, out, md5_ok = decode_flac_full(data)
+    assert md5_ok is True and np.array_equal(np.asarray(out), x)
+    orig = FE._lpc_candidates
+    try:
+        FE._lpc_candidates = lambda *a, **k: []
+        fixed_only = FE.encode_flac(44100, x, 1, 16)
+    finally:
+        FE._lpc_candidates = orig
+    assert len(data) < 0.97 * len(fixed_only), (
+        len(data), len(fixed_only))
+    # first subframe type on the wire: byte after the first frame
+    # header must carry an LPC type (1 zero bit + 6-bit type >= 32)
+    choice = FE._subframe_cost(x[:4096], 16, 4096)
+    assert choice[0] == "lpc" and 1 <= choice[1] <= 8
+
+
+def test_lpc_quantization_edges():
+    from parquet_converters_spark.functions.flac_encoder import (
+        _lpc_residual,
+        _quantize_lpc,
+    )
+
+    # tiny coefficients still quantize (shift clamps at 15)
+    q = _quantize_lpc(np.array([1e-6, -1e-6]))
+    assert q is not None and q[1] == 15
+    # huge coefficients are rejected, not mangled
+    assert _quantize_lpc(np.array([9000.0])) is None
+    # exact integer predictor reproduces the fixed-order-1 residual
+    x = np.array([10, 20, 30, 45, 55], dtype=np.int64)
+    qc, shift = _quantize_lpc(np.array([1.0]))
+    resid = _lpc_residual(x, qc, shift)
+    assert list(resid) == [10, 10, 15, 10]
+
+
 def test_compression_real_and_noise_graceful():
     x = smooth(20000)
     data = encode_flac(44100, x, 1, 16)

@@ -1840,6 +1840,143 @@ def _probe_fixture_corpus():
     return payloads, expected
 
 
+def multimodal_transcode(spark, sf_dir):
+    """The audio sink path end-to-end as a driver row: decode the
+    mixed fixture corpus (WAV/AU/AIFF/FLAC), re-encode through the
+    production FLAC encoder (functions/flac_encoder.py, LPC + Rice
+    partition search), decode THAT back with the from-spec decoder
+    (full CRC-8/CRC-16/MD5 ladder — a failed ladder raises and reds
+    the row), and report the per-file audio identity.  Oracle: the
+    metadata RECORDED when external tools authored each fixture —
+    the roundtrip must be exact, so the far side of two codec hops
+    equals the authoring parameters."""
+    from pyspark.sql.types import (
+        BinaryType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    corpus = _probe_fixture_corpus()
+    if corpus is None:
+        raise RuntimeError(
+            "multimodal_transcode needs the tests/ fixture modules"
+        )
+    payloads, expected = corpus
+    audio_ids = {
+        row["media_id"] for row in expected if row["kind"] == "audio"
+        and row["format"] in ("wav", "au", "aiff", "flac")
+    }
+    rows = [(mid, p) for mid, p in payloads if mid in audio_ids]
+    df = spark.createDataFrame(
+        rows,
+        StructType([
+            StructField("media_id", LongType(), False),
+            StructField("payload", BinaryType(), False),
+        ]),
+    )
+
+    from parquet_converters_spark.functions.multimodal import (
+        transcode_audio,
+    )
+
+    out_schema = StructType([
+        StructField("media_id", LongType(), False),
+        StructField("sample_rate", IntegerType(), False),
+        StructField("channels", IntegerType(), False),
+        StructField("n_frames", LongType(), False),
+        StructField("pcm_hash", LongType(), False),
+    ])
+
+    transcoded = transcode_audio(df, target="flac", block_size=1024)
+
+    def verify2(batches):
+        import pandas as pd
+
+        from parquet_converters_spark.functions.flac_codec import (
+            decode_flac,
+        )
+
+        for pdf in batches:
+            out = {k.name: [] for k in out_schema.fields}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                rate, ch, samples = decode_flac(bytes(payload))
+                h = 0
+                for s in samples:
+                    h = (h * 1000003 + (s & 0xFFFF)) & 0x7FFFFFFF
+                out["media_id"].append(int(mid))
+                out["sample_rate"].append(rate)
+                out["channels"].append(ch)
+                out["n_frames"].append(len(samples) // ch)
+                out["pcm_hash"].append(h)
+            yield pd.DataFrame(out)
+
+    return (
+        transcoded.select("media_id", "payload")
+        .mapInPandas(verify2, out_schema)
+        .orderBy("media_id")
+    )
+
+
+def _multimodal_transcode_oracle() -> str | None:
+    """VALUES oracle from fixture-RECORDED metadata plus the expected
+    PCM16 stream hash computed from the fixtures' recorded expected
+    decodes (authored by CPython audioop / the independent test-side
+    FLAC encoder's input samples) — never from the engine's codecs."""
+    corpus = _probe_fixture_corpus()
+    if corpus is None:
+        return None
+    try:
+        import os as _os
+        import sys as _sys
+
+        _sys.path.insert(
+            0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+        )
+        from tests.audio_fixtures import VECTORS as AUDIO
+    except Exception:
+        return None
+    payloads, expected = corpus
+    # fixture rows were added in sorted(AUDIO) order starting at id 0
+    rows = []
+    for mid, key in enumerate(sorted(AUDIO)):
+        v = AUDIO[key]
+        pcm = v["pcm16"]
+        h = 0
+        for s in pcm:
+            h = (h * 1000003 + (s & 0xFFFF)) & 0x7FFFFFFF
+        rows.append((mid, v["rate"], v["channels"],
+                     len(pcm) // v["channels"], h))
+    # the two flac_craft-authored FLAC payloads follow the image
+    # fixtures; their INPUT samples are the recorded expectation
+    flac_rows = [r for r in expected if r["format"] == "flac"]
+    for i, r in enumerate(flac_rows):
+        mid = r["media_id"]
+        nsamp = int(round(r["duration_s"] * r["sample_rate"]))
+        pcm = [((7 * k + i) % 200) - 100 for k in range(nsamp)]
+        h = 0
+        for s in pcm:
+            h = (h * 1000003 + (s & 0xFFFF)) & 0x7FFFFFFF
+        rows.append((mid, r["sample_rate"], r["channels"], nsamp, h))
+    rows.sort()
+    values = ", ".join(
+        f"({a}, {b}, {c}, {d}, {e})" for a, b, c, d, e in rows
+    )
+    return (
+        "SELECT CAST(col0 AS BIGINT) AS media_id, "
+        "CAST(col1 AS INTEGER) AS sample_rate, "
+        "CAST(col2 AS INTEGER) AS channels, "
+        "CAST(col3 AS BIGINT) AS n_frames, "
+        "CAST(col4 AS BIGINT) AS pcm_hash "
+        f"FROM (VALUES {values}) AS t(col0, col1, col2, col3, col4) "
+        "ORDER BY media_id"
+    )
+
+
+MULTIMODAL_TRANSCODE_SQL = _multimodal_transcode_oracle()
+
+
 def multimodal_probe(spark, sf_dir):
     """Header-only media triage (functions/media_probe.py) over the
     deterministic fixture corpus: the r12 probe surface's driver row.
@@ -5391,6 +5528,7 @@ QUERIES.update({
     "decile_counts": (decile_counts, DECILE_SQL),
     "multimodal_meta": (multimodal_meta, MULTIMODAL_META_SQL),
     "multimodal_probe": (multimodal_probe, MULTIMODAL_PROBE_SQL),
+    "multimodal_transcode": (multimodal_transcode, MULTIMODAL_TRANSCODE_SQL),
 })
 
 # ===========================================================================
@@ -9116,6 +9254,10 @@ QUERIES = {
 # then replaces the _R13_WINDOW reorder above with the same two lines
 # over _R14_WINDOW.
 _R14_WINDOW = [
+    # (0) new in r13 (registered after the r13 window froze), never
+    # graded — promoted to the front; the tail entry it displaces
+    # (cohort_retention) re-grades in a later rotation
+    "multimodal_transcode",
     # (a) r10-latest remainder (40)
     "distinct_nation_stats",
     "dup_shingle_fraction",
@@ -9167,6 +9309,5 @@ _R14_WINDOW = [
     "bm25_search",
     "cluster_quality_by_label",
     "cms_heavy_hitters",
-    "cohort_retention",
 ]
 _check_window(_R14_WINDOW, "_R14_WINDOW", prior=_R13_WINDOW)

@@ -181,6 +181,85 @@ def _pcm_to_16(body: bytes, bits: int, big_endian: bool,
     raise NotImplementedError(f"PCM: unsupported sample size {bits} bits")
 
 
+def _pcm_native(body: bytes, bits: int, big_endian: bool,
+                unsigned8: bool = False) -> list[int]:
+    """Decode linear PCM at its NATIVE depth (signed integers on the
+    ``bits``-bit grid) — the lossless path ``transcode_audio``'s
+    ``depth='native'`` mode rides; ``_pcm_to_16`` above remains the
+    decode_media/feature interchange convention."""
+    if bits == 8:
+        if unsigned8:  # WAV convention: 8-bit is unsigned, offset 128
+            arr = np.frombuffer(body, dtype=np.uint8).astype(np.int16)
+            return (arr - 128).tolist()
+        return np.frombuffer(body, dtype=np.int8).tolist()
+    if bits == 16:
+        dt = ">i2" if big_endian else "<i2"
+        n = len(body) // 2
+        return np.frombuffer(body[: n * 2], dtype=dt).astype(
+            np.int64).tolist()
+    if bits == 24:
+        n = len(body) // 3
+        b = np.frombuffer(body[: n * 3], dtype=np.uint8).reshape(n, 3)
+        if big_endian:
+            hi, mid, lo = b[:, 0], b[:, 1], b[:, 2]
+        else:
+            hi, mid, lo = b[:, 2], b[:, 1], b[:, 0]
+        return (
+            (hi.astype(np.int8).astype(np.int64) << 16)
+            | (mid.astype(np.int64) << 8) | lo.astype(np.int64)
+        ).tolist()
+    if bits == 32:
+        dt = ">i4" if big_endian else "<i4"
+        n = len(body) // 4
+        return np.frombuffer(body[: n * 4], dtype=dt).astype(
+            np.int64).tolist()
+    raise NotImplementedError(f"PCM: unsupported sample size {bits} bits")
+
+
+def _native_to_16(samples: list[int], bits: int) -> list[int]:
+    """Native-depth signed samples -> the PCM16 interchange grid (the
+    integer-shift convention _pcm_to_16 documents)."""
+    if bits == 16:
+        return samples
+    arr = np.asarray(samples, dtype=np.int64)
+    if bits < 16:
+        return (arr << (16 - bits)).tolist()
+    return (arr >> (bits - 16)).tolist()
+
+
+def encode_pcm_wav(sample_rate: int, samples, channels: int = 1,
+                   bits: int = 16) -> bytes:
+    """Canonical RIFF/WAVE writer at native depth (PCM 8/16/24/32,
+    format tag 1; 8-bit written unsigned offset-128 per the WAV
+    convention).  ``samples`` interleaved signed ints on the
+    ``bits``-bit grid."""
+    if bits not in (8, 16, 24, 32):
+        raise ValueError(f"WAV: unsupported bit depth {bits}")
+    arr = np.asarray(samples, dtype=np.int64)
+    lo, hi = -(1 << (bits - 1)), (1 << (bits - 1)) - 1
+    if arr.size and (int(arr.min()) < lo or int(arr.max()) > hi):
+        raise ValueError(f"WAV: samples exceed {bits}-bit range")
+    if bits == 8:
+        body = (arr + 128).astype(np.uint8).tobytes()
+    elif bits == 16:
+        body = arr.astype("<i2").tobytes()
+    elif bits == 24:
+        full = arr.astype("<i4").tobytes()
+        b = np.frombuffer(full, dtype=np.uint8).reshape(-1, 4)
+        body = b[:, :3].tobytes()
+    else:
+        body = arr.astype("<i4").tobytes()
+    width = bits // 8
+    byte_rate = sample_rate * channels * width
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate, byte_rate,
+                      channels * width, bits)
+    return (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(body))
+        + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(body)) + body
+    )
+
+
 # --------------------------------------------------------------------------
 # Sun AU (.snd)
 # --------------------------------------------------------------------------
@@ -196,13 +275,21 @@ def is_au(data: bytes) -> bool:
 
 def decode_au(data: bytes) -> tuple[int, int, list[int]]:
     """Decode a Sun AU file to ``(rate, channels, pcm16_samples)``."""
+    rate, channels, bits, samples = decode_au_native(data)
+    return rate, channels, _native_to_16(samples, bits)
+
+
+def decode_au_native(data: bytes) -> tuple[int, int, int, list[int]]:
+    """Decode a Sun AU file at NATIVE depth:
+    ``(rate, channels, bits, samples)`` — PCM keeps its stored depth,
+    G.711 expands onto the 16-bit grid (its canonical linear form)."""
     try:
         return _decode_au(data)
     except (IndexError, struct.error) as e:
         raise ValueError(f"AU: corrupt or truncated stream ({e})") from e
 
 
-def _decode_au(data: bytes) -> tuple[int, int, list[int]]:
+def _decode_au(data: bytes) -> tuple[int, int, int, list[int]]:
     if not is_au(data):
         raise ValueError("AU: missing .snd magic")
     if len(data) < 24:
@@ -228,14 +315,15 @@ def _decode_au(data: bytes) -> tuple[int, int, list[int]]:
     if len(body) // width > _MAX_SAMPLES:
         raise ValueError("AU: data exceeds allocation guard")
     if enc == 1:
-        samples = decode_g711(body, "ulaw")
+        out_bits, samples = 16, decode_g711(body, "ulaw")
     elif enc == 27:
-        samples = decode_g711(body, "alaw")
+        out_bits, samples = 16, decode_g711(body, "alaw")
     else:
-        samples = _pcm_to_16(body, _AU_PCM_BITS[enc], big_endian=True)
+        out_bits = _AU_PCM_BITS[enc]
+        samples = _pcm_native(body, out_bits, big_endian=True)
     if len(samples) % channels:
         samples = samples[: len(samples) - len(samples) % channels]
-    return rate, channels, samples
+    return rate, channels, out_bits, samples
 
 
 # --------------------------------------------------------------------------
@@ -267,13 +355,21 @@ def _read_extended80(b: bytes) -> int:
 
 def decode_aiff(data: bytes) -> tuple[int, int, list[int]]:
     """Decode AIFF/AIFC to ``(rate, channels, pcm16_samples)``."""
+    rate, channels, bits, samples = decode_aiff_native(data)
+    return rate, channels, _native_to_16(samples, bits)
+
+
+def decode_aiff_native(data: bytes) -> tuple[int, int, int, list[int]]:
+    """Decode AIFF/AIFC at NATIVE depth:
+    ``(rate, channels, bits, samples)`` — PCM keeps its stored depth,
+    G.711 expands onto the 16-bit grid."""
     try:
         return _decode_aiff(data)
     except (IndexError, struct.error) as e:
         raise ValueError(f"AIFF: corrupt or truncated stream ({e})") from e
 
 
-def _decode_aiff(data: bytes) -> tuple[int, int, list[int]]:
+def _decode_aiff(data: bytes) -> tuple[int, int, int, list[int]]:
     if not is_aiff(data):
         raise ValueError("AIFF: not a FORM/AIFF file")
     is_aifc = data[8:12] == b"AIFC"
@@ -320,15 +416,17 @@ def _decode_aiff(data: bytes) -> tuple[int, int, list[int]]:
     if len(body) // width > _MAX_SAMPLES:
         raise ValueError("AIFF: data exceeds allocation guard")
     if comp in (b"none", b"twos"):  # twos = explicit big-endian PCM
-        samples = _pcm_to_16(body, bits, big_endian=True)
+        out_bits = bits
+        samples = _pcm_native(body, bits, big_endian=True)
     elif comp == b"sowt":  # little-endian PCM16 ("twos" reversed)
         if bits != 16:
             raise NotImplementedError("AIFC: sowt requires 16-bit PCM")
-        samples = _pcm_to_16(body, 16, big_endian=False)
+        out_bits = 16
+        samples = _pcm_native(body, 16, big_endian=False)
     elif comp == b"ulaw":
-        samples = decode_g711(body, "ulaw")
+        out_bits, samples = 16, decode_g711(body, "ulaw")
     else:
-        samples = decode_g711(body, "alaw")
+        out_bits, samples = 16, decode_g711(body, "alaw")
     if len(samples) % channels:
         samples = samples[: len(samples) - len(samples) % channels]
-    return rate, channels, samples
+    return rate, channels, out_bits, samples

@@ -343,15 +343,31 @@ def decode_wav(data: bytes) -> tuple[int, int, list[int]]:
     exactly in tests/test_audio_codecs.py.  Malformed input raises
     ``ValueError``; float/ADPCM formats raise ``NotImplementedError``
     naming the tag."""
+    rate, channels, bits, samples = decode_wav_native(data)
+    if bits != 16:
+        from parquet_converters_spark.functions.audio_codecs import (
+            _native_to_16,
+        )
+
+        samples = _native_to_16(samples, bits)
+    return rate, channels, samples
+
+
+def decode_wav_native(data: bytes) -> tuple[int, int, int, list[int]]:
+    """Decode a RIFF/WAVE file at NATIVE depth:
+    ``(rate, channels, bits, samples)`` — PCM keeps its stored depth
+    (8-bit returned signed, offset removed), G.711 expands onto the
+    16-bit grid.  The lossless path ``transcode_audio``'s
+    ``depth='native'`` mode rides."""
     try:
         return _decode_wav(data)
     except (IndexError, struct.error) as e:
         raise ValueError(f"WAV: corrupt or truncated stream ({e})") from e
 
 
-def _decode_wav(data: bytes) -> tuple[int, int, list[int]]:
+def _decode_wav(data: bytes) -> tuple[int, int, int, list[int]]:
     from parquet_converters_spark.functions.audio_codecs import (
-        _pcm_to_16,
+        _pcm_native,
         decode_g711,
     )
 
@@ -383,14 +399,16 @@ def _decode_wav(data: bytes) -> tuple[int, int, list[int]]:
         if bits == 16:  # exact passthrough, the historical fast path
             n = len(body_bytes) // 2
             samples = list(struct.unpack(f"<{n}h", body_bytes[: n * 2]))
+            out_bits = 16
         else:
-            samples = _pcm_to_16(
+            samples = _pcm_native(
                 body_bytes, bits, big_endian=False, unsigned8=True
             )
+            out_bits = bits
     elif audio_fmt == 6:
-        samples = decode_g711(body_bytes, "alaw")
+        out_bits, samples = 16, decode_g711(body_bytes, "alaw")
     elif audio_fmt == 7:
-        samples = decode_g711(body_bytes, "ulaw")
+        out_bits, samples = 16, decode_g711(body_bytes, "ulaw")
     else:
         raise NotImplementedError(
             f"WAV: format tag {audio_fmt} not supported (PCM=1, "
@@ -399,4 +417,4 @@ def _decode_wav(data: bytes) -> tuple[int, int, list[int]]:
         )
     if len(samples) % channels:
         samples = samples[: len(samples) - len(samples) % channels]
-    return rate, channels, samples
+    return rate, channels, out_bits, samples

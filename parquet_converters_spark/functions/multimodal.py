@@ -604,11 +604,52 @@ def _decode_audio_payload(payload: bytes) -> tuple[int, int, list[int]]:
     )
 
 
+def _decode_audio_payload_native(
+    payload: bytes,
+) -> tuple[int, int, int, list[int]]:
+    """Native-depth dispatch: ``(rate, channels, bits, samples)`` —
+    PCM keeps its stored depth, G.711 expands to 16, FLAC reports its
+    STREAMINFO depth."""
+    from parquet_converters_spark.functions.audio_codecs import (
+        decode_aiff_native,
+        decode_au_native,
+        is_aiff,
+        is_au,
+    )
+    from parquet_converters_spark.functions.media_codecs import (
+        decode_wav_native,
+    )
+
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return decode_wav_native(payload)
+    if is_au(payload):
+        return decode_au_native(payload)
+    if is_aiff(payload):
+        return decode_aiff_native(payload)
+    if payload[:4] == b"fLaC":
+        from parquet_converters_spark.functions.flac_codec import (
+            decode_flac_full,
+        )
+
+        rate, ch, bits, samples, md5_ok = decode_flac_full(payload)
+        if md5_ok is False:
+            raise ValueError("FLAC: decoded audio fails the "
+                             "STREAMINFO MD5")
+        return rate, ch, bits, samples
+    raise NotImplementedError(
+        "audio transcode supports WAV/AU/AIFF/FLAC via the from-spec "
+        "codecs (functions/media_codecs.py, audio_codecs.py, "
+        "flac_codec.py); compressed formats (MP3/Ogg/M4A) need an "
+        "external decoder"
+    )
+
+
 TRANSCODED_AUDIO_SCHEMA = StructType(
     [
         StructField("media_id", LongType(), False),
         StructField("sample_rate", IntegerType(), False),
         StructField("channels", IntegerType(), False),
+        StructField("bit_depth", IntegerType(), False),
         StructField("n_samples", LongType(), False),
         StructField("payload", BinaryType(), False),
     ]
@@ -616,7 +657,8 @@ TRANSCODED_AUDIO_SCHEMA = StructType(
 
 
 def transcode_audio(
-    df: DataFrame, target: str = "flac", block_size: int = 4096
+    df: DataFrame, target: str = "flac", block_size: int = 4096,
+    depth: str = "pcm16",
 ) -> DataFrame:
     """Normalize a mixed audio corpus to one container — the audio
     sink path (r12 verdict item 5), the audio counterpart of
@@ -631,11 +673,15 @@ def transcode_audio(
       cost-chosen Rice partitions, per-frame stereo decorrelation.
     - ``"wav"`` — canonical RIFF/PCM16.
 
-    Samples ride the engine's PCM16 interchange convention (the
-    decode_media audio contract): exact for 16-bit and G.711 sources,
-    integer-shift-normalized for 8/24/32-bit — so wav->flac->wav of
-    PCM16 content round-trips BIT-EXACT (asserted with the decoder's
-    full CRC-8/CRC-16/MD5 ladder in tests/test_flac_encoder.py).
+    ``depth='pcm16'`` (default) rides the engine's PCM16 interchange
+    convention (the decode_media audio contract): exact for 16-bit and
+    G.711 sources, integer-shift-normalized for 8/24/32-bit.
+    ``depth='native'`` keeps each source's stored depth — 24-bit WAV
+    becomes 24-bit FLAC with every bit preserved (FLAC carries
+    8/12/16/20/24/32 natively; a native 32 -> WAV target is also
+    exact).  Both ways the round-trip is BIT-EXACT on its grid,
+    asserted with the decoder's full CRC-8/CRC-16/MD5 ladder in
+    tests/test_flac_encoder.py.
 
     Arrow-batched ``mapInPandas``, 1:1 narrow map — no shuffle; at
     100 TB this runs as a partition-parallel rewrite whose output
@@ -643,36 +689,46 @@ def transcode_audio(
     """
     if target not in ("flac", "wav"):
         raise ValueError(f"transcode_audio: unknown target {target!r}")
+    if depth not in ("pcm16", "native"):
+        raise ValueError(f"transcode_audio: unknown depth {depth!r}")
 
     def run(batches: Iterator["object"]) -> Iterator["object"]:
         import pandas as pd
 
-        from parquet_converters_spark.functions.media_codecs import (
-            encode_wav,
-        )
-
         for pdf in batches:
             out = {
                 "media_id": [], "sample_rate": [], "channels": [],
-                "n_samples": [], "payload": [],
+                "bit_depth": [], "n_samples": [], "payload": [],
             }
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                rate, channels, samples = _decode_audio_payload(
-                    bytes(payload)
-                )
+                if depth == "native":
+                    rate, channels, bits, samples = (
+                        _decode_audio_payload_native(bytes(payload))
+                    )
+                else:
+                    rate, channels, samples = _decode_audio_payload(
+                        bytes(payload)
+                    )
+                    bits = 16
                 if target == "flac":
                     from parquet_converters_spark.functions.flac_encoder import (  # noqa: E501
                         encode_flac,
                     )
 
                     body = encode_flac(
-                        rate, samples, channels, 16, block_size=block_size
+                        rate, samples, channels, bits,
+                        block_size=block_size,
                     )
                 else:
-                    body = encode_wav(rate, samples, channels)
+                    from parquet_converters_spark.functions.audio_codecs import (  # noqa: E501
+                        encode_pcm_wav,
+                    )
+
+                    body = encode_pcm_wav(rate, samples, channels, bits)
                 out["media_id"].append(int(mid))
                 out["sample_rate"].append(rate)
                 out["channels"].append(channels)
+                out["bit_depth"].append(bits)
                 out["n_samples"].append(len(samples))
                 out["payload"].append(body)
             yield pd.DataFrame(out)

@@ -270,6 +270,95 @@ def test_transcode_audio_wav_target_roundtrip(spark):
     assert bytes(out["payload"]) == encode_wav(16000, pcm, 1)
 
 
+def test_transcode_audio_native_depth_24bit_lossless(spark):
+    """r13: depth='native' — a 24-bit WAV authored by the CPython
+    stdlib wave writer must become 24-bit FLAC with EVERY bit
+    preserved (the pcm16 default would shift off the low 8), then
+    round-trip back to a byte-identical native WAV."""
+    import wave as wave_mod
+    from io import BytesIO
+
+    from parquet_converters_spark.functions.audio_codecs import (
+        encode_pcm_wav,
+    )
+    from parquet_converters_spark.functions.flac_codec import (
+        decode_flac_full,
+    )
+    from parquet_converters_spark.functions.media_codecs import (
+        decode_wav_native,
+    )
+    from parquet_converters_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        transcode_audio,
+    )
+
+    rng = np.random.RandomState(12)
+    pcm24 = np.clip(
+        np.cumsum(rng.randint(-300000, 300000, 2000)),
+        -(1 << 23), (1 << 23) - 1,
+    ).astype(np.int64)
+    # author with the stdlib writer (independent of our codecs)
+    frames = b"".join(
+        int(s).to_bytes(3, "little", signed=True) for s in pcm24
+    )
+    bio = BytesIO()
+    w = wave_mod.open(bio, "wb")
+    w.setnchannels(1)
+    w.setsampwidth(3)
+    w.setframerate(48000)
+    w.writeframes(frames)
+    w.close()
+    wav_bytes = bio.getvalue()
+    assert decode_wav_native(wav_bytes) == (48000, 1, 24, pcm24.tolist())
+
+    df = spark.createDataFrame(
+        [(1, "audio", bytearray(wav_bytes), "audio/wav", 0)],
+        MEDIA_SCHEMA,
+    )
+    out = transcode_audio(df, depth="native").collect()[0]
+    assert out["bit_depth"] == 24
+    rate, ch, bits, samples, md5_ok = decode_flac_full(
+        bytes(out["payload"])
+    )
+    assert (rate, ch, bits, md5_ok) == (48000, 1, 24, True)
+    assert samples == pcm24.tolist()  # every bit survived
+    # and back out to a native WAV, byte-identical to the canonical
+    # 24-bit writer over the same samples
+    df2 = spark.createDataFrame(
+        [(2, "audio", bytearray(out["payload"]), "audio/flac", 0)],
+        MEDIA_SCHEMA,
+    )
+    back = transcode_audio(df2, target="wav", depth="native").collect()[0]
+    assert bytes(back["payload"]) == encode_pcm_wav(
+        48000, pcm24.tolist(), 1, 24
+    )
+    # the pcm16 default on the same input really does truncate
+    out16 = transcode_audio(df, depth="pcm16").collect()[0]
+    r16 = decode_flac_full(bytes(out16["payload"]))
+    assert r16[2] == 16 and r16[3] == (pcm24 >> 8).tolist()
+
+
+def test_encode_pcm_wav_depths_roundtrip():
+    from parquet_converters_spark.functions.audio_codecs import (
+        encode_pcm_wav,
+    )
+    from parquet_converters_spark.functions.media_codecs import (
+        decode_wav_native,
+    )
+
+    rng = np.random.RandomState(4)
+    for bits in (8, 16, 24, 32):
+        amp = 1 << (bits - 2)
+        x = np.clip(rng.randint(-amp, amp, 501), -(1 << (bits - 1)),
+                    (1 << (bits - 1)) - 1).astype(np.int64).tolist()
+        wav = encode_pcm_wav(22050, x, 1, bits)
+        assert decode_wav_native(wav) == (22050, 1, bits, x)
+    with pytest.raises(ValueError, match="bit depth"):
+        encode_pcm_wav(8000, [0], 1, 12)
+    with pytest.raises(ValueError, match="range"):
+        encode_pcm_wav(8000, [200], 1, 8)
+
+
 def test_transcode_audio_rejects_unknown(spark):
     from parquet_converters_spark.functions.multimodal import (
         MEDIA_SCHEMA,

@@ -1378,7 +1378,7 @@ def _encode_standard(
             _lz77_tokens(px) if use_lz77 else [("lit", p) for p in px]
         )
 
-        def serialize(cache_bits, meta_bits=None):
+        def serialize(cache_bits, meta_bits=None, dist_width=None):
             bw = _Bw()
             _vp8l_header(bw, width, height, has_alpha)
             if subtract_green:
@@ -1422,7 +1422,8 @@ def _encode_standard(
                     return None  # clustering collapsed: flat wins
             else:
                 _write_coded_image(
-                    bw, px, True, use_lz77, cache_bits, tokens
+                    bw, px, True, use_lz77, cache_bits, tokens,
+                    dist_width=dist_width,
                 )
             return bw.flush()
 
@@ -1448,6 +1449,14 @@ def _encode_standard(
                     m = serialize(cb, meta_bits=meta_bits)
                     if m is not None and len(m) < 0.99 * len(best):
                         best = m
+        # r13: the 2D distance mapping as a gated candidate — a
+        # re-serialization of the SAME tokens with neighborhood
+        # distances coded as dist codes 1..120; same >1% real-size
+        # gate so content without near references stays byte-identical
+        if use_lz77:
+            m = serialize(best_cb, dist_width=width)
+            if len(m) < 0.99 * len(best):
+                best = m
         return best
 
     mode = _pick_predictor(base, width, height) if predictor else None
@@ -1529,19 +1538,26 @@ def _encode_palette(width, height, orig, distinct, has_alpha, use_lz77):
         else [("lit", p) for p in packed]
     )
 
-    def serialize(cache_bits):
+    def serialize(cache_bits, dist_width=None):
         bw2 = _Bw()
         bw2.copy_state(prefix)
         _write_coded_image(bw2, packed, True, use_lz77, cache_bits,
-                           tokens)
+                           tokens, dist_width=dist_width)
         return bw2.flush()
 
     # same full color-cache search as the standard candidate (r12)
     best = serialize(0)
+    best_cb = 0
     for cb in range(1, 12):
         cand = serialize(cb)
         if len(cand) < len(best):
-            best = cand
+            best, best_cb = cand, cb
+    # r13: 2D distance mapping over the PACKED plane (its coded width
+    # is the bundled width) — same >1% real-size gate
+    if use_lz77:
+        m = serialize(best_cb, dist_width=packed_w)
+        if len(m) < 0.99 * len(best):
+            best = m
     return best
 
 
@@ -1822,9 +1838,34 @@ def _pick_predictor(px, w, h):
     return best_mode
 
 
-def _resolve_ops(px, tokens, cache_bits):
+_NEIGHBOR_CODES_CACHE: dict[int, dict[int, int]] = {}
+
+
+def _neighbor_codes(width: int) -> dict[int, int]:
+    """Inverse of the spec's 2D distance mapping for this image width:
+    ``{pixel_distance: dist_code}`` over codes 1..120 (smallest code
+    wins a collision — collisions only occur at widths < 9)."""
+    table = _NEIGHBOR_CODES_CACHE.get(width)
+    if table is None:
+        table = {}
+        for code, (dx, dy) in enumerate(_DIST_MAP, start=1):
+            dist = dy * width + dx
+            if dist >= 1:
+                table.setdefault(dist, code)
+        _NEIGHBOR_CODES_CACHE[width] = table
+    return table
+
+
+def _resolve_ops(px, tokens, cache_bits, dist_width=None):
     """Token stream -> pre-resolved emit ops with their start pixel
-    positions (the position selects the meta-prefix tile, when any)."""
+    positions (the position selects the meta-prefix tile, when any).
+
+    ``dist_width`` engages the spec's 2D distance mapping: copies
+    whose distance is a small (dx, dy) neighborhood offset of that
+    width code as dist codes 1..120 (often zero extra bits) instead
+    of the flat ``distance + 120`` — the win on screen/texture
+    content where most references point a few rows up."""
+    neighbor = _neighbor_codes(dist_width) if dist_width else None
     cache = [None] * (1 << cache_bits) if cache_bits else None
     pos = 0  # position in px, advanced token by token (cache inserts)
     emit = []
@@ -1849,7 +1890,10 @@ def _resolve_ops(px, tokens, cache_bits):
         else:
             _, length, dist = t
             ls, lev, len_ = _prefix_encode(length)
-            ds, dev, den = _prefix_encode(dist + 120)
+            code = neighbor.get(dist) if neighbor else None
+            ds, dev, den = _prefix_encode(
+                code if code is not None else dist + 120
+            )
             op_pos.append(pos)
             emit.append(("copy", 256 + ls, lev, len_, ds, dev, den))
             if cache is not None:
@@ -1917,12 +1961,15 @@ def _emit_ops(bw, ops, codes_per_op):
                 bw.bits(dev, den)
 
 
-def _write_coded_image(bw, px, level0, use_lz77, cache_bits=0, tokens=None):
+def _write_coded_image(bw, px, level0, use_lz77, cache_bits=0, tokens=None,
+                       dist_width=None):
     """One spatially-coded image: cache bit, meta bit (level 0 only),
     the five prefix codes, then the token stream.  ``cache_bits`` > 0
     turns literals whose value sits in the (direct-mapped, hash-keyed)
     color cache into cache-reference symbols; ``tokens`` lets callers
-    reuse one LZ77 pass across candidate serializations."""
+    reuse one LZ77 pass across candidate serializations;
+    ``dist_width`` engages the 2D distance mapping (see
+    _resolve_ops)."""
     if cache_bits:
         bw.bits(1, 1)
         bw.bits(cache_bits, 4)
@@ -1934,7 +1981,7 @@ def _write_coded_image(bw, px, level0, use_lz77, cache_bits=0, tokens=None):
         tokens = (
             _lz77_tokens(px) if use_lz77 else [("lit", p) for p in px]
         )
-    emit, _ = _resolve_ops(px, tokens, cache_bits)
+    emit, _ = _resolve_ops(px, tokens, cache_bits, dist_width)
     codes = _write_group_codes(bw, _op_histograms(emit), cache_bits)
     _emit_ops(bw, emit, [codes] * len(emit))
 

@@ -865,6 +865,75 @@ def test_encoder_sg_off_streams_libwebp_readable():
     ) == px
 
 
+def test_neighbor_codes_invert_the_dist_map():
+    """The encoder-side inverse of the spec's 2D distance mapping must
+    agree with the decoder's forward map for every code and width,
+    including the small-width collision clamp."""
+    from parquet_converters_spark.functions.webp_codec import (
+        _DIST_MAP,
+        _neighbor_codes,
+    )
+
+    for w in (1, 3, 8, 20, 128, 1000):
+        table = _neighbor_codes(w)
+        for dist, code in table.items():
+            dx, dy = _DIST_MAP[code - 1]
+            assert dy * w + dx == dist >= 1, (w, dist, code)
+        # smallest code wins collisions: no larger code maps to a dist
+        # already owned by a smaller one
+        seen = {}
+        for code, (dx, dy) in enumerate(_DIST_MAP, start=1):
+            d = dy * w + dx
+            if d >= 1 and d not in seen:
+                seen[d] = code
+        assert table == seen
+
+
+@needs_libwebp
+def test_encoder_distance_mapping_on_sparse_row_deltas():
+    """r13: the 2D distance mapping as a gated candidate.  Content
+    whose rows mostly repeat with sparse changes codes its many
+    dist==width references as cheap neighborhood codes — the gate must
+    fire, shrink the stream, and stay libwebp-decodable; content
+    without near references stays byte-identical (gate holds)."""
+    import random
+
+    from parquet_converters_spark.functions import webp_codec as W
+
+    rng = random.Random(3)
+    w, h = 128, 96
+    row = [rng.randrange(256) for _ in range(w * 3)]
+    out = list(row)
+    for _y in range(1, h):
+        for _ in range(6):
+            row[rng.randrange(w * 3)] = rng.randrange(256)
+        out += row
+    px = bytes(out)
+    data = W.encode_webp_lossless(w, h, 3, px)
+    assert W.decode_webp(data)[3] == px
+    _w, _h, rgba = lw_decode_rgba(data)
+    assert bytes(
+        b for i in range(0, len(rgba), 4) for b in rgba[i:i + 3]
+    ) == px
+    orig = W._neighbor_codes
+    try:
+        W._neighbor_codes = lambda wd: {}
+        without = W.encode_webp_lossless(w, h, 3, px)
+    finally:
+        W._neighbor_codes = orig
+    assert len(data) < 0.99 * len(without)  # the gate fired for real
+
+    # no-near-reference content: bytes identical with the map offered
+    noise = bytes(rng.randrange(256) for _ in range(64 * 48 * 3))
+    a = W.encode_webp_lossless(64, 48, 3, noise)
+    try:
+        W._neighbor_codes = lambda wd: {}
+        b = W.encode_webp_lossless(64, 48, 3, noise)
+    finally:
+        W._neighbor_codes = orig
+    assert a == b
+
+
 def test_cluster_tiles_cached_matches_full_rescan():
     """r12 ADVICE: _cluster_tiles now caches pairwise merge gains and
     refreshes only the merged cluster's row (O(k^2) histogram merges,

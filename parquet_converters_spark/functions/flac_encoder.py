@@ -293,14 +293,32 @@ def _lpc_residual(x: np.ndarray, qc: np.ndarray, shift: int) -> np.ndarray:
     return xi[order:] - (acc >> shift)
 
 
+def _wasted_bits(x: np.ndarray, bits: int) -> int:
+    """Shared low zero bits across a block (section 9.2.2: 'wasted
+    bits') — widened content (8-bit audio on a 16-bit grid) codes on
+    the narrow grid and nearly halves."""
+    if not len(x):
+        return 0
+    orv = int(np.bitwise_or.reduce(x))
+    if orv == 0:
+        return 0
+    k = (orv & -orv).bit_length() - 1
+    return min(k, bits - 1)
+
+
 def _subframe_cost(x: np.ndarray, bits: int, block_size: int):
     """Pick the cheapest subframe encoding for one channel of one
-    frame.  Returns (kind, order, plan, cost_bits)."""
+    frame.  Returns (kind, order, plan, cost_bits, wasted)."""
     n = len(x)
-    header = 1 + 6 + 1
+    wasted = _wasted_bits(x, bits)
+    if wasted:
+        x = x >> wasted
+        bits -= wasted
+    # 1 pad + 6 type + 1 wasted flag (+ unary wasted-1 when set)
+    header = 1 + 6 + 1 + wasted
     if n and (x == x[0]).all():
-        return ("constant", 0, None, header + bits)
-    best = ("verbatim", 0, None, header + n * bits)
+        return ("constant", 0, None, header + bits, wasted)
+    best = ("verbatim", 0, None, header + n * bits, wasted)
     max_order = min(4, n - 1)
     for order in range(max_order + 1):
         resid = _fixed_residual(x, order)
@@ -309,7 +327,7 @@ def _subframe_cost(x: np.ndarray, bits: int, block_size: int):
         po, plan, rbits = _partition_plan(resid, order, block_size)
         cost = header + order * bits + rbits
         if cost < best[3]:
-            best = ("fixed", order, (po, plan, resid), cost)
+            best = ("fixed", order, (po, plan, resid), cost, wasted)
     # LPC (section 9.2.6): exact-cost the two best Levinson estimates
     for order, _est, fc in _lpc_candidates(x)[:2]:
         q = _quantize_lpc(fc)
@@ -323,21 +341,33 @@ def _subframe_cost(x: np.ndarray, bits: int, block_size: int):
         cost = (header + order * bits + 4 + 5
                 + order * _LPC_PRECISION + rbits)
         if cost < best[3]:
-            best = ("lpc", order, (po, plan, resid, qc, shift), cost)
+            best = ("lpc", order, (po, plan, resid, qc, shift), cost,
+                    wasted)
     return best
 
 
 def _write_subframe(bw: _BitBuf, x: np.ndarray, bits: int, choice) -> None:
-    kind, order, plan, _cost = choice
+    kind, order, plan, _cost, wasted = choice
+    if wasted:
+        x = x >> wasted
+        bits -= wasted
+
+    def write_wasted():
+        if wasted:
+            bw.write(1, 1)
+            bw.write(1, wasted)  # unary(wasted-1): zeros then the 1
+        else:
+            bw.write(0, 1)
+
     bw.write(0, 1)  # zero padding bit (section 9.2.1)
     if kind == "constant":
         bw.write(0, 6)
-        bw.write(0, 1)  # no wasted bits
+        write_wasted()
         bw.write_signed(int(x[0]), bits)
         return
     if kind == "verbatim":
         bw.write(1, 6)
-        bw.write(0, 1)
+        write_wasted()
         ux = (x.astype(np.int64) & ((1 << bits) - 1)).astype(np.uint64)
         arr = (
             ux[:, None] >> np.arange(bits - 1, -1, -1, dtype=np.uint64)
@@ -347,13 +377,13 @@ def _write_subframe(bw: _BitBuf, x: np.ndarray, bits: int, choice) -> None:
     if kind == "fixed":
         po, parts, resid = plan
         bw.write(8 + order, 6)
-        bw.write(0, 1)
+        write_wasted()
         for s in x[:order]:
             bw.write_signed(int(s), bits)
     else:  # lpc
         po, parts, resid, qc, shift = plan
         bw.write(32 + order - 1, 6)
-        bw.write(0, 1)
+        write_wasted()
         for s in x[:order]:
             bw.write_signed(int(s), bits)
         bw.write(_LPC_PRECISION - 1, 4)

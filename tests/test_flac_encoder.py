@@ -139,6 +139,33 @@ def test_lpc_quantization_edges():
     assert list(resid) == [10, 10, 15, 10]
 
 
+def test_wasted_bits_on_widened_content():
+    """r13: 'wasted bits' (section 9.2.2) — content with shared low
+    zero bits (8-bit audio widened onto the 16-bit grid, exactly what
+    the pcm16 transcode convention produces) codes on the narrow grid.
+    Must round-trip exactly and beat the no-wasted encoding by a wide
+    margin."""
+    import parquet_converters_spark.functions.flac_encoder as FE
+
+    rng = np.random.RandomState(11)
+    saw = (np.arange(20000) % 200 - 100).astype(np.int64)
+    x8 = ((saw + rng.randint(-10, 11, 20000)).clip(-128, 127)
+          << 8).astype(np.int64)
+    data = FE.encode_flac(8000, x8, 1, 16, block_size=1024)
+    rate, ch, bits, out, md5_ok = decode_flac_full(data)
+    assert md5_ok is True and np.array_equal(np.asarray(out), x8)
+    orig = FE._wasted_bits
+    try:
+        FE._wasted_bits = lambda *a: 0
+        without = FE.encode_flac(8000, x8, 1, 16, block_size=1024)
+    finally:
+        FE._wasted_bits = orig
+    assert len(data) < 0.75 * len(without), (len(data), len(without))
+    # the without-stream is also valid (wasted is an optimization,
+    # not a format requirement)
+    assert decode_flac_full(without)[4] is True
+
+
 def test_compression_real_and_noise_graceful():
     x = smooth(20000)
     data = encode_flac(44100, x, 1, 16)

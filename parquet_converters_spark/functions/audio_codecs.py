@@ -260,6 +260,78 @@ def encode_pcm_wav(sample_rate: int, samples, channels: int = 1,
     )
 
 
+def encode_au(sample_rate: int, samples, channels: int = 1,
+              bits: int = 16, law: str | None = None) -> bytes:
+    """Sun AU writer: big-endian header + linear PCM 8/16/24/32 body
+    (encodings 2-5), or G.711 (encoding 1 u-law / 27 A-law) when
+    ``law`` is given (then ``samples`` are PCM16 and ``bits`` is
+    ignored).  Crossread by the CPython stdlib ``sunau`` reader in
+    tests/test_flac_encoder.py."""
+    if law is not None:
+        body = encode_g711(samples, law)
+        enc = {"ulaw": 1, "alaw": 27}[law]
+    else:
+        enc = {8: 2, 16: 3, 24: 4, 32: 5}.get(bits)
+        if enc is None:
+            raise ValueError(f"AU: unsupported bit depth {bits}")
+        arr = np.asarray(samples, dtype=np.int64)
+        lo, hi = -(1 << (bits - 1)), (1 << (bits - 1)) - 1
+        if arr.size and (int(arr.min()) < lo or int(arr.max()) > hi):
+            raise ValueError(f"AU: samples exceed {bits}-bit range")
+        if bits == 8:
+            body = arr.astype(np.int8).tobytes()
+        elif bits == 16:
+            body = arr.astype(">i2").tobytes()
+        elif bits == 24:
+            full = arr.astype(">i4").tobytes()
+            b = np.frombuffer(full, dtype=np.uint8).reshape(-1, 4)
+            body = b[:, 1:].tobytes()
+        else:
+            body = arr.astype(">i4").tobytes()
+    return (b".snd"
+            + struct.pack(">IIIII", 24, len(body), enc, sample_rate,
+                          channels)
+            + body)
+
+
+def encode_aiff(sample_rate: int, samples, channels: int = 1,
+                bits: int = 16) -> bytes:
+    """AIFF writer (EA IFF 85): FORM/AIFF with COMM (80-bit extended
+    sample rate) + SSND, big-endian PCM 8/16/24/32.  Crossread by the
+    CPython stdlib ``aifc`` reader in tests/test_flac_encoder.py."""
+    if bits not in (8, 16, 24, 32):
+        raise ValueError(f"AIFF: unsupported bit depth {bits}")
+    arr = np.asarray(samples, dtype=np.int64)
+    lo, hi = -(1 << (bits - 1)), (1 << (bits - 1)) - 1
+    if arr.size and (int(arr.min()) < lo or int(arr.max()) > hi):
+        raise ValueError(f"AIFF: samples exceed {bits}-bit range")
+    if bits == 8:
+        body = arr.astype(np.int8).tobytes()
+    elif bits == 16:
+        body = arr.astype(">i2").tobytes()
+    elif bits == 24:
+        full = arr.astype(">i4").tobytes()
+        b = np.frombuffer(full, dtype=np.uint8).reshape(-1, 4)
+        body = b[:, 1:].tobytes()
+    else:
+        body = arr.astype(">i4").tobytes()
+    # 80-bit extended-precision rate: exponent so the mantissa's top
+    # bit is set (normalized), integer rates only
+    if sample_rate <= 0:
+        raise ValueError("AIFF: sample rate must be positive")
+    shift = 63 - (sample_rate.bit_length() - 1)
+    ext = struct.pack(">HQ", 16383 + 63 - shift, sample_rate << shift)
+    nframes = arr.size // max(1, channels)
+    comm = struct.pack(">HIH", channels, nframes, bits) + ext
+    ssnd = struct.pack(">II", 0, 0) + body
+    chunks = b"COMM" + struct.pack(">I", len(comm)) + comm
+    chunks += b"SSND" + struct.pack(">I", len(ssnd)) + ssnd
+    if len(ssnd) & 1:
+        chunks += b"\x00"
+    return (b"FORM" + struct.pack(">I", 4 + len(chunks)) + b"AIFF"
+            + chunks)
+
+
 # --------------------------------------------------------------------------
 # Sun AU (.snd)
 # --------------------------------------------------------------------------

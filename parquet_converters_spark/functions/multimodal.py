@@ -669,9 +669,11 @@ def transcode_audio(
     ``target``:
 
     - ``"flac"`` — the production RFC 9639 encoder
-      (functions/flac_encoder.py): per-frame best-of subframes,
-      cost-chosen Rice partitions, per-frame stereo decorrelation.
-    - ``"wav"`` — canonical RIFF/PCM16.
+      (functions/flac_encoder.py): per-frame best-of subframes
+      (incl. LPC), cost-chosen Rice partitions, per-frame stereo
+      decorrelation, wasted-bits detection.
+    - ``"wav"`` / ``"au"`` / ``"aiff"`` — canonical PCM containers at
+      the chosen depth (stdlib-crossread writers).
 
     ``depth='pcm16'`` (default) rides the engine's PCM16 interchange
     convention (the decode_media audio contract): exact for 16-bit and
@@ -687,7 +689,7 @@ def transcode_audio(
     100 TB this runs as a partition-parallel rewrite whose output
     parquet carries the compressed payloads.
     """
-    if target not in ("flac", "wav"):
+    if target not in ("flac", "wav", "au", "aiff"):
         raise ValueError(f"transcode_audio: unknown target {target!r}")
     if depth not in ("pcm16", "native"):
         raise ValueError(f"transcode_audio: unknown depth {depth!r}")
@@ -719,12 +721,24 @@ def transcode_audio(
                         rate, samples, channels, bits,
                         block_size=block_size,
                     )
-                else:
+                elif target == "wav":
                     from parquet_converters_spark.functions.audio_codecs import (  # noqa: E501
                         encode_pcm_wav,
                     )
 
                     body = encode_pcm_wav(rate, samples, channels, bits)
+                elif target == "au":
+                    from parquet_converters_spark.functions.audio_codecs import (  # noqa: E501
+                        encode_au,
+                    )
+
+                    body = encode_au(rate, samples, channels, bits)
+                else:  # aiff
+                    from parquet_converters_spark.functions.audio_codecs import (  # noqa: E501
+                        encode_aiff,
+                    )
+
+                    body = encode_aiff(rate, samples, channels, bits)
                 out["media_id"].append(int(mid))
                 out["sample_rate"].append(rate)
                 out["channels"].append(channels)

@@ -601,3 +601,84 @@ def test_au_alaw_threeway():
         assert _audio_bridge_decode(_compile_audio_bridge(), au) == (
             8000, 1, exp,
         )
+
+
+def test_encode_au_aiff_writers_stdlib_crossread():
+    """r13: the AU/AIFF writers (transcode targets) — every depth
+    crossread by the CPython stdlib sunau/aifc readers AND by our own
+    native-depth decoders."""
+    import io
+    import warnings
+
+    import numpy as np
+
+    from parquet_converters_spark.functions.audio_codecs import (
+        decode_aiff_native,
+        decode_au_native,
+        encode_aiff,
+        encode_au,
+    )
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        import aifc
+        import sunau
+
+    rng = random.Random(5)
+    for bits, dt in ((8, None), (16, ">i2"), (24, None), (32, ">i4")):
+        amp = 1 << (bits - 2)
+        pcm = [rng.randrange(-amp, amp) for _ in range(301)]
+        au = encode_au(11025, pcm, 1, bits)
+        assert decode_au_native(au) == (11025, 1, bits, pcm)
+        af = encode_aiff(22050, pcm, 1, bits)
+        assert decode_aiff_native(af) == (22050, 1, bits, pcm)
+        r = sunau.open(io.BytesIO(au))
+        assert (r.getframerate(), r.getnchannels(),
+                r.getsampwidth()) == (11025, 1, bits // 8)
+        r2 = aifc.open(io.BytesIO(af))
+        assert (r2.getframerate(), r2.getnchannels(),
+                r2.getsampwidth()) == (22050, 1, bits // 8)
+        if dt:  # sample-exact where numpy can read the frames directly
+            assert np.frombuffer(r.readframes(301),
+                                 dtype=dt).tolist() == pcm
+            assert np.frombuffer(r2.readframes(301),
+                                 dtype=dt).tolist() == pcm
+    # G.711 AU leg: stdlib sunau reads the header; our decoder
+    # round-trips the companded bytes
+    pcm16 = [rng.randrange(-32768, 32768) for _ in range(200)]
+    for law, enc_code in (("ulaw", 1), ("alaw", 27)):
+        au = encode_au(8000, pcm16, 1, law=law)
+        r = sunau.open(io.BytesIO(au))
+        assert r.getframerate() == 8000
+        rate, ch, bits_, samples = decode_au_native(au)
+        assert (rate, ch, bits_) == (8000, 1, 16)
+        from parquet_converters_spark.functions.audio_codecs import (
+            decode_g711,
+            encode_g711,
+        )
+
+        assert samples == decode_g711(encode_g711(pcm16, law), law)
+
+
+def test_transcode_audio_au_aiff_targets(spark):
+    from parquet_converters_spark.functions.audio_codecs import (
+        decode_aiff_native,
+        decode_au_native,
+    )
+    from parquet_converters_spark.functions.media_codecs import encode_wav
+    from parquet_converters_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        transcode_audio,
+    )
+
+    pcm = [((13 * k) % 400) - 200 for k in range(500)]
+    wav = encode_wav(16000, pcm)
+    df = spark.createDataFrame(
+        [(1, "audio", bytearray(wav), "audio/wav", 0)], MEDIA_SCHEMA
+    )
+    out_au = transcode_audio(df, target="au").collect()[0]
+    assert decode_au_native(bytes(out_au["payload"])) == (
+        16000, 1, 16, pcm)
+    out_af = transcode_audio(df, target="aiff", depth="native").collect()[0]
+    assert decode_aiff_native(bytes(out_af["payload"])) == (
+        16000, 1, 16, pcm)

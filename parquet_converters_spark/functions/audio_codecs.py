@@ -227,37 +227,48 @@ def _native_to_16(samples: list[int], bits: int) -> list[int]:
     return (arr >> (bits - 16)).tolist()
 
 
+def _pack_pcm(samples, bits: int, big_endian: bool,
+              unsigned8: bool = False, fmt_name: str = "PCM") -> bytes:
+    """Range-check and pack native-depth signed samples (8/16/24/32)
+    — the shared body writer for the WAV/AU/AIFF sinks (inverse of
+    _pcm_native)."""
+    if bits not in (8, 16, 24, 32):
+        raise ValueError(f"{fmt_name}: unsupported bit depth {bits}")
+    arr = np.asarray(samples, dtype=np.int64)
+    lo, hi = -(1 << (bits - 1)), (1 << (bits - 1)) - 1
+    if arr.size and (int(arr.min()) < lo or int(arr.max()) > hi):
+        raise ValueError(f"{fmt_name}: samples exceed {bits}-bit range")
+    bo = ">" if big_endian else "<"
+    if bits == 8:
+        if unsigned8:
+            return (arr + 128).astype(np.uint8).tobytes()
+        return arr.astype(np.int8).tobytes()
+    if bits == 16:
+        return arr.astype(bo + "i2").tobytes()
+    if bits == 24:
+        full = arr.astype(bo + "i4").tobytes()
+        b = np.frombuffer(full, dtype=np.uint8).reshape(-1, 4)
+        return (b[:, 1:] if big_endian else b[:, :3]).tobytes()
+    return arr.astype(bo + "i4").tobytes()
+
+
 def encode_pcm_wav(sample_rate: int, samples, channels: int = 1,
                    bits: int = 16) -> bytes:
     """Canonical RIFF/WAVE writer at native depth (PCM 8/16/24/32,
     format tag 1; 8-bit written unsigned offset-128 per the WAV
     convention).  ``samples`` interleaved signed ints on the
     ``bits``-bit grid."""
-    if bits not in (8, 16, 24, 32):
-        raise ValueError(f"WAV: unsupported bit depth {bits}")
-    arr = np.asarray(samples, dtype=np.int64)
-    lo, hi = -(1 << (bits - 1)), (1 << (bits - 1)) - 1
-    if arr.size and (int(arr.min()) < lo or int(arr.max()) > hi):
-        raise ValueError(f"WAV: samples exceed {bits}-bit range")
-    if bits == 8:
-        body = (arr + 128).astype(np.uint8).tobytes()
-    elif bits == 16:
-        body = arr.astype("<i2").tobytes()
-    elif bits == 24:
-        full = arr.astype("<i4").tobytes()
-        b = np.frombuffer(full, dtype=np.uint8).reshape(-1, 4)
-        body = b[:, :3].tobytes()
-    else:
-        body = arr.astype("<i4").tobytes()
+    body = _pack_pcm(samples, bits, big_endian=False, unsigned8=True,
+                     fmt_name="WAV")
     width = bits // 8
     byte_rate = sample_rate * channels * width
     fmt = struct.pack("<HHIIHH", 1, channels, sample_rate, byte_rate,
                       channels * width, bits)
-    return (
-        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(body))
-        + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
-        + b"data" + struct.pack("<I", len(body)) + body
-    )
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(body)) + body
+    if len(body) & 1:
+        chunks += b"\x00"  # RIFF chunks are word-aligned
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
 
 
 def encode_au(sample_rate: int, samples, channels: int = 1,
@@ -274,20 +285,7 @@ def encode_au(sample_rate: int, samples, channels: int = 1,
         enc = {8: 2, 16: 3, 24: 4, 32: 5}.get(bits)
         if enc is None:
             raise ValueError(f"AU: unsupported bit depth {bits}")
-        arr = np.asarray(samples, dtype=np.int64)
-        lo, hi = -(1 << (bits - 1)), (1 << (bits - 1)) - 1
-        if arr.size and (int(arr.min()) < lo or int(arr.max()) > hi):
-            raise ValueError(f"AU: samples exceed {bits}-bit range")
-        if bits == 8:
-            body = arr.astype(np.int8).tobytes()
-        elif bits == 16:
-            body = arr.astype(">i2").tobytes()
-        elif bits == 24:
-            full = arr.astype(">i4").tobytes()
-            b = np.frombuffer(full, dtype=np.uint8).reshape(-1, 4)
-            body = b[:, 1:].tobytes()
-        else:
-            body = arr.astype(">i4").tobytes()
+        body = _pack_pcm(samples, bits, big_endian=True, fmt_name="AU")
     return (b".snd"
             + struct.pack(">IIIII", 24, len(body), enc, sample_rate,
                           channels)
@@ -299,22 +297,8 @@ def encode_aiff(sample_rate: int, samples, channels: int = 1,
     """AIFF writer (EA IFF 85): FORM/AIFF with COMM (80-bit extended
     sample rate) + SSND, big-endian PCM 8/16/24/32.  Crossread by the
     CPython stdlib ``aifc`` reader in tests/test_flac_encoder.py."""
-    if bits not in (8, 16, 24, 32):
-        raise ValueError(f"AIFF: unsupported bit depth {bits}")
+    body = _pack_pcm(samples, bits, big_endian=True, fmt_name="AIFF")
     arr = np.asarray(samples, dtype=np.int64)
-    lo, hi = -(1 << (bits - 1)), (1 << (bits - 1)) - 1
-    if arr.size and (int(arr.min()) < lo or int(arr.max()) > hi):
-        raise ValueError(f"AIFF: samples exceed {bits}-bit range")
-    if bits == 8:
-        body = arr.astype(np.int8).tobytes()
-    elif bits == 16:
-        body = arr.astype(">i2").tobytes()
-    elif bits == 24:
-        full = arr.astype(">i4").tobytes()
-        b = np.frombuffer(full, dtype=np.uint8).reshape(-1, 4)
-        body = b[:, 1:].tobytes()
-    else:
-        body = arr.astype(">i4").tobytes()
     # 80-bit extended-precision rate: exponent so the mantissa's top
     # bit is set (normalized), integer rates only
     if sample_rate <= 0:

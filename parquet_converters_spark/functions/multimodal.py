@@ -697,6 +697,17 @@ def transcode_audio(
     def run(batches: Iterator["object"]) -> Iterator["object"]:
         import pandas as pd
 
+        from parquet_converters_spark.functions.audio_codecs import (
+            encode_aiff,
+            encode_au,
+            encode_pcm_wav,
+        )
+        from parquet_converters_spark.functions.flac_encoder import (
+            encode_flac,
+        )
+
+        encoders = {"wav": encode_pcm_wav, "au": encode_au,
+                    "aiff": encode_aiff}
         for pdf in batches:
             out = {
                 "media_id": [], "sample_rate": [], "channels": [],
@@ -713,32 +724,25 @@ def transcode_audio(
                     )
                     bits = 16
                 if target == "flac":
-                    from parquet_converters_spark.functions.flac_encoder import (  # noqa: E501
-                        encode_flac,
-                    )
-
                     body = encode_flac(
                         rate, samples, channels, bits,
                         block_size=block_size,
                     )
-                elif target == "wav":
-                    from parquet_converters_spark.functions.audio_codecs import (  # noqa: E501
-                        encode_pcm_wav,
-                    )
-
-                    body = encode_pcm_wav(rate, samples, channels, bits)
-                elif target == "au":
-                    from parquet_converters_spark.functions.audio_codecs import (  # noqa: E501
-                        encode_au,
-                    )
-
-                    body = encode_au(rate, samples, channels, bits)
-                else:  # aiff
-                    from parquet_converters_spark.functions.audio_codecs import (  # noqa: E501
-                        encode_aiff,
-                    )
-
-                    body = encode_aiff(rate, samples, channels, bits)
+                else:
+                    if bits not in (8, 16, 24, 32):
+                        # FLAC carries 12/20-bit natively; the PCM
+                        # containers are byte-aligned — widen to the
+                        # next supported depth by left shift
+                        # (amplitude-preserving; re-encoding to FLAC
+                        # recovers the zeros as wasted bits)
+                        new_bits = next(
+                            b for b in (8, 16, 24, 32) if b >= bits
+                        )
+                        shift = new_bits - bits
+                        samples = [s << shift for s in samples]
+                        bits = new_bits
+                    body = encoders[target](rate, samples, channels,
+                                            bits)
                 out["media_id"].append(int(mid))
                 out["sample_rate"].append(rate)
                 out["channels"].append(channels)

@@ -400,3 +400,32 @@ def test_transcode_audio_rejects_unknown(spark):
         transcode_audio(df).collect()
     with pytest.raises(ValueError, match="unknown target"):
         transcode_audio(df, target="mp3")
+
+
+def test_transcode_native_widens_odd_flac_depths(spark):
+    """12/20-bit FLAC is spec-valid but the PCM containers are
+    byte-aligned: depth='native' widens to the next supported depth by
+    left shift (amplitude-preserving; the zeros come back as wasted
+    bits on re-encode) instead of crashing the job."""
+    from parquet_converters_spark.functions.media_codecs import (
+        decode_wav_native,
+    )
+    from parquet_converters_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        transcode_audio,
+    )
+
+    pcm12 = [((31 * k) % 4000) - 2000 for k in range(400)]
+    flac12 = encode_flac(8000, pcm12, 1, 12, block_size=128)
+    df = spark.createDataFrame(
+        [(1, "audio", bytearray(flac12), "audio/flac", 0)], MEDIA_SCHEMA
+    )
+    out = transcode_audio(df, target="wav", depth="native").collect()[0]
+    assert out["bit_depth"] == 16
+    rate, ch, bits, samples = decode_wav_native(bytes(out["payload"]))
+    assert (rate, ch, bits) == (8000, 1, 16)
+    assert samples == [s << 4 for s in pcm12]
+    # FLAC target keeps the odd depth natively
+    out_f = transcode_audio(df, target="flac", depth="native").collect()[0]
+    assert out_f["bit_depth"] == 12
+    assert decode_flac_full(bytes(out_f["payload"]))[3] == pcm12

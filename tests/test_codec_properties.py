@@ -245,3 +245,67 @@ def test_resize_nearest_properties(img, nw, nh):
     src_pixels = {px[i * c : (i + 1) * c] for i in range(w * h)}
     for j in range(nw * nh):
         assert out[j * c : (j + 1) * c] in src_pixels
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(st.integers(-(1 << 15), (1 << 15) - 1), min_size=0,
+             max_size=600),
+    st.sampled_from([8000, 44100, 96000]),
+    st.sampled_from([1, 2]),
+    st.sampled_from([16, 20, 32]),
+    st.sampled_from([16, 64, 256]),
+)
+def test_flac_roundtrip_any_samples(samples, rate, channels, bits,
+                                    block_size):
+    """r13 production FLAC encoder: any samples/rate/channels/depth/
+    block size round-trip sample-exact with the decoder's full
+    CRC-8/CRC-16/MD5 integrity ladder green, and encoding is
+    deterministic."""
+    from parquet_converters_spark.functions.flac_codec import (
+        decode_flac_full,
+    )
+    from parquet_converters_spark.functions.flac_encoder import (
+        encode_flac,
+    )
+
+    if len(samples) % channels:
+        samples = samples[:-1]
+    data = encode_flac(rate, samples, channels, bits,
+                       block_size=block_size)
+    assert encode_flac(rate, samples, channels, bits,
+                       block_size=block_size) == data
+    r, ch, b, out, md5_ok = decode_flac_full(data)
+    assert (r, ch, b) == (rate, channels, bits)
+    assert out == list(samples)
+    assert md5_ok is True
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(st.integers(-128, 127), min_size=1, max_size=400),
+    st.sampled_from([8, 16, 24, 32]),
+    st.sampled_from([8000, 48000]),
+)
+def test_pcm_container_writers_roundtrip(samples, bits, rate):
+    """The three native-depth PCM writers (WAV/AU/AIFF) round-trip any
+    samples through their own native decoders at every depth (values
+    scaled onto each grid)."""
+    from parquet_converters_spark.functions.audio_codecs import (
+        decode_aiff_native,
+        decode_au_native,
+        encode_aiff,
+        encode_au,
+        encode_pcm_wav,
+    )
+    from parquet_converters_spark.functions.media_codecs import (
+        decode_wav_native,
+    )
+
+    scaled = [s << (bits - 8) for s in samples]
+    assert decode_wav_native(
+        encode_pcm_wav(rate, scaled, 1, bits)) == (rate, 1, bits, scaled)
+    assert decode_au_native(
+        encode_au(rate, scaled, 1, bits)) == (rate, 1, bits, scaled)
+    assert decode_aiff_native(
+        encode_aiff(rate, scaled, 1, bits)) == (rate, 1, bits, scaled)

@@ -328,3 +328,49 @@ def normalize_text(text: Column | str) -> Column:
     c = F.regexp_replace(c, "\n{3,}", "\n\n")
     # full-whitespace trim: F.trim strips only the space character
     return F.regexp_replace(c, "^\\s+|\\s+$", "")
+
+
+def canonicalize_url(url: Column | str) -> Column:
+    """URL canonicalization — the dedup key a crawl corpus needs
+    BEFORE content hashing (the same page arrives as http://WWW.X.COM,
+    https://www.x.com/?utm_source=feed, http://www.x.com:80/#top, ...).
+    Pure built-in expressions so Catalyst keeps it in codegen and
+    every engine computes identical strings:
+
+    - scheme and host lowercased (path case preserved — it is
+      significant per RFC 3986);
+    - default ports stripped (:80 for http, :443 for https);
+    - fragment dropped;
+    - tracking query parameters dropped (utm_*, fbclid, gclid), the
+      remaining query kept in order; a now-empty query loses its '?';
+    - duplicate slashes in the path collapsed; a trailing slash on a
+      non-root path stripped; a bare host gains its root '/'.
+    """
+    c = _col(url)
+    # lowercase scheme://host (up to the first '/', '?' or '#')
+    c = F.concat(
+        F.lower(F.regexp_extract(c, "^([^/?#]*//[^/?#]*)", 1)),
+        F.regexp_replace(c, "^[^/?#]*//[^/?#]*", ""),
+    )
+    c = F.regexp_replace(c, "#.*$", "")  # fragment
+    c = F.regexp_replace(c, "^(http://[^/?#]*):80(?=[/?]|$)", "$1")
+    c = F.regexp_replace(c, "^(https://[^/?#]*):443(?=[/?]|$)", "$1")
+    # tracking params, wherever they sit in the query
+    c = F.regexp_replace(c, "([?&])(utm_[^=&#]*|fbclid|gclid)=[^&#]*", "$1")
+    c = F.regexp_replace(c, "&&+", "&")        # holes left by removals
+    c = F.regexp_replace(c, "\\?&", "?")
+    c = F.regexp_replace(c, "[?&]$", "")       # empty query
+    # path cleanup: collapse // (not the scheme's), strip trailing /
+    c = F.regexp_replace(c, "(?<!:)//+", "/")
+    c = F.regexp_replace(c, "(?<=[^/])/$", "")
+    c = F.regexp_replace(c, "(/[^?]*[^/?])/(?=\\?)", "$1")
+    # bare host -> host/
+    return F.regexp_replace(c, "^([a-z]+://[^/?#]+)$", "$1/")
+
+
+def url_host(url: Column | str) -> Column:
+    """The registrable host of a canonicalized URL (port already
+    stripped), with a leading ``www.`` removed — the standard
+    domain-level aggregation key."""
+    h = F.regexp_extract(_col(url), "^[a-z]+://([^/?#]+)", 1)
+    return F.regexp_replace(h, "^www\\.", "")

@@ -7168,6 +7168,80 @@ ORDER BY c_mktsegment, pct_rank DESC, c_custkey
 """
 
 
+def url_canonical_dedup(spark, sf_dir):
+    """URL canonicalization + host-level dedup census — the key a
+    crawl corpus needs BEFORE content hashing (the same page arrives
+    as http://WWW.X.COM, ...?utm_source=feed, ...:80/#top).  The
+    corpus carries no URLs, so each doc derives a deterministic MESSY
+    variant (scheme/host case, default port, // in the path, trailing
+    slash, utm_* params, fragment — one class per doc_id%6) of its
+    page's URL; canonicalize_url (functions/text.py, pure codegen'd
+    regexp chain) must collapse every variant class onto one key.
+    Oracle: the ANALYTIC canonical form from the construction itself —
+    the engine's regex pipeline is checked against ground truth, not
+    against a reimplementation of the same regexes."""
+    from parquet_converters_spark.functions.text import (
+        canonicalize_url,
+        url_host,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    page = (F.col("doc_id") % 50).cast("string")
+    host = F.concat(F.col("source"), F.lit(".example.com"))
+    path = F.concat(F.lit("/Page/"), page)
+    v = F.col("doc_id") % 6
+    messy = (
+        F.when(v == 0, F.concat(F.lit("http://www."), host, path))
+        .when(v == 1, F.concat(F.lit("HTTP://WWW."), F.upper(host),
+                               F.lit(":80"), path))
+        .when(v == 2, F.concat(F.lit("http://www."), host,
+                               F.lit("/Page//"), page, F.lit("/")))
+        .when(v == 3, F.concat(F.lit("http://www."), host, path,
+                               F.lit("?utm_source=rss&utm_campaign=x")))
+        .when(v == 4, F.concat(F.lit("http://www."), host, path,
+                               F.lit("?id=7&utm_medium=email#frag")))
+        .otherwise(F.concat(F.lit("http://www."), host, path,
+                            F.lit("#section-2")))
+    )
+    canon = docs.select(
+        F.col("doc_id"),
+        canonicalize_url(messy).alias("url"),
+    )
+    return (
+        canon.select("doc_id", "url", url_host("url").alias("host"))
+        .groupBy("url", "host")
+        .agg(
+            F.count("*").alias("n_variants"),
+            F.min("doc_id").alias("representative"),
+            F.countDistinct((F.col("doc_id") % 6)).alias("n_classes"),
+        )
+        .orderBy("url")
+    )
+
+
+URL_CANONICAL_DEDUP_SQL = """
+WITH pages AS (
+  SELECT doc_id,
+         -- the ANALYTIC canonical: variant class 4 keeps its real
+         -- id=7 query parameter, every other class collapses to the
+         -- bare page URL
+         'http://www.' || source || '.example.com/Page/'
+           || CAST(doc_id % 50 AS VARCHAR)
+           || CASE WHEN doc_id % 6 = 4 THEN '?id=7' ELSE '' END AS url,
+         source || '.example.com' AS host,
+         doc_id % 6 AS variant
+  FROM documents
+)
+SELECT url, host,
+       CAST(count(*) AS BIGINT) AS n_variants,
+       min(doc_id) AS representative,
+       CAST(count(DISTINCT variant) AS BIGINT) AS n_classes
+FROM pages
+GROUP BY url, host
+ORDER BY url
+"""
+
+
 def text_normalize_report(spark, sf_dir):
     """Text-normalization audit (functions/text.normalize_text): the
     corpus ships clean, so each doc_id%4 class gets a deterministic
@@ -7296,6 +7370,7 @@ FROM m ORDER BY month_us
 
 QUERIES.update({
     "gap_fill_daily": (gap_fill_daily, GAP_FILL_DAILY_SQL),
+    "url_canonical_dedup": (url_canonical_dedup, URL_CANONICAL_DEDUP_SQL),
     "equi_depth_histogram": (equi_depth_histogram, EQUI_DEPTH_HISTOGRAM_SQL),
     "mixture_plan": (mixture_plan, MIXTURE_PLAN_SQL),
     "compaction_plan": (compaction_plan, COMPACTION_PLAN_SQL),
@@ -9268,9 +9343,11 @@ QUERIES = {
 # over _R14_WINDOW.
 _R14_WINDOW = [
     # (0) new in r13 (registered after the r13 window froze), never
-    # graded — promoted to the front; the tail entry it displaces
-    # (cohort_retention) re-grades in a later rotation
+    # graded — promoted to the front; the tail entries they displace
+    # (cohort_retention, cms_heavy_hitters) re-grade in a later
+    # rotation
     "multimodal_transcode",
+    "url_canonical_dedup",
     # (a) r10-latest remainder (40)
     "distinct_nation_stats",
     "dup_shingle_fraction",
@@ -9312,8 +9389,8 @@ _R14_WINDOW = [
     "vector_norm_stats",
     "weighted_sample_docs",
     "winsorized_value_stats",
-    # (b) r11-latest, alphabetical head (9 — multimodal_transcode at
-    # the front displaced the 10th, cohort_retention)
+    # (b) r11-latest, alphabetical head (8 — the two new r13 queries
+    # at the front displaced cohort_retention and cms_heavy_hitters)
     "above_nation_avg",
     "anti_join",
     "array_flatten",
@@ -9322,6 +9399,5 @@ _R14_WINDOW = [
     "bitfield_unpack",
     "bm25_search",
     "cluster_quality_by_label",
-    "cms_heavy_hitters",
 ]
 _check_window(_R14_WINDOW, "_R14_WINDOW", prior=_R13_WINDOW)

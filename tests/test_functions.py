@@ -1140,3 +1140,51 @@ def test_ivfpq_arrow_expr_identical_and_adc_replica(spark, sf_dir):
     for qid, rank, nid, adc_d2 in ra:
         expect = adc(vecs[qid], vecs[nid])
         assert abs(adc_d2 - expect) < 1e-6, (qid, nid, adc_d2, expect)
+
+
+def test_canonicalize_url_edge_cases(spark):
+    """r13 canonicalize_url: beyond the six driver-query variant
+    classes — https:443, bare host, multi-tracking-param queries,
+    preserved path case and real params, idempotence."""
+    from pyspark.sql import functions as F
+
+    from parquet_converters_spark.functions.text import (
+        canonicalize_url,
+        url_host,
+    )
+
+    cases = [
+        ("HTTPS://Example.COM:443/A/B", "https://example.com/A/B"),
+        ("http://example.com", "http://example.com/"),
+        ("http://example.com/?utm_source=a", "http://example.com/"),
+        ("http://example.com/p?a=1&utm_medium=m&b=2&gclid=g",
+         "http://example.com/p?a=1&b=2"),
+        ("http://example.com/p?utm_a=1&utm_b=2#f",
+         "http://example.com/p"),
+        ("http://www.Example.com//x//Y//", "http://www.example.com/x/Y"),
+        ("http://example.com:8080/p", "http://example.com:8080/p"),
+        ("https://example.com:80/p", "https://example.com:80/p"),
+    ]
+    df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(cases)],
+                               ["i", "u"])
+    got = {
+        r["i"]: (r["c"], r["h"])
+        for r in df.select(
+            "i",
+            canonicalize_url("u").alias("c"),
+            url_host(canonicalize_url("u")).alias("h"),
+        ).collect()
+    }
+    for i, (raw, want) in enumerate(cases):
+        assert got[i][0] == want, (raw, got[i][0], want)
+    assert got[0][1] == "example.com"
+    assert got[5][1] == "example.com"  # www. stripped
+    # idempotence: canonicalize(canonicalize(x)) == canonicalize(x)
+    twice = {
+        r["i"]: r["c2"]
+        for r in df.select(
+            "i", canonicalize_url(canonicalize_url("u")).alias("c2")
+        ).collect()
+    }
+    for i in got:
+        assert twice[i] == got[i][0], i

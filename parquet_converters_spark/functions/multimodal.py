@@ -762,11 +762,12 @@ def extract_audio_features(
     audio payload yields ``n_frames`` feature rows), the audio
     counterpart of ``sample_frames``.
 
-    ``fake=False`` (default) REALLY decodes PCM16 WAV payloads through
-    the stdlib codec (functions/media_codecs.py): per-frame energy =
-    mean(s^2)/32768^2 and zero-crossing rate over ``n_frames`` equal
-    sample windows — integer sums + one IEEE division each, so every
-    engine reproduces bit-identical doubles.  Non-WAV payloads raise
+    ``fake=False`` (default) REALLY decodes any from-spec audio
+    format (WAV incl. G.711/extensible, Sun AU, AIFF/AIFC, FLAC —
+    WAV-only through r12): per-frame energy = mean(s^2)/32768^2 and
+    zero-crossing rate over ``n_frames`` equal sample windows —
+    integer sums + one IEEE division each, so every engine reproduces
+    bit-identical doubles.  Unsupported formats raise
     ``NotImplementedError`` naming the codec.  ``fake=True`` derives
     everything from md5(payload) (what the oracle-checked query uses).
     """
@@ -775,8 +776,6 @@ def extract_audio_features(
         import hashlib
 
         import pandas as pd
-
-        from parquet_converters_spark.functions.media_codecs import decode_wav
 
         def emit(out, mid, i, rate, dur, energy, zcr):
             out["media_id"].append(mid)
@@ -808,14 +807,7 @@ def extract_audio_features(
                         )
                     continue
                 raw = bytes(payload)
-                if raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
-                    raise NotImplementedError(
-                        "real audio decode supports PCM16 WAV via the "
-                        "stdlib codec (functions/media_codecs.py); other "
-                        "formats need torchaudio/ffmpeg — or pass "
-                        "fake=True for the deterministic stub"
-                    )
-                rate, channels, samples = decode_wav(raw)
+                rate, channels, samples = _decode_audio_payload(raw)
                 n = len(samples)
                 dur = (n // channels) / rate
                 for i in range(n_frames):

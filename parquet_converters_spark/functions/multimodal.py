@@ -754,6 +754,92 @@ def transcode_audio(
     return df.mapInPandas(run, schema=TRANSCODED_AUDIO_SCHEMA)
 
 
+def _resample_pcm16(samples, channels: int, src_rate: int,
+                    dst_rate: int) -> list[int]:
+    """Deterministic integer linear-interpolation resample of
+    interleaved PCM16 — exact integer arithmetic (no float positions),
+    so every engine/platform produces identical samples.  Output frame
+    ``i`` sits at input position ``i * src/dst``; between-sample
+    values interpolate with round-half-up on the rate denominator."""
+    import numpy as np
+
+    arr = np.asarray(samples, dtype=np.int64)
+    n_frames = arr.size // channels
+    if n_frames == 0 or src_rate == dst_rate:
+        return list(samples)
+    m = max(1, (n_frames * dst_rate) // src_rate)
+    idx = np.arange(m, dtype=np.int64) * src_rate
+    k = idx // dst_rate
+    f = idx % dst_rate
+    k = np.minimum(k, n_frames - 1)
+    k1 = np.minimum(k + 1, n_frames - 1)
+    out = np.empty(m * channels, dtype=np.int64)
+    for c in range(channels):
+        ch = arr[c::channels]
+        out[c::channels] = (
+            ch[k] * (dst_rate - f) + ch[k1] * f + dst_rate // 2
+        ) // dst_rate
+    return out.tolist()
+
+
+def resample_audio(
+    df: DataFrame, target_rate: int, target: str = "wav"
+) -> DataFrame:
+    """Normalize a mixed audio corpus to ONE sample rate — the
+    standard ASR/TTS-pipeline prep (16 kHz mono-rate corpora) beside
+    :func:`transcode_audio`'s container normalization.  Decodes any
+    from-spec format on the PCM16 interchange grid, resamples with
+    exact integer linear interpolation (``_resample_pcm16`` — a
+    polyphase/sinc kernel is a quality upgrade that slots into the
+    same seam), and re-encodes to ``target`` (wav/flac/au/aiff).
+    Arrow-batched 1:1 narrow map, no shuffle."""
+    if target_rate <= 0:
+        raise ValueError("resample_audio: target_rate must be positive")
+    if target not in ("flac", "wav", "au", "aiff"):
+        raise ValueError(f"resample_audio: unknown target {target!r}")
+
+    def run(batches: Iterator["object"]) -> Iterator["object"]:
+        import pandas as pd
+
+        from parquet_converters_spark.functions.audio_codecs import (
+            encode_aiff,
+            encode_au,
+            encode_pcm_wav,
+        )
+        from parquet_converters_spark.functions.flac_encoder import (
+            encode_flac,
+        )
+
+        encoders = {"wav": encode_pcm_wav, "au": encode_au,
+                    "aiff": encode_aiff}
+        for pdf in batches:
+            out = {
+                "media_id": [], "sample_rate": [], "channels": [],
+                "bit_depth": [], "n_samples": [], "payload": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                rate, channels, samples = _decode_audio_payload(
+                    bytes(payload)
+                )
+                samples = _resample_pcm16(samples, channels, rate,
+                                          target_rate)
+                if target == "flac":
+                    body = encode_flac(target_rate, samples, channels,
+                                       16)
+                else:
+                    body = encoders[target](target_rate, samples,
+                                            channels, 16)
+                out["media_id"].append(int(mid))
+                out["sample_rate"].append(target_rate)
+                out["channels"].append(channels)
+                out["bit_depth"].append(16)
+                out["n_samples"].append(len(samples))
+                out["payload"].append(body)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, schema=TRANSCODED_AUDIO_SCHEMA)
+
+
 def extract_audio_features(
     df: DataFrame, n_frames: int = 6, fake: bool = False
 ) -> DataFrame:

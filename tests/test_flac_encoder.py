@@ -429,3 +429,71 @@ def test_transcode_native_widens_odd_flac_depths(spark):
     out_f = transcode_audio(df, target="flac", depth="native").collect()[0]
     assert out_f["bit_depth"] == 12
     assert decode_flac_full(bytes(out_f["payload"]))[3] == pcm12
+
+
+def test_resample_pcm16_properties():
+    """Integer linear-interpolation resampler invariants: constants
+    stay constant, ramps stay ramps (exact at integer positions),
+    frequency content scales (zero-crossing count preserved), and the
+    arithmetic is deterministic integer math."""
+    from parquet_converters_spark.functions.multimodal import (
+        _resample_pcm16,
+    )
+
+    # constant in -> constant out, any rate pair
+    const = [777] * 1000
+    for src, dst in ((8000, 16000), (44100, 16000), (16000, 16000)):
+        out = _resample_pcm16(const, 1, src, dst)
+        assert set(out) == {777}
+        assert len(out) == max(1, 1000 * dst // src)
+    # a linear ramp resamples onto the same line (exact: integer
+    # interpolation of a line IS the line at the sampled positions)
+    ramp = list(range(0, 4000, 4))
+    up = _resample_pcm16(ramp, 1, 8000, 16000)
+    for i, v in enumerate(up[: 2 * len(ramp) - 2]):
+        assert v == 2 * i, (i, v)
+    # sine frequency preserved: zero crossings scale with duration
+    t = np.arange(8000)
+    sine = (10000 * np.sin(2 * np.pi * 440 * t / 8000)).astype(np.int64)
+    res = _resample_pcm16(sine.tolist(), 1, 8000, 16000)
+    zc = sum(1 for a, b in zip(res, res[1:]) if (a >= 0) != (b >= 0))
+    zc_src = sum(1 for a, b in zip(sine, sine[1:]) if (a >= 0) != (b >= 0))
+    assert abs(zc - zc_src) <= 2  # same tone, same second of audio
+    # stereo: channels resample independently
+    inter = [100, -100] * 500
+    out = _resample_pcm16(inter, 2, 8000, 4000)
+    assert out[0::2] == [100] * (len(out) // 2)
+    assert out[1::2] == [-100] * (len(out) // 2)
+
+
+def test_resample_audio_spark(spark):
+    from parquet_converters_spark.functions.flac_codec import decode_flac
+    from parquet_converters_spark.functions.media_codecs import (
+        decode_wav,
+        encode_wav,
+    )
+    from parquet_converters_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        resample_audio,
+    )
+
+    pcm = smooth(4000, seed=2).tolist()
+    wav = encode_wav(8000, pcm)
+    flac = encode_flac(44100, smooth(4410, seed=3), 1, 16)
+    df = spark.createDataFrame(
+        [(1, "audio", bytearray(wav), "audio/wav", 0),
+         (2, "audio", bytearray(flac), "audio/flac", 0)],
+        MEDIA_SCHEMA,
+    )
+    got = {r["media_id"]: r for r in
+           resample_audio(df, 16000).collect()}
+    assert got[1]["sample_rate"] == got[2]["sample_rate"] == 16000
+    r1 = decode_wav(bytes(got[1]["payload"]))
+    assert r1[0] == 16000 and len(r1[2]) == 8000  # 0.5 s at 16 kHz
+    # flac target too
+    out_f = {r["media_id"]: r for r in
+             resample_audio(df, 16000, target="flac").collect()}
+    rf = decode_flac(bytes(out_f[1]["payload"]))
+    assert rf[0] == 16000 and rf[2] == r1[2]
+    with pytest.raises(ValueError, match="target_rate"):
+        resample_audio(df, 0)

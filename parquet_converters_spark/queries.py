@@ -1990,6 +1990,117 @@ def _multimodal_transcode_oracle() -> str | None:
 MULTIMODAL_TRANSCODE_SQL = _multimodal_transcode_oracle()
 
 
+def audio_resample_check(spark, sf_dir):
+    """The resampler's integer interpolation checked against CLOSED
+    FORMS: constant and ramp WAV payloads (parameters drawn from the
+    documents table) resampled 8 kHz -> 16 kHz through the full
+    decode -> _resample_pcm16 -> encode -> decode path; the oracle
+    recomputes every output sample from the interpolation formula's
+    closed form in SQL (a constant stays itself; a slope-s ramp's
+    output sample i is ``(s*i + 1) // 2`` at a 1:2 upsample) and
+    aggregates the same order-sensitive checksums."""
+    from pyspark.sql.types import (
+        BinaryType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id").limit(24)
+    params = [(int(r["doc_id"]),) for r in docs.collect()]
+
+    from parquet_converters_spark.functions.media_codecs import encode_wav
+
+    n_in = 200
+    rows = []
+    for (doc_id,) in params:
+        if doc_id % 2 == 0:
+            val = (doc_id * 37) % 20000 - 10000
+            pcm = [val] * n_in
+        else:
+            slope = doc_id % 7 + 1
+            pcm = [slope * i for i in range(n_in)]
+        rows.append((doc_id, bytearray(encode_wav(8000, pcm))))
+    df = spark.createDataFrame(
+        rows,
+        StructType([
+            StructField("media_id", LongType(), False),
+            StructField("payload", BinaryType(), False),
+        ]),
+    )
+
+    from parquet_converters_spark.functions.multimodal import (
+        resample_audio,
+    )
+
+    out_schema = StructType([
+        StructField("media_id", LongType(), False),
+        StructField("sample_rate", IntegerType(), False),
+        StructField("n_samples", LongType(), False),
+        StructField("sum_s", LongType(), False),
+        StructField("wsum_s", LongType(), False),
+    ])
+
+    def census(batches):
+        import pandas as pd
+
+        from parquet_converters_spark.functions.media_codecs import (
+            decode_wav,
+        )
+
+        for pdf in batches:
+            out = {k.name: [] for k in out_schema.fields}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                rate, _ch, samples = decode_wav(bytes(payload))
+                out["media_id"].append(int(mid))
+                out["sample_rate"].append(rate)
+                out["n_samples"].append(len(samples))
+                out["sum_s"].append(sum(samples))
+                out["wsum_s"].append(
+                    sum((i + 1) * s for i, s in enumerate(samples))
+                )
+            yield pd.DataFrame(out)
+
+    return (
+        resample_audio(df, 16000)
+        .select("media_id", "payload")
+        .mapInPandas(census, out_schema)
+        .orderBy("media_id")
+    )
+
+
+# 1:2 upsample of a slope-s ramp: position of output i is i/2, so
+# even outputs hit input samples (s*(i/2)) and odd outputs are the
+# midpoint (s*(i-1)/2 + s*(i+1)/2)/2 + round-half-up on dst=16000
+# = (s*i + 1) // 2 for ALL i (even: s*i/2 exactly).  Output length =
+# n_in * 2.
+AUDIO_RESAMPLE_CHECK_SQL = """
+WITH params AS (
+  SELECT doc_id FROM documents ORDER BY doc_id LIMIT 24
+), expanded AS (
+  SELECT p.doc_id,
+         i,
+         CASE WHEN p.doc_id % 2 = 0
+              THEN (p.doc_id * 37) % 20000 - 10000
+              -- final output interpolates past the last input sample:
+              -- the resampler clamps to it (k1 = min(k+1, n-1))
+              WHEN i = 399 THEN (p.doc_id % 7 + 1) * 199
+              ELSE ((p.doc_id % 7 + 1) * i + 1) // 2
+         END AS s
+  FROM params p, unnest(range(0, 400)) AS t(i)
+)
+SELECT doc_id AS media_id,
+       16000 AS sample_rate,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       CAST(sum(s) AS BIGINT) AS sum_s,
+       CAST(sum((i + 1) * s) AS BIGINT) AS wsum_s
+FROM expanded
+GROUP BY doc_id
+ORDER BY media_id
+"""
+
+
 def multimodal_probe(spark, sf_dir):
     """Header-only media triage (functions/media_probe.py) over the
     deterministic fixture corpus: the r12 probe surface's driver row.
@@ -7371,6 +7482,7 @@ FROM m ORDER BY month_us
 QUERIES.update({
     "gap_fill_daily": (gap_fill_daily, GAP_FILL_DAILY_SQL),
     "url_canonical_dedup": (url_canonical_dedup, URL_CANONICAL_DEDUP_SQL),
+    "audio_resample_check": (audio_resample_check, AUDIO_RESAMPLE_CHECK_SQL),
     "equi_depth_histogram": (equi_depth_histogram, EQUI_DEPTH_HISTOGRAM_SQL),
     "mixture_plan": (mixture_plan, MIXTURE_PLAN_SQL),
     "compaction_plan": (compaction_plan, COMPACTION_PLAN_SQL),
@@ -9348,6 +9460,7 @@ _R14_WINDOW = [
     # rotation
     "multimodal_transcode",
     "url_canonical_dedup",
+    "audio_resample_check",
     # (a) r10-latest remainder (40)
     "distinct_nation_stats",
     "dup_shingle_fraction",
@@ -9389,8 +9502,9 @@ _R14_WINDOW = [
     "vector_norm_stats",
     "weighted_sample_docs",
     "winsorized_value_stats",
-    # (b) r11-latest, alphabetical head (8 — the two new r13 queries
-    # at the front displaced cohort_retention and cms_heavy_hitters)
+    # (b) r11-latest, alphabetical head (7 — the three new r13
+    # queries at the front displaced cohort_retention,
+    # cms_heavy_hitters, and cluster_quality_by_label)
     "above_nation_avg",
     "anti_join",
     "array_flatten",
@@ -9398,6 +9512,5 @@ _R14_WINDOW = [
     "band_join_conversions",
     "bitfield_unpack",
     "bm25_search",
-    "cluster_quality_by_label",
 ]
 _check_window(_R14_WINDOW, "_R14_WINDOW", prior=_R13_WINDOW)

@@ -2007,7 +2007,13 @@ def audio_resample_check(spark, sf_dir):
         StructType,
     )
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id").limit(24)
+    # ordered limit: a bare .limit() takes arbitrary rows per
+    # partition ordering — the oracle's ORDER BY doc_id LIMIT must
+    # see the same 24
+    docs = (
+        _t(spark, sf_dir, "documents").select("doc_id")
+        .orderBy("doc_id").limit(24)
+    )
     params = [(int(r["doc_id"]),) for r in docs.collect()]
 
     from parquet_converters_spark.functions.media_codecs import encode_wav

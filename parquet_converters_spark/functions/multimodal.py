@@ -658,7 +658,7 @@ TRANSCODED_AUDIO_SCHEMA = StructType(
 
 def transcode_audio(
     df: DataFrame, target: str = "flac", block_size: int = 4096,
-    depth: str = "pcm16",
+    depth: str = "pcm16", resample_to: int | None = None,
 ) -> DataFrame:
     """Normalize a mixed audio corpus to one container — the audio
     sink path (r12 verdict item 5), the audio counterpart of
@@ -693,6 +693,14 @@ def transcode_audio(
         raise ValueError(f"transcode_audio: unknown target {target!r}")
     if depth not in ("pcm16", "native"):
         raise ValueError(f"transcode_audio: unknown depth {depth!r}")
+    if resample_to is not None:
+        if resample_to <= 0:
+            raise ValueError("transcode_audio: resample_to must be "
+                             "positive")
+        if depth != "pcm16":
+            raise ValueError("transcode_audio: resampling interpolates "
+                             "new values on the PCM16 interchange grid "
+                             "— depth='native' cannot be preserved")
 
     def run(batches: Iterator["object"]) -> Iterator["object"]:
         import pandas as pd
@@ -723,6 +731,11 @@ def transcode_audio(
                         bytes(payload)
                     )
                     bits = 16
+                    if resample_to is not None:
+                        samples = _resample_pcm16(
+                            samples, channels, rate, resample_to
+                        )
+                        rate = resample_to
                 if target == "flac":
                     body = encode_flac(
                         rate, samples, channels, bits,
@@ -787,57 +800,15 @@ def resample_audio(
 ) -> DataFrame:
     """Normalize a mixed audio corpus to ONE sample rate — the
     standard ASR/TTS-pipeline prep (16 kHz mono-rate corpora) beside
-    :func:`transcode_audio`'s container normalization.  Decodes any
-    from-spec format on the PCM16 interchange grid, resamples with
-    exact integer linear interpolation (``_resample_pcm16`` — a
-    polyphase/sinc kernel is a quality upgrade that slots into the
-    same seam), and re-encodes to ``target`` (wav/flac/au/aiff).
+    :func:`transcode_audio`'s container normalization.  A thin wrapper
+    over ``transcode_audio(resample_to=...)``: decode on the PCM16
+    interchange grid, resample with exact integer linear interpolation
+    (:func:`_resample_pcm16` — a polyphase/sinc kernel is a quality
+    upgrade that slots into the same seam), re-encode to ``target``.
     Arrow-batched 1:1 narrow map, no shuffle."""
     if target_rate <= 0:
         raise ValueError("resample_audio: target_rate must be positive")
-    if target not in ("flac", "wav", "au", "aiff"):
-        raise ValueError(f"resample_audio: unknown target {target!r}")
-
-    def run(batches: Iterator["object"]) -> Iterator["object"]:
-        import pandas as pd
-
-        from parquet_converters_spark.functions.audio_codecs import (
-            encode_aiff,
-            encode_au,
-            encode_pcm_wav,
-        )
-        from parquet_converters_spark.functions.flac_encoder import (
-            encode_flac,
-        )
-
-        encoders = {"wav": encode_pcm_wav, "au": encode_au,
-                    "aiff": encode_aiff}
-        for pdf in batches:
-            out = {
-                "media_id": [], "sample_rate": [], "channels": [],
-                "bit_depth": [], "n_samples": [], "payload": [],
-            }
-            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                rate, channels, samples = _decode_audio_payload(
-                    bytes(payload)
-                )
-                samples = _resample_pcm16(samples, channels, rate,
-                                          target_rate)
-                if target == "flac":
-                    body = encode_flac(target_rate, samples, channels,
-                                       16)
-                else:
-                    body = encoders[target](target_rate, samples,
-                                            channels, 16)
-                out["media_id"].append(int(mid))
-                out["sample_rate"].append(target_rate)
-                out["channels"].append(channels)
-                out["bit_depth"].append(16)
-                out["n_samples"].append(len(samples))
-                out["payload"].append(body)
-            yield pd.DataFrame(out)
-
-    return df.mapInPandas(run, schema=TRANSCODED_AUDIO_SCHEMA)
+    return transcode_audio(df, target=target, resample_to=target_rate)
 
 
 def extract_audio_features(

@@ -355,17 +355,26 @@ def canonicalize_url(url: Column | str) -> Column:
     c = F.regexp_replace(c, "#.*$", "")  # fragment
     c = F.regexp_replace(c, "^(http://[^/?#]*):80(?=[/?]|$)", "$1")
     c = F.regexp_replace(c, "^(https://[^/?#]*):443(?=[/?]|$)", "$1")
-    # tracking params, wherever they sit in the query
-    c = F.regexp_replace(c, "([?&])(utm_[^=&#]*|fbclid|gclid)=[^&#]*", "$1")
-    c = F.regexp_replace(c, "&&+", "&")        # holes left by removals
-    c = F.regexp_replace(c, "\\?&", "?")
-    c = F.regexp_replace(c, "[?&]$", "")       # empty query
-    # path cleanup: collapse // (not the scheme's), strip trailing /
-    c = F.regexp_replace(c, "(?<!:)//+", "/")
-    c = F.regexp_replace(c, "(?<=[^/])/$", "")
-    c = F.regexp_replace(c, "(/[^?]*[^/?])/(?=\\?)", "$1")
-    # bare host -> host/
-    return F.regexp_replace(c, "^([a-z]+://[^/?#]+)$", "$1/")
+    # split into authority / path / query so the cleanups can't leak
+    # across components (a '&' is legal IN a path, '//' is legal IN a
+    # query value — each rule applies only where it means something)
+    base = F.regexp_extract(c, "^([a-z]+://[^/?]*)", 1)
+    path_q = F.regexp_replace(c, "^[a-z]+://[^/?]*", "")
+    path = F.regexp_extract(path_q, "^([^?]*)", 1)
+    query = F.regexp_replace(path_q, "^[^?]*", "")
+    # tracking params (query only)
+    query = F.regexp_replace(
+        query, "([?&])(utm_[^=&#]*|fbclid|gclid)=[^&#]*", "$1"
+    )
+    query = F.regexp_replace(query, "&&+", "&")  # holes left above
+    query = F.regexp_replace(query, "\\?&", "?")
+    query = F.regexp_replace(query, "[?&]$", "")  # empty query
+    # path cleanup: collapse //, strip non-root trailing /
+    path = F.regexp_replace(path, "//+", "/")
+    path = F.regexp_replace(path, "(?<=[^/])/$", "")
+    # bare host -> root path
+    path = F.when(F.length(path) == 0, F.lit("/")).otherwise(path)
+    return F.concat(base, path, query)
 
 
 def url_host(url: Column | str) -> Column:

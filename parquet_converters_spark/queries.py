@@ -9462,8 +9462,8 @@ QUERIES = {
 _R14_WINDOW = [
     # (0) new in r13 (registered after the r13 window froze), never
     # graded — promoted to the front; the tail entries they displace
-    # (cohort_retention, cms_heavy_hitters) re-grade in a later
-    # rotation
+    # (cohort_retention, cms_heavy_hitters, cluster_quality_by_label)
+    # re-grade in a later rotation
     "multimodal_transcode",
     "url_canonical_dedup",
     "audio_resample_check",

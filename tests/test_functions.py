@@ -1164,6 +1164,16 @@ def test_canonicalize_url_edge_cases(spark):
         ("http://www.Example.com//x//Y//", "http://www.example.com/x/Y"),
         ("http://example.com:8080/p", "http://example.com:8080/p"),
         ("https://example.com:80/p", "https://example.com:80/p"),
+        # component isolation (r13 review): cleanups must not leak
+        # across path/query boundaries
+        ("http://example.com/p?path=//tmp/x",
+         "http://example.com/p?path=//tmp/x"),   # // in a query VALUE
+        ("http://example.com/p?dir=/tmp/",
+         "http://example.com/p?dir=/tmp/"),      # trailing / in a value
+        ("http://example.com/a&utm_source=feed",
+         "http://example.com/a&utm_source=feed"),  # & in a PATH
+        ("http://example.com/?id=7",
+         "http://example.com/?id=7"),            # root path kept
     ]
     df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(cases)],
                                ["i", "u"])

@@ -36,6 +36,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
-        name: sql for name, (_fn, sql) in QUERIES.items() if sql is not None
-    }
+    # an entry's sql may be a zero-arg builder (lazy oracle: building
+    # it needs the tests/ fixture corpus, so it must not run at
+    # import time); resolve here, drop entries that resolve to None
+    out = {}
+    for name, (_fn, sql) in QUERIES.items():
+        if callable(sql):
+            sql = sql()
+        if sql is not None:
+            out[name] = sql
+    return out

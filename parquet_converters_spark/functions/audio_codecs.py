@@ -228,13 +228,23 @@ def _native_to_16(samples: list[int], bits: int) -> list[int]:
 
 
 def _pack_pcm(samples, bits: int, big_endian: bool,
-              unsigned8: bool = False, fmt_name: str = "PCM") -> bytes:
+              unsigned8: bool = False, fmt_name: str = "PCM",
+              channels: int = 1) -> bytes:
     """Range-check and pack native-depth signed samples (8/16/24/32)
     — the shared body writer for the WAV/AU/AIFF sinks (inverse of
-    _pcm_native)."""
+    _pcm_native).  Rejects ragged interleaving (size not divisible by
+    ``channels``) so a header's frame count can never disagree with
+    the body it describes (r13 ADVICE; mirrors encode_flac's check)."""
     if bits not in (8, 16, 24, 32):
         raise ValueError(f"{fmt_name}: unsupported bit depth {bits}")
+    if channels < 1:
+        raise ValueError(f"{fmt_name}: channels must be >= 1")
     arr = np.asarray(samples, dtype=np.int64)
+    if arr.size % channels:
+        raise ValueError(
+            f"{fmt_name}: {arr.size} samples not divisible by "
+            f"{channels} channels"
+        )
     lo, hi = -(1 << (bits - 1)), (1 << (bits - 1)) - 1
     if arr.size and (int(arr.min()) < lo or int(arr.max()) > hi):
         raise ValueError(f"{fmt_name}: samples exceed {bits}-bit range")
@@ -259,7 +269,7 @@ def encode_pcm_wav(sample_rate: int, samples, channels: int = 1,
     convention).  ``samples`` interleaved signed ints on the
     ``bits``-bit grid."""
     body = _pack_pcm(samples, bits, big_endian=False, unsigned8=True,
-                     fmt_name="WAV")
+                     fmt_name="WAV", channels=channels)
     width = bits // 8
     byte_rate = sample_rate * channels * width
     fmt = struct.pack("<HHIIHH", 1, channels, sample_rate, byte_rate,
@@ -279,13 +289,19 @@ def encode_au(sample_rate: int, samples, channels: int = 1,
     ignored).  Crossread by the CPython stdlib ``sunau`` reader in
     tests/test_flac_encoder.py."""
     if law is not None:
+        if channels < 1 or len(samples) % channels:
+            raise ValueError(
+                f"AU: {len(samples)} samples not divisible by "
+                f"{channels} channels"
+            )
         body = encode_g711(samples, law)
         enc = {"ulaw": 1, "alaw": 27}[law]
     else:
         enc = {8: 2, 16: 3, 24: 4, 32: 5}.get(bits)
         if enc is None:
             raise ValueError(f"AU: unsupported bit depth {bits}")
-        body = _pack_pcm(samples, bits, big_endian=True, fmt_name="AU")
+        body = _pack_pcm(samples, bits, big_endian=True, fmt_name="AU",
+                         channels=channels)
     return (b".snd"
             + struct.pack(">IIIII", 24, len(body), enc, sample_rate,
                           channels)
@@ -297,7 +313,8 @@ def encode_aiff(sample_rate: int, samples, channels: int = 1,
     """AIFF writer (EA IFF 85): FORM/AIFF with COMM (80-bit extended
     sample rate) + SSND, big-endian PCM 8/16/24/32.  Crossread by the
     CPython stdlib ``aifc`` reader in tests/test_flac_encoder.py."""
-    body = _pack_pcm(samples, bits, big_endian=True, fmt_name="AIFF")
+    body = _pack_pcm(samples, bits, big_endian=True, fmt_name="AIFF",
+                     channels=channels)
     arr = np.asarray(samples, dtype=np.int64)
     # 80-bit extended-precision rate: exponent so the mantissa's top
     # bit is set (normalized), integer rates only

@@ -17,9 +17,17 @@ Probed per family:
 - **audio** (WAV, Sun AU, AIFF/AIFC, FLAC): sample rate / channels /
   bit depth / duration (seconds, when the header carries a length).
 - **video** (AVI): dims + frame count + fps from ``avih``/``strh``.
-- **triage-only** (MP3 frame or ID3, Ogg, Matroska/WebM, Flash Video,
-  ISO-BMFF incl. major brand): format identified by magic so a
-  pipeline can route them to an external decoder; shape fields null.
+- **MPEG audio (MP3/MP2/MP1)**: full frame-header parse (ISO/IEC
+  11172-3 §2.4.1.3 + the MPEG-2 LSF extension) — version, layer,
+  sample rate, channels, declared bitrate — plus duration from a
+  Xing/Info or VBRI VBR tag's frame count when present, else the
+  CBR estimate from stream length (ID3v1 trailer excluded).  Still
+  header-only: no decoder, no entropy data touched — the same
+  contract as the reference's header-probe/version-dispatch
+  (/root/reference/src/touches/touch_reader.cpp:95-117).
+- **triage-only** (Ogg, Matroska/WebM, Flash Video, ISO-BMFF incl.
+  major brand): format identified by magic so a pipeline can route
+  them to an external decoder; shape fields null.
 
 Unknown or too-short payloads yield ``format='unknown'`` rather than
 raising — triage must never fail a 100 TB scan (per-payload decode
@@ -51,12 +59,95 @@ PROBE_SCHEMA = StructType(
         StructField("channels", IntegerType(), True),
         StructField("sample_rate", IntegerType(), True),
         StructField("bit_depth", IntegerType(), True),
+        # declared COMPRESSED bitrate (bits/s) — an independent header
+        # field only compressed formats carry (MP3 frame header); PCM
+        # formats leave it null (their rate*ch*bits is derivable)
+        StructField("bit_rate", IntegerType(), True),
         StructField("duration_s", DoubleType(), True),
         StructField("n_bytes", LongType(), False),
     ]
 )
 
 _MP3_RATES = {0: 44100, 1: 48000, 2: 32000}  # MPEG1; /2 (V2), /4 (V2.5)
+
+# ISO/IEC 11172-3 Table B.1 / 13818-3 bitrate tables, kbit/s, indexed
+# 1..14 (0 = "free format" -> unknown, 15 = forbidden).  Keyed by
+# (is_mpeg1, layer).  MPEG-2 and 2.5 (LSF) share one Layer II/III row.
+_MPEG_KBPS = {
+    (True, 1): (32, 64, 96, 128, 160, 192, 224, 256, 288, 320,
+                352, 384, 416, 448),
+    (True, 2): (32, 48, 56, 64, 80, 96, 112, 128, 160, 192,
+                224, 256, 320, 384),
+    (True, 3): (32, 40, 48, 56, 64, 80, 96, 112, 128, 160,
+                192, 224, 256, 320),
+    (False, 1): (32, 48, 56, 64, 80, 96, 112, 128, 144, 160,
+                 176, 192, 224, 256),
+    (False, 2): (8, 16, 24, 32, 40, 48, 56, 64, 80, 96,
+                 112, 128, 144, 160),
+}
+_MPEG_KBPS[(False, 3)] = _MPEG_KBPS[(False, 2)]
+
+
+def _probe_mpeg_audio(d: bytes, hdr_at: int) -> dict:
+    """Parse one MPEG audio frame header (+ Xing/Info/VBRI VBR tag)
+    at ``hdr_at``.  Returns the typed triage record; fields the
+    header can't supply stay null (free-format bitrate, truncated
+    tag)."""
+    n = len(d)
+    out = dict(format="mp3", kind="audio")
+    if hdr_at + 4 > n or d[hdr_at] != 0xFF or \
+            (d[hdr_at + 1] & 0xE0) != 0xE0:
+        return out  # ID3 tag with no parseable frame after it
+    b1, b2, b3 = d[hdr_at + 1], d[hdr_at + 2], d[hdr_at + 3]
+    version = (b1 >> 3) & 0x3   # 0=MPEG2.5, 1=reserved, 2=MPEG2, 3=MPEG1
+    layer_code = (b1 >> 1) & 0x3  # 1=III, 2=II, 3=I (0 reserved)
+    if version == 1 or layer_code == 0:
+        return out  # reserved fields: magic matched, header didn't
+    layer = 4 - layer_code  # 1, 2 or 3
+    out["format"] = {1: "mp1", 2: "mp2", 3: "mp3"}[layer]
+    sr_code = (b2 >> 2) & 0x3
+    base = _MP3_RATES.get(sr_code)
+    if base is None:
+        return out
+    rate = base if version == 3 else (
+        base // 2 if version == 2 else base // 4
+    )
+    mono = ((b3 >> 6) & 0x3) == 3
+    out.update(sample_rate=rate, channels=1 if mono else 2)
+    is_v1 = version == 3
+    br_idx = (b2 >> 4) & 0xF
+    if br_idx in (0, 15):
+        return out  # free format / forbidden: no declared bitrate
+    bps = _MPEG_KBPS[(is_v1, layer)][br_idx - 1] * 1000
+    out["bit_rate"] = bps
+    # samples per frame: L1 384; L2 1152; L3 1152 (MPEG1) / 576 (LSF)
+    spf = 384 if layer == 1 else (
+        1152 if (layer == 2 or is_v1) else 576
+    )
+    # VBR tags give the EXACT frame count. Xing/Info sits after the
+    # Layer III side info; VBRI at a fixed +32 (Fraunhofer spec).
+    frames = None
+    if layer == 3:
+        side = (17 if mono else 32) if is_v1 else (9 if mono else 17)
+        p = hdr_at + 4 + side
+        if d[p : p + 4] in (b"Xing", b"Info") and p + 12 <= n:
+            (flags,) = struct.unpack_from(">I", d, p + 4)
+            if flags & 1:
+                (frames,) = struct.unpack_from(">I", d, p + 8)
+        else:
+            p = hdr_at + 4 + 32
+            if d[p : p + 4] == b"VBRI" and p + 18 <= n:
+                (frames,) = struct.unpack_from(">I", d, p + 14)
+    if frames is not None:
+        out["duration_s"] = frames * spf / rate
+    else:
+        # CBR estimate: declared bitrate over the audio byte span
+        # (leading ID3v2 already behind hdr_at; drop an ID3v1 trailer)
+        nbytes = n - hdr_at
+        if n >= hdr_at + 128 and d[n - 128 : n - 125] == b"TAG":
+            nbytes -= 128
+        out["duration_s"] = nbytes * 8 / bps
+    return out
 
 
 def _img(fmt, w, h, c):
@@ -201,26 +292,16 @@ def _probe(d: bytes) -> dict:
             if usec:
                 out["duration_s"] = frames * usec / 1e6
         return out
-    # ---- triage-only ----
+    # ---- MPEG audio (header parse, no decode) ----
     if d[:3] == b"ID3" or (d[0] == 0xFF and (d[1] & 0xE0) == 0xE0):
-        fmt = "mp3"
-        rate = None
         hdr_at = 0
         if d[:3] == b"ID3":
             # skip the syncsafe-length ID3v2 tag to the first frame
             tag_len = ((d[6] & 0x7F) << 21) | ((d[7] & 0x7F) << 14) | \
                 ((d[8] & 0x7F) << 7) | (d[9] & 0x7F)
             hdr_at = 10 + tag_len
-        if hdr_at + 4 <= n and d[hdr_at] == 0xFF and \
-                (d[hdr_at + 1] & 0xE0) == 0xE0:
-            version = (d[hdr_at + 1] >> 3) & 0x3  # 3=V1, 2=V2, 0=V2.5
-            sr_code = (d[hdr_at + 2] >> 2) & 0x3
-            base = _MP3_RATES.get(sr_code)
-            if base:
-                rate = base if version == 3 else (
-                    base // 2 if version == 2 else base // 4
-                )
-        return dict(format=fmt, kind="audio", sample_rate=rate)
+        return _probe_mpeg_audio(d, hdr_at)
+    # ---- triage-only ----
     if d[:4] == b"OggS":
         return dict(format="ogg", kind="audio")
     if d[:4] == b"\x1a\x45\xdf\xa3":

@@ -329,7 +329,16 @@ def jdk_sound_media_decoder():
                         is_aiff = False
                     break
                 pos += 8 + ln + (ln & 1)
-        if is_wav or is_snd or is_aiff:
+        # lossy-audio seam: MPEG audio routes through the bridge ONLY
+        # when this JVM's probed SPI set actually reads it (stock
+        # OpenJDK: no) — else it falls through to _real_decode's named
+        # NotImplementedError.  Measured posture recorded in SCALE.md.
+        is_mpeg = (
+            bytes(payload[:3]) == b"ID3"
+            or (len(payload) >= 2 and payload[0] == 0xFF
+                and (payload[1] & 0xE0) == 0xE0)
+        ) and jdk_sound_mp3_supported()
+        if is_wav or is_snd or is_aiff or is_mpeg:
             _rate, channels, samples = _audio_bridge_decode(
                 classes, payload
             )
@@ -441,3 +450,41 @@ def libwebp_media_decoder():
         return _real_decode(payload, n_features)
 
     return decode
+
+
+_JDK_MP3_CAPABILITY: list = []  # memoized [bool] once probed
+
+
+def jdk_sound_mp3_supported() -> bool:
+    """LIVE capability probe: does THIS JVM's ``javax.sound.sampled``
+    SPI set read MPEG-1 Layer III?  Stock OpenJDK ships no MP3 reader
+    (only an external SPI jar — JLayer/Tritonus/JMF — adds one), but
+    the answer is a property of the machine, not the spec, so it is
+    measured, never assumed — the same posture as the AIFC
+    ``alaw``/``sowt`` probe documented on
+    :func:`jdk_sound_media_decoder`.
+
+    Sends one minimal crafted CBR frame (MPEG1 L3 44.1 kHz mono,
+    all-zero main data — a valid silent frame) through the
+    AudioBridge: a clean PCM response means an MP3 SPI is installed;
+    the in-band UnsupportedAudioFileException means it is not.
+    Memoized per process.  The decode posture that follows is
+    documented in SCALE.md ("lossy audio"): triage via
+    media_probe (format/rate/channels/bitrate/duration, header-only)
+    always works; full decode routes to this seam when present and
+    raises the named NotImplementedError when not.
+    """
+    if _JDK_MP3_CAPABILITY:
+        return _JDK_MP3_CAPABILITY[0]
+    # 417-byte frame: 144 * 128000 // 44100, padding 0 (ISO/IEC
+    # 11172-3 §2.4.3.1) — byte-identical construction to the
+    # test-side crafter in tests/test_media_probe.py
+    frame = b"\xff\xfb\x90\xc0" + b"\x00" * 413
+    try:
+        classes = _compile_audio_bridge()
+        _audio_bridge_decode(classes, frame * 4)
+        supported = True
+    except Exception:
+        supported = False
+    _JDK_MP3_CAPABILITY.append(supported)
+    return supported

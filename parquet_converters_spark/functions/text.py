@@ -358,8 +358,10 @@ def canonicalize_url(url: Column | str) -> Column:
     # split into authority / path / query so the cleanups can't leak
     # across components (a '&' is legal IN a path, '//' is legal IN a
     # query value — each rule applies only where it means something)
-    base = F.regexp_extract(c, "^([a-z]+://[^/?]*)", 1)
-    path_q = F.regexp_replace(c, "^[a-z]+://[^/?]*", "")
+    # RFC 3986 §3.1: scheme = ALPHA *( ALPHA / DIGIT / "+" / "-" / "." )
+    # (s3+http://, svn+ssh://, chrome-extension:// must keep their '//')
+    base = F.regexp_extract(c, "^([a-z][a-z0-9+.-]*://[^/?]*)", 1)
+    path_q = F.regexp_replace(c, "^[a-z][a-z0-9+.-]*://[^/?]*", "")
     path = F.regexp_extract(path_q, "^([^?]*)", 1)
     query = F.regexp_replace(path_q, "^[^?]*", "")
     # tracking params (query only)
@@ -381,5 +383,5 @@ def url_host(url: Column | str) -> Column:
     """The registrable host of a canonicalized URL (port already
     stripped), with a leading ``www.`` removed — the standard
     domain-level aggregation key."""
-    h = F.regexp_extract(_col(url), "^[a-z]+://([^/?#]+)", 1)
+    h = F.regexp_extract(_col(url), "^[a-z][a-z0-9+.-]*://([^/?#]+)", 1)
     return F.regexp_replace(h, "^www\\.", "")

@@ -2032,9 +2032,13 @@ def _cluster_tiles(tile_hists, max_groups=16):
     # tiles).  Gains only change for pairs touching the cluster that
     # absorbed a merge, so cache them keyed by stable cluster id and
     # refresh just that row per iteration: O(k^2) merges total, the
-    # HistogramCombineGreedy queue shape.  Selection order (max gain,
-    # ties to the smallest id pair — ids never reorder) matches the
-    # old full rescan, so emitted streams are byte-identical.
+    # HistogramCombineGreedy queue shape.  Selection: max gain, ties
+    # to the smallest stable id pair.  Equivalent to the old full
+    # rescan for distinct gains; on exact gain TIES the old loop
+    # tie-broke on post-deletion renumbered list indices, so a tied
+    # merge may pick a different (equally good) pair — the stream is
+    # still valid and the same size, just not guaranteed byte-equal
+    # to pre-r12 output.
     ids = sorted(clusters)
     gains = {}
     for a in range(len(ids)):

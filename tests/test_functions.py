@@ -1174,6 +1174,15 @@ def test_canonicalize_url_edge_cases(spark):
          "http://example.com/a&utm_source=feed"),  # & in a PATH
         ("http://example.com/?id=7",
          "http://example.com/?id=7"),            # root path kept
+        # RFC 3986 §3.1 schemes with digits/+/./- (r13 ADVICE): the
+        # base pattern must keep the '//' of s3+http:// etc. intact
+        ("s3+http://Bucket.Host/Key//x",
+         "s3+http://bucket.host/Key/x"),
+        ("svn+ssh://Repo.example.com/trunk/",
+         "svn+ssh://repo.example.com/trunk"),
+        ("chrome-extension://abcDEF/page?utm_source=x",
+         "chrome-extension://abcdef/page"),
+        ("web+ap://example.com", "web+ap://example.com/"),
     ]
     df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(cases)],
                                ["i", "u"])
@@ -1189,6 +1198,7 @@ def test_canonicalize_url_edge_cases(spark):
         assert got[i][0] == want, (raw, got[i][0], want)
     assert got[0][1] == "example.com"
     assert got[5][1] == "example.com"  # www. stripped
+    assert got[12][1] == "bucket.host"  # exotic scheme still hosts
     # idempotence: canonicalize(canonicalize(x)) == canonicalize(x)
     twice = {
         r["i"]: r["c2"]

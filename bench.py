@@ -357,6 +357,22 @@ def bench_audio_seam(spark, timed_runs: int) -> dict[str, float]:
         lambda: transcode_audio(df_w, target="flac")
         .write.format("noop").mode("overwrite").save()
     )
+    # r14: corpus rate normalization — the standard 44.1 kHz -> 16 kHz
+    # ASR-prep pass (decode -> integer-linear resample -> re-encode),
+    # 64 one-second 44.1 kHz files through resample_to=
+    hi = [
+        (100 + i, "audio",
+         bytearray(encode_wav(44100, smooth(44100, 300 + i))),
+         "audio/wav", 0)
+        for i in range(64)
+    ]
+    df_hi = spark.createDataFrame(hi, MEDIA_SCHEMA).repartition(32)
+    df_hi.persist().count()
+    out["audio_resample_44k_to_16k"] = timed(
+        lambda: transcode_audio(df_hi, target="wav", resample_to=16000)
+        .write.format("noop").mode("overwrite").save()
+    )
+    df_hi.unpersist()
     # r13: the header-only triage pass over the same corpus — the
     # first pass a 100 TB media pipeline runs before any decode
     from parquet_converters_spark.functions.media_probe import probe_media

@@ -1038,7 +1038,18 @@ def _huffman_lengths(freqs: dict[int, int], max_len: int) -> dict[int, int]:
         lengths = heap[0][2]
         if max(lengths.values()) <= max_len:
             return lengths
-        f = {s: (v >> 1) + 1 for s, v in f.items()}
+        nf = {s: (v >> 1) + 1 for s, v in f.items()}
+        if nf == f:
+            # halving fixpoint (all freqs in {1,2}) and still too deep:
+            # jump to equal weights (the flattest Huffman can get); if
+            # THAT exceeds max_len the alphabet simply doesn't fit
+            if all(v == 1 for v in f.values()):
+                raise ValueError(
+                    f"WebP: {len(syms)} symbols cannot fit in "
+                    f"{max_len}-bit codes"
+                )
+            nf = {s: 1 for s in f}
+        f = nf
 
 
 def _canonical_codes(lengths: dict[int, int]) -> dict[int, tuple[int, int]]:
@@ -1378,7 +1389,8 @@ def _encode_standard(
             _lz77_tokens(px) if use_lz77 else [("lit", p) for p in px]
         )
 
-        def serialize(cache_bits, meta_bits=None, dist_width=None):
+        def serialize(cache_bits, meta_bits=None, dist_width=None,
+                      flat_green=False):
             bw = _Bw()
             _vp8l_header(bw, width, height, has_alpha)
             if subtract_green:
@@ -1423,7 +1435,7 @@ def _encode_standard(
             else:
                 _write_coded_image(
                     bw, px, True, use_lz77, cache_bits, tokens,
-                    dist_width=dist_width,
+                    dist_width=dist_width, flat_green=flat_green,
                 )
             return bw.flush()
 
@@ -1456,6 +1468,13 @@ def _encode_standard(
         if use_lz77:
             m = serialize(best_cb, dist_width=width)
             if len(m) < 0.99 * len(best):
+                best = m
+        # r14: flat-green fallback for tiny streams (see
+        # _encode_palette) — strictly-smaller gate keeps everything
+        # else byte-identical
+        if len(best) < 2048:
+            m = serialize(best_cb, flat_green=True)
+            if len(m) < len(best):
                 best = m
         return best
 
@@ -1538,11 +1557,12 @@ def _encode_palette(width, height, orig, distinct, has_alpha, use_lz77):
         else [("lit", p) for p in packed]
     )
 
-    def serialize(cache_bits, dist_width=None):
+    def serialize(cache_bits, dist_width=None, flat_green=False):
         bw2 = _Bw()
         bw2.copy_state(prefix)
         _write_coded_image(bw2, packed, True, use_lz77, cache_bits,
-                           tokens, dist_width=dist_width)
+                           tokens, dist_width=dist_width,
+                           flat_green=flat_green)
         return bw2.flush()
 
     # same full color-cache search as the standard candidate (r12)
@@ -1554,10 +1574,21 @@ def _encode_palette(width, height, orig, distinct, has_alpha, use_lz77):
             best, best_cb = cand, cb
     # r13: 2D distance mapping over the PACKED plane (its coded width
     # is the bundled width) — same >1% real-size gate
+    best_dw = None
     if use_lz77:
         m = serialize(best_cb, dist_width=packed_w)
         if len(m) < 0.99 * len(best):
-            best = m
+            best, best_dw = m, packed_w
+    # r14: flat-green fallback for tiny streams — on sub-2 KB
+    # low-color content the green header (entropy-optimal lengths over
+    # 100+ bundled-byte symbols) dominates the stream; equal-length
+    # codes collapse that header to a couple of RLE runs.  Strictly
+    # smaller wins, so larger/denser content stays byte-identical.
+    if len(best) < 2048:
+        for cb in {best_cb, 0}:
+            m = serialize(cb, dist_width=best_dw, flat_green=True)
+            if len(m) < len(best):
+                best = m
     return best
 
 
@@ -1926,13 +1957,24 @@ def _op_histograms(ops):
     return [gf, rf, bf, af, df]
 
 
-def _write_group_codes(bw, hists, cache_bits):
-    """Serialize one group's five prefix codes; return the code maps."""
+def _write_group_codes(bw, hists, cache_bits, flat_green=False):
+    """Serialize one group's five prefix codes; return the code maps.
+
+    ``flat_green`` replaces the green code's entropy-optimal lengths
+    with EQUAL-WEIGHT Huffman lengths (every used symbol at depth
+    ~log2(n_used)) — the code-length array then collapses to a couple
+    of RLE runs, shrinking the header at the cost of payload density.
+    On sub-2 KB low-color streams the header dominates, so the trade
+    wins; callers gate it on real serialized size."""
     gf, rf, bf, af, df = hists
     green_alphabet = 256 + 24 + ((1 << cache_bits) if cache_bits else 0)
+    g = gf or {0: 1}
+    g_lengths = (
+        _huffman_lengths({s: 1 for s in g}, 15)
+        if flat_green and len(g) > 2 else _huffman_lengths(g, 15)
+    )
     return (
-        _write_prefix_code(bw, _huffman_lengths(gf or {0: 1}, 15),
-                           green_alphabet),
+        _write_prefix_code(bw, g_lengths, green_alphabet),
         _write_prefix_code(bw, _huffman_lengths(rf or {0: 1}, 15), 256),
         _write_prefix_code(bw, _huffman_lengths(bf or {0: 1}, 15), 256),
         _write_prefix_code(bw, _huffman_lengths(af or {255: 1}, 15), 256),
@@ -1962,14 +2004,15 @@ def _emit_ops(bw, ops, codes_per_op):
 
 
 def _write_coded_image(bw, px, level0, use_lz77, cache_bits=0, tokens=None,
-                       dist_width=None):
+                       dist_width=None, flat_green=False):
     """One spatially-coded image: cache bit, meta bit (level 0 only),
     the five prefix codes, then the token stream.  ``cache_bits`` > 0
     turns literals whose value sits in the (direct-mapped, hash-keyed)
     color cache into cache-reference symbols; ``tokens`` lets callers
     reuse one LZ77 pass across candidate serializations;
     ``dist_width`` engages the 2D distance mapping (see
-    _resolve_ops)."""
+    _resolve_ops); ``flat_green`` the small-stream header trade (see
+    _write_group_codes)."""
     if cache_bits:
         bw.bits(1, 1)
         bw.bits(cache_bits, 4)
@@ -1982,7 +2025,8 @@ def _write_coded_image(bw, px, level0, use_lz77, cache_bits=0, tokens=None,
             _lz77_tokens(px) if use_lz77 else [("lit", p) for p in px]
         )
     emit, _ = _resolve_ops(px, tokens, cache_bits, dist_width)
-    codes = _write_group_codes(bw, _op_histograms(emit), cache_bits)
+    codes = _write_group_codes(bw, _op_histograms(emit), cache_bits,
+                               flat_green=flat_green)
     _emit_ops(bw, emit, [codes] * len(emit))
 
 

@@ -1112,3 +1112,81 @@ def test_encoder_per_tile_predictor_libwebp_reads_ours():
     assert bytes(
         b for i in range(0, len(rgba), 4) for b in rgba[i : i + 3]
     ) == px
+
+
+def _screenshot_px(seed=7, w=96, h=64, colors=2):
+    """Deterministic text-screenshot-like content: glyph blocks of
+    ``colors-1`` ink colors on white."""
+    import random
+
+    rng = random.Random(seed)
+    px = bytearray(b"\xff" * (w * h * 3))
+    pal = [(0, 0, 0), (40, 40, 220), (220, 40, 40)][: max(1, colors - 1)]
+    for row in range(6, h - 7, 10):
+        x = 4
+        while x < w - 6:
+            gw = rng.randrange(3, 7)
+            col = pal[rng.randrange(len(pal))]
+            for gy in range(7):
+                for gx in range(gw):
+                    if rng.random() < 0.55:
+                        i = ((row + gy) * w + x + gx) * 3
+                        px[i : i + 3] = bytes(col)
+            x += gw + rng.randrange(1, 3)
+    return bytes(px)
+
+
+def test_encoder_flat_green_fallback_tiny_streams():
+    """r14: on sub-2 KB low-color streams the green prefix-code header
+    (entropy-optimal lengths over 100+ bundled-byte symbols) dominates;
+    the flat-green candidate (equal-weight lengths -> RLE-collapsible
+    header) must fire there, shrink the stream, and stay lossless —
+    while content where it loses stays BYTE-IDENTICAL (strictly-smaller
+    gate)."""
+    from parquet_converters_spark.functions import webp_codec as W
+
+    w, h = 96, 64
+    orig_wci = W._write_coded_image
+
+    def no_flat(*args, **kwargs):
+        kwargs.pop("flat_green", None)
+        return orig_wci(*args, **kwargs)
+
+    # 2-color screenshot: candidate fires and wins
+    px = _screenshot_px(7, w, h, colors=2)
+    with_flat = W.encode_webp_lossless(w, h, 3, px)
+    assert W.decode_webp(with_flat)[3] == px
+    try:
+        W._write_coded_image = no_flat
+        without = W.encode_webp_lossless(w, h, 3, px)
+    finally:
+        W._write_coded_image = orig_wci
+    assert len(with_flat) < len(without)
+
+    # 3-color variant measures flat as a loss: gate keeps bytes equal
+    px3 = _screenshot_px(7, w, h, colors=3)
+    with_flat = W.encode_webp_lossless(w, h, 3, px3)
+    try:
+        W._write_coded_image = no_flat
+        without = W.encode_webp_lossless(w, h, 3, px3)
+    finally:
+        W._write_coded_image = orig_wci
+    assert with_flat == without
+    assert W.decode_webp(with_flat)[3] == px3
+
+
+def test_huffman_lengths_impossible_limit_raises():
+    """r14: _huffman_lengths' frequency-halving limiter reaches a
+    fixpoint (all freqs in {1,2}) for alphabets that cannot fit the
+    requested depth — that must raise, not spin forever (found while
+    scanning length limits below ceil(log2(n_symbols)))."""
+    from parquet_converters_spark.functions.webp_codec import (
+        _huffman_lengths,
+    )
+
+    freqs = {i: 1 + (i % 13) for i in range(177)}  # needs depth >= 8
+    with pytest.raises(ValueError, match="cannot fit"):
+        _huffman_lengths(freqs, 6)
+    # the boundary depth still works and respects the limit
+    lengths = _huffman_lengths(freqs, 8)
+    assert max(lengths.values()) <= 8 and len(lengths) == 177

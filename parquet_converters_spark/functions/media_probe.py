@@ -25,9 +25,13 @@ Probed per family:
   header-only: no decoder, no entropy data touched — the same
   contract as the reference's header-probe/version-dispatch
   (/root/reference/src/touches/touch_reader.cpp:95-117).
-- **triage-only** (Ogg, Matroska/WebM, Flash Video, ISO-BMFF incl.
-  major brand): format identified by magic so a pipeline can route
-  them to an external decoder; shape fields null.
+- **containers** (Ogg incl. the Vorbis/Opus/FLAC mappings,
+  ISO-BMFF/MP4/M4A, Matroska/WebM): codec identity, rate/channels,
+  duration (Ogg granule positions, mvhd, Segment Info), dims and
+  kind from the container's own header structures — again without
+  touching any coded payload.
+- **triage-only** (Flash Video): format identified by magic so a
+  pipeline can route it to an external decoder; shape fields null.
 
 Unknown or too-short payloads yield ``format='unknown'`` rather than
 raising — triage must never fail a 100 TB scan (per-payload decode
@@ -301,17 +305,231 @@ def _probe(d: bytes) -> dict:
                 ((d[8] & 0x7F) << 7) | (d[9] & 0x7F)
             hdr_at = 10 + tag_len
         return _probe_mpeg_audio(d, hdr_at)
-    # ---- triage-only ----
+    # ---- containers (header walk, no decode) ----
     if d[:4] == b"OggS":
-        return dict(format="ogg", kind="audio")
+        return _probe_ogg(d)
     if d[:4] == b"\x1a\x45\xdf\xa3":
-        return dict(format="matroska", kind="video")
+        return _probe_ebml(d)
+    if d[4:8] == b"ftyp":
+        return _probe_isobmff(d)
+    # ---- triage-only ----
     if d[:4] == b"FLV\x01":
         return dict(format="flv", kind="video")
-    if d[4:8] == b"ftyp":
-        brand = d[8:12].decode("ascii", "replace").strip()
-        return dict(format=f"isobmff/{brand}", kind="video")
     return dict(format="unknown", kind="other")
+
+
+def _probe_ogg(d: bytes) -> dict:
+    """Ogg container probe (RFC 3533 page framing): identify the
+    mapped codec from the first page's ID packet — Vorbis I §4.2.2,
+    OpusHead per RFC 7845 §5.1, Ogg-FLAC mapping 1.0 — and take the
+    stream duration from the LAST page's granule position (PCM frame
+    count for Vorbis/FLAC; 48 kHz ticks minus pre-skip for Opus).
+    Header fields only; no entropy data is touched."""
+    out = dict(format="ogg", kind="audio")
+    n = len(d)
+    if n < 28:
+        return out
+    nseg = d[26]
+    p = 27 + nseg  # first packet starts after the segment table
+    pkt = d[p : p + 64]
+    rate = ch = None
+    gps_rate = None  # granule-position time base
+    preskip = 0
+    if pkt[:7] == b"\x01vorbis" and len(pkt) >= 28:
+        out["format"] = "ogg/vorbis"
+        ch = pkt[11]
+        rate = int.from_bytes(pkt[12:16], "little")
+        br_nom = int.from_bytes(pkt[20:24], "little", signed=True)
+        if br_nom > 0:
+            out["bit_rate"] = br_nom
+        gps_rate = rate
+    elif pkt[:8] == b"OpusHead" and len(pkt) >= 19:
+        out["format"] = "ogg/opus"
+        ch = pkt[9]
+        preskip = int.from_bytes(pkt[10:12], "little")
+        rate = int.from_bytes(pkt[12:16], "little") or 48000
+        gps_rate = 48000  # Opus granules are ALWAYS 48 kHz ticks
+    elif pkt[:5] == b"\x7fFLAC" and len(pkt) >= 44 and \
+            pkt[9:13] == b"fLaC":
+        # mapping header (5+2+2) + 'fLaC' + block header + STREAMINFO;
+        # same packed field as the bare-FLAC branch, at +27
+        out["format"] = "ogg/flac"
+        packed = int.from_bytes(pkt[27:35], "big")
+        rate = packed >> 44
+        ch = ((packed >> 41) & 0x7) + 1
+        out["bit_depth"] = ((packed >> 36) & 0x1F) + 1
+        gps_rate = rate
+    if ch:
+        out["channels"] = ch
+    if rate:
+        out["sample_rate"] = rate
+    if gps_rate:
+        q = d.rfind(b"OggS")
+        if q > 0 and q + 14 <= n:
+            gp = int.from_bytes(d[q + 6 : q + 14], "little")
+            if gp != (1 << 64) - 1 and gp > 0:
+                out["duration_s"] = max(0, gp - preskip) / gps_rate
+    return out
+
+
+def _probe_isobmff(d: bytes) -> dict:
+    """ISO-BMFF (MP4/M4A/MOV family) probe: major brand from ftyp,
+    duration from moov/mvhd (version 0 and 1 layouts), kind from the
+    trak handlers (all-'soun' -> audio), and rate/channels from an
+    mp4a audio sample entry when one exists (ISO/IEC 14496-12 §8.2.2,
+    §8.4.3, 14496-14 §5.6)."""
+    brand = d[8:12].decode("ascii", "replace").strip()
+    out = dict(format=f"isobmff/{brand}", kind="video")
+    n = len(d)
+    handlers = []
+
+    def boxes(lo, hi):
+        p = lo
+        while p + 8 <= hi:
+            (sz,) = struct.unpack_from(">I", d, p)
+            typ = d[p + 4 : p + 8]
+            body = p + 8
+            if sz == 1:
+                if p + 16 > hi:
+                    return
+                (sz,) = struct.unpack_from(">Q", d, p + 8)
+                body = p + 16
+            elif sz == 0:
+                sz = hi - p  # box extends to end of file
+            if sz < 8:
+                return
+            yield typ, body, min(p + sz, hi)
+            p += sz
+
+    def walk(lo, hi, depth):
+        if depth > 8:
+            return
+        for typ, body, end in boxes(lo, hi):
+            if typ == b"mvhd" and body < n:
+                v = d[body]
+                if v == 1 and body + 32 <= n:
+                    ts = int.from_bytes(d[body + 20 : body + 24], "big")
+                    dur = int.from_bytes(d[body + 24 : body + 32], "big")
+                elif body + 20 <= n:
+                    ts = int.from_bytes(d[body + 12 : body + 16], "big")
+                    dur = int.from_bytes(d[body + 16 : body + 20], "big")
+                else:
+                    ts = dur = 0
+                if ts and dur and dur != (1 << 32) - 1:
+                    out["duration_s"] = dur / ts
+            elif typ == b"hdlr" and body + 12 <= n:
+                handlers.append(d[body + 8 : body + 12])
+            elif typ == b"mp4a" and end - body >= 28:
+                # AudioSampleEntry: 6 reserved + dref idx(2), 8
+                # reserved, channelcount(2), samplesize(2), 4 more,
+                # samplerate as 16.16 fixed (integer part read)
+                out["channels"] = int.from_bytes(
+                    d[body + 16 : body + 18], "big")
+                out["bit_depth"] = int.from_bytes(
+                    d[body + 18 : body + 20], "big")
+                out["sample_rate"] = int.from_bytes(
+                    d[body + 24 : body + 26], "big")
+            if typ in (b"moov", b"trak", b"mdia", b"minf", b"stbl"):
+                walk(body, end, depth + 1)
+            elif typ == b"stsd":
+                # version/flags(4) + entry_count(4), then sample entries
+                walk(body + 8, end, depth + 1)
+
+    walk(0, n, 0)
+    if handlers and all(h == b"soun" for h in handlers):
+        out["kind"] = "audio"
+    return out
+
+
+#: EBML master elements the probe descends into (Matroska/WebM).
+_EBML_MASTERS = {
+    0x1A45DFA3,  # EBML header
+    0x18538067,  # Segment
+    0x1549A966,  # Info
+    0x1654AE6B,  # Tracks
+    0xAE,        # TrackEntry
+    0xE0,        # Video
+    0xE1,        # Audio
+}
+
+
+def _ebml_vint(d: bytes, p: int, keep_marker: bool):
+    """One EBML variable-length integer at ``p`` -> (value, end) or
+    (None, p) on malformed input.  IDs keep their marker bit (they are
+    compared with it); sizes clear it.  All-ones sizes mean 'unknown'
+    and come back as None with the END position (caller treats the
+    element as running to end-of-data)."""
+    if p >= len(d) or d[p] == 0:
+        return None, p
+    ln = 9 - d[p].bit_length()
+    if p + ln > len(d):
+        return None, p
+    raw = int.from_bytes(d[p : p + ln], "big")
+    if keep_marker:
+        return raw, p + ln
+    val = raw & ((1 << (7 * ln)) - 1)
+    if val == (1 << (7 * ln)) - 1:
+        return None, p + ln  # unknown size
+    return val, p + ln
+
+
+def _probe_ebml(d: bytes) -> dict:
+    """Matroska/WebM probe (RFC 8794 EBML + the Matroska element IDs):
+    DocType from the EBML header, duration from Segment/Info
+    (Duration float x TimecodeScale ns), kind + audio shape / video
+    dims from the first TrackEntry."""
+    out = dict(format="matroska", kind="video")
+    n = len(d)
+    scale = [1_000_000]  # TimecodeScale default, ns per tick
+    track_types = []
+
+    def walk(lo, hi, depth):
+        if depth > 6:
+            return
+        p = lo
+        while p < hi:
+            eid, q = _ebml_vint(d, p, keep_marker=True)
+            if eid is None:
+                return
+            size, body = _ebml_vint(d, q, keep_marker=False)
+            end = hi if size is None else min(body + size, hi)
+            if body >= hi:
+                return
+            if eid in _EBML_MASTERS:
+                walk(body, end, depth + 1)
+            elif eid == 0x4282:  # DocType
+                out["format"] = d[body:end].decode("ascii", "replace")
+            elif eid == 0x2AD7B1:  # TimecodeScale
+                scale[0] = int.from_bytes(d[body:end], "big")
+            elif eid == 0x4489:  # Duration (float 4 or 8)
+                ln = end - body
+                if ln in (4, 8):
+                    (ticks,) = struct.unpack(
+                        ">f" if ln == 4 else ">d", d[body:end])
+                    out["_dur_ticks"] = ticks
+            elif eid == 0x83:  # TrackType: 1 video, 2 audio
+                track_types.append(d[body] if body < n else 0)
+            elif eid == 0xB5:  # SamplingFrequency (float)
+                ln = end - body
+                if ln in (4, 8):
+                    (f,) = struct.unpack(
+                        ">f" if ln == 4 else ">d", d[body:end])
+                    out["sample_rate"] = int(f)
+            elif eid == 0x9F:  # Channels
+                out["channels"] = int.from_bytes(d[body:end], "big")
+            elif eid == 0xB0:  # PixelWidth
+                out["width"] = int.from_bytes(d[body:end], "big")
+            elif eid == 0xBA:  # PixelHeight
+                out["height"] = int.from_bytes(d[body:end], "big")
+            p = end
+
+    walk(0, n, 0)
+    ticks = out.pop("_dur_ticks", None)
+    if ticks is not None and ticks > 0:
+        out["duration_s"] = ticks * scale[0] / 1e9
+    if track_types and all(t == 2 for t in track_types):
+        out["kind"] = "audio"
+    return out
 
 
 def probe_media(df: DataFrame) -> DataFrame:

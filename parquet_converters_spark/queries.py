@@ -1861,6 +1861,75 @@ def _probe_fixture_corpus():
     add(b"\xff\xfd\x84\x00" + b"\x00" * 28, format="mp2", kind="audio",
         sample_rate=48000, channels=2, bit_rate=128000,
         duration_s=32 * 8 / 128000)
+
+    # container payloads (r14): Ogg/ISO-BMFF/Matroska crafted from
+    # the public specs (RFC 3533/7845, Vorbis I, ISO 14496-12, RFC
+    # 8794); expectations are the construction parameters
+    import struct as _st
+
+    def _ogg_page(granule, packet, htype=2, seq=0):
+        segs = []
+        rest = len(packet)
+        while rest >= 255:
+            segs.append(255)
+            rest -= 255
+        segs.append(rest)
+        return (b"OggS\x00" + bytes([htype])
+                + granule.to_bytes(8, "little") + b"\x01\x00\x00\x00"
+                + seq.to_bytes(4, "little") + b"\x00\x00\x00\x00"
+                + bytes([len(segs)]) + bytes(segs) + packet)
+
+    def _box(typ, payload):
+        return _st.pack(">I", 8 + len(payload)) + typ + payload
+
+    def _ebml(eid, payload):
+        return eid + bytes([0x80 | len(payload)]) + payload
+
+    # Ogg Vorbis: 44.1k stereo, nominal 128k, 10 s of granules
+    vorbis_id = (b"\x01vorbis" + b"\x00" * 4 + bytes([2])
+                 + (44100).to_bytes(4, "little") + b"\x00" * 4
+                 + (128000).to_bytes(4, "little") + b"\x00" * 4
+                 + b"\xb8\x01")
+    add(_ogg_page(0, vorbis_id)
+        + _ogg_page(441000, b"\x05x", htype=4, seq=2),
+        format="ogg/vorbis", kind="audio", sample_rate=44100,
+        channels=2, bit_rate=128000, duration_s=441000 / 44100)
+    # Ogg Opus: mono 16k input, 3 s at the 48 kHz granule clock
+    opus_id = (b"OpusHead\x01" + bytes([1])
+               + (312).to_bytes(2, "little")
+               + (16000).to_bytes(4, "little") + b"\x00\x00\x00")
+    add(_ogg_page(0, opus_id)
+        + _ogg_page(48000 * 3 + 312, b"x", htype=4, seq=1),
+        format="ogg/opus", kind="audio", sample_rate=16000,
+        channels=1, duration_s=3.0)
+    # M4A: mvhd 3000/600 ticks, one soun trak with an mp4a entry
+    mp4a = _box(b"mp4a", b"\x00" * 6 + b"\x00\x01" + b"\x00" * 8
+                + (2).to_bytes(2, "big") + (16).to_bytes(2, "big")
+                + b"\x00" * 4 + (44100 << 16).to_bytes(4, "big"))
+    stsd = _box(b"stsd", b"\x00" * 4 + (1).to_bytes(4, "big") + mp4a)
+    mdia = _box(b"mdia", _box(b"hdlr", b"\x00" * 8 + b"soun"
+                              + b"\x00" * 12)
+                + _box(b"minf", _box(b"stbl", stsd)))
+    mvhd = _box(b"mvhd", b"\x00" * 12 + (600).to_bytes(4, "big")
+                + (3000).to_bytes(4, "big") + b"\x00" * 80)
+    add(_box(b"ftyp", b"M4A \x00\x00\x00\x00mp42")
+        + _box(b"moov", mvhd + _box(b"trak", mdia)),
+        format="isobmff/M4A", kind="audio", sample_rate=44100,
+        channels=2, bit_depth=16, duration_s=5.0)
+    # WebM: 12.5 s audio (48k stereo) at the default 1 ms tick
+    ebml_hdr = _ebml(b"\x1a\x45\xdf\xa3", _ebml(b"\x42\x82", b"webm"))
+    info = _ebml(b"\x15\x49\xa9\x66",
+                 _ebml(b"\x2a\xd7\xb1", (1_000_000).to_bytes(3, "big"))
+                 + _ebml(b"\x44\x89", _st.pack(">d", 12500.0)))
+    trk = _ebml(b"\x16\x54\xae\x6b", _ebml(
+        b"\xae", _ebml(b"\x83", b"\x02")
+        + _ebml(b"\xe1", _ebml(b"\xb5", _st.pack(">d", 48000.0))
+                + _ebml(b"\x9f", bytes([2])))))
+    seg = info + trk
+    add(ebml_hdr + b"\x18\x53\x80\x67"
+        + bytes([0x80 | len(seg)]) + seg,
+        format="webm", kind="audio", sample_rate=48000, channels=2,
+        duration_s=12.5)
     add(b"OggS" + b"\x00" * 12, format="ogg", kind="audio")
     add(b"\x1a\x45\xdf\xa3" + b"\x00" * 12, format="matroska",
         kind="video")

@@ -328,3 +328,144 @@ def test_probe_mpeg_audio_degenerate_headers():
     short = _mpeg_frame(br_idx=5, mode=3, tail=0) + b"\x00" * 17 + b"Xi"
     rec = probe_media_payload(short)
     assert rec["format"] == "mp3" and rec["bit_rate"] == 64000
+
+
+def _ogg_page(granule, packet, htype=2, seq=0):
+    """One Ogg page (RFC 3533 §6) — test-side crafter; CRC left zero
+    (the probe reads structure, not checksums)."""
+    segs = []
+    rest = len(packet)
+    while rest >= 255:
+        segs.append(255)
+        rest -= 255
+    segs.append(rest)
+    return (b"OggS\x00" + bytes([htype])
+            + granule.to_bytes(8, "little") + b"\x01\x00\x00\x00"
+            + seq.to_bytes(4, "little") + b"\x00\x00\x00\x00"
+            + bytes([len(segs)]) + bytes(segs) + packet)
+
+
+def _mp4_box(typ, payload):
+    return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+
+def _ebml(eid, payload):
+    assert len(payload) < 127
+    return eid + bytes([0x80 | len(payload)]) + payload
+
+
+def test_probe_ogg_vorbis_opus_flac():
+    """r14: Ogg container depth — codec from the first page's ID
+    packet, duration from the last page's granule position, every
+    expectation the analytic value of the construction."""
+    vorbis_id = (b"\x01vorbis" + b"\x00" * 4 + bytes([2])
+                 + (44100).to_bytes(4, "little")
+                 + (0).to_bytes(4, "little")
+                 + (128000).to_bytes(4, "little")
+                 + (0).to_bytes(4, "little") + b"\xb8\x01")
+    data = (_ogg_page(0, vorbis_id) + _ogg_page(0, b"\x03vorbis...")
+            + _ogg_page(441000, b"\x05...", htype=4, seq=2))
+    rec = probe_media_payload(data)
+    assert rec["format"] == "ogg/vorbis" and rec["kind"] == "audio"
+    assert (rec["sample_rate"], rec["channels"]) == (44100, 2)
+    assert rec["bit_rate"] == 128000
+    assert rec["duration_s"] == pytest.approx(441000 / 44100)  # 10 s
+
+    opus_id = (b"OpusHead\x01" + bytes([1])
+               + (312).to_bytes(2, "little")
+               + (16000).to_bytes(4, "little") + b"\x00\x00\x00")
+    data = _ogg_page(0, opus_id) + _ogg_page(48000 * 3 + 312, b"x",
+                                             htype=4, seq=1)
+    rec = probe_media_payload(data)
+    assert rec["format"] == "ogg/opus"
+    assert (rec["sample_rate"], rec["channels"]) == (16000, 1)
+    # granules are 48 kHz ticks minus pre-skip regardless of input rate
+    assert rec["duration_s"] == pytest.approx(3.0)
+
+    # Ogg-FLAC mapping 1.0: 0x7F FLAC maj min nhdr + bare fLaC headers
+    packed = (22050 << 44) | (0 << 41) | (15 << 36) | 22050  # 1s mono 16b
+    streaminfo = (b"\x00\x10\x00\x10\x00\x00\x00\x00\x00\x00"
+                  + packed.to_bytes(8, "big") + b"\x00" * 16)
+    flac_id = (b"\x7fFLAC\x01\x00\x00\x01fLaC\x80"
+               + len(streaminfo).to_bytes(3, "big") + streaminfo)
+    data = _ogg_page(0, flac_id) + _ogg_page(22050, b"x", htype=4, seq=1)
+    rec = probe_media_payload(data)
+    assert rec["format"] == "ogg/flac"
+    assert (rec["sample_rate"], rec["channels"], rec["bit_depth"]) == \
+        (22050, 1, 16)
+    assert rec["duration_s"] == pytest.approx(1.0)
+
+    # bare magic with no parseable ID packet stays generic triage
+    rec = probe_media_payload(b"OggS" + bytes(40))
+    assert rec["format"] == "ogg" and rec.get("duration_s") is None
+
+
+def test_probe_isobmff_mvhd_and_audio_entry():
+    """r14: ISO-BMFF depth — brand, mvhd duration (v0 and v1), kind
+    from trak handlers, mp4a rate/channels."""
+    mvhd_v0 = _mp4_box(b"mvhd", b"\x00\x00\x00\x00" + b"\x00" * 8
+                       + (600).to_bytes(4, "big")
+                       + (3000).to_bytes(4, "big") + b"\x00" * 80)
+    mp4a = _mp4_box(b"mp4a", b"\x00" * 6 + b"\x00\x01" + b"\x00" * 8
+                    + (2).to_bytes(2, "big") + (16).to_bytes(2, "big")
+                    + b"\x00" * 4 + (44100 << 16).to_bytes(4, "big"))
+    stsd = _mp4_box(b"stsd", b"\x00\x00\x00\x00"
+                    + (1).to_bytes(4, "big") + mp4a)
+    hdlr = _mp4_box(b"hdlr", b"\x00" * 8 + b"soun" + b"\x00" * 12)
+    mdia = _mp4_box(b"mdia", hdlr + _mp4_box(
+        b"minf", _mp4_box(b"stbl", stsd)))
+    moov = _mp4_box(b"moov", mvhd_v0 + _mp4_box(b"trak", mdia))
+    data = _mp4_box(b"ftyp", b"M4A \x00\x00\x00\x00mp42") + moov
+    rec = probe_media_payload(data)
+    assert rec["format"] == "isobmff/M4A"
+    assert rec["kind"] == "audio"  # all handlers are 'soun'
+    assert rec["duration_s"] == pytest.approx(3000 / 600)
+    assert (rec["sample_rate"], rec["channels"], rec["bit_depth"]) == \
+        (44100, 2, 16)
+
+    # mvhd version 1 (64-bit duration), video handler -> kind video
+    mvhd_v1 = _mp4_box(b"mvhd", b"\x01\x00\x00\x00" + b"\x00" * 16
+                       + (1000).to_bytes(4, "big")
+                       + (90500).to_bytes(8, "big") + b"\x00" * 80)
+    hdlr_v = _mp4_box(b"hdlr", b"\x00" * 8 + b"vide" + b"\x00" * 12)
+    moov = _mp4_box(b"moov", mvhd_v1 + _mp4_box(
+        b"trak", _mp4_box(b"mdia", hdlr_v)))
+    data = _mp4_box(b"ftyp", b"isom\x00\x00\x00\x00isom") + moov
+    rec = probe_media_payload(data)
+    assert rec["format"] == "isobmff/isom" and rec["kind"] == "video"
+    assert rec["duration_s"] == pytest.approx(90.5)
+
+
+def test_probe_matroska_webm():
+    """r14: EBML/Matroska depth — DocType, Duration x TimecodeScale,
+    track shape from the first TrackEntry."""
+    header = _ebml(b"\x1a\x45\xdf\xa3", _ebml(b"\x42\x82", b"webm"))
+    info = _ebml(b"\x15\x49\xa9\x66",
+                 _ebml(b"\x2a\xd7\xb1", (1_000_000).to_bytes(3, "big"))
+                 + _ebml(b"\x44\x89", struct.pack(">d", 12500.0)))
+    audio = _ebml(b"\xe1", _ebml(b"\xb5", struct.pack(">d", 48000.0))
+                  + _ebml(b"\x9f", bytes([2])))
+    track = _ebml(b"\x16\x54\xae\x6b",
+                  _ebml(b"\xae", _ebml(b"\x83", b"\x02") + audio))
+    seg_payload = info + track
+    segment = (b"\x18\x53\x80\x67"
+               + bytes([0x80 | len(seg_payload)]) + seg_payload)
+    rec = probe_media_payload(header + segment)
+    assert rec["format"] == "webm" and rec["kind"] == "audio"
+    assert rec["duration_s"] == pytest.approx(12.5)  # ticks x 1ms
+    assert (rec["sample_rate"], rec["channels"]) == (48000, 2)
+
+    # video track + unknown-size segment (streamed files): runs to EOF
+    video = _ebml(b"\xe0", _ebml(b"\xb0", (640).to_bytes(2, "big"))
+                  + _ebml(b"\xba", (360).to_bytes(2, "big")))
+    track = _ebml(b"\x16\x54\xae\x6b",
+                  _ebml(b"\xae", _ebml(b"\x83", b"\x01") + video))
+    segment = b"\x18\x53\x80\x67" + b"\xff" + info + track
+    rec = probe_media_payload(header + segment)
+    assert rec["format"] == "webm" and rec["kind"] == "video"
+    assert (rec["width"], rec["height"]) == (640, 360)
+    assert rec["duration_s"] == pytest.approx(12.5)
+
+    # bare magic stays generic matroska triage
+    rec = probe_media_payload(b"\x1a\x45\xdf\xa3" + bytes(20))
+    assert rec["format"] == "matroska" and rec["kind"] == "video"

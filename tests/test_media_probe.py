@@ -163,6 +163,34 @@ def test_probe_never_raises_on_junk():
             if base:
                 base[rng.randrange(len(base))] = rng.randrange(256)
         cases.append(bytes(base))
+    # r14: mutate VALID container/frame payloads too — the Ogg/BMFF/
+    # EBML walkers and the MPEG header parse must survive any byte
+    # damage (truncations, size-field lies, varint corruption)
+    vorbis_id = (b"\x01vorbis" + b"\x00" * 4 + bytes([2])
+                 + (44100).to_bytes(4, "little") + b"\x00" * 12
+                 + b"\xb8\x01")
+    mp4 = (_mp4_box(b"ftyp", b"isom\x00\x00\x00\x00isom")
+           + _mp4_box(b"moov", _mp4_box(
+               b"mvhd", b"\x00" * 12 + (600).to_bytes(4, "big")
+               + (3000).to_bytes(4, "big") + b"\x00" * 80)))
+    webm = (_ebml(b"\x1a\x45\xdf\xa3", _ebml(b"\x42\x82", b"webm"))
+            + b"\x18\x53\x80\x67\xff"
+            + _ebml(b"\x15\x49\xa9\x66",
+                    _ebml(b"\x44\x89", struct.pack(">d", 1000.0))))
+    container_seeds = [
+        _ogg_page(0, vorbis_id) + _ogg_page(44100, b"x", htype=4),
+        mp4, webm,
+        b"\xff\xfb\x90\x00" + bytes(413),
+    ]
+    for seed_payload in container_seeds:
+        cases.append(seed_payload)
+        for _ in range(150):
+            base = bytearray(seed_payload)
+            for _ in range(rng.randrange(1, 6)):
+                base[rng.randrange(len(base))] = rng.randrange(256)
+            cut = rng.randrange(len(base) + 1)
+            cases.append(bytes(base[:cut]))
+            cases.append(bytes(base))
     for case in cases:
         rec = probe_media_payload(case)
         assert isinstance(rec["format"], str) and isinstance(

@@ -312,10 +312,47 @@ def _probe(d: bytes) -> dict:
         return _probe_ebml(d)
     if d[4:8] == b"ftyp":
         return _probe_isobmff(d)
-    # ---- triage-only ----
     if d[:4] == b"FLV\x01":
-        return dict(format="flv", kind="video")
+        return _probe_flv(d)
     return dict(format="unknown", kind="other")
+
+
+def _probe_flv(d: bytes) -> dict:
+    """Flash Video probe: kind from the header's audio/video flags,
+    duration from the first script tag's onMetaData AMF0 'duration'
+    double (the standard position for it — written by every FLV
+    muxer).  Adobe FLV spec §E.2-E.4; header fields only."""
+    flags = d[4] if len(d) > 4 else 0
+    has_audio, has_video = bool(flags & 4), bool(flags & 1)
+    out = dict(
+        format="flv",
+        kind="audio" if has_audio and not has_video else "video",
+    )
+    n = len(d)
+    if n < 9:
+        return out
+    (hdr_len,) = struct.unpack_from(">I", d, 5)
+    p = hdr_len + 4  # skip header + first PreviousTagSize
+    # walk a few tags for the script tag (type 18); data tags carry
+    # entropy payload the probe must not chase, so bound the walk
+    for _ in range(4):
+        if p + 11 > n:
+            return out
+        ttype = d[p]
+        dsize = int.from_bytes(d[p + 1 : p + 4], "big")
+        body = p + 11
+        if ttype == 18:
+            blob = d[body : min(body + dsize, n)]
+            i = blob.find(b"onMetaData")
+            if i >= 0:
+                j = blob.find(b"\x00\x08duration\x00", i)
+                if j >= 0 and j + 11 + 8 <= len(blob):
+                    (dur,) = struct.unpack_from(">d", blob, j + 11)
+                    if dur > 0:
+                        out["duration_s"] = dur
+            return out
+        p = body + dsize + 4  # next tag (skip PreviousTagSize)
+    return out
 
 
 def _probe_ogg(d: bytes) -> dict:

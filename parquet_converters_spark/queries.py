@@ -1930,6 +1930,15 @@ def _probe_fixture_corpus():
         + bytes([0x80 | len(seg)]) + seg,
         format="webm", kind="audio", sample_rate=48000, channels=2,
         duration_s=12.5)
+    # FLV: audio+video flags + the standard onMetaData duration double
+    amf = (b"\x02" + (10).to_bytes(2, "big") + b"onMetaData"
+           + b"\x08" + (1).to_bytes(4, "big")
+           + (8).to_bytes(2, "big") + b"duration\x00"
+           + _st.pack(">d", 63.5) + b"\x00\x00\x09")
+    add(b"FLV\x01\x05" + (9).to_bytes(4, "big") + b"\x00" * 4
+        + b"\x12" + len(amf).to_bytes(3, "big") + b"\x00" * 7 + amf
+        + (11 + len(amf)).to_bytes(4, "big"),
+        format="flv", kind="video", duration_s=63.5)
     add(b"OggS" + b"\x00" * 12, format="ogg", kind="audio")
     add(b"\x1a\x45\xdf\xa3" + b"\x00" * 12, format="matroska",
         kind="video")

@@ -497,3 +497,37 @@ def test_probe_matroska_webm():
     # bare magic stays generic matroska triage
     rec = probe_media_payload(b"\x1a\x45\xdf\xa3" + bytes(20))
     assert rec["format"] == "matroska" and rec["kind"] == "video"
+
+
+def _flv(duration=None, audio=True, video=True):
+    """Minimal FLV (Adobe spec §E): header + a script tag carrying
+    the standard onMetaData AMF0 ECMA array."""
+    flags = (4 if audio else 0) | (1 if video else 0)
+    hdr = b"FLV\x01" + bytes([flags]) + (9).to_bytes(4, "big")
+    out = hdr + b"\x00\x00\x00\x00"
+    if duration is not None:
+        amf = (b"\x02" + (10).to_bytes(2, "big") + b"onMetaData"
+               + b"\x08" + (1).to_bytes(4, "big")
+               + (8).to_bytes(2, "big") + b"duration\x00"
+               + struct.pack(">d", duration)
+               + b"\x00\x00\x09")
+        tag = (b"\x12" + len(amf).to_bytes(3, "big")
+               + b"\x00\x00\x00\x00" + b"\x00\x00\x00" + amf)
+        out += tag + (11 + len(amf)).to_bytes(4, "big")
+    return out
+
+
+def test_probe_flv():
+    """r14: FLV depth — kind from the header flags, duration from the
+    onMetaData script tag."""
+    rec = probe_media_payload(_flv(duration=63.4))
+    assert rec["format"] == "flv" and rec["kind"] == "video"
+    assert rec["duration_s"] == pytest.approx(63.4)
+    rec = probe_media_payload(_flv(duration=2.0, video=False))
+    assert rec["kind"] == "audio"
+    assert rec["duration_s"] == pytest.approx(2.0)
+    # no script tag / bare magic: triage only, no crash
+    rec = probe_media_payload(_flv())
+    assert rec["format"] == "flv" and rec.get("duration_s") is None
+    rec = probe_media_payload(b"FLV\x01" + bytes(30))
+    assert rec["format"] == "flv"

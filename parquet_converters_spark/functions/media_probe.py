@@ -120,15 +120,16 @@ def _probe_mpeg_audio(d: bytes, hdr_at: int) -> dict:
     out.update(sample_rate=rate, channels=1 if mono else 2)
     is_v1 = version == 3
     br_idx = (b2 >> 4) & 0xF
-    if br_idx in (0, 15):
-        return out  # free format / forbidden: no declared bitrate
-    bps = _MPEG_KBPS[(is_v1, layer)][br_idx - 1] * 1000
-    out["bit_rate"] = bps
+    bps = None
+    if br_idx not in (0, 15):  # 0 = free format, 15 = forbidden
+        bps = _MPEG_KBPS[(is_v1, layer)][br_idx - 1] * 1000
+        out["bit_rate"] = bps
     # samples per frame: L1 384; L2 1152; L3 1152 (MPEG1) / 576 (LSF)
     spf = 384 if layer == 1 else (
         1152 if (layer == 2 or is_v1) else 576
     )
-    # VBR tags give the EXACT frame count. Xing/Info sits after the
+    # VBR tags give the EXACT frame count (needs only rate + layer, so
+    # it works for free-format streams too).  Xing/Info sits after the
     # Layer III side info; VBRI at a fixed +32 (Fraunhofer spec).
     frames = None
     if layer == 3:
@@ -144,7 +145,7 @@ def _probe_mpeg_audio(d: bytes, hdr_at: int) -> dict:
                 (frames,) = struct.unpack_from(">I", d, p + 14)
     if frames is not None:
         out["duration_s"] = frames * spf / rate
-    else:
+    elif bps is not None:
         # CBR estimate: declared bitrate over the audio byte span
         # (leading ID3v2 already behind hdr_at; drop an ID3v1 trailer)
         nbytes = n - hdr_at
@@ -152,6 +153,18 @@ def _probe_mpeg_audio(d: bytes, hdr_at: int) -> dict:
             nbytes -= 128
         out["duration_s"] = nbytes * 8 / bps
     return out
+
+
+def _flac_streaminfo(packed8: bytes):
+    """The 8 packed STREAMINFO bytes starting at the sample-rate field
+    -> (rate, channels, bits, total_samples) — shared by the bare-FLAC
+    and Ogg-FLAC branches so the two can never diverge."""
+    packed = int.from_bytes(packed8, "big")
+    rate = packed >> 44
+    ch = ((packed >> 41) & 0x7) + 1
+    bits = ((packed >> 36) & 0x1F) + 1
+    total = packed & ((1 << 36) - 1)
+    return rate, ch, bits, total
 
 
 def _img(fmt, w, h, c):
@@ -163,10 +176,32 @@ def _aud(fmt, rate, ch, bits, dur):
                 bit_depth=bits, duration_s=dur)
 
 
+#: PROBE_SCHEMA's IntegerType columns — values a lying header pushes
+#: outside int32 are nulled (see _sanitize).
+_INT32_FIELDS = ("width", "height", "channels", "sample_rate",
+                 "bit_depth", "bit_rate")
+
+
+def _sanitize(rec: dict) -> dict:
+    """Clamp the record to PROBE_SCHEMA's types: a hostile/corrupt
+    header can declare a 2^40 channel count or a NaN duration, and an
+    out-of-range value would blow up the Arrow int32 conversion INSIDE
+    mapInPandas — failing the scan the triage contract says never
+    fails.  Such values are header lies; null is the honest answer."""
+    for k in _INT32_FIELDS:
+        v = rec.get(k)
+        if v is not None and not (0 <= v < 2**31):
+            rec[k] = None
+    dur = rec.get("duration_s")
+    if dur is not None and not (0 <= dur < 1e12):  # NaN/inf/absurd
+        rec["duration_s"] = None
+    return rec
+
+
 def probe_media_payload(data: bytes) -> dict:
     """Header-only probe of one payload; never raises on junk."""
     try:
-        return _probe(bytes(data))
+        return _sanitize(_probe(bytes(data)))
     except Exception:
         return dict(format="unknown", kind="other")
 
@@ -274,11 +309,7 @@ def _probe(d: bytes) -> dict:
             pos += 8 + ln + (ln & 1)
         return _aud("aiff", None, None, None, None)
     if d[:4] == b"fLaC":
-        packed = int.from_bytes(d[18:26], "big")
-        rate = packed >> 44
-        ch = ((packed >> 41) & 0x7) + 1
-        bits = ((packed >> 36) & 0x1F) + 1
-        total = packed & ((1 << 36) - 1)
+        rate, ch, bits, total = _flac_streaminfo(d[18:26])
         dur = total / rate if rate and total else None
         return _aud("flac", rate, ch, bits, dur)
     # ---- video ----
@@ -388,24 +419,28 @@ def _probe_ogg(d: bytes) -> dict:
         gps_rate = 48000  # Opus granules are ALWAYS 48 kHz ticks
     elif pkt[:5] == b"\x7fFLAC" and len(pkt) >= 44 and \
             pkt[9:13] == b"fLaC":
-        # mapping header (5+2+2) + 'fLaC' + block header + STREAMINFO;
-        # same packed field as the bare-FLAC branch, at +27
+        # mapping header (5+2+2) + 'fLaC' + block header + STREAMINFO
         out["format"] = "ogg/flac"
-        packed = int.from_bytes(pkt[27:35], "big")
-        rate = packed >> 44
-        ch = ((packed >> 41) & 0x7) + 1
-        out["bit_depth"] = ((packed >> 36) & 0x1F) + 1
+        rate, ch, bits, _total = _flac_streaminfo(pkt[27:35])
+        out["bit_depth"] = bits
         gps_rate = rate
     if ch:
         out["channels"] = ch
     if rate:
         out["sample_rate"] = rate
     if gps_rate:
-        q = d.rfind(b"OggS")
-        if q > 0 and q + 14 <= n:
-            gp = int.from_bytes(d[q + 6 : q + 14], "little")
-            if gp != (1 << 64) - 1 and gp > 0:
-                out["duration_s"] = max(0, gp - preskip) / gps_rate
+        # last page's granule position.  'OggS' can occur by chance
+        # inside entropy-coded packet data, so scan backward until the
+        # candidate looks like a real page header (version byte 0,
+        # header-type flags within spec) — not just the magic.
+        q = d.rfind(b"OggS", 1)
+        while q > 0:
+            if q + 27 <= n and d[q + 4] == 0 and d[q + 5] <= 7:
+                gp = int.from_bytes(d[q + 6 : q + 14], "little")
+                if 0 < gp < (1 << 64) - 1:
+                    out["duration_s"] = max(0, gp - preskip) / gps_rate
+                break
+            q = d.rfind(b"OggS", 1, q)
     return out
 
 
@@ -442,19 +477,20 @@ def _probe_isobmff(d: bytes) -> dict:
         if depth > 8:
             return
         for typ, body, end in boxes(lo, hi):
-            if typ == b"mvhd" and body < n:
+            if typ == b"mvhd" and body < end:
                 v = d[body]
-                if v == 1 and body + 32 <= n:
+                ts = dur = unknown = 0
+                if v == 1 and body + 32 <= end:
                     ts = int.from_bytes(d[body + 20 : body + 24], "big")
                     dur = int.from_bytes(d[body + 24 : body + 32], "big")
-                elif body + 20 <= n:
+                    unknown = (1 << 64) - 1
+                elif v == 0 and body + 20 <= end:
                     ts = int.from_bytes(d[body + 12 : body + 16], "big")
                     dur = int.from_bytes(d[body + 16 : body + 20], "big")
-                else:
-                    ts = dur = 0
-                if ts and dur and dur != (1 << 32) - 1:
+                    unknown = (1 << 32) - 1
+                if ts and dur and dur != unknown:
                     out["duration_s"] = dur / ts
-            elif typ == b"hdlr" and body + 12 <= n:
+            elif typ == b"hdlr" and body + 12 <= end:
                 handlers.append(d[body + 8 : body + 12])
             elif typ == b"mp4a" and end - body >= 28:
                 # AudioSampleEntry: 6 reserved + dref idx(2), 8
@@ -551,7 +587,8 @@ def _probe_ebml(d: bytes) -> dict:
                 if ln in (4, 8):
                     (f,) = struct.unpack(
                         ">f" if ln == 4 else ">d", d[body:end])
-                    out["sample_rate"] = int(f)
+                    if 0 < f < 2**31:  # NaN/inf/absurd: leave null
+                        out["sample_rate"] = int(f)
             elif eid == 0x9F:  # Channels
                 out["channels"] = int.from_bytes(d[body:end], "big")
             elif eid == 0xB0:  # PixelWidth

@@ -337,7 +337,7 @@ def jdk_sound_media_decoder():
             bytes(payload[:3]) == b"ID3"
             or (len(payload) >= 2 and payload[0] == 0xFF
                 and (payload[1] & 0xE0) == 0xE0)
-        ) and jdk_sound_mp3_supported()
+        ) and jdk_sound_mp3_supported(classes)
         if is_wav or is_snd or is_aiff or is_mpeg:
             _rate, channels, samples = _audio_bridge_decode(
                 classes, payload
@@ -455,7 +455,7 @@ def libwebp_media_decoder():
 _JDK_MP3_CAPABILITY: list = []  # memoized [bool] once probed
 
 
-def jdk_sound_mp3_supported() -> bool:
+def jdk_sound_mp3_supported(classes: dict | None = None) -> bool:
     """LIVE capability probe: does THIS JVM's ``javax.sound.sampled``
     SPI set read MPEG-1 Layer III?  Stock OpenJDK ships no MP3 reader
     (only an external SPI jar — JLayer/Tritonus/JMF — adds one), but
@@ -473,6 +473,11 @@ def jdk_sound_mp3_supported() -> bool:
     media_probe (format/rate/channels/bitrate/duration, header-only)
     always works; full decode routes to this seam when present and
     raises the named NotImplementedError when not.
+
+    ``classes`` lets an executor pass the DRIVER-compiled bridge
+    bytes it received in the decode closure — executors need only
+    ``java``, so compiling here would measure javac presence instead
+    of SPI presence (r14 review finding).
     """
     if _JDK_MP3_CAPABILITY:
         return _JDK_MP3_CAPABILITY[0]
@@ -481,7 +486,8 @@ def jdk_sound_mp3_supported() -> bool:
     # test-side crafter in tests/test_media_probe.py
     frame = b"\xff\xfb\x90\xc0" + b"\x00" * 413
     try:
-        classes = _compile_audio_bridge()
+        if classes is None:
+            classes = _compile_audio_bridge()
         _audio_bridge_decode(classes, frame * 4)
         supported = True
     except Exception:

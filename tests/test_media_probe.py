@@ -531,3 +531,64 @@ def test_probe_flv():
     assert rec["format"] == "flv" and rec.get("duration_s") is None
     rec = probe_media_payload(b"FLV\x01" + bytes(30))
     assert rec["format"] == "flv"
+
+
+def test_probe_r14_review_fixes():
+    """r14 review pass: lying headers must null, not poison or crash.
+
+    - int32 overflow: a 6-byte EBML Channels (2^40) / a >=2^31 Ogg
+      rate must come back null (Arrow int32 conversion inside
+      mapInPandas would otherwise kill the scan);
+    - mvhd v1 unknown-duration sentinel (2^64-1) -> null, not 584 My;
+    - Ogg false sync: 'OggS' inside packet data must not be read as
+      the last page header;
+    - free-format MP3 with a Xing frame count still gets a duration
+      (needs only rate + layer);
+    - mvhd reads bounded by the BOX, not the payload."""
+    # EBML: 6-byte Channels element
+    hdr = _ebml(b"\x1a\x45\xdf\xa3", _ebml(b"\x42\x82", b"webm"))
+    audio = _ebml(b"\xe1", _ebml(b"\x9f", (1 << 40).to_bytes(6, "big")))
+    trk = _ebml(b"\x16\x54\xae\x6b",
+                _ebml(b"\xae", _ebml(b"\x83", b"\x02") + audio))
+    rec = probe_media_payload(hdr + b"\x18\x53\x80\x67\xff" + trk)
+    assert rec["format"] == "webm" and rec.get("channels") is None
+    # Ogg Vorbis with rate >= 2^31
+    vid = (b"\x01vorbis" + b"\x00" * 4 + bytes([2])
+           + (2**31 + 5).to_bytes(4, "little") + b"\x00" * 12
+           + b"\xb8\x01")
+    rec = probe_media_payload(_ogg_page(0, vid))
+    assert rec["format"] == "ogg/vorbis"
+    assert rec.get("sample_rate") is None
+    # mvhd v1 unknown-duration sentinel
+    mvhd = _mp4_box(b"mvhd", b"\x01\x00\x00\x00" + b"\x00" * 16
+                    + (1000).to_bytes(4, "big")
+                    + ((1 << 64) - 1).to_bytes(8, "big") + b"\x00" * 80)
+    data = (_mp4_box(b"ftyp", b"isom\x00\x00\x00\x00isom")
+            + _mp4_box(b"moov", mvhd))
+    rec = probe_media_payload(data)
+    assert rec.get("duration_s") is None
+    # Ogg false sync: last 'OggS' bytes live INSIDE packet data
+    vid = (b"\x01vorbis" + b"\x00" * 4 + bytes([2])
+           + (44100).to_bytes(4, "little") + b"\x00" * 12 + b"\xb8\x01")
+    good = _ogg_page(0, vid) + _ogg_page(
+        441000, b"entropy...OggS\xff\xff\xff\xff\xff\xff\xff\xff\xff"
+        b"\xff\xff\xff", htype=4, seq=1)
+    rec = probe_media_payload(good)
+    # the false capture (version 0xff, flags 0xff) is skipped; the
+    # REAL last page header still supplies the 10 s duration
+    assert rec["duration_s"] == pytest.approx(441000 / 44100)
+    # free-format (br_idx 0) Layer III with a Xing frame count
+    xing = (_mpeg_frame(br_idx=0, mode=3, tail=0) + b"\x00" * 17
+            + b"Xing" + (1).to_bytes(4, "big")
+            + (1234).to_bytes(4, "big"))
+    rec = probe_media_payload(xing)
+    assert rec.get("bit_rate") is None
+    assert rec["duration_s"] == pytest.approx(1234 * 1152 / 44100)
+    # mvhd box declaring a 12-byte size followed by a sibling box:
+    # field reads must not leak into the neighbor
+    lying = _mp4_box(b"ftyp", b"isom\x00\x00\x00\x00isom") + _mp4_box(
+        b"moov",
+        struct.pack(">I", 12) + b"mvhd" + b"\x00\x00\x00\x00"
+        + _mp4_box(b"free", (600).to_bytes(4, "big") * 30))
+    rec = probe_media_payload(lying)
+    assert rec.get("duration_s") is None

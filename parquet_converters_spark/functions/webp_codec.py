@@ -1467,7 +1467,8 @@ def _encode_standard(
         # gate so content without near references stays byte-identical
         if use_lz77:
             m = serialize(best_cb, dist_width=width)
-            if len(m) < 0.99 * len(best):
+            gate = len(best) if len(best) < 2048 else 0.99 * len(best)
+            if len(m) < gate:
                 best = m
         # r14: flat-green fallback for tiny streams (see
         # _encode_palette) — strictly-smaller gate keeps everything
@@ -1573,11 +1574,14 @@ def _encode_palette(width, height, orig, distinct, has_alpha, use_lz77):
         if len(cand) < len(best):
             best, best_cb = cand, cb
     # r13: 2D distance mapping over the PACKED plane (its coded width
-    # is the bundled width) — same >1% real-size gate
+    # is the bundled width) — >1% real-size gate for stability, except
+    # on sub-2 KB streams where every byte is a percent and the
+    # strictly-smaller rule applies (r14, same policy as flat-green)
     best_dw = None
     if use_lz77:
         m = serialize(best_cb, dist_width=packed_w)
-        if len(m) < 0.99 * len(best):
+        gate = len(best) if len(best) < 2048 else 0.99 * len(best)
+        if len(m) < gate:
             best, best_dw = m, packed_w
     # r14: flat-green fallback for tiny streams — on sub-2 KB
     # low-color content the green header (entropy-optimal lengths over

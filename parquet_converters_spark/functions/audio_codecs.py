@@ -503,3 +503,75 @@ def _decode_aiff(data: bytes) -> tuple[int, int, int, list[int]]:
     if len(samples) % channels:
         samples = samples[: len(samples) - len(samples) % channels]
     return rate, channels, out_bits, samples
+
+
+# --------------------------------------------------------------------------
+# Ogg container (RFC 3533) — demux only, for the FLAC mapping
+# --------------------------------------------------------------------------
+
+def is_ogg(data: bytes) -> bool:
+    return data[:4] == b"OggS"
+
+
+def ogg_packets(data: bytes, max_packets: int = 1 << 20) -> list[bytes]:
+    """Reassemble the FIRST logical stream's packets from an Ogg
+    stream (RFC 3533 §6): pages are validated structurally (magic,
+    version 0, sane header type), packets are rebuilt from the lacing
+    values (a 255 lacing continues the packet, across pages via the
+    continuation flag).  CRCs are not verified — corruption surfaces
+    in the embedded codec's own checksum ladder (FLAC: CRC-8/16 +
+    MD5), which is the stronger check."""
+    n = len(data)
+    packets: list[bytes] = []
+    cur = bytearray()
+    serial = None
+    p = 0
+    while p + 27 <= n:
+        if data[p : p + 4] != b"OggS" or data[p + 4] != 0 or \
+                data[p + 5] > 7:
+            raise ValueError("Ogg: bad page header")
+        htype = data[p + 5]
+        page_serial = int.from_bytes(data[p + 14 : p + 18], "little")
+        nseg = data[p + 26]
+        seg_table = data[p + 27 : p + 27 + nseg]
+        body = p + 27 + nseg
+        body_len = sum(seg_table)
+        if body + body_len > n:
+            raise ValueError("Ogg: truncated page body")
+        if serial is None:
+            serial = page_serial
+        if page_serial == serial:
+            if not (htype & 0x01) and cur:
+                # new page does NOT continue a packet, but one is
+                # open: the stream lost its tail — drop the fragment
+                cur = bytearray()
+            q = body
+            for lace in seg_table:
+                cur += data[q : q + lace]
+                q += lace
+                if lace < 255:
+                    packets.append(bytes(cur))
+                    cur = bytearray()
+                    if len(packets) > max_packets:
+                        raise ValueError("Ogg: implausible packet count")
+        p = body + body_len
+    return packets
+
+
+def ogg_flac_to_native(data: bytes) -> bytes | None:
+    """Ogg-FLAC (the FLAC-to-Ogg mapping 1.0) -> the equivalent BARE
+    FLAC stream, or None when the first packet is not a FLAC mapping
+    header (Vorbis/Opus/other stay with their named rejection).  The
+    mapping is a pure framing: packet 0 carries ``0x7F FLAC maj min
+    nheaders`` then the native ``fLaC`` signature + STREAMINFO, each
+    further header packet is one metadata block, and each audio
+    packet is one frame — concatenation IS the native stream, which
+    then rides the full from-spec decoder (CRC-8/CRC-16/MD5 ladder
+    included)."""
+    if not is_ogg(data):
+        return None
+    pkts = ogg_packets(data)
+    if not pkts or pkts[0][:5] != b"\x7fFLAC" or \
+            pkts[0][9:13] != b"fLaC":
+        return None
+    return pkts[0][9:] + b"".join(pkts[1:])

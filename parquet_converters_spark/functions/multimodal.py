@@ -190,6 +190,17 @@ def _real_decode(payload: bytes, n_features: int) -> tuple:
             )
 
             audio = decode_flac(payload)
+        elif payload[:4] == b"OggS":
+            from parquet_converters_spark.functions.audio_codecs import (
+                ogg_flac_to_native,
+            )
+            from parquet_converters_spark.functions.flac_codec import (
+                decode_flac,
+            )
+
+            native = ogg_flac_to_native(payload)
+            if native is not None:  # Ogg-FLAC demuxes to bare FLAC;
+                audio = decode_flac(native)  # Vorbis/Opus fall through
     if audio is not None:
         _rate, channels, samples = audio
         if not samples:
@@ -596,11 +607,20 @@ def _decode_audio_payload(payload: bytes) -> tuple[int, int, list[int]]:
         from parquet_converters_spark.functions.flac_codec import decode_flac
 
         return decode_flac(payload)
+    if payload[:4] == b"OggS":
+        from parquet_converters_spark.functions.audio_codecs import (
+            ogg_flac_to_native,
+        )
+        from parquet_converters_spark.functions.flac_codec import decode_flac
+
+        native = ogg_flac_to_native(payload)
+        if native is not None:
+            return decode_flac(native)
     raise NotImplementedError(
-        "audio transcode supports WAV/AU/AIFF/FLAC via the from-spec "
-        "codecs (functions/media_codecs.py, audio_codecs.py, "
-        "flac_codec.py); compressed formats (MP3/Ogg/M4A) need an "
-        "external decoder"
+        "audio transcode supports WAV/AU/AIFF/FLAC (bare or in Ogg) "
+        "via the from-spec codecs (functions/media_codecs.py, "
+        "audio_codecs.py, flac_codec.py); lossy compressed formats "
+        "(MP3/Ogg Vorbis/M4A) need an external decoder"
     )
 
 
@@ -626,6 +646,14 @@ def _decode_audio_payload_native(
         return decode_au_native(payload)
     if is_aiff(payload):
         return decode_aiff_native(payload)
+    if payload[:4] == b"OggS":
+        from parquet_converters_spark.functions.audio_codecs import (
+            ogg_flac_to_native,
+        )
+
+        native = ogg_flac_to_native(payload)
+        if native is not None:
+            payload = native  # Ogg-FLAC: decode the demuxed stream
     if payload[:4] == b"fLaC":
         from parquet_converters_spark.functions.flac_codec import (
             decode_flac_full,
@@ -637,10 +665,10 @@ def _decode_audio_payload_native(
                              "STREAMINFO MD5")
         return rate, ch, bits, samples
     raise NotImplementedError(
-        "audio transcode supports WAV/AU/AIFF/FLAC via the from-spec "
-        "codecs (functions/media_codecs.py, audio_codecs.py, "
-        "flac_codec.py); compressed formats (MP3/Ogg/M4A) need an "
-        "external decoder"
+        "audio transcode supports WAV/AU/AIFF/FLAC (bare or in Ogg) "
+        "via the from-spec codecs (functions/media_codecs.py, "
+        "audio_codecs.py, flac_codec.py); lossy compressed formats "
+        "(MP3/Ogg Vorbis/M4A) need an external decoder"
     )
 
 

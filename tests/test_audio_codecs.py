@@ -746,3 +746,144 @@ def test_jdk_mp3_capability_probe_and_posture():
 
     rec = probe_media_payload(frame * 4)
     assert rec["format"] == "mp3" and rec["bit_rate"] == 128000
+
+
+def _ogg_mux(packets, granule_last=0, max_segs=8):
+    """Test-side Ogg muxer (RFC 3533): packets -> 255-lacing segments
+    -> pages of at most ``max_segs`` segments, with the continuation
+    flag set when a packet spans pages — deliberately small pages so
+    the demuxer's lacing/continuation logic is exercised hard."""
+    segs = []
+    for pkt in packets:
+        rest = pkt
+        while True:
+            take = rest[:255]
+            segs.append(take)
+            rest = rest[255:]
+            if len(take) < 255:
+                break
+            if not rest:
+                segs.append(b"")  # exact-255 multiple: 0-lacing end
+                break
+    out = b""
+    seq = 0
+    cont = False
+    i = 0
+    while i < len(segs):
+        chunk = segs[i : i + max_segs]
+        i += len(chunk)
+        last = i >= len(segs)
+        htype = (1 if cont else 0) | (2 if seq == 0 else 0) \
+            | (4 if last else 0)
+        body = b"".join(chunk)
+        out += (b"OggS\x00" + bytes([htype])
+                + (granule_last if last else 0).to_bytes(8, "little")
+                + b"\x07\x00\x00\x00" + seq.to_bytes(4, "little")
+                + b"\x00" * 4 + bytes([len(chunk)])
+                + bytes(len(c) for c in chunk) + body)
+        cont = len(chunk[-1]) == 255
+        seq += 1
+    return out
+
+
+def _flac_as_ogg(native, granule_last=0, max_segs=8, chunk=300):
+    """Wrap a bare FLAC stream per the FLAC-to-Ogg mapping 1.0:
+    packet 0 = 0x7F'FLAC' ver nheaders + fLaC + STREAMINFO, one packet
+    per further metadata block, then the audio data (split at ``chunk``
+    boundaries — our demuxer concatenates, so frame-exact packetization
+    is not required for this test)."""
+    assert native[:4] == b"fLaC"
+    pos = 4
+    blocks = []
+    while True:
+        hdr = native[pos]
+        ln = int.from_bytes(native[pos + 1 : pos + 4], "big")
+        blocks.append(native[pos : pos + 4 + ln])
+        pos += 4 + ln
+        if hdr & 0x80:
+            break
+    packets = [b"\x7fFLAC\x01\x00"
+               + (len(blocks) - 1).to_bytes(2, "big")
+               + b"fLaC" + blocks[0]]
+    packets += blocks[1:]
+    audio = native[pos:]
+    packets += [audio[i : i + chunk] for i in range(0, len(audio), chunk)]
+    return _ogg_mux(packets, granule_last=granule_last,
+                    max_segs=max_segs)
+
+
+def test_ogg_flac_demux_decodes_end_to_end():
+    """r14: Ogg-FLAC (mapping 1.0) decodes through the full from-spec
+    ladder — the demuxer reassembles packets across 255-lacings and
+    page continuations, concatenation reproduces the bare stream, and
+    decode_flac's CRC-8/CRC-16/MD5 ladder then verifies it.  The Ogg
+    framing here is authored by an independent test-side muxer."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from flac_craft import encode_flac
+
+    from parquet_converters_spark.functions.audio_codecs import (
+        ogg_flac_to_native,
+        ogg_packets,
+    )
+    from parquet_converters_spark.functions.multimodal import (
+        _decode_audio_payload_native,
+        _real_decode,
+    )
+
+    pcm = [((31 * k) % 1000) - 500 for k in range(2000)]
+    native = encode_flac([pcm], 16000, 16, modes=[("fixed", 2)],
+                         block_size=512)
+    ogg = _flac_as_ogg(native, granule_last=2000, max_segs=3, chunk=300)
+    # demux reproduces the bare stream byte-exactly
+    assert ogg_flac_to_native(ogg) == native
+    # packets reassemble across pages (max_segs=3 forces continuation)
+    pkts = ogg_packets(ogg)
+    assert pkts[0][:5] == b"\x7fFLAC" and len(pkts) >= 3
+    # full native decode (CRC + MD5 ladder inside)
+    rate, ch, bits, samples = _decode_audio_payload_native(ogg)
+    assert (rate, ch, bits) == (16000, 1, 16)
+    assert samples == pcm
+    # feature-extraction path decodes it too
+    _w, _h, nch, feats = _real_decode(ogg, 4)
+    assert nch == 1 and len(feats) == 4
+    # exact-255-multiple packet boundary (0-lacing terminator)
+    ogg2 = _flac_as_ogg(native, chunk=255)
+    assert ogg_flac_to_native(ogg2) == native
+    # probe agrees with the decode on the same payload
+    from parquet_converters_spark.functions.media_probe import (
+        probe_media_payload,
+    )
+
+    rec = probe_media_payload(ogg)
+    assert rec["format"] == "ogg/flac"
+    assert (rec["sample_rate"], rec["channels"], rec["bit_depth"]) == \
+        (16000, 1, 16)
+    assert rec["duration_s"] == pytest.approx(2000 / 16000)
+
+
+def test_ogg_flac_transcodes_and_vorbis_stays_rejected(spark):
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from flac_craft import encode_flac
+
+    from parquet_converters_spark.functions.audio_codecs import (
+        decode_aiff_native,
+    )
+    from parquet_converters_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        _real_decode,
+        transcode_audio,
+    )
+
+    pcm = [((7 * k) % 400) - 200 for k in range(800)]
+    ogg = _flac_as_ogg(
+        encode_flac([pcm], 8000, 16, modes=[("fixed", 1)],
+                    block_size=256))
+    df = spark.createDataFrame(
+        [(1, "audio", bytearray(ogg), "audio/ogg", 0)], MEDIA_SCHEMA)
+    out = transcode_audio(df, target="aiff", depth="native").collect()[0]
+    assert decode_aiff_native(bytes(out["payload"])) == (8000, 1, 16, pcm)
+    # Vorbis/Opus (no from-spec decoder) keep the named rejection
+    vorbis = (b"OggS\x00\x02" + b"\x00" * 20 + b"\x01" + b"\x1e"
+              + b"\x01vorbis" + b"\x00" * 23)
+    with pytest.raises(NotImplementedError, match="Ogg"):
+        _real_decode(vorbis, 4)

@@ -1930,6 +1930,32 @@ def _probe_fixture_corpus():
         + bytes([0x80 | len(seg)]) + seg,
         format="webm", kind="audio", sample_rate=48000, channels=2,
         duration_s=12.5)
+    # Ogg-FLAC (mapping 1.0, r14): flac_craft-authored stream wrapped
+    # in simple one-packet-per-page Ogg framing; the driver row drives
+    # BOTH the probe (this corpus) and the demux+decode path
+    # (multimodal_transcode includes format ogg/flac)
+    def _ogg_page1(granule, packet, htype, seq):
+        segs = []
+        rest = len(packet)
+        while rest >= 255:
+            segs.append(255)
+            rest -= 255
+        segs.append(rest)
+        return (b"OggS\x00" + bytes([htype])
+                + granule.to_bytes(8, "little") + b"\x09\x00\x00\x00"
+                + seq.to_bytes(4, "little") + b"\x00\x00\x00\x00"
+                + bytes([len(segs)]) + bytes(segs) + packet)
+
+    _opcm = [((11 * k) % 300) - 150 for k in range(480)]
+    _onative = encode_flac([_opcm], 12000, 16, modes=[("fixed", 1)],
+                           block_size=128)
+    _oln = int.from_bytes(_onative[5:8], "big")  # STREAMINFO length
+    _ohdr = (b"\x7fFLAC\x01\x00" + (0).to_bytes(2, "big")
+             + b"fLaC" + _onative[4 : 8 + _oln])
+    add(_ogg_page1(0, _ohdr, 2, 0)
+        + _ogg_page1(480, _onative[8 + _oln:], 4, 1),
+        format="ogg/flac", kind="audio", sample_rate=12000,
+        channels=1, bit_depth=16, duration_s=480 / 12000)
     # FLV: audio+video flags + the standard onMetaData duration double
     amf = (b"\x02" + (10).to_bytes(2, "big") + b"onMetaData"
            + b"\x08" + (1).to_bytes(4, "big")
@@ -1976,7 +2002,7 @@ def multimodal_transcode(spark, sf_dir):
     payloads, expected = corpus
     audio_ids = {
         row["media_id"] for row in expected if row["kind"] == "audio"
-        and row["format"] in ("wav", "au", "aiff", "flac")
+        and row["format"] in ("wav", "au", "aiff", "flac", "ogg/flac")
     }
     rows = [(mid, p) for mid, p in payloads if mid in audio_ids]
     df = spark.createDataFrame(
@@ -2076,6 +2102,14 @@ def _multimodal_transcode_oracle() -> str | None:
         pcm = [((7 * k + i) % 200) - 100 for k in range(nsamp)]
         h = _pcm16_hash(pcm)
         rows.append((mid, r["sample_rate"], r["channels"], nsamp, h))
+    # the Ogg-FLAC payload (r14): its recorded input samples are the
+    # corpus construction's own formula
+    for r in expected:
+        if r["format"] == "ogg/flac":
+            nsamp = int(round(r["duration_s"] * r["sample_rate"]))
+            pcm = [((11 * k) % 300) - 150 for k in range(nsamp)]
+            rows.append((r["media_id"], r["sample_rate"],
+                         r["channels"], nsamp, _pcm16_hash(pcm)))
     rows.sort()
     values = ", ".join(
         f"({a}, {b}, {c}, {d}, {e})" for a, b, c, d, e in rows

@@ -541,12 +541,23 @@ def ogg_packets(data: bytes, max_packets: int = 1 << 20) -> list[bytes]:
         if serial is None:
             serial = page_serial
         if page_serial == serial:
+            dropping = False
             if not (htype & 0x01) and cur:
                 # new page does NOT continue a packet, but one is
                 # open: the stream lost its tail — drop the fragment
                 cur = bytearray()
+            elif (htype & 0x01) and not cur and packets == []:
+                # mirror case (RFC 3533 §5): a continuation page with
+                # no packet open (head page lost) — discard the
+                # orphan fragment up to its terminating lacing
+                dropping = True
             q = body
             for lace in seg_table:
+                if dropping:
+                    q += lace
+                    if lace < 255:
+                        dropping = False
+                    continue
                 cur += data[q : q + lace]
                 q += lace
                 if lace < 255:
@@ -554,6 +565,9 @@ def ogg_packets(data: bytes, max_packets: int = 1 << 20) -> list[bytes]:
                     cur = bytearray()
                     if len(packets) > max_packets:
                         raise ValueError("Ogg: implausible packet count")
+            if htype & 0x04:
+                break  # EOS for the tracked stream: trailing bytes
+                # (tags, padding, other streams) are not our pages
         p = body + body_len
     return packets
 
@@ -568,7 +582,15 @@ def ogg_flac_to_native(data: bytes) -> bytes | None:
     packet is one frame — concatenation IS the native stream, which
     then rides the full from-spec decoder (CRC-8/CRC-16/MD5 ladder
     included)."""
-    if not is_ogg(data):
+    if not is_ogg(data) or len(data) < 27:
+        return None
+    # PEEK before demuxing: the mapping is decided by the first 13
+    # bytes of the first packet.  A non-FLAC stream (Vorbis/Opus — the
+    # common case, possibly huge, possibly truncated) returns None
+    # here without paying a full packet reassembly, so it reaches its
+    # caller's NAMED rejection rather than a demux ValueError.
+    p = 27 + data[26]
+    if data[p : p + 5] != b"\x7fFLAC" or data[p + 9 : p + 13] != b"fLaC":
         return None
     pkts = ogg_packets(data)
     if not pkts or pkts[0][:5] != b"\x7fFLAC" or \

@@ -1931,29 +1931,18 @@ def _probe_fixture_corpus():
         format="webm", kind="audio", sample_rate=48000, channels=2,
         duration_s=12.5)
     # Ogg-FLAC (mapping 1.0, r14): flac_craft-authored stream wrapped
-    # in simple one-packet-per-page Ogg framing; the driver row drives
-    # BOTH the probe (this corpus) and the demux+decode path
-    # (multimodal_transcode includes format ogg/flac)
-    def _ogg_page1(granule, packet, htype, seq):
-        segs = []
-        rest = len(packet)
-        while rest >= 255:
-            segs.append(255)
-            rest -= 255
-        segs.append(rest)
-        return (b"OggS\x00" + bytes([htype])
-                + granule.to_bytes(8, "little") + b"\x09\x00\x00\x00"
-                + seq.to_bytes(4, "little") + b"\x00\x00\x00\x00"
-                + bytes([len(segs)]) + bytes(segs) + packet)
-
+    # in simple one-packet-per-page Ogg framing (reusing _ogg_page —
+    # the serial only has to be constant within a stream); the driver
+    # row drives BOTH the probe (this corpus) and the demux+decode
+    # path (multimodal_transcode includes format ogg/flac)
     _opcm = [((11 * k) % 300) - 150 for k in range(480)]
     _onative = encode_flac([_opcm], 12000, 16, modes=[("fixed", 1)],
                            block_size=128)
     _oln = int.from_bytes(_onative[5:8], "big")  # STREAMINFO length
     _ohdr = (b"\x7fFLAC\x01\x00" + (0).to_bytes(2, "big")
              + b"fLaC" + _onative[4 : 8 + _oln])
-    add(_ogg_page1(0, _ohdr, 2, 0)
-        + _ogg_page1(480, _onative[8 + _oln:], 4, 1),
+    add(_ogg_page(0, _ohdr, htype=2, seq=0)
+        + _ogg_page(480, _onative[8 + _oln:], htype=4, seq=1),
         format="ogg/flac", kind="audio", sample_rate=12000,
         channels=1, bit_depth=16, duration_s=480 / 12000)
     # FLV: audio+video flags + the standard onMetaData duration double

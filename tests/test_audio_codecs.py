@@ -887,3 +887,45 @@ def test_ogg_flac_transcodes_and_vorbis_stays_rejected(spark):
               + b"\x01vorbis" + b"\x00" * 23)
     with pytest.raises(NotImplementedError, match="Ogg"):
         _real_decode(vorbis, 4)
+
+
+def test_ogg_demux_edge_framing():
+    """r14 review pass 2: EOS stops the walk (trailing tags/padding
+    after the last page must not fail an intact stream); a truncated
+    NON-FLAC Ogg still reaches the named rejection (peek-before-demux);
+    a head-lost continuation page drops its orphan fragment per
+    RFC 3533 §5."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from flac_craft import encode_flac
+
+    from parquet_converters_spark.functions.audio_codecs import (
+        ogg_flac_to_native,
+        ogg_packets,
+    )
+    from parquet_converters_spark.functions.multimodal import _real_decode
+
+    pcm = [((13 * k) % 600) - 300 for k in range(700)]
+    native = encode_flac([pcm], 8000, 16, modes=[("fixed", 1)],
+                         block_size=256)
+    ogg = _flac_as_ogg(native, granule_last=700)
+    # trailing junk after the EOS page: stream still demuxes
+    assert ogg_flac_to_native(ogg + b"\x00" * 64) == native
+    assert ogg_flac_to_native(ogg + b"APETAGEX" + b"\x01" * 40) == native
+    # truncated Ogg VORBIS: named NotImplementedError, not a demux
+    # ValueError (the peek decides FLAC-or-not before reassembly)
+    vid = (b"\x01vorbis" + b"\x00" * 4 + bytes([2])
+           + (44100).to_bytes(4, "little") + b"\x00" * 12 + b"\xb8\x01")
+    vorbis = _ogg_mux([vid, b"\x03vorbis" + b"\x00" * 500])
+    truncated = vorbis[: len(vorbis) - 40]
+    assert ogg_flac_to_native(truncated) is None
+    with pytest.raises(NotImplementedError, match="Ogg"):
+        _real_decode(truncated, 4)
+    # head-page-lost: first surviving page has the continuation flag;
+    # its orphan leading fragment is dropped, not emitted as a packet
+    big = bytes(range(256)) * 2  # one packet spanning pages
+    paged = _ogg_mux([big, b"tail"], max_segs=1)
+    # find the second page (starts after page 1's 27+1+255 bytes)
+    second = paged[27 + 1 + 255:]
+    assert second[:4] == b"OggS" and second[5] & 0x01
+    pkts = ogg_packets(second)
+    assert pkts == [b"tail"]  # orphan fragment of `big` discarded

@@ -492,6 +492,15 @@ def _probe_isobmff(d: bytes) -> dict:
                     out["duration_s"] = dur / ts
             elif typ == b"hdlr" and body + 12 <= end:
                 handlers.append(d[body + 8 : body + 12])
+            elif typ == b"tkhd":
+                # track dims: 16.16 fixed at +76 (v0) / +88 (v1)
+                off = body + (88 if d[body : body + 1] == b"\x01"
+                              else 76)
+                if off + 8 <= end:
+                    tw = int.from_bytes(d[off : off + 2], "big")
+                    th = int.from_bytes(d[off + 4 : off + 6], "big")
+                    if tw and th and out.get("width") is None:
+                        out["width"], out["height"] = tw, th
             elif typ == b"mp4a" and end - body >= 28:
                 # AudioSampleEntry: 6 reserved + dref idx(2), 8
                 # reserved, channelcount(2), samplesize(2), 4 more,

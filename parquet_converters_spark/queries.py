@@ -1930,6 +1930,28 @@ def _probe_fixture_corpus():
         + bytes([0x80 | len(seg)]) + seg,
         format="webm", kind="audio", sample_rate=48000, channels=2,
         duration_s=12.5)
+    # WebM VIDEO track (r14): dims from the TrackEntry, unknown-size
+    # segment (the streamed-file shape)
+    vtrk = _ebml(b"\x16\x54\xae\x6b", _ebml(
+        b"\xae", _ebml(b"\x83", b"\x01")
+        + _ebml(b"\xe0", _ebml(b"\xb0", (640).to_bytes(2, "big"))
+                + _ebml(b"\xba", (360).to_bytes(2, "big")))))
+    add(ebml_hdr + b"\x18\x53\x80\x67\xff" + info + vtrk,
+        format="webm", kind="video", width=640, height=360,
+        duration_s=12.5)
+    # MP4 VIDEO (r14): mvhd v1 64-bit duration + tkhd 16.16 dims
+    mvhd1 = _box(b"mvhd", b"\x01\x00\x00\x00" + b"\x00" * 16
+                 + (1000).to_bytes(4, "big")
+                 + (90500).to_bytes(8, "big") + b"\x00" * 80)
+    tkhd = _box(b"tkhd", b"\x00" * 76
+                + (1280 << 16).to_bytes(4, "big")
+                + (720 << 16).to_bytes(4, "big"))
+    hdlr_v = _box(b"hdlr", b"\x00" * 8 + b"vide" + b"\x00" * 12)
+    add(_box(b"ftyp", b"mp42\x00\x00\x00\x00mp42")
+        + _box(b"moov", mvhd1
+               + _box(b"trak", tkhd + _box(b"mdia", hdlr_v))),
+        format="isobmff/mp42", kind="video", width=1280, height=720,
+        duration_s=90.5)
     # Ogg-FLAC (mapping 1.0, r14): flac_craft-authored stream wrapped
     # in simple one-packet-per-page Ogg framing (reusing _ogg_page —
     # the serial only has to be constant within a stream); the driver

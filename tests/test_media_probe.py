@@ -451,17 +451,30 @@ def test_probe_isobmff_mvhd_and_audio_entry():
     assert (rec["sample_rate"], rec["channels"], rec["bit_depth"]) == \
         (44100, 2, 16)
 
-    # mvhd version 1 (64-bit duration), video handler -> kind video
+    # mvhd version 1 (64-bit duration), video handler -> kind video,
+    # dims from tkhd's 16.16 fixed width/height
     mvhd_v1 = _mp4_box(b"mvhd", b"\x01\x00\x00\x00" + b"\x00" * 16
                        + (1000).to_bytes(4, "big")
                        + (90500).to_bytes(8, "big") + b"\x00" * 80)
+    tkhd = _mp4_box(b"tkhd", b"\x00" * 76
+                    + (1280 << 16).to_bytes(4, "big")
+                    + (720 << 16).to_bytes(4, "big"))
     hdlr_v = _mp4_box(b"hdlr", b"\x00" * 8 + b"vide" + b"\x00" * 12)
     moov = _mp4_box(b"moov", mvhd_v1 + _mp4_box(
-        b"trak", _mp4_box(b"mdia", hdlr_v)))
+        b"trak", tkhd + _mp4_box(b"mdia", hdlr_v)))
     data = _mp4_box(b"ftyp", b"isom\x00\x00\x00\x00isom") + moov
     rec = probe_media_payload(data)
     assert rec["format"] == "isobmff/isom" and rec["kind"] == "video"
     assert rec["duration_s"] == pytest.approx(90.5)
+    assert (rec["width"], rec["height"]) == (1280, 720)
+    # tkhd version 1 shifts the dims by 12 bytes
+    tkhd1 = _mp4_box(b"tkhd", b"\x01" + b"\x00" * 87
+                     + (640 << 16).to_bytes(4, "big")
+                     + (480 << 16).to_bytes(4, "big"))
+    moov = _mp4_box(b"moov", _mp4_box(b"trak", tkhd1))
+    rec = probe_media_payload(
+        _mp4_box(b"ftyp", b"isom\x00\x00\x00\x00isom") + moov)
+    assert (rec["width"], rec["height"]) == (640, 480)
 
 
 def test_probe_matroska_webm():

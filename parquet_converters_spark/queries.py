@@ -1730,6 +1730,128 @@ FROM documents ORDER BY media_id
 """
 
 
+def media_triage_census(spark, sf_dir):
+    """The triage pass at CORPUS grain (r14): every document derives a
+    deterministic crafted media payload — WAV / MP3 CBR frame / Ogg
+    Vorbis / MP4 / WebM / junk, one spec family per doc_id%6, each
+    with doc_id-dependent duration parameters — and probe_media's
+    header walk must recover exactly the constructed metadata,
+    aggregated per (format, kind) as counts + total duration (integer
+    milliseconds: every construction lands on an exact ms so the sum
+    is order-independent) + summed declared rates.  This is the probe
+    as a 100 TB pipeline runs it: payload build + walk + aggregate in
+    one Arrow-batched narrow stage, scaling with the corpus (the
+    fixed-fixture multimodal_probe row pins per-format field
+    exactness; this row pins the walkers at volume).  Oracle: the
+    construction's analytic values only."""
+    from parquet_converters_spark.functions.media_probe import probe_media
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def build(batches):
+        import struct as _st
+
+        import pandas as pd
+
+        def wav(nsamp):
+            body = b"\x00" * (nsamp * 2)
+            fmt = _st.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+            chunks = (b"fmt " + _st.pack("<I", 16) + fmt
+                      + b"data" + _st.pack("<I", len(body)) + body)
+            return (b"RIFF" + _st.pack("<I", 4 + len(chunks))
+                    + b"WAVE" + chunks)
+
+        def ogg_vorbis(granule):
+            vid = (b"\x01vorbis" + b"\x00" * 4 + bytes([2])
+                   + (44100).to_bytes(4, "little") + b"\x00" * 4
+                   + (128000).to_bytes(4, "little") + b"\x00" * 4
+                   + b"\xb8\x01")
+            p0 = (b"OggS\x00\x02" + b"\x00" * 8 + b"\x01\x00\x00\x00"
+                  + b"\x00" * 8 + bytes([1, len(vid)]) + vid)
+            p1 = (b"OggS\x00\x04" + granule.to_bytes(8, "little")
+                  + b"\x01\x00\x00\x00" + (1).to_bytes(4, "little")
+                  + b"\x00" * 4 + bytes([1, 1]) + b"x")
+            return p0 + p1
+
+        def mp4(dur_ms):
+            mvhd = (_st.pack(">I", 108) + b"mvhd" + b"\x00" * 12
+                    + (1000).to_bytes(4, "big")
+                    + dur_ms.to_bytes(4, "big") + b"\x00" * 80)
+            return (_st.pack(">I", 24) + b"ftypmp42" + b"\x00" * 8
+                    + b"mp42"
+                    + _st.pack(">I", 8 + len(mvhd)) + b"moov" + mvhd)
+
+        def webm(ticks):
+            dur = b"\x44\x89\x88" + _st.pack(">d", float(ticks))
+            info = b"\x15\x49\xa9\x66" + bytes([0x80 | len(dur)]) + dur
+            return (b"\x1a\x45\xdf\xa3\x87\x42\x82\x84webm"
+                    + b"\x18\x53\x80\x67\xff" + info)
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                v = did % 6
+                if v == 0:
+                    p = wav((did % 40 + 1) * 8)
+                elif v == 1:
+                    p = (b"\xff\xfb\x90\x00"
+                         + b"\x00" * ((did % 20 + 1) * 2000 - 4))
+                elif v == 2:
+                    p = ogg_vorbis((did % 30 + 1) * 44100)
+                elif v == 3:
+                    p = mp4((did % 120 + 1) * 500)
+                elif v == 4:
+                    p = webm((did % 60 + 1) * 250)
+                else:
+                    p = b"JUNKDATA" + did.to_bytes(8, "little")
+                ids.append(did)
+                payloads.append(p)
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    built = docs.mapInPandas(build, "media_id long, payload binary")
+    probed = probe_media(built)
+    return (
+        probed.groupBy("format", "kind")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.sum(F.round(F.col("duration_s") * 1000).cast("long")),
+                F.lit(0),
+            ).alias("sum_ms"),
+            F.sum(F.coalesce("sample_rate", F.lit(0)))
+            .cast("long").alias("sum_rate"),
+        )
+        .orderBy("format")
+    )
+
+
+MEDIA_TRIAGE_CENSUS_SQL = """
+WITH rows AS (
+  SELECT
+    CASE doc_id % 6 WHEN 0 THEN 'wav' WHEN 1 THEN 'mp3'
+         WHEN 2 THEN 'ogg/vorbis' WHEN 3 THEN 'isobmff/mp42'
+         WHEN 4 THEN 'webm' ELSE 'unknown' END AS format,
+    CASE doc_id % 6 WHEN 3 THEN 'video' WHEN 4 THEN 'video'
+         WHEN 5 THEN 'other' ELSE 'audio' END AS kind,
+    CASE doc_id % 6
+         WHEN 0 THEN doc_id % 40 + 1               -- nsamp/8 kHz in ms
+         WHEN 1 THEN 125 * (doc_id % 20 + 1)       -- bytes*8/128k
+         WHEN 2 THEN 1000 * (doc_id % 30 + 1)      -- granule/44100
+         WHEN 3 THEN 500 * (doc_id % 120 + 1)      -- mvhd dur/ts
+         WHEN 4 THEN 250 * (doc_id % 60 + 1)       -- ticks x 1 ms
+         ELSE NULL END AS ms,
+    CASE doc_id % 6 WHEN 0 THEN 8000 WHEN 1 THEN 44100
+         WHEN 2 THEN 44100 ELSE 0 END AS rate
+  FROM documents
+)
+SELECT format, kind, CAST(count(*) AS BIGINT) AS n,
+       CAST(COALESCE(SUM(ms), 0) AS BIGINT) AS sum_ms,
+       CAST(SUM(rate) AS BIGINT) AS sum_rate
+FROM rows GROUP BY format, kind ORDER BY format
+"""
+
+
 _PROBE_CORPUS_CACHE = []
 
 
@@ -5816,6 +5938,7 @@ QUERIES.update({
     "multimodal_meta": (multimodal_meta, MULTIMODAL_META_SQL),
     "multimodal_probe": (multimodal_probe, MULTIMODAL_PROBE_SQL),
     "multimodal_transcode": (multimodal_transcode, MULTIMODAL_TRANSCODE_SQL),
+    "media_triage_census": (media_triage_census, MEDIA_TRIAGE_CENSUS_SQL),
 })
 
 # ===========================================================================
@@ -9688,13 +9811,16 @@ QUERIES = {
 
 # --- r15 grading rotation (PRE-WIRED, activate at round-15 start) ----------
 # Computed from the CORRECTNESS_r01-r13 union assuming r14 grades
-# _R14_WINDOW: every registry entry then has a driver row, the oldest
-# cohort is the 43 remaining r11-latest rows, topped up with the 7
+# _R14_WINDOW: the never-graded r14 registration (media_triage_census,
+# added after the r14 window froze) leads, then the oldest cohort —
+# the 43 remaining r11-latest rows — topped up with the 6
 # alphabetically-first r12-latest rows.  Round 15's builder promotes
 # any red rows from CORRECTNESS_r14 to the front (dropping tail
 # entries to keep 50), then adds the same two reorder lines over
 # _R15_WINDOW.
 _R15_WINDOW = [
+    # (0) new in r14, never graded
+    "media_triage_census",
     # (a) r11-latest remainder (43)
     "cluster_quality_by_label",
     "cms_heavy_hitters",
@@ -9739,13 +9865,13 @@ _R15_WINDOW = [
     "text_normalize_report",
     "time_rollup_hierarchy",
     "zscore_outlier_events",
-    # (b) r12-latest, alphabetical head (7)
+    # (b) r12-latest, alphabetical head (6 — the r14-new entry at the
+    # front displaced cube_pricing)
     "ann_recall_at5",
     "asof_join_next_purchase",
     "containment_pairs",
     "contamination_matrix",
     "corpus_prep_funnel",
     "count_sum",
-    "cube_pricing",
 ]
 _check_window(_R15_WINDOW, "_R15_WINDOW", prior=_R14_WINDOW)

@@ -511,6 +511,21 @@ def _probe_isobmff(d: bytes) -> dict:
                     d[body + 18 : body + 20], "big")
                 out["sample_rate"] = int.from_bytes(
                     d[body + 24 : body + 26], "big")
+                # declared avg bitrate from the nested esds box's
+                # DecoderConfigDescriptor (14496-1 §7.2.6.6: tag 0x04,
+                # expandable length, then objType(1) flags(1)
+                # bufferSize(3) maxBitrate(4) avgBitrate(4))
+                e = d.find(b"esds", body, end)
+                if e >= 0:
+                    t = d.find(b"\x04", e + 8, end)
+                    if 0 <= t and t + 15 <= end:
+                        ln_end = t + 1
+                        while ln_end < end and d[ln_end] & 0x80:
+                            ln_end += 1  # expandable length bytes
+                        avg = int.from_bytes(
+                            d[ln_end + 10 : ln_end + 14], "big")
+                        if avg:
+                            out["bit_rate"] = avg
             if typ in (b"moov", b"trak", b"mdia", b"minf", b"stbl"):
                 walk(body, end, depth + 1)
             elif typ == b"stsd":
@@ -600,6 +615,8 @@ def _probe_ebml(d: bytes) -> dict:
                         out["sample_rate"] = int(f)
             elif eid == 0x9F:  # Channels
                 out["channels"] = int.from_bytes(d[body:end], "big")
+            elif eid == 0x6264:  # Audio/BitDepth
+                out["bit_depth"] = int.from_bytes(d[body:end], "big")
             elif eid == 0xB0:  # PixelWidth
                 out["width"] = int.from_bytes(d[body:end], "big")
             elif eid == 0xBA:  # PixelHeight

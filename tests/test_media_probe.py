@@ -605,3 +605,38 @@ def test_probe_r14_review_fixes():
         + _mp4_box(b"free", (600).to_bytes(4, "big") * 30))
     rec = probe_media_payload(lying)
     assert rec.get("duration_s") is None
+
+
+def test_probe_bmff_esds_bitrate_and_webm_bitdepth():
+    """r14: declared avg bitrate from mp4a's esds
+    DecoderConfigDescriptor; BitDepth from a Matroska Audio element."""
+    dcd = (b"\x04\x0d"            # tag 0x04, length 13
+           + b"\x40\x15"          # objectType AAC-LC, streamType audio
+           + b"\x00\x00\x00"      # bufferSizeDB
+           + (160000).to_bytes(4, "big")   # maxBitrate
+           + (128000).to_bytes(4, "big"))  # avgBitrate
+    esds = _mp4_box(b"esds", b"\x00\x00\x00\x00"
+                    + b"\x03\x11\x00\x01\x00" + dcd)
+    mp4a = _mp4_box(b"mp4a", b"\x00" * 6 + b"\x00\x01" + b"\x00" * 8
+                    + (2).to_bytes(2, "big") + (16).to_bytes(2, "big")
+                    + b"\x00" * 4 + (48000 << 16).to_bytes(4, "big")
+                    + esds)
+    stsd = _mp4_box(b"stsd", b"\x00" * 4 + (1).to_bytes(4, "big") + mp4a)
+    moov = _mp4_box(b"moov", _mp4_box(b"trak", _mp4_box(
+        b"mdia", _mp4_box(b"minf", _mp4_box(b"stbl", stsd)))))
+    data = _mp4_box(b"ftyp", b"M4A \x00\x00\x00\x00mp42") + moov
+    rec = probe_media_payload(data)
+    assert rec["sample_rate"] == 48000
+    assert rec["bit_rate"] == 128000
+
+    # Matroska BitDepth (0x6264) inside the Audio element
+    hdr = _ebml(b"\x1a\x45\xdf\xa3", _ebml(b"\x42\x82", b"matroska"))
+    audio = _ebml(b"\xe1", _ebml(b"\xb5", struct.pack(">d", 44100.0))
+                  + _ebml(b"\x9f", bytes([1]))
+                  + _ebml(b"\x62\x64", bytes([24])))
+    trk = _ebml(b"\x16\x54\xae\x6b",
+                _ebml(b"\xae", _ebml(b"\x83", b"\x02") + audio))
+    rec = probe_media_payload(hdr + b"\x18\x53\x80\x67\xff" + trk)
+    assert rec["format"] == "matroska" and rec["kind"] == "audio"
+    assert (rec["sample_rate"], rec["channels"], rec["bit_depth"]) == \
+        (44100, 1, 24)

@@ -14,7 +14,6 @@ from __future__ import annotations
 import json
 import os
 import re
-import struct
 import sys
 import time
 
@@ -386,21 +385,20 @@ def bench_audio_seam(spark, timed_runs: int) -> dict[str, float]:
     # MPEG frame headers) priced separately — 256 crafted payloads
     # per family so the row isolates walker cost from WAV sniffing
     def _containers():
-        vid = (b"\x01vorbis" + b"\x00" * 4 + bytes([2])
-               + (44100).to_bytes(4, "little") + b"\x00" * 12
-               + b"\xb8\x01")
-        ogg = (b"OggS\x00\x02" + b"\x00" * 20 + bytes([1, len(vid)])
-               + vid)
-        mp4 = (struct.pack(">I", 24) + b"ftypisom" + b"\x00" * 8
-               + b"isom"
-               + struct.pack(">I", 128) + b"moov"
-               + struct.pack(">I", 108) + b"mvhd" + b"\x00" * 12
-               + (600).to_bytes(4, "big") + (3000).to_bytes(4, "big")
-               + b"\x00" * 80 + b"\x00" * 12)
-        webm = (b"\x1a\x45\xdf\xa3\x87\x42\x82\x84webm"
-                + b"\x18\x53\x80\x67\xff"
-                + b"\x15\x49\xa9\x66\x8b\x44\x89\x88"
-                + struct.pack(">d", 9000.0))
+        from parquet_converters_spark.functions.media_craft import (
+            UNKNOWN_SIZE_SEGMENT,
+            WEBM_HEADER,
+            mp4_box,
+            mp4_mvhd,
+            ogg_page,
+            vorbis_id_packet,
+            webm_info,
+        )
+
+        ogg = ogg_page(0, vorbis_id_packet(44100, 2))
+        mp4 = (mp4_box(b"ftyp", b"isom" + b"\x00" * 8 + b"isom")
+               + mp4_box(b"moov", mp4_mvhd(600, 3000) + b"\x00" * 12))
+        webm = WEBM_HEADER + UNKNOWN_SIZE_SEGMENT + webm_info(9000.0)
         mp3 = b"\xff\xfb\x90\x00" + b"\x00" * 413
         fams = [ogg, mp4, webm, mp3]
         return [

@@ -546,10 +546,11 @@ def ogg_packets(data: bytes, max_packets: int = 1 << 20) -> list[bytes]:
                 # new page does NOT continue a packet, but one is
                 # open: the stream lost its tail — drop the fragment
                 cur = bytearray()
-            elif (htype & 0x01) and not cur and packets == []:
+            elif (htype & 0x01) and not cur:
                 # mirror case (RFC 3533 §5): a continuation page with
-                # no packet open (head page lost) — discard the
-                # orphan fragment up to its terminating lacing
+                # no packet open (its head page lost — at the stream
+                # start or mid-stream) — discard the orphan fragment
+                # up to its terminating lacing
                 dropping = True
             q = body
             for lace in seg_table:

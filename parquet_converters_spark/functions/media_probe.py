@@ -512,20 +512,14 @@ def _probe_isobmff(d: bytes) -> dict:
                 out["sample_rate"] = int.from_bytes(
                     d[body + 24 : body + 26], "big")
                 # declared avg bitrate from the nested esds box's
-                # DecoderConfigDescriptor (14496-1 §7.2.6.6: tag 0x04,
-                # expandable length, then objType(1) flags(1)
-                # bufferSize(3) maxBitrate(4) avgBitrate(4))
+                # DecoderConfigDescriptor (14496-1 §7.2.6.6), reached
+                # by WALKING the descriptor chain — a byte-scan for
+                # tag 0x04 misfires on ES_IDs/flags containing 0x04
                 e = d.find(b"esds", body, end)
                 if e >= 0:
-                    t = d.find(b"\x04", e + 8, end)
-                    if 0 <= t and t + 15 <= end:
-                        ln_end = t + 1
-                        while ln_end < end and d[ln_end] & 0x80:
-                            ln_end += 1  # expandable length bytes
-                        avg = int.from_bytes(
-                            d[ln_end + 10 : ln_end + 14], "big")
-                        if avg:
-                            out["bit_rate"] = avg
+                    avg = _esds_avg_bitrate(d, e + 8, end)
+                    if avg:
+                        out["bit_rate"] = avg
             if typ in (b"moov", b"trak", b"mdia", b"minf", b"stbl"):
                 walk(body, end, depth + 1)
             elif typ == b"stsd":
@@ -536,6 +530,44 @@ def _probe_isobmff(d: bytes) -> dict:
     if handlers and all(h == b"soun" for h in handlers):
         out["kind"] = "audio"
     return out
+
+
+def _esds_avg_bitrate(d: bytes, p: int, end: int) -> int | None:
+    """avgBitrate from an esds body at ``p`` (after the box header's
+    version/flags) by walking the MPEG-4 descriptor chain (ISO/IEC
+    14496-1 §7.2.6): ES_Descriptor tag 0x03 -> expandable length ->
+    ES_ID(2) + flags(1) + optional dependsOn/URL/OCR fields ->
+    DecoderConfigDescriptor tag 0x04 -> expandable length ->
+    objType(1) streamType(1) bufferSizeDB(3) maxBitrate(4)
+    avgBitrate(4).  Every read bounds-checked against the mp4a box
+    ``end``; malformed chains return None."""
+
+    def explen(q):  # expandable length: high bit continues
+        while q < end and d[q] & 0x80:
+            q += 1
+        return q + 1 if q < end else None
+
+    if p >= end or d[p] != 0x03:
+        return None
+    q = explen(p + 1)
+    if q is None or q + 3 > end:
+        return None
+    flags = d[q + 2]
+    q += 3
+    if flags & 0x80:  # streamDependenceFlag: dependsOn_ES_ID(2)
+        q += 2
+    if flags & 0x40:  # URL_Flag: URLlength(1) + URLstring
+        if q >= end:
+            return None
+        q += 1 + d[q]
+    if flags & 0x20:  # OCRstreamFlag: OCR_ES_Id(2)
+        q += 2
+    if q >= end or d[q] != 0x04:
+        return None
+    q = explen(q + 1)
+    if q is None or q + 13 > end:
+        return None
+    return int.from_bytes(d[q + 9 : q + 13], "big")
 
 
 #: EBML master elements the probe descends into (Matroska/WebM).

@@ -1753,6 +1753,16 @@ def media_triage_census(spark, sf_dir):
 
         import pandas as pd
 
+        from parquet_converters_spark.functions.media_craft import (
+            UNKNOWN_SIZE_SEGMENT,
+            WEBM_HEADER,
+            mp4_box,
+            mp4_mvhd,
+            ogg_page,
+            vorbis_id_packet,
+            webm_info,
+        )
+
         def wav(nsamp):
             body = b"\x00" * (nsamp * 2)
             fmt = _st.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
@@ -1762,30 +1772,16 @@ def media_triage_census(spark, sf_dir):
                     + b"WAVE" + chunks)
 
         def ogg_vorbis(granule):
-            vid = (b"\x01vorbis" + b"\x00" * 4 + bytes([2])
-                   + (44100).to_bytes(4, "little") + b"\x00" * 4
-                   + (128000).to_bytes(4, "little") + b"\x00" * 4
-                   + b"\xb8\x01")
-            p0 = (b"OggS\x00\x02" + b"\x00" * 8 + b"\x01\x00\x00\x00"
-                  + b"\x00" * 8 + bytes([1, len(vid)]) + vid)
-            p1 = (b"OggS\x00\x04" + granule.to_bytes(8, "little")
-                  + b"\x01\x00\x00\x00" + (1).to_bytes(4, "little")
-                  + b"\x00" * 4 + bytes([1, 1]) + b"x")
-            return p0 + p1
+            return (ogg_page(0, vorbis_id_packet(44100, 2, 128000))
+                    + ogg_page(granule, b"x", htype=4, seq=1))
 
         def mp4(dur_ms):
-            mvhd = (_st.pack(">I", 108) + b"mvhd" + b"\x00" * 12
-                    + (1000).to_bytes(4, "big")
-                    + dur_ms.to_bytes(4, "big") + b"\x00" * 80)
-            return (_st.pack(">I", 24) + b"ftypmp42" + b"\x00" * 8
-                    + b"mp42"
-                    + _st.pack(">I", 8 + len(mvhd)) + b"moov" + mvhd)
+            return (mp4_box(b"ftyp", b"mp42" + b"\x00" * 8 + b"mp42")
+                    + mp4_box(b"moov", mp4_mvhd(1000, dur_ms)))
 
         def webm(ticks):
-            dur = b"\x44\x89\x88" + _st.pack(">d", float(ticks))
-            info = b"\x15\x49\xa9\x66" + bytes([0x80 | len(dur)]) + dur
-            return (b"\x1a\x45\xdf\xa3\x87\x42\x82\x84webm"
-                    + b"\x18\x53\x80\x67\xff" + info)
+            return (WEBM_HEADER + UNKNOWN_SIZE_SEGMENT
+                    + webm_info(ticks))
 
         for pdf in batches:
             ids, payloads = [], []
@@ -1986,26 +1982,17 @@ def _probe_fixture_corpus():
 
     # container payloads (r14): Ogg/ISO-BMFF/Matroska crafted from
     # the public specs (RFC 3533/7845, Vorbis I, ISO 14496-12, RFC
-    # 8794); expectations are the construction parameters
+    # 8794) via the shared engine-side primitives (media_craft.py —
+    # one byte layout for corpus/census/bench; the pytest side keeps
+    # its own independent crafters); expectations are the
+    # construction parameters
     import struct as _st
 
-    def _ogg_page(granule, packet, htype=2, seq=0):
-        segs = []
-        rest = len(packet)
-        while rest >= 255:
-            segs.append(255)
-            rest -= 255
-        segs.append(rest)
-        return (b"OggS\x00" + bytes([htype])
-                + granule.to_bytes(8, "little") + b"\x01\x00\x00\x00"
-                + seq.to_bytes(4, "little") + b"\x00\x00\x00\x00"
-                + bytes([len(segs)]) + bytes(segs) + packet)
-
-    def _box(typ, payload):
-        return _st.pack(">I", 8 + len(payload)) + typ + payload
-
-    def _ebml(eid, payload):
-        return eid + bytes([0x80 | len(payload)]) + payload
+    from parquet_converters_spark.functions.media_craft import (
+        ebml as _ebml,
+        mp4_box as _box,
+        ogg_page as _ogg_page,
+    )
 
     # Ogg Vorbis: 44.1k stereo, nominal 128k, 10 s of granules
     vorbis_id = (b"\x01vorbis" + b"\x00" * 4 + bytes([2])

@@ -640,3 +640,57 @@ def test_probe_bmff_esds_bitrate_and_webm_bitdepth():
     assert rec["format"] == "matroska" and rec["kind"] == "audio"
     assert (rec["sample_rate"], rec["channels"], rec["bit_depth"]) == \
         (44100, 1, 24)
+
+
+def test_probe_esds_walks_descriptor_chain():
+    """r14 review pass 3: the esds avgBitrate must come from WALKING
+    the descriptor chain — an ES_ID whose low byte is 0x04 (muxers
+    commonly set ES_ID = track_ID) must not be misread as the
+    DecoderConfigDescriptor tag, and multi-byte expandable lengths
+    must not let the 4-byte read cross the box end."""
+    def m4a(es_id, dcd_len_bytes=b"\x0d", truncate=0):
+        dcd = (b"\x04" + dcd_len_bytes + b"\x40\x15\x00\x00\x00"
+               + (160000).to_bytes(4, "big")
+               + (128000).to_bytes(4, "big"))
+        esds = _mp4_box(b"esds", b"\x00\x00\x00\x00"
+                        + b"\x03\x11" + es_id.to_bytes(2, "big")
+                        + b"\x00" + dcd)
+        if truncate:
+            esds = esds[:-truncate]
+        mp4a = _mp4_box(b"mp4a", b"\x00" * 6 + b"\x00\x01"
+                        + b"\x00" * 8 + (2).to_bytes(2, "big")
+                        + (16).to_bytes(2, "big") + b"\x00" * 4
+                        + (48000 << 16).to_bytes(4, "big") + esds)
+        stsd = _mp4_box(b"stsd", b"\x00" * 4
+                        + (1).to_bytes(4, "big") + mp4a)
+        moov = _mp4_box(b"moov", _mp4_box(b"trak", _mp4_box(
+            b"mdia", _mp4_box(b"minf", _mp4_box(b"stbl", stsd)))))
+        return _mp4_box(b"ftyp", b"M4A \x00\x00\x00\x00mp42") + moov
+
+    # ES_ID = 4: the old byte-scan fabricated bit_rate=1895825409 here
+    rec = probe_media_payload(m4a(es_id=4))
+    assert rec["bit_rate"] == 128000
+    # 4-byte padded expandable length (0x80 0x80 0x80 0x0d) parses too
+    rec = probe_media_payload(
+        m4a(es_id=1, dcd_len_bytes=b"\x80\x80\x80\x0d"))
+    assert rec["bit_rate"] == 128000
+    # truncated mid-descriptor: null, never a cross-box read
+    rec = probe_media_payload(m4a(es_id=1, truncate=3))
+    assert rec.get("bit_rate") is None
+
+
+def test_ogg_midstream_orphan_fragment_dropped():
+    """r14 review pass 3: a MID-STREAM continuation page arriving with
+    no open packet drops its orphan fragment (RFC 3533 §5) instead of
+    emitting it as a spurious packet."""
+    from parquet_converters_spark.functions.audio_codecs import (
+        ogg_packets,
+    )
+
+    first = _ogg_page(0, b"first", htype=2, seq=0)
+    # a continuation-flagged page whose leading fragment has no head:
+    # lacing [7, 6] -> 7 orphan bytes then the real packet 'second'
+    bad = (b"OggS\x00\x01" + b"\x00" * 8 + b"\x01\x00\x00\x00"
+           + (1).to_bytes(4, "little") + b"\x00" * 4
+           + bytes([2, 7, 6]) + b"XXXXXXX" + b"second")
+    assert ogg_packets(first + bad) == [b"first", b"second"]

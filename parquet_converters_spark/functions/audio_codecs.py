@@ -598,3 +598,37 @@ def ogg_flac_to_native(data: bytes) -> bytes | None:
             pkts[0][9:13] != b"fLaC":
         return None
     return pkts[0][9:] + b"".join(pkts[1:])
+
+
+def encode_ogg_flac(rate: int, samples, channels: int = 1,
+                    bits: int = 16, block_size: int = 4096) -> bytes:
+    """PCM -> Ogg-FLAC (FLAC-to-Ogg mapping 1.0 over RFC 3533 pages):
+    the production FLAC encoder runs with frame boundaries exposed,
+    packet 0 carries the mapping header + fLaC signature + STREAMINFO
+    on the BOS page, and each audio frame rides its own packet/page
+    with the granule position at the cumulative sample count (EOS flag
+    on the last).  Roundtrips through ogg_flac_to_native byte-exactly
+    by construction — the demux concatenation law in reverse."""
+    from parquet_converters_spark.functions.flac_encoder import (
+        encode_flac as _encode_flac_full,
+    )
+    from parquet_converters_spark.functions.media_craft import ogg_page
+
+    header, frames = _encode_flac_full(
+        rate, samples, channels, bits, block_size, return_frames=True,
+    )
+    pages = [ogg_page(
+        0, b"\x7fFLAC\x01\x00" + (0).to_bytes(2, "big") + header,
+        htype=2, seq=0,
+    )]
+    total = len(samples) // max(1, channels)
+    done = 0
+    for i, fr in enumerate(frames):
+        done = min(done + block_size, total)
+        pages.append(ogg_page(
+            done, fr,
+            htype=4 if i == len(frames) - 1 else 0, seq=i + 1,
+        ))
+    if not frames:  # empty stream: a bare EOS page closes it
+        pages.append(ogg_page(0, b"", htype=4, seq=1))
+    return b"".join(pages)

@@ -399,7 +399,7 @@ def _write_subframe(bw: _BitBuf, x: np.ndarray, bits: int, choice) -> None:
 
 
 def encode_flac(rate: int, samples, channels: int = 1, bits: int = 16,
-                block_size: int = 4096) -> bytes:
+                block_size: int = 4096, return_frames: bool = False):
     """Encode interleaved PCM to a FLAC stream (RFC 9639).
 
     ``samples`` is interleaved (the convention of ``decode_flac`` /
@@ -408,6 +408,12 @@ def encode_flac(rate: int, samples, channels: int = 1, bits: int = 16,
     subframes with cost-chosen Rice partitions; stereo input
     additionally picks the per-frame channel decorrelation
     (independent / left-side / right-side / mid-side, section 4.1).
+
+    ``return_frames=True`` returns ``(header_bytes, [frame_bytes])``
+    instead of the joined stream — the frame boundaries a container
+    muxer needs (the FLAC-to-Ogg mapping packetizes one frame per
+    packet); ``header + b"".join(frames)`` is byte-identical to the
+    default return.
     """
     if channels < 1 or channels > 8:
         raise ValueError("FLAC: channels must be 1..8")
@@ -429,7 +435,7 @@ def encode_flac(rate: int, samples, channels: int = 1, bits: int = 16,
         raise ValueError("FLAC: too many samples for STREAMINFO")
     chans = [arr[c::channels] for c in range(channels)]
 
-    frames = bytearray()
+    frame_list: list[bytes] = []
     min_frame = max_frame = None
     pos = 0
     frame_idx = 0
@@ -439,7 +445,7 @@ def encode_flac(rate: int, samples, channels: int = 1, bits: int = 16,
             [c[pos:pos + n] for c in chans], n, rate, bits, frame_idx,
             last=(pos + n >= total), block_size=block_size,
         )
-        frames += frame
+        frame_list.append(frame)
         min_frame = len(frame) if min_frame is None else min(
             min_frame, len(frame))
         max_frame = max(max_frame or 0, len(frame))
@@ -454,8 +460,11 @@ def encode_flac(rate: int, samples, channels: int = 1, bits: int = 16,
         | total
     si += packed.to_bytes(8, "big")
     si += _audio_md5(arr.tolist(), bits)
-    return (b"fLaC" + bytes([0x80]) + len(si).to_bytes(3, "big")
-            + bytes(si) + bytes(frames))
+    header = (b"fLaC" + bytes([0x80]) + len(si).to_bytes(3, "big")
+              + bytes(si))
+    if return_frames:
+        return header, frame_list
+    return header + b"".join(frame_list)
 
 
 def _encode_frame(chans, n, rate, bits, frame_idx, last, block_size):

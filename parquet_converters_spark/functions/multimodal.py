@@ -702,6 +702,10 @@ def transcode_audio(
       decorrelation, wasted-bits detection.
     - ``"wav"`` / ``"au"`` / ``"aiff"`` — canonical PCM containers at
       the chosen depth (stdlib-crossread writers).
+    - ``"ogg"`` — the same production FLAC encode wrapped in the
+      FLAC-to-Ogg mapping 1.0 (one frame per packet/page, granule =
+      cumulative samples; ``audio_codecs.encode_ogg_flac``), the
+      streaming-friendly container form.
 
     ``depth='pcm16'`` (default) rides the engine's PCM16 interchange
     convention (the decode_media audio contract): exact for 16-bit and
@@ -717,7 +721,7 @@ def transcode_audio(
     100 TB this runs as a partition-parallel rewrite whose output
     parquet carries the compressed payloads.
     """
-    if target not in ("flac", "wav", "au", "aiff"):
+    if target not in ("flac", "wav", "au", "aiff", "ogg"):
         raise ValueError(f"transcode_audio: unknown target {target!r}")
     if depth not in ("pcm16", "native"):
         raise ValueError(f"transcode_audio: unknown depth {depth!r}")
@@ -766,6 +770,15 @@ def transcode_audio(
                         rate = resample_to
                 if target == "flac":
                     body = encode_flac(
+                        rate, samples, channels, bits,
+                        block_size=block_size,
+                    )
+                elif target == "ogg":
+                    from parquet_converters_spark.functions.audio_codecs import (  # noqa: E501
+                        encode_ogg_flac,
+                    )
+
+                    body = encode_ogg_flac(
                         rate, samples, channels, bits,
                         block_size=block_size,
                     )

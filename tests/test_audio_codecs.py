@@ -929,3 +929,59 @@ def test_ogg_demux_edge_framing():
     assert second[:4] == b"OggS" and second[5] & 0x01
     pkts = ogg_packets(second)
     assert pkts == [b"tail"]  # orphan fragment of `big` discarded
+
+
+def test_encode_ogg_flac_roundtrip(spark):
+    """r14: the mux direction — transcode_audio(target='ogg') wraps
+    the production FLAC encode in the FLAC-to-Ogg mapping (one frame
+    per packet/page, cumulative granules, EOS on the last page); the
+    demux side (itself validated against the independent test-side
+    muxer) must reproduce the bare FLAC stream byte-exactly, the full
+    CRC/MD5 ladder green, and the probe must read the mapping
+    header + last-page granule back."""
+    from parquet_converters_spark.functions.audio_codecs import (
+        encode_ogg_flac,
+        ogg_flac_to_native,
+        ogg_packets,
+    )
+    from parquet_converters_spark.functions.flac_codec import (
+        decode_flac_full,
+    )
+    from parquet_converters_spark.functions.flac_encoder import (
+        encode_flac as prod_encode_flac,
+    )
+    from parquet_converters_spark.functions.media_probe import (
+        probe_media_payload,
+    )
+
+    pcm = [((17 * k) % 2000) - 1000 for k in range(3000)]
+    ogg = encode_ogg_flac(12000, pcm, channels=1, bits=16,
+                          block_size=1024)
+    bare = prod_encode_flac(12000, pcm, 1, 16, block_size=1024)
+    assert ogg_flac_to_native(ogg) == bare  # concatenation law
+    # mapping shape: header packet + one packet per frame (3 frames)
+    pkts = ogg_packets(ogg)
+    assert len(pkts) == 1 + 3 and pkts[0][:5] == b"\x7fFLAC"
+    rate, ch, bits, samples, md5_ok = decode_flac_full(
+        ogg_flac_to_native(ogg))
+    assert md5_ok is True and samples == pcm
+    rec = probe_media_payload(ogg)
+    assert rec["format"] == "ogg/flac"
+    assert rec["duration_s"] == pytest.approx(3000 / 12000)
+    # through the Spark sink: any source -> ogg -> decode == source
+    from parquet_converters_spark.functions.media_codecs import encode_wav
+    from parquet_converters_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        transcode_audio,
+    )
+
+    wav = encode_wav(16000, pcm[:800])
+    df = spark.createDataFrame(
+        [(1, "audio", bytearray(wav), "audio/wav", 0)], MEDIA_SCHEMA)
+    out = transcode_audio(df, target="ogg").collect()[0]
+    r2, c2, b2, s2, ok2 = decode_flac_full(
+        ogg_flac_to_native(bytes(out["payload"])))
+    assert (r2, c2, b2, s2, ok2) == (16000, 1, 16, pcm[:800], True)
+    # empty-stream degenerate: bare EOS page, still demuxable
+    empty = encode_ogg_flac(8000, [], channels=1, bits=16)
+    assert ogg_flac_to_native(empty)[:4] == b"fLaC"

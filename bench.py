@@ -513,6 +513,81 @@ def bench_hdf5_parallel(spark, sf_dir: str, timed_runs: int) -> dict[str, float]
     return out
 
 
+# --- machine-state canaries (r14 VERDICT item 3) ---------------------------
+# Three fixed workloads on NEVER-CHANGING code paths, one per
+# machine-sensitive regime: pure JVM whole-stage codegen (no repo
+# code, no I/O), the shuffle machinery, and the Arrow/Python-worker
+# lane.  Their idle min-of-8 references are recorded ONCE below
+# (measured on this box, SCALE.md "bench canaries"); every bench run
+# re-times them and ships box_factor = median(time / idle_ref), so a
+# driver-record mover that sits inside the canary band is adjudicated
+# as machine state — not code — without a min-of-8 re-investigation.
+CANARY_IDLE_REF: dict[str, float] = {
+    "canary_jvm_range": 0.223,
+    "canary_shuffle": 0.436,
+    "canary_python_arrow": 0.821,
+}
+
+
+def bench_canaries(spark, timed_runs: int) -> dict[str, float]:
+    """Time the three canaries; sf-independent by construction."""
+    from pyspark.sql import functions as F
+
+    def timed(fn):
+        fn()
+        best = float("inf")
+        for _ in range(timed_runs):
+            t0 = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 3)
+
+    def jvm_range():
+        (spark.range(1 << 29)
+         .select(F.sum(F.col("id") % 7).alias("s"),
+                 F.count(F.lit(1)).alias("n"))
+         .write.format("noop").mode("overwrite").save())
+
+    def shuffle():
+        (spark.range(1 << 24)
+         .groupBy((F.col("id") % 65536).alias("k"))
+         .agg(F.count(F.lit(1)).alias("n"), F.sum("id").alias("s"))
+         .write.format("noop").mode("overwrite").save())
+
+    def python_arrow():
+        import numpy as np
+        import pandas as pd
+
+        def f(batches):
+            for pdf in batches:
+                x = pdf["id"].to_numpy(dtype="float64")
+                yield pd.DataFrame({"x": np.sqrt(x) + np.sin(x)})
+
+        (spark.range(1 << 22).repartition(32).mapInPandas(f, "x double")
+         .write.format("noop").mode("overwrite").save())
+
+    return {
+        "canary_jvm_range": timed(jvm_range),
+        "canary_shuffle": timed(shuffle),
+        "canary_python_arrow": timed(python_arrow),
+    }
+
+
+def box_factor(canaries: dict[str, float]) -> float:
+    """Median per-canary elevation over the recorded idle references —
+    1.0 on an idle box, >1 under whole-box contention."""
+    ratios = sorted(
+        canaries[k] / ref for k, ref in CANARY_IDLE_REF.items()
+        if k in canaries and ref > 0
+    )
+    if not ratios:
+        return 1.0
+    mid = len(ratios) // 2
+    med = ratios[mid] if len(ratios) % 2 else \
+        (ratios[mid - 1] + ratios[mid]) / 2
+    return round(med, 3)
+
+
 def _wait_for_idle(max_wait_sec: float = 90.0) -> None:
     """Bounded wait for the box to go quiet before timing anything.
 
@@ -592,6 +667,12 @@ def main() -> None:
     times.update(bench_webp_seam(spark, timed_runs))
     times.update(bench_audio_seam(spark, timed_runs))
 
+    # canaries LAST: they sample the box state the queries just ran
+    # under; excluded from the headline total (they measure the
+    # machine, not the engine)
+    canaries = bench_canaries(spark, timed_runs)
+    factor = box_factor(canaries)
+
     total = round(sum(times.values()), 3)
     # Two lines, detail FIRST: the full per-query line is 100+ entries
     # and round 2's single huge line overflowed the driver's tail
@@ -606,6 +687,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": sf,
+                "canaries": canaries,
+                "box_factor": factor,
             }
         )
     )
@@ -631,6 +714,8 @@ def main() -> None:
                 "queries": slowest,
                 "sf": sf,
                 "n_queries": len(times),
+                "canaries": canaries,
+                "box_factor": factor,
             }
         )
     )

@@ -14,23 +14,49 @@ from __future__ import annotations
 
 import struct
 
+#: RFC 3533 §6 page CRC: poly 0x04C11DB7, init 0, NON-reflected, no
+#: final xor — NOT the zlib/IEEE reflected variant.  Table built once.
+_OGG_CRC_TABLE = []
+for _b in range(256):
+    _r = _b << 24
+    for _ in range(8):
+        _r = ((_r << 1) ^ 0x04C11DB7) if (_r & 0x80000000) else (_r << 1)
+    _OGG_CRC_TABLE.append(_r & 0xFFFFFFFF)
+del _b, _r
+
+
+def ogg_crc(data: bytes) -> int:
+    """The RFC 3533 page checksum over ``data`` (CRC field must
+    already be zeroed in the input)."""
+    crc = 0
+    for byte in data:
+        crc = ((crc << 8) & 0xFFFFFFFF) ^ \
+            _OGG_CRC_TABLE[((crc >> 24) & 0xFF) ^ byte]
+    return crc
+
 
 def ogg_page(granule: int, packet: bytes, htype: int = 2,
              seq: int = 0, serial: int = 1) -> bytes:
     """One Ogg page (RFC 3533 §6) carrying one whole packet: 255-run
-    lacing with the 0-terminator for exact multiples; CRC left zero
-    (readers that verify it must recompute — ours reads structure)."""
+    lacing with the 0-terminator for exact multiples.  The page CRC
+    is computed per spec (r14 ADVICE: spec-compliant readers —
+    libogg, ffmpeg — verify it and discard mismatching pages, so the
+    transcode sink's output must carry a real checksum)."""
     segs = []
     rest = len(packet)
     while rest >= 255:
         segs.append(255)
         rest -= 255
     segs.append(rest)
-    return (b"OggS\x00" + bytes([htype])
-            + granule.to_bytes(8, "little")
-            + serial.to_bytes(4, "little")
-            + seq.to_bytes(4, "little") + b"\x00\x00\x00\x00"
-            + bytes([len(segs)]) + bytes(segs) + packet)
+    page = bytearray(
+        b"OggS\x00" + bytes([htype])
+        + granule.to_bytes(8, "little")
+        + serial.to_bytes(4, "little")
+        + seq.to_bytes(4, "little") + b"\x00\x00\x00\x00"
+        + bytes([len(segs)]) + bytes(segs) + packet
+    )
+    page[22:26] = ogg_crc(page).to_bytes(4, "little")
+    return bytes(page)
 
 
 def mp4_box(typ: bytes, payload: bytes) -> bytes:

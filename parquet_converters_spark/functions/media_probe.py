@@ -133,14 +133,18 @@ def _probe_mpeg_audio(d: bytes, hdr_at: int) -> dict:
     # Layer III side info; VBRI at a fixed +32 (Fraunhofer spec).
     frames = None
     if layer == 3:
+        # protection_bit=0 (b1 bit 0 clear) means a 16-bit CRC sits
+        # between the header and the side info (ISO/IEC 11172-3
+        # §2.4.1.3) — both VBR tag probes must step over it
+        crc2 = 0 if (b1 & 1) else 2
         side = (17 if mono else 32) if is_v1 else (9 if mono else 17)
-        p = hdr_at + 4 + side
+        p = hdr_at + 4 + crc2 + side
         if d[p : p + 4] in (b"Xing", b"Info") and p + 12 <= n:
             (flags,) = struct.unpack_from(">I", d, p + 4)
             if flags & 1:
                 (frames,) = struct.unpack_from(">I", d, p + 8)
         else:
-            p = hdr_at + 4 + 32
+            p = hdr_at + 4 + crc2 + 32
             if d[p : p + 4] == b"VBRI" and p + 18 <= n:
                 (frames,) = struct.unpack_from(">I", d, p + 14)
     if frames is not None:
@@ -439,7 +443,11 @@ def _probe_ogg(d: bytes) -> dict:
                 gp = int.from_bytes(d[q + 6 : q + 14], "little")
                 if 0 < gp < (1 << 64) - 1:
                     out["duration_s"] = max(0, gp - preskip) / gps_rate
-                break
+                    break
+                # -1 sentinel ("no packet ends on this page", legal on
+                # continuation-only pages, RFC 3533 §6) or 0: keep
+                # scanning earlier pages for a usable granule (r14
+                # ADVICE) instead of silently dropping the duration
             q = d.rfind(b"OggS", 1, q)
     return out
 

@@ -485,12 +485,17 @@ def jdk_sound_mp3_supported(classes: dict | None = None) -> bool:
     # 11172-3 §2.4.3.1) — byte-identical construction to the
     # test-side crafter in tests/test_media_probe.py
     frame = b"\xff\xfb\x90\xc0" + b"\x00" * 413
+    if classes is None:
+        classes = _compile_audio_bridge()
     try:
-        if classes is None:
-            classes = _compile_audio_bridge()
         _audio_bridge_decode(classes, frame * 4)
         supported = True
-    except Exception:
+    except ValueError as e:
+        # memoize ONLY the in-band SPI answer; a transient bridge/JVM
+        # failure must propagate rather than pin the capability to
+        # False for the whole process (r14 ADVICE)
+        if "UnsupportedAudioFileException" not in str(e):
+            raise
         supported = False
     _JDK_MP3_CAPABILITY.append(supported)
     return supported

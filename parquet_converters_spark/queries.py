@@ -9862,3 +9862,11 @@ _R15_WINDOW = [
     "count_sum",
 ]
 _check_window(_R15_WINDOW, "_R15_WINDOW", prior=_R14_WINDOW)
+# ACTIVE for round 15 (CORRECTNESS_r14 was 50/50 — no reds to promote;
+# the window is exactly the pre-wired rotation: the never-graded r14
+# registration media_triage_census at the front, the r11-latest
+# remainder, then the r12 alphabetical head):
+QUERIES = {
+    **{name: QUERIES[name] for name in _R15_WINDOW},
+    **{name: v for name, v in QUERIES.items() if name not in _R15_WINDOW},
+}

@@ -985,3 +985,98 @@ def test_encode_ogg_flac_roundtrip(spark):
     # empty-stream degenerate: bare EOS page, still demuxable
     empty = encode_ogg_flac(8000, [], channels=1, bits=16)
     assert ogg_flac_to_native(empty)[:4] == b"fLaC"
+
+
+def _ogg_crc_ref(data: bytes) -> int:
+    """Independent bitwise RFC 3533 page CRC (poly 0x04C11DB7, init 0,
+    non-reflected, no final xor) — checks the engine's table-driven
+    implementation from a second construction."""
+    crc = 0
+    for byte in data:
+        crc ^= byte << 24
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x04C11DB7) if crc & 0x80000000 \
+                else (crc << 1)
+            crc &= 0xFFFFFFFF
+    return crc
+
+
+def test_ogg_pages_carry_spec_crc():
+    """r15 ADVICE (high): spec-compliant readers (libogg, ffmpeg)
+    verify the page CRC and DISCARD mismatching pages — every page the
+    engine emits (the transcode sink included) must carry the real
+    RFC 3533 checksum, verified here against an independent bitwise
+    implementation."""
+    from parquet_converters_spark.functions.audio_codecs import (
+        encode_ogg_flac,
+        ogg_flac_to_native,
+    )
+    from parquet_converters_spark.functions.media_craft import (
+        ogg_crc,
+        ogg_page,
+    )
+
+    # the crafting primitive itself, including a multi-lace page
+    for pkt in (b"", b"x", b"y" * 255, b"z" * 700):
+        page = ogg_page(3, pkt, htype=0, seq=7)
+        stored = int.from_bytes(page[22:26], "little")
+        assert stored != 0 or pkt == b""
+        zeroed = bytearray(page)
+        zeroed[22:26] = b"\x00\x00\x00\x00"
+        assert stored == _ogg_crc_ref(bytes(zeroed))
+        assert ogg_crc(bytes(zeroed)) == stored
+    # every page of a production transcode stream
+    pcm = [((13 * k) % 400) - 200 for k in range(2500)]
+    ogg = encode_ogg_flac(22050, pcm, channels=1, bits=16,
+                          block_size=1024)
+    npages = 0
+    p = 0
+    while p < len(ogg):
+        assert ogg[p : p + 4] == b"OggS"
+        nseg = ogg[p + 26]
+        body = p + 27 + nseg
+        length = 27 + nseg + sum(ogg[p + 27 : body])
+        page = bytearray(ogg[p : p + length])
+        stored = int.from_bytes(page[22:26], "little")
+        page[22:26] = b"\x00\x00\x00\x00"
+        assert stored == _ogg_crc_ref(bytes(page)), f"page {npages}"
+        npages += 1
+        p += length
+    assert npages == 1 + 3  # BOS + ceil(2500/1024) frame pages
+    # and the demux/decode path is CRC-agnostic: still byte-exact
+    assert ogg_flac_to_native(ogg)[:4] == b"fLaC"
+
+
+def test_jdk_mp3_probe_memoizes_only_in_band(monkeypatch):
+    """r15 ADVICE: only the in-band UnsupportedAudioFileException may
+    pin the MP3 capability to False — a transient bridge/JVM failure
+    must propagate un-memoized, or one hiccup permanently disables
+    the decode seam for the whole process."""
+    from parquet_converters_spark.functions import native_codecs as nc
+
+    saved = list(nc._JDK_MP3_CAPABILITY)
+    nc._JDK_MP3_CAPABILITY.clear()
+    try:
+        def boom(classes, payload):
+            raise ValueError("JDK sound: java.io.IOException: pipe")
+
+        monkeypatch.setattr(nc, "_audio_bridge_decode", boom)
+        with pytest.raises(ValueError, match="pipe"):
+            nc.jdk_sound_mp3_supported(classes={})
+        assert nc._JDK_MP3_CAPABILITY == []  # NOT pinned
+
+        def unsupported(classes, payload):
+            raise ValueError(
+                "JDK sound: javax.sound.sampled."
+                "UnsupportedAudioFileException: Stream of unsupported"
+                " format")
+
+        monkeypatch.setattr(nc, "_audio_bridge_decode", unsupported)
+        assert nc.jdk_sound_mp3_supported(classes={}) is False
+        assert nc._JDK_MP3_CAPABILITY == [False]
+        # once memoized, later transient errors are never consulted
+        monkeypatch.setattr(nc, "_audio_bridge_decode", boom)
+        assert nc.jdk_sound_mp3_supported(classes={}) is False
+    finally:
+        nc._JDK_MP3_CAPABILITY.clear()
+        nc._JDK_MP3_CAPABILITY.extend(saved)

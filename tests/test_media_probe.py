@@ -253,12 +253,13 @@ def test_multimodal_probe_query_matches_fixture_metadata(spark):
 
 
 def _mpeg_frame(version=3, layer=3, br_idx=9, sr_code=0, mode=0,
-                tail=12):
+                tail=12, prot=1):
     """Hand-craft one MPEG audio frame header from ISO/IEC 11172-3
     §2.4.1.3 (version: 3=MPEG1 2=MPEG2 0=MPEG2.5; layer 1/2/3; mode
-    0=stereo 3=mono) — the independent test-side constructor the
-    probe is checked against."""
-    b1 = 0xE0 | (version << 3) | ((4 - layer) << 1) | 1
+    0=stereo 3=mono; prot=0 means a 16-bit CRC follows the header) —
+    the independent test-side constructor the probe is checked
+    against."""
+    b1 = 0xE0 | (version << 3) | ((4 - layer) << 1) | prot
     b2 = (br_idx << 4) | (sr_code << 2)
     b3 = mode << 6
     return bytes([0xFF, b1, b2, b3]) + b"\x00" * tail
@@ -694,3 +695,50 @@ def test_ogg_midstream_orphan_fragment_dropped():
            + (1).to_bytes(4, "little") + b"\x00" * 4
            + bytes([2, 7, 6]) + b"XXXXXXX" + b"second")
     assert ogg_packets(first + bad) == [b"first", b"second"]
+
+
+def test_probe_mpeg_crc_protected_vbr_tags():
+    """r15 ADVICE: protection_bit=0 (header bit 0 CLEAR) inserts a
+    16-bit CRC between the header and the Layer III side info
+    (ISO/IEC 11172-3 §2.4.1.3) — both VBR tag probes must step over
+    it, or CRC-protected VBR files miss the exact frame count."""
+    # MPEG1 L3 mono + CRC: Xing sits at 4 (header) + 2 (CRC) + 17
+    xing = (_mpeg_frame(br_idx=5, mode=3, prot=0, tail=0)
+            + b"\xBE\xEF" + b"\x00" * 17
+            + b"Xing" + (1).to_bytes(4, "big")
+            + (1234).to_bytes(4, "big") + b"\x00" * 40)
+    rec = probe_media_payload(xing)
+    assert rec["duration_s"] == pytest.approx(1234 * 1152 / 44100)
+    # VBRI with CRC: 4 + 2 + 32
+    vbri = (_mpeg_frame(prot=0, tail=0) + b"\xBE\xEF" + b"\x00" * 32
+            + b"VBRI" + b"\x00" * 10 + (99).to_bytes(4, "big")
+            + b"\x00" * 8)
+    rec = probe_media_payload(vbri)
+    assert rec["duration_s"] == pytest.approx(99 * 1152 / 44100)
+    # and the UNprotected layout must be unchanged by the fix
+    xing1 = (_mpeg_frame(br_idx=5, mode=3, tail=0) + b"\x00" * 17
+             + b"Xing" + (1).to_bytes(4, "big")
+             + (77).to_bytes(4, "big") + b"\x00" * 40)
+    assert probe_media_payload(xing1)["duration_s"] == pytest.approx(
+        77 * 1152 / 44100)
+
+
+def test_probe_ogg_granule_sentinel_skipped():
+    """r15 ADVICE: a trailing continuation-only page may legally carry
+    the -1 'no packet ends here' granule sentinel (RFC 3533 §6) — the
+    backward scan must keep looking at earlier pages instead of
+    breaking and silently dropping the duration."""
+    vorbis_id = (b"\x01vorbis" + b"\x00" * 4 + bytes([2])
+                 + (44100).to_bytes(4, "little") + b"\x00" * 8
+                 + b"\x00" * 4 + b"\xb8\x01")
+    body = (_ogg_page(0, vorbis_id)
+            + _ogg_page(441000, b"x" * 300, htype=0, seq=1))
+    # sentinel granule on the last page: duration from the page before
+    data = body + _ogg_page((1 << 64) - 1, b"y", htype=1, seq=2)
+    rec = probe_media_payload(data)
+    assert rec["format"] == "ogg/vorbis"
+    assert rec["duration_s"] == pytest.approx(441000 / 44100)
+    # a zero granule (header page) past the data page: same skip rule
+    data = body + _ogg_page(0, b"y", htype=0, seq=2)
+    assert probe_media_payload(data)["duration_s"] == pytest.approx(
+        441000 / 44100)

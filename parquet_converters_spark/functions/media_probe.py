@@ -16,7 +16,12 @@ Probed per family:
   per-variant dimension encoding.
 - **audio** (WAV, Sun AU, AIFF/AIFC, FLAC): sample rate / channels /
   bit depth / duration (seconds, when the header carries a length).
-- **video** (AVI): dims + frame count + fps from ``avih``/``strh``.
+- **video** (AVI): dims + frame count + fps from ``avih``/``strh``,
+  codec fourcc from the first ``vids`` stream header.  For the
+  ISO-BMFF and Matroska containers (r15), per-track video depth
+  without any decoder: codec (VisualSampleEntry fourcc / CodecID),
+  frame count (stts/stsz sample counts; SimpleBlock cadence), and
+  frame rate (stts deltas over the mdhd timescale; DefaultDuration).
 - **MPEG audio (MP3/MP2/MP1)**: full frame-header parse (ISO/IEC
   11172-3 §2.4.1.3 + the MPEG-2 LSF extension) — version, layer,
   sample rate, channels, declared bitrate — plus duration from a
@@ -68,6 +73,15 @@ PROBE_SCHEMA = StructType(
         # formats leave it null (their rate*ch*bits is derivable)
         StructField("bit_rate", IntegerType(), True),
         StructField("duration_s", DoubleType(), True),
+        # r15 video track depth (header-only, no decoder): primary
+        # track's codec identity (ISO-BMFF sample-entry fourcc /
+        # Matroska CodecID / AVI strh handler), frame count (stts or
+        # stsz sample counts; Matroska block cadence; avih), and
+        # frame rate (stts deltas over the mdhd timescale; Matroska
+        # DefaultDuration; avih usec-per-frame)
+        StructField("codec", StringType(), True),
+        StructField("fps", DoubleType(), True),
+        StructField("n_frames", LongType(), True),
         StructField("n_bytes", LongType(), False),
     ]
 )
@@ -196,9 +210,13 @@ def _sanitize(rec: dict) -> dict:
         v = rec.get(k)
         if v is not None and not (0 <= v < 2**31):
             rec[k] = None
-    dur = rec.get("duration_s")
-    if dur is not None and not (0 <= dur < 1e12):  # NaN/inf/absurd
-        rec["duration_s"] = None
+    for k in ("duration_s", "fps"):
+        v = rec.get(k)
+        if v is not None and not (0 <= v < 1e12):  # NaN/inf/absurd
+            rec[k] = None
+    nf = rec.get("n_frames")
+    if nf is not None and not (0 <= nf < 2**63):
+        rec["n_frames"] = None
     return rec
 
 
@@ -327,9 +345,21 @@ def _probe(d: bytes) -> dict:
                 "<IIIII", d[idx + 8 : idx + 28]
             )
             w, h = struct.unpack("<II", d[idx + 40 : idx + 48])
-            out.update(width=w, height=h)
+            out.update(width=w, height=h, n_frames=frames)
             if usec:
                 out["duration_s"] = frames * usec / 1e6
+                out["fps"] = 1e6 / usec
+        # r15: codec identity from the first 'vids' stream header
+        # (fccHandler fourcc, e.g. MJPG)
+        sidx = d.find(b"strh")
+        while sidx >= 0 and sidx + 16 <= n:
+            if d[sidx + 8 : sidx + 12] == b"vids":
+                fcc = d[sidx + 12 : sidx + 16]
+                if fcc.strip(b"\x00 "):
+                    out["codec"] = fcc.decode(
+                        "ascii", "replace").strip().lower()
+                break
+            sidx = d.find(b"strh", sidx + 4)
         return out
     # ---- MPEG audio (header parse, no decode) ----
     if d[:3] == b"ID3" or (d[0] == 0xFF and (d[1] & 0xE0) == 0xE0):
@@ -452,16 +482,27 @@ def _probe_ogg(d: bytes) -> dict:
     return out
 
 
+#: VisualSampleEntry fourccs the probe names as video codecs
+#: (ISO/IEC 14496-15 avc/hevc bindings, VP9-in-ISO-BMFF, AV1-ISOBMFF).
+_BMFF_VIDEO_ENTRIES = (b"avc1", b"avc3", b"hvc1", b"hev1", b"vp08",
+                       b"vp09", b"av01", b"mp4v", b"s263", b"mjpa")
+
+
 def _probe_isobmff(d: bytes) -> dict:
     """ISO-BMFF (MP4/M4A/MOV family) probe: major brand from ftyp,
     duration from moov/mvhd (version 0 and 1 layouts), kind from the
-    trak handlers (all-'soun' -> audio), and rate/channels from an
-    mp4a audio sample entry when one exists (ISO/IEC 14496-12 §8.2.2,
-    §8.4.3, 14496-14 §5.6)."""
+    trak handlers (all-'soun' -> audio), rate/channels from an mp4a
+    audio sample entry when one exists (ISO/IEC 14496-12 §8.2.2,
+    §8.4.3, 14496-14 §5.6), and — r15 — per-track video depth from
+    the sample table alone: codec fourcc + dims from the
+    VisualSampleEntry (§12.1.3), frame count from stts/stsz sample
+    counts (§8.6.1.2, §8.7.3.2), frame rate from the stts delta sum
+    over the mdhd media timescale (§8.4.2).  All header-only."""
     brand = d[8:12].decode("ascii", "replace").strip()
     out = dict(format=f"isobmff/{brand}", kind="video")
     n = len(d)
     handlers = []
+    tracks: list[dict] = []
 
     def boxes(lo, hi):
         p = lo
@@ -481,10 +522,15 @@ def _probe_isobmff(d: bytes) -> dict:
             yield typ, body, min(p + sz, hi)
             p += sz
 
-    def walk(lo, hi, depth):
+    def walk(lo, hi, depth, t=None):
         if depth > 8:
             return
         for typ, body, end in boxes(lo, hi):
+            if typ == b"trak":
+                t = {}
+                tracks.append(t)
+                walk(body, end, depth + 1, t)
+                continue
             if typ == b"mvhd" and body < end:
                 v = d[body]
                 ts = dur = unknown = 0
@@ -499,7 +545,15 @@ def _probe_isobmff(d: bytes) -> dict:
                 if ts and dur and dur != unknown:
                     out["duration_s"] = dur / ts
             elif typ == b"hdlr" and body + 12 <= end:
-                handlers.append(d[body + 8 : body + 12])
+                h = d[body + 8 : body + 12]
+                handlers.append(h)
+                if t is not None:
+                    t["handler"] = h
+            elif typ == b"mdhd" and t is not None and body < end:
+                off = body + (20 if d[body] == 1 else 12)
+                if off + 4 <= end:
+                    t["timescale"] = int.from_bytes(
+                        d[off : off + 4], "big")
             elif typ == b"tkhd":
                 # track dims: 16.16 fixed at +76 (v0) / +88 (v1)
                 off = body + (88 if d[body : body + 1] == b"\x01"
@@ -509,7 +563,33 @@ def _probe_isobmff(d: bytes) -> dict:
                     th = int.from_bytes(d[off + 4 : off + 6], "big")
                     if tw and th and out.get("width") is None:
                         out["width"], out["height"] = tw, th
+            elif typ == b"stts" and t is not None and body + 8 <= end:
+                cnt = int.from_bytes(d[body + 4 : body + 8], "big")
+                cnt = min(cnt, (end - body - 8) // 8)
+                frames = ticks = 0
+                for i in range(cnt):
+                    e = body + 8 + 8 * i
+                    sc = int.from_bytes(d[e : e + 4], "big")
+                    delta = int.from_bytes(d[e + 4 : e + 8], "big")
+                    frames += sc
+                    ticks += sc * delta
+                if frames:
+                    t["stts_frames"], t["stts_ticks"] = frames, ticks
+            elif typ == b"stsz" and t is not None and body + 12 <= end:
+                t["stsz_count"] = int.from_bytes(
+                    d[body + 8 : body + 12], "big")
+            elif typ in _BMFF_VIDEO_ENTRIES and end - body >= 28:
+                if t is not None and "codec" not in t:
+                    t["codec"] = typ.decode("ascii", "replace")
+                # VisualSampleEntry: 6 reserved + dref(2), 2+2+12
+                # pre_defined/reserved, then width(2) height(2)
+                tw = int.from_bytes(d[body + 24 : body + 26], "big")
+                th = int.from_bytes(d[body + 26 : body + 28], "big")
+                if tw and th and out.get("width") is None:
+                    out["width"], out["height"] = tw, th
             elif typ == b"mp4a" and end - body >= 28:
+                if t is not None and "codec" not in t:
+                    t["codec"] = "mp4a"
                 # AudioSampleEntry: 6 reserved + dref idx(2), 8
                 # reserved, channelcount(2), samplesize(2), 4 more,
                 # samplerate as 16.16 fixed (integer part read)
@@ -528,15 +608,32 @@ def _probe_isobmff(d: bytes) -> dict:
                     avg = _esds_avg_bitrate(d, e + 8, end)
                     if avg:
                         out["bit_rate"] = avg
-            if typ in (b"moov", b"trak", b"mdia", b"minf", b"stbl"):
-                walk(body, end, depth + 1)
+            if typ in (b"moov", b"mdia", b"minf", b"stbl"):
+                walk(body, end, depth + 1, t)
             elif typ == b"stsd":
                 # version/flags(4) + entry_count(4), then sample entries
-                walk(body + 8, end, depth + 1)
+                walk(body + 8, end, depth + 1, t)
 
     walk(0, n, 0)
     if handlers and all(h == b"soun" for h in handlers):
         out["kind"] = "audio"
+    # primary-track depth: the first video track (by handler or by a
+    # recognized VisualSampleEntry), else — audio-only files — the
+    # first audio track's sample-entry codec
+    vid = next((t for t in tracks if t.get("handler") == b"vide"
+                or t.get("codec") in
+                {c.decode() for c in _BMFF_VIDEO_ENTRIES}), None)
+    primary = vid or next((t for t in tracks if "codec" in t), None)
+    if primary is not None:
+        if primary.get("codec"):
+            out["codec"] = primary["codec"]
+        frames = primary.get("stts_frames") or primary.get("stsz_count")
+        if frames and vid is primary:
+            out["n_frames"] = frames
+            ts, ticks = primary.get("timescale"), \
+                primary.get("stts_ticks")
+            if ts and ticks:
+                out["fps"] = primary["stts_frames"] * ts / ticks
     return out
 
 
@@ -584,9 +681,10 @@ _EBML_MASTERS = {
     0x18538067,  # Segment
     0x1549A966,  # Info
     0x1654AE6B,  # Tracks
-    0xAE,        # TrackEntry
     0xE0,        # Video
     0xE1,        # Audio
+    0x1F43B675,  # Cluster (r15: block cadence)
+    0xA0,        # BlockGroup
 }
 
 
@@ -614,13 +712,18 @@ def _probe_ebml(d: bytes) -> dict:
     """Matroska/WebM probe (RFC 8794 EBML + the Matroska element IDs):
     DocType from the EBML header, duration from Segment/Info
     (Duration float x TimecodeScale ns), kind + audio shape / video
-    dims from the first TrackEntry."""
+    dims from the first TrackEntry, and — r15 — video depth without
+    any decoder: CodecID per track, frame rate from DefaultDuration
+    (ns per frame), frame count from the SimpleBlock/Block cadence
+    (each block header carries its track number as a vint; the coded
+    payload itself is skipped via the element size — header-only)."""
     out = dict(format="matroska", kind="video")
     n = len(d)
     scale = [1_000_000]  # TimecodeScale default, ns per tick
-    track_types = []
+    tracks: list[dict] = []
+    block_counts: dict[int, int] = {}
 
-    def walk(lo, hi, depth):
+    def walk(lo, hi, depth, t=None):
         if depth > 6:
             return
         p = lo
@@ -632,8 +735,12 @@ def _probe_ebml(d: bytes) -> dict:
             end = hi if size is None else min(body + size, hi)
             if body >= hi:
                 return
-            if eid in _EBML_MASTERS:
-                walk(body, end, depth + 1)
+            if eid == 0xAE:  # TrackEntry: fresh per-track context
+                t = {}
+                tracks.append(t)
+                walk(body, end, depth + 1, t)
+            elif eid in _EBML_MASTERS:
+                walk(body, end, depth + 1, t)
             elif eid == 0x4282:  # DocType
                 out["format"] = d[body:end].decode("ascii", "replace")
             elif eid == 0x2AD7B1:  # TimecodeScale
@@ -645,7 +752,29 @@ def _probe_ebml(d: bytes) -> dict:
                         ">f" if ln == 4 else ">d", d[body:end])
                     out["_dur_ticks"] = ticks
             elif eid == 0x83:  # TrackType: 1 video, 2 audio
-                track_types.append(d[body] if body < n else 0)
+                if t is not None and body < n:
+                    t["type"] = d[body]
+            elif eid == 0xD7:  # TrackNumber
+                if t is not None:
+                    t["number"] = int.from_bytes(d[body:end], "big")
+            elif eid == 0x86:  # CodecID (ascii, e.g. V_VP9, A_OPUS)
+                if t is not None:
+                    t["codec"] = d[body:end].decode("ascii", "replace")
+            elif eid == 0x23E383:  # DefaultDuration (ns per frame)
+                if t is not None:
+                    t["default_dur_ns"] = int.from_bytes(
+                        d[body:end], "big")
+            elif eid in (0xA3, 0xA1):  # SimpleBlock / Block
+                # header: track number vint (no all-ones 'unknown'
+                # rule here, unlike sizes), then timecode+flags —
+                # the payload is never read (skipped via `end`)
+                b0 = d[body] if body < end else 0
+                if b0:
+                    ln = 9 - b0.bit_length()
+                    if body + ln <= end:
+                        raw = int.from_bytes(d[body : body + ln], "big")
+                        tn = raw & ((1 << (7 * ln)) - 1)
+                        block_counts[tn] = block_counts.get(tn, 0) + 1
             elif eid == 0xB5:  # SamplingFrequency (float)
                 ln = end - body
                 if ln in (4, 8):
@@ -667,8 +796,25 @@ def _probe_ebml(d: bytes) -> dict:
     ticks = out.pop("_dur_ticks", None)
     if ticks is not None and ticks > 0:
         out["duration_s"] = ticks * scale[0] / 1e9
-    if track_types and all(t == 2 for t in track_types):
+    types = [t["type"] for t in tracks if "type" in t]
+    if types and all(t == 2 for t in types):
         out["kind"] = "audio"
+    # primary-track depth: first video track, else first audio track
+    vid = next((t for t in tracks if t.get("type") == 1), None)
+    primary = vid or next((t for t in tracks if "codec" in t), None)
+    if primary is not None:
+        if primary.get("codec"):
+            out["codec"] = primary["codec"]
+        if primary is vid:
+            dd = primary.get("default_dur_ns")
+            if dd:
+                out["fps"] = 1e9 / dd
+            frames = block_counts.get(primary.get("number"))
+            if frames:
+                out["n_frames"] = frames
+            if "fps" not in out and frames and \
+                    out.get("duration_s"):
+                out["fps"] = frames / out["duration_s"]
     return out
 
 

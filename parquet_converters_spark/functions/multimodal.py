@@ -547,12 +547,40 @@ def sample_frames(
                             encode_png(w0, h0, 4, gframes[j][1]),
                         )
                     continue
+                # r15: reject BY NAME (container + codec from the
+                # header-only probe) against the measured capability
+                # matrix — the audio posture (SCALE.md "lossy audio")
+                # applied to video
+                from parquet_converters_spark.functions.media_probe import (
+                    probe_media_payload,
+                )
+                from parquet_converters_spark.functions.native_codecs import (
+                    video_decode_capabilities,
+                )
+
+                rec = probe_media_payload(raw)
+                what = rec.get("format") or "unknown"
+                if rec.get("codec"):
+                    what += f" (codec {rec['codec']})"
+                caps = video_decode_capabilities()
+                seam = next(
+                    (v for v in caps.values() if v.startswith("seam:")),
+                    None,
+                )
                 raise NotImplementedError(
-                    "real frame sampling supports MJPEG-in-AVI, animated "
-                    "GIF, and animated lossless WebP via the stdlib "
-                    "codecs (functions/avi_codec.py + jpeg_codec.py + "
-                    "gif_codec.py + webp_codec.py); other containers "
-                    "need ffmpeg — or pass fake=True for the stub"
+                    f"real frame sampling: {what} needs an external "
+                    "video decoder — the measured capability matrix "
+                    "(functions/native_codecs.py "
+                    "video_decode_capabilities; SCALE.md 'video decode "
+                    "posture') found "
+                    + (f"a live seam ({seam}) not yet wired here"
+                       if seam else
+                       "no decode seam on this box (no ffmpeg/"
+                       "gstreamer; stock JDKs ship no video decode "
+                       "API, so no classpath jar can flip this)")
+                    + "; decodable from spec: MJPEG-in-AVI, animated "
+                    "GIF, animated WebP (VP8L and lossy VP8) — or "
+                    "pass fake=True for the stub"
                 )
             yield pd.DataFrame(out)
 

@@ -499,3 +499,61 @@ def jdk_sound_mp3_supported(classes: dict | None = None) -> bool:
         supported = False
     _JDK_MP3_CAPABILITY.append(supported)
     return supported
+
+
+_VIDEO_CAPABILITIES: list = []  # memoized [dict] once probed
+
+
+def video_decode_capabilities() -> dict[str, str]:
+    """MEASURED video-decode capability matrix for THIS container —
+    the r14 lossy-audio posture (SCALE.md "lossy audio") applied to
+    video (r14 VERDICT item 2).  Never assumed: each entry is either
+    a from-spec decoder this repo ships, or a live ``shutil.which``
+    probe for an external decode seam, re-run per process.
+
+    Values:
+
+    - ``"fromspec"`` — fully decodable by this repo's own codecs
+      (MJPEG-in-AVI via avi_codec+jpeg_codec, animated GIF via
+      gif_codec, animated WebP — VP8L *and* lossy VP8 — via
+      webp_codec/vp8_codec).
+    - ``"fromspec-keyframes"`` — VP8: the RFC 6386 decoder
+      (vp8_codec.py) decodes key frames bit-exactly, but inter-frame
+      prediction state is not implemented, so VP8-in-WebM *video*
+      (P-frames) is not decodable, only still/keyframe payloads.
+    - ``"seam:<tool>"`` — an external tool is PRESENT on this box
+      and a subprocess seam could route to it (none shipped here
+      until a box has one; the probe is what flips this value).
+    - ``"unsupported"`` — no decoder and no seam found.  Stock JDKs
+      ship NO video decode API at all (javax.imageio is stills-only,
+      javax.sound is audio-only; JMF was never part of the JDK), so
+      unlike MP3 there is no SPI that a jar on the classpath could
+      flip — only an external binary can.
+
+    ``probe_media`` still yields full triage metadata (container,
+    codec, dims, fps, frame count, duration) for ALL of these
+    header-only; this matrix governs *decode*, not triage.
+    """
+    if _VIDEO_CAPABILITIES:
+        return _VIDEO_CAPABILITIES[0]
+    import shutil
+
+    tool = next(
+        (t for t in ("ffmpeg", "gst-launch-1.0", "mpv")
+         if shutil.which(t)),
+        None,
+    )
+    external = f"seam:{tool}" if tool else "unsupported"
+    caps = {
+        "mjpeg": "fromspec",
+        "gif": "fromspec",
+        "webp_anim": "fromspec",
+        "vp8": "fromspec-keyframes",
+        "h264": external,
+        "hevc": external,
+        "vp9": external,
+        "av1": external,
+        "mpeg4": external,
+    }
+    _VIDEO_CAPABILITIES.append(caps)
+    return caps

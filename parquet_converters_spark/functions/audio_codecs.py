@@ -513,14 +513,19 @@ def is_ogg(data: bytes) -> bool:
     return data[:4] == b"OggS"
 
 
-def ogg_packets(data: bytes, max_packets: int = 1 << 20) -> list[bytes]:
+def ogg_packets(data: bytes, max_packets: int = 1 << 20,
+                verify_crc: bool = False) -> list[bytes]:
     """Reassemble the FIRST logical stream's packets from an Ogg
     stream (RFC 3533 §6): pages are validated structurally (magic,
     version 0, sane header type), packets are rebuilt from the lacing
     values (a 255 lacing continues the packet, across pages via the
-    continuation flag).  CRCs are not verified — corruption surfaces
-    in the embedded codec's own checksum ladder (FLAC: CRC-8/16 +
-    MD5), which is the stronger check."""
+    continuation flag).  By default CRCs are not verified —
+    corruption surfaces in the embedded codec's own checksum ladder
+    (FLAC: CRC-8/16 + MD5), which is the stronger check;
+    ``verify_crc=True`` additionally enforces each page's RFC 3533
+    checksum (r15 — the engine's own mux emits real CRCs since the
+    r14 ADVICE fix, and legacy zero-CRC fixtures stay readable under
+    the default)."""
     n = len(data)
     packets: list[bytes] = []
     cur = bytearray()
@@ -538,6 +543,19 @@ def ogg_packets(data: bytes, max_packets: int = 1 << 20) -> list[bytes]:
         body_len = sum(seg_table)
         if body + body_len > n:
             raise ValueError("Ogg: truncated page body")
+        if verify_crc:
+            from parquet_converters_spark.functions.media_craft import (
+                ogg_crc,
+            )
+
+            page = bytearray(data[p : body + body_len])
+            stored = int.from_bytes(page[22:26], "little")
+            page[22:26] = b"\x00\x00\x00\x00"
+            if ogg_crc(bytes(page)) != stored:
+                raise ValueError(
+                    f"Ogg: page CRC mismatch at offset {p} "
+                    f"(stored 0x{stored:08x})"
+                )
         if serial is None:
             serial = page_serial
         if page_serial == serial:

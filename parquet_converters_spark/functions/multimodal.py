@@ -465,10 +465,18 @@ def sample_frames(
       define the timeline; the frame VISIBLE at each ``every_ms``
       tick is emitted, re-encoded as RGBA PNG (lossless,
       deterministic, decodable downstream via media_codecs).
+    - WebM V_VP8 (r15; functions/matroska_demux.py + vp8_codec.py):
+      KEYFRAME sampling — the frame emitted at each tick is the
+      latest keyframe at or before it, decoded by the RFC 6386
+      decoder (externally validated bit-exact vs libwebp) and
+      re-encoded as RGB PNG.  Inter frames define the timeline but
+      cannot be decoded (the capability matrix's
+      ``fromspec-keyframes`` row).
 
-    Other containers/codecs raise ``NotImplementedError`` naming what
-    they need.  ``fake=True`` derives frame count/payloads from md5
-    (what the oracle-checked query uses)."""
+    Other containers/codecs raise ``NotImplementedError`` naming the
+    container and codec the header probe found, pointing at the
+    measured capability matrix.  ``fake=True`` derives frame
+    count/payloads from md5 (what the oracle-checked query uses)."""
 
     def run(batches: Iterator["object"]) -> Iterator["object"]:
         import hashlib
@@ -482,6 +490,10 @@ def sample_frames(
         from parquet_converters_spark.functions.gif_codec import (
             is_gif,
             parse_gif_frames,
+        )
+        from parquet_converters_spark.functions.matroska_demux import (
+            is_matroska,
+            parse_matroska_video_blocks,
         )
         from parquet_converters_spark.functions.media_codecs import (
             encode_png,
@@ -521,6 +533,43 @@ def sample_frames(
                             int(round(src * 1000.0 / fps)), frames[src],
                         )
                     continue
+                if is_matroska(raw):
+                    # r15: WebM V_VP8 KEYFRAME sampling from spec —
+                    # the matroska_demux block walk feeds the RFC 6386
+                    # keyframe decoder (externally validated
+                    # bit-exact vs libwebp).  Semantics match the
+                    # GIF/WebP path restricted to what is
+                    # reconstructable without inter-frame state: the
+                    # frame emitted at each tick is the latest
+                    # KEYFRAME at or before it (inter frames define
+                    # the timeline end but cannot be decoded — the
+                    # capability matrix's 'fromspec-keyframes' row).
+                    codec_id, _vw, _vh, blocks = \
+                        parse_matroska_video_blocks(raw)
+                    keys = [(ts, p) for ts, k, p in blocks if k]
+                    if codec_id == "V_VP8" and keys:
+                        from parquet_converters_spark.functions.vp8_codec import (  # noqa: E501
+                            decode_vp8,
+                        )
+
+                        t_end = max(ts for ts, _, _ in blocks)
+                        cache: dict = {}
+                        for kk in range(max_frames):
+                            tick = kk * every_ms
+                            if kk and tick > t_end:
+                                break
+                            elig = [i for i, (s, _) in enumerate(keys)
+                                    if s <= tick]
+                            if not elig:
+                                continue
+                            j = elig[-1]
+                            if j not in cache:
+                                w0, h0, _c, rgb = decode_vp8(keys[j][1])
+                                cache[j] = encode_png(w0, h0, 3, rgb)
+                            emit(out, mid, kk, tick, cache[j])
+                        continue
+                    # other codecs / keyframe-less streams: fall
+                    # through to the named rejection below
                 if is_gif(raw) or is_webp(raw):
                     if is_gif(raw):
                         w0, h0, gframes = parse_gif_frames(raw)
@@ -579,8 +628,9 @@ def sample_frames(
                        "gstreamer; stock JDKs ship no video decode "
                        "API, so no classpath jar can flip this)")
                     + "; decodable from spec: MJPEG-in-AVI, animated "
-                    "GIF, animated WebP (VP8L and lossy VP8) — or "
-                    "pass fake=True for the stub"
+                    "GIF, animated WebP (VP8L and lossy VP8), and "
+                    "WebM V_VP8 keyframes — or pass fake=True for "
+                    "the stub"
                 )
             yield pd.DataFrame(out)
 

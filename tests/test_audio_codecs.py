@@ -1080,3 +1080,25 @@ def test_jdk_mp3_probe_memoizes_only_in_band(monkeypatch):
     finally:
         nc._JDK_MP3_CAPABILITY.clear()
         nc._JDK_MP3_CAPABILITY.extend(saved)
+
+
+def test_ogg_packets_verify_crc():
+    """r15: opt-in page-CRC enforcement — the engine's mux output
+    verifies clean; any single flipped bit in a page fails by name."""
+    from parquet_converters_spark.functions.audio_codecs import (
+        encode_ogg_flac,
+        ogg_packets,
+    )
+
+    pcm = [((5 * k) % 1000) - 500 for k in range(1500)]
+    ogg = encode_ogg_flac(8000, pcm, channels=1, bits=16,
+                          block_size=1024)
+    assert ogg_packets(ogg, verify_crc=True) == ogg_packets(ogg)
+    bad = bytearray(ogg)
+    bad[len(bad) // 2] ^= 0x40  # flip one payload bit mid-stream
+    with pytest.raises(ValueError, match="CRC mismatch"):
+        ogg_packets(bytes(bad), verify_crc=True)
+    # the default stays CRC-agnostic (legacy zero-CRC fixtures)
+    hdr_zeroed = bytearray(ogg)
+    hdr_zeroed[22:26] = b"\x00\x00\x00\x00"
+    assert ogg_packets(bytes(hdr_zeroed)) == ogg_packets(ogg)

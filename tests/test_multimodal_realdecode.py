@@ -1300,3 +1300,130 @@ def test_sample_frames_rejects_by_name(spark):
         sample_frames(df).collect()
     with pytest.raises(Exception, match="video_decode_capabilities"):
         sample_frames(df).collect()
+
+
+def _eb(eid: bytes, payload: bytes) -> bytes:
+    """Test-side EBML element with a general-length size vint —
+    independent of the engine's crafters."""
+    n = len(payload)
+    ln = 1
+    while n >= (1 << (7 * ln)) - 1:
+        ln += 1
+    return eid + ((1 << (7 * ln)) | n).to_bytes(ln, "big") + payload
+
+
+def _vp8_raw(webp: bytes) -> bytes:
+    """Extract the raw VP8 bitstream from a (libwebp-authored) simple
+    lossy WebP container."""
+    assert webp[:4] == b"RIFF" and webp[12:16] == b"VP8 "
+    size = int.from_bytes(webp[16:20], "little")
+    return webp[20 : 20 + size]
+
+
+def _webm_vp8(keyframes, inter_ts=None, group_second=False,
+              codec=b"V_VP8", first_flags=0x80):
+    """Craft a WebM with the given [(ts_ms, vp8_payload)] keyframes on
+    track 1 (SimpleBlocks across two clusters; optionally the second
+    keyframe rides a BlockGroup with no ReferenceBlock) plus an
+    optional undecodable inter block extending the timeline."""
+    import struct as _st
+
+    hdr = _eb(b"\x1a\x45\xdf\xa3", _eb(b"\x42\x82", b"webm"))
+    info = _eb(b"\x15\x49\xa9\x66",
+               _eb(b"\x2a\xd7\xb1", (1_000_000).to_bytes(3, "big")))
+    trk = _eb(b"\x16\x54\xae\x6b", _eb(
+        b"\xae", _eb(b"\xd7", b"\x01") + _eb(b"\x83", b"\x01")
+        + _eb(b"\x86", codec)))
+
+    def sblock(rel, payload, flags=0x80):
+        return _eb(b"\xa3", b"\x81" + _st.pack(">h", rel)
+                   + bytes([flags]) + payload)
+
+    def block_in_group(rel, payload):
+        return _eb(b"\xa0", _eb(
+            b"\xa1", b"\x81" + _st.pack(">h", rel) + b"\x00" + payload))
+
+    c1_body = _eb(b"\xe7", b"\x00")
+    c2_body = _eb(b"\xe7", (1000).to_bytes(2, "big"))
+    for i, (ts, payload) in enumerate(keyframes):
+        blk = (block_in_group(ts, payload)
+               if group_second and len(keyframes) > 1
+               and ts == keyframes[1][0]
+               else sblock(ts if ts < 1000 else ts - 1000, payload,
+                           flags=first_flags if i == 0 else 0x80))
+        if ts < 1000:
+            c1_body += blk
+        else:
+            c2_body += blk
+    if inter_ts is not None:
+        c2_body += sblock(inter_ts - 1000, b"\x01\x02\x03", flags=0x00)
+    seg = info + trk + _eb(b"\x1f\x43\xb6\x75", c1_body) \
+        + _eb(b"\x1f\x43\xb6\x75", c2_body)
+    return hdr + _eb(b"\x18\x53\x80\x67", seg)
+
+
+def test_sample_frames_webm_vp8_keyframes(spark):
+    """r15: WebM V_VP8 keyframe sampling end-to-end, EXTERNALLY
+    anchored — the VP8 payloads were encoded by libwebp (the lossy
+    fixture corpus), the WebM wrapper is crafted test-side, and every
+    emitted PNG must decode to libwebp's own RGB ground truth for the
+    keyframe visible at that tick."""
+    from vp8_fixtures import VECTORS
+
+    from parquet_converters_spark.functions.media_codecs import (
+        decode_png,
+    )
+    from parquet_converters_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        sample_frames,
+    )
+
+    names = ["flat_q75", "pattern_q50", "blocks_q25"]
+    keyframes = [
+        (ts, _vp8_raw(VECTORS[name]["webp"]))
+        for ts, name in zip((0, 500, 1000), names)
+    ]
+    webm = _webm_vp8(keyframes, inter_ts=1500, group_second=True)
+    df = spark.createDataFrame(
+        [(7, "video", bytearray(webm), "video/webm", len(webm))],
+        MEDIA_SCHEMA,
+    )
+    got = sorted(sample_frames(df, every_ms=500, max_frames=4).collect(),
+                 key=lambda r: r["frame_index"])
+    # ticks 0/500/1000/1500; the inter block at 1500 extends the
+    # timeline but the latest KEYFRAME there is still the 1000 ms one
+    assert [r["frame_ts_ms"] for r in got] == [0, 500, 1000, 1500]
+    expect = [names[0], names[1], names[2], names[2]]
+    for r, name in zip(got, expect):
+        v = VECTORS[name]
+        w, h = v["size"]
+        pw, ph, ch, pixels = decode_png(bytes(r["payload"]))
+        assert (pw, ph, ch) == (w, h, 3), name
+        assert pixels == v["rgb"], name
+
+
+def test_sample_frames_webm_rejections(spark):
+    """Laced video blocks and non-VP8 codecs reject by name."""
+    from vp8_fixtures import VECTORS
+
+    from parquet_converters_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        sample_frames,
+    )
+
+    raw = _vp8_raw(VECTORS["flat_q75"]["webp"])
+    vp9 = _webm_vp8([(0, raw)], codec=b"V_VP9")
+    df = spark.createDataFrame(
+        [(1, "video", bytearray(vp9), "video/webm", len(vp9))],
+        MEDIA_SCHEMA,
+    )
+    with pytest.raises(Exception, match="V_VP9"):
+        sample_frames(df).collect()
+    # a laced SimpleBlock (EBML lacing bits set) on the video track
+    laced = _webm_vp8([(0, raw)], first_flags=0x80 | 0x06)
+    df = spark.createDataFrame(
+        [(2, "video", bytearray(laced), "video/webm", len(laced))],
+        MEDIA_SCHEMA,
+    )
+    with pytest.raises(Exception, match="lacing"):
+        sample_frames(df).collect()

@@ -483,9 +483,35 @@ def _probe_ogg(d: bytes) -> dict:
 
 
 #: VisualSampleEntry fourccs the probe names as video codecs
-#: (ISO/IEC 14496-15 avc/hevc bindings, VP9-in-ISO-BMFF, AV1-ISOBMFF).
+#: (ISO/IEC 14496-15 avc/hevc bindings, VP9-in-ISO-BMFF, AV1-ISOBMFF,
+#: QuickTime MJPEG entries).
 _BMFF_VIDEO_ENTRIES = (b"avc1", b"avc3", b"hvc1", b"hev1", b"vp08",
-                       b"vp09", b"av01", b"mp4v", b"s263", b"mjpa")
+                       b"vp09", b"av01", b"mp4v", b"s263", b"mjpa",
+                       b"jpeg")
+
+
+def iter_boxes(d: bytes, lo: int, hi: int):
+    """Iterate ISO-BMFF boxes in ``d[lo:hi]`` -> (type, body, end)
+    (ISO/IEC 14496-12 §4.2: 32-bit size, 64-bit largesize form,
+    size 0 = to-end-of-file).  Shared by the triage probe and the
+    sample-table demux (bmff_demux) so the two walks can never
+    disagree about box framing."""
+    p = lo
+    while p + 8 <= hi:
+        (sz,) = struct.unpack_from(">I", d, p)
+        typ = d[p + 4 : p + 8]
+        body = p + 8
+        if sz == 1:
+            if p + 16 > hi:
+                return
+            (sz,) = struct.unpack_from(">Q", d, p + 8)
+            body = p + 16
+        elif sz == 0:
+            sz = hi - p  # box extends to end of file
+        if sz < 8:
+            return
+        yield typ, body, min(p + sz, hi)
+        p += sz
 
 
 def _probe_isobmff(d: bytes) -> dict:
@@ -505,22 +531,7 @@ def _probe_isobmff(d: bytes) -> dict:
     tracks: list[dict] = []
 
     def boxes(lo, hi):
-        p = lo
-        while p + 8 <= hi:
-            (sz,) = struct.unpack_from(">I", d, p)
-            typ = d[p + 4 : p + 8]
-            body = p + 8
-            if sz == 1:
-                if p + 16 > hi:
-                    return
-                (sz,) = struct.unpack_from(">Q", d, p + 8)
-                body = p + 16
-            elif sz == 0:
-                sz = hi - p  # box extends to end of file
-            if sz < 8:
-                return
-            yield typ, body, min(p + sz, hi)
-            p += sz
+        return iter_boxes(d, lo, hi)
 
     def walk(lo, hi, depth, t=None):
         if depth > 8:

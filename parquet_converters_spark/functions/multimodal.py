@@ -465,6 +465,10 @@ def sample_frames(
       define the timeline; the frame VISIBLE at each ``every_ms``
       tick is emitted, re-encoded as RGBA PNG (lossless,
       deterministic, decodable downstream via media_codecs).
+    - MJPEG-in-MP4/MOV (r15; functions/bmff_demux.py): the sample
+      table (stts/stsc/stsz/stco) resolves per-frame byte ranges for
+      'jpeg' sample entries; frames are emitted as their raw baseline
+      JPEG bytes, the AVI convention.
     - WebM V_VP8 (r15; functions/matroska_demux.py + vp8_codec.py):
       KEYFRAME sampling — the frame emitted at each tick is the
       latest keyframe at or before it, decoded by the RFC 6386
@@ -490,6 +494,10 @@ def sample_frames(
         from parquet_converters_spark.functions.gif_codec import (
             is_gif,
             parse_gif_frames,
+        )
+        from parquet_converters_spark.functions.bmff_demux import (
+            is_bmff,
+            parse_bmff_video_samples,
         )
         from parquet_converters_spark.functions.matroska_demux import (
             is_matroska,
@@ -533,6 +541,26 @@ def sample_frames(
                             int(round(src * 1000.0 / fps)), frames[src],
                         )
                     continue
+                if is_bmff(raw):
+                    # r15: MJPEG-in-MP4/MOV ('jpeg' sample entries) —
+                    # the sample-table demux resolves per-frame byte
+                    # ranges; every MJPEG sample is an independent
+                    # baseline JPEG, emitted raw like the AVI path
+                    # (decodable downstream via jpeg_codec)
+                    codec, bfps, samples = parse_bmff_video_samples(raw)
+                    if codec == "jpeg" and samples:
+                        fps0 = bfps or 1000.0 / max(every_ms, 1)
+                        step = max(1, int(round(
+                            every_ms * fps0 / 1000.0)))
+                        for i, src in enumerate(
+                                range(0, len(samples), step)):
+                            if i >= max_frames:
+                                break
+                            emit(out, mid, i, samples[src][0],
+                                 samples[src][1])
+                        continue
+                    # other sample-entry codecs fall through to the
+                    # named rejection below
                 if is_matroska(raw):
                     # r15: WebM V_VP8 KEYFRAME sampling from spec —
                     # the matroska_demux block walk feeds the RFC 6386
@@ -627,10 +655,10 @@ def sample_frames(
                        "no decode seam on this box (no ffmpeg/"
                        "gstreamer; stock JDKs ship no video decode "
                        "API, so no classpath jar can flip this)")
-                    + "; decodable from spec: MJPEG-in-AVI, animated "
-                    "GIF, animated WebP (VP8L and lossy VP8), and "
-                    "WebM V_VP8 keyframes — or pass fake=True for "
-                    "the stub"
+                    + "; decodable from spec: MJPEG-in-AVI, "
+                    "MJPEG-in-MP4, animated GIF, animated WebP (VP8L "
+                    "and lossy VP8), and WebM V_VP8 keyframes — or "
+                    "pass fake=True for the stub"
                 )
             yield pd.DataFrame(out)
 

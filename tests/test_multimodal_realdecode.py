@@ -1427,3 +1427,99 @@ def test_sample_frames_webm_rejections(spark):
     )
     with pytest.raises(Exception, match="lacing"):
         sample_frames(df).collect()
+
+
+def _mjpeg_mp4(frames, timescale=1000, delta=500):
+    """Test-side MJPEG-in-MP4 crafter (independent of the engine's
+    demuxer): 'jpeg' sample entries, two samples per chunk, absolute
+    stco offsets into a trailing mdat."""
+    import struct as _st
+
+    def box(typ, payload):
+        return _st.pack(">I", 8 + len(payload)) + typ + payload
+
+    def full(typ, payload):
+        return box(typ, b"\x00" * 4 + payload)
+
+    entry = box(b"jpeg", b"\x00" * 24
+                + (32).to_bytes(2, "big") + (24).to_bytes(2, "big")
+                + b"\x00" * 20)
+    stsd = full(b"stsd", (1).to_bytes(4, "big") + entry)
+    stts = full(b"stts", (1).to_bytes(4, "big")
+                + len(frames).to_bytes(4, "big")
+                + delta.to_bytes(4, "big"))
+    stsc = full(b"stsc", (1).to_bytes(4, "big")
+                + (1).to_bytes(4, "big") + (2).to_bytes(4, "big")
+                + (1).to_bytes(4, "big"))
+    stsz = full(b"stsz", (0).to_bytes(4, "big")
+                + len(frames).to_bytes(4, "big")
+                + b"".join(len(f).to_bytes(4, "big") for f in frames))
+
+    def make(offsets):
+        stco = full(b"stco", len(offsets).to_bytes(4, "big")
+                    + b"".join(o.to_bytes(4, "big") for o in offsets))
+        stbl = box(b"stbl", stsd + stts + stsc + stsz + stco)
+        mdhd = full(b"mdhd", b"\x00" * 8
+                    + timescale.to_bytes(4, "big") + b"\x00" * 4)
+        hdlr = full(b"hdlr", b"\x00" * 4 + b"vide" + b"\x00" * 12)
+        mdia = box(b"mdia", mdhd + hdlr + box(b"minf", stbl))
+        moov = box(b"moov", box(b"trak", mdia))
+        ftyp = box(b"ftyp", b"mp42\x00\x00\x00\x00mp42")
+        mdat = box(b"mdat", b"".join(frames))
+        return ftyp + moov + mdat
+
+    # two passes: sizes are offset-independent, so compute offsets
+    # from a dummy build then rebuild with the real ones
+    dummy = make([0] * ((len(frames) + 1) // 2))
+    mdat_body = len(dummy) - sum(len(f) for f in frames)
+    offsets, pos = [], mdat_body
+    for i in range(0, len(frames), 2):
+        offsets.append(pos)
+        pos += sum(len(f) for f in frames[i : i + 2])
+    return make(offsets)
+
+
+def test_sample_frames_mjpeg_mp4(spark):
+    """r15: MJPEG-in-MP4 frame sampling — the engine's sample-table
+    demux against an independently-crafted MP4 around real baseline
+    JPEG frames; every emitted payload must be the exact source JPEG
+    and every timestamp the stts closed form."""
+    from parquet_converters_spark.functions.jpeg_codec import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+    from parquet_converters_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        sample_frames,
+    )
+
+    frames = [
+        encode_jpeg(32, 24, 3, bytes((x * 5 + y * 3 + c + i) % 256
+                                     for y in range(24)
+                                     for x in range(32)
+                                     for c in range(3)))
+        for i in range(4)
+    ]
+    mp4 = _mjpeg_mp4(frames)  # 2 fps at the 1000 timescale
+    df = spark.createDataFrame(
+        [(3, "video", bytearray(mp4), "video/mp4", len(mp4))],
+        MEDIA_SCHEMA,
+    )
+    got = sorted(sample_frames(df, every_ms=500, max_frames=4).collect(),
+                 key=lambda r: r["frame_index"])
+    assert [r["frame_ts_ms"] for r in got] == [0, 500, 1000, 1500]
+    for r, f in zip(got, frames):
+        assert bytes(r["payload"]) == f
+        assert decode_jpeg(bytes(r["payload"]))[:3] == (32, 24, 3)
+    # every_ms=1000 -> step 2: frames 0 and 2
+    got = sorted(sample_frames(df, every_ms=1000, max_frames=4).collect(),
+                 key=lambda r: r["frame_index"])
+    assert [bytes(r["payload"]) for r in got] == [frames[0], frames[2]]
+    # fragmented files reject by name
+    moof = mp4 + (16).to_bytes(4, "big") + b"moof" + b"\x00" * 8
+    df = spark.createDataFrame(
+        [(4, "video", bytearray(moof), "video/mp4", len(moof))],
+        MEDIA_SCHEMA,
+    )
+    with pytest.raises(Exception, match="moof"):
+        sample_frames(df).collect()

@@ -526,6 +526,10 @@ def ogg_packets(data: bytes, max_packets: int = 1 << 20,
     checksum (r15 — the engine's own mux emits real CRCs since the
     r14 ADVICE fix, and legacy zero-CRC fixtures stay readable under
     the default)."""
+    if verify_crc:
+        from parquet_converters_spark.functions.media_craft import (
+            ogg_crc,
+        )
     n = len(data)
     packets: list[bytes] = []
     cur = bytearray()
@@ -544,10 +548,6 @@ def ogg_packets(data: bytes, max_packets: int = 1 << 20,
         if body + body_len > n:
             raise ValueError("Ogg: truncated page body")
         if verify_crc:
-            from parquet_converters_spark.functions.media_craft import (
-                ogg_crc,
-            )
-
             page = bytearray(data[p : body + body_len])
             stored = int.from_bytes(page[22:26], "little")
             page[22:26] = b"\x00\x00\x00\x00"

@@ -20,7 +20,11 @@ from __future__ import annotations
 
 import struct
 
-from parquet_converters_spark.functions.media_probe import iter_boxes
+from parquet_converters_spark.functions.media_probe import (
+    iter_boxes,
+    read_mdhd_timescale,
+    read_stts_entries,
+)
 
 
 def is_bmff(data: bytes) -> bool:
@@ -43,7 +47,7 @@ def parse_bmff_video_samples(data: bytes):
     n = len(d)
     track: dict = {}
 
-    def walk(lo, hi, depth, t=None, in_video_trak=False):
+    def walk(lo, hi, depth, t=None):
         if depth > 8:
             return
         for typ, body, end in iter_boxes(d, lo, hi):
@@ -61,22 +65,21 @@ def parse_bmff_video_samples(data: bytes):
             if t is not None:
                 if typ == b"hdlr" and body + 12 <= end:
                     t["handler"] = d[body + 8 : body + 12]
-                elif typ == b"mdhd" and body < end:
-                    off = body + (20 if d[body] == 1 else 12)
-                    if off + 4 <= end:
-                        t["timescale"] = int.from_bytes(
-                            d[off : off + 4], "big")
-                elif typ == b"stts" and body + 8 <= end:
-                    cnt = int.from_bytes(d[body + 4 : body + 8], "big")
-                    cnt = min(cnt, (end - body - 8) // 8)
-                    t["stts"] = [
-                        struct.unpack_from(">II", d, body + 8 + 8 * i)
-                        for i in range(cnt)
-                    ]
+                elif typ == b"mdhd":
+                    ts = read_mdhd_timescale(d, body, end)
+                    if ts is not None:
+                        t["timescale"] = ts
+                elif typ == b"stts":
+                    t["stts"] = read_stts_entries(d, body, end)
                 elif typ == b"stsz" and body + 12 <= end:
                     fixed = int.from_bytes(d[body + 4 : body + 8], "big")
                     cnt = int.from_bytes(d[body + 8 : body + 12], "big")
                     if fixed:
+                        # allocation guard (r15 review): a lying
+                        # sample_count of 2^32-1 must not build a
+                        # billions-entry list — more samples than
+                        # the file has bytes is impossible anyway
+                        cnt = min(cnt, n // max(1, fixed) + 1)
                         t["sizes"] = [fixed] * cnt
                     else:
                         cnt = min(cnt, (end - body - 12) // 4)

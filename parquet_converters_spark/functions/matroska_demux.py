@@ -12,10 +12,13 @@ version dispatch (/root/reference/src/touches/touch_reader.cpp:95-117)
 untouched.
 
 Scope (named, like every capability gate in this repo): SimpleBlock
-and BlockGroup/Block without lacing.  Laced blocks raise
-``NotImplementedError`` naming the lacing mode — EBML/Xiph/fixed
-lacing is an audio-oriented packing; video tracks virtually never
-lace, and a laced *video* stream is better rejected than misframed.
+and BlockGroup/Block without lacing ON THE VIDEO TRACK.  A laced
+*video* stream raises ``NotImplementedError`` naming the lacing mode
+— better rejected than misframed; laced blocks on OTHER tracks
+(ffmpeg routinely Xiph-laces small Vorbis audio packets) are simply
+skipped, they are not ours to demux (r15 review finding: rejecting
+the whole file for laced audio failed real-world WebM whose video
+track was fully supported).
 """
 
 from __future__ import annotations
@@ -49,6 +52,7 @@ def parse_matroska_video_blocks(data: bytes):
     scale = [1_000_000]  # ns per tick (TimecodeScale default)
     video = {}  # first video track: number/codec/width/height
     blocks: list = []
+    laced: dict = {}  # track number -> first lacing mode seen
 
     def block_fields(lo, hi):
         """(track_number, relative_timecode, flags, payload_start) of
@@ -122,34 +126,42 @@ def parse_matroska_video_blocks(data: bytes):
                 f = block_fields(body, end)
                 if f is not None:
                     tn, rel, flags, pstart = f
+                    # once the video track is known, other tracks'
+                    # blocks are skipped OUTRIGHT — never sliced,
+                    # never lacing-checked (not ours to demux)
+                    vnum = video.get("number")
+                    if vnum is not None and tn != vnum:
+                        p = end
+                        continue
                     lacing = (flags >> 1) & 0x3
                     if lacing:
-                        raise NotImplementedError(
-                            "matroska_demux: laced blocks "
-                            f"(lacing mode {lacing}) are not "
-                            "supported — video tracks are expected "
-                            "unlaced; demux audio lacing is Ogg's "
-                            "job in this repo"
-                        )
+                        laced.setdefault(tn, lacing)
+                        p = end
+                        continue
                     ts_ticks = ctx.get("cluster_tc", 0) + rel
-                    rec = (tn, ts_ticks, d[pstart:end])
+                    payload = d[pstart:end]
                     if eid == 0xA3:
                         blocks.append(
-                            (tn, ts_ticks, bool(flags & 0x80),
-                             d[pstart:end]))
-                    else:  # bare Block: keyframe decided by the group
-                        if "group" in ctx:
-                            ctx["group"]["block"] = rec
-                        else:  # Block outside a group: treat as delta
-                            blocks.append(
-                                (tn, ts_ticks, False, d[pstart:end]))
+                            (tn, ts_ticks, bool(flags & 0x80), payload))
+                    elif "group" in ctx:
+                        # bare Block: keyframe decided by the group
+                        ctx["group"]["block"] = (tn, ts_ticks, payload)
+                    else:  # Block outside a group: treat as delta
+                        blocks.append((tn, ts_ticks, False, payload))
             p = end
 
     walk(0, n, 0, {})
     if not video:
         return None, None, None, []
-    ms = scale[0] / 1e6  # ms per tick
     vnum = video.get("number")
+    if vnum in laced:
+        raise NotImplementedError(
+            "matroska_demux: the VIDEO track uses laced blocks "
+            f"(lacing mode {laced[vnum]}) — not supported; laced "
+            "non-video tracks are skipped, but a laced video stream "
+            "is better rejected than misframed"
+        )
+    ms = scale[0] / 1e6  # ms per tick
     out = [
         (int(round(ts_ticks * ms)), key, payload)
         for tn, ts_ticks, key, payload in blocks

@@ -2,10 +2,13 @@
 
 At 100 TB the first pass over a media corpus is triage, not decode:
 route/filter/partition by format and shape before paying codec cost.
-``probe_media_payload`` reads ONLY headers (a few hundred bytes of
-structured fields; never entropy-coded payload) and returns a typed
-record; :func:`probe_media` maps it over a payload DataFrame with
-Arrow batching.
+``probe_media_payload`` reads ONLY structured header fields — never
+entropy-coded payload — and returns a typed record;
+:func:`probe_media` maps it over a payload DataFrame with Arrow
+batching.  Cost contract: O(header) for most families; for Matroska
+the r15 block-cadence count walks every block HEADER (constant work
+per block, payload skipped via element sizes — linear in block count,
+still zero codec cost), the price of an exact frame count.
 
 Probed per family:
 
@@ -514,6 +517,32 @@ def iter_boxes(d: bytes, lo: int, hi: int):
         p += sz
 
 
+def read_mdhd_timescale(d: bytes, body: int, end: int) -> int | None:
+    """Media timescale from an mdhd box body (version-dependent
+    offset: +20 for v1's 64-bit times, +12 for v0 — ISO/IEC 14496-12
+    §8.4.2).  Shared by the probe and bmff_demux (r15 review: the
+    offset rule must live once)."""
+    if body >= end:
+        return None
+    off = body + (20 if d[body] == 1 else 12)
+    if off + 4 > end:
+        return None
+    return int.from_bytes(d[off : off + 4], "big")
+
+
+def read_stts_entries(d: bytes, body: int, end: int):
+    """Bounded (sample_count, sample_delta) entry list from an stts
+    box body (§8.6.1.2) — entry count capped by the box's own size so
+    a lying header cannot drive a huge loop.  Shared by the probe and
+    bmff_demux."""
+    if body + 8 > end:
+        return []
+    cnt = int.from_bytes(d[body + 4 : body + 8], "big")
+    cnt = min(cnt, (end - body - 8) // 8)
+    return [struct.unpack_from(">II", d, body + 8 + 8 * i)
+            for i in range(cnt)]
+
+
 def _probe_isobmff(d: bytes) -> dict:
     """ISO-BMFF (MP4/M4A/MOV family) probe: major brand from ftyp,
     duration from moov/mvhd (version 0 and 1 layouts), kind from the
@@ -560,11 +589,10 @@ def _probe_isobmff(d: bytes) -> dict:
                 handlers.append(h)
                 if t is not None:
                     t["handler"] = h
-            elif typ == b"mdhd" and t is not None and body < end:
-                off = body + (20 if d[body] == 1 else 12)
-                if off + 4 <= end:
-                    t["timescale"] = int.from_bytes(
-                        d[off : off + 4], "big")
+            elif typ == b"mdhd" and t is not None:
+                ts = read_mdhd_timescale(d, body, end)
+                if ts is not None:
+                    t["timescale"] = ts
             elif typ == b"tkhd":
                 # track dims: 16.16 fixed at +76 (v0) / +88 (v1)
                 off = body + (88 if d[body : body + 1] == b"\x01"
@@ -574,18 +602,13 @@ def _probe_isobmff(d: bytes) -> dict:
                     th = int.from_bytes(d[off + 4 : off + 6], "big")
                     if tw and th and out.get("width") is None:
                         out["width"], out["height"] = tw, th
-            elif typ == b"stts" and t is not None and body + 8 <= end:
-                cnt = int.from_bytes(d[body + 4 : body + 8], "big")
-                cnt = min(cnt, (end - body - 8) // 8)
-                frames = ticks = 0
-                for i in range(cnt):
-                    e = body + 8 + 8 * i
-                    sc = int.from_bytes(d[e : e + 4], "big")
-                    delta = int.from_bytes(d[e + 4 : e + 8], "big")
-                    frames += sc
-                    ticks += sc * delta
+            elif typ == b"stts" and t is not None:
+                entries = read_stts_entries(d, body, end)
+                frames = sum(sc for sc, _ in entries)
                 if frames:
-                    t["stts_frames"], t["stts_ticks"] = frames, ticks
+                    t["stts_frames"] = frames
+                    t["stts_ticks"] = sum(
+                        sc * delta for sc, delta in entries)
             elif typ == b"stsz" and t is not None and body + 12 <= end:
                 t["stsz_count"] = int.from_bytes(
                     d[body + 8 : body + 12], "big")
@@ -777,15 +800,23 @@ def _probe_ebml(d: bytes) -> dict:
                         d[body:end], "big")
             elif eid in (0xA3, 0xA1):  # SimpleBlock / Block
                 # header: track number vint (no all-ones 'unknown'
-                # rule here, unlike sizes), then timecode+flags —
-                # the payload is never read (skipped via `end`)
+                # rule here, unlike sizes), then timecode(2) +
+                # flags(1) + (if laced) a frame-count byte — the
+                # payload is never read (skipped via `end`).  A laced
+                # block carries count+1 FRAMES (r15 review: counting
+                # it as one undercounted laced tracks).
                 b0 = d[body] if body < end else 0
                 if b0:
                     ln = 9 - b0.bit_length()
-                    if body + ln <= end:
+                    if body + ln + 3 <= end:
                         raw = int.from_bytes(d[body : body + ln], "big")
                         tn = raw & ((1 << (7 * ln)) - 1)
-                        block_counts[tn] = block_counts.get(tn, 0) + 1
+                        flags = d[body + ln + 2]
+                        frames_in_block = 1
+                        if (flags >> 1) & 0x3 and body + ln + 4 <= end:
+                            frames_in_block = d[body + ln + 3] + 1
+                        block_counts[tn] = \
+                            block_counts.get(tn, 0) + frames_in_block
             elif eid == 0xB5:  # SamplingFrequency (float)
                 ln = end - body
                 if ln in (4, 8):

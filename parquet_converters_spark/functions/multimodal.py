@@ -517,6 +517,15 @@ def sample_frames(
             out["frame_ts_ms"].append(ts)
             out["payload"].append(payload)
 
+        def _probed_codec(raw):
+            # header-only codec gate for the container demux paths —
+            # never materializes sample payloads
+            from parquet_converters_spark.functions.media_probe import (
+                probe_media_payload,
+            )
+
+            return probe_media_payload(raw).get("codec")
+
         for pdf in batches:
             out = {"media_id": [], "frame_index": [], "frame_ts_ms": [], "payload": []}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
@@ -541,12 +550,15 @@ def sample_frames(
                             int(round(src * 1000.0 / fps)), frames[src],
                         )
                     continue
-                if is_bmff(raw):
+                if is_bmff(raw) and _probed_codec(raw) == "jpeg":
                     # r15: MJPEG-in-MP4/MOV ('jpeg' sample entries) —
                     # the sample-table demux resolves per-frame byte
                     # ranges; every MJPEG sample is an independent
                     # baseline JPEG, emitted raw like the AVI path
-                    # (decodable downstream via jpeg_codec)
+                    # (decodable downstream via jpeg_codec).  The
+                    # header-only probe gates the demux so an
+                    # unsupported-codec file never materializes its
+                    # sample payloads (r15 review finding)
                     codec, bfps, samples = parse_bmff_video_samples(raw)
                     if codec == "jpeg" and samples:
                         fps0 = bfps or 1000.0 / max(every_ms, 1)
@@ -561,7 +573,7 @@ def sample_frames(
                         continue
                     # other sample-entry codecs fall through to the
                     # named rejection below
-                if is_matroska(raw):
+                if is_matroska(raw) and _probed_codec(raw) == "V_VP8":
                     # r15: WebM V_VP8 KEYFRAME sampling from spec —
                     # the matroska_demux block walk feeds the RFC 6386
                     # keyframe decoder (externally validated

@@ -876,3 +876,26 @@ def test_probe_avi_video_depth():
     assert rec["codec"] == "mjpg"
     assert rec["n_frames"] == 4
     assert rec["fps"] == pytest.approx(10.0)
+
+
+def test_probe_matroska_laced_block_frame_count():
+    """r15 review finding: a laced block carries lace_count+1 frames —
+    the cadence count must add them all, not 1 per block."""
+    hdr = _ebml(b"\x1a\x45\xdf\xa3", _ebml(b"\x42\x82", b"webm"))
+    info = _ebml(b"\x15\x49\xa9\x66",
+                 _ebml(b"\x2a\xd7\xb1", (1_000_000).to_bytes(3, "big"))
+                 + _ebml(b"\x44\x89", struct.pack(">d", 1000.0)))
+    ventry = _ebml(b"\xae",
+                   _ebml(b"\xd7", b"\x01") + _ebml(b"\x83", b"\x01")
+                   + _ebml(b"\x86", b"V_VP9"))
+    # one unlaced block (1 frame) + one Xiph-laced block with frame
+    # count byte 2 (3 frames) -> 4 frames total
+    plain = _ebml(b"\xa3", b"\x81\x00\x00\x80" + b"x")
+    laced = _ebml(b"\xa3", b"\x81\x00\x00" + bytes([0x80 | 0x02])
+                  + b"\x02\x01\x01" + b"abcde")
+    cluster = _ebml(b"\x1f\x43\xb6\x75", plain + laced)
+    seg = info + _ebml(b"\x16\x54\xae\x6b", ventry) + cluster
+    data = hdr + b"\x18\x53\x80\x67" + bytes([0x80 | len(seg)]) + seg
+    rec = probe_media_payload(data)
+    assert rec["n_frames"] == 4
+    assert rec["fps"] == pytest.approx(4.0)  # 4 frames / 1 s

@@ -1523,3 +1523,60 @@ def test_sample_frames_mjpeg_mp4(spark):
     )
     with pytest.raises(Exception, match="moof"):
         sample_frames(df).collect()
+
+
+def test_sample_frames_webm_laced_audio_ok(spark):
+    """r15 review finding (high): laced blocks on a NON-video track
+    (ffmpeg Xiph-laces small Vorbis audio packets routinely) must not
+    reject a WebM whose video track is fully supported."""
+    import struct as _st
+
+    from vp8_fixtures import VECTORS
+
+    from parquet_converters_spark.functions.matroska_demux import (
+        parse_matroska_video_blocks,
+    )
+    from parquet_converters_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        sample_frames,
+    )
+
+    raw = _vp8_raw(VECTORS["flat_q75"]["webp"])
+    hdr = _eb(b"\x1a\x45\xdf\xa3", _eb(b"\x42\x82", b"webm"))
+    vtrk = _eb(b"\xae", _eb(b"\xd7", b"\x01") + _eb(b"\x83", b"\x01")
+               + _eb(b"\x86", b"V_VP8"))
+    atrk = _eb(b"\xae", _eb(b"\xd7", b"\x02") + _eb(b"\x83", b"\x02")
+               + _eb(b"\x86", b"A_VORBIS"))
+    video_blk = _eb(b"\xa3", b"\x81" + _st.pack(">h", 0) + b"\x80" + raw)
+    # Xiph-laced audio SimpleBlock on track 2: lacing bits 0b01,
+    # frame count byte = 1 (2 frames), first size 3, then payloads
+    laced_audio = _eb(b"\xa3", b"\x82" + _st.pack(">h", 0)
+                      + bytes([0x80 | 0x02]) + b"\x01\x03" + b"abcdef")
+    cluster = _eb(b"\x1f\x43\xb6\x75",
+                  _eb(b"\xe7", b"\x00") + laced_audio + video_blk)
+    webm = hdr + _eb(b"\x18\x53\x80\x67",
+                     _eb(b"\x16\x54\xae\x6b", vtrk + atrk) + cluster)
+    codec, _w, _h, blocks = parse_matroska_video_blocks(webm)
+    assert codec == "V_VP8" and len(blocks) == 1 and blocks[0][1]
+    df = spark.createDataFrame(
+        [(5, "video", bytearray(webm), "video/webm", len(webm))],
+        MEDIA_SCHEMA,
+    )
+    got = sample_frames(df, every_ms=1000, max_frames=1).collect()
+    assert len(got) == 1
+
+
+def test_bmff_stsz_allocation_guard():
+    """r15 review finding: a lying fixed-size stsz sample_count of
+    2^32-1 must not build a billions-entry list."""
+    from parquet_converters_spark.functions.bmff_demux import (
+        parse_bmff_video_samples,
+    )
+
+    mp4 = _mjpeg_mp4([b"\xff\xd8frame0\xff\xd9"])
+    # rewrite the stsz box: fixed sample_size=1, count=0xFFFFFFFF
+    i = mp4.find(b"stsz")
+    bad = (mp4[: i + 8] + (1).to_bytes(4, "big") + b"\xff\xff\xff\xff"
+           + mp4[i + 16 :])
+    codec, fps, samples = parse_bmff_video_samples(bad)
+    assert codec == "jpeg" and len(samples) <= len(bad) + 1

@@ -72,6 +72,18 @@ def ebml(eid: bytes, payload: bytes) -> bytes:
     return eid + bytes([0x80 | len(payload)]) + payload
 
 
+def ebml_any(eid: bytes, payload: bytes) -> bytes:
+    """One EBML element with a general-length size vint (RFC 8794
+    §4: length-ln vint = marker bit at position 7*ln, then the value
+    big-endian) — for bodies the single-byte form can't carry
+    (e.g. a Cluster of many SimpleBlocks)."""
+    n = len(payload)
+    ln = 1
+    while n >= (1 << (7 * ln)) - 1:
+        ln += 1
+    return eid + ((1 << (7 * ln)) | n).to_bytes(ln, "big") + payload
+
+
 def vorbis_id_packet(rate: int, channels: int,
                      bitrate_nominal: int = 0) -> bytes:
     """A Vorbis I identification packet (spec §4.2.2)."""

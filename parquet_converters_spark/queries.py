@@ -1955,6 +1955,116 @@ def transcode_census(spark, sf_dir):
     )
 
 
+def video_track_census(spark, sf_dir):
+    """The r15 video-depth probe columns (codec / fps / n_frames) at
+    CORPUS grain — the census pattern (media_triage_census /
+    transcode_census) applied to the new surface: every document
+    derives a crafted VIDEO container — an MP4 whose avc1 sample
+    table declares doc_id-dependent frame counts at an exactly-24-fps
+    stts (doc_id%2==0), or a WebM V_VP9 track at DefaultDuration
+    40 ms (exactly 25 fps) carrying doc_id-dependent SimpleBlock
+    cadence (doc_id%2==1) — and the header walk must recover exactly
+    the constructed codec, frame count, and rate, aggregated per
+    (format, codec).  fps rides as integer milli-fps so the
+    cross-engine sum is exact.  Oracle: the construction's closed
+    forms only.  Plan: payload build + walk + 2-group aggregate in
+    one Arrow-batched narrow stage; linear in corpus rows."""
+    from parquet_converters_spark.functions.media_probe import probe_media
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def build(batches):
+        import pandas as pd
+
+        from parquet_converters_spark.functions.media_craft import (
+            WEBM_HEADER,
+            ebml,
+            ebml_any,
+            mp4_box,
+        )
+
+        def mp4(nf):
+            avc1 = mp4_box(b"avc1", b"\x00" * 24
+                           + (640).to_bytes(2, "big")
+                           + (360).to_bytes(2, "big") + b"\x00" * 20)
+            stsd = mp4_box(b"stsd", b"\x00" * 4
+                           + (1).to_bytes(4, "big") + avc1)
+            stts = mp4_box(b"stts", b"\x00" * 4
+                           + (1).to_bytes(4, "big")
+                           + nf.to_bytes(4, "big")
+                           + (1000).to_bytes(4, "big"))
+            mdhd = mp4_box(b"mdhd", b"\x00" * 12
+                           + (24000).to_bytes(4, "big")
+                           + (nf * 1000).to_bytes(4, "big")
+                           + b"\x00" * 4)
+            mdia = mp4_box(b"mdia", mdhd
+                           + mp4_box(b"hdlr", b"\x00" * 8 + b"vide"
+                                     + b"\x00" * 12)
+                           + mp4_box(b"minf",
+                                     mp4_box(b"stbl", stsd + stts)))
+            return (mp4_box(b"ftyp", b"mp42\x00\x00\x00\x00mp42")
+                    + mp4_box(b"moov", mp4_box(b"trak", mdia)))
+
+        def webm(nblocks):
+            trk = ebml(b"\x16\x54\xae\x6b", ebml(
+                b"\xae", ebml(b"\xd7", b"\x01")
+                + ebml(b"\x83", b"\x01")
+                + ebml(b"\x86", b"V_VP9")
+                + ebml(b"\x23\xe3\x83",
+                       (40_000_000).to_bytes(4, "big"))
+                + ebml(b"\xe0",
+                       ebml(b"\xb0", (320).to_bytes(2, "big"))
+                       + ebml(b"\xba", (180).to_bytes(2, "big")))))
+            blk = ebml(b"\xa3", b"\x81\x00\x00\x80v")
+            cluster = ebml_any(b"\x1f\x43\xb6\x75",
+                               ebml(b"\xe7", b"\x00") + blk * nblocks)
+            return WEBM_HEADER + ebml_any(b"\x18\x53\x80\x67",
+                                          trk + cluster)
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                if did % 2 == 0:
+                    p = mp4(did % 60 + 1)
+                else:
+                    p = webm(did % 50 + 1)
+                ids.append(did)
+                payloads.append(p)
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    built = docs.mapInPandas(build, "media_id long, payload binary")
+    probed = probe_media(built)
+    return (
+        probed.groupBy("format", "codec")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_frames").alias("sum_frames"),
+            F.sum(F.round(F.col("fps") * 1000).cast("long"))
+            .alias("sum_fps_milli"),
+        )
+        .orderBy("format")
+    )
+
+
+VIDEO_TRACK_CENSUS_SQL = """
+WITH rows AS (
+  SELECT
+    CASE doc_id % 2 WHEN 0 THEN 'isobmff/mp42' ELSE 'webm' END
+      AS format,
+    CASE doc_id % 2 WHEN 0 THEN 'avc1' ELSE 'V_VP9' END AS codec,
+    CASE doc_id % 2 WHEN 0 THEN doc_id % 60 + 1
+         ELSE doc_id % 50 + 1 END AS nf,
+    CASE doc_id % 2 WHEN 0 THEN 24000 ELSE 25000 END AS fpsm
+  FROM documents
+)
+SELECT format, codec, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(nf) AS BIGINT) AS sum_frames,
+       CAST(SUM(fpsm) AS BIGINT) AS sum_fps_milli
+FROM rows GROUP BY format, codec ORDER BY format
+"""
+
+
 TRANSCODE_CENSUS_SQL = """
 WITH per_doc AS (
   SELECT doc_id,
@@ -6110,6 +6220,7 @@ QUERIES.update({
     "multimodal_transcode": (multimodal_transcode, MULTIMODAL_TRANSCODE_SQL),
     "media_triage_census": (media_triage_census, MEDIA_TRIAGE_CENSUS_SQL),
     "transcode_census": (transcode_census, TRANSCODE_CENSUS_SQL),
+    "video_track_census": (video_track_census, VIDEO_TRACK_CENSUS_SQL),
 })
 
 # ===========================================================================
@@ -10067,6 +10178,7 @@ QUERIES = {
 _R16_WINDOW = [
     # (0) new in r15, never graded
     "transcode_census",
+    "video_track_census",
     # (a) r12-latest remainder (44)
     "cube_pricing",
     "decontaminate_train",
@@ -10112,12 +10224,12 @@ _R16_WINDOW = [
     "value_histogram",
     "value_trend_by_type",
     "zorder_layout_plan",
-    # (b) r13-latest, alphabetical head (5 — the r15-new entry at the
-    # front displaced bpe_merge_candidates)
+    # (b) r13-latest, alphabetical head (4 — the two r15-new entries
+    # at the front displaced bpe_merge_candidates and
+    # bloom_pruned_revenue)
     "acctbal_rank_profile",
     "adjacency_node_ranges",
     "adjacency_range_to_edge",
     "ann_recall_pq",
-    "bloom_pruned_revenue",
 ]
 _check_window(_R16_WINDOW, "_R16_WINDOW", prior=_R15_WINDOW)

@@ -118,9 +118,10 @@ def _real_decode(payload: bytes, n_features: int) -> tuple:
     channels, band-energy features over PCM16-normalized samples).
     Other formats raise ``NotImplementedError`` naming the codec they
     need — the plumbing is format-agnostic, only the codec table is
-    bounded.  MJPEG-in-AVI video (and animated GIF/WebP) decodes its
-    FIRST frame (dims + features — the thumbnail convention; per-frame
-    work goes through :func:`sample_frames`).  Unsupported JPEG/WebP
+    bounded.  Video (MJPEG-in-AVI, MJPEG-in-MP4, WebM V_VP8, and
+    animated GIF/WebP) decodes its FIRST decodable frame (dims +
+    features — the thumbnail convention; per-frame work goes through
+    :func:`sample_frames`).  Unsupported JPEG/WebP
     *modes* (arithmetic/12-bit JPEG) and non-MJPEG AVI
     codecs raise from the codecs themselves, naming the exact
     mode/fourcc."""
@@ -168,6 +169,42 @@ def _real_decode(payload: bytes, n_features: int) -> tuple:
         if not frames:
             raise ValueError("AVI: no frames in movi list")
         w, h, c, pixels = decode_jpeg(frames[0])
+        return w, h, c, _band_features(pixels, n_features)
+    # r15: the other two in-repo-decodable video containers take the
+    # same thumbnail convention — first decodable frame
+    from parquet_converters_spark.functions.bmff_demux import is_bmff
+    from parquet_converters_spark.functions.matroska_demux import (
+        is_matroska,
+    )
+    from parquet_converters_spark.functions.media_probe import (
+        probe_media_payload,
+    )
+
+    if is_bmff(payload) and \
+            probe_media_payload(payload).get("codec") == "jpeg":
+        from parquet_converters_spark.functions.bmff_demux import (
+            parse_bmff_video_samples,
+        )
+
+        _codec, _fps, samples = parse_bmff_video_samples(payload)
+        if not samples:
+            raise ValueError("MJPEG-MP4: no samples in the table")
+        w, h, c, pixels = decode_jpeg(samples[0][1])
+        return w, h, c, _band_features(pixels, n_features)
+    if is_matroska(payload) and \
+            probe_media_payload(payload).get("codec") == "V_VP8":
+        from parquet_converters_spark.functions.matroska_demux import (
+            parse_matroska_video_blocks,
+        )
+        from parquet_converters_spark.functions.vp8_codec import (
+            decode_vp8,
+        )
+
+        _c, _w, _h, blocks = parse_matroska_video_blocks(payload)
+        keys = [p for _ts, k, p in blocks if k]
+        if not keys:
+            raise ValueError("WebM VP8: no keyframes to thumbnail")
+        w, h, c, pixels = decode_vp8(keys[0])
         return w, h, c, _band_features(pixels, n_features)
     audio = None
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":

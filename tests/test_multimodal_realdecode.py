@@ -1580,3 +1580,46 @@ def test_bmff_stsz_allocation_guard():
            + mp4[i + 16 :])
     codec, fps, samples = parse_bmff_video_samples(bad)
     assert codec == "jpeg" and len(samples) <= len(bad) + 1
+
+
+def test_decode_media_real_path_mp4_and_webm_thumbnail(spark):
+    """r15: decode_media's thumbnail convention extends to the two new
+    containers — first MJPEG sample of an MP4, first VP8 keyframe of
+    a WebM (libwebp-anchored pixels)."""
+    from vp8_fixtures import VECTORS
+
+    from parquet_converters_spark.functions.jpeg_codec import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+    from parquet_converters_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        _band_features,
+        decode_media,
+    )
+    from parquet_converters_spark.functions.vp8_codec import decode_vp8
+
+    frames = [encode_jpeg(32, 24, 3, bytes((x + y + c + i) % 256
+                                           for y in range(24)
+                                           for x in range(32)
+                                           for c in range(3)))
+              for i in range(2)]
+    mp4 = _mjpeg_mp4(frames)
+    raw_vp8 = _vp8_raw(VECTORS["pattern_q50"]["webp"])
+    webm = _webm_vp8([(0, raw_vp8)])
+    df = spark.createDataFrame(
+        [(1, "video", bytearray(mp4), "video/mp4", len(mp4)),
+         (2, "video", bytearray(webm), "video/webm", len(webm))],
+        MEDIA_SCHEMA,
+    )
+    rows = {r["media_id"]: r for r in decode_media(df, n_features=4).collect()}
+    _, _, _, jpix = decode_jpeg(frames[0])
+    assert (rows[1]["width"], rows[1]["height"], rows[1]["channels"]) \
+        == (32, 24, 3)
+    assert rows[1]["features"] == pytest.approx(
+        _band_features(jpix, 4), abs=1e-6)
+    vw, vh, _c, vpix = decode_vp8(raw_vp8)
+    assert (rows[2]["width"], rows[2]["height"], rows[2]["channels"]) \
+        == (vw, vh, 3)
+    assert rows[2]["features"] == pytest.approx(
+        _band_features(vpix, 4), abs=1e-6)

@@ -1,0 +1,267 @@
+"""Perceptual image fingerprints (dHash / aHash) and Hamming-banded
+near-duplicate joins over REAL decoded pixels.
+
+Image near-dup is the multimodal face of the dedup surface: a 100 TB
+crawl corpus carries re-encoded / resized copies of the same picture
+that byte-level hashing can never catch.  The classic cheap answer is
+a 64-bit perceptual hash — decode, integer luma, fixed-grid area
+downsample, gradient (dHash) or mean-threshold (aHash) bits — and then
+a Hamming-distance join.  Both halves are built to scale:
+
+* the hash is ONE Arrow-batched narrow ``mapInPandas`` stage over the
+  payload column (decode cost only; no shuffle), and
+* the pair join reuses the pigeonhole band join from
+  :func:`parquet_converters_spark.functions.dedup.simhash_neardup_pairs`
+  (split 64 bits into ``bands`` slices; any pair within Hamming
+  distance ``bands - 1`` agrees exactly on >= 1 band), so candidate
+  generation is an equi-join shuffle on (band, value) — never an
+  all-pairs product.
+
+Every arithmetic step is integer and deterministic (floor division
+everywhere) so the full decode -> luma -> grid -> hash path is
+replicable analytically — the driver oracle for the census queries
+computes the same bits in pure SQL.
+
+Reference analogue: none (`/root/reference` has no media surface) —
+this extends the training-data-pipeline surface alongside the text
+dedup family (dedup.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+# dHash grid: 9 luma columns -> 8 gradient bits per row, 8 rows.
+DHASH_GRID_W = 9
+DHASH_GRID_H = 8
+# aHash grid: 8x8 cells vs the global cell mean.
+AHASH_GRID = 8
+
+
+def decode_image_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Decode any in-repo-decodable STILL image payload to ``(w, h,
+    channels, pixels)`` — the still-image subset of the
+    ``multimodal._real_decode`` dispatch (PNG / WebP / JPEG / GIF /
+    BMP).  Other formats raise ``NotImplementedError`` naming the
+    codec they need."""
+    from parquet_converters_spark.functions.gif_codec import (
+        decode_gif,
+        is_gif,
+    )
+    from parquet_converters_spark.functions.jpeg_codec import (
+        decode_jpeg,
+        is_jpeg,
+    )
+    from parquet_converters_spark.functions.media_codecs import (
+        _PNG_SIG,
+        decode_bmp,
+        decode_png,
+        is_bmp,
+    )
+    from parquet_converters_spark.functions.webp_codec import (
+        decode_webp,
+        is_webp,
+    )
+
+    if payload[:8] == _PNG_SIG:
+        return decode_png(payload)
+    if is_webp(payload):
+        return decode_webp(payload)
+    if is_jpeg(payload):
+        return decode_jpeg(payload)
+    if is_gif(payload):
+        return decode_gif(payload)
+    if is_bmp(payload):
+        return decode_bmp(payload)
+    raise NotImplementedError(
+        "image fingerprint: payload is not a decodable still image "
+        "(PNG/WebP/JPEG/GIF/BMP); video thumbnails go through "
+        "multimodal.decode_media first"
+    )
+
+
+def luma_grid(
+    w: int, h: int, channels: int, pixels: bytes, gw: int, gh: int
+) -> list[list[int]]:
+    """Integer luma + area-average downsample to a ``gw x gh`` grid.
+
+    Luma per pixel is the ITU-R BT.601 integer form
+    ``(299*R + 587*G + 114*B) // 1000`` (gray pixels map to themselves
+    exactly; alpha ignored).  Cell ``(j, i)`` averages the pixel block
+    ``x in [i*w//gw, (i+1)*w//gw) x y in [j*h//gh, (j+1)*h//gh)`` with
+    floor division — all-integer, so the whole path is closed-form
+    replicable (the census oracles recompute it in SQL)."""
+    if w < gw or h < gh:
+        raise ValueError(
+            f"image fingerprint: {w}x{h} image is smaller than the "
+            f"{gw}x{gh} hash grid; resize up first"
+        )
+    import numpy as np
+
+    arr = np.frombuffer(pixels, dtype=np.uint8).reshape(h, w, channels)
+    if channels >= 3:
+        a = arr.astype(np.int64)
+        luma = (299 * a[:, :, 0] + 587 * a[:, :, 1] + 114 * a[:, :, 2]) // 1000
+    else:
+        luma = arr[:, :, 0].astype(np.int64)
+    xb = [i * w // gw for i in range(gw + 1)]
+    yb = [j * h // gh for j in range(gh + 1)]
+    grid = []
+    for j in range(gh):
+        row = []
+        for i in range(gw):
+            block = luma[yb[j] : yb[j + 1], xb[i] : xb[i + 1]]
+            row.append(int(block.sum()) // block.size)
+        grid.append(row)
+    return grid
+
+
+def dhash64_unsigned(payload: bytes) -> int:
+    """64-bit difference hash: 9x8 luma grid; bit ``y*8 + x`` is set
+    when ``cell[y][x+1] > cell[y][x]`` (strict)."""
+    w, h, c, pixels = decode_image_pixels(payload)
+    grid = luma_grid(w, h, c, pixels, DHASH_GRID_W, DHASH_GRID_H)
+    out = 0
+    for y in range(DHASH_GRID_H):
+        for x in range(DHASH_GRID_W - 1):
+            if grid[y][x + 1] > grid[y][x]:
+                out |= 1 << (y * 8 + x)
+    return out
+
+
+def ahash64_unsigned(payload: bytes) -> int:
+    """64-bit average hash: 8x8 luma grid; bit ``y*8 + x`` is set when
+    the cell exceeds the floor of the global cell mean (strict)."""
+    w, h, c, pixels = decode_image_pixels(payload)
+    grid = luma_grid(w, h, c, pixels, AHASH_GRID, AHASH_GRID)
+    mean = sum(sum(row) for row in grid) // (AHASH_GRID * AHASH_GRID)
+    out = 0
+    for y in range(AHASH_GRID):
+        for x in range(AHASH_GRID):
+            if grid[y][x] > mean:
+                out |= 1 << (y * 8 + x)
+    return out
+
+
+def to_signed64(u: int) -> int:
+    """Two's-complement fold of an unsigned 64-bit value into the
+    signed LongType domain (what the hash columns store)."""
+    return u - (1 << 64) if u >= (1 << 63) else u
+
+
+def bmp_realizing_dhash(target: int, base: int = 100) -> bytes:
+    """Craft a 9x8 grayscale BMP whose :func:`dhash64_unsigned` is
+    exactly ``target``: walk each row left to right stepping luma +1
+    for a set bit and -1 for a clear bit (strict ``>`` makes each step
+    realize its bit).  Test/oracle machinery for exercising the REAL
+    decode path with a known hash — 64 steps of +-1 stay within
+    [base-8, base+8], far from clipping."""
+    import struct as _st
+
+    rows = []
+    for y in range(DHASH_GRID_H):
+        v = base
+        row = [v]
+        for x in range(DHASH_GRID_W - 1):
+            v += 1 if (target >> (y * 8 + x)) & 1 else -1
+            row.append(v)
+        rows.append(row)
+    stride = (DHASH_GRID_W * 3 + 3) & ~3
+    px = bytearray()
+    for y in range(DHASH_GRID_H - 1, -1, -1):  # bottom-up rows
+        line = bytearray()
+        for v in rows[y]:
+            line += bytes([v, v, v])
+        line += b"\x00" * (stride - len(line))
+        px += line
+    hdr = _st.pack(
+        "<IiiHHIIiiII", 40, DHASH_GRID_W, DHASH_GRID_H, 1, 24, 0,
+        len(px), 2835, 2835, 0, 0,
+    )
+    off = 14 + len(hdr)
+    return (
+        b"BM" + _st.pack("<IHHI", off + len(px), 0, 0, off) + hdr + bytes(px)
+    )
+
+
+def image_hashes(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Per-image perceptual hashes: ``(id, dhash, ahash, width,
+    height)`` with both hashes as signed 64-bit longs.
+
+    ONE Arrow-batched narrow stage (``mapInPandas``) — decode + luma +
+    grid + bits per payload, no shuffle, no driver-side bytes; scales
+    linearly in corpus payload bytes like the other codec stages."""
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, dh, ah, ws, hs = [], [], [], [], []
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                payload = bytes(payload)
+                w, h, c, pixels = decode_image_pixels(payload)
+                g9 = luma_grid(w, h, c, pixels, DHASH_GRID_W, DHASH_GRID_H)
+                d = 0
+                for y in range(DHASH_GRID_H):
+                    for x in range(DHASH_GRID_W - 1):
+                        if g9[y][x + 1] > g9[y][x]:
+                            d |= 1 << (y * 8 + x)
+                g8 = luma_grid(w, h, c, pixels, AHASH_GRID, AHASH_GRID)
+                mean = sum(sum(r) for r in g8) // (AHASH_GRID * AHASH_GRID)
+                a = 0
+                for y in range(AHASH_GRID):
+                    for x in range(AHASH_GRID):
+                        if g8[y][x] > mean:
+                            a |= 1 << (y * 8 + x)
+                ids.append(i)
+                dh.append(to_signed64(d))
+                ah.append(to_signed64(a))
+                ws.append(w)
+                hs.append(h)
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "dhash": dh,
+                    "ahash": ah,
+                    "width": ws,
+                    "height": hs,
+                }
+            )
+
+    return df.mapInPandas(
+        run,
+        f"{id_col} long, dhash long, ahash long, width int, height int",
+    )
+
+
+def hamming_neardup_pairs(
+    sig: DataFrame,
+    id_col: str = "media_id",
+    hash_col: str = "dhash",
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-duplicate image pairs at Hamming distance <= ``max_hamming``
+    over a 64-bit perceptual-hash column — the simhash pigeonhole band
+    join applied to image fingerprints (exact: ``max_hamming < bands``
+    guarantees agreement on >= 1 band, so banding loses no qualifying
+    pair).  Returns ``(id_a, id_b, hamming)``."""
+    from parquet_converters_spark.functions.dedup import (
+        simhash_neardup_pairs,
+    )
+
+    renamed = sig.select(
+        sig[id_col].alias(id_col), sig[hash_col].alias("simhash")
+    )
+    return simhash_neardup_pairs(
+        renamed,
+        id_col=id_col,
+        bits=64,
+        bands=bands,
+        max_hamming=max_hamming,
+        sig=renamed,
+    )

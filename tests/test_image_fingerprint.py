@@ -1,0 +1,160 @@
+"""Perceptual image hashes (dHash/aHash) + Hamming-banded near-dup.
+
+The reference arithmetic here is written independently of
+functions/image_fingerprint.py (per-pixel loops, no numpy, no shared
+helpers) so a bug in the module's vectorized luma/grid path cannot
+cancel out in the comparison.
+"""
+
+import random
+
+import pytest
+
+from parquet_converters_spark.functions.image_fingerprint import (
+    ahash64_unsigned,
+    bmp_realizing_dhash,
+    decode_image_pixels,
+    dhash64_unsigned,
+    hamming_neardup_pairs,
+    image_hashes,
+    luma_grid,
+    to_signed64,
+)
+from parquet_converters_spark.functions.media_codecs import (
+    encode_bmp,
+    encode_png,
+)
+
+
+def _ref_luma_grid(w, h, c, pixels, gw, gh):
+    # Independent re-derivation: per-pixel loops, no numpy.
+    def luma(x, y):
+        at = (y * w + x) * c
+        if c >= 3:
+            r, g, b = pixels[at], pixels[at + 1], pixels[at + 2]
+            return (299 * r + 587 * g + 114 * b) // 1000
+        return pixels[at]
+
+    grid = []
+    for j in range(gh):
+        row = []
+        for i in range(gw):
+            x0, x1 = i * w // gw, (i + 1) * w // gw
+            y0, y1 = j * h // gh, (j + 1) * h // gh
+            vals = [luma(x, y) for y in range(y0, y1) for x in range(x0, x1)]
+            row.append(sum(vals) // len(vals))
+        grid.append(row)
+    return grid
+
+
+def _random_rgb(w, h, seed):
+    rng = random.Random(seed)
+    return bytes(rng.randrange(256) for _ in range(w * h * 3))
+
+
+def _ref_dhash(payload):
+    w, h, c, px = decode_image_pixels(payload)
+    g = _ref_luma_grid(w, h, c, px, 9, 8)
+    out = 0
+    for y in range(8):
+        for x in range(8):
+            if g[y][x + 1] > g[y][x]:
+                out |= 1 << (y * 8 + x)
+    return out
+
+
+def _ref_ahash(payload):
+    w, h, c, px = decode_image_pixels(payload)
+    g = _ref_luma_grid(w, h, c, px, 8, 8)
+    mean = sum(sum(r) for r in g) // 64
+    out = 0
+    for y in range(8):
+        for x in range(8):
+            if g[y][x] > mean:
+                out |= 1 << (y * 8 + x)
+    return out
+
+
+@pytest.mark.parametrize("w,h", [(9, 8), (18, 16), (32, 24), (45, 40)])
+def test_hashes_match_independent_reference(w, h):
+    for seed in range(3):
+        payload = encode_bmp(w, h, 3, _random_rgb(w, h, seed * 100 + w))
+        assert dhash64_unsigned(payload) == _ref_dhash(payload)
+        assert ahash64_unsigned(payload) == _ref_ahash(payload)
+
+
+def test_hash_is_codec_invariant():
+    # The same pixels through two different REAL codecs hash equal —
+    # the perceptual hash sees pixels, not container bytes.
+    px = _random_rgb(27, 16, 7)
+    bmp = encode_bmp(27, 16, 3, px)
+    png = encode_png(27, 16, 3, px)
+    assert dhash64_unsigned(bmp) == dhash64_unsigned(png)
+    assert ahash64_unsigned(bmp) == ahash64_unsigned(png)
+
+
+def test_bmp_realizing_dhash_round_trips_exact_bits():
+    rng = random.Random(42)
+    for _ in range(8):
+        target = rng.getrandbits(64)
+        assert dhash64_unsigned(bmp_realizing_dhash(target)) == target
+
+
+def test_luma_grid_identity_on_exact_grid():
+    # A 9x8 gray image downsampled to 9x8 is the pixel values
+    # themselves (luma of gray v is exactly v).
+    vals = [[(x * 29 + y * 13) % 251 for x in range(9)] for y in range(8)]
+    px = bytes(v for row in vals for v in row for _ in range(3))
+    grid = luma_grid(9, 8, 3, px, 9, 8)
+    assert grid == vals
+
+
+def test_too_small_image_rejected():
+    payload = encode_bmp(4, 4, 3, _random_rgb(4, 4, 1))
+    with pytest.raises(ValueError, match="smaller than"):
+        dhash64_unsigned(payload)
+
+
+def test_non_image_payload_rejected_by_name():
+    with pytest.raises(NotImplementedError, match="still image"):
+        dhash64_unsigned(b"RIFF\x00\x00\x00\x00WAVEjunk")
+
+
+def test_to_signed64():
+    assert to_signed64(5) == 5
+    assert to_signed64((1 << 63)) == -(1 << 63)
+    assert to_signed64((1 << 64) - 1) == -1
+
+
+def test_image_hashes_and_banded_pairs(spark):
+    # Images realized from controlled dhash targets: pairs (2k, 2k+1)
+    # sit at exact Hamming distance k (flip bits 0,9,18,27,...); the
+    # banded join must find exactly the pairs with distance <= 3 and
+    # report the exact distance — verified against a brute-force
+    # all-pairs recount.
+    base = 0x5A5A_0FF0_C3C3_1234
+    rows = []
+    for k in range(6):
+        flips = 0
+        for i in range(k):
+            flips |= 1 << (9 * i)
+        rows.append((2 * k, bmp_realizing_dhash(base)))
+        rows.append((2 * k + 1, bmp_realizing_dhash(base ^ flips)))
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    sig = image_hashes(df)
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in hamming_neardup_pairs(sig, max_hamming=3).collect()
+    }
+    hashes = {r.media_id: r.dhash for r in sig.collect()}
+    want = {}
+    ids = sorted(hashes)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            d = bin((hashes[a] ^ hashes[b]) & ((1 << 64) - 1)).count("1")
+            if d <= 3:
+                want[(a, b)] = d
+    assert got == want
+    # the k-flip construction seeds known in-pair distances
+    assert want[(0, 1)] == 0 and want[(2, 3)] == 1 and want[(6, 7)] == 3
+    assert (8, 9) not in want  # distance 4 excluded

@@ -156,7 +156,7 @@ def bmp_realizing_dhash(target: int, base: int = 100) -> bytes:
     realize its bit).  Test/oracle machinery for exercising the REAL
     decode path with a known hash — 64 steps of +-1 stay within
     [base-8, base+8], far from clipping."""
-    import struct as _st
+    from parquet_converters_spark.functions.media_craft import gray_bmp
 
     rows = []
     for y in range(DHASH_GRID_H):
@@ -166,22 +166,7 @@ def bmp_realizing_dhash(target: int, base: int = 100) -> bytes:
             v += 1 if (target >> (y * 8 + x)) & 1 else -1
             row.append(v)
         rows.append(row)
-    stride = (DHASH_GRID_W * 3 + 3) & ~3
-    px = bytearray()
-    for y in range(DHASH_GRID_H - 1, -1, -1):  # bottom-up rows
-        line = bytearray()
-        for v in rows[y]:
-            line += bytes([v, v, v])
-        line += b"\x00" * (stride - len(line))
-        px += line
-    hdr = _st.pack(
-        "<IiiHHIIiiII", 40, DHASH_GRID_W, DHASH_GRID_H, 1, 24, 0,
-        len(px), 2835, 2835, 0, 0,
-    )
-    off = 14 + len(hdr)
-    return (
-        b"BM" + _st.pack("<IHHI", off + len(px), 0, 0, off) + hdr + bytes(px)
-    )
+    return gray_bmp(rows)
 
 
 def image_hashes(

@@ -108,3 +108,26 @@ def webm_info(duration_ticks: float) -> bytes:
 
 WEBM_HEADER = (b"\x1a\x45\xdf\xa3\x87\x42\x82\x84webm")
 UNKNOWN_SIZE_SEGMENT = b"\x18\x53\x80\x67\xff"
+
+
+def gray_bmp(rows) -> bytes:
+    """24-bit BI_RGB BMP from a grid of gray values (``rows[y][x]`` in
+    0..255, top-down), emitted bottom-up with standard 4-byte row
+    padding — the still-image analogue of :func:`ogg_page` for
+    crafting pixel-exact decoder inputs."""
+    h, w = len(rows), len(rows[0])
+    stride = (w * 3 + 3) & ~3
+    px = bytearray()
+    for y in range(h - 1, -1, -1):
+        line = bytearray()
+        for v in rows[y]:
+            line += bytes((v, v, v))
+        px += line + b"\x00" * (stride - len(line))
+    hdr = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(px), 2835, 2835, 0, 0
+    )
+    off = 14 + len(hdr)
+    return (
+        b"BM" + struct.pack("<IHHI", off + len(px), 0, 0, off) + hdr
+        + bytes(px)
+    )

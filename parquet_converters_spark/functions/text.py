@@ -11,7 +11,7 @@ hash is ``int(md5(s)[:8], 16)`` which both engines can compute.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 TOKEN_PATTERN = "[a-z0-9]+"
 
@@ -385,3 +385,99 @@ def url_host(url: Column | str) -> Column:
     domain-level aggregation key."""
     h = F.regexp_extract(_col(url), "^[a-z][a-z0-9+.-]*://([^/?#]+)", 1)
     return F.regexp_replace(h, "^www\\.", "")
+
+
+def learn_bpe_merges(
+    df: DataFrame,
+    text_col: str = "text",
+    steps: int = 6,
+) -> DataFrame:
+    """Learn the first ``steps`` BPE merges from a corpus — the full
+    iterative tokenizer-training loop (Sennrich et al. 2016), not just
+    the first pair count (that single step is ``bpe_merge_candidates``
+    in queries.py).
+
+    Scale shape: ONE corpus-size shuffle builds the distinct-word
+    frequency table (explode + hash groupBy with map-side combine);
+    every merge iteration then runs on that vocabulary table alone —
+    pair counts are a hash aggregate whose shuffle carries distinct
+    pairs (bounded by the evolving symbol alphabet, not corpus size),
+    and the winning pair is one collected row per step (O(steps)
+    driver state, the kmeans/PC1 precedent).  At 100 TB the word table
+    is the classic sub-linear BPE working set; the per-step rewrite is
+    a narrow map over it.
+
+    Symbol sequences are encoded as DOUBLE-space-joined strings so a
+    plain (regex-free) left-to-right ``replace`` applies a merge to
+    every non-overlapping occurrence: each boundary owns two spaces,
+    the pattern `` l  r `` consumes one from each side, and adjacent
+    occurrences still match (`` a  a  a `` -> `` aa  a ``, exactly the
+    greedy BPE scan).  Ties break on (count DESC, left ASC, right ASC)
+    — deterministic and engine-portable (ASCII-only symbols).
+
+    Returns ``(step, left, right, merged, n)``, one row per learned
+    merge."""
+    spark = df.sparkSession
+    words = (
+        df.select(F.explode(tokens(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            F.array_join(
+                F.regexp_extract_all("w", F.lit("."), 0), "  "
+            ).alias("sym"),
+            "freq",
+        )
+        .persist()
+    )
+    merges = []
+    try:
+        for step in range(1, steps + 1):
+            arr = F.split("sym", "  ")
+            pairs = (
+                words.select(
+                    "freq",
+                    F.explode(
+                        F.transform(
+                            # sequence(1, 0) DESCENDS in Spark, so
+                            # single-symbol words need an explicit
+                            # empty index list
+                            F.when(
+                                F.size(arr) >= 2,
+                                F.sequence(F.lit(1), F.size(arr) - 1),
+                            ).otherwise(F.array().cast("array<int>")),
+                            lambda i: F.struct(
+                                F.element_at(arr, i).alias("l"),
+                                F.element_at(arr, i + 1).alias("r"),
+                            ),
+                        )
+                    ).alias("p"),
+                )
+                .groupBy("p.l", "p.r")
+                .agg(F.sum("freq").alias("n"))
+            )
+            top = pairs.orderBy(
+                F.desc("n"), F.asc("l"), F.asc("r")
+            ).limit(1).collect()
+            if not top:
+                break
+            left, right, n = top[0]["l"], top[0]["r"], int(top[0]["n"])
+            merged = left + right
+            merges.append((step, left, right, merged, n))
+            nxt = words.select(
+                F.trim(
+                    F.replace(
+                        F.concat(F.lit(" "), F.col("sym"), F.lit(" ")),
+                        F.lit(f" {left}  {right} "),
+                        F.lit(f" {merged} "),
+                    )
+                ).alias("sym"),
+                "freq",
+            ).persist()
+            words.unpersist()
+            words = nxt
+    finally:
+        words.unpersist()
+    return spark.createDataFrame(
+        merges, "step int, left string, right string, merged string, n long"
+    )

@@ -1,0 +1,99 @@
+"""Iterative BPE merge learning: hand-traced vector + an independent
+pure-Python reference implementation on generated text.
+
+The reference below is the textbook word-frequency BPE loop written
+with tuples and dicts — no string-replace encoding, no Spark — so an
+encoding bug in learn_bpe_merges's double-space scheme cannot cancel
+out in the comparison.
+"""
+
+import random
+import re
+
+from parquet_converters_spark.functions.text import learn_bpe_merges
+
+
+def _ref_bpe(texts, steps):
+    words = {}
+    for t in texts:
+        for w in re.findall("[a-z0-9]+", t.lower()):
+            words[w] = words.get(w, 0) + 1
+    vocab = {tuple(w): f for w, f in words.items()}
+    out = []
+    for step in range(1, steps + 1):
+        counts = {}
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                pair = (syms[i], syms[i + 1])
+                counts[pair] = counts.get(pair, 0) + f
+        if not counts:
+            break
+        (left, right), n = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        out.append((step, left, right, left + right, n))
+        new_vocab = {}
+        for syms, f in vocab.items():
+            merged, i = [], 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == left
+                    and syms[i + 1] == right
+                ):
+                    merged.append(left + right)
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            key = tuple(merged)
+            new_vocab[key] = new_vocab.get(key, 0) + f
+        vocab = new_vocab
+    return out
+
+
+def _run(spark, texts, steps):
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    rows = learn_bpe_merges(df, steps=steps).orderBy("step").collect()
+    return [(r.step, r.left, r.right, r.merged, r.n) for r in rows]
+
+
+def test_hand_traced_vector(spark):
+    # corpus: aaab x2, ab x1 -> (a,a):4, then (a,b):3, then (aa,ab):2,
+    # then no pairs remain (all words are single symbols).
+    got = _run(spark, ["aaab aaab", "ab"], steps=6)
+    assert got == [
+        (1, "a", "a", "aa", 4),
+        (2, "a", "b", "ab", 3),
+        (3, "aa", "ab", "aaab", 2),
+    ]
+
+
+def test_adjacent_overlap_is_greedy_left_to_right(spark):
+    # 'aaa' must merge as [aa, a], so step 2 sees the (aa, a) pair.
+    got = _run(spark, ["aaa aaa aaa"], steps=2)
+    assert got[0] == (1, "a", "a", "aa", 6)
+    assert got[1] == (2, "aa", "a", "aaa", 3)
+
+
+def test_matches_independent_reference_on_generated_text(spark):
+    rng = random.Random(1234)
+    syll = ["ba", "na", "to", "ka", "ri", "mo", "s", "x9"]
+    texts = [
+        " ".join(
+            "".join(rng.choices(syll, k=rng.randint(1, 4)))
+            for _ in range(rng.randint(3, 12))
+        )
+        for _ in range(60)
+    ]
+    want = _ref_bpe(texts, 8)
+    got = _run(spark, texts, 8)
+    assert got == want
+    assert len(got) == 8
+
+
+def test_multichar_merge_does_not_cross_token_boundaries(spark):
+    # 'ab' inside 'cab' must merge, but the c|a boundary never pairs
+    # with a neighbouring word (words are independent sequences).
+    got = _run(spark, ["cab cab ab ab ab"], steps=1)
+    assert got == [(1, "a", "b", "ab", 5)]

@@ -2086,6 +2086,315 @@ FROM sums GROUP BY container ORDER BY container
 """
 
 
+def image_dhash_census(spark, sf_dir):
+    """Perceptual-hash dedup at CORPUS grain (r15): every document
+    derives a deterministic 9x8 grayscale BMP (column/row luma pattern
+    closed-form in doc_id), rides the REAL decode -> integer luma ->
+    grid -> dHash/aHash path (functions/image_fingerprint.py), and the
+    census groups by both hashes with a doc_id checksum — so a
+    systematic drift anywhere in the pixel pipeline (BMP row order,
+    luma weights, grid boundaries, bit packing, two's-complement fold)
+    shifts a group and the oracle catches it.  One Arrow-batched
+    narrow stage + one aggregate, linear in corpus rows; the oracle
+    recomputes every bit analytically in SQL."""
+    from parquet_converters_spark.functions.image_fingerprint import (
+        image_hashes,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def build(batches):
+        import pandas as pd
+
+        from parquet_converters_spark.functions.media_craft import gray_bmp
+
+        def img(did):
+            return gray_bmp(
+                [
+                    [
+                        200 * ((did >> ((x + y) % 9)) & 1)
+                        + (x * 31 + y * 17) % 23
+                        for x in range(9)
+                    ]
+                    for y in range(8)
+                ]
+            )
+
+        for pdf in batches:
+            ids = [int(d) for d in pdf["doc_id"]]
+            yield pd.DataFrame(
+                {"media_id": ids, "payload": [img(d) for d in ids]}
+            )
+
+    built = docs.mapInPandas(build, "media_id long, payload binary")
+    return (
+        image_hashes(built)
+        .groupBy("dhash", "ahash")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("media_id").alias("sum_id"),
+        )
+        .orderBy("dhash", "ahash")
+    )
+
+
+# Analytic replica of decode -> luma -> grid -> hash on the crafted
+# 9x8 grayscale pattern: luma of gray v is exactly v; the 9x8 dHash
+# grid is the pixels themselves; the 8x8 aHash grid folds x=8 into
+# column 7 (floor boundaries i*9//8).  Signed 64-bit fold keeps bit 63
+# via min-BIGINT addition (no HUGEINT shifts needed).
+IMAGE_DHASH_CENSUS_SQL = """
+WITH pos AS (
+  SELECT y.y AS y, x.x AS x FROM range(8) AS y(y), range(9) AS x(x)
+), cell AS (
+  SELECT d.doc_id, p.y, p.x,
+         200 * ((d.doc_id >> ((p.x + p.y) % 9)) & 1)
+         + (p.x * 31 + p.y * 17) % 23 AS v
+  FROM documents d, pos p
+), dbit AS (
+  SELECT a.doc_id, a.y, a.x,
+         CASE WHEN b.v > a.v THEN 1 ELSE 0 END AS bit
+  FROM cell a JOIN cell b
+    ON b.doc_id = a.doc_id AND b.y = a.y AND b.x = a.x + 1
+  WHERE a.x < 8
+), dh AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN y*8 + x < 63
+                  THEN bit * ((1::BIGINT) << (y*8 + x)) ELSE 0 END)
+         + MAX(CASE WHEN y*8 + x = 63 AND bit = 1 THEN 1 ELSE 0 END)
+           * (-9223372036854775807 - 1) AS BIGINT) AS dhash
+  FROM dbit GROUP BY doc_id
+), acell AS (
+  SELECT doc_id, y, LEAST(x, 7) AS j, SUM(v) // COUNT(*) AS av
+  FROM cell GROUP BY doc_id, y, LEAST(x, 7)
+), amean AS (
+  SELECT doc_id, SUM(av) // 64 AS m FROM acell GROUP BY doc_id
+), abit AS (
+  SELECT a.doc_id, a.y, a.j,
+         CASE WHEN a.av > m.m THEN 1 ELSE 0 END AS bit
+  FROM acell a JOIN amean m ON m.doc_id = a.doc_id
+), ah AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN y*8 + j < 63
+                  THEN bit * ((1::BIGINT) << (y*8 + j)) ELSE 0 END)
+         + MAX(CASE WHEN y*8 + j = 63 AND bit = 1 THEN 1 ELSE 0 END)
+           * (-9223372036854775807 - 1) AS BIGINT) AS ahash
+  FROM abit GROUP BY doc_id
+)
+SELECT dh.dhash, ah.ahash, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(dh.doc_id) AS BIGINT) AS sum_id
+FROM dh JOIN ah ON ah.doc_id = dh.doc_id
+GROUP BY dh.dhash, ah.ahash ORDER BY dh.dhash, ah.ahash
+"""
+
+
+def image_dhash_neardup(spark, sf_dir):
+    """Image near-dup pairs through the REAL pixel path (r15): a 1/4
+    subset of documents crafts images realizing known dHash targets —
+    pairs (8q, 8q+1) sit at exact Hamming distance q%6, unrelated
+    pairs at ~32 — then the pigeonhole band join (4 bands over 64
+    bits, exact for distance <= 3) finds every qualifying pair.  The
+    oracle recomputes the target hashes analytically and brute-forces
+    all subset pairs with bit_count(xor(...)), so banding
+    (the scale path) is checked against exhaustive search (the
+    correctness path) — a lost candidate or a decode/hash drift both
+    surface as a row diff."""
+    from parquet_converters_spark.functions.image_fingerprint import (
+        bmp_realizing_dhash,
+        hamming_neardup_pairs,
+        image_hashes,
+    )
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % 8 < 2)
+    )
+
+    def build(batches):
+        import pandas as pd
+
+        def target(did):
+            q, r = did // 8, did % 8
+            u = ((q * 2654435761) % (1 << 32)) << 32
+            u |= ((q + 1) * 2246822519) % (1 << 32)
+            if r == 1:
+                for i in range(q % 6):
+                    u ^= 1 << (1 + 10 * i)
+            return u
+
+        for pdf in batches:
+            ids = [int(d) for d in pdf["doc_id"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "payload": [
+                        bmp_realizing_dhash(target(d)) for d in ids
+                    ],
+                }
+            )
+
+    built = docs.mapInPandas(build, "media_id long, payload binary")
+    sig = image_hashes(built).select("media_id", "dhash")
+    return hamming_neardup_pairs(
+        sig, id_col="media_id", hash_col="dhash", bands=4, max_hamming=3
+    ).orderBy("id_a", "id_b")
+
+
+IMAGE_DHASH_NEARDUP_SQL = """
+WITH sub AS (
+  SELECT doc_id, doc_id // 8 AS q, doc_id % 8 AS r
+  FROM documents WHERE doc_id % 8 < 2
+), tgt AS (
+  SELECT doc_id,
+         CAST(q * 2654435761 % 4294967296 AS HUGEINT) * 4294967296
+         + ((q + 1) * 2246822519 % 4294967296) AS u,
+         CASE WHEN r = 1 THEN
+           CASE q % 6 WHEN 0 THEN 0 WHEN 1 THEN 2 WHEN 2 THEN 2050
+                WHEN 3 THEN 2099202 WHEN 4 THEN 2149582850
+                ELSE 2201172838402 END
+         ELSE 0 END AS flips
+  FROM sub
+), sig AS (
+  SELECT doc_id,
+         xor(CAST(CASE WHEN u >= 9223372036854775808
+                       THEN u - 18446744073709551616
+                       ELSE u END AS BIGINT), flips) AS h
+  FROM tgt
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.h, b.h)) AS INTEGER) AS hamming
+FROM sig a JOIN sig b ON b.doc_id > a.doc_id
+WHERE bit_count(xor(a.h, b.h)) <= 3
+ORDER BY id_a, id_b
+"""
+
+
+def audio_fingerprint_census(spark, sf_dir):
+    """Spectral fingerprinting at CORPUS grain (r15): every document
+    crafts a bin-exact PCM16 tone (bin 1 + doc_id%20 of a 256-sample
+    window, 2 + doc_id%5 windows) packed as real WAV, rides the full
+    decode -> window -> rfft -> argmax path
+    (functions/audio_fingerprint.py), and the census asserts the peak
+    landed on the constructed bin in EVERY window (n_uniform) — a
+    windowing, FFT-axis, DC-exclusion, or decode bug shifts a group.
+    One Arrow-batched narrow stage + one aggregate; the oracle is the
+    construction's closed form (no DSP in SQL — the argmax of a
+    bin-exact tone IS its bin)."""
+    from parquet_converters_spark.functions.audio_fingerprint import (
+        audio_fingerprints,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def build(batches):
+        import math as _m
+
+        import pandas as pd
+
+        from parquet_converters_spark.functions.media_codecs import (
+            encode_wav,
+        )
+
+        def wav(did):
+            k, nwin = 1 + did % 20, 2 + did % 5
+            pcm = [
+                int(round(9000 * _m.sin(2 * _m.pi * k * n / 256)))
+                for n in range(256 * nwin)
+            ]
+            return encode_wav(8000, pcm)
+
+        for pdf in batches:
+            ids = [int(d) for d in pdf["doc_id"]]
+            yield pd.DataFrame(
+                {"media_id": ids, "payload": [wav(d) for d in ids]}
+            )
+
+    built = docs.mapInPandas(build, "media_id long, payload binary")
+    fp = audio_fingerprints(built)
+    per_doc = fp.select(
+        F.element_at("peak_bins", 1).alias("peak_bin"),
+        "n_windows",
+        (F.size(F.array_distinct("peak_bins")) == 1)
+        .cast("int")
+        .alias("uniform"),
+    )
+    return (
+        per_doc.groupBy("peak_bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_windows").cast("long").alias("sum_windows"),
+            F.sum("uniform").cast("long").alias("n_uniform"),
+        )
+        .orderBy("peak_bin")
+    )
+
+
+AUDIO_FINGERPRINT_CENSUS_SQL = """
+SELECT CAST(1 + doc_id % 20 AS INTEGER) AS peak_bin,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(2 + doc_id % 5) AS BIGINT) AS sum_windows,
+       CAST(COUNT(*) AS BIGINT) AS n_uniform
+FROM documents GROUP BY 1 ORDER BY peak_bin
+"""
+
+
+def bpe_learned_merges(spark, sf_dir):
+    """Full iterative BPE tokenizer training over the corpus (r15) —
+    six learned merges, each a (pair-count aggregate over the
+    distinct-word table) -> (argmax) -> (merge rewrite) round
+    (functions/text.py learn_bpe_merges; bpe_merge_candidates is this
+    loop's step 1 only).  The oracle unrolls the same six rounds as
+    chained CTEs over the identical double-space merge encoding, so
+    the iterative control flow itself is what's being graded."""
+    from parquet_converters_spark.functions.text import learn_bpe_merges
+
+    docs = _t(spark, sf_dir, "documents")
+    return learn_bpe_merges(docs, text_col="text", steps=6).orderBy("step")
+
+
+def _bpe_round_sql(i: int) -> str:
+    prev = f"w{i - 1}"
+    return f"""
+, p{i} AS (
+  SELECT l[k] AS lft, l[k + 1] AS rgt, SUM(freq) AS n
+  FROM (SELECT string_split(sym, '  ') AS l, freq FROM {prev}),
+       UNNEST(generate_series(1, len(l) - 1)) AS u(k)
+  GROUP BY 1, 2
+), t{i} AS (
+  SELECT {i} AS step, lft, rgt, lft || rgt AS merged, n
+  FROM p{i} ORDER BY n DESC, lft, rgt LIMIT 1
+), w{i} AS (
+  SELECT trim(replace(' ' || sym || ' ',
+                      ' ' || t.lft || '  ' || t.rgt || ' ',
+                      ' ' || t.merged || ' ')) AS sym, freq
+  FROM {prev}, t{i} t
+)"""
+
+
+BPE_LEARNED_MERGES_SQL = (
+    """
+WITH toks AS (
+  SELECT unnest("""
+    + SQL_TOKENS.format(col="text")
+    + """) AS w FROM documents
+), w0 AS (
+  SELECT array_to_string(regexp_extract_all(w, '.'), '  ') AS sym,
+         COUNT(*) AS freq
+  FROM toks GROUP BY 1
+)"""
+    + "".join(_bpe_round_sql(i) for i in range(1, 7))
+    + """
+SELECT CAST(step AS INTEGER) AS step, lft AS "left", rgt AS "right",
+       merged, CAST(n AS BIGINT) AS n
+FROM (SELECT * FROM t1 UNION ALL SELECT * FROM t2
+      UNION ALL SELECT * FROM t3 UNION ALL SELECT * FROM t4
+      UNION ALL SELECT * FROM t5 UNION ALL SELECT * FROM t6)
+ORDER BY step
+"""
+)
+
+
 _PROBE_CORPUS_CACHE = []
 
 
@@ -6221,6 +6530,13 @@ QUERIES.update({
     "media_triage_census": (media_triage_census, MEDIA_TRIAGE_CENSUS_SQL),
     "transcode_census": (transcode_census, TRANSCODE_CENSUS_SQL),
     "video_track_census": (video_track_census, VIDEO_TRACK_CENSUS_SQL),
+    "image_dhash_census": (image_dhash_census, IMAGE_DHASH_CENSUS_SQL),
+    "image_dhash_neardup": (image_dhash_neardup, IMAGE_DHASH_NEARDUP_SQL),
+    "audio_fingerprint_census": (
+        audio_fingerprint_census,
+        AUDIO_FINGERPRINT_CENSUS_SQL,
+    ),
+    "bpe_learned_merges": (bpe_learned_merges, BPE_LEARNED_MERGES_SQL),
 })
 
 # ===========================================================================
@@ -10176,9 +10492,16 @@ QUERIES = {
 # entries to keep 50), then adds the same two reorder lines over
 # _R16_WINDOW.
 _R16_WINDOW = [
-    # (0) new in r15, never graded
+    # (0) new in r15, never graded (the two census rows registered
+    # before the r15 window froze, then the four late-r15
+    # registrations: perceptual-hash image dedup x2, spectral audio
+    # fingerprint census, iterative BPE merge learning)
     "transcode_census",
     "video_track_census",
+    "image_dhash_census",
+    "image_dhash_neardup",
+    "audio_fingerprint_census",
+    "bpe_learned_merges",
     # (a) r12-latest remainder (44)
     "cube_pricing",
     "decontaminate_train",
@@ -10224,12 +10547,10 @@ _R16_WINDOW = [
     "value_histogram",
     "value_trend_by_type",
     "zorder_layout_plan",
-    # (b) r13-latest, alphabetical head (4 — the two r15-new entries
-    # at the front displaced bpe_merge_candidates and
-    # bloom_pruned_revenue)
-    "acctbal_rank_profile",
-    "adjacency_node_ranges",
-    "adjacency_range_to_edge",
-    "ann_recall_pq",
+    # (b) the six never-graded entries at the front displaced the six
+    # alphabetically-first r13-latest rows (acctbal_rank_profile,
+    # adjacency_node_ranges, adjacency_range_to_edge, ann_recall_pq,
+    # bloom_pruned_revenue, bpe_merge_candidates) back into the r17
+    # rotation pool
 ]
 _check_window(_R16_WINDOW, "_R16_WINDOW", prior=_R15_WINDOW)

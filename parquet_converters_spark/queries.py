@@ -2101,7 +2101,12 @@ def image_dhash_census(spark, sf_dir):
         image_hashes,
     )
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = (
+        _t(spark, sf_dir, "documents").select("doc_id")
+        # round-robin the bare 8-byte ids so the Arrow build+hash
+        # stage spreads over every core, not the parquet split count
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
     def build(batches):
         import pandas as pd
@@ -2209,6 +2214,7 @@ def image_dhash_neardup(spark, sf_dir):
         _t(spark, sf_dir, "documents")
         .select("doc_id")
         .filter(F.col("doc_id") % 8 < 2)
+        .repartition(spark.sparkContext.defaultParallelism)
     )
 
     def build(batches):
@@ -2285,7 +2291,10 @@ def audio_fingerprint_census(spark, sf_dir):
         audio_fingerprints,
     )
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = (
+        _t(spark, sf_dir, "documents").select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
     def build(batches):
         import math as _m

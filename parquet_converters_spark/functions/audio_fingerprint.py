@@ -59,15 +59,17 @@ def fingerprint_hash(bins) -> int:
     return h
 
 
-def _mono(samples, channels: int) -> list[int]:
-    """Interleaved PCM16 -> mono by per-frame floor-mean (integer)."""
+def _mono(samples, channels: int):
+    """Interleaved PCM16 -> mono by per-frame floor-mean (integer).
+    Returns the input unchanged for mono and an int64 ndarray for
+    multichannel — :func:`spectral_peak_bins` consumes either."""
     if channels <= 1:
-        return list(samples)
+        return samples
     import numpy as np
 
     arr = np.asarray(samples, dtype=np.int64)
     n = len(arr) // channels
-    return [int(v) for v in arr[: n * channels].reshape(n, channels).sum(axis=1) // channels]
+    return arr[: n * channels].reshape(n, channels).sum(axis=1) // channels
 
 
 def audio_fingerprints(

@@ -38,12 +38,11 @@ DHASH_GRID_H = 8
 AHASH_GRID = 8
 
 
-def decode_image_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
-    """Decode any in-repo-decodable STILL image payload to ``(w, h,
-    channels, pixels)`` — the still-image subset of the
-    ``multimodal._real_decode`` dispatch (PNG / WebP / JPEG / GIF /
-    BMP).  Other formats raise ``NotImplementedError`` naming the
-    codec they need."""
+def still_image_decoders() -> list:
+    """Ordered ``(predicate, decoder)`` table for every
+    in-repo-decodable STILL image format — the ONE dispatch shared by
+    :func:`decode_image_pixels` and ``multimodal._real_decode`` (a new
+    codec lands in both surfaces by extending this list)."""
     from parquet_converters_spark.functions.gif_codec import (
         decode_gif,
         is_gif,
@@ -58,24 +57,32 @@ def decode_image_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
         decode_png,
         is_bmp,
     )
+    from parquet_converters_spark.functions.tiff_codec import decode_tiff
     from parquet_converters_spark.functions.webp_codec import (
         decode_webp,
         is_webp,
     )
 
-    if payload[:8] == _PNG_SIG:
-        return decode_png(payload)
-    if is_webp(payload):
-        return decode_webp(payload)
-    if is_jpeg(payload):
-        return decode_jpeg(payload)
-    if is_gif(payload):
-        return decode_gif(payload)
-    if is_bmp(payload):
-        return decode_bmp(payload)
+    return [
+        (lambda p: p[:8] == _PNG_SIG, decode_png),
+        (is_webp, decode_webp),
+        (is_jpeg, decode_jpeg),
+        (is_gif, decode_gif),
+        (is_bmp, decode_bmp),
+        (lambda p: p[:4] in (b"II*\x00", b"MM\x00*"), decode_tiff),
+    ]
+
+
+def decode_image_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Decode any in-repo-decodable STILL image payload to ``(w, h,
+    channels, pixels)``; other formats raise ``NotImplementedError``
+    naming what is supported."""
+    for pred, dec in still_image_decoders():
+        if pred(payload):
+            return dec(payload)
     raise NotImplementedError(
         "image fingerprint: payload is not a decodable still image "
-        "(PNG/WebP/JPEG/GIF/BMP); video thumbnails go through "
+        "(PNG/WebP/JPEG/GIF/BMP/TIFF); video thumbnails go through "
         "multimodal.decode_media first"
     )
 
@@ -116,11 +123,11 @@ def luma_grid(
     return grid
 
 
-def dhash64_unsigned(payload: bytes) -> int:
-    """64-bit difference hash: 9x8 luma grid; bit ``y*8 + x`` is set
-    when ``cell[y][x+1] > cell[y][x]`` (strict)."""
-    w, h, c, pixels = decode_image_pixels(payload)
-    grid = luma_grid(w, h, c, pixels, DHASH_GRID_W, DHASH_GRID_H)
+def _dhash_bits(grid) -> int:
+    """Pack a 9x8 luma grid into the 64 dHash bits: bit ``y*8 + x`` is
+    set when ``grid[y][x+1] > grid[y][x]`` (strict) — the ONE
+    definition shared by the payload-level functions and the Spark
+    stage."""
     out = 0
     for y in range(DHASH_GRID_H):
         for x in range(DHASH_GRID_W - 1):
@@ -129,11 +136,10 @@ def dhash64_unsigned(payload: bytes) -> int:
     return out
 
 
-def ahash64_unsigned(payload: bytes) -> int:
-    """64-bit average hash: 8x8 luma grid; bit ``y*8 + x`` is set when
-    the cell exceeds the floor of the global cell mean (strict)."""
-    w, h, c, pixels = decode_image_pixels(payload)
-    grid = luma_grid(w, h, c, pixels, AHASH_GRID, AHASH_GRID)
+def _ahash_bits(grid) -> int:
+    """Pack an 8x8 luma grid into the 64 aHash bits: bit ``y*8 + x``
+    is set when the cell exceeds the floor of the global cell mean
+    (strict)."""
     mean = sum(sum(row) for row in grid) // (AHASH_GRID * AHASH_GRID)
     out = 0
     for y in range(AHASH_GRID):
@@ -141,6 +147,18 @@ def ahash64_unsigned(payload: bytes) -> int:
             if grid[y][x] > mean:
                 out |= 1 << (y * 8 + x)
     return out
+
+
+def dhash64_unsigned(payload: bytes) -> int:
+    """64-bit difference hash of a decodable still image."""
+    w, h, c, pixels = decode_image_pixels(payload)
+    return _dhash_bits(luma_grid(w, h, c, pixels, DHASH_GRID_W, DHASH_GRID_H))
+
+
+def ahash64_unsigned(payload: bytes) -> int:
+    """64-bit average hash of a decodable still image."""
+    w, h, c, pixels = decode_image_pixels(payload)
+    return _ahash_bits(luma_grid(w, h, c, pixels, AHASH_GRID, AHASH_GRID))
 
 
 def to_signed64(u: int) -> int:
@@ -189,19 +207,12 @@ def image_hashes(
             for i, payload in zip(pdf[id_col], pdf[payload_col]):
                 payload = bytes(payload)
                 w, h, c, pixels = decode_image_pixels(payload)
-                g9 = luma_grid(w, h, c, pixels, DHASH_GRID_W, DHASH_GRID_H)
-                d = 0
-                for y in range(DHASH_GRID_H):
-                    for x in range(DHASH_GRID_W - 1):
-                        if g9[y][x + 1] > g9[y][x]:
-                            d |= 1 << (y * 8 + x)
-                g8 = luma_grid(w, h, c, pixels, AHASH_GRID, AHASH_GRID)
-                mean = sum(sum(r) for r in g8) // (AHASH_GRID * AHASH_GRID)
-                a = 0
-                for y in range(AHASH_GRID):
-                    for x in range(AHASH_GRID):
-                        if g8[y][x] > mean:
-                            a |= 1 << (y * 8 + x)
+                d = _dhash_bits(
+                    luma_grid(w, h, c, pixels, DHASH_GRID_W, DHASH_GRID_H)
+                )
+                a = _ahash_bits(
+                    luma_grid(w, h, c, pixels, AHASH_GRID, AHASH_GRID)
+                )
                 ids.append(i)
                 dh.append(to_signed64(d))
                 ah.append(to_signed64(a))

@@ -129,41 +129,16 @@ def _real_decode(payload: bytes, n_features: int) -> tuple:
         is_avi,
         parse_avi_mjpeg,
     )
-    from parquet_converters_spark.functions.gif_codec import (
-        decode_gif,
-        is_gif,
+    from parquet_converters_spark.functions.image_fingerprint import (
+        still_image_decoders,
     )
-    from parquet_converters_spark.functions.jpeg_codec import (
-        decode_jpeg,
-        is_jpeg,
-    )
-    from parquet_converters_spark.functions.media_codecs import (
-        _PNG_SIG,
-        decode_bmp,
-        decode_png,
-        decode_wav,
-        is_bmp,
-    )
-    from parquet_converters_spark.functions.webp_codec import (
-        decode_webp,
-        is_webp,
-    )
+    from parquet_converters_spark.functions.jpeg_codec import decode_jpeg
+    from parquet_converters_spark.functions.media_codecs import decode_wav
 
-    if payload[:8] == _PNG_SIG:
-        w, h, c, pixels = decode_png(payload)
-        return w, h, c, _band_features(pixels, n_features)
-    if is_webp(payload):
-        w, h, c, pixels = decode_webp(payload)
-        return w, h, c, _band_features(pixels, n_features)
-    if is_jpeg(payload):
-        w, h, c, pixels = decode_jpeg(payload)
-        return w, h, c, _band_features(pixels, n_features)
-    if is_gif(payload):
-        w, h, c, pixels = decode_gif(payload)
-        return w, h, c, _band_features(pixels, n_features)
-    if is_bmp(payload):
-        w, h, c, pixels = decode_bmp(payload)
-        return w, h, c, _band_features(pixels, n_features)
+    for pred, dec in still_image_decoders():
+        if pred(payload):
+            w, h, c, pixels = dec(payload)
+            return w, h, c, _band_features(pixels, n_features)
     if is_avi(payload):
         _fps, frames = parse_avi_mjpeg(payload)
         if not frames:
@@ -247,13 +222,6 @@ def _real_decode(payload: bytes, n_features: int) -> tuple:
         # |PCM16| -> 0..255; clamp -32768 (|s|=32768 -> 256 otherwise)
         scaled = [min(abs(s), 32767) // 128 for s in samples]
         return None, None, channels, _band_features(scaled, n_features)
-    if payload[:4] in (b"II*\x00", b"MM\x00*"):
-        from parquet_converters_spark.functions.tiff_codec import (
-            decode_tiff,
-        )
-
-        w, h, c, pixels = decode_tiff(payload)
-        return w, h, c, _band_features(pixels, n_features)
     named = {
         b"ID3": "MP3 (ID3-tagged)",
         b"\xff\xfb": "MP3", b"\xff\xf3": "MP3", b"\xff\xf2": "MP3",

@@ -474,6 +474,11 @@ def learn_bpe_merges(
                 ).alias("sym"),
                 "freq",
             ).persist()
+            # materialize the rewrite BEFORE dropping the parent cache
+            # — unpersisting a still-lazy child would force every later
+            # step to recompute the whole replace chain from the
+            # corpus aggregate (O(steps^2) instead of O(steps))
+            nxt.count()
             words.unpersist()
             words = nxt
     finally:

@@ -2253,8 +2253,8 @@ WITH sub AS (
   FROM documents WHERE doc_id % 8 < 2
 ), tgt AS (
   SELECT doc_id,
-         CAST(q * 2654435761 % 4294967296 AS HUGEINT) * 4294967296
-         + ((q + 1) * 2246822519 % 4294967296) AS u,
+         CAST(q AS HUGEINT) * 2654435761 % 4294967296 * 4294967296
+         + (CAST(q + 1 AS HUGEINT) * 2246822519 % 4294967296) AS u,
          CASE WHEN r = 1 THEN
            CASE q % 6 WHEN 0 THEN 0 WHEN 1 THEN 2 WHEN 2 THEN 2050
                 WHEN 3 THEN 2099202 WHEN 4 THEN 2149582850

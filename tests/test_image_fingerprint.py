@@ -84,13 +84,18 @@ def test_hashes_match_independent_reference(w, h):
 
 
 def test_hash_is_codec_invariant():
-    # The same pixels through two different REAL codecs hash equal —
+    # The same pixels through three different REAL codecs hash equal —
     # the perceptual hash sees pixels, not container bytes.
+    from parquet_converters_spark.functions.tiff_codec import encode_tiff
+
     px = _random_rgb(27, 16, 7)
     bmp = encode_bmp(27, 16, 3, px)
     png = encode_png(27, 16, 3, px)
+    tif = encode_tiff(27, 16, 3, px)
     assert dhash64_unsigned(bmp) == dhash64_unsigned(png)
     assert ahash64_unsigned(bmp) == ahash64_unsigned(png)
+    assert dhash64_unsigned(tif) == dhash64_unsigned(bmp)
+    assert ahash64_unsigned(tif) == ahash64_unsigned(bmp)
 
 
 def test_bmp_realizing_dhash_round_trips_exact_bits():

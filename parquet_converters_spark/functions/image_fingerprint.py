@@ -176,6 +176,13 @@ def bmp_realizing_dhash(target: int, base: int = 100) -> bytes:
     [base-8, base+8], far from clipping."""
     from parquet_converters_spark.functions.media_craft import gray_bmp
 
+    return gray_bmp(rows_realizing_dhash(target, base))
+
+
+def rows_realizing_dhash(target: int, base: int = 100) -> list[list[int]]:
+    """The pixel grid behind :func:`bmp_realizing_dhash`, exposed so
+    other containers (e.g. animated-GIF frames in the video census)
+    can wrap the same hash-realizing luma walk."""
     rows = []
     for y in range(DHASH_GRID_H):
         v = base
@@ -184,7 +191,7 @@ def bmp_realizing_dhash(target: int, base: int = 100) -> bytes:
             v += 1 if (target >> (y * 8 + x)) & 1 else -1
             row.append(v)
         rows.append(row)
-    return gray_bmp(rows)
+    return rows
 
 
 def image_hashes(

@@ -417,6 +417,44 @@ def learn_bpe_merges(
 
     Returns ``(step, left, right, merged, n)``, one row per learned
     merge."""
+    merges, words = _bpe_learn(df, text_col, steps)
+    words.unpersist()
+    return merges
+
+
+def bpe_token_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    steps: int = 6,
+) -> DataFrame:
+    """ENCODE the corpus with its own learned BPE merges: run the
+    :func:`learn_bpe_merges` loop, then aggregate the final symbol
+    vocabulary — ``(token, n)`` where ``n`` is total corpus frequency
+    (word frequency summed over the tokens each word encodes to).
+    This is the apply half of tokenizer training: the merge table is
+    only useful if encoding with it is itself distributable, and here
+    encoding is the same narrow rewrite the learning loop already
+    runs, so the census comes from the final vocabulary table with
+    one more explode + hash aggregate."""
+    merges, words = _bpe_learn(df, text_col, steps)
+    toks = (
+        words.select(
+            F.explode(F.split("sym", "  ")).alias("token"), "freq"
+        )
+        .groupBy("token")
+        .agg(F.sum("freq").alias("n"))
+        .persist()
+    )
+    toks.count()
+    words.unpersist()
+    return toks
+
+
+def _bpe_learn(df: DataFrame, text_col: str, steps: int):
+    """The shared BPE loop: returns ``(merges_df, words_df)`` where
+    ``words_df`` is the PERSISTED final vocabulary (``sym`` in the
+    double-space encoding, ``freq``) — the caller owns the
+    unpersist."""
     spark = df.sparkSession
     words = (
         df.select(F.explode(tokens(text_col)).alias("w"))
@@ -481,8 +519,13 @@ def learn_bpe_merges(
             nxt.count()
             words.unpersist()
             words = nxt
-    finally:
+    except BaseException:
         words.unpersist()
-    return spark.createDataFrame(
-        merges, "step int, left string, right string, merged string, n long"
+        raise
+    return (
+        spark.createDataFrame(
+            merges,
+            "step int, left string, right string, merged string, n long",
+        ),
+        words,
     )

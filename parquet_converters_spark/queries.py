@@ -2404,6 +2404,222 @@ ORDER BY step
 )
 
 
+def bpe_token_census(spark, sf_dir):
+    """The APPLY half of BPE tokenizer training (r15): learn the six
+    merges, encode the corpus with them, and census the top-30
+    resulting tokens by total corpus frequency
+    (functions/text.py bpe_token_counts) — the merge table is only
+    useful if encoding with it is itself distributable, and here the
+    encode IS the learning loop's final vocabulary table, one more
+    explode + hash aggregate.  Oracle: the same six rounds unrolled
+    as CTEs, then the same final census."""
+    from parquet_converters_spark.functions.text import bpe_token_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        bpe_token_counts(docs, text_col="text", steps=6)
+        .orderBy(F.desc("n"), "token")
+        .limit(30)
+    )
+
+
+BPE_TOKEN_CENSUS_SQL = (
+    BPE_LEARNED_MERGES_SQL.rsplit("SELECT CAST(step", 1)[0]
+    + """
+SELECT tok AS token, CAST(SUM(freq) AS BIGINT) AS n
+FROM (SELECT unnest(string_split(sym, '  ')) AS tok, freq FROM w6)
+GROUP BY 1 ORDER BY n DESC, token LIMIT 30
+"""
+)
+
+
+def audio_fp_dedup(spark, sf_dir):
+    """Cross-container audio dedup by spectral fingerprint (r15):
+    documents sharing ``doc_id // 3`` carry the SAME bin-exact tone
+    packed into ROTATING containers (WAV/AU/AIFF by doc_id % 3); the
+    fingerprint chain hash must merge them — and every other doc with
+    the same (bin, window-count) construction — into one group with
+    all three containers present.  This is the near-dup promise of
+    the fingerprint at volume: identical audio, different bytes, one
+    hash-groupBy shuffle on the bounded fp_hash.  Oracle: the chain
+    hash in closed form — the Horner fold of a constant-bin
+    fingerprint collapses to ``(k+1) * sum(P^i) mod M`` (ring
+    homomorphism), so SQL needs only HUGEINT geometric-sum
+    constants."""
+    from parquet_converters_spark.functions.audio_fingerprint import (
+        audio_fingerprints,
+    )
+
+    docs = (
+        _t(spark, sf_dir, "documents").select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def build(batches):
+        import math as _m
+
+        import pandas as pd
+
+        from parquet_converters_spark.functions.audio_codecs import (
+            encode_aiff,
+            encode_au,
+        )
+        from parquet_converters_spark.functions.media_codecs import (
+            encode_wav,
+        )
+
+        enc = [encode_wav, encode_au, encode_aiff]
+
+        def payload(did):
+            q, r = did // 3, did % 3
+            k, nwin = 1 + q % 20, 2 + q % 5
+            pcm = [
+                int(round(9000 * _m.sin(2 * _m.pi * k * n / 256)))
+                for n in range(256 * nwin)
+            ]
+            return enc[r](8000, pcm)
+
+        for pdf in batches:
+            ids = [int(d) for d in pdf["doc_id"]]
+            yield pd.DataFrame(
+                {"media_id": ids, "payload": [payload(d) for d in ids]}
+            )
+
+    built = docs.mapInPandas(build, "media_id long, payload binary")
+    fp = audio_fingerprints(built)
+    return (
+        fp.groupBy("fp_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct(F.col("media_id") % 3).alias("n_containers"),
+            F.sum("media_id").alias("sum_id"),
+        )
+        .orderBy("fp_hash")
+    )
+
+
+AUDIO_FP_DEDUP_SQL = """
+WITH f AS (
+  SELECT doc_id,
+         CAST(CAST(2 + (doc_id // 3) % 20 AS HUGEINT)
+              * (CASE 2 + (doc_id // 3) % 5
+                   WHEN 2 THEN CAST(1000004 AS HUGEINT)
+                   WHEN 3 THEN CAST(1000007000013 AS HUGEINT)
+                   WHEN 4 THEN CAST(1000010000034000040 AS HUGEINT)
+                   WHEN 5 THEN 1000013000064000142000121
+                   ELSE 1000016000103000334000547000364 END)
+              % 2305843009213693951 AS BIGINT) AS fp_hash
+  FROM documents
+)
+SELECT fp_hash, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT doc_id % 3) AS BIGINT) AS n_containers,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_id
+FROM f GROUP BY fp_hash ORDER BY fp_hash
+"""
+
+
+def video_dhash_census(spark, sf_dir):
+    """Video fingerprinting at CORPUS grain (r15): every document
+    crafts a two-frame animated GIF whose frames realize known dHash
+    targets, rides the REAL timeline path — GIF encode -> sample_frames
+    tick selection (frame visible at 0 ms and 100 ms) -> PNG
+    re-encode -> PNG decode -> luma -> dHash — and the census pins
+    per-frame-slot popcount/low-bit sums against the targets'
+    closed form.  This extends perceptual dedup to the video corpus:
+    a frame-level hash sequence is the standard near-dup key for
+    re-encoded clips, and the whole chain is two Arrow-batched narrow
+    stages (craft+demux, hash) plus one aggregate."""
+    from parquet_converters_spark.functions.image_fingerprint import (
+        image_hashes,
+    )
+    from parquet_converters_spark.functions.multimodal import sample_frames
+
+    docs = (
+        _t(spark, sf_dir, "documents").select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def build(batches):
+        import pandas as pd
+
+        from parquet_converters_spark.functions.gif_codec import encode_gif
+        from parquet_converters_spark.functions.image_fingerprint import (
+            rows_realizing_dhash,
+        )
+
+        def target(did, f):
+            s = 2 * did + f
+            u = ((s * 2654435761) % (1 << 32)) << 32
+            u |= ((s + 1) * 2246822519) % (1 << 32)
+            return u
+
+        def gif(did):
+            frames = []
+            for f in range(2):
+                rows = rows_realizing_dhash(target(did, f))
+                frames.append(
+                    bytes(v for row in rows for v in row for _ in range(3))
+                )
+            return encode_gif(9, 8, 3, frames, delay_ms=100)
+
+        for pdf in batches:
+            ids = [int(d) for d in pdf["doc_id"]]
+            yield pd.DataFrame(
+                {"media_id": ids, "payload": [gif(d) for d in ids]}
+            )
+
+    built = docs.mapInPandas(build, "media_id long, payload binary")
+    frames = sample_frames(built, every_ms=100, max_frames=2)
+    keyed = frames.select(
+        (F.col("media_id") * 4 + F.col("frame_index")).alias("fid"),
+        "payload",
+    )
+    sig = image_hashes(keyed, id_col="fid")
+    return (
+        sig.select(
+            (F.col("fid") % 4).cast("int").alias("frame_index"),
+            F.expr("fid div 4").alias("media_id"),
+            "dhash",
+        )
+        .groupBy("frame_index")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.bit_count("dhash")).cast("long").alias("sum_pop"),
+            F.sum(F.col("dhash").bitwiseAND(F.lit(2097151)))
+            .cast("long")
+            .alias("sum_low"),
+            F.sum("media_id").alias("sum_id"),
+        )
+        .orderBy("frame_index")
+    )
+
+
+VIDEO_DHASH_CENSUS_SQL = """
+WITH fr AS (
+  SELECT doc_id, ff.f AS frame_index
+  FROM documents, (SELECT 0 AS f UNION ALL SELECT 1) ff
+), t AS (
+  SELECT doc_id, frame_index,
+         CAST(CASE WHEN u >= 9223372036854775808
+                   THEN u - 18446744073709551616
+                   ELSE u END AS BIGINT) AS h
+  FROM (
+    SELECT doc_id, frame_index,
+           CAST(2*doc_id + frame_index AS HUGEINT)
+             * 2654435761 % 4294967296 * 4294967296
+           + (CAST(2*doc_id + frame_index + 1 AS HUGEINT)
+             * 2246822519 % 4294967296) AS u
+    FROM fr)
+)
+SELECT CAST(frame_index AS INTEGER) AS frame_index,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(bit_count(h)) AS BIGINT) AS sum_pop,
+       CAST(SUM(h & 2097151) AS BIGINT) AS sum_low,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_id
+FROM t GROUP BY 1 ORDER BY frame_index
+"""
+
+
 _PROBE_CORPUS_CACHE = []
 
 
@@ -6546,6 +6762,9 @@ QUERIES.update({
         AUDIO_FINGERPRINT_CENSUS_SQL,
     ),
     "bpe_learned_merges": (bpe_learned_merges, BPE_LEARNED_MERGES_SQL),
+    "bpe_token_census": (bpe_token_census, BPE_TOKEN_CENSUS_SQL),
+    "audio_fp_dedup": (audio_fp_dedup, AUDIO_FP_DEDUP_SQL),
+    "video_dhash_census": (video_dhash_census, VIDEO_DHASH_CENSUS_SQL),
 })
 
 # ===========================================================================
@@ -10502,15 +10721,20 @@ QUERIES = {
 # _R16_WINDOW.
 _R16_WINDOW = [
     # (0) new in r15, never graded (the two census rows registered
-    # before the r15 window froze, then the four late-r15
+    # before the r15 window froze, then the seven late-r15
     # registrations: perceptual-hash image dedup x2, spectral audio
-    # fingerprint census, iterative BPE merge learning)
+    # fingerprint census + cross-container dedup, video frame-hash
+    # census, iterative BPE merge learning + the apply-half token
+    # census)
     "transcode_census",
     "video_track_census",
     "image_dhash_census",
     "image_dhash_neardup",
     "audio_fingerprint_census",
+    "audio_fp_dedup",
+    "video_dhash_census",
     "bpe_learned_merges",
+    "bpe_token_census",
     # (a) r12-latest remainder (44)
     "cube_pricing",
     "decontaminate_train",
@@ -10553,13 +10777,12 @@ _R16_WINDOW = [
     "text_top_bigrams",
     "top_ngram_coverage",
     "unpivot_metrics",
-    "value_histogram",
-    "value_trend_by_type",
-    "zorder_layout_plan",
-    # (b) the six never-graded entries at the front displaced the six
+    # (b) the nine never-graded entries at the front displaced the six
     # alphabetically-first r13-latest rows (acctbal_rank_profile,
     # adjacency_node_ranges, adjacency_range_to_edge, ann_recall_pq,
-    # bloom_pruned_revenue, bpe_merge_candidates) back into the r17
+    # bloom_pruned_revenue, bpe_merge_candidates) and the three
+    # alphabetically-last r12-latest rows (value_histogram,
+    # value_trend_by_type, zorder_layout_plan) back into the r17
     # rotation pool
 ]
 _check_window(_R16_WINDOW, "_R16_WINDOW", prior=_R15_WINDOW)

@@ -97,3 +97,51 @@ def test_multichar_merge_does_not_cross_token_boundaries(spark):
     # with a neighbouring word (words are independent sequences).
     got = _run(spark, ["cab cab ab ab ab"], steps=1)
     assert got == [(1, "a", "b", "ab", 5)]
+
+
+def test_token_counts_match_reference_encoding(spark):
+    from parquet_converters_spark.functions.text import bpe_token_counts
+
+    rng = random.Random(77)
+    syll = ["to", "ka", "ri", "mo", "ban", "an"]
+    texts = [
+        " ".join(
+            "".join(rng.choices(syll, k=rng.randint(1, 3)))
+            for _ in range(rng.randint(2, 8))
+        )
+        for _ in range(40)
+    ]
+    # independent reference: run the dict-based BPE, then count tokens
+    words = {}
+    for t in texts:
+        for w in re.findall("[a-z0-9]+", t.lower()):
+            words[w] = words.get(w, 0) + 1
+    vocab = {tuple(w): f for w, f in words.items()}
+    for _step, left, right, _m, _n in _ref_bpe(texts, 5):
+        new_vocab = {}
+        for syms, f in vocab.items():
+            merged, i = [], 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == left
+                    and syms[i + 1] == right
+                ):
+                    merged.append(left + right)
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            key = tuple(merged)
+            new_vocab[key] = new_vocab.get(key, 0) + f
+        vocab = new_vocab
+    want = {}
+    for syms, f in vocab.items():
+        for s in syms:
+            want[s] = want.get(s, 0) + f
+
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = {
+        r.token: r.n for r in bpe_token_counts(df, steps=5).collect()
+    }
+    assert got == want

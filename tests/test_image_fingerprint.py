@@ -163,3 +163,36 @@ def test_image_hashes_and_banded_pairs(spark):
     # the k-flip construction seeds known in-pair distances
     assert want[(0, 1)] == 0 and want[(2, 3)] == 1 and want[(6, 7)] == 3
     assert (8, 9) not in want  # distance 4 excluded
+
+
+def test_dhash_stable_under_rescale():
+    # The perceptual property itself: a smooth image downscaled 2x
+    # (pixel-area resample) keeps a close dHash — the hash sees the
+    # coarse luma structure, not the resolution.
+    import math
+
+    w, h = 36, 32
+    px = bytes(
+        v
+        for y in range(h)
+        for x in range(w)
+        for v in [
+            int(128 + 90 * math.sin(2 * math.pi * x / w) * math.cos(2 * math.pi * y / h))
+        ] * 3
+    )
+    big = encode_bmp(w, h, 3, px)
+    # 2x2 box downscale (independent of luma_grid's machinery)
+    small_px = bytearray()
+    for y in range(0, h, 2):
+        for x in range(0, w, 2):
+            s = 0
+            for dy in range(2):
+                for dx in range(2):
+                    s += px[((y + dy) * w + (x + dx)) * 3]
+            v = s // 4
+            small_px += bytes((v, v, v))
+    small = encode_bmp(w // 2, h // 2, 3, bytes(small_px))
+    d = bin(
+        (dhash64_unsigned(big) ^ dhash64_unsigned(small)) & ((1 << 64) - 1)
+    ).count("1")
+    assert d <= 6, f"dhash moved {d} bits under 2x downscale"

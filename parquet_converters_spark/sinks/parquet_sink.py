@@ -30,6 +30,7 @@ def write_canonical_parquet(
     mode: str = "overwrite",
     partitions: int | None = None,
     metadata_sidecar: bool = True,
+    bloom_filter_columns: list[str] | None = None,
 ) -> None:
     """Write ``df`` with the reference's parquet physical options.
 
@@ -47,7 +48,18 @@ def write_canonical_parquet(
     consults first (``sources/ordering.py``).  Cost is one driver-side
     footer read per file — O(#files), the same as the row-count pass
     the ordered reader performs anyway.
+    ``bloom_filter_columns`` writes a split-block Bloom filter per row
+    group for each named column (``parquet.bloom.filter.enabled#col``,
+    the parquet-mr writer property Spark passes through).  At 100 TB
+    this is the point-lookup analogue of min/max zone maps: an
+    equality probe on a high-cardinality key (synapse_id, doc_id,
+    url_hash) skips every row group whose filter rejects the value
+    without decoding a page — dictionary encoding is OFF in this
+    canonical layout (reference parity), so Bloom filters are the only
+    sub-row-group pruning equality predicates get.
     """
+    if partitions:
+        df = df.repartition(partitions)
     writer = (
         df.write.mode(mode)
         .option("compression", "snappy")
@@ -55,15 +67,8 @@ def write_canonical_parquet(
         .option("parquet.block.size", str(ROW_GROUP_BYTES))
         .option("parquet.page.size", str(PAGE_BYTES))
     )
-    if partitions:
-        df = df.repartition(partitions)
-        writer = (
-            df.write.mode(mode)
-            .option("compression", "snappy")
-            .option("parquet.enable.dictionary", "false")
-            .option("parquet.block.size", str(ROW_GROUP_BYTES))
-            .option("parquet.page.size", str(PAGE_BYTES))
-        )
+    for col in bloom_filter_columns or []:
+        writer = writer.option(f"parquet.bloom.filter.enabled#{col}", "true")
     writer.parquet(path)
 
     if kv_metadata:

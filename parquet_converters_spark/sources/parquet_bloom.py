@@ -1,0 +1,336 @@
+"""From-spec parquet Bloom-filter reader and prober.
+
+The canonical sink can now write split-block Bloom filters
+(``sinks/parquet_sink.py bloom_filter_columns``) — the point-lookup
+analogue of zone maps for the dictionary-less layout.  Neither the
+in-container pyarrow (no ``bloom_filter_offset`` surface) nor DuckDB
+1.0 (no ``parquet_bloom_probe``) can read them back, so verifying the
+sink would otherwise mean trusting the writer's own claim.  This
+module closes the loop from the published specs alone:
+
+* a Thrift **compact-protocol** walker (thrift.apache.org spec:
+  zigzag varints, delta field ids, nested struct/list skipping) over
+  the parquet footer — FileMetaData(4: row_groups) -> RowGroup(1:
+  columns) -> ColumnChunk(3: meta_data) -> ColumnMetaData(3:
+  path_in_schema, 14: bloom_filter_offset, 15: bloom_filter_length);
+* the **XXH64** hash (xxHash spec, seed 0) parquet mandates for Bloom
+  input, known-answer-tested;
+* the **split-block Bloom filter** probe (parquet-format
+  BloomFilter.md): 32-byte blocks of 8 LE u32 words, block index
+  ``((h >> 32) * nblocks) >> 32``, one bit per word via the 8
+  published odd salts.
+
+Reference analogue: footer-level verification mirrors how
+``tests/test_hdf5_export.py`` inspects the reference's parquet writer
+options (W1) by independent readback.
+"""
+
+from __future__ import annotations
+
+import struct
+
+# thrift compact-protocol wire types
+_CT_STOP = 0
+_CT_TRUE = 1
+_CT_FALSE = 2
+_CT_BYTE = 3
+_CT_I16 = 4
+_CT_I32 = 5
+_CT_I64 = 6
+_CT_DOUBLE = 7
+_CT_BINARY = 8
+_CT_LIST = 9
+_CT_SET = 10
+_CT_MAP = 11
+_CT_STRUCT = 12
+
+_SALT = (
+    0x47B6137B, 0x44974D91, 0x8824AD5B, 0xA2B7289D,
+    0x705495C7, 0x2DF1424B, 0x9EFC4947, 0x5C6BFB31,
+)
+_M64 = (1 << 64) - 1
+
+
+class _Reader:
+    """Minimal thrift compact-protocol cursor."""
+
+    def __init__(self, buf: bytes, at: int = 0):
+        self.buf = buf
+        self.at = at
+
+    def byte(self) -> int:
+        b = self.buf[self.at]
+        self.at += 1
+        return b
+
+    def varint(self) -> int:
+        out = shift = 0
+        while True:
+            b = self.byte()
+            out |= (b & 0x7F) << shift
+            if not b & 0x80:
+                return out
+            shift += 7
+            if shift > 70:
+                raise ValueError("thrift: varint too long")
+
+    def zigzag(self) -> int:
+        v = self.varint()
+        return (v >> 1) ^ -(v & 1)
+
+    def skip(self, wtype: int) -> None:
+        if wtype in (_CT_TRUE, _CT_FALSE):
+            return
+        if wtype == _CT_BYTE:
+            self.at += 1
+        elif wtype in (_CT_I16, _CT_I32, _CT_I64):
+            self.varint()
+        elif wtype == _CT_DOUBLE:
+            self.at += 8
+        elif wtype == _CT_BINARY:
+            # NOT `self.at += self.varint()`: augmented assignment
+            # loads the OLD offset before varint() consumes its bytes
+            ln = self.varint()
+            self.at += ln
+        elif wtype in (_CT_LIST, _CT_SET):
+            n, etype = self.list_header()
+            for _ in range(n):
+                self.skip(etype)
+        elif wtype == _CT_MAP:
+            n = self.varint()
+            if n:
+                kv = self.byte()
+                for _ in range(n):
+                    self.skip(kv >> 4)
+                    self.skip(kv & 0xF)
+        elif wtype == _CT_STRUCT:
+            for _fid, ftype in self.fields():
+                self.skip(ftype)
+        else:
+            raise ValueError(f"thrift: unknown wire type {wtype}")
+
+    def list_header(self) -> tuple[int, int]:
+        h = self.byte()
+        n, etype = h >> 4, h & 0xF
+        if n == 15:
+            n = self.varint()
+        return n, etype
+
+    def fields(self):
+        """Yield ``(field_id, wire_type)`` until STOP; caller must
+        consume (read or skip) each field's value before advancing."""
+        fid = 0
+        while True:
+            h = self.byte()
+            if h == _CT_STOP:
+                return
+            delta, ftype = h >> 4, h & 0xF
+            fid = fid + delta if delta else self.zigzag()
+            yield fid, ftype
+
+
+def _read_footer(path: str) -> bytes:
+    with open(path, "rb") as fh:
+        fh.seek(0, 2)
+        size = fh.tell()
+        fh.seek(size - 8)
+        tail = fh.read(8)
+        if tail[4:] != b"PAR1":
+            raise ValueError(f"{path}: not a parquet file (no PAR1 tail)")
+        (flen,) = struct.unpack("<I", tail[:4])
+        fh.seek(size - 8 - flen)
+        return fh.read(flen)
+
+
+def footer_bloom_index(path: str) -> dict[tuple[int, str], tuple[int, int | None]]:
+    """``{(row_group_index, column_path): (bloom_filter_offset,
+    bloom_filter_length | None)}`` for every column chunk that
+    declares a Bloom filter — empty dict when the file has none."""
+    r = _Reader(_read_footer(path))
+    out: dict[tuple[int, str], tuple[int, int | None]] = {}
+    for fid, ftype in r.fields():  # FileMetaData
+        if fid == 4 and ftype == _CT_LIST:  # row_groups
+            n_rg, _ = r.list_header()
+            for rg in range(n_rg):
+                for cfid, cftype in r.fields():  # RowGroup
+                    if cfid == 1 and cftype == _CT_LIST:  # columns
+                        n_col, _ = r.list_header()
+                        for _c in range(n_col):
+                            _read_column_chunk(r, rg, out)
+                    else:
+                        r.skip(cftype)
+        else:
+            r.skip(ftype)
+    return out
+
+
+def _read_column_chunk(r: _Reader, rg: int, out: dict) -> None:
+    for fid, ftype in r.fields():  # ColumnChunk
+        if fid == 3 and ftype == _CT_STRUCT:  # meta_data
+            path_parts: list[str] = []
+            offset = length = None
+            for mfid, mftype in r.fields():  # ColumnMetaData
+                if mfid == 3 and mftype == _CT_LIST:  # path_in_schema
+                    n, _ = r.list_header()
+                    for _ in range(n):
+                        ln = r.varint()
+                        path_parts.append(
+                            r.buf[r.at : r.at + ln].decode("utf-8")
+                        )
+                        r.at += ln
+                elif mfid == 14:  # bloom_filter_offset
+                    offset = r.zigzag()
+                elif mfid == 15:  # bloom_filter_length
+                    length = r.zigzag()
+                else:
+                    r.skip(mftype)
+            if offset is not None:
+                out[(rg, ".".join(path_parts))] = (offset, length)
+        else:
+            r.skip(ftype)
+
+
+def read_bloom_blocks(path: str, offset: int) -> list[int]:
+    """Parse the BloomFilterHeader at ``offset`` (algorithm/hash/
+    compression unions validated: BLOCK + XXHASH + UNCOMPRESSED) and
+    return the bitset as a flat list of little-endian u32 words
+    (8 words per 32-byte block)."""
+    with open(path, "rb") as fh:
+        fh.seek(offset)
+        # header is tiny; 64 bytes is far more than its max encoding
+        head = fh.read(64)
+        r = _Reader(head)
+        num_bytes = None
+        for fid, ftype in r.fields():  # BloomFilterHeader
+            if fid == 1:
+                num_bytes = r.zigzag()
+            elif fid in (2, 3, 4) and ftype == _CT_STRUCT:
+                # unions of empty structs: field id 1 == the only
+                # variant parquet-format defines for the BLOCK/XXHASH/
+                # UNCOMPRESSED members this prober supports
+                seen = [f for f, t in r.fields() if (r.skip(t) or True)]
+                if seen != [1]:
+                    raise NotImplementedError(
+                        f"parquet bloom: unsupported union variant {seen} "
+                        f"in header field {fid} (only split-block + "
+                        "XXH64 + uncompressed)"
+                    )
+            else:
+                r.skip(ftype)
+        if num_bytes is None or num_bytes <= 0 or num_bytes % 32:
+            raise ValueError(
+                f"parquet bloom: bad bitset size {num_bytes} at {offset}"
+            )
+        fh.seek(offset + r.at)
+        bits = fh.read(num_bytes)
+    if len(bits) != num_bytes:
+        raise ValueError("parquet bloom: truncated bitset")
+    return list(struct.unpack(f"<{num_bytes // 4}I", bits))
+
+
+def xxh64(data: bytes, seed: int = 0) -> int:
+    """XXH64 (xxHash spec, 64-bit variant) — the hash parquet-format
+    mandates for Bloom-filter input.  Known-answer-tested."""
+    p1, p2, p3 = 0x9E3779B185EBCA87, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9
+    p4, p5 = 0x85EBCA77C2B2AE63, 0x27D4EB2F165667C5
+
+    def rotl(x, r):
+        return ((x << r) | (x >> (64 - r))) & _M64
+
+    n = len(data)
+    at = 0
+    if n >= 32:
+        v1 = (seed + p1 + p2) & _M64
+        v2 = (seed + p2) & _M64
+        v3 = seed & _M64
+        v4 = (seed - p1) & _M64
+        while at + 32 <= n:
+            for i, v in enumerate((v1, v2, v3, v4)):
+                (lane,) = struct.unpack_from("<Q", data, at + 8 * i)
+                v = (v + lane * p2) & _M64
+                v = (rotl(v, 31) * p1) & _M64
+                if i == 0:
+                    v1 = v
+                elif i == 1:
+                    v2 = v
+                elif i == 2:
+                    v3 = v
+                else:
+                    v4 = v
+            at += 32
+        h = (rotl(v1, 1) + rotl(v2, 7) + rotl(v3, 12) + rotl(v4, 18)) & _M64
+        for v in (v1, v2, v3, v4):
+            v = (rotl(v, 31) * p1) & _M64
+            h = ((h ^ (v * p2 & _M64)) * p1 + p4) & _M64
+    else:
+        h = (seed + p5) & _M64
+    h = (h + n) & _M64
+    while at + 8 <= n:
+        (lane,) = struct.unpack_from("<Q", data, at)
+        k = (rotl(lane * p2 & _M64, 31) * p1) & _M64
+        h = ((rotl(h ^ k, 27) * p1) + p4) & _M64
+        at += 8
+    if at + 4 <= n:
+        (lane,) = struct.unpack_from("<I", data, at)
+        h = ((rotl(h ^ (lane * p1 & _M64), 23) * p2) + p3) & _M64
+        at += 4
+    while at < n:
+        h = (rotl(h ^ (data[at] * p5 & _M64), 11) * p1) & _M64
+        at += 1
+    h ^= h >> 33
+    h = (h * p2) & _M64
+    h ^= h >> 29
+    h = (h * p3) & _M64
+    h ^= h >> 32
+    return h
+
+
+def sbbf_might_contain(words: list[int], h: int) -> bool:
+    """Split-block Bloom probe: ``words`` is the flat LE-u32 bitset
+    (8 words per block), ``h`` the XXH64 of the plain-encoded value."""
+    nblocks = len(words) // 8
+    block = ((h >> 32) * nblocks) >> 32
+    key = h & 0xFFFFFFFF
+    base = block * 8
+    for i in range(8):
+        bit = (key * _SALT[i] & 0xFFFFFFFF) >> 27
+        if not words[base + i] & (1 << bit):
+            return False
+    return True
+
+
+def plain_encode(value) -> bytes:
+    """Parquet plain encoding of a probe value: INT64 for Python ints
+    (little-endian two's complement — what Spark writes for LongType),
+    raw UTF-8 bytes for strings, raw bytes for bytes."""
+    if isinstance(value, bool):
+        raise NotImplementedError("parquet bloom: BOOLEAN has no filter")
+    if isinstance(value, int):
+        return struct.pack("<q", value)
+    if isinstance(value, str):
+        return value.encode("utf-8")
+    if isinstance(value, (bytes, bytearray)):
+        return bytes(value)
+    raise NotImplementedError(
+        f"parquet bloom: no plain encoding for {type(value).__name__}"
+    )
+
+
+def bloom_probe(path: str, column: str, values) -> dict[int, list[bool]]:
+    """Probe ``values`` against ``column``'s Bloom filter in every row
+    group of ``path``: ``{row_group: [might_contain per value]}``.
+    Raises ``KeyError`` when the column has no filter (so a sink
+    regression cannot read as 'no false positives')."""
+    index = footer_bloom_index(path)
+    rgs = {rg: off for (rg, col), (off, _len) in index.items() if col == column}
+    if not rgs:
+        raise KeyError(
+            f"{path}: no Bloom filter for column {column!r} "
+            f"(filters present: {sorted({c for _rg, c in index})})"
+        )
+    hashes = [xxh64(plain_encode(v)) for v in values]
+    out = {}
+    for rg, off in sorted(rgs.items()):
+        words = read_bloom_blocks(path, off)
+        out[rg] = [sbbf_might_contain(words, h) for h in hashes]
+    return out

@@ -29,7 +29,7 @@ dedup family (dedup.py).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 
 # dHash grid: 9 luma columns -> 8 gradient bits per row, 8 rows.
 DHASH_GRID_W = 9
@@ -268,3 +268,36 @@ def hamming_neardup_pairs(
         max_hamming=max_hamming,
         sig=renamed,
     )
+
+
+def image_neardup_survivors(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    bands: int = 4,
+    max_hamming: int = 3,
+    cc_method: str = "hash_to_min",
+) -> DataFrame:
+    """The image face of the dedup funnel (the
+    ``dedup.near_dedup_survivors`` composition over perceptual hashes):
+    dHash every payload, find Hamming-banded near-dup pairs, cluster
+    them with connected components, and keep only each cluster's
+    minimum id.  Returns the surviving subset of ``df`` (all original
+    columns).  Exact byte-dup collapse is implicit — identical pixels
+    hash identically, landing at Hamming distance 0."""
+    from parquet_converters_spark.operators.graph import (
+        connected_components,
+    )
+
+    sig = image_hashes(df, payload_col=payload_col, id_col=id_col)
+    pairs = hamming_neardup_pairs(
+        sig, id_col=id_col, hash_col="dhash",
+        bands=bands, max_hamming=max_hamming,
+    )
+    comps = connected_components(
+        pairs, src="id_a", dst="id_b", method=cc_method
+    )
+    losers = comps.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")

@@ -196,3 +196,29 @@ def test_dhash_stable_under_rescale():
         (dhash64_unsigned(big) ^ dhash64_unsigned(small)) & ((1 << 64) - 1)
     ).count("1")
     assert d <= 6, f"dhash moved {d} bits under 2x downscale"
+
+
+def test_image_neardup_survivors(spark):
+    # Three clusters: ids {1,2,3} share one hash neighborhood (exact +
+    # 1-bit + 2-bit), {10,11} another, {20} is a singleton.  Survivors
+    # keep each cluster's minimum id with all original columns.
+    from parquet_converters_spark.functions.image_fingerprint import (
+        image_neardup_survivors,
+    )
+
+    a, b = 0x1234_5678_9ABC_DEF0, 0x0FF0_0FF0_0FF0_0FF0
+    rows = [
+        (1, bmp_realizing_dhash(a), "x1"),
+        (2, bmp_realizing_dhash(a ^ 1), "x2"),
+        (3, bmp_realizing_dhash(a ^ (1 << 9) ^ (1 << 18)), "x3"),
+        (10, bmp_realizing_dhash(b), "y1"),
+        (11, bmp_realizing_dhash(b), "y2"),
+        (20, bmp_realizing_dhash(a ^ b), "z"),
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id long, payload binary, tag string"
+    )
+    kept = sorted(
+        (r.media_id, r.tag) for r in image_neardup_survivors(df).collect()
+    )
+    assert kept == [(1, "x1"), (10, "y1"), (20, "z")]

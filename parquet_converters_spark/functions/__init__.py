@@ -80,3 +80,19 @@ from parquet_converters_spark.functions.sampling import (  # noqa: F401
     pack_sequences,
 )
 from parquet_converters_spark.functions.profile import profile_table  # noqa: F401
+from parquet_converters_spark.functions.image_fingerprint import (  # noqa: F401,E501
+    ahash64_unsigned,
+    dhash64_unsigned,
+    hamming_neardup_pairs,
+    image_hashes,
+    image_neardup_survivors,
+)
+from parquet_converters_spark.functions.audio_fingerprint import (  # noqa: F401,E501
+    audio_fingerprints,
+    fingerprint_hash,
+    spectral_peak_bins,
+)
+from parquet_converters_spark.functions.text import (  # noqa: F401
+    bpe_token_counts,
+    learn_bpe_merges,
+)

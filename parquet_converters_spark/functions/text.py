@@ -443,9 +443,10 @@ def bpe_token_counts(
         )
         .groupBy("token")
         .agg(F.sum("freq").alias("n"))
-        .persist()
+        # vocab-size result: EAGER localCheckpoint (the no-residue
+        # house pattern) so the words cache can be released now
+        .localCheckpoint(eager=True)
     )
-    toks.count()
     words.unpersist()
     return toks
 

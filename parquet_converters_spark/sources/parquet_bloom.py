@@ -205,15 +205,18 @@ def read_bloom_blocks(path: str, offset: int) -> list[int]:
             if fid == 1:
                 num_bytes = r.zigzag()
             elif fid in (2, 3, 4) and ftype == _CT_STRUCT:
-                # unions of empty structs: field id 1 == the only
-                # variant parquet-format defines for the BLOCK/XXHASH/
-                # UNCOMPRESSED members this prober supports
-                seen = [f for f, t in r.fields() if (r.skip(t) or True)]
-                if seen != [1]:
+                # unions of empty structs: variant field id 1 is the
+                # only one parquet-format defines for the BLOCK /
+                # XXHASH / UNCOMPRESSED members this prober supports
+                variants = []
+                for vfid, vtype in r.fields():
+                    variants.append(vfid)
+                    r.skip(vtype)
+                if variants != [1]:
                     raise NotImplementedError(
-                        f"parquet bloom: unsupported union variant {seen} "
-                        f"in header field {fid} (only split-block + "
-                        "XXH64 + uncompressed)"
+                        f"parquet bloom: unsupported union variant "
+                        f"{variants} in header field {fid} (only "
+                        "split-block + XXH64 + uncompressed)"
                     )
             else:
                 r.skip(ftype)

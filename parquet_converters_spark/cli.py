@@ -108,6 +108,19 @@ def main(argv: list[str] | None = None) -> int:
     dd.add_argument("--num-hashes", type=int, default=8)
     dd.add_argument("--bands", type=int, default=4)
 
+    idd = sub.add_parser(
+        "image-dedup",
+        help="Near-dedup an image parquet by perceptual hash (dHash -> "
+        "Hamming band join -> connected components) and write the "
+        "surviving rows",
+    )
+    idd.add_argument("input", help="Input parquet with a binary payload column")
+    idd.add_argument("output", help="Output parquet directory (survivors)")
+    idd.add_argument("--id-col", default="media_id")
+    idd.add_argument("--payload-col", default="payload")
+    idd.add_argument("--bands", type=int, default=4)
+    idd.add_argument("--max-hamming", type=int, default=3)
+
     pc = sub.add_parser(
         "prepare-corpus",
         help="Full training-corpus prep funnel: quality gate -> exact "
@@ -211,6 +224,25 @@ def main(argv: list[str] | None = None) -> int:
         kept = spark.read.parquet(args.output).count()
         print(
             f"dedup: kept {kept} of {docs.count()} rows -> {args.output}"
+        )
+    elif args.cmd == "image-dedup":
+        from parquet_converters_spark.functions.image_fingerprint import (
+            image_neardup_survivors,
+        )
+
+        media = spark.read.parquet(args.input)
+        survivors = image_neardup_survivors(
+            media,
+            payload_col=args.payload_col,
+            id_col=args.id_col,
+            bands=args.bands,
+            max_hamming=args.max_hamming,
+        )
+        survivors.write.mode("overwrite").parquet(args.output)
+        kept = spark.read.parquet(args.output).count()
+        print(
+            f"image-dedup: kept {kept} of {media.count()} rows -> "
+            f"{args.output}"
         )
     elif args.cmd == "prepare-corpus":
         from parquet_converters_spark.pipelines import prepare_corpus

@@ -278,3 +278,25 @@ def test_kv_stamping_distributed_multi_file(spark, tmp_path):
     assert spark.read.parquet(out).count() == 1000
     # no stray tmp files left behind by the atomic-rename rewrite
     assert not _glob.glob(os.path.join(out, "*.tmp"))
+
+
+def test_cli_image_dedup(spark, tmp_path):
+    from parquet_converters_spark.cli import main
+    from parquet_converters_spark.functions.image_fingerprint import (
+        bmp_realizing_dhash,
+    )
+
+    src = str(tmp_path / "images")
+    a, b = 0x1111_2222_3333_4444, 0x7777_0000_5555_2222
+    rows = [
+        (1, bmp_realizing_dhash(a)),
+        (2, bmp_realizing_dhash(a ^ 1)),      # 1 bit from a -> dup of 1
+        (3, bmp_realizing_dhash(b)),
+        (4, bmp_realizing_dhash(b)),          # exact dup of 3
+    ]
+    spark.createDataFrame(rows, "media_id long, payload binary").write.parquet(src)
+    out = str(tmp_path / "kept")
+    rc = main(["image-dedup", src, out])
+    assert rc == 0
+    kept = {r.media_id for r in spark.read.parquet(out).collect()}
+    assert kept == {1, 3}

@@ -277,6 +277,7 @@ def image_neardup_survivors(
     bands: int = 4,
     max_hamming: int = 3,
     cc_method: str = "hash_to_min",
+    materialize: bool = False,
 ) -> DataFrame:
     """The image face of the dedup funnel (the
     ``dedup.near_dedup_survivors`` composition over perceptual hashes):
@@ -284,10 +285,16 @@ def image_neardup_survivors(
     them with connected components, and keep only each cluster's
     minimum id.  Returns the surviving subset of ``df`` (all original
     columns).  Exact byte-dup collapse is implicit — identical pixels
-    hash identically, landing at Hamming distance 0."""
+    hash identically, landing at Hamming distance 0.
+
+    ``materialize=True`` returns an EAGER localCheckpoint and releases
+    the connected-components checkpoints it subsumes — the no-residue
+    form for long-lived sessions (the ``near_dedup_survivors``
+    contract); the default stays lazy."""
     from parquet_converters_spark.operators.graph import (
         connected_components,
     )
+    from parquet_converters_spark.session import free_local_checkpoints
 
     sig = image_hashes(df, payload_col=payload_col, id_col=id_col)
     pairs = hamming_neardup_pairs(
@@ -300,4 +307,8 @@ def image_neardup_survivors(
     losers = comps.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias(id_col)
     )
-    return df.join(losers, id_col, "left_anti")
+    out = df.join(losers, id_col, "left_anti")
+    if materialize:
+        out = out.localCheckpoint(eager=True)
+        free_local_checkpoints(comps)
+    return out

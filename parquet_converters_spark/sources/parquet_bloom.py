@@ -142,10 +142,15 @@ def _read_footer(path: str) -> bytes:
         return fh.read(flen)
 
 
-def footer_bloom_index(path: str) -> dict[tuple[int, str], tuple[int, int | None]]:
+def footer_bloom_index(
+    path: str,
+) -> dict[tuple[int, str], tuple[int, int | None, int | None]]:
     """``{(row_group_index, column_path): (bloom_filter_offset,
-    bloom_filter_length | None)}`` for every column chunk that
-    declares a Bloom filter — empty dict when the file has none."""
+    bloom_filter_length | None, physical_type | None)}`` for every
+    column chunk that declares a Bloom filter — empty dict when the
+    file has none.  ``physical_type`` is the parquet Type enum
+    (1=INT32, 2=INT64, 6=BYTE_ARRAY, ...): the prober needs it to
+    plain-encode probe values the way the writer hashed them."""
     r = _Reader(_read_footer(path))
     out: dict[tuple[int, str], tuple[int, int | None]] = {}
     for fid, ftype in r.fields():  # FileMetaData
@@ -168,9 +173,11 @@ def _read_column_chunk(r: _Reader, rg: int, out: dict) -> None:
     for fid, ftype in r.fields():  # ColumnChunk
         if fid == 3 and ftype == _CT_STRUCT:  # meta_data
             path_parts: list[str] = []
-            offset = length = None
+            offset = length = ptype = None
             for mfid, mftype in r.fields():  # ColumnMetaData
-                if mfid == 3 and mftype == _CT_LIST:  # path_in_schema
+                if mfid == 1:  # physical type (Type enum)
+                    ptype = r.zigzag()
+                elif mfid == 3 and mftype == _CT_LIST:  # path_in_schema
                     n, _ = r.list_header()
                     for _ in range(n):
                         ln = r.varint()
@@ -185,7 +192,7 @@ def _read_column_chunk(r: _Reader, rg: int, out: dict) -> None:
                 else:
                     r.skip(mftype)
             if offset is not None:
-                out[(rg, ".".join(path_parts))] = (offset, length)
+                out[(rg, ".".join(path_parts))] = (offset, length, ptype)
         else:
             r.skip(ftype)
 
@@ -263,8 +270,10 @@ def xxh64(data: bytes, seed: int = 0) -> int:
             at += 32
         h = (rotl(v1, 1) + rotl(v2, 7) + rotl(v3, 12) + rotl(v4, 18)) & _M64
         for v in (v1, v2, v3, v4):
-            v = (rotl(v, 31) * p1) & _M64
-            h = ((h ^ (v * p2 & _M64)) * p1 + p4) & _M64
+            # mergeRound: h ^= rotl(v * p2, 31) * p1 — multiply by p2
+            # BEFORE the rotate (a swapped order passes every input
+            # < 32 bytes and silently breaks all longer ones)
+            h = ((h ^ (rotl(v * p2 & _M64, 31) * p1 & _M64)) * p1 + p4) & _M64
     else:
         h = (seed + p5) & _M64
     h = (h + n) & _M64
@@ -302,17 +311,42 @@ def sbbf_might_contain(words: list[int], h: int) -> bool:
     return True
 
 
-def plain_encode(value) -> bytes:
-    """Parquet plain encoding of a probe value: INT64 for Python ints
-    (little-endian two's complement — what Spark writes for LongType),
-    raw UTF-8 bytes for strings, raw bytes for bytes."""
+_TYPE_NAMES = {
+    0: "BOOLEAN", 1: "INT32", 2: "INT64", 3: "INT96",
+    4: "FLOAT", 5: "DOUBLE", 6: "BYTE_ARRAY", 7: "FIXED_LEN_BYTE_ARRAY",
+}
+
+
+def plain_encode(value, ptype: int | None = 2) -> bytes:
+    """Parquet plain encoding of a probe value for the column's
+    PHYSICAL type (the writer hashed the stored encoding, so an INT32
+    column probed with an 8-byte INT64 encoding would read every
+    present value as absent — a silent all-False, which is why the
+    type is checked by name instead)."""
     if isinstance(value, bool):
         raise NotImplementedError("parquet bloom: BOOLEAN has no filter")
     if isinstance(value, int):
-        return struct.pack("<q", value)
+        if ptype == 2:
+            return struct.pack("<q", value)
+        if ptype == 1:
+            return struct.pack("<i", value)
+        raise NotImplementedError(
+            "parquet bloom: integer probe against a "
+            f"{_TYPE_NAMES.get(ptype, ptype)} column (INT32/INT64 only)"
+        )
     if isinstance(value, str):
+        if ptype != 6:
+            raise NotImplementedError(
+                "parquet bloom: string probe against a "
+                f"{_TYPE_NAMES.get(ptype, ptype)} column (BYTE_ARRAY only)"
+            )
         return value.encode("utf-8")
     if isinstance(value, (bytes, bytearray)):
+        if ptype not in (6, 7):
+            raise NotImplementedError(
+                "parquet bloom: bytes probe against a "
+                f"{_TYPE_NAMES.get(ptype, ptype)} column"
+            )
         return bytes(value)
     raise NotImplementedError(
         f"parquet bloom: no plain encoding for {type(value).__name__}"
@@ -325,15 +359,19 @@ def bloom_probe(path: str, column: str, values) -> dict[int, list[bool]]:
     Raises ``KeyError`` when the column has no filter (so a sink
     regression cannot read as 'no false positives')."""
     index = footer_bloom_index(path)
-    rgs = {rg: off for (rg, col), (off, _len) in index.items() if col == column}
+    rgs = {
+        rg: (off, ptype)
+        for (rg, col), (off, _len, ptype) in index.items()
+        if col == column
+    }
     if not rgs:
         raise KeyError(
             f"{path}: no Bloom filter for column {column!r} "
             f"(filters present: {sorted({c for _rg, c in index})})"
         )
-    hashes = [xxh64(plain_encode(v)) for v in values]
     out = {}
-    for rg, off in sorted(rgs.items()):
+    for rg, (off, ptype) in sorted(rgs.items()):
+        hashes = [xxh64(plain_encode(v, ptype)) for v in values]
         words = read_bloom_blocks(path, off)
         out[rg] = [sbbf_might_contain(words, h) for h in hashes]
     return out

@@ -24,12 +24,17 @@ from parquet_converters_spark.sources.parquet_bloom import (
 
 
 def test_xxh64_known_answers():
-    # spot vectors; the end-to-end probe against parquet-mr's bytes is
-    # the real external validation
+    # published vectors covering BOTH length regimes: the short path
+    # (< 32 bytes, no stripe accumulators) and the long path (>= 32
+    # bytes, stripe + merge rounds) — a swapped multiply in the merge
+    # round passes every short input and breaks every long one
+    # (r15 review finding, fixed)
     assert xxh64(b"") == 0xEF46DB3751D8E999
-    # self-consistency properties the spec guarantees
+    assert (
+        xxh64(b"Nobody inspects the spammish repetition")
+        == 0xFBCEA83C8A378BF1
+    )
     assert xxh64(b"a") != xxh64(b"b")
-    assert xxh64(b"x" * 100) == xxh64(b"x" * 100)
 
 
 def _one_file(path):
@@ -41,15 +46,31 @@ def _one_file(path):
 def test_bloom_filter_round_trip(spark, tmp_path):
     out = str(tmp_path / "bloomed")
     df = spark.range(0, 5000).selectExpr(
-        "id * 7 + 3 AS k", "concat('u-', id) AS u", "id AS plain"
+        "id * 7 + 3 AS k", "concat('u-', id) AS u",
+        "repeat(concat('u-', id), 8) AS long_u",
+        "CAST(id AS INT) AS k32", "id AS plain",
     )
     write_canonical_parquet(
-        df.coalesce(1), out, bloom_filter_columns=["k", "u"],
+        df.coalesce(1), out, bloom_filter_columns=["k", "u", "long_u", "k32"],
         metadata_sidecar=False,
     )
     f = _one_file(out)
     idx = footer_bloom_index(f)
-    assert {c for _rg, c in idx} == {"k", "u"}
+    assert {c for _rg, c in idx} == {"k", "u", "long_u", "k32"}
+    # physical types recorded: INT64, BYTE_ARRAY x2, INT32
+    types = {c: t for (_rg, c), (_o, _l, t) in idx.items()}
+    assert types == {"k": 2, "u": 6, "long_u": 6, "k32": 1}
+
+    # INT32 column: probes hash the 4-byte plain encoding
+    assert all(bloom_probe(f, "k32", list(range(0, 5000, 311)))[0])
+    k32_miss = bloom_probe(f, "k32", list(range(5000, 9000, 13)))[0]
+    assert sum(k32_miss) < len(k32_miss) * 0.1
+
+    # cross-type probes fail BY NAME instead of silently reading False
+    with pytest.raises(NotImplementedError, match="BYTE_ARRAY"):
+        bloom_probe(f, "u", [5])
+    with pytest.raises(NotImplementedError, match="INT64"):
+        bloom_probe(f, "k", ["5"])
 
     # every present value must probe True in the row group holding it
     # (single file, single row group at this size)
@@ -67,6 +88,12 @@ def test_bloom_filter_round_trip(spark, tmp_path):
     assert all(bloom_probe(f, "u", [f"u-{i}" for i in range(0, 5000, 131)])[0])
     miss = bloom_probe(f, "u", [f"v-{i}" for i in range(400)])[0]
     assert sum(miss) < len(miss) * 0.1
+    # >= 32-byte string values exercise the XXH64 stripe path against
+    # parquet-mr's own hashes
+    long_present = bloom_probe(f, "long_u", [("u-%d" % i) * 8 for i in range(0, 5000, 131)])[0]
+    assert all(long_present)
+    long_miss = bloom_probe(f, "long_u", [("w-%d" % i) * 8 for i in range(400)])[0]
+    assert sum(long_miss) < len(long_miss) * 0.1
 
     # the data itself still reads back intact through Spark
     back = spark.read.parquet(out)

@@ -114,6 +114,14 @@ class _Reader:
         n, etype = h >> 4, h & 0xF
         if n == 15:
             n = self.varint()
+        if n > len(self.buf) - self.at:
+            # every element consumes >= 0 bytes, but no honest list
+            # outnumbers the remaining buffer — a lying size would
+            # otherwise drive a near-infinite skip loop
+            raise ValueError(
+                f"thrift: list of {n} elements with "
+                f"{len(self.buf) - self.at} bytes left"
+            )
         return n, etype
 
     def fields(self):
@@ -150,7 +158,19 @@ def footer_bloom_index(
     column chunk that declares a Bloom filter — empty dict when the
     file has none.  ``physical_type`` is the parquet Type enum
     (1=INT32, 2=INT64, 6=BYTE_ARRAY, ...): the prober needs it to
-    plain-encode probe values the way the writer hashed them."""
+    plain-encode probe values the way the writer hashed them.
+
+    Corrupt/truncated footers raise ``ValueError`` (the codec-module
+    contract) — never ``IndexError``/``struct.error``."""
+    try:
+        return _footer_bloom_index(path)
+    except (IndexError, struct.error, UnicodeDecodeError) as e:
+        raise ValueError(
+            f"{path}: corrupt parquet footer ({e})"
+        ) from e
+
+
+def _footer_bloom_index(path):
     r = _Reader(_read_footer(path))
     out: dict[tuple[int, str], tuple[int, int | None]] = {}
     for fid, ftype in r.fields():  # FileMetaData
@@ -201,7 +221,17 @@ def read_bloom_blocks(path: str, offset: int) -> list[int]:
     """Parse the BloomFilterHeader at ``offset`` (algorithm/hash/
     compression unions validated: BLOCK + XXHASH + UNCOMPRESSED) and
     return the bitset as a flat list of little-endian u32 words
-    (8 words per 32-byte block)."""
+    (8 words per 32-byte block).  Corrupt headers raise ``ValueError``
+    or ``NotImplementedError`` by name."""
+    try:
+        return _read_bloom_blocks(path, offset)
+    except (IndexError, struct.error) as e:
+        raise ValueError(
+            f"{path}: corrupt bloom filter header at {offset} ({e})"
+        ) from e
+
+
+def _read_bloom_blocks(path: str, offset: int) -> list[int]:
     with open(path, "rb") as fh:
         fh.seek(offset)
         # header is tiny; 64 bytes is far more than its max encoding

@@ -123,3 +123,39 @@ def test_probe_unsupported_type_named():
         plain_encode(True)
     with pytest.raises(NotImplementedError, match="float"):
         plain_encode(1.5)
+
+
+def test_corrupt_footer_raises_valueerror(spark, tmp_path):
+    # mutation sweep (the codec-hardening contract): corrupt footers
+    # raise ValueError/NotImplementedError, never IndexError
+    import random
+
+    out = str(tmp_path / "victim")
+    write_canonical_parquet(
+        spark.range(0, 200).selectExpr("id AS k").coalesce(1),
+        out, bloom_filter_columns=["k"], metadata_sidecar=False,
+    )
+    f = _one_file(out)
+    raw = open(f, "rb").read()
+    rng = random.Random(99)
+    victim = str(tmp_path / "mut.parquet")
+    for trial in range(40):
+        mutated = bytearray(raw)
+        # hit the footer region (last 200 bytes before PAR1) and the
+        # length word
+        pos = len(raw) - 8 - rng.randrange(1, 200)
+        mutated[pos] = rng.randrange(256)
+        if trial % 5 == 0:
+            mutated = mutated[: rng.randrange(12, len(raw))]
+        open(victim, "wb").write(bytes(mutated))
+        try:
+            idx = footer_bloom_index(victim)
+            for (_rg, _c), (off, _l, _t) in idx.items():
+                from parquet_converters_spark.sources.parquet_bloom import (
+                    read_bloom_blocks,
+                )
+
+                read_bloom_blocks(victim, off)
+        except (ValueError, NotImplementedError, KeyError):
+            pass  # named rejection is the contract
+        # any other exception type fails the test by propagating

@@ -86,6 +86,7 @@ from parquet_converters_spark.functions.image_fingerprint import (  # noqa: F401
     hamming_neardup_pairs,
     image_hashes,
     image_neardup_survivors,
+    video_frame_hashes,
 )
 from parquet_converters_spark.functions.audio_fingerprint import (  # noqa: F401,E501
     audio_fingerprints,

@@ -312,3 +312,48 @@ def image_neardup_survivors(
         out = out.localCheckpoint(eager=True)
         free_local_checkpoints(comps)
     return out
+
+
+def video_frame_hashes(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    every_ms: int = 1000,
+    max_frames: int = 4,
+) -> DataFrame:
+    """Per-frame perceptual hashes for VIDEO payloads — the frame-level
+    near-dup key for re-encoded clips: ``multimodal.sample_frames``
+    (tick-sampled, container-demuxed, PNG/JPEG frame payloads) piped
+    into :func:`image_hashes`.  Returns ``(id, frame_index,
+    frame_ts_ms, dhash, ahash, width, height)``; both stages are
+    Arrow-batched narrow maps, so the whole chain is shuffle-free.
+
+    The frame key rides through the single-column hash stage as
+    ``id * K + frame_index`` (K = next power of two >= max_frames) —
+    valid while ``|id| < 2**62 / K``."""
+    from parquet_converters_spark.functions.multimodal import sample_frames
+
+    k = 1
+    while k < max(max_frames, 1):
+        k *= 2
+    frames = sample_frames(
+        df.select(F.col(id_col).alias("media_id"), payload_col),
+        every_ms=every_ms,
+        max_frames=max_frames,
+    )
+    keyed = frames.select(
+        (F.col("media_id") * k + F.col("frame_index")).alias("_fid"),
+        "frame_ts_ms",
+        "payload",
+    )
+    sig = image_hashes(keyed, id_col="_fid")
+    back = sig.join(keyed.select("_fid", "frame_ts_ms"), "_fid")
+    return back.select(
+        F.expr(f"_fid div {k}").alias(id_col),
+        (F.col("_fid") % k).cast("int").alias("frame_index"),
+        "frame_ts_ms",
+        "dhash",
+        "ahash",
+        "width",
+        "height",
+    )

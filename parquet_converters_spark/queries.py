@@ -2530,9 +2530,8 @@ def video_dhash_census(spark, sf_dir):
     re-encoded clips, and the whole chain is two Arrow-batched narrow
     stages (craft+demux, hash) plus one aggregate."""
     from parquet_converters_spark.functions.image_fingerprint import (
-        image_hashes,
+        video_frame_hashes,
     )
-    from parquet_converters_spark.functions.multimodal import sample_frames
 
     docs = (
         _t(spark, sf_dir, "documents").select("doc_id")
@@ -2569,19 +2568,9 @@ def video_dhash_census(spark, sf_dir):
             )
 
     built = docs.mapInPandas(build, "media_id long, payload binary")
-    frames = sample_frames(built, every_ms=100, max_frames=2)
-    keyed = frames.select(
-        (F.col("media_id") * 4 + F.col("frame_index")).alias("fid"),
-        "payload",
-    )
-    sig = image_hashes(keyed, id_col="fid")
+    sig = video_frame_hashes(built, every_ms=100, max_frames=2)
     return (
-        sig.select(
-            (F.col("fid") % 4).cast("int").alias("frame_index"),
-            F.expr("fid div 4").alias("media_id"),
-            "dhash",
-        )
-        .groupBy("frame_index")
+        sig.groupBy("frame_index")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.bit_count("dhash")).cast("long").alias("sum_pop"),

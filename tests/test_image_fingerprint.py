@@ -222,3 +222,31 @@ def test_image_neardup_survivors(spark):
         (r.media_id, r.tag) for r in image_neardup_survivors(df).collect()
     )
     assert kept == [(1, "x1"), (10, "y1"), (20, "z")]
+
+
+def test_video_frame_hashes_gif_and_avi(spark):
+    # GIF timeline: frames realize known targets; the API must return
+    # them per (media_id, frame_index) with timeline ticks.
+    from parquet_converters_spark.functions.gif_codec import encode_gif
+    from parquet_converters_spark.functions.image_fingerprint import (
+        rows_realizing_dhash,
+        to_signed64,
+        video_frame_hashes,
+    )
+
+    t0, t1 = 0x0102_0304_0506_0708, 0xF0E0_D0C0_B0A0_9080
+
+    def rgb(target):
+        rows = rows_realizing_dhash(target)
+        return bytes(v for row in rows for v in row for _ in range(3))
+
+    gif = encode_gif(9, 8, 3, [rgb(t0), rgb(t1)], delay_ms=100)
+    df = spark.createDataFrame([(5, gif)], "media_id long, payload binary")
+    got = {
+        (r.media_id, r.frame_index): (r.frame_ts_ms, r.dhash)
+        for r in video_frame_hashes(df, every_ms=100, max_frames=2).collect()
+    }
+    assert got == {
+        (5, 0): (0, to_signed64(t0)),
+        (5, 1): (100, to_signed64(t1)),
+    }

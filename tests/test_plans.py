@@ -331,3 +331,31 @@ def test_sparse_cosine_norms_broadcast(spark, sf_dir):
     plan = _plan(sparse_cosine_topk(spark, sf_dir))
     assert plan.count("BroadcastHashJoin") >= 3, plan[:800]
     assert "CartesianProduct" not in plan, plan[:800]
+
+
+def test_image_neardup_is_banded_equi_join(spark, sf_dir):
+    """The Hamming near-dup join must plan as an equi-join on the
+    (band, value) keys — never a cartesian/BNLJ over signatures."""
+    from parquet_converters_spark.queries import image_dhash_neardup
+
+    plan = _plan(image_dhash_neardup(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or \
+        "BroadcastHashJoin" in plan
+
+
+def test_fingerprint_censuses_are_narrow_plus_aggregate(spark, sf_dir):
+    """The craft->decode->hash census chains must stay shuffle-light:
+    the round-robin id exchange plus the aggregate's exchange(s), no
+    joins at all."""
+    from parquet_converters_spark.queries import (
+        audio_fingerprint_census,
+        image_dhash_census,
+    )
+
+    for q in (image_dhash_census, audio_fingerprint_census):
+        plan = _plan(q(spark, sf_dir))
+        for op in ("Join", "CartesianProduct"):
+            assert op not in plan, f"{q.__name__}: unexpected {op}"
+        assert plan.count("Exchange") <= 3, f"{q.__name__}: {plan[:400]}"

@@ -84,6 +84,7 @@ from parquet_converters_spark.functions.image_fingerprint import (  # noqa: F401
     ahash64_unsigned,
     dhash64_unsigned,
     hamming_neardup_pairs,
+    image_dedup_gate,
     image_hashes,
     image_neardup_survivors,
     video_frame_hashes,

@@ -198,20 +198,42 @@ def image_hashes(
     df: DataFrame,
     payload_col: str = "payload",
     id_col: str = "media_id",
+    carry_cols: tuple = (),
 ) -> DataFrame:
     """Per-image perceptual hashes: ``(id, dhash, ahash, width,
     height)`` with both hashes as signed 64-bit longs.
 
     ONE Arrow-batched narrow stage (``mapInPandas``) — decode + luma +
     grid + bits per payload, no shuffle, no driver-side bytes; scales
-    linearly in corpus payload bytes like the other codec stages."""
+    linearly in corpus payload bytes like the other codec stages.
+
+    ``carry_cols`` copies extra input columns through unchanged (e.g.
+    an event-time column for the streaming dedup gate) — the stage
+    stays stateless, so it runs on streaming DataFrames too."""
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("dhash", LongType()),
+            StructField("ahash", LongType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+        ]
+        + [df.schema[c] for c in carry_cols]
+    )
 
     def run(batches):
         import pandas as pd
 
         for pdf in batches:
             ids, dh, ah, ws, hs = [], [], [], [], []
-            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+            for payload in pdf[payload_col]:
                 payload = bytes(payload)
                 w, h, c, pixels = decode_image_pixels(payload)
                 d = _dhash_bits(
@@ -220,25 +242,48 @@ def image_hashes(
                 a = _ahash_bits(
                     luma_grid(w, h, c, pixels, AHASH_GRID, AHASH_GRID)
                 )
-                ids.append(i)
                 dh.append(to_signed64(d))
                 ah.append(to_signed64(a))
                 ws.append(w)
                 hs.append(h)
-            yield pd.DataFrame(
-                {
-                    id_col: ids,
-                    "dhash": dh,
-                    "ahash": ah,
-                    "width": ws,
-                    "height": hs,
-                }
-            )
+            out = {
+                id_col: pdf[id_col],
+                "dhash": dh,
+                "ahash": ah,
+                "width": ws,
+                "height": hs,
+            }
+            for c in carry_cols:
+                out[c] = pdf[c]
+            yield pd.DataFrame(out)
 
-    return df.mapInPandas(
-        run,
-        f"{id_col} long, dhash long, ahash long, width int, height int",
-    )
+    return df.mapInPandas(run, out_schema)
+
+
+def image_dedup_gate(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Perceptual exactly-once: the FIRST image per dHash passes, every
+    later pixel-identical (or re-containered) copy is dropped — the
+    image face of ``streaming.events.dedup_events``.  Streaming input
+    uses ``dropDuplicatesWithinWatermark`` on the hash (state expires
+    once the watermark passes — bounded memory); batch input uses plain
+    ``dropDuplicates``.  The hash stage itself is stateless
+    ``mapInPandas``, so the same code runs on both."""
+    if df.isStreaming:
+        sig = image_hashes(
+            df, payload_col=payload_col, id_col=id_col,
+            carry_cols=(ts_col,),
+        )
+        return sig.withWatermark(ts_col, watermark)\
+            .dropDuplicatesWithinWatermark(["dhash"])
+    return image_hashes(
+        df, payload_col=payload_col, id_col=id_col
+    ).dropDuplicates(["dhash"])
 
 
 def hamming_neardup_pairs(

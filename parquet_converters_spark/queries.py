@@ -2583,6 +2583,78 @@ def video_dhash_census(spark, sf_dir):
     )
 
 
+def stream_image_dedup(spark, sf_dir):
+    """Perceptual exactly-once in batch-symmetric form (the
+    stream_dedup pattern applied to images): every 5 consecutive
+    doc_ids craft the SAME image (a dHash-realizing BMP keyed by
+    doc_id//5), the gate keeps the first per hash
+    (functions/image_fingerprint.image_dedup_gate; the streaming leg —
+    dropDuplicatesWithinWatermark on the hash over a duplicated file
+    stream — is pytest-gated in tests/test_image_fingerprint.py), and
+    the output aggregates hash-level facts only (count/popcount/low
+    bits) so it is deterministic no matter which copy survived."""
+    from parquet_converters_spark.functions.image_fingerprint import (
+        image_dedup_gate,
+    )
+
+    docs = (
+        _t(spark, sf_dir, "documents").select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def build(batches):
+        import pandas as pd
+
+        from parquet_converters_spark.functions.image_fingerprint import (
+            bmp_realizing_dhash,
+        )
+
+        def target(did):
+            q = did // 5
+            u = ((q * 2654435761) % (1 << 32)) << 32
+            u |= ((q + 1) * 2246822519) % (1 << 32)
+            return u
+
+        for pdf in batches:
+            ids = [int(d) for d in pdf["doc_id"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "payload": [bmp_realizing_dhash(target(d)) for d in ids],
+                }
+            )
+
+    built = docs.mapInPandas(build, "media_id long, payload binary")
+    kept = image_dedup_gate(built)
+    return kept.agg(
+        F.count(F.lit(1)).alias("n_unique"),
+        F.sum(F.bit_count("dhash")).cast("long").alias("sum_pop"),
+        F.sum(F.col("dhash").bitwiseAND(F.lit(2097151)))
+        .cast("long")
+        .alias("sum_low"),
+    )
+
+
+STREAM_IMAGE_DEDUP_SQL = """
+WITH h AS (
+  SELECT DISTINCT
+         CAST(CASE WHEN u >= 9223372036854775808
+                   THEN u - 18446744073709551616
+                   ELSE u END AS BIGINT) AS dhash
+  FROM (
+    SELECT CAST(doc_id // 5 AS HUGEINT)
+             * 2654435761 % 4294967296 * 4294967296
+           + (CAST(doc_id // 5 + 1 AS HUGEINT)
+             * 2246822519 % 4294967296) AS u
+    FROM documents)
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_unique,
+       CAST(SUM(bit_count(dhash)) AS BIGINT) AS sum_pop,
+       CAST(SUM(dhash & 2097151) AS BIGINT) AS sum_low
+FROM h
+"""
+
+
 VIDEO_DHASH_CENSUS_SQL = """
 WITH fr AS (
   SELECT doc_id, ff.f AS frame_index
@@ -6754,6 +6826,7 @@ QUERIES.update({
     "bpe_token_census": (bpe_token_census, BPE_TOKEN_CENSUS_SQL),
     "audio_fp_dedup": (audio_fp_dedup, AUDIO_FP_DEDUP_SQL),
     "video_dhash_census": (video_dhash_census, VIDEO_DHASH_CENSUS_SQL),
+    "stream_image_dedup": (stream_image_dedup, STREAM_IMAGE_DEDUP_SQL),
 })
 
 # ===========================================================================
@@ -10710,11 +10783,11 @@ QUERIES = {
 # _R16_WINDOW.
 _R16_WINDOW = [
     # (0) new in r15, never graded (the two census rows registered
-    # before the r15 window froze, then the seven late-r15
+    # before the r15 window froze, then the eight late-r15
     # registrations: perceptual-hash image dedup x2, spectral audio
     # fingerprint census + cross-container dedup, video frame-hash
     # census, iterative BPE merge learning + the apply-half token
-    # census)
+    # census, streaming perceptual dedup gate)
     "transcode_census",
     "video_track_census",
     "image_dhash_census",
@@ -10724,7 +10797,8 @@ _R16_WINDOW = [
     "video_dhash_census",
     "bpe_learned_merges",
     "bpe_token_census",
-    # (a) r12-latest remainder (44)
+    "stream_image_dedup",
+    # (a) r12-latest remainder (40)
     "cube_pricing",
     "decontaminate_train",
     "dedup_components_star",
@@ -10765,13 +10839,12 @@ _R16_WINDOW = [
     "text_repetition",
     "text_top_bigrams",
     "top_ngram_coverage",
-    "unpivot_metrics",
-    # (b) the nine never-graded entries at the front displaced the six
+    # (b) the ten never-graded entries at the front displaced the six
     # alphabetically-first r13-latest rows (acctbal_rank_profile,
     # adjacency_node_ranges, adjacency_range_to_edge, ann_recall_pq,
     # bloom_pruned_revenue, bpe_merge_candidates) and the three
-    # alphabetically-last r12-latest rows (value_histogram,
-    # value_trend_by_type, zorder_layout_plan) back into the r17
-    # rotation pool
+    # alphabetically-last r12-latest rows (unpivot_metrics,
+    # value_histogram, value_trend_by_type, zorder_layout_plan) back
+    # into the r17 rotation pool
 ]
 _check_window(_R16_WINDOW, "_R16_WINDOW", prior=_R15_WINDOW)

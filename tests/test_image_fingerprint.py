@@ -250,3 +250,55 @@ def test_video_frame_hashes_gif_and_avi(spark):
         (5, 0): (0, to_signed64(t0)),
         (5, 1): (100, to_signed64(t1)),
     }
+
+
+def test_image_dedup_gate_streaming_exactly_once(spark, tmp_path):
+    """Two file streams over the same images union to a duplicated
+    stream; the gate's dropDuplicatesWithinWatermark on dHash restores
+    exactly-once by PERCEPTUAL identity (media_ids all distinct — the
+    keys would never collapse; the pixels do)."""
+    import datetime
+
+    from parquet_converters_spark.functions.image_fingerprint import (
+        image_dedup_gate,
+    )
+
+    base = datetime.datetime(2026, 1, 1)
+    rows = []
+    for i in range(40):
+        # 10 distinct images, each re-posted 4x under fresh ids
+        target = ((i % 10) * 2654435761 + 17) % (1 << 64)
+        rows.append(
+            (i, base + datetime.timedelta(minutes=i),
+             bmp_realizing_dhash(target))
+        )
+    src = str(tmp_path / "images_stream")
+    spark.createDataFrame(
+        rows, "media_id long, ts timestamp, payload binary"
+    ).repartition(2).write.parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    stream = lambda: (  # noqa: E731
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    duplicated = stream().unionByName(stream())
+    q = (
+        image_dedup_gate(duplicated, watermark="1 day")
+        .writeStream.format("memory")
+        .queryName("img_dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql(
+        "select count(*) n, count(distinct dhash) d from img_dedup_stream"
+    ).collect()[0]
+    assert got["d"] == 10
+    assert got["n"] == 10  # no duplicate emissions
+
+    # batch symmetry: same gate, same answer
+    batch = spark.read.parquet(src)
+    assert image_dedup_gate(batch).count() == 10

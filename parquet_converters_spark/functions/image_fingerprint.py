@@ -267,23 +267,24 @@ def image_dedup_gate(
     ts_col: str = "ts",
     watermark: str = "1 hour",
 ) -> DataFrame:
-    """Perceptual exactly-once: the FIRST image per dHash passes, every
-    later pixel-identical (or re-containered) copy is dropped — the
+    """Perceptual exactly-once: ONE image per dHash passes, every
+    other pixel-identical (or re-containered) copy is dropped — the
     image face of ``streaming.events.dedup_events``.  Streaming input
-    uses ``dropDuplicatesWithinWatermark`` on the hash (state expires
-    once the watermark passes — bounded memory); batch input uses plain
-    ``dropDuplicates``.  The hash stage itself is stateless
-    ``mapInPandas``, so the same code runs on both."""
+    uses ``dropDuplicatesWithinWatermark`` on the hash (the first
+    arrival within the watermark wins; state expires once the
+    watermark passes — bounded memory); batch input uses plain
+    ``dropDuplicates``, which keeps an ARBITRARY representative per
+    hash — aggregate hash-level facts (count, popcount, masked bits)
+    downstream when the output must be deterministic.  Both legs emit
+    the same schema (``ts_col`` rides through when present)."""
+    carry = (ts_col,) if ts_col in df.columns else ()
+    sig = image_hashes(
+        df, payload_col=payload_col, id_col=id_col, carry_cols=carry
+    )
     if df.isStreaming:
-        sig = image_hashes(
-            df, payload_col=payload_col, id_col=id_col,
-            carry_cols=(ts_col,),
-        )
         return sig.withWatermark(ts_col, watermark)\
             .dropDuplicatesWithinWatermark(["dhash"])
-    return image_hashes(
-        df, payload_col=payload_col, id_col=id_col
-    ).dropDuplicates(["dhash"])
+    return sig.dropDuplicates(["dhash"])
 
 
 def hamming_neardup_pairs(
@@ -369,33 +370,29 @@ def video_frame_hashes(
     """Per-frame perceptual hashes for VIDEO payloads — the frame-level
     near-dup key for re-encoded clips: ``multimodal.sample_frames``
     (tick-sampled, container-demuxed, PNG/JPEG frame payloads) piped
-    into :func:`image_hashes`.  Returns ``(id, frame_index,
+    into :func:`image_hashes` with ``frame_index``/``frame_ts_ms``
+    carried through the hash stage.  Returns ``(id, frame_index,
     frame_ts_ms, dhash, ahash, width, height)``; both stages are
-    Arrow-batched narrow maps, so the whole chain is shuffle-free.
-
-    The frame key rides through the single-column hash stage as
-    ``id * K + frame_index`` (K = next power of two >= max_frames) —
-    valid while ``|id| < 2**62 / K``."""
+    Arrow-batched narrow maps, so the whole chain is shuffle- and
+    join-free (and therefore safe under duplicate ids)."""
     from parquet_converters_spark.functions.multimodal import sample_frames
 
-    k = 1
-    while k < max(max_frames, 1):
-        k *= 2
     frames = sample_frames(
-        df.select(F.col(id_col).alias("media_id"), payload_col),
+        df.select(
+            F.col(id_col).alias("media_id"),
+            F.col(payload_col).alias("payload"),
+        ),
         every_ms=every_ms,
         max_frames=max_frames,
     )
-    keyed = frames.select(
-        (F.col("media_id") * k + F.col("frame_index")).alias("_fid"),
-        "frame_ts_ms",
-        "payload",
+    sig = image_hashes(
+        frames,
+        id_col="media_id",
+        carry_cols=("frame_index", "frame_ts_ms"),
     )
-    sig = image_hashes(keyed, id_col="_fid")
-    back = sig.join(keyed.select("_fid", "frame_ts_ms"), "_fid")
-    return back.select(
-        F.expr(f"_fid div {k}").alias(id_col),
-        (F.col("_fid") % k).cast("int").alias("frame_index"),
+    return sig.select(
+        F.col("media_id").alias(id_col),
+        "frame_index",
         "frame_ts_ms",
         "dhash",
         "ahash",

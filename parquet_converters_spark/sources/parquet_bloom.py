@@ -78,7 +78,12 @@ class _Reader:
         v = self.varint()
         return (v >> 1) ^ -(v & 1)
 
-    def skip(self, wtype: int) -> None:
+    def skip(self, wtype: int, depth: int = 0) -> None:
+        if depth > 32:
+            # honest parquet footers nest ~6 deep; a corrupt stream of
+            # 0x1C bytes would otherwise recurse past the interpreter
+            # limit (RecursionError escapes the ValueError contract)
+            raise ValueError("thrift: structure nested deeper than 32")
         if wtype in (_CT_TRUE, _CT_FALSE):
             return
         if wtype == _CT_BYTE:
@@ -95,17 +100,25 @@ class _Reader:
         elif wtype in (_CT_LIST, _CT_SET):
             n, etype = self.list_header()
             for _ in range(n):
-                self.skip(etype)
+                self.skip(etype, depth + 1)
         elif wtype == _CT_MAP:
             n = self.varint()
+            if n > len(self.buf) - self.at:
+                # same lying-size guard as list_header — TRUE/FALSE
+                # entries consume zero bytes, so an unchecked count
+                # spins a near-infinite loop on corrupt input
+                raise ValueError(
+                    f"thrift: map of {n} entries with "
+                    f"{len(self.buf) - self.at} bytes left"
+                )
             if n:
                 kv = self.byte()
                 for _ in range(n):
-                    self.skip(kv >> 4)
-                    self.skip(kv & 0xF)
+                    self.skip(kv >> 4, depth + 1)
+                    self.skip(kv & 0xF, depth + 1)
         elif wtype == _CT_STRUCT:
             for _fid, ftype in self.fields():
-                self.skip(ftype)
+                self.skip(ftype, depth + 1)
         else:
             raise ValueError(f"thrift: unknown wire type {wtype}")
 
@@ -172,7 +185,7 @@ def footer_bloom_index(
 
 def _footer_bloom_index(path):
     r = _Reader(_read_footer(path))
-    out: dict[tuple[int, str], tuple[int, int | None]] = {}
+    out: dict[tuple[int, str], tuple[int, int | None, int | None]] = {}
     for fid, ftype in r.fields():  # FileMetaData
         if fid == 4 and ftype == _CT_LIST:  # row_groups
             n_rg, _ = r.list_header()

@@ -302,3 +302,24 @@ def test_image_dedup_gate_streaming_exactly_once(spark, tmp_path):
     # batch symmetry: same gate, same answer
     batch = spark.read.parquet(src)
     assert image_dedup_gate(batch).count() == 10
+
+
+def test_video_frame_hashes_duplicate_ids_and_payload_col(spark):
+    # duplicate media_id must NOT multiply rows (the r15 _fid-join
+    # regression), and payload_col must be honored by name
+    from parquet_converters_spark.functions.gif_codec import encode_gif
+    from parquet_converters_spark.functions.image_fingerprint import (
+        rows_realizing_dhash,
+        video_frame_hashes,
+    )
+
+    rows_px = rows_realizing_dhash(0x1234)
+    rgb = bytes(v for row in rows_px for v in row for _ in range(3))
+    gif = encode_gif(9, 8, 3, [rgb, rgb], delay_ms=100)
+    df = spark.createDataFrame(
+        [(5, gif), (5, gif)], "media_id long, blob binary"
+    )
+    out = video_frame_hashes(
+        df, payload_col="blob", every_ms=100, max_frames=2
+    ).collect()
+    assert len(out) == 4  # 2 inputs x 2 frames, not 2 x 2 x 2

@@ -156,6 +156,6 @@ def test_corrupt_footer_raises_valueerror(spark, tmp_path):
                 )
 
                 read_bloom_blocks(victim, off)
-        except (ValueError, NotImplementedError, KeyError):
+        except (ValueError, NotImplementedError):
             pass  # named rejection is the contract
         # any other exception type fails the test by propagating

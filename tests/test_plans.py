@@ -352,9 +352,11 @@ def test_fingerprint_censuses_are_narrow_plus_aggregate(spark, sf_dir):
     from parquet_converters_spark.queries import (
         audio_fingerprint_census,
         image_dhash_census,
+        video_dhash_census,
     )
 
-    for q in (image_dhash_census, audio_fingerprint_census):
+    for q in (image_dhash_census, audio_fingerprint_census,
+              video_dhash_census):
         plan = _plan(q(spark, sf_dir))
         for op in ("Join", "CartesianProduct"):
             assert op not in plan, f"{q.__name__}: unexpected {op}"

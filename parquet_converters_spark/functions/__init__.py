@@ -87,6 +87,7 @@ from parquet_converters_spark.functions.image_fingerprint import (  # noqa: F401
     image_dedup_gate,
     image_hashes,
     image_neardup_survivors,
+    phash64_unsigned,
     video_frame_hashes,
 )
 from parquet_converters_spark.functions.audio_fingerprint import (  # noqa: F401,E501

@@ -399,3 +399,39 @@ def video_frame_hashes(
         "width",
         "height",
     )
+
+
+PHASH_INPUT = 32  # 32x32 luma grid -> 8x8 low-frequency DCT corner
+
+
+def phash64_unsigned(payload: bytes) -> int:
+    """64-bit DCT perceptual hash (the classic pHash): 32x32 luma
+    grid -> 2-D DCT-II -> top-left 8x8 low-frequency block -> bit set
+    when the coefficient exceeds the median of the 63 non-DC entries.
+    More robust than dHash to blur/re-encode noise (it keeps only the
+    lowest spatial frequencies) at ~4x the arithmetic.
+
+    Float DCT means this is NOT closed-form SQL-replicable, so it is
+    pytest-gated (the sketches convention) rather than driver-oracled;
+    determinism on one cluster is IEEE (fixed matrix product, single
+    numpy build).  Images smaller than 32x32 raise ``ValueError`` —
+    resize up first."""
+    import numpy as np
+
+    w, h, c, pixels = decode_image_pixels(payload)
+    grid = np.asarray(
+        luma_grid(w, h, c, pixels, PHASH_INPUT, PHASH_INPUT),
+        dtype=np.float64,
+    )
+    n = PHASH_INPUT
+    k = np.arange(n).reshape(-1, 1)
+    x = np.arange(n).reshape(1, -1)
+    dct = np.cos(np.pi * (2 * x + 1) * k / (2 * n))
+    low = (dct @ grid @ dct.T)[:8, :8]
+    flat = low.flatten()
+    med = float(np.median(flat[1:]))  # exclude DC
+    out = 0
+    for i, v in enumerate(flat):
+        if i and v > med:
+            out |= 1 << i
+    return out

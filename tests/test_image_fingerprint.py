@@ -323,3 +323,88 @@ def test_video_frame_hashes_duplicate_ids_and_payload_col(spark):
         df, payload_col="blob", every_ms=100, max_frames=2
     ).collect()
     assert len(out) == 4  # 2 inputs x 2 frames, not 2 x 2 x 2
+
+
+def _ref_phash(payload):
+    # independent reference: direct cosine double sums, no matrix path
+    import math
+
+    from parquet_converters_spark.functions.image_fingerprint import (
+        decode_image_pixels,
+    )
+
+    w, h, c, px = decode_image_pixels(payload)
+    g = _ref_luma_grid(w, h, c, px, 32, 32)
+    low = [
+        [
+            sum(
+                g[y][x]
+                * math.cos(math.pi * (2 * x + 1) * u / 64)
+                * math.cos(math.pi * (2 * y + 1) * v / 64)
+                for y in range(32)
+                for x in range(32)
+            )
+            for u in range(8)
+        ]
+        for v in range(8)
+    ]
+    flat = [low[v][u] for v in range(8) for u in range(8)]
+    med = sorted(flat[1:])[31]  # median of 63 = 32nd smallest
+    out = 0
+    for i, val in enumerate(flat):
+        if i and val > med:
+            out |= 1 << i
+    return out
+
+
+def test_phash_matches_independent_dct():
+    from parquet_converters_spark.functions.image_fingerprint import (
+        phash64_unsigned,
+    )
+
+    for seed in (3, 9):
+        payload = encode_bmp(40, 36, 3, _random_rgb(40, 36, seed))
+        assert phash64_unsigned(payload) == _ref_phash(payload)
+
+
+def test_phash_stable_under_rescale():
+    import math
+
+    from parquet_converters_spark.functions.image_fingerprint import (
+        phash64_unsigned,
+    )
+
+    w, h = 64, 64
+    px = bytes(
+        v
+        for y in range(h)
+        for x in range(w)
+        for v in [
+            int(128 + 100 * math.sin(2 * math.pi * x / w)
+                * math.cos(2 * math.pi * y / h))
+        ] * 3
+    )
+    big = encode_bmp(w, h, 3, px)
+    small_px = bytearray()
+    for y in range(0, h, 2):
+        for x in range(0, w, 2):
+            s = sum(
+                px[((y + dy) * w + (x + dx)) * 3]
+                for dy in range(2) for dx in range(2)
+            )
+            v = s // 4
+            small_px += bytes((v, v, v))
+    small = encode_bmp(w // 2, h // 2, 3, bytes(small_px))
+    d = bin(
+        (phash64_unsigned(big) ^ phash64_unsigned(small)) & ((1 << 64) - 1)
+    ).count("1")
+    assert d <= 4, f"phash moved {d} bits under 2x downscale"
+
+
+def test_phash_rejects_small_images():
+    from parquet_converters_spark.functions.image_fingerprint import (
+        phash64_unsigned,
+    )
+
+    with pytest.raises(ValueError, match="smaller than"):
+        phash64_unsigned(encode_bmp(16, 16, 3, _random_rgb(16, 16, 2)))

@@ -324,6 +324,7 @@ def image_neardup_survivors(
     max_hamming: int = 3,
     cc_method: str = "hash_to_min",
     materialize: bool = False,
+    hash_col: str = "dhash",
 ) -> DataFrame:
     """The image face of the dedup funnel (the
     ``dedup.near_dedup_survivors`` composition over perceptual hashes):
@@ -331,7 +332,9 @@ def image_neardup_survivors(
     them with connected components, and keep only each cluster's
     minimum id.  Returns the surviving subset of ``df`` (all original
     columns).  Exact byte-dup collapse is implicit — identical pixels
-    hash identically, landing at Hamming distance 0.
+    hash identically, landing at Hamming distance 0.  ``hash_col``
+    picks the fingerprint ("dhash" default; "ahash" for the
+    mean-threshold variant).
 
     ``materialize=True`` returns an EAGER localCheckpoint and releases
     the connected-components checkpoints it subsumes — the no-residue
@@ -344,7 +347,7 @@ def image_neardup_survivors(
 
     sig = image_hashes(df, payload_col=payload_col, id_col=id_col)
     pairs = hamming_neardup_pairs(
-        sig, id_col=id_col, hash_col="dhash",
+        sig, id_col=id_col, hash_col=hash_col,
         bands=bands, max_hamming=max_hamming,
     )
     comps = connected_components(

@@ -10848,3 +10848,10 @@ _R16_WINDOW = [
     # into the r17 rotation pool
 ]
 _check_window(_R16_WINDOW, "_R16_WINDOW", prior=_R15_WINDOW)
+# ACTIVE for round 16 (CORRECTNESS_r15 was 50/50 — no reds to promote;
+# the window is exactly the pre-wired rotation: the ten never-graded
+# r15 registrations at the front, then the r12-latest remainder):
+QUERIES = {
+    **{name: QUERIES[name] for name in _R16_WINDOW},
+    **{name: v for name, v in QUERIES.items() if name not in _R16_WINDOW},
+}

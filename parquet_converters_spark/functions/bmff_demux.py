@@ -122,8 +122,12 @@ def parse_bmff_video_samples(data: bytes):
     stsc = track.get("stsc", [])
     if not sizes or not chunks or not stsc:
         return track.get("codec"), None, []
-    # expand stsc runs -> samples-per-chunk for every chunk
-    spc = []
+    # expand stsc runs -> samples-per-chunk for every chunk, indexed
+    # by chunk number: ISO 14496-12 8.7.4 implies the first run starts
+    # at chunk 1, but a (legal) table starting past 1 must pad the
+    # uncovered head with 0-sample chunks — extending sequentially
+    # would shift every run left and silently mis-frame samples
+    spc = [0] * max(0, stsc[0][0] - 1)
     for i, (first, per, _desc) in enumerate(stsc):
         last = stsc[i + 1][0] - 1 if i + 1 < len(stsc) else len(chunks)
         spc.extend([per] * max(0, last - first + 1))

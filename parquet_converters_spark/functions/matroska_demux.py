@@ -110,7 +110,10 @@ def parse_matroska_video_blocks(data: bytes):
                 ctx["track"]["number"] = int.from_bytes(
                     d[body:end], "big")
             elif eid == 0x83 and "track" in ctx:  # TrackType
-                ctx["track"]["type"] = d[body] if body < n else 0
+                # bound by the ELEMENT end, not the buffer: a
+                # zero-size TrackType must read as 0, not steal the
+                # next element's first byte as the track type
+                ctx["track"]["type"] = d[body] if body < end else 0
             elif eid == 0x86 and "track" in ctx:  # CodecID
                 ctx["track"]["codec"] = d[body:end].decode(
                     "ascii", "replace")

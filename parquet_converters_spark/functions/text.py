@@ -516,8 +516,15 @@ def _bpe_learn(df: DataFrame, text_col: str, steps: int):
             # materialize the rewrite BEFORE dropping the parent cache
             # — unpersisting a still-lazy child would force every later
             # step to recompute the whole replace chain from the
-            # corpus aggregate (O(steps^2) instead of O(steps))
-            nxt.count()
+            # corpus aggregate (O(steps^2) instead of O(steps)).  If
+            # the materializing count itself fails, drop nxt's cache
+            # HERE: the outer handler only knows `words` (still the
+            # parent at this point) and would leak the fresh persist.
+            try:
+                nxt.count()
+            except BaseException:
+                nxt.unpersist()
+                raise
             words.unpersist()
             words = nxt
     except BaseException:

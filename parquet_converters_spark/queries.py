@@ -2374,10 +2374,16 @@ def _bpe_round_sql(i: int) -> str:
   SELECT {i} AS step, lft, rgt, lft || rgt AS merged, n
   FROM p{i} ORDER BY n DESC, lft, rgt LIMIT 1
 ), w{i} AS (
-  SELECT trim(replace(' ' || sym || ' ',
-                      ' ' || t.lft || '  ' || t.rgt || ' ',
-                      ' ' || t.merged || ' ')) AS sym, freq
-  FROM {prev}, t{i} t
+  -- LEFT JOIN + COALESCE: when the corpus exhausts merge pairs before
+  -- step {i}, t{i} is empty and a cross join would wipe the
+  -- vocabulary; the engine's loop breaks early and KEEPS the last
+  -- vocabulary, so the oracle must fall back to {prev} unchanged
+  -- (replace() with NULL arguments is NULL -> COALESCE keeps sym)
+  SELECT trim(COALESCE(replace(' ' || sym || ' ',
+                               ' ' || t.lft || '  ' || t.rgt || ' ',
+                               ' ' || t.merged || ' '), sym)) AS sym,
+         freq
+  FROM {prev} LEFT JOIN t{i} t ON TRUE
 )"""
 
 

@@ -154,11 +154,25 @@ def _read_footer(path: str) -> bytes:
     with open(path, "rb") as fh:
         fh.seek(0, 2)
         size = fh.tell()
+        if size < 8:
+            # files shorter than the 4-byte length + PAR1 tail would
+            # drive fh.seek() negative (OSError errno 22) — keep the
+            # documented ValueError contract instead
+            raise ValueError(
+                f"{path}: not a parquet file ({size} bytes, need >= 8)"
+            )
         fh.seek(size - 8)
         tail = fh.read(8)
         if tail[4:] != b"PAR1":
             raise ValueError(f"{path}: not a parquet file (no PAR1 tail)")
         (flen,) = struct.unpack("<I", tail[:4])
+        if flen > size - 8:
+            # a lying footer length would seek before byte 0 — same
+            # OSError-vs-ValueError contract hole
+            raise ValueError(
+                f"{path}: footer length {flen} exceeds file body "
+                f"({size - 8} bytes before the tail)"
+            )
         fh.seek(size - 8 - flen)
         return fh.read(flen)
 

@@ -145,3 +145,69 @@ def test_token_counts_match_reference_encoding(spark):
         r.token: r.n for r in bpe_token_counts(df, steps=5).collect()
     }
     assert got == want
+
+def test_token_census_oracle_degenerate_corpus_agrees(spark):
+    """r16 ADVICE: this corpus exhausts merge pairs at step 3 (all
+    words collapse to single symbols); the unrolled DuckDB oracle's
+    empty t4..t6 rounds must KEEP the last vocabulary (LEFT JOIN +
+    COALESCE), mirroring the engine's early break — the old cross
+    join wiped w4..w6 and returned an empty census."""
+    import duckdb
+    import pandas as pd
+
+    from parquet_converters_spark.functions.text import bpe_token_counts
+    from parquet_converters_spark.queries import BPE_TOKEN_CENSUS_SQL
+
+    texts = ["aaab aaab", "ab"]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = {
+        (r.token, r.n)
+        for r in bpe_token_counts(df, steps=6).collect()
+    }
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame({"text": texts}))
+    want = {
+        (t, int(n))
+        for t, n in con.execute(BPE_TOKEN_CENSUS_SQL).fetchall()
+    }
+    assert got  # the wipe bug returned an empty census
+    assert want == got
+
+
+def test_bpe_learn_failed_materialize_unpersists_fresh_cache(
+    spark, monkeypatch
+):
+    """r16 ADVICE: when the materializing count() fails right after
+    nxt.persist(), the error path must unpersist BOTH frames — the old
+    handler only knew `words` (still the parent) and leaked nxt's
+    cache for the session."""
+    import pytest
+
+    # patch the CONCRETE class: pyspark.sql.DataFrame is an abstract
+    # facade in Spark 4 whose subclass overrides these methods
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    from parquet_converters_spark.functions.text import _bpe_learn
+
+    persisted, unpersisted = [], []
+    orig_persist = DataFrame.persist
+    orig_unpersist = DataFrame.unpersist
+
+    def persist(self, *a, **k):
+        persisted.append(self)
+        return orig_persist(self, *a, **k)
+
+    def unpersist(self, *a, **k):
+        unpersisted.append(self)
+        return orig_unpersist(self, *a, **k)
+
+    def count(self):
+        raise RuntimeError("boom: simulated materialize failure")
+
+    monkeypatch.setattr(DataFrame, "persist", persist)
+    monkeypatch.setattr(DataFrame, "unpersist", unpersist)
+    monkeypatch.setattr(DataFrame, "count", count)
+    df = spark.createDataFrame([("aaab aaab",), ("ab",)], "text string")
+    with pytest.raises(RuntimeError, match="boom"):
+        _bpe_learn(df, "text", steps=3)
+    assert {id(x) for x in persisted} == {id(x) for x in unpersisted}

@@ -1623,3 +1623,54 @@ def test_decode_media_real_path_mp4_and_webm_thumbnail(spark):
         == (vw, vh, 3)
     assert rows[2]["features"] == pytest.approx(
         _band_features(vpix, 4), abs=1e-6)
+
+def test_bmff_stsc_first_chunk_past_one_pads_not_shifts():
+    """r16 ADVICE: an stsc whose first run starts at chunk 2 means
+    chunk 1 carries no described samples — the expansion must index
+    samples-per-chunk by chunk NUMBER (pad the uncovered head), not
+    extend sequentially, which would read the first samples at chunk
+    1's offset and silently mis-frame every payload."""
+    from parquet_converters_spark.functions.bmff_demux import (
+        parse_bmff_video_samples,
+    )
+
+    frames = [b"\xff\xd8frm%d\xff\xd9" % i for i in range(4)]
+    assert len({len(f) for f in frames}) == 1  # equal-size by design
+    mp4 = bytearray(_mjpeg_mp4(frames))
+    i = mp4.find(b"stsc")
+    # entry layout after the box type: 4B version/flags, 4B count,
+    # then (first_chunk, samples_per_chunk, desc_index)
+    assert mp4[i + 12 : i + 16] == (1).to_bytes(4, "big")
+    mp4[i + 12 : i + 16] = (2).to_bytes(4, "big")
+    codec, _fps, samples = parse_bmff_video_samples(bytes(mp4))
+    assert codec == "jpeg"
+    # chunk 1 (frames 0,1's bytes) is uncovered; samples start at
+    # chunk 2's offset, i.e. frames 2 and 3
+    assert [p for _ts, p in samples] == [frames[2], frames[3]]
+
+
+def test_matroska_zero_size_tracktype_reads_as_zero():
+    """r16 ADVICE: a zero-size TrackType element must read as 0 (not a
+    video track), not steal the next element's first byte.  The next
+    element here is crafted with an 8-byte EBML ID starting 0x01 — the
+    exact byte that would falsely mark the track as video."""
+    from parquet_converters_spark.functions.matroska_demux import (
+        parse_matroska_video_blocks,
+    )
+    import struct as _st
+
+    hdr = _eb(b"\x1a\x45\xdf\xa3", _eb(b"\x42\x82", b"webm"))
+    # unknown element with an 8-byte ID whose first byte is 0x01,
+    # zero-size — a legal EBML element the walker just skips
+    ghost = b"\x01\x00\x00\x00\x00\x00\x00\x7f" + b"\x80"
+    trk = _eb(b"\xae",
+              _eb(b"\xd7", b"\x01")        # TrackNumber 1
+              + b"\x83\x80"                 # TrackType, SIZE ZERO
+              + ghost
+              + _eb(b"\x86", b"V_VP8"))     # CodecID
+    blk = _eb(b"\xa3", b"\x81" + _st.pack(">h", 0) + b"\x80" + b"payload")
+    cluster = _eb(b"\x1f\x43\xb6\x75", _eb(b"\xe7", b"\x00") + blk)
+    webm = hdr + _eb(b"\x18\x53\x80\x67",
+                     _eb(b"\x16\x54\xae\x6b", trk) + cluster)
+    codec, _w, _h, blocks = parse_matroska_video_blocks(webm)
+    assert codec is None and blocks == []

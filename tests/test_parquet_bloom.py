@@ -159,3 +159,28 @@ def test_corrupt_footer_raises_valueerror(spark, tmp_path):
         except (ValueError, NotImplementedError):
             pass  # named rejection is the contract
         # any other exception type fails the test by propagating
+
+def test_footer_contract_short_file_and_lying_length(tmp_path):
+    """r16 ADVICE: files shorter than 8 bytes and a footer length that
+    would seek before byte 0 used to escape as OSError (errno 22 from
+    a negative seek) — the documented contract is ValueError, never
+    OSError/IndexError/struct.error."""
+    # shorter than the 4-byte length + PAR1 tail
+    for n in range(0, 8):
+        f = str(tmp_path / f"short{n}")
+        open(f, "wb").write(b"\xab" * n)
+        with pytest.raises(ValueError, match="parquet"):
+            footer_bloom_index(f)
+    # valid tail, lying footer length: flen > file body
+    f = str(tmp_path / "lying")
+    open(f, "wb").write(b"\x00" * 16 + (10_000).to_bytes(4, "little")
+                        + b"PAR1")
+    with pytest.raises(ValueError, match="footer length"):
+        footer_bloom_index(f)
+    # boundary: flen exactly equal to the body is in-bounds (seek to 0)
+    # and must fail later as a *parse* ValueError, not OSError
+    f = str(tmp_path / "edge")
+    body = b"\x99" * 12
+    open(f, "wb").write(body + len(body).to_bytes(4, "little") + b"PAR1")
+    with pytest.raises(ValueError):
+        footer_bloom_index(f)

@@ -184,3 +184,97 @@ def test_footer_contract_short_file_and_lying_length(tmp_path):
     open(f, "wb").write(body + len(body).to_bytes(4, "little") + b"PAR1")
     with pytest.raises(ValueError):
         footer_bloom_index(f)
+
+def _scan_output_rows(df):
+    """numOutputRows of the scan leaf AFTER df has been executed —
+    rows that survived row-group pruning and reached the scan output."""
+    leaves = df._jdf.queryExecution().executedPlan().collectLeaves()
+    m = leaves.apply(0).metrics()
+    return m.apply("numOutputRows").value()
+
+
+def _shuffled_even_keys(spark, n=400_000, files=8):
+    """Even keys hash-scattered so EVERY row group spans nearly the
+    full range: min/max zone maps cannot prune an absent odd probe —
+    any skip is attributable to the Bloom filter alone."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.range(0, n)
+        .select(
+            ((F.col("id") * 1103515245 + 12345) % 1_000_000_007 * 2)
+            .alias("k"),
+            F.concat(F.lit("v"), F.col("id")).alias("payload"),
+        )
+        .repartition(files)
+    )
+
+
+def test_spark_reader_prunes_row_groups_via_bloom(spark, tmp_path):
+    """r16 verdict item 2 (read side): Spark's own parquet scan must
+    consume the W1 sink's split-block Bloom filters — an absent-key
+    point probe scans ZERO rows with bloom read filtering on, and the
+    whole table with it off (stats can't prune: groups span the full
+    range).  Result rows are identical (0) either way."""
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "bloomtab")
+    write_canonical_parquet(
+        _shuffled_even_keys(spark), out,
+        bloom_filter_columns=["k"], metadata_sidecar=False,
+    )
+    hc = spark.sparkContext._jsc.hadoopConfiguration()
+    probe = 999_999_999  # odd -> absent by construction
+    try:
+        hc.set("parquet.filter.bloom.enabled", "false")
+        d_off = spark.read.parquet(out).filter(F.col("k") == probe)
+        assert d_off.collect() == []
+        scanned_off = _scan_output_rows(d_off)
+        hc.set("parquet.filter.bloom.enabled", "true")
+        d_on = spark.read.parquet(out).filter(F.col("k") == probe)
+        assert d_on.collect() == []
+        scanned_on = _scan_output_rows(d_on)
+    finally:
+        hc.unset("parquet.filter.bloom.enabled")
+    assert scanned_off == 400_000  # no stats prune possible
+    assert scanned_on == 0         # every row group bloom-skipped
+
+
+def test_bloom_scan_plan_skip_rate_and_pruned_read(spark, tmp_path):
+    """The planning pass: absent probes skip every row group; present
+    probes keep the group(s) that hold them; bloom_pruned_read returns
+    exactly the full-scan answer while reading only surviving files."""
+    from pyspark.sql import functions as F
+
+    from parquet_converters_spark.sources.parquet_bloom import (
+        bloom_pruned_read,
+        bloom_scan_plan,
+    )
+
+    out = str(tmp_path / "bloomtab2")
+    write_canonical_parquet(
+        _shuffled_even_keys(spark), out,
+        bloom_filter_columns=["k"], metadata_sidecar=False,
+    )
+    # absent: odd values can never appear
+    plan = bloom_scan_plan(spark, out, "k", [3, 999_999_999]).collect()
+    assert len(plan) >= 8 and not any(r["keep"] for r in plan)
+    assert sum(r["n_rows"] for r in plan) == 400_000
+    # present: take three real keys, every one must keep >= 1 group
+    some = [r["k"] for r in spark.read.parquet(out).limit(3).collect()]
+    plan2 = bloom_scan_plan(spark, out, "k", some).collect()
+    assert any(r["keep"] for r in plan2)
+    # pruned read == exact answer, both for hits and for the empty case
+    got = sorted(
+        r["payload"] for r in bloom_pruned_read(spark, out, "k", some)
+        .collect()
+    )
+    want = sorted(
+        r["payload"] for r in spark.read.parquet(out)
+        .filter(F.col("k").isin(some)).collect()
+    )
+    assert got == want and len(got) >= 3
+    assert bloom_pruned_read(spark, out, "k", [3]).collect() == []
+    # a column without a filter refuses by name at the probe layer
+    with pytest.raises(KeyError, match="payload"):
+        bloom_scan_plan(spark, out, "payload", [b"x"]).collect()

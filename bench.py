@@ -419,10 +419,19 @@ def bench_audio_seam(spark, timed_runs: int) -> dict[str, float]:
         )
 
         sdec = jdk_sound_media_decoder()
-        out["audio_wav_decode_jdk_seam"] = timed(
-            lambda: decode_media(df_w, n_features=4, decoder=sdec)
-            .write.format("noop").mode("overwrite").save()
-        )
+
+        def seam_fn():
+            decode_media(df_w, n_features=4, decoder=sdec) \
+                .write.format("noop").mode("overwrite").save()
+
+        # r16 adjudication of the r15 1.97x driver mover: the bridge
+        # JVM spawns lazily per python worker, so the single warmup
+        # inside timed() can still pay worker-churn respawns — one
+        # EXTRA untimed pre-touch stabilizes the row (idle min-of-8
+        # re-measured 0.335 s, the r14 level; SCALE.md "r16 — seam
+        # row adjudication")
+        seam_fn()
+        out["audio_wav_decode_jdk_seam"] = timed(seam_fn)
     except Exception:
         pass  # no javac on this box: skip the JDK row
     df_w.unpersist()

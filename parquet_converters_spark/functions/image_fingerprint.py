@@ -438,3 +438,109 @@ def phash64_unsigned(payload: bytes) -> int:
         if i and v > med:
             out |= 1 << i
     return out
+
+
+#: the 36 units of Z/63 (coprime to 63) — the closed-form pattern
+#: family behind :func:`phash_target` / ``image_phash_census``: unit k
+#: permutes bit positions 1..62 by ``p -> p*k mod 63``, and "residue
+#: <= 31" selects EXACTLY 31 of them (the nonzero residues 1..31).
+PHASH_UNITS = tuple(
+    k for k in range(1, 63) if k % 3 != 0 and k % 7 != 0
+)
+
+
+def phash_target(variant: int) -> tuple[int, float]:
+    """``(target_hash, amplitude)`` for pHash-census variant
+    ``variant`` (callers pass ``doc_id % 180``): unit
+    ``PHASH_UNITS[variant % 36]`` picks which 31 of bit positions
+    1..62 are set; the amplitude ladder ``300 + 30 * (variant // 36)``
+    varies the PIXELS without changing the hash — five byte-distinct
+    images per pattern, so the census's ``n`` per hash asserts the
+    dedup collapse.  Bits 0 (DC) and 63 (the zero-pinned median
+    coefficient, see :func:`bmp_realizing_phash`) are never set."""
+    k = PHASH_UNITS[variant % 36]
+    target = 0
+    for p in range(1, 63):
+        if (p * k) % 63 <= 31:
+            target |= 1 << p
+    return target, 300.0 + 30.0 * ((variant // 36) % 5)
+
+
+def bmp_realizing_phash(target: int, amp: float = 400.0) -> bytes:
+    """Craft a 32x32 grayscale BMP whose :func:`phash64_unsigned` is
+    exactly ``target``, by DCT SYNTHESIS: the 8x8 low-frequency
+    coefficient block is pinned to ``+amp`` for set bits, ``-amp`` for
+    clear bits, and ``0`` for flat index 63 — with EXACTLY 31 set bits
+    among positions 1..62, the 63 non-DC coefficients sort as 31 at
+    -amp, the pinned 0, 31 at +amp, so the median IS the pinned
+    coefficient and every bit comparison carries an ``amp``-sized
+    margin (float noise and integer rounding are orders of magnitude
+    smaller; the strict ``>`` of the median element against itself is
+    False by identity).  Positions 0 (DC) and 63 must be clear and the
+    popcount must be 31 — anything else would park the median inside
+    a +-amp cluster, a knife edge this function refuses by name.
+
+    The inverse transform uses the orthogonality of the DCT-II rows
+    (``row_k . row_k = n`` for k=0, ``n/2`` otherwise), so each target
+    coefficient maps to one scaled basis outer product; pixel swing is
+    bounded by ``sum amp/(s_k*s_l) < 0.25*amp`` around gray 128."""
+    import numpy as np
+
+    if target & 1 or target >> 63:
+        raise ValueError(
+            "bmp_realizing_phash: bits 0 (DC) and 63 (the median "
+            "coefficient) must be clear in the target"
+        )
+    if bin(target).count("1") != 31:
+        raise ValueError(
+            "bmp_realizing_phash: the target must set EXACTLY 31 of "
+            "bit positions 1..62 — any other count parks the median "
+            "inside a +-amp cluster (no margin)"
+        )
+    n = PHASH_INPUT
+    k = np.arange(n).reshape(-1, 1)
+    x = np.arange(n).reshape(1, -1)
+    dct = np.cos(np.pi * (2 * x + 1) * k / (2 * n))
+    grid = np.full((n, n), 128.0)
+    for i in range(1, 63):
+        kk, ll = divmod(i, 8)
+        sk = float(n) if kk == 0 else n / 2.0
+        sl = float(n) if ll == 0 else n / 2.0
+        sigma = 1.0 if (target >> i) & 1 else -1.0
+        grid += (sigma * amp / (sk * sl)) * np.outer(dct[kk], dct[ll])
+    rows = np.clip(np.rint(grid), 0, 255).astype(int).tolist()
+    from parquet_converters_spark.functions.media_craft import gray_bmp
+
+    return gray_bmp(rows)
+
+
+def image_phashes(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Per-image DCT pHash as a signed 64-bit long: ``(id, phash)`` —
+    the same ONE Arrow-batched narrow stage shape as
+    :func:`image_hashes`, just the 32x32 luma grid and the
+    :func:`phash64_unsigned` DCT path instead of the 9x8/8x8 grids.
+    Kept separate because pHash pays a 32x32 decode+DCT per payload
+    (~4x dHash arithmetic) — pipelines that only need dHash/aHash
+    shouldn't pay it."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        [StructField(id_col, LongType()), StructField("phash", LongType())]
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, ph = [], []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                u = phash64_unsigned(bytes(payload))
+                ids.append(int(mid))
+                ph.append(u - (1 << 64) if u >= (1 << 63) else u)
+            yield pd.DataFrame({id_col: ids, "phash": ph})
+
+    return df.mapInPandas(run, out_schema)

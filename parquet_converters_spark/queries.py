@@ -2276,6 +2276,92 @@ ORDER BY id_a, id_b
 """
 
 
+def image_phash_census(spark, sf_dir):
+    """DCT pHash at CORPUS grain (r16 verdict item 4 — the
+    robust-to-rescale hash a real crawl dedup keys on, previously the
+    only fingerprint without an oracled row): every document crafts a
+    32x32 grayscale BMP by DCT SYNTHESIS
+    (functions/image_fingerprint.py bmp_realizing_phash — low-band
+    coefficients pinned at +-amp with a zero-pinned median slot, so
+    the hash survives the float DCT with an amp-sized margin), rides
+    the REAL decode -> 32x32 luma -> DCT-II -> median-threshold path,
+    and the census groups by hash.  doc_id % 180 picks among 36
+    closed-form bit patterns (unit-multiplier permutations mod 63,
+    exactly 31 set bits each) x 5 amplitudes — same hash, different
+    BYTES — so ``n`` per group also asserts the dedup collapse.  The
+    oracle recomputes each target hash from the unit arithmetic alone
+    (no DCT in SQL: the synthesis construction IS the closed form).
+    All 180 variants are exhaustively pinned to the real path in
+    tests/test_image_fingerprint.py."""
+    from parquet_converters_spark.functions.image_fingerprint import (
+        image_phashes,
+    )
+
+    docs = (
+        _t(spark, sf_dir, "documents").select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def build(batches):
+        import pandas as pd
+
+        from parquet_converters_spark.functions.image_fingerprint import (
+            bmp_realizing_phash,
+            phash_target,
+        )
+
+        cache = {}
+        for pdf in batches:
+            ids = [int(d) for d in pdf["doc_id"]]
+            payloads = []
+            for d in ids:
+                v = d % 180
+                if v not in cache:
+                    t, a = phash_target(v)
+                    cache[v] = bmp_realizing_phash(t, a)
+                payloads.append(cache[v])
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    built = docs.mapInPandas(build, "media_id long, payload binary")
+    return (
+        image_phashes(built)
+        .groupBy("phash")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("media_id").alias("sum_id"),
+        )
+        .orderBy("phash")
+    )
+
+
+# Closed form of the synthesis targets: unit k = UNITS[doc_id%180 %36]
+# permutes bit positions 1..62 by p -> p*k mod 63; residues 1..31 are
+# the set bits (exactly 31).  Bits 0 and 63 never set -> the sum fits
+# signed BIGINT with no min-BIGINT fold.  The amplitude ladder
+# (doc_id%180 // 36) changes pixels, not the hash — absent here by
+# construction, asserted by the engine side's real decode.
+IMAGE_PHASH_CENSUS_SQL = """
+WITH u AS (
+  SELECT doc_id,
+         list_extract(
+           [1,2,4,5,8,10,11,13,16,17,19,20,22,23,25,26,29,31,32,34,
+            37,38,40,41,43,44,46,47,50,52,53,55,58,59,61,62],
+           CAST((doc_id % 180) % 36 AS INTEGER) + 1) AS k
+  FROM documents
+), ph AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN (p.p * k) % 63 <= 31
+                  THEN ((1::BIGINT) << p.p) ELSE 0 END) AS BIGINT)
+           AS phash
+  FROM u, range(1, 63) AS p(p)
+  GROUP BY doc_id
+)
+SELECT phash, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_id
+FROM ph GROUP BY phash ORDER BY phash
+"""
+
+
 def audio_fingerprint_census(spark, sf_dir):
     """Spectral fingerprinting at CORPUS grain (r15): every document
     crafts a bin-exact PCM16 tone (bin 1 + doc_id%20 of a 256-sample
@@ -6824,6 +6910,7 @@ QUERIES.update({
     "video_track_census": (video_track_census, VIDEO_TRACK_CENSUS_SQL),
     "image_dhash_census": (image_dhash_census, IMAGE_DHASH_CENSUS_SQL),
     "image_dhash_neardup": (image_dhash_neardup, IMAGE_DHASH_NEARDUP_SQL),
+    "image_phash_census": (image_phash_census, IMAGE_PHASH_CENSUS_SQL),
     "audio_fingerprint_census": (
         audio_fingerprint_census,
         AUDIO_FINGERPRINT_CENSUS_SQL,

@@ -408,3 +408,66 @@ def test_phash_rejects_small_images():
 
     with pytest.raises(ValueError, match="smaller than"):
         phash64_unsigned(encode_bmp(16, 16, 3, _random_rgb(16, 16, 2)))
+
+
+def test_phash_synthesis_all_180_variants_bit_exact():
+    """r16: every census variant (36 unit patterns x 5 amplitudes)
+    round-trips bit-exact through the REAL decode -> 32x32 luma ->
+    DCT -> median path — exhaustive, because doc_id only selects among
+    these 180 payloads, so this covers the entire query input space."""
+    from parquet_converters_spark.functions.image_fingerprint import (
+        PHASH_UNITS,
+        bmp_realizing_phash,
+        phash64_unsigned,
+        phash_target,
+    )
+
+    assert len(PHASH_UNITS) == 36
+    seen = set()
+    for v in range(180):
+        t, a = phash_target(v)
+        assert bin(t).count("1") == 31 and not (t & 1) and not (t >> 63)
+        assert phash64_unsigned(bmp_realizing_phash(t, a)) == t
+        seen.add(t)
+    assert len(seen) == 36  # amplitudes change bytes, never the hash
+
+
+def test_phash_synthesis_rejects_knife_edge_targets():
+    from parquet_converters_spark.functions.image_fingerprint import (
+        bmp_realizing_phash,
+    )
+
+    with pytest.raises(ValueError, match="EXACTLY 31"):
+        bmp_realizing_phash((1 << 31) - 2)  # 30 set bits
+    with pytest.raises(ValueError, match="median"):
+        bmp_realizing_phash(1 | ((1 << 32) - 2))  # DC bit set
+    with pytest.raises(ValueError, match="median"):
+        bmp_realizing_phash((1 << 63) | ((1 << 31) - 2))  # bit 63 set
+
+
+def test_image_phashes_stage_signed_fold(spark):
+    """The Spark stage returns phash as SIGNED long (hash-join/groupBy
+    type parity with dhash/ahash); a payload whose unsigned hash sets
+    bit 63 must fold negative."""
+    from parquet_converters_spark.functions.image_fingerprint import (
+        bmp_realizing_phash,
+        image_phashes,
+        phash64_unsigned,
+        phash_target,
+    )
+
+    t0, a0 = phash_target(0)
+    t1, a1 = phash_target(37)  # different unit AND amplitude rung
+    df = spark.createDataFrame(
+        [(1, bytearray(bmp_realizing_phash(t0, a0))),
+         (2, bytearray(bmp_realizing_phash(t1, a1)))],
+        "media_id long, payload binary",
+    )
+    got = {r["media_id"]: r["phash"] for r in image_phashes(df).collect()}
+    assert got == {1: t0, 2: t1}  # both targets < 2^63: fold is identity
+    # signed-fold arithmetic (bit 63 case) — checked at the fold site
+    u = (1 << 63) | 5
+    assert (u - (1 << 64) if u >= (1 << 63) else u) == 5 - (1 << 63)
+    # and the stage agrees with the payload-level function exactly
+    raw = bmp_realizing_phash(t0, a0)
+    assert phash64_unsigned(raw) == t0

@@ -10948,3 +10948,70 @@ QUERIES = {
     **{name: QUERIES[name] for name in _R16_WINDOW},
     **{name: v for name, v in QUERIES.items() if name not in _R16_WINDOW},
 }
+
+# --- r17 grading rotation (PRE-WIRED, activate at round-17 start) ----------
+# Computed from the CORRECTNESS_r01-r15 union assuming r16 grades
+# _R16_WINDOW: the never-graded r16 registration (image_phash_census,
+# the synthesis-oracled DCT-pHash census) leads, then the oldest
+# cohort — the 4 remaining r12-latest rows — topped up with the 45
+# alphabetically-first r13-latest rows (the TPC-H block rotates back
+# in, plus the multimodal_probe census row the walker-drift rule wants
+# re-graded periodically).  Round 17's builder promotes any red rows
+# from CORRECTNESS_r16 to the front (dropping tail entries to keep
+# 50), then adds the same two reorder lines over _R17_WINDOW.
+_R17_WINDOW = [
+    # (0) new in r16, never graded
+    "image_phash_census",
+    # (a) r12-latest remainder (4)
+    "unpivot_metrics",
+    "value_histogram",
+    "value_trend_by_type",
+    "zorder_layout_plan",
+    # (b) r13-latest, alphabetical head (45)
+    "acctbal_rank_profile",
+    "adjacency_node_ranges",
+    "adjacency_range_to_edge",
+    "ann_recall_pq",
+    "bloom_pruned_revenue",
+    "bpe_merge_candidates",
+    "char_entropy_buckets",
+    "chi2_type_by_weekday",
+    "dedup_minhash_sig",
+    "dedup_simhash_pairs",
+    "ks_drift_test",
+    "limit_n",
+    "lsh_pair_eval",
+    "multimodal_meta",
+    "multimodal_probe",
+    "pivot_event_counts",
+    "proj_rename",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q12_priority_shipping",
+    "q13_order_distribution",
+    "q14_brand_revenue",
+    "q15_top_supplier",
+    "q16_supplier_part_count",
+    "q17_small_qty_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_pred",
+    "q20_qualified_suppliers",
+    "q21_dominant_supplier",
+    "q22_idle_customers",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q5_nation_volume",
+    "q6_selective_agg",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "rollup_pricing",
+    "semi_join_exists",
+    "set_intersect",
+    "text_fingerprint",
+    "text_language_id",
+    "text_quality",
+    "text_rolling_hash",
+    "text_token_count",
+]
+_check_window(_R17_WINDOW, "_R17_WINDOW", prior=_R16_WINDOW)

@@ -544,3 +544,37 @@ def image_phashes(
             yield pd.DataFrame({id_col: ids, "phash": ph})
 
     return df.mapInPandas(run, out_schema)
+
+
+def phash_pair_target(doc_id: int) -> tuple[int, float]:
+    """``(target_hash, amplitude)`` for ``image_phash_neardup``
+    (doc_ids with ``doc_id % 8 < 2``): pairs ``(8q, 8q+1)`` share unit
+    ``PHASH_UNITS[q % 36]`` and a base diversifier of ``4 * (q//36 %
+    16)`` residue swaps (distinct bases sit >= 8 bits apart), and the
+    ``r=1`` member applies ``q % 4`` MORE swaps — each swap toggles
+    one set and one unset residue, so popcount stays 31 (the
+    synthesis precondition) and the pair's Hamming distance is
+    exactly ``2 * (q % 4)``.
+
+    Bit at position p (1..62): with residue ``t = p*k mod 63``, the
+    base sets t <= 31, the diversifier flips ``t in [32-4c, 31] u
+    [63-4c, 62]`` (c = q//36 % 16), and the pair member flips
+    ``t in [1, s] u [32, 31+s]`` (s = q % 4) — ranges disjoint by
+    construction (4c <= 60 keeps 32-4c >= ... the diversifier works
+    from residue 31 downward, the pair swaps from residue 1 upward,
+    and c<=15, s<=3 never meet)."""
+    q, r = doc_id // 8, doc_id % 8
+    k = PHASH_UNITS[q % 36]
+    c4 = 4 * ((q // 36) % 16)
+    s = q % 4 if r == 1 else 0
+    target = 0
+    for p in range(1, 63):
+        t = (p * k) % 63
+        bit = t <= 31
+        if 32 - c4 <= t <= 31 or 63 - c4 <= t <= 62:
+            bit = not bit
+        if r == 1 and (1 <= t <= s or 32 <= t <= 31 + s):
+            bit = not bit
+        if bit:
+            target |= 1 << p
+    return target, 300.0 + 30.0 * ((q + r) % 5)

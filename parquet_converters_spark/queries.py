@@ -2334,6 +2334,101 @@ def image_phash_census(spark, sf_dir):
     )
 
 
+def image_phash_neardup(spark, sf_dir):
+    """pHash near-dup pairs through the REAL DCT path (r16, the
+    neardup companion of image_phash_census): the 1/4 document subset
+    crafts synthesis images whose pHash pairs ``(8q, 8q+1)`` sit at
+    exact Hamming distance ``2*(q%4)`` (residue swaps preserve the
+    31-bit popcount the synthesis margin needs; a 16-level base
+    diversifier keeps unrelated bases >= 8 bits apart), then the
+    pigeonhole band join (4 bands / 64 bits, exact for distance <= 3)
+    finds every qualifying pair with distance in [1, 3].  The oracle
+    recomputes each target from the residue arithmetic alone and
+    brute-forces all subset pairs with bit_count(xor(...)) — banding
+    (the scale path) graded against exhaustive search, no DCT in
+    SQL."""
+    from parquet_converters_spark.functions.image_fingerprint import (
+        hamming_neardup_pairs,
+        image_phashes,
+    )
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % 8 < 2)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def build(batches):
+        import pandas as pd
+
+        from parquet_converters_spark.functions.image_fingerprint import (
+            bmp_realizing_phash,
+            phash_pair_target,
+        )
+
+        cache = {}
+        for pdf in batches:
+            ids = [int(d) for d in pdf["doc_id"]]
+            payloads = []
+            for d in ids:
+                key = phash_pair_target(d)
+                if key not in cache:
+                    cache[key] = bmp_realizing_phash(*key)
+                payloads.append(cache[key])
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    built = docs.mapInPandas(build, "media_id long, payload binary")
+    sig = image_phashes(built)
+    return (
+        hamming_neardup_pairs(
+            sig, id_col="media_id", hash_col="phash",
+            bands=4, max_hamming=3,
+        )
+        .filter(F.col("hamming") >= 1)
+        .orderBy("id_a", "id_b")
+    )
+
+
+# Bit at position p: residue t = p*k mod 63; base sets t<=31, the
+# diversifier (c4 = 4*(q//36 %16)) and the pair swaps (s = q%4 for
+# r=1) each flip disjoint residue ranges — parity of the three terms
+# is the bit.  Bits 0/63 never set -> signed BIGINT sum, no fold.
+IMAGE_PHASH_NEARDUP_SQL = """
+WITH sub AS (
+  SELECT doc_id, doc_id // 8 AS q, doc_id % 8 AS r
+  FROM documents WHERE doc_id % 8 < 2
+), par AS (
+  SELECT doc_id,
+         list_extract(
+           [1,2,4,5,8,10,11,13,16,17,19,20,22,23,25,26,29,31,32,34,
+            37,38,40,41,43,44,46,47,50,52,53,55,58,59,61,62],
+           CAST(q % 36 AS INTEGER) + 1) AS k,
+         4 * ((q // 36) % 16) AS c4,
+         CASE WHEN r = 1 THEN q % 4 ELSE 0 END AS s
+  FROM sub
+), bits AS (
+  SELECT doc_id, p.p AS p, (p.p * k) % 63 AS t, c4, s
+  FROM par, range(1, 63) AS p(p)
+), ph AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN (
+             (CASE WHEN t <= 31 THEN 1 ELSE 0 END)
+           + (CASE WHEN t BETWEEN 32 - c4 AND 31
+                     OR t BETWEEN 63 - c4 AND 62 THEN 1 ELSE 0 END)
+           + (CASE WHEN t BETWEEN 1 AND s
+                     OR t BETWEEN 32 AND 31 + s THEN 1 ELSE 0 END)
+         ) % 2 = 1 THEN ((1::BIGINT) << p) ELSE 0 END) AS BIGINT) AS h
+  FROM bits GROUP BY doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.h, b.h)) AS INTEGER) AS hamming
+FROM ph a JOIN ph b ON b.doc_id > a.doc_id
+WHERE bit_count(xor(a.h, b.h)) BETWEEN 1 AND 3
+ORDER BY id_a, id_b
+"""
+
+
 # Closed form of the synthesis targets: unit k = UNITS[doc_id%180 %36]
 # permutes bit positions 1..62 by p -> p*k mod 63; residues 1..31 are
 # the set bits (exactly 31).  Bits 0 and 63 never set -> the sum fits
@@ -6911,6 +7006,7 @@ QUERIES.update({
     "image_dhash_census": (image_dhash_census, IMAGE_DHASH_CENSUS_SQL),
     "image_dhash_neardup": (image_dhash_neardup, IMAGE_DHASH_NEARDUP_SQL),
     "image_phash_census": (image_phash_census, IMAGE_PHASH_CENSUS_SQL),
+    "image_phash_neardup": (image_phash_neardup, IMAGE_PHASH_NEARDUP_SQL),
     "audio_fingerprint_census": (
         audio_fingerprint_census,
         AUDIO_FINGERPRINT_CENSUS_SQL,
@@ -10960,8 +11056,10 @@ QUERIES = {
 # from CORRECTNESS_r16 to the front (dropping tail entries to keep
 # 50), then adds the same two reorder lines over _R17_WINDOW.
 _R17_WINDOW = [
-    # (0) new in r16, never graded
+    # (0) new in r16, never graded (the synthesis-oracled DCT-pHash
+    # census + its banded near-dup companion)
     "image_phash_census",
+    "image_phash_neardup",
     # (a) r12-latest remainder (4)
     "unpivot_metrics",
     "value_histogram",
@@ -11012,6 +11110,7 @@ _R17_WINDOW = [
     "text_language_id",
     "text_quality",
     "text_rolling_hash",
-    "text_token_count",
+    # (b) the two never-graded entries displaced text_token_count
+    # (alphabetically last of the r13 head) back into the r18 pool
 ]
 _check_window(_R17_WINDOW, "_R17_WINDOW", prior=_R16_WINDOW)

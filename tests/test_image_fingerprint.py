@@ -471,3 +471,30 @@ def test_image_phashes_stage_signed_fold(spark):
     # and the stage agrees with the payload-level function exactly
     raw = bmp_realizing_phash(t0, a0)
     assert phash64_unsigned(raw) == t0
+
+
+def test_phash_pair_targets_distance_and_roundtrip():
+    """r16: the neardup construction — popcount stays 31 (synthesis
+    precondition), pair distance is exactly 2*(q%4), base diversifier
+    keeps distinct bases >= 8 bits apart, and a (unit x diversifier x
+    swap) sweep round-trips bit-exact through the real DCT path."""
+    from parquet_converters_spark.functions.image_fingerprint import (
+        bmp_realizing_phash,
+        phash64_unsigned,
+        phash_pair_target,
+    )
+
+    for q in range(0, 2304, 37):  # sweeps all 16 diversifier levels
+        ta, _ = phash_pair_target(8 * q)
+        tb, _ = phash_pair_target(8 * q + 1)
+        assert bin(ta).count("1") == 31 and bin(tb).count("1") == 31
+        assert bin(ta ^ tb).count("1") == 2 * (q % 4)
+    # distinct diversifier levels of the same unit: distance 8 apart
+    t0, _ = phash_pair_target(8 * 0)      # q=0: unit 1, c=0
+    t1, _ = phash_pair_target(8 * 36)     # q=36: unit 1, c=1 (4 swaps)
+    assert bin(t0 ^ t1).count("1") == 8
+    # real-path round-trip across units/diversifiers/swaps/amps
+    for did in (0, 1, 8 * 5 + 1, 8 * 40, 8 * 40 + 1, 8 * 75 + 1,
+                8 * 36 * 15, 8 * (36 * 15 + 3) + 1):
+        t, a = phash_pair_target(did)
+        assert phash64_unsigned(bmp_realizing_phash(t, a)) == t, did

@@ -127,11 +127,17 @@ def parse_bmff_video_samples(data: bytes):
     # at chunk 1, but a (legal) table starting past 1 must pad the
     # uncovered head with 0-sample chunks — extending sequentially
     # would shift every run left and silently mis-frame samples
-    spc = [0] * max(0, stsc[0][0] - 1)
+    # clamp every chunk NUMBER to len(chunks) BEFORE allocating: the
+    # run values are untrusted 32-bit ints, and a crafted
+    # first_chunk of 0xFFFFFFFF would otherwise build a ~4-billion-
+    # element list (executor OOM) before the final truncation runs
+    nchunks = len(chunks)
+    spc = [0] * max(0, min(stsc[0][0] - 1, nchunks))
     for i, (first, per, _desc) in enumerate(stsc):
-        last = stsc[i + 1][0] - 1 if i + 1 < len(stsc) else len(chunks)
-        spc.extend([per] * max(0, last - first + 1))
-    spc = spc[: len(chunks)]
+        last = min(stsc[i + 1][0] - 1, nchunks) if i + 1 < len(stsc) \
+            else nchunks
+        spc.extend([per] * max(0, min(last - first + 1, nchunks - len(spc))))
+    spc = spc[:nchunks]
     # resolve byte ranges chunk by chunk
     ranges = []
     si = 0

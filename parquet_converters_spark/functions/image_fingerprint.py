@@ -538,9 +538,8 @@ def image_phashes(
         for pdf in batches:
             ids, ph = [], []
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
-                u = phash64_unsigned(bytes(payload))
                 ids.append(int(mid))
-                ph.append(u - (1 << 64) if u >= (1 << 63) else u)
+                ph.append(to_signed64(phash64_unsigned(bytes(payload))))
             yield pd.DataFrame({id_col: ids, "phash": ph})
 
     return df.mapInPandas(run, out_schema)
@@ -550,22 +549,33 @@ def phash_pair_target(doc_id: int) -> tuple[int, float]:
     """``(target_hash, amplitude)`` for ``image_phash_neardup``
     (doc_ids with ``doc_id % 8 < 2``): pairs ``(8q, 8q+1)`` share unit
     ``PHASH_UNITS[q % 36]`` and a base diversifier of ``4 * (q//36 %
-    16)`` residue swaps (distinct bases sit >= 8 bits apart), and the
-    ``r=1`` member applies ``q % 4`` MORE swaps — each swap toggles
-    one set and one unset residue, so popcount stays 31 (the
-    synthesis precondition) and the pair's Hamming distance is
-    exactly ``2 * (q % 4)``.
+    8)`` residue swaps, and the ``r=1`` member applies ``q % 4`` MORE
+    swaps — each swap toggles one set and one unset residue, so
+    popcount stays 31 (the synthesis precondition) and the pair's
+    Hamming distance is exactly ``2 * (q % 4)``.
 
     Bit at position p (1..62): with residue ``t = p*k mod 63``, the
     base sets t <= 31, the diversifier flips ``t in [32-4c, 31] u
-    [63-4c, 62]`` (c = q//36 % 16), and the pair member flips
-    ``t in [1, s] u [32, 31+s]`` (s = q % 4) — ranges disjoint by
-    construction (4c <= 60 keeps 32-4c >= ... the diversifier works
-    from residue 31 downward, the pair swaps from residue 1 upward,
-    and c<=15, s<=3 never meet)."""
+    [63-4c, 62]`` (c = 4*(q//36 % 8) <= 28, so the union never covers
+    all residues — at c >= 8 rungs it would degenerate to the exact
+    complement, one identical base for every level, which is why the
+    ladder stops at 8), and the pair member flips ``t in [1, s] u
+    [32, 31+s]`` (s = q % 4, disjoint from the diversifier ranges for
+    c <= 7, s <= 3).
+
+    Distance structure (what a consumer may rely on): same-unit
+    diversifier levels sit exactly ``8*|c1-c2|`` apart (>= 8).  Cross-
+    UNIT coincidences exist and are EXPECTED output, not construction
+    error: ``pattern(63-k)`` is the exact complement of
+    ``pattern(k)``, so complementary units whose diversifier levels
+    sum to 8 sit at distance ``8*(c+c') - 62 = 2`` and qualify.  Both
+    the engine (through the real DCT path — round-trip is bit-exact)
+    and the oracle (brute-force over the same arithmetic) grade every
+    such pair identically, so the query output is well-defined; only
+    the (8q, 8q+1) family has CONSTRUCTED distances."""
     q, r = doc_id // 8, doc_id % 8
     k = PHASH_UNITS[q % 36]
-    c4 = 4 * ((q // 36) % 16)
+    c4 = 4 * ((q // 36) % 8)
     s = q % 4 if r == 1 else 0
     target = 0
     for p in range(1, 63):

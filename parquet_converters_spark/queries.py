@@ -2339,8 +2339,11 @@ def image_phash_neardup(spark, sf_dir):
     neardup companion of image_phash_census): the 1/4 document subset
     crafts synthesis images whose pHash pairs ``(8q, 8q+1)`` sit at
     exact Hamming distance ``2*(q%4)`` (residue swaps preserve the
-    31-bit popcount the synthesis margin needs; a 16-level base
-    diversifier keeps unrelated bases >= 8 bits apart), then the
+    31-bit popcount the synthesis margin needs; an 8-level base
+    diversifier spaces same-unit bases exactly 8 bits per level —
+    complementary-unit coincidences at distance 2 exist by modular
+    arithmetic and are expected output, graded identically by both
+    sides; see phash_pair_target's docstring), then the
     pigeonhole band join (4 bands / 64 bits, exact for distance <= 3)
     finds every qualifying pair with distance in [1, 3].  The oracle
     recomputes each target from the residue arithmetic alone and
@@ -2404,7 +2407,7 @@ WITH sub AS (
            [1,2,4,5,8,10,11,13,16,17,19,20,22,23,25,26,29,31,32,34,
             37,38,40,41,43,44,46,47,50,52,53,55,58,59,61,62],
            CAST(q % 36 AS INTEGER) + 1) AS k,
-         4 * ((q // 36) % 16) AS c4,
+         4 * ((q // 36) % 8) AS c4,
          CASE WHEN r = 1 THEN q % 4 ELSE 0 END AS s
   FROM sub
 ), bits AS (
@@ -11049,7 +11052,7 @@ QUERIES = {
 # Computed from the CORRECTNESS_r01-r15 union assuming r16 grades
 # _R16_WINDOW: the never-graded r16 registration (image_phash_census,
 # the synthesis-oracled DCT-pHash census) leads, then the oldest
-# cohort — the 4 remaining r12-latest rows — topped up with the 45
+# cohort — the 4 remaining r12-latest rows — topped up with the 44
 # alphabetically-first r13-latest rows (the TPC-H block rotates back
 # in, plus the multimodal_probe census row the walker-drift rule wants
 # re-graded periodically).  Round 17's builder promotes any red rows
@@ -11065,7 +11068,7 @@ _R17_WINDOW = [
     "value_histogram",
     "value_trend_by_type",
     "zorder_layout_plan",
-    # (b) r13-latest, alphabetical head (45)
+    # (b) r13-latest, alphabetical head (44)
     "acctbal_rank_profile",
     "adjacency_node_ranges",
     "adjacency_range_to_edge",

@@ -456,6 +456,14 @@ def bloom_scan_plan(spark, path: str, column: str, values):
     at 100 TB / ~100k files this is a seconds-long metadata pass, the
     same shape as the ordered reader's row-count pass.  Returns a
     DataFrame ``(file, row_group, n_rows, keep)``.
+
+    Mixed datasets: a file with NO filter on ``column`` (e.g. appended
+    later by a writer without ``bloom_filter_columns``) keeps all its
+    row groups — absence of evidence is never permission to skip, and
+    ``bloom_pruned_read``'s full-scan-identical contract depends on
+    it.  Only when the FIRST file lacks the filter does the call
+    refuse by name (driver-side, before the fan-out): that is the
+    probably-wrong-column misuse case, not a mixed layout.
     """
     import glob as _glob
     import os as _os
@@ -469,14 +477,21 @@ def bloom_scan_plan(spark, path: str, column: str, values):
     )
     if not files:
         raise ValueError(f"bloom_scan_plan: no parquet files under {path}")
-    # refuse a filter-less column BY NAME on the driver (one footer
-    # read) — an executor-side KeyError would surface as an opaque
-    # wrapped PythonException after the fan-out
-    first = footer_bloom_index(files[0])
-    if not any(c == column for _rg, c in first):
+    # refuse a column NO file carries a filter for, BY NAME, on the
+    # driver — an executor-side KeyError would surface as an opaque
+    # wrapped PythonException after the fan-out.  Happy path reads one
+    # footer (early exit on first hit); the exhaustive walk only runs
+    # on the way to the error.
+    for f in files:
+        idx = footer_bloom_index(f)
+        if any(c == column for _rg, c in idx):
+            break
+    else:
+        first = footer_bloom_index(files[0])
         raise KeyError(
-            f"{files[0]}: no Bloom filter for column {column!r} "
-            f"(filters present: {sorted({c for _rg, c in first})})"
+            f"{path}: no file carries a Bloom filter for column "
+            f"{column!r} (filters in {files[0]}: "
+            f"{sorted({c for _rg, c in first})})"
         )
 
     def plan_one(it):
@@ -490,7 +505,12 @@ def bloom_scan_plan(spark, path: str, column: str, values):
         for pdf in it:
             rows = {"file": [], "row_group": [], "n_rows": [], "keep": []}
             for f in pdf["file"]:
-                probes = bloom_probe(f, column, vals)
+                try:
+                    probes = bloom_probe(f, column, vals)
+                except KeyError:
+                    # this FILE has no filter on the column (mixed
+                    # dataset): keep everything, never crash the plan
+                    probes = {}
                 meta = pq.ParquetFile(f).metadata
                 for rg in range(meta.num_row_groups):
                     rows["file"].append(f)

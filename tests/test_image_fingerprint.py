@@ -484,7 +484,7 @@ def test_phash_pair_targets_distance_and_roundtrip():
         phash_pair_target,
     )
 
-    for q in range(0, 2304, 37):  # sweeps all 16 diversifier levels
+    for q in range(0, 2304, 37):  # sweeps all 8 diversifier levels
         ta, _ = phash_pair_target(8 * q)
         tb, _ = phash_pair_target(8 * q + 1)
         assert bin(ta).count("1") == 31 and bin(tb).count("1") == 31
@@ -493,6 +493,17 @@ def test_phash_pair_targets_distance_and_roundtrip():
     t0, _ = phash_pair_target(8 * 0)      # q=0: unit 1, c=0
     t1, _ = phash_pair_target(8 * 36)     # q=36: unit 1, c=1 (4 swaps)
     assert bin(t0 ^ t1).count("1") == 8
+    # the documented cross-unit coincidence: complementary units with
+    # diversifier levels summing to 8 sit at distance 8*(c+c')-62 = 2
+    from parquet_converters_spark.functions.image_fingerprint import (
+        PHASH_UNITS,
+    )
+
+    ku = PHASH_UNITS.index(2)       # unit 2...
+    kc = PHASH_UNITS.index(61)      # ...and its complement 63-2
+    ta, _ = phash_pair_target(8 * (ku + 36 * 7))   # unit 2, c=7
+    tb, _ = phash_pair_target(8 * (kc + 36 * 1))   # unit 61, c=1
+    assert bin(ta ^ tb).count("1") == 2
     # real-path round-trip across units/diversifiers/swaps/amps
     for did in (0, 1, 8 * 5 + 1, 8 * 40, 8 * 40 + 1, 8 * 75 + 1,
                 8 * 36 * 15, 8 * (36 * 15 + 3) + 1):

@@ -1674,3 +1674,19 @@ def test_matroska_zero_size_tracktype_reads_as_zero():
                      _eb(b"\x16\x54\xae\x6b", trk) + cluster)
     codec, _w, _h, blocks = parse_matroska_video_blocks(webm)
     assert codec is None and blocks == []
+
+
+def test_bmff_stsc_huge_first_chunk_no_allocation():
+    """r16 review finding: the chunk-number pad must clamp untrusted
+    32-bit stsc values BEFORE allocating — a crafted first_chunk of
+    0xFFFFFFFF would otherwise build a ~4-billion-element list."""
+    from parquet_converters_spark.functions.bmff_demux import (
+        parse_bmff_video_samples,
+    )
+
+    frames = [b"\xff\xd8frm%d\xff\xd9" % i for i in range(4)]
+    mp4 = bytearray(_mjpeg_mp4(frames))
+    i = mp4.find(b"stsc")
+    mp4[i + 12 : i + 16] = b"\xff\xff\xff\xff"  # first_chunk = 2^32-1
+    codec, _fps, samples = parse_bmff_video_samples(bytes(mp4))
+    assert codec == "jpeg" and samples == []  # no chunk is covered

@@ -278,3 +278,37 @@ def test_bloom_scan_plan_skip_rate_and_pruned_read(spark, tmp_path):
     # a column without a filter refuses by name at the probe layer
     with pytest.raises(KeyError, match="payload"):
         bloom_scan_plan(spark, out, "payload", [b"x"]).collect()
+
+def test_bloom_scan_plan_mixed_dataset_keeps_filterless_file(
+    spark, tmp_path
+):
+    """r16 review finding: a dataset mixing bloom-filtered and
+    filter-less files (e.g. a later append by another writer) must
+    KEEP every row group of the filter-less file — never crash the
+    fan-out — and bloom_pruned_read must stay full-scan-identical."""
+    from pyspark.sql import functions as F
+
+    from parquet_converters_spark.sources.parquet_bloom import (
+        bloom_pruned_read,
+        bloom_scan_plan,
+    )
+
+    out = str(tmp_path / "mixed")
+    write_canonical_parquet(
+        _shuffled_even_keys(spark, n=50_000, files=2), out,
+        bloom_filter_columns=["k"], metadata_sidecar=False,
+    )
+    # append a filter-less file holding an ODD key no bloomed file has
+    write_canonical_parquet(
+        spark.createDataFrame([(7, "odd7")], "k long, payload string"),
+        out, mode="append", metadata_sidecar=False,
+    )
+    plan = bloom_scan_plan(spark, out, "k", [7]).collect()
+    filterless = [r for r in plan if r["n_rows"] == 1]
+    assert filterless and all(r["keep"] for r in filterless)
+    bloomed = [r for r in plan if r["n_rows"] > 1]
+    assert bloomed and not any(r["keep"] for r in bloomed)  # 7 is odd
+    got = bloom_pruned_read(spark, out, "k", [7]).collect()
+    want = (spark.read.parquet(out).filter(F.col("k") == 7).collect())
+    assert [r["payload"] for r in got] == [r["payload"] for r in want] \
+        == ["odd7"]

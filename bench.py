@@ -522,6 +522,69 @@ def bench_hdf5_parallel(spark, sf_dir: str, timed_runs: int) -> dict[str, float]
     return out
 
 
+def bench_bloom_lookup(spark, sf_dir: str, timed_runs: int) -> dict[str, float]:
+    """Time the Bloom read side (r16 verdict item 2): sf-proportional
+    lineitem written canonical with a split-block filter on
+    l_orderkey (hash-repartitioned so min/max stats cannot prune an
+    in-range probe), then 8 equality point probes — absent keys
+    bloom-skip every row group, present keys keep only theirs.  The
+    write is untimed fixture build; the timed row is what a 100 TB
+    point lookup pays per probe through Spark's own reader with
+    ``parquet.filter.bloom.enabled`` (the default) honoring the W1
+    sink's filters."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from parquet_converters_spark.sinks.parquet_sink import (
+        write_canonical_parquet,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="bench_bloom_")
+    out: dict[str, float] = {}
+    try:
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+            "l_orderkey", "l_partkey", "l_extendedprice"
+        )
+        tab = os.path.join(tmp, "li_bloom")
+        write_canonical_parquet(
+            li.repartition(16), tab,
+            bloom_filter_columns=["l_orderkey"], metadata_sidecar=False,
+        )
+        kmax = int(li.agg(F.max("l_orderkey")).collect()[0][0])
+        present = [r[0] for r in li.select("l_orderkey").distinct()
+                   .orderBy(F.hash("l_orderkey")).limit(4).collect()]
+        # orderkeys are sparse in 0..kmax (TPC-H leaves ~2% gaps):
+        # anti-join ~1000 candidates against the key set — stays
+        # distributed, nothing unbounded reaches the driver
+        step = max(1, kmax // 1009)
+        absent = [r[0] for r in (
+            spark.range(1, kmax, step).select(F.col("id").alias("k"))
+            .join(li.select(F.col("l_orderkey").alias("k")).distinct(),
+                  "k", "left_anti")
+            .orderBy("k").limit(4).collect()
+        )]
+        probes = absent + present
+
+        def run():
+            for key in probes:
+                spark.read.parquet(tab).filter(
+                    F.col("l_orderkey") == key
+                ).write.format("noop").mode("overwrite").save()
+
+        run()  # untimed warmup
+        best = float("inf")
+        for _ in range(timed_runs):
+            t0 = time.perf_counter()
+            run()
+            best = min(best, time.perf_counter() - t0)
+        out["bloom_point_lookup"] = round(best, 3)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 # --- machine-state canaries (r14 VERDICT item 3) ---------------------------
 # Three fixed workloads on NEVER-CHANGING code paths, one per
 # machine-sensitive regime: pure JVM whole-stage codegen (no repo
@@ -673,6 +736,7 @@ def main() -> None:
         times[name] = round(best, 3)
 
     times.update(bench_hdf5_parallel(spark, sf_dir, timed_runs))
+    times.update(bench_bloom_lookup(spark, sf_dir, timed_runs))
     times.update(bench_webp_seam(spark, timed_runs))
     times.update(bench_audio_seam(spark, timed_runs))
 

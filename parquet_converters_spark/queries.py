@@ -2394,7 +2394,7 @@ def image_phash_neardup(spark, sf_dir):
 
 
 # Bit at position p: residue t = p*k mod 63; base sets t<=31, the
-# diversifier (c4 = 4*(q//36 %16)) and the pair swaps (s = q%4 for
+# diversifier (c4 = 4*(q//36 % 8)) and the pair swaps (s = q%4 for
 # r=1) each flip disjoint residue ranges — parity of the three terms
 # is the bit.  Bits 0/63 never set -> signed BIGINT sum, no fold.
 IMAGE_PHASH_NEARDUP_SQL = """

@@ -461,9 +461,9 @@ def bloom_scan_plan(spark, path: str, column: str, values):
     later by a writer without ``bloom_filter_columns``) keeps all its
     row groups — absence of evidence is never permission to skip, and
     ``bloom_pruned_read``'s full-scan-identical contract depends on
-    it.  Only when the FIRST file lacks the filter does the call
-    refuse by name (driver-side, before the fan-out): that is the
-    probably-wrong-column misuse case, not a mixed layout.
+    it.  The call refuses by name (driver-side, before the fan-out)
+    only when NO file in the dataset carries a filter for the column —
+    the probably-wrong-column misuse case, not a mixed layout.
     """
     import glob as _glob
     import os as _os
@@ -556,3 +556,15 @@ def bloom_pruned_read(spark, path: str, column: str, values):
         spark.read.parquet(path).limit(0)
     )
     return base.filter(F.col(column).isin(vals))
+
+
+def scan_output_rows(df) -> int:
+    """``numOutputRows`` of ``df``'s scan leaf AFTER the frame has been
+    executed — the rows that survived row-group pruning and reached
+    the scan output.  The one shared home for the
+    ``_jdf.queryExecution().executedPlan().collectLeaves()``
+    incantation (classic-mode Spark internals; it shifts across Spark
+    versions, so the test, the probe script, and the verify recipe all
+    call THIS instead of keeping copies)."""
+    leaves = df._jdf.queryExecution().executedPlan().collectLeaves()
+    return leaves.apply(0).metrics().apply("numOutputRows").value()

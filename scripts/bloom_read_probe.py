@@ -30,8 +30,11 @@ from parquet_converters_spark.sources.parquet_bloom import bloom_scan_plan
 
 
 def scan_rows(df):
-    leaves = df._jdf.queryExecution().executedPlan().collectLeaves()
-    return leaves.apply(0).metrics().apply("numOutputRows").value()
+    from parquet_converters_spark.sources.parquet_bloom import (
+        scan_output_rows,
+    )
+
+    return scan_output_rows(df)
 
 
 def main():

@@ -186,11 +186,11 @@ def test_footer_contract_short_file_and_lying_length(tmp_path):
         footer_bloom_index(f)
 
 def _scan_output_rows(df):
-    """numOutputRows of the scan leaf AFTER df has been executed —
-    rows that survived row-group pruning and reached the scan output."""
-    leaves = df._jdf.queryExecution().executedPlan().collectLeaves()
-    m = leaves.apply(0).metrics()
-    return m.apply("numOutputRows").value()
+    from parquet_converters_spark.sources.parquet_bloom import (
+        scan_output_rows,
+    )
+
+    return scan_output_rows(df)
 
 
 def _shuffled_even_keys(spark, n=400_000, files=8):

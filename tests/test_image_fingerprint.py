@@ -509,3 +509,33 @@ def test_phash_pair_targets_distance_and_roundtrip():
                 8 * 36 * 15, 8 * (36 * 15 + 3) + 1):
         t, a = phash_pair_target(did)
         assert phash64_unsigned(bmp_realizing_phash(t, a)) == t, did
+
+
+def test_phash_synthesis_property_random_targets():
+    """r16 property test: the synthesis margin argument must hold for
+    ARBITRARY valid targets (exactly 31 set bits among 1..62), not
+    just the census/neardup families — if integer rounding could ever
+    eat the +-amp margin, a random target would expose it long before
+    a crafted one."""
+    hypothesis = pytest.importorskip("hypothesis")
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from parquet_converters_spark.functions.image_fingerprint import (
+        bmp_realizing_phash,
+        phash64_unsigned,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        bits=st.permutations(list(range(1, 63))),
+        amp=st.sampled_from([300.0, 330.0, 360.0, 390.0, 420.0]),
+    )
+    def check(bits, amp):
+        target = 0
+        for p in bits[:31]:
+            target |= 1 << p
+        assert phash64_unsigned(bmp_realizing_phash(target, amp)) \
+            == target
+
+    check()

@@ -2460,6 +2460,149 @@ FROM ph GROUP BY phash ORDER BY phash
 """
 
 
+def warc_text_census(spark, sf_dir):
+    """The crawl-ingest front end at CORPUS grain (r16): every
+    document crafts a real WARC archive (ISO 28500 record framing,
+    rotating through plain / whole-archive gzip / per-record gzip
+    members / chunked transfer-encoding / Content-Encoding: gzip /
+    a 404 text/plain miss), rides the REAL parse path
+    (sources/warc.py: gzip member loop -> WARC record walk -> HTTP
+    split -> chunk/content decoding -> HTML visible-text extraction
+    via the stdlib WHATWG parser), and the census groups by
+    (status, content-type) with doc-id and extracted-text-length
+    checksums — a framing, decoding, entity, or whitespace bug
+    anywhere in the pipeline shifts a group.  One Arrow-batched
+    narrow stage + one aggregate; the oracle recomputes the expected
+    text LENGTHS from the construction's closed form (the extracted
+    string is pure doc_id arithmetic)."""
+    from parquet_converters_spark.sources.warc import warc_text_documents
+
+    docs = (
+        _t(spark, sf_dir, "documents").select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def build(batches):
+        import zlib
+
+        import pandas as pd
+
+        def gzm(b):
+            c = zlib.compressobj(9, zlib.DEFLATED, 16 + 15)
+            return c.compress(b) + c.flush()
+
+        def rec(wtype, uri, block):
+            h = (
+                b"WARC/1.0\r\nWARC-Type: " + wtype
+                + b"\r\nWARC-Record-ID: <urn:uuid:doc>\r\n"
+                b"WARC-Date: 2024-01-01T00:00:00Z\r\n"
+                + (b"WARC-Target-URI: " + uri + b"\r\n" if uri else b"")
+                + b"Content-Type: application/http; msgtype=response"
+                b"\r\nContent-Length: "
+                + str(len(block)).encode() + b"\r\n\r\n"
+            )
+            return h + block + b"\r\n\r\n"
+
+        def craft(did):
+            v = did % 6
+            a, b, c = (
+                (did * 31 + 1) % 1000,
+                (did * 31 + 2) % 1000,
+                (did * 31 + 3) % 1000,
+            )
+            if v == 5:
+                body = f"plain {did} body".encode()
+                http = (
+                    b"HTTP/1.1 404 Not Found\r\n"
+                    b"Content-Type: text/plain\r\n\r\n" + body
+                )
+            else:
+                html = (
+                    f"<html><head><title>t{did}</title>"
+                    f"<style>p{{margin:0}}</style>"
+                    f"<script>var s=1;</script></head>"
+                    f"<body><p>w{a} &amp; w{b}</p><!--hidden-->"
+                    f"<p>w{c}</p></body></html>"
+                ).encode()
+                status = b"301 Moved Permanently" if v == 1 else b"200 OK"
+                extra, body = b"", html
+                if v == 3:
+                    extra = b"Transfer-Encoding: chunked\r\n"
+                    body = (
+                        b"a\r\n" + html[:10] + b"\r\n"
+                        + format(len(html) - 10, "x").encode()
+                        + b"\r\n" + html[10:] + b"\r\n0\r\n\r\n"
+                    )
+                elif v == 4:
+                    extra = b"Content-Encoding: gzip\r\n"
+                    body = gzm(html)
+                http = (
+                    b"HTTP/1.1 " + status + b"\r\n"
+                    b"Content-Type: text/html; charset=utf-8\r\n"
+                    + extra + b"\r\n" + body
+                )
+            resp = rec(
+                b"response", f"https://example.com/{did}".encode(), http
+            )
+            if v == 1:
+                return gzm(resp)
+            if v == 2:
+                info = rec(b"warcinfo", b"", b"software: census\r\n")
+                return gzm(info) + gzm(resp)
+            return resp
+
+        for pdf in batches:
+            ids = [int(d) for d in pdf["doc_id"]]
+            yield pd.DataFrame(
+                {"doc_id": ids, "payload": [craft(d) for d in ids]}
+            )
+
+    built = docs.mapInPandas(build, "doc_id long, payload binary")
+    return (
+        warc_text_documents(built)
+        .groupBy("http_status", "content_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("doc_id").alias("sum_id"),
+            F.sum(F.length("text")).alias("sum_text_len"),
+        )
+        .orderBy("http_status", "content_type")
+    )
+
+
+# Closed form of the extracted text: 't{did} w{a} & w{b} w{c}' for the
+# html variants (title + visible paragraphs, entity decoded,
+# whitespace collapsed), 'plain {did} body' for the 404 — lengths are
+# pure doc_id arithmetic, no HTML in SQL.
+WARC_TEXT_CENSUS_SQL = """
+WITH d AS (
+  SELECT doc_id, doc_id % 6 AS v,
+         (doc_id*31+1) % 1000 AS a,
+         (doc_id*31+2) % 1000 AS b,
+         (doc_id*31+3) % 1000 AS c
+  FROM documents
+), rec AS (
+  SELECT doc_id,
+         CASE WHEN v = 5 THEN 404 WHEN v = 1 THEN 301
+              ELSE 200 END AS http_status,
+         CASE WHEN v = 5 THEN 'text/plain'
+              ELSE 'text/html' END AS content_type,
+         CASE WHEN v = 5
+              THEN length('plain ' || CAST(doc_id AS VARCHAR) || ' body')
+              ELSE length('t' || CAST(doc_id AS VARCHAR)
+                          || ' w' || CAST(a AS VARCHAR)
+                          || ' & w' || CAST(b AS VARCHAR)
+                          || ' w' || CAST(c AS VARCHAR)) END AS text_len
+  FROM d
+)
+SELECT CAST(http_status AS INTEGER) AS http_status, content_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_id,
+       CAST(SUM(text_len) AS BIGINT) AS sum_text_len
+FROM rec GROUP BY 1, 2 ORDER BY http_status, content_type
+"""
+
+
 def audio_fingerprint_census(spark, sf_dir):
     """Spectral fingerprinting at CORPUS grain (r15): every document
     crafts a bin-exact PCM16 tone (bin 1 + doc_id%20 of a 256-sample
@@ -7010,6 +7153,7 @@ QUERIES.update({
     "image_dhash_neardup": (image_dhash_neardup, IMAGE_DHASH_NEARDUP_SQL),
     "image_phash_census": (image_phash_census, IMAGE_PHASH_CENSUS_SQL),
     "image_phash_neardup": (image_phash_neardup, IMAGE_PHASH_NEARDUP_SQL),
+    "warc_text_census": (warc_text_census, WARC_TEXT_CENSUS_SQL),
     "audio_fingerprint_census": (
         audio_fingerprint_census,
         AUDIO_FINGERPRINT_CENSUS_SQL,
@@ -11060,9 +11204,11 @@ QUERIES = {
 # 50), then adds the same two reorder lines over _R17_WINDOW.
 _R17_WINDOW = [
     # (0) new in r16, never graded (the synthesis-oracled DCT-pHash
-    # census + its banded near-dup companion)
+    # census + its banded near-dup companion, and the WARC crawl-
+    # ingest census)
     "image_phash_census",
     "image_phash_neardup",
+    "warc_text_census",
     # (a) r12-latest remainder (4)
     "unpivot_metrics",
     "value_histogram",
@@ -11112,8 +11258,8 @@ _R17_WINDOW = [
     "text_fingerprint",
     "text_language_id",
     "text_quality",
-    "text_rolling_hash",
-    # (b) the two never-graded entries displaced text_token_count
-    # (alphabetically last of the r13 head) back into the r18 pool
+    # (b) the three never-graded entries displaced text_rolling_hash
+    # and text_token_count (alphabetically last of the r13 head) back
+    # into the r18 pool
 ]
 _check_window(_R17_WINDOW, "_R17_WINDOW", prior=_R16_WINDOW)

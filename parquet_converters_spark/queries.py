@@ -2603,6 +2603,94 @@ FROM rec GROUP BY 1, 2 ORDER BY http_status, content_type
 """
 
 
+def robots_gate_census(spark, sf_dir):
+    """Crawl-governance census (r16, the WARC front end's policy
+    companion): every document derives a URL on one of six domains
+    whose robots.txt exercises a distinct RFC 9309 feature — prefix
+    Disallow, ``$``-anchored wildcard, longest-match Allow-over-
+    Disallow, empty (rule-less) Disallow, mid-pattern wildcard, and
+    agent-specific group selection — and the gate
+    (functions/robots.py robots_gate: BROADCAST robots dimension ->
+    one Arrow-batched narrow decision stage) annotates each with the
+    RFC decision.  The census counts allowed per (rule shape, path
+    kind): a group-selection, wildcard, anchor, or precedence bug
+    shifts a cell.  The oracle is the RFC decision matrix in closed
+    form — 5 CASE terms, no pattern matching in SQL."""
+    from parquet_converters_spark.functions.robots import robots_gate
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    v = (F.col("doc_id") % 6).cast("int")
+    p = (F.col("doc_id") % 5).cast("int")
+    path = (
+        F.when(p == 0, F.concat(F.lit("/public/x"), F.col("doc_id")))
+        .when(p == 1, F.concat(F.lit("/private/x"), F.col("doc_id")))
+        .when(p == 2, F.concat(F.lit("/docs/f"), F.col("doc_id"),
+                               F.lit(".pdf")))
+        .when(p == 3, F.concat(F.lit("/a"), F.col("doc_id") % 10,
+                               F.lit("b/c")))
+        .otherwise(F.lit("/"))
+    )
+    urls = docs.select(
+        "doc_id",
+        v.alias("shape"),
+        p.alias("path_kind"),
+        F.concat(F.lit("d"), v).alias("domain"),
+        F.concat(F.lit("https://d"), v, F.lit(".example.com"), path)
+        .alias("url"),
+    )
+    robots = spark.createDataFrame(
+        [
+            ("d0", "User-agent: *\nDisallow: /private/\n"),
+            ("d1", "User-agent: *\nDisallow: /*.pdf$\n"),
+            ("d2", "User-agent: *\nAllow: /public/\nDisallow: /\n"),
+            ("d3", "User-agent: *\nDisallow:\n"),
+            ("d4", "User-agent: *\nDisallow: /a*b/\n"),
+            ("d5", "User-agent: trainbot\nDisallow: /\n\n"
+                   "User-agent: *\nAllow: /\n"),
+        ],
+        "domain string, robots_txt string",
+    )
+    gated = robots_gate(urls, robots, agent="trainbot")
+    return (
+        gated.groupBy("shape", "path_kind")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("allowed").cast("long")).alias("n_allowed"),
+            F.sum("doc_id").alias("sum_id"),
+        )
+        .orderBy("shape", "path_kind")
+    )
+
+
+# The RFC 9309 decision matrix in closed form: shape 0 denies only the
+# /private/ path kind, shape 1 only the .pdf kind ($ anchor), shape 2
+# allows ONLY /public/ (longest-match allow over Disallow: /), shape 3
+# is rule-less (empty Disallow) and allows all, shape 4's mid-pattern
+# wildcard denies only the /a{n}b/ kind, shape 5's trainbot group
+# denies everything (group selection beats the permissive * group).
+ROBOTS_GATE_CENSUS_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         CAST(doc_id % 6 AS INTEGER) AS shape,
+         CAST(doc_id % 5 AS INTEGER) AS path_kind
+  FROM documents
+), dec AS (
+  SELECT doc_id, shape, path_kind,
+         NOT ((shape = 0 AND path_kind = 1)
+           OR (shape = 1 AND path_kind = 2)
+           OR (shape = 2 AND path_kind <> 0)
+           OR (shape = 4 AND path_kind = 3)
+           OR shape = 5) AS allowed
+  FROM d
+)
+SELECT shape, path_kind, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN allowed THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_allowed,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_id
+FROM dec GROUP BY shape, path_kind ORDER BY shape, path_kind
+"""
+
+
 def audio_fingerprint_census(spark, sf_dir):
     """Spectral fingerprinting at CORPUS grain (r15): every document
     crafts a bin-exact PCM16 tone (bin 1 + doc_id%20 of a 256-sample
@@ -7154,6 +7242,7 @@ QUERIES.update({
     "image_phash_census": (image_phash_census, IMAGE_PHASH_CENSUS_SQL),
     "image_phash_neardup": (image_phash_neardup, IMAGE_PHASH_NEARDUP_SQL),
     "warc_text_census": (warc_text_census, WARC_TEXT_CENSUS_SQL),
+    "robots_gate_census": (robots_gate_census, ROBOTS_GATE_CENSUS_SQL),
     "audio_fingerprint_census": (
         audio_fingerprint_census,
         AUDIO_FINGERPRINT_CENSUS_SQL,
@@ -11194,9 +11283,10 @@ QUERIES = {
 
 # --- r17 grading rotation (PRE-WIRED, activate at round-17 start) ----------
 # Computed from the CORRECTNESS_r01-r15 union assuming r16 grades
-# _R16_WINDOW: the never-graded r16 registration (image_phash_census,
-# the synthesis-oracled DCT-pHash census) leads, then the oldest
-# cohort — the 4 remaining r12-latest rows — topped up with the 44
+# _R16_WINDOW: the four never-graded r16 registrations (the two
+# synthesis-oracled pHash rows, the WARC crawl-ingest census, and the
+# RFC 9309 robots gate census) lead, then the oldest cohort — the 4
+# remaining r12-latest rows — topped up with the 42
 # alphabetically-first r13-latest rows (the TPC-H block rotates back
 # in, plus the multimodal_probe census row the walker-drift rule wants
 # re-graded periodically).  Round 17's builder promotes any red rows
@@ -11209,12 +11299,13 @@ _R17_WINDOW = [
     "image_phash_census",
     "image_phash_neardup",
     "warc_text_census",
+    "robots_gate_census",
     # (a) r12-latest remainder (4)
     "unpivot_metrics",
     "value_histogram",
     "value_trend_by_type",
     "zorder_layout_plan",
-    # (b) r13-latest, alphabetical head (44)
+    # (b) r13-latest, alphabetical head (42)
     "acctbal_rank_profile",
     "adjacency_node_ranges",
     "adjacency_range_to_edge",
@@ -11257,9 +11348,8 @@ _R17_WINDOW = [
     "set_intersect",
     "text_fingerprint",
     "text_language_id",
-    "text_quality",
-    # (b) the three never-graded entries displaced text_rolling_hash
-    # and text_token_count (alphabetically last of the r13 head) back
-    # into the r18 pool
+    # (b) the four never-graded entries displaced text_quality,
+    # text_rolling_hash and text_token_count (alphabetically last of
+    # the r13 head) back into the r18 pool
 ]
 _check_window(_R17_WINDOW, "_R17_WINDOW", prior=_R16_WINDOW)

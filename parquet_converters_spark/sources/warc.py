@@ -184,6 +184,13 @@ def http_response_parts(block: bytes) -> tuple[int, str, bytes]:
     chunked transfer decoded, gzip/deflate content-encodings
     decompressed, ``content_type`` lowercased with parameters
     stripped.  Unsupported content codings are rejected BY NAME."""
+    status, ctype, _raw, body = _http_response_full(block)
+    return status, ctype, body
+
+
+def _http_response_full(block: bytes) -> tuple[int, str, str, bytes]:
+    """:func:`http_response_parts` plus the RAW Content-Type header
+    value (parameters intact) for charset sniffing."""
     sep = block.find(b"\r\n\r\n")
     if sep < 0:
         raise ValueError("warc: http message without header terminator")
@@ -219,9 +226,47 @@ def http_response_parts(block: bytes) -> tuple[int, str, bytes]:
             f"warc: content-encoding {coding!r} not supported (no "
             f"codec in this container) — identity/gzip/deflate are"
         )
-    ctype = headers.get("content-type", "")
-    ctype = ctype.split(";", 1)[0].strip().lower()
-    return status, ctype, body
+    raw_ctype = headers.get("content-type", "")
+    ctype = raw_ctype.split(";", 1)[0].strip().lower()
+    return status, ctype, raw_ctype, body
+
+
+_CHARSET_PARAM = re.compile(
+    rb"charset\s*=\s*\"?([A-Za-z0-9_.:-]+)\"?", re.I
+)
+
+
+def sniff_charset(headers_ctype: str, body: bytes) -> str:
+    """Document charset, in the precedence real crawl pipelines use:
+    the HTTP ``Content-Type`` charset parameter, else a Unicode BOM,
+    else an HTML ``<meta charset>`` / http-equiv declaration in the
+    first 1024 bytes (the WHATWG prescan window), else UTF-8.  An
+    unknown label falls back to UTF-8 — decode errors are replaced,
+    never raised (a broken page must not kill the corpus stage)."""
+    import codecs
+
+    def valid(label: str) -> str | None:
+        try:
+            codecs.lookup(label)
+            return label
+        except LookupError:
+            return None
+
+    m = _CHARSET_PARAM.search(headers_ctype.encode("latin-1", "replace"))
+    if m:
+        lab = valid(m.group(1).decode("latin-1"))
+        if lab:
+            return lab
+    if body[:3] == b"\xef\xbb\xbf":
+        return "utf-8-sig"
+    if body[:2] in (b"\xff\xfe", b"\xfe\xff"):
+        return "utf-16"
+    m = _CHARSET_PARAM.search(body[:1024])
+    if m:
+        lab = valid(m.group(1).decode("latin-1"))
+        if lab:
+            return lab
+    return "utf-8"
 
 
 class _TextExtractor(HTMLParser):
@@ -337,15 +382,16 @@ def warc_text_documents(
                         "application/http"
                     ):
                         continue
-                    status, ctype, body = http_response_parts(
-                        rec["block"]
+                    status, ctype, raw_ctype, body = (
+                        _http_response_full(rec["block"])
                     )
+                    enc = sniff_charset(raw_ctype, body)
                     if ctype == "text/html":
-                        text = html_text(body)
+                        text = html_text(body, encoding=enc)
                     elif ctype.startswith("text/"):
                         text = re.sub(
                             r"\s+", " ",
-                            body.decode("utf-8", "replace"),
+                            body.decode(enc, "replace"),
                         ).strip()
                     else:
                         text = None

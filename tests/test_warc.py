@@ -204,3 +204,42 @@ def test_gunzip_members_passthrough_and_guards():
     assert gunzip_members(_gz(b"a") + _gz(b"b")) == b"ab"
     with pytest.raises(ValueError, match="truncated"):
         gunzip_members(_gz(b"abcdef")[:-5])
+
+
+def test_charset_sniffing_precedence_and_decode():
+    from parquet_converters_spark.sources.warc import sniff_charset
+
+    # header param > BOM > meta prescan > utf-8
+    assert sniff_charset("text/html; charset=ISO-8859-1",
+                         b"\xef\xbb\xbf<meta charset=koi8-r>") \
+        == "ISO-8859-1"
+    assert sniff_charset("text/html",
+                         b"\xef\xbb\xbf<meta charset=koi8-r>") \
+        == "utf-8-sig"
+    assert sniff_charset(
+        "text/html",
+        b'<head><meta http-equiv="Content-Type" '
+        b'content="text/html; charset=windows-1251">') == "windows-1251"
+    assert sniff_charset("text/html; charset=bogus-label", b"") == "utf-8"
+    assert sniff_charset("", b"") == "utf-8"
+
+
+def test_warc_text_documents_honors_charset(spark):
+    latin = "<p>café über</p>".encode("latin-1")
+    resp = _rec(
+        b"response",
+        _http(b"200 OK", b"text/html; charset=ISO-8859-1", latin),
+        uri=b"https://ex.org/l1",
+    )
+    cyr = "абв где".encode("windows-1251")
+    resp2 = _rec(
+        b"response",
+        _http(b"200 OK", b"text/plain; charset=windows-1251", cyr),
+        uri=b"https://ex.org/l2",
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(resp + resp2))], "doc_id long, payload binary"
+    )
+    rows = {r["url"]: r["text"] for r in warc_text_documents(df).collect()}
+    assert rows["https://ex.org/l1"] == "café über"
+    assert rows["https://ex.org/l2"] == "абв где"

@@ -26,10 +26,16 @@ import re
 from pyspark.sql import DataFrame
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=8192)
 def _pattern_regex(pattern: str) -> re.Pattern:
     """RFC 9309 path pattern -> anchored regex: ``*`` is any octet
     sequence, trailing ``$`` anchors the end, everything else is
-    literal (match starts at the first path octet)."""
+    literal (match starts at the first path octet).  Cached so the
+    per-URL hot loop never rebuilds regex source strings (re's own
+    512-entry cache purges wholesale under multi-domain batches)."""
     anchored = pattern.endswith("$")
     if anchored:
         pattern = pattern[:-1]
@@ -41,8 +47,9 @@ def _pattern_regex(pattern: str) -> re.Pattern:
 
 def parse_robots(txt: str, agent: str) -> list[tuple[bool, str]]:
     """Rules ``[(allow, pattern), ...]`` of the group that governs
-    ``agent``: the group with a case-insensitively matching
-    ``User-agent`` line, else the ``*`` group, else no rules.
+    ``agent``: ALL groups with a case-insensitively matching
+    ``User-agent`` line combined (RFC 9309 2.2.1), else the
+    combined ``*`` groups, else no rules.
     Comments (``#`` to end of line) stripped; unknown directives
     ignored (the RFC requires tolerating extensions); empty rule
     values are rule-less (an empty ``Disallow:`` allows everything)."""
@@ -77,13 +84,21 @@ def parse_robots(txt: str, agent: str) -> list[tuple[bool, str]]:
         # other directives (sitemap, crawl-delay, ...): ignored
     if cur_agents:
         groups.append((cur_agents, cur_rules))
-    fallback: list[tuple[bool, str]] | None = None
+    # RFC 9309 2.2.1: ALL groups matching the agent combine into one
+    # rule set (real robots.txt often repeats a token across sections)
+    exact: list[tuple[bool, str]] = []
+    fallback: list[tuple[bool, str]] = []
+    saw_exact = saw_star = False
     for agents, rules in groups:
         if agent in agents:
-            return rules
-        if "*" in agents and fallback is None:
-            fallback = rules
-    return fallback if fallback is not None else []
+            saw_exact = True
+            exact.extend(rules)
+        if "*" in agents:
+            saw_star = True
+            fallback.extend(rules)
+    if saw_exact:
+        return exact
+    return fallback if saw_star else []
 
 
 def robots_allowed(rules: list[tuple[bool, str]], path: str) -> bool:
@@ -138,13 +153,17 @@ def robots_gate(
         for pdf in batches:
             allowed = []
             for txt, url in zip(pdf[robots_col], pdf[url_col]):
-                if txt is None:
+                # no robots row OR no url: nothing to test a rule
+                # against — allowed (never crash the 100 TB stage on
+                # one null fact row)
+                if txt is None or url is None:
                     allowed.append(True)
                     continue
                 if txt not in cache:
                     cache[txt] = parse_robots(txt, agent)
                 path = url
-                m = re.match(r"[a-z][a-z0-9+.-]*://[^/]*", path)
+                # RFC 3986 schemes are case-insensitive
+                m = re.match(r"[a-z][a-z0-9+.-]*://[^/]*", path, re.I)
                 if m:
                     path = path[m.end():] or "/"
                 allowed.append(robots_allowed(cache[txt], path))

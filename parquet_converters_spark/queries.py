@@ -2618,7 +2618,12 @@ def robots_gate_census(spark, sf_dir):
     form — 5 CASE terms, no pattern matching in SQL."""
     from parquet_converters_spark.functions.robots import robots_gate
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = (
+        _t(spark, sf_dir, "documents").select("doc_id")
+        # round-robin the bare ids so the per-URL decision stage runs
+        # on every core, not the parquet split count
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     v = (F.col("doc_id") % 6).cast("int")
     p = (F.col("doc_id") % 5).cast("int")
     path = (

@@ -161,12 +161,16 @@ def _dechunk(body: bytes) -> bytes:
         if eol < 0:
             raise ValueError("warc: truncated chunk size line")
         size_tok = body[pos:eol].split(b";", 1)[0].strip()
-        try:
-            size = int(size_tok, 16)
-        except ValueError:
+        # strict hex only: int(x, 16) also accepts '-', '+' and '_',
+        # and a negative size makes pos step backwards — an infinite
+        # loop on one crafted record
+        if not size_tok or not all(
+            c in b"0123456789abcdefABCDEF" for c in size_tok
+        ):
             raise ValueError(
                 f"warc: bad chunk size {size_tok[:16]!r}"
             )
+        size = int(size_tok, 16)
         if size == 0:
             return b"".join(out)
         start = eol + 2
@@ -214,13 +218,26 @@ def _http_response_full(block: bytes) -> tuple[int, str, str, bytes]:
         body = _dechunk(body)
     coding = headers.get("content-encoding", "").strip().lower()
     if coding in ("gzip", "x-gzip"):
+        # unlike the archive-level passthrough, a DECLARED gzip coding
+        # without the RFC 1952 magic is a defect, not plain content
+        if body[:2] != b"\x1f\x8b":
+            raise ValueError(
+                "warc: Content-Encoding: gzip body lacks the gzip "
+                "magic"
+            )
         body = gunzip_members(body)
     elif coding == "deflate":
         try:
-            body = zlib.decompress(body)
-        except zlib.error:
-            # some servers send raw deflate without the zlib wrapper
-            body = zlib.decompress(body, -15)
+            try:
+                body = zlib.decompress(body)
+            except zlib.error:
+                # some servers send raw deflate without the zlib
+                # wrapper
+                body = zlib.decompress(body, -15)
+        except zlib.error as e:
+            raise ValueError(
+                f"warc: corrupt deflate body ({e})"
+            ) from e
     elif coding and coding != "identity":
         raise ValueError(
             f"warc: content-encoding {coding!r} not supported (no "
@@ -237,9 +254,9 @@ _CHARSET_PARAM = re.compile(
 
 
 def sniff_charset(headers_ctype: str, body: bytes) -> str:
-    """Document charset, in the precedence real crawl pipelines use:
-    the HTTP ``Content-Type`` charset parameter, else a Unicode BOM,
-    else an HTML ``<meta charset>`` / http-equiv declaration in the
+    """Document charset, in the WHATWG precedence: a Unicode BOM,
+    else the HTTP ``Content-Type`` charset parameter, else an HTML
+    ``<meta charset>`` / http-equiv declaration in the
     first 1024 bytes (the WHATWG prescan window), else UTF-8.  An
     unknown label falls back to UTF-8 — decode errors are replaced,
     never raised (a broken page must not kill the corpus stage)."""
@@ -252,15 +269,18 @@ def sniff_charset(headers_ctype: str, body: bytes) -> str:
         except LookupError:
             return None
 
+    # BOM FIRST (the WHATWG order): a UTF-8 BOM under a lying
+    # charset=ISO-8859-1 header would otherwise decode to literal
+    # mojibake prepended to every extracted text
+    if body[:3] == b"\xef\xbb\xbf":
+        return "utf-8-sig"
+    if body[:2] in (b"\xff\xfe", b"\xfe\xff"):
+        return "utf-16"
     m = _CHARSET_PARAM.search(headers_ctype.encode("latin-1", "replace"))
     if m:
         lab = valid(m.group(1).decode("latin-1"))
         if lab:
             return lab
-    if body[:3] == b"\xef\xbb\xbf":
-        return "utf-8-sig"
-    if body[:2] in (b"\xff\xfe", b"\xfe\xff"):
-        return "utf-16"
     m = _CHARSET_PARAM.search(body[:1024])
     if m:
         lab = valid(m.group(1).decode("latin-1"))

@@ -99,3 +99,40 @@ def test_robots_gate_stage_broadcast_and_missing_domain(spark):
     assert got == {1: False, 2: True, 3: True}  # no robots.txt = allowed
     plan = gated._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan  # the dimension never shuffles facts
+
+
+def test_repeated_groups_combine_per_rfc():
+    """r16 review finding: ALL groups matching the token combine
+    (RFC 9309 2.2.1) — CMS plugins routinely append a second
+    'User-agent: *' section, and keeping only the first fails OPEN."""
+    txt = ("User-agent: *\nDisallow: /a\n\n"
+           "User-agent: *\nDisallow: /b\n")
+    r = parse_robots(txt, "any")
+    assert robots_allowed(r, "/a/x") is False
+    assert robots_allowed(r, "/b/x") is False
+    assert robots_allowed(r, "/c/x") is True
+    # exact-token groups combine too, and beat the * fallback
+    txt2 = ("User-agent: tb\nDisallow: /a\n\n"
+            "User-agent: *\nDisallow: /\n\n"
+            "User-agent: tb\nDisallow: /b\n")
+    r2 = parse_robots(txt2, "tb")
+    assert robots_allowed(r2, "/a/x") is False
+    assert robots_allowed(r2, "/b/x") is False
+    assert robots_allowed(r2, "/c/x") is True  # * group not merged in
+
+
+def test_gate_uppercase_scheme_and_null_url(spark):
+    """r16 review findings: RFC 3986 schemes are case-insensitive (an
+    uppercase scheme must not bypass the gate), and a null URL must
+    not kill the stage."""
+    urls = spark.createDataFrame(
+        [(1, "d0", "HTTPS://D0.X/private/a"), (2, "d0", None)],
+        "doc_id long, domain string, url string",
+    )
+    robots = spark.createDataFrame(
+        [("d0", "User-agent: *\nDisallow: /private/\n")],
+        "domain string, robots_txt string",
+    )
+    got = {r["doc_id"]: r["allowed"]
+           for r in robots_gate(urls, robots, agent="tb").collect()}
+    assert got == {1: False, 2: True}

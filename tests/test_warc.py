@@ -100,29 +100,40 @@ def test_http_chunked_and_content_encodings():
         _http(b"200 OK", b"text/plain", body,
               extra=b"Transfer-Encoding: chunked\r\n"))
     assert out == b"chunk-a and-b."
-    # gzip and both deflate flavors
+    d = zlib.compressobj(6, zlib.DEFLATED, -15)
+    raw_deflate = d.compress(b"zzz") + d.flush()
+    # gzip and both deflate flavors, each asserted on ITS OWN output
     for enc, payload in (
         (b"gzip", _gz(b"zzz")),
         (b"deflate", zlib.compress(b"zzz")),
-        (b"deflate", zlib.compressobj(6, zlib.DEFLATED, -15)
-         .compress(b"zzz") + zlib.compressobj(6, zlib.DEFLATED, -15)
-         .flush()),
+        (b"deflate", raw_deflate),
     ):
         st, ct, out = http_response_parts(
             _http(b"200 OK", b"text/plain", payload,
                   extra=b"Content-Encoding: " + enc + b"\r\n"))
-        if out != b"zzz":  # raw-deflate flush-object quirk: rebuild
-            d = zlib.compressobj(6, zlib.DEFLATED, -15)
-            payload = d.compress(b"zzz") + d.flush()
-            assert http_response_parts(
-                _http(b"200 OK", b"text/plain", payload,
-                      extra=b"Content-Encoding: deflate\r\n"))[2] \
-                == b"zzz"
+        assert out == b"zzz", enc
     # unsupported coding is a NAMED rejection
     with pytest.raises(ValueError, match="br"):
         http_response_parts(
             _http(b"200 OK", b"text/plain", b"??",
                   extra=b"Content-Encoding: br\r\n"))
+    # corrupt bodies under DECLARED codings reject by name, never
+    # zlib.error / silent passthrough
+    with pytest.raises(ValueError, match="deflate"):
+        http_response_parts(
+            _http(b"200 OK", b"text/plain", b"\x00garbage",
+                  extra=b"Content-Encoding: deflate\r\n"))
+    with pytest.raises(ValueError, match="magic"):
+        http_response_parts(
+            _http(b"200 OK", b"text/plain", b"not-gzip",
+                  extra=b"Content-Encoding: gzip\r\n"))
+    # negative / malformed chunk sizes reject instead of looping
+    for bad in (b"-6\r\nAA\r\n0\r\n\r\n", b"0x5\r\nAAAAA\r\n0\r\n\r\n",
+                b"1_0\r\n" + b"A" * 16 + b"\r\n0\r\n\r\n"):
+        with pytest.raises(ValueError, match="chunk"):
+            http_response_parts(
+                _http(b"200 OK", b"text/plain", bad,
+                      extra=b"Transfer-Encoding: chunked\r\n"))
 
 
 def test_html_text_cases():
@@ -209,13 +220,12 @@ def test_gunzip_members_passthrough_and_guards():
 def test_charset_sniffing_precedence_and_decode():
     from parquet_converters_spark.sources.warc import sniff_charset
 
-    # header param > BOM > meta prescan > utf-8
+    # WHATWG precedence: BOM > header param > meta prescan > utf-8
     assert sniff_charset("text/html; charset=ISO-8859-1",
                          b"\xef\xbb\xbf<meta charset=koi8-r>") \
+        == "utf-8-sig"  # a lying header must not mojibake the BOM
+    assert sniff_charset("text/html; charset=ISO-8859-1", b"plain") \
         == "ISO-8859-1"
-    assert sniff_charset("text/html",
-                         b"\xef\xbb\xbf<meta charset=koi8-r>") \
-        == "utf-8-sig"
     assert sniff_charset(
         "text/html",
         b'<head><meta http-equiv="Content-Type" '

@@ -2696,6 +2696,190 @@ FROM dec GROUP BY shape, path_kind ORDER BY shape, path_kind
 """
 
 
+def crawl_prep_funnel(spark, sf_dir):
+    """The composed crawl-to-corpus funnel (r16 capstone): WARC parse
+    -> HTTP status gate -> RFC 9309 robots gate -> minimum-length
+    gate -> exact dedup, reported as documents remaining per stage —
+    the corpus_prep_funnel pattern applied to the new crawl front
+    end.  Every stage is an individually-oracled primitive
+    (warc_text_census, robots_gate_census, text gates, dedup_exact);
+    this query pins the COMPOSITION, computed in ONE annotated pass
+    (per-stage booleans + a window min for the dedup keeper — one
+    window shuffle, no stage re-reads the corpus).  doc_id pairs
+    (2g, 2g+1) share extracted text by construction, so the dedup
+    stage has real work; statuses 301/404 and the six robots shapes
+    thin earlier stages.  The oracle recomputes every flag closed-form
+    and mirrors the window with a partition over g = doc_id // 2."""
+    from pyspark.sql import Window
+
+    from parquet_converters_spark.functions.robots import robots_gate
+    from parquet_converters_spark.sources.warc import warc_text_documents
+
+    docs = (
+        _t(spark, sf_dir, "documents").select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def build(batches):
+        import pandas as pd
+
+        def rec(block):
+            return (
+                b"WARC/1.0\r\nWARC-Type: response\r\n"
+                b"WARC-Record-ID: <urn:uuid:doc>\r\n"
+                b"WARC-Date: 2024-01-01T00:00:00Z\r\n"
+                b"WARC-Target-URI: " + block[1] + b"\r\n"
+                b"Content-Type: application/http; msgtype=response"
+                b"\r\nContent-Length: "
+                + str(len(block[0])).encode() + b"\r\n\r\n"
+                + block[0] + b"\r\n\r\n"
+            )
+
+        def craft(did):
+            v, p, g = did % 6, did % 5, did // 2
+            a, b, c = (
+                (g * 31 + 1) % 1000,
+                (g * 31 + 2) % 1000,
+                (g * 31 + 3) % 1000,
+            )
+            paths = [
+                f"/public/x{did}", f"/private/x{did}",
+                f"/docs/f{did}.pdf", f"/a{did % 10}b/c", "/",
+            ]
+            uri = f"https://d{v}.example.com{paths[p]}".encode()
+            if v == 5:
+                body = f"plain {g} body".encode()
+                http = (
+                    b"HTTP/1.1 404 Not Found\r\n"
+                    b"Content-Type: text/plain\r\n\r\n" + body
+                )
+            else:
+                html = (
+                    f"<html><head><title>t{g}</title></head>"
+                    f"<body><p>w{a} &amp; w{b}</p><p>w{c}</p>"
+                    f"</body></html>"
+                ).encode()
+                status = b"301 Moved Permanently" if v == 1 else b"200 OK"
+                http = (
+                    b"HTTP/1.1 " + status + b"\r\n"
+                    b"Content-Type: text/html\r\n\r\n" + html
+                )
+            return rec((http, uri))
+
+        for pdf in batches:
+            ids = [int(d) for d in pdf["doc_id"]]
+            yield pd.DataFrame(
+                {"doc_id": ids, "payload": [craft(d) for d in ids]}
+            )
+
+    built = docs.mapInPandas(build, "doc_id long, payload binary")
+    texts = warc_text_documents(built).withColumn(
+        "domain", F.regexp_extract("url", r"https://([^.]+)\.", 1)
+    )
+    robots = spark.createDataFrame(
+        [
+            ("d0", "User-agent: *\nDisallow: /private/\n"),
+            ("d1", "User-agent: *\nDisallow: /*.pdf$\n"),
+            ("d2", "User-agent: *\nAllow: /public/\nDisallow: /\n"),
+            ("d3", "User-agent: *\nDisallow:\n"),
+            ("d4", "User-agent: *\nDisallow: /a*b/\n"),
+            ("d5", "User-agent: trainbot\nDisallow: /\n\n"
+                   "User-agent: *\nAllow: /\n"),
+        ],
+        "domain string, robots_txt string",
+    )
+    gated = robots_gate(texts, robots, agent="trainbot")
+    ok = F.col("http_status") == 200
+    oa = ok & F.col("allowed")
+    oal = oa & (F.length("text") >= 17)
+    w = Window.partitionBy("text")
+    flags = gated.select(
+        "doc_id",
+        ok.alias("ok"), oa.alias("oa"), oal.alias("oal"),
+        (
+            oal
+            & (F.col("doc_id")
+               == F.min(F.when(oal, F.col("doc_id"))).over(w))
+        ).alias("keeper"),
+    )
+
+    def _n(flag):
+        return F.sum(F.when(F.col(flag), 1).otherwise(0)).cast("long")
+
+    def _s(flag):
+        return F.sum(F.when(F.col(flag), F.col("doc_id"))).cast("long")
+
+    agg = flags.agg(
+        F.count(F.lit(1)).cast("long").alias("n0"),
+        F.sum("doc_id").cast("long").alias("s0"),
+        _n("ok").alias("n1"), _s("ok").alias("s1"),
+        _n("oa").alias("n2"), _s("oa").alias("s2"),
+        _n("oal").alias("n3"), _s("oal").alias("s3"),
+        _n("keeper").alias("n4"), _s("keeper").alias("s4"),
+    )
+    return agg.selectExpr(
+        "stack(5,"
+        " 0, 'responses', n0, s0,"
+        " 1, 'http_ok', n1, s1,"
+        " 2, 'robots_allowed', n2, s2,"
+        " 3, 'min_length', n3, s3,"
+        " 4, 'dedup_exact', n4, s4"
+        ") AS (stage_order, stage, n, sum_id)"
+    ).orderBy("stage_order")
+
+
+CRAWL_PREP_FUNNEL_SQL = """
+WITH d AS (
+  SELECT doc_id, CAST(doc_id % 6 AS INTEGER) AS v,
+         CAST(doc_id % 5 AS INTEGER) AS p, doc_id // 2 AS g
+  FROM documents
+), f AS (
+  SELECT doc_id, g,
+         (v NOT IN (1, 5)) AS ok,
+         NOT ((v = 0 AND p = 1) OR (v = 1 AND p = 2)
+           OR (v = 2 AND p <> 0) OR (v = 4 AND p = 3)
+           OR v = 5) AS allowed,
+         length('t' || CAST(g AS VARCHAR)
+                || ' w' || CAST((g*31+1) % 1000 AS VARCHAR)
+                || ' & w' || CAST((g*31+2) % 1000 AS VARCHAR)
+                || ' w' || CAST((g*31+3) % 1000 AS VARCHAR)) >= 17
+           AS long_enough
+  FROM d
+), pass AS (
+  SELECT doc_id, g, ok, ok AND allowed AS oa,
+         ok AND allowed AND long_enough AS oal
+  FROM f
+), keep AS (
+  SELECT doc_id, ok, oa, oal,
+         oal AND doc_id = MIN(CASE WHEN oal THEN doc_id END)
+                          OVER (PARTITION BY g) AS keeper
+  FROM pass
+)
+SELECT * FROM (
+  SELECT 0 AS stage_order, 'responses' AS stage,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(doc_id) AS BIGINT) AS sum_id FROM keep
+  UNION ALL
+  SELECT 1, 'http_ok',
+         CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(SUM(CASE WHEN ok THEN doc_id END) AS BIGINT) FROM keep
+  UNION ALL
+  SELECT 2, 'robots_allowed',
+         CAST(SUM(CASE WHEN oa THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(SUM(CASE WHEN oa THEN doc_id END) AS BIGINT) FROM keep
+  UNION ALL
+  SELECT 3, 'min_length',
+         CAST(SUM(CASE WHEN oal THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(SUM(CASE WHEN oal THEN doc_id END) AS BIGINT) FROM keep
+  UNION ALL
+  SELECT 4, 'dedup_exact',
+         CAST(SUM(CASE WHEN keeper THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(SUM(CASE WHEN keeper THEN doc_id END) AS BIGINT)
+  FROM keep
+) ORDER BY stage_order
+"""
+
+
 def audio_fingerprint_census(spark, sf_dir):
     """Spectral fingerprinting at CORPUS grain (r15): every document
     crafts a bin-exact PCM16 tone (bin 1 + doc_id%20 of a 256-sample
@@ -7248,6 +7432,7 @@ QUERIES.update({
     "image_phash_neardup": (image_phash_neardup, IMAGE_PHASH_NEARDUP_SQL),
     "warc_text_census": (warc_text_census, WARC_TEXT_CENSUS_SQL),
     "robots_gate_census": (robots_gate_census, ROBOTS_GATE_CENSUS_SQL),
+    "crawl_prep_funnel": (crawl_prep_funnel, CRAWL_PREP_FUNNEL_SQL),
     "audio_fingerprint_census": (
         audio_fingerprint_census,
         AUDIO_FINGERPRINT_CENSUS_SQL,
@@ -11288,10 +11473,11 @@ QUERIES = {
 
 # --- r17 grading rotation (PRE-WIRED, activate at round-17 start) ----------
 # Computed from the CORRECTNESS_r01-r15 union assuming r16 grades
-# _R16_WINDOW: the four never-graded r16 registrations (the two
-# synthesis-oracled pHash rows, the WARC crawl-ingest census, and the
-# RFC 9309 robots gate census) lead, then the oldest cohort — the 4
-# remaining r12-latest rows — topped up with the 42
+# _R16_WINDOW: the five never-graded r16 registrations (the two
+# synthesis-oracled pHash rows, the WARC crawl-ingest census, the
+# RFC 9309 robots gate census, and the composed crawl-prep funnel)
+# lead, then the oldest cohort — the 4
+# remaining r12-latest rows — topped up with the 41
 # alphabetically-first r13-latest rows (the TPC-H block rotates back
 # in, plus the multimodal_probe census row the walker-drift rule wants
 # re-graded periodically).  Round 17's builder promotes any red rows
@@ -11305,12 +11491,13 @@ _R17_WINDOW = [
     "image_phash_neardup",
     "warc_text_census",
     "robots_gate_census",
+    "crawl_prep_funnel",
     # (a) r12-latest remainder (4)
     "unpivot_metrics",
     "value_histogram",
     "value_trend_by_type",
     "zorder_layout_plan",
-    # (b) r13-latest, alphabetical head (42)
+    # (b) r13-latest, alphabetical head (41)
     "acctbal_rank_profile",
     "adjacency_node_ranges",
     "adjacency_range_to_edge",
@@ -11352,9 +11539,8 @@ _R17_WINDOW = [
     "semi_join_exists",
     "set_intersect",
     "text_fingerprint",
-    "text_language_id",
-    # (b) the four never-graded entries displaced text_quality,
-    # text_rolling_hash and text_token_count (alphabetically last of
-    # the r13 head) back into the r18 pool
+    # (b) the five never-graded entries displaced text_language_id,
+    # text_quality, text_rolling_hash and text_token_count
+    # (alphabetically last of the r13 head) back into the r18 pool
 ]
 _check_window(_R17_WINDOW, "_R17_WINDOW", prior=_R16_WINDOW)

@@ -253,3 +253,37 @@ def test_warc_text_documents_honors_charset(spark):
     rows = {r["url"]: r["text"] for r in warc_text_documents(df).collect()}
     assert rows["https://ex.org/l1"] == "café über"
     assert rows["https://ex.org/l2"] == "абв где"
+
+
+def test_crawl_prep_funnel_stage_semantics(spark):
+    """The composed funnel (r16 capstone): stages thin monotonically,
+    the dedup stage keeps exactly one member per surviving text pair,
+    and every count matches an independent recount from the flags."""
+    from parquet_converters_spark.queries import crawl_prep_funnel
+
+    rows = crawl_prep_funnel(spark, "/root/testdata/sf0.001").collect()
+    assert [r["stage"] for r in rows] == [
+        "responses", "http_ok", "robots_allowed", "min_length",
+        "dedup_exact",
+    ]
+    ns = [r["n"] for r in rows]
+    assert ns[0] == 500 and all(a >= b for a, b in zip(ns, ns[1:]))
+    assert ns[4] < ns[3]  # dedup has real work (shared-text pairs)
+    # independent recount of the closed-form flags
+    ok = oa = oal = 0
+    groups = {}
+    for did in range(500):
+        v, p, g = did % 6, did % 5, did // 2
+        f_ok = v not in (1, 5)
+        f_al = not ((v == 0 and p == 1) or (v == 1 and p == 2)
+                    or (v == 2 and p != 0) or (v == 4 and p == 3)
+                    or v == 5)
+        a, b, c = ((g * 31 + 1) % 1000, (g * 31 + 2) % 1000,
+                   (g * 31 + 3) % 1000)
+        f_len = len(f"t{g} w{a} & w{b} w{c}") >= 17
+        ok += f_ok
+        oa += f_ok and f_al
+        if f_ok and f_al and f_len:
+            oal += 1
+            groups.setdefault(g, []).append(did)
+    assert (ns[1], ns[2], ns[3], ns[4]) == (ok, oa, oal, len(groups))

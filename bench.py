@@ -157,6 +157,11 @@ HEADLINE = [
     "chi2_type_by_weekday",
     "lang_confusion_matrix",
     "corpus_prep_funnel",
+    # r16: the crawl front end (WARC parse + HTML text + robots gate)
+    # and its composed funnel
+    "warc_text_census",
+    "robots_gate_census",
+    "crawl_prep_funnel",
 ]
 
 

@@ -2789,10 +2789,15 @@ def crawl_prep_funnel(spark, sf_dir):
         "domain string, robots_txt string",
     )
     gated = robots_gate(texts, robots, agent="trainbot")
+    from parquet_converters_spark.functions.dedup import content_hash
+
     ok = F.col("http_status") == 200
     oa = ok & F.col("allowed")
     oal = oa & (F.length("text") >= 17)
-    w = Window.partitionBy("text")
+    # key the dedup window on the repo's 8-byte exact-dedup hash
+    # (functions/dedup.content_hash), not the raw text — the full
+    # document body must never be the shuffle partition key at scale
+    w = Window.partitionBy(content_hash("text"))
     flags = gated.select(
         "doc_id",
         ok.alias("ok"), oa.alias("oa"), oal.alias("oal"),
@@ -2847,12 +2852,19 @@ WITH d AS (
   FROM d
 ), pass AS (
   SELECT doc_id, g, ok, ok AND allowed AS oa,
-         ok AND allowed AND long_enough AS oal
+         ok AND allowed AND long_enough AS oal,
+         -- the engine keys the keeper window on content_hash(text)
+         -- (the 8-byte exact-dedup key); mirror it exactly: for
+         -- surviving rows text is the html extraction, but keying by
+         -- the hash of that SAME closed-form string keeps non-oal
+         -- rows harmless (they never win the min)
+         CAST(concat('0x', substr(md5('t' || CAST(g AS VARCHAR) || ' w' || CAST((g*31+1) % 1000 AS VARCHAR) || ' & w' || CAST((g*31+2) % 1000 AS VARCHAR) || ' w' || CAST((g*31+3) % 1000 AS VARCHAR)), 1, 15))
+              AS BIGINT) AS h
   FROM f
 ), keep AS (
   SELECT doc_id, ok, oa, oal,
          oal AND doc_id = MIN(CASE WHEN oal THEN doc_id END)
-                          OVER (PARTITION BY g) AS keeper
+                          OVER (PARTITION BY h) AS keeper
   FROM pass
 )
 SELECT * FROM (

@@ -121,6 +121,23 @@ def main(argv: list[str] | None = None) -> int:
     idd.add_argument("--bands", type=int, default=4)
     idd.add_argument("--max-hamming", type=int, default=3)
 
+    w2p = sub.add_parser(
+        "warc2parquet",
+        help="Extract text documents from WARC crawl archives "
+        "(.warc / .warc.gz, ISO 28500) into parquet — HTTP split, "
+        "chunked/content-coding decode, charset-sniffed HTML text; "
+        "optionally RFC 9309 robots-gated",
+    )
+    w2p.add_argument("input", help="Path/glob of WARC archive files")
+    w2p.add_argument("output", help="Output parquet directory")
+    w2p.add_argument(
+        "--robots",
+        help="Optional parquet of (domain, robots_txt); disallowed "
+        "URLs are dropped (RFC 9309)",
+    )
+    w2p.add_argument("--agent", default="trainbot",
+                     help="Product token for robots group selection")
+
     pc = sub.add_parser(
         "prepare-corpus",
         help="Full training-corpus prep funnel: quality gate -> exact "
@@ -260,6 +277,47 @@ def main(argv: list[str] | None = None) -> int:
         for r in report.orderBy("stage_order").collect():
             print(f"prepare-corpus: {r['stage']:>13}: {r['n_docs']} docs")
         print(f"prepare-corpus: clean corpus -> {args.output}")
+    elif args.cmd == "warc2parquet":
+        from pyspark.sql import functions as F
+
+        from parquet_converters_spark.sources.warc import (
+            warc_text_documents,
+        )
+
+        raw = (
+            spark.read.format("binaryFile").load(args.input)
+            .select(
+                F.monotonically_increasing_id().alias("doc_id"),
+                F.col("content").alias("payload"),
+            )
+            .repartition(spark.sparkContext.defaultParallelism)
+        )
+        texts = warc_text_documents(raw)
+        if args.robots:
+            from parquet_converters_spark.functions.robots import (
+                robots_gate,
+            )
+
+            robots = spark.read.parquet(args.robots)
+            texts = (
+                robots_gate(
+                    texts.withColumn(
+                        "domain",
+                        F.regexp_extract("url", r"://([^/:]+)", 1),
+                    ),
+                    robots, agent=args.agent,
+                )
+                .filter(F.col("allowed"))
+                .drop("allowed", "domain")
+            )
+        texts.write.mode("overwrite").parquet(args.output)
+        from parquet_converters_spark.sources.ordering import (
+            _sorted_files,
+            file_row_counts,
+        )
+
+        n = sum(file_row_counts(_sorted_files(args.output)))
+        print(f"warc2parquet: wrote {n} documents -> {args.output}")
     elif args.cmd == "compare":
         from parquet_converters_spark.pipelines import (
             compare_indices_h5,

@@ -287,3 +287,38 @@ def test_crawl_prep_funnel_stage_semantics(spark):
             oal += 1
             groups.setdefault(g, []).append(did)
     assert (ns[1], ns[2], ns[3], ns[4]) == (ok, oa, oal, len(groups))
+
+
+def test_cli_warc2parquet_end_to_end(spark, tmp_path):
+    """The CLI verb: .warc.gz files on disk (the Common Crawl shape)
+    -> text parquet, with and without the robots gate."""
+    from parquet_converters_spark.cli import main
+
+    wdir = tmp_path / "warcs"
+    wdir.mkdir()
+    html_ok = _rec(b"response", _http(b"200 OK", b"text/html", HTML),
+                   uri=b"https://ex.org/keep")
+    html_deny = _rec(b"response",
+                     _http(b"200 OK", b"text/html", b"<p>secret</p>"),
+                     uri=b"https://ex.org/private/x")
+    (wdir / "a.warc.gz").write_bytes(_gz(html_ok) + _gz(html_deny))
+    (wdir / "b.warc").write_bytes(html_ok)
+
+    out = str(tmp_path / "docs")
+    rc = main(["warc2parquet", str(wdir), out])
+    assert not rc
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 3
+    assert {r["text"] for r in rows} == {HTML_TEXT, "secret"}
+
+    rob = str(tmp_path / "robots")
+    spark.createDataFrame(
+        [("ex.org", "User-agent: *\nDisallow: /private/\n")],
+        "domain string, robots_txt string",
+    ).write.parquet(rob)
+    out2 = str(tmp_path / "docs2")
+    rc = main(["warc2parquet", str(wdir), out2, "--robots", rob])
+    assert not rc
+    rows2 = spark.read.parquet(out2).collect()
+    assert len(rows2) == 2  # the /private/ response is gated out
+    assert {r["text"] for r in rows2} == {HTML_TEXT}

@@ -11556,3 +11556,11 @@ _R17_WINDOW = [
     # (alphabetically last of the r13 head) back into the r18 pool
 ]
 _check_window(_R17_WINDOW, "_R17_WINDOW", prior=_R16_WINDOW)
+# ACTIVE for round 17 (CORRECTNESS_r16 was 50/50 — no reds to promote;
+# the window is exactly the pre-wired rotation: the five never-graded
+# r16 registrations at the front, then the r12-latest remainder and
+# the alphabetical head of the r13-latest cohort):
+QUERIES = {
+    **{name: QUERIES[name] for name in _R17_WINDOW},
+    **{name: v for name, v in QUERIES.items() if name not in _R17_WINDOW},
+}

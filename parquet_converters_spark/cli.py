@@ -132,11 +132,20 @@ def main(argv: list[str] | None = None) -> int:
     w2p.add_argument("output", help="Output parquet directory")
     w2p.add_argument(
         "--robots",
-        help="Optional parquet of (domain, robots_txt); disallowed "
-        "URLs are dropped (RFC 9309)",
+        help="Optional parquet of (domain, robots_txt) keyed by exact "
+        "LOWERCASE host (no port, no userinfo); disallowed URLs are "
+        "dropped (RFC 9309)",
     )
     w2p.add_argument("--agent", default="trainbot",
                      help="Product token for robots group selection")
+    w2p.add_argument(
+        "--errors", choices=["strict", "skip", "quarantine"],
+        default="skip",
+        help="Malformed-record policy: real crawl archives contain "
+        "br-coded responses and junk headers, so the default skips "
+        "bad records instead of failing the stage; quarantine adds "
+        "an error column naming each defect",
+    )
 
     pc = sub.add_parser(
         "prepare-corpus",
@@ -220,11 +229,11 @@ def main(argv: list[str] | None = None) -> int:
         # count from the written footers (O(files) metadata) — a
         # df.count() here would re-run the whole distributed decode
         from parquet_converters_spark.sources.ordering import (
-            _sorted_files,
             file_row_counts,
+            sorted_parquet_files,
         )
 
-        n = sum(file_row_counts(_sorted_files(args.output)))
+        n = sum(file_row_counts(sorted_parquet_files(args.output)))
         print(f"sonata2parquet: wrote {n} edges -> {args.output}")
     elif args.cmd == "dedup":
         from parquet_converters_spark.functions.dedup import near_dedup_survivors
@@ -292,7 +301,7 @@ def main(argv: list[str] | None = None) -> int:
             )
             .repartition(spark.sparkContext.defaultParallelism)
         )
-        texts = warc_text_documents(raw)
+        texts = warc_text_documents(raw, errors=args.errors)
         if args.robots:
             from parquet_converters_spark.functions.robots import (
                 robots_gate,
@@ -303,7 +312,13 @@ def main(argv: list[str] | None = None) -> int:
                 robots_gate(
                     texts.withColumn(
                         "domain",
-                        F.regexp_extract("url", r"://([^/:]+)", 1),
+                        # RFC 3986 authority: strip an optional
+                        # userinfo@ and any :port, lowercase (host
+                        # matching is case-insensitive) — the robots
+                        # parquet is keyed by exact lowercase host
+                        F.lower(F.regexp_extract(
+                            "url", r"://(?:[^/@]*@)?([^/:@]+)", 1,
+                        )),
                     ),
                     robots, agent=args.agent,
                 )
@@ -312,11 +327,11 @@ def main(argv: list[str] | None = None) -> int:
             )
         texts.write.mode("overwrite").parquet(args.output)
         from parquet_converters_spark.sources.ordering import (
-            _sorted_files,
             file_row_counts,
+            sorted_parquet_files,
         )
 
-        n = sum(file_row_counts(_sorted_files(args.output)))
+        n = sum(file_row_counts(sorted_parquet_files(args.output)))
         print(f"warc2parquet: wrote {n} documents -> {args.output}")
     elif args.cmd == "compare":
         from parquet_converters_spark.pipelines import (

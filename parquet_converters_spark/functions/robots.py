@@ -149,8 +149,13 @@ def robots_gate(
     def run(batches):
         import pandas as pd
 
-        cache: dict[str, list[tuple[bool, str]]] = {}
         for pdf in batches:
+            # memo scope is ONE Arrow batch (matching the docstring):
+            # the batch already holds these bodies, so the memo adds
+            # no asymptotic memory — a partition-lifetime dict keyed
+            # by full body text would instead accumulate every
+            # distinct domain's rules (plus bodies) with no eviction
+            cache: dict[str, list[tuple[bool, str]]] = {}
             allowed = []
             for txt, url in zip(pdf[robots_col], pdf[url_col]):
                 # no robots row OR no url: nothing to test a rule

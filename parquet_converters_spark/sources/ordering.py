@@ -41,6 +41,14 @@ def _sorted_files(path: str) -> list[str]:
     return sorted(files)
 
 
+def sorted_parquet_files(path: str) -> list[str]:
+    """Public listing used by the CLI verbs: the ``.parquet`` files
+    under ``path`` (a directory, a glob, or one file) in lexicographic
+    order — the concat order contract of the ordered multi-file scan.
+    Raises ``FileNotFoundError`` when nothing matches."""
+    return _sorted_files(path)
+
+
 def file_row_counts(files: list[str]) -> list[int]:
     """Row counts from parquet footers (driver-side metadata-only read)."""
     import pyarrow.parquet as pq

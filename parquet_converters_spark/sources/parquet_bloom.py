@@ -467,10 +467,20 @@ def bloom_scan_plan(spark, path: str, column: str, values):
     """
     import glob as _glob
     import os as _os
+    import re as _re
 
     vals = list(values)
     if not vals:
         raise ValueError("bloom_scan_plan: empty probe value list")
+    # the footer walk opens files with plain open(): a URI scheme Spark
+    # itself could read (s3a://, hdfs://) must be refused BY NAME, not
+    # surfaced as a misleading 'no parquet files under <path>'
+    m = _re.match(r"([a-z][a-z0-9+.-]*)://", path, _re.I)
+    if m:
+        raise ValueError(
+            f"bloom_scan_plan: {m.group(1)}:// paths are not supported "
+            f"— the footer probe reads local filesystem paths only"
+        )
     files = sorted(
         _glob.glob(_os.path.join(path, "*.parquet"))
         if _os.path.isdir(path) else [path]
@@ -480,13 +490,39 @@ def bloom_scan_plan(spark, path: str, column: str, values):
     # refuse a column NO file carries a filter for, BY NAME, on the
     # driver — an executor-side KeyError would surface as an opaque
     # wrapped PythonException after the fan-out.  Happy path reads one
-    # footer (early exit on first hit); the exhaustive walk only runs
-    # on the way to the error.
-    for f in files:
-        idx = footer_bloom_index(f)
-        if any(c == column for _rg, c in idx):
-            break
-    else:
+    # footer (early exit on first hit); the no-hit walk is BOUNDED to a
+    # driver-side sample, then goes distributed (one metadata task per
+    # file) so a 100k-file dataset never serializes 100k footer reads
+    # on the driver just to raise.
+    _PROBE_CAP = 64
+    hit = any(
+        any(c == column for _rg, c in footer_bloom_index(f))
+        for f in files[:_PROBE_CAP]
+    )
+    if not hit and len(files) > _PROBE_CAP:
+        col = column
+
+        def check(it):
+            import pandas as pd
+
+            from parquet_converters_spark.sources.parquet_bloom import (
+                footer_bloom_index,
+            )
+
+            for pdf in it:
+                yield pd.DataFrame({"hit": [any(
+                    any(c == col for _rg, c in footer_bloom_index(f))
+                    for f in pdf["file"]
+                )]})
+
+        fdf = spark.createDataFrame([(f,) for f in files], "file string")
+        fdf = fdf.repartition(
+            min(len(files), spark.sparkContext.defaultParallelism)
+        )
+        hit = any(
+            r["hit"] for r in fdf.mapInPandas(check, "hit boolean").collect()
+        )
+    if not hit:
         first = footer_bloom_index(files[0])
         raise KeyError(
             f"{path}: no file carries a Bloom filter for column "

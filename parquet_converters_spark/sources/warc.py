@@ -43,29 +43,47 @@ from pyspark.sql import DataFrame
 _MAX_RECORDS = 1_000_000  # per-archive guard against lying framing
 
 
+_GZ_CHUNK = 1 << 20  # feed zlib 1 MiB at a time — bounds unused_data
+
+
 def gunzip_members(data: bytes) -> bytes:
     """Decompress CONCATENATED gzip members (RFC 1952 framing used by
     ``.warc.gz``) into one byte stream; non-gzip input passes through
     unchanged.  Trailing garbage after a member that is not another
-    member is a named rejection."""
+    member is a named rejection.
+
+    Real crawl archives hold one gzip member PER RECORD — tens of
+    thousands per ~1 GB file — so the walk keeps an offset cursor over
+    a zero-copy ``memoryview`` and feeds zlib bounded chunks: the
+    member tail is never re-copied (``unused_data`` is at most one
+    chunk), keeping total memcpy O(n) instead of O(members x n)."""
     if data[:2] != b"\x1f\x8b":
         return bytes(data)
     out = []
-    buf = bytes(data)
-    while buf:
-        if buf[:2] != b"\x1f\x8b":
+    mv = memoryview(data)
+    n = len(data)
+    pos = 0
+    while pos < n:
+        if data[pos : pos + 2] != b"\x1f\x8b":
             raise ValueError(
                 "warc: trailing bytes after the last gzip member are "
                 "not a gzip member"
             )
         d = zlib.decompressobj(16 + 15)
-        try:
-            out.append(d.decompress(buf))
-        except zlib.error as e:
-            raise ValueError(f"warc: corrupt gzip member ({e})") from e
-        if not d.eof:
-            raise ValueError("warc: truncated gzip member")
-        buf = d.unused_data
+        while not d.eof:
+            if pos >= n:
+                raise ValueError("warc: truncated gzip member")
+            chunk = mv[pos : pos + _GZ_CHUNK]
+            try:
+                out.append(d.decompress(chunk))
+            except zlib.error as e:
+                raise ValueError(
+                    f"warc: corrupt gzip member ({e})"
+                ) from e
+            pos += len(chunk)
+        # the member ended inside the last chunk: step back over the
+        # bytes zlib did not consume (<= one chunk by construction)
+        pos -= len(d.unused_data)
     return b"".join(out)
 
 
@@ -331,17 +349,42 @@ _RECORDS_SCHEMA = (
     " content_type string, http_status int, body binary"
 )
 
+_ERROR_POLICIES = ("strict", "skip", "quarantine")
+
+
+def _check_errors_policy(errors: str) -> None:
+    if errors not in _ERROR_POLICIES:
+        raise ValueError(
+            f"warc: errors={errors!r} is not one of {_ERROR_POLICIES}"
+        )
+
 
 def warc_records(
     df: DataFrame,
     payload_col: str = "payload",
     id_col: str = "doc_id",
+    errors: str = "strict",
 ) -> DataFrame:
     """Explode WARC archive payloads into one row per record — ONE
     Arrow-batched narrow stage, no shuffle.  For ``response`` records
     the HTTP message is split (status/content-type/decoded body); for
     other record types ``http_status`` is null and ``body`` is the
-    raw block."""
+    raw block.
+
+    ``errors`` is the per-record policy for malformed input (real
+    crawl archives ARE guaranteed to contain ``br``-coded responses,
+    junk headers, truncated records — a 100 TB stage must not die on
+    one of them): ``"strict"`` (default, the oracled-census contract)
+    raises the named ``ValueError``; ``"skip"`` drops the offending
+    record (or the whole archive when the WARC *framing* itself is
+    broken — record boundaries cannot be trusted past a framing
+    defect); ``"quarantine"`` does the same but emits one extra
+    ``error string`` column — null on good rows, the ValueError text
+    on a placeholder row per defect — so bad input is counted, not
+    silently lost."""
+    _check_errors_policy(errors)
+    quarantine = errors == "quarantine"
+    schema = _RECORDS_SCHEMA + (", error string" if quarantine else "")
 
     def run(batches):
         import pandas as pd
@@ -352,39 +395,88 @@ def warc_records(
                 "warc_date": [], "content_type": [],
                 "http_status": [], "body": [],
             }
+            if quarantine:
+                out["error"] = []
+
+            def emit(did, rec_type=None, target_uri=None, warc_date=None,
+                     content_type=None, http_status=None, body=None,
+                     error=None):
+                out["doc_id"].append(int(did))
+                out["rec_type"].append(rec_type)
+                out["target_uri"].append(target_uri)
+                out["warc_date"].append(warc_date)
+                out["content_type"].append(content_type)
+                out["http_status"].append(http_status)
+                out["body"].append(body)
+                if quarantine:
+                    out["error"].append(error)
+
             for did, payload in zip(pdf[id_col], pdf[payload_col]):
-                for rec in parse_warc(bytes(payload)):
+                try:
+                    records = parse_warc(bytes(payload))
+                except ValueError as e:
+                    if errors == "strict":
+                        raise
+                    if quarantine:
+                        emit(did, error=str(e))
+                    continue
+                for rec in records:
                     status, ctype, body = None, rec["content_type"], \
                         rec["block"]
                     if rec["type"] == "response" and ctype.startswith(
                         "application/http"
                     ):
-                        status, ctype, body = http_response_parts(
-                            rec["block"]
-                        )
-                    out["doc_id"].append(int(did))
-                    out["rec_type"].append(rec["type"])
-                    out["target_uri"].append(rec["target_uri"])
-                    out["warc_date"].append(rec["date"])
-                    out["content_type"].append(ctype)
-                    out["http_status"].append(status)
-                    out["body"].append(body)
+                        try:
+                            status, ctype, body = http_response_parts(
+                                rec["block"]
+                            )
+                        except ValueError as e:
+                            if errors == "strict":
+                                raise
+                            if quarantine:
+                                emit(
+                                    did, rec_type=rec["type"],
+                                    target_uri=rec["target_uri"],
+                                    warc_date=rec["date"],
+                                    error=str(e),
+                                )
+                            continue
+                    emit(
+                        did, rec_type=rec["type"],
+                        target_uri=rec["target_uri"],
+                        warc_date=rec["date"], content_type=ctype,
+                        http_status=status, body=body,
+                    )
             yield pd.DataFrame(out)
 
-    return df.mapInPandas(run, _RECORDS_SCHEMA)
+    return df.mapInPandas(run, schema)
 
 
 def warc_text_documents(
     df: DataFrame,
     payload_col: str = "payload",
     id_col: str = "doc_id",
+    errors: str = "strict",
 ) -> DataFrame:
     """The crawl-to-corpus front end in one narrow stage: WARC parse
     -> HTTP split -> HTML visible-text extraction.  One output row
     per ``response`` record: ``(doc_id, url, http_status,
     content_type, text)`` — ``text`` is extracted for ``text/html``,
     decoded as-is for other ``text/*`` types, and null otherwise
-    (binary payloads belong to the media pipeline, not this one)."""
+    (binary payloads belong to the media pipeline, not this one).
+
+    ``errors``: same per-record policy as :func:`warc_records` —
+    ``"strict"`` (oracled census), ``"skip"`` (drop the record, or
+    the archive on a framing defect), ``"quarantine"`` (skip + an
+    extra ``error string`` column naming each defect).  The
+    ``warc2parquet`` CLI defaults to ``skip`` because real crawl
+    archives always contain ``br``-coded responses and junk headers."""
+    _check_errors_policy(errors)
+    quarantine = errors == "quarantine"
+    schema = (
+        "doc_id long, url string, http_status int, content_type string,"
+        " text string"
+    ) + (", error string" if quarantine else "")
 
     def run(batches):
         import pandas as pd
@@ -394,17 +486,48 @@ def warc_text_documents(
                 "doc_id": [], "url": [], "http_status": [],
                 "content_type": [], "text": [],
             }
+            if quarantine:
+                out["error"] = []
+
+            def emit(did, url=None, http_status=None, content_type=None,
+                     text=None, error=None):
+                out["doc_id"].append(int(did))
+                out["url"].append(url)
+                out["http_status"].append(http_status)
+                out["content_type"].append(content_type)
+                out["text"].append(text)
+                if quarantine:
+                    out["error"].append(error)
+
             for did, payload in zip(pdf[id_col], pdf[payload_col]):
-                for rec in parse_warc(bytes(payload)):
+                try:
+                    records = parse_warc(bytes(payload))
+                except ValueError as e:
+                    if errors == "strict":
+                        raise
+                    if quarantine:
+                        emit(did, error=str(e))
+                    continue
+                for rec in records:
                     if rec["type"] != "response":
                         continue
                     if not rec["content_type"].startswith(
                         "application/http"
                     ):
                         continue
-                    status, ctype, raw_ctype, body = (
-                        _http_response_full(rec["block"])
-                    )
+                    try:
+                        status, ctype, raw_ctype, body = (
+                            _http_response_full(rec["block"])
+                        )
+                    except ValueError as e:
+                        if errors == "strict":
+                            raise
+                        if quarantine:
+                            emit(
+                                did, url=rec["target_uri"],
+                                error=str(e),
+                            )
+                        continue
                     enc = sniff_charset(raw_ctype, body)
                     if ctype == "text/html":
                         text = html_text(body, encoding=enc)
@@ -415,15 +538,10 @@ def warc_text_documents(
                         ).strip()
                     else:
                         text = None
-                    out["doc_id"].append(int(did))
-                    out["url"].append(rec["target_uri"])
-                    out["http_status"].append(status)
-                    out["content_type"].append(ctype)
-                    out["text"].append(text)
+                    emit(
+                        did, url=rec["target_uri"], http_status=status,
+                        content_type=ctype, text=text,
+                    )
             yield pd.DataFrame(out)
 
-    return df.mapInPandas(
-        run,
-        "doc_id long, url string, http_status int, content_type string,"
-        " text string",
-    )
+    return df.mapInPandas(run, schema)

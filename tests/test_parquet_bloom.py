@@ -312,3 +312,53 @@ def test_bloom_scan_plan_mixed_dataset_keeps_filterless_file(
     want = (spark.read.parquet(out).filter(F.col("k") == 7).collect())
     assert [r["payload"] for r in got] == [r["payload"] for r in want] \
         == ["odd7"]
+
+
+def test_bloom_scan_plan_refuses_remote_schemes_by_name(spark):
+    """r16 ADVICE: the footer probe is local-filesystem only — a URI
+    scheme Spark itself could read must be refused BY NAME, not
+    surfaced as 'no parquet files under <path>'."""
+    from parquet_converters_spark.sources.parquet_bloom import (
+        bloom_scan_plan,
+    )
+
+    for bad in ("s3a://bucket/tab", "hdfs://nn:8020/tab"):
+        with pytest.raises(ValueError, match="local filesystem"):
+            bloom_scan_plan(spark, bad, "k", [1])
+        with pytest.raises(ValueError, match=bad.split(":")[0]):
+            bloom_scan_plan(spark, bad, "k", [1])
+
+
+def test_bloom_scan_plan_driver_probe_bounded(spark, tmp_path):
+    """r16 ADVICE: the no-filter refusal walk must not read every
+    footer serially on the driver.  A dataset whose 68 FIRST files (by
+    sort order) are filter-less but whose last files carry the bloom
+    exercises the distributed fallback: the plan must still find the
+    filter (no false KeyError) and keep every filter-less row group."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parquet_converters_spark.sources.parquet_bloom import (
+        bloom_scan_plan,
+    )
+
+    out = tmp_path / "many"
+    write_canonical_parquet(
+        _shuffled_even_keys(spark, n=50_000, files=2), str(out),
+        bloom_filter_columns=["k"], metadata_sidecar=False,
+    )
+    # 68 filter-less files sorting BEFORE the bloomed part-files: the
+    # 64-footer driver sample sees none of the filters
+    for i in range(68):
+        pq.write_table(
+            pa.table({"k": pa.array([7], pa.int64()),
+                      "payload": [f"aaa{i}"]}),
+            out / f"aaa_{i:03d}.parquet",
+        )
+    plan = bloom_scan_plan(spark, str(out), "k", [7]).collect()
+    assert len([r for r in plan if r["n_rows"] == 1]) == 68
+    assert all(r["keep"] for r in plan if r["n_rows"] == 1)
+    assert not any(r["keep"] for r in plan if r["n_rows"] > 1)
+    # the misuse case still refuses by name through the fallback
+    with pytest.raises(KeyError, match="nosuch"):
+        bloom_scan_plan(spark, str(out), "nosuch", [1])

@@ -217,6 +217,66 @@ def test_gunzip_members_passthrough_and_guards():
         gunzip_members(_gz(b"abcdef")[:-5])
 
 
+def test_gunzip_members_many_members_and_big_member():
+    # the Common Crawl shape: THOUSANDS of one-record members per
+    # archive — the offset-cursor walk must stay O(n), and each
+    # member's bytes must land in file order
+    members = [f"rec-{i}|".encode() for i in range(5000)]
+    blob = b"".join(_gz(m, level=1) for m in members)
+    assert gunzip_members(blob) == b"".join(members)
+    # a member larger than the feed chunk (1 MiB) exercises the
+    # multi-chunk inner loop; follow it with a second member to prove
+    # the cursor lands exactly on the next magic
+    big = bytes(range(256)) * (9 * 4096)  # 9 MiB, compressible
+    assert gunzip_members(_gz(big) + _gz(b"tail")) == big + b"tail"
+    # mid-stream garbage between members still rejects by name
+    with pytest.raises(ValueError, match="gzip"):
+        gunzip_members(_gz(b"a") + b"junk" + _gz(b"b"))
+
+
+def test_error_policies_skip_and_quarantine(spark):
+    good = _rec(b"response", _http(b"200 OK", b"text/plain", b"fine"),
+                uri=b"https://ex.org/good")
+    br = _rec(b"response",
+              _http(b"200 OK", b"text/html", b"\x00\x01",
+                    extra=b"Content-Encoding: br\r\n"),
+              uri=b"https://ex.org/br")
+    broken = good.replace(b"Content-Length: ", b"Content-Length: 99999", 1)
+    df = spark.createDataFrame(
+        [(1, bytearray(good + br)), (2, bytearray(broken))],
+        "doc_id long, payload binary",
+    )
+    # strict (default) dies on the first defect — the census contract
+    with pytest.raises(Exception, match="br"):
+        warc_text_documents(
+            df.filter("doc_id = 1")).collect()
+    # skip: the br record and the framing-broken archive vanish
+    rows = warc_text_documents(df, errors="skip").collect()
+    assert [(r["url"], r["text"]) for r in rows] \
+        == [("https://ex.org/good", "fine")]
+    assert "error" not in warc_text_documents(df, errors="skip").columns
+    # quarantine: same survivors + one placeholder row per defect
+    qrows = warc_text_documents(df, errors="quarantine").collect()
+    good_rows = [r for r in qrows if r["error"] is None]
+    bad_rows = sorted(
+        (r for r in qrows if r["error"] is not None),
+        key=lambda r: r["doc_id"],
+    )
+    assert [(r["url"], r["text"]) for r in good_rows] \
+        == [("https://ex.org/good", "fine")]
+    assert len(bad_rows) == 2
+    assert bad_rows[0]["url"] == "https://ex.org/br"
+    assert "br" in bad_rows[0]["error"]
+    assert bad_rows[1]["doc_id"] == 2 and "runs past" in bad_rows[1]["error"]
+    # warc_records takes the same policy
+    rrows = warc_records(df, errors="quarantine").collect()
+    assert sum(r["error"] is not None for r in rrows) == 2
+    assert sum(r["error"] is None for r in rrows) == 1
+    assert len(warc_records(df, errors="skip").collect()) == 1
+    with pytest.raises(ValueError, match="errors"):
+        warc_text_documents(df, errors="lenient")
+
+
 def test_charset_sniffing_precedence_and_decode():
     from parquet_converters_spark.sources.warc import sniff_charset
 
@@ -322,3 +382,45 @@ def test_cli_warc2parquet_end_to_end(spark, tmp_path):
     rows2 = spark.read.parquet(out2).collect()
     assert len(rows2) == 2  # the /private/ response is gated out
     assert {r["text"] for r in rows2} == {HTML_TEXT}
+
+
+def test_cli_warc2parquet_real_world_hostility(spark, tmp_path):
+    """Real Common Crawl input: br-coded responses, userinfo@ URLs,
+    uppercase hosts — the CLI's default skip policy and normalized
+    robots key must survive all of them."""
+    from parquet_converters_spark.cli import main
+
+    wdir = tmp_path / "warcs"
+    wdir.mkdir()
+    keep = _rec(b"response", _http(b"200 OK", b"text/plain", b"kept"),
+                uri=b"https://ex.org/ok")
+    br = _rec(b"response",
+              _http(b"200 OK", b"text/html", b"\x00",
+                    extra=b"Content-Encoding: br\r\n"),
+              uri=b"https://ex.org/br")
+    # userinfo + uppercase host + port: all must still hit the
+    # ex.org robots row and be gated on /private/
+    tricky = _rec(b"response",
+                  _http(b"200 OK", b"text/plain", b"secret"),
+                  uri=b"https://user:pw@EX.ORG:8443/private/x")
+    (wdir / "a.warc.gz").write_bytes(_gz(keep) + _gz(br) + _gz(tricky))
+
+    rob = str(tmp_path / "robots")
+    spark.createDataFrame(
+        [("ex.org", "User-agent: *\nDisallow: /private/\n")],
+        "domain string, robots_txt string",
+    ).write.parquet(rob)
+    out = str(tmp_path / "docs")
+    rc = main(["warc2parquet", str(wdir), out, "--robots", rob])
+    assert not rc
+    rows = spark.read.parquet(out).collect()
+    # br record skipped (default --errors skip), tricky URL gated
+    assert [(r["url"], r["text"]) for r in rows] \
+        == [("https://ex.org/ok", "kept")]
+    # quarantine mode lands the error column in the parquet
+    out2 = str(tmp_path / "docs2")
+    rc = main(["warc2parquet", str(wdir), out2, "--errors", "quarantine"])
+    assert not rc
+    rows2 = spark.read.parquet(out2).collect()
+    errs = [r for r in rows2 if r["error"] is not None]
+    assert len(errs) == 1 and "br" in errs[0]["error"]

@@ -288,10 +288,18 @@ def bench_webp_seam(spark, timed_runs: int) -> dict[str, float]:
             lambda: decode_media(df_j, n_features=4)
             .write.format("noop").mode("overwrite").save()
         )
-        out["jpeg_decode_jdk_seam"] = timed(
-            lambda: decode_media(df_j, n_features=4, decoder=jdec)
-            .write.format("noop").mode("overwrite").save()
-        )
+        def jdk_seam_fn():
+            decode_media(df_j, n_features=4, decoder=jdec) \
+                .write.format("noop").mode("overwrite").save()
+
+        # r17 (verdict item 2): same fix as the audio seam at r16 —
+        # the JDK bridge JVM spawns lazily per python worker, so the
+        # single warmup inside timed() can still pay worker-churn
+        # respawns (the r16 driver read 4.04 s vs 0.32 s idle).  One
+        # EXTRA untimed pre-touch stabilizes the row.  The webp seam
+        # needs none: its bridge is in-process ctypes, no JVM spawn.
+        jdk_seam_fn()
+        out["jpeg_decode_jdk_seam"] = timed(jdk_seam_fn)
         df_j.unpersist()
     except Exception:
         pass  # no javac on this box: skip the JDK rows

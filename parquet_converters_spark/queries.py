@@ -2892,6 +2892,312 @@ SELECT * FROM (
 """
 
 
+def crawl_prep_funnel_full(spark, sf_dir):
+    """The crawl funnel at FULL production shape (r17, verdict item 4):
+    WARC parse -> HTTP status gate -> RFC 9309 robots gate -> minimum
+    length -> URL-canonicalization dedup -> exact content dedup ->
+    banded MinHash near-dedup, reported as documents remaining per
+    stage.  A real crawl pipeline does not stop at exact dedup: the
+    same page arrives under messy URL variants (HTTPS://HOST:443,
+    #fragment) and as near-identical revisions, so the two new stages
+    reuse the individually-oracled primitives ``canonicalize_url``
+    (url_canonical_dedup) and the banded-LSH survivors composition
+    (dedup_survivors).
+
+    Construction (all closed-form for the oracle): doc pairs
+    (2q, 2q+1) share a canonical URL — the odd member arrives messy
+    (uppercase host + :443 default port when q is even, a #top
+    fragment when q is odd) and must collapse onto the even member
+    after canonicalization.  Quads share extracted text
+    (tg = doc_id//4), so exact dedup thins the URL survivors; octets
+    (ng = doc_id//8) hold NEAR-duplicate text (the odd quad appends
+    one token), so banded MinHash thins again.  Domain/status/robots
+    classes ride q (v = q%6, p = q%5) exactly as in
+    ``crawl_prep_funnel``.  Scale shape: gates are one annotated pass
+    (two window shuffles on bounded keys — canonical URL and the
+    8-byte content hash, never raw text); the near-dup stage runs the
+    banded (band, bucket) equi-join over EXACT-DEDUP SURVIVORS only —
+    the scale-safe order near_dedup_pipeline pins.  The report is
+    materialized eagerly and the funnel intermediates unpersisted
+    (the prepare_corpus no-residue pattern)."""
+    from pyspark.sql import Window
+
+    from parquet_converters_spark.functions.dedup import (
+        content_hash,
+        minhash_lsh_pairs,
+    )
+    from parquet_converters_spark.functions.robots import robots_gate
+    from parquet_converters_spark.functions.text import canonicalize_url
+    from parquet_converters_spark.operators.graph import (
+        connected_components,
+    )
+    from parquet_converters_spark.sources.warc import warc_text_documents
+
+    docs = (
+        _t(spark, sf_dir, "documents").select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def build(batches):
+        import pandas as pd
+
+        def rec(http, uri):
+            return (
+                b"WARC/1.0\r\nWARC-Type: response\r\n"
+                b"WARC-Record-ID: <urn:uuid:doc>\r\n"
+                b"WARC-Date: 2024-01-01T00:00:00Z\r\n"
+                b"WARC-Target-URI: " + uri + b"\r\n"
+                b"Content-Type: application/http; msgtype=response"
+                b"\r\nContent-Length: "
+                + str(len(http)).encode() + b"\r\n\r\n"
+                + http + b"\r\n\r\n"
+            )
+
+        def craft(did):
+            q, m = did // 2, did % 2
+            v, p = q % 6, q % 5
+            ng, nv = did // 8, (did // 4) % 2
+            paths = [
+                f"/public/x{q}", f"/private/x{q}",
+                f"/docs/f{q}.pdf", f"/a{q % 10}b/c", "/",
+            ]
+            canon = f"https://d{v}.example.com{paths[p]}"
+            if m == 0:
+                uri = canon
+            elif q % 2 == 0:
+                # messy: case + default port (path untouched, so the
+                # robots decision cannot shift)
+                uri = f"HTTPS://D{v}.EXAMPLE.COM:443{paths[p]}"
+            else:
+                # messy: fragment (only the $-anchored d1 rule could
+                # see it, and d1 rows are already status-gated)
+                uri = canon + "#top"
+            a, b_, c = (
+                (ng * 31 + 1) % 1000,
+                (ng * 31 + 2) % 1000,
+                (ng * 31 + 3) % 1000,
+            )
+            if v == 5:
+                body = f"plain {q} body".encode()
+                http = (
+                    b"HTTP/1.1 404 Not Found\r\n"
+                    b"Content-Type: text/plain\r\n\r\n" + body
+                )
+            else:
+                tail = " nv1" if nv else ""
+                html = (
+                    f"<html><head><title>t{ng}</title></head>"
+                    f"<body><p>w{a} &amp; w{b_}</p><p>w{c}{tail}</p>"
+                    f"</body></html>"
+                ).encode()
+                status = b"301 Moved Permanently" if v == 1 else b"200 OK"
+                http = (
+                    b"HTTP/1.1 " + status + b"\r\n"
+                    b"Content-Type: text/html\r\n\r\n" + html
+                )
+            return rec(http, uri.encode())
+
+        for pdf in batches:
+            ids = [int(d) for d in pdf["doc_id"]]
+            yield pd.DataFrame(
+                {"doc_id": ids, "payload": [craft(d) for d in ids]}
+            )
+
+    built = docs.mapInPandas(build, "doc_id long, payload binary")
+    texts = warc_text_documents(built).withColumn(
+        "domain",
+        F.lower(F.regexp_extract("url", r"(?i)https://(d\d)\.", 1)),
+    )
+    robots = spark.createDataFrame(
+        [
+            ("d0", "User-agent: *\nDisallow: /private/\n"),
+            ("d1", "User-agent: *\nDisallow: /*.pdf$\n"),
+            ("d2", "User-agent: *\nAllow: /public/\nDisallow: /\n"),
+            ("d3", "User-agent: *\nDisallow:\n"),
+            ("d4", "User-agent: *\nDisallow: /a*b/\n"),
+            ("d5", "User-agent: trainbot\nDisallow: /\n\n"
+                   "User-agent: *\nAllow: /\n"),
+        ],
+        "domain string, robots_txt string",
+    )
+    gated = robots_gate(texts, robots, agent="trainbot")
+
+    ok = F.col("http_status") == 200
+    oa = ok & F.col("allowed")
+    oal = oa & (F.length("text") >= 17)
+    base = gated.select(
+        "doc_id", "text",
+        ok.alias("ok"), oa.alias("oa"), oal.alias("oal"),
+        canonicalize_url(F.col("url")).alias("curl"),
+    )
+    w_u = Window.partitionBy("curl")
+    oalc = F.col("oal")
+    base = base.withColumn(
+        "ku",
+        oalc & (F.col("doc_id")
+                == F.min(F.when(oalc, F.col("doc_id"))).over(w_u)),
+    )
+    w_e = Window.partitionBy(content_hash("text"))
+    kuc = F.col("ku")
+    flags = base.withColumn(
+        "ke",
+        kuc & (F.col("doc_id")
+               == F.min(F.when(kuc, F.col("doc_id"))).over(w_e)),
+    ).persist()
+    try:
+        survivors = flags.filter("ke").select("doc_id", "text")
+        pairs = minhash_lsh_pairs(survivors, num_hashes=8, bands=4)
+        comp = connected_components(pairs)
+        dropped = comp.filter(F.col("component") < F.col("node")).select(
+            F.col("node").alias("doc_id")
+        )
+        near = survivors.join(dropped, "doc_id", "left_anti")
+
+        def _n(flag):
+            return F.sum(F.when(F.col(flag), 1).otherwise(0)).cast("long")
+
+        def _s(flag):
+            return F.sum(
+                F.when(F.col(flag), F.col("doc_id"))
+            ).cast("long")
+
+        r1 = flags.agg(
+            F.count(F.lit(1)).cast("long").alias("n0"),
+            F.sum("doc_id").cast("long").alias("s0"),
+            _n("ok").alias("n1"), _s("ok").alias("s1"),
+            _n("oa").alias("n2"), _s("oa").alias("s2"),
+            _n("oal").alias("n3"), _s("oal").alias("s3"),
+            _n("ku").alias("n4"), _s("ku").alias("s4"),
+            _n("ke").alias("n5"), _s("ke").alias("s5"),
+        ).collect()[0]
+        r2 = near.agg(
+            F.count(F.lit(1)).cast("long").alias("n6"),
+            F.sum("doc_id").cast("long").alias("s6"),
+        ).collect()[0]
+    finally:
+        flags.unpersist()
+    names = [
+        "responses", "http_ok", "robots_allowed", "min_length",
+        "url_canonical", "dedup_exact", "dedup_near",
+    ]
+    vals = [
+        (r1[f"n{i}"], r1[f"s{i}"]) for i in range(6)
+    ] + [(r2["n6"], r2["s6"])]
+    return spark.createDataFrame(
+        [
+            (i, names[i], int(n or 0), int(s or 0))
+            for i, (n, s) in enumerate(vals)
+        ],
+        "stage_order int, stage string, n long, sum_id long",
+    ).orderBy("stage_order")
+
+
+CRAWL_PREP_FUNNEL_FULL_SQL = (
+    """
+WITH RECURSIVE d AS (
+  SELECT doc_id,
+         CAST((doc_id // 2) % 6 AS INTEGER) AS v,
+         CAST((doc_id // 2) % 5 AS INTEGER) AS p,
+         doc_id // 2 AS q,
+         doc_id // 8 AS ng,
+         (doc_id // 4) % 2 AS nv
+  FROM documents
+), f AS (
+  SELECT doc_id,
+         (v NOT IN (1, 5)) AS ok,
+         NOT ((v = 0 AND p = 1) OR (v = 1 AND p = 2)
+           OR (v = 2 AND p <> 0) OR (v = 4 AND p = 3)
+           OR v = 5) AS allowed,
+         -- the extracted text's closed form (only oal rows ever
+         -- consult it — v IN (1,5) rows are status-gated first)
+         't' || CAST(ng AS VARCHAR)
+           || ' w' || CAST((ng*31+1) % 1000 AS VARCHAR)
+           || ' & w' || CAST((ng*31+2) % 1000 AS VARCHAR)
+           || ' w' || CAST((ng*31+3) % 1000 AS VARCHAR)
+           || CASE WHEN nv = 1 THEN ' nv1' ELSE '' END AS text,
+         -- the canonical URL every messy variant must collapse to
+         'https://d' || CAST(v AS VARCHAR) || '.example.com' ||
+           CASE p WHEN 0 THEN '/public/x' || CAST(q AS VARCHAR)
+                  WHEN 1 THEN '/private/x' || CAST(q AS VARCHAR)
+                  WHEN 2 THEN '/docs/f' || CAST(q AS VARCHAR) || '.pdf'
+                  WHEN 3 THEN '/a' || CAST(q % 10 AS VARCHAR) || 'b/c'
+                  ELSE '/' END AS curl
+  FROM d
+), g AS (
+  SELECT doc_id, ok, ok AND allowed AS oa,
+         ok AND allowed AND length(text) >= 17 AS oal,
+         text, curl
+  FROM f
+), ku_t AS (
+  SELECT *, oal AND doc_id = MIN(CASE WHEN oal THEN doc_id END)
+                            OVER (PARTITION BY curl) AS ku
+  FROM g
+), ke_t AS (
+  SELECT *, ku AND doc_id = MIN(CASE WHEN ku THEN doc_id END)
+"""
+    f"  OVER (PARTITION BY {SQL_H60.format(x='text')}) AS ke\n"
+    "  FROM ku_t\n"
+    "), exact_survivors AS (\n"
+    "  SELECT doc_id, text FROM ke_t WHERE ke\n"
+    "), sig AS (" + _sql_minhash_sig(src="exact_survivors") + """
+), banded AS (
+  SELECT doc_id, b,
+         concat_ws('-', signature[b*2+1], signature[b*2+2]) AS bucket
+  FROM sig, unnest([0,1,2,3]) AS t(b)
+), pairs AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM banded l JOIN banded r
+    ON l.b = r.b AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+), edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+), reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+), comp AS (
+  SELECT u AS doc_id, least(u, min(v)) AS component_id FROM reach GROUP BY u
+), surv AS (
+  SELECT doc_id FROM exact_survivors
+  WHERE doc_id NOT IN (SELECT doc_id FROM comp WHERE component_id < doc_id)
+)
+SELECT * FROM (
+  SELECT 0 AS stage_order, 'responses' AS stage,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) AS sum_id FROM ke_t
+  UNION ALL
+  SELECT 1, 'http_ok',
+         CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(COALESCE(SUM(CASE WHEN ok THEN doc_id END), 0) AS BIGINT)
+  FROM ke_t
+  UNION ALL
+  SELECT 2, 'robots_allowed',
+         CAST(SUM(CASE WHEN oa THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(COALESCE(SUM(CASE WHEN oa THEN doc_id END), 0) AS BIGINT)
+  FROM ke_t
+  UNION ALL
+  SELECT 3, 'min_length',
+         CAST(SUM(CASE WHEN oal THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(COALESCE(SUM(CASE WHEN oal THEN doc_id END), 0) AS BIGINT)
+  FROM ke_t
+  UNION ALL
+  SELECT 4, 'url_canonical',
+         CAST(SUM(CASE WHEN ku THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(COALESCE(SUM(CASE WHEN ku THEN doc_id END), 0) AS BIGINT)
+  FROM ke_t
+  UNION ALL
+  SELECT 5, 'dedup_exact',
+         CAST(SUM(CASE WHEN ke THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(COALESCE(SUM(CASE WHEN ke THEN doc_id END), 0) AS BIGINT)
+  FROM ke_t
+  UNION ALL
+  SELECT 6, 'dedup_near', CAST(COUNT(*) AS BIGINT),
+         CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) FROM surv
+) ORDER BY stage_order
+"""
+)
+
+
 def audio_fingerprint_census(spark, sf_dir):
     """Spectral fingerprinting at CORPUS grain (r15): every document
     crafts a bin-exact PCM16 tone (bin 1 + doc_id%20 of a 256-sample
@@ -7445,6 +7751,10 @@ QUERIES.update({
     "warc_text_census": (warc_text_census, WARC_TEXT_CENSUS_SQL),
     "robots_gate_census": (robots_gate_census, ROBOTS_GATE_CENSUS_SQL),
     "crawl_prep_funnel": (crawl_prep_funnel, CRAWL_PREP_FUNNEL_SQL),
+    "crawl_prep_funnel_full": (
+        crawl_prep_funnel_full,
+        CRAWL_PREP_FUNNEL_FULL_SQL,
+    ),
     "audio_fingerprint_census": (
         audio_fingerprint_census,
         AUDIO_FINGERPRINT_CENSUS_SQL,

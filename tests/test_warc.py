@@ -349,6 +349,61 @@ def test_crawl_prep_funnel_stage_semantics(spark):
     assert (ns[1], ns[2], ns[3], ns[4]) == (ok, oa, oal, len(groups))
 
 
+def test_crawl_prep_funnel_full_stage_semantics(spark):
+    """The 7-stage production funnel (r17): monotonic thinning, every
+    stage with real work, and stages 0-5 recounted independently from
+    the construction's closed form (stage 6 is minhash-deterministic —
+    covered by the oracle-parity harness, asserted here as a strict
+    thin)."""
+    from parquet_converters_spark.queries import crawl_prep_funnel_full
+
+    rows = crawl_prep_funnel_full(spark, "/root/testdata/sf0.001").collect()
+    assert [r["stage"] for r in rows] == [
+        "responses", "http_ok", "robots_allowed", "min_length",
+        "url_canonical", "dedup_exact", "dedup_near",
+    ]
+    ns = [r["n"] for r in rows]
+    assert ns[0] == 500 and all(a >= b for a, b in zip(ns, ns[1:]))
+    assert ns[4] < ns[3]  # URL variants really collapse
+    assert ns[5] < ns[4]  # shared-text quads really collapse
+    assert ns[6] < ns[5]  # near-dup octets really collapse
+    # independent recount of stages 0-5 from the construction
+    def oal_of(did):
+        q = did // 2
+        v, p = q % 6, q % 5
+        ng, nv = did // 8, (did // 4) % 2
+        ok = v not in (1, 5)
+        al = not ((v == 0 and p == 1) or (v == 1 and p == 2)
+                  or (v == 2 and p != 0) or (v == 4 and p == 3)
+                  or v == 5)
+        a, b, c = ((ng * 31 + 1) % 1000, (ng * 31 + 2) % 1000,
+                   (ng * 31 + 3) % 1000)
+        text = f"t{ng} w{a} & w{b} w{c}" + (" nv1" if nv else "")
+        return ok, ok and al, ok and al and len(text) >= 17, text
+
+    n_ok = n_oa = n_oal = 0
+    url_groups, text_groups = {}, {}
+    for did in range(500):
+        q = did // 2
+        v, p = q % 6, q % 5
+        ok, oa, oal, text = oal_of(did)
+        n_ok += ok
+        n_oa += oa
+        if oal:
+            n_oal += 1
+            paths = [f"/public/x{q}", f"/private/x{q}",
+                     f"/docs/f{q}.pdf", f"/a{q % 10}b/c", "/"]
+            url_groups.setdefault((v, paths[p]), []).append(did)
+    ku = {min(g) for g in url_groups.values()}
+    for did in sorted(ku):
+        text_groups.setdefault(oal_of(did)[3], []).append(did)
+    ke = {min(g) for g in text_groups.values()}
+    assert (ns[1], ns[2], ns[3], ns[4], ns[5]) \
+        == (n_ok, n_oa, n_oal, len(ku), len(ke))
+    # sum_id spot check on the exact-dedup stage
+    assert rows[5]["sum_id"] == sum(ke)
+
+
 def test_cli_warc2parquet_end_to_end(spark, tmp_path):
     """The CLI verb: .warc.gz files on disk (the Common Crawl shape)
     -> text parquet, with and without the robots gate."""

@@ -3198,6 +3198,163 @@ SELECT * FROM (
 )
 
 
+def warc_revisit_census(spark, sf_dir):
+    """Per-host revisit/pairing statistics over crafted crawl archives
+    (r17, verdict item 5): real Common Crawl archives carry
+    ``WARC-Type: revisit`` records (deduplicated fetches referencing a
+    prior capture via ``WARC-Refers-To``, ISO 28500 §6.7.2) and
+    ``request`` records paired to their response via
+    ``WARC-Concurrent-To`` — revisit share per host is a standard
+    crawl statistic.  Each doc crafts one archive with a closed-form
+    record mix: ``1 + doc_id%3`` responses, ``doc_id%2`` requests
+    (pointing at a MISSING response id when doc_id%6==1), ``doc_id%4``
+    revisits (the first pointing at a missing id when doc_id%5==0,
+    profiles alternating identical-payload-digest /
+    server-not-modified).  The engine walks the records
+    (sources/warc.warc_records), resolves links with ONE per-archive
+    composite-key equi-join (link_warc_records — (doc_id, record_id),
+    never cross-archive), and aggregates by host; the oracle is pure
+    residue arithmetic."""
+    from parquet_converters_spark.sources.warc import (
+        link_warc_records,
+        warc_records,
+    )
+
+    docs = (
+        _t(spark, sf_dir, "documents").select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    _IPD = "http://netpreserve.org/warc/1.0/revisit/identical-payload-digest"
+    _SNM = "http://netpreserve.org/warc/1.0/revisit/server-not-modified"
+
+    def build(batches):
+        import pandas as pd
+
+        def rec(wtype, uri, rid, block, extra=""):
+            head = (
+                f"WARC/1.0\r\nWARC-Type: {wtype}\r\n"
+                f"WARC-Record-ID: {rid}\r\n"
+                f"WARC-Date: 2024-03-03T03:03:03Z\r\n"
+                f"WARC-Target-URI: {uri}\r\n"
+                + extra
+                + "Content-Type: application/http; msgtype="
+                + ("request" if wtype == "request" else "response")
+                + f"\r\nContent-Length: {len(block)}\r\n\r\n"
+            ).encode()
+            return head + block + b"\r\n\r\n"
+
+        def craft(did):
+            host = f"h{did % 7}.ex"
+            n_resp, n_req, n_rev = 1 + did % 3, did % 2, did % 4
+            parts = []
+            for i in range(n_resp):
+                body = f"<p>doc {did} page {i}</p>".encode()
+                http = (
+                    b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                    b"\r\n" + body
+                )
+                parts.append(rec(
+                    "response", f"https://{host}/p{i}",
+                    f"<urn:rec:{did}:{i}>", http,
+                ))
+            for _ in range(n_req):
+                target = 9 if did % 6 == 1 else 0
+                parts.append(rec(
+                    "request", f"https://{host}/p0",
+                    f"<urn:req:{did}:0>",
+                    b"GET /p0 HTTP/1.1\r\nHost: " + host.encode()
+                    + b"\r\n\r\n",
+                    extra=f"WARC-Concurrent-To: "
+                          f"<urn:rec:{did}:{target}>\r\n",
+                ))
+            for j in range(n_rev):
+                refers = (
+                    "<urn:missing>" if j == 0 and did % 5 == 0
+                    else f"<urn:rec:{did}:{j % n_resp}>"
+                )
+                profile = _IPD if j % 2 == 0 else _SNM
+                parts.append(rec(
+                    "revisit", f"https://{host}/p{j % n_resp}",
+                    f"<urn:rev:{did}:{j}>",
+                    b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                    b"\r\n",
+                    extra=f"WARC-Refers-To: {refers}\r\n"
+                          f"WARC-Profile: {profile}\r\n",
+                ))
+            return b"".join(parts)
+
+        for pdf in batches:
+            ids = [int(d) for d in pdf["doc_id"]]
+            yield pd.DataFrame(
+                {"doc_id": ids, "payload": [craft(d) for d in ids]}
+            )
+
+    built = docs.mapInPandas(build, "doc_id long, payload binary")
+    linked = link_warc_records(warc_records(built))
+    is_resp = F.col("rec_type") == "response"
+    is_req = F.col("rec_type") == "request"
+    is_rev = F.col("rec_type") == "revisit"
+
+    def _cnt(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+
+    agg = (
+        linked.withColumn(
+            "host", F.regexp_extract("target_uri", r"https://(h\d)\.", 1)
+        )
+        .groupBy("host")
+        .agg(
+            F.countDistinct("doc_id").alias("n_archives"),
+            _cnt(is_resp).alias("n_responses"),
+            _cnt(is_req).alias("n_requests"),
+            _cnt(is_req & F.col("link_resolved"))
+            .alias("n_paired_requests"),
+            _cnt(is_rev).alias("n_revisits"),
+            _cnt(is_rev & F.col("link_resolved"))
+            .alias("n_resolved_revisits"),
+            _cnt(is_rev & (F.col("profile") == _IPD))
+            .alias("n_identical_digest"),
+        )
+        .withColumn(
+            "revisit_share",
+            F.round(
+                F.col("n_revisits")
+                / (F.col("n_responses") + F.col("n_revisits")),
+                6,
+            ),
+        )
+    )
+    return agg.orderBy("host")
+
+
+WARC_REVISIT_CENSUS_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         'h' || CAST(doc_id % 7 AS VARCHAR) AS host,
+         1 + doc_id % 3 AS n_resp,
+         doc_id % 2 AS n_req,
+         CASE WHEN doc_id % 2 = 1 AND doc_id % 6 <> 1
+              THEN 1 ELSE 0 END AS paired,
+         doc_id % 4 AS n_rev,
+         (doc_id % 4) - CASE WHEN doc_id % 5 = 0 AND doc_id % 4 > 0
+                             THEN 1 ELSE 0 END AS resolved,
+         ((doc_id % 4) + 1) // 2 AS ipd
+  FROM documents
+)
+SELECT host,
+       CAST(COUNT(*) AS BIGINT) AS n_archives,
+       CAST(SUM(n_resp) AS BIGINT) AS n_responses,
+       CAST(SUM(n_req) AS BIGINT) AS n_requests,
+       CAST(SUM(paired) AS BIGINT) AS n_paired_requests,
+       CAST(SUM(n_rev) AS BIGINT) AS n_revisits,
+       CAST(SUM(resolved) AS BIGINT) AS n_resolved_revisits,
+       CAST(SUM(ipd) AS BIGINT) AS n_identical_digest,
+       round(CAST(SUM(n_rev) AS DOUBLE)
+             / (SUM(n_resp) + SUM(n_rev)), 6) AS revisit_share
+FROM d GROUP BY host ORDER BY host
+"""
+
+
 def audio_fingerprint_census(spark, sf_dir):
     """Spectral fingerprinting at CORPUS grain (r15): every document
     crafts a bin-exact PCM16 tone (bin 1 + doc_id%20 of a 256-sample
@@ -7755,6 +7912,7 @@ QUERIES.update({
         crawl_prep_funnel_full,
         CRAWL_PREP_FUNNEL_FULL_SQL,
     ),
+    "warc_revisit_census": (warc_revisit_census, WARC_REVISIT_CENSUS_SQL),
     "audio_fingerprint_census": (
         audio_fingerprint_census,
         AUDIO_FINGERPRINT_CENSUS_SQL,

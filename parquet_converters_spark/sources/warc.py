@@ -38,7 +38,7 @@ import re
 import zlib
 from html.parser import HTMLParser
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 
 _MAX_RECORDS = 1_000_000  # per-archive guard against lying framing
 
@@ -159,6 +159,14 @@ def parse_warc(data: bytes) -> list[dict]:
                 "date": headers.get("warc-date", ""),
                 "record_id": headers.get("warc-record-id", ""),
                 "content_type": headers.get("content-type", ""),
+                # the cross-record link headers (ISO 28500 §5.7/§5.11):
+                # `revisit` records reference their original capture via
+                # WARC-Refers-To; `request` records pair to their
+                # response via WARC-Concurrent-To.  None (not "") when
+                # absent so the null lands in the DataFrame.
+                "refers_to": headers.get("warc-refers-to"),
+                "concurrent_to": headers.get("warc-concurrent-to"),
+                "profile": headers.get("warc-profile"),
                 "block": block,
             }
         )
@@ -346,7 +354,9 @@ def html_text(payload: bytes | str, encoding: str = "utf-8") -> str:
 
 _RECORDS_SCHEMA = (
     "doc_id long, rec_type string, target_uri string, warc_date string,"
-    " content_type string, http_status int, body binary"
+    " content_type string, http_status int, body binary,"
+    " record_id string, refers_to string, concurrent_to string,"
+    " profile string"
 )
 
 _ERROR_POLICIES = ("strict", "skip", "quarantine")
@@ -393,14 +403,16 @@ def warc_records(
             out = {
                 "doc_id": [], "rec_type": [], "target_uri": [],
                 "warc_date": [], "content_type": [],
-                "http_status": [], "body": [],
+                "http_status": [], "body": [], "record_id": [],
+                "refers_to": [], "concurrent_to": [], "profile": [],
             }
             if quarantine:
                 out["error"] = []
 
             def emit(did, rec_type=None, target_uri=None, warc_date=None,
                      content_type=None, http_status=None, body=None,
-                     error=None):
+                     record_id=None, refers_to=None, concurrent_to=None,
+                     profile=None, error=None):
                 out["doc_id"].append(int(did))
                 out["rec_type"].append(rec_type)
                 out["target_uri"].append(target_uri)
@@ -408,6 +420,10 @@ def warc_records(
                 out["content_type"].append(content_type)
                 out["http_status"].append(http_status)
                 out["body"].append(body)
+                out["record_id"].append(record_id)
+                out["refers_to"].append(refers_to)
+                out["concurrent_to"].append(concurrent_to)
+                out["profile"].append(profile)
                 if quarantine:
                     out["error"].append(error)
 
@@ -438,6 +454,7 @@ def warc_records(
                                     did, rec_type=rec["type"],
                                     target_uri=rec["target_uri"],
                                     warc_date=rec["date"],
+                                    record_id=rec["record_id"],
                                     error=str(e),
                                 )
                             continue
@@ -446,10 +463,45 @@ def warc_records(
                         target_uri=rec["target_uri"],
                         warc_date=rec["date"], content_type=ctype,
                         http_status=status, body=body,
+                        record_id=rec["record_id"],
+                        refers_to=rec["refers_to"],
+                        concurrent_to=rec["concurrent_to"],
+                        profile=rec["profile"],
                     )
             yield pd.DataFrame(out)
 
     return df.mapInPandas(run, schema)
+
+
+def link_warc_records(records: DataFrame) -> DataFrame:
+    """Resolve the cross-record links inside each archive (ISO 28500):
+    a ``revisit`` record's ``WARC-Refers-To`` and a ``request``
+    record's ``WARC-Concurrent-To`` both name a ``response`` record's
+    ``WARC-Record-ID`` in the same archive.  Adds ``link_resolved``:
+    true/false for records that CARRY a link header, null otherwise.
+
+    Scale shape: one equi-join on the composite key
+    ``(doc_id, record_id)`` against the distinct response-id dimension
+    of the SAME archive — record ids are only unique per archive, so
+    ``doc_id`` rides the key and the join never crosses archives.  No
+    broadcast assumption: both sides are record-grain."""
+    link = F.coalesce(F.col("refers_to"), F.col("concurrent_to"))
+    resp_ids = (
+        records.filter(F.col("rec_type") == "response")
+        .select("doc_id", F.col("record_id").alias("_target"))
+        .distinct()
+        .withColumn("_hit", F.lit(True))
+    )
+    return (
+        records.withColumn("_target", link)
+        .join(resp_ids, ["doc_id", "_target"], "left")
+        .withColumn(
+            "link_resolved",
+            F.when(F.col("_target").isNull(), F.lit(None).cast("boolean"))
+            .otherwise(F.coalesce(F.col("_hit"), F.lit(False))),
+        )
+        .drop("_target", "_hit")
+    )
 
 
 def warc_text_documents(

@@ -349,6 +349,87 @@ def test_crawl_prep_funnel_stage_semantics(spark):
     assert (ns[1], ns[2], ns[3], ns[4]) == (ok, oa, oal, len(groups))
 
 
+def test_warc_revisit_and_request_pairing(spark):
+    """ISO 28500 cross-record links (r17): revisit records reference
+    their original capture via WARC-Refers-To, requests pair to their
+    response via WARC-Concurrent-To; link_warc_records resolves both
+    WITHIN the archive (doc_id rides the join key, so identical record
+    ids in different archives never cross-match)."""
+    from parquet_converters_spark.sources.warc import link_warc_records
+
+    # _rec stamps every record WARC-Record-ID: <urn:uuid:abc> — the
+    # archive-1 response therefore owns that id
+    resp = _rec(b"response", _http(b"200 OK", b"text/html", b"<p>v1</p>"),
+                uri=b"https://ex.org/a")
+    req = _rec(b"request", b"GET /a HTTP/1.1\r\n\r\n",
+               uri=b"https://ex.org/a",
+               extra=b"WARC-Concurrent-To: <urn:uuid:abc>\r\n")
+    revisit_hit = _rec(b"revisit", b"HTTP/1.1 200 OK\r\n\r\n",
+                       uri=b"https://ex.org/a",
+                       extra=b"WARC-Refers-To: <urn:uuid:abc>\r\n"
+                             b"WARC-Profile: http://netpreserve.org/"
+                             b"warc/1.0/revisit/identical-payload-"
+                             b"digest\r\n")
+    revisit_miss = _rec(b"revisit", b"HTTP/1.1 304 Not Modified\r\n\r\n",
+                        uri=b"https://ex.org/a",
+                        extra=b"WARC-Refers-To: <urn:gone>\r\n")
+    # archive 2 holds ONLY the revisit: its <urn:uuid:abc> target
+    # exists in archive 1, not here — must stay unresolved
+    df = spark.createDataFrame(
+        [(1, bytearray(resp + req + revisit_hit + revisit_miss)),
+         (2, bytearray(revisit_hit))],
+        "doc_id long, payload binary",
+    )
+    rows = link_warc_records(warc_records(df)).collect()
+    assert len(rows) == 5
+    by = {(r["doc_id"], r["rec_type"], r["refers_to"]): r for r in rows}
+    assert by[(1, "response", None)]["link_resolved"] is None
+    assert by[(1, "request", None)]["link_resolved"] is True
+    hit1 = by[(1, "revisit", "<urn:uuid:abc>")]
+    assert hit1["link_resolved"] is True
+    assert hit1["profile"].endswith("identical-payload-digest")
+    assert by[(1, "revisit", "<urn:gone>")]["link_resolved"] is False
+    assert by[(2, "revisit", "<urn:uuid:abc>")]["link_resolved"] is False
+
+
+def test_warc_link_resolution_by_record_id(spark):
+    """Pairing against the REAL record id resolves; a dangling id or a
+    cross-archive id does not."""
+    from parquet_converters_spark.sources.warc import link_warc_records
+
+    def rec(wtype, rid, extra=b""):
+        block = (b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\nok"
+                 if wtype != b"request" else b"GET / HTTP/1.1\r\n\r\n")
+        h = b"WARC/1.0\r\n"
+        h += b"Content-Length: " + str(len(block)).encode() + b"\r\n"
+        h += b"WARC-Type: " + wtype + b"\r\n"
+        h += b"WARC-Record-ID: " + rid + b"\r\n"
+        h += extra
+        h += b"Content-Type: application/http; msgtype=response\r\n\r\n"
+        return h + block + b"\r\n\r\n"
+
+    a1 = (rec(b"response", b"<urn:r1>")
+          + rec(b"request", b"<urn:q1>",
+                b"WARC-Concurrent-To: <urn:r1>\r\n")
+          + rec(b"revisit", b"<urn:v1>", b"WARC-Refers-To: <urn:r1>\r\n")
+          + rec(b"revisit", b"<urn:v2>",
+                b"WARC-Refers-To: <urn:nowhere>\r\n"))
+    a2 = rec(b"revisit", b"<urn:v3>", b"WARC-Refers-To: <urn:r1>\r\n")
+    df = spark.createDataFrame(
+        [(10, bytearray(a1)), (20, bytearray(a2))],
+        "doc_id long, payload binary",
+    )
+    rows = {r["record_id"]: r for r in
+            link_warc_records(warc_records(df)).collect()}
+    assert rows["<urn:r1>"]["link_resolved"] is None  # no link header
+    assert rows["<urn:q1>"]["link_resolved"] is True
+    assert rows["<urn:v1>"]["link_resolved"] is True
+    assert rows["<urn:v2>"]["link_resolved"] is False  # dangling
+    assert rows["<urn:v3>"]["link_resolved"] is False  # cross-archive
+    assert rows["<urn:v1>"]["concurrent_to"] is None
+    assert rows["<urn:q1>"]["concurrent_to"] == "<urn:r1>"
+
+
 def test_crawl_prep_funnel_full_stage_semantics(spark):
     """The 7-stage production funnel (r17): monotonic thinning, every
     stage with real work, and stages 0-5 recounted independently from

@@ -12032,3 +12032,71 @@ QUERIES = {
     **{name: QUERIES[name] for name in _R17_WINDOW},
     **{name: v for name, v in QUERIES.items() if name not in _R17_WINDOW},
 }
+
+# --- r18 grading rotation (PRE-WIRED, activate at round-18 start) ----------
+# Computed from the CORRECTNESS_r01-r16 union assuming r17 grades
+# _R17_WINDOW: the two never-graded r17 registrations (the 7-stage
+# production crawl funnel and the revisit/pairing census) lead, then
+# the oldest cohort — the 9 remaining r13-latest rows — topped up
+# with the 39 alphabetically-first r14-latest rows.  Round 18's
+# builder promotes any red rows from CORRECTNESS_r17 to the front
+# (dropping tail entries to keep 50), then adds the same two reorder
+# lines over _R18_WINDOW.
+_R18_WINDOW = [
+    # (0) new in r17, never graded
+    "crawl_prep_funnel_full",
+    "warc_revisit_census",
+    # (a) r13-latest remainder (9)
+    "text_language_id",
+    "text_quality",
+    "text_rolling_hash",
+    "text_token_count",
+    "text_top_tokens",
+    "topk_per_group",
+    "touch_scan_v2",
+    "validation_filter",
+    "vocab_growth_by_source",
+    # (b) r14-latest, alphabetical head (39)
+    "above_nation_avg",
+    "anti_join",
+    "array_flatten",
+    "asof_join_last_view",
+    "audio_resample_check",
+    "band_join_conversions",
+    "bitfield_unpack",
+    "bm25_search",
+    "distinct_nation_stats",
+    "dup_shingle_fraction",
+    "embedding_pc1",
+    "embedding_quantize_error",
+    "embedding_standardize_stats",
+    "equi_depth_histogram",
+    "gopher_quality_report",
+    "graph_triangle_stats",
+    "grouping_sets_pricing",
+    "inverted_index_stats",
+    "kmeans_doc_clusters",
+    "multimodal_decode",
+    "multimodal_frames",
+    "multimodal_resize",
+    "multimodal_transcode",
+    "per_source_doc_cap",
+    "percentile_acctbal",
+    "range_join_error_views",
+    "range_window_1h",
+    "salted_join_brand_revenue",
+    "scd2_event_history",
+    "sequence_packing",
+    "sim_ivf_ann_bcast",
+    "sim_lsh_ann_bcast",
+    "sim_neardup_pairs",
+    "skew_key_profile",
+    "sparse_cosine_topk",
+    "stream_dedup",
+    "stream_enrich",
+    "stream_join_pairs",
+    "stream_running_totals",
+    # the remaining r14-latest rows (stream_sessionize onward,
+    # alphabetically) fall to the r19 pool
+]
+_check_window(_R18_WINDOW, "_R18_WINDOW", prior=_R17_WINDOW)

@@ -162,6 +162,10 @@ HEADLINE = [
     "warc_text_census",
     "robots_gate_census",
     "crawl_prep_funnel",
+    # r17: the 7-stage production funnel (adds URL-canonical dedup +
+    # banded MinHash near-dedup) and the revisit/pairing census
+    "crawl_prep_funnel_full",
+    "warc_revisit_census",
 ]
 
 

@@ -322,7 +322,16 @@ def main(argv: list[str] | None = None) -> int:
                     ),
                     robots, agent=args.agent,
                 )
-                .filter(F.col("allowed"))
+                # quarantine placeholder rows (error != null) must
+                # SURVIVE the gate — the quarantine contract is that
+                # bad input is counted, not silently lost, and a
+                # defect row's URL landing under a disallowed path
+                # must not hide the defect
+                .filter(
+                    F.col("allowed")
+                    | (F.col("error").isNotNull()
+                       if args.errors == "quarantine" else F.lit(False))
+                )
                 .drop("allowed", "domain")
             )
         texts.write.mode("overwrite").parquet(args.output)

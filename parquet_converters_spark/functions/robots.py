@@ -129,8 +129,9 @@ def robots_gate(
     ``robots`` is the per-domain dimension ``(domain, robots_txt)`` —
     broadcast-joined onto the facts (robots bodies are a rounding
     error next to a 100 TB URL table), then ONE Arrow-batched narrow
-    stage parses each distinct domain's rules once per batch (memoized
-    by domain) and decides every URL.  A URL whose domain has no
+    stage parses each distinct domain's rules once per partition
+    (size-capped memo — hot domains parse once, a many-domain
+    partition stays bounded) and decides every URL.  A URL whose domain has no
     robots row is allowed (no robots.txt = no restrictions, RFC 9309
     section 2.3.1.2 'unavailable' handling)."""
     from pyspark.sql import functions as F
@@ -149,13 +150,16 @@ def robots_gate(
     def run(batches):
         import pandas as pd
 
+        # partition-lifetime memo with a hard size cap: hot domains
+        # keep their parsed rules across Arrow batches (a multi-
+        # thousand-line robots.txt is parsed once per partition, not
+        # once per batch), while a partition spanning millions of
+        # distinct domains can never accumulate unbounded rule lists
+        # — on overflow the memo clears and rebuilds from the rows at
+        # hand (crude LRU-free eviction, bounded by construction)
+        _CACHE_CAP = 256
+        cache: dict[str, list[tuple[bool, str]]] = {}
         for pdf in batches:
-            # memo scope is ONE Arrow batch (matching the docstring):
-            # the batch already holds these bodies, so the memo adds
-            # no asymptotic memory — a partition-lifetime dict keyed
-            # by full body text would instead accumulate every
-            # distinct domain's rules (plus bodies) with no eviction
-            cache: dict[str, list[tuple[bool, str]]] = {}
             allowed = []
             for txt, url in zip(pdf[robots_col], pdf[url_col]):
                 # no robots row OR no url: nothing to test a rule
@@ -165,6 +169,8 @@ def robots_gate(
                     allowed.append(True)
                     continue
                 if txt not in cache:
+                    if len(cache) >= _CACHE_CAP:
+                        cache.clear()
                     cache[txt] = parse_robots(txt, agent)
                 path = url
                 # RFC 3986 schemes are case-insensitive

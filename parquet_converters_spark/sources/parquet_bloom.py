@@ -515,9 +515,12 @@ def bloom_scan_plan(spark, path: str, column: str, values):
                     for f in pdf["file"]
                 )]})
 
-        fdf = spark.createDataFrame([(f,) for f in files], "file string")
+        # the driver sample already proved files[:_PROBE_CAP] carry no
+        # filter — only the tail needs the distributed walk
+        tail = files[_PROBE_CAP:]
+        fdf = spark.createDataFrame([(f,) for f in tail], "file string")
         fdf = fdf.repartition(
-            min(len(files), spark.sparkContext.defaultParallelism)
+            min(len(tail), spark.sparkContext.defaultParallelism)
         )
         hit = any(
             r["hit"] for r in fdf.mapInPandas(check, "hit boolean").collect()

@@ -560,3 +560,22 @@ def test_cli_warc2parquet_real_world_hostility(spark, tmp_path):
     rows2 = spark.read.parquet(out2).collect()
     errs = [r for r in rows2 if r["error"] is not None]
     assert len(errs) == 1 and "br" in errs[0]["error"]
+    # quarantine + robots: a defect row whose URL lands under a
+    # DISALLOWED path must still survive the gate (bad input is
+    # counted, not silently lost) — r17 review finding
+    wdir2 = tmp_path / "warcs2"
+    wdir2.mkdir()
+    br_private = _rec(b"response",
+                      _http(b"200 OK", b"text/html", b"\x00",
+                            extra=b"Content-Encoding: br\r\n"),
+                      uri=b"https://ex.org/private/deep")
+    (wdir2 / "c.warc").write_bytes(keep + br_private)
+    out3 = str(tmp_path / "docs3")
+    rc = main(["warc2parquet", str(wdir2), out3, "--robots", rob,
+               "--errors", "quarantine"])
+    assert not rc
+    rows3 = spark.read.parquet(out3).collect()
+    errs3 = [r for r in rows3 if r["error"] is not None]
+    assert len(errs3) == 1
+    assert errs3[0]["url"] == "https://ex.org/private/deep"
+    assert [r["text"] for r in rows3 if r["error"] is None] == ["kept"]

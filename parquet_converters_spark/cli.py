@@ -147,6 +147,21 @@ def main(argv: list[str] | None = None) -> int:
         "an error column naming each defect",
     )
 
+    w2c = sub.add_parser(
+        "warc2cdx",
+        help="Build a CDX-style crawl index from WARC archives: one "
+        "row per response capture (surt urlkey, 14-digit timestamp, "
+        "url, mime, status, digest, length), globally sorted by "
+        "(surt, ts) so each host's captures are contiguous",
+    )
+    w2c.add_argument("input", help="Path/glob of WARC archive files")
+    w2c.add_argument("output", help="Output parquet directory")
+    w2c.add_argument(
+        "--errors", choices=["strict", "skip"], default="skip",
+        help="Malformed-record policy (see warc2parquet; quarantine "
+        "has no place in an index — a defect row has no urlkey)",
+    )
+
     pc = sub.add_parser(
         "prepare-corpus",
         help="Full training-corpus prep funnel: quality gate -> exact "
@@ -342,6 +357,33 @@ def main(argv: list[str] | None = None) -> int:
 
         n = sum(file_row_counts(sorted_parquet_files(args.output)))
         print(f"warc2parquet: wrote {n} documents -> {args.output}")
+    elif args.cmd == "warc2cdx":
+        from pyspark.sql import functions as F
+
+        from parquet_converters_spark.sources.warc import warc_cdx_records
+
+        raw = (
+            spark.read.format("binaryFile").load(args.input)
+            .select(
+                F.monotonically_increasing_id().alias("doc_id"),
+                F.col("content").alias("payload"),
+            )
+            .repartition(spark.sparkContext.defaultParallelism)
+        )
+        # the global (surt, ts) sort is the CDX layout contract —
+        # a range-partitioned sort, the standard Spark shape; at
+        # 100 TB each output file covers a contiguous urlkey range
+        cdx = warc_cdx_records(raw, errors=args.errors).orderBy(
+            "surt", "ts"
+        )
+        cdx.write.mode("overwrite").parquet(args.output)
+        from parquet_converters_spark.sources.ordering import (
+            file_row_counts,
+            sorted_parquet_files,
+        )
+
+        n = sum(file_row_counts(sorted_parquet_files(args.output)))
+        print(f"warc2cdx: wrote {n} captures -> {args.output}")
     elif args.cmd == "compare":
         from parquet_converters_spark.pipelines import (
             compare_indices_h5,

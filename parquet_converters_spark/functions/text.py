@@ -379,6 +379,43 @@ def canonicalize_url(url: Column | str) -> Column:
     return F.concat(base, path, query)
 
 
+def surt_key(url: Column | str) -> Column:
+    """SURT (Sort-friendly URI Reordering Transform) key — the
+    ``urlkey`` of a CDX crawl index (the standard index artifact
+    shipped next to WARC archives): host components reversed and
+    comma-joined so one host's captures sort contiguously, e.g.
+    ``HTTPS://WWW.Sub.Example.COM:443/A/b?b=2&a=1#f`` ->
+    ``com,example,sub)/a/b?a=1&b=2``.
+
+    Rules (aligned with the Common Crawl ``urlkey``): the whole URL is
+    lowercased; scheme, fragment, userinfo, port, and a leading
+    ``www.`` are dropped; host labels are reversed around commas;
+    query parameters are sorted bytewise; an empty path becomes ``/``.
+    Pure built-in expressions (split/reverse/array_join/array_sort —
+    Catalyst keeps the whole chain in codegen), so every engine
+    computes identical keys.  Unlike :func:`canonicalize_url` (a
+    DEDUP key that preserves RFC 3986 path case), the SURT key is an
+    INDEX key — full lowercasing is the point."""
+    c = F.lower(_col(url))
+    c = F.regexp_replace(c, "#.*$", "")  # fragment
+    c = F.regexp_replace(c, "^[a-z][a-z0-9+.-]*://", "")  # scheme
+    authority = F.regexp_extract(c, "^([^/?]*)", 1)
+    rest = F.regexp_replace(c, "^[^/?]*", "")
+    host = F.regexp_replace(authority, "^[^@]*@", "")  # userinfo
+    host = F.regexp_replace(host, ":[0-9]*$", "")  # port
+    host = F.regexp_replace(host, "^www\\.", "")
+    rhost = F.array_join(F.reverse(F.split(host, "\\.")), ",")
+    path = F.regexp_extract(rest, "^([^?]*)", 1)
+    path = F.when(F.length(path) == 0, F.lit("/")).otherwise(path)
+    query = F.regexp_replace(rest, "^[^?]*\\??", "")
+    sorted_q = F.array_join(F.array_sort(F.split(query, "&")), "&")
+    return F.concat(
+        rhost, F.lit(")"), path,
+        F.when(F.length(query) == 0, F.lit(""))
+        .otherwise(F.concat(F.lit("?"), sorted_q)),
+    )
+
+
 def url_host(url: Column | str) -> Column:
     """The registrable host of a canonicalized URL (port already
     stripped), with a leading ``www.`` removed — the standard

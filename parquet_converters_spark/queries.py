@@ -3355,6 +3355,116 @@ FROM d GROUP BY host ORDER BY host
 """
 
 
+def cdx_index_census(spark, sf_dir):
+    """CDX crawl-index rows at full row grain (r17): the standard
+    index artifact shipped next to WARC segments — every capture as
+    ``(surt, ts, url, mime, http_status, digest, length)`` sorted by
+    the SURT key so one host's captures are contiguous
+    (sources/warc.warc_cdx_records + functions/text.surt_key).  Each
+    doc crafts one archive with two responses: a MESSY html capture
+    (uppercase scheme/host, ``www.``, userinfo-free but ``:443``
+    default port, unsorted query params, fragment) whose SURT key
+    must come out fully normalized, and a plain-text capture with
+    userinfo AND a non-default port (the port is dropped from the
+    key, the userinfo stripped).  Oracle: the ANALYTIC closed form of
+    every column from the construction — the engine's whole
+    lower/reverse/sort expression chain is graded against ground
+    truth, not a SQL reimplementation of itself."""
+    from parquet_converters_spark.sources.warc import warc_cdx_records
+
+    docs = (
+        _t(spark, sf_dir, "documents").select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def build(batches):
+        import pandas as pd
+
+        def rec(http, uri, sec):
+            return (
+                b"WARC/1.0\r\nWARC-Type: response\r\n"
+                b"WARC-Record-ID: <urn:uuid:cdx>\r\n"
+                + f"WARC-Date: 2024-03-03T03:03:{sec:02d}Z\r\n".encode()
+                + b"WARC-Target-URI: " + uri + b"\r\n"
+                b"Content-Type: application/http; msgtype=response"
+                b"\r\nContent-Length: "
+                + str(len(http)).encode() + b"\r\n\r\n"
+                + http + b"\r\n\r\n"
+            )
+
+        def craft(did):
+            a, b, c, sec = did % 5, did % 3, did % 4, did % 60
+            html = f"<p>c{did}</p>".encode()
+            uri0 = (
+                f"HTTPS://WWW.S{a}.SITE{b}.COM:443/Dir{c}/P{did}"
+                f"?b=2&a=1#frag"
+            ).encode()
+            h0 = (
+                b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+                + html
+            )
+            plain = f"plain {did}".encode()
+            status = b"404 Not Found" if did % 9 == 0 else b"200 OK"
+            uri1 = f"http://user@h{did % 7}.ex:8080/t{did}".encode()
+            h1 = (
+                b"HTTP/1.1 " + status
+                + b"\r\nContent-Type: text/plain\r\n\r\n" + plain
+            )
+            return rec(h0, uri0, sec) + rec(h1, uri1, sec)
+
+        for pdf in batches:
+            ids = [int(d) for d in pdf["doc_id"]]
+            yield pd.DataFrame(
+                {"doc_id": ids, "payload": [craft(d) for d in ids]}
+            )
+
+    built = docs.mapInPandas(build, "doc_id long, payload binary")
+    return warc_cdx_records(built).orderBy("surt", "ts", "url")
+
+
+CDX_INDEX_CENSUS_SQL = f"""
+WITH rows_ AS (
+  SELECT
+    'com,site' || CAST(doc_id % 3 AS VARCHAR)
+      || ',s' || CAST(doc_id % 5 AS VARCHAR)
+      || ')/dir' || CAST(doc_id % 4 AS VARCHAR)
+      || '/p' || CAST(doc_id AS VARCHAR) || '?a=1&b=2' AS surt,
+    '202403030303' || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') AS ts,
+    'HTTPS://WWW.S' || CAST(doc_id % 5 AS VARCHAR)
+      || '.SITE' || CAST(doc_id % 3 AS VARCHAR)
+      || '.COM:443/Dir' || CAST(doc_id % 4 AS VARCHAR)
+      || '/P' || CAST(doc_id AS VARCHAR) || '?b=2&a=1#frag' AS url,
+    'text/html' AS mime,
+    200 AS http_status,
+    {SQL_H60.format(
+        x="'<p>c' || CAST(doc_id AS VARCHAR) || '</p>'")} AS digest,
+    CAST(length('<p>c' || CAST(doc_id AS VARCHAR) || '</p>')
+         AS BIGINT) AS length,
+    doc_id
+  FROM documents
+  UNION ALL
+  SELECT
+    'ex,h' || CAST(doc_id % 7 AS VARCHAR)
+      || ')/t' || CAST(doc_id AS VARCHAR) AS surt,
+    '202403030303' || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') AS ts,
+    'http://user@h' || CAST(doc_id % 7 AS VARCHAR)
+      || '.ex:8080/t' || CAST(doc_id AS VARCHAR) AS url,
+    'text/plain' AS mime,
+    CASE WHEN doc_id % 9 = 0 THEN 404 ELSE 200 END AS http_status,
+    {SQL_H60.format(
+        x="'plain ' || CAST(doc_id AS VARCHAR)")} AS digest,
+    CAST(length('plain ' || CAST(doc_id AS VARCHAR)) AS BIGINT)
+      AS length,
+    doc_id
+  FROM documents
+)
+SELECT surt, ts, url, mime,
+       CAST(http_status AS INTEGER) AS http_status,
+       digest, length, doc_id
+FROM rows_ ORDER BY surt, ts, url
+"""
+
+
 def audio_fingerprint_census(spark, sf_dir):
     """Spectral fingerprinting at CORPUS grain (r15): every document
     crafts a bin-exact PCM16 tone (bin 1 + doc_id%20 of a 256-sample
@@ -7913,6 +8023,7 @@ QUERIES.update({
         CRAWL_PREP_FUNNEL_FULL_SQL,
     ),
     "warc_revisit_census": (warc_revisit_census, WARC_REVISIT_CENSUS_SQL),
+    "cdx_index_census": (cdx_index_census, CDX_INDEX_CENSUS_SQL),
     "audio_fingerprint_census": (
         audio_fingerprint_census,
         AUDIO_FINGERPRINT_CENSUS_SQL,

@@ -504,6 +504,51 @@ def link_warc_records(records: DataFrame) -> DataFrame:
     )
 
 
+def warc_cdx_records(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    errors: str = "strict",
+) -> DataFrame:
+    """CDX index rows from WARC archives — the standard crawl index
+    artifact (Common Crawl ships a CDX(J) index next to every WARC
+    segment; readers seek by ``urlkey``).  One row per ``response``
+    record: ``(surt, ts, url, mime, http_status, digest, length,
+    doc_id)`` where ``surt`` is the sort-friendly URL key
+    (functions/text.surt_key), ``ts`` the 14-digit WARC-Date
+    timestamp, ``digest`` the engine's 64-bit content hash of the
+    DECODED body (the repo's exact-dedup key — documented deviation
+    from CDX's SHA1-base32, same role), ``length`` the decoded body
+    byte length.
+
+    Scale shape: the parse is the same ONE Arrow-batched narrow stage
+    as :func:`warc_records`; the SURT key and timestamp are codegen'd
+    column expressions on top.  Sort the output by (surt, ts) at
+    write time to get the contiguous-host layout CDX readers expect —
+    a range-partitioned sort, the standard Spark global-sort shape."""
+    from parquet_converters_spark.functions.dedup import content_hash
+    from parquet_converters_spark.functions.text import surt_key
+
+    if errors == "quarantine":
+        raise ValueError(
+            "warc_cdx_records: errors='quarantine' is not meaningful "
+            "for an index (a defect row has no urlkey) — use 'skip', "
+            "or run warc_records directly to keep the error column"
+        )
+    recs = warc_records(df, payload_col, id_col, errors=errors)
+    resp = recs.filter(F.col("rec_type") == "response")
+    return resp.select(
+        surt_key(F.col("target_uri")).alias("surt"),
+        F.regexp_replace("warc_date", "[^0-9]", "").alias("ts"),
+        F.col("target_uri").alias("url"),
+        F.col("content_type").alias("mime"),
+        "http_status",
+        content_hash(F.col("body")).alias("digest"),
+        F.length("body").cast("long").alias("length"),
+        "doc_id",
+    )
+
+
 def warc_text_documents(
     df: DataFrame,
     payload_col: str = "payload",

@@ -485,6 +485,54 @@ def test_crawl_prep_funnel_full_stage_semantics(spark):
     assert rows[5]["sum_id"] == sum(ke)
 
 
+def test_surt_key_known_answers(spark):
+    """SURT urlkey (functions/text.surt_key): known-answer vectors for
+    every rule — lowercasing, scheme/fragment/userinfo/port/www drops,
+    host reversal, bytewise query-param sort, empty-path root."""
+    from pyspark.sql import functions as F
+
+    from parquet_converters_spark.functions.text import surt_key
+
+    cases = [
+        ("HTTPS://WWW.Sub.Example.COM:443/A/b?b=2&a=1#f",
+         "com,example,sub)/a/b?a=1&b=2"),
+        ("http://example.com", "com,example)/"),
+        ("http://user:pw@h.ex:8080/T", "ex,h)/t"),
+        ("https://one.two.three.org/p?z=9", "org,three,two,one)/p?z=9"),
+        ("http://www.x.com/path/", "com,x)/path/"),
+        ("ftp://files.x.com/a", "com,x,files)/a"),
+        ("http://x.com/a?c=3&b=2&a=1", "com,x)/a?a=1&b=2&c=3"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r["k"] for r in
+           df.select(surt_key(F.col("url")).alias("k")).collect()]
+    assert got == [want for _, want in cases]
+
+
+def test_warc_cdx_records(spark):
+    """CDX projection over a crafted archive: surt/ts/mime/status/
+    digest/length all verified against hand computation."""
+    import hashlib
+
+    from parquet_converters_spark.sources.warc import warc_cdx_records
+
+    body = b"<p>hi</p>"
+    resp = _rec(b"response", _http(b"200 OK", b"text/html", body),
+                uri=b"HTTP://WWW.Ex.ORG:80/A?b=1&a=2#x")
+    info = _rec(b"warcinfo", b"software: t\r\n")  # no CDX row
+    df = spark.createDataFrame(
+        [(5, bytearray(info + resp))], "doc_id long, payload binary"
+    )
+    rows = warc_cdx_records(df).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["surt"] == "org,ex)/a?a=2&b=1"
+    assert r["ts"] == "20240202123456"  # _rec's WARC-Date, digits only
+    assert r["mime"] == "text/html" and r["http_status"] == 200
+    assert r["length"] == len(body)
+    assert r["digest"] == int(hashlib.md5(body).hexdigest()[:15], 16)
+
+
 def test_cli_warc2parquet_end_to_end(spark, tmp_path):
     """The CLI verb: .warc.gz files on disk (the Common Crawl shape)
     -> text parquet, with and without the robots gate."""
@@ -518,6 +566,41 @@ def test_cli_warc2parquet_end_to_end(spark, tmp_path):
     rows2 = spark.read.parquet(out2).collect()
     assert len(rows2) == 2  # the /private/ response is gated out
     assert {r["text"] for r in rows2} == {HTML_TEXT}
+
+
+def test_cli_warc2cdx(spark, tmp_path):
+    """warc2cdx: WARC archives -> a (surt, ts)-sorted CDX parquet;
+    bad records skipped under the default policy; quarantine refused
+    by name (an index row has no urlkey for a defect)."""
+    import pytest as _pytest
+
+    from parquet_converters_spark.cli import main
+    from parquet_converters_spark.sources.warc import warc_cdx_records
+
+    wdir = tmp_path / "warcs"
+    wdir.mkdir()
+    r1 = _rec(b"response", _http(b"200 OK", b"text/html", b"<p>z</p>"),
+              uri=b"https://z.last.com/p")
+    r2 = _rec(b"response", _http(b"200 OK", b"text/plain", b"a"),
+              uri=b"https://a.first.com/q")
+    br = _rec(b"response",
+              _http(b"200 OK", b"text/html", b"\x00",
+                    extra=b"Content-Encoding: br\r\n"),
+              uri=b"https://bad.com/x")
+    (wdir / "a.warc.gz").write_bytes(_gz(r1) + _gz(br) + _gz(r2))
+    out = str(tmp_path / "cdx")
+    rc = main(["warc2cdx", str(wdir), out])
+    assert not rc
+    rows = spark.read.parquet(out).orderBy("surt").collect()
+    assert [r["surt"] for r in rows] == [
+        "com,first,a)/q", "com,last,z)/p",
+    ]
+    with _pytest.raises(ValueError, match="quarantine"):
+        warc_cdx_records(
+            spark.createDataFrame([(1, bytearray(r1))],
+                                  "doc_id long, payload binary"),
+            errors="quarantine",
+        )
 
 
 def test_cli_warc2parquet_real_world_hostility(spark, tmp_path):

@@ -12157,6 +12157,7 @@ _R18_WINDOW = [
     # (0) new in r17, never graded
     "crawl_prep_funnel_full",
     "warc_revisit_census",
+    "cdx_index_census",
     # (a) r13-latest remainder (9)
     "text_language_id",
     "text_quality",
@@ -12206,8 +12207,7 @@ _R18_WINDOW = [
     "stream_dedup",
     "stream_enrich",
     "stream_join_pairs",
-    "stream_running_totals",
-    # the remaining r14-latest rows (stream_sessionize onward,
+    # the remaining r14-latest rows (stream_running_totals onward,
     # alphabetically) fall to the r19 pool
 ]
 _check_window(_R18_WINDOW, "_R18_WINDOW", prior=_R17_WINDOW)

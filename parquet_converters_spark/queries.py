@@ -3465,6 +3465,80 @@ FROM rows_ ORDER BY surt, ts, url
 """
 
 
+def stream_crawl_ingest(spark, sf_dir):
+    """Crawl-ingest exactly-once in batch-symmetric form (r17 — the
+    stream_image_dedup pattern applied to the WARC front end): every
+    3 consecutive doc_ids craft an archive carrying the SAME page
+    text, the admission gate keeps the first per 8-byte content hash
+    (sources/warc.crawl_text_dedup_gate; the streaming leg — a real
+    duplicated file stream through dropDuplicatesWithinWatermark on
+    the hash — is pytest-gated in tests/test_warc.py), and the output
+    aggregates hash-level facts only (count / masked hash sum / text
+    length sum) so it is deterministic no matter which copy
+    survived."""
+    from parquet_converters_spark.sources.warc import (
+        crawl_text_dedup_gate,
+    )
+
+    docs = (
+        _t(spark, sf_dir, "documents").select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def build(batches):
+        import pandas as pd
+
+        def craft(did):
+            g = did // 3
+            html = (
+                f"<html><body><p>t{g} w{(g * 7) % 100}</p>"
+                f"</body></html>"
+            ).encode()
+            http = (
+                b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+                + html
+            )
+            return (
+                b"WARC/1.0\r\nWARC-Type: response\r\n"
+                b"WARC-Record-ID: <urn:uuid:s>\r\n"
+                b"WARC-Date: 2024-01-01T00:00:00Z\r\n"
+                + f"WARC-Target-URI: https://s.ex/p{did}\r\n".encode()
+                + b"Content-Type: application/http; msgtype=response"
+                b"\r\nContent-Length: "
+                + str(len(http)).encode() + b"\r\n\r\n"
+                + http + b"\r\n\r\n"
+            )
+
+        for pdf in batches:
+            ids = [int(d) for d in pdf["doc_id"]]
+            yield pd.DataFrame(
+                {"doc_id": ids, "payload": [craft(d) for d in ids]}
+            )
+
+    built = docs.mapInPandas(build, "doc_id long, payload binary")
+    kept = crawl_text_dedup_gate(built)
+    return kept.agg(
+        F.count(F.lit(1)).cast("long").alias("n_unique"),
+        F.sum(F.col("content_hash").bitwiseAND(F.lit(2097151)))
+        .cast("long").alias("sum_hash_low"),
+        F.sum(F.length("text")).cast("long").alias("sum_len"),
+    )
+
+
+STREAM_CRAWL_INGEST_SQL = f"""
+WITH t AS (
+  SELECT DISTINCT 't' || CAST(doc_id // 3 AS VARCHAR) || ' w'
+       || CAST(((doc_id // 3) * 7) % 100 AS VARCHAR) AS text
+  FROM documents
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_unique,
+       CAST(SUM({SQL_H60.format(x='text')} & 2097151) AS BIGINT)
+         AS sum_hash_low,
+       CAST(SUM(length(text)) AS BIGINT) AS sum_len
+FROM t
+"""
+
+
 def audio_fingerprint_census(spark, sf_dir):
     """Spectral fingerprinting at CORPUS grain (r15): every document
     crafts a bin-exact PCM16 tone (bin 1 + doc_id%20 of a 256-sample
@@ -8024,6 +8098,7 @@ QUERIES.update({
     ),
     "warc_revisit_census": (warc_revisit_census, WARC_REVISIT_CENSUS_SQL),
     "cdx_index_census": (cdx_index_census, CDX_INDEX_CENSUS_SQL),
+    "stream_crawl_ingest": (stream_crawl_ingest, STREAM_CRAWL_INGEST_SQL),
     "audio_fingerprint_census": (
         audio_fingerprint_census,
         AUDIO_FINGERPRINT_CENSUS_SQL,
@@ -12158,6 +12233,7 @@ _R18_WINDOW = [
     "crawl_prep_funnel_full",
     "warc_revisit_census",
     "cdx_index_census",
+    "stream_crawl_ingest",
     # (a) r13-latest remainder (9)
     "text_language_id",
     "text_quality",
@@ -12206,8 +12282,7 @@ _R18_WINDOW = [
     "sparse_cosine_topk",
     "stream_dedup",
     "stream_enrich",
-    "stream_join_pairs",
-    # the remaining r14-latest rows (stream_running_totals onward,
+    # the remaining r14-latest rows (stream_join_pairs onward,
     # alphabetically) fall to the r19 pool
 ]
 _check_window(_R18_WINDOW, "_R18_WINDOW", prior=_R17_WINDOW)

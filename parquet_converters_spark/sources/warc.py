@@ -504,6 +504,45 @@ def link_warc_records(records: DataFrame) -> DataFrame:
     )
 
 
+def crawl_text_dedup_gate(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+    errors: str = "strict",
+) -> DataFrame:
+    """Exactly-once text admission for a CONTINUOUS crawl — the
+    streaming face of the crawl funnel's exact-dedup stage (the
+    ``image_dedup_gate`` pattern applied to WARC text): archives
+    stream in, responses are parsed/extracted by the SAME narrow
+    stage as the batch path (``warc_text_documents``, the ingest
+    timestamp riding through ``carry_cols`` — join-free), 200-status
+    text documents are hashed with the repo's 8-byte exact-dedup key,
+    and ONE document per ``content_hash`` passes.
+
+    Streaming input uses ``dropDuplicatesWithinWatermark`` on the
+    hash (first arrival within the watermark wins; state expires as
+    the watermark passes — bounded memory at 100 TB/day ingest);
+    batch input uses plain ``dropDuplicates``, which keeps an
+    ARBITRARY representative — aggregate hash-level facts downstream
+    when the output must be deterministic.  Both legs emit the same
+    schema."""
+    carry = (ts_col,) if ts_col in df.columns else ()
+    texts = warc_text_documents(
+        df, payload_col, id_col, errors=errors, carry_cols=carry
+    )
+    from parquet_converters_spark.functions.dedup import content_hash
+
+    docs = texts.filter(
+        (F.col("http_status") == 200) & F.col("text").isNotNull()
+    ).withColumn("content_hash", content_hash("text"))
+    if df.isStreaming:
+        return docs.withWatermark(ts_col, watermark)\
+            .dropDuplicatesWithinWatermark(["content_hash"])
+    return docs.dropDuplicates(["content_hash"])
+
+
 def warc_cdx_records(
     df: DataFrame,
     payload_col: str = "payload",
@@ -554,6 +593,7 @@ def warc_text_documents(
     payload_col: str = "payload",
     id_col: str = "doc_id",
     errors: str = "strict",
+    carry_cols: tuple = (),
 ) -> DataFrame:
     """The crawl-to-corpus front end in one narrow stage: WARC parse
     -> HTTP split -> HTML visible-text extraction.  One output row
@@ -567,13 +607,28 @@ def warc_text_documents(
     the archive on a framing defect), ``"quarantine"`` (skip + an
     extra ``error string`` column naming each defect).  The
     ``warc2parquet`` CLI defaults to ``skip`` because real crawl
-    archives always contain ``br``-coded responses and junk headers."""
+    archives always contain ``br``-coded responses and junk headers.
+
+    ``carry_cols``: names of input columns copied verbatim onto every
+    output record of their archive (e.g. an ingest timestamp the
+    streaming dedup gate watermarks on) — the narrow stage stays
+    join-free."""
     _check_errors_policy(errors)
     quarantine = errors == "quarantine"
+    carried = [f for f in df.schema.fields if f.name in set(carry_cols)]
+    missing = set(carry_cols) - {f.name for f in carried}
+    if missing:
+        raise ValueError(
+            f"warc_text_documents: carry_cols not in input: "
+            f"{sorted(missing)}"
+        )
     schema = (
         "doc_id long, url string, http_status int, content_type string,"
         " text string"
-    ) + (", error string" if quarantine else "")
+    ) + (", error string" if quarantine else "") + "".join(
+        f", {f.name} {f.dataType.simpleString()}" for f in carried
+    )
+    carry_names = [f.name for f in carried]
 
     def run(batches):
         import pandas as pd
@@ -585,9 +640,11 @@ def warc_text_documents(
             }
             if quarantine:
                 out["error"] = []
+            for c in carry_names:
+                out[c] = []
 
             def emit(did, url=None, http_status=None, content_type=None,
-                     text=None, error=None):
+                     text=None, error=None, carry=()):
                 out["doc_id"].append(int(did))
                 out["url"].append(url)
                 out["http_status"].append(http_status)
@@ -595,15 +652,20 @@ def warc_text_documents(
                 out["text"].append(text)
                 if quarantine:
                     out["error"].append(error)
+                for c, v in zip(carry_names, carry):
+                    out[c].append(v)
 
-            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+            for did, payload, *carry in zip(
+                pdf[id_col], pdf[payload_col],
+                *[pdf[c] for c in carry_names],
+            ):
                 try:
                     records = parse_warc(bytes(payload))
                 except ValueError as e:
                     if errors == "strict":
                         raise
                     if quarantine:
-                        emit(did, error=str(e))
+                        emit(did, error=str(e), carry=carry)
                     continue
                 for rec in records:
                     if rec["type"] != "response":
@@ -622,7 +684,7 @@ def warc_text_documents(
                         if quarantine:
                             emit(
                                 did, url=rec["target_uri"],
-                                error=str(e),
+                                error=str(e), carry=carry,
                             )
                         continue
                     enc = sniff_charset(raw_ctype, body)
@@ -637,7 +699,7 @@ def warc_text_documents(
                         text = None
                     emit(
                         did, url=rec["target_uri"], http_status=status,
-                        content_type=ctype, text=text,
+                        content_type=ctype, text=text, carry=carry,
                     )
             yield pd.DataFrame(out)
 

@@ -568,6 +568,85 @@ def test_cli_warc2parquet_end_to_end(spark, tmp_path):
     assert {r["text"] for r in rows2} == {HTML_TEXT}
 
 
+def test_crawl_text_dedup_gate_streaming_exactly_once(spark, tmp_path):
+    """Two file streams over the same crawl archives union to a
+    duplicated stream; the gate's dropDuplicatesWithinWatermark on
+    content_hash restores exactly-once by TEXT identity (doc_ids and
+    URLs all distinct — the keys would never collapse; the extracted
+    text does)."""
+    import datetime
+
+    from parquet_converters_spark.sources.warc import (
+        crawl_text_dedup_gate,
+    )
+
+    base = datetime.datetime(2026, 1, 1)
+    rows = []
+    for i in range(30):
+        # 10 distinct pages, each re-crawled 3x under fresh ids/URLs
+        body = f"<p>page {i % 10} body</p>".encode()
+        arch = _rec(
+            b"response", _http(b"200 OK", b"text/html", body),
+            uri=f"https://ex.org/copy{i}".encode(),
+        )
+        rows.append(
+            (i, base + datetime.timedelta(minutes=i), bytearray(arch))
+        )
+    src = str(tmp_path / "crawl_stream")
+    spark.createDataFrame(
+        rows, "doc_id long, ts timestamp, payload binary"
+    ).repartition(2).write.parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    stream = lambda: (  # noqa: E731
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    duplicated = stream().unionByName(stream())
+    q = (
+        crawl_text_dedup_gate(duplicated, watermark="1 day")
+        .writeStream.format("memory")
+        .queryName("crawl_dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql(
+        "select count(*) n, count(distinct content_hash) d "
+        "from crawl_dedup_stream"
+    ).collect()[0]
+    assert got["d"] == 10
+    assert got["n"] == 10  # no duplicate emissions
+
+    # batch symmetry: same gate, same answer
+    batch = spark.read.parquet(src)
+    assert crawl_text_dedup_gate(batch).count() == 10
+
+
+def test_warc_text_documents_carry_cols(spark):
+    """carry_cols rides input columns onto every output record —
+    including quarantine placeholder rows — without a join."""
+    resp = _rec(b"response", _http(b"200 OK", b"text/plain", b"ok"),
+                uri=b"https://ex.org/a")
+    br = _rec(b"response",
+              _http(b"200 OK", b"text/html", b"\x00",
+                    extra=b"Content-Encoding: br\r\n"),
+              uri=b"https://ex.org/br")
+    df = spark.createDataFrame(
+        [(1, 777, bytearray(resp + br))],
+        "doc_id long, batch_tag long, payload binary",
+    )
+    rows = warc_text_documents(
+        df, errors="quarantine", carry_cols=("batch_tag",)
+    ).collect()
+    assert len(rows) == 2
+    assert all(r["batch_tag"] == 777 for r in rows)
+    with pytest.raises(ValueError, match="carry_cols"):
+        warc_text_documents(df, carry_cols=("nope",)).collect()
+
+
 def test_cli_warc2cdx(spark, tmp_path):
     """warc2cdx: WARC archives -> a (surt, ts)-sorted CDX parquet;
     bad records skipped under the default policy; quarantine refused

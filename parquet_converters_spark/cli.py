@@ -30,6 +30,33 @@ def _session(master: str | None):
     return get_spark(app_name="parquet-converters-spark")
 
 
+def _load_warc_payloads(spark, path: str):
+    """Raw WARC ingest shared by the warc2* verbs: archive files ->
+    (doc_id, payload) rows, round-robin repartitioned so the parse
+    stage fans out past the file count."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.format("binaryFile").load(path)
+        .select(
+            F.monotonically_increasing_id().alias("doc_id"),
+            F.col("content").alias("payload"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+
+def _written_rows(output: str) -> int:
+    """Row count from the written parquet footers (O(files) metadata
+    — recounting via Spark would re-run the whole job)."""
+    from parquet_converters_spark.sources.ordering import (
+        file_row_counts,
+        sorted_parquet_files,
+    )
+
+    return sum(file_row_counts(sorted_parquet_files(output)))
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(
         prog="parquet_converters_spark",
@@ -308,14 +335,7 @@ def main(argv: list[str] | None = None) -> int:
             warc_text_documents,
         )
 
-        raw = (
-            spark.read.format("binaryFile").load(args.input)
-            .select(
-                F.monotonically_increasing_id().alias("doc_id"),
-                F.col("content").alias("payload"),
-            )
-            .repartition(spark.sparkContext.defaultParallelism)
-        )
+        raw = _load_warc_payloads(spark, args.input)
         texts = warc_text_documents(raw, errors=args.errors)
         if args.robots:
             from parquet_converters_spark.functions.robots import (
@@ -350,26 +370,14 @@ def main(argv: list[str] | None = None) -> int:
                 .drop("allowed", "domain")
             )
         texts.write.mode("overwrite").parquet(args.output)
-        from parquet_converters_spark.sources.ordering import (
-            file_row_counts,
-            sorted_parquet_files,
+        print(
+            f"warc2parquet: wrote {_written_rows(args.output)} "
+            f"documents -> {args.output}"
         )
-
-        n = sum(file_row_counts(sorted_parquet_files(args.output)))
-        print(f"warc2parquet: wrote {n} documents -> {args.output}")
     elif args.cmd == "warc2cdx":
-        from pyspark.sql import functions as F
-
         from parquet_converters_spark.sources.warc import warc_cdx_records
 
-        raw = (
-            spark.read.format("binaryFile").load(args.input)
-            .select(
-                F.monotonically_increasing_id().alias("doc_id"),
-                F.col("content").alias("payload"),
-            )
-            .repartition(spark.sparkContext.defaultParallelism)
-        )
+        raw = _load_warc_payloads(spark, args.input)
         # the global (surt, ts) sort is the CDX layout contract —
         # a range-partitioned sort, the standard Spark shape; at
         # 100 TB each output file covers a contiguous urlkey range
@@ -377,13 +385,10 @@ def main(argv: list[str] | None = None) -> int:
             "surt", "ts"
         )
         cdx.write.mode("overwrite").parquet(args.output)
-        from parquet_converters_spark.sources.ordering import (
-            file_row_counts,
-            sorted_parquet_files,
+        print(
+            f"warc2cdx: wrote {_written_rows(args.output)} "
+            f"captures -> {args.output}"
         )
-
-        n = sum(file_row_counts(sorted_parquet_files(args.output)))
-        print(f"warc2cdx: wrote {n} captures -> {args.output}")
     elif args.cmd == "compare":
         from parquet_converters_spark.pipelines import (
             compare_indices_h5,

@@ -404,7 +404,11 @@ def surt_key(url: Column | str) -> Column:
     host = F.regexp_replace(authority, "^[^@]*@", "")  # userinfo
     host = F.regexp_replace(host, ":[0-9]*$", "")  # port
     host = F.regexp_replace(host, "^www\\.", "")
-    rhost = F.array_join(F.reverse(F.split(host, "\\.")), ",")
+    # empty DNS labels (FQDN trailing dot 'example.com.', crawl-data
+    # junk 'a..b') must not become empty SURT segments — a leading
+    # comma would sort the host away from its own captures
+    labels = F.filter(F.split(host, "\\."), lambda x: F.length(x) > 0)
+    rhost = F.array_join(F.reverse(labels), ",")
     path = F.regexp_extract(rest, "^([^?]*)", 1)
     path = F.when(F.length(path) == 0, F.lit("/")).otherwise(path)
     query = F.regexp_replace(rest, "^[^?]*\\??", "")

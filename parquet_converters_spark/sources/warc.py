@@ -578,7 +578,11 @@ def warc_cdx_records(
     resp = recs.filter(F.col("rec_type") == "response")
     return resp.select(
         surt_key(F.col("target_uri")).alias("surt"),
-        F.regexp_replace("warc_date", "[^0-9]", "").alias("ts"),
+        # 14 digits is the CDX timestamp contract — a WARC 1.1
+        # fractional-second date must not leak extra digits
+        F.substring(
+            F.regexp_replace("warc_date", "[^0-9]", ""), 1, 14
+        ).alias("ts"),
         F.col("target_uri").alias("url"),
         F.col("content_type").alias("mime"),
         "http_status",
@@ -621,6 +625,15 @@ def warc_text_documents(
         raise ValueError(
             f"warc_text_documents: carry_cols not in input: "
             f"{sorted(missing)}"
+        )
+    own = {"doc_id", "url", "http_status", "content_type", "text"} | (
+        {"error"} if quarantine else set()
+    )
+    clash = own & {f.name for f in carried}
+    if clash:
+        raise ValueError(
+            f"warc_text_documents: carry_cols collide with output "
+            f"columns: {sorted(clash)} — rename them on the input first"
         )
     schema = (
         "doc_id long, url string, http_status int, content_type string,"

@@ -502,6 +502,10 @@ def test_surt_key_known_answers(spark):
         ("http://www.x.com/path/", "com,x)/path/"),
         ("ftp://files.x.com/a", "com,x,files)/a"),
         ("http://x.com/a?c=3&b=2&a=1", "com,x)/a?a=1&b=2&c=3"),
+        # FQDN trailing dot / empty labels must not break host
+        # contiguity (r17 review finding)
+        ("http://example.com./p", "com,example)/p"),
+        ("http://a..b.com/q", "com,b,a)/q"),
     ]
     df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
     got = [r["k"] for r in
@@ -531,6 +535,14 @@ def test_warc_cdx_records(spark):
     assert r["mime"] == "text/html" and r["http_status"] == 200
     assert r["length"] == len(body)
     assert r["digest"] == int(hashlib.md5(body).hexdigest()[:15], 16)
+    # WARC 1.1 fractional seconds must not leak past the 14-digit
+    # CDX timestamp contract (r17 review finding)
+    frac = resp.replace(b"2024-02-02T12:34:56Z",
+                        b"2024-02-02T12:34:56.123456Z")
+    df2 = spark.createDataFrame(
+        [(6, bytearray(frac))], "doc_id long, payload binary"
+    )
+    assert warc_cdx_records(df2).collect()[0]["ts"] == "20240202123456"
 
 
 def test_cli_warc2parquet_end_to_end(spark, tmp_path):
@@ -612,7 +624,7 @@ def test_crawl_text_dedup_gate_streaming_exactly_once(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(180), "streaming query did not terminate"
     got = spark.sql(
         "select count(*) n, count(distinct content_hash) d "
         "from crawl_dedup_stream"
@@ -645,6 +657,11 @@ def test_warc_text_documents_carry_cols(spark):
     assert all(r["batch_tag"] == 777 for r in rows)
     with pytest.raises(ValueError, match="carry_cols"):
         warc_text_documents(df, carry_cols=("nope",)).collect()
+    # a carried name colliding with an output column refuses by name
+    # at the driver, never as a wrapped executor crash
+    with pytest.raises(ValueError, match="collide"):
+        df2 = df.withColumnRenamed("batch_tag", "url")
+        warc_text_documents(df2, carry_cols=("url",)).collect()
 
 
 def test_cli_warc2cdx(spark, tmp_path):

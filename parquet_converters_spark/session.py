@@ -54,6 +54,61 @@ def get_spark(
     return builder.getOrCreate()
 
 
+def values_df(spark: SparkSession, rows, schema: str):
+    """Small driver-literal DataFrame via a SQL ``VALUES`` clause.
+
+    The drop-in fast path for RESULT-REPORT frames (an iterative
+    operator's census, a funnel's stage counts): ``createDataFrame``
+    pickles every row into a 32-slice RDD and runs Python workers to
+    produce 64 rows, ~0.37 s per call at local[32]; a ``VALUES`` plan
+    is one spark.sql() round trip into a JVM LocalRelation, ~0.08 s
+    (measured r17, min-of-3; with a global orderBy on top: 0.90 s vs
+    0.22 s).  Doubles cross as ``CAST('<repr>' AS DOUBLE)`` —
+    shortest-roundtrip repr parses to the identical bits, verified —
+    so results are unchanged.
+
+    ``schema`` is a DDL string (``"name type, ..."``; ``name: type``
+    also accepted).  Supported cell types: None/bool/int/float/str.
+    Empty ``rows`` falls back to ``createDataFrame`` (VALUES cannot be
+    empty).
+    """
+    import math
+
+    if not rows:
+        return spark.createDataFrame([], schema)
+    cols = []
+    for part in schema.split(","):
+        name, typ = part.replace(":", " ").split(None, 1)
+        cols.append((name.strip(), typ.strip()))
+
+    def lit(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        if isinstance(v, int):
+            return str(v)
+        if isinstance(v, float):
+            if math.isnan(v):
+                r = "NaN"
+            elif math.isinf(v):
+                r = "Infinity" if v > 0 else "-Infinity"
+            else:
+                r = repr(v)
+            return f"CAST('{r}' AS DOUBLE)"
+        if isinstance(v, str):
+            s = v.replace("\\", "\\\\").replace("'", "\\'")
+            return f"'{s}'"
+        raise TypeError(f"values_df: unsupported cell type {type(v)!r}")
+
+    vals = ", ".join(
+        "(" + ", ".join(lit(v) for v in row) + ")" for row in rows
+    )
+    names = ", ".join(n for n, _ in cols)
+    sel = ", ".join(f"CAST(`{n}` AS {t}) AS `{n}`" for n, t in cols)
+    return spark.sql(f"SELECT {sel} FROM (VALUES {vals}) AS _v({names})")
+
+
 def free_local_checkpoints(df) -> int:
     """Explicitly release the executor storage behind every
     ``localCheckpoint`` in ``df``'s analyzed plan (its ``LogicalRDD``

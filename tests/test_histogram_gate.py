@@ -67,3 +67,52 @@ def test_gate_still_works_on_single_file(spark, sf_dir):
     directory-safe footer-count path."""
     df = q.equi_depth_histogram(spark, sf_dir, exact=None)
     assert df.count() == q._EQD_BUCKETS
+
+
+def test_distributed_exact_bounds_match_percentile_agg(spark, sf_dir):
+    """r17: the exact path's distributed order-statistics + driver
+    interpolation must reproduce the single-buffer `percentile`
+    aggregate bit-for-bit (same positions, same IEEE interpolation) —
+    the whole query result must therefore match an oracle-equivalent
+    percentile-based build exactly."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    fr = [i / q._EQD_BUCKETS for i in range(1, q._EQD_BUCKETS)]
+    arr = F.expr(
+        f"percentile(l_extendedprice, array({', '.join(map(str, fr))}))"
+    )
+    want = [float(x) for x in li.agg(arr.alias("_bs")).collect()[0]["_bs"]]
+
+    # replicate the query's distributed computation of the raw bounds
+    vals = li.select(F.col("l_extendedprice").alias("_v")).where(
+        F.col("_v").isNotNull()
+    )
+    n = vals.count()
+    positions = [f * (n - 1) for f in fr]
+    ranks = sorted(
+        {int(math.floor(p)) for p in positions}
+        | {int(math.ceil(p)) for p in positions}
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("_v")
+    kv = {
+        r["_ri"]: r["_v"]
+        for r in vals.withColumn(
+            "_ri", F.row_number().over(w).cast("long") - 1
+        )
+        .where(F.col("_ri").isin(ranks))
+        .collect()
+    }
+    got = []
+    for pos in positions:
+        lo, hi = int(math.floor(pos)), int(math.ceil(pos))
+        lk, hk = kv[lo], kv[hi]
+        if hi == lo or hk == lk:
+            got.append(float(lk))
+        else:
+            got.append((hi - pos) * lk + (pos - hi + 1) * hk)
+    assert got == want  # bit-for-bit, no tolerance

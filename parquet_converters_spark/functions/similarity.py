@@ -123,6 +123,112 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return out
 
 
+# --- r17: SQL-text builders for the literal expression forms ---------------
+# Building a planes x dim (or cells x dim) literal expression through the
+# py4j Column API costs one driver round trip per node — ~0.5-0.7 s per
+# call site at 8x64 (measured; the dominant cost of the sim_* query
+# BUILD phase).  These helpers emit the IDENTICAL expressions as ONE
+# SQL string parsed in a single round trip: same folds, same lambda
+# bodies, same literal bits (doubles cross as CAST('<repr>' AS DOUBLE),
+# which parses to the same IEEE double as F.lit).  Bit-equality of
+# every SQL-text form against its Column twin is pytest-asserted
+# (tests/test_hybrid_retrieval.py::test_sql_text_forms_bitwise).
+
+
+def _dlit(x: float) -> str:
+    """A double literal that parses to exactly ``float(x)``."""
+    return f"CAST('{float(x)!r}' AS DOUBLE)"
+
+
+def _arr_sql(xs: list[float]) -> str:
+    return "array(" + ", ".join(_dlit(x) for x in xs) + ")"
+
+
+def _norm_sql(vec: str) -> str:
+    """SQL twin of :func:`vec_norm` — same left-to-right fold."""
+    return (
+        f"sqrt(aggregate({vec}, CAST(0 AS DOUBLE), "
+        "(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+    )
+
+
+def _dot_sql(a: str, b: str) -> str:
+    """SQL twin of :func:`dot_product`."""
+    return (
+        f"aggregate(zip_with({a}, {b}, "
+        "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+
+
+def _lsh_bucket_sql(vec: str, planes: list[list[float]]) -> str:
+    """SQL twin of :func:`lsh_bucket` (same long sum of 2^p terms)."""
+    terms = ["CAST(0 AS BIGINT)"]
+    for p, plane in enumerate(planes):
+        dot = (
+            f"aggregate(zip_with({vec}, {_arr_sql(plane)}, "
+            "(v, w) -> CAST(v AS DOUBLE) * w), CAST(0 AS DOUBLE), "
+            "(acc, x) -> acc + x)"
+        )
+        terms.append(
+            f"(CASE WHEN {dot} >= 0 THEN CAST({1 << p} AS BIGINT) "
+            "ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def _cell_sims_sql(vec: str, centroids: list[list[float]]) -> str:
+    """SQL twin of :func:`_cell_sims` (norm bound once via the
+    transform-over-1-element-array trick, exactly like ``bind``)."""
+    sims = ", ".join(
+        f"{_dot_sql(vec, _arr_sql(cen))} / (nv * {_dlit(_py_norm(cen))})"
+        for cen in centroids
+    )
+    return (
+        f"element_at(transform(array({_norm_sql(vec)}), "
+        f"nv -> array({sims})), 1)"
+    )
+
+
+def _probe_sql(s: str, n: int, nprobe: int) -> str:
+    """SQL twin of :func:`_probe_from_sims` over a bound sims var."""
+    cells = []
+    masked = s
+    for _ in range(nprobe):
+        cell = f"array_position({masked}, array_max({masked}))"
+        cells.append(cell)
+        masked = (
+            f"transform(sequence(1, {n}), i -> CASE WHEN i = ({cell}) "
+            f"THEN {_dlit(-2.0)} ELSE element_at({masked}, "
+            "CAST(i AS INT)) END)"
+        )
+    return "array(" + ", ".join(f"CAST(({c}) AS INT)" for c in cells) + ")"
+
+
+def ivf_assign_sql(vec: str, centroids: list[list[float]]) -> Column:
+    """SQL-text twin of :func:`ivf_assign` — one F.expr round trip."""
+    return F.expr(
+        f"CAST(element_at(transform(array({_cell_sims_sql(vec, centroids)}), "
+        "s -> array_position(s, array_max(s))), 1) AS INT)"
+    )
+
+
+def ivf_probe_cells_sql(
+    vec: str, centroids: list[list[float]], nprobe: int = 2
+) -> Column:
+    """SQL-text twin of :func:`ivf_probe_cells`."""
+    n = len(centroids)
+    return F.expr(
+        f"element_at(transform(array({_cell_sims_sql(vec, centroids)}), "
+        f"s -> {_probe_sql('s', n, nprobe)}), 1)"
+    )
+
+
+def lsh_bucket_sql(vec: str, planes: list[list[float]]) -> Column:
+    """SQL-text twin of :func:`lsh_bucket`."""
+    return F.expr(_lsh_bucket_sql(vec, planes))
+
+
 def lsh_bucket_col(vec: Column, mat: Column, num_planes: int) -> Column:
     """:func:`lsh_bucket` against a hyperplane matrix *column*
     (broadcast data instead of cells*dim plan literals — the
@@ -165,7 +271,8 @@ def lsh_bucket_ann(
     elif plane_mode == "literal":
 
         def bucket(df: DataFrame) -> DataFrame:
-            return df.withColumn("_b", lsh_bucket(F.col(vec_col), planes))
+            # r17: SQL-text twin — one expr round trip, same bits
+            return df.withColumn("_b", lsh_bucket_sql(f"`{vec_col}`", planes))
     else:
         raise ValueError(f"plane_mode must be literal|broadcast, got {plane_mode!r}")
 
@@ -364,19 +471,20 @@ def ivf_topk(
             F.explode(probe_col(F.col(vec_col))).alias("_cell"),
         )
     elif centroid_mode == "literal":
+        # r17: SQL-text twins — one expr round trip each, same bits
         c = corpus.select(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).alias("_cvec"),
             vec_norm(F.col(vec_col)).alias("_cnorm"),
-            ivf_assign(F.col(vec_col), centroids).alias("_cell"),
+            ivf_assign_sql(f"`{vec_col}`", centroids).alias("_cell"),
         )
         q = queries.select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("_qvec"),
             vec_norm(F.col(vec_col)).alias("_qnorm"),
-            F.explode(ivf_probe_cells(F.col(vec_col), centroids, nprobe)).alias(
-                "_cell"
-            ),
+            F.explode(
+                ivf_probe_cells_sql(f"`{vec_col}`", centroids, nprobe)
+            ).alias("_cell"),
         )
     else:
         raise ValueError(f"centroid_mode must be literal|broadcast, got {centroid_mode!r}")
@@ -414,7 +522,7 @@ def embedding_neardup_pairs(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_vec"),
         vec_norm(F.col(vec_col)).alias("_norm"),
-        lsh_bucket(F.col(vec_col), planes).alias("_bucket"),
+        lsh_bucket_sql(f"`{vec_col}`", planes).alias("_bucket"),
     )
     a, b = base.alias("a"), base.alias("b")
     sim = cosine_similarity(
@@ -644,7 +752,7 @@ def ivf_pq_topk(
         code_expr = pq_codes_arrow_udf(codebooks)(cvec)
         c = corpus.select(
             F.col(id_col).alias("neighbor_id"),
-            ivf_assign(F.col(vec_col), centroids).alias("_cell"),
+            ivf_assign_sql(f"`{vec_col}`", centroids).alias("_cell"),
             code_expr.alias("_pqcodes"),
         )
     elif encode == "expr":
@@ -657,9 +765,9 @@ def ivf_pq_topk(
         raise ValueError(f"encode must be arrow|expr, got {encode!r}")
     q = queries.join(cb).select(
         F.col(id_col).alias("query_id"),
-        F.explode(ivf_probe_cells(F.col(vec_col), centroids, nprobe)).alias(
-            "_cell"
-        ),
+        F.explode(
+            ivf_probe_cells_sql(f"`{vec_col}`", centroids, nprobe)
+        ).alias("_cell"),
         pq_luts_col(cvec, mat, sub_dim).alias("_luts"),
     )
     adc = F.aggregate(

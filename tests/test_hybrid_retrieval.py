@@ -91,3 +91,40 @@ def test_hybrid_and_negatives_duckdb_parity(spark, sf_dir):
         orows, ocols = _duck(sql, sf_dir)
         assert sorted(scols) == sorted(ocols)
         assert mod.rows_key(srows, scols) == mod.rows_key(orows, ocols)
+
+
+def test_sql_text_forms_bitwise(spark, sf_dir):
+    """r17: the SQL-text twins of the literal similarity expressions
+    (lsh_bucket_sql / ivf_assign_sql / ivf_probe_cells_sql) must be
+    bit-identical to their Column-API forms on the real corpus."""
+    from pyspark.sql import functions as F
+
+    from parquet_converters_spark.functions.similarity import (
+        hyperplanes,
+        ivf_assign,
+        ivf_assign_sql,
+        ivf_centroids,
+        ivf_probe_cells,
+        ivf_probe_cells_sql,
+        lsh_bucket,
+        lsh_bucket_sql,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    planes = hyperplanes(8, 64)
+    cens = ivf_centroids(8, 64)
+    df = emb.select(
+        "vec_id",
+        lsh_bucket(F.col("embedding"), planes).alias("b_col"),
+        lsh_bucket_sql("`embedding`", planes).alias("b_sql"),
+        ivf_assign(F.col("embedding"), cens).alias("a_col"),
+        ivf_assign_sql("`embedding`", cens).alias("a_sql"),
+        ivf_probe_cells(F.col("embedding"), cens, 4).alias("p_col"),
+        ivf_probe_cells_sql("`embedding`", cens, 4).alias("p_sql"),
+    )
+    bad = df.filter(
+        (F.col("b_col") != F.col("b_sql"))
+        | (F.col("a_col") != F.col("a_sql"))
+        | (F.col("p_col") != F.col("p_sql"))
+    ).count()
+    assert bad == 0

@@ -141,6 +141,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     shingle_size: int = 3,
     jaccard_threshold: float | None = None,
+    pair_distinct: bool = True,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via banded MinHash-LSH, optionally
     verified with exact shingle-set Jaccard.
@@ -150,6 +151,12 @@ def minhash_lsh_pairs(
     a self equi-join on (band, band_signature) — hash-shuffle on the
     bucket key, broadcast-free, skew handled by AQE.  Verification runs
     only on distinct candidate pairs.
+
+    ``pair_distinct=False`` skips the cross-band pair dedup shuffle: a
+    pair matching in several bands is then emitted once per band.  Only
+    for consumers whose result is invariant to duplicate edges (e.g.
+    connected components, whose own symmetric-edge ``distinct``
+    subsumes this one) — the r17 one-shuffle-fewer funnel path.
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_size).select(
@@ -186,8 +193,10 @@ def minhash_lsh_pairs(
             & (F.col("l._id") < F.col("r._id")),
         )
         .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
     )
+    if pair_distinct or jaccard_threshold is not None:
+        # verification must see each pair once (it scores per row)
+        cand = cand.dropDuplicates(["id_a", "id_b"])
 
     if jaccard_threshold is None:
         return cand.select("id_a", "id_b")
@@ -220,6 +229,7 @@ def near_dedup_pipeline(
     bands: int = 4,
     shingle_size: int = 3,
     jaccard_threshold: float | None = None,
+    pair_distinct: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Scale-safe near-dedup composition: exact dedup FIRST, MinHash-LSH
     over the unique-text representatives only.
@@ -240,7 +250,8 @@ def near_dedup_pipeline(
         groups.select(F.col("keep_id").alias(id_col)), id_col, "left_semi"
     )
     pairs = minhash_lsh_pairs(
-        reps, text_col, id_col, num_hashes, bands, shingle_size, jaccard_threshold
+        reps, text_col, id_col, num_hashes, bands, shingle_size,
+        jaccard_threshold, pair_distinct=pair_distinct,
     )
     return groups, pairs
 
@@ -439,8 +450,11 @@ def near_dedup_survivors(
     if precomputed is not None:
         groups, pairs = precomputed
     else:
+        # pairs feed ONLY connected components here, whose symmetric-edge
+        # distinct makes the cross-band pair dedup redundant (r17)
         groups, pairs = near_dedup_pipeline(
-            df, text_col, id_col, num_hashes=num_hashes, bands=bands
+            df, text_col, id_col, num_hashes=num_hashes, bands=bands,
+            pair_distinct=False,
         )
     comps = connected_components(pairs, src="id_a", dst="id_b", method=cc_method)
     losers = comps.filter(F.col("node") != F.col("component")).select(

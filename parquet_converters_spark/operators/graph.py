@@ -78,15 +78,31 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    labels = (
-        edges.select(F.col("u").alias("node"))
-        .distinct()
-        .withColumn("component", F.col("node"))
+    # r17: label init + round 1 fused into ONE groupBy job.  With the
+    # identity initial labeling (component = node), round 1's
+    # neighborhood minimum reduces to min(v) per u and the pointer jump
+    # is the identity, so the first round is a single aggregation over
+    # the symmetric edge table — whose groupBy keys ARE the node set,
+    # making the separate distinct-nodes checkpoint unnecessary.  Same
+    # fixed point bit-for-bit (monotone min updates), one job fewer.
+    obs0 = Observation()
+    first = (
+        edges.groupBy("u")
+        .agg(F.min("v").alias("_mn"))
+        .select(
+            F.col("u").alias("node"),
+            F.least(F.col("u"), F.col("_mn")).alias("component"),
+        )
+        .withColumn("_changed", F.col("component") < F.col("node"))
+        .observe(obs0, F.sum(F.col("_changed").cast("long")).alias("c"))
         .localCheckpoint(eager=True)
     )
-    converged = False
-    prev_ckpt = labels  # checkpointed frame backing the current labels
-    for _ in range(max_iter):
+    converged = not obs0.get["c"]
+    labels = first.drop("_changed")
+    prev_ckpt = first  # checkpointed frame backing the current labels
+    for _ in range(max_iter - 1):
+        if converged:
+            break
         nbr_min = (
             edges.join(
                 labels.select(

@@ -267,8 +267,12 @@ def prepare_corpus(
     # the report counts (the candidate join is the expensive stage);
     # groups feeds BOTH the survivors' representative semi-join and the
     # exact_unique report count, so persist it too
+    # pair_distinct=False: pairs feed ONLY connected components below,
+    # whose symmetric-edge distinct subsumes the cross-band pair dedup —
+    # one shuffle fewer on the funnel's hot path (r17)
     groups, pairs = near_dedup_pipeline(
-        quality, text_col, id_col, num_hashes=num_hashes, bands=bands
+        quality, text_col, id_col, num_hashes=num_hashes, bands=bands,
+        pair_distinct=False,
     )
     groups = groups.persist()
     # materialize=True: the survivors come back as an EAGER

@@ -85,9 +85,67 @@ def _ensure_session_confs(spark: SparkSession) -> None:
         pass  # conf locked down -> proceed with whatever the session has
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+# r17 (guide §2.5 input skew / §6 input splits): the bench tables are
+# single-row-group parquet files, so Spark's scan gives ONE row-carrying
+# task no matter how many byte-range splits it plans — every narrow
+# stage (md5 shingles, vector math, decimal aggregation) runs on one
+# core until the first exchange.  `_t` therefore hash-repartitions the
+# FACT tables to the session's parallelism when (and only when) the
+# physical layout cannot parallelize the scan: row_groups < cores.  On
+# a production multi-row-group/multi-file table the condition is false
+# and the plan is untouched — this is the guide's "repartition
+# immediately after the read" fix for unsplittable inputs, made
+# layout-adaptive rather than a local[32] constant.  Partitioning is by
+# the table's primary key (deterministic, no round-robin pre-sort, and
+# a downstream exchange on the same key at the same partition count is
+# reused).  Dimension tables (region..part) stay untouched: they ride
+# broadcasts, where an extra exchange is pure loss.
+_SPREAD_KEYS = {
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+    "lineitem": "l_orderkey",
+    "orders": "o_orderkey",
+    "events": "event_id",
+}
+_SPREAD_CACHE: dict[tuple[str, str], bool] = {}
+
+
+def _scan_needs_spread(sf_dir: str, name: str, target: int) -> bool:
+    key = (sf_dir, name)
+    if key not in _SPREAD_CACHE:
+        try:
+            import glob as _glob
+            import os as _os
+
+            import pyarrow.parquet as _pq
+
+            path = f"{sf_dir}/{name}.parquet"
+            files = (
+                sorted(_glob.glob(_os.path.join(path, "*.parquet")))
+                if _os.path.isdir(path)
+                else [path]
+            )
+            row_groups = sum(
+                _pq.ParquetFile(f).metadata.num_row_groups for f in files
+            )
+            _SPREAD_CACHE[key] = 0 < row_groups < target
+        except Exception:
+            # non-local path / unreadable footer: leave the scan alone
+            _SPREAD_CACHE[key] = False
+    return _SPREAD_CACHE[key]
+
+
+def _t(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool = True
+) -> DataFrame:
     _ensure_session_confs(spark)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    key = _SPREAD_KEYS.get(name)
+    if spread and key is not None:
+        target = spark.sparkContext.defaultParallelism
+        if _scan_needs_spread(sf_dir, name, target):
+            df = df.repartition(target, F.col(key))
+    return df
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3046,7 +3104,11 @@ def crawl_prep_funnel_full(spark, sf_dir):
     ).persist()
     try:
         survivors = flags.filter("ke").select("doc_id", "text")
-        pairs = minhash_lsh_pairs(survivors, num_hashes=8, bands=4)
+        # pair_distinct=False: CC's symmetric-edge distinct subsumes the
+        # cross-band pair dedup — one shuffle fewer (r17)
+        pairs = minhash_lsh_pairs(
+            survivors, num_hashes=8, bands=4, pair_distinct=False
+        )
         comp = connected_components(pairs)
         dropped = comp.filter(F.col("component") < F.col("node")).select(
             F.col("node").alias("doc_id")
@@ -3061,28 +3123,34 @@ def crawl_prep_funnel_full(spark, sf_dir):
                 F.when(F.col(flag), F.col("doc_id"))
             ).cast("long")
 
-        r1 = flags.agg(
-            F.count(F.lit(1)).cast("long").alias("n0"),
-            F.sum("doc_id").cast("long").alias("s0"),
-            _n("ok").alias("n1"), _s("ok").alias("s1"),
-            _n("oa").alias("n2"), _s("oa").alias("s2"),
-            _n("oal").alias("n3"), _s("oal").alias("s3"),
-            _n("ku").alias("n4"), _s("ku").alias("s4"),
-            _n("ke").alias("n5"), _s("ke").alias("s5"),
-        ).collect()[0]
-        r2 = near.agg(
-            F.count(F.lit(1)).cast("long").alias("n6"),
-            F.sum("doc_id").cast("long").alias("s6"),
-        ).collect()[0]
+        # one collect for the whole report: both sides are 1-row
+        # aggregates, so the cross join is a scalar combine (r17 —
+        # previously two sequential collect jobs)
+        r1 = (
+            flags.agg(
+                F.count(F.lit(1)).cast("long").alias("n0"),
+                F.sum("doc_id").cast("long").alias("s0"),
+                _n("ok").alias("n1"), _s("ok").alias("s1"),
+                _n("oa").alias("n2"), _s("oa").alias("s2"),
+                _n("oal").alias("n3"), _s("oal").alias("s3"),
+                _n("ku").alias("n4"), _s("ku").alias("s4"),
+                _n("ke").alias("n5"), _s("ke").alias("s5"),
+            )
+            .crossJoin(
+                near.agg(
+                    F.count(F.lit(1)).cast("long").alias("n6"),
+                    F.sum("doc_id").cast("long").alias("s6"),
+                )
+            )
+            .collect()[0]
+        )
     finally:
         flags.unpersist()
     names = [
         "responses", "http_ok", "robots_allowed", "min_length",
         "url_canonical", "dedup_exact", "dedup_near",
     ]
-    vals = [
-        (r1[f"n{i}"], r1[f"s{i}"]) for i in range(6)
-    ] + [(r2["n6"], r2["s6"])]
+    vals = [(r1[f"n{i}"], r1[f"s{i}"]) for i in range(7)]
     from parquet_converters_spark.session import values_df
 
     return values_df(
@@ -7102,7 +7170,10 @@ def _zorder_files(spark, sf_dir, exact=None):
     """Internal: the per-file zone-map aggregate, with ``_z_min`` /
     ``_z_max`` audit columns retained so tests can assert the gated
     range-partitioned layout yields disjoint z-ranges."""
-    li = _t(spark, sf_dir, "lineitem").select(
+    # spread=False: the inexact branch derives file_id from the range
+    # partitioner's sampled boundaries, which are input-layout dependent
+    # — keep the scan layout exactly as on disk (r17)
+    li = _t(spark, sf_dir, "lineitem", spread=False).select(
         "l_orderkey", "l_linenumber", "l_partkey"
     )
     ext = li.agg(

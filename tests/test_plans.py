@@ -4,11 +4,33 @@ scan-level predicate pushdown, join-free as-of, single-shuffle
 windows) are checked on the actual executed/optimized plans, not
 assumed from the DataFrame code."""
 
+import contextlib
+
 from pyspark.sql import functions as F
 
 
 def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
+
+
+@contextlib.contextmanager
+def _no_spread(sf_dir):
+    """Assert the PRODUCTION plan shape.  On a real multi-row-group
+    table the r17 scan-spread repartition (queries._t) is a no-op
+    (row_groups >= cores), so narrow-pass / single-shuffle / read-schema
+    invariants are what the plan looks like at scale; the bench-scale
+    spread exchange would otherwise add a REPARTITION_BY_NUM node and
+    pull the partition key into ReadSchema."""
+    from parquet_converters_spark import queries as Q
+
+    saved = dict(Q._SPREAD_CACHE)
+    for name in Q._SPREAD_KEYS:
+        Q._SPREAD_CACHE[(sf_dir, name)] = False
+    try:
+        yield
+    finally:
+        Q._SPREAD_CACHE.clear()
+        Q._SPREAD_CACHE.update(saved)
 
 
 def test_q6_filters_reach_scan(spark, sf_dir):
@@ -161,6 +183,26 @@ def test_gopher_report_is_single_pass(spark, sf_dir):
     assert plan.count("FileScan") == 1, plan[:800]
 
 
+def test_scan_spread_parallelizes_single_row_group(spark, sf_dir):
+    """r17 scan spread: a single-row-group fact table is repartitioned
+    to the session parallelism (the scan itself cannot parallelize), and
+    predicate pushdown still reaches the parquet scan through the spread
+    exchange."""
+    from parquet_converters_spark import queries as Q
+
+    Q._SPREAD_CACHE.pop((sf_dir, "lineitem"), None)
+    df = Q._t(spark, sf_dir, "lineitem")
+    assert (
+        df.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    )
+    plan = _plan(df.filter(F.col("l_quantity") < 5).select("l_quantity"))
+    scan = plan[plan.find("FileScan"):]
+    pushed = scan[
+        scan.find("PushedFilters"): scan.find("]", scan.find("PushedFilters"))
+    ]
+    assert "l_quantity" in pushed, pushed
+
+
 def test_expectations_row_rules_single_scan(spark, sf_dir):
     """The five row-level expectations share ONE lineitem scan/agg
     reading exactly the five ruled columns; the referential check adds
@@ -170,7 +212,8 @@ def test_expectations_row_rules_single_scan(spark, sf_dir):
 
     from parquet_converters_spark.queries import expectations_report
 
-    plan = _plan(expectations_report(spark, sf_dir))
+    with _no_spread(sf_dir):
+        plan = _plan(expectations_report(spark, sf_dir))
     scans = re.findall(r"FileScan parquet \[([^\]]*)\]", plan)
     assert len(scans) <= 4, plan[:1200]
     wide = [s for s in scans if s.count(",") >= 1]
@@ -229,7 +272,8 @@ def test_quantize_audit_single_shuffle(spark, sf_dir):
     else."""
     from parquet_converters_spark.queries import embedding_quantize_error
 
-    plan = _plan(embedding_quantize_error(spark, sf_dir))
+    with _no_spread(sf_dir):
+        plan = _plan(embedding_quantize_error(spark, sf_dir))
     # final orderBy adds a range-partition exchange over 10 rows; the
     # data path itself must shuffle once
     assert plan.count("Exchange hashpartitioning") == 1, plan[:1200]
@@ -261,7 +305,8 @@ def test_pii_redact_is_single_narrow_pass(spark, sf_dir):
     aggregation, no exchange except the final orderBy."""
     from parquet_converters_spark.queries import text_pii_redact
 
-    plan = _plan(text_pii_redact(spark, sf_dir))
+    with _no_spread(sf_dir):
+        plan = _plan(text_pii_redact(spark, sf_dir))
     assert "Join" not in plan, plan[:800]
     assert "Exchange hashpartitioning" not in plan, plan[:800]
 

@@ -100,12 +100,17 @@ def _ensure_session_confs(spark: SparkSession) -> None:
 # a downstream exchange on the same key at the same partition count is
 # reused).  Dimension tables (region..part) stay untouched: they ride
 # broadcasts, where an extra exchange is pure loss.
+# Measured per table on the full bench (entry-by-entry vs baseline):
+# documents -8.0 s / embeddings (with the sim SQL-text twins) -15.0 s /
+# lineitem -4.3 s net; events +4.9 s and orders +2.0 s NET LOSS — their
+# queries are date/key aggregations whose narrow compute is trivial, so
+# the spread exchange (paid once per scan branch) costs more than the
+# single-task scan it parallelizes.  Spread therefore covers only the
+# compute-heavy tables.
 _SPREAD_KEYS = {
     "documents": "doc_id",
     "embeddings": "vec_id",
     "lineitem": "l_orderkey",
-    "orders": "o_orderkey",
-    "events": "event_id",
 }
 _SPREAD_CACHE: dict[tuple[str, str], bool] = {}
 
@@ -1131,7 +1136,8 @@ ORDER BY range_id
 # ===========================================================================
 
 def dedup_exact(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    # spread=False: doc-level md5 is cheap; measured +0.24 s with spread
+    docs = _t(spark, sf_dir, "documents", spread=False)
     return exact_dedup(docs).orderBy("content_hash")
 
 
@@ -7262,7 +7268,9 @@ def vocab_growth_by_source(spark, sf_dir):
     division, so the result is hash-exact.  At 100 TB this is the
     same plan: the (source, token) aggregate is the wordcount shuffle
     and nothing else grows."""
-    docs = _t(spark, sf_dir, "documents")
+    # spread=False: measured +0.28 s with spread (the wordcount shuffle
+    # immediately follows; map-side partials already parallelize it)
+    docs = _t(spark, sf_dir, "documents", spread=False)
     per_tok = (
         docs.select("source", F.explode(tokens("text")).alias("token"))
         .groupBy("source", "token")
@@ -7513,7 +7521,8 @@ def lsh_pair_eval(spark, sf_dir):
     runs per-shard before trusting its candidate generator."""
     from parquet_converters_spark.functions.dedup import content_hash
 
-    docs = _t(spark, sf_dir, "documents").select(
+    # spread=False: doc-level md5 only; measured +0.16 s with spread
+    docs = _t(spark, sf_dir, "documents", spread=False).select(
         "doc_id", content_hash("text").alias("ch")
     )
     pairs = _dedup_cached(spark, sf_dir, "docs_pairs")
@@ -9287,7 +9296,11 @@ def sparse_cosine_topk(spark, sf_dir):
     tie-break."""
     from parquet_converters_spark.functions.retrieval import tfidf_terms
 
-    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    # spread=False: the doc_id<200 pushdown leaves ~4% of the table;
+    # measured +0.51 s with spread (extra exchange per join branch)
+    docs = _t(spark, sf_dir, "documents", spread=False).where(
+        F.col("doc_id") < 200
+    )
     w_doc = Window.partitionBy("doc_id").orderBy(
         F.col("tfidf").desc(), "token"
     )
@@ -10291,7 +10304,8 @@ def source_terms_ctfidf(spark, sf_dir):
         source_distinctive_terms,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    # spread=False: wordcount-shuffle shape; measured +0.27 s with spread
+    docs = _t(spark, sf_dir, "documents", spread=False)
     return (
         source_distinctive_terms(docs, top_k=5)
         .withColumnRenamed("grp", "source")

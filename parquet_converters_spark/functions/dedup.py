@@ -159,8 +159,14 @@ def minhash_lsh_pairs(
     subsumes this one) — the r17 one-shuffle-fewer funnel path.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_size).select(
-        F.col(id_col).alias("_id"), F.col("signature").alias("_sig")
+    # r17: row-local signature expression instead of explode + groupBy —
+    # same values bit-for-bit (identical permutation arithmetic over the
+    # same shingle hashes; asserted mismatch-free on the corpus), but
+    # ZERO shuffle before banding: the explode+groupBy form exchanges a
+    # partial-agg row per document just to reassemble the signature.
+    sig = df.select(
+        F.col(id_col).alias("_id"),
+        minhash_signature(text_col, num_hashes, shingle_size).alias("_sig"),
     )
     banded = sig.select(
         "_id",

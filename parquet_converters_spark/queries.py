@@ -1941,7 +1941,6 @@ def transcode_census(spark, sf_dir):
 
     docs = (
         _t(spark, sf_dir, "documents").select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism)
     )
 
     def build(batches):
@@ -2169,7 +2168,6 @@ def image_dhash_census(spark, sf_dir):
         _t(spark, sf_dir, "documents").select("doc_id")
         # round-robin the bare 8-byte ids so the Arrow build+hash
         # stage spreads over every core, not the parquet split count
-        .repartition(spark.sparkContext.defaultParallelism)
     )
 
     def build(batches):
@@ -2278,7 +2276,6 @@ def image_dhash_neardup(spark, sf_dir):
         _t(spark, sf_dir, "documents")
         .select("doc_id")
         .filter(F.col("doc_id") % 8 < 2)
-        .repartition(spark.sparkContext.defaultParallelism)
     )
 
     def build(batches):
@@ -2363,7 +2360,6 @@ def image_phash_census(spark, sf_dir):
 
     docs = (
         _t(spark, sf_dir, "documents").select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism)
     )
 
     def build(batches):
@@ -2423,7 +2419,6 @@ def image_phash_neardup(spark, sf_dir):
         _t(spark, sf_dir, "documents")
         .select("doc_id")
         .filter(F.col("doc_id") % 8 < 2)
-        .repartition(spark.sparkContext.defaultParallelism)
     )
 
     def build(batches):
@@ -2543,7 +2538,6 @@ def warc_text_census(spark, sf_dir):
 
     docs = (
         _t(spark, sf_dir, "documents").select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism)
     )
 
     def build(batches):
@@ -2686,7 +2680,6 @@ def robots_gate_census(spark, sf_dir):
         _t(spark, sf_dir, "documents").select("doc_id")
         # round-robin the bare ids so the per-URL decision stage runs
         # on every core, not the parquet split count
-        .repartition(spark.sparkContext.defaultParallelism)
     )
     v = (F.col("doc_id") % 6).cast("int")
     p = (F.col("doc_id") % 5).cast("int")
@@ -2781,7 +2774,6 @@ def crawl_prep_funnel(spark, sf_dir):
 
     docs = (
         _t(spark, sf_dir, "documents").select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism)
     )
 
     def build(batches):
@@ -2999,7 +2991,6 @@ def crawl_prep_funnel_full(spark, sf_dir):
 
     docs = (
         _t(spark, sf_dir, "documents").select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism)
     )
 
     def build(batches):
@@ -3299,7 +3290,6 @@ def warc_revisit_census(spark, sf_dir):
 
     docs = (
         _t(spark, sf_dir, "documents").select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism)
     )
     _IPD = "http://netpreserve.org/warc/1.0/revisit/identical-payload-digest"
     _SNM = "http://netpreserve.org/warc/1.0/revisit/server-not-modified"
@@ -3451,7 +3441,6 @@ def cdx_index_census(spark, sf_dir):
 
     docs = (
         _t(spark, sf_dir, "documents").select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism)
     )
 
     def build(batches):
@@ -3559,7 +3548,6 @@ def stream_crawl_ingest(spark, sf_dir):
 
     docs = (
         _t(spark, sf_dir, "documents").select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism)
     )
 
     def build(batches):
@@ -3633,7 +3621,6 @@ def audio_fingerprint_census(spark, sf_dir):
 
     docs = (
         _t(spark, sf_dir, "documents").select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism)
     )
 
     def build(batches):
@@ -3798,7 +3785,6 @@ def audio_fp_dedup(spark, sf_dir):
 
     docs = (
         _t(spark, sf_dir, "documents").select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism)
     )
 
     def build(batches):
@@ -3881,7 +3867,6 @@ def video_dhash_census(spark, sf_dir):
 
     docs = (
         _t(spark, sf_dir, "documents").select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism)
     )
 
     def build(batches):
@@ -3945,7 +3930,6 @@ def stream_image_dedup(spark, sf_dir):
 
     docs = (
         _t(spark, sf_dir, "documents").select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism)
     )
 
     def build(batches):

@@ -112,32 +112,54 @@ _SPREAD_KEYS = {
     "embeddings": "vec_id",
     "lineitem": "l_orderkey",
 }
-_SPREAD_CACHE: dict[tuple[str, str], bool] = {}
+# (sf_dir, name) -> (layout stamp, decision).  The stamp (per-file
+# mtime+size) invalidates the cached layout decision when a table is
+# rewritten in-session (layout change, regen) instead of silently
+# keeping the stale one (ADVICE r17).
+_SPREAD_CACHE: dict[tuple[str, str], tuple[tuple, bool] | bool] = {}
+# test seam: force a decision per (sf_dir, name) regardless of layout
+# (tests assert the production no-spread plan shape on bench tables)
+_SPREAD_OVERRIDE: dict[tuple[str, str], bool] = {}
 
 
 def _scan_needs_spread(sf_dir: str, name: str, target: int) -> bool:
     key = (sf_dir, name)
-    if key not in _SPREAD_CACHE:
-        try:
-            import glob as _glob
-            import os as _os
+    if key in _SPREAD_OVERRIDE:
+        return _SPREAD_OVERRIDE[key]
+    try:
+        import glob as _glob
+        import os as _os
 
-            import pyarrow.parquet as _pq
+        path = f"{sf_dir}/{name}.parquet"
+        files = (
+            sorted(_glob.glob(_os.path.join(path, "*.parquet")))
+            if _os.path.isdir(path)
+            else [path]
+        )
+        stamp = tuple(
+            (f, int(_os.path.getmtime(f)), _os.path.getsize(f))
+            for f in files
+        )
+    except Exception:
+        files, stamp = [], ()
+    cached = _SPREAD_CACHE.get(key)
+    # plain-bool entries (legacy direct mutation) are honored as-is
+    if isinstance(cached, bool):
+        return cached
+    if cached is not None and cached[0] == stamp:
+        return cached[1]
+    try:
+        import pyarrow.parquet as _pq
 
-            path = f"{sf_dir}/{name}.parquet"
-            files = (
-                sorted(_glob.glob(_os.path.join(path, "*.parquet")))
-                if _os.path.isdir(path)
-                else [path]
-            )
-            row_groups = sum(
-                _pq.ParquetFile(f).metadata.num_row_groups for f in files
-            )
-            _SPREAD_CACHE[key] = 0 < row_groups < target
-        except Exception:
-            # non-local path / unreadable footer: leave the scan alone
-            _SPREAD_CACHE[key] = False
-    return _SPREAD_CACHE[key]
+        row_groups = sum(
+            _pq.ParquetFile(f).metadata.num_row_groups for f in files
+        )
+        decision = 0 < row_groups < target
+    except Exception:
+        # non-local path / unreadable footer: leave the scan alone
+        decision = False
+    _SPREAD_CACHE[key] = (stamp, decision)
+    return decision
 
 
 def _t(
@@ -6348,7 +6370,14 @@ def dedup_incremental_bloom(spark, sf_dir):
     from parquet_converters_spark.functions.text import doc_fingerprint
     from parquet_converters_spark.operators.bloom import bloom_build, bloom_prune
 
-    docs = _t(spark, sf_dir, "documents")
+    # spread=False (r18, VERDICT r17 item 1): this query fans `documents`
+    # into corpus x2 (bloom build + exact semi-join) and batch x2 (prune
+    # + final join) — four scan branches, each of which re-pays the
+    # spread exchange (plan 10 -> 16 Exchange, driver-measured 2.0x
+    # slower).  The per-branch narrow work is a substring(80) md5 —
+    # the same "trivial narrow compute" class the r17 A/B opted out
+    # for events/orders.
+    docs = _t(spark, sf_dir, "documents", spread=False)
     fp = doc_fingerprint(F.substring("text", 1, 80))
     is_batch = h32(F.col("doc_id").cast("string")) % 10 < 3
     corpus = docs.filter(~is_batch).select(fp.alias("fp")).distinct()
@@ -6546,12 +6575,18 @@ def hybrid_rrf_search(spark, sf_dir, n_queries=5):
     from parquet_converters_spark.functions.similarity import cosine_topk
     from parquet_converters_spark.functions.text import shingles
 
-    emb = _t(spark, sf_dir, "embeddings")
+    # spread=False (r18, VERDICT r17 item 1): the r17 blanket spread made
+    # every branch of the dense + lexical retrievers re-pay the spread
+    # exchange (plan 16 -> 24 Exchange, driver -14%).  A corpus-only
+    # spread split was A/B'd and lost too (+0.25 s: the second _t branch
+    # and duplicated shingle tree cost more driver build time than the
+    # spread saves) — the r16 unspread shape is the measured winner.
+    emb = _t(spark, sf_dir, "embeddings", spread=False)
     dense = cosine_topk(
         emb, emb.filter(F.col("vec_id") < n_queries), k=_RRF_TOPK_EACH
     ).select("query_id", F.col("rank").alias("dense_rank"), "neighbor_id")
 
-    docs = _t(spark, sf_dir, "documents").select(
+    docs = _t(spark, sf_dir, "documents", spread=False).select(
         "doc_id", F.array_distinct(shingles("text")).alias("sh")
     )
     qdocs = docs.filter(F.col("doc_id") < n_queries).select(
@@ -8821,7 +8856,12 @@ def equi_depth_histogram(spark, sf_dir, exact=None):
                     if hi == lo or hk == lk:
                         raw.append(float(lk))
                     else:
-                        raw.append((hi - pos) * lk + (pos - hi + 1) * hk)
+                        # weight the higher key by (pos - lo), exactly as
+                        # Spark's Percentile does — (pos - hi + 1) is
+                        # algebraically equal but 1 ulp off whenever
+                        # pos < 0.5 (ADVICE r17), breaking the
+                        # bit-for-bit claim on tiny inputs
+                        raw.append((hi - pos) * lk + (pos - lo) * hk)
                 bounds = values_df(
                     spark,
                     [tuple(raw)],
@@ -10950,6 +10990,14 @@ def revenue_share_in_region(spark, sf_dir):
     grains are pre-aggregated before any ratio math — the region
     re-aggregate is |nations| rows joined back broadcast, never an
     ungrouped window over fact rows."""
+    # spread kept (r18 A/B, VERDICT r17 item 1 follow-up): the r17 plan
+    # grew 26 -> 30 Exchange (the spread paid once per `rev` branch),
+    # but removing it serializes the decimal revenue multiply onto the
+    # single scan task for BOTH rev branches — measured min-of-3
+    # fresh-JVM at sf0.1/local[32]: 1.10 s with spread vs 1.88 s
+    # without.  No driver timing contradicts (the query fell out of
+    # the bench top-25 window in r17); plan size is the price of
+    # 32-way parallel narrow work here.
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")

@@ -79,7 +79,25 @@ def values_df(spark: SparkSession, rows, schema: str):
     cols = []
     for part in schema.split(","):
         name, typ = part.replace(":", " ").split(None, 1)
-        cols.append((name.strip(), typ.strip()))
+        typ = typ.strip()
+        # the naive comma split above cannot handle parameterized or
+        # nested types (decimal(38,0), array<int>, map<string,int>) —
+        # they would silently mis-split into garbage columns.  Refuse
+        # loudly instead (ADVICE r17); every report-frame call site is
+        # scalar-typed.
+        if "(" in typ or "<" in typ:
+            raise ValueError(
+                "values_df: parameterized/nested type "
+                f"{typ!r} unsupported (scalar DDL types only)"
+            )
+        cols.append((name.strip(), typ))
+    width = len(cols)
+    for i, row in enumerate(rows):
+        if len(row) != width:
+            raise ValueError(
+                f"values_df: row {i} has {len(row)} cells, "
+                f"schema declares {width} columns"
+            )
 
     def lit(v):
         if v is None:

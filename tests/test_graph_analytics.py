@@ -144,9 +144,9 @@ def test_pagerank_50_iterations_bounded_plan(spark):
 
     edges = [(0, 1), (1, 0), (1, 2), (2, 0), (2, 1), (0, 2), (3, 0), (0, 3)]
     df = spark.createDataFrame(edges, "src long, dst long")
-    ranks = pagerank(df, iterations=50)  # default checkpoint_every=10
+    ranks = pagerank(df, iterations=50)  # default checkpoint_every=5
     plan = ranks._jdf.queryExecution().optimizedPlan().toString()
-    # lineage truncation: only the last <=10 iterations of joins survive
+    # lineage truncation: only the last <=5 iterations of joins survive
     # in the plan (a full 50-iteration unroll would carry ~4 "Join"
     # tokens per iteration, ~200 total)
     assert plan.count("Join") <= 50, plan.count("Join")

@@ -114,5 +114,27 @@ def test_distributed_exact_bounds_match_percentile_agg(spark, sf_dir):
         if hi == lo or hk == lk:
             got.append(float(lk))
         else:
-            got.append((hi - pos) * lk + (pos - hi + 1) * hk)
+            # (pos - lo), matching Spark's Percentile interpolation
+            # weight exactly (ADVICE r17: (pos - hi + 1) is 1 ulp off
+            # for positions < 0.5)
+            got.append((hi - pos) * lk + (pos - lo) * hk)
     assert got == want  # bit-for-bit, no tolerance
+
+
+def test_interpolation_weight_matches_percentile_on_tiny_input(spark):
+    """ADVICE r17 regression: positions < 0.5 (tiny n) exercise the
+    (pos - lo) vs (pos - hi + 1) ulp divergence; the driver-side
+    interpolation must match Spark's percentile bit-for-bit there
+    too."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(0.0,), (1.0,)], "v double")
+    want = float(
+        df.agg(F.expr("percentile(v, 0.3)").alias("p")).collect()[0]["p"]
+    )
+    pos = 0.3 * (2 - 1)
+    lo, hi = int(math.floor(pos)), int(math.ceil(pos))
+    got = (hi - pos) * 0.0 + (pos - lo) * 1.0
+    assert got == want  # 0.3 exactly; the old formula gave 0.30000000000000004

@@ -122,9 +122,12 @@ def test_sql_text_forms_bitwise(spark, sf_dir):
         ivf_probe_cells(F.col("embedding"), cens, 4).alias("p_col"),
         ivf_probe_cells_sql("`embedding`", cens, 4).alias("p_sql"),
     )
+    # eqNullSafe: a plain != is null-masked, so a NULL on either side
+    # (e.g. a null embedding row) would silently NOT count as a
+    # mismatch and void the bitwise guarantee (ADVICE r17)
     bad = df.filter(
-        (F.col("b_col") != F.col("b_sql"))
-        | (F.col("a_col") != F.col("a_sql"))
-        | (F.col("p_col") != F.col("p_sql"))
+        ~F.col("b_col").eqNullSafe(F.col("b_sql"))
+        | ~F.col("a_col").eqNullSafe(F.col("a_sql"))
+        | ~F.col("p_col").eqNullSafe(F.col("p_sql"))
     ).count()
     assert bad == 0

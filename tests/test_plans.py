@@ -23,14 +23,14 @@ def _no_spread(sf_dir):
     pull the partition key into ReadSchema."""
     from parquet_converters_spark import queries as Q
 
-    saved = dict(Q._SPREAD_CACHE)
+    saved = dict(Q._SPREAD_OVERRIDE)
     for name in Q._SPREAD_KEYS:
-        Q._SPREAD_CACHE[(sf_dir, name)] = False
+        Q._SPREAD_OVERRIDE[(sf_dir, name)] = False
     try:
         yield
     finally:
-        Q._SPREAD_CACHE.clear()
-        Q._SPREAD_CACHE.update(saved)
+        Q._SPREAD_OVERRIDE.clear()
+        Q._SPREAD_OVERRIDE.update(saved)
 
 
 def test_q6_filters_reach_scan(spark, sf_dir):

@@ -25,6 +25,7 @@ before data size.
 
 from __future__ import annotations
 
+import contextlib
 import warnings
 
 from pyspark.sql import DataFrame, Observation, functions as F
@@ -35,6 +36,106 @@ from parquet_converters_spark.session import free_local_checkpoints
 class ConvergenceWarning(UserWarning):
     """Raised as a warning when an iterative operator exits on
     ``max_iter`` without reaching its fixed point."""
+
+
+# Edge-count cap for the driver-side union-find fallback of
+# connected_components.  200k symmetric edge rows collect to ~3 MB and
+# union-find them in milliseconds — far below any driver-memory or
+# maxResultSize concern — while a 100 TB near-dup graph (edges >> cap)
+# always takes the distributed rounds.  The labels are a graph
+# property (each node's component MINIMUM), so both algorithms produce
+# byte-identical values; the threshold only picks which machine does
+# the tiny amount of work, exactly like a broadcast-join size
+# threshold (guide §1.2 "algorithm first", §3.1).
+_CC_DRIVER_MAX_EDGES = 200_000
+
+# Target rows per shuffle partition for the per-round label/edge jobs
+# of the iterative operators.  A symmetric edge row is two longs
+# (~32 B unsafe-row), so 1M rows ≈ 32 MB per partition — the low end
+# of the guide's 100 MB-1 GB band, erring toward parallelism.  The
+# count only ever REDUCES the session's shuffle partitions (never
+# raises them), so a genuinely large graph keeps the session layout.
+_STATE_ROWS_PER_PARTITION = 1_000_000
+
+
+def _cc_labels_driver(spark, edges: DataFrame, dtype: str) -> DataFrame:
+    """Union-find the (already materialized, <= _CC_DRIVER_MAX_EDGES
+    row) edge table on the driver and return the (node, component)
+    labels as a LocalRelation.
+
+    Values are identical to the distributed rounds by construction:
+    both compute each node's component minimum, which does not depend
+    on the algorithm.  Every distributed round is otherwise a
+    driver-serialized job whose fixed scheduling cost (~0.3 s each at
+    bench scale) dwarfs the actual label work on a small graph.
+    """
+    from parquet_converters_spark.session import values_df
+
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in edges.collect():
+        u, v = r[0], r[1]
+        if u not in parent:
+            parent[u] = u
+        if v not in parent:
+            parent[v] = v
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+    comp_min: dict = {}
+    for node in parent:
+        root = find(node)
+        m = comp_min.get(root)
+        if m is None or node < m:
+            comp_min[root] = node
+    rows = sorted((n, comp_min[find(n)]) for n in parent)
+    return values_df(spark, rows, f"node {dtype}, component {dtype}")
+
+
+@contextlib.contextmanager
+def _state_shuffle_scope(spark, n_rows: int):
+    """Scale ``spark.sql.shuffle.partitions`` to the iterative STATE
+    size for the duration of the eager per-round jobs, then restore.
+
+    Why (r18, guide §2.2/§2.6): each CC round is a driver-serialized
+    job over a node/edge table that is usually orders of magnitude
+    smaller than the corpus that produced it (sf0.1 near-dup graph:
+    1,724 edges).  At the session's corpus-sized partition count every
+    round pays (stages x partitions) empty-task scheduling — the r17
+    driver scaling block measured the iterative family FASTER at 8
+    cores than 32 for exactly this reason.  AQE cannot help: its
+    coalescing floor is the session parallelism
+    (``coalescePartitions.parallelismFirst`` default).
+
+    Derived from the observed row count (not the local core count), so
+    production-scale graphs are untouched.  Only valid around
+    order-insensitive state updates (CC labels are integer ``min``s) —
+    never around float aggregations, where partial-aggregation order
+    would change the bits.
+    """
+    conf = spark.conf
+    try:
+        cur = int(conf.get("spark.sql.shuffle.partitions"))
+    except Exception:  # non-numeric/unset: leave the session alone
+        yield
+        return
+    k = max(1, min(cur, -(-int(n_rows) // _STATE_ROWS_PER_PARTITION)))
+    if k >= cur:
+        yield
+        return
+    conf.set("spark.sql.shuffle.partitions", str(k))
+    try:
+        yield
+    finally:
+        conf.set("spark.sql.shuffle.partitions", str(cur))
 
 
 def connected_components(
@@ -72,12 +173,32 @@ def connected_components(
     if method != "hash_to_min":
         raise ValueError(f"unknown method {method!r} (hash_to_min | star)")
 
+    # the edge count rides the checkpoint job via observe() (no extra
+    # action); it sizes the per-round shuffle partitions below
+    obs_e = Observation()
     edges = (
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .unionByName(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
+        .observe(obs_e, F.count(F.lit(1)).alias("n"))
         .localCheckpoint(eager=True)
     )
+    n_edges = obs_e.get["n"]
+    # r18 scale-adaptive algorithm switch (guide §1.2): below the cap,
+    # union-find the materialized edge table on the driver — the labels
+    # (component minimum per node) are byte-identical, and the 4-6
+    # driver-serialized round jobs collapse into one bounded collect.
+    # Integral node ids only: Python and Spark agree on integer
+    # ordering unconditionally; anything else keeps the general path.
+    dtype = dict(edges.dtypes)["u"]
+    if n_edges <= _CC_DRIVER_MAX_EDGES and dtype in (
+        "tinyint", "smallint", "int", "bigint"
+    ):
+        labels = _cc_labels_driver(pairs.sparkSession, edges, dtype)
+        free_local_checkpoints(edges)
+        if materialize:
+            return labels.localCheckpoint(eager=True)
+        return labels
     # r17: label init + round 1 fused into ONE groupBy job.  With the
     # identity initial labeling (component = node), round 1's
     # neighborhood minimum reduces to min(v) per u and the pointer jump
@@ -85,82 +206,92 @@ def connected_components(
     # the symmetric edge table — whose groupBy keys ARE the node set,
     # making the separate distinct-nodes checkpoint unnecessary.  Same
     # fixed point bit-for-bit (monotone min updates), one job fewer.
-    obs0 = Observation()
-    first = (
-        edges.groupBy("u")
-        .agg(F.min("v").alias("_mn"))
-        .select(
-            F.col("u").alias("node"),
-            F.least(F.col("u"), F.col("_mn")).alias("component"),
-        )
-        .withColumn("_changed", F.col("component") < F.col("node"))
-        .observe(obs0, F.sum(F.col("_changed").cast("long")).alias("c"))
-        .localCheckpoint(eager=True)
-    )
-    converged = not obs0.get["c"]
-    labels = first.drop("_changed")
-    prev_ckpt = first  # checkpointed frame backing the current labels
-    for _ in range(max_iter - 1):
-        if converged:
-            break
-        nbr_min = (
-            edges.join(
-                labels.select(
-                    F.col("node").alias("v"), F.col("component").alias("v_comp")
-                ),
-                "v",
-            )
-            .groupBy("u")
-            .agg(F.min("v_comp").alias("nbr_comp"))
-        )
-        # r17 optimizations, same fixed point bit-for-bit:
-        # (1) pointer jumping — after taking the neighborhood minimum,
-        #     each node also adopts its candidate label's OWN label
-        #     (labels only ever hold node ids of the same component, and
-        #     the update stays monotone non-increasing, so the fixed
-        #     point — every node labeled with its component minimum —
-        #     is unchanged while chains collapse in O(log diameter)
-        #     rounds instead of O(diameter); measured 6 -> 3 rounds on
-        #     the sf0.1 embedding near-dup graph);
-        # (2) the convergence counter rides the checkpoint job itself
-        #     via observe() (the observability.py pattern): ONE job per
-        #     round instead of checkpoint + a second count action.
-        cand = labels.join(nbr_min, labels.node == nbr_min.u, "left").select(
-            "node",
-            F.col("component").alias("_prev"),
-            F.least(
-                F.col("component"), F.coalesce(F.col("nbr_comp"), F.col("component"))
-            ).alias("_cand"),
-        )
-        jump = labels.select(
-            F.col("node").alias("_jn"), F.col("component").alias("_jc")
-        )
-        obs = Observation()
-        new_labels = (
-            cand.join(jump, cand._cand == jump._jn, "left")
+    # r18: every eager round job below runs with shuffle partitions
+    # sized to the EDGE table (1,724 rows at sf0.1 vs a 32-partition
+    # session layout) — the labels are integer mins, so the repartition
+    # cannot change a value, only the empty-task scheduling cost
+    with _state_shuffle_scope(pairs.sparkSession, n_edges):
+        obs0 = Observation()
+        first = (
+            edges.groupBy("u")
+            .agg(F.min("v").alias("_mn"))
             .select(
-                "node",
-                F.least(
-                    F.col("_cand"), F.coalesce(F.col("_jc"), F.col("_cand"))
-                ).alias("component"),
-                F.col("_prev"),
+                F.col("u").alias("node"),
+                F.least(F.col("u"), F.col("_mn")).alias("component"),
             )
-            .withColumn("_changed", F.col("component") < F.col("_prev"))
-            .observe(obs, F.sum(F.col("_changed").cast("long")).alias("c"))
+            .withColumn("_changed", F.col("component") < F.col("node"))
+            .observe(obs0, F.sum(F.col("_changed").cast("long")).alias("c"))
             .localCheckpoint(eager=True)
         )
-        changed = obs.get["c"]
-        labels = new_labels.drop("_changed").drop("_prev")
-        # the superseded round's checkpoint storage is dead the moment
-        # its successor is eagerly materialized — release it NOW; the
-        # ContextCleaner never reclaims checkpoint RDDs through the
-        # py4j bridge, so without this every round pins executor memory
-        # for the life of the session (session.free_local_checkpoints)
-        free_local_checkpoints(prev_ckpt)
-        prev_ckpt = new_labels
-        if not changed:
-            converged = True
-            break
+        converged = not obs0.get["c"]
+        labels = first.drop("_changed")
+        prev_ckpt = first  # checkpointed frame backing the current labels
+        for _ in range(max_iter - 1):
+            if converged:
+                break
+            nbr_min = (
+                edges.join(
+                    labels.select(
+                        F.col("node").alias("v"),
+                        F.col("component").alias("v_comp"),
+                    ),
+                    "v",
+                )
+                .groupBy("u")
+                .agg(F.min("v_comp").alias("nbr_comp"))
+            )
+            # r17 optimizations, same fixed point bit-for-bit:
+            # (1) pointer jumping — after taking the neighborhood minimum,
+            #     each node also adopts its candidate label's OWN label
+            #     (labels only ever hold node ids of the same component,
+            #     and the update stays monotone non-increasing, so the
+            #     fixed point — every node labeled with its component
+            #     minimum — is unchanged while chains collapse in
+            #     O(log diameter) rounds instead of O(diameter); measured
+            #     6 -> 3 rounds on the sf0.1 embedding near-dup graph);
+            # (2) the convergence counter rides the checkpoint job itself
+            #     via observe() (the observability.py pattern): ONE job
+            #     per round instead of checkpoint + a second count action.
+            cand = labels.join(
+                nbr_min, labels.node == nbr_min.u, "left"
+            ).select(
+                "node",
+                F.col("component").alias("_prev"),
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("nbr_comp"), F.col("component")),
+                ).alias("_cand"),
+            )
+            jump = labels.select(
+                F.col("node").alias("_jn"), F.col("component").alias("_jc")
+            )
+            obs = Observation()
+            new_labels = (
+                cand.join(jump, cand._cand == jump._jn, "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("_cand"), F.coalesce(F.col("_jc"), F.col("_cand"))
+                    ).alias("component"),
+                    F.col("_prev"),
+                )
+                .withColumn("_changed", F.col("component") < F.col("_prev"))
+                .observe(obs, F.sum(F.col("_changed").cast("long")).alias("c"))
+                .localCheckpoint(eager=True)
+            )
+            changed = obs.get["c"]
+            labels = new_labels.drop("_changed").drop("_prev")
+            # the superseded round's checkpoint storage is dead the moment
+            # its successor is eagerly materialized — release it NOW; the
+            # ContextCleaner never reclaims checkpoint RDDs through the
+            # py4j bridge, so without this every round pins executor
+            # memory for the life of the session
+            # (session.free_local_checkpoints)
+            free_local_checkpoints(prev_ckpt)
+            prev_ckpt = new_labels
+            if not changed:
+                converged = True
+                break
     if not converged:
         warnings.warn(
             f"connected_components(hash_to_min) exhausted max_iter={max_iter} "
@@ -240,7 +371,13 @@ def _connected_components_star(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    edges = _symmetric(pairs, src, dst).localCheckpoint(eager=True)
+    obs_e = Observation()
+    edges = (
+        _symmetric(pairs, src, dst)
+        .observe(obs_e, F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    n_edges = obs_e.get["n"]
     # Convergence probe: (count, xor of 64-bit edge hashes) is a cheap
     # map-side-combinable fingerprint of the edge set — equality across
     # rounds means (w.h.p.) the set reached its fixed point without a
@@ -253,27 +390,33 @@ def _connected_components_star(
     # optimization; same labels bit-for-bit).
     prev = None
     converged = False
-    for _ in range(max_iter):
-        superseded = edges
-        obs = Observation()
-        edges = (
-            _small_star(_large_star(edges))
-            .observe(
-                obs,
-                F.count(F.lit(1)).alias("n"),
-                F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+    # r18: star rounds are groupBy/explode jobs over the (shrinking)
+    # edge set — size their shuffles to the edge count, not the session
+    # corpus layout (labels/fingerprints are min/xor aggregates:
+    # order-insensitive, values unchanged)
+    with _state_shuffle_scope(pairs.sparkSession, n_edges):
+        for _ in range(max_iter):
+            superseded = edges
+            obs = Observation()
+            edges = (
+                _small_star(_large_star(edges))
+                .observe(
+                    obs,
+                    F.count(F.lit(1)).alias("n"),
+                    F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+                )
+                .localCheckpoint(eager=True)
             )
-            .localCheckpoint(eager=True)
-        )
-        # release the superseded round's pinned checkpoint immediately
-        # (see connected_components — the cleaner never reclaims these)
-        free_local_checkpoints(superseded)
-        m = obs.get
-        fp = (m["n"], m["h"])
-        if fp == prev:
-            converged = True
-            break
-        prev = fp
+            # release the superseded round's pinned checkpoint
+            # immediately (see connected_components — the cleaner never
+            # reclaims these)
+            free_local_checkpoints(superseded)
+            m = obs.get
+            fp = (m["n"], m["h"])
+            if fp == prev:
+                converged = True
+                break
+            prev = fp
     if not converged:
         warnings.warn(
             f"connected_components(star) exhausted max_iter={max_iter} "

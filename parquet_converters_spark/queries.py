@@ -11210,9 +11210,31 @@ def corpus_prep_funnel(spark, sf_dir):
     pins the COMPOSITION — filters applied in the scale-correct order,
     each stage consuming the previous stage's survivors."""
     from parquet_converters_spark.pipelines import prepare_corpus
+    from parquet_converters_spark.session import free_local_checkpoints
 
     docs = _t(spark, sf_dir, "documents")
+    ckpt = None
+    if _scan_needs_spread(
+        sf_dir, "documents", spark.sparkContext.defaultParallelism
+    ):
+        # r18 (guide §2.5 input skew): Catalyst pushes the funnel's
+        # regexp-heavy quality filter through the spread repartition
+        # down to the scan, so on a single-row-group layout the WHOLE
+        # quality pass ran on one core (~3.5 s of the funnel, measured
+        # in the executed plan: Filter below Exchange REPARTITION_BY_NUM).
+        # Materializing the spread scan once (one cheap read job) pins
+        # the filter's evaluation above it, 32-way.  On a production
+        # multi-row-group layout the branch never fires and
+        # filter-at-scan remains the optimal shape.
+        docs = docs.localCheckpoint(eager=True)
+        ckpt = docs
     _clean, report = prepare_corpus(docs)
+    # this query returns only the (already collected) report — release
+    # the survivors checkpoint and the scan checkpoint instead of
+    # pinning one of each per run
+    free_local_checkpoints(_clean)
+    if ckpt is not None:
+        free_local_checkpoints(ckpt)
     return report.orderBy("stage_order")
 
 

@@ -583,21 +583,44 @@ def test_connected_components_star_matches_hash_to_min(spark):
     assert a == b
 
 
-def test_connected_components_warns_unconverged(spark):
+def test_connected_components_warns_unconverged(spark, monkeypatch):
     """Exhausting max_iter before the fixed point must warn, not return
-    silently-partial labels."""
+    silently-partial labels.  (Forces the distributed rounds: the r18
+    driver union-find fallback is always exact, so a small graph would
+    otherwise never exercise the warning path.)"""
     import pytest
 
-    from parquet_converters_spark.operators.graph import (
-        ConvergenceWarning,
-        connected_components,
-    )
+    from parquet_converters_spark.operators import graph as G
 
+    monkeypatch.setattr(G, "_CC_DRIVER_MAX_EDGES", 0)
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(30)], "id_a: long, id_b: long"
     )
-    with pytest.warns(ConvergenceWarning):
-        connected_components(chain, max_iter=2).collect()
+    with pytest.warns(G.ConvergenceWarning):
+        G.connected_components(chain, max_iter=2).collect()
+
+
+def test_connected_components_driver_fallback_matches_distributed(
+    spark, monkeypatch
+):
+    """r18: the sub-threshold driver union-find must produce exactly the
+    labels the distributed rounds produce (component minimum per node),
+    and must kick in below the edge cap."""
+    from parquet_converters_spark.operators import graph as G
+
+    edges = [(1, 2), (2, 3), (9, 4), (7, 7), (10, 11), (11, 3)]
+    df = spark.createDataFrame(edges, "id_a: long, id_b: long")
+    fast = {
+        (r["node"], r["component"])
+        for r in G.connected_components(df).collect()
+    }
+    monkeypatch.setattr(G, "_CC_DRIVER_MAX_EDGES", 0)
+    slow = {
+        (r["node"], r["component"])
+        for r in G.connected_components(df).collect()
+    }
+    assert fast == slow
+    assert (7, 7) in fast  # self-pair node keeps its own label
 
 
 def test_ivf_centroid_modes_identical(spark, sf_dir):

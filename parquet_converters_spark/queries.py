@@ -12522,3 +12522,11 @@ _R18_WINDOW = [
     # alphabetically) fall to the r19 pool
 ]
 _check_window(_R18_WINDOW, "_R18_WINDOW", prior=_R17_WINDOW)
+# ACTIVE for round 18 (CORRECTNESS_r17 was 50/50 — no reds to promote;
+# the window is exactly the pre-wired rotation: the four never-graded
+# r17 registrations at the front, then the r13-latest remainder and
+# the alphabetical head of the r14-latest cohort):
+QUERIES = {
+    **{name: QUERIES[name] for name in _R18_WINDOW},
+    **{name: v for name, v in QUERIES.items() if name not in _R18_WINDOW},
+}

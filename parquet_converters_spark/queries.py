@@ -175,6 +175,29 @@ def _t(
     return df
 
 
+def _emb_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embeddings scan for queries that fan it into MULTIPLE plan
+    branches (exact + approximate retriever, query + corpus + codebook
+    sample), materialized once via a LAZY localCheckpoint — computed
+    inside the first action over it, so nothing is precomputed across
+    runs.
+
+    Gated on the same layout probe as the spread itself (r18, VERDICT
+    r17 item 7): on the bench's single-row-group layout every branch
+    would otherwise re-pay the spread's repartition exchange AND
+    re-scan the file (ann_recall_pq planned 4 spread exchanges on
+    vec_id); on a production multi-row-group layout the branch never
+    fires and each branch keeps its own pruned/pushed-down scan —
+    materializing a 100 TB fact table to executor storage would be
+    strictly worse than re-scanning parquet."""
+    emb = _t(spark, sf_dir, "embeddings")
+    if _scan_needs_spread(
+        sf_dir, "embeddings", spark.sparkContext.defaultParallelism
+    ):
+        emb = emb.localCheckpoint(eager=False)
+    return emb
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events with ``ts`` normalized to a TIMESTAMP (instant).
 
@@ -1370,8 +1393,9 @@ ORDER BY id_a, id_b
 # Similarity search
 # ===========================================================================
 
-def sim_cosine_topk(spark, sf_dir):
-    emb = _t(spark, sf_dir, "embeddings")
+def sim_cosine_topk(spark, sf_dir, emb=None):
+    if emb is None:
+        emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     return cosine_topk(emb, queries, k=5).orderBy("query_id", "rank")
 
@@ -1392,8 +1416,9 @@ ORDER BY query_id, rank
 """
 
 
-def sim_lsh_ann(spark, sf_dir):
-    emb = _t(spark, sf_dir, "embeddings")
+def sim_lsh_ann(spark, sf_dir, emb=None):
+    if emb is None:
+        emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     return lsh_bucket_ann(emb, queries, k=5, num_planes=8, dim=_EMB_DIM).orderBy(
         "query_id", "rank"
@@ -1526,7 +1551,10 @@ def sim_ivfpq_ann(spark, sf_dir):
     arithmetic is a bit-identical left-assoc double chain in both
     engines, so code assignment has NO rounding step; the final
     ADC sum crosses engines through the round-6 convention."""
-    emb = _t(spark, sf_dir, "embeddings")
+    # r18: the corpus + query + codebook-sample branches share ONE
+    # materialized scan at bench layout (see _emb_shared) — plan was
+    # 2 spread exchanges on vec_id, now 1 scan feeding all branches.
+    emb = _emb_shared(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 5)
     return ivf_pq_topk(
         emb, queries, k=5, num_cells=8, nprobe=_PQ_NPROBE,
@@ -6428,9 +6456,15 @@ def ann_recall_at5(spark, sf_dir):
     how many true neighbors the bucketed search returned.  Both sides
     are the already-registered queries, so this is evaluation plumbing,
     not new search code."""
-    e = sim_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    # r18: both retrievers share one materialized scan at bench layout
+    # (was 4 spread exchanges on vec_id — _emb_shared); each component
+    # query's own registered entry keeps its own scan.
+    emb = _emb_shared(spark, sf_dir)
+    e = sim_cosine_topk(spark, sf_dir, emb=emb).select(
+        "query_id", "neighbor_id"
+    )
     a = (
-        sim_lsh_ann(spark, sf_dir)
+        sim_lsh_ann(spark, sf_dir, emb=emb)
         .select("query_id", "neighbor_id")
         .withColumn("_hit", F.lit(1))
     )
@@ -6472,7 +6506,15 @@ def ann_recall_pq(spark, sf_dir):
     broadcast brute-force scan (5 query rows against the corpus); the
     approximate side is the registered sim_ivfpq_ann.  "Measure,
     don't guess" for the memory-bound ANN path."""
-    emb = _t(spark, sf_dir, "embeddings")
+    from parquet_converters_spark.functions.similarity import ivf_pq_topk
+
+    # r18: exact side, PQ corpus/query sides and the codebook sample
+    # all branch from ONE materialized scan at bench layout (was 4
+    # spread exchanges on vec_id — _emb_shared); the approximate side
+    # is ivf_pq_topk with the registered sim_ivfpq_ann's exact
+    # parameters, fed the shared frame (identical rows, asserted in
+    # tests and the A/B that motivated this change).
+    emb = _emb_shared(spark, sf_dir)
     qs = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").cast("array<double>").alias("_qv"),
@@ -6501,7 +6543,11 @@ def ann_recall_pq(spark, sf_dir):
         .select("query_id", "neighbor_id")
     )
     a = (
-        sim_ivfpq_ann(spark, sf_dir)
+        ivf_pq_topk(
+            emb, emb.filter(F.col("vec_id") < 5), k=5, num_cells=8,
+            nprobe=_PQ_NPROBE, n_sub=_PQ_SUB, n_codes=_PQ_CODES,
+            dim=_EMB_DIM,
+        )
         .select("query_id", "neighbor_id")
         .withColumn("_hit", F.lit(1))
     )
@@ -6793,7 +6839,12 @@ def mmr_diverse_topk(spark, sf_dir, n_queries=3):
         vec_norm,
     )
 
-    emb = _t(spark, sf_dir, "embeddings")
+    # r18: query + corpus branches share one materialized scan at bench
+    # layout (_emb_shared), and the ≤ n_queries×pool candidate pool is
+    # materialized once (lazy localCheckpoint) — the a/b pairwise
+    # branches otherwise re-ran the corpus-sized broadcast join and
+    # top-pool window per branch, at ANY layout.
+    emb = _emb_shared(spark, sf_dir)
     q = emb.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("_qv"),
@@ -6817,6 +6868,7 @@ def mmr_diverse_topk(spark, sf_dir, n_queries=3):
         .select("query_id", "neighbor_id", rel_u.alias("rel_u"), "_cv", "_cn")
         .withColumn("rank", F.row_number().over(wp))
         .filter(F.col("rank") <= _MMR_POOL)
+        .localCheckpoint(eager=False)
     )
     a = pool.select(
         "query_id",
@@ -7822,13 +7874,20 @@ def embedding_standardize_stats(spark, sf_dir):
     per-feature normalization pass."""
     from parquet_converters_spark.functions.anomaly import group_stats
 
+    # r18: the z-audit and the final report both consume the 64-row
+    # moment table — each re-ran the full decimal-moment aggregation
+    # over the (row × dim) explode (plan: 3 spread exchanges on
+    # vec_id).  The dim-bounded stats table is materialized once (lazy
+    # localCheckpoint); the scan keeps its per-branch spread (A/B: an
+    # emb-level checkpoint's lazy-RDD plan-time cost at build exceeded
+    # its exec saving here).
     emb = _t(spark, sf_dir, "embeddings")
     el = emb.select(
         F.posexplode(F.col("embedding").cast("array<double>")).alias(
             "dim_idx", "x"
         )
     )
-    stats = group_stats(el, "dim_idx", "x")
+    stats = group_stats(el, "dim_idx", "x").localCheckpoint(eager=False)
     z = el.join(F.broadcast(stats), "dim_idx").select(
         "dim_idx",
         F.abs((F.col("x") - F.col("mean")) / F.col("std")).alias("az"),
@@ -9550,28 +9609,47 @@ def market_basket_lift(spark, sf_dir):
     cross-order join exists in the plan."""
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part")
-    basket = (
+    # r18 (guide §1.2/§2.4): the previous shape derived pair/single/
+    # total counts as four independent branches of the distinct
+    # (order, brand) frame — each branch re-scanned lineitem, re-paid
+    # the broadcast join, the distinct shuffle and (at bench layout)
+    # the scan-spread exchange (plan: 36 Exchange, 5 spread exchanges
+    # on l_orderkey).  Now ONE pass aggregates each order's distinct
+    # brands into a sorted basket array (one fact shuffle on the order
+    # key), materialized once (lazy localCheckpoint — computed inside
+    # the first action over it), and pairs/singles/total all derive
+    # from the order-grain baskets.  Counts are identical by
+    # construction: sort_array(collect_set) enumerates exactly the
+    # distinct brands, the (i, j>i) expansion over a sorted array is
+    # exactly the brand_a < brand_b self-join, and n_orders is the
+    # basket row count.  A/B sf0.1 same-window min-of-3: 3.10 -> 1.35 s.
+    baskets = (
         li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
-        .select("l_orderkey", "p_brand")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("p_brand")).alias("_brands"))
+        .localCheckpoint(eager=False)
     )
-    a = basket.select(
-        "l_orderkey", F.col("p_brand").alias("brand_a")
-    )
-    b = basket.select(
-        "l_orderkey", F.col("p_brand").alias("brand_b")
+    pair_expr = F.flatten(
+        F.transform(
+            F.col("_brands"),
+            lambda x, i: F.transform(
+                F.slice(F.col("_brands"), i + 2, F.size(F.col("_brands"))),
+                lambda y: F.struct(x.alias("brand_a"), y.alias("brand_b")),
+            ),
+        )
     )
     pair_n = (
-        a.join(b, "l_orderkey")
-        .where(F.col("brand_a") < F.col("brand_b"))
-        .groupBy("brand_a", "brand_b")
+        baskets.select(F.explode(pair_expr).alias("_p"))
+        .groupBy("_p.brand_a", "_p.brand_b")
         .agg(F.count(F.lit(1)).alias("n_ab"))
         .where(F.col("n_ab") >= _BASKET_MIN_N)
     )
-    singles = basket.groupBy("p_brand").agg(F.count(F.lit(1)).alias("n_1"))
-    total = basket.select("l_orderkey").distinct().agg(
-        F.count(F.lit(1)).alias("_n_orders")
+    singles = (
+        baskets.select(F.explode("_brands").alias("p_brand"))
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_1"))
     )
+    total = baskets.agg(F.count(F.lit(1)).alias("_n_orders"))
     sa = singles.select(
         F.col("p_brand").alias("brand_a"), F.col("n_1").alias("n_a")
     )
@@ -9630,11 +9708,19 @@ def cluster_quality_by_label(spark, sf_dir):
     rows), broadcast join back for cohesion, and a k²×dim centroid
     self-join that never touches member rows — at 100 TB the only
     corpus-sized pass is the cohesion join."""
+    # r18: the cohesion and separation branches each re-derived the
+    # centroid table — re-aggregating the full (row × dim) explode per
+    # branch at any layout.  The k×dim centroid table is materialized
+    # once (lazy localCheckpoint — label-count-bounded at every
+    # scale); the scan keeps its per-branch spread (A/B: adding an
+    # emb-level checkpoint paid more lazy-RDD plan-time at build than
+    # its exec saving on this 1-second query).
     emb = _t(spark, sf_dir, "embeddings")
     dims = emb.select(
         "vec_id", "label", F.posexplode("embedding").alias("dim", "x")
     ).withColumn("x", F.col("x").cast("double"))
-    cent = dims.groupBy("label", "dim").agg(F.avg("x").alias("c"))
+    cent = dims.groupBy("label", "dim").agg(F.avg("x").alias("c")) \
+        .localCheckpoint(eager=False)
     cohesion = (
         dims.join(F.broadcast(cent), ["label", "dim"])
         .groupBy("vec_id", "label")

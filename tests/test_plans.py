@@ -406,3 +406,43 @@ def test_fingerprint_censuses_are_narrow_plus_aggregate(spark, sf_dir):
         for op in ("Join", "CartesianProduct"):
             assert op not in plan, f"{q.__name__}: unexpected {op}"
         assert plan.count("Exchange") <= 3, f"{q.__name__}: {plan[:400]}"
+
+
+def test_multi_branch_consumers_spread_once(spark, sf_dir):
+    """r18 spread-policy hardening (VERDICT r17 item 7): the queries
+    that fan a spread fact table into several plan branches must pay
+    the spread repartition at most ONCE per table — the r17 blanket
+    spread re-paid it per branch (ann_recall_pq planned 4 vec_id
+    spread exchanges, market_basket_lift 5 on l_orderkey).  These
+    queries now share one materialized scan (queries._emb_shared /
+    an order-grain basket checkpoint), so a regression reintroducing
+    the per-branch exchange is a plan diff, not a cluster bill."""
+    import re
+
+    from parquet_converters_spark import queries as Q
+
+    spread_pat = re.compile(
+        r"hashpartitioning\((\w+)#\d+[^)]*\), REPARTITION_BY_NUM"
+    )
+    fixed = [
+        "market_basket_lift",
+        "sim_ivfpq_ann",
+        "ann_recall_pq",
+        "ann_recall_at5",
+        "mmr_diverse_topk",
+    ]
+    # force the bench-layout decision so the assertion is meaningful
+    # even if this test ever runs against a multi-row-group fixture
+    saved = dict(Q._SPREAD_OVERRIDE)
+    for name in Q._SPREAD_KEYS:
+        Q._SPREAD_OVERRIDE[(sf_dir, name)] = True
+    try:
+        for qname in fixed:
+            plan = _plan(Q.QUERIES[qname][0](spark, sf_dir))
+            counts = {}
+            for key in spread_pat.findall(plan):
+                counts[key] = counts.get(key, 0) + 1
+            assert all(c <= 1 for c in counts.values()), (qname, counts)
+    finally:
+        Q._SPREAD_OVERRIDE.clear()
+        Q._SPREAD_OVERRIDE.update(saved)

@@ -374,6 +374,7 @@ def warc_records(
     payload_col: str = "payload",
     id_col: str = "doc_id",
     errors: str = "strict",
+    resolve_links: bool = False,
 ) -> DataFrame:
     """Explode WARC archive payloads into one row per record — ONE
     Arrow-batched narrow stage, no shuffle.  For ``response`` records
@@ -391,10 +392,25 @@ def warc_records(
     defect); ``"quarantine"`` does the same but emits one extra
     ``error string`` column — null on good rows, the ValueError text
     on a placeholder row per defect — so bad input is counted, not
-    silently lost."""
+    silently lost.
+
+    ``resolve_links=True`` appends a ``link_resolved boolean`` column
+    computed ARCHIVE-LOCALLY in this same stage (r18): record ids are
+    only meaningful within their archive (ISO 28500), and the whole
+    archive is parsed in one call here, so ``WARC-Refers-To`` /
+    ``WARC-Concurrent-To`` resolution is a set lookup against the
+    archive's emitted response ids — no join, no shuffle, no second
+    parse of the corpus.  Semantics are exactly
+    :func:`link_warc_records` over this function's output (true/false
+    for records carrying a link header, null otherwise; targets that
+    failed per-record policy and were dropped do not resolve); that
+    join-based operator remains for record-grain frames that arrive
+    WITHOUT archive locality."""
     _check_errors_policy(errors)
     quarantine = errors == "quarantine"
     schema = _RECORDS_SCHEMA + (", error string" if quarantine else "")
+    if resolve_links:
+        schema += ", link_resolved boolean"
 
     def run(batches):
         import pandas as pd
@@ -408,11 +424,13 @@ def warc_records(
             }
             if quarantine:
                 out["error"] = []
+            if resolve_links:
+                out["link_resolved"] = []
 
             def emit(did, rec_type=None, target_uri=None, warc_date=None,
                      content_type=None, http_status=None, body=None,
                      record_id=None, refers_to=None, concurrent_to=None,
-                     profile=None, error=None):
+                     profile=None, error=None, link_resolved=None):
                 out["doc_id"].append(int(did))
                 out["rec_type"].append(rec_type)
                 out["target_uri"].append(target_uri)
@@ -426,8 +444,34 @@ def warc_records(
                 out["profile"].append(profile)
                 if quarantine:
                     out["error"].append(error)
+                if resolve_links:
+                    out["link_resolved"].append(link_resolved)
+
+            def emit_archive(did, pending):
+                # two-phase so forward links resolve too: the response
+                # id set is taken over the records that actually emit
+                # (a response dropped by the per-record policy cannot
+                # be a link target — identical to joining against the
+                # emitted frame)
+                if resolve_links:
+                    resp_ids = {
+                        kw["record_id"] for kw in pending
+                        if kw.get("rec_type") == "response"
+                    }
+                    for kw in pending:
+                        # SQL-coalesce semantics: an empty-string link
+                        # header is non-null (resolves false), so no
+                        # Python `or` here
+                        link = kw.get("refers_to")
+                        if link is None:
+                            link = kw.get("concurrent_to")
+                        if link is not None:
+                            kw["link_resolved"] = link in resp_ids
+                for kw in pending:
+                    emit(did, **kw)
 
             for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                pending = []
                 try:
                     records = parse_warc(bytes(payload))
                 except ValueError as e:
@@ -450,16 +494,16 @@ def warc_records(
                             if errors == "strict":
                                 raise
                             if quarantine:
-                                emit(
-                                    did, rec_type=rec["type"],
+                                pending.append(dict(
+                                    rec_type=rec["type"],
                                     target_uri=rec["target_uri"],
                                     warc_date=rec["date"],
                                     record_id=rec["record_id"],
                                     error=str(e),
-                                )
+                                ))
                             continue
-                    emit(
-                        did, rec_type=rec["type"],
+                    pending.append(dict(
+                        rec_type=rec["type"],
                         target_uri=rec["target_uri"],
                         warc_date=rec["date"], content_type=ctype,
                         http_status=status, body=body,
@@ -467,7 +511,8 @@ def warc_records(
                         refers_to=rec["refers_to"],
                         concurrent_to=rec["concurrent_to"],
                         profile=rec["profile"],
-                    )
+                    ))
+                emit_archive(did, pending)
             yield pd.DataFrame(out)
 
     return df.mapInPandas(run, schema)

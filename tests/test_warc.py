@@ -758,3 +758,59 @@ def test_cli_warc2parquet_real_world_hostility(spark, tmp_path):
     assert len(errs3) == 1
     assert errs3[0]["url"] == "https://ex.org/private/deep"
     assert [r["text"] for r in rows3 if r["error"] is None] == ["kept"]
+
+
+def test_warc_resolve_links_matches_join_operator(spark):
+    """r18: warc_records(resolve_links=True) must agree ROW-FOR-ROW
+    with link_warc_records over the same archives — including dangling
+    links, cross-archive ids, quarantined response placeholders (which
+    the join treats as valid targets because they keep their record_id
+    and rec_type) and forward references."""
+    from parquet_converters_spark.sources.warc import (
+        link_warc_records,
+        warc_records,
+    )
+
+    def rec(wtype, rid, extra=b"", block=None):
+        if block is None:
+            block = (b"HTTP/1.1 200 OK\r\nContent-Type: text/plain"
+                     b"\r\n\r\nok"
+                     if wtype != b"request" else b"GET / HTTP/1.1\r\n\r\n")
+        h = b"WARC/1.0\r\n"
+        h += b"Content-Length: " + str(len(block)).encode() + b"\r\n"
+        h += b"WARC-Type: " + wtype + b"\r\n"
+        h += b"WARC-Record-ID: " + rid + b"\r\n"
+        h += extra
+        h += b"Content-Type: application/http; msgtype=response\r\n\r\n"
+        return h + block + b"\r\n\r\n"
+
+    # forward link: the revisit precedes its target response
+    a1 = (rec(b"revisit", b"<urn:v0>", b"WARC-Refers-To: <urn:r9>\r\n")
+          + rec(b"response", b"<urn:r9>")
+          + rec(b"request", b"<urn:q1>",
+                b"WARC-Concurrent-To: <urn:r9>\r\n")
+          + rec(b"revisit", b"<urn:v2>",
+                b"WARC-Refers-To: <urn:nowhere>\r\n"))
+    # a response whose HTTP payload is broken: under quarantine it
+    # emits a placeholder that keeps rec_type/record_id — the join
+    # resolves links against it, so the in-stage form must too
+    a2 = (rec(b"response", b"<urn:bad>", block=b"no-header-terminator")
+          + rec(b"revisit", b"<urn:v3>",
+                b"WARC-Refers-To: <urn:bad>\r\n"))
+    df = spark.createDataFrame(
+        [(10, bytearray(a1)), (20, bytearray(a2))],
+        "doc_id long, payload binary",
+    )
+    for errors in ("strict", "skip", "quarantine"):
+        frame = df if errors != "strict" else df.filter("doc_id = 10")
+        joined = link_warc_records(
+            warc_records(frame, errors=errors)
+        ).collect()
+        local = warc_records(
+            frame, errors=errors, resolve_links=True
+        ).collect()
+        key = lambda r: (r["doc_id"], r["record_id"], r["rec_type"])
+        j = {key(r): r["link_resolved"] for r in joined}
+        l = {key(r): r["link_resolved"] for r in local}
+        assert j == l, (errors, j, l)
+        assert len(joined) == len(local)

@@ -75,11 +75,24 @@ def pmi_pairs(
     the per-doc distinct count is bounded; the synthetic corpus's
     vocabulary is ~40 terms so the raw join is exact and cheap here.
     """
-    dt = docs.select(
+    # r18 (guide §2.4): document frequencies, co-occurrence pairs and
+    # the doc count previously ran as FOUR independent branches that
+    # each re-scanned the corpus and re-ran the regexp tokenizer (plan:
+    # 5 scan-spread exchanges at bench layout).  Tokenize ONCE into a
+    # per-document distinct-token array, materialized lazily; the
+    # branches derive from it with narrow explodes.  The pair
+    # generator stays the doc-keyed self-join: an A/B of the row-local
+    # (i, j>i) array expansion measured SLOWER both windows (min 3.90
+    # vs 2.21 s — building ~780 struct pairs per row loses to the
+    # codegen streaming join at this vocabulary), so only the
+    # redundant scans were removed.  n_docs counts basket rows, so
+    # zero-token documents keep their row (no explode above it).
+    basket = docs.select(
         F.col(doc_id_col).alias("doc_id"),
-        F.explode(F.array_distinct(tokens(text_col))).alias("token"),
-    )
-    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+        F.array_distinct(tokens(text_col)).alias("_toks"),
+    ).localCheckpoint(eager=False)
+    dt = basket.select("doc_id", F.explode("_toks").alias("token"))
+    n_docs = basket.agg(F.count(F.lit(1)).alias("n_docs"))
     df_tbl = dt.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     a, b = dt.alias("a"), dt.alias("b")
     pair_docs = (
